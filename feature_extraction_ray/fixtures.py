@@ -1,0 +1,208 @@
+"""Deterministic fixtures for the canonical engine input tables.
+
+``BASELINE.json:input_hint`` fixes the engine's primary table shape:
+``doc_id:string, tokens:list<int32>, n_tok:int32, source:string`` (+ a
+derived ``ts:timestamp[us]`` event-time column every as-of/window operator
+needs — the reference's ``call_datetime``/``order`` analog,
+``group_audio_files.py:26-28``).
+
+Two ways to produce it, both fully deterministic (fixed seed / pure hash of
+inputs, no wall clock):
+
+* :func:`gen_tokens` / :func:`gen_feature_updates` — seeded numpy
+  generators for pytest golden tests (FIXTURES.md F1/F2): skewed source
+  distribution, duplicate timestamps, entities with zero updates, updates
+  after left rows (leakage probes).
+* :func:`tokens_from_documents` — streaming Ray derivation from the
+  driver's ``documents.parquet`` (text → whitespace tokens → stable FNV
+  int32 ids; ts from ``doc_id`` spacing) so benches run on driver data at
+  any scale factor without synthesizing new inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+EPOCH_US = 1_577_836_800_000_000  # 2020-01-01T00:00:00Z in microseconds
+VOCAB = 32_000
+SOURCES = ["web", "books", "wiki", "news", "code", "forum", "papers", "chat"]
+# deliberate skew: first source holds ~50% of rows (FIXTURES.md F1)
+SOURCE_P = np.array([0.50, 0.20, 0.10, 0.07, 0.05, 0.04, 0.02, 0.02])
+
+TOKENS_SCHEMA = pa.schema([
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("ts", pa.timestamp("us")),
+])
+
+
+def _list_array(flat: np.ndarray, lengths: np.ndarray) -> pa.ListArray:
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int32)
+    np.cumsum(lengths, out=offsets[1:])
+    return pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                    pa.array(flat, type=pa.int32()))
+
+
+def gen_tokens(n_rows: int = 200, n_entities: int = 4,
+               seed: int = 42) -> pa.Table:
+    """F1 ``tokens`` fixture: skewed sources, monotone per-entity ts with
+    exponential gaps (sessions exist), duplicate-ts pairs (as-of ties)."""
+    rng = np.random.default_rng(seed)
+    src_idx = rng.choice(len(SOURCES), size=n_rows,
+                         p=SOURCE_P[:len(SOURCES)])
+    sources = np.array(SOURCES)[src_idx]
+    ent = rng.integers(0, n_entities, size=n_rows)
+    lengths = np.clip(rng.lognormal(3.0, 1.0, size=n_rows).astype(np.int64),
+                      1, 512)
+    flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+    # per-entity monotone ts: sort rows by entity, cumulative exponential gaps
+    order = np.argsort(ent, kind="stable")
+    gaps = (rng.exponential(120.0, size=n_rows) * 1e6).astype(np.int64)
+    # inject occasional big gaps (> 1h) so sessionize yields >1 session
+    big = rng.random(n_rows) < 0.05
+    gaps[big] += 2 * 3_600_000_000
+    # duplicate-ts pairs: zero every 17th gap
+    gaps[::17] = 0
+    ts = np.empty(n_rows, dtype=np.int64)
+    sorted_ent = ent[order]
+    new_ent = np.empty(n_rows, dtype=bool)
+    if n_rows:
+        new_ent[0] = True
+        new_ent[1:] = sorted_ent[1:] != sorted_ent[:-1]
+    cum = np.cumsum(np.where(new_ent, 0, gaps))
+    ts[order] = EPOCH_US + sorted_ent * 86_400_000_000 + cum
+    doc_id = np.array([f"d{e:04d}_{i:06d}" for i, e in enumerate(ent)])
+    return pa.table({
+        "doc_id": pa.array(doc_id, type=pa.string()),
+        "tokens": _list_array(flat, lengths),
+        "n_tok": pa.array(lengths.astype(np.int32)),
+        "source": pa.array(sources, type=pa.string()),
+        "entity": pa.array([f"e{e:04d}" for e in ent], type=pa.string()),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    })
+
+
+def gen_feature_updates(tokens: pa.Table, seed: int = 43,
+                        every: int = 5) -> pa.Table:
+    """F2 ``feature_updates`` fixture: sparse point-in-time attribute rows
+    keyed by entity; includes rows after all left rows (leakage probe),
+    entities with zero updates, and NaN attr values."""
+    rng = np.random.default_rng(seed)
+    ent = np.asarray(tokens["entity"].to_pylist())
+    ts = tokens["ts"].cast(pa.int64()).to_numpy().astype(np.int64)
+    uniq = np.unique(ent)
+    keep_entities = uniq[:-1] if len(uniq) > 1 else uniq  # one entity: no updates
+    rows_e, rows_ts = [], []
+    for e in keep_entities:
+        ets = np.sort(ts[ent == e])
+        n_upd = max(1, len(ets) // every)
+        picks = rng.choice(len(ets), size=n_upd, replace=False)
+        offs = (rng.integers(-30, 30, size=n_upd) * 1_000_000)
+        rows_e.extend([e] * n_upd)
+        rows_ts.extend((ets[picks] + offs).tolist())
+        # a future update past everything this entity has (must never match)
+        rows_e.append(e)
+        rows_ts.append(int(ets[-1]) + 7_200_000_000)
+    n = len(rows_e)
+    lengths = rng.integers(1, 16, size=n)
+    flat = rng.integers(0, VOCAB, size=int(lengths.sum()), dtype=np.int32)
+    vals = rng.normal(size=n)
+    vals[rng.random(n) < 0.1] = np.nan
+    return pa.table({
+        "entity": pa.array(rows_e, type=pa.string()),
+        "ts": pa.array(np.array(rows_ts, dtype=np.int64),
+                       type=pa.timestamp("us")),
+        "attr_tokens": _list_array(flat, lengths),
+        "attr_val": pa.array(vals, type=pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Derivation from driver testdata (documents.parquet) — streaming, Ray-side.
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_ids(words: list) -> np.ndarray:
+    """Stable FNV-1a of each word, mod VOCAB → int32 token ids."""
+    out = np.empty(len(words), dtype=np.int32)
+    with np.errstate(over="ignore"):
+        for i, w in enumerate(words):
+            h = _FNV_OFFSET
+            for b in w.encode("utf-8"):
+                h = (h ^ np.uint64(b)) * _FNV_PRIME
+            out[i] = np.int32(h % np.uint64(VOCAB))
+    return out
+
+
+def doc_ts(doc_ids: np.ndarray) -> np.ndarray:
+    """Deterministic event time for a doc id: ``EPOCH + id·60 s`` plus a 2 h
+    bonus after every 101st global doc — strictly monotone in ``doc_id`` (so
+    monotone within every source) with variable inter-document gaps, making
+    gap-sessionization non-trivial at any scale factor."""
+    d = doc_ids.astype(np.int64)
+    return (EPOCH_US + d * 60_000_000 +
+            (d // 101 + 1) * 7_200_000_000)
+
+
+def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id:int64, text, source, …) → canonical tokens table.
+
+    Pure function of the row (no RNG); ``ts`` from :func:`doc_ts`.
+    """
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    texts = batch["text"].to_pylist()
+    token_lists = [t.split() for t in texts]
+    lengths = np.array([len(t) for t in token_lists], dtype=np.int64)
+    flat_words = [w for toks in token_lists for w in toks]
+    flat = _token_ids(flat_words)
+    ts = doc_ts(doc_ids)
+    return pa.table({
+        "doc_id": pa.array([f"d{int(i):08d}" for i in doc_ids],
+                           type=pa.string()),
+        "tokens": _list_array(flat, lengths),
+        "n_tok": pa.array(lengths.astype(np.int32)),
+        "source": batch["source"],
+        "ts": pa.array(ts.astype(np.int64), type=pa.timestamp("us")),
+    })
+
+
+def tokens_from_documents(sf_dir: str):
+    """Stream ``{sf_dir}/documents.parquet`` into the canonical tokens table
+    (lazy Ray Dataset; no materialization)."""
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
+
+
+def updates_from_documents(sf_dir: str, every: int = 5):
+    """Sparse right side for the flagship as-of join, derived from the same
+    documents: ~1/``every`` of docs (picked by a multiplicative hash so the
+    picks spread over ALL sources, not aliasing with the source round-robin)
+    emit one update at ``ts − 30 s`` with a deterministic attr payload."""
+    import ray.data as rd
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        h = (doc_ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        h = h ^ (h >> np.uint64(16))
+        keep = h % np.uint64(every) == 0
+        doc_ids = doc_ids[keep]
+        src = batch["source"].to_numpy(zero_copy_only=False)[keep]
+        ts = doc_ts(doc_ids) - 30_000_000
+        vals = ((doc_ids * 2654435761) % 1000).astype(np.float64) / 10.0
+        return pa.table({
+            "source": pa.array(src, type=pa.string()),
+            "ts": pa.array(ts.astype(np.int64), type=pa.timestamp("us")),
+            "attr_val": pa.array(vals, type=pa.float64()),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    return ds.map_batches(derive, batch_format="pyarrow")

@@ -1,0 +1,151 @@
+"""Entity-hash partitioning substrate — the engine's single shuffle primitive.
+
+Every order-sensitive operator (windows, as-of join, ordered feature
+aggregates) runs on top of the same layout: rows are assigned a bucket
+``hash(entity) % num_buckets`` in a stateless ``map_batches`` (vectorized,
+no shuffle), then a single ``groupby(BUCKET_COL)`` co-locates each bucket so
+a whole entity is always inside one task. Within a bucket, tables are
+sorted by ``(entity, order...)`` with pyarrow before the kernel runs.
+
+This mirrors — and replaces — the reference's manual partitioning: the
+per-subject outer loop (``kaldi_asr_features/extract_timing_feats.py:130-133``)
+and the 100-way static SLURM shard
+(``microsoft_asr_features/extract_timing_features.py:187-190``), whose
+shards were *not* aligned with group keys (hence its separate merge job).
+Here the shuffle key IS the group key, so no merge step exists.
+
+Skew: a hot entity (the reference's hot subject) makes its bucket large but
+never splits it — windowed semantics need whole entities. ``skew_report``
+measures the histogram; order-insensitive stages (as-of merge, stat packs)
+may additionally salt with ``salt_column``. At 100 TB, ``num_buckets``
+should be ≥ 4× total cores so stragglers even out.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+BUCKET_COL = "__bucket"
+
+# Stable 64-bit FNV-1a, vectorized over a pyarrow string/int column.
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _stable_hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of a string column, vectorized.
+
+    Python's builtin ``hash`` is salted per-process (unusable across Ray
+    workers); this FNV-1a over utf-8 bytes is process-stable and fast
+    enough (vectorized over fixed-width chunks of the byte matrix).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+        # splitmix64 finalizer — good avalanche for integer keys
+        v = (v + np.uint64(0x9E3779B97F4A7C15))
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(0xBF58476D1CE4E5B9)
+        v ^= v >> np.uint64(27)
+        v *= np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+        return v
+    # string path: FNV over the flat values buffer, per-row via offsets
+    sarr = arr.cast(pa.large_utf8())
+    buf = np.frombuffer(sarr.buffers()[2], dtype=np.uint8) if sarr.buffers()[2] else np.zeros(0, np.uint8)
+    offsets = np.frombuffer(sarr.buffers()[1], dtype=np.int64)[sarr.offset: sarr.offset + len(sarr) + 1]
+    n = len(sarr)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    lens = offsets[1:] - offsets[:-1]
+    maxlen = int(lens.max()) if n else 0
+    # column-by-column over byte positions: maxlen iterations of vector ops
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            mask = lens > j
+            idx = offsets[:-1][mask] + j
+            hm = h[mask]
+            hm = (hm ^ buf[idx].astype(np.uint64)) * _FNV_PRIME
+            h[mask] = hm
+    return h
+
+
+def stable_bucket(arr, num_buckets: int) -> np.ndarray:
+    """Deterministic bucket id in [0, num_buckets) for a key column."""
+    return (_stable_hash_strings(arr) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def with_bucket(ds: Dataset, entity_col: str, num_buckets: int,
+                bucket_col: str = BUCKET_COL) -> Dataset:
+    """Append a deterministic ``hash(entity) % num_buckets`` column.
+
+    Stateless, vectorized, no shuffle — the shuffle happens at the
+    subsequent ``groupby(bucket_col)``.
+    """
+    def assign(batch: pa.Table) -> pa.Table:
+        b = stable_bucket(batch[entity_col], num_buckets)
+        return batch.append_column(bucket_col, pa.array(b, type=pa.int32()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def sort_table(tbl: pa.Table, keys: Sequence[str]) -> pa.Table:
+    """Stable multi-key ascending sort of an Arrow table (take-based)."""
+    idx = pc.sort_indices(tbl, sort_keys=[(k, "ascending") for k in keys])
+    return tbl.take(idx)
+
+
+def entity_group_starts(tbl: pa.Table, entity_col: str) -> np.ndarray:
+    """New-entity mask for a table already sorted entity-major."""
+    from ..functions.windows import group_starts
+    ent = tbl[entity_col]
+    if isinstance(ent, pa.ChunkedArray):
+        ent = ent.combine_chunks()
+    codes = ent.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    return group_starts(codes)
+
+
+def skew_report(ds: Dataset, entity_col: str, top_k: int = 20):
+    """Row-count histogram per entity (small result, driver-side).
+
+    Used to pick ``num_buckets`` / decide salting before the as-of merge —
+    the measurement the reference never did (its equal-file-count shards
+    let a hot subject dominate one SLURM task, SURVEY §4).
+    """
+    counts = ds.groupby(entity_col).count()
+    pdf = counts.to_pandas().sort_values("count()", ascending=False)
+    total = int(pdf["count()"].sum())
+    top = pdf.head(top_k)
+    return {
+        "total_rows": total,
+        "num_entities": len(pdf),
+        "top_share": float(top["count()"].iloc[0]) / max(total, 1) if len(top) else 0.0,
+        "top": list(zip(top[entity_col].tolist(), top["count()"].tolist())),
+    }
+
+
+def salt_column(ds: Dataset, entity_col: str, hot_keys: set, salt_factor: int,
+                out_col: str = "__salted") -> Dataset:
+    """Append ``entity#k`` salted key for hot entities (round-robin k by a
+    row-content hash), identity for others.
+
+    Use ONLY under order-insensitive stages (partial stats, as-of right-side
+    replication); never under sessionize/lag (SURVEY §7 watch-list 3).
+    """
+    hot = sorted(hot_keys)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        ent = batch[entity_col].to_pylist()
+        h = _stable_hash_strings(batch[entity_col])
+        rr = (np.arange(len(ent), dtype=np.uint64) + h) % np.uint64(max(salt_factor, 1))
+        out = [f"{e}#{int(r)}" if e in set(hot) else str(e)
+               for e, r in zip(ent, rr)]
+        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(add_salt, batch_format="pyarrow")

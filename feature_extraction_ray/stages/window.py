@@ -1,0 +1,186 @@
+"""Windowed Dataset operators: shift (lag/lead), fill, sessionize, sliding aggs.
+
+Each operator is expressed Ray-Data-first: a stateless vectorized
+``map_batches`` assigns ``hash(entity) % B`` buckets, one
+``groupby(bucket)`` shuffle co-locates each bucket, and the windowed kernel
+(``functions.windows`` — O(n) numpy on sorted runs) runs per bucket inside
+``map_groups`` over zero-copy Arrow tables. Payload gathers use
+``Array.take`` with null indices, so any column type — including
+``list<int32>`` token sequences — shifts/fills without conversion.
+
+Reference semantics reproduced (cites into ``/root/reference`` for parity,
+implementations original): silence lag
+``microsoft_asr_features/extract_timing_features.py:142-163``; duration
+propagation ``kaldi_asr_features/extract_timing_feats.py:95-114``; gap
+predicates ``timing_features/extract_word_phone_timing.py:40``; MATTR
+sliding window ``text_features/extract_lexical_diversity.py:10-52``.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..functions import windows as W
+from .partition import BUCKET_COL, entity_group_starts, sort_table, with_bucket
+
+DEFAULT_NUM_BUCKETS = 64
+
+
+def bucketed_apply(ds: Dataset, entity_col: str,
+                   table_fn: Callable[[pa.Table], pa.Table],
+                   num_buckets: int = DEFAULT_NUM_BUCKETS,
+                   drop_bucket: bool = True, **map_groups_kwargs) -> Dataset:
+    """Shuffle primitive: bucket by entity hash, apply ``table_fn`` per bucket.
+
+    ``table_fn`` receives one whole bucket as an Arrow table (every entity
+    fully contained) and returns an Arrow table. This is the engine's only
+    all-to-all exchange; every windowed operator composes with it.
+    """
+    ds = with_bucket(ds, entity_col, num_buckets)
+    out = ds.groupby(BUCKET_COL).map_groups(
+        table_fn, batch_format="pyarrow", **map_groups_kwargs)
+    if drop_bucket:
+        out = out.drop_columns([BUCKET_COL])
+    return out
+
+
+def _sorted_with_starts(tbl: pa.Table, entity_col: str,
+                        order_cols: Sequence[str]):
+    tbl = sort_table(tbl, [entity_col, *order_cols])
+    return tbl, entity_group_starts(tbl, entity_col)
+
+
+def _take_with_nulls(col, src: np.ndarray, valid: np.ndarray):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    idx = pa.array(src.astype(np.int64), mask=~valid)
+    return col.take(idx)
+
+
+def shift(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+          value_cols: Sequence[str], periods: int = 1,
+          suffix: str | None = None,
+          num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Lag (``periods > 0``) or lead (``periods < 0``) within each entity.
+
+    Appends ``{col}{suffix}`` for each value column (default suffix
+    ``_lag{p}`` / ``_lead{p}``); rows with no source row in the same entity
+    get nulls. Works on any Arrow type, tokens included.
+    """
+    if periods == 0:
+        raise ValueError("periods must be nonzero")
+    sfx = suffix or (f"_lag{periods}" if periods > 0 else f"_lead{-periods}")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        if periods > 0:
+            src, valid = W.lag_indices(ng, periods)
+        else:
+            src, valid = W.lead_indices(ng, -periods)
+        for c in value_cols:
+            tbl = tbl.append_column(f"{c}{sfx}",
+                                    _take_with_nulls(tbl[c], src, valid))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def fill(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+         value_cols: Sequence[str], method: str = "ffill",
+         suffix: str | None = None,
+         num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Forward/backward-fill nulls within each entity (``method`` ∈
+    {"ffill", "bfill"}). Appends ``{col}{suffix}`` (default ``_{method}``)."""
+    if method not in ("ffill", "bfill"):
+        raise ValueError(f"unknown fill method {method!r}")
+    sfx = suffix or f"_{method}"
+    idx_fn = W.ffill_indices if method == "ffill" else W.bfill_indices
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        for c in value_cols:
+            isnull = pc.is_null(tbl[c]).to_numpy(zero_copy_only=False)
+            src, still_null = idx_fn(isnull, ng)
+            tbl = tbl.append_column(f"{c}{sfx}",
+                                    _take_with_nulls(tbl[c], src, ~still_null))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def _gap_to_units(gap, ts_type: pa.DataType):
+    if isinstance(gap, datetime.timedelta):
+        if pa.types.is_timestamp(ts_type):
+            unit = ts_type.unit
+            mult = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                    "ns": 1_000_000_000}[unit]
+            return int(gap.total_seconds() * mult)
+        raise TypeError("timedelta gap requires a timestamp ts column")
+    return gap
+
+
+def sessionize(ds: Dataset, entity_col: str, ts_col: str, gap,
+               order_cols: Sequence[str] = (),
+               out_col: str = "session_id",
+               num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Gap-based sessionization: 0-based ``session_id`` per entity, new
+    session whenever ``ts - prev_ts > gap`` (reference analog: silence
+    detection between word end/start, ``extract_timing_features.py:142-163``).
+
+    ``gap`` may be a ``datetime.timedelta`` (timestamp columns) or a number
+    in the column's own units. Extra ``order_cols`` break ts ties
+    deterministically.
+    """
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, [ts_col, *order_cols])
+        ts = tbl[ts_col]
+        gap_units = _gap_to_units(gap, ts.type)
+        if pa.types.is_timestamp(ts.type):
+            tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        else:
+            tsv = ts.to_numpy(zero_copy_only=False)
+        sid = W.sessionize(tsv, ng, gap_units)
+        return tbl.append_column(out_col, pa.array(sid, type=pa.int64()))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def sliding_agg(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                value_col: str, window: int,
+                aggs: Sequence[str] = ("mean",),
+                num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Trailing-row sliding aggregates (``mean``/``sum``/``count``) over the
+    last ``window`` rows per entity (MATTR-style window, generalised)."""
+    bad = set(aggs) - {"mean", "sum", "count"}
+    if bad:
+        raise ValueError(f"unsupported sliding aggs: {bad}")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        col = pc.cast(tbl[value_col], pa.float64())
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False)
+        sums, counts = W.sliding_sum_count(v, isnull, ng, window)
+        for a in aggs:
+            name = f"{value_col}_w{window}_{a}"
+            if a == "sum":
+                tbl = tbl.append_column(name, pa.array(sums))
+            elif a == "count":
+                tbl = tbl.append_column(name, pa.array(counts,
+                                                       type=pa.int64()))
+            else:
+                mean = np.divide(sums, counts,
+                                 out=np.full(len(sums), np.nan),
+                                 where=counts > 0)
+                tbl = tbl.append_column(
+                    name, pa.array(mean, mask=counts == 0))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
