@@ -1,0 +1,112 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Plain run prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and 32) on the same input and reports both throughputs plus
+scaling efficiency (sandbox evidence for the N vs 4N cluster criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "sessionize_events",
+    "asof_events_orders",
+    "asof_events_orders_broadcast",
+    "sliding_mean_events",
+    "session_stats_events",
+]
+
+
+def _consume(res) -> int:
+    """Materialize a result enough to count rows without holding it."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from feature_extraction_ray.pipelines.flagship import flagship
+    from feature_extraction_ray.pipelines.queries import QUERIES
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    flagship(SF_DIR).count()
+
+    t0 = time.perf_counter()
+    n_feature_rows = flagship(SF_DIR).count()
+    headline = time.perf_counter() - t0
+
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+
+    per_query = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    return {
+        "metric": "flagship feature-extraction pipeline wall time "
+                  "(asof join + sessionize + lag + sliding + "
+                  "per-session lexical features)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": NUM_CPUS,
+        "input_rows": n_docs,
+        "feature_rows": n_feature_rows,
+        "rows_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, "bench.py"], env=env,
+                             capture_output=True, text=True, check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tput_lo = lo["rows_per_sec"]
+    tput_hi = hi["rows_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, num_cpus 8 -> 32 (N vs 4N evidence)",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": tput_lo, "rows_per_sec_32": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

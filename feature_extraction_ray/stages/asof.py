@@ -54,7 +54,10 @@ def _normalize_keys(tbl: pa.Table, by: str, on: str,
     ent = tbl[by].cast(ent_type) if tbl[by].type != ent_type else tbl[by]
     ts = tbl[on]
     if pa.types.is_timestamp(ts.type):
-        ts = ts.cast(pa.int64())
+        # normalize to µs FIRST: the two sides may carry different units
+        # (e.g. an upstream engine emitting timestamp[s]) and a raw int64
+        # view would compare seconds against microseconds
+        ts = ts.cast(pa.timestamp("us")).cast(pa.int64())
     elif not pa.types.is_integer(ts.type):
         ts = ts.cast(pa.float64())
     tbl = tbl.append_column(_ENT, ent)
@@ -123,14 +126,23 @@ def asof_join(left: Dataset, right: Dataset, *,
               right_order_cols: Sequence[str] = (),
               broadcast: bool = False,
               num_buckets: int = DEFAULT_NUM_BUCKETS,
-              suffix: str = "_r") -> Dataset:
+              suffix: str = "_r",
+              post_fn=None) -> Dataset:
     """As-of join ``left`` with ``right`` on entity + event time.
 
     Output = all left rows + ``right_value_cols`` from the matched right row
     (null where no match). See module docstring for plan selection and
     leakage/tie semantics.
+
+    ``post_fn`` (partitioned plan only): an Arrow ``table -> table``
+    callable fused into the per-bucket merge task. The bucket it sees is
+    entity-complete, so windowed enrichment (sessionize, lag, sliding) and
+    even whole-group feature aggregation can run there without a second
+    shuffle.
     """
     if broadcast:
+        if post_fn is not None:
+            raise ValueError("post_fn requires the partitioned plan")
         return _asof_broadcast(left, right, left_by=left_by,
                                right_by=right_by, left_on=left_on,
                                right_on=right_on,
@@ -145,7 +157,8 @@ def asof_join(left: Dataset, right: Dataset, *,
                              direction=direction, tolerance=tolerance,
                              allow_exact_matches=allow_exact_matches,
                              right_order_cols=right_order_cols,
-                             num_buckets=num_buckets, suffix=suffix)
+                             num_buckets=num_buckets, suffix=suffix,
+                             post_fn=post_fn)
 
 
 def _prepare_right_table(right_tbl: pa.Table, right_by: str, right_on: str,
@@ -198,7 +211,7 @@ class _BroadcastAsof:
 def _asof_broadcast(left: Dataset, right: Dataset, *, left_by, right_by,
                     left_on, right_on, right_value_cols, direction,
                     tolerance, allow_exact_matches, right_order_cols,
-                    suffix, concurrency: int = 8) -> Dataset:
+                    suffix, concurrency=(1, 8)) -> Dataset:
     right_parts = [ray.get(r) for r in right.to_arrow_refs()]
     if right_parts:
         right_tbl = pa.concat_tables(
@@ -225,7 +238,7 @@ def _asof_broadcast(left: Dataset, right: Dataset, *, left_by, right_by,
 def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
                       left_on, right_on, right_value_cols, direction,
                       tolerance, allow_exact_matches, right_order_cols,
-                      num_buckets, suffix) -> Dataset:
+                      num_buckets, suffix, post_fn=None) -> Dataset:
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     ent_type = _common_entity_type(lschema.field(left_by).type,
@@ -282,6 +295,8 @@ def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
                 direction, tolerance, allow_exact_matches)
         keep = ltbl.select(left_names)
         out = _gather_right(keep, rpayload, right_value_cols, rpos, suffix)
+        if post_fn is not None:
+            out = post_fn(out)
         return out
 
     out = bucketed_apply(unioned, _ENT, merge_bucket,

@@ -1,0 +1,101 @@
+"""Relational building blocks: broadcast hash join, semi/anti join filters.
+
+Reference parity (cites only; fresh implementation):
+
+* broadcast projection join — metadata dict mapped onto segments,
+  ``microsoft_asr_features/group_audio_files.py:42-50`` (J1/J2).
+* semi-join filter — ``df[df.audio_file_id.isin(call_ids)]``,
+  ``group_audio_files.py:42-44`` (M13).
+
+Plan: the small side is materialized once on the driver, ``ray.put`` once,
+and every map task does a vectorized hash lookup per batch — no shuffle.
+For large–large equi-joins use ``Dataset.join`` (hash shuffle) or the
+bucketed pattern in ``stages/partition.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+
+def _small_side_table(ds: Dataset) -> pa.Table:
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if len(p)] or parts[:1]
+    if not parts:
+        return pa.table({}, schema=ds.schema().base_schema)
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def broadcast_join(left: Dataset, right: Dataset, *, left_key: str,
+                   right_key: str, right_value_cols: Sequence[str],
+                   how: str = "inner", suffix: str = "_r") -> Dataset:
+    """Map-side hash join: ship the small ``right`` once via ``ray.put``,
+    look it up per batch with a pandas indexed take (vectorized).
+
+    ``how`` ∈ {"inner", "left"}. Duplicate right keys keep the LAST
+    occurrence (projection-join semantics, like ``Series.map`` of a dict —
+    ``group_audio_files.py:49-50``).
+    """
+    right_tbl = _small_side_table(right).select(
+        list(dict.fromkeys([right_key, *right_value_cols])))
+    rdf = right_tbl.to_pandas().drop_duplicates(right_key, keep="last")
+    rdf = rdf.set_index(right_key)
+    ref = ray.put(rdf)
+
+    class Joiner:
+        def __init__(self):
+            self.rdf: pd.DataFrame = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[left_key].to_numpy(zero_copy_only=False)
+            idx = self.rdf.index.get_indexer(keys)
+            found = idx >= 0
+            if how == "inner":
+                if not found.all():
+                    batch = batch.filter(pa.array(found))
+                    idx = idx[found]
+                found = None  # every remaining row matched
+            for c in right_value_cols:
+                vals = self.rdf[c].to_numpy()[np.clip(idx, 0, None)]
+                arr = pa.array(vals, from_pandas=True)
+                if found is not None:
+                    arr = pc.if_else(pa.array(found), arr,
+                                     pa.nulls(len(arr), type=arr.type))
+                name = f"{c}{suffix}" if c in batch.column_names else c
+                batch = batch.append_column(name, arr)
+            return batch
+
+    return left.map_batches(Joiner, batch_format="pyarrow",
+                            concurrency=(1, 4))
+
+
+def semi_join(left: Dataset, right: Dataset, *, left_key: str,
+              right_key: str, anti: bool = False) -> Dataset:
+    """Filter ``left`` to rows whose key is (not, if ``anti``) present in
+    ``right`` — broadcast key-set + vectorized ``pc.is_in`` per batch."""
+    keys = _small_side_table(right)[right_key]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    key_set = pc.unique(keys)
+    ref = ray.put(key_set)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[left_key], value_set=self.keys)
+            if anti:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+    return left.map_batches(Filter, batch_format="pyarrow",
+                            concurrency=(1, 4))
