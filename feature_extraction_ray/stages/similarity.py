@@ -1,0 +1,225 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* :func:`knn_bruteforce` — exact cosine top-k: the query matrix is
+  L2-normalized once, ``ray.put`` once; every batch does one numpy matmul
+  and emits its local top-k per query; a tiny final per-query merge picks
+  the global top-k. Communication = k rows per (query, block), never the
+  corpus.
+* :func:`knn_lsh` — scale path: random-hyperplane signatures bucket the
+  corpus (one ``map_batches`` + ``groupby``); queries probe their own and
+  neighboring buckets (multi-probe by flipping the lowest-margin bits).
+  Approximate; recall measured against brute force in tests.
+* :func:`embedding_dedup` — near-dup by cosine ≥ threshold via the same
+  hyperplane buckets + verified pairwise cosine + connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .dedup import _connected_components
+
+
+def _norm_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.clip(n, 1e-12, None)
+
+
+def _batch_matrix(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    col = tbl[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if isinstance(col, (pa.FixedSizeListArray,)) or pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dim = int(lens[0]) if len(lens) else 0
+    return flat.reshape(len(col), dim).astype(np.float32)
+
+
+class _TopKPartial:
+    """Actor: holds the normalized query matrix; per batch emits its local
+    top-k (query_id, vec_id, score) rows."""
+
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+        q = ray.get(queries_ref) if isinstance(
+            queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _norm_rows(np.asarray(q, dtype=np.float32))
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = self.q @ m.T                      # (n_queries, n_batch)
+        k = min(self.k, scores.shape[1])
+        if k == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        nq = scores.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        vid = ids[part.reshape(-1)]
+        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
+        return pa.table({"query_id": pa.array(qid),
+                         "vec_id": pa.array(vid.astype(np.int64)),
+                         "score": pa.array(sc.astype(np.float64))})
+
+
+def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   concurrency=(1, 8)) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. Returns (query_id, vec_id,
+    score, rank) sorted by (query_id, rank); ties broken by vec_id so the
+    result is deterministic."""
+    ref = ray.put(np.asarray(query_vecs, dtype=np.float32))
+    partials = ds.map_batches(
+        _TopKPartial, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
+                                   id_col=id_col),
+        concurrency=concurrency)
+    pdf = partials.to_pandas()   # ≤ k × n_blocks × n_queries rows — small
+    pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+    out = pdf.groupby("query_id", group_keys=False).head(k).reset_index(
+        drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float32)
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    proj = m @ planes.T
+    bits = (proj > 0).astype(np.uint64)
+    return (bits << np.arange(planes.shape[0], dtype=np.uint64)).sum(axis=1)
+
+
+def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            bits: int = 8, probes: int = 8, seed: int = 11) -> pd.DataFrame:
+    """Approximate top-k: hyperplane-bucket the corpus, probe each query's
+    bucket plus the ``probes-1`` buckets reached by flipping its
+    lowest-|margin| bits, brute-force within the probed set."""
+    q = _norm_rows(np.asarray(query_vecs, dtype=np.float32))
+    planes = _hyperplanes(q.shape[1], bits, seed)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        b = _bucket_of(m, planes)
+        return pa.table({
+            id_col: tbl[id_col],
+            vec_col: tbl[vec_col],
+            "__bucket_lsh": pa.array(b.astype(np.int64)),
+        })
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+
+    # multi-probe set per query: own bucket + buckets reached by flipping
+    # subsets of the lowest-|margin| bits, ordered by total flipped margin
+    from itertools import combinations
+    proj = q @ planes.T
+    base = (proj > 0).astype(np.uint64)
+    base_id = (base << np.arange(bits, dtype=np.uint64)).sum(axis=1)
+    order = np.argsort(np.abs(proj), axis=1)
+    probe_sets = []
+    m = min(bits, 8)  # consider subsets of the 8 lowest-margin bits
+    for qi in range(len(q)):
+        margins = np.abs(proj[qi])
+        cands = []
+        for r in (1, 2, 3):
+            for combo in combinations(order[qi, :m].tolist(), r):
+                cands.append((sum(margins[list(combo)]), combo))
+        cands.sort(key=lambda t: t[0])
+        buckets = {int(base_id[qi])}
+        for _, combo in cands:
+            if len(buckets) >= probes:
+                break
+            mask = 0
+            for bit in combo:
+                mask |= 1 << int(bit)
+            buckets.add(int(base_id[qi]) ^ mask)
+        probe_sets.append(buckets)
+    wanted = sorted(set().union(*probe_sets)) if probe_sets else []
+
+    wanted_arr = pa.array(wanted, type=pa.int64())
+    sub = bucketed.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["__bucket_lsh"],
+                                            value_set=wanted_arr)),
+        batch_format="pyarrow")
+    cand = sub.to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                             "rank": []})
+    mat = _norm_rows(np.stack(
+        [np.asarray(v, dtype=np.float32) for v in cand[vec_col]]))
+    ids = cand[id_col].to_numpy()
+    bks = cand["__bucket_lsh"].to_numpy()
+    frames = []
+    for qi in range(len(q)):
+        mask = np.isin(bks, list(probe_sets[qi]))
+        if not mask.any():
+            continue
+        sc = mat[mask] @ q[qi]
+        sel_ids = ids[mask]
+        kk = min(k, len(sc))
+        top = np.argsort(-sc, kind="stable")[:kk]
+        frames.append(pd.DataFrame({
+            "query_id": qi, "vec_id": sel_ids[top].astype(np.int64),
+            "score": sc[top].astype(np.float64),
+            "rank": np.arange(kk, dtype=np.int64)}))
+    return (pd.concat(frames).reset_index(drop=True) if frames
+            else pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                               "rank": []}))
+
+
+def embedding_dedup(ds: Dataset, threshold: float = 0.95,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    bits: int = 6, seed: int = 11) -> pd.DataFrame:
+    """Near-dup by embedding cosine: hyperplane buckets → in-bucket pairwise
+    cosine ≥ threshold → connected components (cluster = min id)."""
+    first = ds.take(1)
+    dim = len(first[0][vec_col]) if first else 0
+    planes = _hyperplanes(dim, bits, seed)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        b = _bucket_of(m, planes)
+        return pa.table({
+            id_col: tbl[id_col], vec_col: tbl[vec_col],
+            "__bucket_lsh": pa.array(b.astype(np.int64)),
+        })
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        m = _norm_rows(np.stack(
+            [np.asarray(v, dtype=np.float32) for v in g[vec_col]]))
+        ids = g[id_col].to_numpy()
+        sims = m @ m.T
+        i, j = np.triu_indices(len(ids), k=1)
+        keep = sims[i, j] >= threshold
+        return pd.DataFrame({"a": ids[i[keep]], "b": ids[j[keep]]})
+
+    bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    pairs = bucketed.groupby("__bucket_lsh").map_groups(
+        pairs_of_bucket, batch_format="pandas").to_pandas()
+    pairs = pairs.astype({"a": "int64", "b": "int64"}) if len(pairs) else pairs
+    comp = _connected_components(pairs) if len(pairs) else {}
+    all_ids = np.sort(ds.select_columns([id_col]).to_pandas()[
+        id_col].to_numpy())
+    cluster = np.array([comp.get(i, i) for i in all_ids]) \
+        if len(all_ids) else all_ids
+    return pd.DataFrame({id_col: all_ids, "cluster_id": cluster,
+                         "is_duplicate": cluster != all_ids})

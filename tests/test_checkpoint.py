@@ -1,0 +1,105 @@
+"""Resume tests: kill after k partitions, resume, byte-compare final
+output and manifest digests (SURVEY §5 item 4)."""
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray import fixtures as FX
+from feature_extraction_ray.state import checkpoint as CP
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "ckpt")
+
+
+def _input_ds():
+    return rd.from_arrow(FX.gen_tokens(n_rows=300, n_entities=8, seed=31))
+
+
+def _make_process():
+    # closure (pickled by value) — a test-module function would be pickled
+    # by reference and fail to import inside Ray workers
+    def process(tbl):
+        import pyarrow.compute as pc
+        return tbl.append_column("n_tok_x2", pc.multiply(tbl["n_tok"], 2))
+    return process
+
+
+_process = _make_process()
+
+
+def test_full_run_then_resume_is_noop(out_dir):
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=6, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert stats["rows"] == 300
+    written = stats["written"]
+    assert CP.missing_partitions(out_dir, "fp1", 6) == \
+        [b for b in range(6) if b not in written]
+    # buckets with zero rows never produce files; rerun writes nothing new
+    stats2 = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                                num_buckets=6, input_fingerprint="fp1",
+                                process_fn=_process)
+    assert stats2["rows"] == 0 or set(stats2["written"]).isdisjoint(written)
+
+
+def test_partial_run_resume_completes_identically(out_dir, tmp_path):
+    # full reference run
+    ref_dir = str(tmp_path / "ref")
+    CP.run_partitioned(_input_ds(), ref_dir, entity_col="entity",
+                       num_buckets=6, input_fingerprint="fp1",
+                       process_fn=_process)
+    ref = CP.read_result(ref_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+
+    # simulate a crash: run fully, then delete 3 partitions' outputs
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=6, input_fingerprint="fp1",
+                       process_fn=_process)
+    for pid in [0, 2, 4]:
+        for suffix in (".parquet", CP.MANIFEST_SUFFIX):
+            p = os.path.join(out_dir, f"part-{pid:05d}{suffix}")
+            if os.path.exists(p):
+                os.remove(p)
+    missing_before = set(CP.missing_partitions(out_dir, "fp1", 6))
+    assert {0, 2, 4} <= missing_before
+
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=6, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert set(stats["written"]) <= missing_before
+    got = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    assert got.equals(ref)      # byte-identical Arrow content
+
+
+def test_corrupt_partition_detected_and_rewritten(out_dir):
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=4, input_fingerprint="fp1",
+                       process_fn=_process)
+    # corrupt one data file (truncate) but keep its manifest
+    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    victim = os.path.join(out_dir, parts[0])
+    with open(victim, "r+b") as f:
+        f.truncate(10)
+    pid = int(parts[0].split("-")[1].split(".")[0])
+    assert pid in CP.missing_partitions(out_dir, "fp1", 4)
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=4, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert pid in stats["written"]
+    assert pid not in CP.missing_partitions(out_dir, "fp1", 4)
+
+
+def test_fingerprint_change_invalidates(out_dir):
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=4, input_fingerprint="fp1",
+                       process_fn=_process)
+    assert len(CP.missing_partitions(out_dir, "fp2", 4)) == 4

@@ -1,0 +1,142 @@
+"""Dedup + similarity tests: planted near-dups must cluster; unrelated
+docs must survive; brute-force knn must match a numpy oracle; LSH recall
+measured against brute force."""
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from feature_extraction_ray.stages import dedup as DD
+from feature_extraction_ray.stages import similarity as SIM
+
+
+def _docs_with_dups(n=60, seed=5):
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    texts, ids = [], []
+    for i in range(n):
+        words = rng.choice(vocab, size=60).tolist()
+        texts.append(" ".join(words))
+        ids.append(i)
+    # plant near-dups: copies of doc 0/1/2 with 2 words changed
+    for j, src in enumerate([0, 1, 2]):
+        words = texts[src].split()
+        words[5] = "CHANGED"
+        words[30] = f"ALT{j}"
+        texts.append(" ".join(words))
+        ids.append(n + j)
+    # and one exact duplicate of doc 3
+    texts.append(texts[3])
+    ids.append(n + 3)
+    return pd.DataFrame({"doc_id": ids, "text": texts})
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return _docs_with_dups()
+
+
+def test_exact_dedup(docs):
+    ds = rd.from_pandas(docs)
+    out = DD.exact_dedup(ds).to_pandas()
+    assert len(out) == len(docs) - 1          # one exact dup removed
+    dup_row = out[out["n_dups"] > 1]
+    assert len(dup_row) == 1 and dup_row.iloc[0]["doc_id"] == 3
+    assert dup_row.iloc[0]["n_dups"] == 2
+
+
+def test_minhash_lsh_dedup_finds_planted(docs):
+    ds = rd.from_pandas(docs)
+    res = DD.minhash_lsh_dedup(ds, threshold=0.5, shingle_k=3)
+    n = 60
+    clustered = res.set_index("doc_id")["cluster_id"]
+    for j, src in enumerate([0, 1, 2]):
+        assert clustered[n + j] == src, f"near-dup {n+j} not clustered"
+    assert clustered[n + 3] == 3             # exact dup clusters too
+    # unrelated docs must NOT be merged
+    originals = res[res["doc_id"] < n]
+    assert (originals["cluster_id"] == originals["doc_id"]).all()
+
+
+def test_minhash_estimate_close_to_exact_jaccard(docs):
+    ds = rd.from_pandas(docs)
+    sig = DD.minhash_signatures(ds, shingle_k=3).materialize()
+    pairs = pd.DataFrame({"a": [0], "b": [60]})
+    est = DD.verify_pairs_by_signature(pairs, sig, threshold=0.0)
+    exact = DD.ngram_jaccard(docs.iloc[0]["text"], docs.iloc[60]["text"], 3)
+    assert abs(est["est_jaccard"].iloc[0] - exact) < 0.15
+
+
+def test_simhash_dedup_finds_planted(docs):
+    ds = rd.from_pandas(docs)
+    res = DD.simhash_dedup(ds, max_hamming=6)
+    clustered = res.set_index("doc_id")["cluster_id"]
+    assert clustered[63] == 3                # exact dup: hamming 0
+    # near dups have small edits → usually within 6 bits; require ≥2 of 3
+    hits = sum(clustered[60 + j] == s for j, s in enumerate([0, 1, 2]))
+    assert hits >= 2
+
+
+def _embeddings(n=200, dim=16, seed=9):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1).astype(np.float32)), dim),
+    })
+    return m, tbl
+
+
+def test_knn_bruteforce_matches_numpy():
+    m, tbl = _embeddings()
+    q = m[:3] + 0.01
+    got = SIM.knn_bruteforce(rd.from_arrow(tbl), q, k=5)
+    qs = q / np.linalg.norm(q, axis=1, keepdims=True)
+    ms = m / np.linalg.norm(m, axis=1, keepdims=True)
+    scores = qs.astype(np.float32) @ ms.astype(np.float32).T
+    for qi in range(3):
+        exp = np.argsort(-scores[qi], kind="stable")[:5]
+        sub = got[got["query_id"] == qi].sort_values("rank")
+        assert sub["vec_id"].tolist() == exp.tolist()
+
+
+def test_knn_lsh_recall_vs_bruteforce():
+    # clustered corpus (the regime ANN is for): 20 centers, 25 points each
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((20, 16)).astype(np.float32) * 3
+    pts = np.repeat(centers, 25, axis=0) + \
+        rng.standard_normal((500, 16)).astype(np.float32) * 0.3
+    ids = np.arange(len(pts), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float32)), 16)})
+    ds = rd.from_arrow(tbl)
+    q = pts[::100][:5]
+    exact = SIM.knn_bruteforce(ds, q, k=10)
+    approx = SIM.knn_lsh(ds, q, k=10, bits=6, probes=16)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_embedding_dedup_finds_planted():
+    m, _ = _embeddings(n=100)
+    # plant 3 near-identical copies of vector 0
+    m2 = np.vstack([m, m[0:1] * 1.001 + 1e-4, m[1:2] * 0.999])
+    ids = np.arange(len(m2), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m2.reshape(-1).astype(np.float32)), m2.shape[1]),
+    })
+    res = SIM.embedding_dedup(rd.from_arrow(tbl), threshold=0.999)
+    c = res.set_index("vec_id")["cluster_id"]
+    assert c[100] == 0 and c[101] == 1
+    assert not res[res["vec_id"] < 100]["is_duplicate"].any()
