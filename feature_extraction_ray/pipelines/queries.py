@@ -376,6 +376,289 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Text / token analytics over documents (training-data ops)
+# ---------------------------------------------------------------------------
+
+def doc_token_counts(sf_dir: str) -> Dataset:
+    """Whitespace token count per document (TokenCount stage, M-series)."""
+    from ..stages.text import TokenCount
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TokenCount, batch_format="pandas",
+                         concurrency=(1, 4))
+    return out.select_columns(["doc_id", "n_tok_ws"])
+
+
+DOC_TOKEN_COUNTS_SQL = """
+SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tok_ws
+FROM documents
+"""
+
+
+def verbosity_by_source(sf_dir: str) -> Dataset:
+    """Per-source word-count stats (G1 verbosity analog, SQL-checkable)."""
+    from ..stages.text import TokenCount
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    ds = ds.map_batches(TokenCount, batch_format="pandas",
+                        concurrency=(1, 4))
+    out = ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Mean("n_tok_ws", alias_name="wc_mean"),
+        Min("n_tok_ws", alias_name="wc_min"),
+        Max("n_tok_ws", alias_name="wc_max"))
+    out = _round(out, {"wc_mean": 4})
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        for c in ("wc_min", "wc_max"):
+            t = t.set_column(t.column_names.index(c),
+                             pa.field(c, pa.int64()),
+                             pc.cast(t[c], pa.int64()))
+        return t
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+VERBOSITY_BY_SOURCE_SQL = """
+SELECT source, count(*) AS n_docs,
+       round(avg(len(str_split(text, ' '))), 4) AS wc_mean,
+       CAST(min(len(str_split(text, ' '))) AS BIGINT) AS wc_min,
+       CAST(max(len(str_split(text, ' '))) AS BIGINT) AS wc_max
+FROM documents GROUP BY source
+"""
+
+
+def exact_dedup_docs(sf_dir: str) -> Dataset:
+    """Exact dedup: min doc_id + multiplicity per distinct text (D-series)."""
+    from ..stages.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+EXACT_DEDUP_DOCS_SQL = """
+SELECT text, min(doc_id) AS doc_id, count(*) AS n_dups
+FROM documents GROUP BY text
+"""
+
+
+def hapax_by_source(sf_dir: str) -> Dataset:
+    """Per-source vocabulary/hapax totals via PARTIAL AGGREGATION: per-batch
+    (source, word) counts, one shuffle on the pre-aggregated pairs, then a
+    per-source rollup (G4/G16 analog; the at-scale groupby pattern)."""
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        src = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        rows_s, rows_w = [], []
+        for s, txt in zip(src, texts):
+            ws = txt.split(" ")
+            rows_s.extend([s] * len(ws))
+            rows_w.extend(ws)
+        df = pd.DataFrame({"source": rows_s, "word": rows_w})
+        out = df.groupby(["source", "word"], sort=False).size().reset_index(
+            name="cnt")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = ds.map_batches(partial_counts, batch_format="pyarrow")
+    word_counts = pairs.groupby(["source", "word"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+
+    def mark_hapax(t: pa.Table) -> pa.Table:
+        hap = pc.cast(pc.equal(t["cnt"], pa.scalar(1)), pa.int64())
+        return t.append_column("is_hapax", hap)
+
+    marked = word_counts.map_batches(mark_hapax, batch_format="pyarrow")
+    out = marked.groupby("source").aggregate(
+        Sum("cnt", alias_name="total_words"),
+        Count(alias_name="vocab_size"),
+        Sum("is_hapax", alias_name="hapax_count"))
+
+    def fix_types(t: pa.Table) -> pa.Table:
+        for c in ("total_words", "hapax_count"):
+            t = t.set_column(t.column_names.index(c),
+                             pa.field(c, pa.int64()),
+                             pc.cast(t[c], pa.int64()))
+        return t
+    return out.map_batches(fix_types, batch_format="pyarrow")
+
+
+HAPAX_BY_SOURCE_SQL = """
+WITH w AS (SELECT source, unnest(str_split(text, ' ')) AS word
+           FROM documents),
+c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word)
+SELECT source, CAST(sum(cnt) AS BIGINT) AS total_words,
+       count(*) AS vocab_size,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_count
+FROM c GROUP BY source
+"""
+
+
+def vocab_filter(sf_dir: str) -> Dataset:
+    """Vocabulary build + frequency filter (G16: ``corpora.Dictionary`` +
+    ``filter_extremes(no_below=5, no_above=0.6)`` analog,
+    ``archived/train_topic_model.py:96-106``)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_word_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        rows_i, rows_w = [], []
+        for i, txt in zip(ids, texts):
+            ws = txt.split(" ")
+            rows_i.extend([i] * len(ws))
+            rows_w.extend(ws)
+        df = pd.DataFrame({"doc_id": rows_i, "word": rows_w})
+        out = df.groupby(["doc_id", "word"], sort=False).size().reset_index(
+            name="occ")
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # one row per (doc, word) — exact because a document is one input row
+    pairs = ds.map_batches(doc_word_counts, batch_format="pyarrow")
+    stats = pairs.groupby("word").aggregate(
+        Count(alias_name="doc_freq"),
+        Sum("occ", alias_name="term_freq"))
+    import pyarrow.parquet as _pq
+    n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    hi = 0.6 * n_docs
+
+    def filt(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.column_names.index("term_freq"),
+                         pa.field("term_freq", pa.int64()),
+                         pc.cast(t["term_freq"], pa.int64()))
+        mask = pc.and_(pc.greater_equal(t["doc_freq"], pa.scalar(5)),
+                       pc.less_equal(t["doc_freq"], pa.scalar(hi)))
+        return t.filter(mask)
+
+    return stats.map_batches(filt, batch_format="pyarrow")
+
+
+VOCAB_FILTER_SQL = """
+WITH w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word
+           FROM documents),
+df AS (SELECT word, count(DISTINCT doc_id) AS doc_freq,
+              count(*) AS term_freq
+       FROM w GROUP BY word)
+SELECT word, doc_freq, term_freq FROM df
+WHERE doc_freq >= 5
+  AND doc_freq <= 0.6 * (SELECT count(*) FROM documents)
+"""
+
+
+def user_value_stats(sf_dir: str) -> Dataset:
+    """Per-user value stats incl. sample std (G9 confidence-stats analog)."""
+    from ray.data.aggregate import Std
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="v_min"),
+        Max("value", alias_name="v_max"),
+        Mean("value", alias_name="v_mean"),
+        Std("value", alias_name="v_std"))
+    return _round(out, {"v_mean": 6, "v_std": 6})
+
+
+USER_VALUE_STATS_SQL = """
+SELECT user_id, count(*) AS n, min(value) AS v_min, max(value) AS v_max,
+       round(avg(value), 6) AS v_mean, round(stddev_samp(value), 6) AS v_std
+FROM events GROUP BY user_id
+"""
+
+
+def knn_embeddings(sf_dir: str):
+    """Exact cosine top-10 for the first 5 embedding rows as queries
+    (brute-force baseline of the ANN stack; float64 for oracle parity)."""
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import knn_bruteforce
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = np.array(tbl.slice(0, 5)["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_bruteforce(ds, q, k=10, dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+KNN_EMBEDDINGS_SQL = """
+WITH q AS (SELECT vec_id AS query_id,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5)
+SELECT query_id, vec_id,
+       round(list_cosine_similarity(qe, CAST(embedding AS DOUBLE[])), 6)
+           AS score,
+       CAST(row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY list_cosine_similarity(qe, CAST(embedding AS DOUBLE[]))
+                     DESC, vec_id) - 1 AS BIGINT) AS rank
+FROM q CROSS JOIN embeddings
+QUALIFY rank < 10
+"""
+
+
+# rows-only entries (non-SQL-expressible; golden-tested in pytest instead)
+
+def minhash_dedup_docs(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(ds, threshold=0.7)
+
+
+def simhash_docs(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def embedding_dedup_docs(sf_dir: str):
+    from ..stages.similarity import embedding_dedup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup(ds, threshold=0.99)
+
+
+def knn_embeddings_lsh(sf_dir: str):
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import knn_lsh
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    q = np.array(tbl.slice(0, 5)["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_lsh(ds, q, k=10, bits=8, probes=16)
+
+
+def text_analysis_docs(sf_dir: str) -> Dataset:
+    from ..stages.text import analyze_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return analyze_text(ds)
+
+
+def flagship_session_features(sf_dir: str) -> Dataset:
+    from .flagship import flagship
+    return flagship(sf_dir)
+
+
+def reference_feature_packs(sf_dir: str) -> Dataset:
+    """Reference feature registry (verbosity + lexical diversity + speech
+    graph) per (source, session) over the derived tokens table."""
+    from ..fixtures import tokens_from_documents
+    from ..stages.features import extract_group_features
+    toks = tokens_from_documents(sf_dir)
+    return extract_group_features(
+        toks, entity_col="source", ts_col="ts",
+        session_gap=datetime.timedelta(hours=1),
+        order_cols=["doc_id"], num_buckets=16)
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media table → stub feature vectors
+    (deterministic fake decode; see stages/multimodal.py)."""
+    import ray.data as _rd
+    from ..stages.multimodal import extract_media_features, synth_media_table
+    ds = _rd.from_arrow(synth_media_table(64))
+    return extract_media_features(ds)
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value_orders": filter_high_value_orders,
@@ -391,6 +674,21 @@ QUERIES = {
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "session_stats_events": session_stats_events,
+    "doc_token_counts": doc_token_counts,
+    "verbosity_by_source": verbosity_by_source,
+    "exact_dedup_docs": exact_dedup_docs,
+    "hapax_by_source": hapax_by_source,
+    "vocab_filter": vocab_filter,
+    "user_value_stats": user_value_stats,
+    "knn_embeddings": knn_embeddings,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_docs": simhash_docs,
+    "embedding_dedup_docs": embedding_dedup_docs,
+    "knn_embeddings_lsh": knn_embeddings_lsh,
+    "text_analysis_docs": text_analysis_docs,
+    "flagship_session_features": flagship_session_features,
+    "reference_feature_packs": reference_feature_packs,
+    "media_features": media_features,
 }
 
 ORACLE_SQL = {
@@ -408,4 +706,13 @@ ORACLE_SQL = {
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "session_stats_events": SESSION_STATS_SQL,
+    "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
+    "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,
+    "exact_dedup_docs": EXACT_DEDUP_DOCS_SQL,
+    "hapax_by_source": HAPAX_BY_SOURCE_SQL,
+    "vocab_filter": VOCAB_FILTER_SQL,
+    "user_value_stats": USER_VALUE_STATS_SQL,
+    "knn_embeddings": KNN_EMBEDDINGS_SQL,
+    # minhash/simhash/embedding dedup, LSH knn, text analysis, flagship:
+    # non-SQL-expressible → rows-only driver check + pytest goldens
 }

@@ -1,0 +1,128 @@
+"""Per-group feature extraction stages (the reference's feature registry).
+
+The reference dispatches feature sets by name over per-group ordered
+segments (``FEATURE_FUNCTION_DICT``,
+``archived/extract_transcript_feats.py:16-20``; ``--feature_list``,
+``microsoft_asr_features/extract_text_features.py:89-109``). Here that
+surface is :data:`FEATURE_REGISTRY`: name → ``fn(segments) -> dict`` where
+``segments`` is the group's ordered list of token arrays. Each feature fn
+is pure; the engine applies the selected set per (entity, session) group
+inside one bucketed pass.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Callable, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions import tokenstats as TS
+from ..functions import windows as W
+from ..functions.graph import graph_metrics
+from .partition import entity_group_starts, sort_table
+from .window import bucketed_apply, DEFAULT_NUM_BUCKETS
+
+
+def verbosity_features(segments) -> dict:
+    """G1 verbosity stats over per-segment token counts
+    (``extract_verbosity_stats.py:10-36`` semantics on token segments)."""
+    counts = np.array([len(s) for s in segments], dtype=np.float64)
+    if len(counts) == 0:
+        nan = float("nan")
+        return {"wc_mean": nan, "wc_median": nan, "wc_stdev": nan,
+                "wc_min": nan, "wc_max": nan, "total_count": 0.0}
+    return {
+        "wc_mean": float(counts.mean()),
+        "wc_median": float(np.median(counts)),
+        "wc_stdev": float(counts.std(ddof=1)) if len(counts) > 1
+        else float("nan"),
+        "wc_min": float(counts.min()),
+        "wc_max": float(counts.max()),
+        "total_count": float(counts.sum()),
+    }
+
+
+def lexical_diversity_features(segments) -> dict:
+    """G3/G4: MATTR (windows 10/25/50) + Honoré over the joined stream
+    (``extract_lexical_diversity.py:72-84`` semantics)."""
+    stream = np.concatenate([np.asarray(s) for s in segments]) \
+        if segments else np.zeros(0, np.int64)
+    feats = {}
+    for w in (10, 25, 50):
+        feats[f"MATTR_{w}"] = W.mattr(stream, w)
+    n = len(stream)
+    if n == 0:
+        feats["HS"] = float("nan")
+        return feats
+    gid = np.zeros(n, dtype=np.int64)
+    vocab, hapax = TS.vocab_hapax(stream.astype(np.int64), gid, 1)
+    feats["HS"] = float(TS.honore(np.array([n]), vocab, hapax)[0])
+    return feats
+
+
+def graph_features(segments) -> dict:
+    """G7 speech-graph metric pack (naive graph over token segments)."""
+    return graph_metrics(segments)
+
+
+FEATURE_REGISTRY: dict[str, Callable] = {
+    "verbosity": verbosity_features,
+    "lexical_diversity": lexical_diversity_features,
+    "graph": graph_features,
+}
+
+
+def extract_group_features(ds: Dataset, *, entity_col: str, ts_col: str,
+                           tokens_col: str = "tokens",
+                           feature_sets: Sequence[str] = ("verbosity",
+                                                          "lexical_diversity",
+                                                          "graph"),
+                           session_gap: datetime.timedelta | None = None,
+                           order_cols: Sequence[str] = (),
+                           num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """One wide feature row per group.
+
+    Group = entity, or (entity, session) when ``session_gap`` is given.
+    Segments = the group's token arrays in ``(ts, order_cols)`` order —
+    exactly the reference's per-feature_id ordered segment lists (§3.1).
+    """
+    fns = [(name, FEATURE_REGISTRY[name]) for name in feature_sets]
+    gap_us = int(session_gap.total_seconds() * 1e6) if session_gap else None
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [entity_col, ts_col, *order_cols])
+        ng = entity_group_starts(tbl, entity_col)
+        n = len(tbl)
+        if n == 0:
+            return pa.table({entity_col: pa.array([], type=pa.string())})
+        if gap_us is not None:
+            tsv = tbl[ts_col].cast(pa.timestamp("us")).cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+            sid = W.sessionize(tsv, ng, gap_us)
+            new_grp = ng | np.r_[False, sid[1:] != sid[:-1]]
+        else:
+            sid = np.zeros(n, dtype=np.int64)
+            new_grp = ng
+        gid = np.cumsum(new_grp) - 1
+        offs = TS.group_offsets(gid)
+        toks = tbl[tokens_col]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ent = tbl[entity_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in range(len(offs) - 1):
+            lo, hi = int(offs[g]), int(offs[g + 1])
+            segs = [np.asarray(toks[i].values) for i in range(lo, hi)]
+            row = {entity_col: ent[lo], "session_id": int(sid[lo])}
+            for _, fn in fns:
+                row.update(fn(segs))
+            rows.append(row)
+        import pandas as pd
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return bucketed_apply(ds, entity_col, per_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)

@@ -47,16 +47,18 @@ class _TopKPartial:
     """Actor: holds the normalized query matrix; per batch emits its local
     top-k (query_id, vec_id, score) rows."""
 
-    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str):
+    def __init__(self, queries_ref, k: int, vec_col: str, id_col: str,
+                 dtype=np.float32):
         q = ray.get(queries_ref) if isinstance(
             queries_ref, ray.ObjectRef) else queries_ref
-        self.q = _norm_rows(np.asarray(q, dtype=np.float32))
+        self.dtype = dtype
+        self.q = _norm_rows(np.asarray(q, dtype=dtype))
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _norm_rows(_batch_matrix(batch, self.vec_col))
+        m = _norm_rows(_batch_matrix(batch, self.vec_col).astype(self.dtype))
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         scores = self.q @ m.T                      # (n_queries, n_batch)
         k = min(self.k, scores.shape[1])
@@ -76,15 +78,16 @@ class _TopKPartial:
 
 def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   concurrency=(1, 8)) -> pd.DataFrame:
+                   concurrency=(1, 8), dtype=np.float32) -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns (query_id, vec_id,
     score, rank) sorted by (query_id, rank); ties broken by vec_id so the
-    result is deterministic."""
-    ref = ray.put(np.asarray(query_vecs, dtype=np.float32))
+    result is deterministic. ``dtype=np.float64`` for oracle-precision
+    scores (float32 matmul is ~2x faster and the default)."""
+    ref = ray.put(np.asarray(query_vecs, dtype=dtype))
     partials = ds.map_batches(
         _TopKPartial, batch_format="pyarrow",
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
-                                   id_col=id_col),
+                                   id_col=id_col, dtype=dtype),
         concurrency=concurrency)
     pdf = partials.to_pandas()   # ≤ k × n_blocks × n_queries rows — small
     pdf = pdf.sort_values(["query_id", "score", "vec_id"],

@@ -157,23 +157,39 @@ def hash_word(w: str) -> int:
     return h
 
 
+class TextAnalyzer:
+    """Fused single-pass analyzer: langid + quality + token counts +
+    fingerprint in ONE actor pool. Chaining four separate pools starves
+    small clusters (each pool reserves ≥1 CPU) and re-parses the text four
+    times; state for all four analyses loads once here."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langid = LangId(text_col)
+        self.quality = QualityScore(text_col)
+        self.tokens = TokenCount(text_col)
+        self.fp = Fingerprint(text_col)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = self.langid(batch)
+        batch = self.quality(batch)
+        batch = self.tokens(batch)
+        texts = batch[self.text_col].tolist()
+        out = np.empty(len(texts), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                h = np.uint64(14695981039346656037)
+                for w in t.split():
+                    h = h * FP_BASE + np.uint64(hash_word(w))
+                out[i] = h
+        batch["fingerprint"] = out.astype(np.int64)
+        return batch
+
+
 def analyze_text(ds: Dataset, text_col: str = "text",
                  concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
-    """Full text-analysis pass: langid + quality + token counts +
-    fingerprint, as chained actor-pool stages."""
-    ds = ds.map_batches(LangId, fn_constructor_kwargs={"text_col": text_col},
-                        batch_format="pandas", batch_size=batch_size,
-                        concurrency=concurrency)
-    ds = ds.map_batches(QualityScore,
-                        fn_constructor_kwargs={"text_col": text_col},
-                        batch_format="pandas", batch_size=batch_size,
-                        concurrency=concurrency)
-    ds = ds.map_batches(TokenCount,
-                        fn_constructor_kwargs={"text_col": text_col},
-                        batch_format="pandas", batch_size=batch_size,
-                        concurrency=concurrency)
-    ds = ds.map_batches(Fingerprint,
-                        fn_constructor_kwargs={"text_col": text_col},
-                        batch_format="pyarrow", batch_size=batch_size,
-                        concurrency=concurrency)
-    return ds
+    """Full text-analysis pass (one fused actor pool, one text parse)."""
+    return ds.map_batches(TextAnalyzer,
+                          fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pandas", batch_size=batch_size,
+                          concurrency=concurrency)
