@@ -120,24 +120,86 @@ def gen_feature_updates(tokens: pa.Table, seed: int = 43,
     })
 
 
+def gen_recognizer(n_calls: int = 6, segs_per_call: int = 8,
+                   seed: int = 44) -> pa.Table:
+    """F3 recognizer fixture: Microsoft-ASR-shaped segment table with
+    nested word timings in 100 ns units (parsed list<struct> + the
+    reference's stringified CSV form for parser tests).
+
+    Includes zero-length silences (dropped per
+    ``extract_timing_features.py:163``) and boundary silences."""
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("audio_file_id", "segment_number", "text",
+                            "text_basic", "confidence", "duration",
+                            "offset", "word_timing_str")}
+    wt_words, wt_offsets, wt_durations, wt_lengths = [], [], [], []
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "Theta"]
+    for c in range(n_calls):
+        cursor = int(rng.integers(0, 10_000_000))
+        for s in range(segs_per_call):
+            k = int(rng.integers(1, 9))
+            words = rng.choice(vocab, size=k).tolist()
+            seg_offset = cursor
+            w_off, w_dur = [], []
+            pos = seg_offset + int(rng.integers(0, 3_000_000))
+            for i in range(k):
+                dur = int(rng.integers(1_000_000, 8_000_000))
+                w_off.append(pos)
+                w_dur.append(dur)
+                gap = int(rng.choice([0, 0, 1_000_000, 4_000_000]))
+                pos += dur + gap
+            seg_end = pos + int(rng.choice([0, 2_000_000]))
+            duration = seg_end - seg_offset
+            cursor = seg_end + int(rng.integers(1_000_000, 20_000_000))
+            rows["audio_file_id"].append(f"call{c:03d}")
+            rows["segment_number"].append(s)
+            txt = " ".join(words)
+            rows["text"].append(txt + ".")
+            rows["text_basic"].append(txt.lower())
+            rows["confidence"].append(float(rng.uniform(0.3, 1.0)))
+            rows["duration"].append(duration)
+            rows["offset"].append(seg_offset)
+            rows["word_timing_str"].append(str([
+                {"Word": w, "Offset": o, "Duration": d}
+                for w, o, d in zip(words, w_off, w_dur)]))
+            wt_words.extend(words)
+            wt_offsets.extend(w_off)
+            wt_durations.extend(w_dur)
+            wt_lengths.append(k)
+    offsets = np.zeros(len(wt_lengths) + 1, dtype=np.int32)
+    np.cumsum(wt_lengths, out=offsets[1:])
+    wt = pa.ListArray.from_arrays(
+        pa.array(offsets),
+        pa.StructArray.from_arrays(
+            [pa.array(wt_words, type=pa.string()),
+             pa.array(wt_offsets, type=pa.int64()),
+             pa.array(wt_durations, type=pa.int64())],
+            names=["Word", "Offset", "Duration"]))
+    return pa.table({
+        "audio_file_id": pa.array(rows["audio_file_id"]),
+        "segment_number": pa.array(rows["segment_number"],
+                                   type=pa.int32()),
+        "text": pa.array(rows["text"]),
+        "text_basic": pa.array(rows["text_basic"]),
+        "confidence": pa.array(rows["confidence"], type=pa.float64()),
+        "duration": pa.array(rows["duration"], type=pa.int64()),
+        "offset": pa.array(rows["offset"], type=pa.int64()),
+        "word_timing": wt,
+        "word_timing_str": pa.array(rows["word_timing_str"]),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Derivation from driver testdata (documents.parquet) — streaming, Ray-side.
 # ---------------------------------------------------------------------------
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
-
-
-def _token_ids(words: list) -> np.ndarray:
-    """Stable FNV-1a of each word, mod VOCAB → int32 token ids."""
-    out = np.empty(len(words), dtype=np.int32)
-    with np.errstate(over="ignore"):
-        for i, w in enumerate(words):
-            h = _FNV_OFFSET
-            for b in w.encode("utf-8"):
-                h = (h ^ np.uint64(b)) * _FNV_PRIME
-            out[i] = np.int32(h % np.uint64(VOCAB))
-    return out
+def _token_ids_arrow(words: pa.Array) -> np.ndarray:
+    """Stable FNV-1a of each word (vectorized over the flat byte buffer),
+    mod VOCAB → int32 token ids."""
+    from .stages.partition import _stable_hash_strings
+    if len(words) == 0:
+        return np.zeros(0, dtype=np.int32)
+    return (_stable_hash_strings(words) % np.uint64(VOCAB)).astype(np.int32)
 
 
 def doc_ts(doc_ids: np.ndarray) -> np.ndarray:
@@ -153,14 +215,26 @@ def doc_ts(doc_ids: np.ndarray) -> np.ndarray:
 def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id:int64, text, source, …) → canonical tokens table.
 
-    Pure function of the row (no RNG); ``ts`` from :func:`doc_ts`.
-    """
+    Pure function of the row (no RNG); ``ts`` from :func:`doc_ts`. Fully
+    vectorized: Arrow whitespace split → flat word array → one vectorized
+    FNV pass over the byte buffer (no Python loop over words)."""
+    import pyarrow.compute as pc
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-    texts = batch["text"].to_pylist()
-    token_lists = [t.split() for t in texts]
-    lengths = np.array([len(t) for t in token_lists], dtype=np.int64)
-    flat_words = [w for toks in token_lists for w in toks]
-    flat = _token_ids(flat_words)
+    # trim first: Arrow split emits boundary empties, Python .split() not;
+    # after trimming the only empty token is the empty-document case
+    trimmed = pc.utf8_trim_whitespace(batch["text"])
+    words = pc.utf8_split_whitespace(trimmed)
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat_all = words.flatten()
+    keep = pc.not_equal(flat_all, pa.scalar(""))
+    flat_words = flat_all.filter(keep)
+    lengths = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    empty_doc = pc.equal(pc.utf8_length(trimmed), pa.scalar(0)).to_numpy(
+        zero_copy_only=False)
+    lengths = np.where(empty_doc, 0, lengths)
+    flat = _token_ids_arrow(flat_words)
     ts = doc_ts(doc_ids)
     return pa.table({
         "doc_id": pa.array([f"d{int(i):08d}" for i in doc_ids],
@@ -172,23 +246,73 @@ def tokenize_documents_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def tokens_from_documents(sf_dir: str):
+def tokens_from_documents(sf_dir: str, num_blocks: int = 32,
+                          repeat: int = 1):
     """Stream ``{sf_dir}/documents.parquet`` into the canonical tokens table
-    (lazy Ray Dataset; no materialization)."""
+    (lazy Ray Dataset; no materialization).
+
+    Ray auto-splits even a one-row-group parquet read into ~64 blocks
+    (``ReadParquet->SplitBlocks``), so downstream maps parallelize without
+    an explicit repartition — an extra all-to-all costs ~3.5 s of fixed
+    coordination per run regardless of CPU count (measured; see
+    BENCH notes in BASELINE.md).
+
+    ``repeat`` > 1 deterministically amplifies the corpus for benchmarks:
+    copy r of doc d gets ``doc_id' = d + r·N`` (N = a fixed stride above
+    the corpus size) AND ``source' = source#r`` — each replica is a fresh
+    set of entities, so entity-parallelism grows with the data exactly as
+    a real sharded corpus's would (R× rows, R× sources, zero RNG)."""
+    import pyarrow.parquet as _pq
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text", "source"])
+    if repeat > 1:
+        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        stride = 1 << (int(np.ceil(np.log2(max(n_docs, 2)))))
+
+        def amplify(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            parts = []
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            for r in range(repeat):
+                src = batch["source"] if r == 0 else \
+                    pc.binary_join_element_wise(
+                        batch["source"], pa.scalar(f"r{r}"), "#")
+                parts.append(pa.table({
+                    "doc_id": pa.array(ids + r * stride),
+                    "text": batch["text"],
+                    "source": src,
+                }))
+            return pa.concat_tables(parts)
+
+        ds = ds.map_batches(amplify, batch_format="pyarrow")
     return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
 
 
-def updates_from_documents(sf_dir: str, every: int = 5):
+def updates_from_documents(sf_dir: str, every: int = 5, repeat: int = 1):
     """Sparse right side for the flagship as-of join, derived from the same
     documents: ~1/``every`` of docs (picked by a multiplicative hash so the
     picks spread over ALL sources, not aliasing with the source round-robin)
-    emit one update at ``ts − 30 s`` with a deterministic attr payload."""
+    emit one update at ``ts − 30 s`` with a deterministic attr payload.
+    ``repeat`` mirrors :func:`tokens_from_documents`."""
+    import pyarrow.parquet as _pq
     import ray.data as rd
 
+    if repeat > 1:
+        n_docs = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        stride = 1 << (int(np.ceil(np.log2(max(n_docs, 2)))))
+
     def derive(batch: pa.Table) -> pa.Table:
+        base_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        if repeat > 1:
+            ids = np.concatenate([base_ids + r * stride
+                                  for r in range(repeat)])
+            base_src = np.asarray(batch["source"].to_pylist())
+            src = np.concatenate(
+                [base_src if r == 0 else
+                 np.char.add(base_src, f"#r{r}") for r in range(repeat)])
+            batch = pa.table({"doc_id": pa.array(ids),
+                              "source": pa.array(src, type=pa.string())})
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         h = (doc_ids.astype(np.uint64) * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
         h = h ^ (h >> np.uint64(16))

@@ -1,0 +1,189 @@
+"""Reference entry-point pipelines (SURVEY §3) rebuilt Ray-Data-first.
+
+Covers, over the F3/F6 fixture schemas:
+
+* :func:`text_features` — §3.1 ``extract_text_features.py``: recognizer
+  segments → per-group ordered word segments → verbosity + lexical
+  diversity + speech-graph packs, fused in ONE bucketed pass (the
+  reference runs 5 separate per-group loops).
+* :func:`confidence_features` — G9 ``extract_confidence_features.py:79-86``
+  / ``extract_asr_conf_feats.py:11-22``: conf_{max,mean,std,min,med}
+  (population std, np conventions).
+* :func:`kaldi_timing_features` — §3.3 ``extract_timing_feats.py``: the
+  phone-line state machine per segment + the full timing pack with
+  phones/pps (25 ms frames).
+* :func:`hypotheses_features` — G15 ``archived/
+  extract_transcript_feats.py:134-145``: per-hypothesis feature dicts
+  mean-reduced across the hypotheses axis.
+
+Grouping level (segment/call/day/week/subject) is a key-derivation
+function parameter, mirroring the reference's ``--level`` plug point
+(``extract_timing_feats.py:211-212``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..functions import tokenstats as TS
+from ..sources.parsers import kaldi_segment_times
+from ..stages.features import (FEATURE_REGISTRY, lexical_diversity_features,
+                               verbosity_features)
+from ..stages.partition import entity_group_starts, sort_table
+from ..stages.timing import timing_feature_pack, _stats
+from ..stages.window import bucketed_apply, DEFAULT_NUM_BUCKETS
+
+
+def _word_segments(texts: list[str]) -> list[np.ndarray]:
+    return [np.array(t.split(), dtype=object) if t else
+            np.zeros(0, dtype=object) for t in texts]
+
+
+def text_features(ds: Dataset, *, group_col: str = "audio_file_id",
+                  order_cols=("segment_number",),
+                  text_col: str = "text_basic",
+                  feature_sets=("verbosity", "lexical_diversity", "graph"),
+                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """One wide feature row per group over ordered word segments."""
+    fns = [(n, FEATURE_REGISTRY[n]) for n in feature_sets]
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, *order_cols])
+        ng = entity_group_starts(tbl, group_col)
+        gid = np.cumsum(ng) - 1 if len(tbl) else np.zeros(0, np.int64)
+        offs = TS.group_offsets(gid)
+        texts = tbl[text_col].to_pylist()
+        groups = tbl[group_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in range(len(offs) - 1):
+            lo, hi = int(offs[g]), int(offs[g + 1])
+            segs = _word_segments(texts[lo:hi])
+            row = {"id": groups[lo]}
+            for _, fn in fns:
+                row.update(fn(segs))
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return bucketed_apply(ds, group_col, per_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+def confidence_features(ds: Dataset, *, group_col: str = "audio_file_id",
+                        conf_col: str = "confidence",
+                        num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """G9 confidence stat pack per group (np.std = population)."""
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col])
+        ng = entity_group_starts(tbl, group_col)
+        gid = np.cumsum(ng) - 1 if len(tbl) else np.zeros(0, np.int64)
+        offs = TS.group_offsets(gid)
+        conf = tbl[conf_col].cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        groups = tbl[group_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in range(len(offs) - 1):
+            lo, hi = int(offs[g]), int(offs[g + 1])
+            v = conf[lo:hi]
+            rows.append({
+                "id": groups[lo],
+                "conf_max": float(v.max()),
+                "conf_mean": float(v.mean()),
+                "conf_std": float(v.std(ddof=0)),
+                "conf_min": float(v.min()),
+                "conf_med": float(np.median(v)),
+            })
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return bucketed_apply(ds, group_col, per_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+def kaldi_timing_features(ds: Dataset, *, group_col: str = "call_id",
+                          order_cols=("segment_start",),
+                          duration_lookup: dict | None = None,
+                          num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """§3.3: Kaldi phone-line state machine per segment, grouped timing
+    pack with phones/pps (``extract_timing_feats.py:147-202`` + G10/G11)."""
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, *order_cols])
+        ng = entity_group_starts(tbl, group_col)
+        gid = np.cumsum(ng) - 1 if len(tbl) else np.zeros(0, np.int64)
+        offs = TS.group_offsets(gid)
+        infos = tbl["timing_info"].to_pylist()
+        groups = tbl[group_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in range(len(offs) - 1):
+            lo, hi = int(offs[g]), int(offs[g + 1])
+            words, sils, phones, wps, pps = [], [], [], [], []
+            for ti in infos[lo:hi]:
+                w, s, p, wc, dur = kaldi_segment_times(ti)
+                words.extend(w)
+                sils.extend(s)
+                phones.extend(p)
+                if wc == 0:
+                    continue  # noise-only segment skipped (:196-197)
+                wps.append(wc / dur)
+                pps.append(len(p) / dur)
+            seg_durs = []
+            for ti in infos[lo:hi]:
+                _, _, _, wc, dur = kaldi_segment_times(ti)
+                if wc:
+                    seg_durs.append(dur)
+            row = {"id": groups[lo]}
+            total = None
+            if duration_lookup is not None:
+                total = duration_lookup.get(groups[lo], 0) * 1e-3
+            row.update(timing_feature_pack(
+                np.asarray(seg_durs), np.asarray(words, dtype=float),
+                np.asarray(sils, dtype=float), np.asarray(wps, dtype=float),
+                total))
+            row.update(_stats(np.asarray(phones, dtype=float), "phones"))
+            row.update(_stats(np.asarray(pps, dtype=float), "pps"))
+            spk = float(np.sum(seg_durs))
+            row["pps"] = len(phones) / spk if spk else float("nan")
+            row["phone_count"] = float(len(phones))
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return bucketed_apply(ds, group_col, per_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+def hypotheses_features(ds: Dataset, *, group_col: str = "call_id",
+                        hyp_col: str = "hypotheses",
+                        num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """G15: features per hypothesis (verbosity + lexical diversity over the
+    group's segments for each hypothesis index), mean-reduced across
+    hypotheses (``extract_transcript_feats.py:134-145``)."""
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, "segment_start"])
+        ng = entity_group_starts(tbl, group_col)
+        gid = np.cumsum(ng) - 1 if len(tbl) else np.zeros(0, np.int64)
+        offs = TS.group_offsets(gid)
+        hyps = tbl[hyp_col].to_pylist()
+        groups = tbl[group_col].to_numpy(zero_copy_only=False)
+        rows = []
+        for g in range(len(offs) - 1):
+            lo, hi = int(offs[g]), int(offs[g + 1])
+            n_hyp = max((len(h) for h in hyps[lo:hi]), default=0)
+            per_hyp = []
+            for k in range(n_hyp):
+                segs = [np.array(h[k], dtype=object)
+                        for h in hyps[lo:hi] if k < len(h)]
+                f = {}
+                f.update(verbosity_features(segs))
+                f.update(lexical_diversity_features(segs))
+                per_hyp.append(f)
+            row = {"id": groups[lo]}
+            if per_hyp:
+                for key in per_hyp[0]:
+                    row[key] = float(np.mean([h[key] for h in per_hyp]))
+            rows.append(row)
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    return bucketed_apply(ds, group_col, per_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)

@@ -147,15 +147,16 @@ def session_features_bucket(tbl: pa.Table, entity_col: str = "source",
 
 
 def flagship(sf_dir: str, num_buckets: int = 16,
-             features: bool = True) -> Dataset:
+             features: bool = True, repeat: int = 1) -> Dataset:
     """Run the headline pipeline over ``{sf_dir}/documents.parquet``.
 
     ``features=True`` → one feature row per (source, session);
     ``features=False`` → the enriched per-document table (for row-level
-    checks). Lazy — consume with ``to_pandas``/``write_parquet``.
+    checks). ``repeat`` deterministically amplifies the input corpus
+    (bench use). Lazy — consume with ``to_pandas``/``write_parquet``.
     """
-    toks = FX.tokens_from_documents(sf_dir)
-    upds = FX.updates_from_documents(sf_dir)
+    toks = FX.tokens_from_documents(sf_dir, repeat=repeat)
+    upds = FX.updates_from_documents(sf_dir, repeat=repeat)
 
     def post(tbl: pa.Table) -> pa.Table:
         out = enrich_bucket(tbl)

@@ -67,15 +67,36 @@ def q1_pricing_summary(sf_dir: str) -> Dataset:
                            pc.subtract(pa.scalar(1.0), t["l_discount"]))
         return t.append_column("disc_price", disc)
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
-        Count(alias_name="count_order"),
+    # PARTIAL AGGREGATION (the at-scale groupby pattern): Arrow C++ hash
+    # aggregate inside each map task collapses millions of rows to a
+    # handful of partials per (flag, status); the shuffle then moves only
+    # those partials, and a tiny final rollup computes the averages.
+    def partial(t: pa.Table) -> pa.Table:
+        t = prep(t)
+        return t.group_by(["l_returnflag", "l_linestatus"]).aggregate([
+            ("l_quantity", "sum"), ("l_extendedprice", "sum"),
+            ("disc_price", "sum"), ("l_quantity", "count"),
+        ]).rename_columns(["l_returnflag", "l_linestatus", "sum_qty",
+                           "sum_base_price", "sum_disc_price",
+                           "count_order"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
     )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["count_order"], pa.float64())
+        t = t.append_column("avg_qty", pc.divide(t["sum_qty"], n))
+        t = t.append_column("avg_price", pc.divide(t["sum_base_price"], n))
+        return t.set_column(t.column_names.index("count_order"),
+                            pa.field("count_order", pa.int64()),
+                            pc.cast(t["count_order"], pa.int64()))
+
+    out = out.map_batches(finalize, batch_format="pyarrow")
     return _round(out, {"sum_base_price": 2, "sum_disc_price": 2,
                         "avg_qty": 4, "avg_price": 4})
 
@@ -286,16 +307,23 @@ FROM events
 
 
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
-    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    events = _read(sf_dir, "events",
+                   ["event_id", "ts", "user_id"]).repartition(16)
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderdate", "o_totalprice"])
-    # dedupe right side per (entity, ts) so the matched row is unambiguous
-    right = orders.groupby(["o_custkey", "o_orderdate"]).aggregate(
-        Max("o_totalprice", alias_name="order_price"))
+    # NO dedup shuffle needed: the as-of merge takes the LAST right row
+    # among equal (entity, ts) in right_order_cols order, so ordering by
+    # price makes the match = max(price) at the latest orderdate — exactly
+    # the oracle's max() per (custkey, orderdate) without a groupby pass
+    right = orders.map_batches(
+        lambda t: t.rename_columns(
+            ["o_custkey", "o_orderdate", "order_price"]),
+        batch_format="pyarrow")
     return asof_join(events, right,
                      left_by="user_id", right_by="o_custkey",
                      left_on="ts", right_on="o_orderdate",
                      right_value_cols=["order_price"],
+                     right_order_cols=["order_price"],
                      broadcast=broadcast, num_buckets=32)
 
 

@@ -34,12 +34,13 @@ def verbosity_features(segments) -> dict:
     if len(counts) == 0:
         nan = float("nan")
         return {"wc_mean": nan, "wc_median": nan, "wc_stdev": nan,
-                "wc_min": nan, "wc_max": nan, "total_count": 0.0}
+                "wc_min": nan, "wc_max": nan, "total_count": nan}
     return {
         "wc_mean": float(counts.mean()),
         "wc_median": float(np.median(counts)),
-        "wc_stdev": float(counts.std(ddof=1)) if len(counts) > 1
-        else float("nan"),
+        # reference uses np.std → POPULATION std (ddof=0),
+        # extract_verbosity_stats.py:28
+        "wc_stdev": float(counts.std(ddof=0)),
         "wc_min": float(counts.min()),
         "wc_max": float(counts.max()),
         "total_count": float(counts.sum()),
@@ -49,8 +50,11 @@ def verbosity_features(segments) -> dict:
 def lexical_diversity_features(segments) -> dict:
     """G3/G4: MATTR (windows 10/25/50) + Honoré over the joined stream
     (``extract_lexical_diversity.py:72-84`` semantics)."""
-    stream = np.concatenate([np.asarray(s) for s in segments]) \
-        if segments else np.zeros(0, np.int64)
+    parts = [np.asarray(s) for s in segments if len(s)]
+    stream = np.concatenate(parts) if parts else np.zeros(0, np.int64)
+    if stream.dtype.kind not in "iu":
+        # word strings → dense integer codes (distinctness-preserving)
+        _, stream = np.unique(stream, return_inverse=True)
     feats = {}
     for w in (10, 25, 50):
         feats[f"MATTR_{w}"] = W.mattr(stream, w)
