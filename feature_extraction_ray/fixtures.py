@@ -120,6 +120,28 @@ def gen_feature_updates(tokens: pa.Table, seed: int = 43,
     })
 
 
+def gen_metadata(n_calls: int = 6, n_subjects: int = 3,
+                 seed: int = 45):
+    """F4 metadata fixture: call → subject / datetime / week /
+    is_assessment (pandas frame — small by contract, always broadcast)."""
+    import pandas as pd
+    rng = np.random.default_rng(seed)
+    call_ids = [f"call{c:03d}" for c in range(n_calls)]
+    subjects = [f"s{rng.integers(0, n_subjects):02d}" for _ in call_ids]
+    base = pd.Timestamp("2020-03-01")
+    dts = [base + pd.Timedelta(days=int(rng.integers(0, 21)),
+                               hours=int(rng.integers(8, 20)))
+           for _ in call_ids]
+    return pd.DataFrame({
+        "call_id": call_ids,
+        "subject_id": subjects,
+        "call_datetime": dts,
+        "week": [int((d - base).days // 7) for d in dts],
+        # alternate so both call types always exist (M12 filter tests)
+        "is_assessment": (np.arange(n_calls) % 2 == 0),
+    })
+
+
 def gen_recognizer(n_calls: int = 6, segs_per_call: int = 8,
                    seed: int = 44) -> pa.Table:
     """F3 recognizer fixture: Microsoft-ASR-shaped segment table with

@@ -625,6 +625,57 @@ QUALIFY rank < 10
 """
 
 
+def events_daily_rollup(sf_dir: str) -> Dataset:
+    """M11 date/key derivation: truncate ts to day, per (user, day)
+    rollup — the reference's ``day_id = subject + '_' + date`` analog."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return t.append_column("day", day)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "day"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="value_sum"))
+    out = _round(out, {"value_sum": 4})
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("day")
+        return t.set_column(i, pa.field("day", pa.timestamp("us")),
+                            pc.cast(t["day"], pa.timestamp("us")))
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+EVENTS_DAILY_ROLLUP_SQL = """
+SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY user_id, date_trunc('day', ts)
+"""
+
+
+def docs_min_word_gate(sf_dir: str) -> Dataset:
+    """G17 min-word-count gate: keep documents with ≥ 40 whitespace words
+    (``archived/train_topic_model.py:46-63`` analog)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        words = pc.utf8_split_whitespace(trimmed)
+        n = pc.list_value_length(words)
+        keep = pc.greater_equal(n, pa.scalar(40))
+        t = t.append_column("n_words", pc.cast(n, pa.int64()))
+        return t.filter(keep).select(["doc_id", "n_words"])
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+DOCS_MIN_WORD_GATE_SQL = """
+SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words
+FROM documents WHERE len(str_split(text, ' ')) >= 40
+"""
+
+
 # rows-only entries (non-SQL-expressible; golden-tested in pytest instead)
 
 def minhash_dedup_docs(sf_dir: str):
@@ -664,6 +715,49 @@ def text_analysis_docs(sf_dir: str) -> Dataset:
 def flagship_session_features(sf_dir: str) -> Dataset:
     from .flagship import flagship
     return flagship(sf_dir)
+
+
+def phrase_rewrite_docs(sf_dir: str):
+    """A5/M14 two-pass collocation rewrite over documents (fit-then-map;
+    rows-only — model fitting is not SQL-expressible)."""
+    from ..stages.textprep import apply_phrases, fit_phrases
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    table = fit_phrases(ds, min_count=5, threshold=0.1)
+    out = apply_phrases(ds, table, out_col="text_phrases")
+    return out.select_columns(["doc_id", "text_phrases"])
+
+
+def _fixture_recognizer_ds(sf_dir: str):
+    import ray.data as _rd
+    from ..fixtures import gen_recognizer
+    # deterministic parity fixture; size independent of sf (schema F3)
+    tbl = gen_recognizer(n_calls=8, segs_per_call=6, seed=44)
+    return tbl, _rd.from_arrow(tbl.drop_columns(["word_timing_str"]))
+
+
+def asr_text_features(sf_dir: str):
+    """§3.1 text-features pipeline incl. LIWC-style + POS packs (stub
+    tagger/lexicon; rows-only, golden-tested in pytest)."""
+    from .asr_features import text_features
+    _, ds = _fixture_recognizer_ds(sf_dir)
+    return text_features(ds, feature_sets=("verbosity", "lexical_diversity",
+                                           "graph", "liwc", "pos"),
+                         num_buckets=4)
+
+
+def asr_confidence_features(sf_dir: str):
+    from .asr_features import confidence_features
+    _, ds = _fixture_recognizer_ds(sf_dir)
+    return confidence_features(ds, num_buckets=4)
+
+
+def asr_timing_features(sf_dir: str):
+    from ..stages.timing import extract_timing_features
+    tbl, ds = _fixture_recognizer_ds(sf_dir)
+    calls = sorted(set(tbl["audio_file_id"].to_pylist()))
+    durations = {c: 300_000 + i * 60_000 for i, c in enumerate(calls)}
+    return extract_timing_features(ds, group_col="audio_file_id",
+                                   duration_lookup=durations, num_buckets=4)
 
 
 def reference_feature_packs(sf_dir: str) -> Dataset:
@@ -708,6 +802,8 @@ QUERIES = {
     "hapax_by_source": hapax_by_source,
     "vocab_filter": vocab_filter,
     "user_value_stats": user_value_stats,
+    "events_daily_rollup": events_daily_rollup,
+    "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings": knn_embeddings,
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,
@@ -717,6 +813,10 @@ QUERIES = {
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,
+    "phrase_rewrite_docs": phrase_rewrite_docs,
+    "asr_text_features": asr_text_features,
+    "asr_confidence_features": asr_confidence_features,
+    "asr_timing_features": asr_timing_features,
 }
 
 ORACLE_SQL = {
@@ -740,6 +840,8 @@ ORACLE_SQL = {
     "hapax_by_source": HAPAX_BY_SOURCE_SQL,
     "vocab_filter": VOCAB_FILTER_SQL,
     "user_value_stats": USER_VALUE_STATS_SQL,
+    "events_daily_rollup": EVENTS_DAILY_ROLLUP_SQL,
+    "docs_min_word_gate": DOCS_MIN_WORD_GATE_SQL,
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
     # minhash/simhash/embedding dedup, LSH knn, text analysis, flagship:
     # non-SQL-expressible → rows-only driver check + pytest goldens

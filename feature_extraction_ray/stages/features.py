@@ -73,10 +73,33 @@ def graph_features(segments) -> dict:
     return graph_metrics(segments)
 
 
+def liwc_demo_features(segments) -> dict:
+    """G5 category-lexicon pack (DEMO lexicon; word segments only —
+    see stages/lexicon.py for plugging a real LIWC dictionary)."""
+    from .lexicon import DEMO_CATEGORIES, TokenTrie, liwc_features
+    global _DEMO_TRIE
+    try:
+        trie = _DEMO_TRIE
+    except NameError:
+        trie = _DEMO_TRIE = TokenTrie(DEMO_CATEGORIES)
+    return liwc_features([list(map(str, s)) for s in segments], trie)
+
+
+def pos_demo_features(segments) -> dict:
+    """G6 POS pack over the stub tagger (swap in a real tagger per M6)."""
+    from .lexicon import pos_features
+    from .textprep import fake_pos_tag
+    tagged = [[(str(w), fake_pos_tag(str(w))) for w in seg]
+              for seg in segments]
+    return pos_features(tagged)
+
+
 FEATURE_REGISTRY: dict[str, Callable] = {
     "verbosity": verbosity_features,
     "lexical_diversity": lexical_diversity_features,
     "graph": graph_features,
+    "liwc": liwc_demo_features,      # word segments
+    "pos": pos_demo_features,        # word segments
 }
 
 

@@ -1,0 +1,197 @@
+"""Text preprocessing operators (M1–M9, M14/A5) over word-segment columns.
+
+Reference parity (cites; fresh implementations):
+
+* M1 punctuation strip: regex ``[^\\w\\d'\\s]+`` → ''
+  (``text_features/text_util.py:104-109``).
+* M2 sentence split: the reference uses NLTK punkt (``text_util.py:14-16,
+  96-101``) — not in this container; a regex splitter on sentence-final
+  punctuation stands in (same shape: string → list of sentence strings).
+* M5/M6 lemmatize / POS-tag: WordNet + nltk taggers are stubbed with a
+  deterministic rule-based lemmatizer and a hash-seeded Penn-tag fake
+  (real actor-pool plumbing, swap the model in ``__init__`` when the
+  dependency exists — see class docstrings).
+* M7 empty-token scrub (``extract_pos.py:92-93``), M8 stopword removal
+  (``archived/preprocess_text.py:7-17``), M9 non-verbal token removal
+  (``preprocess_text.py:20-32``: drop ``[noise] [laughter] <unk>``, drop
+  emptied segments).
+* M14/A5 bigram/trigram phrase rewrite: gensim-Phrases semantics
+  (``text_util.py:50-93``) rebuilt as an explicit TWO-PASS pipeline —
+  pass 1: distributed partial counts of unigrams+bigrams → driver builds
+  the phrase table with gensim's original scorer
+  ``(c_ab − min_count)/(c_a·c_b)·V ≥ threshold``; pass 2: broadcast table,
+  vectorized rewrite joining matched pairs with ``_``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+PUNCT_RE = re.compile(r"[^\w\d'\s]+")
+SENT_RE = re.compile(r"(?<=[.!?])\s+")
+NON_VERBAL = frozenset(["[noise]", "[laughter]", "<unk>"])
+
+
+def strip_punctuation(text: str) -> str:
+    """M1: the reference's exact pattern."""
+    return PUNCT_RE.sub("", text)
+
+
+def split_sentences(text: str) -> list[str]:
+    """M2 (punkt stand-in): split on sentence-final punctuation + space."""
+    return [s for s in SENT_RE.split(text.strip()) if s]
+
+
+_SUFFIX_RULES = [("sses", "ss"), ("ies", "y"), ("ing", ""), ("ed", ""),
+                 ("s", "")]
+
+
+def lemmatize_word(w: str) -> str:
+    """M5 stub: deterministic suffix-rule lemmatizer (WordNet stand-in).
+    Keeps words ≤3 chars untouched; never empties a word."""
+    lw = w.lower()
+    if len(lw) <= 3:
+        return lw
+    for suf, rep in _SUFFIX_RULES:
+        if lw.endswith(suf) and len(lw) - len(suf) + len(rep) >= 2:
+            return lw[:-len(suf)] + rep
+    return lw
+
+
+_PENN_TAGS = ["NN", "VB", "JJ", "RB", "DT", "IN", "CC", "PRP", "PRP$",
+              "UH", "WDT", "WRB", "WP", "TO"]
+
+
+def fake_pos_tag(word: str) -> str:
+    """M6 stub: deterministic hash-seeded Penn tag (nltk.pos_tag stand-in).
+    A few closed-class words get their true tags so ratio features are
+    non-degenerate; everything else hashes into the open-class tags."""
+    closed = {"the": "DT", "a": "DT", "an": "DT", "and": "CC", "or": "CC",
+              "but": "CC", "in": "IN", "on": "IN", "of": "IN", "to": "TO",
+              "i": "PRP", "you": "PRP", "he": "PRP", "she": "PRP",
+              "it": "PRP", "my": "PRP$", "your": "PRP$", "which": "WDT",
+              "where": "WRB", "who": "WP", "oh": "UH", "uh": "UH"}
+    lw = word.lower()
+    if lw in closed:
+        return closed[lw]
+    from .text import hash_word
+    return ["NN", "VB", "JJ", "RB"][hash_word(lw) % 4]
+
+
+def scrub_empty(words: Sequence[str]) -> list[str]:
+    """M7: drop '' tokens (post-split artifact, ``extract_pos.py:92-93``)."""
+    return [w for w in words if w != ""]
+
+
+def remove_stopwords(words: Sequence[str], stopset: frozenset) -> list[str]:
+    return [w for w in words if w not in stopset]
+
+
+def remove_nonverbal_segments(segments: list[list[str]]) -> list[list[str]]:
+    """M9: strip non-verbal tokens; drop segments emptied by it."""
+    out = []
+    for seg in segments:
+        kept = [w for w in seg if w not in NON_VERBAL]
+        if kept:
+            out.append(kept)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# M14 / A5 — two-pass phrase (collocation) model
+# ---------------------------------------------------------------------------
+
+def _pair_counts_batch(tbl: pa.Table, text_col: str) -> pa.Table:
+    """Partial unigram + bigram counts for one batch (one output row per
+    distinct gram; shuffled pre-aggregated)."""
+    grams: dict[str, int] = {}
+    for txt in tbl[text_col].to_pylist():
+        ws = txt.split()
+        for w in ws:
+            grams[w] = grams.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            key = f"{a}\x00{b}"
+            grams[key] = grams.get(key, 0) + 1
+    return pa.table({
+        "gram": pa.array(list(grams.keys()), type=pa.string()),
+        "cnt": pa.array(list(grams.values()), type=pa.int64()),
+    })
+
+
+def fit_phrases(ds: Dataset, text_col: str = "text",
+                min_count: int = 5, threshold: float = 10.0) -> dict:
+    """Pass 1: distributed gram counting (partial-agg → one groupby), then
+    the gensim original scorer on the driver over bigrams only.
+
+    Returns the phrase table ``{(a, b): score}`` for broadcast."""
+    pairs = ds.map_batches(
+        lambda t: _pair_counts_batch(t, text_col), batch_format="pyarrow")
+    counts = pairs.groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+    pdf = counts.to_pandas()
+    is_bi = pdf["gram"].str.contains("\x00")
+    uni = dict(zip(pdf.loc[~is_bi, "gram"], pdf.loc[~is_bi, "cnt"]))
+    vocab_size = len(uni)
+    table = {}
+    for gram, c_ab in zip(pdf.loc[is_bi, "gram"], pdf.loc[is_bi, "cnt"]):
+        a, b = gram.split("\x00")
+        c_a, c_b = uni.get(a, 0), uni.get(b, 0)
+        if c_ab < min_count or not c_a or not c_b:
+            continue
+        score = (c_ab - min_count) / (c_a * c_b) * vocab_size
+        if score > threshold:
+            table[(a, b)] = score
+    return table
+
+
+def apply_phrases(ds: Dataset, phrase_table: dict,
+                  text_col: str = "text",
+                  out_col: str | None = None) -> Dataset:
+    """Pass 2: broadcast the table, rewrite each text greedily left-to-right
+    joining scored pairs with ``_`` (gensim Phraser semantics)."""
+    out_col = out_col or text_col
+    ref = ray.put(phrase_table)
+
+    class Rewriter:
+        def __init__(self):
+            self.table = ray.get(ref)
+
+        def _rewrite(self, txt: str) -> str:
+            ws = txt.split()
+            out = []
+            i = 0
+            while i < len(ws):
+                if i + 1 < len(ws) and (ws[i], ws[i + 1]) in self.table:
+                    out.append(f"{ws[i]}_{ws[i + 1]}")
+                    i += 2
+                else:
+                    out.append(ws[i])
+                    i += 1
+            return " ".join(out)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            batch[out_col] = batch[text_col].map(self._rewrite)
+            return batch
+
+    return ds.map_batches(Rewriter, batch_format="pandas",
+                          concurrency=(1, 8))
+
+
+def bigram_trigram_rewrite(ds: Dataset, text_col: str = "text",
+                           min_count: int = 5,
+                           threshold: float = 10.0) -> Dataset:
+    """Full A5 flow: fit bigrams → apply → fit again on rewritten text
+    (bigram_model[sentences] → trigram fit, ``text_util.py:63-64``) →
+    apply. Two fit passes, two map passes, all distributed."""
+    bi = fit_phrases(ds, text_col, min_count, threshold)
+    ds2 = apply_phrases(ds, bi, text_col)
+    tri = fit_phrases(ds2, text_col, min_count, threshold)
+    return apply_phrases(ds2, tri, text_col)
