@@ -578,18 +578,22 @@ def user_value_stats(sf_dir: str) -> Dataset:
     """Per-user value stats incl. sample std (G9 confidence-stats analog)."""
     from ray.data.aggregate import Std
     ds = _read(sf_dir, "events", ["user_id", "value"])
+    # v_sum instead of v_mean: a mean over a power-of-two count has a
+    # finite binary expansion that can land EXACTLY on a decimal rounding
+    # boundary, where engines' last-ulp differences flip the rounded digit
+    # (observed at sf0.01: mean 48.5609375 over n=64)
     out = ds.groupby("user_id").aggregate(
         Count(alias_name="n"),
         Min("value", alias_name="v_min"),
         Max("value", alias_name="v_max"),
-        Mean("value", alias_name="v_mean"),
+        Sum("value", alias_name="v_sum"),
         Std("value", alias_name="v_std"))
-    return _round(out, {"v_mean": 6, "v_std": 6})
+    return _round(out, {"v_sum": 4, "v_std": 6})
 
 
 USER_VALUE_STATS_SQL = """
 SELECT user_id, count(*) AS n, min(value) AS v_min, max(value) AS v_max,
-       round(avg(value), 6) AS v_mean, round(stddev_samp(value), 6) AS v_std
+       round(sum(value), 4) AS v_sum, round(stddev_samp(value), 6) AS v_std
 FROM events GROUP BY user_id
 """
 
@@ -741,7 +745,8 @@ def asr_text_features(sf_dir: str):
     from .asr_features import text_features
     _, ds = _fixture_recognizer_ds(sf_dir)
     return text_features(ds, feature_sets=("verbosity", "lexical_diversity",
-                                           "graph", "liwc", "pos"),
+                                           "graph", "liwc", "pos",
+                                           "syllables", "non_verbal"),
                          num_buckets=4)
 
 

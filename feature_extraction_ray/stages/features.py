@@ -73,6 +73,61 @@ def graph_features(segments) -> dict:
     return graph_metrics(segments)
 
 
+_VOWELS = set("aeiouy")
+
+
+def syllable_count(word: str) -> int:
+    """Vowel-group heuristic syllable counter (textstat stand-in, G2:
+    ``extract_verbosity_stats.py:39-53`` uses textstat.syllable_count —
+    the library is absent here; this counts maximal vowel runs with a
+    silent-final-e adjustment, min 1)."""
+    w = "".join(ch for ch in word.lower() if ch.isalpha())
+    if not w:
+        return 0
+    groups = 0
+    prev_vowel = False
+    for ch in w:
+        is_v = ch in _VOWELS
+        if is_v and not prev_vowel:
+            groups += 1
+        prev_vowel = is_v
+    if w.endswith("e") and not w.endswith(("le", "ee")) and groups > 1:
+        groups -= 1
+    return max(groups, 1)
+
+
+def syllable_features(segments) -> dict:
+    """G2 syllable stat pack (np.std population convention; NaN empty)."""
+    counts = np.array([syllable_count(str(w))
+                       for seg in segments for w in seg], dtype=np.float64)
+    if len(counts) == 0:
+        nan = float("nan")
+        return {k: nan for k in ("syll_mean", "syll_median", "syll_stdev",
+                                 "syll_min", "syll_max")}
+    return {
+        "syll_mean": float(counts.mean()),
+        "syll_median": float(np.median(counts)),
+        "syll_stdev": float(counts.std(ddof=0)),
+        "syll_min": float(counts.min()),
+        "syll_max": float(counts.max()),
+    }
+
+
+def non_verbal_features(segments) -> dict:
+    """G8 non-verbal token shares (``kaldi_asr_features/
+    extract_non_verbal.py:8-23`` formulas; NaN when empty)."""
+    tokens = [str(w) for seg in segments for w in seg]
+    total = len(tokens)
+    if not total:
+        nan = float("nan")
+        return {"laughter": nan, "noise": nan, "unk": nan}
+    return {
+        "laughter": tokens.count("[laughter]") / total,
+        "noise": tokens.count("[noise]") / total,
+        "unk": tokens.count("<unk>") / total,
+    }
+
+
 def liwc_demo_features(segments) -> dict:
     """G5 category-lexicon pack (DEMO lexicon; word segments only —
     see stages/lexicon.py for plugging a real LIWC dictionary)."""
@@ -98,8 +153,10 @@ FEATURE_REGISTRY: dict[str, Callable] = {
     "verbosity": verbosity_features,
     "lexical_diversity": lexical_diversity_features,
     "graph": graph_features,
-    "liwc": liwc_demo_features,      # word segments
-    "pos": pos_demo_features,        # word segments
+    "syllables": syllable_features,      # word segments
+    "non_verbal": non_verbal_features,   # word segments
+    "liwc": liwc_demo_features,          # word segments
+    "pos": pos_demo_features,            # word segments
 }
 
 

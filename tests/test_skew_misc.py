@@ -1,0 +1,76 @@
+"""Skew handling (salting, report) + G2/G8 feature pack tests."""
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from feature_extraction_ray import fixtures as FX
+from feature_extraction_ray.stages.features import (non_verbal_features,
+                                                    syllable_count,
+                                                    syllable_features)
+from feature_extraction_ray.stages.partition import (salt_column,
+                                                     skew_report,
+                                                     stable_bucket)
+
+
+def test_syllable_counter_heuristic():
+    assert syllable_count("cat") == 1
+    assert syllable_count("hello") == 2
+    assert syllable_count("beautiful") >= 3
+    assert syllable_count("make") == 1          # silent e
+    assert syllable_count("little") == 2        # -le keeps its syllable
+    assert syllable_count("") == 0
+
+
+def test_syllable_and_nonverbal_packs():
+    segs = [["hello", "world"], ["[noise]", "ok", "<unk>"]]
+    s = syllable_features(segs)
+    assert s["syll_min"] >= 1 and s["syll_max"] >= s["syll_min"]
+    nv = non_verbal_features(segs)
+    assert nv["noise"] == pytest.approx(1 / 5)
+    assert nv["unk"] == pytest.approx(1 / 5)
+    assert nv["laughter"] == 0.0
+    assert all(np.isnan(v) for v in non_verbal_features([]).values())
+
+
+def test_skew_report_flags_hot_entity():
+    tbl = FX.gen_tokens(n_rows=400, n_entities=6, seed=3)
+    rep = skew_report(rd.from_arrow(tbl), "source")
+    assert rep["total_rows"] == 400
+    # fixture gives ~50% of rows to one source
+    assert rep["top_share"] > 0.3
+    assert rep["top"][0][1] >= rep["top"][-1][1]
+
+
+def test_salting_preserves_aggregates_and_spreads_load():
+    tbl = FX.gen_tokens(n_rows=400, n_entities=6, seed=3)
+    ds = rd.from_arrow(tbl)
+    rep = skew_report(ds, "source")
+    hot = {rep["top"][0][0]}
+    salted = salt_column(ds, "source", hot, salt_factor=4)
+    out = salted.groupby("__salted").aggregate(
+        Count(alias_name="n"), Sum("n_tok", alias_name="s")).to_pandas()
+    # order-insensitive totals are preserved after stripping the salt
+    base = out["__salted"].str.split("#").str[0]
+    merged = out.groupby(base).agg(n=("n", "sum"), s=("s", "sum"))
+    exp = (tbl.to_pandas().groupby("source")
+           .agg(n=("n_tok", "size"), s=("n_tok", "sum")))
+    pd.testing.assert_frame_equal(
+        merged.sort_index(), exp.sort_index(), check_names=False,
+        check_dtype=False)
+    # the hot key actually split into multiple salted keys
+    hot_rows = out[out["__salted"].str.startswith(next(iter(hot)) + "#")]
+    assert len(hot_rows) >= 2
+
+
+def test_stable_bucket_deterministic_across_dtypes():
+    a = pa.array(["x", "y", "z", "x"])
+    b1 = stable_bucket(a, 16)
+    b2 = stable_bucket(a, 16)
+    np.testing.assert_array_equal(b1, b2)
+    assert b1[0] == b1[3]
+    ints = pa.array([1, 2, 3, 1], type=pa.int64())
+    bi = stable_bucket(ints, 16)
+    assert bi[0] == bi[3]
