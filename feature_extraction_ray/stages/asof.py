@@ -81,6 +81,11 @@ def _merge_keyframes(left_ent, left_ts, right_ent, right_ts,
     Both sides must be sorted by ts (globally); entity grouping handled by
     pandas ``by=``.
     """
+    if len(right_ts) == 0:
+        return np.full(len(left_ts), -1, dtype=np.int64)
+    # pandas requires identical key dtypes; empty/py-list inputs drift
+    right_ts = np.asarray(right_ts).astype(np.asarray(left_ts).dtype,
+                                           copy=False)
     lf = pd.DataFrame({_ENT: left_ent, _TS: left_ts,
                        _POS: np.arange(len(left_ts), dtype=np.int64)})
     rf = pd.DataFrame({_ENT: right_ent, _TS: right_ts,
