@@ -169,3 +169,31 @@ def flagship(sf_dir: str, num_buckets: int = 16,
         right_value_cols=["attr_val"],
         num_buckets=num_buckets,
         post_fn=post)
+
+
+def flagship_checkpointed(sf_dir: str, out_dir: str,
+                          num_buckets: int = 32,
+                          repeat: int = 1) -> dict:
+    """Flagship with resumable per-partition output: the as-of union is
+    bucketed by ``state.checkpoint.run_partitioned``, each bucket runs
+    merge → windows → session features and writes its own parquet +
+    lineage manifest atomically. A rerun verifies finished partitions and
+    computes ONLY missing buckets (their rows are pruned before the
+    shuffle). Returns the run stats dict."""
+    from ..stages.asof import asof_prepare
+    from ..state.checkpoint import input_fingerprint_of, run_partitioned
+
+    toks = FX.tokens_from_documents(sf_dir, repeat=repeat)
+    upds = FX.updates_from_documents(sf_dir, repeat=repeat)
+    unioned, merge_fn, ent = asof_prepare(
+        toks, upds, left_by="source", right_by="source",
+        left_on="ts", right_on="ts", right_value_cols=["attr_val"])
+
+    def process(tbl: pa.Table) -> pa.Table:
+        return session_features_bucket(enrich_bucket(merge_fn(tbl)))
+
+    fp = input_fingerprint_of([f"{sf_dir}/documents.parquet"]) + \
+        f":r{repeat}:b{num_buckets}"
+    return run_partitioned(unioned, out_dir, entity_col=ent,
+                           num_buckets=num_buckets,
+                           input_fingerprint=fp, process_fn=process)

@@ -145,6 +145,11 @@ def asof_join(left: Dataset, right: Dataset, *,
     even whole-group feature aggregation can run there without a second
     shuffle.
     """
+    # keys are normalized to int64 microseconds for timestamp columns —
+    # convert a timedelta tolerance to the same unit
+    import datetime as _dt
+    if isinstance(tolerance, _dt.timedelta):
+        tolerance = int(tolerance.total_seconds() * 1_000_000)
     if broadcast:
         if post_fn is not None:
             raise ValueError("post_fn requires the partitioned plan")
@@ -240,10 +245,17 @@ def _asof_broadcast(left: Dataset, right: Dataset, *, left_by, right_by,
         concurrency=concurrency)
 
 
-def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
-                      left_on, right_on, right_value_cols, direction,
-                      tolerance, allow_exact_matches, right_order_cols,
-                      num_buckets, suffix, post_fn=None) -> Dataset:
+def asof_prepare(left: Dataset, right: Dataset, *, left_by, right_by,
+                 left_on, right_on, right_value_cols,
+                 direction="backward", tolerance=None,
+                 allow_exact_matches=True, right_order_cols=(),
+                 suffix="_r"):
+    """Build the partitioned plan's ingredients without running it:
+    returns ``(unioned_ds, merge_fn, entity_col)`` where ``unioned_ds``
+    is the side-tagged union (shuffle-ready on ``entity_col``) and
+    ``merge_fn`` performs the per-bucket as-of merge. Used by
+    :func:`asof_join` and by checkpointed pipelines that want to own the
+    bucket loop (state/checkpoint.run_partitioned)."""
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     ent_type = _common_entity_type(lschema.field(left_by).type,
@@ -299,13 +311,29 @@ def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
                 rtbl[_TS].to_numpy(zero_copy_only=False),
                 direction, tolerance, allow_exact_matches)
         keep = ltbl.select(left_names)
-        out = _gather_right(keep, rpayload, right_value_cols, rpos, suffix)
+        return _gather_right(keep, rpayload, right_value_cols, rpos, suffix)
+
+    return unioned, merge_bucket, _ENT
+
+
+def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
+                      left_on, right_on, right_value_cols, direction,
+                      tolerance, allow_exact_matches, right_order_cols,
+                      num_buckets, suffix, post_fn=None) -> Dataset:
+    unioned, merge_fn, ent = asof_prepare(
+        left, right, left_by=left_by, right_by=right_by, left_on=left_on,
+        right_on=right_on, right_value_cols=right_value_cols,
+        direction=direction, tolerance=tolerance,
+        allow_exact_matches=allow_exact_matches,
+        right_order_cols=right_order_cols, suffix=suffix)
+
+    def bucket_fn(tbl):
+        out = merge_fn(tbl)
         if post_fn is not None:
             out = post_fn(out)
         return out
 
-    out = bucketed_apply(unioned, _ENT, merge_bucket,
-                         num_buckets=num_buckets, drop_bucket=False)
-    # merge_bucket already projects away helper cols (keep = left_names);
+    # bucket_fn projects away helper cols (keep = left_names);
     # BUCKET_COL was consumed by groupby and not re-emitted.
-    return out
+    return bucketed_apply(unioned, ent, bucket_fn,
+                          num_buckets=num_buckets, drop_bucket=False)
