@@ -190,6 +190,53 @@ GROUP BY l_returnflag
 """
 
 
+def orders_by_mktsegment(sf_dir: str) -> Dataset:
+    """Large-large hash equi-join (``Dataset.join``, hash-partitioned on
+    the key) + grouped rollup — the non-broadcast join path."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, join_type="inner", num_partitions=16,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+    return _round(out, {"total_price": 2})
+
+
+ORDERS_BY_MKTSEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def distinct_event_types(sf_dir: str):
+    """D1 distinct values (``Dataset.unique``)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pa.table({"event_type": pa.array(vals, type=pa.string())})
+
+
+DISTINCT_EVENT_TYPES_SQL = """
+SELECT DISTINCT event_type FROM events
+"""
+
+
+def global_shuffle_docs(sf_dir: str):
+    """Training-data op: seeded global shuffle (every block moves). The
+    row SET is unchanged — checked against a trivial oracle; the order is
+    the shuffled one (driver compare is order-insensitive by design)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return ds.random_shuffle(seed=17)
+
+
+GLOBAL_SHUFFLE_DOCS_SQL = """
+SELECT doc_id, n_chars FROM documents
+"""
+
+
 def events_by_type(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "events", ["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
@@ -793,6 +840,9 @@ QUERIES = {
     "customers_per_nation": customers_per_nation,
     "lineitem_big_parts": lineitem_big_parts,
     "events_by_type": events_by_type,
+    "orders_by_mktsegment": orders_by_mktsegment,
+    "distinct_event_types": distinct_event_types,
+    "global_shuffle_docs": global_shuffle_docs,
     "lag_events": lag_events,
     "lead_events": lead_events,
     "sessionize_events": sessionize_events,
@@ -831,6 +881,9 @@ ORACLE_SQL = {
     "customers_per_nation": CUSTOMERS_PER_NATION_SQL,
     "lineitem_big_parts": LINEITEM_BIG_PARTS_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
+    "orders_by_mktsegment": ORDERS_BY_MKTSEGMENT_SQL,
+    "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,
+    "global_shuffle_docs": GLOBAL_SHUFFLE_DOCS_SQL,
     "lag_events": LAG_EVENTS_SQL,
     "lead_events": LEAD_EVENTS_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
