@@ -175,8 +175,9 @@ GROUP BY n_name
 def lineitem_big_parts(sf_dir: str) -> Dataset:
     """Broadcast semi-join filter (M13 analog) + grouped count."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
-    parts = _read(sf_dir, "part", ["p_partkey", "p_size"]).filter(
-        lambda r: r["p_size"] >= 40)
+    parts = _read(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_size"], pa.scalar(40))),
+        batch_format="pyarrow")
     filtered = semi_join(li, parts, left_key="l_partkey",
                          right_key="p_partkey")
     return filtered.groupby("l_returnflag").aggregate(
@@ -399,23 +400,24 @@ def session_stats_events(sf_dir: str) -> Dataset:
     """Composition: sessionize → per-(user, session) aggregate (the
     reference's per-group feature row shape, SQL-checkable)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
-    sess = SW.sessionize(ds, "user_id", "ts",
-                         datetime.timedelta(minutes=30), num_buckets=32)
 
-    def agg(t: pa.Table) -> pa.Table:
-        # per-bucket final aggregate: sessions are bucket-complete
+    def sessionize_and_agg(t: pa.Table) -> pa.Table:
+        # ONE exchange: sessionize and the per-(user, session) rollup both
+        # need entity-complete buckets, so they fuse into the same task
         import numpy as np
         from ..functions import tokenstats as TS
-        from ..stages.partition import sort_table
-        t = sort_table(t, ["user_id", "session_id", "ts"])
+        from ..functions import windows as W
+        from ..stages.partition import entity_group_starts, sort_table
+        t = sort_table(t, ["user_id", "ts"])
+        ng = entity_group_starts(t, "user_id")
+        tsv = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sid = W.sessionize(tsv, ng, GAP_30M_US)
         uid = t["user_id"].to_numpy(zero_copy_only=False)
-        sid = t["session_id"].to_numpy(zero_copy_only=False)
-        new = np.r_[True, (uid[1:] != uid[:-1]) | (sid[1:] != sid[:-1])] \
+        new = ng | np.r_[False, sid[1:] != sid[:-1]] \
             if len(t) else np.zeros(0, bool)
         gid = np.cumsum(new) - 1
         offs = TS.group_offsets(gid)
         starts, n_rows = offs[:-1], np.diff(offs)
-        tsv = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         ends = offs[1:] - 1
         val = t["value"].cast(pa.float64()).to_numpy(zero_copy_only=False)
         vsum = np.add.reduceat(val, starts) if len(t) else np.zeros(0)
@@ -427,8 +429,8 @@ def session_stats_events(sf_dir: str) -> Dataset:
             "value_sum": pa.array(vsum, type=pa.float64()),
         })
 
-    out = SW.bucketed_apply(sess, "user_id", agg, num_buckets=32,
-                            drop_bucket=False)
+    out = SW.bucketed_apply(ds, "user_id", sessionize_and_agg,
+                            num_buckets=32, drop_bucket=False)
     return _round(out, {"value_sum": 4})
 
 
