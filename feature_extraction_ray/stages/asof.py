@@ -132,7 +132,8 @@ def asof_join(left: Dataset, right: Dataset, *,
               broadcast: bool = False,
               num_buckets: int = DEFAULT_NUM_BUCKETS,
               suffix: str = "_r",
-              post_fn=None) -> Dataset:
+              post_fn=None,
+              salt_hot: dict | None = None) -> Dataset:
     """As-of join ``left`` with ``right`` on entity + event time.
 
     Output = all left rows + ``right_value_cols`` from the matched right row
@@ -168,7 +169,7 @@ def asof_join(left: Dataset, right: Dataset, *,
                              allow_exact_matches=allow_exact_matches,
                              right_order_cols=right_order_cols,
                              num_buckets=num_buckets, suffix=suffix,
-                             post_fn=post_fn)
+                             post_fn=post_fn, salt_hot=salt_hot)
 
 
 def _prepare_right_table(right_tbl: pa.Table, right_by: str, right_on: str,
@@ -245,27 +246,74 @@ def _asof_broadcast(left: Dataset, right: Dataset, *, left_by, right_by,
         concurrency=concurrency)
 
 
+def _salt_suffixes(ts: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic round-robin salt index per row (splitmix of ts)."""
+    v = ts.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        v = (v + np.uint64(0x9E3779B97F4A7C15))
+        v ^= v >> np.uint64(30)
+        v *= np.uint64(0xBF58476D1CE4E5B9)
+    return (v % np.uint64(max(k, 1))).astype(np.int64)
+
+
 def asof_prepare(left: Dataset, right: Dataset, *, left_by, right_by,
                  left_on, right_on, right_value_cols,
                  direction="backward", tolerance=None,
                  allow_exact_matches=True, right_order_cols=(),
-                 suffix="_r"):
+                 suffix="_r", salt_hot: dict | None = None):
     """Build the partitioned plan's ingredients without running it:
     returns ``(unioned_ds, merge_fn, entity_col)`` where ``unioned_ds``
     is the side-tagged union (shuffle-ready on ``entity_col``) and
     ``merge_fn`` performs the per-bucket as-of merge. Used by
     :func:`asof_join` and by checkpointed pipelines that want to own the
-    bucket loop (state/checkpoint.run_partitioned)."""
+    bucket loop (state/checkpoint.run_partitioned).
+
+    ``salt_hot`` = ``{entity_value: salt_factor}`` for skewed entities
+    (pick them with ``stages.partition.skew_report``): a hot entity's
+    LEFT rows are deterministically spread over ``entity#s{k}`` shards
+    while its RIGHT rows are REPLICATED into every shard, so each shard
+    merges against the full right history — results are identical to the
+    unsalted plan, but the hot key's merge work parallelizes k-ways
+    (north rule: salt + repartition before the as-of merge; never under
+    sessionize/windows, whose groups must stay whole)."""
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     ent_type = _common_entity_type(lschema.field(left_by).type,
                                    rschema.field(right_by).type)
+    if salt_hot:
+        ent_type = pa.large_utf8()   # salted keys are strings
     rcols = list(dict.fromkeys([*right_value_cols, *right_order_cols]))
     rtypes = {c: rschema.field(c).type for c in rcols}
     left_names = list(lschema.names)
+    salt_hot = {str(k): int(v) for k, v in (salt_hot or {}).items()}
+
+    def _salted_ent(tbl: pa.Table, replicate: bool):
+        """Append salted _ENT; right side (replicate=True) returns an
+        index expansion replicating hot rows into every shard."""
+        ent = tbl[_ENT].to_pylist()
+        ts = tbl[_TS].to_numpy(zero_copy_only=False)
+        if not replicate:
+            ks = _salt_suffixes(ts, 1 << 30)
+            out = [f"{e}#s{int(k) % salt_hot[e]}" if e in salt_hot else e
+                   for e, k in zip(ent, ks)]
+            return pa.array(out, type=ent_type), None
+        idx, names = [], []
+        for i, e in enumerate(ent):
+            if e in salt_hot:
+                for k in range(salt_hot[e]):
+                    idx.append(i)
+                    names.append(f"{e}#s{k}")
+            else:
+                idx.append(i)
+                names.append(e)
+        return pa.array(names, type=ent_type), np.array(idx, dtype=np.int64)
 
     def tag_left(tbl: pa.Table) -> pa.Table:
         tbl = _normalize_keys(tbl, left_by, left_on, ent_type)
+        if salt_hot:
+            salted, _ = _salted_ent(tbl, replicate=False)
+            tbl = tbl.set_column(tbl.column_names.index(_ENT),
+                                 pa.field(_ENT, ent_type), salted)
         tbl = tbl.append_column(_SIDE, pa.array(
             np.zeros(len(tbl), dtype=np.int8)))
         for c in rcols:
@@ -275,6 +323,11 @@ def asof_prepare(left: Dataset, right: Dataset, *, left_by, right_by,
 
     def tag_right(tbl: pa.Table) -> pa.Table:
         tbl = _normalize_keys(tbl, right_by, right_on, ent_type)
+        if salt_hot:
+            salted, idx = _salted_ent(tbl, replicate=True)
+            tbl = tbl.take(pa.array(idx))
+            tbl = tbl.set_column(tbl.column_names.index(_ENT),
+                                 pa.field(_ENT, ent_type), salted)
         out = {}
         for name in left_names:
             out[name] = pa.nulls(len(tbl), type=lschema.field(name).type)
@@ -319,13 +372,19 @@ def asof_prepare(left: Dataset, right: Dataset, *, left_by, right_by,
 def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
                       left_on, right_on, right_value_cols, direction,
                       tolerance, allow_exact_matches, right_order_cols,
-                      num_buckets, suffix, post_fn=None) -> Dataset:
+                      num_buckets, suffix, post_fn=None,
+                      salt_hot=None) -> Dataset:
+    if salt_hot and post_fn is not None:
+        raise ValueError(
+            "salt_hot splits hot entities across shards — fused windowed "
+            "post_fns need whole entities; run them as a separate stage")
     unioned, merge_fn, ent = asof_prepare(
         left, right, left_by=left_by, right_by=right_by, left_on=left_on,
         right_on=right_on, right_value_cols=right_value_cols,
         direction=direction, tolerance=tolerance,
         allow_exact_matches=allow_exact_matches,
-        right_order_cols=right_order_cols, suffix=suffix)
+        right_order_cols=right_order_cols, suffix=suffix,
+        salt_hot=salt_hot)
 
     def bucket_fn(tbl):
         out = merge_fn(tbl)
