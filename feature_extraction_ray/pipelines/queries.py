@@ -749,6 +749,16 @@ def embedding_dedup_docs(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99)
 
 
+def knn_embeddings_ivf(sf_dir: str):
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import knn_ivf
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    q = np.array(tbl.slice(0, 5)["embedding"].to_pylist(), dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4)
+
+
 def knn_embeddings_lsh(sf_dir: str):
     import pyarrow.parquet as _pq
     from ..stages.similarity import knn_lsh
@@ -866,6 +876,7 @@ QUERIES = {
     "simhash_docs": simhash_docs,
     "embedding_dedup_docs": embedding_dedup_docs,
     "knn_embeddings_lsh": knn_embeddings_lsh,
+    "knn_embeddings_ivf": knn_embeddings_ivf,
     "text_analysis_docs": text_analysis_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,

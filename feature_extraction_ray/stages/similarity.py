@@ -187,6 +187,93 @@ def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
                                "rank": []}))
 
 
+def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10,
+                 seed: int = 23) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (numpy only).
+
+    Deterministic: k-means++-ish init by farthest-point from a seeded
+    start, fixed iteration count. Sample sizes are bounded by the caller
+    so this is O(sample × k × iters) on the driver."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    centers = [sample[rng.integers(0, n)]]
+    for _ in range(k - 1):
+        d = np.min(
+            [np.linalg.norm(sample - c, axis=1) for c in centers], axis=0)
+        centers.append(sample[int(np.argmax(d))])
+    cent = np.stack(centers)
+    for _ in range(iters):
+        assign = np.argmax(_norm_rows(sample) @ _norm_rows(cent).T, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = sample[mask].mean(axis=0)
+    return _norm_rows(cent)
+
+
+def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            n_centroids: int = 16, n_probe: int = 4,
+            sample_size: int = 2048, seed: int = 23) -> pd.DataFrame:
+    """IVF ANN: cluster a sample into ``n_centroids`` (driver-side seeded
+    k-means), broadcast the centroids, assign every vector to its nearest
+    centroid in one ``map_batches``, then brute-force only the vectors in
+    each query's ``n_probe`` nearest cells.
+
+    The scale path next to :func:`knn_lsh`: at corpus scale the centroid
+    fit touches a bounded sample, the assignment is one streaming pass,
+    and a query reads ``n_probe / n_centroids`` of the corpus."""
+    q = _norm_rows(np.asarray(query_vecs, dtype=np.float32))
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = _norm_rows(np.stack(
+        [np.asarray(v, dtype=np.float32) for v in sample_rows[vec_col]]))
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) \
+            else cent_ref
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        cell = np.argmax(m @ c.T, axis=1)
+        return pa.table({
+            id_col: tbl[id_col], vec_col: tbl[vec_col],
+            "__ivf_cell": pa.array(cell.astype(np.int64)),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow")
+    qcells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    wanted = pa.array(sorted(set(qcells.reshape(-1).tolist())),
+                      type=pa.int64())
+    cand = assigned.map_batches(
+        lambda t: t.filter(pa.compute.is_in(t["__ivf_cell"],
+                                            value_set=wanted)),
+        batch_format="pyarrow").to_pandas()
+    if len(cand) == 0:
+        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                             "rank": []})
+    mat = _norm_rows(np.stack(
+        [np.asarray(v, dtype=np.float32) for v in cand[vec_col]]))
+    ids = cand[id_col].to_numpy()
+    cells = cand["__ivf_cell"].to_numpy()
+    frames = []
+    for qi in range(len(q)):
+        mask = np.isin(cells, qcells[qi])
+        if not mask.any():
+            continue
+        sc = mat[mask] @ q[qi]
+        sel = ids[mask]
+        kk = min(k, len(sc))
+        order = np.lexsort((sel, -sc))[:kk]
+        frames.append(pd.DataFrame({
+            "query_id": qi, "vec_id": sel[order].astype(np.int64),
+            "score": sc[order].astype(np.float64),
+            "rank": np.arange(kk, dtype=np.int64)}))
+    return (pd.concat(frames).reset_index(drop=True) if frames
+            else pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
+                               "rank": []}))
+
+
 def embedding_dedup(ds: Dataset, threshold: float = 0.95,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     bits: int = 6, seed: int = 11) -> pd.DataFrame:

@@ -126,6 +126,28 @@ def test_knn_lsh_recall_vs_bruteforce():
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_knn_ivf_recall_vs_bruteforce():
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((20, 16)).astype(np.float32) * 3
+    pts = np.repeat(centers, 25, axis=0) + \
+        rng.standard_normal((500, 16)).astype(np.float32) * 0.3
+    ids = np.arange(len(pts), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float32)), 16)})
+    ds = rd.from_arrow(tbl)
+    q = pts[::100][:5]
+    exact = SIM.knn_bruteforce(ds, q, k=10)
+    approx = SIM.knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4)
+    recalls = []
+    for qi in range(5):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
 def test_embedding_dedup_finds_planted():
     m, _ = _embeddings(n=100)
     # plant 3 near-identical copies of vector 0
