@@ -108,7 +108,7 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_SKIP_QUERIES="1",
-                   GRAFT_BENCH_RUNS=os.environ.get("GRAFT_BENCH_RUNS", "2"),
+                   GRAFT_BENCH_RUNS=os.environ.get("GRAFT_BENCH_RUNS", "3"),
                    GRAFT_BENCH_REPEAT=os.environ.get(
                        "GRAFT_BENCH_REPEAT", "600"))
         out = subprocess.run([sys.executable, "bench.py"], env=env,

@@ -138,13 +138,13 @@ def salt_column(ds: Dataset, entity_col: str, hot_keys: set, salt_factor: int,
     Use ONLY under order-insensitive stages (partial stats, as-of right-side
     replication); never under sessionize/lag (SURVEY §7 watch-list 3).
     """
-    hot = sorted(hot_keys)
+    hot = frozenset(str(k) for k in hot_keys)
 
     def add_salt(batch: pa.Table) -> pa.Table:
         ent = batch[entity_col].to_pylist()
         h = _stable_hash_strings(batch[entity_col])
         rr = (np.arange(len(ent), dtype=np.uint64) + h) % np.uint64(max(salt_factor, 1))
-        out = [f"{e}#{int(r)}" if e in set(hot) else str(e)
+        out = [f"{e}#{int(r)}" if str(e) in hot else str(e)
                for e, r in zip(ent, rr)]
         return batch.append_column(out_col, pa.array(out, type=pa.string()))
 
