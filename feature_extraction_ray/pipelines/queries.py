@@ -291,6 +291,31 @@ FROM events
 """
 
 
+def lag_events_streaming(sf_dir: str) -> Dataset:
+    """Same semantics as lag_events via the out-of-core STREAMING path
+    (chained tasks + carry state) — checked against the same SQL oracle."""
+    from ..stages.stream_window import streaming_window
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = streaming_window(ds, "lag1", entity_col="user_id",
+                           order_cols=["ts"], num_buckets=32,
+                           max_rows_per_block=2048,
+                           value_col="value", out_col="value_lag1")
+    return out.select_columns(["event_id", "user_id", "ts", "value",
+                               "value_lag1"])
+
+
+def sessionize_events_streaming(sf_dir: str) -> Dataset:
+    """Streaming sessionization, same oracle as sessionize_events."""
+    from ..stages.stream_window import streaming_window
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = streaming_window(ds, "sessionize", entity_col="user_id",
+                           order_cols=["ts"], num_buckets=32,
+                           max_rows_per_block=2048,
+                           ts_col="ts", gap_us=GAP_30M_US,
+                           out_col="session_id")
+    return out.select_columns(["event_id", "user_id", "ts", "session_id"])
+
+
 def sessionize_events(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     out = SW.sessionize(ds, "user_id", "ts",
@@ -858,6 +883,8 @@ QUERIES = {
     "lag_events": lag_events,
     "lead_events": lead_events,
     "sessionize_events": sessionize_events,
+    "lag_events_streaming": lag_events_streaming,
+    "sessionize_events_streaming": sessionize_events_streaming,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
     "asof_events_orders": asof_events_orders,
@@ -900,6 +927,8 @@ ORACLE_SQL = {
     "lag_events": LAG_EVENTS_SQL,
     "lead_events": LEAD_EVENTS_SQL,
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
+    "lag_events_streaming": LAG_EVENTS_SQL,
+    "sessionize_events_streaming": SESSIONIZE_EVENTS_SQL,
     "sliding_mean_events": SLIDING_MEAN_EVENTS_SQL,
     "ffill_events": FFILL_EVENTS_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
