@@ -105,6 +105,44 @@ def _ffill_block(tbl: pa.Table, carry, entity_col: str, value_col: str,
     return tbl.append_column(out_col, filled), new_carry
 
 
+def _bfill_block(tbl: pa.Table, carry, entity_col: str, value_col: str,
+                 out_col: str):
+    """Backward-fill; chains run in REVERSE block order, so ``carry`` is
+    the FIRST entity's next non-null value from the following slice:
+    carry = (first_entity, first_non_null_value_or_None)."""
+    import pyarrow.compute as pc
+    n = len(tbl)
+    if n == 0:
+        return tbl.append_column(out_col, pa.array([], type=tbl.schema.field(
+            value_col).type)), carry
+    ent = np.asarray(tbl[entity_col].to_pylist())
+    col = tbl[value_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+    ng = W.group_starts(ent)
+    src, still = W.bfill_indices(isnull, ng)
+    filled = col.take(pa.array(src.astype(np.int64), mask=still))
+    if isinstance(filled, pa.ChunkedArray):
+        filled = filled.combine_chunks()
+    gid = np.cumsum(ng)
+    # still-null rows are the SUFFIX of their entity's run; the last
+    # entity's suffix takes the carried (future) value when it continues
+    if carry is not None and carry[1] is not None and ent[-1] == carry[0]:
+        tail_null = still & (gid == gid[-1])
+        if tail_null.any():
+            fill_val = pa.array([carry[1]] * int(tail_null.sum()),
+                                type=col.type)
+            filled = pc.replace_with_mask(filled, pa.array(tail_null),
+                                          fill_val)
+    first_val = filled[0].as_py()
+    if first_val is None and carry is not None and ent[0] == carry[0] \
+            and gid[-1] == 1:
+        first_val = carry[1]     # single-entity slice, all null, continue
+    new_carry = (ent[0], first_val)
+    return tbl.append_column(out_col, filled), new_carry
+
+
 def _sessionize_block(tbl: pa.Table, carry, entity_col: str, ts_col: str,
                       gap_us: int, out_col: str):
     """carry = (last_entity, last_ts_us, last_session_id)."""
@@ -129,8 +167,10 @@ def _sessionize_block(tbl: pa.Table, carry, entity_col: str, ts_col: str,
 _KERNELS = {
     "lag1": _lag1_block,
     "ffill": _ffill_block,
+    "bfill": _bfill_block,
     "sessionize": _sessionize_block,
 }
+_REVERSE_OPS = {"bfill"}   # carry flows from the bucket's END backwards
 
 
 @ray.remote(num_returns=2)
@@ -183,15 +223,21 @@ def streaming_window(ds: Dataset, op: str, *, entity_col: str,
         prev_last = last_b
 
     kernel_kwargs = {**op_kwargs, "entity_col": entity_col}
+    reverse = op in _REVERSE_OPS
     out_refs = []
     for chain in chains:
+        slices = [(ref, off, min(max_rows_per_block, n - off))
+                  for ref, n in chain
+                  for off in range(0, n, max_rows_per_block)]
+        if reverse:
+            slices = slices[::-1]
         carry = None
-        for ref, n in chain:
-            for off in range(0, n, max_rows_per_block):
-                length = min(max_rows_per_block, n - off)
-                out_ref, carry = _chain_task.remote(
-                    ref, off, length, carry, op, kernel_kwargs)
-                out_refs.append(out_ref)
+        chain_out = []
+        for ref, off, length in slices:
+            out_ref, carry = _chain_task.remote(
+                ref, off, length, carry, op, kernel_kwargs)
+            chain_out.append(out_ref)
+        out_refs.extend(chain_out[::-1] if reverse else chain_out)
 
     import ray.data as rd
     return rd.from_arrow_refs(out_refs)

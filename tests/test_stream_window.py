@@ -77,3 +77,24 @@ def test_streaming_sessionize_matches_bucketed(toks, max_rows):
     e = _sorted(exp.to_pandas())
     np.testing.assert_array_equal(g["session_id"].to_numpy(),
                                   e["session_id"].to_numpy())
+
+
+@pytest.mark.parametrize("max_rows", [13, 100000])
+def test_streaming_bfill_matches_bucketed(toks, max_rows):
+    import pyarrow as pa
+    rng = np.random.default_rng(8)
+    v = rng.normal(size=len(toks))
+    v[rng.random(len(toks)) < 0.55] = np.nan
+    tbl = toks.append_column("val", pa.array(v, from_pandas=True))
+    got = streaming_window(rd.from_arrow(tbl), "bfill",
+                           entity_col="entity",
+                           order_cols=["ts", "doc_id"], num_buckets=4,
+                           max_rows_per_block=max_rows,
+                           value_col="val", out_col="val_bfill")
+    exp = SW.fill(rd.from_arrow(tbl), "entity", ["ts", "doc_id"],
+                  ["val"], method="bfill", num_buckets=4)
+    g = _sorted(got.to_pandas())
+    e = _sorted(exp.to_pandas())
+    np.testing.assert_allclose(g["val_bfill"].to_numpy(dtype=float),
+                               e["val_bfill"].to_numpy(dtype=float),
+                               equal_nan=True)
