@@ -86,6 +86,21 @@ def run_bench() -> dict:
         _consume(QUERIES[name](SF_DIR))
         per_query[name] = round(time.perf_counter() - t0, 3)
 
+    if bench_queries:
+        # checkpointed write path (per-partition parquet + manifests)
+        import shutil, tempfile
+        from feature_extraction_ray.pipelines.flagship import (
+            flagship_checkpointed)
+        out = tempfile.mkdtemp(prefix="fx_ckpt_")
+        try:
+            t0 = time.perf_counter()
+            flagship_checkpointed(SF_DIR, out, num_buckets=n_buckets,
+                                  repeat=REPEAT)
+            per_query["flagship_checkpointed_write"] = round(
+                time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     ray.shutdown()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {

@@ -43,12 +43,57 @@ def _word_segments(texts: list[str]) -> list[np.ndarray]:
             np.zeros(0, dtype=object) for t in texts]
 
 
+def _prep_graph(texts, texts_basic):
+    """Graph: keep ASR segments & case; strip punctuation except
+    apostrophes; drop emptied words (``extract_text_features.py:116-123``,
+    ``extract_graph.py:258-271``; truecase restoration stubbed)."""
+    from ..stages.textprep import scrub_empty, strip_punctuation
+    return [np.array(scrub_empty(strip_punctuation(t).split(" ")),
+                     dtype=object) for t in texts]
+
+
+def _prep_lexical(texts, texts_basic):
+    """Lexical diversity: join ALL basic segments into one document,
+    split on single spaces (``extract_text_features.py:136-142``,
+    ``extract_lexical_diversity.py:79``)."""
+    joined = " ".join(str(t) for t in texts_basic)
+    return [np.array(joined.split(" "), dtype=object)] if joined else []
+
+
+def _prep_sentences(texts, texts_basic):
+    """LIWC/POS/verbosity: join cased text, re-split into sentences,
+    strip punctuation (keep apostrophes), lowercase
+    (``extract_text_features.py:156-165,179-188,203-212``)."""
+    from ..stages.textprep import (scrub_empty, split_sentences,
+                                   strip_punctuation)
+    joined = " ".join(str(t) for t in texts)
+    sents = split_sentences(joined)
+    return [np.array(scrub_empty(strip_punctuation(s).lower().split(" ")),
+                     dtype=object) for s in sents]
+
+
+# per-feature-set preprocessing, mirroring §3.1's per-set variants
+_PREP = {
+    "graph": _prep_graph,
+    "lexical_diversity": _prep_lexical,
+    "verbosity": _prep_sentences,
+    "liwc": _prep_sentences,
+    "pos": _prep_sentences,
+    "syllables": _prep_sentences,
+    "non_verbal": _prep_sentences,
+}
+
+
 def text_features(ds: Dataset, *, group_col: str = "audio_file_id",
                   order_cols=("segment_number",),
-                  text_col: str = "text_basic",
+                  text_col: str = "text",
+                  basic_col: str = "text_basic",
                   feature_sets=("verbosity", "lexical_diversity", "graph"),
                   num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
-    """One wide feature row per group over ordered word segments."""
+    """One wide feature row per group; each feature set sees the
+    reference's OWN preprocessing variant of the ordered segments
+    (graph: cased segments; lexical: one joined document; others:
+    re-split sentences, lowercased)."""
     fns = [(n, FEATURE_REGISTRY[n]) for n in feature_sets]
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
@@ -57,14 +102,20 @@ def text_features(ds: Dataset, *, group_col: str = "audio_file_id",
         gid = np.cumsum(ng) - 1 if len(tbl) else np.zeros(0, np.int64)
         offs = TS.group_offsets(gid)
         texts = tbl[text_col].to_pylist()
+        basics = tbl[basic_col].to_pylist() if basic_col in \
+            tbl.column_names else texts
         groups = tbl[group_col].to_numpy(zero_copy_only=False)
         rows = []
         for g in range(len(offs) - 1):
             lo, hi = int(offs[g]), int(offs[g + 1])
-            segs = _word_segments(texts[lo:hi])
+            seg_cache: dict = {}
             row = {"id": groups[lo]}
-            for _, fn in fns:
-                row.update(fn(segs))
+            for name, fn in fns:
+                prep = _PREP[name]
+                key = id(prep)
+                if key not in seg_cache:
+                    seg_cache[key] = prep(texts[lo:hi], basics[lo:hi])
+                row.update(fn(seg_cache[key]))
             rows.append(row)
         return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 

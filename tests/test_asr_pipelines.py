@@ -15,13 +15,22 @@ def recognizer():
 
 
 def test_text_features_verbosity_oracle(recognizer):
+    import re
     ds = rd.from_arrow(recognizer.drop_columns(["word_timing",
                                                 "word_timing_str"]))
     got = AF.text_features(ds, num_buckets=3).to_pandas().set_index("id")
     pdf = recognizer.to_pandas()
     for call, g in pdf.groupby("audio_file_id"):
         g = g.sort_values("segment_number")
-        counts = [len(t.split()) for t in g["text_basic"]]
+        # reference §3.1 verbosity prep: join cased text -> sentence split
+        # -> strip punct (keep apostrophes) -> lower -> split(" ")
+        joined = " ".join(g["text"])
+        sents = [s for s in re.split(r"(?<=[.!?])\s+", joined.strip()) if s]
+        counts = []
+        for s in sents:
+            ws = [w for w in
+                  re.sub(r"[^\w\d'\s]+", "", s).lower().split(" ") if w]
+            counts.append(len(ws))
         assert got.loc[call, "wc_mean"] == pytest.approx(np.mean(counts))
         assert got.loc[call, "wc_stdev"] == pytest.approx(np.std(counts))
         assert got.loc[call, "total_count"] == pytest.approx(sum(counts))
