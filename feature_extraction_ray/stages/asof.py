@@ -396,3 +396,31 @@ def _asof_partitioned(left: Dataset, right: Dataset, *, left_by, right_by,
     # BUCKET_COL was consumed by groupby and not re-emitted.
     return bucketed_apply(unioned, ent, bucket_fn,
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def asof_join_autosalt(left: Dataset, right: Dataset, *,
+                       left_by: str, right_by: str,
+                       left_on: str, right_on: str,
+                       right_value_cols, hot_share: float = 0.2,
+                       max_salt: int = 8, num_buckets: int =
+                       DEFAULT_NUM_BUCKETS, **kwargs) -> Dataset:
+    """As-of join with measured skew handling: one cheap
+    ``groupby(entity).count()`` pass sizes the entities; any entity
+    holding more than ``hot_share`` of the left rows is salted with a
+    factor proportional to its share (capped at ``max_salt``). The
+    measurement is the step the reference never did — its equal-file
+    shards let one hot subject dominate a task (SURVEY §4)."""
+    from .partition import skew_report
+    rep = skew_report(left, left_by)
+    total = max(rep["total_rows"], 1)
+    salt_hot = {}
+    for ent, cnt in rep["top"]:
+        share = cnt / total
+        if share > hot_share:
+            salt_hot[ent] = min(max_salt,
+                                max(2, int(np.ceil(share * num_buckets))))
+    return asof_join(left, right, left_by=left_by, right_by=right_by,
+                     left_on=left_on, right_on=right_on,
+                     right_value_cols=right_value_cols,
+                     num_buckets=num_buckets,
+                     salt_hot=salt_hot or None, **kwargs)

@@ -69,3 +69,24 @@ def test_salt_with_post_fn_rejected(skewed_sides):
                   left_on="ts", right_on="ts",
                   right_value_cols=["attr_val"],
                   salt_hot={"e0000": 2}, post_fn=lambda t: t)
+
+
+def test_autosalt_detects_and_matches(skewed_sides):
+    from feature_extraction_ray.stages.asof import asof_join_autosalt
+    left, right, _ = skewed_sides
+    base = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                     left_by="entity", right_by="entity",
+                     left_on="ts", right_on="ts",
+                     right_value_cols=["attr_val"],
+                     right_order_cols=["attr_val"],
+                     num_buckets=4).to_pandas()
+    auto = asof_join_autosalt(rd.from_arrow(left), rd.from_arrow(right),
+                              left_by="entity", right_by="entity",
+                              left_on="ts", right_on="ts",
+                              right_value_cols=["attr_val"],
+                              right_order_cols=["attr_val"],
+                              hot_share=0.2, num_buckets=4).to_pandas()
+    b, a = _sorted(base), _sorted(auto)
+    np.testing.assert_allclose(a["attr_val"].to_numpy(dtype=float),
+                               b["attr_val"].to_numpy(dtype=float),
+                               equal_nan=True)
