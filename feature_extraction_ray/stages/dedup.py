@@ -22,8 +22,6 @@ dropped buckets logged, never silently.
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -17,7 +17,6 @@ level in the ``segment < call < day < week < subject`` hierarchy. Here:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

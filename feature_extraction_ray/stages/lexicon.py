@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-import numpy as np
-
 
 class TokenTrie:
     """Prefix trie: exact entries and ``prefix*`` wildcard entries map a
