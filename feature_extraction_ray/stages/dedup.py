@@ -64,22 +64,96 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
         self.shingle_k = shingle_k
 
-    def _signature(self, shingles: np.ndarray) -> np.ndarray:
-        if len(shingles) == 0:
-            return np.zeros(self.num_perm, dtype=np.uint64)
+    def _signatures_batch(self, flat: np.ndarray,
+                          offsets: np.ndarray) -> np.ndarray:
+        """Signatures for ALL docs at once: one (a·x+b) mod p pass over the
+        concatenated shingle array per permutation, then a segmented min
+        (``np.minimum.reduceat``) over doc offsets — no Python loop over
+        documents."""
+        n_docs = len(offsets) - 1
+        sigs = np.zeros((n_docs, self.num_perm), dtype=np.uint64)
+        if len(flat) == 0:
+            return sigs
+        lens = np.diff(offsets)
+        nonempty = lens > 0
+        starts = offsets[:-1][nonempty]
+        x = flat.astype(np.uint64) % np.uint64(_MERSENNE)
         with np.errstate(over="ignore"):
-            # (a*x + b) mod p, then min over shingles, per permutation
-            x = shingles.astype(np.uint64) % np.uint64(_MERSENNE)
-            vals = (np.outer(self.a, x) + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
+            for p in range(self.num_perm):
+                vals = (self.a[p] * x + self.b[p]) % np.uint64(_MERSENNE)
+                sigs[nonempty, p] = np.minimum.reduceat(vals, starts)
+        return sigs
+
+    def _batch_shingles(self, batch: pa.Table):
+        """Vectorized shingling for the whole batch: Arrow whitespace
+        split → one FNV pass over the flat word buffer → rolling k-gram
+        Horner over the flat hash array (cross-doc windows masked) →
+        segmented unique. Returns (flat_unique_shingles, doc_offsets)."""
+        import pyarrow.compute as pc
+        from .partition import _stable_hash_strings
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch[self.text_col]))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat_words = words.flatten()
+        row_len = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_docs = len(row_len)
+        wh = _stable_hash_strings(flat_words) if len(flat_words) else \
+            np.zeros(0, dtype=np.uint64)
+        doc_of = np.repeat(np.arange(n_docs), row_len)
+        k = self.shingle_k
+        N = len(wh)
+        # rolling Horner over full-window positions
+        valid_n = max(N - k + 1, 0)
+        with np.errstate(over="ignore"):
+            if valid_n:
+                sh = wh[:valid_n].copy()
+                for j in range(1, k):
+                    sh = sh * np.uint64(1099511628211) + wh[j:valid_n + j]
+                in_doc = doc_of[:valid_n] == doc_of[k - 1:]
+            else:
+                sh = np.zeros(0, dtype=np.uint64)
+                in_doc = np.zeros(0, dtype=bool)
+            sh_doc = doc_of[:valid_n][in_doc]
+            sh = sh[in_doc]
+            # short docs (< k words): one shingle = Horner over all words
+            short = np.flatnonzero(row_len < k)
+            if len(short):
+                starts = np.zeros(n_docs + 1, dtype=np.int64)
+                np.cumsum(row_len, out=starts[1:])
+                extra_v, extra_d = [], []
+                for d in short:
+                    if row_len[d] == 0:
+                        continue
+                    seg = wh[starts[d]:starts[d + 1]]
+                    h = seg[0]
+                    for x in seg[1:]:
+                        h = h * np.uint64(1099511628211) + x
+                    extra_v.append(h)
+                    extra_d.append(d)
+                if extra_v:
+                    sh = np.concatenate([sh, np.array(extra_v,
+                                                      dtype=np.uint64)])
+                    sh_doc = np.concatenate([sh_doc, np.array(
+                        extra_d, dtype=np.int64)])
+        # segmented unique: sort by (doc, shingle), drop repeats
+        order = np.lexsort((sh, sh_doc))
+        sh, sh_doc = sh[order], sh_doc[order]
+        if len(sh):
+            keep = np.r_[True, (sh[1:] != sh[:-1]) |
+                         (sh_doc[1:] != sh_doc[:-1])]
+            sh, sh_doc = sh[keep], sh_doc[keep]
+        counts = np.bincount(sh_doc, minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        return sh, offsets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self._signature(
-                _shingle_hashes(t.split(), self.shingle_k))
+        flat, offsets = self._batch_shingles(batch)
+        sigs = self._signatures_batch(flat, offsets)
         r = self.rows_per_band
         band_hash = np.empty((len(texts), self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
@@ -126,6 +200,40 @@ def _explode_bands(tbl: pa.Table) -> pa.Table:
     })
 
 
+def _pairs_of_shard_factory(max_bucket: int):
+    """Vectorized candidate-pair scan over one hash shard: sort by (band,
+    hash, doc), find duplicate runs, emit pairs per run. NOT a per-group
+    fn — a naive groupby.map_groups here makes ~bands×n_docs single-row
+    Python calls and dominates the whole dedup pipeline (measured 4.6×)."""
+    def pairs_of_shard(tbl: pa.Table) -> pa.Table:
+        band = tbl["band_idx"].to_numpy(zero_copy_only=False)
+        h = tbl["band_hash"].to_numpy(zero_copy_only=False)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h, band))
+        band, h, doc = band[order], h[order], doc[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (h[1:] != h[:-1])] \
+            if len(band) else np.zeros(0, bool)
+        starts = np.r_[np.flatnonzero(new), len(band)]
+        run_len = np.diff(starts)
+        a_out, b_out = [], []
+        for i in np.flatnonzero(run_len >= 2):   # only true collisions
+            lo, hi = starts[i], starts[i + 1]
+            ids = np.unique(doc[lo:hi])[:max_bucket]
+            if len(ids) < 2:
+                continue
+            ai, bi = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bi])
+        if not a_out:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({
+            "a": pa.array(np.concatenate(a_out).astype(np.int64)),
+            "b": pa.array(np.concatenate(b_out).astype(np.int64)),
+        })
+    return pairs_of_shard
+
+
 def candidate_pairs(sig_ds: Dataset, max_bucket: int = 64) -> pd.DataFrame:
     """Banded-LSH candidate pairs: explode (doc, band) rows, group by
     (band_idx, band_hash), emit all pairs inside each bucket.
@@ -135,19 +243,11 @@ def candidate_pairs(sig_ds: Dataset, max_bucket: int = 64) -> pd.DataFrame:
     attr) — a hot bucket means near-identical boilerplate where any
     representative pairing suffices for clustering.
     """
+    from .window import bucketed_apply
     exploded = sig_ds.map_batches(_explode_bands, batch_format="pyarrow")
-
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if len(ids) > max_bucket:
-            ids = ids[:max_bucket]
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[a], "b": ids[b]})
-
-    pairs = exploded.groupby(["band_idx", "band_hash"]).map_groups(
-        pairs_of_group, batch_format="pandas")
+    pairs = bucketed_apply(exploded, "band_hash",
+                           _pairs_of_shard_factory(max_bucket),
+                           num_buckets=32, drop_bucket=False)
     pdf = pairs.to_pandas()
     if len(pdf) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
@@ -280,19 +380,26 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
     verified by exact Hamming distance."""
     sig = simhash_signatures(ds, text_col, id_col).materialize()
-    frames = []
-    for b in range(4):
-        def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-            ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-            if len(ids) < 2 or len(ids) > 256:
-                return pd.DataFrame({"a": [], "b": []})
-            i, j = np.triu_indices(len(ids), k=1)
-            return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-        p = sig.groupby(f"sim_band{b}").map_groups(
-            pairs_of_group, batch_format="pandas").to_pandas()
-        frames.append(p)
-    pairs = pd.concat(frames).drop_duplicates(["a", "b"])
+    def explode(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for b in range(4):
+            parts.append(pa.table({
+                "doc_id": pa.array(np.asarray(ids)),
+                "band_idx": pa.array(np.full(n, b, dtype=np.int32)),
+                "band_hash": tbl[f"sim_band{b}"],
+            }))
+        return pa.concat_tables(parts)
+
+    exploded = sig.map_batches(explode, batch_format="pyarrow")
+    # same vectorized shard scan as the MinHash candidate search
+    from .window import bucketed_apply
+    pairs_ds = bucketed_apply(exploded, "band_hash",
+                              _pairs_of_shard_factory(max_bucket=256),
+                              num_buckets=16, drop_bucket=False)
+    pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
     if len(pairs) == 0:
         ids = sig.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
         return pd.DataFrame({"doc_id": np.sort(ids),
