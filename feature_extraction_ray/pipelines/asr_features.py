@@ -170,6 +170,7 @@ def kaldi_timing_features(ds: Dataset, *, group_col: str = "call_id",
         for g in range(len(offs) - 1):
             lo, hi = int(offs[g]), int(offs[g + 1])
             words, sils, phones, wps, pps = [], [], [], [], []
+            seg_durs = []
             for ti in infos[lo:hi]:
                 w, s, p, wc, dur = kaldi_segment_times(ti)
                 words.extend(w)
@@ -179,11 +180,7 @@ def kaldi_timing_features(ds: Dataset, *, group_col: str = "call_id",
                     continue  # noise-only segment skipped (:196-197)
                 wps.append(wc / dur)
                 pps.append(len(p) / dur)
-            seg_durs = []
-            for ti in infos[lo:hi]:
-                _, _, _, wc, dur = kaldi_segment_times(ti)
-                if wc:
-                    seg_durs.append(dur)
+                seg_durs.append(dur)
             row = {"id": groups[lo]}
             total = None
             if duration_lookup is not None:

@@ -331,21 +331,32 @@ class SimHasher:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .text import hash_word
-        texts = batch[self.text_col].to_pylist()
+        import pyarrow.compute as pc
+        from .partition import _stable_hash_strings
+        texts_col = batch[self.text_col]
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        out = np.zeros(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            ws = t.split()
-            if not ws:
-                continue
-            hs = np.array([hash_word(w) for w in ws], dtype=np.uint64)
+        n_docs = len(batch)
+        # vectorized: flat word hashes → per-bit votes via add.reduceat
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts_col))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat_words = words.flatten()
+        row_len = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # trimmed-empty docs produce [''] — count them as zero words
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(flat_words):
+            hs = _stable_hash_strings(flat_words)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
-                    np.uint64(1)).astype(np.int64)
-            votes = (2 * bits - 1).sum(axis=0)
-            out[i] = np.uint64(
-                int("".join("1" if v > 0 else "0"
-                            for v in votes[::-1]), 2))
+                    np.uint64(1)).astype(np.int8)
+            signed = (2 * bits - 1).astype(np.int32)
+            nonempty = row_len > 0
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(row_len, out=starts[1:])
+            votes = np.add.reduceat(signed, starts[:-1][nonempty], axis=0)
+            pos = (votes > 0).astype(np.uint64)
+            vals = (pos << np.arange(64, dtype=np.uint64)).sum(axis=1)
+            out[nonempty] = vals
         tb = {"doc_id": pa.array(ids),
               "simhash": pa.array(out.astype(np.int64))}
         for b in range(4):
