@@ -204,6 +204,50 @@ def sliding_mean(values: np.ndarray, isnull: np.ndarray,
     return out, counts == 0
 
 
+def sliding_min_max(values: np.ndarray, new_group: np.ndarray,
+                    window: int):
+    """Rolling min AND max over the trailing ``window`` rows per group
+    (window clipped at group starts). Delegates to pandas' cython rolling
+    kernels per group run — the chunked sparse-table trick does not
+    survive group-clipped windows, and pandas' deque implementation is
+    O(n) and battle-tested."""
+    import pandas as pd
+    n = len(values)
+    if n == 0:
+        return values.copy(), values.copy()
+    gid = np.cumsum(new_group)
+    s = pd.Series(values)
+    g = s.groupby(gid)
+    mins = g.rolling(window, min_periods=1).min().to_numpy()
+    maxs = g.rolling(window, min_periods=1).max().to_numpy()
+    return mins, maxs
+
+
+def time_range_sum_count(ts: np.ndarray, values: np.ndarray,
+                         isnull: np.ndarray, new_group: np.ndarray,
+                         span):
+    """Time-based trailing window: per row, sum/count of same-group values
+    with ``ts' ∈ [ts − span, ts]`` — per-run ``searchsorted`` (ts sorted
+    within each run) + global prefix sums. No per-row Python work."""
+    n = len(ts)
+    if n == 0:
+        return np.zeros(0), np.zeros(0, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    lo = np.empty(n, dtype=np.int64)
+    starts = np.flatnonzero(new_group)
+    ends = np.r_[starts[1:], n]
+    for s, e in zip(starts, ends):
+        lo[s:e] = s + np.searchsorted(ts[s:e], ts[s:e] - span,
+                                      side="left")
+    v = np.where(isnull, 0.0, values.astype(np.float64))
+    c = (~isnull).astype(np.int64)
+    cv = np.concatenate([[0.0], np.cumsum(v)])
+    cc = np.concatenate([[0], np.cumsum(c)])
+    sums = cv[idx + 1] - cv[lo]
+    counts = cc[idx + 1] - cc[lo]
+    return sums, counts
+
+
 def mattr(tokens: np.ndarray, window: int) -> float:
     """Moving-Average Type-Token Ratio over one ordered token stream.
 

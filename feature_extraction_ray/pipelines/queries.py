@@ -352,6 +352,64 @@ FROM events
 """
 
 
+def sliding_minmax_events(sf_dir: str) -> Dataset:
+    """Rolling min/max over the last 5 rows per user (pass-through values
+    → exact)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = SW.sliding_agg(ds, "user_id", ["ts"], "value", 5,
+                         aggs=("min", "max"), num_buckets=32)
+    return out.select_columns(["event_id", "user_id", "ts",
+                               "value_w5_min", "value_w5_max"])
+
+
+SLIDING_MINMAX_EVENTS_SQL = """
+SELECT event_id, user_id, ts,
+       min(value) OVER w AS value_w5_min,
+       max(value) OVER w AS value_w5_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS 4 PRECEDING)
+"""
+
+
+def time_window_events(sf_dir: str) -> Dataset:
+    """Time-range trailing window (RANGE INTERVAL): count + sum of each
+    user's events in the trailing 10 minutes."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = SW.time_window_agg(ds, "user_id", "ts", "value",
+                             datetime.timedelta(minutes=10),
+                             num_buckets=32)
+    out = out.select_columns(["event_id", "user_id", "ts",
+                              "value_tw_cnt", "value_tw_sum"])
+    return _round(out, {"value_tw_sum": 4})
+
+
+TIME_WINDOW_EVENTS_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT) AS value_tw_cnt,
+       round(sum(value) OVER w, 4) AS value_tw_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+"""
+
+
+def tumbling_hourly_events(sf_dir: str) -> Dataset:
+    """Tumbling 1-hour event-time windows per user (partial-agg rollup)."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+    out = SW.tumbling_agg(ds, "user_id", "ts",
+                          datetime.timedelta(hours=1), value_col="value")
+    return _round(out, {"w_sum": 4})
+
+
+TUMBLING_HOURLY_EVENTS_SQL = """
+SELECT user_id,
+       to_timestamp(floor(epoch(ts) / 3600) * 3600)::TIMESTAMP
+           AS window_start,
+       count(*) AS w_cnt, round(sum(value), 4) AS w_sum
+FROM events GROUP BY user_id, window_start
+"""
+
+
 def ffill_events(sf_dir: str) -> Dataset:
     """Forward-fill a sparse derived column (last purchase value per user —
     J3/backfill analog); values pass through exactly."""
@@ -887,6 +945,9 @@ QUERIES = {
     "sessionize_events_streaming": sessionize_events_streaming,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
+    "sliding_minmax_events": sliding_minmax_events,
+    "time_window_events": time_window_events,
+    "tumbling_hourly_events": tumbling_hourly_events,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "session_stats_events": session_stats_events,
@@ -931,6 +992,9 @@ ORACLE_SQL = {
     "sessionize_events_streaming": SESSIONIZE_EVENTS_SQL,
     "sliding_mean_events": SLIDING_MEAN_EVENTS_SQL,
     "ffill_events": FFILL_EVENTS_SQL,
+    "sliding_minmax_events": SLIDING_MINMAX_EVENTS_SQL,
+    "time_window_events": TIME_WINDOW_EVENTS_SQL,
+    "tumbling_hourly_events": TUMBLING_HOURLY_EVENTS_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "session_stats_events": SESSION_STATS_SQL,

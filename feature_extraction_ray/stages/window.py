@@ -156,9 +156,10 @@ def sliding_agg(ds: Dataset, entity_col: str, order_cols: Sequence[str],
                 value_col: str, window: int,
                 aggs: Sequence[str] = ("mean",),
                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
-    """Trailing-row sliding aggregates (``mean``/``sum``/``count``) over the
-    last ``window`` rows per entity (MATTR-style window, generalised)."""
-    bad = set(aggs) - {"mean", "sum", "count"}
+    """Trailing-row sliding aggregates (``mean``/``sum``/``count``/``min``/
+    ``max``) over the last ``window`` rows per entity (MATTR-style window,
+    generalised)."""
+    bad = set(aggs) - {"mean", "sum", "count", "min", "max"}
     if bad:
         raise ValueError(f"unsupported sliding aggs: {bad}")
 
@@ -168,6 +169,8 @@ def sliding_agg(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
         v = col.to_numpy(zero_copy_only=False)
         sums, counts = W.sliding_sum_count(v, isnull, ng, window)
+        if {"min", "max"} & set(aggs):
+            mins, maxs = W.sliding_min_max(v, ng, window)
         for a in aggs:
             name = f"{value_col}_w{window}_{a}"
             if a == "sum":
@@ -175,6 +178,12 @@ def sliding_agg(ds: Dataset, entity_col: str, order_cols: Sequence[str],
             elif a == "count":
                 tbl = tbl.append_column(name, pa.array(counts,
                                                        type=pa.int64()))
+            elif a == "min":
+                tbl = tbl.append_column(
+                    name, pa.array(mins, mask=np.isnan(mins)))
+            elif a == "max":
+                tbl = tbl.append_column(
+                    name, pa.array(maxs, mask=np.isnan(maxs)))
             else:
                 mean = np.divide(sums, counts,
                                  out=np.full(len(sums), np.nan),
@@ -184,3 +193,67 @@ def sliding_agg(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def time_window_agg(ds: Dataset, entity_col: str, ts_col: str,
+                    value_col: str, span: datetime.timedelta,
+                    order_cols: Sequence[str] = (),
+                    num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """TIME-based trailing window: per row, count + sum of same-entity
+    values with ``ts' ∈ [ts − span, ts]`` (SQL ``RANGE BETWEEN INTERVAL …
+    PRECEDING AND CURRENT ROW``). searchsorted + prefix sums per bucket."""
+    span_us = int(span.total_seconds() * 1_000_000)
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, [ts_col, *order_cols])
+        tsv = tbl[ts_col].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        col = pc.cast(tbl[value_col], pa.float64())
+        isnull = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = col.to_numpy(zero_copy_only=False)
+        sums, counts = W.time_range_sum_count(tsv, v, isnull, ng, span_us)
+        tbl = tbl.append_column(f"{value_col}_tw_cnt",
+                                pa.array(counts, type=pa.int64()))
+        tbl = tbl.append_column(f"{value_col}_tw_sum", pa.array(sums))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def tumbling_agg(ds: Dataset, entity_col: str, ts_col: str,
+                 every: datetime.timedelta, value_col: str | None = None,
+                 window_col: str = "window_start") -> Dataset:
+    """Tumbling (fixed-size, non-overlapping) event-time windows: floor
+    each ts to its window start, then an ordinary grouped aggregate —
+    the SQL ``GROUP BY key, date_trunc/floor(ts)`` shape. Partial
+    aggregation happens inside the map (Arrow hash agg) so only partials
+    shuffle."""
+    from ray.data.aggregate import Sum as _Sum
+    every_us = int(every.total_seconds() * 1_000_000)
+
+    def derive_partial(t: pa.Table) -> pa.Table:
+        tsv = t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(tsv, pa.float64()),
+                                             every_us)),
+                          float(every_us))
+        win = pc.cast(pc.cast(win, pa.int64()), pa.timestamp("us"))
+        t = t.append_column(window_col, win)
+        aggs = [(value_col, "sum"), (value_col, "count")] if value_col \
+            else [(entity_col, "count")]
+        g = t.group_by([entity_col, window_col]).aggregate(aggs)
+        if value_col:
+            return g.rename_columns([entity_col, window_col,
+                                     "w_sum", "w_cnt"])
+        return g.rename_columns([entity_col, window_col, "w_cnt"])
+
+    partials = ds.map_batches(derive_partial, batch_format="pyarrow")
+    agg_list = [_Sum("w_cnt", alias_name="w_cnt")]
+    if value_col:
+        agg_list.append(_Sum("w_sum", alias_name="w_sum"))
+    out = partials.groupby([entity_col, window_col]).aggregate(*agg_list)
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("w_cnt")
+        return t.set_column(i, pa.field("w_cnt", pa.int64()),
+                            pc.cast(t["w_cnt"], pa.int64()))
+    return out.map_batches(fix, batch_format="pyarrow")
