@@ -919,6 +919,27 @@ def reference_feature_packs(sf_dir: str) -> Dataset:
         order_cols=["doc_id"], num_buckets=16)
 
 
+def approx_distinct_words(sf_dir: str):
+    """HLL approximate distinct words in the corpus vs the exact count
+    (returned side by side; sketch comm = 4 KiB per block at any scale)."""
+    import pandas as pd
+    from ..stages.sketches import approx_distinct
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def explode_words(t: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t["text"]))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        return pa.table({"word": words.flatten()})
+
+    words = docs.map_batches(explode_words, batch_format="pyarrow")
+    est = approx_distinct(words, "word", p=12)
+    exact = len(words.unique("word"))
+    return pd.DataFrame({"estimate": [round(est, 1)],
+                         "exact": [exact],
+                         "rel_err": [round(abs(est - exact) / exact, 4)]})
+
+
 def media_features(sf_dir: str):
     """Multimodal plumbing: synthetic media table → stub feature vectors
     (deterministic fake decode; see stages/multimodal.py)."""
@@ -969,6 +990,7 @@ QUERIES = {
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,
+    "approx_distinct_words": approx_distinct_words,
     "phrase_rewrite_docs": phrase_rewrite_docs,
     "asr_text_features": asr_text_features,
     "asr_confidence_features": asr_confidence_features,

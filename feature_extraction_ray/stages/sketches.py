@@ -1,0 +1,108 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+The reference computes exact distincts in memory (SURVEY §2.7) — at
+10¹²-sequence scale an exact global distinct is a full shuffle, so the
+engine adds the classic mergeable-sketch pattern (guide: "emit one
+serialized sketch per batch and merge them in a second, tiny stage"):
+
+* :class:`HyperLogLog` — dense HLL with ``2^p`` registers; per-batch
+  build is vectorized numpy (one hash pass + ``np.maximum.reduceat``
+  on sorted registers); merge = elementwise max; the only data movement
+  is one ``2^p``-byte array per block.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .partition import _stable_hash_strings
+
+
+class HyperLogLog:
+    """Dense HLL (Flajolet et al.); ``p`` index bits → 2^p registers."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Vectorized register update from 64-bit hashes.
+
+        Applies a murmur3 fmix64 finalizer first: FNV-1a (the engine's
+        string hash) mixes low bits well but its TOP bits barely avalanche
+        for short strings, which collapses the register index."""
+        if len(h) == 0:
+            return
+        h = h.astype(np.uint64).copy()
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = position of the first 1-bit in the remaining 64-p bits
+        lz = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        mask = np.uint64(1) << np.uint64(63)
+        alive = np.ones(len(h), dtype=bool)
+        for r in range(64 - self.p + 1):
+            top = (x & mask) != 0
+            done = alive & top
+            lz[done] = r + 1
+            alive &= ~top
+            if not alive.any():
+                break
+            x = x << np.uint64(1)
+        order = np.argsort(idx, kind="stable")
+        sidx, slz = idx[order], lz[order]
+        starts = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        maxes = np.maximum.reduceat(slz, starts)
+        regs = sidx[starts]
+        self.registers[regs] = np.maximum(self.registers[regs], maxes)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if e <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)      # linear counting regime
+        return float(e)
+
+
+def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
+    """Approximate global distinct count of ``col``: one vectorized sketch
+    per block (map_batches emits 2^p bytes), merged on the driver.
+
+    Standard error ≈ 1.04/√(2^p) (~1.6 % at p=12); communication is
+    blocks × 4 KiB regardless of corpus size.
+    """
+    def sketch_batch(tbl: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        c = tbl[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        hll.add_hashes(_stable_hash_strings(c))
+        return pa.table({"sketch": pa.array([hll.registers.tobytes()],
+                                            type=pa.binary())})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow").to_pandas()
+    merged = HyperLogLog(p)
+    for raw in parts["sketch"]:
+        other = HyperLogLog(p)
+        other.registers = np.frombuffer(raw, dtype=np.uint8).copy()
+        merged = merged.merge(other)
+    return merged.estimate()

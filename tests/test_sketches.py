@@ -1,0 +1,43 @@
+"""HLL sketch: accuracy vs exact distinct, mergeability, determinism."""
+import numpy as np
+import pandas as pd
+import pytest
+import pyarrow as pa
+import ray.data as rd
+
+from feature_extraction_ray.stages.partition import _stable_hash_strings
+from feature_extraction_ray.stages.sketches import HyperLogLog, approx_distinct
+
+
+@pytest.mark.parametrize("true_n", [100, 5000, 50000])
+def test_hll_accuracy(true_n):
+    vals = pa.array([f"item{i}" for i in range(true_n)])
+    h = _stable_hash_strings(vals)
+    hll = HyperLogLog(p=12)
+    hll.add_hashes(h)
+    est = hll.estimate()
+    assert abs(est - true_n) / true_n < 0.06, (true_n, est)
+
+
+def test_hll_merge_equals_union():
+    a_vals = pa.array([f"a{i}" for i in range(3000)])
+    b_vals = pa.array([f"a{i}" for i in range(1500, 4500)])  # overlap
+    ha, hb = HyperLogLog(12), HyperLogLog(12)
+    ha.add_hashes(_stable_hash_strings(a_vals))
+    hb.add_hashes(_stable_hash_strings(b_vals))
+    merged = ha.merge(hb)
+    both = HyperLogLog(12)
+    both.add_hashes(_stable_hash_strings(pa.concat_arrays(
+        [a_vals, b_vals])))
+    np.testing.assert_array_equal(merged.registers, both.registers)
+    assert abs(merged.estimate() - 4500) / 4500 < 0.06
+
+
+def test_approx_distinct_dataset():
+    n = 20000
+    df = pd.DataFrame({"k": [f"key{i % 7000}" for i in range(n)]})
+    ds = rd.from_pandas(df)
+    est = approx_distinct(ds, "k", p=12)
+    assert abs(est - 7000) / 7000 < 0.06
+    # deterministic across runs
+    assert approx_distinct(rd.from_pandas(df), "k", p=12) == est
