@@ -213,6 +213,78 @@ GROUP BY c_mktsegment
 """
 
 
+def customers_without_orders(sf_dir: str) -> Dataset:
+    """Hash ANTI join (``Dataset.join(join_type="left_anti")``): customers
+    with no PENDING ('P') orders (every customer has SOME order in this
+    data, and an empty Ray result loses its schema — pick a predicate
+    that is non-empty at every scale factor)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("P"))),
+        batch_format="pyarrow")
+    out = cust.join(orders, join_type="left_anti", num_partitions=16,
+                    on=("c_custkey",), right_on=("o_custkey",))
+    return out.select_columns(["c_custkey", "c_name"])
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderstatus = 'P')
+"""
+
+
+def mean_embedding_by_label(sf_dir: str) -> Dataset:
+    """Element-wise vector aggregate: per-label mean embedding via
+    PARTIAL vector sums (one map emits a (label, sum_vec, cnt) row per
+    batch; the shuffle moves only those), emitted long-form
+    (label, dim, round(mean)) so the oracle can unnest."""
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _batch_matrix
+        m = _batch_matrix(t, "embedding").astype(np.float64)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnts = np.bincount(inv, minlength=len(uniq))
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim).astype(np.int32)),
+            "dim": pa.array(np.tile(np.arange(1, dim + 1,
+                                              dtype=np.int64), len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnts, dim).astype(np.int64)),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["label", "dim"]).aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t["s"], pc.cast(t["n"], pa.float64()))
+        out = pa.table({
+            "label": t["label"], "dim": t["dim"],
+            "mean_val": pc.round(mean, ndigits=6,
+                                 round_mode="half_towards_infinity"),
+        })
+        return out
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+MEAN_EMBEDDING_BY_LABEL_SQL = """
+WITH x AS (SELECT label, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings)
+SELECT label, CAST(dim AS BIGINT) AS dim,
+       round(avg(CAST(v AS DOUBLE)), 6) AS mean_val
+FROM x GROUP BY label, dim
+"""
+
+
 def distinct_event_types(sf_dir: str):
     """D1 distinct values (``Dataset.unique``)."""
     ds = _read(sf_dir, "events", ["event_type"])
@@ -958,6 +1030,8 @@ QUERIES = {
     "events_by_type": events_by_type,
     "orders_by_mktsegment": orders_by_mktsegment,
     "distinct_event_types": distinct_event_types,
+    "customers_without_orders": customers_without_orders,
+    "mean_embedding_by_label": mean_embedding_by_label,
     "global_shuffle_docs": global_shuffle_docs,
     "lag_events": lag_events,
     "lead_events": lead_events,
@@ -1006,6 +1080,8 @@ ORACLE_SQL = {
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "orders_by_mktsegment": ORDERS_BY_MKTSEGMENT_SQL,
     "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,
+    "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
+    "mean_embedding_by_label": MEAN_EMBEDDING_BY_LABEL_SQL,
     "global_shuffle_docs": GLOBAL_SHUFFLE_DOCS_SQL,
     "lag_events": LAG_EVENTS_SQL,
     "lead_events": LEAD_EVENTS_SQL,
