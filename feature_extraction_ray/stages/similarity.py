@@ -78,24 +78,39 @@ class _TopKPartial:
 
 def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   concurrency=(1, 8), dtype=np.float32) -> pd.DataFrame:
+                   concurrency=(1, 8), dtype=np.float32,
+                   merge: str = "driver") -> pd.DataFrame:
     """Exact cosine top-k for each query row. Returns (query_id, vec_id,
     score, rank) sorted by (query_id, rank); ties broken by vec_id so the
     result is deterministic. ``dtype=np.float64`` for oracle-precision
-    scores (float32 matmul is ~2x faster and the default)."""
+    scores (float32 matmul is ~2x faster and the default).
+
+    ``merge="driver"`` collects the per-block partials (k × n_blocks ×
+    n_queries rows) — fine for interactive query counts.
+    ``merge="distributed"`` reduces them with a ``groupby(query_id)``
+    shuffle instead, so 10⁵+ simultaneous queries never funnel through
+    the driver."""
     ref = ray.put(np.asarray(query_vecs, dtype=dtype))
     partials = ds.map_batches(
         _TopKPartial, batch_format="pyarrow",
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
                                    id_col=id_col, dtype=dtype),
         concurrency=concurrency)
-    pdf = partials.to_pandas()   # ≤ k × n_blocks × n_queries rows — small
-    pdf = pdf.sort_values(["query_id", "score", "vec_id"],
-                          ascending=[True, False, True], kind="stable")
-    out = pdf.groupby("query_id", group_keys=False).head(k).reset_index(
-        drop=True)
-    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
-    return out
+
+    def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                              ascending=[True, False, True], kind="stable")
+        out = pdf.groupby("query_id", group_keys=False).head(
+            k).reset_index(drop=True)
+        out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+        return out
+
+    if merge == "distributed":
+        reduced = partials.groupby("query_id").map_groups(
+            lambda g: _finalize(g), batch_format="pandas")
+        return _finalize(reduced.to_pandas())   # tiny: nq × k rows
+
+    return _finalize(partials.to_pandas())
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:

@@ -162,3 +162,15 @@ def test_embedding_dedup_finds_planted():
     c = res.set_index("vec_id")["cluster_id"]
     assert c[100] == 0 and c[101] == 1
     assert not res[res["vec_id"] < 100]["is_duplicate"].any()
+
+
+def test_knn_distributed_merge_equals_driver_merge():
+    m, tbl = _embeddings(n=300)
+    ds = rd.from_arrow(tbl)
+    q = m[:4]
+    a = SIM.knn_bruteforce(ds, q, k=7, merge="driver")
+    b = SIM.knn_bruteforce(rd.from_arrow(tbl), q, k=7, merge="distributed")
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"])
