@@ -36,6 +36,8 @@ __all__ = [
     "sessionize",
     "sliding_sum_count",
     "sliding_mean",
+    "sliding_min_max",
+    "time_range_sum_count",
     "mattr",
 ]
 
