@@ -1,0 +1,303 @@
+"""Distributed graph clustering + bucketed hash-join primitives.
+
+These are the scale-out replacements for the round-1 driver funnel in the
+near-dedup pipelines (driver brief; no reference analog — the reference
+has no dedup):
+
+* :func:`attach_values` — bucketed hash join: attach value columns from a
+  lookup table onto a fact table on an equality key. One all-to-all over
+  the union of both sides; the per-bucket probe is a vectorized
+  ``np.searchsorted`` + Arrow ``take`` (no per-row Python).
+* :func:`connected_components` — distributed connected components over an
+  edge list via alternating large-star / small-star rounds (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+  algorithm). Each half-round is ONE bucketed exchange; rounds needed =
+  O(log² n) worst case, 2–3 in practice for near-dup clusters (small
+  diameter). No driver-side union-find, no corpus-sized ``to_pandas``.
+* :func:`assign_clusters` — final (id → cluster label) assignment as one
+  more bucketed join; emits (id, cluster_id, is_duplicate).
+
+Partitioning assumption: a single hash bucket of edges / lookup rows fits
+one task's heap (buckets are hash-uniform over ids; raise ``num_buckets``
+for bigger graphs — the exchange shape is unchanged).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .partition import stable_bucket
+from .window import bucketed_apply
+
+_SIDE = "__cc_side"        # 0 = fact rows, 1 = lookup rows
+
+
+def _empty_like(field: pa.Field, n: int) -> pa.Array:
+    return pa.nulls(n, type=field.type)
+
+
+def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
+                  lookup_key: str, value_cols: Sequence[str],
+                  rename: Mapping[str, str] | None = None,
+                  how: str = "inner", num_buckets: int = 32,
+                  dup: str = "min") -> Dataset:
+    """Distributed equi-join: attach ``value_cols`` of ``lookup`` onto
+    ``fact`` rows where ``fact[fact_key] == lookup[lookup_key]``.
+
+    Both sides are tagged, unioned, hash-bucketed by the key, and joined
+    per bucket with a sorted ``np.searchsorted`` probe — one all-to-all
+    total, never a driver materialization. ``how`` ∈ {"inner", "left"}.
+    Duplicate lookup keys keep the ``dup`` aggregate ("min"/"first") of
+    each value column, so the join never fans out rows.
+    """
+    rename = dict(rename or {})
+    out_names = [rename.get(c, c) for c in value_cols]
+    fact_schema = fact.schema()
+    lk_schema = lookup.schema()
+    lk_types = {n: t for n, t in zip(lk_schema.names, lk_schema.types)}
+    fact_cols = list(fact_schema.names)
+    ftypes = dict(zip(fact_schema.names, fact_schema.types))
+    # unified schema: fact cols + __cc_side + renamed value cols
+    uni_value_fields = [pa.field(out, lk_types[c])
+                        for c, out in zip(value_cols, out_names)]
+
+    def tag_fact(tbl: pa.Table) -> pa.Table:
+        tbl = tbl.append_column(_SIDE, pa.array(
+            np.zeros(len(tbl), dtype=np.int8)))
+        for f in uni_value_fields:
+            tbl = tbl.append_column(f.name, _empty_like(f, len(tbl)))
+        return tbl
+
+    def tag_lookup(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        cols = {}
+        for name in fact_cols:
+            if name == fact_key:
+                cols[name] = tbl[lookup_key].cast(ftypes[fact_key])
+            else:
+                cols[name] = _empty_like(pa.field(name, ftypes[name]), n)
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        for c, out in zip(value_cols, out_names):
+            cols[out] = tbl[c]
+        return pa.table(cols)
+
+    left = fact.map_batches(tag_fact, batch_format="pyarrow")
+    right = lookup.select_columns(
+        list(dict.fromkeys([lookup_key, *value_cols]))).map_batches(
+        tag_lookup, batch_format="pyarrow")
+    unioned = left.union(right)
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl[_SIDE].to_numpy(zero_copy_only=False)
+        is_lk = side == 1
+        lk = tbl.filter(pa.array(is_lk))
+        ft = tbl.filter(pa.array(~is_lk))
+        ft = ft.drop_columns([_SIDE, *out_names])
+        if len(ft) == 0:
+            return _with_null_values(ft, uni_value_fields)
+        keys = lk[fact_key].to_numpy(zero_copy_only=False)
+        # duplicate keys: searchsorted(side="left") lands on the FIRST row
+        # of a run; pre-sorting by (key, value) makes that the min value
+        if dup == "min" and len(keys) and not pa.types.is_nested(
+                uni_value_fields[0].type):
+            vals = lk[out_names[0]].to_numpy(zero_copy_only=False)
+            order = np.lexsort((vals, keys))
+        else:
+            order = np.argsort(keys, kind="stable")
+        skeys = keys[order]
+        fkeys = ft[fact_key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, fkeys, side="left")
+        pos_c = np.clip(pos, 0, max(len(skeys) - 1, 0))
+        matched = (len(skeys) > 0) & (pos < len(skeys))
+        if len(skeys):
+            matched = matched & (skeys[pos_c] == fkeys)
+        else:
+            matched = np.zeros(len(fkeys), dtype=bool)
+        if how == "inner":
+            if not matched.all():
+                ft = ft.filter(pa.array(matched))
+                pos_c = pos_c[matched]
+            take_idx = pa.array(order[pos_c].astype(np.int64)) \
+                if len(pos_c) else pa.array([], type=pa.int64())
+            for f in uni_value_fields:
+                col = lk[f.name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                ft = ft.append_column(f.name, col.take(take_idx))
+            return ft
+        # how == "left": null where unmatched
+        src = order[pos_c] if len(skeys) else np.zeros(len(fkeys), np.int64)
+        idx = pa.array(src.astype(np.int64), mask=~matched)
+        for f in uni_value_fields:
+            col = lk[f.name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ft = ft.append_column(f.name, col.take(idx) if len(lk)
+                                  else _empty_like(f, len(ft)))
+        return ft
+
+    return bucketed_apply(unioned, fact_key, join_bucket,
+                          num_buckets=num_buckets)
+
+
+def _with_null_values(ft: pa.Table, fields) -> pa.Table:
+    for f in fields:
+        ft = ft.append_column(f.name, _empty_like(f, len(ft)))
+    return ft
+
+
+# ---------------------------------------------------------------------------
+# Connected components (alternating star rounds)
+# ---------------------------------------------------------------------------
+
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _edge_checksum_arrays(u: np.ndarray, v: np.ndarray):
+    """Order/partition-insensitive (sum-combined) digest of an edge list."""
+    with np.errstate(over="ignore"):
+        h = (u.astype(np.uint64) * np.uint64(0x100000001B3)) ^ \
+            (v.astype(np.uint64) + _MIX1)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+    return int(h.sum(dtype=np.uint64)), len(u)
+
+
+def _canonicalize(tbl: pa.Table) -> pa.Table:
+    """(a,b) → canonical directed (u=big, v=small), self-loops dropped."""
+    a = tbl["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    u = np.maximum(a, b)
+    v = np.minimum(a, b)
+    return pa.table({"u": pa.array(u), "v": pa.array(v)})
+
+
+def _both_directions(tbl: pa.Table) -> pa.Table:
+    u = tbl["u"].to_numpy(zero_copy_only=False)
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    return pa.table({"x": pa.array(np.concatenate([u, v])),
+                     "y": pa.array(np.concatenate([v, u]))})
+
+
+def _large_star_bucket(tbl: pa.Table) -> pa.Table:
+    """Per bucket of both-direction rows grouped by x: for each x with
+    neighborhood Γ(x), m = min(Γ(x) ∪ {x}); emit canonical (y, m) for every
+    y ∈ Γ(x) with y > x. Vectorized over sorted runs; per-bucket dedup."""
+    x = tbl["x"].to_numpy(zero_copy_only=False)
+    y = tbl["y"].to_numpy(zero_copy_only=False)
+    if len(x) == 0:
+        return pa.table({"u": pa.array([], type=pa.int64()),
+                         "v": pa.array([], type=pa.int64())})
+    order = np.lexsort((y, x))
+    x, y = x[order], y[order]
+    # drop duplicate (x, y) rows (exact per-bucket dedup of the multiset)
+    keep = np.r_[True, (x[1:] != x[:-1]) | (y[1:] != y[:-1])]
+    x, y = x[keep], y[keep]
+    starts = np.r_[np.flatnonzero(np.r_[True, x[1:] != x[:-1]]), len(x)]
+    m_run = np.minimum(np.minimum.reduceat(y, starts[:-1]), x[starts[:-1]])
+    run_id = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+    m = m_run[run_id]
+    sel = y > x
+    return pa.table({"u": pa.array(y[sel].astype(np.int64)),
+                     "v": pa.array(m[sel].astype(np.int64))})
+
+
+def _small_star_bucket(tbl: pa.Table) -> pa.Table:
+    """Per bucket of canonical (u, v) rows grouped by u (v < u always):
+    m = min over the run's v; emit (v, m) for v ≠ m plus (u, m)."""
+    u = tbl["u"].to_numpy(zero_copy_only=False)
+    v = tbl["v"].to_numpy(zero_copy_only=False)
+    if len(u) == 0:
+        return pa.table({"u": pa.array([], type=pa.int64()),
+                         "v": pa.array([], type=pa.int64())})
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    u, v = u[keep], v[keep]
+    starts = np.r_[np.flatnonzero(np.r_[True, u[1:] != u[:-1]]), len(u)]
+    m_run = np.minimum.reduceat(v, starts[:-1])
+    run_id = np.repeat(np.arange(len(starts) - 1), np.diff(starts))
+    m = m_run[run_id]
+    sel = v != m
+    out_u = np.concatenate([v[sel], u[starts[:-1]]])
+    out_v = np.concatenate([m[sel], m_run])
+    return pa.table({"u": pa.array(out_u.astype(np.int64)),
+                     "v": pa.array(out_v.astype(np.int64))})
+
+
+def _edge_stats(edges: Dataset) -> tuple:
+    """(checksum, count) over the edge Dataset — tiny per-block partials."""
+    def digest(tbl: pa.Table) -> pa.Table:
+        s, n = _edge_checksum_arrays(
+            tbl["u"].to_numpy(zero_copy_only=False),
+            tbl["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"chk": pa.array([s], type=pa.uint64()),
+                         "n": pa.array([n], type=pa.int64())})
+    parts = edges.map_batches(digest, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return (0, 0)
+    chk = parts["chk"].to_numpy(dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        total = chk.sum(dtype=np.uint64)
+    return (int(total), int(parts["n"].sum()))
+
+
+def connected_components(edges: Dataset, num_buckets: int = 32,
+                         max_rounds: int = 25) -> Dataset:
+    """Distributed CC over an (a, b) edge Dataset → (node, label) Dataset
+    with ``label`` = min node id of the component; root nodes are omitted
+    (their label is themselves).
+
+    Alternating large-star / small-star; each half-round is one bucketed
+    all-to-all; converged when the canonical edge set is stable (checksum +
+    count — the label multiset is monotone non-increasing, so a stable
+    digest means a fixpoint). Only the O(1)-sized digest ever reaches the
+    driver.
+    """
+    cur = edges.map_batches(_canonicalize, batch_format="pyarrow")
+    prev_stats = None
+    for _ in range(max_rounds):
+        both = cur.map_batches(_both_directions, batch_format="pyarrow")
+        ls = bucketed_apply(both, "x", _large_star_bucket,
+                            num_buckets=num_buckets, drop_bucket=False)
+        cur = bucketed_apply(ls, "u", _small_star_bucket,
+                             num_buckets=num_buckets,
+                             drop_bucket=False).materialize()
+        stats = _edge_stats(cur)
+        if stats == prev_stats:
+            break
+        prev_stats = stats
+    # fixpoint edges are (member → root); collapse residual duplicates by
+    # min label per member inside the final assignment join (dup="min").
+    def rename(tbl: pa.Table) -> pa.Table:
+        return pa.table({"node": tbl["u"], "label": tbl["v"]})
+    return cur.map_batches(rename, batch_format="pyarrow")
+
+
+def assign_clusters(ids: Dataset, labels: Dataset, id_col: str = "doc_id",
+                    num_buckets: int = 32) -> Dataset:
+    """(id) ⟕ (node → label) → (id, cluster_id, is_duplicate), one bucketed
+    exchange; ids with no label are their own cluster representative."""
+    import pyarrow.compute as pc
+    joined = attach_values(ids, id_col, labels, "node", ["label"],
+                           how="left", num_buckets=num_buckets, dup="min")
+
+    def finalize(tbl: pa.Table) -> pa.Table:
+        ids_arr = tbl[id_col]
+        lab = tbl["label"]
+        cluster = pc.coalesce(lab, ids_arr)
+        return pa.table({
+            id_col: ids_arr,
+            "cluster_id": cluster.cast(pa.int64()),
+            "is_duplicate": pc.not_equal(cluster.cast(pa.int64()),
+                                         ids_arr.cast(pa.int64())),
+        })
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

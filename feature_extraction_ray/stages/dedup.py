@@ -13,11 +13,16 @@ SURVEY §2.7):
 * :func:`ngram_jaccard` — exact n-gram Jaccard for a pair list
   (verification primitive / golden oracle for the LSH path).
 
-Scale notes: signatures are verified via broadcast lookup here (fine up to
-~10⁸ docs × 128 perms); at larger scale replace with a hash-join of pairs
-against the signature table on doc_id — the band/bucket shuffle shape is
-unchanged. Candidate buckets are capped (``max_bucket``) and the count of
-dropped buckets logged, never silently.
+Scale notes: every stage is a Dataset transform. Pair verification is a
+hash-join of the pair list against the signature table on doc_id
+(``verify_pairs_distributed``), clustering is distributed connected
+components (``stages/cc.py`` — alternating star rounds), and the final
+per-id assignment is one more bucketed join; the driver only ever sees
+O(1) digests. Candidate buckets are capped (``max_bucket``) — a hot
+bucket means near-identical boilerplate where a representative pairing
+suffices for clustering. ``verify_pairs_by_signature`` (broadcast) and
+``_connected_components`` (union-find) remain as small-scale test
+oracles for the distributed paths.
 """
 
 from __future__ import annotations
@@ -234,25 +239,65 @@ def _pairs_of_shard_factory(max_bucket: int):
     return pairs_of_shard
 
 
-def candidate_pairs(sig_ds: Dataset, max_bucket: int = 64) -> pd.DataFrame:
-    """Banded-LSH candidate pairs: explode (doc, band) rows, group by
-    (band_idx, band_hash), emit all pairs inside each bucket.
+def candidate_pairs_ds(sig_ds: Dataset, max_bucket: int = 64,
+                       num_buckets: int = 32) -> Dataset:
+    """Banded-LSH candidate pairs as a Dataset: explode (doc, band) rows,
+    group by (band_idx, band_hash), emit all pairs inside each bucket.
 
     Buckets larger than ``max_bucket`` are truncated to their smallest
-    ``max_bucket`` doc_ids (logged via the returned frame's ``truncated``
-    attr) — a hot bucket means near-identical boilerplate where any
-    representative pairing suffices for clustering.
+    ``max_bucket`` doc_ids — a hot bucket means near-identical boilerplate
+    where any representative pairing suffices for clustering. The same
+    pair may be emitted from several bands; downstream verification and
+    clustering are duplicate-tolerant, so no global dedup shuffle is spent
+    on it.
     """
     from .window import bucketed_apply
     exploded = sig_ds.map_batches(_explode_bands, batch_format="pyarrow")
-    pairs = bucketed_apply(exploded, "band_hash",
-                           _pairs_of_shard_factory(max_bucket),
-                           num_buckets=32, drop_bucket=False)
-    pdf = pairs.to_pandas()
+    return bucketed_apply(exploded, "band_hash",
+                          _pairs_of_shard_factory(max_bucket),
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+def candidate_pairs(sig_ds: Dataset, max_bucket: int = 64) -> pd.DataFrame:
+    """Driver-side convenience wrapper around :func:`candidate_pairs_ds`
+    (small/interactive inputs only — the dedup pipelines use the Dataset
+    form end-to-end)."""
+    pdf = candidate_pairs_ds(sig_ds, max_bucket).to_pandas()
     if len(pdf) == 0:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64")})
     return pdf.drop_duplicates(["a", "b"]).reset_index(drop=True)
+
+
+def verify_pairs_distributed(pairs: Dataset, sig_ds: Dataset,
+                             threshold: float,
+                             num_buckets: int = 32) -> Dataset:
+    """Distributed pair verification: hash-join the pair list against the
+    signature table on each endpoint (two bucketed exchanges — never a
+    driver materialization), then keep pairs whose MinHash agreement
+    fraction (estimated Jaccard) ≥ ``threshold``."""
+    from .cc import attach_values
+    sigs = sig_ds.select_columns(["doc_id", "minhash_sig"])
+    wa = attach_values(pairs, "a", sigs, "doc_id", ["minhash_sig"],
+                       rename={"minhash_sig": "__sig_a"},
+                       num_buckets=num_buckets)
+    wb = attach_values(wa, "b", sigs, "doc_id", ["minhash_sig"],
+                       rename={"minhash_sig": "__sig_b"},
+                       num_buckets=num_buckets)
+
+    def keep_similar(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        if n == 0:
+            return tbl.select(["a", "b"])
+        num_perm = tbl["__sig_a"].type.list_size
+        sa = tbl["__sig_a"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(n, num_perm)
+        sb = tbl["__sig_b"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).reshape(n, num_perm)
+        est = (sa == sb).mean(axis=1)
+        return tbl.select(["a", "b"]).filter(pa.array(est >= threshold))
+
+    return wb.map_batches(keep_similar, batch_format="pyarrow")
 
 
 def verify_pairs_by_signature(pairs: pd.DataFrame, sig_ds: Dataset,
@@ -295,28 +340,54 @@ def _connected_components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def _cluster_output(ids_ds: Dataset, pairs: Dataset, id_col: str,
+                    num_buckets: int, output: str):
+    """Shared tail of every near-dup pipeline: distributed connected
+    components over the verified pair list, then one bucketed join to map
+    every id to its cluster label. Nothing corpus-sized touches the
+    driver; ``output="pandas"`` materializes only the FINAL
+    (id, cluster_id, is_duplicate) result for interactive use."""
+    from .cc import assign_clusters, connected_components
+    pairs = pairs.materialize()
+    if pairs.count() == 0:
+        def trivial(tbl: pa.Table) -> pa.Table:
+            ids = tbl[id_col].cast(pa.int64())
+            return pa.table({id_col: ids, "cluster_id": ids,
+                             "is_duplicate": pa.array(
+                                 np.zeros(len(tbl), dtype=bool))})
+        out = ids_ds.map_batches(trivial, batch_format="pyarrow")
+    else:
+        labels = connected_components(pairs, num_buckets=num_buckets)
+        out = assign_clusters(ids_ds, labels, id_col=id_col,
+                              num_buckets=num_buckets)
+    if output == "dataset":
+        return out
+    return (out.to_pandas().sort_values(id_col)
+            .reset_index(drop=True))
+
+
 def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8) -> pd.DataFrame:
-    """Full near-dup pipeline. Returns a frame (doc_id, cluster_id,
-    is_duplicate): ``cluster_id`` = min doc_id of the near-dup cluster,
-    ``is_duplicate`` True for every non-representative member."""
+                      threshold: float = 0.8, num_buckets: int = 32,
+                      output: str = "pandas"):
+    """Full near-dup pipeline: signatures → banded candidates → hash-join
+    signature verification → distributed connected components (see
+    ``stages/cc.py``) → per-id cluster assignment. Returns (doc_id,
+    cluster_id, is_duplicate): ``cluster_id`` = min doc_id of the near-dup
+    cluster, ``is_duplicate`` True for every non-representative member.
+
+    Every stage is a Dataset transform; the driver only sees O(1) digests
+    (and the final frame when ``output="pandas"`` — pass
+    ``output="dataset"`` at corpus scale and write it to parquet).
+    """
     sig_ds = minhash_signatures(ds, text_col, id_col, num_perm, bands,
                                 shingle_k).materialize()
-    pairs = candidate_pairs(sig_ds)
-    verified = verify_pairs_by_signature(pairs, sig_ds, threshold)
-    comp = _connected_components(verified)
-    all_ids = np.sort(np.concatenate(
-        [t["doc_id"].to_numpy(zero_copy_only=False)
-         for t in [ray.get(r) for r in
-                   sig_ds.select_columns(["doc_id"]).to_arrow_refs()]]))
-    cluster = np.array([comp.get(i, i) for i in all_ids])
-    return pd.DataFrame({
-        "doc_id": all_ids,
-        "cluster_id": cluster,
-        "is_duplicate": cluster != all_ids,
-    })
+    pairs = candidate_pairs_ds(sig_ds, num_buckets=num_buckets)
+    verified = verify_pairs_distributed(pairs, sig_ds, threshold,
+                                        num_buckets=num_buckets)
+    return _cluster_output(sig_ds.select_columns(["doc_id"]), verified,
+                           "doc_id", num_buckets, output)
 
 
 # ---------------------------------------------------------------------------
@@ -385,11 +456,14 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_dedup(ds: Dataset, text_col: str = "text",
-                  id_col: str = "doc_id",
-                  max_hamming: int = 3) -> pd.DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_buckets: int = 16, output: str = "pandas"):
     """Near-dup clusters by SimHash: candidates share any 16-bit band
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
-    verified by exact Hamming distance."""
+    verified by exact Hamming distance via a hash-join of the pair list
+    against the (doc_id, simhash) table — same fully-distributed tail as
+    :func:`minhash_lsh_dedup`."""
+    from .cc import attach_values
     sig = simhash_signatures(ds, text_col, id_col).materialize()
 
     def explode(tbl: pa.Table) -> pa.Table:
@@ -409,24 +483,24 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
     from .window import bucketed_apply
     pairs_ds = bucketed_apply(exploded, "band_hash",
                               _pairs_of_shard_factory(max_bucket=256),
-                              num_buckets=16, drop_bucket=False)
-    pairs = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
-    if len(pairs) == 0:
-        ids = sig.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
-        return pd.DataFrame({"doc_id": np.sort(ids),
-                             "cluster_id": np.sort(ids),
-                             "is_duplicate": np.zeros(len(ids), bool)})
-    sg = sig.select_columns(["doc_id", "simhash"]).to_pandas()
-    pos = pd.Series(sg["simhash"].to_numpy(),
-                    index=sg["doc_id"].to_numpy())
-    ha = pos[pairs["a"].to_numpy()].to_numpy()
-    hb = pos[pairs["b"].to_numpy()].to_numpy()
-    pairs = pairs[hamming64(ha, hb) <= max_hamming]
-    comp = _connected_components(pairs)
-    all_ids = np.sort(sg["doc_id"].to_numpy())
-    cluster = np.array([comp.get(i, i) for i in all_ids])
-    return pd.DataFrame({"doc_id": all_ids, "cluster_id": cluster,
-                         "is_duplicate": cluster != all_ids})
+                              num_buckets=num_buckets, drop_bucket=False)
+    hashes = sig.select_columns(["doc_id", "simhash"])
+    wa = attach_values(pairs_ds, "a", hashes, "doc_id", ["simhash"],
+                       rename={"simhash": "__h_a"}, num_buckets=num_buckets)
+    wb = attach_values(wa, "b", hashes, "doc_id", ["simhash"],
+                       rename={"simhash": "__h_b"}, num_buckets=num_buckets)
+
+    def keep_close(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.select(["a", "b"])
+        ha = tbl["__h_a"].to_numpy(zero_copy_only=False)
+        hb = tbl["__h_b"].to_numpy(zero_copy_only=False)
+        ok = hamming64(ha, hb) <= max_hamming
+        return tbl.select(["a", "b"]).filter(pa.array(ok))
+
+    verified = wb.map_batches(keep_close, batch_format="pyarrow")
+    return _cluster_output(sig.select_columns(["doc_id"]), verified,
+                           "doc_id", num_buckets, output)
 
 
 # ---------------------------------------------------------------------------

@@ -22,9 +22,6 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .dedup import _connected_components
-
-
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.clip(n, 1e-12, None)
@@ -291,9 +288,19 @@ def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
 
 def embedding_dedup(ds: Dataset, threshold: float = 0.95,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    bits: int = 6, seed: int = 11) -> pd.DataFrame:
+                    bits: int = 6, seed: int = 11,
+                    max_bucket: int = 4096, num_buckets: int = 16,
+                    output: str = "pandas"):
     """Near-dup by embedding cosine: hyperplane buckets → in-bucket pairwise
-    cosine ≥ threshold → connected components (cluster = min id)."""
+    cosine ≥ threshold → distributed connected components (cluster = min
+    id, same tail as the MinHash/SimHash pipelines — see ``stages/cc.py``).
+
+    The in-bucket all-pairs matmul is O(b²); buckets are capped at
+    ``max_bucket`` smallest ids (a hot bucket is boilerplate where a
+    representative pairing suffices), mirroring the MinHash
+    ``max_bucket`` guard. Raise ``bits`` to shrink buckets at corpus
+    scale."""
+    from .dedup import _cluster_output
     first = ds.take(1)
     dim = len(first[0][vec_col]) if first else 0
     planes = _hyperplanes(dim, bits, seed)
@@ -306,25 +313,40 @@ def embedding_dedup(ds: Dataset, threshold: float = 0.95,
             "__bucket_lsh": pa.array(b.astype(np.int64)),
         })
 
-    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        m = _norm_rows(np.stack(
-            [np.asarray(v, dtype=np.float32) for v in g[vec_col]]))
-        ids = g[id_col].to_numpy()
-        sims = m @ m.T
-        i, j = np.triu_indices(len(ids), k=1)
-        keep = sims[i, j] >= threshold
-        return pd.DataFrame({"a": ids[i[keep]], "b": ids[j[keep]]})
+    def pairs_of_shard(tbl: pa.Table) -> pa.Table:
+        """All LSH buckets hashed into this shard: per-bucket capped
+        all-pairs cosine, vectorized (one zero-copy matrix per shard,
+        one matmul per bucket)."""
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(tbl) < 2:
+            return empty
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bks = tbl["__bucket_lsh"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bks))
+        ids, bks, m = ids[order], bks[order], m[order]
+        starts = np.r_[np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]]),
+                       len(bks)]
+        a_out, b_out = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            e = min(e, s + max_bucket)
+            if e - s < 2:
+                continue
+            sub = m[s:e]
+            sims = sub @ sub.T
+            i, j = np.triu_indices(e - s, k=1)
+            keep = sims[i, j] >= threshold
+            a_out.append(ids[s:e][i[keep]])
+            b_out.append(ids[s:e][j[keep]])
+        if not a_out:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_out)),
+                         "b": pa.array(np.concatenate(b_out))})
 
+    from .window import bucketed_apply
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
-    pairs = bucketed.groupby("__bucket_lsh").map_groups(
-        pairs_of_bucket, batch_format="pandas").to_pandas()
-    pairs = pairs.astype({"a": "int64", "b": "int64"}) if len(pairs) else pairs
-    comp = _connected_components(pairs) if len(pairs) else {}
-    all_ids = np.sort(ds.select_columns([id_col]).to_pandas()[
-        id_col].to_numpy())
-    cluster = np.array([comp.get(i, i) for i in all_ids]) \
-        if len(all_ids) else all_ids
-    return pd.DataFrame({id_col: all_ids, "cluster_id": cluster,
-                         "is_duplicate": cluster != all_ids})
+    pairs = bucketed_apply(bucketed, "__bucket_lsh", pairs_of_shard,
+                           num_buckets=num_buckets, drop_bucket=False)
+    return _cluster_output(ds.select_columns([id_col]), pairs, id_col,
+                           num_buckets, output)
