@@ -6,11 +6,22 @@
   the global top-k. Communication = k rows per (query, block), never the
   corpus.
 * :func:`knn_lsh` — scale path: random-hyperplane signatures bucket the
-  corpus (one ``map_batches`` + ``groupby``); queries probe their own and
-  neighboring buckets (multi-probe by flipping the lowest-margin bits).
-  Approximate; recall measured against brute force in tests.
+  corpus (one streaming ``map_batches`` pass); queries probe their own
+  and neighboring buckets (multi-probe by flipping the lowest-margin
+  bits). Probed candidates are scored INSIDE ``map_batches`` against the
+  broadcast query matrix — they never reach the driver. Approximate;
+  recall measured against brute force in tests.
+* :func:`knn_ivf` — IVF variant: bounded-sample k-means centroids,
+  streaming cell assignment, per-query ``n_probe`` cells; same
+  in-cluster scoring + merge tail as LSH.
 * :func:`embedding_dedup` — near-dup by cosine ≥ threshold via the same
-  hyperplane buckets + verified pairwise cosine + connected components.
+  hyperplane buckets (capped per-shard all-pairs) + distributed
+  connected components (``stages/cc.py``).
+
+Top-k merges: per-block partials reduce either on the driver
+(interactive) or via one bucketed exchange with a vectorized per-shard
+top-k (``merge="distributed"``/``"dataset"``) — safe for 10⁵+ query
+batches.
 """
 
 from __future__ import annotations
@@ -93,21 +104,152 @@ def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
         fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
                                    id_col=id_col, dtype=dtype),
         concurrency=concurrency)
+    return _merge_topk(partials, k, merge)
 
-    def _finalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["query_id", "score", "vec_id"],
-                              ascending=[True, False, True], kind="stable")
-        out = pdf.groupby("query_id", group_keys=False).head(
-            k).reset_index(drop=True)
-        out["rank"] = out.groupby("query_id").cumcount().astype("int64")
-        return out
 
-    if merge == "distributed":
-        reduced = partials.groupby("query_id").map_groups(
-            lambda g: _finalize(g), batch_format="pandas")
-        return _finalize(reduced.to_pandas())   # tiny: nq × k rows
+def _finalize_topk(pdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Deterministic top-k per query from partial rows: sort by (query,
+    score desc, vec_id asc) and rank — ties always break on vec_id."""
+    pdf = pdf.sort_values(["query_id", "score", "vec_id"],
+                          ascending=[True, False, True], kind="stable")
+    out = pdf.groupby("query_id", group_keys=False).head(
+        k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype("int64")
+    return out
 
-    return _finalize(partials.to_pandas())
+
+def _topk_shard_factory(k: int):
+    """Vectorized exact top-k per query over one shard of partial rows
+    (every row of a query is in the shard): one lexsort, run-relative
+    ranks, keep rank < k. No per-query Python calls — safe for 10⁵+
+    queries per shard."""
+    def topk_shard(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64()),
+                             "rank": pa.array([], type=pa.int64())})
+        qid = tbl["query_id"].to_numpy(zero_copy_only=False)
+        vid = tbl["vec_id"].to_numpy(zero_copy_only=False)
+        sc = tbl["score"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -sc, qid))
+        qid, vid, sc = qid[order], vid[order], sc[order]
+        starts = np.flatnonzero(np.r_[True, qid[1:] != qid[:-1]])
+        run_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, len(qid)]))
+        rank = np.arange(len(qid)) - starts[run_id]
+        keep = rank < k
+        return pa.table({
+            "query_id": pa.array(qid[keep].astype(np.int64)),
+            "vec_id": pa.array(vid[keep].astype(np.int64)),
+            "score": pa.array(sc[keep].astype(np.float64)),
+            "rank": pa.array(rank[keep].astype(np.int64))})
+    return topk_shard
+
+
+def _merge_topk(partials: Dataset, k: int, merge: str):
+    """Reduce per-block top-k partials to the global top-k per query.
+
+    ``merge="driver"`` collects k × n_blocks rows per query — fine for
+    interactive query counts. ``merge="distributed"`` reduces with one
+    bucketed exchange on query_id and a vectorized per-shard top-k, so
+    10⁵+ simultaneous queries never funnel through the driver; the final
+    frame is only nq × k rows. ``merge="dataset"`` is the same reduce but
+    returns the Dataset (write it to parquet at batch scale)."""
+    if merge in ("distributed", "dataset"):
+        from .window import bucketed_apply
+        reduced = bucketed_apply(partials, "query_id",
+                                 _topk_shard_factory(k), num_buckets=32,
+                                 drop_bucket=False)
+        if merge == "dataset":
+            return reduced
+        return (reduced.to_pandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True))
+    pdf = partials.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return _finalize_topk(pdf, k)
+
+
+class _ProbedTopK:
+    """Actor for bucketed ANN scoring: holds the normalized query matrix
+    plus a bucket→query-index mapping (both ``ray.put`` once). Per batch:
+    keep only rows whose bucket any query probes, group rows by bucket
+    (sorted runs), one matmul per (bucket, probing-queries) pair, emit
+    local top-k rows (query_id, vec_id, score). Candidates never leave
+    the cluster; the driver sees only merged top-k partials."""
+
+    def __init__(self, queries_ref, bucket2q_ref, k: int, vec_col: str,
+                 id_col: str, bucket_col: str):
+        self.q = _norm_rows(np.asarray(ray.get(queries_ref),
+                                       dtype=np.float32))
+        self.b2q = ray.get(bucket2q_ref)      # dict bucket -> np.ndarray qidx
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.bucket_col = bucket_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if len(batch) == 0:
+            return empty
+        bks = batch[self.bucket_col].to_numpy(zero_copy_only=False)
+        m = _norm_rows(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bks, kind="stable")
+        bks, m, ids = bks[order], m[order], ids[order]
+        starts = np.r_[np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]]),
+                       len(bks)]
+        qs, vs, ss = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            qidx = self.b2q.get(int(bks[s]))
+            if qidx is None:
+                continue
+            scores = self.q[qidx] @ m[s:e].T        # (nq_probe, run)
+            kk = min(self.k, e - s)
+            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            qs.append(np.repeat(qidx.astype(np.int64), part.shape[1]))
+            vs.append(ids[s:e][part.reshape(-1)])
+            ss.append(np.take_along_axis(scores, part, axis=1).reshape(-1))
+        if not qs:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(qs)),
+            "vec_id": pa.array(np.concatenate(vs)),
+            "score": pa.array(np.concatenate(ss).astype(np.float64))})
+
+
+def _probed_topk(bucketed: Dataset, q: np.ndarray, probe_lists,
+                 k: int, vec_col: str, id_col: str, bucket_col: str,
+                 merge: str, concurrency) -> pd.DataFrame:
+    """Shared tail of knn_lsh / knn_ivf: prune to probed buckets, score
+    inside ``map_batches`` against the broadcast query set, merge."""
+    b2q: dict = {}
+    for qi, buckets in enumerate(probe_lists):
+        for b in buckets:
+            b2q.setdefault(int(b), []).append(qi)
+    b2q = {b: np.asarray(qs, dtype=np.int64) for b, qs in b2q.items()}
+    wanted_arr = pa.array(sorted(b2q), type=pa.int64())
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.filter(pa.compute.is_in(t[bucket_col],
+                                         value_set=wanted_arr))
+
+    partials = bucketed.map_batches(prune, batch_format="pyarrow") \
+        .map_batches(_ProbedTopK, batch_format="pyarrow",
+                     fn_constructor_kwargs=dict(
+                         queries_ref=ray.put(q), bucket2q_ref=ray.put(b2q),
+                         k=k, vec_col=vec_col, id_col=id_col,
+                         bucket_col=bucket_col),
+                     concurrency=concurrency)
+    return _merge_topk(partials, k, merge)
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 11) -> np.ndarray:
@@ -123,10 +265,15 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            bits: int = 8, probes: int = 8, seed: int = 11) -> pd.DataFrame:
+            bits: int = 8, probes: int = 8, seed: int = 11,
+            merge: str = "driver",
+            concurrency=(1, 8)) -> pd.DataFrame:
     """Approximate top-k: hyperplane-bucket the corpus, probe each query's
     bucket plus the ``probes-1`` buckets reached by flipping its
-    lowest-|margin| bits, brute-force within the probed set."""
+    lowest-|margin| bits, score the probed set INSIDE ``map_batches``
+    against the broadcast query matrix (candidates never reach the
+    driver), merge per-block top-k partials (``merge="distributed"`` for
+    batch query sets)."""
     q = _norm_rows(np.asarray(query_vecs, dtype=np.float32))
     planes = _hyperplanes(q.shape[1], bits, seed)
 
@@ -166,37 +313,8 @@ def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
                 mask |= 1 << int(bit)
             buckets.add(int(base_id[qi]) ^ mask)
         probe_sets.append(buckets)
-    wanted = sorted(set().union(*probe_sets)) if probe_sets else []
-
-    wanted_arr = pa.array(wanted, type=pa.int64())
-    sub = bucketed.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["__bucket_lsh"],
-                                            value_set=wanted_arr)),
-        batch_format="pyarrow")
-    cand = sub.to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
-                             "rank": []})
-    mat = _norm_rows(np.stack(
-        [np.asarray(v, dtype=np.float32) for v in cand[vec_col]]))
-    ids = cand[id_col].to_numpy()
-    bks = cand["__bucket_lsh"].to_numpy()
-    frames = []
-    for qi in range(len(q)):
-        mask = np.isin(bks, list(probe_sets[qi]))
-        if not mask.any():
-            continue
-        sc = mat[mask] @ q[qi]
-        sel_ids = ids[mask]
-        kk = min(k, len(sc))
-        top = np.argsort(-sc, kind="stable")[:kk]
-        frames.append(pd.DataFrame({
-            "query_id": qi, "vec_id": sel_ids[top].astype(np.int64),
-            "score": sc[top].astype(np.float64),
-            "rank": np.arange(kk, dtype=np.int64)}))
-    return (pd.concat(frames).reset_index(drop=True) if frames
-            else pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
-                               "rank": []}))
+    return _probed_topk(bucketed, q, probe_sets, k, vec_col, id_col,
+                        "__bucket_lsh", merge, concurrency)
 
 
 def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10,
@@ -227,11 +345,15 @@ def _kmeans_lite(sample: np.ndarray, k: int, iters: int = 10,
 def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             n_centroids: int = 16, n_probe: int = 4,
-            sample_size: int = 2048, seed: int = 23) -> pd.DataFrame:
+            sample_size: int = 2048, seed: int = 23,
+            merge: str = "driver",
+            concurrency=(1, 8)) -> pd.DataFrame:
     """IVF ANN: cluster a sample into ``n_centroids`` (driver-side seeded
-    k-means), broadcast the centroids, assign every vector to its nearest
-    centroid in one ``map_batches``, then brute-force only the vectors in
-    each query's ``n_probe`` nearest cells.
+    k-means on a bounded sample), broadcast the centroids, assign every
+    vector to its nearest centroid in one ``map_batches``, then score only
+    the vectors in each query's ``n_probe`` nearest cells — inside
+    ``map_batches`` against the broadcast query matrix, so candidates
+    never reach the driver.
 
     The scale path next to :func:`knn_lsh`: at corpus scale the centroid
     fit touches a bounded sample, the assignment is one streaming pass,
@@ -255,35 +377,9 @@ def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
 
     assigned = ds.map_batches(assign, batch_format="pyarrow")
     qcells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
-    wanted = pa.array(sorted(set(qcells.reshape(-1).tolist())),
-                      type=pa.int64())
-    cand = assigned.map_batches(
-        lambda t: t.filter(pa.compute.is_in(t["__ivf_cell"],
-                                            value_set=wanted)),
-        batch_format="pyarrow").to_pandas()
-    if len(cand) == 0:
-        return pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
-                             "rank": []})
-    mat = _norm_rows(np.stack(
-        [np.asarray(v, dtype=np.float32) for v in cand[vec_col]]))
-    ids = cand[id_col].to_numpy()
-    cells = cand["__ivf_cell"].to_numpy()
-    frames = []
-    for qi in range(len(q)):
-        mask = np.isin(cells, qcells[qi])
-        if not mask.any():
-            continue
-        sc = mat[mask] @ q[qi]
-        sel = ids[mask]
-        kk = min(k, len(sc))
-        order = np.lexsort((sel, -sc))[:kk]
-        frames.append(pd.DataFrame({
-            "query_id": qi, "vec_id": sel[order].astype(np.int64),
-            "score": sc[order].astype(np.float64),
-            "rank": np.arange(kk, dtype=np.int64)}))
-    return (pd.concat(frames).reset_index(drop=True) if frames
-            else pd.DataFrame({"query_id": [], "vec_id": [], "score": [],
-                               "rank": []}))
+    return _probed_topk(assigned, q, [row.tolist() for row in qcells],
+                        k, vec_col, id_col, "__ivf_cell", merge,
+                        concurrency)
 
 
 def embedding_dedup(ds: Dataset, threshold: float = 0.95,

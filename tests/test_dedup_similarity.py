@@ -174,3 +174,46 @@ def test_knn_distributed_merge_equals_driver_merge():
     b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
     np.testing.assert_allclose(a["score"], b["score"])
+
+
+def test_knn_lsh_distributed_equals_driver_and_batch_queries():
+    # many queries: candidates are scored inside map_batches; the driver
+    # only sees top-k partials (and only nq x k rows on distributed merge)
+    rng = np.random.default_rng(31)
+    pts = rng.standard_normal((400, 16)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float32)), 16)})
+    ds = rd.from_arrow(tbl)
+    q = pts[:64] + 0.01
+    a = SIM.knn_lsh(ds, q, k=5, bits=6, probes=8, merge="driver")
+    b = SIM.knn_lsh(rd.from_arrow(tbl), q, k=5, bits=6, probes=8,
+                    merge="distributed")
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    np.testing.assert_allclose(a["score"], b["score"], rtol=1e-5)
+
+
+def test_knn_ivf_distributed_merge_and_dataset_output():
+    rng = np.random.default_rng(37)
+    pts = rng.standard_normal((300, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float32)), 8)})
+    q = pts[:32]
+    a = SIM.knn_ivf(rd.from_arrow(tbl), q, k=5, n_centroids=8, n_probe=3,
+                    merge="driver")
+    b = SIM.knn_ivf(rd.from_arrow(tbl), q, k=5, n_centroids=8, n_probe=3,
+                    merge="distributed")
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
+    ds_out = SIM.knn_ivf(rd.from_arrow(tbl), q, k=5, n_centroids=8,
+                         n_probe=3, merge="dataset")
+    assert not isinstance(ds_out, pd.DataFrame)
+    c = ds_out.to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert c["vec_id"].tolist() == a["vec_id"].tolist()
