@@ -117,34 +117,115 @@ class TokenCount:
 
 
 FP_BASE = np.uint64(1099511628211)
+FP_OFFSET = np.uint64(14695981039346656037)
 
 
 def rolling_fingerprint(word_hashes: np.ndarray) -> np.uint64:
     """Order-sensitive polynomial rolling hash of a word-hash sequence."""
-    h = np.uint64(14695981039346656037)
+    h = FP_OFFSET
     with np.errstate(over="ignore"):
         for w in word_hashes:
             h = h * FP_BASE + np.uint64(w)
     return h
 
 
+def hash_words_array(flat: pa.Array) -> np.ndarray:
+    """FNV-1a hash (``hash_word``-identical) of a word column, hashing
+    each UNIQUE word once via dictionary-encode + gather — corpus word
+    streams repeat a small vocabulary, so this is ~5-10× cheaper than
+    hashing every occurrence."""
+    from .partition import _stable_hash_strings
+    if len(flat) == 0:
+        return np.zeros(0, dtype=np.uint64)
+    de = flat.dictionary_encode()
+    uh = _stable_hash_strings(de.dictionary)
+    return uh[de.indices.to_numpy(zero_copy_only=False)]
+
+
+def _segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-doc sums over flat values; zero (not repeated-neighbor) for
+    empty segments — the reduceat empty-segment fix in one place."""
+    n = len(offsets) - 1
+    out = np.zeros(n, dtype=values.dtype)
+    if len(values) == 0:
+        return out
+    lens = np.diff(offsets)
+    nonempty = lens > 0
+    with np.errstate(over="ignore"):
+        out[nonempty] = np.add.reduceat(values, offsets[:-1][nonempty])
+    return out
+
+
+def _split_flat(txt: pa.ChunkedArray | pa.Array):
+    """Python-``str.split()``-equivalent whitespace tokenization for a
+    whole column at once: trim → split → mask the lone empty token a
+    trimmed-empty doc produces (that is the ONLY way split-after-trim
+    emits an empty word, so real-word accounting is an O(#empty-docs)
+    fixup, not a full-stream pass). Returns (flat_words, flat word
+    lengths (int32), doc offsets, real-word mask, per-doc real counts)."""
+    import pyarrow.compute as pc
+    words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(txt))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    flat_len = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        if len(flat) else np.zeros(0, dtype=np.int32)
+    row_len = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    offsets = np.zeros(len(row_len) + 1, dtype=np.int64)
+    np.cumsum(row_len, out=offsets[1:])
+    n_real = row_len.copy()
+    lone = np.flatnonzero(row_len == 1)
+    empty_docs = lone[flat_len[offsets[:-1][lone]] == 0] if len(lone) \
+        else lone
+    real = None
+    if len(empty_docs):
+        n_real[empty_docs] = 0
+        real = np.ones(len(flat), dtype=bool)
+        real[offsets[:-1][empty_docs]] = False
+    return flat, flat_len, offsets, real, n_real
+
+
+def _rolling_fp_batch(word_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Vectorized per-doc rolling fingerprint: the sequential
+    ``h = h*B + w`` recurrence expands to ``OFFSET·Bᴸ + Σ wᵢ·B^(L-1-i)``
+    (mod 2⁶⁴), so one power-table lookup + segmented sum replaces the
+    per-word Python loop. Bit-identical to :func:`rolling_fingerprint`."""
+    n_docs = len(counts)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    max_l = int(counts.max()) if n_docs else 0
+    pows = np.empty(max_l + 1, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for e in range(1, max_l + 1):
+            pows[e] = pows[e - 1] * FP_BASE
+        # exponent of word i = (doc_end - 1) - i, one repeat + one arange
+        exp = np.repeat(offsets[1:] - 1, counts) - \
+            np.arange(len(word_hashes), dtype=np.int64)
+        terms = word_hashes * pows[exp]
+        out = FP_OFFSET * pows[counts]
+        out += _segment_sum(terms, offsets)
+    return out
+
+
 class Fingerprint:
     """64-bit order-sensitive document fingerprint (rolling hash over word
-    hashes) — identical normalized content ⇒ identical fingerprint."""
+    hashes) — identical normalized content ⇒ identical fingerprint.
+    Vectorized: Arrow split → one flat FNV pass → power-table polynomial
+    per doc (no per-word Python loop)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "fingerprint"):
         self.text_col = text_col
         self.out_col = out_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                h = np.uint64(14695981039346656037)
-                for w in t.split():
-                    h = h * FP_BASE + np.uint64(hash_word(w))
-                out[i] = h
+        flat, flat_len, offsets, real, n_real = _split_flat(
+            batch[self.text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+        wh = hash_words_array(flat)
+        out = _rolling_fp_batch(wh, n_real)
         return batch.append_column(self.out_col,
                                    pa.array(out.astype(np.int64)))
 
@@ -159,37 +240,131 @@ def hash_word(w: str) -> int:
 
 class TextAnalyzer:
     """Fused single-pass analyzer: langid + quality + token counts +
-    fingerprint in ONE actor pool. Chaining four separate pools starves
-    small clusters (each pool reserves ≥1 CPU) and re-parses the text four
-    times; state for all four analyses loads once here."""
+    fingerprint in ONE actor pool — and ONE Arrow/numpy pass: the text
+    column is split once (Arrow `utf8_split_whitespace`), word hashes /
+    lengths / stopword hits are computed over the FLAT word array, and
+    every per-doc statistic is a segmented sum (`np.add.reduceat`) —
+    no `.map(lambda)` row loops anywhere (this is the most CPU-heavy
+    non-shuffle stage of a corpus pass). Values match the single-purpose
+    `LangId`/`QualityScore`/`TokenCount`/`Fingerprint` stages, which stay
+    as the readable reference implementations (regex char-class caveat:
+    counts use RE2 — ASCII `\\w`/`\\d`/`\\s` — matching the DuckDB
+    oracle; identical to Python `re` on ASCII text).
 
-    def __init__(self, text_col: str = "text"):
+    Chaining four separate pools starves small clusters (each pool
+    reserves ≥1 CPU) and re-parses the text four times; state for all
+    four analyses loads once here.
+    """
+
+    _LANG_TOKEN_CLEAN = r"[^a-zA-ZäöüßéèêàâçñáíóúÀ-ÿ']+"
+    _PUNCT = r"[^\w\s]"
+    _DIGIT = r"\d"
+    _BPE = r"\d|[^\w\s]|\w{1,4}"
+
+    def __init__(self, text_col: str = "text", min_score: float = 0.02):
         self.text_col = text_col
-        self.langid = LangId(text_col)
-        self.quality = QualityScore(text_col)
-        self.tokens = TokenCount(text_col)
-        self.fp = Fingerprint(text_col)
+        self.min_score = min_score
+        self.langs = list(_STOPWORDS)
+        self.lang_sets = {lang: pa.array(sorted(ws))
+                          for lang, ws in _STOPWORDS.items()}
+        self.en_stop = pa.array(sorted(_STOPWORDS["en"]))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch = self.langid(batch)
-        batch = self.quality(batch)
-        batch = self.tokens(batch)
-        texts = batch[self.text_col].tolist()
-        out = np.empty(len(texts), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                h = np.uint64(14695981039346656037)
-                for w in t.split():
-                    h = h * FP_BASE + np.uint64(hash_word(w))
-                out[i] = h
-        batch["fingerprint"] = out.astype(np.int64)
+    def _call_table(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        from .partition import _stable_hash_strings
+        txt = batch[self.text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n_docs = len(txt)
+
+        # ---- langid over regex-token stream (lowercased) ----
+        low = pc.utf8_lower(txt)
+        cleaned = pc.replace_substring_regex(
+            low, pattern=self._LANG_TOKEN_CLEAN, replacement=" ")
+        tflat, _tlen, toff, treal, tn = _split_flat(cleaned)
+        scores = np.zeros((len(self.langs), n_docs), dtype=np.float64)
+        denom = np.maximum(tn, 1).astype(np.float64)
+        if len(tflat):
+            tde = tflat.dictionary_encode()       # hash each unique token
+            tcodes = tde.indices.to_numpy(zero_copy_only=False)
+            for li, lang in enumerate(self.langs):
+                hu = pc.is_in(tde.dictionary,
+                              value_set=self.lang_sets[lang]) \
+                    .to_numpy(zero_copy_only=False).astype(np.int32)
+                scores[li] = _segment_sum(hu[tcodes], toff) / denom
+        best = scores.argmax(axis=0)
+        best_score = scores.max(axis=0)
+        lang_arr = np.array(self.langs, dtype=object)[best]
+        lang_arr[(best_score <= self.min_score) | (tn == 0)] = "und"
+
+        # ---- quality + token counts over the whitespace word stream ----
+        flat, flat_len, offsets, real, n_words = _split_flat(txt)
+        n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sum_len = _segment_sum(flat_len, offsets)
+        has_words = n_words > 0
+        fdenom = np.maximum(n_words, 1).astype(np.float64)
+        mean_word_len = sum_len / fdenom
+        if len(flat):
+            fde = flat.dictionary_encode()        # unique-word lookups
+            fcodes = fde.indices.to_numpy(zero_copy_only=False)
+            su = pc.is_in(fde.dictionary, value_set=self.en_stop) \
+                .to_numpy(zero_copy_only=False).astype(np.int32)
+            stop_flat = su[fcodes]
+        else:
+            stop_flat = np.zeros(0, dtype=np.int32)
+        stop_ratio = _segment_sum(stop_flat, offsets) / fdenom
+        long_frac = _segment_sum((flat_len > 6).astype(np.int32),
+                                 offsets) / fdenom
+        punct = pc.count_substring_regex(txt, pattern=self._PUNCT) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        digit = pc.count_substring_regex(txt, pattern=self._DIGIT) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        char_denom = np.maximum(n_chars, 1).astype(np.float64)
+        bpe = pc.count_substring_regex(txt, pattern=self._BPE) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+
+        # ---- fingerprint over real words (reuse the word dictionary) ----
+        if len(flat):
+            uh = _stable_hash_strings(fde.dictionary)
+            wh = uh[fcodes] if real is None else uh[fcodes[real]]
+        else:
+            wh = np.zeros(0, dtype=np.uint64)
+        fp = _rolling_fp_batch(wh, n_words)
+
+        nan_mask = ~has_words
+        batch = batch.append_column("lang_pred",
+                                    pa.array(lang_arr, type=pa.string()))
+        batch = batch.append_column("q_n_chars", pa.array(n_chars))
+        batch = batch.append_column("q_n_words", pa.array(n_words))
+        for name, vals in (("q_mean_word_len", mean_word_len),
+                           ("q_stopword_ratio", stop_ratio)):
+            batch = batch.append_column(name, pa.array(vals, mask=nan_mask))
+        batch = batch.append_column("q_punct_ratio",
+                                    pa.array(punct / char_denom))
+        batch = batch.append_column("q_digit_ratio",
+                                    pa.array(digit / char_denom))
+        batch = batch.append_column("q_long_word_frac",
+                                    pa.array(long_frac, mask=nan_mask))
+        batch = batch.append_column("n_tok_ws", pa.array(n_words))
+        batch = batch.append_column("n_tok_bpe", pa.array(bpe))
+        batch = batch.append_column("fingerprint",
+                                    pa.array(fp.astype(np.int64)))
         return batch
+
+    def __call__(self, batch):
+        if isinstance(batch, pd.DataFrame):      # unit-test convenience
+            return self._call_table(
+                pa.Table.from_pandas(batch, preserve_index=False)
+            ).to_pandas()
+        return self._call_table(batch)
 
 
 def analyze_text(ds: Dataset, text_col: str = "text",
                  concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
-    """Full text-analysis pass (one fused actor pool, one text parse)."""
+    """Full text-analysis pass (one fused actor pool, one text parse,
+    zero-copy Arrow batches)."""
     return ds.map_batches(TextAnalyzer,
                           fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pandas", batch_size=batch_size,
+                          batch_format="pyarrow", batch_size=batch_size,
                           concurrency=concurrency)

@@ -67,3 +67,54 @@ def test_fused_analyzer_matches_parts():
     parts = TokenCount()(QualityScore()(LangId()(df.copy())))
     for c in ["lang_pred", "q_n_words", "n_tok_ws"]:
         assert fused[c].tolist() == parts[c].tolist()
+
+
+def test_stable_hash_matches_hash_word():
+    import pyarrow as pa
+    from feature_extraction_ray.stages.partition import _stable_hash_strings
+    words = ["hello", "a", "", "Straße", "x" * 50, "the"]
+    got = _stable_hash_strings(pa.array(words))
+    for w, h in zip(words, got):
+        assert int(h) == hash_word(w), w
+
+
+def test_fused_analyzer_full_parity_with_reference_stages():
+    """The vectorized fused pass must reproduce every column of the
+    single-purpose pandas stages bit-for-bit (ASCII inputs)."""
+    texts = [
+        "the cat sat on the mat and it was a good day for this",
+        "der Hund ist mit der Katze und das ist nicht ein Problem",
+        "  leading and trailing   whitespace  ",
+        "punct! lots, of; punct? yes... 123 42 7",
+        "oneword",
+        "supercalifragilistic words exceeding six chars repeatedly",
+        "",
+        "   ",
+        "tabs\tand\nnewlines mixed   in between words",
+    ]
+    df = pd.DataFrame({"text": texts})
+    fused = TextAnalyzer()(df.copy())
+    ref = TokenCount()(QualityScore()(LangId()(df.copy())))
+    import pyarrow as pa
+    fp_ref = Fingerprint()(pa.table({"text": texts}))["fingerprint"] \
+        .to_pylist()
+    assert fused["lang_pred"].tolist() == ref["lang_pred"].tolist()
+    for c in ["q_n_chars", "q_n_words", "n_tok_ws", "n_tok_bpe"]:
+        assert fused[c].tolist() == ref[c].tolist(), c
+    for c in ["q_mean_word_len", "q_stopword_ratio", "q_punct_ratio",
+              "q_digit_ratio", "q_long_word_frac"]:
+        np.testing.assert_array_equal(
+            fused[c].to_numpy(), ref[c].to_numpy(), err_msg=c)
+    assert fused["fingerprint"].tolist() == fp_ref
+
+
+def test_vectorized_fingerprint_matches_rolling_loop():
+    from feature_extraction_ray.stages.text import rolling_fingerprint
+    texts = ["a b c", "", "one", "x y z w v u t s"]
+    import pyarrow as pa
+    got = Fingerprint()(pa.table({"text": texts}))["fingerprint"].to_pylist()
+    for t, g in zip(texts, got):
+        hs = np.array([hash_word(w) for w in t.split()], dtype=np.uint64)
+        exp = int(rolling_fingerprint(hs))
+        assert (g & 0xFFFFFFFFFFFFFFFF) == exp or \
+            np.int64(np.uint64(exp)) == g
