@@ -510,8 +510,7 @@ FROM events
 
 
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
-    events = _read(sf_dir, "events",
-                   ["event_id", "ts", "user_id"]).repartition(16)
+    events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(sf_dir, "orders",
                    ["o_custkey", "o_orderdate", "o_totalprice"])
     # NO dedup shuffle needed: the as-of merge takes the LAST right row
@@ -678,18 +677,16 @@ def hapax_by_source(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents", ["text", "source"])
 
     def partial_counts(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        src = t["source"].to_pylist()
-        texts = t["text"].to_pylist()
-        rows_s, rows_w = [], []
-        for s, txt in zip(src, texts):
-            ws = txt.split(" ")
-            rows_s.extend([s] * len(ws))
-            rows_w.extend(ws)
-        df = pd.DataFrame({"source": rows_s, "word": rows_w})
-        out = df.groupby(["source", "word"], sort=False).size().reset_index(
-            name="cnt")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # vectorized: Arrow split -> flatten -> repeat keys -> C++ groupby
+        words = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), n))
+        tb = pa.table({"source": t["source"].take(idx),
+                       "word": words.flatten()})
+        out = tb.group_by(["source", "word"]).aggregate([([], "count_all")])
+        return out.rename_columns(["source", "word", "cnt"])
 
     pairs = ds.map_batches(partial_counts, batch_format="pyarrow")
     word_counts = pairs.groupby(["source", "word"]).aggregate(
@@ -733,18 +730,16 @@ def vocab_filter(sf_dir: str) -> Dataset:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def doc_word_counts(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"].to_pylist()
-        rows_i, rows_w = [], []
-        for i, txt in zip(ids, texts):
-            ws = txt.split(" ")
-            rows_i.extend([i] * len(ws))
-            rows_w.extend(ws)
-        df = pd.DataFrame({"doc_id": rows_i, "word": rows_w})
-        out = df.groupby(["doc_id", "word"], sort=False).size().reset_index(
-            name="occ")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # vectorized: Arrow split -> flatten -> repeat keys -> C++ groupby
+        words = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        idx = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), n))
+        tb = pa.table({"doc_id": t["doc_id"].take(idx),
+                       "word": words.flatten()})
+        out = tb.group_by(["doc_id", "word"]).aggregate([([], "count_all")])
+        return out.rename_columns(["doc_id", "word", "occ"])
 
     # one row per (doc, word) — exact because a document is one input row
     pairs = ds.map_batches(doc_word_counts, batch_format="pyarrow")
@@ -904,6 +899,38 @@ def embedding_dedup_docs(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99)
 
 
+def embedding_dedup_brute(sf_dir: str):
+    """Embedding near-dup with ``bits=0`` (single bucket → exact all-pairs
+    cosine scan) so the DISTRIBUTED clustering tail (pair scan → star-round
+    connected components → assignment, ``stages/cc.py``) is verified
+    against a DuckDB recursive-CTE transitive-closure oracle. Threshold
+    0.45 sits ≥5e-3 from every sf0.01 cosine, so float32 scoring can't
+    flip a pair. The LSH-bucketed variant stays rows-only (bucketing is
+    recall-approximate by design)."""
+    from ..stages.similarity import embedding_dedup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dedup(ds, threshold=0.45, bits=0,
+                           max_bucket=10**6, output="dataset")
+
+
+EMBEDDING_DEDUP_BRUTE_SQL = """
+WITH RECURSIVE pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+), edges AS (
+    SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS vec_id, min(r) AS cluster_id,
+       min(r) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
 def knn_embeddings_ivf(sf_dir: str):
     import pyarrow.parquet as _pq
     from ..stages.similarity import knn_ivf
@@ -928,6 +955,55 @@ def text_analysis_docs(sf_dir: str) -> Dataset:
     from ..stages.text import analyze_text
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     return analyze_text(ds)
+
+
+def text_quality_docs(sf_dir: str) -> Dataset:
+    """The SQL-expressible core of the fused text-analysis pass (quality
+    ratios + token counts), projected so the whole row is hash-checked
+    against a DuckDB regexp oracle. langid + fingerprint stay in the
+    rows-only ``text_analysis_docs``."""
+    from ..stages.text import analyze_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return analyze_text(ds).select_columns(
+        ["doc_id", "q_n_chars", "q_n_words", "q_mean_word_len",
+         "q_stopword_ratio", "q_punct_ratio", "q_digit_ratio",
+         "q_long_word_frac", "n_tok_ws", "n_tok_bpe"])
+
+
+TEXT_QUALITY_DOCS_SQL = r"""
+WITH w AS (
+    SELECT doc_id, word
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+          FROM documents)
+    WHERE len(word) > 0
+), agg AS (
+    SELECT doc_id, count(*) AS n_words,
+           sum(len(word)) AS sum_len,
+           sum(CASE WHEN word IN ('the','and','of','a','to','in','is',
+               'it','that','for','on','with','as','was','at','by','an',
+               'be','this') THEN 1 ELSE 0 END) AS stop_hits,
+           sum(CASE WHEN len(word) > 6 THEN 1 ELSE 0 END) AS long_words
+    FROM w GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.text) AS q_n_chars,
+       COALESCE(a.n_words, 0) AS q_n_words,
+       CAST(a.sum_len AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_mean_word_len,
+       CAST(a.stop_hits AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_stopword_ratio,
+       CAST(len(regexp_extract_all(d.text, '[^\w\s]')) AS DOUBLE)
+           / CAST(greatest(len(d.text), 1) AS DOUBLE) AS q_punct_ratio,
+       CAST(len(regexp_extract_all(d.text, '\d')) AS DOUBLE)
+           / CAST(greatest(len(d.text), 1) AS DOUBLE) AS q_digit_ratio,
+       CAST(a.long_words AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_long_word_frac,
+       COALESCE(a.n_words, 0) AS n_tok_ws,
+       CAST(len(regexp_extract_all(d.text, '\d|[^\w\s]|\w{1,4}'))
+            AS BIGINT) AS n_tok_bpe
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
 
 
 def flagship_session_features(sf_dir: str) -> Dataset:
@@ -1058,9 +1134,11 @@ QUERIES = {
     "minhash_dedup_docs": minhash_dedup_docs,
     "simhash_docs": simhash_docs,
     "embedding_dedup_docs": embedding_dedup_docs,
+    "embedding_dedup_brute": embedding_dedup_brute,
     "knn_embeddings_lsh": knn_embeddings_lsh,
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "text_analysis_docs": text_analysis_docs,
+    "text_quality_docs": text_quality_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,
@@ -1105,6 +1183,11 @@ ORACLE_SQL = {
     "events_daily_rollup": EVENTS_DAILY_ROLLUP_SQL,
     "docs_min_word_gate": DOCS_MIN_WORD_GATE_SQL,
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
-    # minhash/simhash/embedding dedup, LSH knn, text analysis, flagship:
-    # non-SQL-expressible → rows-only driver check + pytest goldens
+    "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
+    "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
+    # minhash/simhash/bucketed-embedding dedup (recall-approximate by
+    # design; their exact tails are oracle-checked via
+    # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),
+    # langid/fingerprint, flagship, ASR packs: non-SQL-expressible →
+    # rows-only driver check + pytest goldens
 }
