@@ -1006,6 +1006,26 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+def truecase_docs(sf_dir: str) -> Dataset:
+    """M4/A3: corpus-trained truecasing (distributed casing fit →
+    broadcast → vectorized rewrite). Rows-only — the fitted model is not
+    SQL-expressible; fit/apply semantics golden-tested."""
+    from ..stages.textprep import truecase_rewrite
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return truecase_rewrite(ds, out_col="text_truecased")
+
+
+def tag_lemma_docs(sf_dir: str) -> Dataset:
+    """M5/M6/A1/A4: per-document Penn tags + morphy lemmas from the
+    self-contained lexicon tagger (``stages/tagger.py``; actor-pool state,
+    unique-word tagging, vectorized context fixups). Rows-only — the
+    tagger model is not SQL-expressible; sequence semantics are
+    golden-tested in ``tests/test_tagger_liwc.py``."""
+    from ..stages.tagger import tag_and_lemmatize
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tag_and_lemmatize(ds).select_columns(["doc_id", "pos", "lemmas"])
+
+
 def flagship_session_features(sf_dir: str) -> Dataset:
     from .flagship import flagship
     return flagship(sf_dir)
@@ -1139,6 +1159,8 @@ QUERIES = {
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "text_analysis_docs": text_analysis_docs,
     "text_quality_docs": text_quality_docs,
+    "tag_lemma_docs": tag_lemma_docs,
+    "truecase_docs": truecase_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,

@@ -77,23 +77,24 @@ _VOWELS = set("aeiouy")
 
 
 def syllable_count(word: str) -> int:
-    """Vowel-group heuristic syllable counter (textstat stand-in, G2:
-    ``extract_verbosity_stats.py:39-53`` uses textstat.syllable_count —
-    the library is absent here; this counts maximal vowel runs with a
-    silent-final-e adjustment, min 1)."""
+    """The classic public-domain English syllable heuristic (the
+    algorithm early textstat releases used for
+    ``textstat.syllable_count``, G2: ``extract_verbosity_stats.py:39-53``
+    — the library itself is absent here, the algorithm is public): count
+    vowel-group onsets, subtract a silent final ``e``, add back a
+    consonant+``le`` ending, floor at 1."""
     w = "".join(ch for ch in word.lower() if ch.isalpha())
     if not w:
         return 0
-    groups = 0
-    prev_vowel = False
-    for ch in w:
-        is_v = ch in _VOWELS
-        if is_v and not prev_vowel:
-            groups += 1
-        prev_vowel = is_v
-    if w.endswith("e") and not w.endswith(("le", "ee")) and groups > 1:
-        groups -= 1
-    return max(groups, 1)
+    count = 1 if w[0] in _VOWELS else 0
+    for i in range(1, len(w)):
+        if w[i] in _VOWELS and w[i - 1] not in _VOWELS:
+            count += 1
+    if w.endswith("e"):
+        count -= 1
+    if w.endswith("le") and len(w) > 2 and w[-3] not in _VOWELS:
+        count += 1
+    return max(count, 1)
 
 
 def syllable_features(segments) -> dict:
@@ -141,10 +142,27 @@ def liwc_demo_features(segments) -> dict:
 
 
 def pos_demo_features(segments) -> dict:
-    """G6 POS pack over the stub tagger (swap in a real tagger per M6)."""
+    """G6 POS pack over the stub tagger (deterministic test default)."""
     from .lexicon import pos_features
     from .textprep import fake_pos_tag
     tagged = [[(str(w), fake_pos_tag(str(w))) for w in seg]
+              for seg in segments]
+    return pos_features(tagged)
+
+
+def pos_real_features(segments) -> dict:
+    """G6 POS pack over the self-contained lexicon/suffix/context tagger
+    (``stages/tagger.py`` — the real-morphology replacement for the stub;
+    sequence-aware, so tags reflect TO/MD and DT contexts like
+    ``extract_pos.py:86-94``'s NLTK run would)."""
+    from .lexicon import pos_features
+    from .tagger import EnglishTagger
+    global _EN_TAGGER
+    try:
+        tagger = _EN_TAGGER
+    except NameError:
+        tagger = _EN_TAGGER = EnglishTagger()
+    tagged = [list(zip(map(str, seg), tagger.tag([str(w) for w in seg])))
               for seg in segments]
     return pos_features(tagged)
 
@@ -156,7 +174,8 @@ FEATURE_REGISTRY: dict[str, Callable] = {
     "syllables": syllable_features,      # word segments
     "non_verbal": non_verbal_features,   # word segments
     "liwc": liwc_demo_features,          # word segments
-    "pos": pos_demo_features,            # word segments
+    "pos": pos_demo_features,            # word segments (stub tagger)
+    "pos_real": pos_real_features,       # word segments (lexicon tagger)
 }
 
 

@@ -15,6 +15,64 @@ from __future__ import annotations
 from typing import Mapping, Sequence
 
 
+def parse_liwc_dic(text: str) -> dict[str, list[str]]:
+    """Parse the standard LIWC ``.dic`` format (the format itself is
+    public; the 2007 dictionary CONTENT is licensed and must be supplied
+    by the user) into a ``{category: [entries...]}`` mapping ready for
+    :class:`TokenTrie`.
+
+    Format: a ``%``-delimited header of ``id<TAB>name`` category rows,
+    then ``word[*]<TAB>id id ...`` entry rows (``extract_liwc_2007.py:15``
+    loads the same file via ``liwc.load_token_parser``). Conditional
+    groups in parentheses / angle brackets (a LIWC2007 quirk on a handful
+    of entries) are ignored with their ids, matching common open-source
+    loaders' behavior.
+    """
+    lines = [ln.rstrip("\n") for ln in text.splitlines()]
+    cat_by_id: dict[str, str] = {}
+    cats: dict[str, list[str]] = {}
+    in_header = False
+    header_done = False
+    for ln in lines:
+        s = ln.strip()
+        if not s:
+            continue
+        if s == "%":
+            if not in_header and not header_done:
+                in_header = True
+            else:
+                in_header = False
+                header_done = True
+            continue
+        if in_header:
+            parts = s.split()
+            if len(parts) >= 2 and parts[0].isdigit():
+                cat_by_id[parts[0]] = parts[1]
+                cats.setdefault(parts[1], [])
+            continue
+        # entry row: word followed by category ids; drop conditionals
+        parts = s.split()
+        if not parts:
+            continue
+        word = parts[0].lower()
+        depth = 0
+        for tok in parts[1:]:
+            depth += tok.count("(") + tok.count("<")
+            closing = tok.count(")") + tok.count(">")
+            if depth == 0 and tok.isdigit():
+                name = cat_by_id.get(tok)
+                if name is not None:
+                    cats[name].append(word)
+            depth = max(depth - closing, 0)
+    return cats
+
+
+def load_liwc_dic(path: str) -> dict[str, list[str]]:
+    """Read a LIWC ``.dic`` file from disk → :func:`parse_liwc_dic`."""
+    with open(path, encoding="utf-8", errors="replace") as f:
+        return parse_liwc_dic(f.read())
+
+
 class TokenTrie:
     """Prefix trie: exact entries and ``prefix*`` wildcard entries map a
     token (or space-joined n-gram) to its category list."""

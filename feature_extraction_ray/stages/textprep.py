@@ -184,6 +184,128 @@ def apply_phrases(ds: Dataset, phrase_table: dict,
                           concurrency=(1, 8))
 
 
+# ---------------------------------------------------------------------------
+# M4 / A3 — corpus-trained truecaser (two-pass fit-then-map)
+# ---------------------------------------------------------------------------
+
+def fit_truecase(ds: Dataset, text_col: str = "text",
+                 min_count: int = 1) -> dict:
+    """A3: fit a Moses-style truecasing model from the corpus itself —
+    the reference restores case with the ``truecase`` package
+    (``text_features/text_util.py`` imports; model = most frequent surface
+    form per word, trained on NON-sentence-initial positions so
+    sentence-start capitalization doesn't pollute the statistics; that
+    training trick is the standard published recipe).
+
+    Distributed: one ``map_batches`` pass emits pre-aggregated
+    (lower, surface, cnt) partials (sentence-initial words skipped), one
+    ``groupby`` sums them, and the driver keeps only the argmax surface
+    per word (ties broken lexicographically for determinism). Returns
+    ``{lower: best_surface}`` restricted to words whose best form differs
+    from lowercase — the broadcast model stays vocabulary-sized.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def partial(tbl: pa.Table) -> pa.Table:
+        sents = pc.split_pattern_regex(tbl[text_col], pattern=r"[.!?]+")
+        if isinstance(sents, pa.ChunkedArray):
+            sents = sents.combine_chunks()
+        flat_sent = pc.utf8_trim_whitespace(sents.flatten())
+        words = pc.utf8_split_whitespace(flat_sent)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"lower": pa.array([], type=pa.string()),
+                             "surface": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        # mask the first word of every sentence
+        starts = np.zeros(len(n) + 1, dtype=np.int64)
+        np.cumsum(n, out=starts[1:])
+        keep = np.ones(len(flat), dtype=bool)
+        keep[starts[:-1][n > 0]] = False
+        kept = flat.filter(pa.array(keep))
+        kept = kept.filter(pc.greater(pc.utf8_length(kept), 0))
+        tb = pa.table({"lower": pc.utf8_lower(kept), "surface": kept})
+        out = tb.group_by(["lower", "surface"]).aggregate(
+            [([], "count_all")])
+        return out.rename_columns(["lower", "surface", "cnt"])
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["lower", "surface"]).aggregate(Sum("cnt",
+                                                     alias_name="cnt"))
+    pdf = counts.to_pandas()
+    if len(pdf) == 0:
+        return {}
+    pdf = pdf[pdf["cnt"] >= min_count]
+    pdf = pdf.sort_values(["lower", "cnt", "surface"],
+                          ascending=[True, False, True], kind="stable")
+    best = pdf.drop_duplicates("lower", keep="first")
+    return {lo: s for lo, s in zip(best["lower"], best["surface"])
+            if s != lo}
+
+
+def apply_truecase(ds: Dataset, model: dict, text_col: str = "text",
+                   out_col: str | None = None) -> Dataset:
+    """M4: broadcast the truecase model once, rewrite every word to its
+    most frequent surface form (whitespace-normalized output, single
+    spaces — the reference applies this to normalized ASR transcripts).
+    Vectorized: unique words mapped once per batch, gathered back, joined
+    with ``pc.binary_join``."""
+    import numpy as np
+    import pyarrow.compute as pc
+    out_col = out_col or text_col
+    ref = ray.put(model)
+
+    class Truecaser:
+        def __init__(self):
+            self.model = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            words = pc.utf8_split_whitespace(
+                pc.utf8_trim_whitespace(batch[text_col]))
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            flat = words.flatten()
+            if len(flat):
+                de = flat.dictionary_encode()
+                uniq = de.dictionary.to_pylist()
+                mapped = pa.array(
+                    [self.model.get(w.lower(), w) for w in uniq],
+                    type=pa.string())
+                codes = de.indices
+                new_flat = mapped.take(codes)
+            else:
+                new_flat = pa.array([], type=pa.string())
+            lens = pc.list_value_length(words).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            np.cumsum(lens, out=offs[1:])
+            lst = pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32)), new_flat)
+            joined = pc.binary_join(lst, " ")
+            if out_col in batch.column_names:
+                batch = batch.set_column(
+                    batch.column_names.index(out_col),
+                    pa.field(out_col, pa.string()), joined)
+            else:
+                batch = batch.append_column(out_col, joined)
+            return batch
+
+    return ds.map_batches(Truecaser, batch_format="pyarrow",
+                          concurrency=(1, 8))
+
+
+def truecase_rewrite(ds: Dataset, text_col: str = "text",
+                     out_col: str | None = None,
+                     min_count: int = 1) -> Dataset:
+    """Full M4/A3 flow: distributed casing fit → broadcast → rewrite."""
+    model = fit_truecase(ds, text_col, min_count)
+    return apply_truecase(ds, model, text_col, out_col)
+
+
 def bigram_trigram_rewrite(ds: Dataset, text_col: str = "text",
                            min_count: int = 5,
                            threshold: float = 10.0) -> Dataset:
