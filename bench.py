@@ -87,6 +87,37 @@ def run_bench() -> dict:
         per_query[name] = round(time.perf_counter() - t0, 3)
 
     if bench_queries:
+        # amplified LLM-data-operator entries (repeat>=20 per the round-1
+        # review): distributed dedup clustering, fused text analysis, and
+        # a batch ANN query set with the distributed top-k merge
+        from feature_extraction_ray.fixtures import amplified_documents
+        from feature_extraction_ray.stages.dedup import minhash_lsh_dedup
+        from feature_extraction_ray.stages.text import analyze_text
+        amp = max(20, min(REPEAT, 100))
+        t0 = time.perf_counter()
+        n = minhash_lsh_dedup(amplified_documents(SF_DIR, amp),
+                              output="dataset").count()
+        per_query[f"minhash_dedup_x{amp}"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        analyze_text(amplified_documents(SF_DIR, amp)).count()
+        per_query[f"text_analysis_x{amp}"] = round(
+            time.perf_counter() - t0, 3)
+        import numpy as np
+        import pyarrow.parquet as _pq
+        from feature_extraction_ray.stages.similarity import knn_lsh
+        etbl = _pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                              columns=["embedding"])
+        q = np.array(etbl["embedding"].to_pylist(), dtype=np.float32)
+        q = np.tile(q, (4, 1))[:2000] + 0.01     # 2000-query batch
+        import ray.data as rd
+        eds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        t0 = time.perf_counter()
+        knn_lsh(eds, q, k=10, bits=8, probes=8, merge="dataset").count()
+        per_query["knn_lsh_2000q_distributed"] = round(
+            time.perf_counter() - t0, 3)
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (

@@ -284,6 +284,14 @@ def tokens_from_documents(sf_dir: str, num_blocks: int = 32,
     the corpus size) AND ``source' = source#r`` — each replica is a fresh
     set of entities, so entity-parallelism grows with the data exactly as
     a real sharded corpus's would (R× rows, R× sources, zero RNG)."""
+    return amplified_documents(sf_dir, repeat).map_batches(
+        tokenize_documents_batch, batch_format="pyarrow")
+
+
+def amplified_documents(sf_dir: str, repeat: int = 1):
+    """The documents table, deterministically amplified ``repeat``× (same
+    id-stride / source-suffix scheme as :func:`tokens_from_documents`) —
+    shared by the dedup/text-analysis bench entries."""
     import pyarrow.parquet as _pq
     import ray.data as rd
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -308,7 +316,7 @@ def tokens_from_documents(sf_dir: str, num_blocks: int = 32,
             return pa.concat_tables(parts)
 
         ds = ds.map_batches(amplify, batch_format="pyarrow")
-    return ds.map_batches(tokenize_documents_batch, batch_format="pyarrow")
+    return ds
 
 
 def updates_from_documents(sf_dir: str, every: int = 5, repeat: int = 1):

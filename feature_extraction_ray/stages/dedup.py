@@ -232,10 +232,14 @@ def _pairs_of_shard_factory(max_bucket: int):
         if not a_out:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
-        return pa.table({
-            "a": pa.array(np.concatenate(a_out).astype(np.int64)),
-            "b": pa.array(np.concatenate(b_out).astype(np.int64)),
-        })
+        av = np.concatenate(a_out).astype(np.int64)
+        bv = np.concatenate(b_out).astype(np.int64)
+        # within-shard dedup of cross-band repeats (the exact global
+        # distinct happens fused into the verification join)
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        keep = np.r_[True, (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])]
+        return pa.table({"a": pa.array(av[keep]), "b": pa.array(bv[keep])})
     return pairs_of_shard
 
 
@@ -277,10 +281,35 @@ def verify_pairs_distributed(pairs: Dataset, sig_ds: Dataset,
     driver materialization), then keep pairs whose MinHash agreement
     fraction (estimated Jaccard) ≥ ``threshold``."""
     from .cc import attach_values
-    sigs = sig_ds.select_columns(["doc_id", "minhash_sig"])
+
+    def as_varlist(tbl: pa.Table) -> pa.Table:
+        # Join-transport form of the signature table: (1) variable list,
+        # because pa.nulls() of a fixed-size list materializes
+        # n×list_size child values (gigabytes of NULL padding on a large
+        # pair set); (2) truncated to 32 bits — verification only tests
+        # per-component EQUALITY, and a 2⁻³² truncation collision shifts
+        # the agreement estimate by <1e-9 — which halves the volume of
+        # the two signature-shipping exchanges.
+        sig = tbl["minhash_sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        num_perm = sig.type.list_size
+        flat = sig.flatten().to_numpy(zero_copy_only=False)
+        flat32 = (flat.view(np.uint64) & np.uint64(0xFFFFFFFF)) \
+            .astype(np.uint32).view(np.int32)
+        offs = pa.array(np.arange(len(tbl) + 1, dtype=np.int32) * num_perm)
+        lst = pa.ListArray.from_arrays(offs, pa.array(flat32))
+        return pa.table({"doc_id": tbl["doc_id"], "minhash_sig": lst})
+
+    sigs = sig_ds.select_columns(["doc_id", "minhash_sig"]).map_batches(
+        as_varlist, batch_format="pyarrow")
+    # distinct_fact_cols strips the per-band duplication of the candidate
+    # list inside the first join exchange, BEFORE 1 KB/row signatures are
+    # attached — on a high-dup corpus this is a ~bands× volume reduction
     wa = attach_values(pairs, "a", sigs, "doc_id", ["minhash_sig"],
                        rename={"minhash_sig": "__sig_a"},
-                       num_buckets=num_buckets)
+                       num_buckets=num_buckets,
+                       distinct_fact_cols=["a", "b"])
     wb = attach_values(wa, "b", sigs, "doc_id", ["minhash_sig"],
                        rename={"minhash_sig": "__sig_b"},
                        num_buckets=num_buckets)
@@ -289,11 +318,10 @@ def verify_pairs_distributed(pairs: Dataset, sig_ds: Dataset,
         n = len(tbl)
         if n == 0:
             return tbl.select(["a", "b"])
-        num_perm = tbl["__sig_a"].type.list_size
         sa = tbl["__sig_a"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).reshape(n, num_perm)
+            zero_copy_only=False).reshape(n, -1)
         sb = tbl["__sig_b"].combine_chunks().flatten().to_numpy(
-            zero_copy_only=False).reshape(n, num_perm)
+            zero_copy_only=False).reshape(n, -1)
         est = (sa == sb).mean(axis=1)
         return tbl.select(["a", "b"]).filter(pa.array(est >= threshold))
 
@@ -347,9 +375,10 @@ def _cluster_output(ids_ds: Dataset, pairs: Dataset, id_col: str,
     every id to its cluster label. Nothing corpus-sized touches the
     driver; ``output="pandas"`` materializes only the FINAL
     (id, cluster_id, is_duplicate) result for interactive use."""
-    from .cc import assign_clusters, connected_components
+    from .cc import assign_clusters, connected_components_auto
     pairs = pairs.materialize()
-    if pairs.count() == 0:
+    n_pairs = pairs.count()
+    if n_pairs == 0:
         def trivial(tbl: pa.Table) -> pa.Table:
             ids = tbl[id_col].cast(pa.int64())
             return pa.table({id_col: ids, "cluster_id": ids,
@@ -357,7 +386,8 @@ def _cluster_output(ids_ds: Dataset, pairs: Dataset, id_col: str,
                                  np.zeros(len(tbl), dtype=bool))})
         out = ids_ds.map_batches(trivial, batch_format="pyarrow")
     else:
-        labels = connected_components(pairs, num_buckets=num_buckets)
+        labels = connected_components_auto(pairs, num_buckets=num_buckets,
+                                           n_edges=n_pairs)
         out = assign_clusters(ids_ds, labels, id_col=id_col,
                               num_buckets=num_buckets)
     if output == "dataset":
@@ -486,7 +516,8 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
                               num_buckets=num_buckets, drop_bucket=False)
     hashes = sig.select_columns(["doc_id", "simhash"])
     wa = attach_values(pairs_ds, "a", hashes, "doc_id", ["simhash"],
-                       rename={"simhash": "__h_a"}, num_buckets=num_buckets)
+                       rename={"simhash": "__h_a"}, num_buckets=num_buckets,
+                       distinct_fact_cols=["a", "b"])
     wb = attach_values(wa, "b", hashes, "doc_id", ["simhash"],
                        rename={"simhash": "__h_b"}, num_buckets=num_buckets)
 

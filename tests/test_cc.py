@@ -95,3 +95,27 @@ def test_assign_clusters():
     assert out["cluster_id"].tolist() == [0, 1, 2, 1, 4, 5, 6, 2]
     assert out["is_duplicate"].tolist() == [False] * 3 + [True] + \
         [False] * 3 + [True]
+
+
+def test_compact_cc_matches_star_rounds():
+    from feature_extraction_ray.stages.cc import (
+        connected_components_auto, connected_components_compact)
+    rng = np.random.default_rng(11)
+    edges_df = pd.DataFrame({
+        "a": rng.integers(0, 200, size=300).astype("int64"),
+        "b": rng.integers(0, 200, size=300).astype("int64")})
+    ds = rd.from_arrow(pa.Table.from_pandas(edges_df))
+    star = connected_components(ds, num_buckets=8).to_pandas() \
+        .groupby("node")["label"].min()
+    compact = connected_components_compact(
+        rd.from_arrow(pa.Table.from_pandas(edges_df))).to_pandas() \
+        .set_index("node")["label"]
+    touched = set(edges_df["a"]) | set(edges_df["b"])
+    for x in touched:
+        assert star.get(x, x) == compact.get(x, x), x
+    # auto picks compact below threshold, star above
+    auto = connected_components_auto(
+        rd.from_arrow(pa.Table.from_pandas(edges_df)),
+        compact_threshold=10**6).to_pandas().set_index("node")["label"]
+    for x in touched:
+        assert auto.get(x, x) == compact.get(x, x), x
