@@ -82,9 +82,12 @@ def run_bench() -> dict:
     else:
         bench_queries = BENCH_QUERIES
     for name in bench_queries:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        per_query[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):       # best-of-2: ±2x host noise (CLAUDE.md)
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
 
     if bench_queries:
         # amplified LLM-data-operator entries (repeat>=20 per the round-1

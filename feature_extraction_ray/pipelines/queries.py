@@ -1026,6 +1026,19 @@ def tag_lemma_docs(sf_dir: str) -> Dataset:
     return tag_and_lemmatize(ds).select_columns(["doc_id", "pos", "lemmas"])
 
 
+def topic_model_docs(sf_dir: str) -> Dataset:
+    """A6 analog (``archived/train_topic_model.py:96-132``): distributed
+    vocab build + filter gate → EM topic fit (broadcast φ, per-iteration
+    groupby-sum M-step) → per-doc topic mixture. Rows-only — an iterative
+    model fit is not SQL-expressible; planted-topic recovery and
+    determinism are golden-tested in ``tests/test_topics.py``."""
+    from ..stages.topics import topic_model_pipeline
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _vocab, _phi, per_doc = topic_model_pipeline(
+        ds, n_topics=4, iters=5, no_below=2, no_above=0.9, seed=17)
+    return per_doc
+
+
 def flagship_session_features(sf_dir: str) -> Dataset:
     from .flagship import flagship
     return flagship(sf_dir)
@@ -1161,6 +1174,7 @@ QUERIES = {
     "text_quality_docs": text_quality_docs,
     "tag_lemma_docs": tag_lemma_docs,
     "truecase_docs": truecase_docs,
+    "topic_model_docs": topic_model_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,
