@@ -289,24 +289,43 @@ def asof_prepare(left: Dataset, right: Dataset, *, left_by, right_by,
 
     def _salted_ent(tbl: pa.Table, replicate: bool):
         """Append salted _ENT; right side (replicate=True) returns an
-        index expansion replicating hot rows into every shard."""
-        ent = tbl[_ENT].to_pylist()
+        index expansion replicating hot rows into every shard.
+
+        Vectorized: per-row salt factors come from a pandas map over the
+        (hot-keys-only) dict, suffixes are numpy string ops + one Arrow
+        ``binary_join_element_wise`` — no Python loop over rows."""
+        import pandas as pd
+        import pyarrow.compute as pc
+        ent = tbl[_ENT]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        s = pd.Series(ent.to_pandas())
+        factors = s.map(salt_hot)
+        is_hot = factors.notna().to_numpy()
         ts = tbl[_TS].to_numpy(zero_copy_only=False)
         if not replicate:
             ks = _salt_suffixes(ts, 1 << 30)
-            out = [f"{e}#s{int(k) % salt_hot[e]}" if e in salt_hot else e
-                   for e, k in zip(ent, ks)]
-            return pa.array(out, type=ent_type), None
-        idx, names = [], []
-        for i, e in enumerate(ent):
-            if e in salt_hot:
-                for k in range(salt_hot[e]):
-                    idx.append(i)
-                    names.append(f"{e}#s{k}")
-            else:
-                idx.append(i)
-                names.append(e)
-        return pa.array(names, type=ent_type), np.array(idx, dtype=np.int64)
+            fac = factors.fillna(1).to_numpy(dtype=np.int64) \
+                .astype(np.uint64)
+            mod = ks.astype(np.uint64) % fac    # non-hot rows: mod 1 = 0,
+            suffix = np.char.add("#s", mod.astype("U20"))  # if_else'd away
+            salted = pc.binary_join_element_wise(
+                ent.cast(pa.string()),
+                pa.array(suffix, type=pa.string()), "")
+            out = pc.if_else(pa.array(is_hot), salted,
+                             ent.cast(pa.string()))
+            return out.cast(ent_type), None
+        reps = factors.fillna(1).to_numpy(dtype=np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        starts = np.zeros(len(s) + 1, dtype=np.int64)
+        np.cumsum(reps, out=starts[1:])
+        k_of = np.arange(len(idx), dtype=np.int64) - starts[:-1][idx]
+        suffix = np.char.add("#s", k_of.astype("U20"))
+        base = ent.cast(pa.string()).take(pa.array(idx))
+        salted = pc.binary_join_element_wise(
+            base, pa.array(suffix, type=pa.string()), "")
+        out = pc.if_else(pa.array(is_hot[idx]), salted, base)
+        return out.cast(ent_type), idx
 
     def tag_left(tbl: pa.Table) -> pa.Table:
         tbl = _normalize_keys(tbl, left_by, left_on, ent_type)

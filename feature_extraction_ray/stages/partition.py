@@ -138,14 +138,22 @@ def salt_column(ds: Dataset, entity_col: str, hot_keys: set, salt_factor: int,
     Use ONLY under order-insensitive stages (partial stats, as-of right-side
     replication); never under sessionize/lag (SURVEY §7 watch-list 3).
     """
-    hot = frozenset(str(k) for k in hot_keys)
+    hot_arr = pa.array(sorted(str(k) for k in hot_keys), type=pa.string())
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        ent = batch[entity_col].to_pylist()
+        ent = batch[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        sent = ent.cast(pa.string())
         h = _stable_hash_strings(batch[entity_col])
-        rr = (np.arange(len(ent), dtype=np.uint64) + h) % np.uint64(max(salt_factor, 1))
-        out = [f"{e}#{int(r)}" if str(e) in hot else str(e)
-               for e, r in zip(ent, rr)]
-        return batch.append_column(out_col, pa.array(out, type=pa.string()))
+        rr = (np.arange(len(batch), dtype=np.uint64) + h) % \
+            np.uint64(max(salt_factor, 1))
+        is_hot = pc.is_in(sent, value_set=hot_arr)
+        # vectorized: entity + "#" + k for hot rows, entity otherwise
+        suffix = np.char.add("#", rr.astype("U20"))
+        salted = pc.binary_join_element_wise(
+            sent, pa.array(suffix, type=pa.string()), "")
+        out = pc.if_else(is_hot, salted, sent)
+        return batch.append_column(out_col, out)
 
     return ds.map_batches(add_salt, batch_format="pyarrow")

@@ -39,6 +39,16 @@ PUNCT_RE = re.compile(r"[^\w\d'\s]+")
 SENT_RE = re.compile(r"(?<=[.!?])\s+")
 NON_VERBAL = frozenset(["[noise]", "[laughter]", "<unk>"])
 
+# common English abbreviations a period does NOT end a sentence after
+# (rule-based punkt stand-in; the abbreviation list is public knowledge)
+_ABBREVS = frozenset([
+    "mr", "mrs", "ms", "dr", "prof", "sr", "jr", "st", "vs", "etc", "al",
+    "e.g", "i.e", "fig", "no", "vol", "inc", "ltd", "co", "corp",
+    "jan", "feb", "mar", "apr", "jun", "jul", "aug", "sep", "sept",
+    "oct", "nov", "dec", "mon", "tue", "wed", "thu", "fri", "sat", "sun",
+    "u.s", "u.k", "a.m", "p.m",
+])
+
 
 def strip_punctuation(text: str) -> str:
     """M1: the reference's exact pattern."""
@@ -46,8 +56,26 @@ def strip_punctuation(text: str) -> str:
 
 
 def split_sentences(text: str) -> list[str]:
-    """M2 (punkt stand-in): split on sentence-final punctuation + space."""
-    return [s for s in SENT_RE.split(text.strip()) if s]
+    """M2 (punkt stand-in): split on sentence-final punctuation + space,
+    except after known abbreviations, single-letter initials ("J. Smith")
+    and decimal numbers — the rule-based subset of what the reference's
+    trained punkt model does (``text_util.py:14-16,96-101``)."""
+    parts = SENT_RE.split(text.strip())
+    out: list[str] = []
+    for p in parts:
+        if not p:
+            continue
+        if out:
+            prev = out[-1]
+            last = prev.rsplit(None, 1)[-1] if prev.split() else prev
+            if last.endswith("."):
+                stem = last[:-1].lower()
+                if (stem in _ABBREVS or len(stem) == 1 and stem.isalpha()
+                        or stem.replace(".", "").isdigit()):
+                    out[-1] = prev + " " + p
+                    continue
+        out.append(p)
+    return out
 
 
 _SUFFIX_RULES = [("sses", "ss"), ("ies", "y"), ("ing", ""), ("ed", ""),

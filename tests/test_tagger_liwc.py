@@ -155,3 +155,15 @@ def test_truecase_fit_and_apply():
     full = truecase_rewrite(ds, out_col="text_tc").to_pandas()
     assert len(full) == len(texts)
     assert "Paris" in full.sort_values("doc_id")["text_tc"].iloc[3]
+
+
+def test_sentence_split_abbreviations():
+    from feature_extraction_ray.stages.textprep import split_sentences
+    assert split_sentences("One two. Three! Four? five") == \
+        ["One two.", "Three!", "Four?", "five"]
+    assert split_sentences("Dr. Smith arrived. He sat down.") == \
+        ["Dr. Smith arrived.", "He sat down."]
+    assert split_sentences("See J. Smith et al. for details.") == \
+        ["See J. Smith et al. for details."]
+    assert split_sentences("Pi is 3. 14 is not pi. Done.") == \
+        ["Pi is 3. 14 is not pi.", "Done."]
