@@ -941,6 +941,26 @@ def knn_embeddings_ivf(sf_dir: str):
     return knn_ivf(ds, q, k=10, n_centroids=16, n_probe=4)
 
 
+def knn_embeddings_ivf_full(sf_dir: str):
+    """IVF with ``n_probe == n_centroids`` (every cell probed) and
+    float64 scoring: the distributed in-map candidate scoring + top-k
+    merge machinery of the ANN stack, made EXACT so the whole path runs
+    under the brute-force SQL oracle (same result contract as
+    ``knn_embeddings``; the approximate n_probe<n_centroids variant stays
+    rows-only with recall goldens)."""
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import knn_ivf
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = np.array(tbl.slice(0, 5)["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, q, k=10, n_centroids=8, n_probe=8,
+                  dtype=np.float64)
+    out["score"] = out["score"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
 def knn_embeddings_lsh(sf_dir: str):
     import pyarrow.parquet as _pq
     from ..stages.similarity import knn_lsh
@@ -1170,6 +1190,7 @@ QUERIES = {
     "embedding_dedup_brute": embedding_dedup_brute,
     "knn_embeddings_lsh": knn_embeddings_lsh,
     "knn_embeddings_ivf": knn_embeddings_ivf,
+    "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "text_analysis_docs": text_analysis_docs,
     "text_quality_docs": text_quality_docs,
     "tag_lemma_docs": tag_lemma_docs,
@@ -1219,6 +1240,7 @@ ORACLE_SQL = {
     "events_daily_rollup": EVENTS_DAILY_ROLLUP_SQL,
     "docs_min_word_gate": DOCS_MIN_WORD_GATE_SQL,
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
+    "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by

@@ -184,9 +184,9 @@ class _ProbedTopK:
     the cluster; the driver sees only merged top-k partials."""
 
     def __init__(self, queries_ref, bucket2q_ref, k: int, vec_col: str,
-                 id_col: str, bucket_col: str):
-        self.q = _norm_rows(np.asarray(ray.get(queries_ref),
-                                       dtype=np.float32))
+                 id_col: str, bucket_col: str, dtype=np.float32):
+        self.dtype = dtype
+        self.q = _norm_rows(np.asarray(ray.get(queries_ref), dtype=dtype))
         self.b2q = ray.get(bucket2q_ref)      # dict bucket -> np.ndarray qidx
         self.k = k
         self.vec_col = vec_col
@@ -200,7 +200,7 @@ class _ProbedTopK:
         if len(batch) == 0:
             return empty
         bks = batch[self.bucket_col].to_numpy(zero_copy_only=False)
-        m = _norm_rows(_batch_matrix(batch, self.vec_col))
+        m = _norm_rows(_batch_matrix(batch, self.vec_col).astype(self.dtype))
         ids = batch[self.id_col].to_numpy(
             zero_copy_only=False).astype(np.int64)
         order = np.argsort(bks, kind="stable")
@@ -228,7 +228,7 @@ class _ProbedTopK:
 
 def _probed_topk(bucketed: Dataset, q: np.ndarray, probe_lists,
                  k: int, vec_col: str, id_col: str, bucket_col: str,
-                 merge: str, concurrency) -> pd.DataFrame:
+                 merge: str, concurrency, dtype=np.float32) -> pd.DataFrame:
     """Shared tail of knn_lsh / knn_ivf: prune to probed buckets, score
     inside ``map_batches`` against the broadcast query set, merge."""
     b2q: dict = {}
@@ -247,7 +247,7 @@ def _probed_topk(bucketed: Dataset, q: np.ndarray, probe_lists,
                      fn_constructor_kwargs=dict(
                          queries_ref=ray.put(q), bucket2q_ref=ray.put(b2q),
                          k=k, vec_col=vec_col, id_col=id_col,
-                         bucket_col=bucket_col),
+                         bucket_col=bucket_col, dtype=dtype),
                      concurrency=concurrency)
     return _merge_topk(partials, k, merge)
 
@@ -346,7 +346,7 @@ def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             n_centroids: int = 16, n_probe: int = 4,
             sample_size: int = 2048, seed: int = 23,
-            merge: str = "driver",
+            merge: str = "driver", dtype=np.float32,
             concurrency=(1, 8)) -> pd.DataFrame:
     """IVF ANN: cluster a sample into ``n_centroids`` (driver-side seeded
     k-means on a bounded sample), broadcast the centroids, assign every
@@ -379,7 +379,7 @@ def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
     qcells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
     return _probed_topk(assigned, q, [row.tolist() for row in qcells],
                         k, vec_col, id_col, "__ivf_cell", merge,
-                        concurrency)
+                        concurrency, dtype=dtype)
 
 
 def embedding_dedup(ds: Dataset, threshold: float = 0.95,
