@@ -509,6 +509,45 @@ FROM events
 """
 
 
+def cumsum_events(sf_dir: str) -> Dataset:
+    """Running per-user value sum (§2.8 cumulative window op)."""
+    from ..stages.window import cumulative
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = cumulative(ds, "user_id", ["ts", "event_id"], ["value"],
+                     agg="sum", num_buckets=32)
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "value_cumsum"]),
+        batch_format="pyarrow")
+    return _round(out, {"value_cumsum": 4})
+
+
+CUMSUM_EVENTS_SQL = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4)
+           AS value_cumsum
+FROM events
+"""
+
+
+def rank_events(sf_dir: str) -> Dataset:
+    """Per-user row_number in (ts, event_id) order (§2.8 rank op)."""
+    from ..stages.window import row_number
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = row_number(ds, "user_id", ["ts", "event_id"], num_buckets=32)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "row_num"]),
+        batch_format="pyarrow")
+
+
+RANK_EVENTS_SQL = """
+SELECT event_id, user_id, ts,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS row_num
+FROM events
+"""
+
+
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(sf_dir, "orders",
@@ -1035,6 +1074,41 @@ def truecase_docs(sf_dir: str) -> Dataset:
     return truecase_rewrite(ds, out_col="text_truecased")
 
 
+def truecase_model(sf_dir: str):
+    """The fitted truecase model itself (lower → most frequent
+    non-sentence-initial surface form, identity mappings kept so the
+    whole counting/argmax pipeline is exercised even on an all-lowercase
+    corpus) — SQL-expressible, so the distributed casing fit is
+    hash-checked against a DuckDB oracle."""
+    import pandas as pd
+    from ..stages.textprep import fit_truecase
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    model = fit_truecase(ds, keep_identity=True)
+    items = sorted(model.items())
+    return pd.DataFrame({"lower_word": [k for k, _ in items],
+                         "surface": [v for _, v in items]})
+
+
+TRUECASE_MODEL_SQL = r"""
+WITH sents AS (
+  SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+  FROM documents
+), words AS (
+  SELECT regexp_split_to_array(trim(sent), '\s+') AS ws
+  FROM sents WHERE len(trim(sent)) > 0
+), nonfirst AS (
+  SELECT unnest(ws[2:]) AS w FROM words
+), counts AS (
+  SELECT lower(w) AS lo, w AS surface, count(*) AS c
+  FROM nonfirst WHERE len(w) > 0 GROUP BY 1, 2
+), best AS (
+  SELECT lo, surface FROM counts
+  QUALIFY row_number() OVER (PARTITION BY lo ORDER BY c DESC, surface) = 1
+)
+SELECT lo AS lower_word, surface FROM best
+"""
+
+
 def tag_lemma_docs(sf_dir: str) -> Dataset:
     """M5/M6/A1/A4: per-document Penn tags + morphy lemmas from the
     self-contained lexicon tagger (``stages/tagger.py``; actor-pool state,
@@ -1172,6 +1246,8 @@ QUERIES = {
     "sliding_minmax_events": sliding_minmax_events,
     "time_window_events": time_window_events,
     "tumbling_hourly_events": tumbling_hourly_events,
+    "cumsum_events": cumsum_events,
+    "rank_events": rank_events,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "session_stats_events": session_stats_events,
@@ -1195,6 +1271,7 @@ QUERIES = {
     "text_quality_docs": text_quality_docs,
     "tag_lemma_docs": tag_lemma_docs,
     "truecase_docs": truecase_docs,
+    "truecase_model": truecase_model,
     "topic_model_docs": topic_model_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
@@ -1228,6 +1305,8 @@ ORACLE_SQL = {
     "sliding_minmax_events": SLIDING_MINMAX_EVENTS_SQL,
     "time_window_events": TIME_WINDOW_EVENTS_SQL,
     "tumbling_hourly_events": TUMBLING_HOURLY_EVENTS_SQL,
+    "cumsum_events": CUMSUM_EVENTS_SQL,
+    "rank_events": RANK_EVENTS_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "session_stats_events": SESSION_STATS_SQL,
@@ -1243,6 +1322,7 @@ ORACLE_SQL = {
     "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
+    "truecase_model": TRUECASE_MODEL_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

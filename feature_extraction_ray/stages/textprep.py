@@ -217,7 +217,7 @@ def apply_phrases(ds: Dataset, phrase_table: dict,
 # ---------------------------------------------------------------------------
 
 def fit_truecase(ds: Dataset, text_col: str = "text",
-                 min_count: int = 1) -> dict:
+                 min_count: int = 1, keep_identity: bool = False) -> dict:
     """A3: fit a Moses-style truecasing model from the corpus itself —
     the reference restores case with the ``truecase`` package
     (``text_features/text_util.py`` imports; model = most frequent surface
@@ -272,7 +272,7 @@ def fit_truecase(ds: Dataset, text_col: str = "text",
                           ascending=[True, False, True], kind="stable")
     best = pdf.drop_duplicates("lower", keep="first")
     return {lo: s for lo, s in zip(best["lower"], best["surface"])
-            if s != lo}
+            if keep_identity or s != lo}
 
 
 def apply_truecase(ds: Dataset, model: dict, text_col: str = "text",

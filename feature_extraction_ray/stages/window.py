@@ -92,6 +92,48 @@ def shift(ds: Dataset, entity_col: str, order_cols: Sequence[str],
     return bucketed_apply(ds, entity_col, fn, num_buckets)
 
 
+def cumulative(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+              value_cols: Sequence[str], agg: str = "sum",
+              suffix: str | None = None,
+              num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Running ``sum``/``min``/``max`` per entity in ``order_cols`` order
+    (SQL ``AGG(col) OVER (PARTITION BY entity ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``). Appends ``{col}{suffix}`` (default ``_cum{agg}``);
+    per-bucket compute is a C-level grouped cumulative (no Python rows)."""
+    if agg not in ("sum", "min", "max"):
+        raise ValueError(f"unknown cumulative agg {agg!r}")
+    sfx = suffix or f"_cum{agg}"
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        import pandas as pd
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        run_id = np.cumsum(ng) - 1
+        for c in value_cols:
+            v = tbl[c].to_pandas()
+            out = getattr(v.groupby(run_id), f"cum{agg}")()
+            tbl = tbl.append_column(
+                f"{c}{sfx}", pa.array(out.to_numpy(), from_pandas=True))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def row_number(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+               out_col: str = "row_num",
+               num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """1-based rank of each row within its entity in ``order_cols`` order
+    (SQL ``row_number() OVER (PARTITION BY entity ORDER BY ...)``) —
+    deterministic when ``order_cols`` is a unique key within the entity."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id] + 1
+        return tbl.append_column(out_col, pa.array(rank))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
 def fill(ds: Dataset, entity_col: str, order_cols: Sequence[str],
          value_cols: Sequence[str], method: str = "ffill",
          suffix: str | None = None,

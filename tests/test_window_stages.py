@@ -96,3 +96,22 @@ def test_fill_dataset(tok_tbl):
     np.testing.assert_allclose(got["val_bfill"],
                                exp.groupby("entity")["val"].bfill(),
                                equal_nan=True)
+
+
+def test_cumulative_and_row_number(tok_tbl):
+    pdf = _pdf(tok_tbl)
+    ds = rd.from_pandas(pdf)
+    out = SW.cumulative(ds, "entity", ["ts", "doc_id"], ["n_tok"],
+                        agg="sum", num_buckets=4)
+    out = SW.cumulative(out, "entity", ["ts", "doc_id"], ["n_tok"],
+                        agg="max", num_buckets=4)
+    out = SW.row_number(out, "entity", ["ts", "doc_id"], num_buckets=4)
+    got = out.to_pandas().sort_values(["entity", "ts", "doc_id"],
+                                      kind="stable").reset_index(drop=True)
+    exp = pdf.sort_values(["entity", "ts", "doc_id"],
+                          kind="stable").reset_index(drop=True)
+    g = exp.groupby("entity")["n_tok"]
+    np.testing.assert_array_equal(got["n_tok_cumsum"], g.cumsum())
+    np.testing.assert_array_equal(got["n_tok_cummax"], g.cummax())
+    np.testing.assert_array_equal(got["row_num"],
+                                  exp.groupby("entity").cumcount() + 1)
