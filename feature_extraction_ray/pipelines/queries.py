@@ -509,6 +509,38 @@ FROM events
 """
 
 
+def median_value_by_type(sf_dir: str):
+    """Per-group exact median (groupby + per-group task; group count is
+    bounded — the at-scale global path is the mergeable strided-sample
+    sketch, ``approx_quantiles_events``)."""
+    import pandas as pd
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "median_value": [round(float(g["value"].median()), 4)]})
+
+    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+
+
+MEDIAN_VALUE_BY_TYPE_SQL = """
+SELECT event_type, round(median(value), 4) AS median_value
+FROM events GROUP BY event_type
+"""
+
+
+def approx_quantiles_events(sf_dir: str):
+    """Mergeable strided-sample quantile sketch next to the exact values
+    (rows-only: the sketch is approximate by design; accuracy goldens in
+    ``tests/test_sketches.py``)."""
+    import pandas as pd
+    from ..stages.sketches import approx_quantiles
+    ds = _read(sf_dir, "events", ["value"])
+    est = approx_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+    return pd.DataFrame({"q": list(est), "value_est": list(est.values())})
+
+
 def cumsum_events(sf_dir: str) -> Dataset:
     """Running per-user value sum (§2.8 cumulative window op)."""
     from ..stages.window import cumulative
@@ -1248,6 +1280,8 @@ QUERIES = {
     "tumbling_hourly_events": tumbling_hourly_events,
     "cumsum_events": cumsum_events,
     "rank_events": rank_events,
+    "median_value_by_type": median_value_by_type,
+    "approx_quantiles_events": approx_quantiles_events,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "session_stats_events": session_stats_events,
@@ -1307,6 +1341,7 @@ ORACLE_SQL = {
     "tumbling_hourly_events": TUMBLING_HOURLY_EVENTS_SQL,
     "cumsum_events": CUMSUM_EVENTS_SQL,
     "rank_events": RANK_EVENTS_SQL,
+    "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "session_stats_events": SESSION_STATS_SQL,

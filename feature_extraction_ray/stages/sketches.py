@@ -106,3 +106,48 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
         other.registers = np.frombuffer(raw, dtype=np.uint8).copy()
         merged = merged.merge(other)
     return merged.estimate()
+
+
+def approx_quantiles(ds: Dataset, col: str, qs, samples_per_block: int = 256):
+    """Mergeable approximate quantiles: each block emits a sorted STRIDED
+    sample of ≤ ``samples_per_block`` (value, weight) pairs — weight = the
+    run of rows the sampled value represents — and the driver computes a
+    weighted quantile over blocks × samples_per_block rows, regardless of
+    corpus size. Deterministic (no RNG); per-quantile rank error is
+    bounded by ~1/samples_per_block of each block's rows.
+
+    The exact per-GROUP path for bounded group counts is a
+    ``groupby().map_groups`` median (see ``median_value_by_type``); this
+    sketch is the global path when no single task can hold a full sort.
+    """
+    import pandas as pd
+
+    def sample_batch(tbl: pa.Table) -> pa.Table:
+        c = tbl[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        v = np.sort(c.to_numpy(zero_copy_only=False).astype(np.float64))
+        v = v[~np.isnan(v)]
+        n = len(v)
+        if n == 0:
+            return pa.table({"value": pa.array([], type=pa.float64()),
+                             "weight": pa.array([], type=pa.int64())})
+        stride = max(1, int(np.ceil(n / samples_per_block)))
+        idx = np.arange(0, n, stride)
+        w = np.diff(np.r_[idx, n])
+        return pa.table({"value": pa.array(v[idx]),
+                         "weight": pa.array(w.astype(np.int64))})
+
+    parts = ds.map_batches(sample_batch, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return {float(q): float("nan") for q in qs}
+    parts = parts.sort_values("value", kind="stable")
+    cw = parts["weight"].cumsum().to_numpy()
+    total = cw[-1]
+    vals = parts["value"].to_numpy()
+    out = {}
+    for q in qs:
+        target = q * (total - 1)
+        pos = int(np.searchsorted(cw, target, side="right"))
+        out[float(q)] = float(vals[min(pos, len(vals) - 1)])
+    return out

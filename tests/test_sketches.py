@@ -41,3 +41,19 @@ def test_approx_distinct_dataset():
     assert abs(est - 7000) / 7000 < 0.06
     # deterministic across runs
     assert approx_distinct(rd.from_pandas(df), "k", p=12) == est
+
+
+def test_approx_quantiles_accuracy():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.sketches import approx_quantiles
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=20000) * 10 + 3
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(8)
+    est = approx_quantiles(ds, "value", [0.1, 0.5, 0.9])
+    for q in (0.1, 0.5, 0.9):
+        exact = np.quantile(v, q)
+        # rank error bound: compare by achieved rank, not value
+        achieved = (v <= est[q]).mean()
+        assert abs(achieved - q) < 0.02, (q, est[q], exact)
