@@ -544,11 +544,13 @@ def exact_dedup(ds: Dataset, content_col: str = "text",
     in ``map_batches``, then one hash-partitioned group-first. Content
     equality is re-checked inside the group (hash collisions can't merge
     distinct contents)."""
-    from .text import hash_word
+    from .partition import _stable_hash_strings
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = np.array([hash_word(t) for t in
-                       batch[content_col].to_pylist()], dtype=np.uint64)
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _stable_hash_strings(col)      # vectorized FNV-1a
         return batch.append_column("__chash",
                                    pa.array(hs.astype(np.int64)))
 

@@ -139,19 +139,39 @@ def remove_nonverbal_segments(segments: list[list[str]]) -> list[list[str]]:
 
 def _pair_counts_batch(tbl: pa.Table, text_col: str) -> pa.Table:
     """Partial unigram + bigram counts for one batch (one output row per
-    distinct gram; shuffled pre-aggregated)."""
-    grams: dict[str, int] = {}
-    for txt in tbl[text_col].to_pylist():
-        ws = txt.split()
-        for w in ws:
-            grams[w] = grams.get(w, 0) + 1
-        for a, b in zip(ws, ws[1:]):
-            key = f"{a}\x00{b}"
-            grams[key] = grams.get(key, 0) + 1
-    return pa.table({
-        "gram": pa.array(list(grams.keys()), type=pa.string()),
-        "cnt": pa.array(list(grams.values()), type=pa.int64()),
-    })
+    distinct gram; shuffled pre-aggregated). Vectorized: Arrow split →
+    flat word stream → adjacent-pair join with doc-boundary mask →
+    C++ group_by count."""
+    import numpy as np
+    import pyarrow.compute as pc
+    words = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(tbl[text_col]))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat = words.flatten()
+    n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.table({"gram": pa.array([], type=pa.string()),
+                         "cnt": pa.array([], type=pa.int64())})
+    real = pc.greater(pc.utf8_length(flat), 0)
+    doc_of = np.repeat(np.arange(len(tbl), dtype=np.int64), n)
+    # bigrams: adjacent flat words within the same doc
+    if len(flat) > 1:
+        same_doc = doc_of[:-1] == doc_of[1:]
+        both_real = pc.and_(real.slice(0, len(flat) - 1),
+                            real.slice(1)).to_numpy(zero_copy_only=False)
+        keep = pa.array(same_doc & both_real)
+        bi = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 1).filter(keep),
+            flat.slice(1).filter(keep), "\x00")
+    else:
+        bi = pa.array([], type=pa.string())
+    grams = pa.concat_arrays([flat.filter(real).cast(pa.string()),
+                              bi.cast(pa.string()) if len(bi)
+                              else pa.array([], type=pa.string())])
+    out = pa.table({"gram": grams}).group_by("gram").aggregate(
+        [([], "count_all")])
+    return out.rename_columns(["gram", "cnt"])
 
 
 def fit_phrases(ds: Dataset, text_col: str = "text",
