@@ -66,7 +66,13 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
     rename = dict(rename or {})
     out_names = [rename.get(c, c) for c in value_cols]
     fact_schema = fact.schema()
+    if fact_schema is None:          # lazy pipeline whose schema can't be
+        fact = fact.materialize()    # inferred without execution
+        fact_schema = fact.schema()
     lk_schema = lookup.schema()
+    if lk_schema is None:
+        lookup = lookup.materialize()
+        lk_schema = lookup.schema()
     lk_types = {n: t for n, t in zip(lk_schema.names, lk_schema.types)}
     fact_cols = list(fact_schema.names)
     ftypes = dict(zip(fact_schema.names, fact_schema.types))

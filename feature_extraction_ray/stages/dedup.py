@@ -205,7 +205,7 @@ def _explode_bands(tbl: pa.Table) -> pa.Table:
     })
 
 
-def _pairs_of_shard_factory(max_bucket: int):
+def _pairs_of_shard_factory(max_bucket: int, require_ge: int | None = None):
     """Vectorized candidate-pair scan over one hash shard: sort by (band,
     hash, doc), find duplicate runs, emit pairs per run. NOT a per-group
     fn — a naive groupby.map_groups here makes ~bands×n_docs single-row
@@ -234,6 +234,14 @@ def _pairs_of_shard_factory(max_bucket: int):
                              "b": pa.array([], type=pa.int64())})
         av = np.concatenate(a_out).astype(np.int64)
         bv = np.concatenate(b_out).astype(np.int64)
+        if require_ge is not None:
+            # incremental mode: only pairs touching a NEW doc (ids >=
+            # require_ge); old-old pairs were emitted by the prior run
+            keep_new = np.maximum(av, bv) >= require_ge
+            av, bv = av[keep_new], bv[keep_new]
+            if len(av) == 0:
+                return pa.table({"a": pa.array([], type=pa.int64()),
+                                 "b": pa.array([], type=pa.int64())})
         # within-shard dedup of cross-band repeats (the exact global
         # distinct happens fused into the verification join)
         order = np.lexsort((bv, av))
@@ -244,7 +252,8 @@ def _pairs_of_shard_factory(max_bucket: int):
 
 
 def candidate_pairs_ds(sig_ds: Dataset, max_bucket: int = 64,
-                       num_buckets: int = 32) -> Dataset:
+                       num_buckets: int = 32,
+                       require_ge: int | None = None) -> Dataset:
     """Banded-LSH candidate pairs as a Dataset: explode (doc, band) rows,
     group by (band_idx, band_hash), emit all pairs inside each bucket.
 
@@ -258,7 +267,7 @@ def candidate_pairs_ds(sig_ds: Dataset, max_bucket: int = 64,
     from .window import bucketed_apply
     exploded = sig_ds.map_batches(_explode_bands, batch_format="pyarrow")
     return bucketed_apply(exploded, "band_hash",
-                          _pairs_of_shard_factory(max_bucket),
+                          _pairs_of_shard_factory(max_bucket, require_ge),
                           num_buckets=num_buckets, drop_bucket=False)
 
 
@@ -413,11 +422,63 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     """
     sig_ds = minhash_signatures(ds, text_col, id_col, num_perm, bands,
                                 shingle_k).materialize()
-    pairs = candidate_pairs_ds(sig_ds, num_buckets=num_buckets)
-    verified = verify_pairs_distributed(pairs, sig_ds, threshold,
-                                        num_buckets=num_buckets)
+    pairs = candidate_pairs_ds(sig_ds,
+                               num_buckets=num_buckets).materialize()
+    verified = verify_pairs_distributed(
+        pairs, sig_ds, threshold,
+        num_buckets=num_buckets) if pairs.count() else pairs
     return _cluster_output(sig_ds.select_columns(["doc_id"]), verified,
                            "doc_id", num_buckets, output)
+
+
+def minhash_lsh_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
+                                  prior_assign: Dataset | None = None,
+                                  new_from: int = 0,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  num_perm: int = 128, bands: int = 16,
+                                  shingle_k: int = 5,
+                                  threshold: float = 0.8,
+                                  num_buckets: int = 32,
+                                  output: str = "dataset"):
+    """Incremental ingestion dedup: cluster a NEW batch of docs against a
+    previously-built signature store without recomputing the corpus.
+
+    ``prior_sig`` is the persisted signature table of all prior docs
+    (write ``minhash_signatures(...)`` to parquet after each ingest);
+    ``prior_assign`` the prior (doc_id, cluster_id, is_duplicate) output;
+    ``new_from`` the smallest new doc_id (ingestion ids are monotone).
+
+    Only pairs touching a new doc are generated/verified (old-old pairs
+    were handled by the prior run); the prior assignment's (member →
+    cluster) rows re-enter connected components as edges, so a new doc
+    bridging two old clusters merges them transitively — the result
+    equals a full recompute over old ∪ new (tested), at the incremental
+    cost of one batch.
+
+    Returns ``(assignment, sig_all)`` — persist ``sig_all`` for the next
+    ingest.
+    """
+    sig_new = minhash_signatures(new_ds, text_col, id_col, num_perm,
+                                 bands, shingle_k)
+    sig_all = prior_sig.union(sig_new).materialize()
+    pairs = candidate_pairs_ds(sig_all, num_buckets=num_buckets,
+                               require_ge=new_from).materialize()
+    verified = verify_pairs_distributed(
+        pairs, sig_all, threshold,
+        num_buckets=num_buckets) if pairs.count() else pairs
+    if prior_assign is not None:
+        def assign_edges(tbl: pa.Table) -> pa.Table:
+            keep = tbl.filter(tbl["is_duplicate"])
+            return pa.table({"a": keep["doc_id"].cast(pa.int64()),
+                             "b": keep["cluster_id"].cast(pa.int64())})
+        prior_edges = prior_assign.map_batches(assign_edges,
+                                               batch_format="pyarrow")
+        verified = prior_edges if pairs.count() == 0 \
+            else verified.union(prior_edges)
+    out = _cluster_output(sig_all.select_columns(["doc_id"]), verified,
+                          "doc_id", num_buckets, output)
+    return out, sig_all
 
 
 # ---------------------------------------------------------------------------

@@ -217,3 +217,59 @@ def test_knn_ivf_distributed_merge_and_dataset_output():
     c = ds_out.to_pandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert c["vec_id"].tolist() == a["vec_id"].tolist()
+
+
+def test_incremental_minhash_equals_full_recompute():
+    from feature_extraction_ray.stages.dedup import (
+        minhash_lsh_dedup_incremental, minhash_signatures)
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(300)]
+    texts_a = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    df_a = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": texts_a})
+    # new batch: near-dups of old docs 2 and 5, an internal dup pair, and
+    # a doc that BRIDGES old docs 7 and 8 (forcing a cluster merge)
+    def tweak(t, tag):
+        ws = t.split(); ws[3] = tag; return " ".join(ws)
+    bridge = texts_a[7].split()[:20] + texts_a[8].split()[:20]
+    texts_b = [tweak(texts_a[2], "NEW0"), tweak(texts_a[5], "NEW1"),
+               " ".join(rng.choice(vocab, size=40))]
+    texts_b.append(tweak(texts_b[2], "NEWDUP"))
+    texts_b.append(" ".join(bridge))
+    df_b = pd.DataFrame({"doc_id": np.arange(30, 30 + len(texts_b),
+                                             dtype=np.int64),
+                         "text": texts_b})
+    both = pd.concat([df_a, df_b]).reset_index(drop=True)
+    full = DD.minhash_lsh_dedup(rd.from_pandas(both), threshold=0.35,
+                                shingle_k=3)
+    prior_sig = minhash_signatures(rd.from_pandas(df_a),
+                                   shingle_k=3).materialize()
+    prior_assign = DD.minhash_lsh_dedup(rd.from_pandas(df_a),
+                                        threshold=0.35, shingle_k=3,
+                                        output="dataset")
+    inc, sig_all = minhash_lsh_dedup_incremental(
+        rd.from_pandas(df_b), prior_sig, prior_assign,
+        new_from=30, shingle_k=3, threshold=0.35, output="pandas")
+    f = full.sort_values("doc_id").reset_index(drop=True)
+    i = inc.sort_values("doc_id").reset_index(drop=True)
+    assert f["doc_id"].tolist() == i["doc_id"].tolist()
+    assert f["cluster_id"].tolist() == i["cluster_id"].tolist()
+    assert f["is_duplicate"].tolist() == i["is_duplicate"].tolist()
+    # sanity: the planted near-dups actually clustered
+    c = i.set_index("doc_id")["cluster_id"]
+    assert c[30] == 2 and c[31] == 5 and c[33] == c[32]
+
+
+def test_minhash_dedup_all_unique_corpus():
+    # zero candidate pairs: every doc must be its own cluster (exercises
+    # the empty-pairs guard through verification + clustering)
+    rng = np.random.default_rng(23)
+    vocab = [f"u{i}" for i in range(500)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=50, replace=False))
+                 for _ in range(20)]})
+    res = DD.minhash_lsh_dedup(rd.from_pandas(df), threshold=0.9,
+                               shingle_k=5)
+    assert (res["cluster_id"] == res["doc_id"]).all()
+    assert not res["is_duplicate"].any()
