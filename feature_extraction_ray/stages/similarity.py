@@ -446,3 +446,95 @@ def embedding_dedup(ds: Dataset, threshold: float = 0.95,
                            num_buckets=num_buckets, drop_bucket=False)
     return _cluster_output(ds.select_columns([id_col]), pairs, id_col,
                            num_buckets, output)
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index (build once, query many)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds: Dataset, path: str, n_centroids: int = 64,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sample_size: int = 4096, seed: int = 23) -> dict:
+    """Build and PERSIST an IVF index: bounded-sample k-means centroids +
+    the corpus written as parquet PARTITIONED BY CELL
+    (``{path}/__ivf_cell=<c>/``). A later :func:`query_ivf_index` reads
+    only the probed cells' files — at corpus scale a query touches
+    ``n_probe / n_centroids`` of the BYTES ON DISK, not just of the rows.
+    Centroids live in ``{path}/_centroids.parquet``. Deterministic
+    (seeded sample + k-means). Returns {"n_centroids", "dim", "path"}.
+    """
+    import pyarrow.parquet as _pq
+    sample_rows = ds.limit(sample_size).to_pandas()
+    sample = _norm_rows(np.stack(
+        [np.asarray(v, dtype=np.float32) for v in sample_rows[vec_col]]))
+    cent = _kmeans_lite(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(tbl: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        cell = np.argmax(m @ c.T, axis=1)
+        return pa.table({
+            id_col: tbl[id_col], vec_col: tbl[vec_col],
+            "__ivf_cell": pa.array(cell.astype(np.int64)),
+        })
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        path, partition_cols=["__ivf_cell"])
+    dim = cent.shape[1]
+    _pq.write_table(pa.table({
+        "cell": pa.array(np.arange(len(cent), dtype=np.int64)),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(cent.reshape(-1).astype(np.float32)), dim),
+    }), f"{path}/_centroids.parquet")
+    return {"n_centroids": int(len(cent)), "dim": int(dim), "path": path}
+
+
+def query_ivf_index(path: str, query_vecs: np.ndarray, k: int = 10,
+                    n_probe: int = 4, vec_col: str = "embedding",
+                    id_col: str = "vec_id", merge: str = "driver",
+                    concurrency=(1, 8)) -> pd.DataFrame:
+    """ANN query against a persisted IVF index: load the (tiny) centroid
+    table, pick each query's ``n_probe`` nearest cells, and
+    ``read_parquet`` ONLY those cell directories — unprobed cells never
+    leave storage. Scoring/merge is the shared in-map probed-top-k path."""
+    import os
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    ctbl = _pq.read_table(f"{path}/_centroids.parquet")
+    cent = np.asarray(ctbl["centroid"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False), dtype=np.float32) \
+        .reshape(len(ctbl), -1)
+    q = _norm_rows(np.asarray(query_vecs, dtype=np.float32))
+    qcells = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    wanted = sorted({int(c) for row in qcells for c in row})
+    # Ray expands a SINGLE directory path but treats a list as files —
+    # list each probed cell's parquet files explicitly
+    dirs = []
+    for c in wanted:
+        d = os.path.join(path, f"__ivf_cell={c}")
+        if os.path.isdir(d):
+            dirs.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet"))
+    if not dirs:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    sub = rd.read_parquet(dirs)
+
+    def recover_cell(tbl: pa.Table) -> pa.Table:
+        # hive partition value comes back as a column when reading the
+        # partition dirs; recompute if absent (pruned reads)
+        if "__ivf_cell" in tbl.column_names:
+            cell = tbl["__ivf_cell"].cast(pa.int64())
+            return pa.table({id_col: tbl[id_col], vec_col: tbl[vec_col],
+                             "__ivf_cell": cell})
+        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        cell = np.argmax(m @ cent.T, axis=1)
+        return pa.table({id_col: tbl[id_col], vec_col: tbl[vec_col],
+                         "__ivf_cell": pa.array(cell.astype(np.int64))})
+
+    sub = sub.map_batches(recover_cell, batch_format="pyarrow")
+    return _probed_topk(sub, q, [row.tolist() for row in qcells], k,
+                        vec_col, id_col, "__ivf_cell", merge, concurrency)

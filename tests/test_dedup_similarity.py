@@ -273,3 +273,32 @@ def test_minhash_dedup_all_unique_corpus():
                                shingle_k=5)
     assert (res["cluster_id"] == res["doc_id"]).all()
     assert not res["is_duplicate"].any()
+
+
+def test_persistent_ivf_index_roundtrip(tmp_path):
+    from feature_extraction_ray.stages.similarity import (
+        build_ivf_index, query_ivf_index)
+    rng = np.random.default_rng(41)
+    centers = rng.standard_normal((10, 12)).astype(np.float32) * 3
+    pts = np.repeat(centers, 30, axis=0) + \
+        rng.standard_normal((300, 12)).astype(np.float32) * 0.3
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float32)), 12)})
+    path = str(tmp_path / "ivf")
+    info = build_ivf_index(rd.from_arrow(tbl), path, n_centroids=8)
+    assert info["n_centroids"] == 8 and info["dim"] == 12
+    q = pts[::60][:4]
+    got = query_ivf_index(path, q, k=5, n_probe=8)   # exhaustive probe
+    exact = SIM.knn_bruteforce(rd.from_arrow(tbl), q, k=5)
+    for qi in range(4):
+        g = got[got["query_id"] == qi].sort_values("rank")["vec_id"]
+        e = exact[exact["query_id"] == qi].sort_values("rank")["vec_id"]
+        assert g.tolist() == e.tolist(), qi
+    # partial probe still finds the query's own neighborhood
+    got2 = query_ivf_index(path, q, k=5, n_probe=2)
+    for qi in range(4):
+        g2 = set(got2[got2["query_id"] == qi]["vec_id"])
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        assert len(g2 & e) >= 3, qi
