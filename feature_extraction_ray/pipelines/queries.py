@@ -958,6 +958,32 @@ def minhash_dedup_docs(sf_dir: str):
     return minhash_lsh_dedup(ds, threshold=0.7)
 
 
+def minhash_dedup_incremental_docs(sf_dir: str):
+    """Incremental ingestion dedup demo over the documents table: first
+    60% is the 'prior corpus' (signatures + assignment persisted-style),
+    the rest arrives as a new batch; result must equal the full-corpus
+    run (golden-tested in test_dedup_similarity)."""
+    import pyarrow.parquet as _pq
+    from ..stages.dedup import (minhash_lsh_dedup,
+                                minhash_lsh_dedup_incremental,
+                                minhash_signatures)
+    n = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    cut = int(n * 0.6)
+    full = _read(sf_dir, "documents", ["doc_id", "text"])
+    old = full.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], pa.scalar(cut))),
+        batch_format="pyarrow")
+    new = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], pa.scalar(cut))),
+        batch_format="pyarrow")
+    prior_sig = minhash_signatures(old).materialize()
+    prior_assign = minhash_lsh_dedup(old, threshold=0.7, output="dataset")
+    out, _sig = minhash_lsh_dedup_incremental(
+        new, prior_sig, prior_assign, new_from=cut, threshold=0.7,
+        output="dataset")
+    return out
+
+
 def simhash_docs(sf_dir: str):
     from ..stages.dedup import simhash_dedup
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1295,6 +1321,7 @@ QUERIES = {
     "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings": knn_embeddings,
     "minhash_dedup_docs": minhash_dedup_docs,
+    "minhash_dedup_incremental_docs": minhash_dedup_incremental_docs,
     "simhash_docs": simhash_docs,
     "embedding_dedup_docs": embedding_dedup_docs,
     "embedding_dedup_brute": embedding_dedup_brute,
