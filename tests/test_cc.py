@@ -119,3 +119,20 @@ def test_compact_cc_matches_star_rounds():
         compact_threshold=10**6).to_pandas().set_index("node")["label"]
     for x in touched:
         assert auto.get(x, x) == compact.get(x, x), x
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=1, max_size=120))
+def test_connected_components_property_random_graphs(edge_list):
+    edges_df = pd.DataFrame(edge_list, columns=["a", "b"]).astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(edges_df))
+    labels = connected_components(ds, num_buckets=4).to_pandas()
+    got = labels.groupby("node")["label"].min() if len(labels) else {}
+    comp = _connected_components(edges_df)
+    for x in set(edges_df["a"]) | set(edges_df["b"]):
+        g = got.get(x, x) if len(labels) else x
+        assert g == comp.get(x, x), x
