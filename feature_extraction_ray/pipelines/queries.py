@@ -509,6 +509,26 @@ FROM events
 """
 
 
+def top2_orders_per_customer(sf_dir: str) -> Dataset:
+    """Per-group top-k (each customer's 2 priciest orders) — the grouped
+    variant of O3, one bucketed exchange + vectorized rank filter."""
+    from ..stages.window import grouped_topk
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topk(ds, "o_custkey",
+                        [("o_totalprice", "descending"),
+                         ("o_orderkey", "ascending")], k=2,
+                        num_buckets=32)
+
+
+TOP2_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+
 def median_value_by_type(sf_dir: str):
     """Per-group exact median (groupby + per-group task; group count is
     bounded — the at-scale global path is the mergeable strided-sample
@@ -1308,6 +1328,7 @@ QUERIES = {
     "rank_events": rank_events,
     "median_value_by_type": median_value_by_type,
     "approx_quantiles_events": approx_quantiles_events,
+    "top2_orders_per_customer": top2_orders_per_customer,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "session_stats_events": session_stats_events,
@@ -1369,6 +1390,7 @@ ORACLE_SQL = {
     "cumsum_events": CUMSUM_EVENTS_SQL,
     "rank_events": RANK_EVENTS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
+    "top2_orders_per_customer": TOP2_ORDERS_PER_CUSTOMER_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "session_stats_events": SESSION_STATS_SQL,

@@ -134,6 +134,26 @@ def row_number(ds: Dataset, entity_col: str, order_cols: Sequence[str],
     return bucketed_apply(ds, entity_col, fn, num_buckets)
 
 
+def grouped_topk(ds: Dataset, entity_col: str, sort_keys, k: int,
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Top-k rows PER ENTITY by ``sort_keys`` (list of (col, "ascending"
+    | "descending")) — SQL ``QUALIFY row_number() OVER (PARTITION BY
+    entity ORDER BY ...) <= k``. One bucketed exchange; per-bucket Arrow
+    sort + vectorized run-relative rank filter. Include a unique
+    tie-break column in ``sort_keys`` for deterministic output."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[(entity_col, "ascending"),
+                                              *sort_keys])
+        tbl = tbl.take(idx)
+        ng = entity_group_starts(tbl, entity_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id]
+        return tbl.filter(pa.array(rank < k))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
 def fill(ds: Dataset, entity_col: str, order_cols: Sequence[str],
          value_cols: Sequence[str], method: str = "ffill",
          suffix: str | None = None,

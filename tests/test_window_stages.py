@@ -115,3 +115,19 @@ def test_cumulative_and_row_number(tok_tbl):
     np.testing.assert_array_equal(got["n_tok_cummax"], g.cummax())
     np.testing.assert_array_equal(got["row_num"],
                                   exp.groupby("entity").cumcount() + 1)
+
+
+def test_grouped_topk(tok_tbl):
+    pdf = _pdf(tok_tbl)
+    ds = rd.from_pandas(pdf)
+    out = SW.grouped_topk(ds, "entity",
+                          [("n_tok", "descending"), ("doc_id", "ascending")],
+                          k=3, num_buckets=4)
+    got = out.to_pandas().sort_values(["entity", "n_tok", "doc_id"],
+                                      ascending=[True, False, True],
+                                      kind="stable").reset_index(drop=True)
+    exp = (pdf.sort_values(["entity", "n_tok", "doc_id"],
+                           ascending=[True, False, True], kind="stable")
+           .groupby("entity", group_keys=False).head(3)
+           .reset_index(drop=True))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
