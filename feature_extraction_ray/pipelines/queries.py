@@ -285,6 +285,85 @@ FROM x GROUP BY label, dim
 """
 
 
+def label_centroid_similarity(sf_dir: str) -> Dataset:
+    """Cosine of every vector to ITS label's mean embedding: exact
+    distributed centroid fit (partial vector sums → one small groupby →
+    label-bounded broadcast) + vectorized per-batch scoring — the
+    cluster-assignment-scoring pattern, hash-checked against a DuckDB
+    list_cosine_similarity oracle."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _batch_matrix
+        m = _batch_matrix(t, "embedding").astype(np.float64)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        cnts = np.bincount(inv, minlength=len(uniq))
+        dim = m.shape[1]
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, dim).astype(np.int64)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                    len(uniq))),
+            "s": pa.array(sums.reshape(-1)),
+            "n": pa.array(np.repeat(cnts, dim).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["label", "dim"]).aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n")).to_pandas()
+    agg["m"] = agg["s"] / agg["n"]
+    agg = agg.sort_values(["label", "dim"])
+    labels = agg["label"].unique()
+    dim = int(agg["dim"].max()) + 1
+    cents = {int(lb): agg[agg["label"] == lb]["m"].to_numpy()
+             for lb in labels}
+    import ray as _ray
+    ref = _ray.put(cents)
+
+    class Score:
+        def __init__(self):
+            self.cents = _ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from ..stages.similarity import _batch_matrix
+            m = _batch_matrix(t, "embedding").astype(np.float64)
+            lbs = t["label"].to_numpy(zero_copy_only=False)
+            c = np.stack([self.cents[int(l)] for l in
+                          np.unique(lbs)])
+            lmap = {int(l): i for i, l in enumerate(np.unique(lbs))}
+            li = np.array([lmap[int(l)] for l in lbs])
+            cm = c[li]
+            dots = np.einsum("ij,ij->i", m, cm)
+            sim = dots / (np.linalg.norm(m, axis=1) *
+                          np.linalg.norm(cm, axis=1))
+            return pa.table({
+                "vec_id": t["vec_id"],
+                "label": pa.array(lbs.astype(np.int64)),
+                "centroid_sim": pa.array(sim),
+            })
+
+    out = ds.map_batches(Score, batch_format="pyarrow",
+                         concurrency=(1, 4))
+    return _round(out, {"centroid_sim": 6})
+
+
+LABEL_CENTROID_SIMILARITY_SQL = """
+WITH x AS (SELECT label, unnest(embedding) AS v,
+                  unnest(generate_series(1, len(embedding))) AS dim
+           FROM embeddings),
+cent AS (SELECT label, dim, avg(CAST(v AS DOUBLE)) AS m
+         FROM x GROUP BY label, dim),
+clist AS (SELECT label, list(m ORDER BY dim) AS c
+          FROM cent GROUP BY label)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c), 6)
+           AS centroid_sim
+FROM embeddings e JOIN clist c USING (label)
+"""
+
+
 def distinct_event_types(sf_dir: str):
     """D1 distinct values (``Dataset.unique``)."""
     ds = _read(sf_dir, "events", ["event_type"])
@@ -1313,6 +1392,7 @@ QUERIES = {
     "distinct_event_types": distinct_event_types,
     "customers_without_orders": customers_without_orders,
     "mean_embedding_by_label": mean_embedding_by_label,
+    "label_centroid_similarity": label_centroid_similarity,
     "global_shuffle_docs": global_shuffle_docs,
     "lag_events": lag_events,
     "lead_events": lead_events,
@@ -1376,6 +1456,7 @@ ORACLE_SQL = {
     "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,
     "customers_without_orders": CUSTOMERS_WITHOUT_ORDERS_SQL,
     "mean_embedding_by_label": MEAN_EMBEDDING_BY_LABEL_SQL,
+    "label_centroid_similarity": LABEL_CENTROID_SIMILARITY_SQL,
     "global_shuffle_docs": GLOBAL_SHUFFLE_DOCS_SQL,
     "lag_events": LAG_EVENTS_SQL,
     "lead_events": LEAD_EVENTS_SQL,
