@@ -1076,7 +1076,8 @@ def minhash_dedup_incremental_docs(sf_dir: str):
         lambda t: t.filter(pc.greater_equal(t["doc_id"], pa.scalar(cut))),
         batch_format="pyarrow")
     prior_sig = minhash_signatures(old).materialize()
-    prior_assign = minhash_lsh_dedup(old, threshold=0.7, output="dataset")
+    prior_assign = minhash_lsh_dedup(old, threshold=0.7, output="dataset",
+                                     sig_ds=prior_sig)
     out, _sig = minhash_lsh_dedup_incremental(
         new, prior_sig, prior_assign, new_from=cut, threshold=0.7,
         output="dataset")

@@ -409,7 +409,8 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, num_buckets: int = 32,
-                      output: str = "pandas"):
+                      output: str = "pandas",
+                      sig_ds: Dataset | None = None):
     """Full near-dup pipeline: signatures → banded candidates → hash-join
     signature verification → distributed connected components (see
     ``stages/cc.py``) → per-id cluster assignment. Returns (doc_id,
@@ -420,8 +421,9 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     (and the final frame when ``output="pandas"`` — pass
     ``output="dataset"`` at corpus scale and write it to parquet).
     """
-    sig_ds = minhash_signatures(ds, text_col, id_col, num_perm, bands,
-                                shingle_k).materialize()
+    if sig_ds is None:
+        sig_ds = minhash_signatures(ds, text_col, id_col, num_perm,
+                                    bands, shingle_k).materialize()
     pairs = candidate_pairs_ds(sig_ds,
                                num_buckets=num_buckets).materialize()
     verified = verify_pairs_distributed(
