@@ -578,6 +578,34 @@ def ffill_events(sf_dir: str) -> Dataset:
                                "purchase_value_ffill"])
 
 
+def bfill_events(sf_dir: str) -> Dataset:
+    """Backward-fill (next purchase value per user) — the bfill half of
+    §2.8 fill, under its own oracle (ffill_events covers the other)."""
+    ds = _read(sf_dir, "events", _EVENT_COLS)
+
+    def derive(t: pa.Table) -> pa.Table:
+        pv = pc.if_else(pc.equal(t["event_type"], pa.scalar("purchase")),
+                        t["value"], pa.nulls(len(t), type=pa.float64()))
+        return t.append_column("purchase_value", pv)
+
+    ds = ds.map_batches(derive, batch_format="pyarrow")
+    out = SW.fill(ds, "user_id", ["ts"], ["purchase_value"],
+                  method="bfill", num_buckets=32)
+    return out.select_columns(["event_id", "user_id", "ts",
+                               "purchase_value_bfill"])
+
+
+BFILL_EVENTS_SQL = """
+SELECT event_id, user_id, ts,
+       first_value(CASE WHEN event_type = 'purchase' THEN value END
+                   IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS purchase_value_bfill
+FROM events
+"""
+
+
 FFILL_EVENTS_SQL = """
 SELECT event_id, user_id, ts,
        last_value(CASE WHEN event_type = 'purchase' THEN value END
@@ -1402,6 +1430,7 @@ QUERIES = {
     "sessionize_events_streaming": sessionize_events_streaming,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
+    "bfill_events": bfill_events,
     "sliding_minmax_events": sliding_minmax_events,
     "time_window_events": time_window_events,
     "tumbling_hourly_events": tumbling_hourly_events,
@@ -1466,6 +1495,7 @@ ORACLE_SQL = {
     "sessionize_events_streaming": SESSIONIZE_EVENTS_SQL,
     "sliding_mean_events": SLIDING_MEAN_EVENTS_SQL,
     "ffill_events": FFILL_EVENTS_SQL,
+    "bfill_events": BFILL_EVENTS_SQL,
     "sliding_minmax_events": SLIDING_MINMAX_EVENTS_SQL,
     "time_window_events": TIME_WINDOW_EVENTS_SQL,
     "tumbling_hourly_events": TUMBLING_HOURLY_EVENTS_SQL,
