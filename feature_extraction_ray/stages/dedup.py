@@ -548,35 +548,37 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
-def simhash_dedup(ds: Dataset, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3,
-                  num_buckets: int = 16, output: str = "pandas"):
-    """Near-dup clusters by SimHash: candidates share any 16-bit band
-    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
-    verified by exact Hamming distance via a hash-join of the pair list
-    against the (doc_id, simhash) table — same fully-distributed tail as
-    :func:`minhash_lsh_dedup`."""
+def _simhash_explode(tbl: pa.Table) -> pa.Table:
+    n = len(tbl)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    parts = []
+    for b in range(4):
+        parts.append(pa.table({
+            "doc_id": pa.array(np.asarray(ids)),
+            "band_idx": pa.array(np.full(n, b, dtype=np.int32)),
+            "band_hash": tbl[f"sim_band{b}"],
+        }))
+    return pa.concat_tables(parts)
+
+
+def _simhash_verified_pairs(sig: Dataset, max_hamming: int,
+                            num_buckets: int,
+                            require_ge: int | None = None) -> Dataset:
+    """SimHash candidate generation + Hamming verification: band explode →
+    vectorized shard scan (same as the MinHash candidate search) →
+    hash-join of the pair list against (doc_id, simhash) on each
+    endpoint. ``require_ge`` restricts to pairs touching a new doc
+    (incremental mode)."""
     from .cc import attach_values
-    sig = simhash_signatures(ds, text_col, id_col).materialize()
-
-    def explode(tbl: pa.Table) -> pa.Table:
-        n = len(tbl)
-        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        parts = []
-        for b in range(4):
-            parts.append(pa.table({
-                "doc_id": pa.array(np.asarray(ids)),
-                "band_idx": pa.array(np.full(n, b, dtype=np.int32)),
-                "band_hash": tbl[f"sim_band{b}"],
-            }))
-        return pa.concat_tables(parts)
-
-    exploded = sig.map_batches(explode, batch_format="pyarrow")
-    # same vectorized shard scan as the MinHash candidate search
     from .window import bucketed_apply
+    exploded = sig.map_batches(_simhash_explode, batch_format="pyarrow")
     pairs_ds = bucketed_apply(exploded, "band_hash",
-                              _pairs_of_shard_factory(max_bucket=256),
-                              num_buckets=num_buckets, drop_bucket=False)
+                              _pairs_of_shard_factory(max_bucket=256,
+                                                      require_ge=require_ge),
+                              num_buckets=num_buckets,
+                              drop_bucket=False).materialize()
+    if pairs_ds.count() == 0:
+        return pairs_ds
     hashes = sig.select_columns(["doc_id", "simhash"])
     wa = attach_values(pairs_ds, "a", hashes, "doc_id", ["simhash"],
                        rename={"simhash": "__h_a"}, num_buckets=num_buckets,
@@ -592,9 +594,49 @@ def simhash_dedup(ds: Dataset, text_col: str = "text",
         ok = hamming64(ha, hb) <= max_hamming
         return tbl.select(["a", "b"]).filter(pa.array(ok))
 
-    verified = wb.map_batches(keep_close, batch_format="pyarrow")
+    return wb.map_batches(keep_close, batch_format="pyarrow")
+
+
+def simhash_dedup(ds: Dataset, text_col: str = "text",
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  num_buckets: int = 16, output: str = "pandas"):
+    """Near-dup clusters by SimHash: candidates share any 16-bit band
+    (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
+    verified by exact Hamming distance via a hash-join of the pair list
+    against the (doc_id, simhash) table — same fully-distributed tail as
+    :func:`minhash_lsh_dedup`."""
+    sig = simhash_signatures(ds, text_col, id_col).materialize()
+    verified = _simhash_verified_pairs(sig, max_hamming, num_buckets)
     return _cluster_output(sig.select_columns(["doc_id"]), verified,
                            "doc_id", num_buckets, output)
+
+
+def simhash_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
+                              prior_assign: Dataset | None = None,
+                              new_from: int = 0, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_hamming: int = 3, num_buckets: int = 16,
+                              output: str = "dataset"):
+    """SimHash twin of :func:`minhash_lsh_dedup_incremental`: dedup a new
+    batch against a persisted SimHash signature store; prior assignment
+    rows re-enter clustering as (member → cluster) edges. Returns
+    ``(assignment, sig_all)``."""
+    sig_new = simhash_signatures(new_ds, text_col, id_col)
+    sig_all = prior_sig.union(sig_new).materialize()
+    verified = _simhash_verified_pairs(sig_all, max_hamming, num_buckets,
+                                       require_ge=new_from).materialize()
+    if prior_assign is not None:
+        def assign_edges(tbl: pa.Table) -> pa.Table:
+            keep = tbl.filter(tbl["is_duplicate"])
+            return pa.table({"a": keep["doc_id"].cast(pa.int64()),
+                             "b": keep["cluster_id"].cast(pa.int64())})
+        prior_edges = prior_assign.map_batches(assign_edges,
+                                               batch_format="pyarrow")
+        verified = prior_edges if verified.count() == 0 \
+            else verified.union(prior_edges)
+    out = _cluster_output(sig_all.select_columns(["doc_id"]), verified,
+                          "doc_id", num_buckets, output)
+    return out, sig_all
 
 
 # ---------------------------------------------------------------------------

@@ -302,3 +302,33 @@ def test_persistent_ivf_index_roundtrip(tmp_path):
         g2 = set(got2[got2["query_id"] == qi]["vec_id"])
         e = set(exact[exact["query_id"] == qi]["vec_id"])
         assert len(g2 & e) >= 3, qi
+
+
+def test_incremental_simhash_equals_full_recompute():
+    from feature_extraction_ray.stages.dedup import (
+        simhash_dedup_incremental, simhash_signatures)
+    rng = np.random.default_rng(19)
+    vocab = [f"s{i}" for i in range(250)]
+    texts_a = [" ".join(rng.choice(vocab, size=45)) for _ in range(25)]
+    df_a = pd.DataFrame({"doc_id": np.arange(25, dtype=np.int64),
+                         "text": texts_a})
+    def tweak(t, tag):
+        ws = t.split(); ws[1] = tag; return " ".join(ws)
+    texts_b = [tweak(texts_a[3], "Z0"), texts_a[9],
+               " ".join(rng.choice(vocab, size=45))]
+    df_b = pd.DataFrame({"doc_id": np.arange(25, 28, dtype=np.int64),
+                         "text": texts_b})
+    both = pd.concat([df_a, df_b]).reset_index(drop=True)
+    full = DD.simhash_dedup(rd.from_pandas(both), max_hamming=6)
+    prior_sig = simhash_signatures(rd.from_pandas(df_a)).materialize()
+    prior_assign = DD.simhash_dedup(rd.from_pandas(df_a), max_hamming=6,
+                                    output="dataset")
+    inc, _sig = simhash_dedup_incremental(
+        rd.from_pandas(df_b), prior_sig, prior_assign, new_from=25,
+        max_hamming=6, output="pandas")
+    f = full.sort_values("doc_id").reset_index(drop=True)
+    i = inc.sort_values("doc_id").reset_index(drop=True)
+    assert f["cluster_id"].tolist() == i["cluster_id"].tolist()
+    assert f["is_duplicate"].tolist() == i["is_duplicate"].tolist()
+    # the exact copy must cluster with its source
+    assert i.set_index("doc_id")["cluster_id"][26] == 9
