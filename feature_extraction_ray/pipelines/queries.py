@@ -1306,6 +1306,18 @@ def tag_lemma_docs(sf_dir: str) -> Dataset:
     return tag_and_lemmatize(ds).select_columns(["doc_id", "pos", "lemmas"])
 
 
+def split_counts_docs(sf_dir: str) -> Dataset:
+    """Deterministic hash-based train/val/test split + per-(source,
+    split) counts (rows-only — the split hash is not SQL-expressible;
+    determinism/disjointness/ratio goldens in ``test_skew_misc.py``)."""
+    from ..stages.partition import hash_split
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = hash_split(ds, "doc_id")
+    return out.groupby(["source", "split"]).aggregate(
+        Count(alias_name="n_docs"))
+
+
 def topic_model_docs(sf_dir: str) -> Dataset:
     """A6 analog (``archived/train_topic_model.py:96-132``): distributed
     vocab build + filter gate → EM topic fit (broadcast φ, per-iteration
@@ -1465,6 +1477,7 @@ QUERIES = {
     "truecase_docs": truecase_docs,
     "truecase_model": truecase_model,
     "topic_model_docs": topic_model_docs,
+    "split_counts_docs": split_counts_docs,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "media_features": media_features,

@@ -111,6 +111,38 @@ def entity_group_starts(tbl: pa.Table, entity_col: str) -> np.ndarray:
     return group_starts(codes)
 
 
+def hash_split(ds: Dataset, id_col: str,
+               splits: dict | None = None, seed: int = 1337,
+               out_col: str = "split") -> Dataset:
+    """Deterministic train/val/test assignment by key hash — the
+    training-data-pipeline split that stays STABLE under re-partitioning,
+    re-runs, and corpus growth (a doc's split never changes when other
+    docs are added, unlike fraction-based random sampling). Vectorized:
+    one hash pass + threshold binning per batch; no shuffle.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; remainder falls in
+    the last split). Default 0.9/0.05/0.05 train/val/test."""
+    splits = dict(splits or {"train": 0.9, "val": 0.05, "test": 0.05})
+    names = list(splits)
+    edges = np.cumsum([splits[n] for n in names])
+    edges[-1] = 1.0 + 1e-12
+    seed_mix = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = _stable_hash_strings(batch[id_col])
+        with np.errstate(over="ignore"):
+            h = (h ^ seed_mix) * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        u = h.astype(np.float64) / float(2**64)     # uniform [0, 1)
+        idx = np.searchsorted(edges, u, side="right")
+        arr = np.array(names, dtype=object)[np.clip(idx, 0,
+                                                    len(names) - 1)]
+        return batch.append_column(out_col,
+                                   pa.array(arr, type=pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def skew_report(ds: Dataset, entity_col: str, top_k: int = 20):
     """Row-count histogram per entity (small result, driver-side).
 

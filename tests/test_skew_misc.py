@@ -74,3 +74,30 @@ def test_stable_bucket_deterministic_across_dtypes():
     ints = pa.array([1, 2, 3, 1], type=pa.int64())
     bi = stable_bucket(ints, 16)
     assert bi[0] == bi[3]
+
+
+def test_hash_split_deterministic_disjoint_ratios():
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.partition import hash_split
+    import numpy as np
+    ids = pa.table({"doc_id": pa.array(np.arange(4000, dtype=np.int64))})
+    a = hash_split(rd.from_arrow(ids), "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(rd.from_arrow(ids).repartition(7), "doc_id") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # stable under re-partitioning / re-runs
+    assert a["split"].tolist() == b["split"].tolist()
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.02
+    assert abs(frac["test"] - 0.05) < 0.02
+    # growth-stability: a doc's split is unchanged when the corpus grows
+    bigger = pa.table({"doc_id": pa.array(np.arange(8000, dtype=np.int64))})
+    c = hash_split(rd.from_arrow(bigger), "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert c["split"].tolist()[:4000] == a["split"].tolist()
+    # different seed reshuffles
+    d = hash_split(rd.from_arrow(ids), "doc_id", seed=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert d["split"].tolist() != a["split"].tolist()
