@@ -646,9 +646,12 @@ def median_value_by_type(sf_dir: str):
     def med(g: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_type": [g["event_type"].iloc[0]],
-            "median_value": [round(float(g["value"].median()), 4)]})
+            "median_value": [float(g["value"].median())]})
 
-    return ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    out = ds.groupby("event_type").map_groups(med, batch_format="pandas")
+    # half-away-from-zero like the DuckDB oracle's ROUND (Python round()
+    # is banker's — even-count medians can land on .00005 boundaries).
+    return _round(out, {"median_value": 4})
 
 
 MEDIAN_VALUE_BY_TYPE_SQL = """
@@ -810,12 +813,16 @@ FROM s GROUP BY user_id, session_id
 # ---------------------------------------------------------------------------
 
 def doc_token_counts(sf_dir: str) -> Dataset:
-    """Whitespace token count per document (TokenCount stage, M-series)."""
-    from ..stages.text import TokenCount
+    """Whitespace token count per document (M-series; Arrow-native split
+    + list-length — no pandas conversion)."""
+    from ..stages.text import ws_token_count
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = ds.map_batches(TokenCount, batch_format="pandas",
-                         concurrency=(1, 4))
-    return out.select_columns(["doc_id", "n_tok_ws"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tok_ws": ws_token_count(t["text"])})
+
+    return ds.map_batches(count, batch_format="pyarrow")
 
 
 DOC_TOKEN_COUNTS_SQL = """
@@ -825,11 +832,16 @@ FROM documents
 
 
 def verbosity_by_source(sf_dir: str) -> Dataset:
-    """Per-source word-count stats (G1 verbosity analog, SQL-checkable)."""
-    from ..stages.text import TokenCount
-    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
-    ds = ds.map_batches(TokenCount, batch_format="pandas",
-                        concurrency=(1, 4))
+    """Per-source word-count stats (G1 verbosity analog, SQL-checkable;
+    Arrow-native token count)."""
+    from ..stages.text import ws_token_count
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def count(t: pa.Table) -> pa.Table:
+        return pa.table({"source": t["source"],
+                         "n_tok_ws": ws_token_count(t["text"])})
+
+    ds = ds.map_batches(count, batch_format="pyarrow")
     out = ds.groupby("source").aggregate(
         Count(alias_name="n_docs"),
         Mean("n_tok_ws", alias_name="wc_mean"),

@@ -53,8 +53,12 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
     Both sides are tagged, unioned, hash-bucketed by the key, and joined
     per bucket with a sorted ``np.searchsorted`` probe — one all-to-all
     total, never a driver materialization. ``how`` ∈ {"inner", "left"}.
-    Duplicate lookup keys keep the ``dup`` aggregate ("min"/"first") of
-    each value column, so the join never fans out rows.
+    Duplicate lookup keys keep one row per key, so the join never fans
+    out rows: ``dup="min"`` keeps the row whose FIRST value column is
+    minimal (the other value columns ride along from that same row —
+    NOT a per-column min), ``dup="first"`` keeps the first row in stable
+    sort order. For nested (list) value types the min pre-sort is
+    skipped and the first-by-stable-sort row wins regardless of ``dup``.
 
     ``distinct_fact_cols``: drop duplicate fact rows (same values in these
     columns) inside each bucket BEFORE attaching values — rows with equal

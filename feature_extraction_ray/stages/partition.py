@@ -126,7 +126,7 @@ def hash_split(ds: Dataset, id_col: str,
     names = list(splits)
     edges = np.cumsum([splits[n] for n in names])
     edges[-1] = 1.0 + 1e-12
-    seed_mix = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
 
     def assign(batch: pa.Table) -> pa.Table:
         h = _stable_hash_strings(batch[id_col])

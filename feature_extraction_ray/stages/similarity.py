@@ -203,7 +203,12 @@ class _ProbedTopK:
         m = _norm_rows(_batch_matrix(batch, self.vec_col).astype(self.dtype))
         ids = batch[self.id_col].to_numpy(
             zero_copy_only=False).astype(np.int64)
-        order = np.argsort(bks, kind="stable")
+        # Sort by (bucket, vec_id): vec_id-ascending columns make the
+        # stable per-row score sort below break ties deterministically by
+        # smallest vec_id (argpartition picked arbitrarily among ties at
+        # the k-boundary, which could flip oracle-checked exhaustive-probe
+        # results on duplicate embeddings).
+        order = np.lexsort((ids, bks))
         bks, m, ids = bks[order], m[order], ids[order]
         starts = np.r_[np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]]),
                        len(bks)]
@@ -214,7 +219,7 @@ class _ProbedTopK:
                 continue
             scores = self.q[qidx] @ m[s:e].T        # (nq_probe, run)
             kk = min(self.k, e - s)
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            part = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
             qs.append(np.repeat(qidx.astype(np.int64), part.shape[1]))
             vs.append(ids[s:e][part.reshape(-1)])
             ss.append(np.take_along_axis(scores, part, axis=1).reshape(-1))

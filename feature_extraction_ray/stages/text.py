@@ -186,6 +186,19 @@ def _split_flat(txt: pa.ChunkedArray | pa.Array):
     return flat, flat_len, offsets, real, n_real
 
 
+def ws_token_count(txt: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Python-``str.split()``-equivalent whitespace token count, fully
+    Arrow-native (trim → split → list length, with the trimmed-empty-doc
+    ``[""] → 0`` fixup). The vectorized replacement for the per-column
+    pandas pass ``TokenCount`` does."""
+    import pyarrow.compute as pc
+    trimmed = pc.utf8_trim_whitespace(txt)
+    n = pc.cast(pc.list_value_length(pc.utf8_split_whitespace(trimmed)),
+                pa.int64())
+    return pc.if_else(pc.equal(pc.utf8_length(trimmed), 0),
+                      pa.scalar(0, type=pa.int64()), n)
+
+
 def _rolling_fp_batch(word_hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
     """Vectorized per-doc rolling fingerprint: the sequential
     ``h = h*B + w`` recurrence expands to ``OFFSET·Bᴸ + Σ wᵢ·B^(L-1-i)``

@@ -105,14 +105,35 @@ def cumulative(ds: Dataset, entity_col: str, order_cols: Sequence[str],
     sfx = suffix or f"_cum{agg}"
 
     def fn(tbl: pa.Table) -> pa.Table:
-        import pandas as pd
         tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
         run_id = np.cumsum(ng) - 1
+        starts = np.flatnonzero(ng)
         for c in value_cols:
-            v = tbl[c].to_pandas()
-            out = getattr(v.groupby(run_id), f"cum{agg}")()
-            tbl = tbl.append_column(
-                f"{c}{sfx}", pa.array(out.to_numpy(), from_pandas=True))
+            v = tbl[c].to_numpy(zero_copy_only=False)
+            is_float = v.dtype.kind == "f"
+            nan = np.isnan(v) if is_float else np.zeros(len(v), dtype=bool)
+            if agg == "sum":
+                # global cumsum, subtract the running total at each run
+                # start (the sliding_sum_count pattern) — NaNs skipped
+                # like pandas cumsum (stay NaN, don't poison the run).
+                filled = np.where(nan, 0, v) if is_float else v
+                cs = np.cumsum(filled)
+                base = np.where(starts > 0, cs[starts - 1], 0)
+                out = cs - base[run_id]
+            else:
+                fillv = (np.inf if agg == "min" else -np.inf) if is_float \
+                    else None
+                filled = np.where(nan, fillv, v) if is_float else v.copy()
+                acc = np.minimum.accumulate if agg == "min" \
+                    else np.maximum.accumulate
+                out = np.empty_like(filled)
+                bounds = np.r_[starts, len(v)]
+                for s, e in zip(bounds[:-1], bounds[1:]):
+                    out[s:e] = acc(filled[s:e])
+            if is_float:
+                out = np.where(nan, np.nan, out)
+            tbl = tbl.append_column(f"{c}{sfx}",
+                                    pa.array(out, from_pandas=True))
         return tbl
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
