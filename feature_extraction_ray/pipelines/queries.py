@@ -1208,6 +1208,55 @@ def knn_embeddings_lsh(sf_dir: str):
     return knn_lsh(ds, q, k=10, bits=8, probes=16)
 
 
+def knn_embeddings_lsh_full(sf_dir: str):
+    """LSH kNN with ``probes="all"`` (every hyperplane bucket probed) and
+    float64 scoring: exhaustive, so the bucket-assign + in-map scoring +
+    distributed top-k merge path is EXACT and runs under the brute-force
+    SQL oracle (the LSH twin of ``knn_embeddings_ivf_full``; the
+    approximate multi-probe variant stays rows-only with recall
+    goldens)."""
+    import pyarrow.parquet as _pq
+    from ..stages.similarity import knn_lsh
+    tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    q = np.array(tbl.slice(0, 5)["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_lsh(ds, q, k=10, bits=6, probes="all", dtype=np.float64,
+                  merge="distributed")
+    out["score"] = out["score"].round(6)
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "score", "rank"]]
+
+
+def ngram_jaccard_pairs_docs(sf_dir: str) -> Dataset:
+    """Exact word-5-gram Jaccard near-dup pairs at threshold 1/2 over the
+    documents corpus — the float-free oracle-checked verification twin of
+    the minhash/simhash near-dup tails (counts compared in integers)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, k=5, threshold=(1, 2), num_buckets=32)
+
+
+NGRAM_JACCARD_PAIRS_SQL = """
+WITH w AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+           FROM documents WHERE trim(text) <> ''),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 5
+                  THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(ws[i:i+4], ' ')
+                        FOR i IN range(1, len(ws) - 3)]
+             END) AS gs
+      FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter_n,
+       CAST(len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))
+            AS BIGINT) AS union_n
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.gs, b.gs)) * 2 >=
+      (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+"""
+
+
 def text_analysis_docs(sf_dir: str) -> Dataset:
     from ..stages.text import analyze_text
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
@@ -1434,7 +1483,15 @@ def media_features(sf_dir: str):
     return extract_media_features(ds)
 
 
+# ---------------------------------------------------------------------------
+# Query registry. ORDER MATTERS for driver evidence: the correctness
+# driver consumes the FIRST ~50 entries, so every oracle-backed query
+# (45) comes first, then the highest-value rows-only entries fill the
+# window; redundant twins and RO queries whose operator family already
+# has an oracle row in-window sit in the tail.
+# ---------------------------------------------------------------------------
 QUERIES = {
+    # -- oracle-backed (DuckDB SQL twin; driver hash-checks values) --
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value_orders": filter_high_value_orders,
     "topk_orders": topk_orders,
@@ -1461,7 +1518,6 @@ QUERIES = {
     "cumsum_events": cumsum_events,
     "rank_events": rank_events,
     "median_value_by_type": median_value_by_type,
-    "approx_quantiles_events": approx_quantiles_events,
     "top2_orders_per_customer": top2_orders_per_customer,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
@@ -1475,24 +1531,31 @@ QUERIES = {
     "events_daily_rollup": events_daily_rollup,
     "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings": knn_embeddings,
+    "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
+    "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
+    "embedding_dedup_brute": embedding_dedup_brute,
+    "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+    "text_quality_docs": text_quality_docs,
+    "truecase_model": truecase_model,
+    # -- rows-only, in-window (never driver-checked before round 3 /
+    #    highest-value operator families) --
     "minhash_dedup_docs": minhash_dedup_docs,
+    "topic_model_docs": topic_model_docs,
+    "tag_lemma_docs": tag_lemma_docs,
+    "media_features": media_features,
+    "split_counts_docs": split_counts_docs,
+    # ---- tail (outside the driver's ~50-entry window): RO twins whose
+    #      operator family already has an in-window row ----
+    "truecase_docs": truecase_docs,
     "minhash_dedup_incremental_docs": minhash_dedup_incremental_docs,
     "simhash_docs": simhash_docs,
     "embedding_dedup_docs": embedding_dedup_docs,
-    "embedding_dedup_brute": embedding_dedup_brute,
     "knn_embeddings_lsh": knn_embeddings_lsh,
     "knn_embeddings_ivf": knn_embeddings_ivf,
-    "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "text_analysis_docs": text_analysis_docs,
-    "text_quality_docs": text_quality_docs,
-    "tag_lemma_docs": tag_lemma_docs,
-    "truecase_docs": truecase_docs,
-    "truecase_model": truecase_model,
-    "topic_model_docs": topic_model_docs,
-    "split_counts_docs": split_counts_docs,
+    "approx_quantiles_events": approx_quantiles_events,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
-    "media_features": media_features,
     "approx_distinct_words": approx_distinct_words,
     "phrase_rewrite_docs": phrase_rewrite_docs,
     "asr_text_features": asr_text_features,
@@ -1541,6 +1604,8 @@ ORACLE_SQL = {
     "docs_min_word_gate": DOCS_MIN_WORD_GATE_SQL,
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
     "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
+    "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
+    "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
     "truecase_model": TRUECASE_MODEL_SQL,

