@@ -1475,8 +1475,10 @@ def approx_distinct_words(sf_dir: str):
 
 
 def media_features(sf_dir: str):
-    """Multimodal plumbing: synthetic media table → stub feature vectors
-    (deterministic fake decode; see stages/multimodal.py)."""
+    """Multimodal pipeline over REAL bytes: synthesized BMP / PCM16-WAV /
+    concat-BMP-video payloads decoded by the stdlib struct/wave codecs in
+    stages/multimodal.py → 16-dim feature vectors (channel stats +
+    luminance histogram / RMS + spectral bands)."""
     import ray.data as _rd
     from ..stages.multimodal import extract_media_features, synth_media_table
     ds = _rd.from_arrow(synth_media_table(64))

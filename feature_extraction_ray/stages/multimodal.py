@@ -3,14 +3,21 @@
 Image/audio/video are treated as opaque ``binary`` columns with typed
 metadata columns alongside (driver brief). The Ray-side plumbing — schema,
 actor-pool signatures, small-batch sizing for large payloads, output
-layout — is real and tested; the *decode kernels themselves* are STUBS
-because no image/audio libraries exist in this container:
+layout — is the same as any production media pipeline, and the decode
+kernels are REAL for the formats a stdlib-only container can parse:
 
-* ``decode_fn=None`` → a clearly-marked ``NotImplementedError`` explaining
-  which library to plug in;
-* ``deterministic_fake=True`` → a seeded, content-derived fake decode so
-  the full pipeline (including downstream feature stages) is exercisable
-  end-to-end in tests.
+* **BMP** images (24-bit uncompressed): struct header parse → (h, w, 3)
+  RGB pixel array → channel stats + luminance histogram features;
+* **WAV** audio (PCM16, via the stdlib ``wave`` module): frames → RMS /
+  peak / zero-cross / spectral-band features (numpy rFFT);
+* **video** as a trivial concat-of-BMP-frames container: demuxed by each
+  frame's declared BMP file size, frames sampled evenly.
+
+Anything else (JPEG/PNG/MP3/MP4...) raises a clearly-marked
+``NotImplementedError`` at decode time naming the library to plug in via
+``decode_fn`` — the honest boundary of a no-image-libs container. The
+seeded content-derived fake decode (``mode="fake"``) remains for
+plumbing-only tests.
 
 Batch sizing: payloads are KB–MB scale, so these stages default to SMALL
 ``batch_size`` (64) and expect the caller to keep
@@ -21,6 +28,9 @@ shippable; never convert the binary column to pandas (stays Arrow).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 
 import numpy as np
 import pyarrow as pa
@@ -38,54 +48,272 @@ MEDIA_SCHEMA = pa.schema([
 ])
 
 
-def synth_media_table(n: int = 32, seed: int = 3) -> pa.Table:
-    """Deterministic fake media table matching :data:`MEDIA_SCHEMA`."""
+# ---------------------------------------------------------------------------
+# Stdlib codecs (struct/wave only — no image/audio libraries)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 24-bit uncompressed BMP bytes (bottom-up
+    rows, 4-byte padded — the classic BITMAPINFOHEADER layout)."""
+    h, w, _ = pixels.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for r in range(h - 1, -1, -1):            # bottom-up
+        body += pixels[r, :, ::-1].tobytes()  # RGB → BGR
+        body += b"\x00" * pad
+    size = 54 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes → (h, w, 3) uint8 RGB array."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise NotImplementedError(
+            "not a BMP payload — decoding other image formats requires an "
+            "image/audio library (e.g. Pillow) not present in this "
+            "container; pass decode_fn=...")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP is supported (got bpp={bpp}, "
+            f"compression={comp}); pass decode_fn=... for other variants")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raw = np.frombuffer(payload, dtype=np.uint8,
+                        count=stride * h, offset=data_off)
+    rows = raw.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()            # BGR → RGB
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → PCM16 WAV bytes (stdlib ``wave``)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes):
+    """PCM16 WAV bytes → (float32 mono samples in [-1, 1], sample_rate)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "not a WAV payload — decoding other audio formats requires an "
+            "image/audio library (e.g. torchaudio) not present in this "
+            "container; pass decode_fn=...")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        if wf.getsampwidth() != 2:
+            raise NotImplementedError(
+                f"only PCM16 WAV is supported (got sample width "
+                f"{wf.getsampwidth()}); pass decode_fn=...")
+        rate = wf.getframerate()
+        nch = wf.getnchannels()
+        raw = np.frombuffer(wf.readframes(wf.getnframes()), dtype="<i2")
+    x = raw.astype(np.float32) / 32768.0
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, rate
+
+
+def split_video_frames(payload: bytes) -> list:
+    """Demux the concat-of-BMP video container: each frame declares its
+    own byte length in the BMP header (offset 2), so splitting is an
+    exact O(#frames) scan."""
+    frames, pos = [], 0
+    while pos + 54 <= len(payload):
+        if payload[pos:pos + 2] != b"BM":
+            raise NotImplementedError(
+                "video payload is not a concat-of-BMP stream; real "
+                "containers (MP4/WebM) need a demuxer library — pass "
+                "decode_fn=...")
+        size = struct.unpack_from("<I", payload, pos + 2)[0]
+        frames.append(payload[pos:pos + size])
+        pos += size
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# Synthetic media corpus (real payloads by default)
+# ---------------------------------------------------------------------------
+
+def synth_media_table(n: int = 32, seed: int = 3,
+                      real_payloads: bool = True) -> pa.Table:
+    """Deterministic media table matching :data:`MEDIA_SCHEMA`.
+
+    ``real_payloads=True`` (default) writes genuine BMP / PCM16-WAV /
+    concat-of-BMP bytes whose metadata columns describe the actual
+    content; ``False`` keeps the legacy opaque random-byte payloads for
+    plumbing-only tests."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.integers(0, 256, size=int(rng.integers(256, 4096)),
-                             dtype=np.uint8).tobytes() for _ in range(n)]
+    payloads, widths, heights, rates, durs = [], [], [], [], []
+    for kind in kinds:
+        if not real_payloads:
+            payloads.append(rng.integers(
+                0, 256, size=int(rng.integers(256, 4096)),
+                dtype=np.uint8).tobytes())
+            widths.append(int(rng.integers(16, 512)))
+            heights.append(int(rng.integers(16, 512)))
+            rates.append(16_000 if kind == "audio" else 0)
+            durs.append(int(rng.integers(100, 60_000)))
+            continue
+        if kind == "image":
+            w, h = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(px))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+            durs.append(0)
+        elif kind == "audio":
+            rate = int(rng.choice([8_000, 16_000]))
+            ns = int(rng.integers(rate // 100, rate // 4))
+            x = (rng.standard_normal(ns) * 6000).astype(np.int16)
+            payloads.append(encode_wav(x, rate))
+            widths.append(0)
+            heights.append(0)
+            rates.append(rate)
+            durs.append(int(round(ns / rate * 1000)))
+        else:                                  # video: 2-5 BMP frames
+            w, h = int(rng.integers(8, 17)), int(rng.integers(8, 17))
+            nf = int(rng.integers(2, 6))
+            payloads.append(b"".join(
+                encode_bmp(rng.integers(0, 256, size=(h, w, 3),
+                                        dtype=np.uint8))
+                for _ in range(nf)))
+            widths.append(w)
+            heights.append(h)
+            rates.append(0)
+            durs.append(nf * 40)              # 25 fps
     return pa.table({
         "media_id": pa.array([f"m{i:05d}" for i in range(n)]),
         "payload": pa.array(payloads, type=pa.binary()),
         "media_type": pa.array(kinds.tolist()),
-        "width": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-        "height": pa.array(rng.integers(16, 512, n).astype(np.int32)),
-        "sample_rate": pa.array(
-            np.where(kinds == "audio", 16_000, 0).astype(np.int32)),
-        "duration_ms": pa.array(
-            rng.integers(100, 60_000, n).astype(np.int64)),
+        "width": pa.array(np.array(widths, dtype=np.int32)),
+        "height": pa.array(np.array(heights, dtype=np.int32)),
+        "sample_rate": pa.array(np.array(rates, dtype=np.int32)),
+        "duration_ms": pa.array(np.array(durs, dtype=np.int64)),
     })
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction
+# ---------------------------------------------------------------------------
+
+def _image_features(px: np.ndarray) -> np.ndarray:
+    """(h, w, 3) uint8 → 16-dim [w, h, mean RGB, std RGB, 8-bin luminance
+    histogram], every component scaled into [0, 1]."""
+    h, w, _ = px.shape
+    f = np.empty(16, dtype=np.float32)
+    f[0] = min(w / 4096.0, 1.0)
+    f[1] = min(h / 4096.0, 1.0)
+    flat = px.reshape(-1, 3).astype(np.float32)
+    f[2:5] = flat.mean(axis=0) / 255.0
+    f[5:8] = flat.std(axis=0) / 255.0
+    lum = flat @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
+    hist, _ = np.histogram(lum, bins=8, range=(0.0, 255.0001))
+    f[8:16] = hist.astype(np.float32) / max(len(lum), 1)
+    return f
+
+
+def _audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """float32 mono [-1,1] → 16-dim [duration, rate, rms, peak,
+    zero-cross rate, silence fraction, spectral centroid, flatness-ish,
+    8 log-spaced band energy fractions], scaled into [0, 1]."""
+    f = np.zeros(16, dtype=np.float32)
+    n = len(x)
+    if n == 0:
+        return f
+    f[0] = min(n / rate / 60.0, 1.0)
+    f[1] = min(rate / 48_000.0, 1.0)
+    f[2] = min(float(np.sqrt(np.mean(x * x))), 1.0)
+    f[3] = min(float(np.abs(x).max()), 1.0)
+    f[4] = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+        if n > 1 else 0.0
+    f[5] = float(np.mean(np.abs(x) < 0.01))
+    mag = np.abs(np.fft.rfft(x))
+    total = float(mag.sum())
+    if total > 0:
+        freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+        f[6] = float((freqs * mag).sum() / total / (rate / 2))
+        # energy fraction in 8 geometric bands up to Nyquist
+        edges = np.geomspace(rate / 512, rate / 2, 9)
+        band = np.searchsorted(edges, freqs, side="right")
+        e = mag * mag
+        esum = float(e.sum())
+        for b in range(8):
+            f[8 + b] = float(e[band == b + 1].sum() / esum)
+        f[7] = float(np.exp(np.mean(np.log(mag + 1e-12))) /
+                     (mag.mean() + 1e-12))    # spectral flatness
+    return f
 
 
 class MediaFeatureExtractor:
     """Actor-pool stage: binary payload → fixed-size feature vector.
 
-    ``__init__`` is where a real model would load ONCE per actor (the
-    actor-pool rule); ``__call__`` is vectorized over the batch. The stub
-    'decode' derives a deterministic 16-dim float vector from a sha256 of
-    the payload — stable across processes, so downstream tests are exact.
-    """
+    ``__init__`` is where per-actor state loads ONCE (the actor-pool
+    rule); ``__call__`` decodes + featurizes the batch. ``mode="stdlib"``
+    (default) runs the real BMP/WAV/concat-BMP decoders above;
+    ``mode="fake"`` keeps the sha256-derived deterministic vector for
+    plumbing-only tests; ``decode_fn`` plugs in an external
+    payload→vector decoder (the hook for real image/audio libraries)."""
 
     DIM = 16
 
-    def __init__(self, decode_fn=None, deterministic_fake: bool = True):
-        if decode_fn is None and not deterministic_fake:
-            raise NotImplementedError(
-                "media decoding requires an image/audio library (e.g. "
-                "Pillow / torchvision / torchaudio) not present in this "
-                "container; pass decode_fn=... or deterministic_fake=True")
+    def __init__(self, decode_fn=None, mode: str = "stdlib",
+                 deterministic_fake: bool | None = None):
+        # legacy kwarg: deterministic_fake=True meant "use the fake path"
+        if deterministic_fake:
+            mode = "fake"
+        if mode not in ("stdlib", "fake"):
+            raise ValueError(f"unknown decode mode {mode!r}")
         self.decode_fn = decode_fn
+        self.mode = mode
 
-    def _fake_decode(self, payload: bytes) -> np.ndarray:
+    def _fake_decode(self, payload: bytes, kind: str) -> np.ndarray:
         h = hashlib.sha256(payload).digest()
         raw = np.frombuffer(h[:self.DIM * 2], dtype=np.uint16)
         return (raw.astype(np.float32) / 65535.0)[:self.DIM]
 
+    def _stdlib_decode(self, payload: bytes, kind: str) -> np.ndarray:
+        if kind == "image":
+            return _image_features(decode_bmp(payload))
+        if kind == "audio":
+            return _audio_features(*decode_wav(payload))
+        if kind == "video":
+            frames = split_video_frames(payload)
+            if not frames:
+                return np.zeros(self.DIM, dtype=np.float32)
+            return np.mean([_image_features(decode_bmp(fr))
+                            for fr in frames], axis=0).astype(np.float32)
+        raise NotImplementedError(
+            f"unknown media_type {kind!r}; pass decode_fn=...")
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        fn = self.decode_fn or self._fake_decode
-        feats = np.stack([fn(p) for p in payloads]) if payloads else \
-            np.zeros((0, self.DIM), dtype=np.float32)
+        kinds = batch["media_type"].to_pylist()
+        if self.decode_fn is not None:
+            fn = self.decode_fn
+        elif self.mode == "fake":
+            fn = self._fake_decode
+        else:
+            fn = self._stdlib_decode
+        feats = np.stack([np.asarray(fn(p, k), dtype=np.float32)
+                          for p, k in zip(payloads, kinds)]) \
+            if payloads else np.zeros((0, self.DIM), dtype=np.float32)
         return pa.table({
             "media_id": batch["media_id"],
             "media_type": batch["media_type"],
@@ -95,9 +323,9 @@ class MediaFeatureExtractor:
 
 
 class FrameSampler:
-    """Actor-pool stage: 'video' payload → k evenly-spaced 'frames'
-    (byte slices in the stub; a real impl would demux + decode). Emits one
-    row per frame — the fan-out layout downstream image stages consume."""
+    """Actor-pool stage: 'video' payload → k evenly-spaced frames (real
+    BMP bytes demuxed from the concat container). Emits one row per
+    frame — the fan-out layout downstream image stages consume."""
 
     def __init__(self, k: int = 4):
         self.k = k
@@ -110,11 +338,15 @@ class FrameSampler:
         for mid, p, kind in zip(mids, payloads, kinds):
             if kind != "video":
                 continue
-            step = max(len(p) // self.k, 1)
-            for i in range(self.k):
+            fr = split_video_frames(p)
+            if not fr:
+                continue
+            picks = np.round(np.linspace(0, len(fr) - 1,
+                                         self.k)).astype(int)
+            for i, src in enumerate(picks):
                 ids.append(mid)
                 fidx.append(i)
-                frames.append(p[i * step:(i + 1) * step])
+                frames.append(fr[src])
         return pa.table({
             "media_id": pa.array(ids, type=pa.string()),
             "frame_idx": pa.array(fidx, type=pa.int32()),
@@ -123,14 +355,13 @@ class FrameSampler:
 
 
 def extract_media_features(ds: Dataset, decode_fn=None,
-                           deterministic_fake: bool = True,
+                           mode: str = "stdlib",
                            concurrency=(1, 8),
                            batch_size: int = 64) -> Dataset:
     """Media feature pipeline: small batches (large payloads), Arrow-only."""
     return ds.map_batches(
         MediaFeatureExtractor, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(decode_fn=decode_fn,
-                                   deterministic_fake=deterministic_fake),
+        fn_constructor_kwargs=dict(decode_fn=decode_fn, mode=mode),
         batch_size=batch_size, concurrency=concurrency)
 
 

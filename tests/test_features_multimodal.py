@@ -38,7 +38,7 @@ def test_extract_group_features_dataset():
     assert got_total == exp_total
 
 
-def test_media_feature_stub_deterministic():
+def test_media_features_real_decode_deterministic():
     tbl = MM.synth_media_table(24)
     ds = rd.from_arrow(tbl)
     out1 = MM.extract_media_features(ds).to_pandas().sort_values(
@@ -51,11 +51,56 @@ def test_media_feature_stub_deterministic():
     np.testing.assert_array_equal(f1, f2)    # content-deterministic
     assert f1.shape == (24, MM.MediaFeatureExtractor.DIM)
     assert (f1 >= 0).all() and (f1 <= 1).all()
+    # real decode: every vector is content-derived, none all-zero
+    assert (np.abs(f1).sum(axis=1) > 0).all()
 
 
-def test_media_decode_stub_raises_without_fake():
+def test_bmp_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (8, 8), (13, 2)]:   # odd widths test row padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = MM.decode_bmp(MM.encode_bmp(px))
+        np.testing.assert_array_equal(got, px)
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(777) * 9000).astype(np.int16)
+    got, rate = MM.decode_wav(MM.encode_wav(x, 16_000))
+    assert rate == 16_000
+    np.testing.assert_allclose(got, x.astype(np.float32) / 32768.0)
+
+
+def test_image_features_known_values():
+    # constant-color image: exact channel means, zero std, one hist bin
+    px = np.full((4, 6, 3), 0, dtype=np.uint8)
+    px[:, :, 0] = 200
+    px[:, :, 1] = 100
+    px[:, :, 2] = 50
+    f = MM._image_features(MM.decode_bmp(MM.encode_bmp(px)))
+    np.testing.assert_allclose(f[0:2], [6 / 4096, 4 / 4096])
+    np.testing.assert_allclose(f[2:5], [200 / 255, 100 / 255, 50 / 255],
+                               rtol=1e-6)
+    np.testing.assert_allclose(f[5:8], 0.0, atol=1e-7)
+    assert np.isclose(f[8:16].sum(), 1.0) and (f[8:16] == 1.0).sum() == 1
+
+
+def test_media_decode_unknown_format_raises():
     with pytest.raises(NotImplementedError, match="image/audio library"):
-        MM.MediaFeatureExtractor(decode_fn=None, deterministic_fake=False)
+        MM.decode_bmp(b"\xff\xd8\xff\xe0 not a bmp, looks like jpeg")
+    with pytest.raises(NotImplementedError, match="image/audio library"):
+        MM.decode_wav(b"ID3 not a wav")
+
+
+def test_frame_sampler_real_demux():
+    tbl = MM.synth_media_table(30)
+    out = MM.sample_frames(rd.from_arrow(tbl), k=4).to_pandas()
+    # every sampled frame is itself a decodable BMP of the video's size
+    meta = tbl.to_pandas().set_index("media_id")
+    for _, row in out.iterrows():
+        px = MM.decode_bmp(row["frame"])
+        assert px.shape[1] == meta.loc[row["media_id"], "width"]
+        assert px.shape[0] == meta.loc[row["media_id"], "height"]
 
 
 def test_frame_sampler_fanout():
