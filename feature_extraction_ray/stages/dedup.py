@@ -37,6 +37,59 @@ from ray.data import Dataset
 _MERSENNE = (1 << 61) - 1
 
 
+# ---------------------------------------------------------------------------
+# Truncation accounting (no silent caps): hot-bucket truncation inside
+# pair-emission tasks is counted into a zero-CPU named actor so the
+# driver can report exactly how many buckets/rows any cap dropped.
+# ---------------------------------------------------------------------------
+
+@ray.remote(num_cpus=0)
+class _TruncationStatsActor:
+    def __init__(self):
+        self.counts: dict = {}
+
+    def add(self, key: str, buckets: int, rows: int):
+        b, r = self.counts.get(key, (0, 0))
+        self.counts[key] = (b + buckets, r + rows)
+
+    def get(self):
+        return {k: {"truncated_buckets": b, "dropped_rows": r}
+                for k, (b, r) in self.counts.items()}
+
+    def reset(self):
+        self.counts = {}
+
+
+_STATS_ACTOR_NAME = "fxr_truncation_stats"
+
+
+def _stats_actor():
+    # detached: a non-detached named actor dies as soon as the last
+    # handle drops (map tasks hold theirs only for one call)
+    return _TruncationStatsActor.options(
+        name=_STATS_ACTOR_NAME, get_if_exists=True,
+        lifetime="detached").remote()
+
+
+def record_truncation(key: str, buckets: int, rows: int) -> None:
+    """Truncation counter (called from inside map tasks; at most one call
+    per task, only when a cap actually dropped work). Blocks on the ack
+    so a report read after the pipeline materializes is complete."""
+    ray.get(_stats_actor().add.remote(key, int(buckets), int(rows)))
+
+
+def truncation_report(reset: bool = False) -> dict:
+    """{stage_key: {"truncated_buckets", "dropped_rows"}} accumulated
+    since the last reset — the audit trail for every ``max_bucket`` /
+    ``max_df`` cap in the dedup/similarity stages. Empty dict = no cap
+    fired (the common case)."""
+    a = _stats_actor()
+    out = ray.get(a.get.remote())
+    if reset:
+        ray.get(a.reset.remote())
+    return out
+
+
 def _shingle_hashes(words: list, k: int) -> np.ndarray:
     """Hashes of word k-grams (the shingle set), stable across processes."""
     from .text import hash_word
@@ -224,14 +277,21 @@ def _pairs_of_shard_factory(max_bucket: int, require_ge: int | None = None):
         starts = np.r_[np.flatnonzero(new), len(band)]
         run_len = np.diff(starts)
         a_out, b_out = [], []
+        n_capped = rows_capped = 0
         for i in np.flatnonzero(run_len >= 2):   # only true collisions
             lo, hi = starts[i], starts[i + 1]
-            ids = np.unique(doc[lo:hi])[:max_bucket]
+            uniq = np.unique(doc[lo:hi])
+            if len(uniq) > max_bucket:
+                n_capped += 1
+                rows_capped += len(uniq) - max_bucket
+            ids = uniq[:max_bucket]
             if len(ids) < 2:
                 continue
             ai, bi = np.triu_indices(len(ids), k=1)
             a_out.append(ids[ai])
             b_out.append(ids[bi])
+        if n_capped:
+            record_truncation("lsh_candidate_pairs", n_capped, rows_capped)
         if not a_out:
             return pa.table({"a": pa.array([], type=pa.int64()),
                              "b": pa.array([], type=pa.int64())})
@@ -411,7 +471,8 @@ def _cluster_output(ids_ds: Dataset, pairs: Dataset, id_col: str,
 def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                       id_col: str = "doc_id", num_perm: int = 128,
                       bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8, num_buckets: int = 32,
+                      threshold: float = 0.8,
+                      num_buckets: int | None = None,
                       output: str = "pandas",
                       sig_ds: Dataset | None = None):
     """Full near-dup pipeline: signatures → banded candidates → hash-join
@@ -423,10 +484,16 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
     Every stage is a Dataset transform; the driver only sees O(1) digests
     (and the final frame when ``output="pandas"`` — pass
     ``output="dataset"`` at corpus scale and write it to parquet).
+    ``num_buckets=None`` derives the exchange fan-out from the signature
+    table's size (``derive_num_buckets``) so one bucket always fits a
+    task heap at any corpus scale.
     """
     if sig_ds is None:
         sig_ds = minhash_signatures(ds, text_col, id_col, num_perm,
                                     bands, shingle_k).materialize()
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(sig_ds)
     pairs = candidate_pairs_ds(sig_ds,
                                num_buckets=num_buckets).materialize()
     verified = verify_pairs_distributed(
@@ -444,7 +511,7 @@ def minhash_lsh_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
                                   num_perm: int = 128, bands: int = 16,
                                   shingle_k: int = 5,
                                   threshold: float = 0.8,
-                                  num_buckets: int = 32,
+                                  num_buckets: int | None = None,
                                   output: str = "dataset"):
     """Incremental ingestion dedup: cluster a NEW batch of docs against a
     previously-built signature store without recomputing the corpus.
@@ -467,6 +534,9 @@ def minhash_lsh_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
     sig_new = minhash_signatures(new_ds, text_col, id_col, num_perm,
                                  bands, shingle_k)
     sig_all = prior_sig.union(sig_new).materialize()
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(sig_all)
     pairs = candidate_pairs_ds(sig_all, num_buckets=num_buckets,
                                require_ge=new_from).materialize()
     verified = verify_pairs_distributed(
@@ -602,13 +672,18 @@ def _simhash_verified_pairs(sig: Dataset, max_hamming: int,
 
 def simhash_dedup(ds: Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
-                  num_buckets: int = 16, output: str = "pandas"):
+                  num_buckets: int | None = None,
+                  output: str = "pandas"):
     """Near-dup clusters by SimHash: candidates share any 16-bit band
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
     verified by exact Hamming distance via a hash-join of the pair list
     against the (doc_id, simhash) table — same fully-distributed tail as
-    :func:`minhash_lsh_dedup`."""
+    :func:`minhash_lsh_dedup`. ``num_buckets=None`` derives the fan-out
+    from the signature table size."""
     sig = simhash_signatures(ds, text_col, id_col).materialize()
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(sig)
     verified = _simhash_verified_pairs(sig, max_hamming, num_buckets)
     return _cluster_output(sig.select_columns(["doc_id"]), verified,
                            "doc_id", num_buckets, output)
@@ -618,7 +693,8 @@ def simhash_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
                               prior_assign: Dataset | None = None,
                               new_from: int = 0, text_col: str = "text",
                               id_col: str = "doc_id",
-                              max_hamming: int = 3, num_buckets: int = 16,
+                              max_hamming: int = 3,
+                              num_buckets: int | None = None,
                               output: str = "dataset"):
     """SimHash twin of :func:`minhash_lsh_dedup_incremental`: dedup a new
     batch against a persisted SimHash signature store; prior assignment
@@ -626,6 +702,9 @@ def simhash_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
     ``(assignment, sig_all)``."""
     sig_new = simhash_signatures(new_ds, text_col, id_col)
     sig_all = prior_sig.union(sig_new).materialize()
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(sig_all)
     verified = _simhash_verified_pairs(sig_all, max_hamming, num_buckets,
                                        require_ge=new_from).materialize()
     if prior_assign is not None:
@@ -704,7 +783,8 @@ class ShingleExploder:
 
 def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
-                        threshold: tuple = (1, 2), num_buckets: int = 32,
+                        threshold: tuple = (1, 2),
+                        num_buckets: int | None = None,
                         max_df: int | None = None,
                         concurrency=(1, 8)) -> Dataset:
     """EXACT n-gram-Jaccard near-dup pairs — no sketching. Returns
@@ -740,6 +820,9 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
         ShingleExploder, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k),
         concurrency=concurrency).materialize()
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(grams)
     sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
 
     def emit_pairs(tbl: pa.Table) -> pa.Table:
@@ -755,9 +838,9 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
         if max_df is not None:
             capped = eligible & (run_len > max_df)
             if capped.any():
-                print(f"[ngram_jaccard_pairs] shard dropped "
-                      f"{int(capped.sum())} grams with df>{max_df} "
-                      f"({int(run_len[capped].sum())} index rows)")
+                record_truncation("ngram_jaccard_pairs",
+                                  int(capped.sum()),
+                                  int(run_len[capped].sum()))
             eligible &= run_len <= max_df
         a_out, b_out = [], []
         for i in np.flatnonzero(eligible):

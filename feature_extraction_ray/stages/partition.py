@@ -111,6 +111,27 @@ def entity_group_starts(tbl: pa.Table, entity_col: str) -> np.ndarray:
     return group_starts(codes)
 
 
+def derive_num_buckets(ds: Dataset, per_bucket_bytes: int = 64 << 20,
+                       lo: int = 16, hi: int = 4096) -> int:
+    """Size-derived all-to-all fan-out: enough buckets that one bucket's
+    rows fit comfortably in a task heap (``per_bucket_bytes`` each),
+    clamped to ``[lo, hi]`` and rounded up to a power of two — the
+    at-scale default for the dedup/CC/join stages whose fixed bucket
+    counts would otherwise break the one-bucket-fits-one-task assumption
+    at 100× the data. Uses Dataset metadata (``size_bytes``) — exact for
+    materialized inputs, estimated for lazy reads; falls back to ``lo``
+    when no estimate exists."""
+    import math
+    try:
+        sz = ds.size_bytes()
+    except Exception:
+        sz = None
+    if not sz or sz <= 0:
+        return lo
+    need = max(1, -(-sz // per_bucket_bytes))
+    return int(min(hi, max(lo, 1 << math.ceil(math.log2(need)))))
+
+
 def hash_split(ds: Dataset, id_col: str,
                splits: dict | None = None, seed: int = 1337,
                out_col: str = "split") -> Dataset:

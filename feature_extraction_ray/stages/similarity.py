@@ -411,7 +411,8 @@ def knn_ivf(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
 def embedding_dedup(ds: Dataset, threshold: float = 0.95,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     bits: int = 6, seed: int = 11,
-                    max_bucket: int = 4096, num_buckets: int = 16,
+                    max_bucket: int = 4096,
+                    num_buckets: int | None = None,
                     output: str = "pandas"):
     """Near-dup by embedding cosine: hyperplane buckets → in-bucket pairwise
     cosine ≥ threshold → distributed connected components (cluster = min
@@ -423,6 +424,9 @@ def embedding_dedup(ds: Dataset, threshold: float = 0.95,
     ``max_bucket`` guard. Raise ``bits`` to shrink buckets at corpus
     scale."""
     from .dedup import _cluster_output
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(ds)
     first = ds.take(1)
     dim = len(first[0][vec_col]) if first else 0
     planes = _hyperplanes(dim, bits, seed)
@@ -451,8 +455,12 @@ def embedding_dedup(ds: Dataset, threshold: float = 0.95,
         starts = np.r_[np.flatnonzero(np.r_[True, bks[1:] != bks[:-1]]),
                        len(bks)]
         a_out, b_out = [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            e = min(e, s + max_bucket)
+        n_capped = rows_capped = 0
+        for s, e0 in zip(starts[:-1], starts[1:]):
+            e = min(e0, s + max_bucket)
+            if e0 - s > max_bucket:
+                n_capped += 1
+                rows_capped += e0 - s - max_bucket
             if e - s < 2:
                 continue
             sub = m[s:e]
@@ -461,6 +469,9 @@ def embedding_dedup(ds: Dataset, threshold: float = 0.95,
             keep = sims[i, j] >= threshold
             a_out.append(ids[s:e][i[keep]])
             b_out.append(ids[s:e][j[keep]])
+        if n_capped:
+            from .dedup import record_truncation
+            record_truncation("embedding_dedup", n_capped, rows_capped)
         if not a_out:
             return empty
         return pa.table({"a": pa.array(np.concatenate(a_out)),
