@@ -186,13 +186,18 @@ def fit_phrases(ds: Dataset, text_col: str = "text",
     pdf = counts.to_pandas()
     is_bi = pdf["gram"].str.contains("\x00")
     uni = dict(zip(pdf.loc[~is_bi, "gram"], pdf.loc[~is_bi, "cnt"]))
-    vocab_size = len(uni)
+    # gensim-parity detail: original_scorer's len_vocab is the size of
+    # the model vocabulary, which counts BIGRAM entries as well as
+    # unigrams (gensim Phrases.add_vocab stores both in one dict)
+    vocab_size = len(pdf)
     table = {}
     for gram, c_ab in zip(pdf.loc[is_bi, "gram"], pdf.loc[is_bi, "cnt"]):
         a, b = gram.split("\x00")
         c_a, c_b = uni.get(a, 0), uni.get(b, 0)
         if c_ab < min_count or not c_a or not c_b:
             continue
+        # gensim original_scorer (Mikolov et al. 2013 phrase score):
+        # (c_ab - min_count) / c_a / c_b * len_vocab
         score = (c_ab - min_count) / (c_a * c_b) * vocab_size
         if score > threshold:
             table[(a, b)] = score

@@ -4,9 +4,11 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from feature_extraction_ray.stages.text import (Fingerprint, LangId,
-                                                QualityScore, TextAnalyzer,
-                                                TokenCount, hash_word)
+from feature_extraction_ray.stages.reference_impls import (LangId,
+                                                            QualityScore,
+                                                            TokenCount)
+from feature_extraction_ray.stages.text import (Fingerprint, TextAnalyzer,
+                                                hash_word)
 
 
 def test_langid_known_languages():

@@ -34,9 +34,10 @@ def test_lemmatize_and_fake_tagger_deterministic():
 
 def test_phrase_model_two_pass():
     # "new york": always together; "the": common but dispersed over many
-    # successors -> low pair score. (gensim scores scale with vocab size,
-    # so the threshold is corpus-dependent; reference used 100 with a
-    # ~10^4 vocab, here V≈50 -> use 0.5)
+    # successors -> low pair score. (gensim scores scale with vocab size
+    # — which counts bigram entries too — so the threshold is
+    # corpus-dependent; reference used 100 with a ~10^4 vocab, here
+    # V≈120 -> 1.2 separates new_york (~1.9) from the_cat (~0.85))
     docs = []
     for i in range(30):
         docs.append("i went to new york yesterday")
@@ -44,7 +45,7 @@ def test_phrase_model_two_pass():
         docs.append(f"the dog ran to the store {i}")
         docs.append("new york is big")
     ds = rd.from_pandas(pd.DataFrame({"text": docs}))
-    table = TP.fit_phrases(ds, min_count=5, threshold=0.5)
+    table = TP.fit_phrases(ds, min_count=5, threshold=1.2)
     assert ("new", "york") in table
     assert ("the", "cat") not in table
     out = TP.apply_phrases(ds, table).to_pandas()
@@ -79,3 +80,50 @@ def test_pos_features_reference_formulas():
     assert np.isnan(f["sc_ratio"])          # no CC
     assert f["ADJ"] == pytest.approx(1 / 6)  # proportions over words
     assert f["NOUN"] == pytest.approx(2 / 6)
+
+
+def _gensim_original_scorer_table(sentences, min_count, threshold):
+    """Pure-python replica of gensim.models.phrases.Phrases with the
+    default original_scorer (Mikolov et al. 2013), per the public gensim
+    source/docs: vocab holds every unigram AND delimiter-joined bigram
+    occurrence; score = (c_ab - min_count) / c_a / c_b * len(vocab);
+    a pair is a phrase when score > threshold."""
+    vocab = {}
+    for s in sentences:
+        ws = s.split()
+        for w in ws:
+            vocab[w] = vocab.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            g = a + "\x00" + b
+            vocab[g] = vocab.get(g, 0) + 1
+    table = {}
+    for g, c_ab in vocab.items():
+        if "\x00" not in g:
+            continue
+        a, b = g.split("\x00")
+        score = (c_ab - min_count) / (vocab[a] * vocab[b]) * len(vocab)
+        if score > threshold:
+            table[(a, b)] = score
+    return table
+
+
+def test_fit_phrases_matches_gensim_original_scorer():
+    rng = np.random.default_rng(41)
+    vocab = [f"t{i}" for i in range(30)]
+    sentences = [" ".join(rng.choice(vocab, size=12)) for _ in range(80)]
+    sentences += ["big apple tastes great", "big apple is my town"] * 10
+    ds = rd.from_pandas(pd.DataFrame({"text": sentences}))
+    for min_count, threshold in [(5, 10.0), (3, 1.0), (1, 0.1)]:
+        got = TP.fit_phrases(ds, min_count=min_count, threshold=threshold)
+        exp = _gensim_original_scorer_table(sentences, min_count, threshold)
+        assert set(got) == set(exp), (min_count, threshold)
+        for k in exp:
+            assert got[k] == pytest.approx(exp[k], rel=1e-12), k
+    # hand-computed spot value: "big apple" occurs 20x, "big" 20x,
+    # "apple" 20x; with min_count=5 score = 15/(20*20)*len(vocab)
+    got = TP.fit_phrases(ds, min_count=5, threshold=10.0)
+    exp_full = _gensim_original_scorer_table(sentences, 5, 10.0)
+    v = len({w for s in sentences for w in s.split()} |
+            {a + "\x00" + b for s in sentences
+             for a, b in zip(s.split(), s.split()[1:])})
+    assert exp_full[("big", "apple")] == pytest.approx(15 / 400 * v)
