@@ -76,18 +76,24 @@ def run_bench() -> dict:
     import pyarrow.parquet as pq
     n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows * REPEAT
 
+    def _best_of(fn, runs: int = 2) -> float:
+        """best-of-k: ±2x run-to-run host noise (CLAUDE.md); applied to
+        EVERY bench entry including the amplified ones, so recorded
+        numbers are comparable to the BASELINE.md claims."""
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
     per_query = {}
     if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
         bench_queries = []
     else:
         bench_queries = BENCH_QUERIES
     for name in bench_queries:
-        best = float("inf")
-        for _ in range(2):       # best-of-2: ±2x host noise (CLAUDE.md)
-            t0 = time.perf_counter()
-            _consume(QUERIES[name](SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 3)
+        per_query[name] = _best_of(lambda: _consume(QUERIES[name](SF_DIR)))
 
     if bench_queries:
         # amplified LLM-data-operator entries (repeat>=20 per the round-1
@@ -97,15 +103,11 @@ def run_bench() -> dict:
         from feature_extraction_ray.stages.dedup import minhash_lsh_dedup
         from feature_extraction_ray.stages.text import analyze_text
         amp = max(20, min(REPEAT, 100))
-        t0 = time.perf_counter()
-        n = minhash_lsh_dedup(amplified_documents(SF_DIR, amp),
-                              output="dataset").count()
-        per_query[f"minhash_dedup_x{amp}"] = round(
-            time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        analyze_text(amplified_documents(SF_DIR, amp)).count()
-        per_query[f"text_analysis_x{amp}"] = round(
-            time.perf_counter() - t0, 3)
+        per_query[f"minhash_dedup_x{amp}"] = _best_of(
+            lambda: minhash_lsh_dedup(amplified_documents(SF_DIR, amp),
+                                      output="dataset").count())
+        per_query[f"text_analysis_x{amp}"] = _best_of(
+            lambda: analyze_text(amplified_documents(SF_DIR, amp)).count())
         import numpy as np
         import pyarrow.parquet as _pq
         from feature_extraction_ray.stages.similarity import knn_lsh
@@ -116,24 +118,24 @@ def run_bench() -> dict:
         import ray.data as rd
         eds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
                               columns=["vec_id", "embedding"])
-        t0 = time.perf_counter()
-        knn_lsh(eds, q, k=10, bits=8, probes=8, merge="dataset").count()
-        per_query["knn_lsh_2000q_distributed"] = round(
-            time.perf_counter() - t0, 3)
+        per_query["knn_lsh_2000q_distributed"] = _best_of(
+            lambda: knn_lsh(eds, q, k=10, bits=8, probes=8,
+                            merge="dataset").count())
 
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (
             flagship_checkpointed)
-        out = tempfile.mkdtemp(prefix="fx_ckpt_")
-        try:
-            t0 = time.perf_counter()
-            flagship_checkpointed(SF_DIR, out, num_buckets=n_buckets,
-                                  repeat=REPEAT)
-            per_query["flagship_checkpointed_write"] = round(
-                time.perf_counter() - t0, 3)
-        finally:
-            shutil.rmtree(out, ignore_errors=True)
+
+        def _ckpt_run():
+            out = tempfile.mkdtemp(prefix="fx_ckpt_")
+            try:
+                flagship_checkpointed(SF_DIR, out, num_buckets=n_buckets,
+                                      repeat=REPEAT)
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        per_query["flagship_checkpointed_write"] = _best_of(_ckpt_run)
 
     ray.shutdown()
     sf = SF_DIR.rstrip("/").split("sf")[-1]

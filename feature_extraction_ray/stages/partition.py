@@ -118,10 +118,23 @@ def derive_num_buckets(ds: Dataset, per_bucket_bytes: int = 64 << 20,
     clamped to ``[lo, hi]`` and rounded up to a power of two — the
     at-scale default for the dedup/CC/join stages whose fixed bucket
     counts would otherwise break the one-bucket-fits-one-task assumption
-    at 100× the data. Uses Dataset metadata (``size_bytes``) — exact for
-    materialized inputs, estimated for lazy reads; falls back to ``lo``
-    when no estimate exists."""
+    at 100× the data. The floor is additionally raised to the cluster's
+    CPU count (each bucket is one task — fewer buckets than cores leaves
+    cores idle through every exchange). Uses Dataset metadata
+    (``size_bytes``) — exact for materialized inputs, estimated for lazy
+    reads; falls back to the floor when no estimate exists."""
     import math
+
+    def _pow2_ceil(x: float) -> int:
+        return 1 << math.ceil(math.log2(max(x, 1)))
+
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 0)) \
+            if ray.is_initialized() else 0
+    except Exception:
+        cpus = 0
+    lo = min(max(lo, _pow2_ceil(cpus)), hi)
     try:
         sz = ds.size_bytes()
     except Exception:
@@ -129,7 +142,7 @@ def derive_num_buckets(ds: Dataset, per_bucket_bytes: int = 64 << 20,
     if not sz or sz <= 0:
         return lo
     need = max(1, -(-sz // per_bucket_bytes))
-    return int(min(hi, max(lo, 1 << math.ceil(math.log2(need)))))
+    return int(min(hi, max(lo, _pow2_ceil(need))))
 
 
 def hash_split(ds: Dataset, id_col: str,

@@ -441,3 +441,18 @@ def test_truncation_stats_reported(docs):
                            num_buckets=4, max_df=2).to_pandas()
     rep3 = DD.truncation_report(reset=True)
     assert rep3["ngram_jaccard_pairs"]["truncated_buckets"] > 0
+
+
+def test_fused_verified_pairs_equal_join_plan(docs):
+    """candidate_verified_pairs_ds (one fused exchange) emits exactly the
+    pairs of the older candidates -> two-signature-join plan."""
+    sig = DD.minhash_signatures(rd.from_pandas(docs),
+                                shingle_k=3).materialize()
+    fused = DD.candidate_verified_pairs_ds(sig, threshold=0.5,
+                                           num_buckets=4).to_pandas()
+    pairs = DD.candidate_pairs_ds(sig, num_buckets=4).materialize()
+    joined = DD.verify_pairs_distributed(pairs, sig, 0.5,
+                                         num_buckets=4).to_pandas()
+    f = set(zip(fused["a"], fused["b"]))
+    j = set(zip(joined["a"], joined["b"]))
+    assert f == j and len(f) > 0
