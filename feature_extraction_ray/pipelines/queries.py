@@ -1237,6 +1237,47 @@ def ngram_jaccard_pairs_docs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs(ds, k=5, threshold=(1, 2), num_buckets=32)
 
 
+def ngram_jaccard_dedup_docs(sf_dir: str):
+    """Exact n-gram-Jaccard dedup end-to-end (pairs → distributed
+    connected components → per-doc cluster assignment), oracle-checked
+    against a recursive-CTE transitive closure in DuckDB — the fully
+    deterministic twin of the sketch-based near-dup pipelines."""
+    from ..stages.dedup import ngram_jaccard_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_dedup(ds, k=5, threshold=(1, 2),
+                               output="dataset")
+
+
+NGRAM_JACCARD_DEDUP_SQL = """
+WITH RECURSIVE w AS (
+    SELECT doc_id, str_split(trim(text), ' ') AS ws
+    FROM documents WHERE trim(text) <> ''
+), g AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(ws) < 5
+                THEN [array_to_string(ws, ' ')]
+                ELSE [array_to_string(ws[i:i+4], ' ')
+                      FOR i IN range(1, len(ws) - 3)]
+           END) AS gs
+    FROM w
+), pairs AS (
+    SELECT a.doc_id AS a, b.doc_id AS b
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.gs, b.gs)) * 2 >=
+          (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))
+), edges AS (
+    SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id,
+       min(r) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
 NGRAM_JACCARD_PAIRS_SQL = """
 WITH w AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
            FROM documents WHERE trim(text) <> ''),
@@ -1537,6 +1578,7 @@ QUERIES = {
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
+    "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
     "text_quality_docs": text_quality_docs,
     "truecase_model": truecase_model,
     # -- rows-only, in-window (never driver-checked before round 3 /
@@ -1545,9 +1587,9 @@ QUERIES = {
     "topic_model_docs": topic_model_docs,
     "tag_lemma_docs": tag_lemma_docs,
     "media_features": media_features,
-    "split_counts_docs": split_counts_docs,
     # ---- tail (outside the driver's ~50-entry window): RO twins whose
     #      operator family already has an in-window row ----
+    "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
     "minhash_dedup_incremental_docs": minhash_dedup_incremental_docs,
     "simhash_docs": simhash_docs,
@@ -1608,6 +1650,7 @@ ORACLE_SQL = {
     "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
     "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
+    "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
     "truecase_model": TRUECASE_MODEL_SQL,

@@ -1017,3 +1017,28 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
         return out.filter(pa.array(keep))
 
     return wb.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_jaccard_dedup(ds: Dataset, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        threshold: tuple = (1, 2),
+                        num_buckets: int | None = None,
+                        max_df: int | None = None,
+                        output: str = "pandas"):
+    """EXACT n-gram-Jaccard dedup (no sketching): the verified pair set
+    of :func:`ngram_jaccard_pairs` fed through the shared distributed
+    connected-components tail → ``(doc_id, cluster_id, is_duplicate)``
+    with ``cluster_id`` = min id of the transitive closure. The fully
+    deterministic, SQL-oracle-checkable twin of
+    :func:`minhash_lsh_dedup` (which trades exactness for O(corpus)
+    candidate generation at scale)."""
+    if num_buckets is None:
+        from .partition import derive_num_buckets
+        num_buckets = derive_num_buckets(ds)
+    pairs = ngram_jaccard_pairs(ds, text_col, id_col, k, threshold,
+                                num_buckets, max_df)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"a": t["doc_a"], "b": t["doc_b"]}),
+        batch_format="pyarrow")
+    return _cluster_output(ds.select_columns([id_col]), edges,
+                           id_col, num_buckets, output)
