@@ -182,8 +182,14 @@ class MinHasher:
                  bands: int, shingle_k: int, seed: int = 7):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # odd multiplier -> x ↦ (a·x + b) mod 2^64 is a BIJECTION of
+        # uint64 (multiply-add hashing, Dietzfelbinger et al.): a true
+        # permutation for the min-wise hash, with no modulo in the hot
+        # loop (uint64 % was ~half the signature stage's CPU)
+        self.a = rng.integers(1, np.iinfo(np.uint64).max,
+                              size=num_perm, dtype=np.uint64) | np.uint64(1)
+        self.b = rng.integers(0, np.iinfo(np.uint64).max,
+                              size=num_perm, dtype=np.uint64)
         self.text_col = text_col
         self.id_col = id_col
         self.num_perm = num_perm
@@ -204,10 +210,10 @@ class MinHasher:
         lens = np.diff(offsets)
         nonempty = lens > 0
         starts = offsets[:-1][nonempty]
-        x = flat.astype(np.uint64) % np.uint64(_MERSENNE)
+        x = flat.astype(np.uint64)
         with np.errstate(over="ignore"):
             for p in range(self.num_perm):
-                vals = (self.a[p] * x + self.b[p]) % np.uint64(_MERSENNE)
+                vals = self.a[p] * x + self.b[p]   # wraparound bijection
                 sigs[nonempty, p] = np.minimum.reduceat(vals, starts)
         return sigs
 
