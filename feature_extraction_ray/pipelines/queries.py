@@ -751,6 +751,55 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
 
+def asof_prev_order_tolerance(sf_dir: str) -> Dataset:
+    """As-of SELF-join with the two point-in-time knobs the plain oracle
+    doesn't exercise: ``allow_exact_matches=False`` (strictly-earlier
+    match — the zero-leakage cutoff) and ``tolerance`` (max staleness):
+    each order gets the price of the same customer's PREVIOUS order,
+    null unless it is within 90 days."""
+    import datetime as _dt
+    from ray.data.aggregate import Max
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_totalprice"])
+    right = _read(sf_dir, "orders",
+                  ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .groupby(["o_custkey", "o_orderdate"]) \
+        .aggregate(Max("o_totalprice", alias_name="prev_order_price"))
+    out = asof_join(orders, right,
+                    left_by="o_custkey", right_by="o_custkey",
+                    left_on="o_orderdate", right_on="o_orderdate",
+                    right_value_cols=["prev_order_price"],
+                    direction="backward",
+                    allow_exact_matches=False,
+                    tolerance=_dt.timedelta(days=90),
+                    num_buckets=32)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_orderdate",
+                            "prev_order_price"]),
+        batch_format="pyarrow")
+
+
+ASOF_PREV_ORDER_TOLERANCE_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS prev_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+), j AS (
+  SELECT l.o_orderkey, l.o_custkey, l.o_orderdate, r.o_orderdate AS rts,
+         r.prev_price
+  FROM orders l
+  ASOF LEFT JOIN r
+    ON l.o_custkey = r.o_custkey AND l.o_orderdate > r.o_orderdate
+)
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CASE WHEN rts IS NOT NULL
+                 AND date_diff('microsecond', rts, o_orderdate)
+                     <= 7776000000000
+            THEN prev_price END AS prev_order_price
+FROM j
+"""
+
+
 def session_stats_events(sf_dir: str) -> Dataset:
     """Composition: sessionize → per-(user, session) aggregate (the
     reference's per-group feature row shape, SQL-checkable)."""
@@ -1564,6 +1613,7 @@ QUERIES = {
     "top2_orders_per_customer": top2_orders_per_customer,
     "asof_events_orders": asof_events_orders,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
+    "asof_prev_order_tolerance": asof_prev_order_tolerance,
     "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
     "verbosity_by_source": verbosity_by_source,
@@ -1585,10 +1635,10 @@ QUERIES = {
     #    highest-value operator families) --
     "minhash_dedup_docs": minhash_dedup_docs,
     "topic_model_docs": topic_model_docs,
-    "tag_lemma_docs": tag_lemma_docs,
     "media_features": media_features,
     # ---- tail (outside the driver's ~50-entry window): RO twins whose
     #      operator family already has an in-window row ----
+    "tag_lemma_docs": tag_lemma_docs,
     "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
     "minhash_dedup_incremental_docs": minhash_dedup_incremental_docs,
@@ -1637,6 +1687,7 @@ ORACLE_SQL = {
     "top2_orders_per_customer": TOP2_ORDERS_PER_CUSTOMER_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
+    "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,
