@@ -1286,6 +1286,36 @@ def ngram_jaccard_pairs_docs(sf_dir: str) -> Dataset:
     return ngram_jaccard_pairs(ds, k=5, threshold=(1, 2), num_buckets=32)
 
 
+def doc_surprisal_scores(sf_dir: str) -> Dataset:
+    """Perplexity-style quality scoring (the CCNet/Gopher LLM-data
+    filter shape): fit a corpus unigram LM (distributed partial counts →
+    one small exchange), broadcast it, score every doc's total word
+    log-probability in one vectorized pass. Unigram MLE keeps the whole
+    thing exactly SQL-checkable."""
+    from ..stages.text import surprisal_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = surprisal_scores(ds)
+    return _round(out, {"sum_logprob": 4})
+
+
+DOC_SURPRISAL_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS word
+  FROM documents WHERE trim(text) <> ''
+), w2 AS (
+  SELECT doc_id, word FROM w WHERE word <> ''
+), c AS (
+  SELECT word, count(*) AS cnt FROM w2 GROUP BY word
+), t AS (
+  SELECT count(*) AS total FROM w2
+)
+SELECT w2.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       round(sum(ln(CAST(c.cnt AS DOUBLE) / t.total)), 4) AS sum_logprob
+FROM w2 JOIN c USING (word) CROSS JOIN t
+GROUP BY w2.doc_id
+"""
+
+
 def ngram_jaccard_dedup_docs(sf_dir: str):
     """Exact n-gram-Jaccard dedup end-to-end (pairs → distributed
     connected components → per-doc cluster assignment), oracle-checked
@@ -1629,15 +1659,19 @@ QUERIES = {
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
+    "doc_surprisal_scores": doc_surprisal_scores,
     "text_quality_docs": text_quality_docs,
     "truecase_model": truecase_model,
-    # -- rows-only, in-window (never driver-checked before round 3 /
+    # -- rows-only, in-window (never driver-checked in any round /
     #    highest-value operator families) --
-    "minhash_dedup_docs": minhash_dedup_docs,
     "topic_model_docs": topic_model_docs,
     "media_features": media_features,
     # ---- tail (outside the driver's ~50-entry window): RO twins whose
-    #      operator family already has an in-window row ----
+    #      operator family already has in-window rows (minhash: fused
+    #      pipeline is golden-tested + bench-amplified + its exact twin
+    #      ngram_jaccard_dedup_docs is oracle-green; r02 gave it an RO
+    #      row already) ----
+    "minhash_dedup_docs": minhash_dedup_docs,
     "tag_lemma_docs": tag_lemma_docs,
     "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
@@ -1702,6 +1736,7 @@ ORACLE_SQL = {
     "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
+    "doc_surprisal_scores": DOC_SURPRISAL_SQL,
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
     "truecase_model": TRUECASE_MODEL_SQL,

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data import Dataset
 
 # minimal per-language stopword profiles (public common-word lists)
@@ -303,4 +304,109 @@ def analyze_text(ds: Dataset, text_col: str = "text",
     return ds.map_batches(TextAnalyzer,
                           fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pyarrow", batch_size=batch_size,
+                          concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity-style quality scoring — the CCNet /
+# Gopher LLM-data filter shape: fit an LM on the corpus, score each doc,
+# filter the tails). Unigram MLE keeps it exactly SQL-checkable; the
+# fit-then-broadcast-then-score structure is identical to what a real
+# KenLM-style scorer needs.
+# ---------------------------------------------------------------------------
+
+def fit_unigram_lm(ds: Dataset, text_col: str = "text",
+                   top_k: int | None = None) -> dict:
+    """Distributed unigram LM fit: per-batch partial word counts (Arrow
+    dictionary-encode + bincount — no Python loop over words) → one
+    small ``groupby(word).sum()`` exchange → driver-side log-prob table.
+
+    Returns ``{"logprob": {word: ln(count/total)}, "total": N}``.
+    ``top_k`` caps the vocabulary to the most frequent words (at corpus
+    scale the full vocab may not fit the driver); capped-out words score
+    as OOV with floor probability ``1/total``. Leave ``None`` for the
+    exact oracle-checked path.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(t[text_col]))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(de.dictionary))
+        return pa.table({"word": de.dictionary.cast(pa.string()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = ds.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    total = int(counts["cnt"].sum())
+    if top_k is not None and len(counts) > top_k:
+        counts = counts.nlargest(top_k, "cnt")
+    lp = dict(zip(counts["word"],
+                  np.log(counts["cnt"].to_numpy(dtype=np.float64) / total)))
+    return {"logprob": lp, "total": total}
+
+
+class SurprisalScorer:
+    """Actor-pool stage: per-doc total/mean unigram log-probability under
+    a broadcast LM (``ray.put`` once, read per actor). Vectorized: one
+    split per batch, the LM lookup runs over the batch's UNIQUE words
+    only (dictionary-encode), per-doc sums are segmented adds."""
+
+    def __init__(self, lm_ref, text_col: str = "text"):
+        lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        self.lp = lm["logprob"]
+        self.floor = -np.log(max(lm["total"], 1))   # OOV: count 1
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(batch[self.text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            counts = n_real
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            counts = n_real
+            offs = offsets
+        if len(flat):
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            uniq_lp = np.array([self.lp.get(w, self.floor)
+                                for w in de.dictionary.to_pylist()],
+                               dtype=np.float64)
+            sums = _segment_sum(uniq_lp[codes], offs)
+        else:
+            sums = np.zeros(len(batch), dtype=np.float64)
+        keep = counts > 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(counts.astype(np.int64)),
+            "sum_logprob": pa.array(sums),
+        }).filter(pa.array(keep))
+
+
+def surprisal_scores(ds: Dataset, lm: dict | None = None,
+                     text_col: str = "text",
+                     concurrency=(1, 8)) -> Dataset:
+    """Fit (if no ``lm`` given) + score: per-doc ``(doc_id, n_words,
+    sum_logprob)`` under the corpus unigram LM. Docs with zero words are
+    dropped (they have no distribution). Filter the low tail of
+    ``sum_logprob / n_words`` to drop gibberish, the high tail to drop
+    boilerplate — the standard perplexity-filter recipe."""
+    if lm is None:
+        lm = fit_unigram_lm(ds, text_col)
+    ref = ray.put(lm)
+    return ds.map_batches(SurprisalScorer, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(lm_ref=ref,
+                                                     text_col=text_col),
                           concurrency=concurrency)

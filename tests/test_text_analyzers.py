@@ -120,3 +120,47 @@ def test_vectorized_fingerprint_matches_rolling_loop():
         exp = int(rolling_fingerprint(hs))
         assert (g & 0xFFFFFFFFFFFFFFFF) == exp or \
             np.int64(np.uint64(exp)) == g
+
+
+def test_unigram_surprisal_matches_naive():
+    import math
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import (fit_unigram_lm,
+                                                    surprisal_scores)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat", "the the the", "dog", "",
+                 "cat dog bird", "   "]})
+    out = surprisal_scores(rd.from_pandas(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # naive oracle
+    words = [w for t in docs["text"] for w in t.split()]
+    total = len(words)
+    cnt = {}
+    for w in words:
+        cnt[w] = cnt.get(w, 0) + 1
+    exp = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        ws = t.split()
+        if ws:
+            exp[d] = (len(ws), sum(math.log(cnt[w] / total) for w in ws))
+    assert out["doc_id"].tolist() == sorted(exp)      # empty docs dropped
+    for _, row in out.iterrows():
+        n, s = exp[row["doc_id"]]
+        assert row["n_words"] == n
+        assert row["sum_logprob"] == pytest.approx(s, rel=1e-12)
+
+
+def test_unigram_lm_top_k_oov_floor():
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import (fit_unigram_lm,
+                                                    surprisal_scores)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a a a a b", "a a b c", "z"]})
+    lm = fit_unigram_lm(rd.from_pandas(docs), top_k=2)   # keeps a, b
+    assert set(lm["logprob"]) == {"a", "b"} and lm["total"] == 10
+    out = surprisal_scores(rd.from_pandas(docs), lm=lm).to_pandas() \
+        .set_index("doc_id")
+    # doc 2 is a single OOV word: floor prob = 1/total
+    assert out.loc[2, "sum_logprob"] == pytest.approx(-np.log(10))
