@@ -800,6 +800,38 @@ FROM j
 """
 
 
+def normalized_events(sf_dir: str) -> Dataset:
+    """Group-wise feature normalization (feature-engineering staple):
+    value z-scored per user AND min-max-scaled per event type, each ONE
+    bucketed exchange with exact two-pass in-task moments, under a SQL
+    window-function oracle."""
+    from ..stages.relational import normalize_by_group
+    ds = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    out = normalize_by_group(ds, "user_id", ["value"], "zscore",
+                             num_buckets=32)
+    out = normalize_by_group(out, "event_type", ["value"], "minmax",
+                             num_buckets=8)
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type", "value",
+                            "value_z", "value_mm"]),
+        batch_format="pyarrow")
+    return _round(out, {"value_z": 6, "value_mm": 6})
+
+
+NORMALIZED_EVENTS_SQL = """
+SELECT event_id, user_id, event_type, value,
+  round((value - avg(value) OVER (PARTITION BY user_id)) /
+        NULLIF(stddev_samp(value) OVER (PARTITION BY user_id), 0), 6)
+      AS value_z,
+  round((value - min(value) OVER (PARTITION BY event_type)) /
+        NULLIF(max(value) OVER (PARTITION BY event_type) -
+               min(value) OVER (PARTITION BY event_type), 0), 6)
+      AS value_mm
+FROM events
+"""
+
+
 def session_stats_events(sf_dir: str) -> Dataset:
     """Composition: sessionize → per-(user, session) aggregate (the
     reference's per-group feature row shape, SQL-checkable)."""
@@ -1629,8 +1661,8 @@ QUERIES = {
     "lag_events": lag_events,
     "lead_events": lead_events,
     "sessionize_events": sessionize_events,
-    "lag_events_streaming": lag_events_streaming,
     "sessionize_events_streaming": sessionize_events_streaming,
+    "normalized_events": normalized_events,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
     "bfill_events": bfill_events,
@@ -1672,6 +1704,10 @@ QUERIES = {
     #      ngram_jaccard_dedup_docs is oracle-green; r02 gave it an RO
     #      row already) ----
     "minhash_dedup_docs": minhash_dedup_docs,
+    # lag_events_streaming rotated out (oracle-green in r01+r02; its
+    # engine family keeps sessionize_events_streaming oracle-checked
+    # in-window; pytest runs its oracle every session regardless)
+    "lag_events_streaming": lag_events_streaming,
     "tag_lemma_docs": tag_lemma_docs,
     "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
@@ -1709,6 +1745,7 @@ ORACLE_SQL = {
     "sessionize_events": SESSIONIZE_EVENTS_SQL,
     "lag_events_streaming": LAG_EVENTS_SQL,
     "sessionize_events_streaming": SESSIONIZE_EVENTS_SQL,
+    "normalized_events": NORMALIZED_EVENTS_SQL,
     "sliding_mean_events": SLIDING_MEAN_EVENTS_SQL,
     "ffill_events": FFILL_EVENTS_SQL,
     "bfill_events": BFILL_EVENTS_SQL,

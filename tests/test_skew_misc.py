@@ -101,3 +101,36 @@ def test_hash_split_deterministic_disjoint_ratios():
     d = hash_split(rd.from_arrow(ids), "doc_id", seed=7).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert d["split"].tolist() != a["split"].tolist()
+
+
+def test_normalize_by_group_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from feature_extraction_ray.stages.relational import normalize_by_group
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "id": np.arange(400, dtype=np.int64),
+        "g": rng.integers(0, 12, 400),
+        "v": np.round(rng.normal(50, 20, 400), 3)})
+    # degenerate groups: one singleton, one constant
+    df.loc[df["g"] == 11, "g"] = 10
+    df = pd.concat([df, pd.DataFrame(
+        {"id": [400, 401, 402], "g": [99, 98, 98],
+         "v": [7.0, 5.5, 5.5]})]).reset_index(drop=True)
+    ds = rd.from_pandas(df)
+    out = normalize_by_group(ds, "g", ["v"], "zscore", num_buckets=4)
+    out = normalize_by_group(out, "g", ["v"], "minmax", num_buckets=4) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    gb = df.groupby("g")["v"]
+    exp_z = (df["v"] - gb.transform("mean")) / gb.transform("std")
+    exp_mm = (df["v"] - gb.transform("min")) / \
+        (gb.transform("max") - gb.transform("min"))
+    np.testing.assert_allclose(out["v_z"].to_numpy(),
+                               exp_z.to_numpy(), rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(out["v_mm"].to_numpy(),
+                               exp_mm.to_numpy(), rtol=1e-12, atol=1e-12)
+    # singleton group 99 -> null z; constant group 98 -> null z and mm
+    byid = out.set_index("id")
+    assert np.isnan(byid.loc[400, "v_z"])
+    assert np.isnan(byid.loc[401, "v_z"]) and np.isnan(byid.loc[401, "v_mm"])
