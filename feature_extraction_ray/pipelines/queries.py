@@ -800,6 +800,43 @@ FROM j
 """
 
 
+def customers_orders_full_outer(sf_dir: str) -> Dataset:
+    """FULL OUTER equi-join, distributed (tagged-union single exchange):
+    high-balance customers ⟗ per-customer order rollup — unmatched rows
+    survive from BOTH sides (customers without orders; order rollups
+    whose customer fell to the balance filter)."""
+    from ray.data.aggregate import Count, Sum
+    from ..stages.cc import attach_values
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"])
+    cust = cust.map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow")
+    rollup = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .groupby("o_custkey").aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_spent"))
+    out = attach_values(cust, "c_custkey", rollup, "o_custkey",
+                        ["n_orders", "total_spent"], how="outer",
+                        num_buckets=32)
+    return _round(out, {"total_spent": 2})
+
+
+CUSTOMERS_ORDERS_FULL_OUTER_SQL = """
+WITH f AS (
+  SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal > 5000
+), r AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         sum(o_totalprice) AS total_spent
+  FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(f.c_custkey, r.o_custkey) AS c_custkey,
+       f.c_name, f.c_acctbal, r.n_orders,
+       round(r.total_spent, 2) AS total_spent
+FROM f FULL OUTER JOIN r ON f.c_custkey = r.o_custkey
+"""
+
+
 def normalized_events(sf_dir: str) -> Dataset:
     """Group-wise feature normalization (feature-engineering staple):
     value z-scored per user AND min-max-scaled per event type, each ONE
@@ -1674,8 +1711,8 @@ QUERIES = {
     "median_value_by_type": median_value_by_type,
     "top2_orders_per_customer": top2_orders_per_customer,
     "asof_events_orders": asof_events_orders,
-    "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "asof_prev_order_tolerance": asof_prev_order_tolerance,
+    "customers_orders_full_outer": customers_orders_full_outer,
     "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
     "verbosity_by_source": verbosity_by_source,
@@ -1704,10 +1741,12 @@ QUERIES = {
     #      ngram_jaccard_dedup_docs is oracle-green; r02 gave it an RO
     #      row already) ----
     "minhash_dedup_docs": minhash_dedup_docs,
-    # lag_events_streaming rotated out (oracle-green in r01+r02; its
-    # engine family keeps sessionize_events_streaming oracle-checked
-    # in-window; pytest runs its oracle every session regardless)
+    # lag_events_streaming + asof broadcast-plan rotated out (both
+    # oracle-green in r01+r02; their families keep an oracle row
+    # in-window — sessionize_events_streaming / asof_events_orders —
+    # and pytest runs every oracle each session regardless)
     "lag_events_streaming": lag_events_streaming,
+    "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "tag_lemma_docs": tag_lemma_docs,
     "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
@@ -1759,6 +1798,7 @@ ORACLE_SQL = {
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
+    "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,

@@ -52,7 +52,11 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
 
     Both sides are tagged, unioned, hash-bucketed by the key, and joined
     per bucket with a sorted ``np.searchsorted`` probe — one all-to-all
-    total, never a driver materialization. ``how`` ∈ {"inner", "left"}.
+    total, never a driver materialization. ``how`` ∈ {"inner", "left",
+    "outer"}: ``outer`` additionally emits one row per UNMATCHED lookup
+    key (fact columns null except ``fact_key``, which carries the
+    lookup key — both sides of a FULL OUTER JOIN, since lookup keys are
+    deduplicated to one row by the ``dup`` rule).
     Duplicate lookup keys keep one row per key, so the join never fans
     out rows: ``dup="min"`` keeps the row whose FIRST value column is
     minimal (the other value columns ride along from that same row —
@@ -110,6 +114,36 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
         tag_lookup, batch_format="pyarrow")
     unioned = left.union(right)
 
+    def _lookup_order(lk: pa.Table, keys: np.ndarray) -> np.ndarray:
+        # duplicate keys: searchsorted(side="left") lands on the FIRST row
+        # of a run; pre-sorting by (key, value) makes that the min value
+        if dup == "min" and len(keys) and not pa.types.is_nested(
+                uni_value_fields[0].type):
+            vals = lk[out_names[0]].to_numpy(zero_copy_only=False)
+            return np.lexsort((vals, keys))
+        return np.argsort(keys, kind="stable")
+
+    def unmatched_lookup_rows(lk: pa.Table, order: np.ndarray,
+                              skeys: np.ndarray,
+                              fkeys: np.ndarray) -> pa.Table:
+        """One lookup row per key with no fact match, taken from the
+        dup-representative (first row of each sorted key run). The
+        lookup side of the union already HAS the output shape — fact
+        columns null, ``fact_key`` carrying the key — so this is a pure
+        ``take``."""
+        run_start = np.r_[True, skeys[1:] != skeys[:-1]] if len(skeys) \
+            else np.zeros(0, dtype=bool)
+        rep = order[np.flatnonzero(run_start)]
+        rep_keys = skeys[run_start]
+        if len(fkeys):
+            fk_sorted = np.sort(fkeys)
+            p = np.searchsorted(fk_sorted, rep_keys)
+            pc_ = np.clip(p, 0, len(fk_sorted) - 1)
+            hit = (p < len(fk_sorted)) & (fk_sorted[pc_] == rep_keys)
+        else:
+            hit = np.zeros(len(rep_keys), dtype=bool)
+        return lk.take(pa.array(rep[~hit].astype(np.int64)))
+
     def join_bucket(tbl: pa.Table) -> pa.Table:
         side = tbl[_SIDE].to_numpy(zero_copy_only=False)
         is_lk = side == 1
@@ -117,7 +151,14 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
         ft = tbl.filter(pa.array(~is_lk))
         ft = ft.drop_columns([_SIDE, *out_names])
         if len(ft) == 0:
-            return _with_null_values(ft, uni_value_fields)
+            empty_ft = _with_null_values(ft, uni_value_fields)
+            if how != "outer" or len(lk) == 0:
+                return empty_ft
+            keys0 = lk[fact_key].to_numpy(zero_copy_only=False)
+            order0 = _lookup_order(lk, keys0)
+            extra = unmatched_lookup_rows(lk, order0, keys0[order0],
+                                          np.zeros(0, dtype=keys0.dtype))
+            return extra.select(empty_ft.column_names)
         if distinct_fact_cols:
             cols = [ft[c].to_numpy(zero_copy_only=False)
                     for c in distinct_fact_cols]
@@ -132,14 +173,7 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
             if not keep.all():
                 ft = ft.filter(pa.array(keep))
         keys = lk[fact_key].to_numpy(zero_copy_only=False)
-        # duplicate keys: searchsorted(side="left") lands on the FIRST row
-        # of a run; pre-sorting by (key, value) makes that the min value
-        if dup == "min" and len(keys) and not pa.types.is_nested(
-                uni_value_fields[0].type):
-            vals = lk[out_names[0]].to_numpy(zero_copy_only=False)
-            order = np.lexsort((vals, keys))
-        else:
-            order = np.argsort(keys, kind="stable")
+        order = _lookup_order(lk, keys)
         skeys = keys[order]
         fkeys = ft[fact_key].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(skeys, fkeys, side="left")
@@ -161,7 +195,7 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
                     col = col.combine_chunks()
                 ft = ft.append_column(f.name, col.take(take_idx))
             return ft
-        # how == "left": null where unmatched
+        # how == "left"/"outer": null where unmatched
         src = order[pos_c] if len(skeys) else np.zeros(len(fkeys), np.int64)
         idx = pa.array(src.astype(np.int64), mask=~matched)
         for f in uni_value_fields:
@@ -170,6 +204,11 @@ def attach_values(fact: Dataset, fact_key: str, lookup: Dataset,
                 col = col.combine_chunks()
             ft = ft.append_column(f.name, col.take(idx) if len(lk)
                                   else _empty_like(f, len(ft)))
+        if how == "outer" and len(lk):
+            extra = unmatched_lookup_rows(lk, order, skeys, fkeys)
+            if len(extra):
+                ft = pa.concat_tables(
+                    [ft, extra.select(ft.column_names)])
         return ft
 
     return bucketed_apply(unioned, fact_key, join_bucket,

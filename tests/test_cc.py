@@ -136,3 +136,28 @@ def test_connected_components_property_random_graphs(edge_list):
     for x in set(edges_df["a"]) | set(edges_df["b"]):
         g = got.get(x, x) if len(labels) else x
         assert g == comp.get(x, x), x
+
+
+def test_attach_values_outer_join():
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.cc import attach_values
+    fact = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 3], type=pa.int64()),
+        "fx": pa.array(["a", "b", "c", "d"])}))
+    lookup = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 9, 9, 7], type=pa.int64()),
+        "v": pa.array([20, 30, 91, 90, 70], type=pa.int64())}))
+    out = attach_values(fact, "k", lookup, "k", ["v"], how="outer",
+                        num_buckets=4).to_pandas() \
+        .sort_values(["k", "fx"], na_position="last").reset_index(drop=True)
+    # fact rows: 1 unmatched-left (null v), 2/3/3 matched; lookup-only
+    # keys 7 and 9 emitted once each with null fact cols; dup key 9
+    # resolves to min v = 90
+    assert out["k"].tolist() == [1, 2, 3, 3, 7, 9]
+    assert out["fx"].tolist()[:4] == ["a", "b", "c", "d"]
+    assert out["fx"].isna().tolist() == [False] * 4 + [True, True]
+    vals = out["v"].tolist()
+    assert np.isnan(vals[0]) and vals[1:] == [20, 30, 30, 70, 90]
