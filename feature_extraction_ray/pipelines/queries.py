@@ -800,6 +800,71 @@ FROM j
 """
 
 
+def events_pivot_by_user(sf_dir: str) -> Dataset:
+    """Long → wide reshape: per-user event-type counts + per-type value
+    sums as COLUMNS (indicator partial-agg, one small exchange)."""
+    from ..stages.relational import pivot_counts
+    from ..stages.cc import attach_values
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    counts = pivot_counts(ds, "user_id", "event_type")
+    sums = pivot_counts(ds, "user_id", "event_type", value_col="value")
+    sum_cols = [c for c in
+                ["event_type_click", "event_type_error",
+                 "event_type_purchase", "event_type_signup",
+                 "event_type_view"]]
+    out = attach_values(counts, "user_id", sums, "user_id", sum_cols,
+                        rename={c: c.replace("event_type_", "sum_")
+                                for c in sum_cols}, num_buckets=8)
+    return _round(out, {f"sum_{k}": 4 for k in
+                        ("click", "error", "purchase", "signup", "view")})
+
+
+EVENTS_PIVOT_BY_USER_SQL = """
+SELECT user_id,
+  CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS event_type_click,
+  CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS event_type_error,
+  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS event_type_purchase,
+  CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS event_type_signup,
+  CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS event_type_view,
+  round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 4)    AS sum_click,
+  round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0), 4)    AS sum_error,
+  round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 4) AS sum_purchase,
+  round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0), 4)   AS sum_signup,
+  round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 4)     AS sum_view
+FROM events GROUP BY user_id
+"""
+
+
+def doc_words_exploded(sf_dir: str) -> Dataset:
+    """UNNEST WITH ORDINALITY: every document flattened to one row per
+    word with its 1-based position (vectorized flatten+repeat; no
+    shuffle)."""
+    from ..stages.relational import explode_column
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(t["text"]))
+        empty = pc.equal(pc.utf8_length(pc.utf8_trim_whitespace(t["text"])),
+                         0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "ws": pc.if_else(empty, pa.nulls(
+                             len(t), pa.list_(pa.string())), words)})
+
+    ds = ds.map_batches(split, batch_format="pyarrow")
+    return explode_column(ds, "ws", out_col="word", index_col="pos")
+
+
+DOC_WORDS_EXPLODED_SQL = """
+WITH w AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+)
+SELECT doc_id, unnest(ws) AS word,
+       CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+FROM w
+"""
+
+
 def customers_orders_full_outer(sf_dir: str) -> Dataset:
     """FULL OUTER equi-join, distributed (tagged-union single exchange):
     high-balance customers ⟗ per-customer order rollup — unmatched rows
@@ -1764,6 +1829,11 @@ QUERIES = {
     "asr_text_features": asr_text_features,
     "asr_confidence_features": asr_confidence_features,
     "asr_timing_features": asr_timing_features,
+    # tail entries BELOW carry oracle SQL too — pytest
+    # (test_queries_oracle) verifies every ORACLE_SQL entry each
+    # session even though the driver window stops at 50
+    "events_pivot_by_user": events_pivot_by_user,
+    "doc_words_exploded": doc_words_exploded,
 }
 
 ORACLE_SQL = {
@@ -1799,6 +1869,8 @@ ORACLE_SQL = {
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
     "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
+    "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,
+    "doc_words_exploded": DOC_WORDS_EXPLODED_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,

@@ -159,3 +159,83 @@ def normalize_by_group(ds: Dataset, group_col: str,
         return tbl
 
     return bucketed_apply(ds, group_col, fn, num_buckets)
+
+
+def pivot_counts(ds: Dataset, group_col: str, pivot_col: str,
+                 value_col: str | None = None,
+                 pivot_values: Sequence | None = None,
+                 max_pivot: int = 256) -> Dataset:
+    """Reshape long → wide: one row per ``group_col``, one column per
+    ``pivot_col`` value holding the row count (or the SUM of
+    ``value_col``) — SQL ``count(*)/sum(v) FILTER (WHERE pivot = 'x')``.
+
+    Distributed as indicator columns + partial-aggregate sums inside
+    ``map_batches``, then ONE small ``groupby(group)`` exchange — never a
+    per-value shuffle. ``pivot_values`` pins the output columns (and
+    their order); when None they are discovered with a tiny distinct
+    pass, capped at ``max_pivot`` (wide-pivot explosions are a schema
+    smell, not a data path)."""
+    if pivot_values is None:
+        vals = ds.select_columns([pivot_col]).unique(pivot_col)
+        if len(vals) > max_pivot:
+            raise ValueError(
+                f"{pivot_col} has {len(vals)} distinct values "
+                f"(max_pivot={max_pivot}); pass pivot_values=... to pin "
+                "the columns you want")
+        pivot_values = sorted(v if not isinstance(v, dict) else
+                              v[pivot_col] for v in vals)
+    names = [f"{pivot_col}_{v}" for v in pivot_values]
+
+    def indicators(t: pa.Table) -> pa.Table:
+        pv = t[pivot_col]
+        cols = {group_col: t[group_col]}
+        base = pc.cast(t[value_col], pa.float64()) if value_col else None
+        for v, name in zip(pivot_values, names):
+            m = pc.equal(pv, v)
+            if value_col:
+                cols[name] = pc.if_else(m, base, pa.scalar(0.0))
+            else:
+                cols[name] = pc.cast(m, pa.int64())
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+    aggs = [Sum(n, alias_name=n) for n in names]
+    return ds.map_batches(indicators, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(*aggs)
+
+
+def explode_column(ds: Dataset, list_col: str, out_col: str | None = None,
+                   index_col: str | None = "pos") -> Dataset:
+    """UNNEST WITH ORDINALITY: one output row per list element, scalar
+    columns repeated, plus a 1-based ``index_col`` position. Null/empty
+    lists emit no rows (SQL unnest semantics). Fully vectorized:
+    ``flatten`` + ``np.repeat`` of the parent row indices — no Python
+    loop over rows; runs per batch, so it never shuffles."""
+    out_col = out_col or list_col
+
+    def fn(t: pa.Table) -> pa.Table:
+        lst = t[list_col]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        lens = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        rep = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), lens))
+        cols = {}
+        for name in t.column_names:
+            if name == list_col:
+                continue
+            col = t[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            cols[name] = col.take(rep)
+        # flatten() skips null lists, matching the lens accounting
+        cols[out_col] = lst.flatten()
+        if index_col:
+            starts = np.zeros(len(t) + 1, dtype=np.int64)
+            np.cumsum(lens, out=starts[1:])
+            pos = np.arange(int(starts[-1]), dtype=np.int64) - \
+                np.repeat(starts[:-1], lens) + 1
+            cols[index_col] = pa.array(pos)
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -134,3 +134,41 @@ def test_normalize_by_group_matches_pandas():
     byid = out.set_index("id")
     assert np.isnan(byid.loc[400, "v_z"])
     assert np.isnan(byid.loc[401, "v_z"]) and np.isnan(byid.loc[401, "v_mm"])
+
+
+def test_pivot_counts_and_sum():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from feature_extraction_ray.stages.relational import pivot_counts
+    df = pd.DataFrame({
+        "g": [1, 1, 1, 2, 2, 3],
+        "k": ["a", "b", "a", "b", "b", "c"],
+        "v": [1.0, 2.0, 4.0, 8.0, 16.0, 32.0]})
+    out = pivot_counts(rd.from_pandas(df), "g", "k").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out.columns) == ["g", "k_a", "k_b", "k_c"]
+    assert out[["k_a", "k_b", "k_c"]].values.tolist() == \
+        [[2, 1, 0], [0, 2, 0], [0, 0, 1]]
+    out2 = pivot_counts(rd.from_pandas(df), "g", "k",
+                        value_col="v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out2[["k_a", "k_b", "k_c"]].values.tolist() == \
+        [[5.0, 2.0, 0.0], [0.0, 24.0, 0.0], [0.0, 0.0, 32.0]]
+    with pytest.raises(ValueError, match="max_pivot"):
+        pivot_counts(rd.from_pandas(df), "g", "k", max_pivot=2).to_pandas()
+
+
+def test_explode_column_with_ordinality():
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.relational import explode_column
+    t = pa.table({
+        "id": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "xs": pa.array([[1, 2, 3], [], None, [7]],
+                       type=pa.list_(pa.int32()))})
+    out = explode_column(rd.from_arrow(t), "xs", out_col="x") \
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out["id"].tolist() == [10, 10, 10, 40]
+    assert out["x"].tolist() == [1, 2, 3, 7]
+    assert out["pos"].tolist() == [1, 2, 3, 1]
