@@ -865,6 +865,17 @@ FROM w
 """
 
 
+def weighted_sample_docs(sf_dir: str) -> Dataset:
+    """Deterministic weighted reservoir sample (Efraimidis–Spirakis
+    A-Res): 5 docs per source, inclusion ∝ n_chars, reproducible across
+    reruns/repartitionings (hash-derived randomness — not
+    SQL-expressible, goldens in test_skew_misc.py)."""
+    from ..stages.partition import weighted_sample_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return weighted_sample_per_group(ds, "source", k=5, id_col="doc_id",
+                                     weight_col="n_chars", num_buckets=8)
+
+
 def customers_orders_full_outer(sf_dir: str) -> Dataset:
     """FULL OUTER equi-join, distributed (tagged-union single exchange):
     high-balance customers ⟗ per-customer order rollup — unmatched rows
@@ -1834,6 +1845,7 @@ QUERIES = {
     # session even though the driver window stops at 50
     "events_pivot_by_user": events_pivot_by_user,
     "doc_words_exploded": doc_words_exploded,
+    "weighted_sample_docs": weighted_sample_docs,
 }
 
 ORACLE_SQL = {

@@ -223,3 +223,49 @@ def salt_column(ds: Dataset, entity_col: str, hot_keys: set, salt_factor: int,
         return batch.append_column(out_col, out)
 
     return ds.map_batches(add_salt, batch_format="pyarrow")
+
+
+def weighted_sample_per_group(ds: Dataset, group_col: str, k: int,
+                              id_col: str, weight_col: str | None = None,
+                              seed: int = 1337,
+                              num_buckets: int = 32) -> Dataset:
+    """Deterministic weighted sample WITHOUT replacement of up to ``k``
+    rows per group — Efraimidis–Spirakis A-Res (public 2006 algorithm):
+    each row gets key ``u^(1/w)`` with ``u`` derived from a STABLE hash
+    of ``id_col`` (+seed), and the k largest keys per group win. Because
+    ``u`` is hash-derived, the sample is reproducible across reruns,
+    repartitionings, and cluster sizes (the property fraction-based
+    ``ds.random_sample`` lacks); rows with weight ≤ 0 are never chosen.
+    ``weight_col=None`` means uniform. ONE bucketed exchange (the
+    grouped-top-k path)."""
+    import pyarrow.compute as pc
+    from .window import grouped_topk
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        h = _stable_hash_strings(t[id_col])
+        with np.errstate(over="ignore"):
+            h = (h ^ seed_mix) * np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+        # u in (0, 1]; log-space key ln(u)/w avoids u^(1/w) underflow
+        u = (h.astype(np.float64) + 1.0) / float(2**64)
+        if weight_col is None:
+            w = np.ones(len(t), dtype=np.float64)
+        else:
+            w = pc.cast(t[weight_col], pa.float64()).to_numpy(
+                zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.log(u) / w
+        key[~(w > 0)] = -np.inf          # never sampled
+        return t.append_column("__wskey", pa.array(key))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    out = grouped_topk(keyed, group_col,
+                       [("__wskey", "descending"), (id_col, "ascending")],
+                       k=k, num_buckets=num_buckets)
+
+    def strip(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["__wskey"], float("-inf")))
+        return t.drop_columns(["__wskey"])
+
+    return out.map_batches(strip, batch_format="pyarrow")

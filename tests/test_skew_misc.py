@@ -172,3 +172,40 @@ def test_explode_column_with_ordinality():
     assert out["id"].tolist() == [10, 10, 10, 40]
     assert out["x"].tolist() == [1, 2, 3, 7]
     assert out["pos"].tolist() == [1, 2, 3, 1]
+
+
+def test_weighted_sample_per_group():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from feature_extraction_ray.stages.partition import (
+        weighted_sample_per_group)
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({
+        "id": np.arange(3000, dtype=np.int64),
+        "g": np.repeat(np.arange(3), 1000),
+        "w": np.where(np.arange(3000) % 10 == 0, 0.0,
+                      rng.uniform(0.1, 10.0, 3000))})
+    ds = rd.from_pandas(df)
+    out = weighted_sample_per_group(ds, "g", k=50, id_col="id",
+                                    weight_col="w", num_buckets=4) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == 150 and out.groupby("g").size().tolist() == [50] * 3
+    # zero-weight rows never sampled
+    assert (out.merge(df, on="id")["w_x"] > 0).all()
+    # deterministic across reruns AND repartitioning
+    out2 = weighted_sample_per_group(ds.repartition(13), "g", k=50,
+                                     id_col="id", weight_col="w",
+                                     num_buckets=8).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out["id"].tolist() == out2["id"].tolist()
+    # heavier rows win more: inclusion ~ proportional to weight, so the
+    # top-weight decile (mean w ~9.7 vs corpus mean ~5.05) should hold
+    # ~19% of the sample; uniform sampling would give ~10%
+    heavy = df.nlargest(300, "w")["id"]
+    share = out["id"].isin(heavy).mean()
+    assert share > 0.15
+    # different seed -> different sample
+    out3 = weighted_sample_per_group(ds, "g", k=50, id_col="id",
+                                     weight_col="w", seed=7).to_pandas()
+    assert sorted(out3["id"]) != out["id"].tolist()
