@@ -683,6 +683,21 @@ def cumsum_events(sf_dir: str) -> Dataset:
     return _round(out, {"value_cumsum": 4})
 
 
+def cumsum_events_streaming(sf_dir: str) -> Dataset:
+    """Same semantics as cumsum_events via the out-of-core STREAMING
+    path (chained tasks + running-sum carry) — same SQL oracle."""
+    from ..stages.stream_window import streaming_window
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = streaming_window(ds, "cumsum", entity_col="user_id",
+                           order_cols=["ts", "event_id"], num_buckets=32,
+                           max_rows_per_block=2048,
+                           value_col="value", out_col="value_cumsum")
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "ts", "value_cumsum"]),
+        batch_format="pyarrow")
+    return _round(out, {"value_cumsum": 4})
+
+
 CUMSUM_EVENTS_SQL = """
 SELECT event_id, user_id, ts,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1845,6 +1860,7 @@ QUERIES = {
     # session even though the driver window stops at 50
     "events_pivot_by_user": events_pivot_by_user,
     "doc_words_exploded": doc_words_exploded,
+    "cumsum_events_streaming": cumsum_events_streaming,
     "weighted_sample_docs": weighted_sample_docs,
 }
 
@@ -1883,6 +1899,7 @@ ORACLE_SQL = {
     "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,
     "doc_words_exploded": DOC_WORDS_EXPLODED_SQL,
+    "cumsum_events_streaming": CUMSUM_EVENTS_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,

@@ -164,11 +164,44 @@ def _sessionize_block(tbl: pa.Table, carry, entity_col: str, ts_col: str,
         new_carry
 
 
+def _cumsum_block(tbl: pa.Table, carry, entity_col: str, value_col: str,
+                  out_col: str = "cumsum"):
+    """Running per-entity sum; carry = (last_entity, its running sum).
+    NaNs stay NaN and don't poison the run (pandas cumsum semantics)."""
+    n = len(tbl)
+    if n == 0:
+        return tbl.append_column(out_col,
+                                 pa.array([], type=pa.float64())), carry
+    ent = np.asarray(tbl[entity_col].to_pylist())
+    v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    nan = np.isnan(v)
+    filled = np.where(nan, 0.0, v)
+    cs = np.cumsum(filled)
+    ng = W.group_starts(ent)
+    starts = np.flatnonzero(ng)
+    base = np.where(starts > 0, cs[starts - 1], 0.0)
+    run_id = np.cumsum(ng) - 1
+    out = cs - base[run_id]
+    carried = carry is not None and ent[0] == carry[0]
+    if carried:
+        out = out + np.where(ent == ent[0], carry[1], 0.0)
+    out = np.where(nan, np.nan, out)
+    # sorted slices: ent[-1] == ent[0] implies ONE run, so the carry
+    # base contributes to the outgoing sum only in that case
+    last_run_sum = float(cs[-1] - (cs[starts[-1] - 1]
+                                   if starts[-1] > 0 else 0.0))
+    if carried and ent[-1] == ent[0]:
+        last_run_sum += carry[1]
+    new_carry = (ent[-1], last_run_sum)
+    return tbl.append_column(out_col, pa.array(out)), new_carry
+
+
 _KERNELS = {
     "lag1": _lag1_block,
     "ffill": _ffill_block,
     "bfill": _bfill_block,
     "sessionize": _sessionize_block,
+    "cumsum": _cumsum_block,
 }
 _REVERSE_OPS = {"bfill"}   # carry flows from the bucket's END backwards
 
@@ -195,8 +228,9 @@ def streaming_window(ds: Dataset, op: str, *, entity_col: str,
                      order_cols: Sequence[str], num_buckets: int = 32,
                      max_rows_per_block: int = 100_000,
                      **op_kwargs) -> Dataset:
-    """Apply a streaming windowed op (``lag1`` / ``ffill`` /
-    ``sessionize``) with bounded per-task memory. See module docstring.
+    """Apply a streaming windowed op (``lag1`` / ``ffill`` / ``bfill`` /
+    ``sessionize`` / ``cumsum``) with bounded per-task memory. See
+    module docstring.
 
     ``op_kwargs`` are kernel-specific: ``value_col``/``out_col`` for
     lag1/ffill; ``ts_col``/``gap_us``/``out_col`` for sessionize.

@@ -98,3 +98,27 @@ def test_streaming_bfill_matches_bucketed(toks, max_rows):
     np.testing.assert_allclose(g["val_bfill"].to_numpy(dtype=float),
                                e["val_bfill"].to_numpy(dtype=float),
                                equal_nan=True)
+
+
+@pytest.mark.parametrize("max_rows", [11, 100000])
+def test_streaming_cumsum_matches_bucketed(toks, max_rows):
+    import pyarrow as pa
+    # inject NaNs to exercise skip-NaN semantics across slice boundaries
+    tbl = toks
+    vals = tbl["n_tok"].to_numpy(zero_copy_only=False).astype(np.float64)
+    vals[::37] = np.nan
+    tbl = tbl.set_column(tbl.column_names.index("n_tok"),
+                         pa.field("n_tok", pa.float64()),
+                         pa.array(vals, from_pandas=True))
+    got = streaming_window(rd.from_arrow(tbl), "cumsum",
+                           entity_col="entity",
+                           order_cols=["ts", "doc_id"], num_buckets=4,
+                           max_rows_per_block=max_rows,
+                           value_col="n_tok", out_col="n_tok_cumsum")
+    exp = SW.cumulative(rd.from_arrow(tbl), "entity", ["ts", "doc_id"],
+                        ["n_tok"], agg="sum", num_buckets=4)
+    g = _sorted(got.to_pandas())
+    e = _sorted(exp.to_pandas())
+    np.testing.assert_allclose(g["n_tok_cumsum"].to_numpy(dtype=float),
+                               e["n_tok_cumsum"].to_numpy(dtype=float),
+                               rtol=1e-12, atol=1e-9, equal_nan=True)
