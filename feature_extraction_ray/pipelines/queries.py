@@ -1476,6 +1476,37 @@ GROUP BY w2.doc_id
 """
 
 
+def doc_tfidf_scores(sf_dir: str) -> Dataset:
+    """TF-IDF long table (the classic text-vectorization op): distributed
+    document-frequency fit → broadcast idf → vectorized per-(doc, word)
+    tf/df/tfidf rows, under an unnest+join SQL oracle."""
+    from ..stages.text import tfidf_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_scores(ds)
+    return _round(out, {"tfidf": 4})
+
+
+DOC_TFIDF_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS word
+  FROM documents WHERE trim(text) <> ''
+), w2 AS (
+  SELECT doc_id, word FROM w WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w2 GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w2 GROUP BY word
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM w2
+)
+SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+"""
+
+
 def ngram_jaccard_dedup_docs(sf_dir: str):
     """Exact n-gram-Jaccard dedup end-to-end (pairs → distributed
     connected components → per-doc cluster assignment), oracle-checked
@@ -1861,6 +1892,7 @@ QUERIES = {
     "events_pivot_by_user": events_pivot_by_user,
     "doc_words_exploded": doc_words_exploded,
     "cumsum_events_streaming": cumsum_events_streaming,
+    "doc_tfidf_scores": doc_tfidf_scores,
     "weighted_sample_docs": weighted_sample_docs,
 }
 
@@ -1900,6 +1932,7 @@ ORACLE_SQL = {
     "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,
     "doc_words_exploded": DOC_WORDS_EXPLODED_SQL,
     "cumsum_events_streaming": CUMSUM_EVENTS_SQL,
+    "doc_tfidf_scores": DOC_TFIDF_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,

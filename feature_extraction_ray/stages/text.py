@@ -410,3 +410,129 @@ def surprisal_scores(ds: Dataset, lm: dict | None = None,
                           fn_constructor_kwargs=dict(lm_ref=ref,
                                                      text_col=text_col),
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (two-pass fit-then-score, the classic text-vectorization op)
+# ---------------------------------------------------------------------------
+
+def fit_document_frequencies(ds: Dataset, text_col: str = "text",
+                             top_k: int | None = None) -> dict:
+    """Distributed document-frequency fit: per-batch DISTINCT (doc, word)
+    pairs (dictionary-encode + segmented unique — no Python word loops)
+    → one small ``groupby(word)`` exchange. Returns ``{"df": {word: df},
+    "n_docs": N}`` with raw-count idf ``ln(N/df)`` left to the scorer.
+    ``top_k`` caps the vocabulary (most-frequent words) for corpus scale;
+    capped-out words score idf 0 (treated as ubiquitous)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        n_docs_batch = int((n_real > 0).sum())
+        if len(flat) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "__docs": pa.array([], type=pa.int64())})
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(n_real)), np.diff(offs))
+        # distinct (doc, word): sort by (code, doc), drop repeats
+        order = np.lexsort((doc_of, codes))
+        c, d = codes[order], doc_of[order]
+        keep = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]
+        df_per_code = np.bincount(c[keep], minlength=len(de.dictionary))
+        out = pa.table({"word": de.dictionary.cast(pa.string()),
+                        "cnt": pa.array(df_per_code.astype(np.int64))})
+        # smuggle the batch's doc count through the same aggregate via a
+        # reserved row (words can't be empty strings after the split)
+        marker = pa.table({"word": pa.array([""]),
+                           "cnt": pa.array([n_docs_batch],
+                                           type=pa.int64())})
+        return pa.concat_tables([out, marker])
+
+    counts = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    n_docs = int(counts.loc[counts["word"] == "", "cnt"].sum())
+    counts = counts[counts["word"] != ""]
+    if top_k is not None and len(counts) > top_k:
+        counts = counts.nlargest(top_k, "cnt")
+    return {"df": dict(zip(counts["word"], counts["cnt"].astype(int))),
+            "n_docs": n_docs}
+
+
+class TfIdfScorer:
+    """Actor-pool stage: per-(doc, word) rows with tf, df and
+    ``tfidf = tf · ln(N/df)`` under a broadcast DF table. Vectorized:
+    one split per batch, per-doc term counts via segmented unique runs,
+    DF lookup over the batch's unique words only."""
+
+    def __init__(self, df_ref, text_col: str = "text"):
+        m = ray.get(df_ref) if isinstance(df_ref, ray.ObjectRef) else df_ref
+        self.df = m["df"]
+        self.n_docs = m["n_docs"]
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(
+            batch[self.text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        empty = pa.table({
+            "doc_id": pa.array([], type=batch["doc_id"].type),
+            "word": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "tfidf": pa.array([], type=pa.float64())})
+        if len(flat) == 0:
+            return empty
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(n_real)), np.diff(offs))
+        order = np.lexsort((codes, doc_of))
+        c, d = codes[order], doc_of[order]
+        new = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(c)]).astype(np.int64)
+        uniq_words = de.dictionary.to_pylist()
+        dfs = np.array([self.df.get(w, 0) for w in uniq_words],
+                       dtype=np.int64)
+        with np.errstate(divide="ignore"):
+            idf = np.where(dfs > 0, np.log(self.n_docs / np.maximum(
+                dfs.astype(np.float64), 1.0)), 0.0)
+        doc_col = batch["doc_id"]
+        if isinstance(doc_col, pa.ChunkedArray):
+            doc_col = doc_col.combine_chunks()
+        cw = c[starts]
+        return pa.table({
+            "doc_id": doc_col.take(pa.array(d[starts].astype(np.int64))),
+            "word": pa.array(np.array(uniq_words, dtype=object)[cw],
+                             type=pa.string()),
+            "tf": pa.array(tf),
+            "df": pa.array(dfs[cw]),
+            "tfidf": pa.array(tf * idf[cw]),
+        })
+
+
+def tfidf_scores(ds: Dataset, model: dict | None = None,
+                 text_col: str = "text", concurrency=(1, 8)) -> Dataset:
+    """Fit (if no ``model``) + score: per-(doc, word) tf/df/tfidf rows —
+    the long-form TF-IDF table a vectorizer or top-k-terms stage
+    consumes. Empty docs emit no rows."""
+    if model is None:
+        model = fit_document_frequencies(ds, text_col)
+    ref = ray.put(model)
+    return ds.map_batches(TfIdfScorer, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(df_ref=ref,
+                                                     text_col=text_col),
+                          concurrency=concurrency)

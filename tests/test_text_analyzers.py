@@ -164,3 +164,46 @@ def test_unigram_lm_top_k_oov_floor():
         .set_index("doc_id")
     # doc 2 is a single OOV word: floor prob = 1/total
     assert out.loc[2, "sum_logprob"] == pytest.approx(-np.log(10))
+
+
+def test_tfidf_matches_naive():
+    import math
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import tfidf_scores
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["cat cat dog", "dog bird", "cat", "", "bird bird bird"]})
+    out = tfidf_scores(rd.from_pandas(docs)).to_pandas() \
+        .sort_values(["doc_id", "word"]).reset_index(drop=True)
+    # naive oracle
+    split = {d: t.split() for d, t in zip(docs["doc_id"], docs["text"])}
+    n_docs = sum(1 for ws in split.values() if ws)
+    df = {}
+    for ws in split.values():
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    rows = []
+    for d, ws in split.items():
+        for w in sorted(set(ws)):
+            tf = ws.count(w)
+            rows.append((d, w, tf, df[w],
+                         tf * math.log(n_docs / df[w])))
+    exp = pd.DataFrame(rows, columns=["doc_id", "word", "tf", "df",
+                                      "tfidf"])
+    assert out[["doc_id", "word", "tf", "df"]].values.tolist() == \
+        exp[["doc_id", "word", "tf", "df"]].values.tolist()
+    np.testing.assert_allclose(out["tfidf"], exp["tfidf"], rtol=1e-12)
+
+
+def test_tfidf_top_k_vocab_cap():
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import (
+        fit_document_frequencies, tfidf_scores)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b", "a b", "a b", "a z"]})
+    m = fit_document_frequencies(rd.from_pandas(docs), top_k=2)
+    assert set(m["df"]) == {"a", "b"} and m["n_docs"] == 4
+    out = tfidf_scores(rd.from_pandas(docs), model=m).to_pandas()
+    z = out[out["word"] == "z"].iloc[0]
+    assert z["df"] == 0 and z["tfidf"] == 0.0   # capped-out -> idf 0
