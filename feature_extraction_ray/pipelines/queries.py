@@ -1507,6 +1507,48 @@ FROM tf JOIN df USING (word) CROSS JOIN n
 """
 
 
+def doc_top_terms(sf_dir: str) -> Dataset:
+    """Composition: TF-IDF long table → grouped top-3 terms per doc
+    (keyword extraction — tfidf_scores piped into grouped_topk)."""
+    from ..stages.text import tfidf_scores
+    from ..stages.window import grouped_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    scored = tfidf_scores(ds).map_batches(
+        lambda t: t.select(["doc_id", "word", "tfidf"]),
+        batch_format="pyarrow")
+    # round BEFORE ranking so k-boundary ties break on the same
+    # (rounded tfidf, word) key as the oracle's QUALIFY
+    scored = _round(scored, {"tfidf": 4})
+    return grouped_topk(scored, "doc_id",
+                        [("tfidf", "descending"), ("word", "ascending")],
+                        k=3, num_buckets=32)
+
+
+DOC_TOP_TERMS_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS word
+  FROM documents WHERE trim(text) <> ''
+), w2 AS (
+  SELECT doc_id, word FROM w WHERE word <> ''
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+  FROM w2 GROUP BY doc_id, word
+), df AS (
+  SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM w2 GROUP BY word
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM w2
+), scored AS (
+  SELECT tf.doc_id, tf.word,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN n
+)
+SELECT doc_id, word, tfidf FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, word) <= 3
+"""
+
+
 def ngram_jaccard_dedup_docs(sf_dir: str):
     """Exact n-gram-Jaccard dedup end-to-end (pairs → distributed
     connected components → per-doc cluster assignment), oracle-checked
@@ -1893,6 +1935,7 @@ QUERIES = {
     "doc_words_exploded": doc_words_exploded,
     "cumsum_events_streaming": cumsum_events_streaming,
     "doc_tfidf_scores": doc_tfidf_scores,
+    "doc_top_terms": doc_top_terms,
     "weighted_sample_docs": weighted_sample_docs,
 }
 
@@ -1933,6 +1976,7 @@ ORACLE_SQL = {
     "doc_words_exploded": DOC_WORDS_EXPLODED_SQL,
     "cumsum_events_streaming": CUMSUM_EVENTS_SQL,
     "doc_tfidf_scores": DOC_TFIDF_SQL,
+    "doc_top_terms": DOC_TOP_TERMS_SQL,
     "session_stats_events": SESSION_STATS_SQL,
     "doc_token_counts": DOC_TOKEN_COUNTS_SQL,
     "verbosity_by_source": VERBOSITY_BY_SOURCE_SQL,
