@@ -371,13 +371,22 @@ def _explode_bands_with_sig(tbl: pa.Table) -> pa.Table:
 
 
 def _verified_pairs_of_shard_factory(max_bucket: int, threshold: float,
-                                     require_ge: int | None = None):
+                                     require_ge: int | None = None,
+                                     pairing: str = "all"):
     """Fused candidate+verify scan over one hash shard: each row carries
     its doc's truncated signature, so pairs are emitted ALREADY verified
     (estimated Jaccard = per-component agreement ≥ threshold) — no
     signature-shipping joins afterwards. Cross-band repeats of a pair are
     deduped within the shard; cross-shard repeats are tolerated by the
-    downstream connected components."""
+    downstream connected components.
+
+    ``pairing="star"``: each doc is tested only against its run's MIN id
+    — O(n) pairs per collision run instead of O(n²), the scale mode for
+    high-duplication corpora (a 100-copy boilerplate cluster emits 99
+    pairs, not 4950). Recall caveat: a near-dup whose similarity to the
+    run-minimum falls below threshold is missed even if it clears the
+    threshold against another member (band collisions across the 16
+    bands usually recover it via a different run minimum)."""
     def verified_pairs(tbl: pa.Table) -> pa.Table:
         empty = pa.table({"a": pa.array([], type=pa.int64()),
                           "b": pa.array([], type=pa.int64())})
@@ -411,7 +420,12 @@ def _verified_pairs_of_shard_factory(max_bucket: int, threshold: float,
             if len(ids) < 2:
                 continue
             run_sigs = sigs[lo:hi][first_idx]
-            ai, bi = np.triu_indices(len(ids), k=1)
+            if pairing == "star":
+                # ids are sorted ascending: index 0 is the run minimum
+                bi = np.arange(1, len(ids))
+                ai = np.zeros(len(bi), dtype=np.int64)
+            else:
+                ai, bi = np.triu_indices(len(ids), k=1)
             if require_ge is not None:
                 keep_new = np.maximum(ids[ai], ids[bi]) >= require_ge
                 ai, bi = ai[keep_new], bi[keep_new]
@@ -440,7 +454,8 @@ def _verified_pairs_of_shard_factory(max_bucket: int, threshold: float,
 def candidate_verified_pairs_ds(sig_ds: Dataset, threshold: float,
                                 max_bucket: int = 64,
                                 num_buckets: int = 32,
-                                require_ge: int | None = None) -> Dataset:
+                                require_ge: int | None = None,
+                                pairing: str = "all") -> Dataset:
     """Banded-LSH candidates VERIFIED IN PLACE: one bucketed exchange of
     (doc, band, band_hash, 16-bit signature) rows, then each shard emits
     its agreement-verified pairs directly. Replaces the three-exchange
@@ -454,7 +469,8 @@ def candidate_verified_pairs_ds(sig_ds: Dataset, threshold: float,
                                   batch_format="pyarrow")
     return bucketed_apply(
         exploded, "band_hash",
-        _verified_pairs_of_shard_factory(max_bucket, threshold, require_ge),
+        _verified_pairs_of_shard_factory(max_bucket, threshold, require_ge,
+                                         pairing),
         num_buckets=num_buckets, drop_bucket=False)
 
 
@@ -600,7 +616,8 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
                       threshold: float = 0.8,
                       num_buckets: int | None = None,
                       output: str = "pandas",
-                      sig_ds: Dataset | None = None):
+                      sig_ds: Dataset | None = None,
+                      pairing: str = "all"):
     """Full near-dup pipeline: signatures → banded candidates → hash-join
     signature verification → distributed connected components (see
     ``stages/cc.py``) → per-id cluster assignment. Returns (doc_id,
@@ -624,7 +641,8 @@ def minhash_lsh_dedup(ds: Dataset, text_col: str = "text",
         num_buckets = derive_num_buckets(sig_ds,
                                          per_bucket_bytes=16 << 20)
     verified = candidate_verified_pairs_ds(sig_ds, threshold,
-                                           num_buckets=num_buckets)
+                                           num_buckets=num_buckets,
+                                           pairing=pairing)
     return _cluster_output(sig_ds.select_columns(["doc_id"]), verified,
                            "doc_id", num_buckets, output)
 

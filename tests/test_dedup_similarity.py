@@ -456,3 +456,26 @@ def test_fused_verified_pairs_equal_join_plan(docs):
     f = set(zip(fused["a"], fused["b"]))
     j = set(zip(joined["a"], joined["b"]))
     assert f == j and len(f) > 0
+
+
+def test_star_pairing_clusters_planted_dups(docs):
+    """pairing="star" (O(n) pairs per collision run) finds the same
+    planted clusters as all-pairs on a near-transitive corpus."""
+    allp = DD.minhash_lsh_dedup(rd.from_pandas(docs), threshold=0.5,
+                                shingle_k=3, pairing="all")
+    star = DD.minhash_lsh_dedup(rd.from_pandas(docs), threshold=0.5,
+                                shingle_k=3, pairing="star")
+    a = allp.sort_values("doc_id").reset_index(drop=True)
+    s = star.sort_values("doc_id").reset_index(drop=True)
+    assert a["cluster_id"].tolist() == s["cluster_id"].tolist()
+    # star emits strictly fewer (or equal) pair rows on a hot corpus
+    hot = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                        "text": ["hot boilerplate row body here"] * 30})
+    sig = DD.minhash_signatures(rd.from_pandas(hot),
+                                shingle_k=3).materialize()
+    n_all = DD.candidate_verified_pairs_ds(sig, 0.5, num_buckets=4,
+                                           pairing="all").count()
+    n_star = DD.candidate_verified_pairs_ds(sig, 0.5, num_buckets=4,
+                                            pairing="star").count()
+    assert n_star < n_all
+    assert n_star <= 29 * 4        # <= (n-1) per shard it appears in
