@@ -122,6 +122,18 @@ def run_bench() -> dict:
             lambda: knn_lsh(eds, q, k=10, bits=8, probes=8,
                             merge="dataset").count())
 
+        # round-3 text ops: TF-IDF fit+score over the amplified corpus,
+        # exact n-gram-Jaccard dedup over the raw sf corpus
+        from feature_extraction_ray.stages.text import tfidf_scores
+        from feature_extraction_ray.stages.dedup import ngram_jaccard_dedup
+        per_query[f"tfidf_x{amp}"] = _best_of(
+            lambda: tfidf_scores(amplified_documents(SF_DIR, amp)).count())
+        per_query["ngram_jaccard_dedup"] = _best_of(
+            lambda: ngram_jaccard_dedup(
+                rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"]),
+                output="dataset").count())
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (
