@@ -906,8 +906,11 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 
 
 class ShingleExploder:
-    """Actor: one ``(doc_id, gram)`` row per DISTINCT word-k-gram of each
-    document — the inverted-index feed of :func:`ngram_jaccard_pairs`."""
+    """Actor: one ``(doc_id, gram, n)`` row per DISTINCT word-k-gram of
+    each document — the inverted-index feed of
+    :func:`ngram_jaccard_pairs`. ``n`` is the doc's TOTAL distinct-gram
+    count (known locally from the shingle offsets, so no separate
+    per-doc-size aggregate/join is ever needed downstream)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id",
                  k: int = 5):
@@ -921,6 +924,7 @@ class ShingleExploder:
         return pa.table({
             "doc_id": pa.array(np.repeat(ids, counts)),
             "gram": pa.array(flat.view(np.int64)),
+            "n": pa.array(np.repeat(counts.astype(np.int32), counts)),
         })
 
 
@@ -939,13 +943,17 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
     :func:`simhash_dedup` verification tails).
 
     Design (all Dataset transforms, driver sees nothing corpus-sized):
-    distinct-shingle explosion (actor pool, shared kernel with MinHash) →
-    inverted-index pair emission per gram shard — any pair with
-    Jaccard > 0 shares a gram, so blocking by gram hash has 100% recall →
-    per-pair co-occurrence count (= |A∩B|; rows for a pair co-locate when
-    bucketed on the pair's first id) → two bucketed joins attach |A| and
-    |B| → integer threshold filter. 5 exchanges total (sizes aggregate +
-    gram shard + pair shard + 2 joins).
+    distinct-shingle explosion (actor pool, shared kernel with MinHash;
+    each gram row carries its doc's TOTAL distinct-gram count, computed
+    locally from the shingle offsets) → inverted-index pair emission per
+    gram shard — any pair with Jaccard > 0 shares a gram, so blocking by
+    gram hash has 100% recall; pair rows carry ``(n_a, n_b)`` as int32 →
+    fused per-pair co-occurrence count (= |A∩B|; rows for a pair
+    co-locate when bucketed on the pair's first id) + integer threshold
+    filter. **2 exchanges total** (gram shard + pair shard); the naive
+    plan's per-doc-size aggregate and two size-attach joins are fused
+    away by shipping the sizes on the rows (+8 bytes per pair row — far
+    cheaper than 3 extra all-to-alls at any scale).
 
     ``max_df``: optional stopword-gram cap — grams occurring in more than
     ``max_df`` docs are skipped during pair emission (a hot gram emits
@@ -954,25 +962,24 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
     is REPORTED via the ``__truncated_grams``/``__truncated_rows``
     counters on the returned Dataset's stats (no silent caps).
     """
-    from ray.data.aggregate import Count
     from .window import bucketed_apply
-    from .cc import attach_values
     tnum, tden = threshold
 
     grams = ds.map_batches(
         ShingleExploder, batch_format="pyarrow",
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k),
-        concurrency=concurrency).materialize()
+        concurrency=concurrency)
     if num_buckets is None:
         from .partition import derive_num_buckets
+        grams = grams.materialize()
         num_buckets = derive_num_buckets(grams)
-    sizes = grams.groupby("doc_id").aggregate(Count(alias_name="n_grams"))
 
     def emit_pairs(tbl: pa.Table) -> pa.Table:
         g = tbl["gram"].to_numpy(zero_copy_only=False)
         d = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        n = tbl["n"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, g))
-        g, d = g[order], d[order]
+        g, d, n = g[order], d[order], n[order]
         new = np.r_[True, g[1:] != g[:-1]] if len(g) else \
             np.zeros(0, dtype=bool)
         starts = np.r_[np.flatnonzero(new), len(g)]
@@ -985,62 +992,62 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
                                   int(capped.sum()),
                                   int(run_len[capped].sum()))
             eligible &= run_len <= max_df
-        a_out, b_out = [], []
-        for i in np.flatnonzero(eligible):
-            lo, hi = starts[i], starts[i + 1]
-            ids = d[lo:hi]          # unique per gram, sorted ascending
-            ai, bi = np.triu_indices(len(ids), k=1)
-            a_out.append(ids[ai])
-            b_out.append(ids[bi])
-        if not a_out:
-            return pa.table({"a": pa.array([], type=pa.int64()),
-                             "b": pa.array([], type=pa.int64())})
-        return pa.table({"a": pa.array(np.concatenate(a_out)),
-                         "b": pa.array(np.concatenate(b_out))})
+        # fully vectorized all-pairs within each eligible gram run:
+        # a-side = each element repeated by its number of successors in
+        # the run; b-side = a-side + segmented arange (ids within a run
+        # are unique and sorted ascending, so doc_a < doc_b holds)
+        idx = np.flatnonzero(eligible)
+        lens = run_len[idx]
+        los = starts[idx]
+        n_elems = int(lens.sum())
+        if not n_elems:
+            empty64 = pa.array([], type=pa.int64())
+            return pa.table({"a": empty64, "b": empty64,
+                             "na": pa.array([], type=pa.int32()),
+                             "nb": pa.array([], type=pa.int32())})
+        seg_off = np.repeat(np.cumsum(lens) - lens, lens)
+        elem_idx = np.repeat(los, lens) + np.arange(n_elems) - seg_off
+        reps = np.repeat(los + lens, lens) - 1 - elem_idx
+        a_idx = np.repeat(elem_idx, reps)
+        n_pairs = int(reps.sum())
+        seq = np.arange(n_pairs) - np.repeat(np.cumsum(reps) - reps, reps)
+        b_idx = a_idx + 1 + seq
+        return pa.table({"a": pa.array(d[a_idx]), "b": pa.array(d[b_idx]),
+                         "na": pa.array(n[a_idx]),
+                         "nb": pa.array(n[b_idx])})
 
     raw = bucketed_apply(grams, "gram", emit_pairs, num_buckets,
                          drop_bucket=False)
 
-    def count_pairs(tbl: pa.Table) -> pa.Table:
+    def count_filter_pairs(tbl: pa.Table) -> pa.Table:
         a = tbl["a"].to_numpy(zero_copy_only=False)
         b = tbl["b"].to_numpy(zero_copy_only=False)
+        na = tbl["na"].to_numpy(zero_copy_only=False)
+        nb = tbl["nb"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] \
             if len(a) else np.zeros(0, dtype=bool)
         keep = np.flatnonzero(new)
         inter = np.diff(np.r_[keep, len(a)]).astype(np.int64)
-        return pa.table({"doc_a": pa.array(a[keep]),
-                         "doc_b": pa.array(b[keep]),
-                         "inter_n": pa.array(inter)})
+        a, b = a[keep], b[keep]
+        na = na[order][keep].astype(np.int64)
+        nb = nb[order][keep].astype(np.int64)
+        union = na + nb - inter
+        m = inter * tden >= union * tnum
+        return pa.table({"doc_a": pa.array(a[m]), "doc_b": pa.array(b[m]),
+                         "inter_n": pa.array(inter[m]),
+                         "union_n": pa.array(union[m])})
 
-    inter = bucketed_apply(raw, "a", count_pairs, num_buckets,
-                           drop_bucket=False).materialize()
-    if inter.count() == 0:       # empty materialized Dataset: schema()
-        import ray.data as _rd   # is None, so short-circuit before joins
+    out = bucketed_apply(raw, "a", count_filter_pairs, num_buckets,
+                         drop_bucket=False).materialize()
+    if out.count() == 0:         # empty materialized Dataset: schema()
+        import ray.data as _rd   # is None, so return a typed empty table
+        empty64 = pa.array([], type=pa.int64())
         return _rd.from_arrow(pa.table({
-            "doc_a": pa.array([], type=pa.int64()),
-            "doc_b": pa.array([], type=pa.int64()),
-            "inter_n": pa.array([], type=pa.int64()),
-            "union_n": pa.array([], type=pa.int64())}))
-    wa = attach_values(inter, "doc_a", sizes, "doc_id", ["n_grams"],
-                       rename={"n_grams": "__n_a"}, num_buckets=num_buckets)
-    wb = attach_values(wa, "doc_b", sizes, "doc_id", ["n_grams"],
-                       rename={"n_grams": "__n_b"}, num_buckets=num_buckets)
-
-    def finish(tbl: pa.Table) -> pa.Table:
-        inter_n = tbl["inter_n"].to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        na = tbl["__n_a"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nb = tbl["__n_b"].to_numpy(zero_copy_only=False).astype(np.int64)
-        union = na + nb - inter_n
-        keep = inter_n * tden >= union * tnum
-        out = pa.table({"doc_a": tbl["doc_a"], "doc_b": tbl["doc_b"],
-                        "inter_n": pa.array(inter_n),
-                        "union_n": pa.array(union)})
-        return out.filter(pa.array(keep))
-
-    return wb.map_batches(finish, batch_format="pyarrow")
+            "doc_a": empty64, "doc_b": empty64,
+            "inter_n": empty64, "union_n": empty64}))
+    return out
 
 
 def ngram_jaccard_dedup(ds: Dataset, text_col: str = "text",
