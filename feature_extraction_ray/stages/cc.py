@@ -406,10 +406,59 @@ def connected_components(edges: Dataset, num_buckets: int = 32,
 
 
 def assign_clusters(ids: Dataset, labels: Dataset, id_col: str = "doc_id",
-                    num_buckets: int = 32) -> Dataset:
-    """(id) ⟕ (node → label) → (id, cluster_id, is_duplicate), one bucketed
-    exchange; ids with no label are their own cluster representative."""
+                    num_buckets: int = 32,
+                    broadcast_rows: int | None = 4_000_000) -> Dataset:
+    """(id) ⟕ (node → label) → (id, cluster_id, is_duplicate); ids with
+    no label are their own cluster representative.
+
+    The label table only contains nodes that appear in some verified
+    near-dup pair, so it is tiny relative to the corpus in every
+    realistic dedup run. When it has ≤ ``broadcast_rows`` rows (default
+    4M ≈ 64 MB of two int64 columns) the join is a BROADCAST: the sorted
+    (node → min label) arrays are ``ray.put`` once and every map task
+    probes them with ``np.searchsorted`` — zero exchange, the corpus-side
+    ``ids`` stream is never shuffled. Larger label tables fall back to
+    the bucketed hash join (``attach_values``), which scales out."""
     import pyarrow.compute as pc
+    labels = labels.materialize()
+    n_labels = labels.count()
+    if broadcast_rows is not None and n_labels <= broadcast_rows:
+        import ray
+        if n_labels == 0:
+            node = np.zeros(0, dtype=np.int64)
+            lab = np.zeros(0, dtype=np.int64)
+        else:
+            tbl = pa.concat_tables(
+                [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows])
+            node = tbl["node"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            lab = tbl["label"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            order = np.lexsort((lab, node))
+            node, lab = node[order], lab[order]
+            keep = np.r_[True, node[1:] != node[:-1]]   # min label per node
+            node, lab = node[keep], lab[keep]
+        ref = ray.put((node, lab))
+
+        def lookup(tbl: pa.Table) -> pa.Table:
+            n_arr, l_arr = ray.get(ref)      # zero-copy from object store
+            ids_np = tbl[id_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            if len(n_arr):
+                pos = np.searchsorted(n_arr, ids_np)
+                pos_c = np.minimum(pos, len(n_arr) - 1)
+                found = n_arr[pos_c] == ids_np
+                cluster = np.where(found, l_arr[pos_c], ids_np)
+            else:
+                cluster = ids_np
+            return pa.table({
+                id_col: tbl[id_col],
+                "cluster_id": pa.array(cluster),
+                "is_duplicate": pa.array(cluster != ids_np),
+            })
+
+        return ids.map_batches(lookup, batch_format="pyarrow")
+
     joined = attach_values(ids, id_col, labels, "node", ["label"],
                            how="left", num_buckets=num_buckets, dup="min")
 
