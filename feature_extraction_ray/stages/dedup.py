@@ -755,16 +755,26 @@ def simhash_signatures(ds: Dataset, text_col: str = "text",
                           concurrency=concurrency)
 
 
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                  dtype=np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit Hamming distance: 4 popcount-table lookups per
+    value (the 64-iteration shift loop this replaces was 16× slower)."""
     x = (a.astype(np.uint64) ^ b.astype(np.uint64))
     cnt = np.zeros(len(x), dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
+    for s in (0, 16, 32, 48):
+        cnt += _POP16[((x >> np.uint64(s)) &
+                       np.uint64(0xFFFF)).astype(np.int64)]
     return cnt
 
 
 def _simhash_explode(tbl: pa.Table) -> pa.Table:
+    """Band explosion carrying the FULL 64-bit simhash on every band row
+    (+8 B/row) — so Hamming verification fuses into the candidate scan
+    with zero signature-shipping joins (the simhash analogue of
+    :func:`_explode_bands_with_sig`)."""
     n = len(tbl)
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
     parts = []
@@ -773,44 +783,84 @@ def _simhash_explode(tbl: pa.Table) -> pa.Table:
             "doc_id": pa.array(np.asarray(ids)),
             "band_idx": pa.array(np.full(n, b, dtype=np.int32)),
             "band_hash": tbl[f"sim_band{b}"],
+            "simhash": tbl["simhash"],
         }))
     return pa.concat_tables(parts)
+
+
+def _simhash_fused_pairs_factory(max_bucket: int, max_hamming: int,
+                                 require_ge: int | None = None):
+    """Fused candidate+verify scan over one simhash band shard: each row
+    carries its doc's full 64-bit simhash, so pairs are emitted ALREADY
+    Hamming-verified — the pairs → attach(h_a) → attach(h_b) plan's two
+    all-to-alls are gone (same fusion as the MinHash
+    :func:`_verified_pairs_of_shard_factory`)."""
+    def verified_pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64())})
+        if len(tbl) < 2:
+            return empty
+        band = tbl["band_idx"].to_numpy(zero_copy_only=False)
+        h = tbl["band_hash"].to_numpy(zero_copy_only=False)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        sh = tbl["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h, band))
+        band, h, doc, sh = band[order], h[order], doc[order], sh[order]
+        new = np.r_[True, (band[1:] != band[:-1]) | (h[1:] != h[:-1])]
+        starts = np.r_[np.flatnonzero(new), len(band)]
+        run_len = np.diff(starts)
+        a_out, b_out = [], []
+        n_capped = rows_capped = 0
+        for i in np.flatnonzero(run_len >= 2):
+            lo, hi = starts[i], starts[i + 1]
+            ids, first_idx = np.unique(doc[lo:hi], return_index=True)
+            if len(ids) > max_bucket:
+                n_capped += 1
+                rows_capped += len(ids) - max_bucket
+                ids = ids[:max_bucket]
+                first_idx = first_idx[:max_bucket]
+            if len(ids) < 2:
+                continue
+            run_h = sh[lo:hi][first_idx]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            if require_ge is not None:
+                keep_new = np.maximum(ids[ai], ids[bi]) >= require_ge
+                ai, bi = ai[keep_new], bi[keep_new]
+                if len(ai) == 0:
+                    continue
+            ok = hamming64(run_h[ai], run_h[bi]) <= max_hamming
+            a_out.append(ids[ai[ok]])
+            b_out.append(ids[bi[ok]])
+        if n_capped:
+            record_truncation("lsh_candidate_pairs", n_capped, rows_capped)
+        if not a_out:
+            return empty
+        av = np.concatenate(a_out).astype(np.int64)
+        bv = np.concatenate(b_out).astype(np.int64)
+        if len(av) == 0:
+            return empty
+        # within-shard dedup of cross-band repeats
+        order = np.lexsort((bv, av))
+        av, bv = av[order], bv[order]
+        keep = np.r_[True, (av[1:] != av[:-1]) | (bv[1:] != bv[:-1])]
+        return pa.table({"a": pa.array(av[keep]), "b": pa.array(bv[keep])})
+    return verified_pairs
 
 
 def _simhash_verified_pairs(sig: Dataset, max_hamming: int,
                             num_buckets: int,
                             require_ge: int | None = None) -> Dataset:
-    """SimHash candidate generation + Hamming verification: band explode →
-    vectorized shard scan (same as the MinHash candidate search) →
-    hash-join of the pair list against (doc_id, simhash) on each
-    endpoint. ``require_ge`` restricts to pairs touching a new doc
-    (incremental mode)."""
-    from .cc import attach_values
+    """SimHash candidate generation + Hamming verification in ONE
+    bucketed exchange: band explode (rows carry the 64-bit simhash) →
+    fused vectorized shard scan. ``require_ge`` restricts to pairs
+    touching a new doc (incremental mode)."""
     from .window import bucketed_apply
     exploded = sig.map_batches(_simhash_explode, batch_format="pyarrow")
-    pairs_ds = bucketed_apply(exploded, "band_hash",
-                              _pairs_of_shard_factory(max_bucket=256,
-                                                      require_ge=require_ge),
-                              num_buckets=num_buckets,
-                              drop_bucket=False).materialize()
-    if pairs_ds.count() == 0:
-        return pairs_ds
-    hashes = sig.select_columns(["doc_id", "simhash"])
-    wa = attach_values(pairs_ds, "a", hashes, "doc_id", ["simhash"],
-                       rename={"simhash": "__h_a"}, num_buckets=num_buckets,
-                       distinct_fact_cols=["a", "b"])
-    wb = attach_values(wa, "b", hashes, "doc_id", ["simhash"],
-                       rename={"simhash": "__h_b"}, num_buckets=num_buckets)
-
-    def keep_close(tbl: pa.Table) -> pa.Table:
-        if len(tbl) == 0:
-            return tbl.select(["a", "b"])
-        ha = tbl["__h_a"].to_numpy(zero_copy_only=False)
-        hb = tbl["__h_b"].to_numpy(zero_copy_only=False)
-        ok = hamming64(ha, hb) <= max_hamming
-        return tbl.select(["a", "b"]).filter(pa.array(ok))
-
-    return wb.map_batches(keep_close, batch_format="pyarrow")
+    return bucketed_apply(exploded, "band_hash",
+                          _simhash_fused_pairs_factory(
+                              max_bucket=256, max_hamming=max_hamming,
+                              require_ge=require_ge),
+                          num_buckets=num_buckets, drop_bucket=False)
 
 
 def simhash_dedup(ds: Dataset, text_col: str = "text",
