@@ -38,6 +38,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .partition import cached_kernel as _cached_kernel
+
 _MERSENNE = (1 << 61) - 1
 
 
@@ -248,13 +250,11 @@ class MinHasher:
 def minhash_signatures(ds: Dataset, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 128,
                        bands: int = 16, shingle_k: int = 5,
-                       concurrency=(1, 8)) -> Dataset:
-    return ds.map_batches(
-        MinHasher, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
-        concurrency=concurrency)
+                       concurrency=None) -> Dataset:
+    def sign(batch: pa.Table) -> pa.Table:
+        return _cached_kernel(MinHasher, text_col, id_col, num_perm,
+                              bands, shingle_k)(batch)
+    return ds.map_batches(sign, batch_format="pyarrow")
 
 
 def _explode_bands(tbl: pa.Table) -> pa.Table:
@@ -748,11 +748,10 @@ class SimHasher:
 
 def simhash_signatures(ds: Dataset, text_col: str = "text",
                        id_col: str = "doc_id",
-                       concurrency=(1, 8)) -> Dataset:
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(text_col=text_col,
-                                                     id_col=id_col),
-                          concurrency=concurrency)
+                       concurrency=None) -> Dataset:
+    def sign(batch: pa.Table) -> pa.Table:
+        return _cached_kernel(SimHasher, text_col, id_col)(batch)
+    return ds.map_batches(sign, batch_format="pyarrow")
 
 
 _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
@@ -1015,10 +1014,10 @@ def ngram_jaccard_pairs(ds: Dataset, text_col: str = "text",
     from .window import bucketed_apply
     tnum, tden = threshold
 
-    grams = ds.map_batches(
-        ShingleExploder, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col, k=k),
-        concurrency=concurrency)
+    def explode(batch: pa.Table) -> pa.Table:
+        return _cached_kernel(ShingleExploder, text_col, id_col, k)(batch)
+
+    grams = ds.map_batches(explode, batch_format="pyarrow")
     if num_buckets is None:
         from .partition import derive_num_buckets
         grams = grams.materialize()

@@ -176,7 +176,7 @@ def hash_word(w: str) -> int:
 
 class TextAnalyzer:
     """Fused single-pass analyzer: langid + quality + token counts +
-    fingerprint in ONE actor pool — and ONE Arrow/numpy pass: the text
+    fingerprint in ONE stage — and ONE Arrow/numpy pass: the text
     column is split once (Arrow `utf8_split_whitespace`), word hashes /
     lengths / stopword hits are computed over the FLAT word array, and
     every per-doc statistic is a segmented sum (`np.add.reduceat`) —
@@ -298,13 +298,17 @@ class TextAnalyzer:
 
 
 def analyze_text(ds: Dataset, text_col: str = "text",
-                 concurrency=(1, 8), batch_size: int = 2048) -> Dataset:
-    """Full text-analysis pass (one fused actor pool, one text parse,
-    zero-copy Arrow batches)."""
-    return ds.map_batches(TextAnalyzer,
-                          fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pyarrow", batch_size=batch_size,
-                          concurrency=concurrency)
+                 concurrency=None, batch_size: int = 2048) -> Dataset:
+    """Full text-analysis pass (one fused task-pool stage, one text
+    parse, zero-copy Arrow batches; the analyzer kernel is memoized per
+    worker process — see :func:`partition.cached_kernel`)."""
+    from .partition import cached_kernel
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        return cached_kernel(TextAnalyzer, text_col)(batch)
+
+    return ds.map_batches(analyze, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -357,8 +361,9 @@ def fit_unigram_lm(ds: Dataset, text_col: str = "text",
 
 
 class SurprisalScorer:
-    """Actor-pool stage: per-doc total/mean unigram log-probability under
-    a broadcast LM (``ray.put`` once, read per actor). Vectorized: one
+    """Scoring kernel (task-pool, memoized per worker process): per-doc
+    total/mean unigram log-probability under a broadcast LM
+    (``ray.put`` once, fetched once per worker). Vectorized: one
     split per batch, the LM lookup runs over the batch's UNIQUE words
     only (dictionary-encode), per-doc sums are segmented adds."""
 
@@ -406,10 +411,15 @@ def surprisal_scores(ds: Dataset, lm: dict | None = None,
     if lm is None:
         lm = fit_unigram_lm(ds, text_col)
     ref = ray.put(lm)
-    return ds.map_batches(SurprisalScorer, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(lm_ref=ref,
-                                                     text_col=text_col),
-                          concurrency=concurrency)
+    from .partition import cached_kernel
+
+    def score(batch: pa.Table) -> pa.Table:
+        # keyed on the broadcast ref: each worker process ray.gets the
+        # LM once, later tasks hit the memo (actor-pool reuse without
+        # actor-pool spin-up)
+        return cached_kernel(SurprisalScorer, ref, text_col)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -468,7 +478,8 @@ def fit_document_frequencies(ds: Dataset, text_col: str = "text",
 
 
 class TfIdfScorer:
-    """Actor-pool stage: per-(doc, word) rows with tf, df and
+    """Scoring kernel (task-pool, memoized per worker process):
+    per-(doc, word) rows with tf, df and
     ``tfidf = tf · ln(N/df)`` under a broadcast DF table. Vectorized:
     one split per batch, per-doc term counts via segmented unique runs,
     DF lookup over the batch's unique words only."""
@@ -532,7 +543,9 @@ def tfidf_scores(ds: Dataset, model: dict | None = None,
     if model is None:
         model = fit_document_frequencies(ds, text_col)
     ref = ray.put(model)
-    return ds.map_batches(TfIdfScorer, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(df_ref=ref,
-                                                     text_col=text_col),
-                          concurrency=concurrency)
+    from .partition import cached_kernel
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(TfIdfScorer, ref, text_col)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
