@@ -320,32 +320,28 @@ def label_centroid_similarity(sf_dir: str) -> Dataset:
     cents = {int(lb): agg[agg["label"] == lb]["m"].to_numpy()
              for lb in labels}
     import ray as _ray
+    from ..stages.partition import broadcast_get
     ref = _ray.put(cents)
 
-    class Score:
-        def __init__(self):
-            self.cents = _ray.get(ref)
+    def score(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import _batch_matrix
+        cents_w = broadcast_get(ref)
+        m = _batch_matrix(t, "embedding").astype(np.float64)
+        lbs = t["label"].to_numpy(zero_copy_only=False)
+        c = np.stack([cents_w[int(l)] for l in np.unique(lbs)])
+        lmap = {int(l): i for i, l in enumerate(np.unique(lbs))}
+        li = np.array([lmap[int(l)] for l in lbs])
+        cm = c[li]
+        dots = np.einsum("ij,ij->i", m, cm)
+        sim = dots / (np.linalg.norm(m, axis=1) *
+                      np.linalg.norm(cm, axis=1))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "label": pa.array(lbs.astype(np.int64)),
+            "centroid_sim": pa.array(sim),
+        })
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from ..stages.similarity import _batch_matrix
-            m = _batch_matrix(t, "embedding").astype(np.float64)
-            lbs = t["label"].to_numpy(zero_copy_only=False)
-            c = np.stack([self.cents[int(l)] for l in
-                          np.unique(lbs)])
-            lmap = {int(l): i for i, l in enumerate(np.unique(lbs))}
-            li = np.array([lmap[int(l)] for l in lbs])
-            cm = c[li]
-            dots = np.einsum("ij,ij->i", m, cm)
-            sim = dots / (np.linalg.norm(m, axis=1) *
-                          np.linalg.norm(cm, axis=1))
-            return pa.table({
-                "vec_id": t["vec_id"],
-                "label": pa.array(lbs.astype(np.int64)),
-                "centroid_sim": pa.array(sim),
-            })
-
-    out = ds.map_batches(Score, batch_format="pyarrow",
-                         concurrency=(1, 4))
+    out = ds.map_batches(score, batch_format="pyarrow")
     return _round(out, {"centroid_sim": 6})
 
 

@@ -235,15 +235,18 @@ def _asof_broadcast(left: Dataset, right: Dataset, *, left_by, right_by,
     prepared = _prepare_right_table(right_tbl, right_by, right_on,
                                     right_value_cols, right_order_cols,
                                     ent_type)
+    from .partition import cached_kernel
     ref = ray.put(prepared)
-    return left.map_batches(
-        _BroadcastAsof, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(
-            right_ref=ref, left_by=left_by, left_on=left_on,
-            right_value_cols=list(right_value_cols), direction=direction,
-            tolerance=tolerance, allow_exact=allow_exact_matches,
-            suffix=suffix, ent_type=ent_type),
-        concurrency=concurrency)
+
+    def merge_batch(batch: pa.Table) -> pa.Table:
+        # task pool + per-worker kernel memo keyed on the broadcast ref:
+        # each worker fetches/indexes the right table once, and no actor
+        # pool has to spin up per pipeline run
+        return cached_kernel(_BroadcastAsof, ref, left_by, left_on,
+                             tuple(right_value_cols), direction, tolerance,
+                             allow_exact_matches, suffix, ent_type)(batch)
+
+    return left.map_batches(merge_batch, batch_format="pyarrow")
 
 
 def _salt_suffixes(ts: np.ndarray, k: int) -> np.ndarray:

@@ -56,19 +56,17 @@ def add_feature_id(ds: Dataset, metadata: pd.DataFrame, *,
     lookup = dict(zip(meta["call_id"].astype(str), meta[key_col].astype(str)))
     ref = ray.put(lookup)
 
-    class Attach:
-        def __init__(self):
-            self.lookup = ray.get(ref)
+    from .partition import broadcast_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            calls = batch[call_col].to_pylist()
-            keys = [self.lookup.get(str(c)) for c in calls]
-            mask = pa.array([k is not None for k in keys])
-            batch = batch.append_column(
-                "feature_id", pa.array(
-                    [k if k is not None else "" for k in keys],
-                    type=pa.string()))
-            return batch.filter(mask)      # M13 semi-join
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = broadcast_get(ref)        # deserialized once per worker
+        calls = batch[call_col].to_pylist()
+        keys = [lookup.get(str(c)) for c in calls]
+        mask = pa.array([k is not None for k in keys])
+        batch = batch.append_column(
+            "feature_id", pa.array(
+                [k if k is not None else "" for k in keys],
+                type=pa.string()))
+        return batch.filter(mask)          # M13 semi-join
 
-    return ds.map_batches(Attach, batch_format="pyarrow",
-                          concurrency=(1, 4))
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -358,15 +358,24 @@ def extract_media_features(ds: Dataset, decode_fn=None,
                            mode: str = "stdlib",
                            concurrency=(1, 8),
                            batch_size: int = 64) -> Dataset:
-    """Media feature pipeline: small batches (large payloads), Arrow-only."""
-    return ds.map_batches(
-        MediaFeatureExtractor, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(decode_fn=decode_fn, mode=mode),
-        batch_size=batch_size, concurrency=concurrency)
+    """Media feature pipeline: small batches (large payloads), Arrow-only.
+    Task pool + per-worker kernel memo (cheap decoder setup)."""
+    from .partition import cached_kernel
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return cached_kernel(MediaFeatureExtractor, decode_fn,
+                             mode)(batch)
+
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
-def sample_frames(ds: Dataset, k: int = 4, concurrency=(1, 4),
+def sample_frames(ds: Dataset, k: int = 4, concurrency=None,
                   batch_size: int = 64) -> Dataset:
-    return ds.map_batches(FrameSampler, batch_format="pyarrow",
-                          fn_constructor_kwargs=dict(k=k),
-                          batch_size=batch_size, concurrency=concurrency)
+    from .partition import cached_kernel
+
+    def sample(batch: pa.Table) -> pa.Table:
+        return cached_kernel(FrameSampler, k)(batch)
+
+    return ds.map_batches(sample, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -55,6 +55,24 @@ def cached_kernel(cls, *args):
         k = _KERNEL_CACHE[key] = cls(*args)
     return k
 
+
+def broadcast_get(ref):
+    """Per-worker-process cache of a ``ray.get`` on a broadcast object.
+
+    ``ray.get`` of numpy/Arrow payloads is zero-copy, but pandas frames
+    and Python dicts DESERIALIZE on every call — a per-batch ``ray.get``
+    in a task-pool stage would copy the broadcast side once per batch.
+    This memo (keyed on the ref) makes task-pool stages equivalent to an
+    actor holding the object, without actor-pool spin-up."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    o = _KERNEL_CACHE.get(key)
+    if o is None:
+        import ray
+        if len(_KERNEL_CACHE) >= 64:
+            _KERNEL_CACHE.clear()
+        o = _KERNEL_CACHE[key] = ray.get(ref)
+    return o
+
 # Stable 64-bit FNV-1a, vectorized over a pyarrow string/int column.
 _FNV_OFFSET = np.uint64(14695981039346656037)
 _FNV_PRIME = np.uint64(1099511628211)

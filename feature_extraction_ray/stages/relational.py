@@ -50,31 +50,29 @@ def broadcast_join(left: Dataset, right: Dataset, *, left_key: str,
     rdf = rdf.set_index(right_key)
     ref = ray.put(rdf)
 
-    class Joiner:
-        def __init__(self):
-            self.rdf: pd.DataFrame = ray.get(ref)
+    from .partition import broadcast_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[left_key].to_numpy(zero_copy_only=False)
-            idx = self.rdf.index.get_indexer(keys)
-            found = idx >= 0
-            if how == "inner":
-                if not found.all():
-                    batch = batch.filter(pa.array(found))
-                    idx = idx[found]
-                found = None  # every remaining row matched
-            for c in right_value_cols:
-                vals = self.rdf[c].to_numpy()[np.clip(idx, 0, None)]
-                arr = pa.array(vals, from_pandas=True)
-                if found is not None:
-                    arr = pc.if_else(pa.array(found), arr,
-                                     pa.nulls(len(arr), type=arr.type))
-                name = f"{c}{suffix}" if c in batch.column_names else c
-                batch = batch.append_column(name, arr)
-            return batch
+    def join_batch(batch: pa.Table) -> pa.Table:
+        rdf: pd.DataFrame = broadcast_get(ref)   # deserialized once/worker
+        keys = batch[left_key].to_numpy(zero_copy_only=False)
+        idx = rdf.index.get_indexer(keys)
+        found = idx >= 0
+        if how == "inner":
+            if not found.all():
+                batch = batch.filter(pa.array(found))
+                idx = idx[found]
+            found = None  # every remaining row matched
+        for c in right_value_cols:
+            vals = rdf[c].to_numpy()[np.clip(idx, 0, None)]
+            arr = pa.array(vals, from_pandas=True)
+            if found is not None:
+                arr = pc.if_else(pa.array(found), arr,
+                                 pa.nulls(len(arr), type=arr.type))
+            name = f"{c}{suffix}" if c in batch.column_names else c
+            batch = batch.append_column(name, arr)
+        return batch
 
-    return left.map_batches(Joiner, batch_format="pyarrow",
-                            concurrency=(1, 4))
+    return left.map_batches(join_batch, batch_format="pyarrow")
 
 
 def semi_join(left: Dataset, right: Dataset, *, left_key: str,
@@ -87,18 +85,13 @@ def semi_join(left: Dataset, right: Dataset, *, left_key: str,
     key_set = pc.unique(keys)
     ref = ray.put(key_set)
 
-    class Filter:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filter_batch(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[left_key], value_set=ray.get(ref))
+        if anti:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch[left_key], value_set=self.keys)
-            if anti:
-                mask = pc.invert(mask)
-            return batch.filter(mask)
-
-    return left.map_batches(Filter, batch_format="pyarrow",
-                            concurrency=(1, 4))
+    return left.map_batches(filter_batch, batch_format="pyarrow")
 
 
 def normalize_by_group(ds: Dataset, group_col: str,

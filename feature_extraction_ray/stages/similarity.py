@@ -98,12 +98,16 @@ def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
     ``merge="distributed"`` reduces them with a ``groupby(query_id)``
     shuffle instead, so 10⁵+ simultaneous queries never funnel through
     the driver."""
+    from .partition import cached_kernel
     ref = ray.put(np.asarray(query_vecs, dtype=dtype))
-    partials = ds.map_batches(
-        _TopKPartial, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k, vec_col=vec_col,
-                                   id_col=id_col, dtype=dtype),
-        concurrency=concurrency)
+
+    def score(batch: pa.Table) -> pa.Table:
+        # task pool + per-worker kernel memo keyed on the broadcast ref:
+        # each worker normalizes the query matrix once, no actor spin-up
+        return cached_kernel(_TopKPartial, ref, k, vec_col, id_col,
+                             dtype)(batch)
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, merge)
 
 
@@ -247,13 +251,15 @@ def _probed_topk(bucketed: Dataset, q: np.ndarray, probe_lists,
         return t.filter(pa.compute.is_in(t[bucket_col],
                                          value_set=wanted_arr))
 
+    from .partition import cached_kernel
+    q_ref, b2q_ref = ray.put(q), ray.put(b2q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_ProbedTopK, q_ref, b2q_ref, k, vec_col,
+                             id_col, bucket_col, dtype)(batch)
+
     partials = bucketed.map_batches(prune, batch_format="pyarrow") \
-        .map_batches(_ProbedTopK, batch_format="pyarrow",
-                     fn_constructor_kwargs=dict(
-                         queries_ref=ray.put(q), bucket2q_ref=ray.put(b2q),
-                         k=k, vec_col=vec_col, id_col=id_col,
-                         bucket_col=bucket_col, dtype=dtype),
-                     concurrency=concurrency)
+        .map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, merge)
 
 

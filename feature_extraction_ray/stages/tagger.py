@@ -364,9 +364,14 @@ def tag_and_lemmatize(ds: Dataset, text_col: str = "text",
                       tagger: str | Callable = "lexicon",
                       concurrency=(1, 8),
                       batch_size: int = 2048) -> Dataset:
-    """M5/M6/A1/A4 as one actor-pool pass: append ``pos`` and ``lemmas``
-    list columns aligned with each document's whitespace words."""
-    return ds.map_batches(
-        TagLemmaStage, batch_format="pyarrow",
-        fn_constructor_kwargs=dict(text_col=text_col, tagger=tagger),
-        batch_size=batch_size, concurrency=concurrency)
+    """M5/M6/A1/A4 as one pass: append ``pos`` and ``lemmas`` list
+    columns aligned with each document's whitespace words. The
+    tagger+lemmatizer state builds once per worker process
+    (:func:`partition.cached_kernel`) — no actor-pool spin-up."""
+    from .partition import cached_kernel
+
+    def tag_batch(batch: pa.Table) -> pa.Table:
+        return cached_kernel(TagLemmaStage, text_col, tagger)(batch)
+
+    return ds.map_batches(tag_batch, batch_format="pyarrow",
+                          batch_size=batch_size)

@@ -212,29 +212,27 @@ def apply_phrases(ds: Dataset, phrase_table: dict,
     out_col = out_col or text_col
     ref = ray.put(phrase_table)
 
-    class Rewriter:
-        def __init__(self):
-            self.table = ray.get(ref)
+    from .partition import broadcast_get
 
-        def _rewrite(self, txt: str) -> str:
-            ws = txt.split()
-            out = []
-            i = 0
-            while i < len(ws):
-                if i + 1 < len(ws) and (ws[i], ws[i + 1]) in self.table:
-                    out.append(f"{ws[i]}_{ws[i + 1]}")
-                    i += 2
-                else:
-                    out.append(ws[i])
-                    i += 1
-            return " ".join(out)
+    def _rewrite(txt: str, table: dict) -> str:
+        ws = txt.split()
+        out = []
+        i = 0
+        while i < len(ws):
+            if i + 1 < len(ws) and (ws[i], ws[i + 1]) in table:
+                out.append(f"{ws[i]}_{ws[i + 1]}")
+                i += 2
+            else:
+                out.append(ws[i])
+                i += 1
+        return " ".join(out)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            batch[out_col] = batch[text_col].map(self._rewrite)
-            return batch
+    def rewrite_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        table = broadcast_get(ref)         # deserialized once per worker
+        batch[out_col] = batch[text_col].map(lambda t: _rewrite(t, table))
+        return batch
 
-    return ds.map_batches(Rewriter, batch_format="pandas",
-                          concurrency=(1, 8))
+    return ds.map_batches(rewrite_batch, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -312,43 +310,41 @@ def apply_truecase(ds: Dataset, model: dict, text_col: str = "text",
     out_col = out_col or text_col
     ref = ray.put(model)
 
-    class Truecaser:
-        def __init__(self):
-            self.model = ray.get(ref)
+    from .partition import broadcast_get
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            words = pc.utf8_split_whitespace(
-                pc.utf8_trim_whitespace(batch[text_col]))
-            if isinstance(words, pa.ChunkedArray):
-                words = words.combine_chunks()
-            flat = words.flatten()
-            if len(flat):
-                de = flat.dictionary_encode()
-                uniq = de.dictionary.to_pylist()
-                mapped = pa.array(
-                    [self.model.get(w.lower(), w) for w in uniq],
-                    type=pa.string())
-                codes = de.indices
-                new_flat = mapped.take(codes)
-            else:
-                new_flat = pa.array([], type=pa.string())
-            lens = pc.list_value_length(words).to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            offs = np.zeros(len(lens) + 1, dtype=np.int64)
-            np.cumsum(lens, out=offs[1:])
-            lst = pa.ListArray.from_arrays(
-                pa.array(offs.astype(np.int32)), new_flat)
-            joined = pc.binary_join(lst, " ")
-            if out_col in batch.column_names:
-                batch = batch.set_column(
-                    batch.column_names.index(out_col),
-                    pa.field(out_col, pa.string()), joined)
-            else:
-                batch = batch.append_column(out_col, joined)
-            return batch
+    def truecase_batch(batch: pa.Table) -> pa.Table:
+        model_w = broadcast_get(ref)       # deserialized once per worker
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch[text_col]))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        if len(flat):
+            de = flat.dictionary_encode()
+            uniq = de.dictionary.to_pylist()
+            mapped = pa.array(
+                [model_w.get(w.lower(), w) for w in uniq],
+                type=pa.string())
+            codes = de.indices
+            new_flat = mapped.take(codes)
+        else:
+            new_flat = pa.array([], type=pa.string())
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)), new_flat)
+        joined = pc.binary_join(lst, " ")
+        if out_col in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index(out_col),
+                pa.field(out_col, pa.string()), joined)
+        else:
+            batch = batch.append_column(out_col, joined)
+        return batch
 
-    return ds.map_batches(Truecaser, batch_format="pyarrow",
-                          concurrency=(1, 8))
+    return ds.map_batches(truecase_batch, batch_format="pyarrow")
 
 
 def truecase_rewrite(ds: Dataset, text_col: str = "text",

@@ -146,15 +146,18 @@ def fit_topics(ds: Dataset, vocab: pd.DataFrame, n_topics: int = 10,
 
     kcols = [f"t{j}" for j in range(n_topics)]
 
-    class EStep:
-        def __init__(self, phi_ref):
-            self.w2id = ray.get(w2id_ref)
-            self.phi = ray.get(phi_ref)
+    from .partition import broadcast_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            doc_t, wid_t, cnt = _batch_triplets(t, text_col, self.w2id)
+    def make_estep(phi_ref):
+        # task-pool closure: w2id deserializes once per worker (memoized
+        # on its ref); φ is re-broadcast each iteration. A fresh actor
+        # pool PER EM ITERATION paid ~2 s spin-up × iters before.
+        def estep(t: pa.Table) -> pa.Table:
+            w2id = broadcast_get(w2id_ref)
+            phi_it = broadcast_get(phi_ref)
+            doc_t, wid_t, cnt = _batch_triplets(t, text_col, w2id)
             _theta, wresp = _estep_arrays(doc_t, wid_t, cnt, len(t),
-                                          self.phi, inner_iters)
+                                          phi_it, inner_iters)
             if len(wid_t) == 0:
                 cols = {"word_id": pa.array([], type=pa.int64())}
                 for c in kcols:
@@ -166,13 +169,12 @@ def fit_topics(ds: Dataset, vocab: pd.DataFrame, n_topics: int = 10,
                 cols[c] = pa.array(np.bincount(
                     winv, weights=wresp[:, j], minlength=len(wuniq)))
             return pa.table(cols)
+        return estep
 
     for _ in range(iters):
         phi_ref = ray.put(phi)
-        partials = ds.map_batches(
-            EStep, batch_format="pyarrow",
-            fn_constructor_kwargs={"phi_ref": phi_ref},
-            concurrency=concurrency)
+        partials = ds.map_batches(make_estep(phi_ref),
+                                  batch_format="pyarrow")
         agg = partials.groupby("word_id").aggregate(
             *[Sum(c, alias_name=c) for c in kcols]).to_pandas()
         new = np.full((n_topics, v), beta)
@@ -192,25 +194,23 @@ def doc_topics(ds: Dataset, vocab: pd.DataFrame, phi: np.ndarray,
     phi_ref = ray.put(phi)
     k = phi.shape[0]
 
-    class Transform:
-        def __init__(self):
-            self.w2id = ray.get(w2id_ref)
-            self.phi = ray.get(phi_ref)
+    from .partition import broadcast_get
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            doc_t, wid_t, cnt = _batch_triplets(t, text_col, self.w2id)
-            theta, _ = _estep_arrays(doc_t, wid_t, cnt, len(t),
-                                     self.phi, inner_iters)
-            mix = pa.FixedSizeListArray.from_arrays(
-                pa.array(theta.reshape(-1)), k)
-            return pa.table({
-                id_col: t[id_col],
-                "topic_mix": mix,
-                "top_topic": pa.array(theta.argmax(axis=1).astype(np.int64)),
-            })
+    def transform(t: pa.Table) -> pa.Table:
+        w2id = broadcast_get(w2id_ref)
+        phi_w = broadcast_get(phi_ref)
+        doc_t, wid_t, cnt = _batch_triplets(t, text_col, w2id)
+        theta, _ = _estep_arrays(doc_t, wid_t, cnt, len(t),
+                                 phi_w, inner_iters)
+        mix = pa.FixedSizeListArray.from_arrays(
+            pa.array(theta.reshape(-1)), k)
+        return pa.table({
+            id_col: t[id_col],
+            "topic_mix": mix,
+            "top_topic": pa.array(theta.argmax(axis=1).astype(np.int64)),
+        })
 
-    return ds.map_batches(Transform, batch_format="pyarrow",
-                          concurrency=concurrency)
+    return ds.map_batches(transform, batch_format="pyarrow")
 
 
 def topic_model_pipeline(ds: Dataset, n_topics: int = 10, iters: int = 10,
