@@ -1,0 +1,316 @@
+"""Training-data curation operators: benchmark decontamination,
+token-budget quota sampling, repetition statistics (Gopher-style), and
+concat-and-chunk sequence packing.
+
+These are the corpus-curation steps a pretraining data pipeline runs
+AFTER dedup (`stages/dedup.py`) and quality scoring (`stages/text.py`):
+
+- :func:`decontaminate` — drop/flag corpus docs that share any word
+  k-gram with an evaluation/benchmark set (the published n-gram-overlap
+  decontamination procedure, e.g. GPT-3 appendix C / PaLM app. 10.1:
+  hash the eval set's n-grams once, broadcast, filter the corpus
+  stream). The eval side is SMALL by construction (benchmark suites are
+  MBs, the corpus is TBs), so the gram set is collected to the driver
+  once, ``ray.put`` once, and read zero-copy by every task via
+  ``broadcast_get`` — no shuffle, no per-batch reship.
+- :func:`token_budget_sample` — per-group (source/domain) quota
+  sampling: keep documents in a deterministic order until the group's
+  running token total exceeds a budget. This is the domain-mixture
+  step ("x billion tokens of source A, y of source B"); deterministic
+  (hash-free order column), so re-runs and repartitionings pick the
+  same documents. One bucketed exchange (the engine's cumsum path).
+- :func:`repetition_stats` — per-document n-gram occurrence counts
+  (total / distinct / max-count) feeding the Gopher repetition filters
+  ("fraction of duplicated n-grams"); integer outputs so the oracle
+  comparison is bit-exact. Zero shuffles: one vectorized pass.
+- :func:`pack_chunks` — GPT-style sequence packing: concatenate all
+  documents in a global deterministic order and cut the token stream
+  into fixed-size chunks; emits each document's chunk span. The global
+  prefix sum is the textbook two-phase scan: parallel per-block sums →
+  O(num_blocks) driver-side exclusive scan → parallel per-block
+  finalize. No all-to-all beyond the range-partition sort; the driver
+  holds one integer per block.
+
+Reference repo has no corpus-curation stage (it is a feature extractor);
+these operators extend the engine per the driver brief's
+training-data-pipeline mandate. Partitioning assumptions are documented
+per function.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from .dedup import _shingles_of_batch
+from .partition import broadcast_get, cached_kernel
+from .text import ws_token_count
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def eval_gram_hashes(eval_ds: Dataset, text_col: str = "text",
+                     k: int = 5) -> np.ndarray:
+    """Sorted uint64 hashes of every distinct word ``k``-gram in the eval
+    set (docs shorter than ``k`` words contribute their whole text as one
+    gram — same convention as the MinHash shingler, so the two stages
+    share one kernel). The result is driver-side BY DESIGN: benchmark
+    suites are small; the corpus never lands on the driver."""
+    def grams(batch: pa.Table) -> pa.Table:
+        sh, _ = _shingles_of_batch(batch, text_col, k)
+        return pa.table({"g": pa.array(np.unique(sh), type=pa.uint64())})
+
+    rows = eval_ds.map_batches(grams, batch_format="pyarrow").take_all()
+    if not rows:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.array([r["g"] for r in rows], dtype=np.uint64))
+
+
+class _DecontamScorer:
+    """Per-worker kernel: broadcast eval-gram membership via one
+    ``searchsorted`` per batch (grams array fetched zero-copy once per
+    worker process through ``broadcast_get``)."""
+
+    def __init__(self, grams_ref, text_col: str, k: int):
+        self.grams_ref = grams_ref
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = broadcast_get(self.grams_ref)
+        sh, offsets = _shingles_of_batch(batch, self.text_col, self.k)
+        n_overlap = np.zeros(len(batch), dtype=np.int64)
+        if len(sh) and len(grams):
+            idx = np.searchsorted(grams, sh)
+            idx[idx == len(grams)] = 0
+            hit = grams[idx] == sh
+            seg_len = offsets[1:] - offsets[:-1]
+            doc_of = np.repeat(np.arange(len(batch)), seg_len)
+            n_overlap += np.bincount(doc_of[hit], minlength=len(batch)
+                                     ).astype(np.int64)
+        batch = batch.append_column(
+            "n_overlap", pa.array(n_overlap, type=pa.int64()))
+        return batch.append_column(
+            "keep", pa.array(n_overlap == 0, type=pa.bool_()))
+
+
+def decontaminate(ds: Dataset, eval_ds: Dataset, text_col: str = "text",
+                  k: int = 5, drop: bool = False) -> Dataset:
+    """Flag (or drop, ``drop=True``) corpus documents sharing any word
+    ``k``-gram with ``eval_ds``. Appends ``n_overlap`` (count of the
+    document's DISTINCT grams found in the eval set) and ``keep``.
+
+    Scale shape: eval grams = one ``ray.put`` broadcast (uint64 array,
+    zero-copy reads), corpus = streamed ``map_batches`` with no shuffle.
+    For an eval side too large to broadcast (not the normal regime),
+    explode grams and use `stages/relational.semi_join` instead."""
+    grams = eval_gram_hashes(eval_ds, text_col, k)
+    ref = ray.put(grams)
+
+    def score(batch: pa.Table) -> pa.Table:
+        kern = cached_kernel(_DecontamScorer, ref, text_col, k)
+        return kern(batch)
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    if drop:
+        out = out.filter(expr="n_overlap == 0")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# token-budget quota sampling
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(ds: Dataset, group_col: str, budget: int,
+                        order_cols: Sequence[str],
+                        token_col: str | None = None,
+                        text_col: str = "text",
+                        num_buckets: int = 64) -> Dataset:
+    """Per-group token quota: keep rows in ``order_cols`` order while the
+    group's running token total (INCLUDING the current row) stays ≤
+    ``budget``. Appends ``n_tok`` (if derived from ``text_col``) and
+    ``cum_tok``. Deterministic — the cut is a pure function of the
+    ordered group, so re-runs/repartitions keep identical documents.
+
+    One bucketed exchange (`window.cumulative`); groups must each fit a
+    task (same invariant as every windowed operator here)."""
+    from .window import cumulative
+
+    if token_col is None:
+        token_col = "n_tok"
+
+        def add_tok(t: pa.Table) -> pa.Table:
+            return t.append_column("n_tok", ws_token_count(t[text_col]))
+
+        ds = ds.map_batches(add_tok, batch_format="pyarrow")
+
+    out = cumulative(ds, group_col, list(order_cols), [token_col],
+                     agg="sum", suffix="__cum", num_buckets=num_buckets)
+
+    def cut(t: pa.Table) -> pa.Table:
+        cum = t[f"{token_col}__cum"]
+        t = t.filter(pc.less_equal(cum, budget))
+        cum = pc.cast(t[f"{token_col}__cum"], pa.int64())
+        return t.drop_columns([f"{token_col}__cum"]).append_column(
+            "cum_tok", cum)
+
+    return out.map_batches(cut, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style duplicated-n-gram signals)
+# ---------------------------------------------------------------------------
+
+def _gram_run_stats(sh: np.ndarray, n_grams: np.ndarray):
+    """Per-doc (n_distinct, max_count) from ``(doc, gram)``-sorted gram
+    hashes (``unique=False`` shingle output). Run-length counting:
+    segmented twice — gram runs within docs, then doc runs within the
+    run list — all ``reduceat``-free and loop-free."""
+    n_docs = len(n_grams)
+    n_distinct = np.zeros(n_docs, dtype=np.int64)
+    max_count = np.zeros(n_docs, dtype=np.int64)
+    if len(sh):
+        doc_of = np.repeat(np.arange(n_docs), n_grams)
+        new_run = np.r_[True, (sh[1:] != sh[:-1]) |
+                        (doc_of[1:] != doc_of[:-1])]
+        run_starts = np.flatnonzero(new_run)
+        run_doc = doc_of[run_starts]
+        run_len = np.diff(np.r_[run_starts, len(sh)])
+        n_distinct += np.bincount(run_doc, minlength=n_docs)
+        # runs are doc-sorted: per-doc max run length via one more
+        # segmented pass (every present doc has ≥1 run, so no empty
+        # reduceat segments)
+        doc_run_starts = np.flatnonzero(
+            np.r_[True, run_doc[1:] != run_doc[:-1]])
+        seg_max = np.maximum.reduceat(run_len, doc_run_starts)
+        max_count[run_doc[doc_run_starts]] = seg_max
+    return n_distinct, max_count
+
+
+def repetition_stats(ds: Dataset, text_col: str = "text",
+                     id_cols: Sequence[str] = ("doc_id",),
+                     k: int = 2) -> Dataset:
+    """Per-document word ``k``-gram occurrence counts: ``n_grams`` (with
+    repeats), ``n_distinct``, ``max_count`` (the most-repeated gram) —
+    the integer numerators/denominators of the Gopher repetition
+    filters (duplicated-n-gram fraction = ``1 - n_distinct/n_grams``,
+    top-gram fraction = ``max_count/n_grams``). Integers only, so the
+    oracle comparison is exact. Zero shuffles; empty documents yield no
+    row (they have no grams)."""
+    def stats(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingles_of_batch(batch, text_col, k, unique=False)
+        n_grams = offsets[1:] - offsets[:-1]
+        n_distinct, max_count = _gram_run_stats(sh, n_grams)
+        keep = n_grams > 0
+        cols = {c: batch[c].filter(pa.array(keep)) for c in id_cols}
+        cols["n_grams"] = pa.array(n_grams[keep], type=pa.int64())
+        cols["n_distinct"] = pa.array(n_distinct[keep], type=pa.int64())
+        cols["max_count"] = pa.array(max_count[keep], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def repetition_filter(ds: Dataset, text_col: str = "text", k: int = 2,
+                      max_dup_pct: int = 30,
+                      max_top_pct: int = 20) -> Dataset:
+    """Gopher-style gate over :func:`repetition_stats` signals, done in
+    exact integer arithmetic inline with the corpus stream (no join):
+    keep docs where duplicated-gram fraction ≤ ``max_dup_pct``% AND the
+    top gram's share ≤ ``max_top_pct``%."""
+    def gate(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingles_of_batch(batch, text_col, k, unique=False)
+        n_grams = offsets[1:] - offsets[:-1]
+        n_distinct, max_count = _gram_run_stats(sh, n_grams)
+        ok = ((n_grams - n_distinct) * 100 <= max_dup_pct * n_grams) & \
+             (max_count * 100 <= max_top_pct * n_grams) & (n_grams > 0)
+        return batch.filter(pa.array(ok))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# concat-and-chunk sequence packing
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _block_tok_sum(tbl: pa.Table, token_col: str, order_col: str):
+    n = len(tbl)
+    if n == 0:
+        return 0, None, None
+    s = int(pc.sum(tbl[token_col]).as_py() or 0)
+    return s, tbl[order_col][0].as_py(), tbl[order_col][n - 1].as_py()
+
+
+@ray.remote
+def _pack_block(tbl: pa.Table, token_col: str, base: int,
+                chunk_tokens: int) -> pa.Table:
+    n_tok = tbl[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ends = np.cumsum(n_tok) + base
+    starts = ends - n_tok
+    first = starts // chunk_tokens
+    last = (ends - 1) // chunk_tokens
+    return (tbl.append_column("tok_start", pa.array(starts))
+               .append_column("chunk_first", pa.array(first))
+               .append_column("chunk_last", pa.array(last))
+               .append_column("n_chunks", pa.array(last - first + 1)))
+
+
+def pack_chunks(ds: Dataset, order_col: str, chunk_tokens: int,
+                token_col: str | None = None,
+                text_col: str = "text") -> Dataset:
+    """GPT-pretraining sequence packing: documents are concatenated in
+    global ``order_col`` order and the token stream is cut into
+    ``chunk_tokens``-sized training sequences. Emits per doc:
+    ``tok_start`` (offset in the concatenated stream), ``chunk_first`` /
+    ``chunk_last`` (the training-sequence ids the doc lands in) and
+    ``n_chunks`` — all int64, a bit-exact contract.
+
+    Distributed global prefix sum, textbook two-phase scan: one
+    range-partition ``sort(order_col)``, then (a) parallel per-block
+    token sums (tiny scalars to the driver), (b) an O(num_blocks)
+    exclusive scan on the driver, (c) parallel per-block finalize with
+    the block's base offset. Driver state = one int per block; blocks
+    never move after the sort. Zero-token rows are dropped first (they
+    occupy no stream positions). Block order after a Ray range-partition
+    sort IS the sorted order (same invariant `stream_window` relies on);
+    a per-block min/max assertion guards it."""
+    if token_col is None:
+        token_col = "n_tok"
+
+        def add_tok(t: pa.Table) -> pa.Table:
+            return t.append_column("n_tok", ws_token_count(t[text_col]))
+
+        ds = ds.map_batches(add_tok, batch_format="pyarrow")
+    ds = ds.filter(expr=f"{token_col} > 0")
+
+    refs = ds.sort(order_col).to_arrow_refs()
+    infos = ray.get([_block_tok_sum.remote(r, token_col, order_col)
+                     for r in refs])
+    prev_last = None
+    for s, lo, hi in infos:
+        if lo is None:
+            continue
+        if prev_last is not None and lo < prev_last:
+            raise AssertionError(
+                "sorted blocks out of order — range partition violated")
+        prev_last = hi
+    sums = np.array([s for s, _, _ in infos], dtype=np.int64)
+    bases = np.zeros(len(sums), dtype=np.int64)
+    if len(sums) > 1:
+        np.cumsum(sums[:-1], out=bases[1:])
+
+    import ray.data as rd
+    out_refs = [_pack_block.remote(r, token_col, int(b), chunk_tokens)
+                for r, b, s in zip(refs, bases, sums) if s > 0]
+    if not out_refs:
+        return ds  # empty input: nothing to pack
+    return rd.from_arrow_refs(out_refs)

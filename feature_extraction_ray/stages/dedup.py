@@ -111,11 +111,16 @@ def _shingle_hashes(words: list, k: int) -> np.ndarray:
     return np.unique(out)
 
 
-def _shingles_of_batch(batch: pa.Table, text_col: str, k: int):
+def _shingles_of_batch(batch: pa.Table, text_col: str, k: int,
+                       unique: bool = True):
     """Vectorized shingling for a whole batch: Arrow whitespace split →
     one FNV pass over the flat word buffer → rolling k-gram Horner over
     the flat hash array (cross-doc windows masked) → segmented unique.
-    Returns (flat_unique_shingles (uint64), doc_offsets)."""
+    Returns (flat_unique_shingles (uint64), doc_offsets).
+
+    ``unique=False`` keeps duplicate grams (still sorted ``(doc, gram)``)
+    — the repetition-statistics path (`stages/curation.py`) needs
+    occurrence counts, not the set."""
     import pyarrow.compute as pc
     from .partition import _stable_hash_strings
     words = pc.utf8_split_whitespace(
@@ -166,7 +171,7 @@ def _shingles_of_batch(batch: pa.Table, text_col: str, k: int):
     # segmented unique: sort by (doc, shingle), drop repeats
     order = np.lexsort((sh, sh_doc))
     sh, sh_doc = sh[order], sh_doc[order]
-    if len(sh):
+    if unique and len(sh):
         keep = np.r_[True, (sh[1:] != sh[:-1]) |
                      (sh_doc[1:] != sh_doc[:-1])]
         sh, sh_doc = sh[keep], sh_doc[keep]

@@ -1,0 +1,135 @@
+"""Unit tests for stages/curation.py: decontamination, token-budget
+quota sampling, repetition statistics, and sequence packing — edge
+cases the sf0.001 oracle sweep (test_queries_oracle) doesn't reach."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray.stages.curation import (
+    decontaminate, eval_gram_hashes, pack_chunks, repetition_filter,
+    repetition_stats, token_budget_sample)
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+# ---------------------------------------------------------------- decontam
+
+def test_decontaminate_flags_overlapping_docs():
+    corpus = _docs([
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here appear only once each"),
+        (3, "quick brown fox jumps over something else entirely now"),
+    ])
+    ev = _docs([(100, "a quick brown fox jumps over fences daily")])
+    out = decontaminate(corpus, ev, k=5).to_pandas().set_index("doc_id")
+    # doc 1 and 3 share the 5-gram "quick brown fox jumps over"
+    assert out.loc[1, "n_overlap"] == 1 and not out.loc[1, "keep"]
+    assert out.loc[3, "n_overlap"] == 1 and not out.loc[3, "keep"]
+    assert out.loc[2, "n_overlap"] == 0 and out.loc[2, "keep"]
+
+
+def test_decontaminate_drop_and_empty_eval():
+    corpus = _docs([(1, "alpha beta gamma delta epsilon zeta"),
+                    (2, "one two three four five six")])
+    ev = _docs([(9, "alpha beta gamma delta epsilon eta")])
+    kept = decontaminate(corpus, ev, k=5, drop=True).to_pandas()
+    assert kept["doc_id"].tolist() == [2]
+    # empty eval set: everything kept, n_overlap 0
+    empty_ev = _docs([]) if False else rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string())}))
+    out = decontaminate(corpus, empty_ev, k=5).to_pandas()
+    assert out["keep"].all() and (out["n_overlap"] == 0).all()
+
+
+def test_eval_gram_hashes_short_doc_whole_text():
+    # docs shorter than k words contribute their whole text as one gram
+    ev = _docs([(1, "tiny doc")])
+    g = eval_gram_hashes(ev, k=5)
+    assert len(g) == 1
+    corpus = _docs([(7, "tiny doc"), (8, "other words")])
+    out = decontaminate(corpus, ev, k=5).to_pandas().set_index("doc_id")
+    assert out.loc[7, "n_overlap"] == 1 and out.loc[8, "n_overlap"] == 0
+
+
+# ---------------------------------------------------------------- budget
+
+def test_token_budget_cut_is_per_group_and_inclusive():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "source": ["a", "a", "a", "b", "b", "b"],
+        "text": ["w " * 4, "w " * 4, "w " * 4, "w " * 9, "w " * 1,
+                 "w " * 2],
+    })
+    out = token_budget_sample(rd.from_arrow(tbl), "source", 10,
+                              ["doc_id"], num_buckets=4).to_pandas()
+    out = out.sort_values("doc_id")
+    # group a: 4,4,4 → cum 4,8,12 → keep doc 1,2; group b: 9,1,2 →
+    # cum 9,10,12 → keep doc 4,5 (cut is inclusive of budget)
+    assert out["doc_id"].tolist() == [1, 2, 4, 5]
+    assert out["cum_tok"].tolist() == [4, 8, 9, 10]
+
+
+def test_token_budget_precomputed_token_col():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": ["a", "a", "a"],
+        "toks": pa.array([5, 5, 5], type=pa.int64()),
+    })
+    out = token_budget_sample(rd.from_arrow(tbl), "source", 10,
+                              ["doc_id"], token_col="toks",
+                              num_buckets=2).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+# ---------------------------------------------------------------- repetition
+
+def test_repetition_stats_counts():
+    ds = _docs([(1, "a b a b a b"),      # 2-grams: ab ba ab ba ab
+                (2, "x y z w"),          # all distinct
+                (3, "q")])               # 1 word < k → whole text gram
+    out = repetition_stats(ds, k=2).to_pandas().set_index("doc_id")
+    assert out.loc[1].tolist() == [5, 2, 3]   # ab×3, ba×2
+    assert out.loc[2].tolist() == [3, 3, 1]
+    assert out.loc[3].tolist() == [1, 1, 1]
+
+
+def test_repetition_filter_gates():
+    ds = _docs([(1, "a b a b a b a b"),   # dup frac 5/7, top 4/7 → drop
+                (2, "one two three four five six")])  # clean → keep
+    kept = repetition_filter(ds, k=2, max_dup_pct=30,
+                             max_top_pct=20).to_pandas()
+    assert kept["doc_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_chunks_spans_and_boundaries():
+    rows = [(i, "w " * n) for i, n in
+            [(1, 10), (2, 54), (3, 64), (4, 5), (5, 59)]]
+    out = pack_chunks(_docs(rows), "doc_id", 64).to_pandas()
+    out = out.sort_values("doc_id").set_index("doc_id")
+    assert out["tok_start"].tolist() == [0, 10, 64, 128, 133]
+    assert out["chunk_first"].tolist() == [0, 0, 1, 2, 2]
+    assert out["chunk_last"].tolist() == [0, 0, 1, 2, 2]
+    assert out["n_chunks"].tolist() == [1, 1, 1, 1, 1]
+    # doc straddling a boundary
+    out2 = pack_chunks(_docs([(1, "w " * 60), (2, "w " * 10)]),
+                       "doc_id", 64).to_pandas().set_index("doc_id")
+    assert out2.loc[2, "chunk_first"] == 0
+    assert out2.loc[2, "chunk_last"] == 1
+    assert out2.loc[2, "n_chunks"] == 2
+
+
+def test_pack_chunks_drops_empty_docs():
+    out = pack_chunks(_docs([(1, "a b c"), (2, "   "), (3, "d e")]),
+                      "doc_id", 4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3]
+    out = out.sort_values("doc_id")
+    assert out["tok_start"].tolist() == [0, 3]
