@@ -1965,6 +1965,81 @@ FROM c
 """
 
 
+def pii_scrub_docs(sf_dir: str) -> Dataset:
+    """PII redaction over a deterministically planted corpus: the
+    synthetic documents contain no PII, so both sides (Ray and the SQL
+    oracle) append the SAME doc_id-derived email / URL / IPv4 / phone
+    spans to each text — presence varies by doc_id residue so the
+    redaction counts aren't constant — then scrub with the SAME ordered
+    RE2 rules (`stages.curation.PII_PATTERNS`). Scrubbed text +
+    per-rule counts are bit-exact string/int contracts."""
+    from ..stages.curation import scrub_pii
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sid = pa.array(did.astype(str))
+        j = pc.binary_join_element_wise
+        email = pc.if_else(
+            pa.array(did % 3 != 0),
+            j(" user", sid, "@mail.example.com", ""),
+            pa.scalar(" no-mail"))
+        url = pc.if_else(
+            pa.array(did % 4 != 0),
+            j(" https://ex.org/d", sid, "?x=1", ""), pa.scalar(""))
+        ip = j(" ip 10.", pa.array((did % 200).astype(str)), ".3.",
+               pa.array((did % 250).astype(str)), "")
+        phone = pc.if_else(
+            pa.array(did % 2 == 0),
+            j(" call 555-", pa.array((did % 900 + 100).astype(str)),
+              "-0142", ""), pa.scalar(""))
+        txt = j(pc.cast(t["text"], pa.string()), email, url, ip, phone,
+                "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return scrub_pii(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle twin of :func:`pii_scrub_docs`: identical plant expression,
+    then one count+replace CTE per rule IN RULE ORDER, each on the text
+    as the previous rules left it (both engines compile the same RE2
+    patterns, so replacements are byte-identical)."""
+    from ..stages.curation import PII_PATTERNS
+    sql = """
+WITH s0 AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 <> 0
+         THEN ' user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+         ELSE ' no-mail' END
+    || CASE WHEN doc_id % 4 <> 0
+         THEN ' https://ex.org/d' || CAST(doc_id AS VARCHAR) || '?x=1'
+         ELSE '' END
+    || ' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.'
+    || CAST(doc_id % 250 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0
+         THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)
+              || '-0142' ELSE '' END AS text
+  FROM documents)
+"""
+    carried: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS, 1):
+        pat_sql = pat.replace("'", "''")
+        cols = "".join(f" {c}," for c in carried)
+        sql += (f", s{i} AS (SELECT doc_id,{cols}\n"
+                f"  CAST(len(regexp_extract_all(text, '{pat_sql}')) AS"
+                f" BIGINT) AS n_{name},\n"
+                f"  regexp_replace(text, '{pat_sql}', '{repl}', 'g')"
+                f" AS text FROM s{i - 1})\n")
+        carried.append(f"n_{name}")
+    return sql + f"SELECT doc_id, text, {', '.join(carried)} " \
+                 f"FROM s{len(PII_PATTERNS)}"
+
+
+PII_SCRUB_DOCS_SQL = _pii_scrub_sql()
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -1979,7 +2054,6 @@ QUERIES = {
     "customers_per_nation": customers_per_nation,
     "lineitem_big_parts": lineitem_big_parts,
     "events_by_type": events_by_type,
-    "orders_by_mktsegment": orders_by_mktsegment,
     "customers_without_orders": customers_without_orders,
     "mean_embedding_by_label": mean_embedding_by_label,
     "label_centroid_similarity": label_centroid_similarity,
@@ -2024,6 +2098,7 @@ QUERIES = {
     "token_budget_docs": token_budget_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "pack_chunks_docs": pack_chunks_docs,
+    "pii_scrub_docs": pii_scrub_docs,
     # -- rows-only, in-window (never driver-checked in any round /
     #    highest-value operator families) --
     "topic_model_docs": topic_model_docs,
@@ -2037,7 +2112,12 @@ QUERIES = {
     #      TWO green driver rounds — their families keep in-window
     #      oracles (top2_orders_per_customer, events_by_type,
     #      lag_events, sessionize_events + session_stats) and pytest
-    #      re-verifies every ORACLE_SQL entry each session ----
+    #      re-verifies every ORACLE_SQL entry each session.
+    #      orders_by_mktsegment likewise rotated out (green r01+r02;
+    #      plain-groupby family keeps events_by_type /
+    #      customers_per_nation / q1 / user_value_stats in-window) to
+    #      make room for pii_scrub_docs ----
+    "orders_by_mktsegment": orders_by_mktsegment,
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "lead_events": lead_events,
@@ -2137,6 +2217,7 @@ ORACLE_SQL = {
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
     "pack_chunks_docs": PACK_CHUNKS_DOCS_SQL,
+    "pii_scrub_docs": PII_SCRUB_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

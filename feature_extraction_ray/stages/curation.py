@@ -126,6 +126,60 @@ def decontaminate(ds: Dataset, eval_ds: Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+#: (name, RE2 pattern, replacement) applied IN ORDER, each pass global.
+#: Order matters: URLs are scrubbed before bare IPs so an address inside
+#: a URL is attributed to the URL rule; emails go first (an email never
+#: contains whitespace, so later rules can't split one). RE2 only — the
+#: same dialect pyarrow (replace_substring_regex) and DuckDB
+#: (regexp_replace 'g') both compile, so oracle parity is exact.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(ds: Dataset, text_col: str = "text",
+              patterns: Sequence[tuple[str, str, str]] | None = None,
+              counts: bool = True) -> Dataset:
+    """Redact PII-shaped spans (emails, URLs, IPv4s, phone numbers by
+    default) from ``text_col`` in place. With ``counts=True`` appends one
+    ``n_<name>`` int64 column per rule — the count is taken on the text
+    AS EACH RULE SEES IT (after the previous rules' replacements), so
+    counts sum to the number of replacements actually made.
+
+    Zero shuffles, no Python-level row loop: each rule is one vectorized
+    RE2 count + one vectorized RE2 replace over the batch
+    (`pyarrow.compute.count_substring_regex` /
+    `replace_substring_regex`). Patterns must stay in RE2 syntax so the
+    DuckDB oracle (`regexp_replace(..., 'g')`) matches byte-for-byte."""
+    pats = list(PII_PATTERNS if patterns is None else patterns)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch[text_col], pa.string())
+        new_cols = []
+        for name, pat, repl in pats:
+            if counts:
+                n = pc.cast(pc.count_substring_regex(txt, pattern=pat),
+                            pa.int64())
+                new_cols.append((f"n_{name}", n))
+            txt = pc.replace_substring_regex(
+                txt, pattern=pat, replacement=repl)
+        batch = batch.set_column(
+            batch.schema.get_field_index(text_col), text_col, txt)
+        for cname, arr in new_cols:
+            batch = batch.append_column(cname, arr)
+        return batch
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # token-budget quota sampling
 # ---------------------------------------------------------------------------
 

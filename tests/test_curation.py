@@ -8,7 +8,7 @@ import ray.data as rd
 
 from feature_extraction_ray.stages.curation import (
     decontaminate, eval_gram_hashes, pack_chunks, repetition_filter,
-    repetition_stats, token_budget_sample)
+    repetition_stats, scrub_pii, token_budget_sample)
 
 
 def _docs(rows):
@@ -56,6 +56,42 @@ def test_eval_gram_hashes_short_doc_whole_text():
     corpus = _docs([(7, "tiny doc"), (8, "other words")])
     out = decontaminate(corpus, ev, k=5).to_pandas().set_index("doc_id")
     assert out.loc[7, "n_overlap"] == 1 and out.loc[8, "n_overlap"] == 0
+
+
+# ---------------------------------------------------------------- pii
+
+def test_scrub_pii_redacts_and_counts():
+    ds = _docs([
+        (1, "mail a@b.co and c.d-e@sub.example.org now"),
+        (2, "visit https://x.org/p?q=1 or http://y.io from 10.0.0.1"),
+        (3, "call 555-123-4567 or 800.555.1212 done"),
+        (4, "clean text with no pii at all"),
+    ])
+    out = scrub_pii(ds).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[1, "n_email"] == 2
+    assert out.loc[2, "text"] == "visit <URL> or <URL> from <IP>"
+    assert out.loc[2, ["n_url", "n_ip"]].tolist() == [2, 1]
+    assert out.loc[3, "text"] == "call <PHONE> or <PHONE> done"
+    assert out.loc[3, "n_phone"] == 2
+    assert out.loc[4, "text"] == "clean text with no pii at all"
+    assert out.loc[4, ["n_email", "n_url", "n_ip", "n_phone"]].sum() == 0
+
+
+def test_scrub_pii_rule_order_url_owns_embedded_ip():
+    # an IP inside a URL is consumed by the earlier URL rule
+    ds = _docs([(1, "see http://10.1.2.3/path x")])
+    out = scrub_pii(ds).to_pandas()
+    assert out.loc[0, "text"] == "see <URL> x"
+    assert out.loc[0, "n_url"] == 1 and out.loc[0, "n_ip"] == 0
+
+
+def test_scrub_pii_custom_patterns_no_counts():
+    ds = _docs([(1, "id ABC-123 and ABC-999")])
+    out = scrub_pii(ds, patterns=[("id", r"ABC-\d+", "<ID>")],
+                    counts=False).to_pandas()
+    assert out.loc[0, "text"] == "id <ID> and <ID>"
+    assert "n_id" not in out.columns
 
 
 # ---------------------------------------------------------------- budget
