@@ -2040,6 +2040,38 @@ WITH s0 AS (
 PII_SCRUB_DOCS_SQL = _pii_scrub_sql()
 
 
+def duplicate_spans_docs(sf_dir: str) -> Dataset:
+    """Substring-level duplication signals: word 5-grams appearing in ≥2
+    distinct documents; per affected doc, occurrence count and distinct
+    covered token positions (integer-exact contract). Two bucketed
+    exchanges, no all-pairs."""
+    from ..stages.curation import duplicate_spans
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text"])
+    return duplicate_spans(docs, k=5, num_buckets=16)
+
+
+DUPLICATE_SPANS_DOCS_SQL = """
+WITH w AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+           FROM documents WHERE trim(text) <> ''),
+g0 AS (SELECT doc_id, CASE WHEN len(ws) < 5 THEN []
+            ELSE [{'pos': i - 1,
+                   'gram': array_to_string(ws[i:i+4], ' ')}
+                  FOR i IN range(1, len(ws) - 3)] END AS gs FROM w),
+g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+d AS (SELECT gram FROM g GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+o AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+c AS (SELECT doc_id, unnest(range(pos, pos + 5)) AS tok FROM o)
+SELECT o2.doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_occ,
+       CAST(any_value(nc) AS BIGINT) AS n_dup_tokens
+FROM o AS o2
+JOIN (SELECT doc_id, count(DISTINCT tok) AS nc
+      FROM c GROUP BY doc_id) AS cov USING (doc_id)
+GROUP BY o2.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2081,7 +2113,6 @@ QUERIES = {
     "hapax_by_source": hapax_by_source,
     "vocab_filter": vocab_filter,
     "user_value_stats": user_value_stats,
-    "events_daily_rollup": events_daily_rollup,
     "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings": knn_embeddings,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
@@ -2099,6 +2130,7 @@ QUERIES = {
     "repetition_stats_docs": repetition_stats_docs,
     "pack_chunks_docs": pack_chunks_docs,
     "pii_scrub_docs": pii_scrub_docs,
+    "duplicate_spans_docs": duplicate_spans_docs,
     # -- rows-only, in-window (never driver-checked in any round /
     #    highest-value operator families) --
     "topic_model_docs": topic_model_docs,
@@ -2118,6 +2150,7 @@ QUERIES = {
     #      customers_per_nation / q1 / user_value_stats in-window) to
     #      make room for pii_scrub_docs ----
     "orders_by_mktsegment": orders_by_mktsegment,
+    "events_daily_rollup": events_daily_rollup,
     "topk_orders": topk_orders,
     "distinct_event_types": distinct_event_types,
     "lead_events": lead_events,
@@ -2218,6 +2251,7 @@ ORACLE_SQL = {
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
     "pack_chunks_docs": PACK_CHUNKS_DOCS_SQL,
     "pii_scrub_docs": PII_SCRUB_DOCS_SQL,
+    "duplicate_spans_docs": DUPLICATE_SPANS_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

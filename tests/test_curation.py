@@ -7,8 +7,8 @@ import pytest
 import ray.data as rd
 
 from feature_extraction_ray.stages.curation import (
-    decontaminate, eval_gram_hashes, pack_chunks, repetition_filter,
-    repetition_stats, scrub_pii, token_budget_sample)
+    decontaminate, duplicate_spans, eval_gram_hashes, pack_chunks,
+    repetition_filter, repetition_stats, scrub_pii, token_budget_sample)
 
 
 def _docs(rows):
@@ -142,6 +142,44 @@ def test_repetition_filter_gates():
     kept = repetition_filter(ds, k=2, max_dup_pct=30,
                              max_top_pct=20).to_pandas()
     assert kept["doc_id"].tolist() == [2]
+
+
+# ---------------------------------------------------------------- spans
+
+def test_duplicate_spans_coverage_and_counts():
+    ds = _docs([
+        (1, "a b c d e x y z a b c d e"),   # "a b c" at pos 0 and 8
+        (2, "q a b c d e r s t u v w"),     # shares grams with doc 1
+        (3, "m n o p q r s t u v"),         # overlap "r s t u v" w/ doc2?
+    ])
+    out = duplicate_spans(ds, k=3, num_buckets=4).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    # doc1 vs doc2 share 3-grams of "a b c d e": abc bcd cde (each at two
+    # positions in doc 1). doc2 vs doc3 share "r s t","s t u","t u v".
+    # doc1: dup occurrences at pos 0,1,2,8,9,10 → 6 occ; coverage
+    # tokens 0-4 and 8-12 → 10
+    assert out.loc[1].tolist() == [6, 10]
+    # doc2: "a b c d e" at pos 1 (occ 1,2,3) + "r s t u v" at pos 6
+    # (occ 6,7,8) → 6 occ, coverage tokens 1-5,6-10 → 10
+    assert out.loc[2].tolist() == [6, 10]
+    # doc3: "r s t u v" at pos 5 → occ 5,6,7 → 3 occ, tokens 5-9 → 5
+    assert out.loc[3].tolist() == [3, 5]
+
+
+def test_duplicate_spans_within_doc_repeats_not_enough():
+    # a gram repeated only WITHIN one doc (min_docs=2 needs distinct docs)
+    ds = _docs([(1, "p q r s p q r s"), (2, "different words here now")])
+    out = duplicate_spans(ds, k=3, num_buckets=4).to_pandas()
+    assert len(out) == 0
+    # min_docs=1 counts within-doc repeats too
+    out1 = duplicate_spans(ds, k=3, min_docs=1, num_buckets=4).to_pandas()
+    assert set(out1["doc_id"]) == {1, 2}
+
+
+def test_duplicate_spans_short_docs_emit_no_grams():
+    ds = _docs([(1, "a b"), (2, "a b"), (3, "a b c d e")])
+    out = duplicate_spans(ds, k=3, num_buckets=4).to_pandas()
+    assert len(out) == 0  # docs 1/2 have <3 words → no k-gram spans
 
 
 # ---------------------------------------------------------------- packing
