@@ -44,8 +44,12 @@ def _consume(res) -> int:
 def run_bench() -> dict:
     import ray
 
+    # log_to_driver=False: raylet/worker log lines (e.g. the detached
+    # stats-actor namespace notice) would otherwise land on stdout and
+    # break the one-JSON-line contract the driver parses
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
@@ -133,6 +137,23 @@ def run_bench() -> dict:
                 rd.read_parquet(f"{SF_DIR}/documents.parquet",
                                 columns=["doc_id", "text"]),
                 output="dataset").count())
+
+        # corpus-curation ops: streaming PII scrub (pure vectorized RE2),
+        # sequence packing (sort + two-phase prefix scan), repeated-
+        # substring detection (two bucketed gram exchanges, raw corpus —
+        # amplified copies would make every gram a cross-doc dup)
+        from feature_extraction_ray.stages.curation import (
+            duplicate_spans, pack_chunks, scrub_pii)
+        per_query[f"pii_scrub_x{amp}"] = _best_of(
+            lambda: scrub_pii(amplified_documents(SF_DIR, amp)).count())
+        per_query[f"pack_chunks_x{amp}"] = _best_of(
+            lambda: pack_chunks(amplified_documents(SF_DIR, amp),
+                                "doc_id", 2048).count())
+        per_query["duplicate_spans"] = _best_of(
+            lambda: duplicate_spans(
+                rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text"]),
+                k=8, num_buckets=32).count())
 
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile

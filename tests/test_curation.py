@@ -182,6 +182,38 @@ def test_duplicate_spans_short_docs_emit_no_grams():
     assert len(out) == 0  # docs 1/2 have <3 words → no k-gram spans
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_duplicate_spans_matches_naive_oracle(seed):
+    """Randomized corpus from a tiny vocab (forces cross-doc gram
+    collisions) vs a pure-Python oracle: gram → doc-set map, then
+    per-doc interval union of [pos, pos+k) spans."""
+    rng = np.random.default_rng(seed)
+    k = 3
+    vocab = ["a", "b", "c", "d"]
+    docs = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 15))))
+            for i in range(1, 31)]
+    got = duplicate_spans(_docs(docs), k=k, num_buckets=4).to_pandas()
+    got = got.set_index("doc_id").sort_index()
+
+    gram_docs: dict = {}
+    occs: dict = {}
+    for did, text in docs:
+        ws = text.split()
+        for p in range(len(ws) - k + 1):
+            g = tuple(ws[p:p + k])
+            gram_docs.setdefault(g, set()).add(did)
+            occs.setdefault(did, []).append((g, p))
+    exp = {}
+    for did, lst in occs.items():
+        dup_pos = sorted(p for g, p in lst if len(gram_docs[g]) >= 2)
+        if dup_pos:
+            cover = set()
+            for p in dup_pos:
+                cover.update(range(p, p + k))
+            exp[did] = (len(dup_pos), len(cover))
+    assert dict(zip(got.index, map(tuple, got.to_numpy()))) == exp
+
+
 # ---------------------------------------------------------------- packing
 
 def test_pack_chunks_spans_and_boundaries():
