@@ -11,7 +11,11 @@ tables of pre-tokenized sequences:
   MATTR, speech-graph metrics, confidence/timing stat packs),
 * training-data-scale ops: exact & near **dedup** (MinHash-LSH, SimHash,
   n-gram Jaccard), embedding **similarity search**, text analysis
-  (language-id, quality scoring, fingerprinting), multimodal stubs,
+  (language-id, quality scoring, fingerprinting), stdlib multimodal
+  decode (BMP/WAV/concat-video),
+* corpus **curation**: benchmark decontamination, PII redaction,
+  token-budget quota sampling, repetition statistics, repeated-substring
+  detection, sequence packing,
 * per-partition **checkpoint/lineage** manifests for resumable runs.
 
 Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines with

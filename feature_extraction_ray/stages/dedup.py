@@ -71,10 +71,13 @@ _STATS_ACTOR_NAME = "fxr_truncation_stats"
 
 def _stats_actor():
     # detached: a non-detached named actor dies as soon as the last
-    # handle drops (map tasks hold theirs only for one call)
+    # handle drops (map tasks hold theirs only for one call). Explicit
+    # namespace: a detached actor in an anonymous namespace makes ray
+    # print a driver-side notice that would pollute stdout-JSON
+    # contracts (bench.py, the CLI).
     return _TruncationStatsActor.options(
         name=_STATS_ACTOR_NAME, get_if_exists=True,
-        lifetime="detached").remote()
+        lifetime="detached", namespace="fxr").remote()
 
 
 def record_truncation(key: str, buckets: int, rows: int) -> None:

@@ -144,8 +144,11 @@ def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
 
     stats = pruned.groupby(BUCKET_COL).map_groups(
         process_and_write, batch_format="pyarrow").to_pandas()
+    # Empty-bucket resume: buckets with zero input rows never write a
+    # manifest, so they stay in `todo` forever — and the pruned dataset is
+    # then EMPTY, yielding a zero-column DataFrame (no "partition_id").
     return {
-        "written": sorted(stats["partition_id"].tolist()),
+        "written": sorted(stats["partition_id"].tolist()) if len(stats) else [],
         "skipped": sorted(done),
         "rows": int(stats["row_count"].sum()) if len(stats) else 0,
     }

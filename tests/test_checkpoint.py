@@ -98,6 +98,22 @@ def test_corrupt_partition_detected_and_rewritten(out_dir):
     assert pid not in CP.missing_partitions(out_dir, "fp1", 4)
 
 
+def test_resume_with_only_empty_buckets_left(out_dir):
+    # 32 buckets over 8 entities: most buckets get ZERO rows and never
+    # write a manifest, so they stay "missing" forever. A resume then
+    # processes an EMPTY pruned dataset — the stats frame has no columns
+    # (regression: KeyError 'partition_id' in run_partitioned).
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=32, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert stats["rows"] == 300
+    assert 0 < len(stats["written"]) <= 8
+    stats2 = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                                num_buckets=32, input_fingerprint="fp1",
+                                process_fn=_process)
+    assert stats2 == {"written": [], "skipped": stats["written"], "rows": 0}
+
+
 def test_fingerprint_change_invalidates(out_dir):
     CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
                        num_buckets=4, input_fingerprint="fp1",
