@@ -721,6 +721,93 @@ FROM events
 """
 
 
+def rank_stats_events(sf_dir: str) -> Dataset:
+    """SQL rank family per user — rank / dense_rank / percent_rank /
+    cume_dist on the (tied) event_type ordering plus NTILE(4) on the
+    unique (event_type, event_id) ordering — ONE bucketed pass
+    (§2.8 rank ops; stages/window.rank_features)."""
+    from ..stages.window import rank_features
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+    out = rank_features(ds, "user_id", ["event_type", "event_id"],
+                        tie_cols=["event_type"], ntile=4, num_buckets=32)
+    out = out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "rnk", "drnk",
+                            "prnk", "cdist", "tile4"]),
+        batch_format="pyarrow")
+    return _round(out, {"prnk": 6, "cdist": 6})
+
+
+RANK_STATS_EVENTS_SQL = """
+SELECT event_id, user_id,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       ntile(4) OVER (PARTITION BY user_id ORDER BY event_type, event_id)
+           AS tile4
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_type)
+"""
+
+
+def orders_interval_pairs(sf_dir: str) -> Dataset:
+    """Point-in-interval join (non-equi; stages/interval.py): every order
+    paired with each SAME-customer order whose 30-day attribution window
+    covers it — inner join with fan-out, one bucketed exchange."""
+    from ..stages.interval import interval_join
+    pts = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+    month = pa.scalar(30 * 86400 * 1_000_000, type=pa.duration("us"))
+    iv = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.append_column(
+            "end_ts", pc.add(t["o_orderdate"], month)),
+        batch_format="pyarrow")
+    out = interval_join(pts, iv, left_by="o_custkey",
+                        right_by="o_custkey", left_on="o_orderdate",
+                        right_start="o_orderdate", right_end="end_ts",
+                        right_value_cols=["o_orderkey"], num_buckets=32)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_orderkey_r"]),
+        batch_format="pyarrow")
+
+
+ORDERS_INTERVAL_PAIRS_SQL = """
+SELECT b.o_orderkey AS o_orderkey, b.o_custkey AS o_custkey,
+       a.o_orderkey AS o_orderkey_r
+FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+"""
+
+
+def events_rollup(sf_dir: str) -> Dataset:
+    """GROUP BY ROLLUP(event_type, day): count + value sum at all three
+    aggregation levels via per-batch partial aggregates and ONE shuffle
+    (stages/relational.rollup_agg); rolled-up key cells are NULL with the
+    SQL GROUPING() bitmask alongside."""
+    from ..stages.relational import rollup_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "value": t["value"]}),
+        batch_format="pyarrow")
+    out = rollup_agg(ds, ["event_type", "day"], "value",
+                     out_count="n_rows", out_sum="value_sum")
+    return _round(out, {"value_sum": 4})
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT event_type, day, GROUPING(event_type, day) AS grouping,
+       count(*) AS n_rows, round(sum(value), 4) AS value_sum
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY ROLLUP(event_type, day)
+"""
+
+
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(sf_dir, "orders",
@@ -2095,15 +2182,15 @@ QUERIES = {
     "normalized_events": normalized_events,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
-    "bfill_events": bfill_events,
-    "sliding_minmax_events": sliding_minmax_events,
     "time_window_events": time_window_events,
     "tumbling_hourly_events": tumbling_hourly_events,
     "cumsum_events": cumsum_events,
     "rank_events": rank_events,
+    "rank_stats_events": rank_stats_events,
+    "events_rollup": events_rollup,
     "median_value_by_type": median_value_by_type,
     "top2_orders_per_customer": top2_orders_per_customer,
-    "asof_events_orders": asof_events_orders,
+    "orders_interval_pairs": orders_interval_pairs,
     "asof_prev_order_tolerance": asof_prev_order_tolerance,
     "customers_orders_full_outer": customers_orders_full_outer,
     "session_stats_events": session_stats_events,
@@ -2148,7 +2235,16 @@ QUERIES = {
     #      orders_by_mktsegment likewise rotated out (green r01+r02;
     #      plain-groupby family keeps events_by_type /
     #      customers_per_nation / q1 / user_value_stats in-window) to
-    #      make room for pii_scrub_docs ----
+    #      make room for pii_scrub_docs.
+    #      Round-3 late rotations (each green r01+r02, family keeps an
+    #      in-window oracle row): bfill_events (fill family: ffill),
+    #      sliding_minmax_events (sliding family: sliding_mean +
+    #      time_window), asof_events_orders (asof family:
+    #      asof_prev_order_tolerance) — making room for the new
+    #      rank_stats_events / events_rollup / orders_interval_pairs ----
+    "bfill_events": bfill_events,
+    "sliding_minmax_events": sliding_minmax_events,
+    "asof_events_orders": asof_events_orders,
     "orders_by_mktsegment": orders_by_mktsegment,
     "events_daily_rollup": events_daily_rollup,
     "topk_orders": topk_orders,
@@ -2217,6 +2313,9 @@ ORACLE_SQL = {
     "tumbling_hourly_events": TUMBLING_HOURLY_EVENTS_SQL,
     "cumsum_events": CUMSUM_EVENTS_SQL,
     "rank_events": RANK_EVENTS_SQL,
+    "rank_stats_events": RANK_STATS_EVENTS_SQL,
+    "events_rollup": EVENTS_ROLLUP_SQL,
+    "orders_interval_pairs": ORDERS_INTERVAL_PAIRS_SQL,
     "median_value_by_type": MEDIAN_VALUE_BY_TYPE_SQL,
     "top2_orders_per_customer": TOP2_ORDERS_PER_CUSTOMER_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,

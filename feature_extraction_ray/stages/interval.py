@@ -1,0 +1,174 @@
+"""Point-in-interval (range) join over Ray Data datasets.
+
+``interval_join(left, right)`` matches each left row at event time ``t``
+with EVERY right interval ``[start, end]`` of the same entity where
+``start <= t <= end`` (inner join, one output row per matching pair).
+This is the non-equi join Ray Data lacks natively — validity windows,
+promo periods, on-call shifts, attribution windows.
+
+Physical plan (the engine's standard exchange shape — see
+``stages/asof.py``): both sides are tagged and unioned under a common
+schema, bucketed by ``hash(entity) % B`` (ONE all-to-all), and each
+bucket resolves its pairs vectorized:
+
+1. both sides sort by (entity-code, time) so every entity's interval
+   starts are one contiguous ascending run; two ``np.searchsorted``
+   calls on a composite ``code * K + ts-rank`` key (strictly
+   lexicographic, overflow-safe: both factors ≤ rows-per-bucket) bound
+   each left row's candidate run — ``hi`` = last start ≤ t and ``lo`` =
+   first start ≥ t − max_len(entity), where ``max_len`` is the entity's
+   longest interval; any interval covering ``t`` has
+   ``start ≥ t − max_len``, so [lo, hi] is candidate-complete;
+2. pair emission is ``np.repeat`` + run-relative ``arange`` (no Python
+   loop), then one vectorized ``end ≥ t`` filter;
+3. payload columns — any Arrow type — gather via ``take`` on the
+   surviving pair indices.
+
+Scale note: per-bucket work is O(pairs examined) = Σ_left |[lo, hi]|.
+One pathologically long interval per entity widens every candidate run
+of that entity; if an entity mixes year-long and minute-long intervals,
+split it into duration classes upstream (join per class, union results)
+— the same remedy the module's ``max_len`` bound makes explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from .asof import _common_entity_type, _normalize_keys, _ENT, _TS, _SIDE
+from .window import bucketed_apply, DEFAULT_NUM_BUCKETS
+
+_END = "__iv_end"
+
+
+def interval_join(left: Dataset, right: Dataset, *,
+                  left_by: str, right_by: str, left_on: str,
+                  right_start: str, right_end: str,
+                  right_value_cols: Sequence[str],
+                  num_buckets: int = DEFAULT_NUM_BUCKETS,
+                  suffix: str = "_r") -> Dataset:
+    """Inner join: left point events × right intervals, matching
+    ``left.left_by == right.right_by`` and
+    ``right_start <= left_on <= right_end`` (both bounds inclusive).
+
+    Output = matching (left row, right row) pairs: all left columns plus
+    ``right_value_cols`` (suffixed on name collision). Timestamp keys are
+    normalized to int64 microseconds on both sides (mixed units safe).
+    """
+    lschema = left.schema().base_schema
+    rschema = right.schema().base_schema
+    ent_type = _common_entity_type(lschema.field(left_by).type,
+                                   rschema.field(right_by).type)
+    rcols = list(dict.fromkeys(right_value_cols))
+    rtypes = {c: rschema.field(c).type for c in rcols}
+    left_names = list(lschema.names)
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        tbl = _normalize_keys(tbl, left_by, left_on, ent_type)
+        tbl = tbl.append_column(_END, pa.nulls(len(tbl), type=pa.int64()))
+        tbl = tbl.append_column(_SIDE, pa.array(
+            np.zeros(len(tbl), dtype=np.int8)))
+        for c in rcols:
+            tbl = tbl.append_column(f"__r_{c}",
+                                    pa.nulls(len(tbl), type=rtypes[c]))
+        return tbl
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        # _TS carries the interval START; _END the normalized end
+        tbl = _normalize_keys(tbl, right_by, right_start, ent_type)
+        end_norm = _normalize_keys(tbl.select([right_by, right_end]),
+                                   right_by, right_end, ent_type)[_TS]
+        out = {}
+        for name in left_names:
+            out[name] = pa.nulls(len(tbl), type=lschema.field(name).type)
+        out[_ENT] = tbl[_ENT]
+        out[_TS] = tbl[_TS]
+        out[_END] = end_norm
+        out[_SIDE] = pa.array(np.ones(len(tbl), dtype=np.int8))
+        for c in rcols:
+            out[f"__r_{c}"] = tbl[c]
+        return pa.table(out)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+
+    def pair_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl[_SIDE].to_numpy(zero_copy_only=False)
+        ltbl = tbl.filter(pa.array(side == 0))
+        rtbl = tbl.filter(pa.array(side == 1))
+        keep = ltbl.select(left_names)
+        if len(ltbl) == 0 or len(rtbl) == 0:
+            empty = pa.table({c: pa.array([], type=keep.schema.field(c).type)
+                              for c in keep.column_names})
+            for c in rcols:
+                name = f"{c}{suffix}" if c in keep.column_names else c
+                empty = empty.append_column(
+                    name, pa.array([], type=rtypes[c]))
+            return empty
+        # shared entity codes so both sides sort into aligned runs
+        lent = ltbl[_ENT].combine_chunks() if isinstance(
+            ltbl[_ENT], pa.ChunkedArray) else ltbl[_ENT]
+        rent = rtbl[_ENT].combine_chunks() if isinstance(
+            rtbl[_ENT], pa.ChunkedArray) else rtbl[_ENT]
+        nl = len(ltbl)
+        codes_all = pa.chunked_array([lent, rent]).combine_chunks() \
+            .dictionary_encode().indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lcode_raw, rcode_raw = codes_all[:nl], codes_all[nl:]
+        lts_raw = ltbl[_TS].to_numpy(zero_copy_only=False)
+        rstart_raw = rtbl[_TS].to_numpy(zero_copy_only=False)
+        lorder = np.lexsort((lts_raw, lcode_raw))
+        rorder = np.lexsort((rstart_raw, rcode_raw))
+        ltbl = ltbl.take(pa.array(lorder))
+        keep = ltbl.select(left_names)
+        rtbl = rtbl.take(pa.array(rorder))
+        rpayload = pa.table({c: rtbl[f"__r_{c}"] for c in rcols})
+        lcode, lts = lcode_raw[lorder], lts_raw[lorder]
+        rcode, rstart = rcode_raw[rorder], rstart_raw[rorder]
+        rend = rtbl[_END].to_numpy(zero_copy_only=False)
+        # strictly lexicographic composite key: code * K + rank(ts),
+        # ranks over the distinct interval starts (both factors ≤ bucket
+        # rows, so the product stays far inside int64)
+        uniq = np.unique(rstart)
+        K = np.int64(len(uniq) + 2)
+        comp_right = rcode * K + np.searchsorted(uniq, rstart)
+        # hi: last start <= t  (rank 'right' ⇔ start ≤ t)
+        hi = np.searchsorted(
+            comp_right, lcode * K + np.searchsorted(uniq, lts, "right"),
+            "left") - 1
+        # lo: first start >= t - max_len(entity); any interval covering
+        # t has end >= t, so start = end - len >= t - max_len
+        n_codes = int(codes_all.max()) + 1 if len(codes_all) else 0
+        max_len = np.full(n_codes, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(max_len, rcode, rend - rstart)
+        ml = np.maximum(max_len[lcode], 0)
+        lo = np.searchsorted(
+            comp_right, lcode * K + np.searchsorted(uniq, lts - ml,
+                                                    "left"), "left")
+        valid = (hi >= lo) & (hi >= 0) & (rcode[np.clip(hi, 0, None)]
+                                          == lcode)
+        counts = np.where(valid, hi - lo + 1, 0)
+        lidx = np.repeat(np.arange(nl, dtype=np.int64), counts)
+        offs = np.zeros(nl + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        ridx = (np.arange(int(offs[-1]), dtype=np.int64)
+                - np.repeat(offs[:-1], counts) + np.repeat(lo, counts))
+        ok = rend[ridx] >= lts[lidx]        # start<=t guaranteed by hi
+        lidx, ridx = lidx[ok], ridx[ok]
+        out = keep.take(pa.array(lidx))
+        for c in rcols:
+            col = rpayload[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            name = f"{c}{suffix}" if c in keep.column_names else c
+            out = out.append_column(name, col.take(pa.array(ridx)))
+        return out
+
+    return bucketed_apply(tagged, _ENT, pair_bucket,
+                          num_buckets=num_buckets, drop_bucket=False)

@@ -197,6 +197,89 @@ def pivot_counts(ds: Dataset, group_col: str, pivot_col: str,
         .groupby(group_col).aggregate(*aggs)
 
 
+def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
+    """A constant placeholder column of ``typ`` (value is irrelevant: the
+    ``grouping`` bitmask rides in the shuffle key, so sentinel cells can
+    only ever merge with other sentinel cells of the same level)."""
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, type=typ)
+    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
+        return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
+    return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
+
+
+def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
+               out_count: str = "n_rows",
+               out_sum: str | None = None) -> Dataset:
+    """SQL ``GROUP BY ROLLUP(c1, .., ck)``: count + sum of ``value_col``
+    at every prefix aggregation level — (c1..ck), (c1..ck-1), .., ().
+    Output columns: ``group_cols`` (rolled-up cells are NULL, as in SQL),
+    ``grouping`` (the ``GROUPING(c1..ck)`` bitmask: bit j set when column
+    k-1-j is rolled up), ``out_count``, ``out_sum``.
+
+    Distributed as the partial-aggregate pattern: each map task collapses
+    its batch with k+1 Arrow hash-aggregates (one per level) so the ONE
+    shuffle moves a few partial rows per (group, level), never raw rows.
+    Rolled-up key cells travel as typed sentinels because the
+    ``grouping`` bitmask is part of the shuffle key — levels can never
+    merge — and are restored to NULL after the final aggregate."""
+    gcols = list(group_cols)
+    out_sum = out_sum or f"{value_col}_sum"
+    k = len(gcols)
+    if k == 0:
+        raise ValueError("rollup_agg needs at least one group column")
+
+    def partial(t: pa.Table) -> pa.Table:
+        base = t.select([*gcols, value_col])
+        gtypes = {c: base.schema.field(c).type for c in gcols}
+        levels = []
+        for lvl in range(k, -1, -1):          # lvl = leading cols kept
+            keys = gcols[:lvl]
+            mask = (1 << (k - lvl)) - 1       # GROUPING() bitmask
+            if keys:
+                g = base.group_by(keys).aggregate([
+                    (value_col, "sum"), (value_col, "count")])
+                g = g.rename_columns([*keys, "__s", "__c"])
+            else:
+                g = pa.table({
+                    "__s": pa.array(
+                        [pc.sum(base[value_col]).as_py() or 0.0],
+                        type=pa.float64()),
+                    "__c": pa.array([len(base)], type=pa.int64()),
+                })
+            cols = {}
+            for c in gcols:
+                cols[c] = (g[c] if c in g.column_names
+                           else _sentinel_array(len(g), gtypes[c]))
+            cols["grouping"] = pa.array(
+                np.full(len(g), mask, dtype=np.int64))
+            cols["__s"] = pc.cast(g["__s"], pa.float64())
+            cols["__c"] = pc.cast(g["__c"], pa.int64())
+            levels.append(pa.table(cols))
+        return pa.concat_tables(levels)
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([*gcols, "grouping"]) \
+        .aggregate(Sum("__c", alias_name=out_count),
+                   Sum("__s", alias_name=out_sum))
+
+    def restore_nulls(t: pa.Table) -> pa.Table:
+        grp = t["grouping"].to_numpy(zero_copy_only=False)
+        for j, c in enumerate(gcols):
+            rolled = (grp & (1 << (k - 1 - j))) != 0
+            if rolled.any():
+                col = t[c].combine_chunks() if isinstance(
+                    t[c], pa.ChunkedArray) else t[c]
+                nulled = pc.if_else(pa.array(rolled),
+                                    pa.nulls(len(t), type=col.type), col)
+                t = t.set_column(t.column_names.index(c),
+                                 pa.field(c, col.type), nulled)
+        return t
+
+    return agg.map_batches(restore_nulls, batch_format="pyarrow")
+
+
 def explode_column(ds: Dataset, list_col: str, out_col: str | None = None,
                    index_col: str | None = "pos") -> Dataset:
     """UNNEST WITH ORDINALITY: one output row per list element, scalar

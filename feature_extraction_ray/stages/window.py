@@ -155,6 +155,75 @@ def row_number(ds: Dataset, entity_col: str, order_cols: Sequence[str],
     return bucketed_apply(ds, entity_col, fn, num_buckets)
 
 
+def rank_features(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                  tie_cols: Sequence[str] | None = None,
+                  ntile: int | None = None,
+                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """SQL rank family per entity in one bucketed pass: appends ``rnk``
+    (competition rank — ties share, next rank skips), ``drnk``
+    (dense rank), ``prnk`` (``percent_rank`` = (rnk-1)/(n-1), 0.0 for
+    singleton partitions), ``cdist`` (``cume_dist`` = rows ≤ tie group /
+    n) and, when ``ntile`` is set, ``tile{n}`` (SQL NTILE bucketing: the
+    first ``n_rows % ntile`` tiles get the extra row).
+
+    Rows sort by ``order_cols``; ties are decided by ``tie_cols``
+    (default: all of ``order_cols``). Pass a wider ``order_cols`` with a
+    narrower ``tie_cols`` to pin NTILE determinism (NTILE splits tie
+    groups by physical order, so ``order_cols`` should end in a unique
+    key) while rank/dense/percent/cume still honor SQL tie semantics on
+    the logical ordering columns. Fully vectorized: one sort + boundary
+    scans per bucket; no Python loop over rows."""
+    tie_cols = list(tie_cols) if tie_cols is not None else list(order_cols)
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        run_len = np.diff(np.r_[starts, n])[run_id]
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        # tie-group boundary: entity change OR any tie col differs from
+        # the previous row (nulls compare equal, like SQL ordering)
+        boundary = ng.copy()
+        for c in tie_cols:
+            col = tbl[c].combine_chunks() if isinstance(tbl[c],
+                                                        pa.ChunkedArray) \
+                else tbl[c]
+            cur, prev = col.slice(1), col.slice(0, n - 1)
+            neq = pc.fill_null(pc.not_equal(cur, prev), True)
+            both_null = pc.and_(pc.is_null(cur), pc.is_null(prev))
+            neq = pc.and_(neq, pc.invert(both_null))
+            boundary[1:] |= neq.to_numpy(zero_copy_only=False)
+        gfirst = np.maximum.accumulate(
+            np.where(boundary, np.arange(n, dtype=np.int64), 0))
+        rnk = gfirst - starts[run_id] + 1
+        dcum = np.cumsum(boundary)
+        drnk = dcum - dcum[starts[run_id]] + 1
+        prnk = np.where(run_len > 1, (rnk - 1) / np.maximum(run_len - 1, 1),
+                        0.0)
+        # cume_dist needs the END of each tie group
+        bpos = np.flatnonzero(boundary)
+        gend = np.r_[bpos[1:], n][dcum - 1] - 1
+        cdist = (gend - starts[run_id] + 1) / run_len
+        tbl = tbl.append_column("rnk", pa.array(rnk))
+        tbl = tbl.append_column("drnk", pa.array(drnk))
+        tbl = tbl.append_column("prnk", pa.array(prnk))
+        tbl = tbl.append_column("cdist", pa.array(cdist))
+        if ntile is not None:
+            q, r = run_len // ntile, run_len % ntile
+            cut = r * (q + 1)
+            tile = np.where(pos < cut, pos // np.maximum(q + 1, 1),
+                            r + (pos - cut) // np.maximum(q, 1)) + 1
+            tbl = tbl.append_column(f"tile{ntile}", pa.array(tile))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
 def grouped_topk(ds: Dataset, entity_col: str, sort_keys, k: int,
                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
     """Top-k rows PER ENTITY by ``sort_keys`` (list of (col, "ascending"

@@ -1,0 +1,100 @@
+"""Interval join + rollup aggregate vs naive pandas oracles (adversarial
+shapes: nested/overlapping/degenerate intervals, entities on one side
+only, sentinel-colliding "" group keys)."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray.stages.interval import interval_join
+from feature_extraction_ray.stages.relational import rollup_agg
+
+
+def _naive_pairs(pts, ivs):
+    m = pts.merge(ivs, left_on="ent", right_on="ent")
+    m = m[(m["t"] >= m["start"]) & (m["t"] <= m["end"])]
+    return set(zip(m["pid"], m["iid"]))
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_interval_join_vs_naive(seed):
+    rng = np.random.default_rng(seed)
+    n_pts, n_iv = 400, 150
+    pts = pd.DataFrame({
+        "pid": np.arange(n_pts),
+        "ent": rng.integers(0, 9, n_pts),       # ent 8 absent from ivs
+        "t": rng.integers(0, 1000, n_pts),
+    })
+    start = rng.integers(0, 1000, n_iv)
+    length = np.where(rng.random(n_iv) < 0.05,
+                      rng.integers(500, 900, n_iv),     # pathological long
+                      rng.integers(0, 40, n_iv))        # incl. zero-length
+    ivs = pd.DataFrame({
+        "iid": np.arange(n_iv),
+        "ent": rng.integers(0, 8, n_iv),
+        "start": start,
+        "end": start + length,
+    })
+    out = interval_join(
+        rd.from_arrow(pa.Table.from_pandas(pts)),
+        rd.from_arrow(pa.Table.from_pandas(ivs)),
+        left_by="ent", right_by="ent", left_on="t",
+        right_start="start", right_end="end",
+        right_value_cols=["iid"], num_buckets=4)
+    got = out.to_pandas()
+    assert set(zip(got["pid"], got["iid"])) == _naive_pairs(pts, ivs)
+    assert len(got) == len(set(zip(got["pid"], got["iid"])))  # no dups
+
+
+def test_interval_join_boundaries_and_empty_side():
+    pts = pd.DataFrame({"pid": [0, 1, 2, 3], "ent": ["x"] * 4,
+                        "t": [5, 10, 11, 4]})
+    ivs = pd.DataFrame({"iid": [0, 1], "ent": ["x", "y"],
+                        "start": [5, 0], "end": [10, 100]})
+    out = interval_join(
+        rd.from_arrow(pa.Table.from_pandas(pts)),
+        rd.from_arrow(pa.Table.from_pandas(ivs)),
+        left_by="ent", right_by="ent", left_on="t",
+        right_start="start", right_end="end",
+        right_value_cols=["iid"], num_buckets=2)
+    got = out.to_pandas()
+    # inclusive both ends: t=5 and t=10 match, t=11 and t=4 don't;
+    # interval of entity y never pairs with entity x points
+    assert sorted(zip(got["pid"], got["iid"])) == [(0, 0), (1, 0)]
+
+
+def test_rollup_agg_vs_pandas_with_sentinel_collision():
+    rng = np.random.default_rng(23)
+    n = 500
+    # "" is the internal sentinel for rolled-up string cells — real ""
+    # values must still aggregate correctly (grouping bitmask keeps
+    # levels apart)
+    pdf = pd.DataFrame({
+        "a": rng.choice(["x", "y", ""], n),
+        "b": rng.choice(["p", "q", "r", ""], n),
+        "v": rng.integers(0, 100, n).astype(float),
+    })
+    out = rollup_agg(rd.from_pandas(pdf), ["a", "b"], "v",
+                     out_count="n", out_sum="s")
+    got = out.to_pandas().sort_values(
+        ["grouping", "a", "b"], na_position="last").reset_index(drop=True)
+    lvl0 = pdf.groupby(["a", "b"], as_index=False).agg(
+        n=("v", "size"), s=("v", "sum"))
+    lvl0["grouping"] = 0
+    lvl1 = pdf.groupby(["a"], as_index=False).agg(
+        n=("v", "size"), s=("v", "sum"))
+    lvl1["b"] = None
+    lvl1["grouping"] = 1
+    lvl2 = pd.DataFrame({"a": [None], "b": [None], "n": [n],
+                         "s": [pdf["v"].sum()], "grouping": [3]})
+    exp = pd.concat([lvl0, lvl1, lvl2], ignore_index=True)[
+        ["a", "b", "grouping", "n", "s"]].sort_values(
+        ["grouping", "a", "b"], na_position="last").reset_index(drop=True)
+    assert got["grouping"].tolist() == exp["grouping"].tolist()
+    assert got["a"].where(got["a"].notna(), None).tolist() == \
+        exp["a"].where(exp["a"].notna(), None).tolist()
+    assert got["b"].where(got["b"].notna(), None).tolist() == \
+        exp["b"].where(exp["b"].notna(), None).tolist()
+    np.testing.assert_array_equal(got["n"], exp["n"])
+    np.testing.assert_allclose(got["s"], exp["s"])

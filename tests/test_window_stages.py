@@ -117,6 +117,61 @@ def test_cumulative_and_row_number(tok_tbl):
                                   exp.groupby("entity").cumcount() + 1)
 
 
+def test_rank_features_vs_pandas():
+    rng = np.random.default_rng(7)
+    n = 600
+    pdf = pd.DataFrame({
+        "entity": rng.integers(0, 7, n).astype(str),
+        "v": rng.integers(0, 5, n),          # heavy ties
+        "rid": np.arange(n),
+    })
+    ds = rd.from_pandas(pdf)
+    out = SW.rank_features(ds, "entity", ["v", "rid"], tie_cols=["v"],
+                           ntile=4, num_buckets=4)
+    got = out.to_pandas().sort_values(["entity", "v", "rid"],
+                                      kind="stable").reset_index(drop=True)
+    exp = pdf.sort_values(["entity", "v", "rid"],
+                          kind="stable").reset_index(drop=True)
+    g = exp.groupby("entity")["v"]
+    rnk = g.rank(method="min").astype(int)
+    drnk = g.rank(method="dense").astype(int)
+    sizes = exp.groupby("entity")["v"].transform("size")
+    prnk = np.where(sizes > 1, (rnk - 1) / (sizes - 1), 0.0)
+    cdist = g.rank(method="max") / sizes
+    np.testing.assert_array_equal(got["rnk"], rnk)
+    np.testing.assert_array_equal(got["drnk"], drnk)
+    np.testing.assert_allclose(got["prnk"], prnk)
+    np.testing.assert_allclose(got["cdist"], cdist)
+    # NTILE: first (n % k) tiles get the extra row, split in row order
+    pos = exp.groupby("entity").cumcount().to_numpy()
+    sz = sizes.to_numpy()
+    q, r = sz // 4, sz % 4
+    cut = r * (q + 1)
+    tile = np.where(pos < cut, pos // np.maximum(q + 1, 1),
+                    r + (pos - cut) // np.maximum(q, 1)) + 1
+    np.testing.assert_array_equal(got["tile4"], tile)
+
+
+def test_rank_features_null_ties_and_tiny_partitions():
+    # nulls compare EQUAL for tie grouping; singleton partition has
+    # percent_rank 0.0; partition smaller than ntile gets tile=pos+1
+    pdf = pd.DataFrame({
+        "entity": ["a"] * 4 + ["b"],
+        "v": [None, None, 1.0, 1.0, 9.0],
+        "rid": [0, 1, 2, 3, 4],
+    })
+    ds = rd.from_pandas(pdf)
+    out = SW.rank_features(ds, "entity", ["v", "rid"], tie_cols=["v"],
+                           ntile=3, num_buckets=2)
+    got = out.to_pandas().sort_values("rid").reset_index(drop=True)
+    # sort places nulls last: order within 'a' is rid 2,3 (v=1) then 0,1
+    assert got["rnk"].tolist() == [3, 3, 1, 1, 1]
+    assert got["drnk"].tolist() == [2, 2, 1, 1, 1]
+    assert got["prnk"].tolist() == [2 / 3, 2 / 3, 0.0, 0.0, 0.0]
+    assert got["cdist"].tolist() == [1.0, 1.0, 0.5, 0.5, 1.0]
+    assert got["tile3"].tolist() == [2, 3, 1, 1, 1]
+
+
 def test_grouped_topk(tok_tbl):
     pdf = _pdf(tok_tbl)
     ds = rd.from_pandas(pdf)
