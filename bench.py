@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "asof_events_orders_broadcast",
     "sliding_mean_events",
     "session_stats_events",
+    "orders_interval_pairs",
+    "rank_stats_events",
 ]
 
 

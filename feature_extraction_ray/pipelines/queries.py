@@ -1428,6 +1428,17 @@ def embedding_dedup_docs(sf_dir: str):
     return embedding_dedup(ds, threshold=0.99)
 
 
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup (k-means-cell semantic dedup, Abbas et al. 2023) over the
+    embeddings table — rows-only by design (k-means cells are
+    recall-approximate like the LSH buckets); the exact tail is
+    oracle-checked via embedding_dedup_brute and the n_clusters=1
+    equivalence golden in test_dedup_similarity.py."""
+    from ..stages.similarity import semdedup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.99, n_clusters=16)
+
+
 def embedding_dedup_brute(sf_dir: str):
     """Embedding near-dup with ``bits=0`` (single bucket → exact all-pairs
     cosine scan) so the DISTRIBUTED clustering tail (pair scan → star-round
@@ -2264,6 +2275,7 @@ QUERIES = {
     "minhash_dedup_incremental_docs": minhash_dedup_incremental_docs,
     "simhash_docs": simhash_docs,
     "embedding_dedup_docs": embedding_dedup_docs,
+    "semdedup_embeddings": semdedup_embeddings,
     "knn_embeddings_lsh": knn_embeddings_lsh,
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "text_analysis_docs": text_analysis_docs,

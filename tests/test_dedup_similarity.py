@@ -164,6 +164,38 @@ def test_embedding_dedup_finds_planted():
     assert not res[res["vec_id"] < 100]["is_duplicate"].any()
 
 
+def test_semdedup_exhaustive_equals_brute():
+    # n_clusters=1 degenerates to exact all-pairs — must match the
+    # hyperplane path's bits=0 exact mode (same pair set, same CC tail)
+    m, tbl = _embeddings(n=240)
+    a = SIM.semdedup(rd.from_arrow(tbl), threshold=0.5, n_clusters=1,
+                     max_bucket=10**6)
+    b = SIM.embedding_dedup(rd.from_arrow(tbl), threshold=0.5, bits=0,
+                            max_bucket=10**6)
+    assert a["cluster_id"].tolist() == b["cluster_id"].tolist()
+    assert a["is_duplicate"].tolist() == b["is_duplicate"].tolist()
+
+
+def test_semdedup_finds_planted_in_cells():
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 16)).astype(np.float32) * 4
+    pts = np.repeat(centers, 40, axis=0) + \
+        rng.standard_normal((240, 16)).astype(np.float32) * 0.2
+    # plant near-copies of members of two different natural clusters
+    m2 = np.vstack([pts, pts[0:1] * 1.001, pts[200:201] * 0.999])
+    ids = np.arange(len(m2), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m2.reshape(-1).astype(np.float32)), 16)})
+    res = SIM.semdedup(rd.from_arrow(tbl), threshold=0.9999,
+                       n_clusters=6, sample_size=240)
+    c = res.set_index("vec_id")
+    # a near-copy lands in its source's k-means cell → caught
+    assert c.loc[240, "cluster_id"] == 0 and bool(c.loc[240, "is_duplicate"])
+    assert c.loc[241, "cluster_id"] == 200 and bool(c.loc[241, "is_duplicate"])
+
+
 def test_knn_distributed_merge_equals_driver_merge():
     m, tbl = _embeddings(n=300)
     ds = rd.from_arrow(tbl)
