@@ -781,6 +781,27 @@ FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
 """
 
 
+def orders_interval_pairs_broadcast(sf_dir: str) -> Dataset:
+    """Broadcast (small-intervals) plan of the point-in-interval join —
+    zero-shuffle twin of ``orders_interval_pairs``, same SQL oracle."""
+    from ..stages.interval import interval_join
+    pts = _read(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+    month = pa.scalar(30 * 86400 * 1_000_000, type=pa.duration("us"))
+    iv = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.append_column(
+            "end_ts", pc.add(t["o_orderdate"], month)),
+        batch_format="pyarrow")
+    out = interval_join(pts, iv, left_by="o_custkey",
+                        right_by="o_custkey", left_on="o_orderdate",
+                        right_start="o_orderdate", right_end="end_ts",
+                        right_value_cols=["o_orderkey"], broadcast=True)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "o_orderkey_r"]),
+        batch_format="pyarrow")
+
+
 def events_rollup(sf_dir: str) -> Dataset:
     """GROUP BY ROLLUP(event_type, day): count + value sum at all three
     aggregation levels via per-batch partial aggregates and ONE shuffle
@@ -1992,6 +2013,73 @@ FROM c, ev
 """
 
 
+def curated_docs(sf_dir: str) -> Dataset:
+    """End-to-end corpus-curation pipeline (the composition a real
+    training-data run chains): benchmark decontamination (docs sharing
+    any word 5-gram with the eval split — ``doc_id % 13 == 0`` — are
+    dropped) → Gopher repetition gate (dup-2-gram fraction ≤ 30%, top
+    gram ≤ 20%, exact integer arithmetic) → min-length gate (≥ 5 ws
+    tokens). Every stage is a streamed ``map_batches`` pass over the
+    corpus — the whole pipeline is ZERO-shuffle (eval grams broadcast
+    once). Survivors emit (doc_id, n_tok); integer-exact SQL oracle."""
+    from ..stages.curation import decontaminate, repetition_filter
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text"])
+
+    def split(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 13 == 0
+            return t.filter(pa.array(m if eq else ~m))
+        return fn
+
+    evd = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    out = decontaminate(corpus, evd, k=5, drop=True)
+    out = repetition_filter(out, k=2, max_dup_pct=30, max_top_pct=20)
+
+    def finish(t: pa.Table) -> pa.Table:
+        from ..stages.text import ws_token_count
+        n_tok = ws_token_count(t["text"])
+        t = pa.table({"doc_id": t["doc_id"],
+                      "n_tok": pc.cast(n_tok, pa.int64())})
+        return t.filter(pc.greater_equal(t["n_tok"], 5))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+CURATED_DOCS_SQL = """
+WITH w AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+           FROM documents WHERE trim(text) <> ''),
+g5 AS (SELECT doc_id,
+              list_distinct(CASE WHEN len(ws) < 5
+                   THEN [array_to_string(ws, ' ')]
+                   ELSE [array_to_string(ws[i:i+4], ' ')
+                         FOR i IN range(1, len(ws) - 3)]
+              END) AS gs
+       FROM w),
+ev AS (SELECT list(DISTINCT gram) AS grams
+       FROM (SELECT unnest(gs) AS gram FROM g5 WHERE doc_id % 13 = 0)),
+decon AS (SELECT g5.doc_id FROM g5, ev
+          WHERE g5.doc_id % 13 <> 0
+            AND len(list_intersect(g5.gs, ev.grams)) = 0),
+g2 AS (SELECT w.doc_id, CASE WHEN len(ws) < 2
+              THEN [array_to_string(ws, ' ')]
+              ELSE [array_to_string(ws[i:i+1], ' ')
+                    FOR i IN range(1, len(ws))] END AS gs
+       FROM w JOIN decon ON w.doc_id = decon.doc_id),
+per AS (SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(gs) AS gram FROM g2) GROUP BY 1, 2),
+rep AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct,
+               max(c) AS max_count
+        FROM per GROUP BY doc_id),
+gate AS (SELECT doc_id FROM rep
+         WHERE (n_grams - n_distinct) * 100 <= 30 * n_grams
+           AND max_count * 100 <= 20 * n_grams AND n_grams > 0)
+SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tok
+FROM w JOIN gate ON w.doc_id = gate.doc_id
+WHERE len(w.ws) >= 5
+"""
+
+
 def token_budget_docs(sf_dir: str) -> Dataset:
     """Domain-mixture quota sampling: per source, keep docs in doc_id
     order while the running whitespace-token total stays ≤ 150."""
@@ -2183,7 +2271,6 @@ QUERIES = {
     "filter_high_value_orders": filter_high_value_orders,
     "customers_per_nation": customers_per_nation,
     "lineitem_big_parts": lineitem_big_parts,
-    "events_by_type": events_by_type,
     "customers_without_orders": customers_without_orders,
     "mean_embedding_by_label": mean_embedding_by_label,
     "label_centroid_similarity": label_centroid_similarity,
@@ -2229,6 +2316,7 @@ QUERIES = {
     "pack_chunks_docs": pack_chunks_docs,
     "pii_scrub_docs": pii_scrub_docs,
     "duplicate_spans_docs": duplicate_spans_docs,
+    "curated_docs": curated_docs,
     # -- rows-only, in-window (never driver-checked in any round /
     #    highest-value operator families) --
     "topic_model_docs": topic_model_docs,
@@ -2252,7 +2340,11 @@ QUERIES = {
     #      sliding_minmax_events (sliding family: sliding_mean +
     #      time_window), asof_events_orders (asof family:
     #      asof_prev_order_tolerance) — making room for the new
-    #      rank_stats_events / events_rollup / orders_interval_pairs ----
+    #      rank_stats_events / events_rollup / orders_interval_pairs.
+    #      events_by_type likewise rotated (green r01+r02; plain-groupby
+    #      family keeps q1 / customers_per_nation / user_value_stats /
+    #      hapax_by_source in-window) for curated_docs ----
+    "events_by_type": events_by_type,
     "bfill_events": bfill_events,
     "sliding_minmax_events": sliding_minmax_events,
     "asof_events_orders": asof_events_orders,
@@ -2269,6 +2361,7 @@ QUERIES = {
     # and pytest runs every oracle each session regardless)
     "lag_events_streaming": lag_events_streaming,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
+    "orders_interval_pairs_broadcast": orders_interval_pairs_broadcast,
     "tag_lemma_docs": tag_lemma_docs,
     "split_counts_docs": split_counts_docs,
     "truecase_docs": truecase_docs,
@@ -2332,6 +2425,7 @@ ORACLE_SQL = {
     "top2_orders_per_customer": TOP2_ORDERS_PER_CUSTOMER_SQL,
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
+    "orders_interval_pairs_broadcast": ORDERS_INTERVAL_PAIRS_SQL,
     "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
     "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,
@@ -2363,6 +2457,7 @@ ORACLE_SQL = {
     "pack_chunks_docs": PACK_CHUNKS_DOCS_SQL,
     "pii_scrub_docs": PII_SCRUB_DOCS_SQL,
     "duplicate_spans_docs": DUPLICATE_SPANS_DOCS_SQL,
+    "curated_docs": CURATED_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

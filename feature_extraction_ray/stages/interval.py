@@ -52,6 +52,7 @@ def interval_join(left: Dataset, right: Dataset, *,
                   right_start: str, right_end: str,
                   right_value_cols: Sequence[str],
                   num_buckets: int = DEFAULT_NUM_BUCKETS,
+                  broadcast: bool = False,
                   suffix: str = "_r") -> Dataset:
     """Inner join: left point events × right intervals, matching
     ``left.left_by == right.right_by`` and
@@ -60,7 +61,18 @@ def interval_join(left: Dataset, right: Dataset, *,
     Output = matching (left row, right row) pairs: all left columns plus
     ``right_value_cols`` (suffixed on name collision). Timestamp keys are
     normalized to int64 microseconds on both sides (mixed units safe).
+
+    ``broadcast=True`` selects the zero-shuffle plan for a small right
+    side (the common validity-window/dimension case): the interval table
+    is sorted and indexed ONCE on the driver, ``ray.put`` once, and every
+    left batch resolves its pairs against the cached index in-map — no
+    exchange at all.
     """
+    if broadcast:
+        return _interval_broadcast(
+            left, right, left_by=left_by, right_by=right_by,
+            left_on=left_on, right_start=right_start, right_end=right_end,
+            right_value_cols=right_value_cols, suffix=suffix)
     lschema = left.schema().base_schema
     rschema = right.schema().base_schema
     ent_type = _common_entity_type(lschema.field(left_by).type,
@@ -172,3 +184,91 @@ def interval_join(left: Dataset, right: Dataset, *,
 
     return bucketed_apply(tagged, _ENT, pair_bucket,
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def _interval_broadcast(left: Dataset, right: Dataset, *, left_by,
+                        right_by, left_on, right_start, right_end,
+                        right_value_cols, suffix) -> Dataset:
+    """Broadcast plan: right is materialized once, sorted by
+    (entity, start) and indexed (entity → run, composite search key,
+    per-entity max length) on the driver; every left batch probes the
+    ``ray.put`` index in-map. Same candidate-run bound as the
+    partitioned plan."""
+    import pandas as pd
+    import ray
+    from .partition import broadcast_get
+    from .relational import _small_side_table
+
+    lschema = left.schema().base_schema
+    rtbl = _small_side_table(right)
+    ent_type = _common_entity_type(lschema.field(left_by).type,
+                                   rtbl.schema.field(right_by).type)
+    rcols = list(dict.fromkeys(right_value_cols))
+    left_names = list(lschema.names)
+
+    rtbl = _normalize_keys(rtbl, right_by, right_start, ent_type)
+    end_norm = _normalize_keys(rtbl.select([right_by, right_end]),
+                               right_by, right_end, ent_type)[_TS]
+    rtbl = rtbl.append_column(_END, end_norm)
+    rent_np = rtbl[_ENT].to_numpy(zero_copy_only=False)
+    rstart_np = rtbl[_TS].to_numpy(zero_copy_only=False)
+    order = np.lexsort((rstart_np, rent_np))
+    rtbl = rtbl.take(pa.array(order))
+    rent_np, rstart_np = rent_np[order], rstart_np[order]
+    rend_np = rtbl[_END].to_numpy(zero_copy_only=False)
+    # entity runs over the sorted table
+    if len(rtbl):
+        new_run = np.r_[True, rent_np[1:] != rent_np[:-1]]
+    else:
+        new_run = np.array([], dtype=bool)
+    run_idx = np.cumsum(new_run) - 1 if len(rtbl) else \
+        np.array([], dtype=np.int64)
+    run_ents = pd.Index(rent_np[new_run]) if len(rtbl) else pd.Index([])
+    uniq = np.unique(rstart_np)
+    K = np.int64(len(uniq) + 2)
+    comp = run_idx * K + np.searchsorted(uniq, rstart_np)
+    n_runs = int(run_idx[-1]) + 1 if len(rtbl) else 0
+    max_len = np.zeros(max(n_runs, 1), dtype=np.int64)
+    if len(rtbl):
+        np.maximum.at(max_len, run_idx, rend_np - rstart_np)
+    payload = pa.table({c: rtbl[c] for c in rcols}) if rcols \
+        else pa.table({})
+    ref = ray.put((run_ents, run_idx, uniq, K, comp, max_len,
+                   rstart_np, rend_np, payload))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        (run_ents, run_idx, uniq, K, comp, max_len, rstart, rend,
+         payload) = broadcast_get(ref)
+        nb = len(batch)
+        keyed = _normalize_keys(batch.select([left_by, left_on]),
+                                left_by, left_on, ent_type)
+        lent = keyed[_ENT].to_numpy(zero_copy_only=False)
+        lts = keyed[_TS].to_numpy(zero_copy_only=False)
+        lcode = run_ents.get_indexer(lent)           # -1 = no intervals
+        hi = np.searchsorted(
+            comp, lcode * K + np.searchsorted(uniq, lts, "right"),
+            "left") - 1
+        ml = np.maximum(max_len[np.clip(lcode, 0, None)], 0)
+        lo = np.searchsorted(
+            comp, lcode * K + np.searchsorted(uniq, lts - ml, "left"),
+            "left")
+        valid = (lcode >= 0) & (hi >= lo) & (hi >= 0)
+        valid &= run_idx[np.clip(hi, 0, None)] == lcode
+        counts = np.where(valid, hi - lo + 1, 0)
+        lidx = np.repeat(np.arange(nb, dtype=np.int64), counts)
+        offs = np.zeros(nb + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        ridx = (np.arange(int(offs[-1]), dtype=np.int64)
+                - np.repeat(offs[:-1], counts) + np.repeat(lo, counts))
+        ok = rend[ridx] >= lts[lidx]
+        lidx, ridx = lidx[ok], ridx[ok]
+        out = batch.select(left_names).take(pa.array(lidx))
+        for c in rcols:
+            col = payload[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            name = f"{c}{suffix}" if c in out.column_names else c
+            out = out.append_column(name, col.take(pa.array(ridx)))
+        return out
+
+    return left.map_batches(join_batch, batch_format="pyarrow")

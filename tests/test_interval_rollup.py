@@ -47,6 +47,36 @@ def test_interval_join_vs_naive(seed):
     assert len(got) == len(set(zip(got["pid"], got["iid"])))  # no dups
 
 
+@pytest.mark.parametrize("seed", [5])
+def test_interval_join_broadcast_equals_partitioned(seed):
+    rng = np.random.default_rng(seed)
+    pts = pd.DataFrame({
+        "pid": np.arange(300),
+        "ent": rng.integers(0, 9, 300),
+        "t": rng.integers(0, 1000, 300),
+    })
+    start = rng.integers(0, 1000, 120)
+    ivs = pd.DataFrame({
+        "iid": np.arange(120),
+        "ent": rng.integers(0, 8, 120),
+        "start": start,
+        "end": start + rng.integers(0, 60, 120),
+    })
+    kw = dict(left_by="ent", right_by="ent", left_on="t",
+              right_start="start", right_end="end",
+              right_value_cols=["iid"])
+    a = interval_join(rd.from_arrow(pa.Table.from_pandas(pts)),
+                      rd.from_arrow(pa.Table.from_pandas(ivs)),
+                      num_buckets=4, **kw).to_pandas()
+    b = interval_join(rd.from_arrow(pa.Table.from_pandas(pts)),
+                      rd.from_arrow(pa.Table.from_pandas(ivs)),
+                      broadcast=True, **kw).to_pandas()
+    key = ["pid", "iid"]
+    assert sorted(map(tuple, a[key].values.tolist())) == \
+        sorted(map(tuple, b[key].values.tolist()))
+    assert set(zip(b["pid"], b["iid"])) == _naive_pairs(pts, ivs)
+
+
 def test_interval_join_boundaries_and_empty_side():
     pts = pd.DataFrame({"pid": [0, 1, 2, 3], "ent": ["x"] * 4,
                         "t": [5, 10, 11, 4]})
