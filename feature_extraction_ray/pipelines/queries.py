@@ -2013,6 +2013,24 @@ FROM c, ev
 """
 
 
+def heavy_hitters_event_types(sf_dir: str):
+    """Mergeable Misra-Gries heavy hitters over event_type — run in its
+    EXACT regime (k=64 ≥ global distinct, so no decrement fires and
+    counts equal GROUP BY; ``sketches.heavy_hitters`` guarantees this),
+    making the sketch oracle-checkable; ≤ k+1 rows leave each block."""
+    from ..stages.sketches import heavy_hitters
+    ds = _read(sf_dir, "events", ["event_type"])
+    df, max_err = heavy_hitters(ds, "event_type", k=64)
+    assert max_err == 0, "k=64 must cover every distinct event_type"
+    return df.rename(columns={"count": "cnt"})
+
+
+HEAVY_HITTERS_EVENT_TYPES_SQL = """
+SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS cnt
+FROM events GROUP BY event_type
+"""
+
+
 def curated_docs(sf_dir: str) -> Dataset:
     """End-to-end corpus-curation pipeline (the composition a real
     training-data run chains): benchmark decontamination (docs sharing
@@ -2373,6 +2391,7 @@ QUERIES = {
     "knn_embeddings_ivf": knn_embeddings_ivf,
     "text_analysis_docs": text_analysis_docs,
     "approx_quantiles_events": approx_quantiles_events,
+    "heavy_hitters_event_types": heavy_hitters_event_types,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "approx_distinct_words": approx_distinct_words,
@@ -2426,6 +2445,7 @@ ORACLE_SQL = {
     "asof_events_orders": ASOF_EVENTS_ORDERS_SQL,
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "orders_interval_pairs_broadcast": ORDERS_INTERVAL_PAIRS_SQL,
+    "heavy_hitters_event_types": HEAVY_HITTERS_EVENT_TYPES_SQL,
     "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
     "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,

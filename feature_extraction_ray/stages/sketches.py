@@ -9,6 +9,11 @@ serialized sketch per batch and merge them in a second, tiny stage"):
   build is vectorized numpy (one hash pass + ``np.maximum.reduceat``
   on sorted registers); merge = elementwise max; the only data movement
   is one ``2^p``-byte array per block.
+* :func:`heavy_hitters` — mergeable Misra-Gries top-k counters
+  (Agarwal et al. 2012): ≤ k+1 rows per block, underestimate error
+  bounded by the summed decrements, EXACT when global distinct ≤ k.
+* :func:`approx_quantiles` — deterministic strided block samples with
+  run weights; bounded rank error, blocks × samples communication.
 """
 
 from __future__ import annotations
@@ -106,6 +111,71 @@ def approx_distinct(ds: Dataset, col: str, p: int = 12) -> float:
         other.registers = np.frombuffer(raw, dtype=np.uint8).copy()
         merged = merged.merge(other)
     return merged.estimate()
+
+
+def heavy_hitters(ds: Dataset, col: str, k: int = 64):
+    """Mergeable Misra-Gries heavy hitters: each block emits an exact
+    value-count table collapsed to ≤ ``k`` counters (subtract the
+    (k+1)-largest count, drop non-positives — the decrement-based MG
+    summary), and the driver merges by summing counters and collapsing
+    once more (Agarwal et al. 2012 mergeable-summaries result).
+
+    Guarantees: every value with true count > n/(k+1) is reported;
+    reported counts are UNDERestimates with error ≤ the returned
+    ``max_err`` (total decrement). When the global distinct count of
+    ``col`` is ≤ k no decrement ever fires and the result is EXACT
+    (``max_err == 0``) — the oracle-checkable mode. Communication is ≤ k
+    rows per block regardless of corpus size.
+
+    Returns ``(DataFrame[value, count] sorted by count desc, max_err)``.
+    """
+    def summary_batch(tbl: pa.Table) -> pa.Table:
+        c = tbl[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        enc = c.dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        idx = idx[~pa.compute.is_null(enc.indices).to_numpy(
+            zero_copy_only=False)] if enc.null_count else idx
+        cnt = np.bincount(idx.astype(np.int64),
+                          minlength=len(enc.dictionary))
+        decr = 0
+        keep = cnt > 0
+        if keep.sum() > k:
+            pos = cnt[cnt > 0]
+            decr = int(np.partition(pos, len(pos) - k - 1)[len(pos) - k - 1])
+            cnt = cnt - decr
+            keep = cnt > 0
+        vals = enc.dictionary.filter(pa.array(keep))
+        n_keep = int(keep.sum())
+        # one meta row per block carries the block's decrement (value
+        # rows stay pure counters, so the merge is a plain groupby-sum)
+        return pa.table({
+            "value": pa.concat_arrays(
+                [vals.cast(pa.large_utf8()),
+                 pa.nulls(1, type=pa.large_utf8())]),
+            "count": pa.array(np.r_[cnt[keep].astype(np.int64), 0]),
+            "decr": pa.array(np.r_[np.zeros(n_keep, dtype=np.int64),
+                                   decr]),
+        })
+
+    import pandas as pd
+    parts = ds.map_batches(summary_batch, batch_format="pyarrow") \
+        .to_pandas()
+    if len(parts) == 0 or "value" not in parts.columns:
+        return pd.DataFrame({"value": [], "count": []}), 0
+    meta = parts["value"].isna()
+    total_decr = int(parts.loc[meta, "decr"].sum())
+    merged = parts[~meta].groupby("value", as_index=False)["count"].sum()
+    if len(merged) > k:
+        d = int(np.partition(merged["count"].to_numpy(),
+                             len(merged) - k - 1)[len(merged) - k - 1])
+        merged = merged.assign(count=merged["count"] - d)
+        merged = merged[merged["count"] > 0]
+        total_decr += d
+    return (merged.sort_values(["count", "value"],
+                               ascending=[False, True])
+            .reset_index(drop=True)), total_decr
 
 
 def approx_quantiles(ds: Dataset, col: str, qs, samples_per_block: int = 256):

@@ -57,3 +57,36 @@ def test_approx_quantiles_accuracy():
         # rank error bound: compare by achieved rank, not value
         achieved = (v <= est[q]).mean()
         assert abs(achieved - q) < 0.02, (q, est[q], exact)
+
+
+def test_heavy_hitters_exact_when_k_covers_distinct():
+    from feature_extraction_ray.stages.sketches import heavy_hitters
+    rng = np.random.default_rng(5)
+    vals = rng.choice([f"t{i}" for i in range(12)], 5000,
+                      p=np.r_[0.4, np.full(11, 0.6 / 11)])
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(8)
+    df, err = heavy_hitters(ds, "v", k=64)
+    assert err == 0
+    exp = pd.Series(vals).value_counts()
+    assert dict(zip(df["value"], df["count"])) == exp.to_dict()
+
+
+def test_heavy_hitters_guarantee_small_k():
+    from feature_extraction_ray.stages.sketches import heavy_hitters
+    rng = np.random.default_rng(9)
+    # zipf-ish: a few heavy values among many light ones
+    heavy = rng.choice(["a", "b", "c"], 3000, p=[0.5, 0.3, 0.2])
+    light = np.array([f"x{i}" for i in rng.integers(0, 500, 2000)])
+    vals = np.r_[heavy, light]
+    rng.shuffle(vals)
+    n, k = len(vals), 8
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(6)
+    df, err = heavy_hitters(ds, "v", k=k)
+    true = pd.Series(vals).value_counts()
+    got = dict(zip(df["value"], df["count"]))
+    assert len(df) <= k and err > 0
+    for v, c in true.items():
+        if c > n / (k + 1):                 # MG guarantee: must appear
+            assert v in got, v
+    for v, c in got.items():                # underestimate, bounded err
+        assert c <= true[v] <= c + err
