@@ -829,6 +829,33 @@ GROUP BY ROLLUP(event_type, day)
 """
 
 
+def events_cube(sf_dir: str) -> Dataset:
+    """GROUP BY CUBE(event_type, day): all four aggregation subsets
+    (same partial-aggregate machinery as ``events_rollup`` with
+    ``mode="cube"`` — adds the day-only marginal)."""
+    from ..stages.relational import rollup_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "value": t["value"]}),
+        batch_format="pyarrow")
+    out = rollup_agg(ds, ["event_type", "day"], "value",
+                     out_count="n_rows", out_sum="value_sum",
+                     mode="cube")
+    return _round(out, {"value_sum": 4})
+
+
+EVENTS_CUBE_SQL = """
+SELECT event_type, day, GROUPING(event_type, day) AS grouping,
+       count(*) AS n_rows, round(sum(value), 4) AS value_sum
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY CUBE(event_type, day)
+"""
+
+
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(sf_dir, "orders",
@@ -2392,6 +2419,7 @@ QUERIES = {
     "text_analysis_docs": text_analysis_docs,
     "approx_quantiles_events": approx_quantiles_events,
     "heavy_hitters_event_types": heavy_hitters_event_types,
+    "events_cube": events_cube,
     "flagship_session_features": flagship_session_features,
     "reference_feature_packs": reference_feature_packs,
     "approx_distinct_words": approx_distinct_words,
@@ -2446,6 +2474,7 @@ ORACLE_SQL = {
     "asof_events_orders_broadcast": ASOF_EVENTS_ORDERS_SQL,
     "orders_interval_pairs_broadcast": ORDERS_INTERVAL_PAIRS_SQL,
     "heavy_hitters_event_types": HEAVY_HITTERS_EVENT_TYPES_SQL,
+    "events_cube": EVENTS_CUBE_SQL,
     "asof_prev_order_tolerance": ASOF_PREV_ORDER_TOLERANCE_SQL,
     "customers_orders_full_outer": CUSTOMERS_ORDERS_FULL_OUTER_SQL,
     "events_pivot_by_user": EVENTS_PIVOT_BY_USER_SQL,

@@ -210,15 +210,18 @@ def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
 
 def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
                out_count: str = "n_rows",
-               out_sum: str | None = None) -> Dataset:
-    """SQL ``GROUP BY ROLLUP(c1, .., ck)``: count + sum of ``value_col``
-    at every prefix aggregation level — (c1..ck), (c1..ck-1), .., ().
+               out_sum: str | None = None,
+               mode: str = "rollup") -> Dataset:
+    """SQL ``GROUP BY ROLLUP(c1, .., ck)`` (``mode="rollup"``: every
+    prefix level — (c1..ck), (c1..ck-1), .., ()) or ``GROUP BY
+    CUBE(c1, .., ck)`` (``mode="cube"``: all 2^k column subsets):
+    count + sum of ``value_col`` per level.
     Output columns: ``group_cols`` (rolled-up cells are NULL, as in SQL),
     ``grouping`` (the ``GROUPING(c1..ck)`` bitmask: bit j set when column
     k-1-j is rolled up), ``out_count``, ``out_sum``.
 
     Distributed as the partial-aggregate pattern: each map task collapses
-    its batch with k+1 Arrow hash-aggregates (one per level) so the ONE
+    its batch with one Arrow hash-aggregate per level so the ONE
     shuffle moves a few partial rows per (group, level), never raw rows.
     Rolled-up key cells travel as typed sentinels because the
     ``grouping`` bitmask is part of the shuffle key — levels can never
@@ -228,14 +231,20 @@ def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
     k = len(gcols)
     if k == 0:
         raise ValueError("rollup_agg needs at least one group column")
+    if mode == "rollup":
+        masks = [(1 << (k - lvl)) - 1 for lvl in range(k, -1, -1)]
+    elif mode == "cube":
+        masks = list(range(1 << k))
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
 
     def partial(t: pa.Table) -> pa.Table:
         base = t.select([*gcols, value_col])
         gtypes = {c: base.schema.field(c).type for c in gcols}
         levels = []
-        for lvl in range(k, -1, -1):          # lvl = leading cols kept
-            keys = gcols[:lvl]
-            mask = (1 << (k - lvl)) - 1       # GROUPING() bitmask
+        for mask in masks:
+            keys = [c for j, c in enumerate(gcols)
+                    if not mask & (1 << (k - 1 - j))]
             if keys:
                 g = base.group_by(keys).aggregate([
                     (value_col, "sum"), (value_col, "count")])

@@ -94,6 +94,23 @@ def test_interval_join_boundaries_and_empty_side():
     assert sorted(zip(got["pid"], got["iid"])) == [(0, 0), (1, 0)]
 
 
+def test_cube_mode_adds_all_marginals():
+    pdf = pd.DataFrame({
+        "a": ["x", "x", "y", "y"],
+        "b": ["p", "q", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0],
+    })
+    out = rollup_agg(rd.from_pandas(pdf), ["a", "b"], "v",
+                     out_count="n", out_sum="s", mode="cube")
+    got = out.to_pandas()
+    assert sorted(got["grouping"].unique()) == [0, 1, 2, 3]
+    # the CUBE-only marginal (a rolled up, group by b): grouping == 2
+    m = got[got["grouping"] == 2].sort_values("b")
+    assert m["a"].isna().all()
+    assert m["b"].tolist() == ["p", "q"]
+    assert m["s"].tolist() == [4.0, 6.0] and m["n"].tolist() == [2, 2]
+
+
 def test_rollup_agg_vs_pandas_with_sentinel_collision():
     rng = np.random.default_rng(23)
     n = 500
