@@ -47,6 +47,54 @@ from .window import bucketed_apply, DEFAULT_NUM_BUCKETS
 _END = "__iv_end"
 
 
+def match_interval_pairs(lcode: np.ndarray, lts: np.ndarray,
+                         rcode: np.ndarray, rstart: np.ndarray,
+                         rend: np.ndarray):
+    """Pure pairing kernel: every (left i, right j) with
+    ``rcode[j] == lcode[i]`` and ``rstart[j] <= lts[i] <= rend[j]``.
+
+    Requires the right arrays sorted by (rcode, rstart); left order is
+    free (each left row's bounds are independent searchsorted probes).
+    ``lcode`` entries < 0 never match (the broadcast plan's "entity has
+    no intervals" marker). Returns ``(lidx, ridx)`` int64 arrays.
+
+    Bounds: ``hi`` = last start ≤ t, ``lo`` = first start ≥
+    t − max_len(entity); any interval covering t has end ≥ t, hence
+    start = end − len ≥ t − max_len, so [lo, hi] is candidate-complete.
+    The composite ``code * K + rank(start)`` key is strictly
+    lexicographic and overflow-safe (both factors ≤ rows).
+    Hypothesis-tested against the O(n·m) oracle in
+    ``tests/test_interval_rollup.py``."""
+    uniq = np.unique(rstart)
+    K = np.int64(len(uniq) + 2)
+    comp_right = rcode * K + np.searchsorted(uniq, rstart)
+    hi = np.searchsorted(
+        comp_right, lcode * K + np.searchsorted(uniq, lts, "right"),
+        "left") - 1
+    n_codes = int(max(rcode.max() if len(rcode) else -1,
+                      lcode.max() if len(lcode) else -1)) + 1
+    max_len = np.zeros(max(n_codes, 1), dtype=np.int64)
+    if len(rcode):
+        np.maximum.at(max_len, rcode, rend - rstart)
+    ml = max_len[np.clip(lcode, 0, None)]
+    lo = np.searchsorted(
+        comp_right, lcode * K + np.searchsorted(uniq, lts - ml, "left"),
+        "left")
+    valid = (lcode >= 0) & (hi >= lo) & (hi >= 0)
+    if len(rcode):
+        valid &= rcode[np.clip(hi, 0, None)] == lcode
+    else:
+        valid[:] = False
+    counts = np.where(valid, hi - lo + 1, 0)
+    lidx = np.repeat(np.arange(len(lts), dtype=np.int64), counts)
+    offs = np.zeros(len(lts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offs[1:])
+    ridx = (np.arange(int(offs[-1]), dtype=np.int64)
+            - np.repeat(offs[:-1], counts) + np.repeat(lo, counts))
+    ok = rend[ridx] >= lts[lidx]            # start <= t guaranteed by hi
+    return lidx[ok], ridx[ok]
+
+
 def interval_join(left: Dataset, right: Dataset, *,
                   left_by: str, right_by: str, left_on: str,
                   right_start: str, right_end: str,
@@ -123,7 +171,9 @@ def interval_join(left: Dataset, right: Dataset, *,
                 empty = empty.append_column(
                     name, pa.array([], type=rtypes[c]))
             return empty
-        # shared entity codes so both sides sort into aligned runs
+        # shared entity codes (one dictionary over both sides); only the
+        # RIGHT side needs (code, start) order — left probes are
+        # order-free searchsorteds
         lent = ltbl[_ENT].combine_chunks() if isinstance(
             ltbl[_ENT], pa.ChunkedArray) else ltbl[_ENT]
         rent = rtbl[_ENT].combine_chunks() if isinstance(
@@ -132,47 +182,15 @@ def interval_join(left: Dataset, right: Dataset, *,
         codes_all = pa.chunked_array([lent, rent]).combine_chunks() \
             .dictionary_encode().indices.to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        lcode_raw, rcode_raw = codes_all[:nl], codes_all[nl:]
-        lts_raw = ltbl[_TS].to_numpy(zero_copy_only=False)
+        lcode, rcode_raw = codes_all[:nl], codes_all[nl:]
+        lts = ltbl[_TS].to_numpy(zero_copy_only=False)
         rstart_raw = rtbl[_TS].to_numpy(zero_copy_only=False)
-        lorder = np.lexsort((lts_raw, lcode_raw))
         rorder = np.lexsort((rstart_raw, rcode_raw))
-        ltbl = ltbl.take(pa.array(lorder))
-        keep = ltbl.select(left_names)
         rtbl = rtbl.take(pa.array(rorder))
         rpayload = pa.table({c: rtbl[f"__r_{c}"] for c in rcols})
-        lcode, lts = lcode_raw[lorder], lts_raw[lorder]
         rcode, rstart = rcode_raw[rorder], rstart_raw[rorder]
         rend = rtbl[_END].to_numpy(zero_copy_only=False)
-        # strictly lexicographic composite key: code * K + rank(ts),
-        # ranks over the distinct interval starts (both factors ≤ bucket
-        # rows, so the product stays far inside int64)
-        uniq = np.unique(rstart)
-        K = np.int64(len(uniq) + 2)
-        comp_right = rcode * K + np.searchsorted(uniq, rstart)
-        # hi: last start <= t  (rank 'right' ⇔ start ≤ t)
-        hi = np.searchsorted(
-            comp_right, lcode * K + np.searchsorted(uniq, lts, "right"),
-            "left") - 1
-        # lo: first start >= t - max_len(entity); any interval covering
-        # t has end >= t, so start = end - len >= t - max_len
-        n_codes = int(codes_all.max()) + 1 if len(codes_all) else 0
-        max_len = np.full(n_codes, np.iinfo(np.int64).min, dtype=np.int64)
-        np.maximum.at(max_len, rcode, rend - rstart)
-        ml = np.maximum(max_len[lcode], 0)
-        lo = np.searchsorted(
-            comp_right, lcode * K + np.searchsorted(uniq, lts - ml,
-                                                    "left"), "left")
-        valid = (hi >= lo) & (hi >= 0) & (rcode[np.clip(hi, 0, None)]
-                                          == lcode)
-        counts = np.where(valid, hi - lo + 1, 0)
-        lidx = np.repeat(np.arange(nl, dtype=np.int64), counts)
-        offs = np.zeros(nl + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        ridx = (np.arange(int(offs[-1]), dtype=np.int64)
-                - np.repeat(offs[:-1], counts) + np.repeat(lo, counts))
-        ok = rend[ridx] >= lts[lidx]        # start<=t guaranteed by hi
-        lidx, ridx = lidx[ok], ridx[ok]
+        lidx, ridx = match_interval_pairs(lcode, lts, rcode, rstart, rend)
         out = keep.take(pa.array(lidx))
         for c in rcols:
             col = rpayload[c]
@@ -216,7 +234,7 @@ def _interval_broadcast(left: Dataset, right: Dataset, *, left_by,
     rtbl = rtbl.take(pa.array(order))
     rent_np, rstart_np = rent_np[order], rstart_np[order]
     rend_np = rtbl[_END].to_numpy(zero_copy_only=False)
-    # entity runs over the sorted table
+    # entity runs over the sorted table: run index IS the entity code
     if len(rtbl):
         new_run = np.r_[True, rent_np[1:] != rent_np[:-1]]
     else:
@@ -224,44 +242,19 @@ def _interval_broadcast(left: Dataset, right: Dataset, *, left_by,
     run_idx = np.cumsum(new_run) - 1 if len(rtbl) else \
         np.array([], dtype=np.int64)
     run_ents = pd.Index(rent_np[new_run]) if len(rtbl) else pd.Index([])
-    uniq = np.unique(rstart_np)
-    K = np.int64(len(uniq) + 2)
-    comp = run_idx * K + np.searchsorted(uniq, rstart_np)
-    n_runs = int(run_idx[-1]) + 1 if len(rtbl) else 0
-    max_len = np.zeros(max(n_runs, 1), dtype=np.int64)
-    if len(rtbl):
-        np.maximum.at(max_len, run_idx, rend_np - rstart_np)
     payload = pa.table({c: rtbl[c] for c in rcols}) if rcols \
         else pa.table({})
-    ref = ray.put((run_ents, run_idx, uniq, K, comp, max_len,
-                   rstart_np, rend_np, payload))
+    ref = ray.put((run_ents, run_idx, rstart_np, rend_np, payload))
 
     def join_batch(batch: pa.Table) -> pa.Table:
-        (run_ents, run_idx, uniq, K, comp, max_len, rstart, rend,
-         payload) = broadcast_get(ref)
-        nb = len(batch)
+        run_ents, run_idx, rstart, rend, payload = broadcast_get(ref)
         keyed = _normalize_keys(batch.select([left_by, left_on]),
                                 left_by, left_on, ent_type)
         lent = keyed[_ENT].to_numpy(zero_copy_only=False)
         lts = keyed[_TS].to_numpy(zero_copy_only=False)
         lcode = run_ents.get_indexer(lent)           # -1 = no intervals
-        hi = np.searchsorted(
-            comp, lcode * K + np.searchsorted(uniq, lts, "right"),
-            "left") - 1
-        ml = np.maximum(max_len[np.clip(lcode, 0, None)], 0)
-        lo = np.searchsorted(
-            comp, lcode * K + np.searchsorted(uniq, lts - ml, "left"),
-            "left")
-        valid = (lcode >= 0) & (hi >= lo) & (hi >= 0)
-        valid &= run_idx[np.clip(hi, 0, None)] == lcode
-        counts = np.where(valid, hi - lo + 1, 0)
-        lidx = np.repeat(np.arange(nb, dtype=np.int64), counts)
-        offs = np.zeros(nb + 1, dtype=np.int64)
-        np.cumsum(counts, out=offs[1:])
-        ridx = (np.arange(int(offs[-1]), dtype=np.int64)
-                - np.repeat(offs[:-1], counts) + np.repeat(lo, counts))
-        ok = rend[ridx] >= lts[lidx]
-        lidx, ridx = lidx[ok], ridx[ok]
+        lidx, ridx = match_interval_pairs(lcode, lts, run_idx, rstart,
+                                          rend)
         out = batch.select(left_names).take(pa.array(lidx))
         for c in rcols:
             col = payload[c]

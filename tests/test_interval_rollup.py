@@ -94,6 +94,29 @@ def test_interval_join_boundaries_and_empty_side():
     assert sorted(zip(got["pid"], got["iid"])) == [(0, 0), (1, 0)]
 
 
+@pytest.mark.parametrize("seed", range(40))
+def test_match_interval_pairs_kernel_vs_brute(seed):
+    # pure-kernel fuzz (no Ray): random codes/times incl. unmatched
+    # codes (-1), duplicate starts, zero/negative/huge interval lengths
+    rng = np.random.default_rng(seed)
+    nl, nr = rng.integers(0, 60), rng.integers(0, 40)
+    lcode = rng.integers(-1, 6, nl)
+    lts = rng.integers(0, 50, nl)
+    rcode = rng.integers(0, 6, nr)
+    rstart = rng.integers(0, 50, nr)
+    rlen = rng.integers(-5, 60, nr)          # negative = invalid interval
+    rend = rstart + rlen
+    order = np.lexsort((rstart, rcode))
+    rcode, rstart, rend = rcode[order], rstart[order], rend[order]
+    from feature_extraction_ray.stages.interval import match_interval_pairs
+    lidx, ridx = match_interval_pairs(lcode, lts, rcode, rstart, rend)
+    got = set(zip(lidx.tolist(), ridx.tolist()))
+    exp = {(i, j) for i in range(nl) for j in range(nr)
+           if lcode[i] == rcode[j] and rstart[j] <= lts[i] <= rend[j]}
+    assert got == exp
+    assert len(lidx) == len(got)             # no duplicate pairs
+
+
 def test_cube_mode_adds_all_marginals():
     pdf = pd.DataFrame({
         "a": ["x", "x", "y", "y"],
