@@ -203,7 +203,12 @@ def _run_child(env: dict, retries: int = 1) -> dict:
                              cwd=os.path.dirname(os.path.abspath(__file__)))
         last = out
         if out.returncode == 0 and out.stdout.strip():
-            return json.loads(out.stdout.strip().splitlines()[-1])
+            # parse inside the retry loop: a stray non-JSON line on the
+            # child's stdout is the same failure class as a crash
+            try:
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            except json.JSONDecodeError:
+                continue
     raise RuntimeError(
         f"bench child failed twice (rc={last.returncode}): "
         f"{last.stderr[-2000:]}")

@@ -66,10 +66,21 @@ def cmd_query(args) -> dict:
     from .pipelines.queries import QUERIES
     res = QUERIES[args.name](args.sf_dir)
     if args.out:
-        res.write_parquet(args.out)
+        if hasattr(res, "write_parquet"):      # ray.data.Dataset
+            res.write_parquet(args.out)
+        else:                                  # pandas DataFrame result
+            import os
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            os.makedirs(args.out, exist_ok=True)
+            pq.write_table(pa.Table.from_pandas(res, preserve_index=False),
+                           os.path.join(args.out, "part-00000.parquet"))
         return {"job": "query", "name": args.name, "out": args.out}
-    df = res.to_pandas() if hasattr(res, "to_pandas") else res
-    return {"job": "query", "name": args.name, "rows": len(df)}
+    # row count without collecting: Dataset.count() never materializes
+    # the result on the driver (fan-out queries can be huge)
+    n = res.count() if hasattr(res, "count") and not hasattr(res, "index") \
+        else len(res)
+    return {"job": "query", "name": args.name, "rows": int(n)}
 
 
 def main(argv=None) -> int:

@@ -47,6 +47,21 @@ from .window import bucketed_apply, DEFAULT_NUM_BUCKETS
 _END = "__iv_end"
 
 
+def _transport_type(t: pa.DataType) -> pa.DataType:
+    """Union/join transport form: fixed-size lists become VARIABLE lists,
+    because ``pa.nulls(n, fixed_size_list)`` materializes n×list_size
+    child values (gigabytes of NULL padding on big tables — CLAUDE.md
+    gotcha; same treatment as the dedup signature transport)."""
+    return pa.list_(t.value_type) if pa.types.is_fixed_size_list(t) \
+        else t
+
+
+def _cast_col(col, typ: pa.DataType):
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.cast(typ) if col.type != typ else col
+
+
 def match_interval_pairs(lcode: np.ndarray, lts: np.ndarray,
                          rcode: np.ndarray, rstart: np.ndarray,
                          rend: np.ndarray):
@@ -128,15 +143,25 @@ def interval_join(left: Dataset, right: Dataset, *,
     rcols = list(dict.fromkeys(right_value_cols))
     rtypes = {c: rschema.field(c).type for c in rcols}
     left_names = list(lschema.names)
+    # list payloads travel in transport (variable-list) form through the
+    # tagged union; restored to their original types per output row
+    ltypes = {c: lschema.field(c).type for c in left_names}
+    l_tt = {c: _transport_type(t) for c, t in ltypes.items()}
+    r_tt = {c: _transport_type(t) for c, t in rtypes.items()}
 
     def tag_left(tbl: pa.Table) -> pa.Table:
         tbl = _normalize_keys(tbl, left_by, left_on, ent_type)
+        for c in left_names:
+            if l_tt[c] != ltypes[c]:
+                tbl = tbl.set_column(tbl.column_names.index(c),
+                                     pa.field(c, l_tt[c]),
+                                     _cast_col(tbl[c], l_tt[c]))
         tbl = tbl.append_column(_END, pa.nulls(len(tbl), type=pa.int64()))
         tbl = tbl.append_column(_SIDE, pa.array(
             np.zeros(len(tbl), dtype=np.int8)))
         for c in rcols:
             tbl = tbl.append_column(f"__r_{c}",
-                                    pa.nulls(len(tbl), type=rtypes[c]))
+                                    pa.nulls(len(tbl), type=r_tt[c]))
         return tbl
 
     def tag_right(tbl: pa.Table) -> pa.Table:
@@ -146,13 +171,13 @@ def interval_join(left: Dataset, right: Dataset, *,
                                    right_by, right_end, ent_type)[_TS]
         out = {}
         for name in left_names:
-            out[name] = pa.nulls(len(tbl), type=lschema.field(name).type)
+            out[name] = pa.nulls(len(tbl), type=l_tt[name])
         out[_ENT] = tbl[_ENT]
         out[_TS] = tbl[_TS]
         out[_END] = end_norm
         out[_SIDE] = pa.array(np.ones(len(tbl), dtype=np.int8))
         for c in rcols:
-            out[f"__r_{c}"] = tbl[c]
+            out[f"__r_{c}"] = _cast_col(tbl[c], r_tt[c])
         return pa.table(out)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
@@ -164,10 +189,10 @@ def interval_join(left: Dataset, right: Dataset, *,
         rtbl = tbl.filter(pa.array(side == 1))
         keep = ltbl.select(left_names)
         if len(ltbl) == 0 or len(rtbl) == 0:
-            empty = pa.table({c: pa.array([], type=keep.schema.field(c).type)
-                              for c in keep.column_names})
+            empty = pa.table({c: pa.array([], type=ltypes[c])
+                              for c in left_names})
             for c in rcols:
-                name = f"{c}{suffix}" if c in keep.column_names else c
+                name = f"{c}{suffix}" if c in empty.column_names else c
                 empty = empty.append_column(
                     name, pa.array([], type=rtypes[c]))
             return empty
@@ -192,12 +217,20 @@ def interval_join(left: Dataset, right: Dataset, *,
         rend = rtbl[_END].to_numpy(zero_copy_only=False)
         lidx, ridx = match_interval_pairs(lcode, lts, rcode, rstart, rend)
         out = keep.take(pa.array(lidx))
+        # restore transport (variable-list) columns to their originals:
+        # every output cell is a real row, so the fixed size holds
+        for c in left_names:
+            if l_tt[c] != ltypes[c]:
+                out = out.set_column(out.column_names.index(c),
+                                     pa.field(c, ltypes[c]),
+                                     _cast_col(out[c], ltypes[c]))
         for c in rcols:
             col = rpayload[c]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            name = f"{c}{suffix}" if c in keep.column_names else c
-            out = out.append_column(name, col.take(pa.array(ridx)))
+            name = f"{c}{suffix}" if c in out.column_names else c
+            out = out.append_column(
+                name, _cast_col(col.take(pa.array(ridx)), rtypes[c]))
         return out
 
     return bucketed_apply(tagged, _ENT, pair_bucket,

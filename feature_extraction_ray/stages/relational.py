@@ -203,8 +203,9 @@ def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
     only ever merge with other sentinel cells of the same level)."""
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         return pa.array([""] * n, type=typ)
-    if pa.types.is_timestamp(typ) or pa.types.is_date(typ):
-        return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
+    if pa.types.is_date32(typ):
+        # date32 casts from int32 (days), not int64
+        return pa.array(np.zeros(n, dtype=np.int32)).cast(typ)
     return pc.cast(pa.array(np.zeros(n, dtype=np.int64)), typ)
 
 
@@ -241,19 +242,23 @@ def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
     def partial(t: pa.Table) -> pa.Table:
         base = t.select([*gcols, value_col])
         gtypes = {c: base.schema.field(c).type for c in gcols}
+        # SQL count(*) semantics at every level: count ALL rows, not
+        # non-null value cells (a ones column keeps keyed and grand-
+        # total levels consistent when value_col has nulls)
+        base = base.append_column(
+            "__ones", pa.array(np.ones(len(base), dtype=np.int64)))
         levels = []
         for mask in masks:
             keys = [c for j, c in enumerate(gcols)
                     if not mask & (1 << (k - 1 - j))]
             if keys:
                 g = base.group_by(keys).aggregate([
-                    (value_col, "sum"), (value_col, "count")])
+                    (value_col, "sum"), ("__ones", "sum")])
                 g = g.rename_columns([*keys, "__s", "__c"])
             else:
                 g = pa.table({
-                    "__s": pa.array(
-                        [pc.sum(base[value_col]).as_py() or 0.0],
-                        type=pa.float64()),
+                    "__s": pa.array([pc.sum(base[value_col]).as_py()],
+                                    type=pa.float64()),
                     "__c": pa.array([len(base)], type=pa.int64()),
                 })
             cols = {}

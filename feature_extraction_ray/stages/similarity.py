@@ -538,9 +538,10 @@ def semdedup(ds: Dataset, threshold: float = 0.95, n_clusters: int = 64,
         [np.asarray(v, dtype=np.float32) for v in sample_rows[vec_col]]))
     cent = _kmeans_lite(sample, n_clusters, seed=seed)
     cent_ref = ray.put(cent)
+    from .partition import broadcast_get
 
     def assign(tbl: pa.Table) -> pa.Table:
-        c = ray.get(cent_ref)
+        c = broadcast_get(cent_ref)    # deserialized once per worker
         m = _norm_rows(_batch_matrix(tbl, vec_col))
         cell = np.argmax(m @ c.T, axis=1)
         return pa.table({

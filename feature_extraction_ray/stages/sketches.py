@@ -125,7 +125,10 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64):
     ``max_err`` (total decrement). When the global distinct count of
     ``col`` is ≤ k no decrement ever fires and the result is EXACT
     (``max_err == 0``) — the oracle-checkable mode. Communication is ≤ k
-    rows per block regardless of corpus size.
+    rows per block regardless of corpus size. Null values form their own
+    EXACT group (SQL ``GROUP BY`` semantics: null counts ride on the
+    per-block meta row, never decremented), reported as a null
+    ``value`` row.
 
     Returns ``(DataFrame[value, count] sorted by count desc, max_err)``.
     """
@@ -135,8 +138,10 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64):
             c = c.combine_chunks()
         enc = c.dictionary_encode()
         idx = enc.indices.to_numpy(zero_copy_only=False)
-        idx = idx[~pa.compute.is_null(enc.indices).to_numpy(
-            zero_copy_only=False)] if enc.null_count else idx
+        n_null = int(enc.indices.null_count)
+        if n_null:
+            idx = idx[~pa.compute.is_null(enc.indices).to_numpy(
+                zero_copy_only=False)]
         cnt = np.bincount(idx.astype(np.int64),
                           minlength=len(enc.dictionary))
         decr = 0
@@ -148,13 +153,14 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64):
             keep = cnt > 0
         vals = enc.dictionary.filter(pa.array(keep))
         n_keep = int(keep.sum())
-        # one meta row per block carries the block's decrement (value
-        # rows stay pure counters, so the merge is a plain groupby-sum)
+        # one meta row per block carries the block's decrement AND its
+        # null-group count (value rows stay pure counters, so the merge
+        # is a plain groupby-sum; the null group is never decremented)
         return pa.table({
             "value": pa.concat_arrays(
                 [vals.cast(pa.large_utf8()),
                  pa.nulls(1, type=pa.large_utf8())]),
-            "count": pa.array(np.r_[cnt[keep].astype(np.int64), 0]),
+            "count": pa.array(np.r_[cnt[keep].astype(np.int64), n_null]),
             "decr": pa.array(np.r_[np.zeros(n_keep, dtype=np.int64),
                                    decr]),
         })
@@ -166,6 +172,7 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64):
         return pd.DataFrame({"value": [], "count": []}), 0
     meta = parts["value"].isna()
     total_decr = int(parts.loc[meta, "decr"].sum())
+    n_null = int(parts.loc[meta, "count"].sum())
     merged = parts[~meta].groupby("value", as_index=False)["count"].sum()
     if len(merged) > k:
         d = int(np.partition(merged["count"].to_numpy(),
@@ -173,6 +180,9 @@ def heavy_hitters(ds: Dataset, col: str, k: int = 64):
         merged = merged.assign(count=merged["count"] - d)
         merged = merged[merged["count"] > 0]
         total_decr += d
+    if n_null:
+        merged = pd.concat([merged, pd.DataFrame(
+            {"value": [None], "count": [n_null]})], ignore_index=True)
     return (merged.sort_values(["count", "value"],
                                ascending=[False, True])
             .reset_index(drop=True)), total_decr

@@ -77,6 +77,57 @@ def test_interval_join_broadcast_equals_partitioned(seed):
     assert set(zip(b["pid"], b["iid"])) == _naive_pairs(pts, ivs)
 
 
+def test_interval_join_fixed_size_list_payload_roundtrip():
+    # fixed-size-list columns must travel the tagged union as VARIABLE
+    # lists (pa.nulls of a fixed-size list materializes n×list_size
+    # child values — CLAUDE.md gotcha) and come back with their
+    # original type on both sides
+    emb = np.arange(12, dtype=np.float32).reshape(4, 3)
+    pts = pa.table({
+        "pid": pa.array([0, 1, 2, 3]),
+        "ent": pa.array(["x"] * 4),
+        "t": pa.array([5, 8, 20, 7]),
+        "feat": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1)), 3),
+    })
+    ivs = pa.table({
+        "iid": pa.array([0, 1]),
+        "ent": pa.array(["x", "x"]),
+        "start": pa.array([4, 100]),
+        "end": pa.array([9, 200]),
+        "ivec": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.arange(6, dtype=np.float32)), 3),
+    })
+    out = interval_join(rd.from_arrow(pts), rd.from_arrow(ivs),
+                        left_by="ent", right_by="ent", left_on="t",
+                        right_start="start", right_end="end",
+                        right_value_cols=["iid", "ivec"], num_buckets=2)
+    got = out.to_pandas().sort_values("pid").reset_index(drop=True)
+    assert got["pid"].tolist() == [0, 1, 3]
+    # payload vectors survive the transport round-trip intact
+    for v in got["ivec"]:
+        np.testing.assert_array_equal(np.asarray(v),
+                                      np.arange(3, dtype=np.float32))
+    for pid, f in zip(got["pid"], got["feat"]):
+        np.testing.assert_array_equal(np.asarray(f), emb[pid])
+
+
+def test_rollup_counts_all_rows_when_value_has_nulls():
+    # SQL count(*) semantics: null value cells count at EVERY level
+    pdf = pd.DataFrame({
+        "a": ["x", "x", "y"],
+        "b": ["p", "p", "q"],
+        "v": [1.0, None, 3.0],
+    })
+    out = rollup_agg(rd.from_pandas(pdf), ["a", "b"], "v",
+                     out_count="n", out_sum="s")
+    got = out.to_pandas().set_index("grouping")
+    assert got.loc[3, "n"] == 3                       # grand total
+    lvl0 = out.to_pandas().query("grouping == 0").set_index(["a", "b"])
+    assert lvl0.loc[("x", "p"), "n"] == 2             # null row counted
+    assert lvl0.loc[("x", "p"), "s"] == 1.0           # sum skips nulls
+
+
 def test_interval_join_boundaries_and_empty_side():
     pts = pd.DataFrame({"pid": [0, 1, 2, 3], "ent": ["x"] * 4,
                         "t": [5, 10, 11, 4]})

@@ -71,6 +71,18 @@ def test_heavy_hitters_exact_when_k_covers_distinct():
     assert dict(zip(df["value"], df["count"])) == exp.to_dict()
 
 
+def test_heavy_hitters_null_group_is_exact():
+    from feature_extraction_ray.stages.sketches import heavy_hitters
+    vals = ["a"] * 5 + [None] * 3 + ["b"] * 2
+    ds = rd.from_arrow(pa.table(
+        {"v": pa.array(vals, type=pa.string())})).repartition(3)
+    df, err = heavy_hitters(ds, "v", k=4)
+    assert err == 0
+    got = {(v if v is not None and v == v else None): c
+           for v, c in zip(df["value"], df["count"])}
+    assert got == {"a": 5, None: 3, "b": 2}
+
+
 def test_heavy_hitters_guarantee_small_k():
     from feature_extraction_ray.stages.sketches import heavy_hitters
     rng = np.random.default_rng(9)
