@@ -2304,6 +2304,140 @@ GROUP BY o2.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Round-3 late operators: bloom semi-join, string_agg, unpivot,
+# histogram, JSONL source roundtrip
+# ---------------------------------------------------------------------------
+
+def lineitem_bloom_parts(sf_dir: str) -> Dataset:
+    """Bloom-filter semi-join (``stages/bloom.py``): distributed Bloom
+    build over the build side, broadcast bitmap probe prune, exact
+    bucketed tagged-union verification — the large×large plan of
+    ``lineitem_big_parts`` (no driver key set). Result is EXACT; the
+    Bloom only prunes rows entering the verify exchange."""
+    from ..stages.bloom import bloom_semi_join
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_returnflag", "l_quantity"])
+    parts = _read(sf_dir, "part",
+                  ["p_partkey", "p_retailprice"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(t["p_retailprice"],
+                                            pa.scalar(910.0))),
+        batch_format="pyarrow")
+    filtered = bloom_semi_join(li, parts, left_key="l_partkey",
+                               right_key="p_partkey", fpp=0.05,
+                               num_buckets=16)
+    out = filtered.groupby("l_returnflag").aggregate(
+        Count(alias_name="n_items"),
+        Sum("l_quantity", alias_name="sum_qty"))
+    return _round(out, {"sum_qty": 2})
+
+
+LINEITEM_BLOOM_PARTS_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN
+      (SELECT p_partkey FROM part WHERE p_retailprice >= 910.0)
+GROUP BY l_returnflag
+"""
+
+
+def user_event_seq(sf_dir: str) -> Dataset:
+    """Grouped ordered string aggregation (SQL ``string_agg(x, ','
+    ORDER BY ts, event_id)``) — one bucketed exchange, Arrow list-join
+    per bucket (``stages/window.grouped_concat``). The order columns
+    totally order each group, so the concatenation is deterministic."""
+    ds = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "event_type"])
+    return SW.grouped_concat(ds, "user_id", ["ts", "event_id"],
+                             "event_type", sep=",", out_col="event_seq")
+
+
+USER_EVENT_SEQ_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+FROM events GROUP BY user_id
+"""
+
+
+def lineitem_measures_long(sf_dir: str) -> Dataset:
+    """Wide→long ``unpivot`` (``stages/relational.unpivot``, zero
+    shuffle — the inverse of ``events_pivot_by_user``) + grouped
+    rollup over the long form."""
+    from ..stages.relational import unpivot
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    long = unpivot(ds, ["l_returnflag"],
+                   ["l_quantity", "l_extendedprice", "l_discount"],
+                   var_name="measure", value_name="value")
+    out = long.groupby(["l_returnflag", "measure"]).aggregate(
+        Sum("value", alias_name="total"), Count(alias_name="n"))
+    return _round(out, {"total": 2})
+
+
+LINEITEM_MEASURES_LONG_SQL = """
+SELECT l_returnflag, measure, round(sum(value), 2) AS total,
+       count(*) AS n
+FROM (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+GROUP BY l_returnflag, measure
+"""
+
+
+def events_value_histogram(sf_dir: str) -> Dataset:
+    """Equi-width histogram (``stages/sketches.equi_width_histogram``):
+    per-block ``bincount`` partials, tiny ``num_bins``-key exchange —
+    the data never shuffles. Identical literal bin arithmetic on both
+    sides (floor((v-0)/20), clip to [0,24])."""
+    from ..stages.sketches import equi_width_histogram
+    ds = _read(sf_dir, "events", ["value"])
+    return equi_width_histogram(ds, "value", 0.0, 500.0, 25)
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = """
+SELECT bin, count(*) AS n, bin * 20.0 + 0.0 AS bin_lo
+FROM (SELECT CAST(least(greatest(floor((value - 0.0) / 20.0), 0), 24)
+             AS BIGINT) AS bin
+      FROM events WHERE value IS NOT NULL)
+GROUP BY bin
+"""
+
+
+def events_jsonl_roundtrip(sf_dir: str) -> Dataset:
+    """Source-format roundtrip: parquet → JSONL (``write_json``) →
+    ``read_json`` → grouped integer aggregate. Proves the JSONL
+    source/sink path against an exact oracle on the ORIGINAL parquet —
+    integer witnesses (count + id sum) survive JSON text exactly, where
+    floats would not."""
+    import tempfile
+    ds = _read(sf_dir, "events", ["event_type", "event_id"])
+    out_dir = tempfile.mkdtemp(prefix="fxr_jsonl_")
+    ds.write_json(out_dir)
+    back = rd.read_json(out_dir)
+    out = back.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("event_id", alias_name="id_sum"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("id_sum")
+        return t.set_column(i, pa.field("id_sum", pa.int64()),
+                            t["id_sum"].cast(pa.int64()))
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+EVENTS_JSONL_ROUNDTRIP_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
 # (45) comes first, then the highest-value rows-only entries fill the
@@ -2316,8 +2450,10 @@ QUERIES = {
     "filter_high_value_orders": filter_high_value_orders,
     "customers_per_nation": customers_per_nation,
     "lineitem_big_parts": lineitem_big_parts,
+    "lineitem_bloom_parts": lineitem_bloom_parts,
+    "lineitem_measures_long": lineitem_measures_long,
+    "events_jsonl_roundtrip": events_jsonl_roundtrip,
     "customers_without_orders": customers_without_orders,
-    "mean_embedding_by_label": mean_embedding_by_label,
     "label_centroid_similarity": label_centroid_similarity,
     "global_shuffle_docs": global_shuffle_docs,
     "lag_events": lag_events,
@@ -2325,26 +2461,24 @@ QUERIES = {
     "normalized_events": normalized_events,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
-    "time_window_events": time_window_events,
-    "tumbling_hourly_events": tumbling_hourly_events,
     "cumsum_events": cumsum_events,
     "rank_events": rank_events,
     "rank_stats_events": rank_stats_events,
     "events_rollup": events_rollup,
     "median_value_by_type": median_value_by_type,
+    "events_value_histogram": events_value_histogram,
+    "user_event_seq": user_event_seq,
     "top2_orders_per_customer": top2_orders_per_customer,
     "orders_interval_pairs": orders_interval_pairs,
     "asof_prev_order_tolerance": asof_prev_order_tolerance,
     "customers_orders_full_outer": customers_orders_full_outer,
     "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
-    "verbosity_by_source": verbosity_by_source,
     "exact_dedup_docs": exact_dedup_docs,
     "hapax_by_source": hapax_by_source,
     "vocab_filter": vocab_filter,
     "user_value_stats": user_value_stats,
     "docs_min_word_gate": docs_min_word_gate,
-    "knn_embeddings": knn_embeddings,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
     "embedding_dedup_brute": embedding_dedup_brute,
@@ -2388,7 +2522,23 @@ QUERIES = {
     #      rank_stats_events / events_rollup / orders_interval_pairs.
     #      events_by_type likewise rotated (green r01+r02; plain-groupby
     #      family keeps q1 / customers_per_nation / user_value_stats /
-    #      hapax_by_source in-window) for curated_docs ----
+    #      hapax_by_source in-window) for curated_docs.
+    #      Session-2 rotations (each green r01+r02, family keeps an
+    #      in-window oracle row): tumbling_hourly_events +
+    #      time_window_events (windowed-agg family keeps
+    #      sliding_mean_events + cumsum_events), verbosity_by_source
+    #      (token-stats family keeps doc_token_counts + hapax +
+    #      vocab_filter), knn_embeddings (knn family keeps the exact
+    #      ivf_full + lsh_full twins), mean_embedding_by_label
+    #      (embedding-agg family keeps label_centroid_similarity) —
+    #      making room for lineitem_bloom_parts / user_event_seq /
+    #      lineitem_measures_long / events_value_histogram /
+    #      events_jsonl_roundtrip ----
+    "mean_embedding_by_label": mean_embedding_by_label,
+    "time_window_events": time_window_events,
+    "tumbling_hourly_events": tumbling_hourly_events,
+    "verbosity_by_source": verbosity_by_source,
+    "knn_embeddings": knn_embeddings,
     "events_by_type": events_by_type,
     "bfill_events": bfill_events,
     "sliding_minmax_events": sliding_minmax_events,
@@ -2444,6 +2594,11 @@ ORACLE_SQL = {
     "topk_orders": TOPK_SQL,
     "customers_per_nation": CUSTOMERS_PER_NATION_SQL,
     "lineitem_big_parts": LINEITEM_BIG_PARTS_SQL,
+    "lineitem_bloom_parts": LINEITEM_BLOOM_PARTS_SQL,
+    "lineitem_measures_long": LINEITEM_MEASURES_LONG_SQL,
+    "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
+    "user_event_seq": USER_EVENT_SEQ_SQL,
+    "events_value_histogram": EVENTS_VALUE_HISTOGRAM_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "orders_by_mktsegment": ORDERS_BY_MKTSEGMENT_SQL,
     "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,

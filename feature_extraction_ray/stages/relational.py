@@ -329,3 +329,32 @@ def explode_column(ds: Dataset, list_col: str, out_col: str | None = None,
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unpivot(ds: Dataset, id_cols: Sequence[str],
+            value_cols: Sequence[str], var_name: str = "variable",
+            value_name: str = "value") -> Dataset:
+    """Wide→long reshape (SQL ``UNPIVOT`` / pandas ``melt``): each input
+    row emits one output row per ``value_cols`` entry, carrying
+    ``id_cols``, the source column's name (``var_name``) and its value
+    (``value_name``). Pure ``map_batches`` — zero shuffle; the inverse
+    of the pivot in ``pipelines/queries.events_pivot_by_user``.
+
+    Value columns are cast to a common type (their shared type, else
+    float64 for mixed numerics)."""
+    schema = ds.schema().base_schema
+    vtypes = [schema.field(c).type for c in value_cols]
+    common = vtypes[0] if all(t == vtypes[0] for t in vtypes) \
+        else pa.float64()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in value_cols:
+            t = batch.select(list(id_cols))
+            t = t.append_column(var_name, pa.array(
+                np.full(len(batch), c, dtype=object), type=pa.string()))
+            t = t.append_column(value_name, batch[c].cast(common))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -231,3 +232,39 @@ def approx_quantiles(ds: Dataset, col: str, qs, samples_per_block: int = 256):
         pos = int(np.searchsorted(cw, target, side="right"))
         out[float(q)] = float(vals[min(pos, len(vals) - 1)])
     return out
+
+
+def equi_width_histogram(ds: Dataset, value_col: str, lo: float,
+                         hi: float, num_bins: int) -> Dataset:
+    """Equi-width histogram: per-block ``np.bincount`` partials (one
+    tiny (bin, n) table per block — at most ``num_bins`` rows), then a
+    ``num_bins``-key groupby-sum. The all-to-all moves O(blocks ×
+    num_bins) rows, never the data. Out-of-range values clip into the
+    first/last bin (SQL ``least``/``greatest``); nulls/NaN are dropped.
+    Only non-empty bins are emitted (SQL GROUP BY parity). Bin i covers
+    ``[lo + i·w, lo + (i+1)·w)`` with ``w = (hi - lo)/num_bins``."""
+    from ray.data.aggregate import Sum
+    width = (hi - lo) / num_bins
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        v = v[~np.isnan(v)]
+        b = np.floor((v - lo) / width)
+        b = np.clip(b, 0, num_bins - 1).astype(np.int64)
+        cnt = np.bincount(b, minlength=num_bins)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("bin").aggregate(Sum("n", alias_name="n"))
+
+    def fix(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("n")
+        t = t.set_column(i, pa.field("n", pa.int64()),
+                         t["n"].cast(pa.int64()))
+        w = pc.add(pc.multiply(t["bin"].cast(pa.float64()), width), lo)
+        return t.append_column("bin_lo", w)
+
+    return out.map_batches(fix, batch_format="pyarrow")

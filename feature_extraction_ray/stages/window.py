@@ -409,3 +409,39 @@ def tumbling_agg(ds: Dataset, entity_col: str, ts_col: str,
         return t.set_column(i, pa.field("w_cnt", pa.int64()),
                             pc.cast(t["w_cnt"], pa.int64()))
     return out.map_batches(fix, batch_format="pyarrow")
+
+
+def grouped_concat(ds: Dataset, entity_col: str,
+                   order_cols: Sequence[str], value_col: str,
+                   sep: str = ",", out_col: str | None = None,
+                   num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Grouped ordered string aggregation (SQL ``string_agg(value, sep
+    ORDER BY order_cols)``): one row per entity with the group's values
+    joined in ``order_cols`` order.
+
+    One bucketed exchange, then per-bucket: stable sort, group offsets,
+    ``pa.ListArray`` over the value strings, ``pc.binary_join`` — fully
+    Arrow, no per-group Python loop. ``order_cols`` should totally
+    order each group (include a unique tiebreak column) for a
+    deterministic result. Null values propagate to a null group result
+    (Arrow ``binary_join`` semantics) — drop them upstream if SQL's
+    skip-nulls behavior is wanted."""
+    out_col = out_col or f"{value_col}_concat"
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, starts = _sorted_with_starts(tbl, entity_col, order_cols)
+        col = tbl[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        start_idx = np.flatnonzero(starts)
+        offsets = np.append(start_idx, len(tbl)).astype(np.int64)
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(offsets), col.cast(pa.large_utf8()))
+        joined = pc.binary_join(lst, pa.scalar(sep, type=pa.large_utf8()))
+        ents = tbl[entity_col].take(pa.array(start_idx))
+        return pa.table({entity_col: ents,
+                         out_col: joined.cast(pa.utf8())})
+
+    # fn's output omits the bucket column already — nothing to drop
+    return bucketed_apply(ds, entity_col, fn, num_buckets=num_buckets,
+                          drop_bucket=False)

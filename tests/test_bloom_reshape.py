@@ -1,0 +1,155 @@
+"""Bloom semi-join, grouped_concat, unpivot, equi-width histogram."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from feature_extraction_ray.stages.bloom import (
+    BloomFilter, bloom_semi_join, bucketed_semi_join, build_bloom,
+    dimension_bloom, _hash_pair)
+from feature_extraction_ray.stages.relational import semi_join, unpivot
+from feature_extraction_ray.stages.sketches import equi_width_histogram
+from feature_extraction_ray.stages.window import grouped_concat
+
+
+def _mk(tbl: dict) -> rd.Dataset:
+    return rd.from_arrow(pa.table(tbl))
+
+
+# ---------------------------------------------------------------- bloom --
+
+def test_bloom_no_false_negatives_and_low_fpp():
+    rng = np.random.default_rng(7)
+    members = rng.choice(1_000_000, size=5_000, replace=False)
+    ds = _mk({"k": members.astype(np.int64)})
+    bloom = build_bloom(ds, "k", fpp=0.01)
+    # every member tests positive
+    assert bloom.contains(pa.array(members)).all()
+    # non-members: observed fpp stays within ~5x of the target
+    non = np.setdiff1d(rng.choice(2_000_000, size=30_000), members)[:20_000]
+    hits = bloom.contains(pa.array(non + 2_000_000)).mean()
+    assert hits < 0.05, hits
+
+
+def test_bloom_string_keys_and_nulls():
+    ds = _mk({"k": pa.array(["a", "b", "c", None])})
+    bloom = build_bloom(ds, "k", num_bits=1 << 12, num_hashes=4)
+    got = bloom.contains(pa.array(["a", "zz", None, "c"]))
+    assert got.tolist() == [True, False, False, True]
+
+
+def test_dimension_bloom_power_of_two():
+    m, k = dimension_bloom(10_000, 0.01)
+    assert m & (m - 1) == 0 and 1 <= k <= 16
+
+
+def test_hash_pair_h2_odd():
+    _, h2 = _hash_pair(pa.array([1, 2, 3], type=pa.int64()))
+    assert (h2 & np.uint64(1)).all()
+
+
+def test_bucketed_semi_join_matches_broadcast():
+    rng = np.random.default_rng(3)
+    left = _mk({"k": rng.integers(0, 50, 400).astype(np.int64),
+                "v": rng.normal(size=400)})
+    right = _mk({"rk": np.arange(0, 50, 3).astype(np.int64)})
+    exp = semi_join(left, right, left_key="k", right_key="rk") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    got = bucketed_semi_join(left, right, left_key="k", right_key="rk",
+                             num_buckets=8).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
+    # anti
+    expa = semi_join(left, right, left_key="k", right_key="rk",
+                     anti=True).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    gota = bucketed_semi_join(left, right, left_key="k", right_key="rk",
+                              anti=True, num_buckets=8).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gota, expa)
+
+
+@pytest.mark.parametrize("exact", ["bucketed", "broadcast"])
+def test_bloom_semi_join_exact(exact):
+    rng = np.random.default_rng(11)
+    left = _mk({"k": rng.integers(0, 1000, 2000).astype(np.int64),
+                "p": np.arange(2000, dtype=np.int64)})
+    right = _mk({"k2": rng.choice(1000, 120, replace=False)
+                .astype(np.int64)})
+    exp = semi_join(left, right, left_key="k", right_key="k2") \
+        .to_pandas().sort_values("p").reset_index(drop=True)
+    got = bloom_semi_join(left, right, left_key="k", right_key="k2",
+                          fpp=0.2, exact=exact, num_buckets=8) \
+        .to_pandas().sort_values("p").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp)
+
+
+def test_bloom_semi_join_none_superset():
+    """exact='none' keeps all true matches (no false negatives)."""
+    rng = np.random.default_rng(5)
+    left = _mk({"k": rng.integers(0, 300, 1000).astype(np.int64)})
+    right = _mk({"k2": np.arange(0, 300, 7).astype(np.int64)})
+    exp = set(semi_join(left, right, left_key="k", right_key="k2")
+              .to_pandas()["k"])
+    got = set(bloom_semi_join(left, right, left_key="k", right_key="k2",
+                              fpp=0.01, exact="none").to_pandas()["k"])
+    assert exp <= got
+
+
+# -------------------------------------------------------- grouped_concat --
+
+def test_grouped_concat_matches_pandas():
+    rng = np.random.default_rng(2)
+    n = 500
+    df = pd.DataFrame({
+        "ent": rng.integers(0, 40, n),
+        "ord": rng.permutation(n),
+        "val": [f"w{i % 13}" for i in range(n)]})
+    ds = _mk({c: pa.array(df[c]) for c in df})
+    got = grouped_concat(ds, "ent", ["ord"], "val", sep="|",
+                         out_col="seq", num_buckets=4).to_pandas() \
+        .sort_values("ent").reset_index(drop=True)
+    exp = (df.sort_values(["ent", "ord"])
+           .groupby("ent")["val"].agg("|".join)
+           .reset_index().rename(columns={"val": "seq"}))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# ---------------------------------------------------------------- unpivot --
+
+def test_unpivot_matches_melt():
+    df = pd.DataFrame({"id": [1, 2, 3], "a": [1.0, 2.0, 3.0],
+                       "b": [4.0, 5.0, 6.0]})
+    ds = _mk({c: pa.array(df[c]) for c in df})
+    got = unpivot(ds, ["id"], ["a", "b"], var_name="var",
+                  value_name="val").to_pandas() \
+        .sort_values(["id", "var"]).reset_index(drop=True)
+    exp = df.melt(id_vars="id", value_vars=["a", "b"], var_name="var",
+                  value_name="val") \
+        .sort_values(["id", "var"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_unpivot_mixed_types_promote_float():
+    ds = _mk({"id": pa.array([1]), "i": pa.array([2], type=pa.int64()),
+              "f": pa.array([0.5], type=pa.float64())})
+    out = unpivot(ds, ["id"], ["i", "f"]).to_pandas()
+    assert out["value"].dtype == np.float64
+    assert sorted(out["value"]) == [0.5, 2.0]
+
+
+# -------------------------------------------------------------- histogram --
+
+def test_histogram_matches_bincount():
+    rng = np.random.default_rng(4)
+    v = rng.uniform(-5, 105, 5000)  # out-of-range values clip
+    ds = _mk({"x": pa.array(v)})
+    got = equi_width_histogram(ds, "x", 0.0, 100.0, 10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    b = np.clip(np.floor(v / 10.0), 0, 9).astype(np.int64)
+    cnt = np.bincount(b, minlength=10)
+    assert got["bin"].tolist() == list(range(10))
+    assert got["n"].tolist() == cnt.tolist()
+    np.testing.assert_allclose(got["bin_lo"], np.arange(10) * 10.0)
