@@ -2437,6 +2437,22 @@ FROM events GROUP BY event_type
 """
 
 
+
+def bpe_tokens_docs(sf_dir: str) -> Dataset:
+    """Trained BPE subword tokenizer (``stages/bpe.py``): fully
+    distributed word-frequency fit (the merge loop runs on the driver
+    over a vocab-bounded top-``max_words`` table — the standard
+    tokenizer-training recipe), broadcast merge ranks, per-worker
+    memoized encode. Learned merges are not SQL-expressible —
+    rows-only (goldens: Sennrich example + naive-recount fuzz in
+    ``tests/test_bpe.py``)."""
+    from ..stages.bpe import apply_bpe, fit_bpe
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = fit_bpe(docs, "text", num_merges=300, max_words=50_000)
+    out = apply_bpe(docs, "text", merges, count_col="n_bpe")
+    return out.select_columns(["doc_id", "n_bpe"])
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2586,6 +2602,7 @@ QUERIES = {
     "doc_tfidf_scores": doc_tfidf_scores,
     "doc_top_terms": doc_top_terms,
     "weighted_sample_docs": weighted_sample_docs,
+    "bpe_tokens_docs": bpe_tokens_docs,
 }
 
 ORACLE_SQL = {
