@@ -2453,6 +2453,70 @@ def bpe_tokens_docs(sf_dir: str) -> Dataset:
     return out.select_columns(["doc_id", "n_bpe"])
 
 
+
+def stratified_split_events(sf_dir: str) -> Dataset:
+    """Exact-fraction stratified split (``partition.stratified_split``):
+    per event_type, the first ceil(0.8·n) rows by event_id are "train".
+    Deterministic, integer-exact SQL oracle (window row_number/count)."""
+    from ..stages.partition import stratified_split
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = stratified_split(ds, "event_type", ["event_id"], 0.8)
+    return out.groupby(["event_type", "split"]).aggregate(
+        Count(alias_name="n"), Sum("event_id", alias_name="id_sum"))
+
+
+STRATIFIED_SPLIT_EVENTS_SQL = """
+SELECT event_type,
+       CASE WHEN rn <= ceil(0.8 * cnt) THEN 'train'
+            ELSE 'holdout' END AS split,
+       count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+FROM (SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS cnt
+      FROM events)
+GROUP BY 1, 2
+"""
+
+
+
+def ewma_events(sf_dir: str) -> Dataset:
+    """Per-entity exponentially weighted moving average
+    (``window.ewma``, pandas adjust=False semantics): one bucketed
+    exchange, chunked closed-form recurrence per run. Oracle: the
+    closed form as an explicit self-join power sum (yₜ = aᵗx₀ +
+    αΣa^(t-j)xⱼ), compared as a per-user EWMA CHECKSUM (sum over the
+    run, round 2): per-row EWMA values have SHORT exact decimal
+    expansions at small t and land exactly on round-k boundaries
+    (~1 in 10 of the t=k-1 rows), so the two engines' 1e-14 doubles
+    straddle them — the 70-digit sum never does. Per-row values are
+    golden-tested against pandas ewm in tests/test_bloom_reshape.py."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    out = SW.ewma(ds, "user_id", ["ts", "event_id"], ["value"],
+                  alpha=0.1)
+    agg = out.groupby("user_id").aggregate(
+        Sum("value_ewma", alias_name="ewma_sum"),
+        Count(alias_name="n"))
+    return _round(agg, {"ewma_sum": 2})
+
+
+EWMA_EVENTS_SQL = """
+WITH r AS (SELECT user_id, ts, event_id, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1 AS rn
+           FROM events),
+y AS (SELECT t.user_id, t.event_id,
+             sum(CASE WHEN s.rn = 0 THEN power(0.9, t.rn) * s.value
+                      ELSE 0.1 * power(0.9, t.rn - s.rn) * s.value
+                 END) AS value_ewma
+      FROM r t JOIN r s ON s.user_id = t.user_id AND s.rn <= t.rn
+      GROUP BY t.user_id, t.event_id)
+SELECT user_id, round(sum(value_ewma), 2) AS ewma_sum,
+       count(*) AS n
+FROM y GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2473,11 +2537,11 @@ QUERIES = {
     "label_centroid_similarity": label_centroid_similarity,
     "global_shuffle_docs": global_shuffle_docs,
     "lag_events": lag_events,
-    "sessionize_events": sessionize_events,
+    "stratified_split_events": stratified_split_events,
     "normalized_events": normalized_events,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
-    "cumsum_events": cumsum_events,
+    "ewma_events": ewma_events,
     "rank_events": rank_events,
     "rank_stats_events": rank_stats_events,
     "events_rollup": events_rollup,
@@ -2549,7 +2613,15 @@ QUERIES = {
     #      (embedding-agg family keeps label_centroid_similarity) —
     #      making room for lineitem_bloom_parts / user_event_seq /
     #      lineitem_measures_long / events_value_histogram /
-    #      events_jsonl_roundtrip ----
+    #      events_jsonl_roundtrip; sessionize_events (green r01+r02,
+    #      session family keeps session_stats_events +
+    #      sessionize_events_streaming's pytest oracle) rotated for
+    #      stratified_split_events (the split family's first driver
+    #      row); cumsum_events (green r01+r02, cumulative family keeps
+    #      its pytest oracle + the streaming twin) rotated for
+    #      ewma_events ----
+    "sessionize_events": sessionize_events,
+    "cumsum_events": cumsum_events,
     "mean_embedding_by_label": mean_embedding_by_label,
     "time_window_events": time_window_events,
     "tumbling_hourly_events": tumbling_hourly_events,
@@ -2616,6 +2688,8 @@ ORACLE_SQL = {
     "events_jsonl_roundtrip": EVENTS_JSONL_ROUNDTRIP_SQL,
     "user_event_seq": USER_EVENT_SEQ_SQL,
     "events_value_histogram": EVENTS_VALUE_HISTOGRAM_SQL,
+    "stratified_split_events": STRATIFIED_SPLIT_EVENTS_SQL,
+    "ewma_events": EWMA_EVENTS_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "orders_by_mktsegment": ORDERS_BY_MKTSEGMENT_SQL,
     "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,

@@ -309,3 +309,30 @@ def weighted_sample_per_group(ds: Dataset, group_col: str, k: int,
         return t.drop_columns(["__wskey"])
 
     return out.map_batches(strip, batch_format="pyarrow")
+
+
+def stratified_split(ds, group_col: str, order_cols, frac: float,
+                     out_col: str = "split", num_buckets: int = 32):
+    """Deterministic stratified split: within each ``group_col`` stratum
+    the first ``ceil(frac·n)`` rows in ``order_cols`` order are labeled
+    "train", the rest "holdout" — exact per-stratum fractions (unlike
+    ``hash_split``'s per-row i.i.d. assignment, which only hits ``frac``
+    in expectation). One bucketed exchange; ``order_cols`` should
+    totally order each stratum for determinism."""
+    import math
+
+    from .window import bucketed_apply
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, *order_cols])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        sizes = np.diff(np.r_[starts, len(tbl)])
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id]
+        cut = np.ceil(frac * sizes).astype(np.int64)
+        lab = np.where(rank < cut[run_id], "train", "holdout")
+        return tbl.append_column(out_col,
+                                 pa.array(lab, type=pa.string()))
+
+    return bucketed_apply(ds, group_col, fn, num_buckets=num_buckets)

@@ -445,3 +445,62 @@ def grouped_concat(ds: Dataset, entity_col: str,
     # fn's output omits the bucket column already — nothing to drop
     return bucketed_apply(ds, entity_col, fn, num_buckets=num_buckets,
                           drop_bucket=False)
+
+
+def _ewma_run(x: np.ndarray, alpha: float) -> np.ndarray:
+    """Vectorized EWMA recurrence for one sorted run (pandas
+    ``ewm(alpha=..., adjust=False)``: y₀ = x₀, yₜ = (1-α)yₜ₋₁ + αxₜ).
+
+    Closed form per chunk: yₜ = aᵗ⁺¹·c + α·aᵗ·Σⱼ xⱼ·a⁻ʲ with carry
+    c (run start: c = x₀ — algebraically exact since a + α = 1).
+    Chunk length is capped so a⁻ᴸ stays well inside float range; the
+    cumsum's graceful forgetting of early terms mirrors the EWMA's own
+    decay, so precision tracks the exact recurrence to ~1e-13."""
+    a = 1.0 - alpha
+    n = len(x)
+    out = np.empty(n, dtype=np.float64)
+    if n == 0:
+        return out
+    if a <= 0.0:  # alpha == 1: y = x
+        out[:] = x
+        return out
+    L = int(max(8, min(4096, 100.0 / max(1e-12, -np.log10(a)))))
+    c = x[0]
+    i = 0
+    while i < n:
+        j = min(n, i + L)
+        xs = x[i:j]
+        m = j - i
+        p = a ** np.arange(m + 1)
+        y = alpha * p[:m] * np.cumsum(xs / p[:m]) + p[1:m + 1] * c
+        out[i:j] = y
+        c = y[-1]
+        i = j
+    return out
+
+
+def ewma(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+         value_cols: Sequence[str], alpha: float,
+         suffix: str = "_ewma",
+         num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Per-entity exponentially weighted moving average in
+    ``order_cols`` order (pandas ``groupby(entity).ewm(alpha,
+    adjust=False).mean()``): appends ``{col}{suffix}``. One bucketed
+    exchange; per-run compute is the chunked closed form above (no
+    per-row Python). Null/NaN values propagate."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        bounds = np.r_[np.flatnonzero(ng), len(tbl)]
+        for c in value_cols:
+            v = tbl[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            out = np.empty(len(v), dtype=np.float64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                out[s:e] = _ewma_run(v[s:e], alpha)
+            tbl = tbl.append_column(f"{c}{suffix}",
+                                    pa.array(out, from_pandas=True))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

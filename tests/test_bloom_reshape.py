@@ -153,3 +153,46 @@ def test_histogram_matches_bincount():
     assert got["bin"].tolist() == list(range(10))
     assert got["n"].tolist() == cnt.tolist()
     np.testing.assert_allclose(got["bin_lo"], np.arange(10) * 10.0)
+
+
+# ------------------------------------------------------------------- ewma --
+
+def test_ewma_matches_pandas_per_row():
+    from feature_extraction_ray.stages.window import ewma
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({
+        "ent": rng.integers(0, 7, n),
+        "ord": np.arange(n),
+        "v": rng.normal(size=n) * 50})
+    ds = rd.from_arrow(pa.table({c: pa.array(df[c]) for c in df}))
+    for alpha in (0.1, 0.5, 1.0):
+        got = ewma(ds, "ent", ["ord"], ["v"], alpha=alpha,
+                   num_buckets=4).to_pandas()
+        ref = df.sort_values(["ent", "ord"]).copy()
+        ref["exp"] = ref.groupby("ent")["v"].transform(
+            lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        m = got.merge(ref[["ord", "exp"]], on="ord")
+        np.testing.assert_allclose(m["v_ewma"].to_numpy(),
+                                   m["exp"].to_numpy(),
+                                   rtol=1e-10, atol=1e-10)
+
+
+# -------------------------------------------------------- stratified split --
+
+def test_stratified_split_exact_fractions():
+    from feature_extraction_ray.stages.partition import stratified_split
+    rng = np.random.default_rng(1)
+    n = 1000
+    df = pd.DataFrame({"g": rng.integers(0, 9, n),
+                       "id": rng.permutation(n)})
+    ds = rd.from_arrow(pa.table({c: pa.array(df[c]) for c in df}))
+    got = stratified_split(ds, "g", ["id"], 0.8,
+                           num_buckets=4).to_pandas()
+    for g, grp in got.groupby("g"):
+        nn = len(grp)
+        n_train = (grp["split"] == "train").sum()
+        assert n_train == int(np.ceil(0.8 * nn))
+        # the train rows are exactly the smallest ids of the stratum
+        cut = sorted(grp["id"])[: n_train]
+        assert sorted(grp.loc[grp["split"] == "train", "id"]) == cut
