@@ -157,6 +157,36 @@ def run_bench() -> dict:
                                 columns=["doc_id", "text"]),
                 k=8, num_buckets=32).count())
 
+        # session-2 ops: Bloom-pruned exact semi-join (lineitem × part),
+        # per-entity EWMA over events, trained-BPE fit + amplified encode
+        from feature_extraction_ray.stages.bloom import bloom_semi_join
+        from feature_extraction_ray.stages.bpe import apply_bpe, fit_bpe
+        from feature_extraction_ray.stages.window import ewma
+
+        def _bloom_run():
+            li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                 columns=["l_partkey", "l_quantity"])
+            parts = rd.read_parquet(f"{SF_DIR}/part.parquet",
+                                    columns=["p_partkey"])
+            bloom_semi_join(li, parts, left_key="l_partkey",
+                            right_key="p_partkey", fpp=0.01).count()
+        per_query["bloom_semi_join"] = _best_of(_bloom_run)
+        per_query["ewma_events"] = _best_of(
+            lambda: ewma(rd.read_parquet(
+                f"{SF_DIR}/events.parquet",
+                columns=["user_id", "ts", "event_id", "value"]),
+                "user_id", ["ts", "event_id"], ["value"],
+                alpha=0.1).count())
+
+        def _bpe_run():
+            raw = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                  columns=["doc_id", "text"])
+            merges = fit_bpe(raw, "text", num_merges=200,
+                             max_words=50_000)
+            apply_bpe(amplified_documents(SF_DIR, amp), "text",
+                      merges).count()
+        per_query[f"bpe_fit_encode_x{amp}"] = _best_of(_bpe_run)
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (
