@@ -2517,6 +2517,79 @@ FROM y GROUP BY user_id
 """
 
 
+
+def user_event_entropy(sf_dir: str) -> Dataset:
+    """Per-group Shannon entropy of the label distribution
+    (``relational.group_entropy``): map-side (group,label) partial
+    counts, ONE exchange of aggregates. Entropy values are irrational
+    (never land on rounding boundaries) — round 6 is bit-safe; +0.0
+    normalizes the single-label groups' -0.0."""
+    from ..stages.relational import group_entropy
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = group_entropy(ds, "user_id", "event_type")
+    out = out.map_batches(
+        lambda t: t.set_column(t.column_names.index("entropy"),
+                               pa.field("entropy", pa.float64()),
+                               pc.add(t["entropy"], pa.scalar(0.0))),
+        batch_format="pyarrow")
+    return _round(out, {"entropy": 6})
+
+
+USER_EVENT_ENTROPY_SQL = """
+SELECT user_id, round(0.0 - sum(p * ln(p)), 6) AS entropy,
+       CAST(sum(n) AS BIGINT) AS n_rows
+FROM (SELECT user_id, count(*) AS n,
+             count(*)::DOUBLE /
+             sum(count(*)) OVER (PARTITION BY user_id) AS p
+      FROM events GROUP BY user_id, event_type)
+GROUP BY user_id
+"""
+
+
+def orders_snapshot_diff(sf_dir: str) -> Dataset:
+    """Change-data capture (``relational.snapshot_diff``): two
+    deterministic snapshots derived from orders (old = keys %3≠0;
+    new = keys %5≠0 with price negated on %7=0) → added/removed/
+    changed keys in ONE tagged-union exchange. Unchanged rows share
+    the same source doubles, so equality is bit-safe."""
+    from ..stages.relational import snapshot_diff
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def mk_old(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(k % 3 != 0))
+
+    def mk_new(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 5 != 0))
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        v = np.where(k % 7 == 0, -p, p)
+        return t.set_column(t.column_names.index("o_totalprice"),
+                            pa.field("o_totalprice", pa.float64()),
+                            pa.array(v))
+
+    old = orders.map_batches(mk_old, batch_format="pyarrow")
+    new = orders.map_batches(mk_new, batch_format="pyarrow")
+    return snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+
+
+ORDERS_SNAPSHOT_DIFF_SQL = """
+WITH old AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+             WHERE o_orderkey % 3 <> 0),
+new AS (SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey % 5 <> 0)
+SELECT coalesce(o.k, n.k) AS o_orderkey,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.k = n.k
+WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2675,6 +2748,8 @@ QUERIES = {
     "doc_top_terms": doc_top_terms,
     "weighted_sample_docs": weighted_sample_docs,
     "bpe_tokens_docs": bpe_tokens_docs,
+    "user_event_entropy": user_event_entropy,
+    "orders_snapshot_diff": orders_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -2690,6 +2765,8 @@ ORACLE_SQL = {
     "events_value_histogram": EVENTS_VALUE_HISTOGRAM_SQL,
     "stratified_split_events": STRATIFIED_SPLIT_EVENTS_SQL,
     "ewma_events": EWMA_EVENTS_SQL,
+    "user_event_entropy": USER_EVENT_ENTROPY_SQL,
+    "orders_snapshot_diff": ORDERS_SNAPSHOT_DIFF_SQL,
     "events_by_type": EVENTS_BY_TYPE_SQL,
     "orders_by_mktsegment": ORDERS_BY_MKTSEGMENT_SQL,
     "distinct_event_types": DISTINCT_EVENT_TYPES_SQL,

@@ -358,3 +358,110 @@ def unpivot(ds: Dataset, id_cols: Sequence[str],
         return pa.concat_tables(pieces)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_entropy(ds: Dataset, group_col: str, label_col: str,
+                  out_col: str = "entropy",
+                  num_buckets: int = 32) -> Dataset:
+    """Shannon entropy (nats) of each group's label distribution —
+    a distribution-shape feature (e.g. how varied a user's event mix
+    is). Map-side partial (group, label) counts per block (Arrow
+    ``group_by``), ONE exchange of the aggregated rows (never the
+    data), then vectorized segmented entropy per bucket. Returns
+    (group, ``out_col``, ``n_rows``)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([group_col, label_col]) \
+            .group_by([group_col, label_col]) \
+            .aggregate([(label_col, "count")])
+        return g.rename_columns([group_col, label_col, "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    from .partition import entity_group_starts, sort_table
+
+    def ent(tbl: pa.Table) -> pa.Table:
+        # merge per-block partials, then entropy per group
+        tbl = tbl.group_by([group_col, label_col]) \
+            .aggregate([("n", "sum")]) \
+            .rename_columns([group_col, label_col, "n"])
+        tbl = sort_table(tbl, [group_col])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        n = tbl["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = np.add.reduceat(n, starts)
+        p = n / tot[run_id]
+        terms = np.where(p > 0, -p * np.log(p), 0.0)
+        h = np.add.reduceat(terms, starts)
+        groups = tbl[group_col].take(pa.array(starts.astype(np.int64)))
+        return pa.table({group_col: groups,
+                         out_col: pa.array(h),
+                         "n_rows": pa.array(tot.astype(np.int64))})
+
+    from .window import bucketed_apply
+    return bucketed_apply(partials, group_col, ent,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+def snapshot_diff(old: Dataset, new: Dataset, key_col: str,
+                  value_cols: Sequence[str],
+                  num_buckets: int = 32) -> Dataset:
+    """Change-data capture between two snapshots keyed by ``key_col``:
+    one row per key that was ``added`` (new only), ``removed`` (old
+    only) or ``changed`` (present in both, any ``value_cols`` differ —
+    SQL ``IS DISTINCT FROM``, nulls equal). Tagged union, ONE bucketed
+    exchange, vectorized searchsorted key alignment per bucket.
+    Returns (key, change). Keys must be unique within each snapshot."""
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            tbl = tbl.select([key_col, *value_cols])
+            return tbl.append_column(
+                "__side", pa.array(np.full(len(tbl), side, dtype=np.int8)))
+        return fn
+
+    tagged = old.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow"))
+
+    def diff(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        ot = tbl.filter(pa.array(side == 0))
+        nt = tbl.filter(pa.array(side == 1))
+        ok = ot[key_col].to_numpy(zero_copy_only=False)
+        nk = nt[key_col].to_numpy(zero_copy_only=False)
+        oi, ni = np.argsort(ok, kind="stable"), np.argsort(nk, kind="stable")
+        ok, nk = ok[oi], nk[ni]
+        ot, nt = ot.take(pa.array(oi)), nt.take(pa.array(ni))
+        pos = np.searchsorted(nk, ok)
+        in_new = np.zeros(len(ok), dtype=bool)
+        valid = pos < len(nk)
+        in_new[valid] = nk[pos[valid]] == ok[valid]
+        removed = ok[~in_new]
+        pos2 = np.searchsorted(ok, nk)
+        in_old = np.zeros(len(nk), dtype=bool)
+        valid2 = pos2 < len(ok)
+        in_old[valid2] = ok[pos2[valid2]] == nk[valid2]
+        added = nk[~in_old]
+        # matched pairs: old row i ↔ new row pos[i]
+        om = np.flatnonzero(in_new)
+        nm = pos[om]
+        changed_mask = np.zeros(len(om), dtype=bool)
+        for c in value_cols:
+            a = ot[c].take(pa.array(om))
+            b = nt[c].take(pa.array(nm))
+            eq = pc.equal(a, b)
+            both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+            # or_kleene: (null == null) must win over the null from equal()
+            eq = pc.fill_null(pc.or_kleene(eq, both_null), False)
+            changed_mask |= ~eq.to_numpy(zero_copy_only=False)
+        changed = ok[om][changed_mask]
+        keys = np.concatenate([added, removed, changed])
+        labels = (["added"] * len(added) + ["removed"] * len(removed) +
+                  ["changed"] * len(changed))
+        key_arr = pa.array(keys, type=tbl.schema.field(key_col).type) \
+            if len(keys) else pa.array([], type=tbl.schema.field(key_col).type)
+        return pa.table({key_col: key_arr,
+                         "change": pa.array(labels, type=pa.string())})
+
+    from .window import bucketed_apply
+    return bucketed_apply(tagged, key_col, diff,
+                          num_buckets=num_buckets, drop_bucket=False)

@@ -196,3 +196,64 @@ def test_stratified_split_exact_fractions():
         # the train rows are exactly the smallest ids of the stratum
         cut = sorted(grp["id"])[: n_train]
         assert sorted(grp.loc[grp["split"] == "train", "id"]) == cut
+
+
+# ----------------------------------------------------------- group_entropy --
+
+def test_group_entropy_matches_manual():
+    from feature_extraction_ray.stages.relational import group_entropy
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"g": rng.integers(0, 12, 800),
+                       "lab": rng.choice(list("abcde"), 800)})
+    ds = rd.from_arrow(pa.table({c: pa.array(df[c]) for c in df}))
+    got = group_entropy(ds, "g", "lab", num_buckets=4).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    for _, row in got.iterrows():
+        sub = df[df["g"] == row["g"]]
+        p = sub["lab"].value_counts(normalize=True).to_numpy()
+        np.testing.assert_allclose(row["entropy"], -(p * np.log(p)).sum(),
+                                   rtol=1e-12)
+        assert row["n_rows"] == len(sub)
+
+
+# ------------------------------------------------------------ snapshot_diff --
+
+def test_snapshot_diff_matches_naive():
+    from feature_extraction_ray.stages.relational import snapshot_diff
+    rng = np.random.default_rng(8)
+    old_keys = rng.choice(500, 300, replace=False)
+    new_keys = rng.choice(500, 300, replace=False)
+    old = pd.DataFrame({"k": old_keys.astype(np.int64),
+                        "v": (old_keys % 13).astype(np.int64)})
+    new = pd.DataFrame({"k": new_keys.astype(np.int64),
+                        "v": (new_keys % 13 + (new_keys % 11 == 0))
+                        .astype(np.int64)})
+    got = snapshot_diff(
+        rd.from_arrow(pa.table({c: pa.array(old[c]) for c in old})),
+        rd.from_arrow(pa.table({c: pa.array(new[c]) for c in new})),
+        "k", ["v"], num_buckets=4).to_pandas()
+    m = old.merge(new, on="k", how="outer", suffixes=("_o", "_n"),
+                  indicator=True)
+    exp = {}
+    for _, r in m.iterrows():
+        if r["_merge"] == "left_only":
+            exp[r["k"]] = "removed"
+        elif r["_merge"] == "right_only":
+            exp[r["k"]] = "added"
+        elif r["v_o"] != r["v_n"]:
+            exp[r["k"]] = "changed"
+    assert dict(zip(got["k"], got["change"])) == exp
+    assert len(got) == len(exp)
+
+
+def test_snapshot_diff_null_values_equal():
+    from feature_extraction_ray.stages.relational import snapshot_diff
+    old = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                    "v": pa.array([None, 5, None], type=pa.int64())})
+    new = pa.table({"k": pa.array([1, 2, 3], type=pa.int64()),
+                    "v": pa.array([None, None, 7], type=pa.int64())})
+    got = snapshot_diff(rd.from_arrow(old), rd.from_arrow(new),
+                        "k", ["v"], num_buckets=2).to_pandas()
+    # k=1: null == null (unchanged); k=2: 5→null; k=3: null→7
+    assert dict(zip(got["k"], got["change"])) == {2: "changed",
+                                                  3: "changed"}
