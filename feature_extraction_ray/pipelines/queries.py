@@ -2590,6 +2590,186 @@ WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
 """
 
 
+def value_quantiles_by_type(sf_dir: str) -> Dataset:
+    """Exact grouped order statistics (``groupstats.grouped_quantiles``):
+    per-type q25/q50/q75 at SQL ``quantile_disc`` indices plus the
+    1.5-IQR outlier count. Quantiles are pass-through data values
+    (bit-safe); the outlier fences are the identical double expression
+    on both engines."""
+    from ..stages.groupstats import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles(ds, "event_type", "value")
+
+
+VALUE_QUANTILES_BY_TYPE_SQL = """
+WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v),
+qv AS (
+  SELECT event_type, any_value(n) AS n_values,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.25*n) AS BIGINT))
+                  THEN value END) AS q25,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.5*n) AS BIGINT))
+                  THEN value END) AS q50,
+         max(CASE WHEN rn = greatest(1, CAST(ceil(0.75*n) AS BIGINT))
+                  THEN value END) AS q75
+  FROM ranked GROUP BY event_type)
+SELECT qv.event_type, qv.n_values, qv.q25, qv.q50, qv.q75,
+       CAST(sum(CASE WHEN v.value < qv.q25 - 1.5*(qv.q75-qv.q25)
+                       OR v.value > qv.q75 + 1.5*(qv.q75-qv.q25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM qv JOIN v USING (event_type)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def top_event_type_per_user(sf_dir: str) -> Dataset:
+    """Grouped argmax / SQL mode (``groupstats.grouped_argmax``): the
+    most frequent event type per user, ties to the lexicographically
+    smallest type. The exchange moves only distinct (user, type, count)
+    partials."""
+    from ..stages.groupstats import grouped_argmax
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    return grouped_argmax(ds, "user_id", "event_type",
+                          out_label="top_event_type", out_count="n_events")
+
+
+TOP_EVENT_TYPE_PER_USER_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events
+           WHERE event_type IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY c DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS top_event_type, CAST(c AS BIGINT) AS n_events
+FROM r WHERE rn = 1
+"""
+
+
+def customer_year_set_ops(sf_dir: str) -> Dataset:
+    """Distinct set algebra (``relational.set_ops``): customers who
+    ordered in 1995 vs 1996 — INTERSECT / EXCEPT / reverse EXCEPT from
+    ONE flag-merge exchange over distinct keys."""
+    from ..stages.relational import set_ops
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    y95 = (pa.scalar(datetime.datetime(1995, 1, 1), type=pa.timestamp("us")),
+           pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us")))
+    y96 = (pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us")),
+           pa.scalar(datetime.datetime(1997, 1, 1), type=pa.timestamp("us")))
+
+    def in_range(lo, hi):
+        def fn(t: pa.Table) -> pa.Table:
+            d = pc.cast(t["o_orderdate"], pa.timestamp("us"))
+            keep = pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+            return t.filter(keep).select(["o_custkey"])
+        return fn
+
+    a = ds.map_batches(in_range(*y95), batch_format="pyarrow")
+    b = ds.map_batches(in_range(*y96), batch_format="pyarrow")
+    return set_ops(a, b, ["o_custkey"])
+
+
+CUSTOMER_YEAR_SET_OPS_SQL = """
+WITH a AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-01-01'),
+     b AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT 'intersect' AS op, o_custkey
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except_a' AS op, o_custkey
+FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'except_b' AS op, o_custkey
+FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+
+def resample_hourly_events(sf_dir: str) -> Dataset:
+    """Time-series regularization (``groupstats.resample_time_series``):
+    each user's events on a dense hourly grid from their first to last
+    active hour, gaps filled with 0 — the exchange moves only
+    pre-aggregated (user, hour, count, sum) partials and the dense grid
+    is np.arange arithmetic."""
+    from ..stages.groupstats import resample_time_series
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    out = resample_time_series(ds, "user_id", "ts", "value",
+                               freq_us=3_600_000_000)
+    return _round(out, {"sum_value": 4})
+
+
+RESAMPLE_HOURLY_EVENTS_SQL = """
+WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                  count(*) AS n, sum(value) AS sv
+           FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+r AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM b GROUP BY 1),
+g AS (SELECT r.user_id,
+             unnest(generate_series(r.lo, r.hi, INTERVAL 1 HOUR)) AS h
+      FROM r)
+SELECT g.user_id, g.h AS period_ts,
+       coalesce(b.n, 0)::BIGINT AS n_events,
+       coalesce(round(b.sv, 4), 0.0) AS sum_value
+FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h
+"""
+
+
+def funnel_view_click_purchase(sf_dir: str) -> Dataset:
+    """Ordered conversion funnel (``groupstats.funnel_counts``): users
+    with a view, then a click within 24h of the first view, then a
+    purchase within 24h of that click — one raw-row exchange, per-step
+    masked reduceat chain, tiny partial-count rollup."""
+    from ..stages.groupstats import funnel_counts
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(ds, "user_id", "event_type", "ts",
+                         ["view", "click", "purchase"],
+                         max_gap_us=86_400_000_000)
+
+
+FUNNEL_VIEW_CLICK_PURCHASE_SQL = """
+WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t
+         AND e.ts <= t1.t + INTERVAL 24 HOUR GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t
+       FROM events e JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+         AND e.ts <= t2.t + INTERVAL 24 HOUR GROUP BY 1)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+       (SELECT count(*) FROM t1) AS n_users
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM t2)
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', (SELECT count(*) FROM t3)
+"""
+
+
+def name_typo_pairs(sf_dir: str) -> Dataset:
+    """Edit-distance-1 similarity join (``editdist.distance1_join``):
+    every pair of customer names at Levenshtein distance exactly 1 via
+    the position-tagged SymSpell deletion-neighborhood exchange — no
+    all-pairs scan, no verification loop (candidate generation itself
+    proves the distance)."""
+    from ..stages.editdist import distance1_join
+    ds = _read(sf_dir, "customer", ["c_name"])
+    return distance1_join(ds, "c_name")
+
+
+NAME_TYPO_PAIRS_SQL = """
+SELECT a.c_name AS c_name_a, b.c_name AS c_name_b
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2601,17 +2781,21 @@ QUERIES = {
     # -- oracle-backed (DuckDB SQL twin; driver hash-checks values) --
     "q1_pricing_summary": q1_pricing_summary,
     "filter_high_value_orders": filter_high_value_orders,
-    "customers_per_nation": customers_per_nation,
-    "lineitem_big_parts": lineitem_big_parts,
     "lineitem_bloom_parts": lineitem_bloom_parts,
     "lineitem_measures_long": lineitem_measures_long,
     "events_jsonl_roundtrip": events_jsonl_roundtrip,
     "customers_without_orders": customers_without_orders,
     "label_centroid_similarity": label_centroid_similarity,
-    "global_shuffle_docs": global_shuffle_docs,
-    "lag_events": lag_events,
     "stratified_split_events": stratified_split_events,
     "normalized_events": normalized_events,
+    # -- session-3 additions (grouped order stats / argmax / set ops /
+    #    resample / funnel / edit-distance join), all SQL oracles --
+    "value_quantiles_by_type": value_quantiles_by_type,
+    "top_event_type_per_user": top_event_type_per_user,
+    "customer_year_set_ops": customer_year_set_ops,
+    "resample_hourly_events": resample_hourly_events,
+    "funnel_view_click_purchase": funnel_view_click_purchase,
+    "name_typo_pairs": name_typo_pairs,
     "sliding_mean_events": sliding_mean_events,
     "ffill_events": ffill_events,
     "ewma_events": ewma_events,
@@ -2628,8 +2812,6 @@ QUERIES = {
     "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
     "exact_dedup_docs": exact_dedup_docs,
-    "hapax_by_source": hapax_by_source,
-    "vocab_filter": vocab_filter,
     "user_value_stats": user_value_stats,
     "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
@@ -2692,7 +2874,26 @@ QUERIES = {
     #      stratified_split_events (the split family's first driver
     #      row); cumsum_events (green r01+r02, cumulative family keeps
     #      its pytest oracle + the streaming twin) rotated for
-    #      ewma_events ----
+    #      ewma_events.
+    #      Session-3 rotations (each green r01+r02, family keeps an
+    #      in-window oracle row): customers_per_nation (join family
+    #      keeps customers_orders_full_outer + asof_prev_order_tolerance),
+    #      lineitem_big_parts (semi-join family keeps
+    #      lineitem_bloom_parts), global_shuffle_docs (trivial-shuffle
+    #      family; exchange machinery exercised under every window
+    #      oracle), lag_events (lag family keeps rank_events +
+    #      sliding_mean + user_event_seq in-window), hapax_by_source +
+    #      vocab_filter (token-stats family keeps doc_token_counts +
+    #      docs_min_word_gate) — making room for value_quantiles_by_type /
+    #      top_event_type_per_user / customer_year_set_ops /
+    #      resample_hourly_events / funnel_view_click_purchase /
+    #      name_typo_pairs ----
+    "customers_per_nation": customers_per_nation,
+    "lineitem_big_parts": lineitem_big_parts,
+    "global_shuffle_docs": global_shuffle_docs,
+    "lag_events": lag_events,
+    "hapax_by_source": hapax_by_source,
+    "vocab_filter": vocab_filter,
     "sessionize_events": sessionize_events,
     "cumsum_events": cumsum_events,
     "mean_embedding_by_label": mean_embedding_by_label,
@@ -2830,6 +3031,12 @@ ORACLE_SQL = {
     "pii_scrub_docs": PII_SCRUB_DOCS_SQL,
     "duplicate_spans_docs": DUPLICATE_SPANS_DOCS_SQL,
     "curated_docs": CURATED_DOCS_SQL,
+    "value_quantiles_by_type": VALUE_QUANTILES_BY_TYPE_SQL,
+    "top_event_type_per_user": TOP_EVENT_TYPE_PER_USER_SQL,
+    "customer_year_set_ops": CUSTOMER_YEAR_SET_OPS_SQL,
+    "resample_hourly_events": RESAMPLE_HOURLY_EVENTS_SQL,
+    "funnel_view_click_purchase": FUNNEL_VIEW_CLICK_PURCHASE_SQL,
+    "name_typo_pairs": NAME_TYPO_PAIRS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

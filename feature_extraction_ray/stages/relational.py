@@ -465,3 +465,65 @@ def snapshot_diff(old: Dataset, new: Dataset, key_col: str,
     from .window import bucketed_apply
     return bucketed_apply(tagged, key_col, diff,
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def set_ops(a: Dataset, b: Dataset, key_cols: Sequence[str],
+            ops: Sequence[str] = ("intersect", "except_a", "except_b"),
+            op_col: str = "op") -> Dataset:
+    """Distinct set algebra over key tuples (SQL ``INTERSECT`` /
+    ``EXCEPT`` / reverse ``EXCEPT``), all requested ops from ONE
+    aggregate pass.
+
+    The at-scale shape: each map task collapses its block to distinct
+    key tuples with per-side presence flags (Arrow hash aggregate), a
+    single Dataset ``groupby`` merges the flags with ``max`` — the
+    exchange moves distinct keys, never raw rows — and a final stateless
+    map emits one tagged row per (key, op) membership. No driver
+    materialization; adding ops costs nothing beyond the output rows.
+    """
+    valid = {"intersect", "except_a", "except_b"}
+    if not set(ops) <= valid:
+        raise ValueError(f"ops must be a subset of {sorted(valid)}")
+    key_cols = list(key_cols)
+
+    def flag(side: str):
+        other = "_in_b" if side == "_in_a" else "_in_a"
+        def fn(tbl: pa.Table) -> pa.Table:
+            t = tbl.select(key_cols)
+            agg = t.group_by(key_cols).aggregate([([], "count_all")])
+            n = len(agg)
+            agg = agg.drop_columns(["count_all"])
+            agg = agg.append_column(
+                side, pa.array(np.ones(n, dtype=np.int8)))
+            return agg.append_column(
+                other, pa.array(np.zeros(n, dtype=np.int8)))
+        return fn
+
+    from ray.data.aggregate import Max
+
+    tagged = a.map_batches(flag("_in_a"), batch_format="pyarrow").union(
+        b.map_batches(flag("_in_b"), batch_format="pyarrow"))
+    merged = tagged.groupby(key_cols).aggregate(
+        Max("_in_a", alias_name="_in_a"), Max("_in_b", alias_name="_in_b"))
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        ia = tbl["_in_a"].to_numpy(zero_copy_only=False).astype(bool)
+        ib = tbl["_in_b"].to_numpy(zero_copy_only=False).astype(bool)
+        masks = {"intersect": ia & ib, "except_a": ia & ~ib,
+                 "except_b": ib & ~ia}
+        keys = tbl.select(key_cols)
+        parts, labels = [], []
+        for op in ops:
+            m = masks[op]
+            if m.any():
+                parts.append(keys.filter(pa.array(m)))
+                labels.extend([op] * int(m.sum()))
+        if not parts:
+            cols = {op_col: pa.array([], type=pa.string())}
+            for c in key_cols:
+                cols[c] = pa.array([], type=tbl.schema.field(c).type)
+            return pa.table(cols)
+        out = pa.concat_tables(parts)
+        return out.add_column(0, op_col, pa.array(labels, type=pa.string()))
+
+    return merged.map_batches(emit, batch_format="pyarrow")

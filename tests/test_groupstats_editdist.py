@@ -1,0 +1,181 @@
+"""Goldens/properties for groupstats (quantiles/argmax/funnel/resample),
+relational.set_ops, and the SymSpell edit-distance-1 join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from feature_extraction_ray.stages.editdist import distance1_join
+from feature_extraction_ray.stages.groupstats import (
+    funnel_counts, grouped_argmax, grouped_quantiles, resample_time_series)
+from feature_extraction_ray.stages.relational import set_ops
+
+
+def _table(ds):
+    import ray
+    parts = [ray.get(r) for r in ds.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
+def _naive_quantile(vals, q):
+    vals = sorted(vals)
+    n = len(vals)
+    idx = max(1, int(np.ceil(q * n))) - 1
+    return vals[idx]
+
+
+@pytest.mark.parametrize("num_buckets", [4, 17])
+def test_grouped_quantiles_matches_naive(ray_session, num_buckets):
+    rng = np.random.default_rng(7)
+    n = 2000
+    grp = rng.integers(0, 9, n)
+    # ties + negatives + a null + a NaN to exercise the drop path
+    val = np.round(rng.normal(0, 10, n), 1)
+    tbl = pa.table({"g": pa.array(grp), "v": pa.array(val)})
+    tbl = pa.concat_tables([
+        tbl, pa.table({"g": pa.array([0, 1]),
+                       "v": pa.array([None, float("nan")],
+                                     type=pa.float64())})])
+    out = _table(grouped_quantiles(rd.from_arrow(tbl), "g", "v",
+                                   num_buckets=num_buckets))
+    got = {r["g"]: r for r in out.to_pylist()}
+    assert set(got) == set(range(9))
+    for g in range(9):
+        vs = val[grp == g]
+        assert got[g]["n_values"] == len(vs)
+        for q, name in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            assert got[g][name] == _naive_quantile(vs, q), (g, name)
+        q25, q75 = got[g]["q25"], got[g]["q75"]
+        lo, hi = q25 - 1.5 * (q75 - q25), q75 + 1.5 * (q75 - q25)
+        assert got[g]["n_outliers"] == int(((vs < lo) | (vs > hi)).sum())
+
+
+def test_grouped_argmax_ties_go_to_smallest_label(ray_session):
+    tbl = pa.table({
+        "g": [1, 1, 1, 1, 2, 2, 2, 3],
+        "lab": ["b", "b", "a", "a", "z", "y", "z", "q"],
+    })
+    out = _table(grouped_argmax(rd.from_arrow(tbl), "g", "lab",
+                                num_buckets=3))
+    got = {r["g"]: (r["top_lab"], r["n"]) for r in out.to_pylist()}
+    assert got == {1: ("a", 2), 2: ("z", 2), 3: ("q", 1)}
+
+
+def test_funnel_counts_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    n = 1500
+    users = rng.integers(0, 40, n)
+    ts = rng.integers(0, 10_000, n).astype("datetime64[us]")
+    types = rng.choice(["a", "b", "c", "x"], n)
+    tbl = pa.table({"u": pa.array(users), "ty": pa.array(types),
+                    "ts": pa.array(ts)})
+    steps, gap = ["a", "b", "c"], 2_000
+    out = _table(funnel_counts(rd.from_arrow(tbl), "u", "ty", "ts",
+                               steps, max_gap_us=gap, num_buckets=5))
+    got = {r["step"]: r["n_users"] for r in out.to_pylist()}
+    assert [r["event_type"] for r in
+            sorted(out.to_pylist(), key=lambda r: r["step"])] == steps
+
+    # brute force per user
+    ts_i = ts.astype(np.int64)
+    expect = {k: 0 for k in (1, 2, 3)}
+    for u in np.unique(users):
+        m = users == u
+        evs = sorted(zip(ts_i[m], types[m]))
+        t_prev, k = None, 0
+        for step in steps:
+            cands = [t for t, ty in evs if ty == step and
+                     (t_prev is None or
+                      (t > t_prev and t - t_prev <= gap))]
+            if not cands:
+                break
+            t_prev = min(cands)
+            k += 1
+            expect[k] += 1
+    assert got == expect
+
+
+def test_resample_dense_grid_and_gap_zeros(ray_session):
+    h = 3_600_000_000
+    base = np.datetime64("2024-01-01T00:30:00", "us").astype(np.int64)
+    rows = {
+        "u": [1, 1, 1, 2],
+        "ts": pa.array((base + np.array([0, 3 * h, 3 * h + 5, 0]))
+                       .astype("datetime64[us]")),
+        "v": [1.0, 2.0, 3.0, 9.0],
+    }
+    out = _table(resample_time_series(rd.from_arrow(pa.table(rows)),
+                                      "u", "ts", "v", freq_us=h,
+                                      num_buckets=3))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["period_ts"]))
+    u1 = [r for r in rows if r["u"] == 1]
+    assert len(u1) == 4  # hours 0..3 inclusive, gaps filled
+    assert [r["n_events"] for r in u1] == [1, 0, 0, 2]
+    assert [r["sum_value"] for r in u1] == [1.0, 0.0, 0.0, 5.0]
+    u2 = [r for r in rows if r["u"] == 2]
+    assert len(u2) == 1 and u2[0]["n_events"] == 1
+    # period starts are hour-aligned
+    assert all(r["period_ts"].minute == 0 and r["period_ts"].second == 0
+               for r in rows)
+
+
+def test_set_ops_matches_python_sets(ray_session):
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 300)
+    b = rng.integers(25, 75, 300)
+    dsa = rd.from_arrow(pa.table({"k": pa.array(a)}))
+    dsb = rd.from_arrow(pa.table({"k": pa.array(b)}))
+    out = _table(set_ops(dsa, dsb, ["k"]))
+    got = {(r["op"], r["k"]) for r in out.to_pylist()}
+    sa, sb = set(a.tolist()), set(b.tolist())
+    expect = ({("intersect", k) for k in sa & sb} |
+              {("except_a", k) for k in sa - sb} |
+              {("except_b", k) for k in sb - sa})
+    assert got == expect
+    assert len(out) == len(got)  # distinct
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_distance1_join_matches_bruteforce(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    # tiny alphabet + short strings → dense collisions incl. indels
+    words = set()
+    while len(words) < 120:
+        L = rng.integers(1, 6)
+        words.add("".join(rng.choice(list("abcé"), L)))
+    words = sorted(words)
+    ds = rd.from_arrow(pa.table({"w": pa.array(words)}))
+    out = _table(distance1_join(ds, "w", num_buckets=7))
+    got = {(r["w_a"], r["w_b"]) for r in out.to_pylist()} if out is not None \
+        else set()
+    expect = {(a, b) for i, a in enumerate(words)
+              for b in words[i + 1:] if _lev(a, b) == 1}
+    assert got == expect
+    if out is not None:
+        assert len(out) == len(got)  # globally distinct
+
+
+def test_distance1_join_customer_shape(ray_session):
+    names = [f"Customer#{i:09d}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"c_name": pa.array(names)}))
+    out = _table(distance1_join(ds, "c_name", num_buckets=4))
+    got = {(r["c_name_a"], r["c_name_b"]) for r in out.to_pylist()}
+    expect = {(a, b) for i, a in enumerate(names)
+              for b in names[i + 1:] if _lev(a, b) == 1}
+    assert got == expect
