@@ -2770,6 +2770,147 @@ FROM customer a JOIN customer b
 """
 
 
+def sliding_median_events(sf_dir: str) -> Dataset:
+    """Moving discrete quantile (``window.sliding_quantile``): trailing
+    5-row median per user in (ts, event_id) order — DuckDB
+    ``quantile_disc`` convention, pass-through data values (bit-safe,
+    no rounding)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    return SW.sliding_quantile(ds, "user_id", ["ts", "event_id"],
+                               "value", window=5, q=0.5)
+
+
+SLIDING_MEDIAN_EVENTS_SQL = """
+SELECT event_id, user_id, ts, value,
+       quantile_disc(value, 0.5) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS value_q50w5
+FROM events
+"""
+
+
+def robust_scaled_events(sf_dir: str) -> Dataset:
+    """Median/MAD robust standardization (``groupstats.robust_scale``):
+    ``(v - median) / MAD`` per user, both medians at the
+    ``quantile_disc`` index; MAD-0 groups yield null."""
+    from ..stages.groupstats import robust_scale
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    out = robust_scale(ds, "user_id", "value", keep_cols=["event_id"])
+    return _round(out, {"value_robust": 6})
+
+
+ROBUST_SCALED_EVENTS_SQL = """
+WITH m AS (SELECT user_id, quantile_disc(value, 0.5) AS med
+           FROM events GROUP BY 1),
+r AS (SELECT e.event_id, e.user_id, e.value, m.med
+      FROM events e JOIN m USING (user_id)),
+d AS (SELECT user_id, quantile_disc(abs(value - med), 0.5) AS mad
+      FROM r GROUP BY 1)
+SELECT r.event_id, r.user_id, r.value,
+       round((r.value - r.med) / nullif(d.mad, 0.0), 6) AS value_robust
+FROM r JOIN d USING (user_id)
+"""
+
+
+def profile_orders(sf_dir: str) -> Dataset:
+    """Data-quality profiling (``groupstats.profile_columns``): exact
+    null/distinct counts and string-repr extrema per column; the
+    exchange moves only distinct (column, value) pairs."""
+    from ..stages.groupstats import profile_columns
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority"])
+    return profile_columns(ds, ["o_orderkey", "o_custkey",
+                                "o_orderstatus", "o_orderpriority"])
+
+
+PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS "column",
+       count(*) - count(o_orderkey) AS n_nulls,
+       count(DISTINCT o_orderkey) AS n_distinct,
+       min(CAST(o_orderkey AS VARCHAR)) AS min_value,
+       max(CAST(o_orderkey AS VARCHAR)) AS max_value FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) - count(o_custkey),
+       count(DISTINCT o_custkey),
+       min(CAST(o_custkey AS VARCHAR)), max(CAST(o_custkey AS VARCHAR))
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus), max(o_orderstatus) FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+       count(DISTINCT o_orderpriority),
+       min(o_orderpriority), max(o_orderpriority) FROM orders
+"""
+
+
+def pagerank_customer_part(sf_dir: str) -> Dataset:
+    """Distributed PageRank (``graphrank.pagerank``) over the bipartite
+    customer↔part purchase graph (both directions, parallel edges =
+    weights): 3 synchronous scatter–gather iterations, two bucketed
+    exchanges each, rank table materialized per round. Scaled by N and
+    rounded 6 (reduction order differs from SQL; ranks after 3 damped
+    iterations have long binary expansions — boundary-safe)."""
+    from ..stages.cc import attach_values
+    from ..stages.graphrank import pagerank
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = attach_values(li, "l_orderkey", orders, "o_orderkey",
+                           ["o_custkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.array(["C"] * len(t)),
+            pc.cast(t["o_custkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            pa.array(["P"] * len(t)),
+            pc.cast(t["l_partkey"], pa.string()), "")
+        return pa.table({"src": pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c,
+             p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p]),
+            "dst": pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p,
+             c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c])})
+
+    edges = joined.map_batches(mk_edges, batch_format="pyarrow")
+    out = pagerank(edges, "src", "dst", damping=0.85, iters=3, scaled=True)
+    out = out.map_batches(lambda t: t.select(["node", "rank_scaled"]),
+                          batch_format="pyarrow")
+    return _round(out, {"rank_scaled": 6})
+
+
+PAGERANK_CUSTOMER_PART_SQL = """
+WITH RECURSIVE
+base_edges AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS src,
+         'P' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM base_edges
+          UNION ALL SELECT dst, src FROM base_edges),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+e2 AS (SELECT e.src, e.dst, 1.0 / o.d::DOUBLE AS w
+       FROM edges e JOIN outdeg o USING (src)
+       UNION ALL
+       SELECT node, node, 0.0 FROM nodes),
+pr(k, node, rank) AS (
+  SELECT 0, node, 1.0 / (SELECT n FROM nn) FROM nodes
+  UNION ALL
+  SELECT p.k + 1, e.dst,
+         -- (1.0 - 0.85), not the literal 0.15: the engine computes the
+         -- base as (1 - damping)/N and the two doubles differ by 1 ulp
+         (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * sum(p.rank * e.w)
+  FROM pr p JOIN e2 e ON e.src = p.node
+  WHERE p.k < 3
+  GROUP BY p.k, e.dst)
+SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_scaled
+FROM pr WHERE k = 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -2780,7 +2921,6 @@ FROM customer a JOIN customer b
 QUERIES = {
     # -- oracle-backed (DuckDB SQL twin; driver hash-checks values) --
     "q1_pricing_summary": q1_pricing_summary,
-    "filter_high_value_orders": filter_high_value_orders,
     "lineitem_bloom_parts": lineitem_bloom_parts,
     "lineitem_measures_long": lineitem_measures_long,
     "events_jsonl_roundtrip": events_jsonl_roundtrip,
@@ -2796,8 +2936,10 @@ QUERIES = {
     "resample_hourly_events": resample_hourly_events,
     "funnel_view_click_purchase": funnel_view_click_purchase,
     "name_typo_pairs": name_typo_pairs,
-    "sliding_mean_events": sliding_mean_events,
-    "ffill_events": ffill_events,
+    "sliding_median_events": sliding_median_events,
+    "robust_scaled_events": robust_scaled_events,
+    "profile_orders": profile_orders,
+    "pagerank_customer_part": pagerank_customer_part,
     "ewma_events": ewma_events,
     "rank_events": rank_events,
     "rank_stats_events": rank_stats_events,
@@ -2812,7 +2954,6 @@ QUERIES = {
     "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
     "exact_dedup_docs": exact_dedup_docs,
-    "user_value_stats": user_value_stats,
     "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
@@ -2887,7 +3028,19 @@ QUERIES = {
     #      docs_min_word_gate) — making room for value_quantiles_by_type /
     #      top_event_type_per_user / customer_year_set_ops /
     #      resample_hourly_events / funnel_view_click_purchase /
-    #      name_typo_pairs ----
+    #      name_typo_pairs; second batch: filter_high_value_orders
+    #      (filter family keeps docs_min_word_gate + lineitem_bloom),
+    #      ffill_events (fill family: both fills double-green, pytest
+    #      oracle runs each session), sliding_mean_events (sliding
+    #      family: sliding_median_events enters the window),
+    #      user_value_stats (grouped-stats family keeps
+    #      value_quantiles_by_type + median_value_by_type) — for
+    #      sliding_median_events / robust_scaled_events /
+    #      profile_orders / pagerank_customer_part ----
+    "filter_high_value_orders": filter_high_value_orders,
+    "ffill_events": ffill_events,
+    "sliding_mean_events": sliding_mean_events,
+    "user_value_stats": user_value_stats,
     "customers_per_nation": customers_per_nation,
     "lineitem_big_parts": lineitem_big_parts,
     "global_shuffle_docs": global_shuffle_docs,
@@ -3037,6 +3190,10 @@ ORACLE_SQL = {
     "resample_hourly_events": RESAMPLE_HOURLY_EVENTS_SQL,
     "funnel_view_click_purchase": FUNNEL_VIEW_CLICK_PURCHASE_SQL,
     "name_typo_pairs": NAME_TYPO_PAIRS_SQL,
+    "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
+    "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
+    "profile_orders": PROFILE_ORDERS_SQL,
+    "pagerank_customer_part": PAGERANK_CUSTOMER_PART_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -313,3 +313,132 @@ def resample_time_series(ds: Dataset, entity_col: str, ts_col: str,
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return bucketed_apply(partials, entity_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# Robust scaling (median / MAD)
+# ---------------------------------------------------------------------------
+
+def robust_scale(ds: Dataset, group_col: str, value_col: str,
+                 keep_cols: Sequence[str] = (),
+                 out_col: str | None = None,
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Outlier-robust per-group standardization: ``(v - median) / MAD``
+    where MAD is the median absolute deviation (both medians at the
+    discrete ``ceil(q*n)`` index — SQL ``quantile_disc`` convention).
+    Groups with MAD 0 yield null. One bucketed exchange; the per-bucket
+    kernel is two segmented median passes (sort + lexsort of residuals)
+    — no Python loops. Values must be non-null."""
+    name = out_col or f"{value_col}_robust"
+    keep_cols = list(keep_cols)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, value_col])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        counts = np.diff(np.r_[starts, len(tbl)])
+        run_id = np.cumsum(ng) - 1
+        v = _np(tbl[value_col]).astype(np.float64)
+        med_idx = starts + np.maximum(
+            np.ceil(0.5 * counts).astype(np.int64) - 1, 0)
+        med = v[med_idx]
+        resid = np.abs(v - med[run_id])
+        # segmented second median: residuals sorted within each run
+        order = np.lexsort((resid, run_id))
+        r_sorted = resid[order]
+        mad = r_sorted[starts + np.maximum(
+            np.ceil(0.5 * counts).astype(np.int64) - 1, 0)]
+        denom = mad[run_id]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = (v - med[run_id]) / denom
+        out = pa.array(scaled, from_pandas=True, type=pa.float64())
+        out = pc.if_else(pa.array(denom == 0.0), pa.scalar(
+            None, type=pa.float64()), out)
+        return tbl.select([*keep_cols, group_col, value_col]) \
+            .append_column(name, out)
+
+    keep = [*keep_cols, group_col, value_col]
+
+    def prune(t: pa.Table) -> pa.Table:
+        return t.select(keep)
+
+    return bucketed_apply(ds.map_batches(prune, batch_format="pyarrow"),
+                          group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# Column profiling
+# ---------------------------------------------------------------------------
+
+def profile_columns(ds: Dataset, columns: Sequence[str],
+                    num_buckets: int = 16) -> Dataset:
+    """Data-quality profile of the named columns in one pass:
+    ``n_nulls``, exact ``n_distinct``, and min/max of the string
+    representation per column (int/string columns — numeric-to-text
+    formatting is engine-portable for integers; float/timestamp repr is
+    not, so cast those upstream if needed).
+
+    The at-scale shape: each map task melts its block to distinct
+    ``(column, value)`` pairs (Arrow hash aggregate — nulls are a
+    group, carrying the null count), one exchange merges pairs
+    (``groupby([column, value]).sum``), and a second tiny rollup per
+    column computes the distinct count, null total and extrema. The
+    exchange payload is bounded by the columns' distinct values, never
+    the row count."""
+    columns = list(columns)
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in columns:
+            val = pc.cast(t[c], pa.string())
+            g = pa.table({"column": pa.array([c] * len(t)),
+                          "val": val})
+            agg = g.group_by(["column", "val"]).aggregate([([],
+                                                            "count_all")])
+            parts.append(agg.rename_columns(["column", "val", "c"]))
+        return pa.concat_tables(parts)
+
+    from ray.data.aggregate import Max, Min
+    merged = ds.map_batches(melt, batch_format="pyarrow") \
+        .groupby(["column", "val"]).aggregate(Sum("c", alias_name="c"))
+
+    def partial2(t: pa.Table) -> pa.Table:
+        isnull = pc.is_null(t["val"])
+        nulls = t.filter(isnull)
+        vals = t.filter(pc.invert(isnull))
+        nv = vals.group_by(["column"]).aggregate(
+            [([], "count_all"), ("val", "min"), ("val", "max")])
+        nv = nv.rename_columns(["column", "n_distinct", "min_value",
+                                "max_value"])
+        nv = nv.append_column("n_nulls", pa.array(
+            np.zeros(len(nv), np.int64)))
+        nn = nulls.group_by(["column"]).aggregate([("c", "sum")])
+        nn = nn.rename_columns(["column", "n_nulls"])
+        nn = nn.append_column("n_distinct", pa.array(
+            np.zeros(len(nn), np.int64)))
+        nn = nn.append_column("min_value",
+                              pa.nulls(len(nn), pa.string()))
+        nn = nn.append_column("max_value",
+                              pa.nulls(len(nn), pa.string()))
+        cols = ["column", "n_nulls", "n_distinct", "min_value",
+                "max_value"]
+        return pa.concat_tables([nv.select(cols), nn.select(cols)])
+
+    out = merged.map_batches(partial2, batch_format="pyarrow") \
+        .groupby("column").aggregate(
+            Sum("n_nulls", alias_name="n_nulls"),
+            Sum("n_distinct", alias_name="n_distinct"),
+            Min("min_value", alias_name="min_value"),
+            Max("max_value", alias_name="max_value"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": t["column"],
+            "n_nulls": pc.cast(t["n_nulls"], pa.int64()),
+            "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+            "min_value": t["min_value"],
+            "max_value": t["max_value"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")

@@ -504,3 +504,43 @@ def ewma(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def sliding_quantile(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                     value_col: str, window: int, q: float = 0.5,
+                     out_col: str | None = None,
+                     num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Moving discrete quantile over the trailing ``window`` rows per
+    entity (SQL ``quantile_disc(v, q) OVER (PARTITION BY entity ORDER BY
+    ... ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``): for the m
+    ≤ window values in scope, the value at 1-based sorted index
+    ``max(1, ceil(q*m))`` — DuckDB's ``quantile_disc`` convention, an
+    actual data value (bit-safe pass-through).
+
+    Kernel is an (n × window) gather + one axis-1 sort — fully
+    vectorized, memory bounded by ``window`` doubles per row (intended
+    for small trailing windows; values must be non-null)."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    name = out_col or f"{value_col}_q{int(round(q * 100))}w{window}"
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(name, pa.array([], type=pa.float64()))
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        m = np.minimum(pos + 1, window)
+        v = tbl[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        J = np.arange(window, dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)[:, None] - J[None, :]
+        valid = J[None, :] < m[:, None]
+        mat = np.where(valid, v[np.maximum(idx, 0)], np.nan)
+        mat.sort(axis=1)  # NaN padding sorts last
+        qi = np.maximum(np.ceil(q * m).astype(np.int64) - 1, 0)
+        out = mat[np.arange(n), qi]
+        return tbl.append_column(name, pa.array(out))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

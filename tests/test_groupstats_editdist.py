@@ -179,3 +179,106 @@ def test_distance1_join_customer_shape(ray_session):
     expect = {(a, b) for i, a in enumerate(names)
               for b in names[i + 1:] if _lev(a, b) == 1}
     assert got == expect
+
+
+def test_sliding_quantile_matches_naive(ray_session):
+    from feature_extraction_ray.stages.window import sliding_quantile
+    rng = np.random.default_rng(5)
+    n = 800
+    tbl = pa.table({
+        "u": pa.array(rng.integers(0, 12, n)),
+        "o": pa.array(np.arange(n)),
+        "v": pa.array(np.round(rng.normal(0, 5, n), 2)),
+    })
+    out = _table(sliding_quantile(rd.from_arrow(tbl), "u", ["o"], "v",
+                                  window=5, q=0.5, num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["u"], []).append(r)
+    for u, rs in by_u.items():
+        hist = []
+        for r in rs:
+            hist.append(r["v"])
+            win = sorted(hist[-5:])
+            m = len(win)
+            exp = win[max(1, int(np.ceil(0.5 * m))) - 1]
+            assert r["v_q50w5"] == exp, (u, r)
+
+
+def test_robust_scale_matches_naive(ray_session):
+    from feature_extraction_ray.stages.groupstats import robust_scale
+    rng = np.random.default_rng(9)
+    n = 600
+    grp = rng.integers(0, 8, n)
+    val = np.round(rng.normal(0, 5, n), 2)
+    # one constant group → MAD 0 → nulls
+    grp = np.r_[grp, [99, 99, 99]]
+    val = np.r_[val, [7.0, 7.0, 7.0]]
+    ids = np.arange(len(grp))
+    tbl = pa.table({"id": pa.array(ids), "g": pa.array(grp),
+                    "v": pa.array(val)})
+    out = _table(robust_scale(rd.from_arrow(tbl), "g", "v",
+                              keep_cols=["id"], num_buckets=3))
+    got = {r["id"]: r["v_robust"] for r in out.to_pylist()}
+
+    def dmed(xs):
+        xs = sorted(xs)
+        return xs[max(1, int(np.ceil(0.5 * len(xs)))) - 1]
+
+    for g in np.unique(grp):
+        vs = val[grp == g]
+        med = dmed(vs)
+        mad = dmed(np.abs(vs - med))
+        for i in ids[grp == g]:
+            if mad == 0:
+                assert got[i] is None
+            else:
+                assert got[i] == pytest.approx((val[i] - med) / mad,
+                                               abs=1e-12)
+
+
+def test_profile_columns(ray_session):
+    tbl = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], type=pa.int64()),
+        "b": pa.array(["x", None, "y", "x", None]),
+    })
+    from feature_extraction_ray.stages.groupstats import profile_columns
+    out = _table(profile_columns(rd.from_arrow(tbl), ["a", "b"]))
+    got = {r["column"]: r for r in out.to_pylist()}
+    assert got["a"]["n_nulls"] == 1 and got["a"]["n_distinct"] == 3
+    assert got["a"]["min_value"] == "1" and got["a"]["max_value"] == "5"
+    assert got["b"]["n_nulls"] == 2 and got["b"]["n_distinct"] == 2
+    assert got["b"]["min_value"] == "x" and got["b"]["max_value"] == "y"
+
+
+@pytest.mark.parametrize("plan", ["broadcast", "partitioned"])
+def test_pagerank_matches_dense_power_iteration(ray_session, plan):
+    from feature_extraction_ray.stages.graphrank import pagerank
+    rng = np.random.default_rng(2)
+    n_nodes, n_edges = 25, 120
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    ds = rd.from_arrow(pa.table({"s": pa.array(names[src]),
+                                 "d": pa.array(names[dst])}))
+    out = _table(pagerank(ds, "s", "d", damping=0.85, iters=4,
+                          num_buckets=4, plan=plan))
+    got = {r["node"]: r["rank"] for r in out.to_pylist()}
+
+    # dense power iteration over the SAME node set (nodes appearing in
+    # any edge), multiplicity-weighted, no dangling redistribution
+    nodes = sorted(set(names[src]) | set(names[dst]))
+    idx = {v: i for i, v in enumerate(nodes)}
+    N = len(nodes)
+    M = np.zeros((N, N))
+    for s, d in zip(names[src], names[dst]):
+        M[idx[d], idx[s]] += 1.0
+    deg = M.sum(axis=0)
+    W = np.divide(M, deg, out=np.zeros_like(M), where=deg > 0)
+    r = np.full(N, 1.0 / N)
+    for _ in range(4):
+        r = 0.15 / N + 0.85 * (W @ r)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(r[idx[v]], rel=1e-12), v
