@@ -187,6 +187,20 @@ def run_bench() -> dict:
                       merges).count()
         per_query[f"bpe_fit_encode_x{amp}"] = _best_of(_bpe_run)
 
+        # session-3 ops: SymSpell distance-1 join over customer names
+        # (deletion-neighborhood exchange), dense hourly resample over
+        # events, PageRank over the customer×part purchase graph
+        # (broadcast plan: pre-indexed edges, zero shuffles/iter), and
+        # the ordered conversion funnel
+        per_query["editdist1_join_names"] = _best_of(
+            lambda: QUERIES["name_typo_pairs"](SF_DIR).count())
+        per_query["resample_hourly"] = _best_of(
+            lambda: QUERIES["resample_hourly_events"](SF_DIR).count())
+        per_query["pagerank_cust_part"] = _best_of(
+            lambda: QUERIES["pagerank_customer_part"](SF_DIR).count())
+        per_query["funnel_events"] = _best_of(
+            lambda: QUERIES["funnel_view_click_purchase"](SF_DIR).count())
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (
