@@ -36,16 +36,32 @@ def _read(sf_dir: str, table: str, columns=None) -> Dataset:
 
 
 def _round(ds: Dataset, cols: dict[str, int]) -> Dataset:
-    """Round float columns to fixed decimals (half-away-from-zero, matching
-    DuckDB's ROUND) so value-hashes are fp-reassociation-proof."""
+    """Round float columns to fixed decimals (half-away-from-zero) via
+    the EXACT IEEE sequence DuckDB's ROUND executes —
+    ``std::round(x * 10^nd) / 10^nd`` as floor(|x·p| + 0.5)·sign/p — so
+    the output DOUBLE is bit-identical to the oracle's, not merely the
+    nearest printable decimal. (Arrow's ``pc.round`` uses a different
+    algorithm and can land one ulp away when the pre-round value sits
+    adjacent to a decimal boundary: pc.round(62.699999999999996, 4)
+    returns its input while DuckDB returns 62.700000000000003 —
+    bit-validated against DuckDB over 600k random+boundary values.)
+    Null-propagating; value-hashes stay fp-reassociation-proof."""
     def fn(t: pa.Table) -> pa.Table:
         for c, nd in cols.items():
-            arr = pc.round(pc.cast(t[c], pa.float64()), ndigits=nd,
-                           round_mode="half_towards_infinity")
             t = t.set_column(t.column_names.index(c),
-                             pa.field(c, pa.float64()), arr)
+                             pa.field(c, pa.float64()),
+                             _round_arr(t[c], nd))
         return t
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _round_arr(arr, nd: int):
+    """DuckDB-bit-exact half-away-from-zero round (see ``_round``)."""
+    x = pc.cast(arr, pa.float64())
+    p = pa.scalar(float(10 ** nd))
+    scaled = pc.multiply(x, p)
+    r = pc.floor(pc.add(pc.abs(scaled), pa.scalar(0.5)))
+    return pc.divide(pc.multiply(r, pc.sign(scaled)), p)
 
 
 # ---------------------------------------------------------------------------
@@ -267,8 +283,7 @@ def mean_embedding_by_label(sf_dir: str) -> Dataset:
         mean = pc.divide(t["s"], pc.cast(t["n"], pa.float64()))
         out = pa.table({
             "label": t["label"], "dim": t["dim"],
-            "mean_val": pc.round(mean, ndigits=6,
-                                 round_mode="half_towards_infinity"),
+            "mean_val": _round_arr(mean, 6),
         })
         return out
 
@@ -2590,6 +2605,66 @@ WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
 """
 
 
+def user_value_trend(sf_dir: str) -> Dataset:
+    """Per-user OLS trend of value over time (``groupstats.grouped_linreg``
+    — the pure partial-aggregation shape: one exchange of five
+    sufficient statistics per group). x is centered to days since the
+    data's epoch so the variance denominator keeps precision."""
+    from ..stages.groupstats import grouped_linreg
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    base = pa.scalar(datetime.datetime(2024, 1, 1),
+                     type=pa.timestamp("us"))
+
+    def add_x(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        b = pc.cast(base, pa.int64())
+        x = pc.divide(pc.cast(pc.subtract(us, b), pa.float64()),
+                      pa.scalar(86400000000.0))
+        return pa.table({"user_id": t["user_id"], "x": x,
+                         "value": t["value"]})
+
+    out = grouped_linreg(ds.map_batches(add_x, batch_format="pyarrow"),
+                         "user_id", "x", "value")
+    return _round(out, {"slope": 6, "intercept": 6})
+
+
+USER_VALUE_TREND_SQL = """
+WITH p AS (SELECT user_id,
+                  (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01'))
+                  / 86400000000.0 AS x,
+                  value AS y
+           FROM events),
+s AS (SELECT user_id, count(*)::DOUBLE AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*x) AS sxx, sum(x*y) AS sxy
+      FROM p GROUP BY 1)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+           AS intercept
+FROM s
+"""
+
+
+def events_props_extract(sf_dir: str) -> Dataset:
+    """Semi-structured payload extraction (``relational.extract_json_field``):
+    pull the scalar ``k`` field out of the JSON ``props`` column with
+    vectorized RE2 — zero shuffle, values pass through exactly."""
+    from ..stages.relational import extract_json_field
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    out = extract_json_field(ds, "props", "k", out_col="k_value",
+                             out_type=pa.int64())
+    return out.map_batches(
+        lambda t: t.select(["event_id", "k_value"]),
+        batch_format="pyarrow")
+
+
+EVENTS_PROPS_EXTRACT_SQL = """
+SELECT event_id, CAST(props::JSON->>'k' AS BIGINT) AS k_value
+FROM events
+"""
+
+
 def value_quantiles_by_type(sf_dir: str) -> Dataset:
     """Exact grouped order statistics (``groupstats.grouped_quantiles``):
     per-type q25/q50/q75 at SQL ``quantile_disc`` indices plus the
@@ -2924,12 +2999,13 @@ QUERIES = {
     "lineitem_bloom_parts": lineitem_bloom_parts,
     "lineitem_measures_long": lineitem_measures_long,
     "events_jsonl_roundtrip": events_jsonl_roundtrip,
-    "customers_without_orders": customers_without_orders,
     "label_centroid_similarity": label_centroid_similarity,
     "stratified_split_events": stratified_split_events,
     "normalized_events": normalized_events,
     # -- session-3 additions (grouped order stats / argmax / set ops /
     #    resample / funnel / edit-distance join), all SQL oracles --
+    "user_value_trend": user_value_trend,
+    "events_props_extract": events_props_extract,
     "value_quantiles_by_type": value_quantiles_by_type,
     "top_event_type_per_user": top_event_type_per_user,
     "customer_year_set_ops": customer_year_set_ops,
@@ -2951,7 +3027,6 @@ QUERIES = {
     "orders_interval_pairs": orders_interval_pairs,
     "asof_prev_order_tolerance": asof_prev_order_tolerance,
     "customers_orders_full_outer": customers_orders_full_outer,
-    "session_stats_events": session_stats_events,
     "doc_token_counts": doc_token_counts,
     "exact_dedup_docs": exact_dedup_docs,
     "docs_min_word_gate": docs_min_word_gate,
@@ -3036,7 +3111,14 @@ QUERIES = {
     #      user_value_stats (grouped-stats family keeps
     #      value_quantiles_by_type + median_value_by_type) — for
     #      sliding_median_events / robust_scaled_events /
-    #      profile_orders / pagerank_customer_part ----
+    #      profile_orders / pagerank_customer_part; third batch:
+    #      customers_without_orders (double-green; anti-join/EXCEPT
+    #      semantics keep customer_year_set_ops in-window) — for
+    #      user_value_trend; session_stats_events (double-green; the
+    #      session family keeps sessionize/streaming pytest oracles) —
+    #      for events_props_extract ----
+    "customers_without_orders": customers_without_orders,
+    "session_stats_events": session_stats_events,
     "filter_high_value_orders": filter_high_value_orders,
     "ffill_events": ffill_events,
     "sliding_mean_events": sliding_mean_events,
@@ -3190,6 +3272,8 @@ ORACLE_SQL = {
     "resample_hourly_events": RESAMPLE_HOURLY_EVENTS_SQL,
     "funnel_view_click_purchase": FUNNEL_VIEW_CLICK_PURCHASE_SQL,
     "name_typo_pairs": NAME_TYPO_PAIRS_SQL,
+    "user_value_trend": USER_VALUE_TREND_SQL,
+    "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

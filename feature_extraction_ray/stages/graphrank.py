@@ -85,7 +85,10 @@ def pagerank(edges: Dataset, src_col: str, dst_col: str,
 def _pagerank_broadcast(edges: Dataset, src_col: str, dst_col: str,
                         damping: float, iters: int,
                         scaled: bool) -> Dataset:
-    e = _project(edges, src_col, dst_col)
+    # materialize the projected edges ONCE: the degree pass and the
+    # indexing pass would otherwise each re-execute the full upstream
+    # lineage (often a join that built the edge list)
+    e = _project(edges, src_col, dst_col).materialize()
 
     # node + out-degree partials: per-block Arrow hash aggregates, so the
     # driver receives node-table-sized partials, never edge rows
@@ -159,11 +162,11 @@ def _pagerank_broadcast(edges: Dataset, src_col: str, dst_col: str,
 def _pagerank_partitioned(edges: Dataset, src_col: str, dst_col: str,
                           damping: float, iters: int, scaled: bool,
                           num_buckets: int) -> Dataset:
-    from ray.data.aggregate import Sum
-    from .partition import entity_group_starts, sort_table
     from .window import bucketed_apply
 
-    e = _project(edges, src_col, dst_col)
+    # three setup consumers (node set, out-degrees, weighted edges) —
+    # materialize the projection once instead of re-running the lineage
+    e = _project(edges, src_col, dst_col).materialize()
 
     def node_partial(t: pa.Table) -> pa.Table:
         both = pa.concat_arrays([t[_SRC].combine_chunks(),

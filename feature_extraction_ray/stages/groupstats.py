@@ -442,3 +442,67 @@ def profile_columns(ds: Dataset, columns: Sequence[str],
         })
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Grouped linear regression (trend)
+# ---------------------------------------------------------------------------
+
+def grouped_linreg(ds: Dataset, group_col: str, x_col: str,
+                   y_col: str) -> Dataset:
+    """Per-group ordinary-least-squares line fit from the five
+    sufficient statistics (n, Σx, Σy, Σx², Σxy): ``slope = (nΣxy −
+    ΣxΣy) / (nΣx² − (Σx)²)``, ``intercept = (Σy − slope·Σx)/n``
+    (slope null for degenerate groups with zero x-variance).
+
+    This is the ideal at-scale aggregate: each map task collapses its
+    block to one partial-sums row per group (Arrow hash aggregate), the
+    only exchange moves those partials, and the finalizer is stateless
+    arithmetic. Callers should CENTER x near its range (e.g. days since
+    the data's epoch, not the Unix epoch) — the denominator is a
+    difference of large near-equal sums and loses precision otherwise.
+
+    Output: group, ``n`` (int64), ``slope``, ``intercept`` (float64).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[x_col], pa.float64())
+        y = pc.cast(t[y_col], pa.float64())
+        g = pa.table({group_col: t[group_col], "_x": x, "_y": y,
+                      "_xx": pc.multiply(x, x), "_xy": pc.multiply(x, y)})
+        agg = g.group_by([group_col]).aggregate(
+            [([], "count_all"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_xy", "sum")])
+        return agg.rename_columns([group_col, "_n", "_sx", "_sy",
+                                   "_sxx", "_sxy"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("_n", alias_name="_n"), Sum("_sx", alias_name="_sx"),
+            Sum("_sy", alias_name="_sy"), Sum("_sxx", alias_name="_sxx"),
+            Sum("_sxy", alias_name="_sxy"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = _np(t["_n"]).astype(np.float64)
+        sx = _np(t["_sx"]).astype(np.float64)
+        sy = _np(t["_sy"]).astype(np.float64)
+        sxx = _np(t["_sxx"]).astype(np.float64)
+        sxy = _np(t["_sxy"]).astype(np.float64)
+        denom = n * sxx - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = (n * sxy - sx * sy) / denom
+            intercept = (sy - slope * sx) / n
+        bad = denom == 0.0
+        return pa.table({
+            group_col: t[group_col],
+            "n": pa.array(n.astype(np.int64)),
+            "slope": pc.if_else(pa.array(bad),
+                                pa.scalar(None, type=pa.float64()),
+                                pa.array(slope, from_pandas=True)),
+            "intercept": pc.if_else(pa.array(bad),
+                                    pa.scalar(None, type=pa.float64()),
+                                    pa.array(intercept, from_pandas=True)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

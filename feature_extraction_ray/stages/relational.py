@@ -527,3 +527,45 @@ def set_ops(a: Dataset, b: Dataset, key_cols: Sequence[str],
         return out.add_column(0, op_col, pa.array(labels, type=pa.string()))
 
     return merged.map_batches(emit, batch_format="pyarrow")
+
+
+def extract_json_field(ds: Dataset, col: str, field: str,
+                       out_col: str | None = None,
+                       out_type: pa.DataType | None = None) -> Dataset:
+    """Extract one scalar field from a flat-JSON string column — the
+    semi-structured payload pattern (event ``props``, API blobs).
+
+    Zero shuffle, fully vectorized: Arrow's RE2 ``extract_regex`` pulls
+    the field value (quoted-string or bare number/bool/null), unescapes
+    nothing (flat scalar fields only — nested objects/arrays and escaped
+    quotes are out of scope; route those payloads through a parser in an
+    actor-pool stage instead), and casts to ``out_type``. Missing field,
+    JSON null, or a failed cast all yield null (SQL
+    ``TRY_CAST(j->>'f')`` semantics).
+    """
+    out_col = out_col or field
+    import re as _re
+    f = _re.escape(field)
+    # two mutually-exclusive passes (quoted vs bare): Arrow's
+    # extract_regex reports a non-participating alternation group as ""
+    # rather than null, which would swallow bare-number matches
+    pat_q = r'"' + f + r'"\s*:\s*"(?P<q>[^"\\]*)"'
+    pat_b = (r'"' + f + r'"\s*:\s*'
+             r'(?P<b>-?[0-9][0-9.eE+-]*|true|false|null)')
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        s = pc.cast(s, pa.string())
+        quoted = pc.struct_field(pc.extract_regex(s, pattern=pat_q), "q")
+        bare = pc.struct_field(pc.extract_regex(s, pattern=pat_b), "b")
+        # JSON null → SQL NULL (not the string "null")
+        bare = pc.if_else(pc.equal(bare, pa.scalar("null")),
+                          pa.scalar(None, type=pa.string()), bare)
+        val = pc.coalesce(quoted, bare)
+        if out_type is not None and not pa.types.is_string(out_type):
+            val = pc.cast(val, out_type, safe=False)
+        return t.append_column(out_col, val)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -282,3 +282,43 @@ def test_pagerank_matches_dense_power_iteration(ray_session, plan):
     assert set(got) == set(nodes)
     for v in nodes:
         assert got[v] == pytest.approx(r[idx[v]], rel=1e-12), v
+
+
+def test_grouped_linreg_matches_polyfit(ray_session):
+    from feature_extraction_ray.stages.groupstats import grouped_linreg
+    rng = np.random.default_rng(13)
+    n = 900
+    g = rng.integers(0, 6, n)
+    x = rng.uniform(0, 30, n)
+    y = 2.5 * x + rng.normal(0, 3, n)
+    # degenerate group: constant x → null slope
+    g = np.r_[g, [9, 9]]
+    x = np.r_[x, [5.0, 5.0]]
+    y = np.r_[y, [1.0, 2.0]]
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "x": pa.array(x),
+                                 "y": pa.array(y)}))
+    out = _table(grouped_linreg(ds, "g", "x", "y"))
+    got = {r["g"]: r for r in out.to_pylist()}
+    assert got[9]["slope"] is None and got[9]["intercept"] is None
+    for gg in range(6):
+        m = g == gg
+        slope, intercept = np.polyfit(x[m], y[m], 1)
+        assert got[gg]["n"] == int(m.sum())
+        assert got[gg]["slope"] == pytest.approx(slope, rel=1e-9)
+        assert got[gg]["intercept"] == pytest.approx(intercept, rel=1e-9)
+
+
+def test_extract_json_field_types_and_nulls(ray_session):
+    from feature_extraction_ray.stages.relational import extract_json_field
+    import pyarrow as _pa
+    rows = ['{"k": 87, "s": "hi"}', '{"k": -3}', '{"x": 1}',
+            '{"k": null}', '{"s": ""}', None, '{"k": 0}']
+    ds = rd.from_arrow(pa.table({"id": pa.array(range(len(rows))),
+                                 "j": pa.array(rows)}))
+    ints = _table(extract_json_field(ds, "j", "k", out_col="k",
+                                     out_type=_pa.int64()))
+    got = {r["id"]: r["k"] for r in ints.to_pylist()}
+    assert got == {0: 87, 1: -3, 2: None, 3: None, 4: None, 5: None, 6: 0}
+    strs = _table(extract_json_field(ds, "j", "s"))
+    got = {r["id"]: r["s"] for r in strs.to_pylist()}
+    assert got[0] == "hi" and got[4] == "" and got[1] is None
