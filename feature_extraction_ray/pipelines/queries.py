@@ -2605,6 +2605,175 @@ WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v
 """
 
 
+def q3_shipping_priority(sf_dir: str) -> Dataset:
+    """TPC-H Q3 shape — the composed multi-join proof: segment-filtered
+    customers broadcast-semi-join orders, order attrs attached onto
+    date-pruned lineitem with ONE bucketed hash-join exchange, partial
+    revenue aggregation, global top-10 by the ROUNDED revenue (both
+    engines sort the identical bit-exact double, so the cut is
+    deterministic)."""
+    cutoff = pa.scalar(datetime.datetime(1997, 1, 1),
+                       type=pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def bldg(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["c_mktsegment"], "BUILDING")) \
+            .select(["c_custkey"])
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def early(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], cutoff))
+
+    orders = semi_join(orders.map_batches(early, batch_format="pyarrow"),
+                       cust.map_batches(bldg, batch_format="pyarrow"),
+                       left_key="o_custkey", right_key="c_custkey")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def late_ship(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    from ..stages.cc import attach_values
+    joined = attach_values(
+        li.map_batches(late_ship, batch_format="pyarrow"), "l_orderkey",
+        orders, "o_orderkey", ["o_orderdate", "o_orderpriority"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["l_orderkey", "o_orderdate",
+                          "o_orderpriority"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["l_orderkey", "o_orderdate",
+                                   "o_orderpriority", "rev"])
+
+    out = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["l_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .aggregate(Sum("rev", alias_name="revenue"))
+
+    def fix_ts(t: pa.Table) -> pa.Table:
+        # Ray's sort-based aggregate downcasts timestamp KEYS to
+        # timestamp[s]; restore µs so the schema matches the oracle
+        i = t.column_names.index("o_orderdate")
+        return t.set_column(i, pa.field("o_orderdate", pa.timestamp("us")),
+                            pc.cast(t["o_orderdate"], pa.timestamp("us")))
+
+    out = _round(out.map_batches(fix_ts, batch_format="pyarrow"),
+                 {"revenue": 2})
+    return out.sort(["revenue", "o_orderdate", "l_orderkey"],
+                    descending=[True, False, False]).limit(10)
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+def q5_local_supplier_volume(sf_dir: str) -> Dataset:
+    """TPC-H Q5 shape — six-table join with the c_nationkey =
+    s_nationkey co-location predicate: tiny dims resolved driver-side,
+    supplier/customer nation maps broadcast, ONE bucketed hash-join
+    exchange (order attrs onto lineitem), partial revenue rollup per
+    nation."""
+    import ray as _ray
+    lo = pa.scalar(datetime.datetime(1996, 1, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(datetime.datetime(1998, 1, 1), type=pa.timestamp("us"))
+
+    # dims: ASIA nation keys + names (driver-side tiny)
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    asia_rk = set(region[region.r_name == "ASIA"].r_regionkey)
+    asia = nation[nation.n_regionkey.isin(asia_rk)]
+    names = dict(zip(asia.n_nationkey, asia.n_name))
+    asia_keys = set(names)
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def in_range(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = broadcast_join(orders.map_batches(in_range,
+                                               batch_format="pyarrow"),
+                            cust, left_key="o_custkey",
+                            right_key="c_custkey",
+                            right_value_cols=["c_nationkey"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"])
+    li = broadcast_join(li, supp, left_key="l_suppkey",
+                        right_key="s_suppkey",
+                        right_value_cols=["s_nationkey"])
+    asia_arr = pa.array(sorted(asia_keys))
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["s_nationkey"], value_set=asia_arr)
+        t = t.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "s_nationkey": t["s_nationkey"], "rev": rev})
+
+    from ..stages.cc import attach_values
+    joined = attach_values(li.map_batches(prune, batch_format="pyarrow"),
+                           "l_orderkey", orders, "o_orderkey",
+                           ["c_nationkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["s_nationkey"], t["c_nationkey"]))
+        agg = t.group_by(["s_nationkey"]).aggregate([("rev", "sum")])
+        return agg.rename_columns(["s_nationkey", "rev"])
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s_nationkey").aggregate(Sum("rev", alias_name="revenue"))
+    names_ref = _ray.put(names)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        from ..stages.partition import broadcast_get
+        nm = broadcast_get(names_ref)
+        keys = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n_name": pa.array([nm[int(k)] for k in keys]),
+            "revenue": t["revenue"],
+        })
+
+    return _round(agg.map_batches(finalize, batch_format="pyarrow"),
+                  {"revenue": 2})
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+"""
+
+
 def user_value_trend(sf_dir: str) -> Dataset:
     """Per-user OLS trend of value over time (``groupstats.grouped_linreg``
     — the pure partial-aggregation shape: one exchange of five
@@ -3004,6 +3173,7 @@ QUERIES = {
     "normalized_events": normalized_events,
     # -- session-3 additions (grouped order stats / argmax / set ops /
     #    resample / funnel / edit-distance join), all SQL oracles --
+    "q3_shipping_priority": q3_shipping_priority,
     "user_value_trend": user_value_trend,
     "events_props_extract": events_props_extract,
     "value_quantiles_by_type": value_quantiles_by_type,
@@ -3029,7 +3199,6 @@ QUERIES = {
     "customers_orders_full_outer": customers_orders_full_outer,
     "doc_token_counts": doc_token_counts,
     "exact_dedup_docs": exact_dedup_docs,
-    "docs_min_word_gate": docs_min_word_gate,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
     "embedding_dedup_brute": embedding_dedup_brute,
@@ -3116,7 +3285,14 @@ QUERIES = {
     #      semantics keep customer_year_set_ops in-window) — for
     #      user_value_trend; session_stats_events (double-green; the
     #      session family keeps sessionize/streaming pytest oracles) —
-    #      for events_props_extract ----
+    #      for events_props_extract; docs_min_word_gate (double-green;
+    #      gate family keeps vocab_filter's pytest oracle + the curation
+    #      gates in-window) — for q3_shipping_priority.
+    #      q5_local_supplier_volume sits in the oracle-checked tail
+    #      (pytest runs it each session; Q3 is the in-window multi-join
+    #      representative) ----
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "docs_min_word_gate": docs_min_word_gate,
     "customers_without_orders": customers_without_orders,
     "session_stats_events": session_stats_events,
     "filter_high_value_orders": filter_high_value_orders,
@@ -3272,6 +3448,8 @@ ORACLE_SQL = {
     "resample_hourly_events": RESAMPLE_HOURLY_EVENTS_SQL,
     "funnel_view_click_purchase": FUNNEL_VIEW_CLICK_PURCHASE_SQL,
     "name_typo_pairs": NAME_TYPO_PAIRS_SQL,
+    "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
+    "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
