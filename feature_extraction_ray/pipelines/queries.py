@@ -3155,6 +3155,70 @@ FROM pr WHERE k = 3
 """
 
 
+def running_distinct_types(sf_dir: str) -> Dataset:
+    """Cumulative distinct count per user in event order
+    (``window.running_distinct`` — SQL can only express this as a
+    correlated subquery): lexsort first-occurrence flags + per-run
+    cumsum, fully vectorized, integer-exact."""
+    from ..stages.window import running_distinct
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    out = running_distinct(ds, "user_id", ["ts", "event_id"],
+                           "event_type")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id",
+                            "n_distinct_event_type"]),
+        batch_format="pyarrow")
+
+
+RUNNING_DISTINCT_TYPES_SQL = """
+SELECT e.event_id, e.user_id,
+       (SELECT count(DISTINCT e2.event_type) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND (e2.ts < e.ts
+               OR (e2.ts = e.ts AND e2.event_id <= e.event_id)))
+           AS n_distinct_event_type
+FROM events e
+"""
+
+
+def value_quantiles_cont_by_type(sf_dir: str) -> Dataset:
+    """Interpolated per-type quantiles (``grouped_quantiles_cont`` —
+    SQL percentile_cont semantics spelled out as the identical IEEE
+    expression, bit-exact with no rounding)."""
+    from ..stages.groupstats import grouped_quantiles_cont
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_quantiles_cont(ds, "event_type", "value")
+
+
+VALUE_QUANTILES_CONT_BY_TYPE_SQL = """
+WITH v AS (SELECT event_type, value FROM events
+           WHERE value IS NOT NULL AND NOT isnan(value)),
+ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type, any_value(n) AS n_values,
+  max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1 THEN value END)
+  + (max(CASE WHEN rn = CAST(ceil((n-1)*0.25) AS BIGINT)+1 THEN value END)
+     - max(CASE WHEN rn = CAST(floor((n-1)*0.25) AS BIGINT)+1
+           THEN value END))
+    * ((any_value(n)-1)*0.25 - floor((any_value(n)-1)*0.25)) AS q25c,
+  max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT)+1 THEN value END)
+  + (max(CASE WHEN rn = CAST(ceil((n-1)*0.5) AS BIGINT)+1 THEN value END)
+     - max(CASE WHEN rn = CAST(floor((n-1)*0.5) AS BIGINT)+1
+           THEN value END))
+    * ((any_value(n)-1)*0.5 - floor((any_value(n)-1)*0.5)) AS q50c,
+  max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1 THEN value END)
+  + (max(CASE WHEN rn = CAST(ceil((n-1)*0.75) AS BIGINT)+1 THEN value END)
+     - max(CASE WHEN rn = CAST(floor((n-1)*0.75) AS BIGINT)+1
+           THEN value END))
+    * ((any_value(n)-1)*0.75 - floor((any_value(n)-1)*0.75)) AS q75c
+FROM ranked GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3362,6 +3426,8 @@ QUERIES = {
     "bpe_tokens_docs": bpe_tokens_docs,
     "user_event_entropy": user_event_entropy,
     "orders_snapshot_diff": orders_snapshot_diff,
+    "running_distinct_types": running_distinct_types,
+    "value_quantiles_cont_by_type": value_quantiles_cont_by_type,
 }
 
 ORACLE_SQL = {
@@ -3452,6 +3518,8 @@ ORACLE_SQL = {
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
+    "running_distinct_types": RUNNING_DISTINCT_TYPES_SQL,
+    "value_quantiles_cont_by_type": VALUE_QUANTILES_CONT_BY_TYPE_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -506,3 +506,47 @@ def grouped_linreg(ds: Dataset, group_col: str, x_col: str,
         })
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_quantiles_cont(ds: Dataset, group_col: str, value_col: str,
+                           qs: Sequence[float] = (0.25, 0.5, 0.75),
+                           num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Linearly interpolated per-group quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``): with ``h = (n-1)*q`` over the sorted non-null
+    values, ``v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h - floor(h))``.
+    The oracle spells out the identical IEEE expression, so results are
+    bit-exact without rounding. Output: group, ``n_values``, one
+    ``q{percent}c`` column per quantile."""
+    qnames = [f"q{int(round(q * 100))}c" for q in qs]
+
+    def drop_missing(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        v = t[value_col]
+        ok = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
+        return t.filter(pc.fill_null(ok, False))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, value_col])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        counts = np.diff(np.r_[starts, len(tbl)])
+        v = _np(tbl[value_col]).astype(np.float64)
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        out = {group_col: grp.take(pa.array(starts)),
+               "n_values": pa.array(counts.astype(np.int64))}
+        for q, name in zip(qs, qnames):
+            h = (counts - 1).astype(np.float64) * q
+            lo = np.floor(h)
+            f = h - lo
+            ilo = starts + lo.astype(np.int64)
+            ihi = starts + np.ceil(h).astype(np.int64)
+            vlo, vhi = v[ilo], v[ihi]
+            out[name] = pa.array(vlo + (vhi - vlo) * f)
+        return pa.table(out)
+
+    return bucketed_apply(ds.map_batches(drop_missing,
+                                         batch_format="pyarrow"),
+                          group_col, per_bucket, num_buckets,
+                          drop_bucket=False)

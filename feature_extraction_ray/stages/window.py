@@ -544,3 +544,51 @@ def sliding_quantile(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl.append_column(name, pa.array(out))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def running_distinct(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                     value_col: str, out_col: str | None = None,
+                     num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Cumulative distinct count per entity in event order — for each
+    row, how many distinct ``value_col`` values the entity has produced
+    up to and including that row (SQL has no ``COUNT(DISTINCT) OVER
+    (... ROWS UNBOUNDED PRECEDING)``; the oracle is a correlated
+    subquery). Requires ``(entity, *order_cols)`` to be a total order.
+
+    Fully vectorized: a lexsort by (entity, value, order) marks each
+    (entity, value) run head as a first occurrence, the flags scatter
+    back to event order, and a per-run cumsum counts them — O(n log n),
+    no per-row state."""
+    name = out_col or f"n_distinct_{value_col}"
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(name, pa.array([], type=pa.int64()))
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        ecodes = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        val = tbl[value_col]
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        vcodes = val.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        # first occurrence of each (entity, value) in event order:
+        # stable lexsort keeps event order within (entity, value) runs
+        order = np.lexsort((np.arange(n), vcodes, ecodes))
+        ec, vc = ecodes[order], vcodes[order]
+        head = np.r_[True, (ec[1:] != ec[:-1]) | (vc[1:] != vc[:-1])]
+        first = np.zeros(n, dtype=np.int64)
+        first[order] = head
+        # per-entity running sum of first-occurrence flags
+        starts = np.flatnonzero(ng)
+        cs = np.cumsum(first)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        run_id = np.cumsum(ng) - 1
+        out = cs - base[run_id]
+        return tbl.append_column(name, pa.array(out))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

@@ -322,3 +322,42 @@ def test_extract_json_field_types_and_nulls(ray_session):
     strs = _table(extract_json_field(ds, "j", "s"))
     got = {r["id"]: r["s"] for r in strs.to_pylist()}
     assert got[0] == "hi" and got[4] == "" and got[1] is None
+
+
+def test_running_distinct_matches_bruteforce(ray_session):
+    from feature_extraction_ray.stages.window import running_distinct
+    rng = np.random.default_rng(21)
+    n = 700
+    u = rng.integers(0, 15, n)
+    o = rng.permutation(n)
+    v = rng.choice(list("abcdefg"), n)
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "o": pa.array(o),
+                                 "v": pa.array(v)}))
+    out = _table(running_distinct(ds, "u", ["o"], "v", num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["u"], []).append(r)
+    for uu, rs in by_u.items():
+        seen = set()
+        for r in rs:
+            seen.add(r["v"])
+            assert r["n_distinct_v"] == len(seen)
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    from feature_extraction_ray.stages.groupstats import (
+        grouped_quantiles_cont)
+    rng = np.random.default_rng(4)
+    n = 1200
+    g = rng.integers(0, 7, n)
+    v = rng.normal(0, 10, n)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)}))
+    out = _table(grouped_quantiles_cont(ds, "g", "v", num_buckets=5))
+    got = {r["g"]: r for r in out.to_pylist()}
+    for gg in range(7):
+        vs = v[g == gg]
+        for q, name in ((0.25, "q25c"), (0.5, "q50c"), (0.75, "q75c")):
+            # numpy 'linear' interpolation is the same definition
+            assert got[gg][name] == pytest.approx(
+                np.quantile(vs, q), rel=1e-12), (gg, name)
