@@ -487,16 +487,17 @@ def set_ops(a: Dataset, b: Dataset, key_cols: Sequence[str],
     key_cols = list(key_cols)
 
     def flag(side: str):
-        other = "_in_b" if side == "_in_a" else "_in_a"
         def fn(tbl: pa.Table) -> pa.Table:
             t = tbl.select(key_cols)
             agg = t.group_by(key_cols).aggregate([([], "count_all")])
             n = len(agg)
             agg = agg.drop_columns(["count_all"])
-            agg = agg.append_column(
-                side, pa.array(np.ones(n, dtype=np.int8)))
-            return agg.append_column(
-                other, pa.array(np.zeros(n, dtype=np.int8)))
+            # fixed column ORDER on both branches — unioned blocks must
+            # agree positionally, not just by name
+            for c in ("_in_a", "_in_b"):
+                v = np.ones(n, np.int8) if c == side else np.zeros(n, np.int8)
+                agg = agg.append_column(c, pa.array(v))
+            return agg
         return fn
 
     from ray.data.aggregate import Max
