@@ -3219,6 +3219,40 @@ FROM ranked GROUP BY event_type
 """
 
 
+def event_type_transitions(sf_dir: str) -> Dataset:
+    """Markov transition counts: (previous event type → event type)
+    frequencies per user stream — the windowed shift operator composed
+    with a partial-aggregate rollup (integer-exact)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    shifted = SW.shift(ds, "user_id", ["ts", "event_id"],
+                       ["event_type"], periods=1, suffix="_prev")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type_prev"]))
+        agg = t.group_by(["event_type_prev", "event_type"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["prev_type", "event_type", "n"])
+
+    out = shifted.map_batches(partial, batch_format="pyarrow")         .groupby(["prev_type", "event_type"])         .aggregate(Sum("n", alias_name="n"))
+    return out.map_batches(
+        lambda t: t.set_column(t.column_names.index("n"),
+                               pa.field("n", pa.int64()),
+                               pc.cast(t["n"], pa.int64())),
+        batch_format="pyarrow")
+
+
+EVENT_TYPE_TRANSITIONS_SQL = """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type, count(*) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3428,6 +3462,7 @@ QUERIES = {
     "orders_snapshot_diff": orders_snapshot_diff,
     "running_distinct_types": running_distinct_types,
     "value_quantiles_cont_by_type": value_quantiles_cont_by_type,
+    "event_type_transitions": event_type_transitions,
 }
 
 ORACLE_SQL = {
@@ -3520,6 +3555,7 @@ ORACLE_SQL = {
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,
     "running_distinct_types": RUNNING_DISTINCT_TYPES_SQL,
     "value_quantiles_cont_by_type": VALUE_QUANTILES_CONT_BY_TYPE_SQL,
+    "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
