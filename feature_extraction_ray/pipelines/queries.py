@@ -3253,6 +3253,25 @@ GROUP BY 1, 2
 """
 
 
+def name_typo2_pairs(sf_dir: str) -> Dataset:
+    """Distance-≤2 similarity join (``editdist.distance_le2_join``):
+    depth-2 SymSpell deletion candidates, in-bucket vectorized
+    banded-DP verification (band ±2), global pair-distinct exchange."""
+    from ..stages.editdist import distance_le2_join
+    ds = _read(sf_dir, "customer", ["c_name"])
+    return distance_le2_join(ds, "c_name")
+
+
+NAME_TYPO2_PAIRS_SQL = """
+SELECT a.c_name AS c_name_a, b.c_name AS c_name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_name < b.c_name
+ AND abs(length(a.c_name) - length(b.c_name)) <= 2
+ AND levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3463,6 +3482,7 @@ QUERIES = {
     "running_distinct_types": running_distinct_types,
     "value_quantiles_cont_by_type": value_quantiles_cont_by_type,
     "event_type_transitions": event_type_transitions,
+    "name_typo2_pairs": name_typo2_pairs,
 }
 
 ORACLE_SQL = {
@@ -3556,6 +3576,7 @@ ORACLE_SQL = {
     "running_distinct_types": RUNNING_DISTINCT_TYPES_SQL,
     "value_quantiles_cont_by_type": VALUE_QUANTILES_CONT_BY_TYPE_SQL,
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
+    "name_typo2_pairs": NAME_TYPO2_PAIRS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -361,3 +361,32 @@ def test_grouped_quantiles_cont_matches_numpy(ray_session):
             # numpy 'linear' interpolation is the same definition
             assert got[gg][name] == pytest.approx(
                 np.quantile(vs, q), rel=1e-12), (gg, name)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_distance_le2_join_matches_bruteforce(ray_session, seed):
+    from feature_extraction_ray.stages.editdist import distance_le2_join
+    rng = np.random.default_rng(seed)
+    words = set()
+    while len(words) < 90:
+        L = rng.integers(1, 7)
+        words.add("".join(rng.choice(list("abcé"), L)))
+    words = sorted(words)
+    ds = rd.from_arrow(pa.table({"w": pa.array(words)}))
+    out = _table(distance_le2_join(ds, "w", num_buckets=5))
+    got = {(r["w_a"], r["w_b"]): r["dist"] for r in out.to_pylist()} \
+        if out is not None else {}
+    expect = {}
+    for i, x in enumerate(words):
+        for y in words[i + 1:]:
+            d = _lev(x, y)
+            if d <= 2:
+                expect[(x, y)] = d
+    assert got == expect
+
+
+def test_lev_le2_kernel_clips_above_two(ray_session):
+    from feature_extraction_ray.stages.editdist import _lev_le2_batch
+    a = np.array(["abc", "abc", "abc", "", "abcdef"], dtype=object)
+    b = np.array(["abc", "abd", "xyd", "ab", "abc"], dtype=object)
+    assert _lev_le2_batch(a, b).tolist() == [0, 1, 3, 2, 3]
