@@ -194,6 +194,11 @@ def run_bench() -> dict:
         # the ordered conversion funnel
         per_query["editdist1_join_names"] = _best_of(
             lambda: QUERIES["name_typo_pairs"](SF_DIR).count())
+        # distance-≤2: depth-2 deletion candidates + banded-DP verify —
+        # a deliberately heavy entry (4.1M exact fuzzy-join result pairs
+        # from 15k strings at sf0.1)
+        per_query["editdist2_join_names"] = _best_of(
+            lambda: QUERIES["name_typo2_pairs"](SF_DIR).count())
         per_query["resample_hourly"] = _best_of(
             lambda: QUERIES["resample_hourly_events"](SF_DIR).count())
         per_query["pagerank_cust_part"] = _best_of(
