@@ -227,15 +227,20 @@ def funnel_counts(ds: Dataset, user_col: str, type_col: str, ts_col: str,
     partials = bucketed_apply(ds.map_batches(prep, batch_format="pyarrow"),
                               user_col, per_bucket, num_buckets,
                               drop_bucket=False)
-    out = partials.groupby(["step", "event_type"]).aggregate(
-        Sum("n_users", alias_name="n_users"))
-
-    def finalize(t: pa.Table) -> pa.Table:
-        return pa.table({"step": pc.cast(t["step"], pa.int64()),
-                         "event_type": t["event_type"],
-                         "n_users": pc.cast(t["n_users"], pa.int64())})
-
-    return out.map_batches(finalize, batch_format="pyarrow")
+    # final rollup is provably tiny (num_buckets × len(steps) rows) —
+    # a driver merge saves the second all-to-all's ~2 s fixed cost
+    import ray as _ray
+    import ray.data as _rd
+    tbls = [t for t in _ray.get(partials.to_arrow_refs()) if t.num_rows]
+    total = np.zeros(len(steps), dtype=np.int64)
+    for t in tbls:
+        steps_idx = t["step"].to_numpy(zero_copy_only=False) - 1
+        np.add.at(total, steps_idx,
+                  t["n_users"].to_numpy(zero_copy_only=False))
+    return _rd.from_arrow(pa.table({
+        "step": pa.array(np.arange(1, len(steps) + 1, dtype=np.int64)),
+        "event_type": pa.array(list(steps)),
+        "n_users": pa.array(total)}))
 
 
 # ---------------------------------------------------------------------------

@@ -363,8 +363,9 @@ def test_grouped_quantiles_cont_matches_numpy(ray_session):
                 np.quantile(vs, q), rel=1e-12), (gg, name)
 
 
-@pytest.mark.parametrize("seed", [0, 3])
-def test_distance_le2_join_matches_bruteforce(ray_session, seed):
+@pytest.mark.parametrize("seed,num_buckets", [(0, 5), (3, 5), (0, 17)])
+def test_distance_le2_join_matches_bruteforce(ray_session, seed,
+                                              num_buckets):
     from feature_extraction_ray.stages.editdist import distance_le2_join
     rng = np.random.default_rng(seed)
     words = set()
@@ -373,7 +374,7 @@ def test_distance_le2_join_matches_bruteforce(ray_session, seed):
         words.add("".join(rng.choice(list("abcé"), L)))
     words = sorted(words)
     ds = rd.from_arrow(pa.table({"w": pa.array(words)}))
-    out = _table(distance_le2_join(ds, "w", num_buckets=5))
+    out = _table(distance_le2_join(ds, "w", num_buckets=num_buckets))
     got = {(r["w_a"], r["w_b"]): r["dist"] for r in out.to_pylist()} \
         if out is not None else {}
     expect = {}
