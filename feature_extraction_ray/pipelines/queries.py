@@ -3272,6 +3272,51 @@ FROM customer a JOIN customer b
 """
 
 
+def lineitem_quality_checks(sf_dir: str) -> Dataset:
+    """Data-quality assertion pass (``relational.validate_rules``):
+    violation counts for four row-level rules in ONE zero-shuffle map
+    (nulls violate — SQL ``coalesce(NOT ok, TRUE)``)."""
+    from ..stages.relational import validate_rules
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_returnflag", "l_shipdate"])
+    flags = pa.array(["A", "N", "R"])
+    rules = [
+        ("quantity_positive",
+         lambda t: pc.less_equal(t["l_quantity"], pa.scalar(0.0))),
+        ("discount_le_5pct",
+         lambda t: pc.greater(t["l_discount"], pa.scalar(0.05))),
+        ("returnflag_domain",
+         lambda t: pc.invert(pc.is_in(t["l_returnflag"],
+                                      value_set=flags))),
+        ("shipdate_present", lambda t: pc.is_null(t["l_shipdate"])),
+    ]
+    return validate_rules(ds, rules)
+
+
+LINEITEM_QUALITY_CHECKS_SQL = """
+SELECT 'quantity_positive' AS rule,
+       CAST(sum(CASE WHEN coalesce(NOT (l_quantity > 0), TRUE)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       count(*) AS n_rows FROM lineitem
+UNION ALL
+SELECT 'discount_le_5pct',
+       CAST(sum(CASE WHEN coalesce(l_discount > 0.05, TRUE)
+                     THEN 1 ELSE 0 END) AS BIGINT), count(*)
+FROM lineitem
+UNION ALL
+SELECT 'returnflag_domain',
+       CAST(sum(CASE WHEN coalesce(l_returnflag NOT IN ('A','N','R'),
+                                   TRUE) THEN 1 ELSE 0 END) AS BIGINT),
+       count(*)
+FROM lineitem
+UNION ALL
+SELECT 'shipdate_present',
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT), count(*)
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3483,6 +3528,7 @@ QUERIES = {
     "value_quantiles_cont_by_type": value_quantiles_cont_by_type,
     "event_type_transitions": event_type_transitions,
     "name_typo2_pairs": name_typo2_pairs,
+    "lineitem_quality_checks": lineitem_quality_checks,
 }
 
 ORACLE_SQL = {
@@ -3577,6 +3623,7 @@ ORACLE_SQL = {
     "value_quantiles_cont_by_type": VALUE_QUANTILES_CONT_BY_TYPE_SQL,
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "name_typo2_pairs": NAME_TYPO2_PAIRS_SQL,
+    "lineitem_quality_checks": LINEITEM_QUALITY_CHECKS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

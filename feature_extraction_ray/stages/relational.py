@@ -570,3 +570,45 @@ def extract_json_field(ds: Dataset, col: str, field: str,
         return t.append_column(out_col, val)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def validate_rules(ds: Dataset, rules) -> Dataset:
+    """Data-quality assertion pass: count violations of named row-level
+    rules in ONE streaming map (zero shuffle — per-block violation
+    counts are summed by a tiny aggregate of ``len(rules)``-row
+    partials). ``rules`` is a sequence of ``(name, fn)`` where ``fn``
+    maps an Arrow table to a BOOLEAN array that is True when the row
+    VIOLATES the rule (nulls count as violations — SQL
+    ``coalesce(NOT ok, TRUE)`` semantics). Returns
+    ``(rule, n_violations, n_rows)``."""
+    from ray.data.aggregate import Sum
+    rules = list(rules)
+    names = [n for n, _ in rules]
+
+    def partial(t: pa.Table) -> pa.Table:
+        counts = []
+        for _, fn in rules:
+            bad = fn(t)
+            if isinstance(bad, pa.ChunkedArray):
+                bad = bad.combine_chunks()
+            bad = pc.fill_null(bad, True)
+            counts.append(int(pc.sum(pc.cast(bad, pa.int64())).as_py()
+                              or 0))
+        return pa.table({"rule": pa.array(names),
+                         "n_violations": pa.array(counts,
+                                                  type=pa.int64()),
+                         "n_rows": pa.array([len(t)] * len(rules),
+                                            type=pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rule").aggregate(
+            Sum("n_violations", alias_name="n_violations"),
+            Sum("n_rows", alias_name="n_rows"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rule": t["rule"],
+            "n_violations": pc.cast(t["n_violations"], pa.int64()),
+            "n_rows": pc.cast(t["n_rows"], pa.int64())})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
