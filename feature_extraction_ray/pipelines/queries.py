@@ -3317,6 +3317,32 @@ FROM lineitem
 """
 
 
+def source_overlap_docs(sf_dir: str) -> Dataset:
+    """Cross-source contamination matrix (``dedup.source_overlap``):
+    distinct 30-char-prefix fingerprints shared between source pairs —
+    the audit that finds leaking sources before a full near-dup pass."""
+    from ..stages.dedup import source_overlap
+    ds = _read(sf_dir, "documents", ["text", "source"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "fp": pc.utf8_slice_codeunits(t["text"], start=0, stop=30),
+            "source": t["source"]})
+
+    return source_overlap(ds.map_batches(fp, batch_format="pyarrow"),
+                          "fp", "source")
+
+
+SOURCE_OVERLAP_DOCS_SQL = """
+WITH fp AS (SELECT DISTINCT substr(text, 1, 30) AS fp, source
+            FROM documents),
+pairs AS (SELECT a.fp, a.source AS source_a, b.source AS source_b
+          FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source)
+SELECT source_a, source_b, count(*) AS n_shared
+FROM pairs GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3529,6 +3555,7 @@ QUERIES = {
     "event_type_transitions": event_type_transitions,
     "name_typo2_pairs": name_typo2_pairs,
     "lineitem_quality_checks": lineitem_quality_checks,
+    "source_overlap_docs": source_overlap_docs,
 }
 
 ORACLE_SQL = {
@@ -3624,6 +3651,7 @@ ORACLE_SQL = {
     "event_type_transitions": EVENT_TYPE_TRANSITIONS_SQL,
     "name_typo2_pairs": NAME_TYPO2_PAIRS_SQL,
     "lineitem_quality_checks": LINEITEM_QUALITY_CHECKS_SQL,
+    "source_overlap_docs": SOURCE_OVERLAP_DOCS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1130,3 +1130,69 @@ def ngram_jaccard_dedup(ds: Dataset, text_col: str = "text",
         batch_format="pyarrow")
     return _cluster_output(ds.select_columns([id_col]), edges,
                            id_col, num_buckets, output)
+
+
+def source_overlap(ds: Dataset, fp_col: str, source_col: str,
+                   num_buckets: int = 32) -> Dataset:
+    """Cross-source contamination matrix: for every pair of sources, the
+    number of distinct fingerprints that appear in BOTH — the corpus
+    audit that tells you which sources leak into each other before you
+    spend a full near-dup pass on them.
+
+    Shape: per-block distinct ``(fingerprint, source)`` partials (Arrow
+    hash aggregate), ONE exchange bucketed by fingerprint, per-bucket
+    pair emission over fingerprint runs (sources per fingerprint are
+    few; pairs via the per-length triangle templates), per-bucket
+    pre-count, then a tiny ``groupby(source_a, source_b)`` rollup. The
+    exchange moves distinct fingerprint-source rows, never documents.
+    Returns ``(source_a < source_b, n_shared)``.
+    """
+    from ray.data.aggregate import Sum
+    from .editdist import _pairs_within_runs
+    from .partition import sort_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"_fp": t[fp_col], "_src": t[source_col]})
+        return g.group_by(["_fp", "_src"]).aggregate([])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"source_a": pa.array([], type=pa.string()),
+                          "source_b": pa.array([], type=pa.string()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(tbl) == 0:
+            return empty
+        tbl = tbl.group_by(["_fp", "_src"]).aggregate([])
+        tbl = sort_table(tbl, ["_fp", "_src"])
+        fp = tbl["_fp"].combine_chunks() if isinstance(
+            tbl["_fp"], pa.ChunkedArray) else tbl["_fp"]
+        codes = fp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        ng = np.r_[True, codes[1:] != codes[:-1]]
+        starts = np.flatnonzero(ng)
+        counts = np.diff(np.r_[starts, len(tbl)])
+        ii, jj = _pairs_within_runs(starts, counts)
+        if len(ii) == 0:
+            return empty
+        src = tbl["_src"].combine_chunks() if isinstance(
+            tbl["_src"], pa.ChunkedArray) else tbl["_src"]
+        a = src.take(pa.array(ii))        # sorted within run → a < b
+        b = src.take(pa.array(jj))
+        pairs = pa.table({"source_a": a, "source_b": b})
+        agg = pairs.group_by(["source_a", "source_b"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["source_a", "source_b", "n"])
+
+    from .window import bucketed_apply
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    counted = bucketed_apply(partials, "_fp", per_bucket, num_buckets,
+                             drop_bucket=False)
+    out = counted.groupby(["source_a", "source_b"]).aggregate(
+        Sum("n", alias_name="n_shared"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"source_a": t["source_a"],
+                         "source_b": t["source_b"],
+                         "n_shared": pc.cast(t["n_shared"], pa.int64())})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
