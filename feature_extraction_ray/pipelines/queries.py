@@ -3343,6 +3343,146 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def customers_without_events(sf_dir: str) -> Dataset:
+    """Distributed anti-join (``relational.anti_join``): customers with
+    no event activity — right side collapses to distinct-key markers,
+    one tagged-union exchange, no driver broadcast (the scale path when
+    the filter key set is too big for ``semi_join``'s ``ray.put``)."""
+    from ..stages.relational import anti_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    events = _read(sf_dir, "events", ["user_id"])
+    return anti_join(cust, events, left_key="c_custkey",
+                     right_key="user_id")
+
+
+CUSTOMERS_WITHOUT_EVENTS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+"""
+
+
+def qty_price_corr_by_flag(sf_dir: str) -> Dataset:
+    """Per-returnflag Pearson correlation of quantity vs price
+    (``groupstats.grouped_corr``). Both columns are pre-scaled to exact
+    integers (units / cents), so the six sufficient statistics are
+    exact int64 and the final float expression matches the oracle's
+    spelled-out IEEE formula bit-for-bit — no rounding."""
+    from ..stages.groupstats import grouped_corr
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def to_int(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["l_extendedprice"], pa.scalar(100.0))), pa.int64())})
+
+    return grouped_corr(ds.map_batches(to_int, batch_format="pyarrow"),
+                        "l_returnflag", "qty", "cents",
+                        out_col="corr_qty_price")
+
+
+QTY_PRICE_CORR_BY_FLAG_SQL = """
+WITH i AS (SELECT l_returnflag,
+                  CAST(round(l_quantity) AS BIGINT) AS qty,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+s AS (SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(qty) AS DOUBLE) AS sx,
+             CAST(sum(cents) AS DOUBLE) AS sy,
+             CAST(sum(qty * qty) AS DOUBLE) AS sxx,
+             CAST(sum(cents * cents) AS DOUBLE) AS syy,
+             CAST(sum(qty * cents) AS DOUBLE) AS sxy
+      FROM i GROUP BY 1)
+SELECT l_returnflag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * sxx - sx * sx) <= 0
+              OR (CAST(n AS DOUBLE) * syy - sy * sy) <= 0 THEN NULL
+            ELSE (CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) END
+       AS corr_qty_price
+FROM s
+"""
+
+
+def value_autocorr_by_user(sf_dir: str) -> Dataset:
+    """Per-user lag-1 autocorrelation of event values ordered by
+    (ts, event_id) — ``groupstats.grouped_autocorr`` over exact integer
+    cents; the oracle builds the identical pairs with a lead() window
+    and spells out the identical IEEE correlation expression."""
+    from ..stages.groupstats import grouped_autocorr
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["value"]))
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["value"], pa.scalar(100.0))), pa.int64())})
+
+    return grouped_autocorr(ds.map_batches(cents, batch_format="pyarrow"),
+                            "user_id", ["ts", "event_id"], "cents",
+                            lag=1, out_col="autocorr")
+
+
+VALUE_AUTOCORR_BY_USER_SQL = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events WHERE value IS NOT NULL),
+l AS (SELECT user_id, cents AS x,
+             lead(cents, 1) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS y
+      FROM e),
+p AS (SELECT user_id, x, y FROM l WHERE y IS NOT NULL),
+s AS (SELECT user_id, count(*) AS n_pairs,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy
+      FROM p GROUP BY 1)
+SELECT u.user_id, coalesce(s.n_pairs, 0) AS n_pairs,
+       CASE WHEN s.n_pairs IS NULL
+              OR (CAST(s.n_pairs AS DOUBLE) * s.sxx - s.sx * s.sx) <= 0
+              OR (CAST(s.n_pairs AS DOUBLE) * s.syy - s.sy * s.sy) <= 0
+            THEN NULL
+            ELSE (CAST(s.n_pairs AS DOUBLE) * s.sxy - s.sx * s.sy)
+                 / (sqrt(CAST(s.n_pairs AS DOUBLE) * s.sxx - s.sx * s.sx)
+                    * sqrt(CAST(s.n_pairs AS DOUBLE) * s.syy - s.sy * s.sy))
+       END AS autocorr
+FROM (SELECT DISTINCT user_id FROM e) u
+LEFT JOIN s USING (user_id)
+"""
+
+
+def winsorized_events(sf_dir: str) -> Dataset:
+    """Per-event-type winsorization (``groupstats.winsorize``): clip
+    each value to its group's [p05, p95] discrete quantiles
+    (quantile_disc convention). Outputs are existing doubles (bound or
+    original), so the compare is bit-safe with no rounding."""
+    from ..stages.groupstats import winsorize
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    return winsorize(ds, "event_type", "value", 0.05, 0.95,
+                     out_col="value_w")
+
+
+WINSORIZED_EVENTS_SQL = """
+WITH e AS (SELECT event_id, event_type, value
+           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+b AS (SELECT event_type,
+             quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       least(greatest(e.value, b.lo), b.hi) AS value_w
+FROM e JOIN b USING (event_type)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3556,6 +3696,10 @@ QUERIES = {
     "name_typo2_pairs": name_typo2_pairs,
     "lineitem_quality_checks": lineitem_quality_checks,
     "source_overlap_docs": source_overlap_docs,
+    "customers_without_events": customers_without_events,
+    "qty_price_corr_by_flag": qty_price_corr_by_flag,
+    "value_autocorr_by_user": value_autocorr_by_user,
+    "winsorized_events": winsorized_events,
 }
 
 ORACLE_SQL = {
@@ -3652,6 +3796,10 @@ ORACLE_SQL = {
     "name_typo2_pairs": NAME_TYPO2_PAIRS_SQL,
     "lineitem_quality_checks": LINEITEM_QUALITY_CHECKS_SQL,
     "source_overlap_docs": SOURCE_OVERLAP_DOCS_SQL,
+    "customers_without_events": CUSTOMERS_WITHOUT_EVENTS_SQL,
+    "qty_price_corr_by_flag": QTY_PRICE_CORR_BY_FLAG_SQL,
+    "value_autocorr_by_user": VALUE_AUTOCORR_BY_USER_SQL,
+    "winsorized_events": WINSORIZED_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

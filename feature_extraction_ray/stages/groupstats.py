@@ -555,3 +555,211 @@ def grouped_quantiles_cont(ds: Dataset, group_col: str, value_col: str,
                                          batch_format="pyarrow"),
                           group_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pearson correlation
+# ---------------------------------------------------------------------------
+
+def _corr_from_sums(n, sx, sy, sxx, syy, sxy):
+    """``r = (n·Σxy − ΣxΣy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))`` with
+    nulls for degenerate groups (n == 0 or zero variance on either
+    side). All inputs float64; the SQL oracles spell out the identical
+    IEEE expression (including the vx/vy ≤ 0 guard) so results compare
+    strictly equal when the sums are exact integers."""
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    bad = (vx <= 0.0) | (vy <= 0.0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy))
+    return r, bad
+
+
+def grouped_corr(ds: Dataset, group_col: str, x_col: str,
+                 y_col: str, out_col: str = "corr_xy") -> Dataset:
+    """Per-group Pearson correlation from six sufficient statistics
+    (n, Σx, Σy, Σx², Σy², Σxy) — same shuffle shape as
+    :func:`grouped_linreg`: each map task collapses its block to one
+    partials row per group, the only exchange moves those rows.
+
+    Exactness: when BOTH columns are integer-typed the partials are
+    int64 (exact up to 2⁵³ when later widened to float64) and the
+    finalizer's float expression matches an oracle that casts the same
+    integer sums to DOUBLE — bit-exact, no rounding. Float inputs fall
+    back to float64 sums (reduction-order drift applies; compare
+    rounded). Callers wanting exact results over decimal data should
+    pre-scale to integer units (cents) in a map stage.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x, y = t[x_col], t[y_col]
+        int_exact = (pa.types.is_integer(x.type)
+                     and pa.types.is_integer(y.type))
+        typ = pa.int64() if int_exact else pa.float64()
+        x = pc.cast(x, typ)
+        y = pc.cast(y, typ)
+        g = pa.table({group_col: t[group_col], "_x": x, "_y": y,
+                      "_xx": pc.multiply(x, x), "_yy": pc.multiply(y, y),
+                      "_xy": pc.multiply(x, y)})
+        agg = g.group_by([group_col]).aggregate(
+            [([], "count_all"), ("_x", "sum"), ("_y", "sum"),
+             ("_xx", "sum"), ("_yy", "sum"), ("_xy", "sum")])
+        return agg.rename_columns([group_col, "_n", "_sx", "_sy",
+                                   "_sxx", "_syy", "_sxy"])
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("_n", alias_name="_n"), Sum("_sx", alias_name="_sx"),
+            Sum("_sy", alias_name="_sy"), Sum("_sxx", alias_name="_sxx"),
+            Sum("_syy", alias_name="_syy"), Sum("_sxy", alias_name="_sxy"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = _np(t["_n"]).astype(np.float64)
+        r, bad = _corr_from_sums(
+            n, _np(t["_sx"]).astype(np.float64),
+            _np(t["_sy"]).astype(np.float64),
+            _np(t["_sxx"]).astype(np.float64),
+            _np(t["_syy"]).astype(np.float64),
+            _np(t["_sxy"]).astype(np.float64))
+        return pa.table({
+            group_col: t[group_col],
+            "n": pa.array(n.astype(np.int64)),
+            out_col: pc.if_else(pa.array(bad),
+                                pa.scalar(None, type=pa.float64()),
+                                pa.array(r, from_pandas=True)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Per-entity lag-k autocorrelation
+# ---------------------------------------------------------------------------
+
+def grouped_autocorr(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                     value_col: str, lag: int = 1,
+                     out_col: str = "autocorr",
+                     num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Per-entity lag-``k`` autocorrelation: Pearson correlation of the
+    pairs ``(v_t, v_{t+k})`` over the entity's rows sorted by
+    ``order_cols`` (ties must be broken by a unique trailing column for
+    determinism). Emits ``(entity, n_pairs, autocorr)``; ``autocorr`` is
+    null when there are no pairs or either side has zero variance.
+
+    Shape: ONE exchange bucketed by entity; the per-bucket kernel sorts,
+    slices the lagged pair arrays per run, and reduces the six
+    sufficient statistics per run with ``np.add.reduceat`` (int64-exact
+    for integer value columns — pre-scale decimals to integer units for
+    strict oracle parity, same contract as :func:`grouped_corr`).
+    """
+    if lag < 1:
+        raise ValueError("lag must be >= 1")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        ent_t = pa.table({entity_col: tbl[entity_col]}).schema
+        if len(tbl) == 0:
+            return pa.table({
+                entity_col: pa.array([], type=ent_t.field(0).type),
+                "n_pairs": pa.array([], type=pa.int64()),
+                out_col: pa.array([], type=pa.float64())})
+        tbl = sort_table(tbl, [entity_col, *order_cols])
+        ng = entity_group_starts(tbl, entity_col)
+        starts = np.flatnonzero(ng)
+        counts = np.diff(np.r_[starts, len(tbl)])
+        v = _np(tbl[value_col])
+        int_exact = np.issubdtype(v.dtype, np.integer)
+        v = v.astype(np.int64 if int_exact else np.float64)
+        m = np.maximum(counts - lag, 0)          # pairs per run
+        # pair index arrays: for each run, i in [start, start+m)
+        tot = int(m.sum())
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        ent_first = ent.take(pa.array(starts))
+        if tot == 0:
+            return pa.table({
+                entity_col: ent_first,
+                "n_pairs": pa.array(np.zeros(len(starts), np.int64)),
+                out_col: pa.nulls(len(starts), pa.float64())})
+        # flat pair positions: repeat run starts, add within-run arange
+        off = np.repeat(np.cumsum(m) - m, m)
+        idx = np.arange(tot) - off + np.repeat(starts, m)
+        x, y = v[idx], v[idx + lag]
+        # per-run segment reduction (runs with m == 0 get zeros)
+        nz = np.flatnonzero(m)
+        seg = (np.cumsum(m) - m)[nz].astype(np.int64)
+        def red(a):
+            out = np.zeros(len(starts), dtype=a.dtype)
+            out[nz] = np.add.reduceat(a, seg)
+            return out.astype(np.float64)
+        sx, sy = red(x), red(y)
+        sxx, syy, sxy = red(x * x), red(y * y), red(x * y)
+        n = m.astype(np.float64)
+        r, bad = _corr_from_sums(n, sx, sy, sxx, syy, sxy)
+        bad |= m == 0
+        return pa.table({
+            entity_col: ent_first,
+            "n_pairs": pa.array(m.astype(np.int64)),
+            out_col: pc.if_else(pa.array(bad),
+                                pa.scalar(None, type=pa.float64()),
+                                pa.array(r, from_pandas=True))})
+
+    cols = list(dict.fromkeys([entity_col, *order_cols, value_col]))
+    return bucketed_apply(ds.select_columns(cols), entity_col, per_bucket,
+                          num_buckets, drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# Grouped winsorization (quantile clipping)
+# ---------------------------------------------------------------------------
+
+def winsorize(ds: Dataset, group_col: str, value_col: str,
+              lower_q: float = 0.05, upper_q: float = 0.95,
+              out_col: str | None = None,
+              num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Clip each row's value to its group's [lower_q, upper_q]
+    discrete-quantile bounds (``quantile_disc`` convention: sorted value
+    at 1-based index ``max(1, ceil(q·n))`` over non-null values — the
+    same convention :func:`grouped_quantiles` validates against DuckDB).
+    Clipped outputs are existing doubles (bound or original value), so
+    oracle comparison is bit-safe with no rounding.
+
+    Emits the input rows (minus nulls in ``value_col``) with the
+    winsorized value in ``out_col`` (default ``{value_col}_w``). ONE
+    exchange bucketed by group; per-bucket kernel sorts by (group,
+    value) and clips via ``np.minimum/np.maximum`` — a group's rows must
+    fit one task (exact-path contract; use the sketch quantiles +
+    broadcast bounds for groups beyond that).
+    """
+    out_name = out_col or f"{value_col}_w"
+
+    def drop_missing(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(v)))
+        return t.filter(pc.fill_null(ok, False))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            sch = tbl.schema
+            return pa.table(
+                {n: pa.array([], type=sch.field(n).type)
+                 for n in sch.names}
+                | {out_name: pa.array([], type=pa.float64())})
+        tbl = sort_table(tbl, [group_col, value_col])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        counts = np.diff(np.r_[starts, len(tbl)])
+        v = _np(tbl[value_col]).astype(np.float64)
+        def bound(q):
+            k = np.maximum(1, np.ceil(q * counts).astype(np.int64))
+            return v[starts + k - 1]
+        lo = np.repeat(bound(lower_q), counts)
+        hi = np.repeat(bound(upper_q), counts)
+        w = np.minimum(np.maximum(v, lo), hi)
+        return tbl.append_column(out_name, pa.array(w))
+
+    return bucketed_apply(ds.map_batches(drop_missing,
+                                         batch_format="pyarrow"),
+                          group_col, per_bucket, num_buckets,
+                          drop_bucket=True)

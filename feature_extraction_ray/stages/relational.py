@@ -612,3 +612,35 @@ def validate_rules(ds: Dataset, rules) -> Dataset:
             "n_rows": pc.cast(t["n_rows"], pa.int64())})
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def anti_join(left: Dataset, right: Dataset, *, left_key: str,
+              right_key: str, num_buckets: int = 32) -> Dataset:
+    """Distributed anti-join: keep ``left`` rows whose key has NO match
+    in ``right`` (SQL ``WHERE NOT EXISTS``). Unlike the broadcast
+    :func:`semi_join`\\ ``(anti=True)``, this never ships the right key
+    set to the driver: the right side collapses to per-block DISTINCT
+    keys carrying an int8 marker, and one ``attach_values`` exchange
+    (tagged union + bucketed searchsorted probe) attaches the marker to
+    left rows — survivors are the rows where it stayed null. Use this
+    when the right key set is too large to broadcast; one all-to-all
+    total, the exchange moves distinct right keys + left rows once.
+    """
+    from .cc import attach_values
+
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        g = pa.table({right_key: t[right_key]}).group_by(
+            [right_key]).aggregate([])
+        return g.append_column(
+            "__hit", pa.array(np.ones(len(g), dtype=np.int8)))
+
+    marks = right.select_columns([right_key]).map_batches(
+        distinct_keys, batch_format="pyarrow")
+    tagged = attach_values(left, left_key, marks, right_key, ["__hit"],
+                           how="left", num_buckets=num_buckets,
+                           dup="first")
+
+    def keep_unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"])
+
+    return tagged.map_batches(keep_unmatched, batch_format="pyarrow")

@@ -391,3 +391,106 @@ def test_lev_le2_kernel_clips_above_two(ray_session):
     a = np.array(["abc", "abc", "abc", "", "abcdef"], dtype=object)
     b = np.array(["abc", "abd", "xyd", "ab", "abc"], dtype=object)
     assert _lev_le2_batch(a, b).tolist() == [0, 1, 3, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# grouped_corr / grouped_autocorr / winsorize / anti_join
+# ---------------------------------------------------------------------------
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from feature_extraction_ray.stages.groupstats import grouped_corr
+    rng = np.random.default_rng(11)
+    n = 3000
+    grp = rng.integers(0, 6, n)
+    x = rng.integers(-50, 50, n)
+    y = (2 * x + rng.integers(-30, 30, n))     # correlated, integer
+    tbl = pa.table({"g": pa.array(grp), "x": pa.array(x),
+                    "y": pa.array(y)})
+    out = _table(grouped_corr(rd.from_arrow(tbl), "g", "x", "y"))
+    got = {r["g"]: r for r in out.to_pylist()}
+    assert set(got) == set(range(6))
+    for g in range(6):
+        xs, ys = x[grp == g], y[grp == g]
+        assert got[g]["n"] == len(xs)
+        exp = np.corrcoef(xs.astype(float), ys.astype(float))[0, 1]
+        assert abs(got[g]["corr_xy"] - exp) < 1e-12
+
+
+def test_grouped_corr_degenerate_groups_null(ray_session):
+    from feature_extraction_ray.stages.groupstats import grouped_corr
+    tbl = pa.table({"g": [1, 1, 1, 2], "x": [5, 5, 5, 1],
+                    "y": [1, 2, 3, 9]})
+    out = _table(grouped_corr(rd.from_arrow(tbl), "g", "x", "y"))
+    got = {r["g"]: r for r in out.to_pylist()}
+    assert got[1]["corr_xy"] is None        # zero x-variance
+    assert got[2]["corr_xy"] is None        # single row
+
+
+@pytest.mark.parametrize("lag,num_buckets", [(1, 4), (2, 9)])
+def test_grouped_autocorr_matches_numpy(ray_session, lag, num_buckets):
+    from feature_extraction_ray.stages.groupstats import grouped_autocorr
+    rng = np.random.default_rng(23)
+    n = 1200
+    ent = rng.integers(0, 15, n)
+    ts = rng.permutation(n).astype(np.int64)
+    val = rng.integers(0, 1000, n)
+    tbl = pa.table({"e": pa.array(ent), "ts": pa.array(ts),
+                    "v": pa.array(val)})
+    out = _table(grouped_autocorr(rd.from_arrow(tbl), "e", ["ts"], "v",
+                                  lag=lag, num_buckets=num_buckets))
+    got = {r["e"]: r for r in out.to_pylist()}
+    assert set(got) == set(np.unique(ent).tolist())
+    for e in np.unique(ent):
+        vs = val[ent == e][np.argsort(ts[ent == e], kind="stable")]
+        m = max(len(vs) - lag, 0)
+        assert got[e]["n_pairs"] == m
+        if m < 2:
+            assert got[e]["autocorr"] is None
+            continue
+        xs, ys = vs[:-lag].astype(float), vs[lag:].astype(float)
+        if xs.std() == 0 or ys.std() == 0:
+            assert got[e]["autocorr"] is None
+        else:
+            exp = np.corrcoef(xs, ys)[0, 1]
+            assert abs(got[e]["autocorr"] - exp) < 1e-12
+
+
+def test_winsorize_matches_naive(ray_session):
+    from feature_extraction_ray.stages.groupstats import winsorize
+    rng = np.random.default_rng(5)
+    n = 800
+    grp = rng.integers(0, 4, n)
+    val = np.round(rng.normal(0, 100, n), 2)
+    ids = np.arange(n)
+    tbl = pa.table({"id": pa.array(ids), "g": pa.array(grp),
+                    "v": pa.array(val)})
+    out = _table(winsorize(rd.from_arrow(tbl), "g", "v", 0.1, 0.9,
+                           num_buckets=5))
+    assert out.num_rows == n
+    got = {r["id"]: r["v_w"] for r in out.to_pylist()}
+    for g in range(4):
+        vs = val[grp == g]
+        lo, hi = _naive_quantile(vs, 0.1), _naive_quantile(vs, 0.9)
+        for i in ids[grp == g]:
+            assert got[i] == min(max(val[i], lo), hi)
+
+
+def test_anti_join_matches_broadcast_and_python(ray_session):
+    from feature_extraction_ray.stages.relational import anti_join, semi_join
+    rng = np.random.default_rng(3)
+    left = pa.table({"k": pa.array(rng.integers(0, 500, 900)),
+                     "payload": pa.array(rng.integers(0, 10, 900))})
+    right = pa.table({"rk": pa.array(
+        np.repeat(rng.integers(0, 500, 200), 2))})  # dup right keys
+    got = _table(anti_join(rd.from_arrow(left), rd.from_arrow(right),
+                           left_key="k", right_key="rk", num_buckets=7))
+    bcast = _table(semi_join(rd.from_arrow(left), rd.from_arrow(right),
+                             left_key="k", right_key="rk", anti=True))
+    rset = set(right["rk"].to_pylist())
+    exp = left.filter(pa.array([k not in rset
+                                for k in left["k"].to_pylist()]))
+    for res in (got, bcast):
+        assert res.num_rows == exp.num_rows
+        assert sorted(zip(res["k"].to_pylist(),
+                          res["payload"].to_pylist())) == \
+            sorted(zip(exp["k"].to_pylist(), exp["payload"].to_pylist()))
