@@ -3483,6 +3483,58 @@ FROM e JOIN b USING (event_type)
 """
 
 
+def part_pair_rules(sf_dir: str) -> Dataset:
+    """Market-basket association pairs (``mining.association_pairs``)
+    over order baskets: part pairs co-purchased in ≥2 orders with exact
+    counts and bit-exact support/lift (single divisions of exact-int
+    products — identical expression in the oracle)."""
+    from ..stages.mining import association_pairs
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    return association_pairs(ds, "l_orderkey", "l_partkey",
+                             min_pair_count=2)
+
+
+PART_PAIR_RULES_SQL = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+n AS (SELECT count(DISTINCT b) AS nb FROM bi),
+m AS (SELECT i, count(*) AS ni FROM bi GROUP BY 1),
+p AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_both
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2)
+SELECT p.item_a, p.item_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) / CAST(n.nb AS DOUBLE) AS support,
+       (CAST(p.n_both AS DOUBLE) * CAST(n.nb AS DOUBLE))
+         / (CAST(ma.ni AS DOUBLE) * CAST(mb.ni AS DOUBLE)) AS lift
+FROM p CROSS JOIN n
+JOIN m ma ON ma.i = p.item_a
+JOIN m mb ON mb.i = p.item_b
+WHERE p.n_both >= 2
+"""
+
+
+def pareto_orders(sf_dir: str) -> Dataset:
+    """Skyline (``mining.pareto_frontier``): orders not dominated on
+    (max total price, min order date) — block-local frontiers reduced
+    once, final frontier broadcast back as a filter; zero exchanges.
+    Output values are pass-through (bit-safe)."""
+    from ..stages.mining import pareto_frontier
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+    return pareto_frontier(ds, "o_totalprice", "o_orderdate")
+
+
+PARETO_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders o
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders d
+    WHERE d.o_totalprice >= o.o_totalprice
+      AND d.o_orderdate <= o.o_orderdate
+      AND (d.o_totalprice > o.o_totalprice
+           OR d.o_orderdate < o.o_orderdate))
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3700,6 +3752,8 @@ QUERIES = {
     "qty_price_corr_by_flag": qty_price_corr_by_flag,
     "value_autocorr_by_user": value_autocorr_by_user,
     "winsorized_events": winsorized_events,
+    "part_pair_rules": part_pair_rules,
+    "pareto_orders": pareto_orders,
 }
 
 ORACLE_SQL = {
@@ -3800,6 +3854,8 @@ ORACLE_SQL = {
     "qty_price_corr_by_flag": QTY_PRICE_CORR_BY_FLAG_SQL,
     "value_autocorr_by_user": VALUE_AUTOCORR_BY_USER_SQL,
     "winsorized_events": WINSORIZED_EVENTS_SQL,
+    "part_pair_rules": PART_PAIR_RULES_SQL,
+    "pareto_orders": PARETO_ORDERS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1,0 +1,219 @@
+"""Pattern-mining operators: market-basket association pairs and the
+Pareto frontier (skyline).
+
+Training-data-pipeline extensions (driver brief; no reference analog —
+the reference at /root/reference has no co-occurrence or dominance
+operators). Both follow the engine's reduction disciplines:
+
+* :func:`association_pairs` is the :func:`~.dedup.source_overlap`
+  exchange shape generalized with marginals — per-block DISTINCT
+  ``(basket, item)`` partials, ONE exchange bucketed by basket, pair
+  emission over basket runs (fan-out bounded by basket size²),
+  in-bucket pre-count, tiny global rollup. Item marginals are a second
+  small aggregate broadcast via ``ray.put`` (the item dictionary is
+  vocab-sized; swap for an ``attach_values`` join when it is not).
+* :func:`pareto_frontier` exploits ``frontier(A ∪ B) ⊆ frontier(A) ∪
+  frontier(B)``: each block reduces to its local frontier over DISTINCT
+  criteria pairs, survivors (typically tiny) are re-reduced in one
+  task, and the final frontier is broadcast back as a filter over the
+  streaming input — no all-to-all at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from .editdist import _pairs_within_runs
+from .partition import sort_table
+from .window import DEFAULT_NUM_BUCKETS, bucketed_apply
+
+
+def _combine(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def association_pairs(ds: Dataset, basket_col: str, item_col: str,
+                      min_pair_count: int = 2,
+                      num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Pairwise association rules over baskets: for every unordered item
+    pair ``(item_a < item_b)`` present together in at least
+    ``min_pair_count`` baskets, emit ``n_both`` (baskets containing
+    both), ``support = n_both / N`` and ``lift = n_both·N / (n_a·n_b)``
+    where ``n_x`` counts baskets containing item x and ``N`` is the
+    number of distinct baskets.
+
+    All counts are exact integers; support/lift are single divisions of
+    exact-integer products widened to float64, so an oracle spelling the
+    identical expression compares strictly equal. Scale: the exchange
+    moves distinct (basket, item) rows once; the pair fan-out per basket
+    is |basket|², so outlier mega-baskets should be capped upstream
+    (``pc.list_slice`` the basket or pre-filter), mirroring the
+    documented hot-bucket contract of the dedup stages.
+    """
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"_b": t[basket_col], "_i": t[item_col]})
+        return g.group_by(["_b", "_i"]).aggregate([])
+
+    bi = ds.map_batches(distinct_partial, batch_format="pyarrow")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        item_type = tbl.schema.field("_i").type
+        empty = pa.table({"item_a": pa.array([], type=item_type),
+                          "item_b": pa.array([], type=item_type),
+                          "n": pa.array([], type=pa.int64())})
+        if len(tbl) == 0:
+            return empty
+        tbl = tbl.group_by(["_b", "_i"]).aggregate([])   # global distinct
+        tbl = sort_table(tbl, ["_b", "_i"])
+        b = _combine(tbl["_b"]).dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        counts = np.diff(np.r_[starts, len(tbl)])
+        ii, jj = _pairs_within_runs(starts, counts)
+        if len(ii) == 0:
+            return empty
+        items = _combine(tbl["_i"])
+        pairs = pa.table({"item_a": items.take(pa.array(ii)),
+                          "item_b": items.take(pa.array(jj))})
+        agg = pairs.group_by(["item_a", "item_b"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["item_a", "item_b", "n"])
+
+    counted = bucketed_apply(bi, "_b", per_bucket, num_buckets,
+                             drop_bucket=False)
+    rolled = counted.groupby(["item_a", "item_b"]).aggregate(
+        Sum("n", alias_name="n_both"))
+
+    # marginals: per-bucket distinct already co-located baskets, but the
+    # item marginal needs a GLOBAL distinct over (basket, item) — reuse
+    # the bucketed distinct to count exactly once per (basket, item).
+    def bucket_marginals(tbl: pa.Table) -> pa.Table:
+        item_type = tbl.schema.field("_i").type
+        if len(tbl) == 0:
+            return pa.table({"_i": pa.array([], type=item_type),
+                             "ni": pa.array([], type=pa.int64()),
+                             "nb": pa.array([], type=pa.int64())})
+        tbl = tbl.group_by(["_b", "_i"]).aggregate([])
+        m = tbl.group_by(["_i"]).aggregate([([], "count_all")])
+        m = m.rename_columns(["_i", "ni"])
+        nb = tbl.group_by(["_b"]).aggregate([]).num_rows
+        return m.append_column(
+            "nb", pa.array(np.r_[np.int64(nb),
+                                 np.zeros(m.num_rows - 1, np.int64)]))
+
+    marg = bucketed_apply(bi, "_b", bucket_marginals, num_buckets,
+                          drop_bucket=False)
+    mt = pa.concat_tables([t for t in
+                           [ray.get(r) for r in marg.to_arrow_refs()]
+                           if t.num_rows])
+    mt = mt.group_by(["_i"]).aggregate([("ni", "sum"), ("nb", "sum")])
+    n_baskets = int(pc.sum(mt["nb_sum"]).as_py())
+    lut = mt.select(["_i", "ni_sum"]).rename_columns(["_i", "ni"])
+    lut = sort_table(lut, ["_i"])
+    lut_ref = ray.put(lut)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_both = _combine(t["n_both"]).cast(pa.int64())
+        keep = pc.greater_equal(n_both, pa.scalar(min_pair_count))
+        t = pa.table({"item_a": t["item_a"], "item_b": t["item_b"],
+                      "n_both": n_both}).filter(keep)
+        if t.num_rows == 0:
+            return t.append_column(
+                "support", pa.array([], type=pa.float64())).append_column(
+                "lift", pa.array([], type=pa.float64()))
+        lt = ray.get(lut_ref)
+        ni = _combine(lt["ni"]).to_numpy(zero_copy_only=False)
+        na = ni[pc.index_in(t["item_a"],
+                            value_set=lt["_i"]).to_numpy(
+                                zero_copy_only=False)]
+        nb_ = ni[pc.index_in(t["item_b"],
+                             value_set=lt["_i"]).to_numpy(
+                                 zero_copy_only=False)]
+        nab = _combine(t["n_both"]).to_numpy(zero_copy_only=False)
+        N = np.float64(n_baskets)
+        support = nab.astype(np.float64) / N
+        lift = (nab.astype(np.float64) * N) / (na.astype(np.float64)
+                                               * nb_.astype(np.float64))
+        return t.append_column("support", pa.array(support)) \
+                .append_column("lift", pa.array(lift))
+
+    return rolled.map_batches(finalize, batch_format="pyarrow")
+
+
+def pareto_frontier(ds: Dataset, max_col: str, min_col: str) -> Dataset:
+    """Rows not dominated by any other row: keep row r unless some row d
+    has ``d[max_col] >= r[max_col]`` and ``d[min_col] <= r[min_col]``
+    with at least one strict (the 2-criteria skyline; duplicates of a
+    frontier point all survive, matching SQL NOT EXISTS semantics).
+
+    Plan: per-block DISTINCT (max, min) pairs reduced to the block-local
+    frontier, survivors gathered into ONE task for the final frontier
+    (valid because the frontier of a union is contained in the union of
+    frontiers), frontier pairs broadcast via ``ray.put``, and the input
+    streamed once more through a membership filter — zero all-to-all
+    exchanges, driver holds only the (small) frontier.
+    """
+    def local_frontier(t: pa.Table) -> pa.Table:
+        g = pa.table({"_x": t[max_col], "_y": t[min_col]})
+        g = g.group_by(["_x", "_y"]).aggregate([])
+        if g.num_rows == 0:
+            return g
+        x = _combine(g["_x"]).to_numpy(zero_copy_only=False)
+        y = _combine(g["_y"]).to_numpy(zero_copy_only=False)
+        if not (np.issubdtype(x.dtype, np.number)
+                and np.issubdtype(y.dtype, np.number)):
+            raise TypeError("pareto_frontier requires numeric/temporal "
+                            "criteria columns")
+        # sort by (-x, y); within an equal-x run only the first (min y)
+        # survives; across runs keep strictly improving y
+        order = np.lexsort((y, -x))
+        xs, ysr = x[order], y[order]
+        first_of_x = np.r_[True, xs[1:] != xs[:-1]]
+        keep_in_run = first_of_x                      # min y per x value
+        ymin = np.minimum.accumulate(ysr)
+        prev_min = np.r_[np.inf, ymin[:-1]]
+        keep = keep_in_run & (ysr < prev_min)
+        idx = order[np.flatnonzero(keep)]
+        return g.take(pa.array(idx.astype(np.int64)))
+
+    def to_numeric(t: pa.Table) -> pa.Table:
+        cols = {}
+        for name, alias in ((max_col, "_x"), (min_col, "_y")):
+            c = t[name]
+            if pa.types.is_temporal(c.type):
+                c = pc.cast(c, pa.int64())
+            cols[alias] = c
+        return pa.table(cols)
+
+    partials = ds.map_batches(
+        lambda t: local_frontier(to_numeric(t).rename_columns(
+            [max_col, min_col])),
+        batch_format="pyarrow")
+    parts = [t for t in [ray.get(r) for r in partials.to_arrow_refs()]
+             if t.num_rows]
+    if not parts:                      # empty input → empty frontier
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow")
+    final = local_frontier(pa.concat_tables(parts).rename_columns(
+        [max_col, min_col]))
+    fx = _combine(final["_x"]).to_numpy(zero_copy_only=False)
+    fy = _combine(final["_y"]).to_numpy(zero_copy_only=False)
+    fref = ray.put((fx, fy))
+
+    def member(t: pa.Table) -> pa.Table:
+        num = to_numeric(t)
+        x = _combine(num["_x"]).to_numpy(zero_copy_only=False)
+        y = _combine(num["_y"]).to_numpy(zero_copy_only=False)
+        gx, gy = ray.get(fref)
+        mask = np.zeros(len(x), dtype=bool)
+        for a, b in zip(gx, gy):       # loop over the (small) frontier,
+            mask |= (x == a) & (y == b)  # vectorized over the batch
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(member, batch_format="pyarrow")
