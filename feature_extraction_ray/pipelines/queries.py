@@ -3535,6 +3535,45 @@ WHERE NOT EXISTS (
 """
 
 
+def part_triangles(sf_dir: str) -> Dataset:
+    """Triangle counts + local clustering coefficient over the part
+    co-purchase graph (``mining.cooccurrence_edges`` →
+    ``graphrank.triangle_counts``): degree-ordered orientation bounds
+    wedge fan-out by O(√m); 4 exchanges total; exact-int clustering
+    division → bit-exact vs the 3-way self-join oracle."""
+    from ..stages.graphrank import triangle_counts
+    from ..stages.mining import cooccurrence_edges
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return triangle_counts(edges, "item_a", "item_b")
+
+
+PART_TRIANGLES_SQL = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+e AS (SELECT DISTINCT x.i AS a, y.i AS bb
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i),
+deg AS (SELECT node, count(*) AS degree
+        FROM (SELECT a AS node FROM e UNION ALL SELECT bb FROM e)
+        GROUP BY 1),
+tri AS (SELECT e1.a AS u, e1.bb AS v, e2.bb AS w
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.bb
+        JOIN e e3 ON e3.a = e1.a AND e3.bb = e2.bb),
+cnt AS (SELECT node, count(*) AS n_tri
+        FROM (SELECT u AS node FROM tri UNION ALL
+              SELECT v FROM tri UNION ALL
+              SELECT w FROM tri)
+        GROUP BY 1)
+SELECT d.node, d.degree, coalesce(c.n_tri, 0) AS n_tri,
+       CASE WHEN d.degree >= 2
+            THEN CAST(2 * coalesce(c.n_tri, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+            ELSE NULL END AS clustering
+FROM deg d LEFT JOIN cnt c ON c.node = d.node
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries, so every oracle-backed query
@@ -3754,6 +3793,7 @@ QUERIES = {
     "winsorized_events": winsorized_events,
     "part_pair_rules": part_pair_rules,
     "pareto_orders": pareto_orders,
+    "part_triangles": part_triangles,
 }
 
 ORACLE_SQL = {
@@ -3856,6 +3896,7 @@ ORACLE_SQL = {
     "winsorized_events": WINSORIZED_EVENTS_SQL,
     "part_pair_rules": PART_PAIR_RULES_SQL,
     "pareto_orders": PARETO_ORDERS_SQL,
+    "part_triangles": PART_TRIANGLES_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -37,10 +37,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray
+import ray.data as rd
 from ray.data import Dataset
 
 from .cc import attach_values
-from .partition import broadcast_get
+from .partition import broadcast_get, sort_table
 
 _SRC, _DST, _W = "_pr_src", "_pr_dst", "_pr_w"
 
@@ -249,3 +250,164 @@ def _pagerank_partitioned(edges: Dataset, src_col: str, dst_col: str,
             "rank_scaled", pc.multiply(t["rank"], pa.scalar(float(n))))
 
     return rank.map_batches(scale, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges: Dataset, src_col: str, dst_col: str,
+                    num_buckets: int = 32) -> Dataset:
+    """Per-node triangle count, degree, and local clustering coefficient
+    ``2·t / (deg·(deg−1))`` over an undirected simple graph (input edge
+    rows may repeat, carry either direction, or contain self-loops —
+    all are canonicalized away).
+
+    Plan (the classic degree-ordered orientation, e.g. MapReduce
+    triangle enumeration à la Suri–Vassilvitskii WWW'11): orient every
+    edge toward its higher-``(degree, id)`` endpoint, which bounds each
+    out-neighborhood by O(√m), so per-node wedge fan-out is bounded and
+    hub nodes cannot explode a task. Exchanges: canonical-distinct (1),
+    wedge co-location by apex (1), wedge↔edge closure attach (1),
+    per-node count rollup (1). The node/degree table rides the
+    broadcast regime — same contract as :func:`pagerank`
+    ``plan="broadcast"`` (node table fits one machine even when the
+    edge table is huge); int node ids must fit uint32 so an oriented
+    pair packs into one int64 join key. Triangle identity is
+    orientation-invariant, so the per-node counts match a plain
+    a<b<c SQL enumeration. Output: ``node, degree, n_tri, clustering``
+    (clustering null for degree < 2; exact-int division → bit-exact).
+    """
+    from .window import bucketed_apply
+
+    def canonical(t: pa.Table) -> pa.Table:
+        s, d = t[src_col], t[dst_col]
+        a = pc.min_element_wise(s, d)
+        b = pc.max_element_wise(s, d)
+        g = pa.table({"_a": a, "_b": b}).filter(pc.not_equal(a, b))
+        return g.group_by(["_a", "_b"]).aggregate([])
+
+    def bucket_distinct(tbl: pa.Table) -> pa.Table:
+        return tbl.select(["_a", "_b"]).group_by(
+            ["_a", "_b"]).aggregate([])
+
+    dedup = bucketed_apply(
+        edges.map_batches(canonical, batch_format="pyarrow"),
+        "_a", bucket_distinct, num_buckets,
+        drop_bucket=False).materialize()
+
+    # degree table (node-sized): per-block endpoint counts -> driver merge
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = pa.table({"node": pa.array(np.concatenate(
+            [_np_i64(t["_a"]), _np_i64(t["_b"])]))})
+        agg = both.group_by(["node"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["node", "deg"])
+
+    parts = [ray.get(r) for r in dedup.map_batches(
+        deg_partial, batch_format="pyarrow").to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "degree": pa.array([], type=pa.int64()),
+            "n_tri": pa.array([], type=pa.int64()),
+            "clustering": pa.array([], type=pa.float64())}))
+    degt = pa.concat_tables(parts).group_by(["node"]).aggregate(
+        [("deg", "sum")])
+    nodes = degt["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    degs = degt["deg_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nodes)
+    nodes, degs = nodes[order], degs[order]
+    if nodes.min() < 0 or nodes.max() >= 2 ** 32:
+        raise ValueError("triangle_counts packs (node, node) into int64:"
+                         " ids must fit uint32")
+    deg_ref = ray.put((nodes, degs))
+
+    PACK = np.int64(2 ** 32)
+
+    def orient(t: pa.Table) -> pa.Table:
+        from .partition import broadcast_get
+        nd, dg = broadcast_get(deg_ref)
+        a = _np_i64(t["_a"])
+        b = _np_i64(t["_b"])
+        da = dg[np.searchsorted(nd, a)]
+        db = dg[np.searchsorted(nd, b)]
+        # orient toward the higher (degree, id) endpoint
+        fwd = (da < db) | ((da == db) & (a < b))
+        u = np.where(fwd, a, b)
+        v = np.where(fwd, b, a)
+        dv = np.where(fwd, db, da)
+        return pa.table({"u": pa.array(u), "v": pa.array(v),
+                         "dv": pa.array(dv),
+                         "uv": pa.array(u * PACK + v)})
+
+    oriented = dedup.map_batches(orient,
+                                 batch_format="pyarrow").materialize()
+
+    def wedges(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"u": pa.array([], type=pa.int64()),
+                          "v": pa.array([], type=pa.int64()),
+                          "w": pa.array([], type=pa.int64()),
+                          "vw": pa.array([], type=pa.int64())})
+        if len(tbl) == 0:
+            return empty
+        tbl = sort_table(tbl, ["u", "dv", "v"])
+        u = _np_i64(tbl["u"])
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        from .editdist import _pairs_within_runs
+        ii, jj = _pairs_within_runs(starts, counts)
+        if len(ii) == 0:
+            return empty
+        v = _np_i64(tbl["v"])
+        # (dv, v)-sorted within run -> wedge (v_i, v_j) already points
+        # from lower to higher rank, matching the edge orientation
+        return pa.table({"u": pa.array(u[ii]), "v": pa.array(v[ii]),
+                         "w": pa.array(v[jj]),
+                         "vw": pa.array(v[ii] * PACK + v[jj])})
+
+    wedge_ds = bucketed_apply(oriented, "u", wedges, num_buckets,
+                              drop_bucket=False)
+    closed = attach_values(
+        wedge_ds, "vw",
+        oriented.select_columns(["uv"]).map_batches(
+            lambda t: t.append_column("__hit", pa.array(
+                np.ones(len(t), dtype=np.int8))),
+            batch_format="pyarrow"),
+        "uv", ["__hit"], num_buckets=num_buckets, dup="first")
+
+    def tri_nodes(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["__hit"]))
+        out = np.concatenate([_np_i64(t["u"]), _np_i64(t["v"]),
+                              _np_i64(t["w"])]) if len(t) else \
+            np.zeros(0, dtype=np.int64)
+        g = pa.table({"node": pa.array(out)})
+        agg = g.group_by(["node"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["node", "t"])
+
+    cparts = [ray.get(r) for r in closed.map_batches(
+        tri_nodes, batch_format="pyarrow").to_arrow_refs()]
+    cparts = [p for p in cparts if p.num_rows]
+    tri = np.zeros(len(nodes), dtype=np.int64)
+    if cparts:
+        ct = pa.concat_tables(cparts).group_by(["node"]).aggregate(
+            [("t", "sum")])
+        cn = ct["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cv = ct["t_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tri[np.searchsorted(nodes, cn)] = cv
+    denom = degs * (degs - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cc_val = (2 * tri).astype(np.float64) / denom.astype(np.float64)
+    clustering = pa.array(cc_val, from_pandas=True)
+    clustering = pc.if_else(pa.array(denom <= 0),
+                            pa.scalar(None, type=pa.float64()),
+                            clustering)
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes), "degree": pa.array(degs),
+        "n_tri": pa.array(tri), "clustering": clustering}))
+
+
+def _np_i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)

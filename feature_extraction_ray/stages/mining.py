@@ -217,3 +217,41 @@ def pareto_frontier(ds: Dataset, max_col: str, min_col: str) -> Dataset:
         return t.filter(pa.array(mask))
 
     return ds.map_batches(member, batch_format="pyarrow")
+
+
+def cooccurrence_edges(ds: Dataset, basket_col: str, item_col: str,
+                       num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Undirected co-occurrence edge stream: one ``(item_a < item_b)``
+    row per item pair sharing a basket, distinct within each basket
+    bucket (pairs recurring across baskets in other buckets may repeat —
+    feed a consumer that canonicalizes, e.g.
+    :func:`~.graphrank.triangle_counts`). Same exchange shape as
+    :func:`association_pairs` without the counting tail."""
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"_b": t[basket_col], "_i": t[item_col]})
+        return g.group_by(["_b", "_i"]).aggregate([])
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        item_type = tbl.schema.field("_i").type
+        empty = pa.table({"item_a": pa.array([], type=item_type),
+                          "item_b": pa.array([], type=item_type)})
+        if len(tbl) == 0:
+            return empty
+        tbl = tbl.group_by(["_b", "_i"]).aggregate([])
+        tbl = sort_table(tbl, ["_b", "_i"])
+        b = _combine(tbl["_b"]).dictionary_encode().indices.to_numpy(
+            zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        counts = np.diff(np.r_[starts, len(tbl)])
+        ii, jj = _pairs_within_runs(starts, counts)
+        if len(ii) == 0:
+            return empty
+        items = _combine(tbl["_i"])
+        pairs = pa.table({"item_a": items.take(pa.array(ii)),
+                          "item_b": items.take(pa.array(jj))})
+        return pairs.group_by(["item_a", "item_b"]).aggregate([])
+
+    return bucketed_apply(ds.map_batches(distinct_partial,
+                                         batch_format="pyarrow"),
+                          "_b", per_bucket, num_buckets,
+                          drop_bucket=False)

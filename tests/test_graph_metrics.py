@@ -79,3 +79,67 @@ def test_invariants_random(seed):
     assert f["di_naive"] <= n
     wc = sum(len(s) for s in segments)
     assert f["num_edges_naive_norm"] == pytest.approx(e / wc)
+
+
+# ---------------------------------------------------------------------------
+# Distributed triangle counting (graphrank.triangle_counts)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_buckets", [3, 9])
+def test_triangle_counts_matches_naive(ray_session, num_buckets):
+    from itertools import combinations
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.graphrank import triangle_counts
+
+    rng = np.random.default_rng(41)
+    m = 500
+    # raw stream with duplicates, both directions, and self-loops
+    s = rng.integers(0, 50, m)
+    d = rng.integers(0, 50, m)
+    ds = rd.from_arrow(pa.table({"s": pa.array(s), "d": pa.array(d)}))
+    out = triangle_counts(ds, "s", "d", num_buckets=num_buckets)
+    parts = [p for p in (ray.get(r) for r in out.to_arrow_refs())
+             if p.num_rows]
+    got = {r["node"]: r for t in parts for r in t.to_pylist()}
+
+    edges = {(min(a, b), max(a, b)) for a, b in zip(s, d) if a != b}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(int(a), set()).add(int(b))
+        adj.setdefault(int(b), set()).add(int(a))
+    assert set(got) == set(adj)
+    for n, nbrs in adj.items():
+        t = sum((x, y) in edges
+                for x, y in combinations(sorted(nbrs), 2))
+        assert got[n]["degree"] == len(nbrs)
+        assert got[n]["n_tri"] == t
+        if len(nbrs) < 2:
+            assert got[n]["clustering"] is None
+        else:
+            assert got[n]["clustering"] == np.float64(2 * t) / np.float64(
+                len(nbrs) * (len(nbrs) - 1))
+
+
+def test_triangle_counts_empty_and_triangle_free(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.graphrank import triangle_counts
+
+    # pure self-loops -> empty node set
+    ds = rd.from_arrow(pa.table({"s": [1, 2], "d": [1, 2]}))
+    out = triangle_counts(ds, "s", "d")
+    assert sum(p.num_rows for p in
+               (ray.get(r) for r in out.to_arrow_refs())) == 0
+    # a path graph has zero triangles but well-defined clustering
+    ds = rd.from_arrow(pa.table({"s": [1, 2, 3], "d": [2, 3, 4]}))
+    parts = [p for p in (ray.get(r) for r in triangle_counts(
+        ds, "s", "d").to_arrow_refs()) if p.num_rows]
+    rows = {r["node"]: r for t in parts for r in t.to_pylist()}
+    assert all(r["n_tri"] == 0 for r in rows.values())
+    assert rows[2]["clustering"] == 0.0 and rows[1]["clustering"] is None
