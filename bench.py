@@ -206,6 +206,15 @@ def run_bench() -> dict:
         per_query["funnel_events"] = _best_of(
             lambda: QUERIES["funnel_view_click_purchase"](SF_DIR).count())
 
+        # session-4 ops: market-basket association rules (fused
+        # marginals, one pair exchange + rollup) and triangle counting
+        # over the co-purchase graph (broadcast-closure plan: wedges
+        # never leave the task — 53 s → 16 s vs the attach plan here)
+        per_query["assoc_rules_parts"] = _best_of(
+            lambda: QUERIES["part_pair_rules"](SF_DIR).count())
+        per_query["triangles_parts"] = _best_of(
+            lambda: QUERIES["part_triangles"](SF_DIR).count())
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (

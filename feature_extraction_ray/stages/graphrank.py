@@ -257,7 +257,8 @@ def _pagerank_partitioned(edges: Dataset, src_col: str, dst_col: str,
 # ---------------------------------------------------------------------------
 
 def triangle_counts(edges: Dataset, src_col: str, dst_col: str,
-                    num_buckets: int = 32) -> Dataset:
+                    num_buckets: int = 32, closure: str = "auto",
+                    broadcast_edge_limit: int = 2 ** 25) -> Dataset:
     """Per-node triangle count, degree, and local clustering coefficient
     ``2·t / (deg·(deg−1))`` over an undirected simple graph (input edge
     rows may repeat, carry either direction, or contain self-loops —
@@ -267,17 +268,32 @@ def triangle_counts(edges: Dataset, src_col: str, dst_col: str,
     triangle enumeration à la Suri–Vassilvitskii WWW'11): orient every
     edge toward its higher-``(degree, id)`` endpoint, which bounds each
     out-neighborhood by O(√m), so per-node wedge fan-out is bounded and
-    hub nodes cannot explode a task. Exchanges: canonical-distinct (1),
-    wedge co-location by apex (1), wedge↔edge closure attach (1),
-    per-node count rollup (1). The node/degree table rides the
-    broadcast regime — same contract as :func:`pagerank`
-    ``plan="broadcast"`` (node table fits one machine even when the
-    edge table is huge); int node ids must fit uint32 so an oriented
-    pair packs into one int64 join key. Triangle identity is
-    orientation-invariant, so the per-node counts match a plain
+    hub nodes cannot explode a task. Two closure plans:
+
+    * ``closure="broadcast"`` (picked by ``"auto"`` when the distinct
+      edge count ≤ ``broadcast_edge_limit``, 2²⁵ ≈ 268 MB of packed
+      int64 keys): the sorted packed edge-key array ships once via
+      ``ray.put`` and every wedge closes IN the wedge task with a
+      vectorized ``searchsorted`` membership test, emitting per-node
+      count partials directly — wedges (the Θ(Σ outdeg²) blow-up term,
+      measured 30M+ rows on a dense co-purchase graph where the edge
+      set is 1M) never leave the task and never hit an exchange.
+      Exchanges: canonical-distinct (1) + wedge/count co-location (1).
+    * ``closure="attach"`` — the all-distributed scale path when even
+      the edge-key array cannot be broadcast: wedges flow through one
+      ``attach_values`` hash-join exchange against the oriented edges.
+      Exchanges: 4.
+
+    The node/degree table rides the broadcast regime — same contract as
+    :func:`pagerank` ``plan="broadcast"`` (node table fits one machine
+    even when the edge table is huge); int node ids must fit uint32 so
+    an oriented pair packs into one int64 join key. Triangle identity
+    is orientation-invariant, so the per-node counts match a plain
     a<b<c SQL enumeration. Output: ``node, degree, n_tri, clustering``
     (clustering null for degree < 2; exact-int division → bit-exact).
     """
+    if closure not in ("auto", "broadcast", "attach"):
+        raise ValueError(f"unknown closure plan {closure!r}")
     from .window import bucketed_apply
 
     def canonical(t: pa.Table) -> pa.Table:
@@ -344,13 +360,13 @@ def triangle_counts(edges: Dataset, src_col: str, dst_col: str,
     oriented = dedup.map_batches(orient,
                                  batch_format="pyarrow").materialize()
 
-    def wedges(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({"u": pa.array([], type=pa.int64()),
-                          "v": pa.array([], type=pa.int64()),
-                          "w": pa.array([], type=pa.int64()),
-                          "vw": pa.array([], type=pa.int64())})
-        if len(tbl) == 0:
-            return empty
+    if closure == "auto":
+        closure = ("broadcast" if oriented.count() <= broadcast_edge_limit
+                   else "attach")
+
+    def _wedge_arrays(tbl: pa.Table):
+        """(u, v, w) wedge index arrays from one apex bucket, with the
+        (v, w) leg already rank-ordered to match the edge orientation."""
         tbl = sort_table(tbl, ["u", "dv", "v"])
         u = _np_i64(tbl["u"])
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
@@ -358,35 +374,81 @@ def triangle_counts(edges: Dataset, src_col: str, dst_col: str,
         from .editdist import _pairs_within_runs
         ii, jj = _pairs_within_runs(starts, counts)
         if len(ii) == 0:
-            return empty
+            return None
         v = _np_i64(tbl["v"])
-        # (dv, v)-sorted within run -> wedge (v_i, v_j) already points
-        # from lower to higher rank, matching the edge orientation
-        return pa.table({"u": pa.array(u[ii]), "v": pa.array(v[ii]),
-                         "w": pa.array(v[jj]),
-                         "vw": pa.array(v[ii] * PACK + v[jj])})
+        return u[ii], v[ii], v[jj]
 
-    wedge_ds = bucketed_apply(oriented, "u", wedges, num_buckets,
-                              drop_bucket=False)
-    closed = attach_values(
-        wedge_ds, "vw",
-        oriented.select_columns(["uv"]).map_batches(
-            lambda t: t.append_column("__hit", pa.array(
-                np.ones(len(t), dtype=np.int8))),
-            batch_format="pyarrow"),
-        "uv", ["__hit"], num_buckets=num_buckets, dup="first")
-
-    def tri_nodes(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["__hit"]))
-        out = np.concatenate([_np_i64(t["u"]), _np_i64(t["v"]),
-                              _np_i64(t["w"])]) if len(t) else \
-            np.zeros(0, dtype=np.int64)
-        g = pa.table({"node": pa.array(out)})
+    def _count_partial(node_arr: np.ndarray) -> pa.Table:
+        g = pa.table({"node": pa.array(node_arr)})
         agg = g.group_by(["node"]).aggregate([([], "count_all")])
         return agg.rename_columns(["node", "t"])
 
-    cparts = [ray.get(r) for r in closed.map_batches(
-        tri_nodes, batch_format="pyarrow").to_arrow_refs()]
+    _count_empty = pa.table({"node": pa.array([], type=pa.int64()),
+                             "t": pa.array([], type=pa.int64())})
+
+    if closure == "broadcast":
+        uv_parts = [ray.get(r) for r in oriented.select_columns(
+            ["uv"]).to_arrow_refs()]
+        uv_sorted = np.sort(np.concatenate(
+            [_np_i64(p["uv"]) for p in uv_parts if p.num_rows]))
+        uv_ref = ray.put(uv_sorted)
+
+        def close_in_task(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return _count_empty
+            wa = _wedge_arrays(tbl)
+            if wa is None:
+                return _count_empty
+            u, v, w = wa
+            from .partition import broadcast_get
+            keys = broadcast_get(uv_ref)
+            vw = v * PACK + w
+            pos = np.searchsorted(keys, vw)
+            hit = (pos < len(keys)) & (keys[np.minimum(
+                pos, len(keys) - 1)] == vw)
+            if not hit.any():
+                return _count_empty
+            return _count_partial(np.concatenate(
+                [u[hit], v[hit], w[hit]]))
+
+        counted = bucketed_apply(oriented, "u", close_in_task,
+                                 num_buckets, drop_bucket=False)
+    else:
+        def wedges(tbl: pa.Table) -> pa.Table:
+            empty = pa.table({"u": pa.array([], type=pa.int64()),
+                              "v": pa.array([], type=pa.int64()),
+                              "w": pa.array([], type=pa.int64()),
+                              "vw": pa.array([], type=pa.int64())})
+            if len(tbl) == 0:
+                return empty
+            wa = _wedge_arrays(tbl)
+            if wa is None:
+                return empty
+            u, v, w = wa
+            return pa.table({"u": pa.array(u), "v": pa.array(v),
+                             "w": pa.array(w),
+                             "vw": pa.array(v * PACK + w)})
+
+        wedge_ds = bucketed_apply(oriented, "u", wedges, num_buckets,
+                                  drop_bucket=False)
+        closed = attach_values(
+            wedge_ds, "vw",
+            oriented.select_columns(["uv"]).map_batches(
+                lambda t: t.append_column("__hit", pa.array(
+                    np.ones(len(t), dtype=np.int8))),
+                batch_format="pyarrow"),
+            "uv", ["__hit"], num_buckets=num_buckets, dup="first")
+
+        def tri_nodes(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t["__hit"]))
+            if len(t) == 0:
+                return _count_empty
+            return _count_partial(np.concatenate(
+                [_np_i64(t["u"]), _np_i64(t["v"]), _np_i64(t["w"])]))
+
+        counted = closed.map_batches(tri_nodes, batch_format="pyarrow")
+
+    cparts = [ray.get(r) for r in counted.to_arrow_refs()]
     cparts = [p for p in cparts if p.num_rows]
     tri = np.zeros(len(nodes), dtype=np.int64)
     if cparts:

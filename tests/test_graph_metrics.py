@@ -85,8 +85,9 @@ def test_invariants_random(seed):
 # Distributed triangle counting (graphrank.triangle_counts)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("num_buckets", [3, 9])
-def test_triangle_counts_matches_naive(ray_session, num_buckets):
+@pytest.mark.parametrize("num_buckets,closure",
+                         [(3, "broadcast"), (9, "attach")])
+def test_triangle_counts_matches_naive(ray_session, num_buckets, closure):
     from itertools import combinations
 
     import pyarrow as pa
@@ -101,7 +102,8 @@ def test_triangle_counts_matches_naive(ray_session, num_buckets):
     s = rng.integers(0, 50, m)
     d = rng.integers(0, 50, m)
     ds = rd.from_arrow(pa.table({"s": pa.array(s), "d": pa.array(d)}))
-    out = triangle_counts(ds, "s", "d", num_buckets=num_buckets)
+    out = triangle_counts(ds, "s", "d", num_buckets=num_buckets,
+                          closure=closure)
     parts = [p for p in (ray.get(r) for r in out.to_arrow_refs())
              if p.num_rows]
     got = {r["node"]: r for t in parts for r in t.to_pylist()}
