@@ -3535,6 +3535,42 @@ WHERE NOT EXISTS (
 """
 
 
+def overlapping_order_windows(sf_dir: str) -> Dataset:
+    """Interval × interval self overlap join
+    (``interval.overlapping_intervals``): pairs of orders by the same
+    customer whose service windows (orderdate + 1..14 days, length
+    derived from the order key) intersect — the temporal-join family's
+    missing member beside as-of (point≤point) and interval_join
+    (point∈interval). Key pairs are pass-through ints (bit-safe)."""
+    from ..stages.interval import overlapping_intervals
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def win(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = t["o_orderdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        e = s + ((k % 14) + 1) * 86_400_000_000
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "w_start": pa.array(s).cast(pa.timestamp("us")),
+            "w_end": pa.array(e).cast(pa.timestamp("us"))})
+
+    return overlapping_intervals(
+        ds.map_batches(win, batch_format="pyarrow"),
+        "o_custkey", "o_orderkey", "w_start", "w_end")
+
+
+OVERLAPPING_ORDER_WINDOWS_SQL = """
+WITH w AS (SELECT o_orderkey AS k, o_custkey AS c, o_orderdate AS s,
+                  o_orderdate + INTERVAL ((o_orderkey % 14) + 1) DAY AS e
+           FROM orders)
+SELECT a.c AS o_custkey, a.k AS key_a, b.k AS key_b
+FROM w a JOIN w b ON a.c = b.c AND a.k < b.k
+  AND a.s <= b.e AND b.s <= a.e
+"""
+
+
 def part_triangles(sf_dir: str) -> Dataset:
     """Triangle counts + local clustering coefficient over the part
     co-purchase graph (``mining.cooccurrence_edges`` →
@@ -3794,6 +3830,7 @@ QUERIES = {
     "part_pair_rules": part_pair_rules,
     "pareto_orders": pareto_orders,
     "part_triangles": part_triangles,
+    "overlapping_order_windows": overlapping_order_windows,
 }
 
 ORACLE_SQL = {
@@ -3897,6 +3934,7 @@ ORACLE_SQL = {
     "part_pair_rules": PART_PAIR_RULES_SQL,
     "pareto_orders": PARETO_ORDERS_SQL,
     "part_triangles": PART_TRIANGLES_SQL,
+    "overlapping_order_windows": OVERLAPPING_ORDER_WINDOWS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -298,3 +298,98 @@ def _interval_broadcast(left: Dataset, right: Dataset, *, left_by,
         return out
 
     return left.map_batches(join_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval self overlap join
+# ---------------------------------------------------------------------------
+
+def overlap_pairs_sorted(code: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Pure kernel: index pairs ``(i < j)`` of overlapping intervals
+    within the same entity code, over arrays SORTED by ``(code, s)``.
+
+    With starts sorted, a pair overlaps iff ``s[j] <= e[i]`` (the other
+    bound ``e[j] >= s[j] >= s[i]`` is automatic), so every row pairs
+    with the contiguous run ``(i, hi_i]`` where ``hi_i`` is the last
+    same-code index with start ≤ its end — two ``searchsorted`` probes
+    on the overflow-safe composite ``code·K + rank(start)`` key (same
+    construction as :func:`match_interval_pairs`). Degenerate intervals
+    (``e < s``) pair with nothing on either leg (the left leg falls out
+    of the run bound; the right leg is verified). Returns ``(ii, jj)``
+    int64 arrays. Fuzz-tested vs the O(n²) oracle."""
+    n = len(s)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    uniq = np.unique(s)
+    K = np.int64(len(uniq) + 2)
+    comp = code * K + np.searchsorted(uniq, s)
+    hi = np.searchsorted(
+        comp, code * K + np.searchsorted(uniq, e, "right"), "left") - 1
+    m = np.clip(hi - np.arange(n, dtype=np.int64), 0, None)
+    tot = int(m.sum())
+    if tot == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    offs = np.cumsum(m) - m
+    ii = np.repeat(np.arange(n, dtype=np.int64), m)
+    jj = (np.arange(tot, dtype=np.int64) - np.repeat(offs, m)
+          + ii + 1)
+    # e[j] >= s[j] >= s[i] holds for well-formed intervals, but a
+    # DEGENERATE j (e < s) can still land in i's start-run — verify
+    ok = e[jj] >= s[ii]
+    return ii[ok], jj[ok]
+
+
+def overlapping_intervals(ds: Dataset, by: str, key_col: str,
+                          start_col: str, end_col: str,
+                          num_buckets: int = DEFAULT_NUM_BUCKETS
+                          ) -> Dataset:
+    """Self overlap join: every unordered pair of rows sharing ``by``
+    whose ``[start, end]`` intervals intersect (both bounds inclusive —
+    SQL ``a.s <= b.e AND b.s <= a.e``). Emits
+    ``(by, key_a < key_b)``, each pair exactly once.
+
+    ONE exchange bucketed by entity; the per-bucket kernel sorts by
+    (entity, start) and pairs each interval with its contiguous
+    overlap run (:func:`overlap_pairs_sorted`) — no per-row Python.
+    Fan-out is the true overlap count; pathologically deep interval
+    stacks should be range-capped upstream (no-silent-caps: this stage
+    never truncates). Temporal columns are normalized to int64 µs
+    before comparison (Ray's sort downcasts timestamp keys — CLAUDE.md
+    gotcha)."""
+    def _i64(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_temporal(col.type):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        key_type = tbl.schema.field(key_col).type
+        by_type = tbl.schema.field(by).type
+        if len(tbl) == 0:
+            return pa.table({by: pa.array([], type=by_type),
+                             "key_a": pa.array([], type=key_type),
+                             "key_b": pa.array([], type=key_type)})
+        from .partition import sort_table
+        tbl = sort_table(tbl, [by, start_col, key_col])
+        ent = tbl[by]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        code = ent.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ii, jj = overlap_pairs_sorted(code, _i64(tbl[start_col]),
+                                      _i64(tbl[end_col]))
+        keys = tbl[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ka = keys.take(pa.array(ii))
+        kb = keys.take(pa.array(jj))
+        return pa.table({by: ent.take(pa.array(ii)),
+                         "key_a": pc.min_element_wise(ka, kb),
+                         "key_b": pc.max_element_wise(ka, kb)})
+
+    cols = list(dict.fromkeys([by, key_col, start_col, end_col]))
+    return bucketed_apply(ds.select_columns(cols), by, per_bucket,
+                          num_buckets, drop_bucket=False)

@@ -219,3 +219,54 @@ def test_rollup_agg_vs_pandas_with_sentinel_collision():
         exp["b"].where(exp["b"].notna(), None).tolist()
     np.testing.assert_array_equal(got["n"], exp["n"])
     np.testing.assert_allclose(got["s"], exp["s"])
+
+
+# ---------------------------------------------------------------------------
+# Self overlap join (interval.overlapping_intervals)
+# ---------------------------------------------------------------------------
+
+def test_overlap_pairs_sorted_fuzz_vs_quadratic():
+    from feature_extraction_ray.stages.interval import overlap_pairs_sorted
+    rng = np.random.default_rng(31)
+    for _ in range(40):
+        n = int(rng.integers(0, 60))
+        code = np.sort(rng.integers(0, 5, n)).astype(np.int64)
+        s = rng.integers(0, 50, n).astype(np.int64)
+        ln = rng.integers(-3, 12, n).astype(np.int64)   # some degenerate
+        # sort by (code, s) as the kernel requires
+        order = np.lexsort((s, code))
+        code, s = code[order], s[order]
+        e = s + ln[order]
+        ii, jj = overlap_pairs_sorted(code, s, e)
+        got = set(zip(ii.tolist(), jj.tolist()))
+        exp = {(i, j) for i in range(n) for j in range(i + 1, n)
+               if code[i] == code[j] and s[j] <= e[i] and s[i] <= e[j]}
+        assert got == exp
+
+
+@pytest.mark.parametrize("num_buckets", [3, 8])
+def test_overlapping_intervals_matches_naive(ray_session, num_buckets):
+    import ray
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.interval import overlapping_intervals
+
+    rng = np.random.default_rng(13)
+    n = 400
+    ent = rng.integers(0, 12, n)
+    s = rng.integers(0, 1000, n)
+    e = s + rng.integers(0, 40, n)
+    key = rng.permutation(n)
+    tbl = pa.table({"ent": pa.array(ent), "k": pa.array(key),
+                    "s": pa.array(s), "e": pa.array(e)})
+    out = overlapping_intervals(rd.from_arrow(tbl), "ent", "k", "s", "e",
+                                num_buckets=num_buckets)
+    parts = [p for p in (ray.get(r) for r in out.to_arrow_refs())
+             if p.num_rows]
+    got = sorted((r["ent"], r["key_a"], r["key_b"])
+                 for t in parts for r in t.to_pylist())
+    exp = sorted((int(ent[i]), int(min(key[i], key[j])),
+                  int(max(key[i], key[j])))
+                 for i in range(n) for j in range(i + 1, n)
+                 if ent[i] == ent[j] and s[j] <= e[i] and s[i] <= e[j])
+    assert got == exp
