@@ -3571,6 +3571,106 @@ FROM w a JOIN w b ON a.c = b.c AND a.k < b.k
 """
 
 
+def order_price_loo_by_customer(sf_dir: str) -> Dataset:
+    """Leave-one-out target encoding (``groupstats.target_encode_loo``):
+    each order's LOO mean of its customer's total-price cents —
+    zero-shuffle broadcast plan, exact-int numerator, single division →
+    bit-exact vs the window-function oracle."""
+    from ..stages.groupstats import target_encode_loo
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+            "cents": pc.cast(pc.round(pc.multiply(
+                t["o_totalprice"], pa.scalar(100.0))), pa.int64())})
+
+    return target_encode_loo(ds.map_batches(cents,
+                                            batch_format="pyarrow"),
+                             "o_custkey", "cents", out_col="loo_price")
+
+
+ORDER_PRICE_LOO_BY_CUSTOMER_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+w AS (SELECT o_orderkey, o_custkey, cents,
+             sum(cents) OVER (PARTITION BY o_custkey) AS s,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM o)
+SELECT o_orderkey, o_custkey, cents,
+       CASE WHEN n <= 1 THEN NULL
+            ELSE CAST(s - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) END
+       AS loo_price
+FROM w
+"""
+
+
+def orders_priority_status_chi2(sf_dir: str) -> Dataset:
+    """Long-form contingency table with χ² contributions
+    (``groupstats.contingency_chi2``): observed vs independence-expected
+    counts for (priority × status) — per-block cell partials only,
+    exact-int marginals, identical IEEE expression both sides."""
+    from ..stages.groupstats import contingency_chi2
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+    return contingency_chi2(ds, "o_orderpriority", "o_orderstatus")
+
+
+ORDERS_PRIORITY_STATUS_CHI2_SQL = """
+WITH c AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+                  count(*) AS o
+           FROM orders GROUP BY 1, 2),
+r AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1),
+cl AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1),
+n AS (SELECT sum(o) AS nn FROM c)
+SELECT c.a AS o_orderpriority, c.b AS o_orderstatus,
+       c.o AS observed,
+       (CAST(r.ra AS DOUBLE) * CAST(cl.cb AS DOUBLE))
+           / CAST(n.nn AS DOUBLE) AS expected,
+       (CAST(c.o AS DOUBLE) - expected) * (CAST(c.o AS DOUBLE) - expected)
+           / expected AS chi2_contrib
+FROM c CROSS JOIN n
+JOIN r ON r.a = c.a
+JOIN cl ON cl.b = c.b
+"""
+
+
+def imputed_events_median(sf_dir: str) -> Dataset:
+    """Group-median imputation (``groupstats.impute_by_group``): nulls
+    planted deterministically (event_id % 37) are filled with the
+    event type's quantile_disc median — filled values are existing
+    doubles, bit-safe pass-through."""
+    from ..stages.groupstats import impute_by_group
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        null_mask = pa.array(ids % 37 == 0)
+        return pa.table({
+            "event_id": t["event_id"], "event_type": t["event_type"],
+            "value": pc.if_else(null_mask,
+                                pa.scalar(None, type=pa.float64()),
+                                t["value"])})
+
+    return impute_by_group(ds.map_batches(plant, batch_format="pyarrow"),
+                           "event_type", "value", strategy="median",
+                           out_col="value_filled")
+
+
+IMPUTED_EVENTS_MEDIAN_SQL = """
+WITH e AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 37 = 0 THEN NULL
+                       ELSE value END AS value
+           FROM events),
+m AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+      FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       coalesce(e.value, m.med) AS value_filled
+FROM e JOIN m USING (event_type)
+"""
+
+
 def part_triangles(sf_dir: str) -> Dataset:
     """Triangle counts + local clustering coefficient over the part
     co-purchase graph (``mining.cooccurrence_edges`` →
@@ -3831,6 +3931,9 @@ QUERIES = {
     "pareto_orders": pareto_orders,
     "part_triangles": part_triangles,
     "overlapping_order_windows": overlapping_order_windows,
+    "order_price_loo_by_customer": order_price_loo_by_customer,
+    "orders_priority_status_chi2": orders_priority_status_chi2,
+    "imputed_events_median": imputed_events_median,
 }
 
 ORACLE_SQL = {
@@ -3935,6 +4038,9 @@ ORACLE_SQL = {
     "pareto_orders": PARETO_ORDERS_SQL,
     "part_triangles": PART_TRIANGLES_SQL,
     "overlapping_order_windows": OVERLAPPING_ORDER_WINDOWS_SQL,
+    "order_price_loo_by_customer": ORDER_PRICE_LOO_BY_CUSTOMER_SQL,
+    "orders_priority_status_chi2": ORDERS_PRIORITY_STATUS_CHI2_SQL,
+    "imputed_events_median": IMPUTED_EVENTS_MEDIAN_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -763,3 +763,189 @@ def winsorize(ds: Dataset, group_col: str, value_col: str,
                                          batch_format="pyarrow"),
                           group_col, per_bucket, num_buckets,
                           drop_bucket=True)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding
+# ---------------------------------------------------------------------------
+
+def target_encode_loo(ds: Dataset, group_col: str, target_col: str,
+                      out_col: str = "target_loo") -> Dataset:
+    """Leave-one-out target encoding: each row gets the mean target of
+    its OWN group excluding itself — ``(Σ_g − x) / (n_g − 1)``, null for
+    singleton groups (the standard leakage-free categorical encoder).
+
+    Zero-shuffle broadcast plan: per-block ``(group, Σ, n)`` partials
+    (group-table-sized) merge on the driver, ship once via ``ray.put``,
+    and the input streams through one vectorized lookup map. With an
+    integer target the sums are exact, each numerator is an exact int64
+    difference, and the single division matches an oracle spelling the
+    identical expression — bit-exact.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[target_col]
+        typ = pa.int64() if pa.types.is_integer(x.type) else pa.float64()
+        g = pa.table({group_col: t[group_col],
+                      "_x": pc.cast(x, typ)})
+        agg = g.group_by([group_col]).aggregate(
+            [("_x", "sum"), ([], "count_all")])
+        return agg.rename_columns([group_col, "_s", "_n"])
+
+    import ray
+    parts = [ray.get(r) for r in ds.map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    merged = pa.concat_tables(parts).group_by([group_col]).aggregate(
+        [("_s", "sum"), ("_n", "sum")])
+    keys = merged[group_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    sums = _np(merged["_s_sum"])
+    ns = _np(merged["_n_sum"]).astype(np.int64)
+    ref = ray.put((keys, sums, ns))
+
+    def encode(t: pa.Table) -> pa.Table:
+        from .partition import broadcast_get
+        k, s, n = broadcast_get(ref)
+        idx = pc.index_in(t[group_col], value_set=k).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = _np(t[target_col])
+        loo = (s[idx] - x).astype(np.float64) \
+            / (n[idx] - 1).astype(np.float64)
+        bad = n[idx] <= 1
+        return t.append_column(out_col, pc.if_else(
+            pa.array(bad), pa.scalar(None, type=pa.float64()),
+            pa.array(loo, from_pandas=True)))
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Contingency table with chi-square contributions
+# ---------------------------------------------------------------------------
+
+def contingency_chi2(ds: Dataset, a_col: str, b_col: str) -> Dataset:
+    """Long-form contingency table over two categorical columns: one row
+    per observed ``(a, b)`` cell with the observed count, the
+    independence-expected count ``row_tot · col_tot / N``, and the
+    χ² contribution ``(o − e)² / e``.
+
+    Per-block cell-count partials (cells are category-product-sized,
+    never row-sized) merge on the driver; expected/contribution are
+    single-expression float64 over exact integer marginals, spelled
+    identically in the SQL oracle — bit-exact per row. The global χ²
+    statistic is the SUM of contributions (left to the caller/oracle
+    as a checksum, since a float sum's reduction order is engine-
+    specific)."""
+    import ray
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"a": t[a_col], "b": t[b_col]})
+        agg = g.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["a", "b", "o"])
+
+    parts = [ray.get(r) for r in ds.map_batches(
+        partial, batch_format="pyarrow").to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return rd.from_arrow(pa.table({
+            a_col: pa.array([], type=pa.string()),
+            b_col: pa.array([], type=pa.string()),
+            "observed": pa.array([], type=pa.int64()),
+            "expected": pa.array([], type=pa.float64()),
+            "chi2_contrib": pa.array([], type=pa.float64())}))
+    cells = pa.concat_tables(parts).group_by(["a", "b"]).aggregate(
+        [("o", "sum")])
+    o = _np(cells["o_sum"]).astype(np.int64)
+    a = cells["a"].combine_chunks() if isinstance(
+        cells["a"], pa.ChunkedArray) else cells["a"]
+    b = cells["b"].combine_chunks() if isinstance(
+        cells["b"], pa.ChunkedArray) else cells["b"]
+    ai = a.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    bi = b.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    row_tot = np.zeros(int(ai.max()) + 1, dtype=np.int64)
+    np.add.at(row_tot, ai, o)
+    col_tot = np.zeros(int(bi.max()) + 1, dtype=np.int64)
+    np.add.at(col_tot, bi, o)
+    N = np.float64(o.sum())
+    e = (row_tot[ai].astype(np.float64)
+         * col_tot[bi].astype(np.float64)) / N
+    diff = o.astype(np.float64) - e
+    contrib = diff * diff / e
+    return rd.from_arrow(pa.table({
+        a_col: a, b_col: b, "observed": pa.array(o),
+        "expected": pa.array(e), "chi2_contrib": pa.array(contrib)}))
+
+
+# ---------------------------------------------------------------------------
+# Group-statistic imputation
+# ---------------------------------------------------------------------------
+
+def impute_by_group(ds: Dataset, group_col: str, value_col: str,
+                    strategy: str = "median",
+                    out_col: str | None = None,
+                    num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Fill nulls in ``value_col`` with the group's ``median``
+    (quantile_disc convention — an existing value, bit-safe) or
+    ``mode`` (most frequent; ties → smallest value, matching
+    :func:`grouped_argmax`). Non-null values pass through untouched.
+    ONE exchange bucketed by group; groups that are entirely null stay
+    null. Output: input rows + ``out_col`` (default
+    ``{value_col}_filled``)."""
+    if strategy not in ("median", "mode"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    out_name = out_col or f"{value_col}_filled"
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            sch = tbl.schema
+            return pa.table(
+                {n: pa.array([], type=sch.field(n).type)
+                 for n in sch.names}
+                | {out_name: pa.array([], type=sch.field(value_col).type)})
+        tbl = sort_table(tbl, [group_col, value_col])
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        gcode = grp.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        n = len(gcode)
+        valid = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        # sort puts nulls LAST within each group, so the valid rows are
+        # a prefix of every group run
+        starts = np.flatnonzero(np.r_[True, gcode[1:] != gcode[:-1]])
+        nn = np.add.reduceat(valid.astype(np.int64), starts)
+        fill_idx = np.full(int(gcode.max()) + 1, -1, dtype=np.int64)
+        if strategy == "median":
+            has = nn > 0
+            k = np.maximum(1, np.ceil(0.5 * nn[has]).astype(np.int64))
+            fill_idx[gcode[starts[has]]] = starts[has] + k - 1
+        else:
+            # mode over the valid subset: longest equal-value run, ties
+            # -> earliest run == smallest value (values sorted ascending)
+            iv = np.flatnonzero(valid)
+            if len(iv):
+                sub_g = gcode[iv]
+                sub_v = v.take(pa.array(iv)).dictionary_encode() \
+                    .indices.to_numpy(zero_copy_only=False)
+                r = np.flatnonzero(np.r_[True,
+                                         (sub_g[1:] != sub_g[:-1])
+                                         | (sub_v[1:] != sub_v[:-1])])
+                rlen = np.diff(np.r_[r, len(sub_g)])
+                rgrp = sub_g[r]
+                order = np.lexsort((r, -rlen, rgrp))
+                rg_sorted = rgrp[order]
+                first = np.r_[True, rg_sorted[1:] != rg_sorted[:-1]]
+                picks = order[first]
+                fill_idx[rgrp[picks]] = iv[r[picks]]
+        take = np.where(valid, np.arange(n, dtype=np.int64),
+                        fill_idx[gcode])
+        filled = v.take(pa.array(take, mask=take < 0))
+        return tbl.append_column(out_name, filled)
+
+    return bucketed_apply(ds, group_col, per_bucket, num_buckets,
+                          drop_bucket=True)

@@ -494,3 +494,85 @@ def test_anti_join_matches_broadcast_and_python(ray_session):
         assert sorted(zip(res["k"].to_pylist(),
                           res["payload"].to_pylist())) == \
             sorted(zip(exp["k"].to_pylist(), exp["payload"].to_pylist()))
+
+
+def test_target_encode_loo_matches_naive(ray_session):
+    from feature_extraction_ray.stages.groupstats import target_encode_loo
+    rng = np.random.default_rng(29)
+    n = 1000
+    g = rng.integers(0, 40, n)          # some singleton groups likely
+    x = rng.integers(0, 10000, n)
+    tbl = pa.table({"g": pa.array(g), "x": pa.array(x)})
+    out = _table(target_encode_loo(rd.from_arrow(tbl), "g", "x",
+                                   out_col="loo"))
+    assert out.num_rows == n
+    rows = out.to_pylist()
+    sums = {gg: x[g == gg].sum() for gg in np.unique(g)}
+    cnts = {gg: int((g == gg).sum()) for gg in np.unique(g)}
+    for r in rows:
+        gg, xx = r["g"], r["x"]
+        if cnts[gg] == 1:
+            assert r["loo"] is None
+        else:
+            assert r["loo"] == np.float64(int(sums[gg]) - xx) / np.float64(
+                cnts[gg] - 1)
+
+
+def test_contingency_chi2_matches_naive(ray_session):
+    from feature_extraction_ray.stages.groupstats import contingency_chi2
+    rng = np.random.default_rng(7)
+    a = rng.choice(list("xyz"), 600, p=[0.5, 0.3, 0.2])
+    b = rng.choice(list("pq"), 600, p=[0.6, 0.4])
+    tbl = pa.table({"a": pa.array(a), "b": pa.array(b)})
+    out = _table(contingency_chi2(rd.from_arrow(tbl), "a", "b"))
+    got = {(r["a"], r["b"]): r for r in out.to_pylist()}
+    import collections
+    obs = collections.Counter(zip(a, b))
+    ra = collections.Counter(a)
+    cb = collections.Counter(b)
+    assert set(got) == set(obs)
+    for (aa, bb), o in obs.items():
+        e = (np.float64(ra[aa]) * np.float64(cb[bb])) / np.float64(600)
+        d = np.float64(o) - e
+        assert got[(aa, bb)]["observed"] == o
+        assert got[(aa, bb)]["expected"] == e
+        assert got[(aa, bb)]["chi2_contrib"] == d * d / e
+
+
+@pytest.mark.parametrize("strategy", ["median", "mode"])
+def test_impute_by_group_matches_naive(ray_session, strategy):
+    from feature_extraction_ray.stages.groupstats import impute_by_group
+    rng = np.random.default_rng(3)
+    n = 600
+    g = rng.integers(0, 8, n)
+    v = np.round(rng.normal(0, 5, n), 1)
+    null = rng.random(n) < 0.25
+    g = np.r_[g, [99, 99]]              # an all-null group stays null
+    v = np.r_[v, [0.0, 0.0]]
+    null = np.r_[null, [True, True]]
+    ids = np.arange(len(g))
+    tbl = pa.table({"id": pa.array(ids), "g": pa.array(g),
+                    "v": pa.array(np.where(null, np.nan, v),
+                                  from_pandas=False)})
+    # build with real nulls (NaN sentinel -> null)
+    vcol = pa.array([None if nu else float(vv)
+                     for vv, nu in zip(v, null)], type=pa.float64())
+    tbl = pa.table({"id": pa.array(ids), "g": pa.array(g), "v": vcol})
+    out = _table(impute_by_group(rd.from_arrow(tbl), "g", "v",
+                                 strategy=strategy, num_buckets=4))
+    got = {r["id"]: r["v_filled"] for r in out.to_pylist()}
+    for gg in np.unique(g):
+        vals = sorted(v[(g == gg) & ~null])
+        if strategy == "median":
+            fill = vals[max(1, int(np.ceil(0.5 * len(vals)))) - 1] \
+                if vals else None
+        else:
+            from collections import Counter
+            c = Counter(vals)
+            fill = min(c, key=lambda k: (-c[k], k)) if vals else None
+        for i in ids[g == gg]:
+            exp = fill if null[i] else v[i]
+            if exp is None:
+                assert got[i] is None
+            else:
+                assert got[i] == exp, (strategy, gg, i)
