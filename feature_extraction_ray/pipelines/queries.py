@@ -3571,6 +3571,45 @@ FROM w a JOIN w b ON a.c = b.c AND a.k < b.k
 """
 
 
+def doc_bigram_surprisal(sf_dir: str) -> Dataset:
+    """Bigram-LM perplexity scoring (``text.bigram_surprisal_scores``):
+    per-doc total conditional log-probability Σ ln P(wᵢ|wᵢ₋₁) under the
+    corpus bigram MLE — the word-order-aware rung above the unigram
+    ``doc_surprisal_scores`` filter. Fit is one prefixed-key exchange;
+    scoring is a broadcast + one vectorized pass."""
+    from ..stages.text import bigram_surprisal_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _round(bigram_surprisal_scores(ds), {"sum_logprob": 4})
+
+
+DOC_BIGRAM_SURPRISAL_SQL = """
+WITH s AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, unnest(ws) AS word,
+         generate_subscripts(ws, 1) AS ord
+  FROM s
+), w2 AS (
+  SELECT doc_id, word, ord FROM w WHERE word <> ''
+), p AS (
+  SELECT doc_id, word AS w1,
+         lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS w2
+  FROM w2
+), pp AS (
+  SELECT doc_id, w1, w2 FROM p WHERE w2 IS NOT NULL
+), bc AS (
+  SELECT w1, w2, count(*) AS n12 FROM pp GROUP BY 1, 2
+), cc AS (
+  SELECT w1, count(*) AS nc FROM pp GROUP BY 1
+)
+SELECT pp.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(ln(CAST(bc.n12 AS DOUBLE) / cc.nc)), 4) AS sum_logprob
+FROM pp JOIN bc USING (w1, w2) JOIN cc USING (w1)
+GROUP BY pp.doc_id
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -3934,6 +3973,7 @@ QUERIES = {
     "order_price_loo_by_customer": order_price_loo_by_customer,
     "orders_priority_status_chi2": orders_priority_status_chi2,
     "imputed_events_median": imputed_events_median,
+    "doc_bigram_surprisal": doc_bigram_surprisal,
 }
 
 ORACLE_SQL = {
@@ -4041,6 +4081,7 @@ ORACLE_SQL = {
     "order_price_loo_by_customer": ORDER_PRICE_LOO_BY_CUSTOMER_SQL,
     "orders_priority_status_chi2": ORDERS_PRIORITY_STATUS_CHI2_SQL,
     "imputed_events_median": IMPUTED_EVENTS_MEDIAN_SQL,
+    "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

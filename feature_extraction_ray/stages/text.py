@@ -549,3 +549,143 @@ def tfidf_scores(ds: Dataset, model: dict | None = None,
         return cached_kernel(TfIdfScorer, ref, text_col)(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal (the next rung of the perplexity-filter ladder)
+# ---------------------------------------------------------------------------
+
+def fit_bigram_lm(ds: Dataset, text_col: str = "text",
+                  top_k: int | None = None) -> dict:
+    """Distributed bigram LM fit: per-batch partial counts of
+    consecutive in-doc word pairs AND of context occurrences (w1 of a
+    pair), smuggled through ONE ``groupby.sum`` exchange with a "P"/"C"
+    key prefix (a word cannot start with the prefix's following
+    separator, so the key spaces cannot collide). Driver builds
+    ``{"pair_logprob": {"w1\\x1fw2": ln(n12 / nctx(w1))}, "total":
+    total_pairs}`` — conditional MLE, exactly SQL-checkable.
+
+    ``top_k`` caps the PAIR table to the most frequent pairs for corpus
+    scale (context counts stay exact — they are vocab-sized); capped-out
+    pairs score the OOV floor ``-ln(total_pairs)``. Leave ``None`` for
+    the exact oracle-checked path."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    SEP = "\x1f"
+
+    def partials(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        empty = pa.table({"key": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        m = np.maximum(np.diff(offs), 0)
+        m = np.maximum(m - 1, 0)                 # pairs per doc
+        tot = int(m.sum())
+        if tot == 0:
+            return empty
+        i1 = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(m) - m, m)
+              + np.repeat(offs[:-1], m))
+        w1 = flat.take(pa.array(i1))
+        w2 = flat.take(pa.array(i1 + 1))
+        pair_key = pc.binary_join_element_wise(
+            pa.scalar("P"), w1, w2, SEP)
+        ctx_key = pc.binary_join_element_wise(pa.scalar("C"), w1, SEP)
+        out = []
+        for keys in (pair_key, ctx_key):
+            de = keys.dictionary_encode()
+            cnt = np.bincount(de.indices.to_numpy(zero_copy_only=False),
+                              minlength=len(de.dictionary))
+            out.append(pa.table({
+                "key": de.dictionary.cast(pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64))}))
+        return pa.concat_tables(out)
+
+    counts = ds.map_batches(partials, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    is_pair = counts["key"].str.startswith("P")
+    pairs = counts[is_pair]
+    ctx = counts[~is_pair]
+    ctx_n = {k[2:]: int(v) for k, v in zip(ctx["key"], ctx["cnt"])}
+    total = int(pairs["cnt"].sum())
+    if top_k is not None and len(pairs) > top_k:
+        pairs = pairs.nlargest(top_k, "cnt")
+    keys = [k[2:] for k in pairs["key"]]          # "w1\x1fw2"
+    n12 = pairs["cnt"].to_numpy(dtype=np.float64)
+    nc = np.array([ctx_n[k.split(SEP, 1)[0]] for k in keys],
+                  dtype=np.float64)
+    lp = np.log(n12 / nc)
+    return {"pair_logprob": dict(zip(keys, lp)), "total": total}
+
+
+class BigramSurprisalScorer:
+    """Scoring kernel (task-pool, memoized per worker): per-doc total
+    bigram conditional log-probability under a broadcast bigram LM —
+    same vectorization shape as :class:`SurprisalScorer` (one split,
+    unique-pair dictionary lookup, segmented sums)."""
+
+    def __init__(self, lm_ref, text_col: str = "text"):
+        lm = ray.get(lm_ref) if isinstance(lm_ref, ray.ObjectRef) else lm_ref
+        self.lp = lm["pair_logprob"]
+        self.floor = -np.log(max(lm["total"], 1))
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flat, _fl, offsets, real, n_real = _split_flat(batch[self.text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        m = np.maximum(np.diff(offs) - 1, 0)
+        tot = int(m.sum())
+        sums = np.zeros(len(batch), dtype=np.float64)
+        if tot:
+            i1 = (np.arange(tot, dtype=np.int64)
+                  - np.repeat(np.cumsum(m) - m, m)
+                  + np.repeat(offs[:-1], m))
+            keys = pc.binary_join_element_wise(
+                flat.take(pa.array(i1)), flat.take(pa.array(i1 + 1)),
+                "\x1f")
+            de = keys.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            uniq_lp = np.array([self.lp.get(k, self.floor)
+                                for k in de.dictionary.to_pylist()],
+                               dtype=np.float64)
+            poffs = np.zeros(len(m) + 1, dtype=np.int64)
+            np.cumsum(m, out=poffs[1:])
+            sums = _segment_sum(uniq_lp[codes], poffs)
+        keep = m > 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_pairs": pa.array(m.astype(np.int64)),
+            "sum_logprob": pa.array(sums),
+        }).filter(pa.array(keep))
+
+
+def bigram_surprisal_scores(ds: Dataset, lm: dict | None = None,
+                            text_col: str = "text") -> Dataset:
+    """Fit (if no ``lm``) + score: per-doc ``(doc_id, n_pairs,
+    sum_logprob)`` under the corpus bigram LM — a sharper
+    perplexity-style gibberish/boilerplate filter than the unigram
+    scorer (word-order-aware). Docs with fewer than two words are
+    dropped (no bigram distribution)."""
+    if lm is None:
+        lm = fit_bigram_lm(ds, text_col)
+    ref = ray.put(lm)
+    from .partition import cached_kernel
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(BigramSurprisalScorer, ref, text_col)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")

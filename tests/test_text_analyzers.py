@@ -207,3 +207,57 @@ def test_tfidf_top_k_vocab_cap():
     out = tfidf_scores(rd.from_pandas(docs), model=m).to_pandas()
     z = out[out["word"] == "z"].iloc[0]
     assert z["df"] == 0 and z["tfidf"] == 0.0   # capped-out -> idf 0
+
+
+def test_bigram_lm_hand_computed(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.text import (
+        bigram_surprisal_scores, fit_bigram_lm)
+
+    docs = pa.table({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["x y x y", "x y", "z", "  "]})
+    ds = rd.from_arrow(docs)
+    lm = fit_bigram_lm(ds, "text")
+    # pairs: a: (x,y) (y,x) (x,y); b: (x,y)  -> n12: xy=3, yx=1
+    # contexts: x 3 times, y once
+    assert lm["total"] == 4
+    lp = lm["pair_logprob"]
+    assert lp["x\x1fy"] == np.log(np.float64(3) / np.float64(3))
+    assert lp["y\x1fx"] == np.log(np.float64(1) / np.float64(1))
+    out = bigram_surprisal_scores(ds, lm=lm)
+    rows = {r["doc_id"]: r
+            for t in (ray.get(x) for x in out.to_arrow_refs())
+            for r in t.to_pylist()}
+    # single-word and empty docs dropped
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["n_pairs"] == 3 and rows["b"]["n_pairs"] == 1
+    # every observed pair here is deterministic given its context
+    # (P(y|x)=3/3, P(x|y)=1/1), so both docs sum to exactly 0.0
+    assert rows["a"]["sum_logprob"] == 0.0
+    assert rows["b"]["sum_logprob"] == 0.0
+
+
+def test_bigram_lm_top_k_floor(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.text import (
+        bigram_surprisal_scores, fit_bigram_lm)
+
+    docs = pa.table({
+        "doc_id": ["a", "b"],
+        "text": ["p q p q p q", "r s"]})
+    ds = rd.from_arrow(docs)
+    lm = fit_bigram_lm(ds, "text", top_k=2)   # keeps pq(3), qp(2); rs cut
+    out = bigram_surprisal_scores(ds, lm=lm)
+    rows = {r["doc_id"]: r
+            for t in (ray.get(x) for x in out.to_arrow_refs())
+            for r in t.to_pylist()}
+    assert rows["b"]["sum_logprob"] == -np.log(np.float64(6))  # OOV floor
