@@ -3610,6 +3610,56 @@ GROUP BY pp.doc_id
 """
 
 
+def cusum_drift_events(sf_dir: str) -> Dataset:
+    """One-sided CUSUM drift detection per user (``window.cusum``):
+    ``sᵢ = max(0, sᵢ₋₁ + (xᵢ − k))`` over value-in-cents with k=60.00,
+    flagging ``sᵢ > 500.00`` — computed shuffle-once via the prefix
+    identity ``sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)`` (segmented doubling
+    scan, all int64-exact), so the window-function oracle compares
+    strictly equal."""
+    from ..stages.window import cusum
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # floor(v*100 + 0.5): identical IEEE sequence to the SQL twin
+        # (values are 2-decimal; half-even vs half-away never differs
+        # here, but spell it out anyway)
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = cusum(ds, "user_id", ["ts", "event_id"], "cents",
+                k=6000, h=50000)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "cusum", "drift_flag"]),
+        batch_format="pyarrow")
+
+
+CUSUM_DRIFT_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), p AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(cents - 6000) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre
+  FROM x
+), m AS (
+  SELECT event_id, user_id, pre,
+         min(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS mn
+  FROM p
+)
+SELECT event_id, user_id,
+       pre - least(mn, 0) AS cusum,
+       (pre - least(mn, 0)) > 50000 AS drift_flag
+FROM m
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -3974,6 +4024,7 @@ QUERIES = {
     "orders_priority_status_chi2": orders_priority_status_chi2,
     "imputed_events_median": imputed_events_median,
     "doc_bigram_surprisal": doc_bigram_surprisal,
+    "cusum_drift_events": cusum_drift_events,
 }
 
 ORACLE_SQL = {
@@ -4082,6 +4133,7 @@ ORACLE_SQL = {
     "orders_priority_status_chi2": ORDERS_PRIORITY_STATUS_CHI2_SQL,
     "imputed_events_median": IMPUTED_EVENTS_MEDIAN_SQL,
     "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_SQL,
+    "cusum_drift_events": CUSUM_DRIFT_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -592,3 +592,52 @@ def running_distinct(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl.append_column(name, pa.array(out))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def cusum(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+          value_col: str, k: int, h: int,
+          out_col: str = "cusum", flag_col: str = "drift_flag",
+          num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """One-sided CUSUM drift statistic per entity: ``s₀ = 0, sᵢ =
+    max(0, sᵢ₋₁ + (xᵢ − k))``, flagging rows where ``sᵢ > h`` — the
+    classic sequential changepoint / drift detector (Page 1954).
+
+    Computed without the recursion via the prefix identity ``sᵢ = Pᵢ −
+    min(0, min_{j≤i} Pⱼ)`` with ``P = cumsum(x − k)``; over an INTEGER
+    value column (pre-scale decimals to cents) and integer ``k`` every
+    intermediate is exact int64, so the oracle's window-function
+    spelling of the same identity compares strictly equal. The
+    segmented prefix-min uses a Hillis–Steele doubling scan (log₂ of
+    the longest entity run vector passes — no per-row Python, no float
+    detour). ONE exchange bucketed by entity."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(
+                out_col, pa.array([], type=pa.int64())).append_column(
+                flag_col, pa.array([], type=pa.bool_()))
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        d = v.to_numpy(zero_copy_only=False).astype(np.int64) \
+            - np.int64(k)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        cs = np.cumsum(d)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        P = cs - base[run_id]                  # per-run prefix sums
+        # segmented inclusive prefix-min (doubling scan, int64-exact)
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        max_pos = int(pos.max())
+        pm = P.copy()
+        step = 1
+        while step <= max_pos:
+            idx = np.flatnonzero(pos >= step)
+            pm[idx] = np.minimum(pm[idx], pm[idx - step])
+            step *= 2
+        s = P - np.minimum(pm, 0)
+        return tbl.append_column(out_col, pa.array(s)).append_column(
+            flag_col, pa.array(s > np.int64(h)))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

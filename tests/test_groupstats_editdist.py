@@ -576,3 +576,38 @@ def test_impute_by_group_matches_naive(ray_session, strategy):
                 assert got[i] is None
             else:
                 assert got[i] == exp, (strategy, gg, i)
+
+
+def test_cusum_matches_recursive_definition(ray_session):
+    from feature_extraction_ray.stages.window import cusum
+    rng = np.random.default_rng(31)
+    n = 900
+    u = rng.integers(0, 13, n)
+    o = rng.permutation(n)
+    v = rng.integers(-40, 90, n)
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "o": pa.array(o),
+                                 "v": pa.array(v)}))
+    out = _table(cusum(ds, "u", ["o"], "v", k=20, h=150, num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    state = {}
+    for r in rows:
+        s = max(0, state.get(r["u"], 0) + (r["v"] - 20))
+        state[r["u"]] = s
+        assert r["cusum"] == s, r
+        assert r["drift_flag"] == (s > 150)
+
+
+def test_cusum_single_row_runs_and_negatives(ray_session):
+    from feature_extraction_ray.stages.window import cusum
+    # one-row runs (doubling scan must handle max_pos == 0) and a run
+    # that dives negative then recovers
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([1, 2, 2, 2, 2]),
+        "o": pa.array([0, 0, 1, 2, 3]),
+        "v": pa.array([100, -50, -50, 200, 10])}))
+    out = _table(cusum(ds, "u", ["o"], "v", k=0, h=120, num_buckets=2))
+    got = {(r["u"], r["o"]): (r["cusum"], r["drift_flag"])
+           for r in out.to_pylist()}
+    assert got == {(1, 0): (100, False), (2, 0): (0, False),
+                   (2, 1): (0, False), (2, 2): (200, True),
+                   (2, 3): (210, True)}
