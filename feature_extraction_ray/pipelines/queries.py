@@ -3660,6 +3660,49 @@ FROM m
 """
 
 
+def bm25_docs(sf_dir: str) -> Dataset:
+    """Okapi BM25 relevance of every document against a fixed 4-term
+    query (``text.bm25_scores``): fit is a zero-shuffle counter
+    reduction (per-term df + doc count + avgdl smuggled through ONE
+    ``Dataset.sum``), scoring a stateless vectorized pass. The SQL twin
+    spells the identical IEEE expression; only the per-doc term-sum
+    order differs (≤ last-bit), absorbed by round-4 on irrational
+    log values."""
+    from ..stages.text import bm25_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = bm25_scores(ds, ["query", "join", "stream", "hash"])
+    return _round(out, {"bm25": 4})
+
+
+BM25_DOCS_SQL = """
+WITH q(term) AS (SELECT unnest(['query', 'join', 'stream', 'hash'])),
+s AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+      FROM documents WHERE trim(text) <> ''),
+w AS (SELECT doc_id, unnest(ws) AS word FROM s),
+w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w2 GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) AS total FROM dl),
+df AS (SELECT q.term, CAST(count(DISTINCT w2.doc_id) AS DOUBLE) AS df
+       FROM w2 JOIN q ON w2.word = q.term GROUP BY 1),
+tf AS (SELECT w2.doc_id, w2.word AS term, CAST(count(*) AS DOUBLE) AS tf
+       FROM w2 JOIN q ON w2.word = q.term GROUP BY 1, 2),
+contrib AS (
+  SELECT tf.doc_id,
+         -- identical IEEE sequence to the engine: ln(1 + (N-df+.5)/(df+.5))
+         -- * (tf*(k1+1)) / (tf + k1*((1-b) + b*(dl/avgdl)))
+         ln(1.0 + ((SELECT n_docs FROM nd) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (d.dl / ((SELECT total FROM nd)
+                                / (SELECT n_docs FROM nd))))) AS c
+  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id))
+SELECT dl.doc_id, dl.dl, round(coalesce(sum(c.c), 0.0), 4) AS bm25
+FROM dl LEFT JOIN contrib c USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4025,6 +4068,7 @@ QUERIES = {
     "imputed_events_median": imputed_events_median,
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "cusum_drift_events": cusum_drift_events,
+    "bm25_docs": bm25_docs,
 }
 
 ORACLE_SQL = {
@@ -4134,6 +4178,7 @@ ORACLE_SQL = {
     "imputed_events_median": IMPUTED_EVENTS_MEDIAN_SQL,
     "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_SQL,
     "cusum_drift_events": CUSUM_DRIFT_EVENTS_SQL,
+    "bm25_docs": BM25_DOCS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

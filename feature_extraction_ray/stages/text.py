@@ -689,3 +689,113 @@ def bigram_surprisal_scores(ds: Dataset, lm: dict | None = None,
         return cached_kernel(BigramSurprisalScorer, ref, text_col)(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring against a fixed query-term set
+# ---------------------------------------------------------------------------
+
+def fit_bm25_stats(ds: Dataset, query_terms, text_col: str = "text") -> dict:
+    """Corpus statistics BM25 needs for a FIXED query: per-term document
+    frequency, corpus doc count and average doc length — computed as one
+    zero-shuffle reduction (each batch emits a single partial row of
+    ``len(terms) + 2`` counters; ``Dataset.sum`` folds them). No
+    vocabulary-wide exchange: unlike ``fit_document_frequencies`` this
+    only tracks the handful of query terms."""
+    terms = list(query_terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        row = {"n_docs": [int((n_real > 0).sum())],
+               "total_tokens": [int(n_real.sum())]}
+        word_to_code = {}
+        codes = doc_of = None
+        if len(flat):
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(len(n_real)), np.diff(offs))
+            word_to_code = {w: i for i, w in
+                            enumerate(de.dictionary.to_pylist())}
+        for j, term in enumerate(terms):
+            code = word_to_code.get(term)
+            row[f"df_{j}"] = [0 if code is None else
+                              int(len(np.unique(doc_of[codes == code])))]
+        return pa.table(row)
+
+    cols = ["n_docs", "total_tokens"] + \
+        [f"df_{j}" for j in range(len(terms))]
+    sums = ds.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n = float(sums["sum(n_docs)"])
+    total = float(sums["sum(total_tokens)"])
+    dfs = np.array([float(sums[f"sum(df_{j})"])
+                    for j in range(len(terms))])
+    # Robertson–Spärck Jones idf, the BM25+Lucene convention
+    idf = np.log(1.0 + (n - dfs + 0.5) / (dfs + 0.5))
+    return {"terms": terms, "idf": idf, "avgdl": total / n, "n_docs": n}
+
+
+def bm25_scores(ds: Dataset, query_terms, k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                id_col: str = "doc_id",
+                stats: dict | None = None) -> Dataset:
+    """Okapi BM25 score of every document against a fixed query-term
+    set: ``Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` — the
+    classic retrieval / quality-ranking primitive. Fit is one
+    zero-shuffle counter reduction; scoring is a broadcast-free
+    stateless pass (the model is a handful of floats captured in the
+    task closure). Empty docs emit no rows; docs containing no query
+    term score exactly 0.0. IEEE expression order matches the SQL
+    twin term-for-term (see ``BM25_DOCS_SQL``)."""
+    if stats is None:
+        stats = fit_bm25_stats(ds, query_terms, text_col)
+    terms = stats["terms"]
+    idf = stats["idf"]
+    avgdl = stats["avgdl"]
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+
+    def score(tbl: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(tbl[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        keep = n_real > 0
+        ids = tbl[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.filter(pa.array(keep))
+        dl = n_real[keep].astype(np.float64)
+        if len(dl) == 0:
+            return pa.table({id_col: ids,
+                             "dl": pa.array([], type=pa.int64()),
+                             "bm25": pa.array([], type=pa.float64())})
+        # per-doc k1·(1−b+b·dl/avgdl), shared across terms
+        denom_base = k1 * (omb + b * (dl / avgdl))
+        nb = len(n_real)
+        total = np.zeros(len(dl))
+        if len(flat):
+            de = flat.dictionary_encode()
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            doc_of = np.repeat(np.arange(nb), np.diff(offs))
+            word_to_code = {w: i for i, w in
+                            enumerate(de.dictionary.to_pylist())}
+            for j, term in enumerate(terms):
+                code = word_to_code.get(term)
+                if code is None:
+                    continue
+                tf = np.bincount(doc_of[codes == code],
+                                 minlength=nb)[keep].astype(np.float64)
+                total += idf[j] * (tf * k1p1) / (tf + denom_base)
+        return pa.table({id_col: ids,
+                         "dl": pa.array(n_real[keep].astype(np.int64)),
+                         "bm25": pa.array(total)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -261,3 +261,30 @@ def test_bigram_lm_top_k_floor(ray_session):
             for t in (ray.get(x) for x in out.to_arrow_refs())
             for r in t.to_pylist()}
     assert rows["b"]["sum_logprob"] == -np.log(np.float64(6))  # OOV floor
+
+
+def test_bm25_hand_computed(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import bm25_scores
+    # 3 scored docs (one empty doc dropped); query = {"a", "b"}
+    # docs: d0 = "a a b", d1 = "c c c c c", d2 = "b"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3]),
+        "text": pa.array(["a a b", "c c c c c", "b", "   "])}))
+    out = {r["doc_id"]: r for r in
+           bm25_scores(ds, ["a", "b"], k1=1.2, b=0.75).take_all()}
+    assert set(out) == {0, 1, 2}
+    n, avgdl = 3.0, 9.0 / 3.0
+    idf_a = math.log(1.0 + (n - 1 + 0.5) / (1 + 0.5))   # df(a)=1
+    idf_b = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))   # df(b)=2
+
+    def term(idf, tf, dl):
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+
+    assert out[0]["dl"] == 3 and out[1]["dl"] == 5 and out[2]["dl"] == 1
+    assert out[0]["bm25"] == pytest.approx(
+        term(idf_a, 2, 3) + term(idf_b, 1, 3), abs=1e-12)
+    assert out[1]["bm25"] == 0.0          # no query term -> exactly 0
+    assert out[2]["bm25"] == pytest.approx(term(idf_b, 1, 1), abs=1e-12)
