@@ -3703,6 +3703,66 @@ GROUP BY 1, 2
 """
 
 
+def interpolated_events(sf_dir: str) -> Dataset:
+    """Per-user time-weighted linear interpolation of planted nulls
+    (``window.interpolate_linear``): nearest-valid-neighbor discovery
+    via two segmented monotone scans, one bucketed exchange. Identical
+    IEEE expression to the ``last_value/first_value IGNORE NULLS`` SQL
+    twin → raw doubles compare strictly equal, no rounding."""
+    from ..stages.window import interpolate_linear
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        null_mask = pa.array(ids % 23 == 0)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "tus": pc.cast(t["ts"], pa.int64()),
+            "value": pc.if_else(null_mask,
+                                pa.scalar(None, type=pa.float64()),
+                                t["value"])})
+
+    out = interpolate_linear(ds.map_batches(plant, batch_format="pyarrow"),
+                             "user_id", ["tus", "event_id"], "value",
+                             "tus")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "value",
+                            "value_interp"]),
+        batch_format="pyarrow")
+
+
+INTERPOLATED_EVENTS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus,
+         CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value
+  FROM events
+), nb AS (
+  SELECT event_id, user_id, tus, value,
+         last_value(value IGNORE NULLS) OVER w_prev AS v_prev,
+         last_value(CASE WHEN value IS NOT NULL THEN tus END
+                    IGNORE NULLS) OVER w_prev AS t_prev,
+         first_value(value IGNORE NULLS) OVER w_next AS v_next,
+         first_value(CASE WHEN value IS NOT NULL THEN tus END
+                     IGNORE NULLS) OVER w_next AS t_next
+  FROM e
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY tus, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id, user_id, value,
+       CASE WHEN value IS NOT NULL THEN value
+            WHEN v_prev IS NULL OR v_next IS NULL THEN NULL
+            WHEN t_next = t_prev THEN v_prev
+            ELSE v_prev + (v_next - v_prev)
+                 * (CAST(tus - t_prev AS DOUBLE)
+                    / CAST(t_next - t_prev AS DOUBLE))
+       END AS value_interp
+FROM nb
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4069,6 +4129,7 @@ QUERIES = {
     "doc_bigram_surprisal": doc_bigram_surprisal,
     "cusum_drift_events": cusum_drift_events,
     "bm25_docs": bm25_docs,
+    "interpolated_events": interpolated_events,
 }
 
 ORACLE_SQL = {
@@ -4179,6 +4240,7 @@ ORACLE_SQL = {
     "doc_bigram_surprisal": DOC_BIGRAM_SURPRISAL_SQL,
     "cusum_drift_events": CUSUM_DRIFT_EVENTS_SQL,
     "bm25_docs": BM25_DOCS_SQL,
+    "interpolated_events": INTERPOLATED_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -641,3 +641,60 @@ def cusum(ds: Dataset, entity_col: str, order_cols: Sequence[str],
             flag_col, pa.array(s > np.int64(h)))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def interpolate_linear(ds: Dataset, entity_col: str,
+                       order_cols: Sequence[str], value_col: str,
+                       x_col: str, out_col: str = "value_interp",
+                       num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Per-entity time-weighted linear interpolation of missing values:
+    each null gets ``v_prev + (v_next − v_prev) · (x − x_prev)/(x_next −
+    x_prev)`` between its nearest non-null neighbors in ``order_cols``
+    order (``x_col`` is the numeric axis, e.g. epoch-µs — it must be
+    non-decreasing under the sort). Leading/trailing nulls stay null;
+    non-null rows pass through bit-safe; a degenerate ``x_next ==
+    x_prev`` span falls back to ``v_prev``. ONE bucketed exchange;
+    neighbor discovery is two monotone scans (``np.maximum/
+    minimum.accumulate``) segmented by run-start bounds checks — no
+    per-row Python. IEEE expression order matches the
+    ``last_value/first_value IGNORE NULLS`` SQL twin term-for-term."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(out_col,
+                                     pa.array([], type=pa.float64()))
+        vcol = tbl[value_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = ~np.asarray(pc.is_null(vcol).to_numpy(
+            zero_copy_only=False))
+        v = vcol.to_numpy(zero_copy_only=False).astype(np.float64)
+        x = tbl[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        run_start = starts[run_id]
+        run_end = (np.r_[starts[1:], n] - 1)[run_id]
+        idx = np.arange(n)
+        # nearest valid neighbor at-or-before / at-or-after, per run
+        prevg = np.maximum.accumulate(np.where(valid, idx, -1))
+        prev = np.where(prevg >= run_start, prevg, -1)
+        nxtg = np.minimum.accumulate(
+            np.where(valid, idx, n)[::-1])[::-1]
+        nxt = np.where(nxtg <= run_end, nxtg, -1)
+        fill = (~valid) & (prev >= 0) & (nxt >= 0)
+        out = np.where(valid, v, np.nan)
+        if fill.any():
+            p, q = prev[fill], nxt[fill]
+            xd = x[q] - x[p]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                ratio = (x[fill] - x[p]).astype(np.float64) \
+                    / xd.astype(np.float64)
+                interp = v[p] + (v[q] - v[p]) * ratio
+            out[fill] = np.where(xd > 0, interp, v[p])
+        mask = valid | fill
+        return tbl.append_column(
+            out_col, pa.array(np.where(mask, out, 0.0), type=pa.float64(),
+                              mask=~mask))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

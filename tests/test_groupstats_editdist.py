@@ -611,3 +611,62 @@ def test_cusum_single_row_runs_and_negatives(ray_session):
     assert got == {(1, 0): (100, False), (2, 0): (0, False),
                    (2, 1): (0, False), (2, 2): (200, True),
                    (2, 3): (210, True)}
+
+
+def test_interpolate_linear_matches_bruteforce(ray_session):
+    from feature_extraction_ray.stages.window import interpolate_linear
+    rng = np.random.default_rng(5)
+    n = 1500
+    e = rng.integers(0, 19, n)
+    x = rng.integers(0, 10**6, n)
+    v = rng.uniform(-10, 10, n)
+    null = rng.random(n) < 0.35
+    varr = pa.array(np.where(null, 0.0, v), mask=null)
+    ds = rd.from_arrow(pa.table({"e": pa.array(e), "x": pa.array(x),
+                                 "v": varr,
+                                 "rid": pa.array(np.arange(n))}))
+    out = _table(interpolate_linear(ds, "e", ["x", "rid"], "v", "x",
+                                    num_buckets=4)).to_pandas()
+    out = out.sort_values(["e", "x", "rid"]).reset_index(drop=True)
+    import pandas as pd
+    df = pd.DataFrame({"e": e, "x": x, "v": np.where(null, np.nan, v),
+                       "rid": np.arange(n)})
+    df = df.sort_values(["e", "x", "rid"]).reset_index(drop=True)
+    exp = []
+    for _, g in df.groupby("e", sort=True):
+        vv, xx = g["v"].values, g["x"].values
+        res = vv.copy()
+        for i in range(len(vv)):
+            if np.isnan(vv[i]):
+                p = next((j for j in range(i - 1, -1, -1)
+                          if not np.isnan(vv[j])), None)
+                q = next((j for j in range(i + 1, len(vv))
+                          if not np.isnan(vv[j])), None)
+                if p is not None and q is not None:
+                    xd = xx[q] - xx[p]
+                    res[i] = vv[p] if xd == 0 else vv[p] + \
+                        (vv[q] - vv[p]) * (float(xx[i] - xx[p]) / float(xd))
+        exp.extend(res)
+    exp = np.array(exp)
+    got = out["value_interp"].values
+    both_nan = np.isnan(got) & np.isnan(exp)
+    assert ((got == exp) | both_nan).all()
+
+
+def test_interpolate_linear_edges(ray_session):
+    from feature_extraction_ray.stages.window import interpolate_linear
+    # leading/trailing nulls stay null; tied-x degenerate span -> v_prev;
+    # all-null entity stays all-null
+    v = pa.array([None, 1.0, None, 3.0, None,   None, None],
+                 type=pa.float64())
+    ds = rd.from_arrow(pa.table({
+        "e": pa.array([1, 1, 1, 1, 1, 2, 2]),
+        "x": pa.array([0, 10, 10, 10, 30, 0, 5]),
+        "rid": pa.array([0, 1, 2, 3, 4, 5, 6]), "v": v}))
+    out = _table(interpolate_linear(ds, "e", ["x", "rid"], "v", "x",
+                                    num_buckets=2))
+    got = {r["rid"]: r["value_interp"] for r in out.to_pylist()}
+    assert got[0] is None and got[4] is None          # boundary nulls
+    assert got[2] == 1.0                               # tied-x -> v_prev
+    assert got[1] == 1.0 and got[3] == 3.0             # pass-through
+    assert got[5] is None and got[6] is None           # all-null entity
