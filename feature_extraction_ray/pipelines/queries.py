@@ -3763,6 +3763,41 @@ FROM nb
 """
 
 
+def event_type_runs(sf_dir: str) -> Dataset:
+    """Gaps-and-islands run-length encoding (``window.rle_runs``):
+    consecutive same-event-type runs per user in (ts, event_id) order —
+    one bucketed exchange; the SQL twin is the classic
+    row_number-difference island grouping. All-integer output."""
+    from ..stages.window import rle_runs
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type"])
+    return rle_runs(ds, "user_id", ["ts", "event_id"], "event_type",
+                    "event_id")
+
+
+EVENT_TYPE_RUNS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn2
+  FROM events
+), r AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS run_len,
+         arg_min(event_id, rn) AS start_id,
+         arg_max(event_id, rn) AS end_id,
+         min(rn) AS ord
+  FROM o GROUP BY user_id, event_type, rn - rn2
+)
+SELECT user_id, event_type,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ord)
+            AS BIGINT) AS run_idx,
+       run_len, start_id, end_id
+FROM r
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4130,6 +4165,7 @@ QUERIES = {
     "cusum_drift_events": cusum_drift_events,
     "bm25_docs": bm25_docs,
     "interpolated_events": interpolated_events,
+    "event_type_runs": event_type_runs,
 }
 
 ORACLE_SQL = {
@@ -4241,6 +4277,7 @@ ORACLE_SQL = {
     "cusum_drift_events": CUSUM_DRIFT_EVENTS_SQL,
     "bm25_docs": BM25_DOCS_SQL,
     "interpolated_events": INTERPOLATED_EVENTS_SQL,
+    "event_type_runs": EVENT_TYPE_RUNS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -698,3 +698,60 @@ def interpolate_linear(ds: Dataset, entity_col: str,
                               mask=~mask))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def rle_runs(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+             value_col: str, id_col: str,
+             num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Gaps-and-islands run-length encoding: collapse CONSECUTIVE equal
+    values per entity (in ``order_cols`` order) into one row per run —
+    ``(entity, value, run_idx (1-based per entity), run_len,
+    start/end id)``. The classic sessionization-adjacent profiling
+    primitive (SQL spells it with the row_number-difference trick).
+    ONE bucketed exchange; run boundaries are a dictionary-encode +
+    adjacent-compare, everything else is boundary-index arithmetic.
+    Nulls compare equal to each other (one run)."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        ecol, vcol, icol = tbl[entity_col], tbl[value_col], tbl[id_col]
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if isinstance(icol, pa.ChunkedArray):
+            icol = icol.combine_chunks()
+        empty = pa.table({
+            entity_col: ecol.slice(0, 0),
+            value_col: vcol.slice(0, 0),
+            "run_idx": pa.array([], type=pa.int64()),
+            "run_len": pa.array([], type=pa.int64()),
+            "start_id": icol.slice(0, 0), "end_id": icol.slice(0, 0)})
+        if n == 0:
+            return empty
+        de = vcol.dictionary_encode()
+        codes = pc.fill_null(de.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        new_run = ng.copy()
+        new_run[1:] |= codes[1:] != codes[:-1]
+        rs = np.flatnonzero(new_run)                 # run starts
+        re_ = np.r_[rs[1:], n] - 1                   # run ends
+        run_len = re_ - rs + 1
+        # 1-based run index within entity: entity starts among runs
+        ent_start_runs = np.flatnonzero(ng[rs])
+        first_run_of_ent = np.zeros(len(rs), dtype=np.int64)
+        first_run_of_ent[ent_start_runs] = 1
+        ent_of_run = np.cumsum(first_run_of_ent) - 1
+        run_idx = np.arange(len(rs)) - \
+            np.flatnonzero(first_run_of_ent)[ent_of_run] + 1
+        take_s = pa.array(rs.astype(np.int64))
+        return pa.table({
+            entity_col: ecol.take(take_s) if not isinstance(
+                ecol, pa.ChunkedArray) else ecol.combine_chunks()
+                .take(take_s),
+            value_col: vcol.take(take_s),
+            "run_idx": pa.array(run_idx),
+            "run_len": pa.array(run_len.astype(np.int64)),
+            "start_id": icol.take(take_s),
+            "end_id": icol.take(pa.array(re_.astype(np.int64)))})
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets,
+                          drop_bucket=False)

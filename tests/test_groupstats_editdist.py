@@ -670,3 +670,45 @@ def test_interpolate_linear_edges(ray_session):
     assert got[2] == 1.0                               # tied-x -> v_prev
     assert got[1] == 1.0 and got[3] == 3.0             # pass-through
     assert got[5] is None and got[6] is None           # all-null entity
+
+
+def test_rle_runs_matches_bruteforce(ray_session):
+    from feature_extraction_ray.stages.window import rle_runs
+    rng = np.random.default_rng(11)
+    n = 1200
+    e = rng.integers(0, 9, n)
+    o = rng.permutation(n)
+    v = rng.choice(["a", "b", None], n, p=[0.45, 0.45, 0.1])
+    ds = rd.from_arrow(pa.table({
+        "e": pa.array(e), "o": pa.array(o), "v": pa.array(v),
+        "id": pa.array(np.arange(n))}))
+    out = rle_runs(ds, "e", ["o"], "v", "id",
+                   num_buckets=4).to_pandas()
+    import pandas as pd
+    df = pd.DataFrame({"e": e, "o": o, "v": v,
+                       "id": np.arange(n)}).sort_values(["e", "o"])
+    exp = []
+    for ee, g in df.groupby("e"):
+        runs = []
+        for _, r in g.iterrows():
+            same = runs and ((runs[-1]["v"] == r["v"]) or
+                             (runs[-1]["v"] is None and r["v"] is None))
+            if same:
+                runs[-1]["len"] += 1
+                runs[-1]["end"] = r["id"]
+            else:
+                runs.append({"v": r["v"], "len": 1,
+                             "start": r["id"], "end": r["id"]})
+        for i, rr in enumerate(runs):
+            exp.append((ee, rr["v"], i + 1, rr["len"],
+                        rr["start"], rr["end"]))
+    expdf = pd.DataFrame(exp, columns=["e", "v", "run_idx", "run_len",
+                                       "start_id", "end_id"])
+    got = out.sort_values(["e", "run_idx"]).reset_index(drop=True)
+    expdf = expdf.sort_values(["e", "run_idx"]).reset_index(drop=True)
+    assert len(got) == len(expdf)
+    for c in ["e", "run_idx", "run_len", "start_id", "end_id"]:
+        assert (got[c].values == expdf[c].values).all(), c
+    gv = got["v"].where(got["v"].notna(), None)
+    ev = expdf["v"].where(expdf["v"].notna(), None)
+    assert (gv.values == ev.values).all()
