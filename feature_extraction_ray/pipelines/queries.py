@@ -3798,6 +3798,34 @@ FROM r
 """
 
 
+def user_cohort_retention(sf_dir: str) -> Dataset:
+    """Daily cohort retention (``relational.cohort_retention``): users
+    cohorted by first active day, distinct-user counts per (cohort-day,
+    day-offset) cell — batch-level DISTINCT pre-aggregation, one
+    bucketed exchange, tiny partial-sum groupby. All-integer (the
+    events table spans 30 days, so day granularity is the
+    discriminative one; the month path is golden-tested)."""
+    from ..stages.relational import cohort_retention
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return cohort_retention(ds, "user_id", "ts", freq="day")
+
+
+USER_COHORT_RETENTION_SQL = """
+WITH am AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS mi
+  FROM events
+), c AS (
+  SELECT user_id, min(mi) AS cmi FROM am GROUP BY 1
+)
+SELECT CAST(cmi AS BIGINT) AS cohort_day,
+       CAST(mi - cmi AS BIGINT) AS day_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM am JOIN c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4166,6 +4194,7 @@ QUERIES = {
     "bm25_docs": bm25_docs,
     "interpolated_events": interpolated_events,
     "event_type_runs": event_type_runs,
+    "user_cohort_retention": user_cohort_retention,
 }
 
 ORACLE_SQL = {
@@ -4278,6 +4307,7 @@ ORACLE_SQL = {
     "bm25_docs": BM25_DOCS_SQL,
     "interpolated_events": INTERPOLATED_EVENTS_SQL,
     "event_type_runs": EVENT_TYPE_RUNS_SQL,
+    "user_cohort_retention": USER_COHORT_RETENTION_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -644,3 +644,78 @@ def anti_join(left: Dataset, right: Dataset, *, left_key: str,
         return t.filter(pc.is_null(t["__hit"])).drop_columns(["__hit"])
 
     return tagged.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def cohort_retention(ds: Dataset, entity_col: str, ts_col: str,
+                     freq: str = "month",
+                     num_buckets: int = 64) -> Dataset:
+    """Cohort retention matrix: entities are cohorted by their first
+    active period (``freq`` ∈ {"month", "day"}); output is one row per
+    ``(cohort, offset)`` with the distinct-entity count active that
+    many periods after the cohort period. Month cohorts emit
+    ``cohort_ym`` = year·100+month, day cohorts ``cohort_day`` = epoch
+    days — integer witnesses, no date-type transport. The classic
+    product-analytics rollup.
+
+    Plan: per-batch DISTINCT (entity, period) pre-aggregation (packed
+    int64 ``np.unique`` — shrinks the exchange to ≤ one row per entity
+    per period per batch) → ONE bucketed exchange by entity (cohort =
+    first period of the sorted unique run, offsets and cell counts fall
+    out of two more packed uniques) → a tiny ``groupby().sum()`` over
+    ≤ cohorts×offsets partial rows. Assumes period indexes < 100000
+    (month: 83 centuries; day: until 2243) and offsets < 1000."""
+    from ray.data.aggregate import Sum
+    from .window import bucketed_apply
+    if freq not in ("month", "day"):
+        raise ValueError(f"freq must be 'month' or 'day', got {freq!r}")
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[entity_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if freq == "month":
+            y = pc.year(t[ts_col]).to_numpy(zero_copy_only=False)
+            m = pc.month(t[ts_col]).to_numpy(zero_copy_only=False)
+            mi = y.astype(np.int64) * 12 + (m.astype(np.int64) - 1)
+        else:
+            us = pc.cast(t[ts_col], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            mi = us // 86_400_000_000
+        ku = np.unique(u * 100000 + mi)
+        return pa.table({entity_col: pa.array(ku // 100000),
+                         "mi": pa.array(ku % 100000)})
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[entity_col].to_numpy(zero_copy_only=False)
+        mi = t["mi"].to_numpy(zero_copy_only=False)
+        ku = np.unique(u * 100000 + mi)
+        uu, mm = ku // 100000, ku % 100000
+        new = np.r_[True, uu[1:] != uu[:-1]] if len(uu) else \
+            np.zeros(0, dtype=bool)
+        # cohort month = first (= min) month of each sorted unique run
+        cmi = mm[np.flatnonzero(new)][np.cumsum(new) - 1] if len(uu) \
+            else mm
+        k2, cnt = np.unique(cmi * 1000 + (mm - cmi), return_counts=True)
+        return pa.table({"cmi": pa.array(k2 // 1000),
+                         "month_offset": pa.array(k2 % 1000),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    partials = bucketed_apply(pairs, entity_col, per_bucket, num_buckets,
+                              drop_bucket=False)
+    out = partials.groupby(["cmi", "month_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cmi = t["cmi"].to_numpy(zero_copy_only=False)
+        if freq == "month":
+            cohort = ((cmi // 12) * 100 + (cmi % 12) + 1).astype(np.int64)
+            names = ("cohort_ym", "month_offset")
+        else:
+            cohort = cmi.astype(np.int64)
+            names = ("cohort_day", "day_offset")
+        return pa.table({names[0]: pa.array(cohort),
+                         names[1]: pc.cast(t["month_offset"],
+                                           pa.int64()),
+                         "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return out.map_batches(finish, batch_format="pyarrow")

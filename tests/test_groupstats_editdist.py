@@ -712,3 +712,36 @@ def test_rle_runs_matches_bruteforce(ray_session):
     gv = got["v"].where(got["v"].notna(), None)
     ev = expdf["v"].where(expdf["v"].notna(), None)
     assert (gv.values == ev.values).all()
+
+
+def test_cohort_retention_hand_computed(ray_session):
+    from feature_extraction_ray.stages.relational import cohort_retention
+    import datetime as dt
+    # u1 first active 2024-01 (months 01,02,04); u2 2024-02 (02,02,03);
+    # u3 2024-01 only
+    ts = [dt.datetime(2024, 1, 5), dt.datetime(2024, 2, 10),
+          dt.datetime(2024, 4, 1),
+          dt.datetime(2024, 2, 2), dt.datetime(2024, 2, 20),
+          dt.datetime(2024, 3, 3),
+          dt.datetime(2024, 1, 31)]
+    u = [1, 1, 1, 2, 2, 2, 3]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(u),
+        "ts": pa.array(ts, type=pa.timestamp("us"))}))
+    out = cohort_retention(ds, "u", "ts", freq="month", num_buckets=2)
+    got = {(r["cohort_ym"], r["month_offset"]): r["n_users"]
+           for r in out.take_all()}
+    assert got == {(202401, 0): 2, (202401, 1): 1, (202401, 3): 1,
+                   (202402, 0): 1, (202402, 1): 1}
+    # day granularity: u1 days 0,1 ; u2 day 1 only
+    ts2 = [dt.datetime(1970, 1, 1, 5), dt.datetime(1970, 1, 2, 23),
+           dt.datetime(1970, 1, 2, 1), dt.datetime(1970, 1, 2, 2)]
+    ds2 = rd.from_arrow(pa.table({
+        "u": pa.array([1, 1, 2, 2]),
+        "ts": pa.array(ts2, type=pa.timestamp("us"))}))
+    out2 = cohort_retention(ds2, "u", "ts", freq="day", num_buckets=2)
+    got2 = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+            for r in out2.take_all()}
+    assert got2 == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+    with pytest.raises(ValueError):
+        cohort_retention(ds2, "u", "ts", freq="week")
