@@ -3826,6 +3826,82 @@ GROUP BY 1, 2
 """
 
 
+def orders_apply_changes(sf_dir: str) -> Dataset:
+    """CDC MERGE apply (``relational.apply_changes``): fold a
+    deterministic changeset (keys %7 → price-bump 'U', %11 → 'D',
+    %13 → offset-key 'I') into the orders snapshot — tagged union, one
+    bucketed exchange, searchsorted key alignment. Pass-through and
+    change values are bit-safe (the one float op, +1.0, is computed
+    identically by both engines)."""
+    from ..stages.relational import apply_changes
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        upd = k % 7 == 0
+        dele = (k % 7 != 0) & (k % 11 == 0)
+        ins = k % 13 == 0
+        parts = []
+        if upd.any():
+            tu = t.filter(pa.array(upd))
+            parts.append(pa.table({
+                "o_orderkey": tu["o_orderkey"],
+                "o_orderstatus": tu["o_orderstatus"],
+                "o_totalprice": pc.add(tu["o_totalprice"], 1.0),
+                "op": pa.array(["U"] * len(tu))}))
+        if dele.any():
+            td = t.filter(pa.array(dele))
+            parts.append(pa.table({
+                "o_orderkey": td["o_orderkey"],
+                "o_orderstatus": td["o_orderstatus"],
+                "o_totalprice": td["o_totalprice"],
+                "op": pa.array(["D"] * len(td))}))
+        if ins.any():
+            ti = t.filter(pa.array(ins))
+            parts.append(pa.table({
+                "o_orderkey": pc.add(ti["o_orderkey"],
+                                     pa.scalar(100000000,
+                                               type=pa.int64())),
+                "o_orderstatus": pa.array(["N"] * len(ti)),
+                "o_totalprice": ti["o_totalprice"],
+                "op": pa.array(["I"] * len(ti))}))
+        if not parts:
+            return pa.table({
+                "o_orderkey": pa.array([], type=pa.int64()),
+                "o_orderstatus": pa.array([], type=pa.string()),
+                "o_totalprice": pa.array([], type=pa.float64()),
+                "op": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changes(base, changes, "o_orderkey")
+
+
+ORDERS_APPLY_CHANGES_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), changes AS (
+  SELECT o_orderkey, 'U' AS op, o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'I', 'N', o_totalprice
+  FROM orders WHERE o_orderkey % 13 = 0
+)
+SELECT coalesce(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN c.op IS NOT NULL THEN c.o_orderstatus
+            ELSE b.o_orderstatus END AS o_orderstatus,
+       CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+            ELSE b.o_totalprice END AS o_totalprice
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+WHERE coalesce(c.op, 'X') <> 'D'
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4195,6 +4271,7 @@ QUERIES = {
     "interpolated_events": interpolated_events,
     "event_type_runs": event_type_runs,
     "user_cohort_retention": user_cohort_retention,
+    "orders_apply_changes": orders_apply_changes,
 }
 
 ORACLE_SQL = {
@@ -4308,6 +4385,7 @@ ORACLE_SQL = {
     "interpolated_events": INTERPOLATED_EVENTS_SQL,
     "event_type_runs": EVENT_TYPE_RUNS_SQL,
     "user_cohort_retention": USER_COHORT_RETENTION_SQL,
+    "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -719,3 +719,63 @@ def cohort_retention(ds: Dataset, entity_col: str, ts_col: str,
                          "n_users": pc.cast(t["n_users"], pa.int64())})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def apply_changes(base: Dataset, changes: Dataset, key_col: str,
+                  op_col: str = "op",
+                  num_buckets: int = 32) -> Dataset:
+    """MERGE / CDC-apply: fold a changeset into a snapshot. Each change
+    row carries ``op_col`` ∈ {'I', 'U', 'D'} — 'I'/'U' upsert the
+    change row's columns for that key (insert-if-absent and update
+    share a code path), 'D' drops the key. Base rows whose key has no
+    change pass through bit-safe. The inverse of ``snapshot_diff``:
+    ``apply_changes(old, diff-as-changes) == new``.
+
+    Tagged union, ONE bucketed exchange, searchsorted key alignment
+    per bucket — no driver materialization. Keys must be unique within
+    each input (at most one change per key; duplicates raise)."""
+    base_cols = [c for c in base.schema().names]
+    if key_col not in base_cols:
+        raise ValueError(f"{key_col!r} not in base schema")
+
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            if side == 0:
+                tbl = tbl.select(base_cols)
+                opv = pa.nulls(len(tbl), pa.string())
+            else:
+                opv = tbl[op_col]
+                if isinstance(opv, pa.ChunkedArray):
+                    opv = opv.combine_chunks()
+                opv = opv.cast(pa.string())
+                tbl = tbl.select(base_cols)
+            return tbl.append_column("__op", opv).append_column(
+                "__side", pa.array(np.full(len(tbl), side, dtype=np.int8)))
+        return fn
+
+    tagged = base.map_batches(tag(0), batch_format="pyarrow").union(
+        changes.map_batches(tag(1), batch_format="pyarrow"))
+
+    def apply_fn(tbl: pa.Table) -> pa.Table:
+        side = tbl["__side"].to_numpy(zero_copy_only=False)
+        bt = tbl.filter(pa.array(side == 0))
+        ct = tbl.filter(pa.array(side == 1))
+        ck = ct[key_col].to_numpy(zero_copy_only=False)
+        ci = np.argsort(ck, kind="stable")
+        ck = ck[ci]
+        if len(ck) > 1 and (ck[1:] == ck[:-1]).any():
+            raise ValueError("duplicate change rows for a key")
+        ct = ct.take(pa.array(ci))
+        bk = bt[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ck, bk)
+        changed = np.zeros(len(bk), dtype=bool)
+        valid = pos < len(ck)
+        changed[valid] = ck[pos[valid]] == bk[valid]
+        keep_base = bt.filter(pa.array(~changed)).select(base_cols)
+        ops = ct["__op"].to_numpy(zero_copy_only=False)
+        keep_change = ct.filter(pa.array(ops != "D")).select(base_cols)
+        return pa.concat_tables([keep_base, keep_change])
+
+    from .window import bucketed_apply
+    return bucketed_apply(tagged, key_col, apply_fn, num_buckets,
+                          drop_bucket=False)

@@ -745,3 +745,28 @@ def test_cohort_retention_hand_computed(ray_session):
     assert got2 == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
     with pytest.raises(ValueError):
         cohort_retention(ds2, "u", "ts", freq="week")
+
+
+def test_apply_changes_merge_semantics(ray_session):
+    from feature_extraction_ray.stages.relational import apply_changes
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5]),
+        "v": pa.array(["a", "b", "c", "d", "e"]),
+        "x": pa.array([1.5, 2.5, 3.5, 4.5, 5.5])}))
+    ch = rd.from_arrow(pa.table({
+        "k": pa.array([2, 4, 6]),
+        "v": pa.array(["B", "d", "f"]),
+        "x": pa.array([-2.0, 4.5, 6.5]),
+        "op": pa.array(["U", "D", "I"])}))
+    out = apply_changes(base, ch, "k", num_buckets=3).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["k"].tolist() == [1, 2, 3, 5, 6]
+    assert out["v"].tolist() == ["a", "B", "c", "e", "f"]
+    assert out["x"].tolist() == [1.5, -2.0, 3.5, 5.5, 6.5]
+    # inverse property: applying snapshot_diff's changes recovers `new`
+    # (U for changed, D for removed, I for added)
+    dup = rd.from_arrow(pa.table({
+        "k": pa.array([2, 2]), "v": pa.array(["x", "y"]),
+        "x": pa.array([0.0, 0.0]), "op": pa.array(["U", "U"])}))
+    with pytest.raises(Exception):
+        apply_changes(base, dup, "k", num_buckets=1).materialize()
