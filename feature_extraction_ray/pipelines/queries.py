@@ -3902,6 +3902,91 @@ WHERE coalesce(c.op, 'X') <> 'D'
 """
 
 
+def incremental_type_sums(sf_dir: str) -> Dataset:
+    """Incremental aggregate maintenance
+    (``groupstats.update_grouped_sums``): a per-type cents-sum/count
+    state is delta-updated from a deterministic changeset (retract
+    event_id%5 rows, insert %3 rows at +50 cents) — the oracle
+    RECOMPUTES the aggregate from the post-change multiset, so the
+    strict match proves delta maintenance ≡ full recompute. Exact
+    int64 throughout."""
+    from ray.data.aggregate import Sum
+    from ..stages.groupstats import update_grouped_sums
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "cents": c})
+
+    cents = ds.map_batches(to_cents, batch_format="pyarrow")
+
+    # base state (sum + count) via map-side partials, one tiny groupby
+    def state_partial(t: pa.Table) -> pa.Table:
+        g = t["event_type"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        de = g.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        k = len(de.dictionary)
+        return pa.table({
+            "event_type": de.dictionary,
+            "sum_v": pa.array(np.bincount(
+                codes, weights=v.astype(np.float64),
+                minlength=k).astype(np.int64)),
+            "n": pa.array(np.bincount(
+                codes, minlength=k).astype(np.int64))})
+
+    state = cents.map_batches(state_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("sum_v", alias_name="sum_v"),
+                                         Sum("n", alias_name="n"))
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        dmask = ids % 5 == 0
+        if dmask.any():
+            td = t.filter(pa.array(dmask))
+            parts.append(pa.table({
+                "event_type": td["event_type"], "cents": td["cents"],
+                "op": pa.array(["D"] * len(td))}))
+        imask = ids % 3 == 0
+        if imask.any():
+            ti = t.filter(pa.array(imask))
+            parts.append(pa.table({
+                "event_type": ti["event_type"],
+                "cents": pc.add(ti["cents"],
+                                pa.scalar(50, type=pa.int64())),
+                "op": pa.array(["I"] * len(ti))}))
+        if not parts:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "cents": pa.array([], type=pa.int64()),
+                "op": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    changes = cents.map_batches(mk_changes, batch_format="pyarrow")
+    return update_grouped_sums(state, changes, "event_type", "cents")
+
+
+INCREMENTAL_TYPE_SUMS_SQL = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), modified AS (
+  SELECT event_type, cents FROM e WHERE event_id % 5 <> 0
+  UNION ALL
+  SELECT event_type, cents + 50 FROM e WHERE event_id % 3 = 0
+)
+SELECT event_type, CAST(sum(cents) AS BIGINT) AS sum_v,
+       CAST(count(*) AS BIGINT) AS n
+FROM modified GROUP BY 1
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4272,6 +4357,7 @@ QUERIES = {
     "event_type_runs": event_type_runs,
     "user_cohort_retention": user_cohort_retention,
     "orders_apply_changes": orders_apply_changes,
+    "incremental_type_sums": incremental_type_sums,
 }
 
 ORACLE_SQL = {
@@ -4386,6 +4472,7 @@ ORACLE_SQL = {
     "event_type_runs": EVENT_TYPE_RUNS_SQL,
     "user_cohort_retention": USER_COHORT_RETENTION_SQL,
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
+    "incremental_type_sums": INCREMENTAL_TYPE_SUMS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

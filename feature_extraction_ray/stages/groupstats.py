@@ -949,3 +949,50 @@ def impute_by_group(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(ds, group_col, per_bucket, num_buckets,
                           drop_bucket=True)
+
+
+def update_grouped_sums(state: Dataset, changes: Dataset, group_col: str,
+                        value_col: str, op_col: str = "op",
+                        sum_col: str = "sum_v",
+                        cnt_col: str = "n") -> Dataset:
+    """Incremental aggregate maintenance: given a materialized grouped
+    sum/count state and an insert/delete changeset ('I' adds the row's
+    value, 'D' retracts it; model an update as D+I), produce the new
+    state WITHOUT touching the base data — the delta-view-maintenance
+    primitive that makes a 100-TB rollup refreshable from a day's
+    changes. Per-batch signed partials (dictionary-encode + two
+    bincounts, no Python loops) union with the old state into ONE tiny
+    ``groupby().sum()`` over #groups-sized rows; groups whose count
+    reaches zero drop out. Exact over integer value columns."""
+    from ray.data.aggregate import Sum
+
+    def delta(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        de = g.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ops = t[op_col].to_numpy(zero_copy_only=False)
+        sign = np.where(ops == "D", -1, 1).astype(np.int64)
+        k = len(de.dictionary)
+        dsum = np.bincount(codes, weights=(sign * v).astype(np.float64),
+                           minlength=k).astype(np.int64)
+        dcnt = np.bincount(codes, weights=sign.astype(np.float64),
+                           minlength=k).astype(np.int64)
+        return pa.table({group_col: de.dictionary,
+                         sum_col: pa.array(dsum),
+                         cnt_col: pa.array(dcnt)})
+
+    unioned = state.select_columns([group_col, sum_col, cnt_col]).union(
+        changes.map_batches(delta, batch_format="pyarrow"))
+    out = unioned.groupby(group_col).aggregate(
+        Sum(sum_col, alias_name=sum_col), Sum(cnt_col, alias_name=cnt_col))
+
+    def drop_empty(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t[cnt_col], 0))
+        return pa.table({group_col: t[group_col],
+                         sum_col: pc.cast(t[sum_col], pa.int64()),
+                         cnt_col: pc.cast(t[cnt_col], pa.int64())})
+
+    return out.map_batches(drop_empty, batch_format="pyarrow")

@@ -770,3 +770,23 @@ def test_apply_changes_merge_semantics(ray_session):
         "x": pa.array([0.0, 0.0]), "op": pa.array(["U", "U"])}))
     with pytest.raises(Exception):
         apply_changes(base, dup, "k", num_buckets=1).materialize()
+
+
+def test_update_grouped_sums_delta_equals_recompute(ray_session):
+    from feature_extraction_ray.stages.groupstats import (
+        update_grouped_sums)
+    state = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "b", "c"]),
+        "sum_v": pa.array([10, 7, 3], type=pa.int64()),
+        "n": pa.array([2, 3, 1], type=pa.int64())}))
+    # retract c entirely (group vanishes), retract 4 from a, insert
+    # into b and a brand-new group d
+    ch = rd.from_arrow(pa.table({
+        "g": pa.array(["c", "a", "b", "d"]),
+        "v": pa.array([3, 4, 5, 9], type=pa.int64()),
+        "op": pa.array(["D", "D", "I", "I"])}))
+    out = update_grouped_sums(state, ch, "g", "v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert out["g"].tolist() == ["a", "b", "d"]
+    assert out["sum_v"].tolist() == [6, 12, 9]
+    assert out["n"].tolist() == [1, 4, 1]
