@@ -3987,6 +3987,47 @@ FROM modified GROUP BY 1
 """
 
 
+def drawdown_events(sf_dir: str) -> Dataset:
+    """Running-peak deficit per user (``window.drawdown``): drawdown =
+    running-max(cumulative cents) − cumulative cents, exact int64 via
+    the segmented doubling-scan running max — window-function SQL twin
+    compares strictly equal."""
+    from ..stages.window import drawdown
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # signed series: spend-like negative leg keeps the peak moving
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        c = pc.subtract(c, pa.scalar(5000, type=pa.int64()))
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow")
+    out = drawdown(ds, "user_id", ["ts", "event_id"], "cents")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "drawdown"]),
+        batch_format="pyarrow")
+
+
+DRAWDOWN_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) - 5000 AS cents
+  FROM events
+), p AS (
+  SELECT event_id, user_id, ts,
+         CAST(sum(cents) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS bal
+  FROM x
+)
+SELECT event_id, user_id,
+       max(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) - bal AS drawdown
+FROM p
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4358,6 +4399,7 @@ QUERIES = {
     "user_cohort_retention": user_cohort_retention,
     "orders_apply_changes": orders_apply_changes,
     "incremental_type_sums": incremental_type_sums,
+    "drawdown_events": drawdown_events,
 }
 
 ORACLE_SQL = {
@@ -4473,6 +4515,7 @@ ORACLE_SQL = {
     "user_cohort_retention": USER_COHORT_RETENTION_SQL,
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "incremental_type_sums": INCREMENTAL_TYPE_SUMS_SQL,
+    "drawdown_events": DRAWDOWN_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -755,3 +755,40 @@ def rle_runs(ds: Dataset, entity_col: str, order_cols: Sequence[str],
 
     return bucketed_apply(ds, entity_col, fn, num_buckets,
                           drop_bucket=False)
+
+
+def drawdown(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+             value_col: str, out_col: str = "drawdown",
+             num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Per-entity running-peak deficit: with balance ``Pᵢ = Σ_{j≤i} xⱼ``
+    the drawdown is ``max_{j≤i} Pⱼ − Pᵢ`` — the classic
+    risk/feature-engineering measure of how far below its historical
+    peak a cumulative series sits. Exact int64 over integer values
+    (pre-scale decimals to cents). Segmented running max via the same
+    Hillis–Steele doubling scan as ``cusum``; ONE bucketed exchange."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(out_col,
+                                     pa.array([], type=pa.int64()))
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        d = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        cs = np.cumsum(d)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        P = cs - base[run_id]                   # per-run balances
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        max_pos = int(pos.max())
+        pm = P.copy()                           # segmented running max
+        step = 1
+        while step <= max_pos:
+            idx = np.flatnonzero(pos >= step)
+            pm[idx] = np.maximum(pm[idx], pm[idx - step])
+            step *= 2
+        return tbl.append_column(out_col, pa.array(pm - P))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

@@ -790,3 +790,23 @@ def test_update_grouped_sums_delta_equals_recompute(ray_session):
     assert out["g"].tolist() == ["a", "b", "d"]
     assert out["sum_v"].tolist() == [6, 12, 9]
     assert out["n"].tolist() == [1, 4, 1]
+
+
+def test_drawdown_matches_recursive_definition(ray_session):
+    from feature_extraction_ray.stages.window import drawdown
+    rng = np.random.default_rng(41)
+    n = 800
+    u = rng.integers(0, 11, n)
+    o = rng.permutation(n)
+    v = rng.integers(-60, 60, n)
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "o": pa.array(o),
+                                 "v": pa.array(v)}))
+    out = _table(drawdown(ds, "u", ["o"], "v", num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    bal, peak = {}, {}
+    for r in rows:
+        b = bal.get(r["u"], 0) + r["v"]
+        bal[r["u"]] = b
+        p = max(peak.get(r["u"], -10**18), b)
+        peak[r["u"]] = p
+        assert r["drawdown"] == p - b, r
