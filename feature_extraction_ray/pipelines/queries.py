@@ -4028,6 +4028,43 @@ FROM p
 """
 
 
+def orders_zorder_keys(sf_dir: str) -> Dataset:
+    """Morton / Z-order layout keys over (custkey, order epoch-day)
+    (``partition.zorder_key``): the data-layout primitive that makes
+    multi-column range predicates prune files at 100-TB scale — pure
+    per-batch bit math, zero shuffles. The oracle executes the
+    IDENTICAL generated bit-interleave expression."""
+    from ..stages.partition import zorder_key
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, type=pa.int64()))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "ck": t["o_custkey"], "day": day})
+
+    out = zorder_key(ds.map_batches(prep, batch_format="pyarrow"),
+                     ["ck", "day"], bits=16)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "zkey"]),
+        batch_format="pyarrow")
+
+
+def _orders_zorder_sql() -> str:
+    from ..stages.partition import zorder_sql_expr
+    return f"""
+WITH x AS (
+  SELECT o_orderkey, o_custkey AS ck,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST({zorder_sql_expr(['ck', 'day'], 16)} AS BIGINT) AS zkey
+FROM x
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4400,6 +4437,7 @@ QUERIES = {
     "orders_apply_changes": orders_apply_changes,
     "incremental_type_sums": incremental_type_sums,
     "drawdown_events": drawdown_events,
+    "orders_zorder_keys": orders_zorder_keys,
 }
 
 ORACLE_SQL = {
@@ -4516,6 +4554,7 @@ ORACLE_SQL = {
     "orders_apply_changes": ORDERS_APPLY_CHANGES_SQL,
     "incremental_type_sums": INCREMENTAL_TYPE_SUMS_SQL,
     "drawdown_events": DRAWDOWN_EVENTS_SQL,
+    "orders_zorder_keys": _orders_zorder_sql(),
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

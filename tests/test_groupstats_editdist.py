@@ -810,3 +810,43 @@ def test_drawdown_matches_recursive_definition(ray_session):
         p = max(peak.get(r["u"], -10**18), b)
         peak[r["u"]] = p
         assert r["drawdown"] == p - b, r
+
+
+def test_zorder_key_interleave_and_locality(ray_session):
+    from feature_extraction_ray.stages.partition import (zorder_key,
+                                                         zorder_sql_expr)
+    # hand-checked interleave: x=0b101, y=0b011 -> z = x bits at even
+    # positions, y at odd: 0b010111? compute: x0=1@0,y0=1@1,x1=0@2,
+    # y1=1@3,x2=1@4,y2=0@5 -> 0b011011 = 27... verify both engines
+    ds = rd.from_arrow(pa.table({"x": pa.array([5, 0, 7]),
+                                 "y": pa.array([3, 0, 7])}))
+    out = zorder_key(ds, ["x", "y"], bits=3).to_pandas()
+    assert out["zkey"].tolist() == [0b011011, 0, 0b111111]
+    import duckdb
+    expr = zorder_sql_expr(["x", "y"], 3)
+    exp = duckdb.sql(
+        f"SELECT {expr} AS z FROM (VALUES (5,3),(0,0),(7,7)) t(x,y)"
+    ).df()["z"].tolist()
+    assert out["zkey"].tolist() == exp
+    # out-of-range raises
+    bad = rd.from_arrow(pa.table({"x": pa.array([8]), "y": pa.array([0])}))
+    with pytest.raises(Exception):
+        zorder_key(bad, ["x", "y"], bits=3).materialize()
+    with pytest.raises(ValueError):
+        zorder_key(ds, ["x", "y", "x", "y"], bits=16)
+    # locality: z-sorted chunks have tighter 2-D bounding boxes
+    rng = np.random.default_rng(3)
+    n = 4000
+    xy = pa.table({"x": pa.array(rng.integers(0, 1 << 10, n)),
+                   "y": pa.array(rng.integers(0, 1 << 10, n))})
+    z = zorder_key(rd.from_arrow(xy), ["x", "y"], bits=10).to_pandas()
+
+    def area(df):
+        tot = 0
+        for i in range(0, len(df), 100):
+            c = df.iloc[i:i + 100]
+            tot += (c["x"].max() - c["x"].min()) * \
+                (c["y"].max() - c["y"].min())
+        return tot
+    assert area(z.sort_values("zkey").reset_index(drop=True)) < \
+        area(z) / 5
