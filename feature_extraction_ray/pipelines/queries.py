@@ -4065,6 +4065,19 @@ FROM x
 """
 
 
+def kmeans_embeddings(sf_dir: str) -> Dataset:
+    """Fully distributed Lloyd's k-means over the embeddings table
+    (``similarity.kmeans_fit`` + ``kmeans_assign``): per-iteration
+    broadcast centroids + one streaming partial-sums pass, zero
+    shuffles per iteration. Iterative float clustering — non-SQL-
+    expressible, rows-only driver check; equivalence vs a
+    single-process Lloyd reference is pytest-verified."""
+    from ..stages.similarity import kmeans_fit, kmeans_assign
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = kmeans_fit(ds, k=8, iters=5)
+    return kmeans_assign(ds, model)
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4438,6 +4451,7 @@ QUERIES = {
     "incremental_type_sums": incremental_type_sums,
     "drawdown_events": drawdown_events,
     "orders_zorder_keys": orders_zorder_keys,
+    "kmeans_embeddings": kmeans_embeddings,
 }
 
 ORACLE_SQL = {

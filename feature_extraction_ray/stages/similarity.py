@@ -650,3 +650,111 @@ def query_ivf_index(path: str, query_vecs: np.ndarray, k: int = 10,
     sub = sub.map_batches(recover_cell, batch_format="pyarrow")
     return _probed_topk(sub, q, [row.tolist() for row in qcells], k,
                         vec_col, id_col, "__ivf_cell", merge, concurrency)
+
+
+def kmeans_fit(ds: Dataset, k: int, vec_col: str = "embedding",
+               id_col: str = "vec_id", iters: int = 10,
+               sample_size: int = 2048, seed: int = 23,
+               normalize: bool = True) -> dict:
+    """FULLY DISTRIBUTED Lloyd's k-means over an embedding column: the
+    textbook Ray-Data iterative pattern. Init is the seeded
+    farthest-point pick of ``_kmeans_lite`` on a bounded sample; each
+    iteration then BROADCASTS the centroids (``ray.put`` once) and runs
+    ONE streaming ``map_batches`` pass where every batch emits a
+    k×(d+1) partial (per-cluster vector sums via ``np.add.at`` +
+    counts) — zero shuffles per iteration, driver traffic is
+    #blocks·k·d floats, never the corpus. The init sample is sorted by
+    ``id_col`` (fully deterministic) and partials are merged on the
+    driver sorted by a per-batch key (min id), so run-to-run variation
+    is bounded by float-addition reordering across block boundaries
+    (≲1e-15 per step) — block layouts themselves are not stable across
+    Ray runs.
+
+    Returns ``{"centroids": (k, d) float64, "iters": n, "inertia":
+    final within-cluster cosine objective}``. Empty clusters keep their
+    previous centroid (standard Lloyd convention)."""
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    # deterministic init sample regardless of block order: a stable
+    # id-hash stride picks ~sample_size rows, then sort by id
+    n_total = proj.count()
+    stride = max(1, n_total // sample_size)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return t.filter(pa.array((h % np.uint64(stride)) == 0))
+
+    sample_rows = proj.map_batches(pick, batch_format="pyarrow") \
+        .to_pandas().sort_values(id_col, kind="stable") \
+        .reset_index(drop=True).head(sample_size)
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in sample_rows[vec_col]])
+    if normalize:
+        sample = _norm_rows(sample)
+    cent = _kmeans_lite(sample.astype(np.float32), k,
+                        iters=0, seed=seed).astype(np.float64)
+    k = len(cent)
+    d = cent.shape[1]
+
+    for it in range(iters):
+        ref = ray.put(cent)
+
+        def partial(tbl: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            m = _batch_matrix(tbl, vec_col).astype(np.float64)
+            if normalize:
+                m = _norm_rows(m)
+            assign = np.argmax(m @ c.T, axis=1)
+            sums = np.zeros((k, d))
+            np.add.at(sums, assign, m)
+            cnt = np.bincount(assign, minlength=k).astype(np.float64)
+            ids = tbl[id_col].to_numpy(zero_copy_only=False)
+            key = int(ids.min()) if len(ids) else -1
+            sim = (m * c[assign]).sum()
+            return pa.table({
+                "key": pa.array([key], type=pa.int64()),
+                "sums": pa.array([sums.ravel()]),
+                "cnt": pa.array([cnt]),
+                "sim": pa.array([float(sim)])})
+
+        parts = proj.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values("key").reset_index(drop=True)
+        tot = np.zeros(k * d)
+        cnt = np.zeros(k)
+        sim = 0.0
+        for _, r in parts.iterrows():
+            tot += np.asarray(r["sums"], dtype=np.float64)
+            cnt += np.asarray(r["cnt"], dtype=np.float64)
+            sim += float(r["sim"])
+        sums = tot.reshape(k, d)
+        nz = cnt > 0
+        cent = cent.copy()
+        cent[nz] = sums[nz] / cnt[nz, None]
+        if normalize:
+            cent[nz] = _norm_rows(cent[nz])
+    return {"centroids": cent, "iters": iters,
+            "inertia": float(sim), "normalize": normalize}
+
+
+def kmeans_assign(ds: Dataset, model: dict, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  out_col: str = "cluster") -> Dataset:
+    """Assign every vector to its nearest (cosine if the model was fit
+    normalized) centroid — broadcast centroids, one streaming pass."""
+    cent = np.asarray(model["centroids"], dtype=np.float64)
+    normalize = bool(model.get("normalize", True))
+    ref = ray.put(cent)
+    from .partition import broadcast_get
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        c = broadcast_get(ref)
+        m = _batch_matrix(tbl, vec_col).astype(np.float64)
+        if normalize:
+            m = _norm_rows(m)
+        assign = np.argmax(m @ c.T, axis=1)
+        return pa.table({id_col: tbl[id_col],
+                         out_col: pa.array(assign.astype(np.int64))})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

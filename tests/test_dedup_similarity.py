@@ -511,3 +511,32 @@ def test_star_pairing_clusters_planted_dups(docs):
                                             pairing="star").count()
     assert n_star < n_all
     assert n_star <= 29 * 4        # <= (n-1) per shard it appears in
+
+
+def test_kmeans_distributed_deterministic_and_matches_reference(ray_session):
+    import ray.data as rd
+    from feature_extraction_ray.stages.similarity import (
+        kmeans_fit, kmeans_assign, _kmeans_lite, _norm_rows)
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m1 = kmeans_fit(ds, k=5, iters=4)
+    m2 = kmeans_fit(ds, k=5, iters=4)
+    # deterministic init/sample; float sums may reorder across block
+    # boundaries (~1e-15)
+    assert np.abs(m1["centroids"] - m2["centroids"]).max() < 1e-12
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = _norm_rows(np.stack([np.asarray(v, dtype=np.float64)
+                             for v in df["embedding"]]))
+    cent = _kmeans_lite(X[:2048].astype(np.float32), 5,
+                        iters=0, seed=23).astype(np.float64)
+    for _ in range(4):
+        a = np.argmax(X @ cent.T, axis=1)
+        for j in range(5):
+            if (a == j).any():
+                cent[j] = X[a == j].mean(axis=0)
+        cent = _norm_rows(cent)
+    assert np.abs(cent - m1["centroids"]).max() < 1e-12
+    asg = kmeans_assign(ds, m1).to_pandas().sort_values("vec_id")
+    order = np.argsort(df["vec_id"].values, kind="stable")
+    ref_a = np.argmax(X @ m1["centroids"].T, axis=1)[order]
+    assert (asg["cluster"].values == ref_a).all()
+    assert len(np.unique(asg["cluster"])) >= 2
