@@ -871,6 +871,35 @@ GROUP BY CUBE(event_type, day)
 """
 
 
+def events_grouping_sets(sf_dir: str) -> Dataset:
+    """GROUP BY GROUPING SETS((event_type, day), (event_type), ()):
+    exactly the listed levels — same fused partial-aggregate exchange
+    as rollup/cube (``rollup_agg(mode="sets")``), skipping the day-only
+    marginal a CUBE would compute."""
+    from ..stages.relational import rollup_agg
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "value": t["value"]}),
+        batch_format="pyarrow")
+    out = rollup_agg(ds, ["event_type", "day"], "value",
+                     out_count="n_rows", out_sum="value_sum",
+                     mode="sets",
+                     sets=[("event_type", "day"), ("event_type",), ()])
+    return _round(out, {"value_sum": 4})
+
+
+EVENTS_GROUPING_SETS_SQL = """
+SELECT event_type, day, GROUPING(event_type, day) AS grouping,
+       count(*) AS n_rows, round(sum(value), 4) AS value_sum
+FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value
+      FROM events)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+"""
+
+
 def _asof_events_orders(sf_dir: str, broadcast: bool) -> Dataset:
     events = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
     orders = _read(sf_dir, "orders",
@@ -4452,6 +4481,7 @@ QUERIES = {
     "drawdown_events": drawdown_events,
     "orders_zorder_keys": orders_zorder_keys,
     "kmeans_embeddings": kmeans_embeddings,
+    "events_grouping_sets": events_grouping_sets,
 }
 
 ORACLE_SQL = {
@@ -4569,6 +4599,7 @@ ORACLE_SQL = {
     "incremental_type_sums": INCREMENTAL_TYPE_SUMS_SQL,
     "drawdown_events": DRAWDOWN_EVENTS_SQL,
     "orders_zorder_keys": _orders_zorder_sql(),
+    "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -212,10 +212,14 @@ def _sentinel_array(n: int, typ: pa.DataType) -> pa.Array:
 def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
                out_count: str = "n_rows",
                out_sum: str | None = None,
-               mode: str = "rollup") -> Dataset:
+               mode: str = "rollup",
+               sets: Sequence[Sequence[str]] | None = None) -> Dataset:
     """SQL ``GROUP BY ROLLUP(c1, .., ck)`` (``mode="rollup"``: every
-    prefix level — (c1..ck), (c1..ck-1), .., ()) or ``GROUP BY
-    CUBE(c1, .., ck)`` (``mode="cube"``: all 2^k column subsets):
+    prefix level — (c1..ck), (c1..ck-1), .., ()), ``GROUP BY
+    CUBE(c1, .., ck)`` (``mode="cube"``: all 2^k column subsets) or
+    ``GROUP BY GROUPING SETS(...)`` (``mode="sets"``: exactly the
+    subsets listed in ``sets`` — distinct; duplicate sets raise since
+    the merged exchange cannot emit a level twice):
     count + sum of ``value_col`` per level.
     Output columns: ``group_cols`` (rolled-up cells are NULL, as in SQL),
     ``grouping`` (the ``GROUPING(c1..ck)`` bitmask: bit j set when column
@@ -236,6 +240,20 @@ def rollup_agg(ds: Dataset, group_cols: Sequence[str], value_col: str,
         masks = [(1 << (k - lvl)) - 1 for lvl in range(k, -1, -1)]
     elif mode == "cube":
         masks = list(range(1 << k))
+    elif mode == "sets":
+        if not sets:
+            raise ValueError("mode='sets' needs a non-empty `sets`")
+        masks = []
+        for s in sets:
+            unknown = set(s) - set(gcols)
+            if unknown:
+                raise ValueError(f"unknown grouping-set columns "
+                                 f"{sorted(unknown)}")
+            masks.append(sum(1 << (k - 1 - j)
+                             for j, c in enumerate(gcols)
+                             if c not in set(s)))
+        if len(set(masks)) != len(masks):
+            raise ValueError("duplicate grouping sets")
     else:
         raise ValueError(f"unknown mode {mode!r}")
 

@@ -270,3 +270,27 @@ def test_overlapping_intervals_matches_naive(ray_session, num_buckets):
                  for i in range(n) for j in range(i + 1, n)
                  if ent[i] == ent[j] and s[j] <= e[i] and s[i] <= e[j])
     assert got == exp
+
+
+def test_rollup_agg_grouping_sets_guards(ray_session):
+    from feature_extraction_ray.stages.relational import rollup_agg
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y"]),
+        "b": pa.array(["1", "2", "1"]),
+        "v": pa.array([1.0, 2.0, 4.0])}))
+    out = rollup_agg(ds, ["a", "b"], "v", mode="sets",
+                     sets=[("a",), ()]).to_pandas()
+    # only the (a) level and the grand total — no (a,b) detail rows
+    assert sorted(out["grouping"].unique()) == [1, 3]
+    tot = out[out["grouping"] == 3]
+    assert len(tot) == 1 and tot["n_rows"].iloc[0] == 3 \
+        and tot["v_sum"].iloc[0] == 7.0
+    lvl = out[out["grouping"] == 1].set_index("a")
+    assert lvl.loc["x", "v_sum"] == 3.0 and lvl.loc["y", "v_sum"] == 4.0
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["a", "b"], "v", mode="sets",
+                   sets=[("a",), ("a",)])
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["a", "b"], "v", mode="sets", sets=[("zzz",)])
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["a", "b"], "v", mode="sets")
