@@ -4107,6 +4107,61 @@ def kmeans_embeddings(sf_dir: str) -> Dataset:
     return kmeans_assign(ds, model)
 
 
+def nb_source_scores(sf_dir: str) -> Dataset:
+    """Multinomial Naive Bayes source classification
+    (``text.fit_naive_bayes`` + ``naive_bayes_scores``): per-(label,
+    word) counts ride ONE two-key groupby exchange; scoring is a
+    broadcast + per-label bincount pass emitting the long-form
+    (doc, label) Laplace log-posterior table. The SQL twin spells the
+    identical smoothing expression; only per-doc term-sum order differs
+    (round-4 on irrational logs)."""
+    from ..stages.text import fit_naive_bayes, naive_bayes_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    model = fit_naive_bayes(ds, "source")
+    return _round(naive_bayes_scores(ds, model), {"nb_score": 4})
+
+
+NB_SOURCE_SCORES_SQL = """
+WITH s AS (
+  SELECT doc_id, source, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, source, unnest(ws) AS word FROM s
+), w2 AS (
+  SELECT doc_id, source, word FROM w WHERE word <> ''
+), vn AS (
+  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS V FROM w2
+), labels AS (
+  SELECT source AS label, CAST(count(*) AS DOUBLE) AS docs_l
+  FROM s GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(docs_l) AS DOUBLE) AS N FROM labels
+), cwl AS (
+  SELECT source AS label, word, CAST(count(*) AS DOUBLE) AS cnt
+  FROM w2 GROUP BY 1, 2
+), tot AS (
+  SELECT label, CAST(sum(cnt) AS DOUBLE) AS total_l FROM cwl GROUP BY 1
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf FROM w2 GROUP BY 1, 2
+), pairs AS (
+  SELECT t.doc_id, l.label, t.tf,
+         -- identical Laplace expression to the engine:
+         -- ln((cnt + 1.0) / (total_l + 1.0 * V))
+         ln((coalesce(c.cnt, 0.0) + 1.0)
+            / (tot.total_l + 1.0 * (SELECT V FROM vn))) AS lp
+  FROM tf t
+  CROSS JOIN labels l
+  JOIN tot ON tot.label = l.label
+  LEFT JOIN cwl c ON c.label = l.label AND c.word = t.word
+)
+SELECT p.doc_id, p.label,
+       round(ln(l.docs_l / (SELECT N FROM nn)) + sum(p.tf * p.lp), 4)
+           AS nb_score
+FROM pairs p JOIN labels l ON l.label = p.label
+GROUP BY p.doc_id, p.label, l.docs_l
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4482,6 +4537,7 @@ QUERIES = {
     "orders_zorder_keys": orders_zorder_keys,
     "kmeans_embeddings": kmeans_embeddings,
     "events_grouping_sets": events_grouping_sets,
+    "nb_source_scores": nb_source_scores,
 }
 
 ORACLE_SQL = {
@@ -4600,6 +4656,7 @@ ORACLE_SQL = {
     "drawdown_events": DRAWDOWN_EVENTS_SQL,
     "orders_zorder_keys": _orders_zorder_sql(),
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
+    "nb_source_scores": NB_SOURCE_SCORES_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -799,3 +799,166 @@ def bm25_scores(ds: Dataset, query_terms, k1: float = 1.2,
                          "bm25": pa.array(total)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (Laplace-smoothed) text classification
+# ---------------------------------------------------------------------------
+
+def fit_naive_bayes(ds: Dataset, label_col: str, text_col: str = "text",
+                    alpha: float = 1.0) -> dict:
+    """Fit a Laplace-smoothed multinomial Naive Bayes model: per-(label,
+    word) token counts + per-label doc counts ride ONE two-key groupby
+    exchange (per-batch partials are dictionary-encode + bincount, the
+    doc-count marker smuggled as the reserved empty-word row, exactly
+    the ``fit_document_frequencies`` trick). The driver materializes
+    the (labels × vocab) log-probability table — at corpus scale cap
+    the vocabulary first (``fit_document_frequencies(top_k=...)`` +
+    a filter) the way the TF-IDF and bigram fits do.
+
+    Returns ``{"labels", "word_index", "logp" (V × L), "oov" (L),
+    "prior" (L), "alpha"}`` with ``logp[w, l] = ln((cnt + α) /
+    (total_l + α·V))`` and ``prior[l] = ln(docs_l / N)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        lab = t[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab = lab.cast(pa.string())
+        has = n_real > 0
+        out_lab, out_word, out_cnt = [], [], []
+        if len(flat):
+            word_of = flat.dictionary_encode()
+            wcodes = word_of.indices.to_numpy(zero_copy_only=False)
+            lab_rep = lab.take(pa.array(np.repeat(
+                np.arange(len(n_real)), np.diff(offs))))
+            lde = lab_rep.dictionary_encode()
+            lcodes = lde.indices.to_numpy(zero_copy_only=False)
+            nw = len(word_of.dictionary)
+            packed = lcodes.astype(np.int64) * nw + wcodes
+            uniq, cnt = np.unique(packed, return_counts=True)
+            out_lab.append(lde.dictionary.take(
+                pa.array(uniq // nw)).cast(pa.string()))
+            out_word.append(word_of.dictionary.take(
+                pa.array(uniq % nw)).cast(pa.string()))
+            out_cnt.append(pa.array(cnt.astype(np.int64)))
+        # reserved empty-word marker: per-label doc counts
+        if has.any():
+            mlab = lab.filter(pa.array(has))
+            mde = mlab.dictionary_encode()
+            mc = np.bincount(mde.indices.to_numpy(zero_copy_only=False),
+                             minlength=len(mde.dictionary))
+            out_lab.append(mde.dictionary.cast(pa.string()))
+            out_word.append(pa.array([""] * len(mde.dictionary)))
+            out_cnt.append(pa.array(mc.astype(np.int64)))
+        if not out_lab:
+            return pa.table({label_col: pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({
+            label_col: pa.concat_arrays([a.combine_chunks()
+                                         if isinstance(a, pa.ChunkedArray)
+                                         else a for a in out_lab]),
+            "word": pa.concat_arrays([a.combine_chunks()
+                                      if isinstance(a, pa.ChunkedArray)
+                                      else a for a in out_word]),
+            "cnt": pa.concat_arrays([a.combine_chunks()
+                                     if isinstance(a, pa.ChunkedArray)
+                                     else a for a in out_cnt])})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([label_col, "word"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    markers = counts[counts["word"] == ""]
+    counts = counts[counts["word"] != ""]
+    labels = sorted(markers[label_col])
+    lidx = {l: i for i, l in enumerate(labels)}
+    docs_l = np.zeros(len(labels))
+    for _, r in markers.iterrows():
+        docs_l[lidx[r[label_col]]] = float(r["cnt"])
+    n_docs = float(docs_l.sum())
+    vocab = sorted(counts["word"].unique())
+    widx = {w: i for i, w in enumerate(vocab)}
+    V = float(len(vocab))
+    cnt_wl = np.zeros((len(vocab), len(labels)))
+    cnt_wl[[widx[w] for w in counts["word"]],
+           [lidx[l] for l in counts[label_col]]] = \
+        counts["cnt"].to_numpy(dtype=np.float64)
+    total_l = cnt_wl.sum(axis=0)
+    logp = np.log((cnt_wl + alpha) / (total_l + alpha * V))
+    oov = np.log(alpha / (total_l + alpha * V))
+    prior = np.log(docs_l / n_docs)
+    return {"labels": labels, "word_index": widx, "logp": logp,
+            "oov": oov, "prior": prior, "alpha": alpha}
+
+
+def naive_bayes_scores(ds: Dataset, model: dict,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> Dataset:
+    """Score every document against every label under a fitted NB
+    model: one long-form row per (doc, label) with the Laplace
+    log-posterior ``prior_l + Σ_w tf_w · ln P(w|l)`` (OOV words hit the
+    smoothed floor). Broadcast model, vectorized per batch: tf per
+    (doc, unique-word) via the sorted-runs trick, per-label scores are
+    one ``bincount(doc, weights=tf·logp)`` each. Empty docs emit no
+    rows."""
+    ref = ray.put(model)
+    from .partition import broadcast_get
+
+    def score(tbl: pa.Table) -> pa.Table:
+        m = broadcast_get(ref)
+        labels, widx = m["labels"], m["word_index"]
+        logp, oov, prior = m["logp"], m["oov"], m["prior"]
+        flat, _fl, offsets, real, n_real = _split_flat(tbl[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        keep = n_real > 0
+        ids = tbl[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        L = len(labels)
+        empty = pa.table({
+            id_col: ids.slice(0, 0),
+            "label": pa.array([], type=pa.string()),
+            "nb_score": pa.array([], type=pa.float64())})
+        if not keep.any() or len(flat) == 0:
+            return empty
+        nb = len(n_real)
+        de = flat.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(nb), np.diff(offs))
+        order = np.lexsort((codes, doc_of))
+        c, d = codes[order], doc_of[order]
+        new = np.r_[True, (c[1:] != c[:-1]) | (d[1:] != d[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(c)]).astype(np.float64)
+        uw = de.dictionary.to_pylist()
+        rowidx = np.array([widx.get(w, -1) for w in uw], dtype=np.int64)
+        pair_w = rowidx[c[starts]]          # vocab row (or -1 OOV)
+        pair_d = d[starts]
+        scores = np.empty((nb, L))
+        for j in range(L):
+            lp = np.where(pair_w >= 0,
+                          logp[np.maximum(pair_w, 0), j], oov[j])
+            scores[:, j] = prior[j] + np.bincount(
+                pair_d, weights=tf * lp, minlength=nb)
+        kidx = np.flatnonzero(keep)
+        out_ids = ids.take(pa.array(np.repeat(kidx, L)))
+        return pa.table({
+            id_col: out_ids,
+            "label": pa.array(np.tile(np.array(labels, dtype=object),
+                                      len(kidx)), type=pa.string()),
+            "nb_score": pa.array(scores[kidx].ravel())})
+
+    return ds.map_batches(score, batch_format="pyarrow")

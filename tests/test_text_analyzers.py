@@ -288,3 +288,44 @@ def test_bm25_hand_computed(ray_session):
         term(idf_a, 2, 3) + term(idf_b, 1, 3), abs=1e-12)
     assert out[1]["bm25"] == 0.0          # no query term -> exactly 0
     assert out[2]["bm25"] == pytest.approx(term(idf_b, 1, 1), abs=1e-12)
+
+
+def test_naive_bayes_hand_computed(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import (fit_naive_bayes,
+                                                    naive_bayes_scores)
+    # label A: "a a b" ; label B: "b b" + empty doc (dropped)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2]),
+        "lab": pa.array(["A", "B", "B"]),
+        "text": pa.array(["a a b", "b b", "  "])}))
+    m = fit_naive_bayes(ds, "lab")
+    # V=2, totals: A=3, B=2; priors: A=1/2, B=1/2 (doc 2 empty ->
+    # only 2 docs counted)
+    assert m["labels"] == ["A", "B"]
+    V = 2.0
+    lpA = {"a": math.log((2 + 1.0) / (3 + 1.0 * V)),
+           "b": math.log((1 + 1.0) / (3 + 1.0 * V))}
+    lpB = {"a": math.log((0 + 1.0) / (2 + 1.0 * V)),
+           "b": math.log((2 + 1.0) / (2 + 1.0 * V))}
+    out = {(r["doc_id"], r["label"]): r["nb_score"]
+           for r in naive_bayes_scores(ds, m).take_all()}
+    assert len(out) == 4                      # 2 scored docs x 2 labels
+    pri = math.log(1.0 / 2.0)
+    assert out[(0, "A")] == pytest.approx(
+        pri + 2 * lpA["a"] + lpA["b"], abs=1e-12)
+    assert out[(0, "B")] == pytest.approx(
+        pri + 2 * lpB["a"] + lpB["b"], abs=1e-12)
+    assert out[(1, "B")] == pytest.approx(pri + 2 * lpB["b"], abs=1e-12)
+    # classification sanity: each doc prefers its own label
+    assert out[(0, "A")] > out[(0, "B")]
+    assert out[(1, "B")] > out[(1, "A")]
+    # OOV floor: scoring a doc with an unseen word uses ln(1/(tot+V))
+    ds2 = rd.from_arrow(pa.table({"doc_id": pa.array([9]),
+                                  "text": pa.array(["zzz"])}))
+    out2 = {r["label"]: r["nb_score"]
+            for r in naive_bayes_scores(ds2, m).take_all()}
+    assert out2["A"] == pytest.approx(
+        pri + math.log(1.0 / (3 + V)), abs=1e-12)
