@@ -758,3 +758,55 @@ def kmeans_assign(ds: Dataset, model: dict, vec_col: str = "embedding",
                          out_col: pa.array(assign.astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def knn_mmr(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
+            fetch_k: int = 50, lam: float = 0.5,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            dtype=np.float64) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k (Carbonell &
+    Goldstein 1998): fetch each query's exact cosine top-``fetch_k``
+    with :func:`knn_bruteforce` (distributed — candidates never exceed
+    queries × fetch_k rows), pull ONLY the candidate vectors via a
+    broadcast semi-join, then greedily select k results maximizing
+    ``λ·sim(q, d) − (1−λ)·max_{s∈selected} sim(d, s)`` per query
+    (vectorized: one running max over candidate×candidate sims).
+    ``λ=1`` degenerates to plain top-k (ties → smaller vec_id, matching
+    ``knn_bruteforce``). Returns (query_id, vec_id, score, mmr, rank)."""
+    cand = knn_bruteforce(ds, query_vecs, k=fetch_k, vec_col=vec_col,
+                          id_col=id_col, dtype=dtype)
+    need = pa.array(np.unique(cand["vec_id"].to_numpy()))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return t.filter(_pc.is_in(t[id_col], value_set=need)) \
+            .select([id_col, vec_col])
+
+    vec_rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    vid = vec_rows[id_col].to_numpy()
+    V = _norm_rows(np.stack([np.asarray(v, dtype=dtype)
+                             for v in vec_rows[vec_col]]))
+    row_of = {int(i): j for j, i in enumerate(vid)}
+    q = _norm_rows(np.asarray(query_vecs, dtype=dtype))
+    out = []
+    for qi, grp in cand.groupby("query_id", sort=True):
+        ids = grp["vec_id"].to_numpy()
+        rel = grp["score"].to_numpy(dtype=np.float64)
+        C = V[[row_of[int(i)] for i in ids]]
+        sims = C @ C.T                       # candidate×candidate
+        chosen: list[int] = []
+        max_sim = np.full(len(ids), -np.inf)
+        alive = np.ones(len(ids), dtype=bool)
+        for r in range(min(k, len(ids))):
+            pen = np.where(np.isfinite(max_sim), max_sim, 0.0)
+            mmr = lam * rel - (1.0 - lam) * pen
+            mmr_m = np.where(alive, mmr, -np.inf)
+            # deterministic: best mmr, ties -> better rel, then lower id
+            best = np.lexsort((ids, -rel, -mmr_m))[0]
+            chosen.append(best)
+            alive[best] = False
+            max_sim = np.maximum(max_sim, sims[:, best])
+            out.append((qi, int(ids[best]), float(rel[best]),
+                        float(mmr_m[best]), r + 1))
+    return pd.DataFrame(out, columns=["query_id", "vec_id", "score",
+                                      "mmr", "rank"])

@@ -540,3 +540,37 @@ def test_kmeans_distributed_deterministic_and_matches_reference(ray_session):
     ref_a = np.argmax(X @ m1["centroids"].T, axis=1)[order]
     assert (asg["cluster"].values == ref_a).all()
     assert len(np.unique(asg["cluster"])) >= 2
+
+
+def test_knn_mmr_diversifies_and_degenerates(ray_session):
+    import ray.data as rd
+    from feature_extraction_ray.stages.similarity import (knn_mmr,
+                                                          knn_bruteforce)
+    # corpus: two tight clusters near the query + one moderately
+    # relevant outlier; plain top-3 takes the near-duplicates, MMR at
+    # lam=0.5 swaps one duplicate for the diverse outlier
+    vecs = [[0.9, 0.3], [0.89, 0.31], [0.91, 0.29],     # cluster A
+            [0.8, -0.6]]                                 # diverse
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3]),
+        "embedding": pa.array(vecs)}))
+    q = np.array([[1.0, 0.0]])
+    plain = knn_bruteforce(ds, q, k=3, dtype=np.float64)
+    assert sorted(plain["vec_id"].tolist()) == [0, 1, 2]
+    mmr = knn_mmr(ds, q, k=3, fetch_k=4, lam=0.5, dtype=np.float64)
+    assert 3 in mmr["vec_id"].tolist()          # outlier selected
+    assert mmr["rank"].tolist() == [1, 2, 3]
+    assert mmr["vec_id"].iloc[0] == 2           # most relevant first
+    assert mmr["vec_id"].iloc[1] == 3           # diversity beats dups
+    # lam=1 == plain top-k order
+    mmr1 = knn_mmr(ds, q, k=3, fetch_k=4, lam=1.0, dtype=np.float64)
+    assert mmr1["vec_id"].tolist() == plain.sort_values("rank")[
+        "vec_id"].tolist()
+    # determinism on real data
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = np.stack([np.asarray(v, dtype=np.float64) for v in
+                   emb.limit(3).to_pandas()["embedding"]])
+    a = knn_mmr(emb, qv, k=5, fetch_k=20, lam=0.7)
+    b = knn_mmr(emb, qv, k=5, fetch_k=20, lam=0.7)
+    assert a.equals(b)
+    assert (a.groupby("query_id").size() == 5).all()
