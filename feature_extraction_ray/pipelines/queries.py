@@ -4162,6 +4162,20 @@ GROUP BY p.doc_id, p.label, l.docs_l
 """
 
 
+def knn_embeddings_mmr(sf_dir: str):
+    """MMR-diversified top-k (``similarity.knn_mmr``): exact
+    distributed top-fetch_k candidates, then per-query greedy
+    maximal-marginal-relevance selection (λ=0.7). Iterative greedy
+    float selection — non-SQL-expressible, rows-only check; λ=1 ≡
+    brute-force equivalence is pytest-verified."""
+    import numpy as np
+    from ..stages.similarity import knn_mmr
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qv = np.stack([np.asarray(v, dtype=np.float64) for v in
+                   ds.limit(8).to_pandas()["embedding"]])
+    return knn_mmr(ds, qv, k=5, fetch_k=25, lam=0.7)
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4538,6 +4552,7 @@ QUERIES = {
     "kmeans_embeddings": kmeans_embeddings,
     "events_grouping_sets": events_grouping_sets,
     "nb_source_scores": nb_source_scores,
+    "knn_embeddings_mmr": knn_embeddings_mmr,
 }
 
 ORACLE_SQL = {
