@@ -4176,6 +4176,49 @@ def knn_embeddings_mmr(sf_dir: str):
     return knn_mmr(ds, qv, k=5, fetch_k=25, lam=0.7)
 
 
+def doc_ppmi_pairs(sf_dir: str) -> Dataset:
+    """PPMI skip-gram co-occurrence table (``text.ppmi_cooccurrence``,
+    window=2): one two-key groupby exchange of packed-pair partials;
+    marginals + PPMI over the aggregated vocab²-bounded table. The SQL
+    twin is a positional self-join with the identical IEEE PPMI
+    expression (round-4 on irrational logs)."""
+    from ..stages.text import ppmi_cooccurrence
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _round(ppmi_cooccurrence(ds, window=2), {"ppmi": 4})
+
+
+DOC_PPMI_PAIRS_SQL = """
+WITH s AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, unnest(ws) AS word,
+         generate_subscripts(ws, 1) AS raword
+  FROM s
+), toks AS (
+  SELECT doc_id, word,
+         row_number() OVER (PARTITION BY doc_id ORDER BY raword) AS ord
+  FROM w WHERE word <> ''
+), pairs AS (
+  SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS cooc
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.ord - a.ord BETWEEN 1 AND 2
+  GROUP BY 1, 2
+), na AS (
+  SELECT w1, CAST(sum(cooc) AS DOUBLE) AS na FROM pairs GROUP BY 1
+), nb AS (
+  SELECT w2, CAST(sum(cooc) AS DOUBLE) AS nb FROM pairs GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(cooc) AS DOUBLE) AS N FROM pairs
+)
+SELECT p.w1, p.w2, p.cooc,
+       round(greatest(0.0,
+             ln((CAST(p.cooc AS DOUBLE) * (SELECT N FROM nn))
+                / (na.na * nb.nb))), 4) AS ppmi
+FROM pairs p JOIN na USING (w1) JOIN nb USING (w2)
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4553,6 +4596,7 @@ QUERIES = {
     "events_grouping_sets": events_grouping_sets,
     "nb_source_scores": nb_source_scores,
     "knn_embeddings_mmr": knn_embeddings_mmr,
+    "doc_ppmi_pairs": doc_ppmi_pairs,
 }
 
 ORACLE_SQL = {
@@ -4672,6 +4716,7 @@ ORACLE_SQL = {
     "orders_zorder_keys": _orders_zorder_sql(),
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "nb_source_scores": NB_SOURCE_SCORES_SQL,
+    "doc_ppmi_pairs": DOC_PPMI_PAIRS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -962,3 +962,72 @@ def naive_bayes_scores(ds: Dataset, model: dict,
             "nb_score": pa.array(scores[kidx].ravel())})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+# ---------------------------------------------------------------------------
+# PPMI co-occurrence (skip-gram window) — distributional semantics
+# ---------------------------------------------------------------------------
+
+def ppmi_cooccurrence(ds: Dataset, window: int = 2,
+                      text_col: str = "text") -> Dataset:
+    """Positive pointwise mutual information over directed skip-gram
+    co-occurrences: count ordered pairs ``(w_i, w_j)`` with ``1 ≤ j−i ≤
+    window`` (positions over REAL words, empties dropped), then
+    ``ppmi = max(0, ln(n(a,b)·N / (n_fwd(a)·n_bwd(b))))`` with forward/
+    backward marginals and the total pair count — the count table
+    word2vec-era embeddings factorize. Per-batch partials pack pair
+    codes into one int64 ``np.unique`` per offset; ONE two-key groupby
+    exchange aggregates; marginals + PPMI are computed over the
+    already-aggregated (≤ vocab²-row) table (cap the vocabulary
+    upstream at corpus scale, as the TF-IDF/bigram fits do). Returns
+    (w1, w2, cooc, ppmi)."""
+    from ray.data.aggregate import Sum
+    import ray.data as rd
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "cnt": pa.array([], type=pa.int64())})
+        if len(flat) == 0:
+            return empty
+        de = flat.dictionary_encode()
+        c = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of = np.repeat(np.arange(len(n_real)), np.diff(offs))
+        nw = len(de.dictionary)
+        packs = []
+        for d in range(1, window + 1):
+            if len(c) <= d:
+                break
+            same = doc_of[d:] == doc_of[:-d]
+            packs.append(c[:-d][same] * nw + c[d:][same])
+        if not packs:
+            return empty
+        uniq, cnt = np.unique(np.concatenate(packs), return_counts=True)
+        return pa.table({
+            "w1": de.dictionary.take(pa.array(uniq // nw)).cast(
+                pa.string()),
+            "w2": de.dictionary.take(pa.array(uniq % nw)).cast(
+                pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cooc")) \
+        .to_pandas()
+    cooc = agg["cooc"].to_numpy(dtype=np.float64)
+    N = float(cooc.sum())
+    fwd = agg.groupby("w1")["cooc"].sum()
+    bwd = agg.groupby("w2")["cooc"].sum()
+    na = fwd[agg["w1"]].to_numpy(dtype=np.float64)
+    nb = bwd[agg["w2"]].to_numpy(dtype=np.float64)
+    ppmi = np.maximum(0.0, np.log((cooc * N) / (na * nb)))
+    return rd.from_arrow(pa.table({
+        "w1": pa.array(agg["w1"], type=pa.string()),
+        "w2": pa.array(agg["w2"], type=pa.string()),
+        "cooc": pa.array(agg["cooc"].to_numpy(dtype=np.int64)),
+        "ppmi": pa.array(ppmi)}))

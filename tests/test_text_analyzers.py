@@ -329,3 +329,26 @@ def test_naive_bayes_hand_computed(ray_session):
             for r in naive_bayes_scores(ds2, m).take_all()}
     assert out2["A"] == pytest.approx(
         pri + math.log(1.0 / (3 + V)), abs=1e-12)
+
+
+def test_ppmi_hand_computed(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import ppmi_cooccurrence
+    # "a b a" window 1 -> directed pairs: (a,b), (b,a); N=2
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0]),
+                                 "text": pa.array(["a b a"])}))
+    out = {(r["w1"], r["w2"]): (r["cooc"], r["ppmi"])
+           for r in ppmi_cooccurrence(ds, window=1).take_all()}
+    assert out[("a", "b")][0] == 1 and out[("b", "a")][0] == 1
+    # n_fwd(a)=1, n_bwd(b)=1 -> ppmi = ln(1*2/(1*1)) = ln 2
+    assert out[("a", "b")][1] == pytest.approx(math.log(2), abs=1e-12)
+    # window 2 over "a b a": pairs (a,b),(b,a),(a,a); boundaries stay
+    # inside docs
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1]),
+        "text": pa.array(["a b", "c d"])}))
+    out2 = {(r["w1"], r["w2"]) for r in
+            ppmi_cooccurrence(ds2, window=2).take_all()}
+    assert out2 == {("a", "b"), ("c", "d")}   # no cross-doc (b,c)
