@@ -4219,6 +4219,65 @@ FROM pairs p JOIN na USING (w1) JOIN nb USING (w2)
 """
 
 
+def ab_ttest_by_type(sf_dir: str) -> Dataset:
+    """Per-type Welch's t-test between A/B arms (event_id parity)
+    over value cents (``groupstats.welch_ttest``): the exchange moves
+    only exact-int sufficient statistics, so t/df/mean-diff doubles are
+    derived identically by both engines — STRICTLY equal, no
+    rounding."""
+    from ..stages.groupstats import welch_ttest
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"], "cents": c,
+                         "arm": pa.array((ids % 2).astype("int64"))})
+
+    return welch_ttest(ds.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "cents", "arm")
+
+
+AB_TTEST_BY_TYPE_SQL = """
+WITH x AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         event_id % 2 AS arm
+  FROM events
+), st AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n0,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n1,
+         CAST(coalesce(sum(cents) FILTER (arm = 0), 0) AS BIGINT) AS s0,
+         CAST(coalesce(sum(cents) FILTER (arm = 1), 0) AS BIGINT) AS s1,
+         CAST(coalesce(sum(cents * cents) FILTER (arm = 0), 0)
+              AS BIGINT) AS q0,
+         CAST(coalesce(sum(cents * cents) FILTER (arm = 1), 0)
+              AS BIGINT) AS q1
+  FROM x GROUP BY 1
+), d AS (
+  SELECT *,
+         -- identical IEEE sequence to the engine's derived doubles
+         CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+         ((CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE)
+           / n0) / (n0 - 1.0)) / n0 AS se0,
+         ((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+           / n1) / (n1 - 1.0)) / n1 AS se1
+  FROM st
+)
+SELECT event_type, n0, n1, s0, s1,
+       CASE WHEN n0 > 1 AND n1 > 1 THEN m1 - m0 END AS mean_diff,
+       CASE WHEN n0 > 1 AND n1 > 1 AND se0 + se1 > 0
+            THEN (m1 - m0) / sqrt(se0 + se1) END AS t_stat,
+       CASE WHEN n0 > 1 AND n1 > 1 AND se0 + se1 > 0
+            THEN (se0 + se1) * (se0 + se1)
+                 / (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
+       END AS df
+FROM d
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4597,6 +4656,7 @@ QUERIES = {
     "nb_source_scores": nb_source_scores,
     "knn_embeddings_mmr": knn_embeddings_mmr,
     "doc_ppmi_pairs": doc_ppmi_pairs,
+    "ab_ttest_by_type": ab_ttest_by_type,
 }
 
 ORACLE_SQL = {
@@ -4717,6 +4777,7 @@ ORACLE_SQL = {
     "events_grouping_sets": EVENTS_GROUPING_SETS_SQL,
     "nb_source_scores": NB_SOURCE_SCORES_SQL,
     "doc_ppmi_pairs": DOC_PPMI_PAIRS_SQL,
+    "ab_ttest_by_type": AB_TTEST_BY_TYPE_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

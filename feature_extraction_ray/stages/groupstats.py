@@ -996,3 +996,76 @@ def update_grouped_sums(state: Dataset, changes: Dataset, group_col: str,
                          cnt_col: pc.cast(t[cnt_col], pa.int64())})
 
     return out.map_batches(drop_empty, batch_format="pyarrow")
+
+
+def welch_ttest(ds: Dataset, group_col: str, value_col: str,
+                split_col: str) -> Dataset:
+    """Per-group Welch's unequal-variance t-test between the two arms
+    of ``split_col`` (0/1) — the A/B-testing reduction. The exchange
+    carries only INTEGER sufficient statistics (n, Σx, Σx² per arm,
+    exact int64 over an integer value column), so the derived doubles —
+    mean difference, Welch t, Satterthwaite df — are computed from
+    bit-identical inputs by the engine and the SQL twin and compare
+    STRICTLY equal with no rounding. Per-batch bincount partials →
+    one #groups-sized groupby-sum; groups with an arm of n < 2 emit
+    null t/df."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        de = g.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = t[split_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(de.dictionary)
+        cols = {group_col: de.dictionary}
+        for a in (0, 1):
+            m = arm == a
+            cols[f"n{a}"] = pa.array(np.bincount(
+                codes[m], minlength=k).astype(np.int64))
+            cols[f"s{a}"] = pa.array(np.bincount(
+                codes[m], weights=v[m].astype(np.float64),
+                minlength=k).astype(np.int64))
+            cols[f"q{a}"] = pa.array(np.bincount(
+                codes[m], weights=(v[m] * v[m]).astype(np.float64),
+                minlength=k).astype(np.int64))
+        return pa.table(cols)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            *[Sum(c, alias_name=c)
+              for c in ("n0", "s0", "q0", "n1", "s1", "q1")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        n0 = t["n0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n1 = t["n1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s0 = t["s0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = t["s1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q0 = t["q0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        q1 = t["q1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = (n0 > 1) & (n1 > 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m0, m1 = s0 / n0, s1 / n1
+            v0 = (q0 - s0 * s0 / n0) / (n0 - 1.0)
+            v1 = (q1 - s1 * s1 / n1) / (n1 - 1.0)
+            se0, se1 = v0 / n0, v1 / n1
+            tstat = (m1 - m0) / np.sqrt(se0 + se1)
+            df = (se0 + se1) * (se0 + se1) / (
+                se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
+        ok = ok & np.isfinite(np.where(ok, tstat, 0.0)) \
+            & np.isfinite(np.where(ok, df, 0.0))
+        out = pa.table({
+            group_col: t[group_col],
+            "n0": pc.cast(t["n0"], pa.int64()),
+            "n1": pc.cast(t["n1"], pa.int64()),
+            "s0": pc.cast(t["s0"], pa.int64()),
+            "s1": pc.cast(t["s1"], pa.int64()),
+            "mean_diff": pa.array(np.where(ok, m1 - m0, 0.0),
+                                  mask=~ok),
+            "t_stat": pa.array(np.where(ok, tstat, 0.0), mask=~ok),
+            "df": pa.array(np.where(ok, df, 0.0), mask=~ok)})
+        return out
+
+    return agg.map_batches(finish, batch_format="pyarrow")

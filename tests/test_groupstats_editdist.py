@@ -850,3 +850,37 @@ def test_zorder_key_interleave_and_locality(ray_session):
         return tot
     assert area(z.sort_values("zkey").reset_index(drop=True)) < \
         area(z) / 5
+
+
+def test_welch_ttest_matches_scipy_formula(ray_session):
+    from feature_extraction_ray.stages.groupstats import welch_ttest
+    rng = np.random.default_rng(17)
+    n = 1000
+    g = rng.integers(0, 4, n)
+    arm = rng.integers(0, 2, n)
+    v = rng.integers(0, 500, n) + arm * (g == 2) * 50  # planted effect
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "arm": pa.array(arm),
+                                 "v": pa.array(v)}))
+    out = {r["g"]: r for r in
+           welch_ttest(ds, "g", "v", "arm").take_all()}
+    for gg in range(4):
+        a = v[(g == gg) & (arm == 0)].astype(float)
+        b = v[(g == gg) & (arm == 1)].astype(float)
+        m0, m1 = a.mean(), b.mean()
+        v0, v1 = a.var(ddof=1), b.var(ddof=1)
+        se = v0 / len(a) + v1 / len(b)
+        t_ref = (m1 - m0) / np.sqrt(se)
+        df_ref = se * se / ((v0 / len(a)) ** 2 / (len(a) - 1)
+                            + (v1 / len(b)) ** 2 / (len(b) - 1))
+        r = out[gg]
+        assert r["n0"] == len(a) and r["n1"] == len(b)
+        assert r["t_stat"] == pytest.approx(t_ref, abs=1e-9)
+        assert r["df"] == pytest.approx(df_ref, rel=1e-9)
+    # planted effect detected in group 2, absent elsewhere
+    assert abs(out[2]["t_stat"]) > 3
+    # degenerate arm -> null stats
+    ds2 = rd.from_arrow(pa.table({"g": pa.array([0, 0, 0]),
+                                  "arm": pa.array([0, 0, 1]),
+                                  "v": pa.array([1, 2, 3])}))
+    r2 = welch_ttest(ds2, "g", "v", "arm").take_all()[0]
+    assert r2["t_stat"] is None and r2["df"] is None
