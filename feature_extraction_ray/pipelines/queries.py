@@ -4278,6 +4278,41 @@ FROM d
 """
 
 
+def doc_chunks_sliding(sf_dir: str) -> Dataset:
+    """Sliding-window RAG chunker (``textprep.chunk_text``, size=24
+    stride=16 → overlapping 24-word chunks every 16 words, remainder
+    tail): zero-shuffle vectorized offset arithmetic + one binary_join.
+    The SQL twin slices the same word lists with
+    generate_series/list_slice."""
+    from ..stages.textprep import chunk_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_text(ds, size=24, stride=16)
+
+
+DOC_CHUNKS_SLIDING_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(str_split(trim(text), ' '), w -> w <> '') AS ws
+  FROM documents
+), s2 AS (
+  SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n FROM s WHERE len(ws) > 0
+), c AS (
+  SELECT doc_id, ws, n,
+         unnest(generate_series(
+             0, (greatest(0, n - 24) + 15) // 16)) AS cidx
+  FROM s2
+)
+SELECT doc_id,
+       CAST(cidx + 1 AS BIGINT) AS chunk_idx,
+       CAST(cidx * 16 + 1 AS BIGINT) AS start_word,
+       CAST(least(cidx * 16 + 24, n) - cidx * 16 AS BIGINT) AS n_words,
+       array_to_string(list_slice(ws, cidx * 16 + 1,
+                                  least(cidx * 16 + 24, n)),
+                       ' ') AS chunk_text
+FROM c
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4657,6 +4692,7 @@ QUERIES = {
     "knn_embeddings_mmr": knn_embeddings_mmr,
     "doc_ppmi_pairs": doc_ppmi_pairs,
     "ab_ttest_by_type": ab_ttest_by_type,
+    "doc_chunks_sliding": doc_chunks_sliding,
 }
 
 ORACLE_SQL = {
@@ -4778,6 +4814,7 @@ ORACLE_SQL = {
     "nb_source_scores": NB_SOURCE_SCORES_SQL,
     "doc_ppmi_pairs": DOC_PPMI_PAIRS_SQL,
     "ab_ttest_by_type": AB_TTEST_BY_TYPE_SQL,
+    "doc_chunks_sliding": DOC_CHUNKS_SLIDING_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -365,3 +365,78 @@ def bigram_trigram_rewrite(ds: Dataset, text_col: str = "text",
     ds2 = apply_phrases(ds, bi, text_col)
     tri = fit_phrases(ds2, text_col, min_count, threshold)
     return apply_phrases(ds2, tri, text_col)
+
+
+def chunk_text(ds, size: int, stride: int, text_col: str = "text",
+               id_col: str = "doc_id", out_col: str = "chunk_text"):
+    """Sliding-window chunker with overlap — the RAG-ingestion
+    primitive: split each document into word windows of ``size`` every
+    ``stride`` words (``stride < size`` ⇒ overlapping chunks; the last
+    window is the remainder, never empty, and a doc shorter than
+    ``size`` yields exactly one chunk). Emits (id, chunk_idx (1-based),
+    start_word (1-based), n_words, chunk). Fully vectorized: one
+    whitespace split per batch, chunk membership is pure offset
+    arithmetic (repeat + gather), the chunk strings come from ONE
+    ``pc.binary_join`` over a rebuilt ListArray — no per-chunk Python.
+    Zero shuffles."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ..stages.text import _split_flat
+    if size < 1 or stride < 1:
+        raise ValueError("size and stride must be >= 1")
+
+    def fn(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = n_real.astype(np.int64)
+        # chunks per doc: 1 + ceil(max(0, n - size) / stride); 0 if empty
+        extra = np.maximum(0, n - size)
+        n_chunks = np.where(n > 0, 1 + (extra + stride - 1) // stride, 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: ids.slice(0, 0),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "start_word": pa.array([], type=pa.int64()),
+                "n_words": pa.array([], type=pa.int64()),
+                out_col: pa.array([], type=pa.string())})
+        doc_of_chunk = np.repeat(np.arange(len(n)), n_chunks)
+        # chunk index within doc (0-based)
+        cstarts = np.r_[0, np.cumsum(n_chunks)[:-1]]
+        cidx = np.arange(total) - cstarts[doc_of_chunk]
+        start = cidx * stride                       # word offset in doc
+        end = np.minimum(start + size, n[doc_of_chunk])
+        lens = end - start
+        # gather flat word indices per chunk
+        word_idx = np.repeat(offs[:-1][doc_of_chunk] + start,
+                             lens) + _ranges(lens)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(lens)].astype(np.int32)),
+            flat.take(pa.array(word_idx)))
+        joined = pc.binary_join(
+            lists, pa.scalar(" ", type=flat.type))
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of_chunk)),
+            "chunk_idx": pa.array(cidx + 1),
+            "start_word": pa.array(start + 1),
+            "n_words": pa.array(lens),
+            out_col: pc.cast(joined, pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _ranges(lens: "np.ndarray"):
+    """Concatenated [0..l) ranges: arange(total) − repeat(starts)."""
+    import numpy as np
+    total = int(lens.sum())
+    starts = np.r_[0, np.cumsum(lens)[:-1]]
+    return np.arange(total) - np.repeat(starts, lens)

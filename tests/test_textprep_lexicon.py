@@ -127,3 +127,27 @@ def test_fit_phrases_matches_gensim_original_scorer():
             {a + "\x00" + b for s in sentences
              for a, b in zip(s.split(), s.split()[1:])})
     assert exp_full[("big", "apple")] == pytest.approx(15 / 400 * v)
+
+
+def test_chunk_text_sliding_windows(ray_session):
+    import pyarrow as pa
+    from feature_extraction_ray.stages.textprep import chunk_text
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4]),
+        "text": pa.array(["a b c d e f g", "x y", "   ", "p q r s"])}))
+    out = chunk_text(ds, size=4, stride=2).to_pandas() \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    rows = [(r.doc_id, r.chunk_idx, r.start_word, r.n_words,
+             r.chunk_text) for r in out.itertuples()]
+    assert rows == [
+        (1, 1, 1, 4, "a b c d"), (1, 2, 3, 4, "c d e f"),
+        (1, 3, 5, 3, "e f g"),                      # remainder tail
+        (2, 1, 1, 2, "x y"),                        # short doc: 1 chunk
+        (4, 1, 1, 4, "p q r s")]                    # empty doc 3: none
+    # exact-fit doc emits no empty tail
+    ds2 = rd.from_arrow(pa.table({"doc_id": pa.array([9]),
+                                  "text": pa.array(["a b c d"])}))
+    out2 = chunk_text(ds2, size=4, stride=2).to_pandas()
+    assert len(out2) == 1 and out2["n_words"].iloc[0] == 4
+    with pytest.raises(ValueError):
+        chunk_text(ds2, size=0, stride=2)
