@@ -4313,6 +4313,29 @@ FROM c
 """
 
 
+def hourly_active_users(sf_dir: str) -> Dataset:
+    """Exact COUNT(DISTINCT user) per hour
+    (``groupstats.grouped_distinct_count``): per-batch distinct-pair
+    pre-aggregation + one bucketed exchange — the exact twin of the
+    sketch path. All-integer."""
+    from ..stages.groupstats import grouped_distinct_count
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.map_batches(
+        lambda t: pa.table({
+            "hour": pc.strftime(t["ts"], format="%Y-%m-%d %H"),
+            "user_id": t["user_id"]}),
+        batch_format="pyarrow")
+    return grouped_distinct_count(ds, "hour", "user_id",
+                                  out_col="n_users")
+
+
+HOURLY_ACTIVE_USERS_SQL = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+"""
+
+
 def order_price_loo_by_customer(sf_dir: str) -> Dataset:
     """Leave-one-out target encoding (``groupstats.target_encode_loo``):
     each order's LOO mean of its customer's total-price cents —
@@ -4693,6 +4716,7 @@ QUERIES = {
     "doc_ppmi_pairs": doc_ppmi_pairs,
     "ab_ttest_by_type": ab_ttest_by_type,
     "doc_chunks_sliding": doc_chunks_sliding,
+    "hourly_active_users": hourly_active_users,
 }
 
 ORACLE_SQL = {
@@ -4815,6 +4839,7 @@ ORACLE_SQL = {
     "doc_ppmi_pairs": DOC_PPMI_PAIRS_SQL,
     "ab_ttest_by_type": AB_TTEST_BY_TYPE_SQL,
     "doc_chunks_sliding": DOC_CHUNKS_SLIDING_SQL,
+    "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

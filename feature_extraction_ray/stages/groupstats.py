@@ -1069,3 +1069,56 @@ def welch_ttest(ds: Dataset, group_col: str, value_col: str,
         return out
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def grouped_distinct_count(ds: Dataset, group_col: str, value_col: str,
+                           out_col: str = "n_distinct",
+                           num_buckets: int = 64) -> Dataset:
+    """Exact COUNT(DISTINCT value) per group: per-batch DISTINCT
+    (group, value) pre-aggregation (one lexsort-free dictionary-encode
+    + packed ``np.unique`` per batch shrinks the exchange to unique
+    pairs per batch), then ONE bucketed exchange by group with a
+    per-bucket unique + run-length count. The exact twin of the
+    HLL-style ``approx_distinct`` sketch for when the distinct
+    cardinality per group is bounded."""
+    from .window import bucketed_apply
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col])
+        g = t[group_col]
+        v = t[value_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if len(t) == 0:
+            return t
+        gc = g.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        vc = v.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        # first row of each distinct (group, value) pair, sorted runs
+        order = np.lexsort((vc, gc))
+        gs, vs = gc[order], vc[order]
+        new = np.r_[True, (gs[1:] != gs[:-1]) | (vs[1:] != vs[:-1])]
+        return t.take(pa.array(order[new].astype(np.int64)))
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        v = t[value_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        gde = g.dictionary_encode()
+        gc = gde.indices.to_numpy(zero_copy_only=False)
+        vc = v.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        nv = int(vc.max()) + 1 if len(vc) else 1
+        uniq = np.unique(gc.astype(np.int64) * nv + vc)
+        gids, cnt = np.unique(uniq // nv, return_counts=True)
+        return pa.table({
+            group_col: gde.dictionary.take(pa.array(gids)),
+            out_col: pa.array(cnt.astype(np.int64))})
+
+    return bucketed_apply(pairs, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)

@@ -884,3 +884,19 @@ def test_welch_ttest_matches_scipy_formula(ray_session):
                                   "v": pa.array([1, 2, 3])}))
     r2 = welch_ttest(ds2, "g", "v", "arm").take_all()[0]
     assert r2["t_stat"] is None and r2["df"] is None
+
+
+def test_grouped_distinct_count_matches_bruteforce(ray_session):
+    from feature_extraction_ray.stages.groupstats import (
+        grouped_distinct_count)
+    rng = np.random.default_rng(19)
+    n = 1500
+    g = rng.integers(0, 12, n)
+    v = rng.choice([f"u{i}" for i in range(40)], n)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v)}))
+    out = {r["g"]: r["n_distinct"] for r in
+           grouped_distinct_count(ds, "g", "v",
+                                  num_buckets=4).take_all()}
+    import pandas as pd
+    exp = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
+    assert out == exp.to_dict()
