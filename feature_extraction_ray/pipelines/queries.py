@@ -3541,6 +3541,73 @@ WHERE p.n_both >= 2
 """
 
 
+def also_bought_parts(sf_dir: str) -> Dataset:
+    """'People also bought': top-3 co-purchase partners per part —
+    composition of ``mining.association_pairs`` (one fused rollup
+    exchange) + symmetrize + per-anchor rank (one bucketed exchange,
+    (n_both desc, partner asc) run-relative ranks). Exact integers
+    pass through; the oracle reranks the same self-join pairs with a
+    row_number window."""
+    from ..stages.mining import association_pairs
+    from ..stages.window import bucketed_apply
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    pairs = association_pairs(ds, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+
+    def sym(t: pa.Table) -> pa.Table:
+        a, b = t["item_a"], t["item_b"]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        n = t["n_both"]
+        if isinstance(n, pa.ChunkedArray):
+            n = n.combine_chunks()
+        return pa.table({
+            "anchor": pa.concat_arrays([a, b]),
+            "partner": pa.concat_arrays([b, a]),
+            "n_both": pa.concat_arrays([n, n])})
+
+    symd = pairs.map_batches(sym, batch_format="pyarrow")
+
+    def topk(t: pa.Table) -> pa.Table:
+        anc = t["anchor"].to_numpy(zero_copy_only=False)
+        par = t["partner"].to_numpy(zero_copy_only=False)
+        n = t["n_both"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((par, -n, anc))
+        anc_s = anc[order]
+        starts = np.flatnonzero(np.r_[True, anc_s[1:] != anc_s[:-1]])
+        run_id = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, len(anc_s)]))
+        rank = np.arange(len(anc_s)) - starts[run_id]
+        keep = order[rank < 3]
+        return pa.table({
+            "anchor": pa.array(anc[keep]),
+            "partner": pa.array(par[keep]),
+            "n_both": pa.array(n[keep]),
+            "rnk": pa.array((rank[rank < 3] + 1).astype(np.int64))})
+
+    return bucketed_apply(symd, "anchor", topk, 32, drop_bucket=False)
+
+
+ALSO_BOUGHT_PARTS_SQL = """
+WITH bi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+            FROM lineitem),
+p AS (SELECT x.i AS item_a, y.i AS item_b, CAST(count(*) AS BIGINT)
+             AS n_both
+      FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i GROUP BY 1, 2),
+p2 AS (SELECT item_a, item_b, n_both FROM p WHERE n_both >= 2),
+sym AS (SELECT item_a AS anchor, item_b AS partner, n_both FROM p2
+        UNION ALL
+        SELECT item_b, item_a, n_both FROM p2),
+r AS (SELECT anchor, partner, n_both,
+             CAST(row_number() OVER (PARTITION BY anchor
+                  ORDER BY n_both DESC, partner) AS BIGINT) AS rnk
+      FROM sym)
+SELECT anchor, partner, n_both, rnk FROM r WHERE rnk <= 3
+"""
+
+
 def pareto_orders(sf_dir: str) -> Dataset:
     """Skyline (``mining.pareto_frontier``): orders not dominated on
     (max total price, min order date) — block-local frontiers reduced
@@ -4717,6 +4784,7 @@ QUERIES = {
     "ab_ttest_by_type": ab_ttest_by_type,
     "doc_chunks_sliding": doc_chunks_sliding,
     "hourly_active_users": hourly_active_users,
+    "also_bought_parts": also_bought_parts,
 }
 
 ORACLE_SQL = {
@@ -4840,6 +4908,7 @@ ORACLE_SQL = {
     "ab_ttest_by_type": AB_TTEST_BY_TYPE_SQL,
     "doc_chunks_sliding": DOC_CHUNKS_SLIDING_SQL,
     "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
+    "also_bought_parts": ALSO_BOUGHT_PARTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
