@@ -3608,6 +3608,35 @@ SELECT anchor, partner, n_both, rnk FROM r WHERE rnk <= 3
 """
 
 
+def part_communities(sf_dir: str) -> Dataset:
+    """Label-propagation communities over the customer↔part purchase
+    graph (``graphrank.label_propagation`` — deterministic synchronous
+    LP, broadcast plan: zero shuffles per iteration). Iterative
+    majority voting — non-SQL-expressible, rows-only check; the sync
+    update rule is pytest-verified against a naive reference."""
+    from ..stages.cc import attach_values
+    from ..stages.graphrank import label_propagation
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = attach_values(li, "l_orderkey", orders, "o_orderkey",
+                           ["o_custkey"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        c = pc.binary_join_element_wise(
+            pa.array(["C"] * len(t)),
+            pc.cast(t["o_custkey"], pa.string()), "")
+        p = pc.binary_join_element_wise(
+            pa.array(["P"] * len(t)),
+            pc.cast(t["l_partkey"], pa.string()), "")
+        cc = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        pp = p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+        return pa.table({"src": pa.concat_arrays([cc, pp]),
+                         "dst": pa.concat_arrays([pp, cc])})
+
+    edges = joined.map_batches(mk_edges, batch_format="pyarrow")
+    return label_propagation(edges, "src", "dst", iters=4)
+
+
 def pareto_orders(sf_dir: str) -> Dataset:
     """Skyline (``mining.pareto_frontier``): orders not dominated on
     (max total price, min order date) — block-local frontiers reduced
@@ -4785,6 +4814,7 @@ QUERIES = {
     "doc_chunks_sliding": doc_chunks_sliding,
     "hourly_active_users": hourly_active_users,
     "also_bought_parts": also_bought_parts,
+    "part_communities": part_communities,
 }
 
 ORACLE_SQL = {

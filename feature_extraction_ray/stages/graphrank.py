@@ -473,3 +473,87 @@ def _np_i64(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def label_propagation(edges: Dataset, src_col: str, dst_col: str,
+                      iters: int = 5) -> Dataset:
+    """Synchronous label-propagation community detection: every node
+    starts in its own community, then each round adopts the most
+    frequent label among its in-neighbors (ties → smallest label;
+    isolated-in-degree nodes keep theirs) — deterministic by
+    construction, unlike the classic async/randomized LP. Pass a
+    symmetrized edge list for undirected semantics.
+
+    Broadcast plan (the ``pagerank`` regime: node table fits the
+    driver, edges only stream): edges are pre-indexed ONCE to int32
+    pairs; each iteration broadcasts the label vector and every block
+    emits packed ``(dst, label) → count`` partials via one
+    ``np.unique`` — the driver merges partials and takes the
+    per-dst (count desc, label asc) head. Zero shuffles per iteration;
+    driver traffic is bounded by distinct (dst, label) pairs per
+    block. Returns ``(node, community)`` where community is the
+    elected label's node id."""
+    e = _project(edges, src_col, dst_col).materialize()
+
+    def node_partials(t: pa.Table) -> pa.Table:
+        a = pa.table({"node": t[_SRC]}).group_by(["node"]).aggregate([])
+        b = pa.table({"node": t[_DST]}).group_by(["node"]).aggregate([])
+        return pa.concat_tables([a, b])
+
+    part_tbls = ray.get(
+        e.map_batches(node_partials, batch_format="pyarrow")
+        .to_arrow_refs())
+    merged = pa.concat_tables([p for p in part_tbls if p.num_rows]) \
+        .group_by(["node"]).aggregate([])
+    nodes = np.sort(merged["node"].to_numpy(zero_copy_only=False))
+    n = len(nodes)
+    nodes_ref = ray.put(nodes)
+
+    def index_edges(t: pa.Table) -> pa.Table:
+        nd = broadcast_get(nodes_ref)
+        s = np.searchsorted(nd, t[_SRC].to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nd, t[_DST].to_numpy(zero_copy_only=False))
+        return pa.table({"_si": pa.array(s.astype(np.int32)),
+                         "_di": pa.array(d.astype(np.int32))})
+
+    indexed = e.map_batches(index_edges,
+                            batch_format="pyarrow").materialize()
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        lab_ref = ray.put(labels)
+
+        def scatter(t: pa.Table, _ref=lab_ref) -> pa.Table:
+            lab = broadcast_get(_ref)
+            si = t["_si"].to_numpy(zero_copy_only=False)
+            di = t["_di"].to_numpy(zero_copy_only=False)
+            key = di.astype(np.int64) * n + lab[si]
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table({"_k": pa.array(uniq),
+                             "_c": pa.array(cnt.astype(np.int64))})
+
+        parts = ray.get(indexed.map_batches(
+            scatter, batch_format="pyarrow").to_arrow_refs())
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            break
+        ks = np.concatenate([p["_k"].to_numpy(zero_copy_only=False)
+                             for p in parts])
+        cs = np.concatenate([p["_c"].to_numpy(zero_copy_only=False)
+                             for p in parts])
+        order = np.argsort(ks, kind="stable")
+        ks, cs = ks[order], cs[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        csum = np.add.reduceat(cs, starts)
+        ku = ks[starts]
+        dst, lab = ku // n, ku % n
+        o2 = np.lexsort((lab, -csum, dst))
+        d2, l2 = dst[o2], lab[o2]
+        head = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+        new = labels.copy()
+        new[d2[head]] = l2[head]
+        labels = new
+
+    import ray.data as rd
+    comm = nodes[labels]
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes), "community": pa.array(comm)}))

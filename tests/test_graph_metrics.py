@@ -145,3 +145,48 @@ def test_triangle_counts_empty_and_triangle_free(ray_session):
     rows = {r["node"]: r for t in parts for r in t.to_pylist()}
     assert all(r["n_tri"] == 0 for r in rows.values())
     assert rows[2]["clustering"] == 0.0 and rows[1]["clustering"] is None
+
+
+def test_label_propagation_cliques_and_reference(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.graphrank import label_propagation
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a != b]
+    A = [f"A{i}" for i in range(5)]
+    B = [f"B{i}" for i in range(5)]
+    edges = clique(A) + clique(B) + [("A0", "B0"), ("B0", "A0")]
+    src, dst = zip(*edges)
+    ds = rd.from_arrow(pa.table({"s": pa.array(list(src)),
+                                 "d": pa.array(list(dst))}))
+    comm = label_propagation(ds, "s", "d", iters=5).to_pandas() \
+        .set_index("node")["community"]
+    assert len({comm[a] for a in A}) == 1
+    assert len({comm[b] for b in B}) == 1
+    assert comm["A1"] != comm["B1"]
+    # sync-update reference equivalence on a fuzz digraph
+    rng = np.random.default_rng(7)
+    s = rng.integers(0, 40, 400)
+    d = rng.integers(0, 40, 400)
+    keep = s != d
+    s, d = s[keep], d[keep]
+    names = np.array([f"n{i:02d}" for i in range(40)])
+    ds2 = rd.from_arrow(pa.table({"s": pa.array(names[s]),
+                                  "d": pa.array(names[d])}))
+    got = label_propagation(ds2, "s", "d", iters=4).to_pandas() \
+        .set_index("node")["community"].to_dict()
+    nodes = np.sort(np.unique(np.r_[names[s], names[d]]))
+    idx = {nm: i for i, nm in enumerate(nodes)}
+    si = np.array([idx[nm] for nm in names[s]])
+    di = np.array([idx[nm] for nm in names[d]])
+    lab = np.arange(len(nodes))
+    for _ in range(4):
+        new = lab.copy()
+        for v in range(len(nodes)):
+            nb = lab[si[di == v]]
+            if len(nb):
+                vals, cnts = np.unique(nb, return_counts=True)
+                new[v] = vals[cnts == cnts.max()].min()
+        lab = new
+    assert got == {nodes[i]: nodes[lab[i]] for i in range(len(nodes))}
