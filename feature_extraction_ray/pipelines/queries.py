@@ -3637,6 +3637,55 @@ def part_communities(sf_dir: str) -> Dataset:
     return label_propagation(edges, "src", "dst", iters=4)
 
 
+def sliding_slope_events(sf_dir: str) -> Dataset:
+    """Rolling 8-row OLS trend per user over value cents
+    (``window.sliding_slope``): exact-int64 sliding sufficient
+    statistics → the slope doubles derive from bit-identical integers
+    in both engines and compare STRICTLY equal, no rounding."""
+    from ..stages.window import sliding_slope
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        return t.drop_columns(["value"]).append_column("cents", c)
+
+    out = sliding_slope(ds.map_batches(to_cents, batch_format="pyarrow"),
+                        "user_id", ["ts", "event_id"], "cents", window=8)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "slope"]),
+        batch_format="pyarrow")
+
+
+SLIDING_SLOPE_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT event_id, user_id, cents,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS BIGINT) AS xpos
+  FROM x
+), s AS (
+  SELECT event_id, user_id,
+         CAST(count(*) OVER f AS BIGINT) AS n,
+         CAST(sum(xpos) OVER f AS BIGINT) AS sx,
+         CAST(sum(cents) OVER f AS BIGINT) AS sy,
+         CAST(sum(xpos * cents) OVER f AS BIGINT) AS sxy,
+         CAST(sum(xpos * xpos) OVER f AS BIGINT) AS sxx
+  FROM r WINDOW f AS (PARTITION BY user_id ORDER BY xpos
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+       END AS slope
+FROM s
+"""
+
+
 def pareto_orders(sf_dir: str) -> Dataset:
     """Skyline (``mining.pareto_frontier``): orders not dominated on
     (max total price, min order date) — block-local frontiers reduced
@@ -4815,6 +4864,7 @@ QUERIES = {
     "hourly_active_users": hourly_active_users,
     "also_bought_parts": also_bought_parts,
     "part_communities": part_communities,
+    "sliding_slope_events": sliding_slope_events,
 }
 
 ORACLE_SQL = {
@@ -4939,6 +4989,7 @@ ORACLE_SQL = {
     "doc_chunks_sliding": DOC_CHUNKS_SLIDING_SQL,
     "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
     "also_bought_parts": ALSO_BOUGHT_PARTS_SQL,
+    "sliding_slope_events": SLIDING_SLOPE_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

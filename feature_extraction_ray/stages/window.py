@@ -792,3 +792,58 @@ def drawdown(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl.append_column(out_col, pa.array(pm - P))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def sliding_slope(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                  value_col: str, window: int,
+                  out_col: str = "slope",
+                  num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Rolling OLS trend per entity: the least-squares slope of the
+    last ``window`` values against their within-entity positions —
+    the local-trend feature a forecasting pipeline derives per row.
+    All sufficient statistics (n, Σx, Σy, Σxy, Σx², with x = 1-based
+    position and an INTEGER value column) are exact int64 sliding sums
+    (cumsum differences), so ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``
+    is derived from bit-identical integers by both engines and compares
+    STRICTLY equal. Rows with window size 1 emit null (degenerate
+    denominator; x strictly increases so n ≥ 2 is always well-posed).
+    ONE bucketed exchange."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n_rows = len(tbl)
+        if n_rows == 0:
+            return tbl.append_column(out_col,
+                                     pa.array([], type=pa.float64()))
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        y = v.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        pos = np.arange(n_rows, dtype=np.int64) - starts[run_id]
+        x = pos + 1
+
+        def sliding_sum(a: np.ndarray) -> np.ndarray:
+            cs = np.cumsum(a)
+            base = np.where(starts > 0, cs[starts - 1], 0)
+            run_cs = cs - base[run_id]          # per-run prefix sums
+            # value k rows back WITHIN the run (0 when pos < k)
+            back = np.zeros(n_rows, dtype=np.int64)
+            far = pos >= window
+            back[far] = run_cs[np.flatnonzero(far) - window]
+            return run_cs - back
+
+        n = np.minimum(pos + 1, window)
+        sx = sliding_sum(x)
+        sy = sliding_sum(y)
+        sxy = sliding_sum(x * y)
+        sxx = sliding_sum(x * x)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        ok = den > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num.astype(np.float64) / den.astype(np.float64)
+        return tbl.append_column(
+            out_col, pa.array(np.where(ok, slope, 0.0), mask=~ok))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

@@ -900,3 +900,28 @@ def test_grouped_distinct_count_matches_bruteforce(ray_session):
     import pandas as pd
     exp = pd.DataFrame({"g": g, "v": v}).groupby("g")["v"].nunique()
     assert out == exp.to_dict()
+
+
+def test_sliding_slope_matches_polyfit(ray_session):
+    from feature_extraction_ray.stages.window import sliding_slope
+    rng = np.random.default_rng(23)
+    n = 600
+    u = rng.integers(0, 7, n)
+    o = rng.permutation(n)
+    v = rng.integers(-100, 100, n)
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "o": pa.array(o),
+                                 "v": pa.array(v)}))
+    out = _table(sliding_slope(ds, "u", ["o"], "v", window=5,
+                               num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    hist = {}
+    for r in rows:
+        hist.setdefault(r["u"], []).append(r["v"])
+        ys = hist[r["u"]][-5:]
+        if len(ys) == 1:
+            assert r["slope"] is None
+        else:
+            xs = np.arange(len(hist[r["u"]]) - len(ys),
+                           len(hist[r["u"]])) + 1.0
+            ref = np.polyfit(xs, np.array(ys, dtype=float), 1)[0]
+            assert r["slope"] == pytest.approx(ref, abs=1e-9), r
