@@ -3686,6 +3686,103 @@ FROM s
 """
 
 
+def rfm_customer_segments(sf_dir: str) -> Dataset:
+    """RFM segmentation: per customer recency (last order epoch-day),
+    frequency (orders) and monetary (cents) fold through one tiny
+    groupby; quartile thresholds (quantile_disc convention: sorted
+    1-based index ceil(q·n)) come off the customer-sized aggregate and
+    each code is ``1 + (v>q25) + (v>q50) + (v>q75)`` — all-integer
+    comparisons, deterministic under ties (value-based buckets, NOT
+    row-split NTILE). The SQL twin spells the identical thresholds and
+    code expression."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()),
+                        pa.scalar(86_400_000_000, type=pa.int64()))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "day": day,
+                         "cents": cents, "one": pa.array(
+                             np.ones(len(t), dtype=np.int64))})
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("o_custkey").aggregate(
+            Max("day", alias_name="r_day"),
+            Sum("one", alias_name="f"),
+            Sum("cents", alias_name="m_cents")).materialize()
+
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in agg.to_arrow_refs())
+         if t.num_rows])
+
+    def qdisc(v: np.ndarray, q: float) -> int:
+        s = np.sort(v)
+        return int(s[max(1, int(np.ceil(q * len(s)))) - 1])
+
+    th = {}
+    for col in ("r_day", "f", "m_cents"):
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        th[col] = [qdisc(v, q) for q in (0.25, 0.5, 0.75)]
+
+    def score(t: pa.Table) -> pa.Table:
+        out = {"o_custkey": t["o_custkey"], "r_day": t["r_day"],
+               "f": pc.cast(t["f"], pa.int64()),
+               "m_cents": pc.cast(t["m_cents"], pa.int64())}
+        codes = {}
+        for col, name in (("r_day", "r_code"), ("f", "f_code"),
+                          ("m_cents", "m_code")):
+            v = t[col].to_numpy(zero_copy_only=False)
+            codes[name] = (1 + (v > th[col][0]).astype(np.int64)
+                           + (v > th[col][1]) + (v > th[col][2]))
+            out[name] = pa.array(codes[name].astype(np.int64))
+        out["rfm"] = pa.array((codes["r_code"] * 100 + codes["f_code"]
+                               * 10 + codes["m_code"]).astype(np.int64))
+        return pa.table(out)
+
+    return agg.map_batches(score, batch_format="pyarrow")
+
+
+RFM_CUSTOMER_SEGMENTS_SQL = """
+WITH cust AS (
+  SELECT o_custkey,
+         CAST(max(epoch_us(o_orderdate) // 86400000000) AS BIGINT)
+             AS r_day,
+         CAST(count(*) AS BIGINT) AS f,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS m_cents
+  FROM orders GROUP BY 1
+), th AS (
+  SELECT quantile_disc(r_day, 0.25) AS r25,
+         quantile_disc(r_day, 0.5) AS r50,
+         quantile_disc(r_day, 0.75) AS r75,
+         quantile_disc(f, 0.25) AS f25, quantile_disc(f, 0.5) AS f50,
+         quantile_disc(f, 0.75) AS f75,
+         quantile_disc(m_cents, 0.25) AS m25,
+         quantile_disc(m_cents, 0.5) AS m50,
+         quantile_disc(m_cents, 0.75) AS m75
+  FROM cust
+)
+SELECT o_custkey, r_day, f, m_cents,
+       1 + CAST(r_day > r25 AS BIGINT) + CAST(r_day > r50 AS BIGINT)
+         + CAST(r_day > r75 AS BIGINT) AS r_code,
+       1 + CAST(f > f25 AS BIGINT) + CAST(f > f50 AS BIGINT)
+         + CAST(f > f75 AS BIGINT) AS f_code,
+       1 + CAST(m_cents > m25 AS BIGINT) + CAST(m_cents > m50 AS BIGINT)
+         + CAST(m_cents > m75 AS BIGINT) AS m_code,
+       (1 + CAST(r_day > r25 AS BIGINT) + CAST(r_day > r50 AS BIGINT)
+          + CAST(r_day > r75 AS BIGINT)) * 100
+       + (1 + CAST(f > f25 AS BIGINT) + CAST(f > f50 AS BIGINT)
+            + CAST(f > f75 AS BIGINT)) * 10
+       + (1 + CAST(m_cents > m25 AS BIGINT) + CAST(m_cents > m50 AS BIGINT)
+            + CAST(m_cents > m75 AS BIGINT)) AS rfm
+FROM cust CROSS JOIN th
+"""
+
+
 def pareto_orders(sf_dir: str) -> Dataset:
     """Skyline (``mining.pareto_frontier``): orders not dominated on
     (max total price, min order date) — block-local frontiers reduced
@@ -4865,6 +4962,7 @@ QUERIES = {
     "also_bought_parts": also_bought_parts,
     "part_communities": part_communities,
     "sliding_slope_events": sliding_slope_events,
+    "rfm_customer_segments": rfm_customer_segments,
 }
 
 ORACLE_SQL = {
@@ -4990,6 +5088,7 @@ ORACLE_SQL = {
     "hourly_active_users": HOURLY_ACTIVE_USERS_SQL,
     "also_bought_parts": ALSO_BOUGHT_PARTS_SQL,
     "sliding_slope_events": SLIDING_SLOPE_EVENTS_SQL,
+    "rfm_customer_segments": RFM_CUSTOMER_SEGMENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
