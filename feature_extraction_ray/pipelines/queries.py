@@ -3783,6 +3783,76 @@ FROM cust CROSS JOIN th
 """
 
 
+def orders_snapshot_at(sf_dir: str) -> Dataset:
+    """Point-in-time snapshot from a CDC log (``relational.snapshot_at``
+    — last change ≤ T wins, 'D' erases): a deterministic synthetic log
+    (I at orderdate; U at +5d with price+1.0 for keys %3; D at +9d for
+    keys %11) reconstructed as of 1998-07-01. The oracle picks the same
+    rows with a row_number()-DESC window."""
+    import datetime as dt
+    from ..stages.relational import snapshot_at
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderdate", "o_totalprice"])
+    DAY = 86_400_000_000
+
+    def mk_log(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        parts = [pa.table({
+            "o_orderkey": t["o_orderkey"], "ts": t["o_orderdate"],
+            "o_totalprice": t["o_totalprice"],
+            "op": pa.array(["I"] * len(t))})]
+        um = k % 3 == 0
+        if um.any():
+            tu = t.filter(pa.array(um))
+            parts.append(pa.table({
+                "o_orderkey": tu["o_orderkey"],
+                "ts": pc.cast(pc.add(pc.cast(tu["o_orderdate"],
+                                             pa.int64()),
+                                     pa.scalar(5 * DAY,
+                                               type=pa.int64())),
+                              pa.timestamp("us")),
+                "o_totalprice": pc.add(tu["o_totalprice"], 1.0),
+                "op": pa.array(["U"] * len(tu))}))
+        dm = k % 11 == 0
+        if dm.any():
+            td = t.filter(pa.array(dm))
+            parts.append(pa.table({
+                "o_orderkey": td["o_orderkey"],
+                "ts": pc.cast(pc.add(pc.cast(td["o_orderdate"],
+                                             pa.int64()),
+                                     pa.scalar(9 * DAY,
+                                               type=pa.int64())),
+                              pa.timestamp("us")),
+                "o_totalprice": td["o_totalprice"],
+                "op": pa.array(["D"] * len(td))}))
+        return pa.concat_tables(parts)
+
+    log = ds.map_batches(mk_log, batch_format="pyarrow")
+    return snapshot_at(log, "o_orderkey", "ts",
+                       dt.datetime(1998, 7, 1))
+
+
+ORDERS_SNAPSHOT_AT_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_orderdate AS ts, o_totalprice, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 5 DAY,
+         o_totalprice + 1.0, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderdate + INTERVAL 9 DAY, o_totalprice, 'D'
+  FROM orders WHERE o_orderkey % 11 = 0
+), v AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY ts DESC) AS rn
+  FROM log WHERE ts <= TIMESTAMP '1998-07-01'
+)
+SELECT o_orderkey, ts, o_totalprice FROM v
+WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def pareto_orders(sf_dir: str) -> Dataset:
     """Skyline (``mining.pareto_frontier``): orders not dominated on
     (max total price, min order date) — block-local frontiers reduced
@@ -4963,6 +5033,7 @@ QUERIES = {
     "part_communities": part_communities,
     "sliding_slope_events": sliding_slope_events,
     "rfm_customer_segments": rfm_customer_segments,
+    "orders_snapshot_at": orders_snapshot_at,
 }
 
 ORACLE_SQL = {
@@ -5089,6 +5160,7 @@ ORACLE_SQL = {
     "also_bought_parts": ALSO_BOUGHT_PARTS_SQL,
     "sliding_slope_events": SLIDING_SLOPE_EVENTS_SQL,
     "rfm_customer_segments": RFM_CUSTOMER_SEGMENTS_SQL,
+    "orders_snapshot_at": ORDERS_SNAPSHOT_AT_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

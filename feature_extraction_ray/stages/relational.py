@@ -797,3 +797,35 @@ def apply_changes(base: Dataset, changes: Dataset, key_col: str,
     from .window import bucketed_apply
     return bucketed_apply(tagged, key_col, apply_fn, num_buckets,
                           drop_bucket=False)
+
+
+def snapshot_at(changes: Dataset, key_col: str, ts_col: str,
+                as_of, op_col: str = "op",
+                num_buckets: int = 32) -> Dataset:
+    """Point-in-time snapshot reconstruction from a CDC log: for every
+    key, the LAST change at-or-before ``as_of`` wins ('I'/'U' rows
+    materialize, 'D' means the key did not exist at that time; later
+    changes are invisible). Completes the CDC family next to
+    ``snapshot_diff`` (state → changes) and ``apply_changes``
+    (state + changes → state). ONE bucketed exchange by key; the
+    per-bucket kernel is a (key, ts) sort + run-tail pick. Ties on ts
+    within a key break by log order of ``op`` ascending — give the log
+    a unique sequence column as ``ts_col`` for total determinism."""
+    from .partition import sort_table
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        flt = tbl.filter(pc.less_equal(
+            tbl[ts_col], pa.scalar(as_of, type=tbl.schema.field(
+                ts_col).type)))
+        if len(flt) == 0:
+            return flt.drop_columns([op_col]) if op_col in \
+                flt.column_names else flt
+        flt = sort_table(flt, [key_col, ts_col])
+        k = flt[key_col].to_numpy(zero_copy_only=False)
+        last = np.flatnonzero(np.r_[k[1:] != k[:-1], True])
+        head = flt.take(pa.array(last.astype(np.int64)))
+        ops = head[op_col].to_numpy(zero_copy_only=False)
+        return head.filter(pa.array(ops != "D")).drop_columns([op_col])
+
+    from .window import bucketed_apply
+    return bucketed_apply(changes, key_col, fn, num_buckets)

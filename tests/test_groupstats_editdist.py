@@ -925,3 +925,23 @@ def test_sliding_slope_matches_polyfit(ray_session):
                            len(hist[r["u"]])) + 1.0
             ref = np.polyfit(xs, np.array(ys, dtype=float), 1)[0]
             assert r["slope"] == pytest.approx(ref, abs=1e-9), r
+
+
+def test_snapshot_at_reconstruction(ray_session):
+    from feature_extraction_ray.stages.relational import snapshot_at
+    # key 1: I@1 v=10, U@5 v=20, D@9 ; key 2: I@3 v=30 ; key 3: D@2
+    log = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2, 3]),
+        "seq": pa.array([1, 5, 9, 3, 2]),
+        "v": pa.array([10, 20, 0, 30, 0]),
+        "op": pa.array(["I", "U", "D", "I", "D"])}))
+
+    def snap(t):
+        out = snapshot_at(log, "k", "seq", t, num_buckets=2).to_pandas()
+        return {r.k: r.v for r in out.itertuples()}
+
+    assert snap(0) == {}
+    assert snap(1) == {1: 10}
+    assert snap(4) == {1: 10, 2: 30}          # key 3 deleted at 2
+    assert snap(6) == {1: 20, 2: 30}          # update wins
+    assert snap(9) == {2: 30}                 # key 1 deleted at 9
