@@ -2024,6 +2024,40 @@ def media_features(sf_dir: str):
     return extract_media_features(ds)
 
 
+def image_phash_dedup(sf_dir: str):
+    """Perceptual near-duplicate IMAGE dedup over real BMP bytes
+    (``multimodal.ahash64`` + ``image_dedup_perceptual``): block-mean
+    8×8 aHash per image, banded-Hamming clustering via the simhash
+    machinery, with two planted dups (exact copy + ±4-noise copy of
+    one image). Binary decode + iterative clustering —
+    non-SQL-expressible, rows-only check; invariances pytest-pinned."""
+    import ray.data as _rd
+    import numpy as _np
+    from ..stages.multimodal import (decode_bmp, encode_bmp,
+                                     image_dedup_perceptual,
+                                     synth_media_table)
+    tbl = synth_media_table(64)
+    kinds = tbl["media_type"].to_numpy(zero_copy_only=False)
+    img_idx = int(_np.flatnonzero(kinds == "image")[0])
+    payload = tbl["payload"][img_idx].as_py()
+    px = decode_bmp(payload)
+    rng = _np.random.default_rng(11)
+    noised = _np.clip(px.astype(int) + rng.integers(-4, 5, px.shape),
+                      0, 255).astype(_np.uint8)
+    extra = pa.table({
+        "media_id": pa.array(["dup_exact", "dup_noise"]),
+        "payload": pa.array([payload, encode_bmp(noised)],
+                            type=pa.binary()),
+        "media_type": pa.array(["image", "image"]),
+        "width": pa.array(_np.array([px.shape[1]] * 2, dtype=_np.int32)),
+        "height": pa.array(_np.array([px.shape[0]] * 2,
+                                     dtype=_np.int32)),
+        "sample_rate": pa.array(_np.array([0, 0], dtype=_np.int32)),
+        "duration_ms": pa.array(_np.array([0, 0], dtype=_np.int64))})
+    ds = _rd.from_arrow(pa.concat_tables([tbl, extra]))
+    return image_dedup_perceptual(ds, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Corpus-curation operators (stages/curation.py): benchmark
 # decontamination, per-source token-budget quota sampling, Gopher-style
@@ -5034,6 +5068,7 @@ QUERIES = {
     "sliding_slope_events": sliding_slope_events,
     "rfm_customer_segments": rfm_customer_segments,
     "orders_snapshot_at": orders_snapshot_at,
+    "image_phash_dedup": image_phash_dedup,
 }
 
 ORACLE_SQL = {

@@ -109,3 +109,47 @@ def test_frame_sampler_fanout():
     out = MM.sample_frames(rd.from_arrow(tbl), k=4).to_pandas()
     assert len(out) == 4 * n_videos
     assert set(out["frame_idx"].unique()) == {0, 1, 2, 3}
+
+
+def test_ahash_invariances_and_perceptual_dedup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.multimodal import (
+        ahash64, decode_bmp, encode_bmp, image_dedup_perceptual,
+        synth_media_table)
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    h1 = ahash64(px)
+    # exact 2x block upscale preserves the hash (block means unchanged)
+    h2 = ahash64(np.repeat(np.repeat(px, 2, axis=0), 2, axis=1))
+    assert h1 == h2
+    noised = np.clip(px.astype(int) + rng.integers(-6, 7, px.shape),
+                     0, 255).astype(np.uint8)
+    assert bin(h1 ^ ahash64(noised)).count("1") <= 6
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    assert bin(h1 ^ ahash64(other)).count("1") > 10
+    # dedup clusters planted exact + noised copies, merges nothing else
+    tbl = synth_media_table(40, seed=3)
+    kinds = tbl["media_type"].to_numpy(zero_copy_only=False)
+    img_idx = int(np.flatnonzero(kinds == "image")[0])
+    payload = tbl["payload"][img_idx].as_py()
+    src = decode_bmp(payload)
+    near = np.clip(src.astype(int) + rng.integers(-4, 5, src.shape),
+                   0, 255).astype(np.uint8)
+    extra = pa.table({
+        "media_id": pa.array(["dup_exact", "dup_noise"]),
+        "payload": pa.array([payload, encode_bmp(near)],
+                            type=pa.binary()),
+        "media_type": pa.array(["image", "image"]),
+        "width": pa.array(np.array([src.shape[1]] * 2, dtype=np.int32)),
+        "height": pa.array(np.array([src.shape[0]] * 2,
+                                    dtype=np.int32)),
+        "sample_rate": pa.array(np.array([0, 0], dtype=np.int32)),
+        "duration_ms": pa.array(np.array([0, 0], dtype=np.int64))})
+    ds = rd.from_arrow(pa.concat_tables([tbl, extra]))
+    res = image_dedup_perceptual(ds, max_hamming=3)
+    c = res.set_index("doc_id")["cluster_id"]
+    anchor = tbl["media_id"][img_idx].as_py()
+    assert c["dup_exact"] == c[anchor] and c["dup_noise"] == c[anchor]
+    assert int(res["is_duplicate"].sum()) == 2   # nothing else merged
