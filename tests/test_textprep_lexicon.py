@@ -151,3 +151,47 @@ def test_chunk_text_sliding_windows(ray_session):
     assert len(out2) == 1 and out2["n_words"].iloc[0] == 4
     with pytest.raises(ValueError):
         chunk_text(ds2, size=0, stride=2)
+
+
+def test_fit_phrases_gensim_original_scorer_parity(ray_session):
+    """VERDICT item: pin exact parity with gensim's public
+    original_scorer (Mikolov et al.): score = (c_ab - min_count) /
+    c_a / c_b * len_vocab, where len_vocab counts BOTH unigram and
+    bigram vocabulary entries (gensim stores both in Phrases.vocab)."""
+    import pyarrow as pa
+    from feature_extraction_ray.stages.textprep import fit_phrases
+    docs = ["new york new york city", "new york is big",
+            "the city is big", "big city big city"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(docs))),
+        "text": pa.array(docs)}))
+    # corpus counts (whitespace tokens, per-doc adjacent bigrams):
+    # unigrams: new=3 york=3 city=4 is=2 big=4 the=1
+    # bigrams: new_york=3 york_new=1 york_city=1 york_is=1 is_big=2
+    #          the_city=1 city_is=1 big_city=2 city_big=1
+    # len_vocab = 6 unigrams + 9 bigrams = 15
+    uni = {"new": 3, "york": 3, "city": 4, "is": 2, "big": 4, "the": 1}
+    bi = {("new", "york"): 3, ("york", "new"): 1, ("york", "city"): 1,
+          ("york", "is"): 1, ("is", "big"): 2, ("the", "city"): 1,
+          ("city", "is"): 1, ("big", "city"): 2, ("city", "big"): 1}
+    len_vocab = len(uni) + len(bi)
+
+    def gensim_original_scorer(a, b):
+        # gensim's exact IEEE order: /ca then /cb then *len_vocab
+        return (bi[(a, b)] - 2) / uni[a] / uni[b] * len_vocab
+
+    table = fit_phrases(ds, min_count=2, threshold=0.5)
+    exp = {}
+    for (a, b), c_ab in bi.items():
+        if c_ab < 2:
+            continue
+        s = gensim_original_scorer(a, b)
+        if s > 0.5:
+            exp[(a, b)] = s
+    assert set(table) == set(exp)
+    for k in exp:
+        assert table[k] == pytest.approx(exp[k], rel=1e-12), k
+    # min_count boundary: c_ab == min_count scores 0 -> excluded for
+    # any positive threshold (gensim-equivalent)
+    t0 = fit_phrases(ds, min_count=3, threshold=0.0)
+    assert ("is", "big") not in t0 and ("big", "city") not in t0
