@@ -153,3 +153,45 @@ def test_ahash_invariances_and_perceptual_dedup(ray_session):
     anchor = tbl["media_id"][img_idx].as_py()
     assert c["dup_exact"] == c[anchor] and c["dup_noise"] == c[anchor]
     assert int(res["is_duplicate"].sum()) == 2   # nothing else merged
+
+
+def test_audio_fingerprint_invariances_and_dedup(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.multimodal import (
+        audio_dedup_perceptual, audio_fingerprint64, decode_wav,
+        encode_wav, synth_media_table)
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(4000) * 6000).astype(np.int16)
+    h1 = audio_fingerprint64(x, 16000)
+    # gain-invariant (delta-coded band energies), noise-robust,
+    # content-sensitive
+    assert audio_fingerprint64((x * 0.5).astype(np.int16), 16000) == h1
+    noise = (x + rng.standard_normal(4000) * 120).astype(np.int16)
+    assert bin(h1 ^ audio_fingerprint64(noise, 16000)).count("1") <= 6
+    other = (rng.standard_normal(4000) * 6000).astype(np.int16)
+    assert bin(h1 ^ audio_fingerprint64(other, 16000)).count("1") > 10
+    # dedup: exact + gain-scaled copies cluster, nothing else merges
+    tbl = synth_media_table(40, seed=3)
+    kinds = tbl["media_type"].to_numpy(zero_copy_only=False)
+    a_idx = int(np.flatnonzero(kinds == "audio")[0])
+    payload = tbl["payload"][a_idx].as_py()
+    xx, rate = decode_wav(payload)
+    gain = np.clip(xx * 0.7 * 32768.0, -32768, 32767).astype(np.int16)
+    extra = pa.table({
+        "media_id": pa.array(["a_dup", "a_gain"]),
+        "payload": pa.array([payload, encode_wav(gain, rate)],
+                            type=pa.binary()),
+        "media_type": pa.array(["audio", "audio"]),
+        "width": pa.array(np.array([0, 0], dtype=np.int32)),
+        "height": pa.array(np.array([0, 0], dtype=np.int32)),
+        "sample_rate": pa.array(np.array([rate, rate],
+                                         dtype=np.int32)),
+        "duration_ms": pa.array(np.array([0, 0], dtype=np.int64))})
+    res = audio_dedup_perceptual(
+        rd.from_arrow(pa.concat_tables([tbl, extra])), max_hamming=3)
+    c = res.set_index("doc_id")["cluster_id"]
+    anchor = tbl["media_id"][a_idx].as_py()
+    assert c["a_dup"] == c[anchor] and c["a_gain"] == c[anchor]
+    assert int(res["is_duplicate"].sum()) == 2
