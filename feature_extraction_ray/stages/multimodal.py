@@ -569,3 +569,54 @@ def audio_dedup_perceptual(ds: Dataset, id_col: str = "media_id",
     ).to_pandas().drop_duplicates("doc_id").set_index("doc_id")[id_col]
     out["doc_id"] = out["doc_id"].map(mp)
     return out
+
+
+def video_dedup_perceptual(ds: Dataset, id_col: str = "media_id",
+                           max_hamming: int = 3,
+                           payload_col: str = "payload",
+                           type_col: str = "media_type") -> "object":
+    """Near-duplicate VIDEO dedup: each clip's fingerprint is the
+    64-bit aHash of its MEAN FRAME (pixel-wise average over demuxed
+    BMP frames — invariant to frame reordering and robust to
+    per-frame noise), clustered through the shared banded-Hamming
+    tail. Completes the image/audio/video perceptual-dedup trio."""
+    import ray
+    from . import dedup as DD
+    from .partition import _stable_hash_strings, derive_num_buckets
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        kinds = t[type_col].to_numpy(zero_copy_only=False)
+        payloads = t[payload_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sel = np.flatnonzero(kinds == "video")
+        fps = np.zeros(len(sel), dtype=np.uint64)
+        for j, i in enumerate(sel):
+            frames = [decode_bmp(f).astype(np.float64)
+                      for f in split_video_frames(payloads[i])]
+            mean = np.mean(frames, axis=0)
+            fps[j] = np.uint64(ahash64(
+                np.clip(mean, 0, 255).astype(np.uint8)))
+        ids = ids.take(pa.array(sel.astype(np.int64)))
+        iid = _stable_hash_strings(ids).astype(np.int64)
+        cols = {"doc_id": pa.array(iid), id_col: ids,
+                "simhash": pa.array(fps.astype(np.int64))}
+        for b in range(4):
+            cols[f"sim_band{b}"] = pa.array(
+                ((fps >> np.uint64(16 * b)) &
+                 np.uint64(0xFFFF)).astype(np.int64))
+        return pa.table(cols)
+
+    sig = ds.map_batches(fp_rows, batch_format="pyarrow").materialize()
+    num_buckets = derive_num_buckets(sig)
+    verified = DD._simhash_verified_pairs(
+        sig.drop_columns([id_col]), max_hamming, num_buckets)
+    out = DD._cluster_output(sig.select_columns(["doc_id"]), verified,
+                             "doc_id", num_buckets, "pandas")
+    mp = pa.concat_tables(
+        [ray.get(r) for r in
+         sig.select_columns(["doc_id", id_col]).to_arrow_refs()]
+    ).to_pandas().drop_duplicates("doc_id").set_index("doc_id")[id_col]
+    out["doc_id"] = out["doc_id"].map(mp)
+    return out

@@ -195,3 +195,34 @@ def test_audio_fingerprint_invariances_and_dedup(ray_session):
     anchor = tbl["media_id"][a_idx].as_py()
     assert c["a_dup"] == c[anchor] and c["a_gain"] == c[anchor]
     assert int(res["is_duplicate"].sum()) == 2
+
+
+def test_video_dedup_frame_reorder_invariant(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.multimodal import (
+        split_video_frames, synth_media_table, video_dedup_perceptual)
+    tbl = synth_media_table(40, seed=3)
+    kinds = tbl["media_type"].to_numpy(zero_copy_only=False)
+    v_idx = int(np.flatnonzero(kinds == "video")[0])
+    payload = tbl["payload"][v_idx].as_py()
+    reordered = b"".join(split_video_frames(payload)[::-1])
+    w = tbl["width"].slice(v_idx, 1).combine_chunks().take(
+        pa.array([0, 0]))
+    h = tbl["height"].slice(v_idx, 1).combine_chunks().take(
+        pa.array([0, 0]))
+    extra = pa.table({
+        "media_id": pa.array(["v_dup", "v_reorder"]),
+        "payload": pa.array([payload, reordered], type=pa.binary()),
+        "media_type": pa.array(["video", "video"]),
+        "width": w, "height": h,
+        "sample_rate": pa.array(np.array([0, 0], dtype=np.int32)),
+        "duration_ms": pa.array(np.array([0, 0], dtype=np.int64))})
+    res = video_dedup_perceptual(
+        rd.from_arrow(pa.concat_tables([tbl, extra])), max_hamming=3)
+    c = res.set_index("doc_id")["cluster_id"]
+    anchor = tbl["media_id"][v_idx].as_py()
+    # mean-frame hash: exact copy AND frame-reversed copy both cluster
+    assert c["v_dup"] == c[anchor] and c["v_reorder"] == c[anchor]
+    assert int(res["is_duplicate"].sum()) == 2
