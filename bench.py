@@ -215,6 +215,43 @@ def run_bench() -> dict:
         per_query["triangles_parts"] = _best_of(
             lambda: QUERIES["part_triangles"](SF_DIR).count())
 
+        # session-5 text ops over the amplified corpus: Naive Bayes
+        # fit+score (one two-key exchange + broadcast scoring), PPMI
+        # skip-gram co-occurrence (packed-pair partials, one exchange),
+        # BM25 (zero-shuffle counter fit + stateless scoring), and the
+        # sliding RAG chunker (pure offset arithmetic, zero shuffles)
+        from feature_extraction_ray.stages.text import (bm25_scores,
+                                                        fit_naive_bayes,
+                                                        naive_bayes_scores,
+                                                        ppmi_cooccurrence)
+        from feature_extraction_ray.stages.textprep import chunk_text
+
+        def _nb_run():
+            import pyarrow.compute as _pc
+
+            def strip_suffix(t):
+                # keep the ORIGINAL label space (amplification suffixes
+                # sources per copy — 400 labels would square the output)
+                base = _pc.list_element(
+                    _pc.split_pattern(t["source"], "#"), 0)
+                return t.set_column(t.column_names.index("source"),
+                                    "source", base)
+            docs = amplified_documents(SF_DIR, amp).map_batches(
+                strip_suffix, batch_format="pyarrow")
+            model = fit_naive_bayes(docs, "source")
+            naive_bayes_scores(docs, model).count()
+        per_query[f"naive_bayes_x{amp}"] = _best_of(_nb_run)
+        per_query[f"ppmi_x{amp}"] = _best_of(
+            lambda: ppmi_cooccurrence(
+                amplified_documents(SF_DIR, amp), window=2).count())
+        per_query[f"bm25_x{amp}"] = _best_of(
+            lambda: bm25_scores(
+                amplified_documents(SF_DIR, amp),
+                ["query", "join", "stream", "hash"]).count())
+        per_query[f"chunker_x{amp}"] = _best_of(
+            lambda: chunk_text(amplified_documents(SF_DIR, amp),
+                               size=24, stride=16).count())
+
         # checkpointed write path (per-partition parquet + manifests)
         import shutil, tempfile
         from feature_extraction_ray.pipelines.flagship import (
