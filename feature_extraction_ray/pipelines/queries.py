@@ -3720,6 +3720,61 @@ FROM s
 """
 
 
+def sliding_corr_events(sf_dir: str) -> Dataset:
+    """Rolling 8-row Pearson correlation between event time (seconds
+    since 2024-01-01, keeps Σx² in int64) and value cents per user
+    (``window.sliding_corr``): exact-int64 sliding sufficient
+    statistics → strictly equal derived doubles, no rounding."""
+    from ..stages.window import sliding_corr
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    EPOCH_2024_US = 1_704_067_200_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        tsec = pc.divide(pc.subtract(pc.cast(t["ts"], pa.int64()),
+                                     pa.scalar(EPOCH_2024_US,
+                                               type=pa.int64())),
+                         pa.scalar(1_000_000, type=pa.int64()))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "tsec": tsec, "cents": c})
+
+    out = sliding_corr(ds.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", ["ts", "event_id"], "tsec", "cents",
+                       window=8)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "corr"]),
+        batch_format="pyarrow")
+
+
+SLIDING_CORR_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, user_id, ts,
+         (epoch_us(ts) - 1704067200000000) // 1000000 AS tsec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), s AS (
+  SELECT event_id, user_id,
+         CAST(count(*) OVER f AS BIGINT) AS n,
+         CAST(sum(tsec) OVER f AS BIGINT) AS sx,
+         CAST(sum(cents) OVER f AS BIGINT) AS sy,
+         CAST(sum(tsec * cents) OVER f AS BIGINT) AS sxy,
+         CAST(sum(tsec * tsec) OVER f AS BIGINT) AS sxx,
+         CAST(sum(cents * cents) OVER f AS BIGINT) AS syy
+  FROM x WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+       END AS corr
+FROM s
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5069,6 +5124,7 @@ QUERIES = {
     "rfm_customer_segments": rfm_customer_segments,
     "orders_snapshot_at": orders_snapshot_at,
     "image_phash_dedup": image_phash_dedup,
+    "sliding_corr_events": sliding_corr_events,
 }
 
 ORACLE_SQL = {
@@ -5196,6 +5252,7 @@ ORACLE_SQL = {
     "sliding_slope_events": SLIDING_SLOPE_EVENTS_SQL,
     "rfm_customer_segments": RFM_CUSTOMER_SEGMENTS_SQL,
     "orders_snapshot_at": ORDERS_SNAPSHOT_AT_SQL,
+    "sliding_corr_events": SLIDING_CORR_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

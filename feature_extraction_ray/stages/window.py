@@ -847,3 +847,58 @@ def sliding_slope(ds: Dataset, entity_col: str, order_cols: Sequence[str],
             out_col, pa.array(np.where(ok, slope, 0.0), mask=~ok))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def sliding_corr(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+                 x_col: str, y_col: str, window: int,
+                 out_col: str = "corr",
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Rolling Pearson correlation of two INTEGER series per entity
+    over the trailing ``window`` rows: all sufficient statistics (n,
+    Σx, Σy, Σxy, Σx², Σy²) are exact int64 sliding sums, so ``corr =
+    (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²) · (nΣy² − (Σy)²))`` derives
+    from bit-identical integers in both engines — strictly equal
+    doubles. Windows with n < 2 or a constant side emit null. ONE
+    bucketed exchange (the covariance sibling of ``sliding_slope``)."""
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        n_rows = len(tbl)
+        if n_rows == 0:
+            return tbl.append_column(out_col,
+                                     pa.array([], type=pa.float64()))
+
+        def col64(c):
+            v = tbl[c]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            return v.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        x, y = col64(x_col), col64(y_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        pos = np.arange(n_rows, dtype=np.int64) - starts[run_id]
+
+        def sliding_sum(a: np.ndarray) -> np.ndarray:
+            cs = np.cumsum(a)
+            base = np.where(starts > 0, cs[starts - 1], 0)
+            run_cs = cs - base[run_id]
+            back = np.zeros(n_rows, dtype=np.int64)
+            far = pos >= window
+            back[far] = run_cs[np.flatnonzero(far) - window]
+            return run_cs - back
+
+        n = np.minimum(pos + 1, window)
+        sx, sy = sliding_sum(x), sliding_sum(y)
+        sxy = sliding_sum(x * y)
+        sxx, syy = sliding_sum(x * x), sliding_sum(y * y)
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        ok = (dx > 0) & (dy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num.astype(np.float64) / np.sqrt(
+                dx.astype(np.float64) * dy.astype(np.float64))
+        return tbl.append_column(
+            out_col, pa.array(np.where(ok, corr, 0.0), mask=~ok))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)

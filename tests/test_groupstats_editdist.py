@@ -945,3 +945,36 @@ def test_snapshot_at_reconstruction(ray_session):
     assert snap(4) == {1: 10, 2: 30}          # key 3 deleted at 2
     assert snap(6) == {1: 20, 2: 30}          # update wins
     assert snap(9) == {2: 30}                 # key 1 deleted at 9
+
+
+def test_sliding_corr_matches_numpy(ray_session):
+    from feature_extraction_ray.stages.window import sliding_corr
+    rng = np.random.default_rng(29)
+    n = 500
+    u = rng.integers(0, 6, n)
+    o = rng.permutation(n)
+    x = rng.integers(0, 1000, n)
+    y = x // 2 + rng.integers(-100, 100, n)   # correlated with noise
+    ds = rd.from_arrow(pa.table({"u": pa.array(u), "o": pa.array(o),
+                                 "x": pa.array(x), "y": pa.array(y)}))
+    out = _table(sliding_corr(ds, "u", ["o"], "x", "y", window=6,
+                              num_buckets=4))
+    rows = sorted(out.to_pylist(), key=lambda r: (r["u"], r["o"]))
+    hist = {}
+    for r in rows:
+        hist.setdefault(r["u"], []).append((r["x"], r["y"]))
+        w = hist[r["u"]][-6:]
+        xs = np.array([a for a, _ in w], dtype=float)
+        ys = np.array([b for _, b in w], dtype=float)
+        if len(w) < 2 or xs.std() == 0 or ys.std() == 0:
+            assert r["corr"] is None, r
+        else:
+            ref = np.corrcoef(xs, ys)[0, 1]
+            assert r["corr"] == pytest.approx(ref, abs=1e-9), r
+    # constant-side windows emit null
+    ds2 = rd.from_arrow(pa.table({
+        "u": pa.array([1, 1, 1]), "o": pa.array([0, 1, 2]),
+        "x": pa.array([5, 5, 5]), "y": pa.array([1, 2, 3])}))
+    out2 = _table(sliding_corr(ds2, "u", ["o"], "x", "y", window=3,
+                               num_buckets=2))
+    assert all(r["corr"] is None for r in out2.to_pylist())
