@@ -3775,6 +3775,32 @@ FROM s
 """
 
 
+def churn_labels_events(sf_dir: str) -> Dataset:
+    """Churn-label generation (``groupstats.churn_labels``): one row
+    per (user, active day) with churned = no activity in the next 2
+    days (last active day always churned) — packed-distinct pre-agg,
+    one bucketed exchange, sorted-run next-day diffs. All-integer;
+    lead()-window SQL oracle."""
+    from ..stages.groupstats import churn_labels
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return churn_labels(ds, "user_id", "ts", horizon_days=2)
+
+
+CHURN_LABELS_EVENTS_SQL = """
+WITH ad AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), n AS (
+  SELECT user_id, day,
+         lead(day) OVER (PARTITION BY user_id ORDER BY day) AS nxt
+  FROM ad
+)
+SELECT user_id, CAST(day AS BIGINT) AS day,
+       (nxt IS NULL OR nxt - day > 2) AS churned
+FROM n
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5125,6 +5151,7 @@ QUERIES = {
     "orders_snapshot_at": orders_snapshot_at,
     "image_phash_dedup": image_phash_dedup,
     "sliding_corr_events": sliding_corr_events,
+    "churn_labels_events": churn_labels_events,
 }
 
 ORACLE_SQL = {
@@ -5253,6 +5280,7 @@ ORACLE_SQL = {
     "rfm_customer_segments": RFM_CUSTOMER_SEGMENTS_SQL,
     "orders_snapshot_at": ORDERS_SNAPSHOT_AT_SQL,
     "sliding_corr_events": SLIDING_CORR_EVENTS_SQL,
+    "churn_labels_events": CHURN_LABELS_EVENTS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1122,3 +1122,42 @@ def grouped_distinct_count(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(pairs, group_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def churn_labels(ds: Dataset, entity_col: str, ts_col: str,
+                 horizon_days: int,
+                 num_buckets: int = 64) -> Dataset:
+    """Training-label generation: one row per (entity, active epoch-day)
+    with ``churned`` = TRUE when the entity has NO activity in the
+    following ``horizon_days`` days (next active day − day >
+    horizon; an entity's LAST active day is always churned — right-
+    censoring is the caller's policy knob). Per-batch packed DISTINCT
+    (entity, day) pre-aggregation → ONE bucketed exchange → sorted-run
+    ``next-day`` diff per entity. All-integer."""
+    from .window import bucketed_apply
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[entity_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        ku = np.unique(u * 100000 + day)
+        return pa.table({entity_col: pa.array(ku // 100000),
+                         "day": pa.array(ku % 100000)})
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        u = t[entity_col].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        ku = np.unique(u * 100000 + d)          # re-dedup across batches
+        uu, dd = ku // 100000, ku % 100000
+        last = np.r_[uu[1:] != uu[:-1], True]
+        gap = np.empty(len(ku), dtype=np.int64)
+        gap[:-1] = dd[1:] - dd[:-1]
+        gap[last] = horizon_days + 1            # last day: no next
+        return pa.table({entity_col: pa.array(uu),
+                         "day": pa.array(dd),
+                         "churned": pa.array(gap > horizon_days)})
+
+    return bucketed_apply(pairs, entity_col, per_bucket, num_buckets,
+                          drop_bucket=False)

@@ -978,3 +978,21 @@ def test_sliding_corr_matches_numpy(ray_session):
     out2 = _table(sliding_corr(ds2, "u", ["o"], "x", "y", window=3,
                                num_buckets=2))
     assert all(r["corr"] is None for r in out2.to_pylist())
+
+
+def test_churn_labels_hand_computed(ray_session):
+    import datetime as dt
+    from feature_extraction_ray.stages.groupstats import churn_labels
+    # u1 active days 0, 1, 5 (gap 4 > 2 -> day1 churned; day5 last ->
+    # churned); u2 active days 0, 2 (gap 2 <= 2 -> retained)
+    ts = [dt.datetime(1970, 1, 1, 3), dt.datetime(1970, 1, 1, 9),
+          dt.datetime(1970, 1, 2), dt.datetime(1970, 1, 6),
+          dt.datetime(1970, 1, 1), dt.datetime(1970, 1, 3)]
+    u = [1, 1, 1, 1, 2, 2]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array(u), "ts": pa.array(ts, type=pa.timestamp("us"))}))
+    out = {(r["u"], r["day"]): r["churned"]
+           for r in churn_labels(ds, "u", "ts", horizon_days=2,
+                                 num_buckets=2).take_all()}
+    assert out == {(1, 0): False, (1, 1): True, (1, 5): True,
+                   (2, 0): False, (2, 2): True}
