@@ -3801,6 +3801,51 @@ FROM n
 """
 
 
+def user_survival_km(sf_dir: str) -> Dataset:
+    """Kaplan–Meier survival over user lifetimes
+    (``groupstats.kaplan_meier``): per-duration at-risk/event counts
+    (exact ints) and survival = exp(cumsum(ln(1 − d/n))) in duration
+    order (the d == n terminal step is CASE-guarded to exactly 0.0
+    since DuckDB ln(0) raises). DuckDB's window SUM reassociates
+    (segment tree), so the log-sum differs in the last bit — round-6
+    on irrational exp/ln values is boundary-safe (the EWMA lesson)."""
+    from ..stages.groupstats import kaplan_meier
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return _round(kaplan_meier(ds, "user_id", "ts"), {"survival": 6})
+
+
+USER_SURVIVAL_KM_SQL = """
+WITH ad AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+  FROM events
+), life AS (
+  SELECT user_id, max(day) - min(day) AS dur FROM ad GROUP BY 1
+), dc AS (
+  SELECT dur, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY 1
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM life
+), r AS (
+  SELECT dur, d,
+         (SELECT n FROM tot)
+           - CAST(coalesce(sum(d) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n
+  FROM dc
+), s AS (
+  SELECT dur, d, n,
+         sum(CASE WHEN d < n
+                  THEN ln(1.0 - CAST(d AS DOUBLE) / n)
+                  ELSE 0.0 END) OVER w AS lsum,
+         max(CASE WHEN d >= n THEN 1 ELSE 0 END) OVER w AS dead
+  FROM r WINDOW w AS (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(dur AS BIGINT) AS dur, d, n,
+       round(CASE WHEN dead = 1 THEN 0.0 ELSE exp(lsum) END, 6)
+           AS survival
+FROM s
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5152,6 +5197,7 @@ QUERIES = {
     "image_phash_dedup": image_phash_dedup,
     "sliding_corr_events": sliding_corr_events,
     "churn_labels_events": churn_labels_events,
+    "user_survival_km": user_survival_km,
 }
 
 ORACLE_SQL = {
@@ -5281,6 +5327,7 @@ ORACLE_SQL = {
     "orders_snapshot_at": ORDERS_SNAPSHOT_AT_SQL,
     "sliding_corr_events": SLIDING_CORR_EVENTS_SQL,
     "churn_labels_events": CHURN_LABELS_EVENTS_SQL,
+    "user_survival_km": USER_SURVIVAL_KM_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

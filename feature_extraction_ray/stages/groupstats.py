@@ -1161,3 +1161,60 @@ def churn_labels(ds: Dataset, entity_col: str, ts_col: str,
 
     return bucketed_apply(pairs, entity_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def kaplan_meier(ds: Dataset, entity_col: str, ts_col: str) -> Dataset:
+    """Kaplan–Meier survival over entity lifetimes (duration = last −
+    first active epoch-day; synthetic-complete data, no censoring):
+    one row per distinct duration t with the at-risk count ``n_t``,
+    the event count ``d_t`` and ``survival = Π_{s ≤ t} (1 − d_s/n_s)``
+    — computed as ``exp(cumsum(ln(1 − d/n)))`` in DURATION ORDER, the
+    exact IEEE sequence the SQL twin spells (a step with d == n kills
+    survival to exactly 0.0 from there on; DuckDB's ln(0) raises, so
+    both engines guard that step with the same CASE). Exchanges: one
+    per-entity min/max groupby over batch-distinct (entity, day)
+    pairs + one tiny duration-count groupby; the ≤ #distinct-durations
+    survival table is finished on the driver."""
+    import ray
+    from ray.data.aggregate import Max, Min
+    import ray.data as rd
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        u = t[entity_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        ku = np.unique(u * 100000 + day)
+        return pa.table({entity_col: pa.array(ku // 100000),
+                         "day": pa.array(ku % 100000)})
+
+    life = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby(entity_col).aggregate(Min("day", alias_name="first"),
+                                       Max("day", alias_name="last"))
+
+    def dur_counts(t: pa.Table) -> pa.Table:
+        dur = (t["last"].to_numpy(zero_copy_only=False)
+               - t["first"].to_numpy(zero_copy_only=False))
+        u, c = np.unique(dur, return_counts=True)
+        return pa.table({"dur": pa.array(u.astype(np.int64)),
+                         "d": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    counts = life.map_batches(dur_counts, batch_format="pyarrow") \
+        .groupby("dur").aggregate(Sum("d", alias_name="d"))
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in counts.to_arrow_refs())
+         if t.num_rows])
+    order = np.argsort(tbl["dur"].to_numpy(zero_copy_only=False))
+    dur = tbl["dur"].to_numpy(zero_copy_only=False)[order]
+    d = tbl["d"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+    total = int(d.sum())
+    n = total - np.r_[0, np.cumsum(d)[:-1]]
+    alive = d < n
+    with np.errstate(divide="ignore"):
+        term = np.where(alive, np.log(1.0 - d / n), 0.0)
+    dead = np.cumsum(~alive) > 0
+    surv = np.where(dead, 0.0, np.exp(np.cumsum(term)))
+    return rd.from_arrow(pa.table({
+        "dur": pa.array(dur.astype(np.int64)), "d": pa.array(d),
+        "n": pa.array(n.astype(np.int64)),
+        "survival": pa.array(surv)}))

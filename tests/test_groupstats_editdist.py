@@ -996,3 +996,25 @@ def test_churn_labels_hand_computed(ray_session):
                                  num_buckets=2).take_all()}
     assert out == {(1, 0): False, (1, 1): True, (1, 5): True,
                    (2, 0): False, (2, 2): True}
+
+
+def test_kaplan_meier_hand_computed(ray_session):
+    import datetime as dt
+    from feature_extraction_ray.stages.groupstats import kaplan_meier
+    # lifetimes (days): u1=0, u2=0, u3=2, u4=5  ->
+    # t=0: n=4 d=2 S=1/2 ; t=2: n=2 d=1 S=1/4 ; t=5: n=1 d=1 S=0
+    base = dt.datetime(1970, 1, 1)
+    rows = [(1, 0), (1, 0), (2, 0), (2, 0), (3, 0), (3, 2),
+            (4, 0), (4, 5)]
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([u for u, _ in rows]),
+        "ts": pa.array([base + dt.timedelta(days=d) for _, d in rows],
+                       type=pa.timestamp("us"))}))
+    out = {r["dur"]: r for r in
+           kaplan_meier(ds, "u", "ts").take_all()}
+    assert out[0]["n"] == 4 and out[0]["d"] == 2
+    assert out[0]["survival"] == pytest.approx(0.5, abs=1e-12)
+    assert out[2]["n"] == 2 and out[2]["d"] == 1
+    assert out[2]["survival"] == pytest.approx(0.25, abs=1e-12)
+    assert out[5]["n"] == 1 and out[5]["d"] == 1
+    assert out[5]["survival"] == 0.0
