@@ -3846,6 +3846,53 @@ FROM s
 """
 
 
+def order_window_coverage(sf_dir: str) -> Dataset:
+    """Union-of-intervals coverage per customer
+    (``interval.interval_coverage``): each order opens a service window
+    of (orderkey % 7 + 1) days; output is the customer's total covered
+    µs, interval count and merged disjoint segments — all exact int64
+    (sweep with a segmented running max). cummax-window SQL oracle."""
+    from ..stages.interval import interval_coverage
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                  "o_orderdate"])
+    DAY = 86_400_000_000
+
+    def mk_iv(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        s = pc.cast(t["o_orderdate"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        e = s + (k % 7 + 1) * DAY
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "s": pa.array(s), "e": pa.array(e)})
+
+    return interval_coverage(ds.map_batches(mk_iv,
+                                            batch_format="pyarrow"),
+                             "o_custkey", "s", "e")
+
+
+ORDER_WINDOW_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS s,
+         epoch_us(o_orderdate)
+           + (o_orderkey % 7 + 1) * 86400000000 AS e
+  FROM orders
+), o AS (
+  SELECT o_custkey, s, e,
+         max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS pmax
+  FROM iv
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_segments,
+       CAST(sum(greatest(0, e - greatest(s, coalesce(pmax, s))))
+            AS BIGINT) AS covered
+FROM o GROUP BY 1
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5198,6 +5245,7 @@ QUERIES = {
     "sliding_corr_events": sliding_corr_events,
     "churn_labels_events": churn_labels_events,
     "user_survival_km": user_survival_km,
+    "order_window_coverage": order_window_coverage,
 }
 
 ORACLE_SQL = {
@@ -5328,6 +5376,7 @@ ORACLE_SQL = {
     "sliding_corr_events": SLIDING_CORR_EVENTS_SQL,
     "churn_labels_events": CHURN_LABELS_EVENTS_SQL,
     "user_survival_km": USER_SURVIVAL_KM_SQL,
+    "order_window_coverage": ORDER_WINDOW_COVERAGE_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

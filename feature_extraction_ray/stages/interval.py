@@ -393,3 +393,65 @@ def overlapping_intervals(ds: Dataset, by: str, key_col: str,
     cols = list(dict.fromkeys([by, key_col, start_col, end_col]))
     return bucketed_apply(ds.select_columns(cols), by, per_bucket,
                           num_buckets, drop_bucket=False)
+
+
+def interval_coverage(ds: Dataset, entity_col: str, start_col: str,
+                      end_col: str,
+                      num_buckets: int = 32) -> Dataset:
+    """Union-of-intervals coverage per entity: total length covered by
+    the (possibly overlapping) ``[start, end)`` intervals, plus the
+    interval count and the number of MERGED disjoint segments — the
+    'active time' / SLA-coverage reduction. Exact int64 over integer
+    bounds: per entity sorted by (start, end), each interval's new
+    coverage is ``max(0, end − max(start, running-max-of-previous-
+    ends))`` (the classic sweep), with the exclusive running max
+    computed by a segmented doubling scan + one within-run shift. ONE
+    bucketed exchange; output is one row per entity."""
+    import numpy as np
+    import pyarrow as pa
+    from .window import bucketed_apply, _sorted_with_starts
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col,
+                                      [start_col, end_col])
+        n = len(tbl)
+        ent = tbl[entity_col]
+        if isinstance(ent, pa.ChunkedArray):
+            ent = ent.combine_chunks()
+        if n == 0:
+            return pa.table({
+                entity_col: ent.slice(0, 0),
+                "n_intervals": pa.array([], type=pa.int64()),
+                "n_segments": pa.array([], type=pa.int64()),
+                "covered": pa.array([], type=pa.int64())})
+        s = tbl[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = tbl[end_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        # segmented inclusive running max of e (doubling scan)
+        pm = e.copy()
+        step = 1
+        max_pos = int(pos.max())
+        while step <= max_pos:
+            idx = np.flatnonzero(pos >= step)
+            pm[idx] = np.maximum(pm[idx], pm[idx - step])
+            step *= 2
+        # exclusive: previous row's inclusive max within the run
+        pmax = np.empty(n, dtype=np.int64)
+        first = pos == 0
+        pmax[~first] = pm[np.flatnonzero(~first) - 1]
+        pmax[first] = s[first]                 # first row covers e - s
+        new_cov = np.maximum(0, e - np.maximum(s, pmax))
+        seg = first | (s > pmax)
+        cnt = np.diff(np.r_[starts, n]).astype(np.int64)
+        cov = np.add.reduceat(new_cov, starts).astype(np.int64)
+        nseg = np.add.reduceat(seg.astype(np.int64), starts)
+        return pa.table({
+            entity_col: ent.take(pa.array(starts.astype(np.int64))),
+            "n_intervals": pa.array(cnt),
+            "n_segments": pa.array(nseg.astype(np.int64)),
+            "covered": pa.array(cov)})
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets,
+                          drop_bucket=False)

@@ -294,3 +294,36 @@ def test_rollup_agg_grouping_sets_guards(ray_session):
         rollup_agg(ds, ["a", "b"], "v", mode="sets", sets=[("zzz",)])
     with pytest.raises(ValueError):
         rollup_agg(ds, ["a", "b"], "v", mode="sets")
+
+
+def test_interval_coverage_union_semantics(ray_session):
+    from feature_extraction_ray.stages.interval import interval_coverage
+    # entity 1: [0,10) + [5,12) merge -> covered 12, 1 segment;
+    # [20,25) disjoint -> +5, 2 segments; contained [21,23) adds 0.
+    # entity 2: single degenerate [3,3) -> covered 0, 1 segment.
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 1, 2]),
+        "s": pa.array([0, 5, 20, 21, 3]),
+        "e": pa.array([10, 12, 25, 23, 3])}))
+    out = {r["k"]: r for r in
+           interval_coverage(ds, "k", "s", "e",
+                             num_buckets=2).take_all()}
+    assert out[1]["covered"] == 17 and out[1]["n_segments"] == 2
+    assert out[1]["n_intervals"] == 4
+    assert out[2]["covered"] == 0 and out[2]["n_segments"] == 1
+    # fuzz vs brute union
+    rng = np.random.default_rng(13)
+    n = 600
+    k = rng.integers(0, 9, n)
+    s = rng.integers(0, 1000, n)
+    ln = rng.integers(0, 60, n)
+    ds2 = rd.from_arrow(pa.table({"k": pa.array(k), "s": pa.array(s),
+                                  "e": pa.array(s + ln)}))
+    out2 = {r["k"]: r["covered"] for r in
+            interval_coverage(ds2, "k", "s", "e",
+                              num_buckets=4).take_all()}
+    for kk in range(9):
+        pts = set()
+        for ss, ee in zip(s[k == kk], (s + ln)[k == kk]):
+            pts.update(range(ss, ee))
+        assert out2[kk] == len(pts), kk
