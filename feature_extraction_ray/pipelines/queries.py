@@ -3893,6 +3893,72 @@ FROM o GROUP BY 1
 """
 
 
+def prorated_order_totals(sf_dir: str) -> Dataset:
+    """Largest-remainder proration (``groupstats.prorate_by_group``):
+    each order's total-price cents split across its line items
+    proportionally to quantity, allocations summing EXACTLY to the
+    total (leftover units to the largest remainders, ties → lowest
+    line number). attach_values join + one bucketed exchange, all
+    int64; row_number-window SQL oracle."""
+    from ..stages.cc import attach_values
+    from ..stages.groupstats import prorate_by_group
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def prep_o(t: pa.Table) -> pa.Table:
+        total = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "total": total})
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": pc.cast(t["l_linenumber"], pa.int64()),
+            "w": pc.cast(t["l_quantity"], pa.int64())})
+
+    joined = attach_values(
+        li.map_batches(prep_li, batch_format="pyarrow"), "l_orderkey",
+        orders.map_batches(prep_o, batch_format="pyarrow"),
+        "o_orderkey", ["total"])
+    out = prorate_by_group(joined, "l_orderkey", "w", "total",
+                           ["l_linenumber"])
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "alloc"]),
+        batch_format="pyarrow")
+
+
+PRORATED_ORDER_TOTALS_SQL = """
+WITH li AS (
+  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), o AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total
+  FROM orders
+), j AS (
+  SELECT li.l_orderkey, li.l_linenumber, li.w, o.total,
+         CAST(sum(li.w) OVER (PARTITION BY li.l_orderkey) AS BIGINT)
+             AS tw
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+), b AS (
+  SELECT *, (total * w) // tw AS base, (total * w) % tw AS rem FROM j
+), r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY rem DESC, l_linenumber) AS rk,
+         total - CAST(sum(base) OVER (PARTITION BY l_orderkey)
+                      AS BIGINT) AS leftover
+  FROM b
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5246,6 +5312,7 @@ QUERIES = {
     "churn_labels_events": churn_labels_events,
     "user_survival_km": user_survival_km,
     "order_window_coverage": order_window_coverage,
+    "prorated_order_totals": prorated_order_totals,
 }
 
 ORACLE_SQL = {
@@ -5377,6 +5444,7 @@ ORACLE_SQL = {
     "churn_labels_events": CHURN_LABELS_EVENTS_SQL,
     "user_survival_km": USER_SURVIVAL_KM_SQL,
     "order_window_coverage": ORDER_WINDOW_COVERAGE_SQL,
+    "prorated_order_totals": PRORATED_ORDER_TOTALS_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1218,3 +1218,47 @@ def kaplan_meier(ds: Dataset, entity_col: str, ts_col: str) -> Dataset:
         "dur": pa.array(dur.astype(np.int64)), "d": pa.array(d),
         "n": pa.array(n.astype(np.int64)),
         "survival": pa.array(surv)}))
+
+
+def prorate_by_group(ds: Dataset, group_col: str, weight_col: str,
+                     total_col: str, order_cols: Sequence[str],
+                     out_col: str = "alloc",
+                     num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Largest-remainder proration: split each group's INTEGER total
+    across its rows proportionally to an integer weight so the
+    allocations SUM EXACTLY to the total — the invoice/budget
+    allocation primitive floating-point division cannot provide. Base
+    share = ``total·wᵢ // W``; the leftover units go to the rows with
+    the largest remainders ``(total·wᵢ) mod W`` (ties → first in
+    ``order_cols`` order). All int64 (requires ``total·max(w)`` <
+    2⁶³); zero-weight groups allocate by remainder order alone (every
+    base is 0). ONE bucketed exchange."""
+    from .window import bucketed_apply, _sorted_with_starts
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, group_col, order_cols)
+        n = len(tbl)
+        if n == 0:
+            return tbl.append_column(out_col,
+                                     pa.array([], type=pa.int64()))
+        w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        total = tbl[total_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        W = np.add.reduceat(w, starts)[run_id]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            prod = total * w
+            base = np.where(W > 0, prod // np.maximum(W, 1), 0)
+            rem = np.where(W > 0, prod % np.maximum(W, 1), w)
+        leftover = (total[starts] -
+                    np.add.reduceat(base, starts)).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64) - starts[run_id]
+        order = np.lexsort((pos, -rem, run_id))
+        rank = np.arange(n) - starts[run_id[order]]
+        gets_one = np.zeros(n, dtype=np.int64)
+        gets_one[order] = rank < leftover[run_id[order]]
+        return tbl.append_column(out_col, pa.array(base + gets_one))
+
+    return bucketed_apply(ds, group_col, fn, num_buckets)

@@ -1018,3 +1018,33 @@ def test_kaplan_meier_hand_computed(ray_session):
     assert out[2]["survival"] == pytest.approx(0.25, abs=1e-12)
     assert out[5]["n"] == 1 and out[5]["d"] == 1
     assert out[5]["survival"] == 0.0
+
+
+def test_prorate_by_group_exact_and_proportional(ray_session):
+    from feature_extraction_ray.stages.groupstats import prorate_by_group
+    rng = np.random.default_rng(3)
+    n = 1000
+    g = rng.integers(0, 30, n)
+    w = rng.integers(1, 50, n)
+    tot = {k: int(rng.integers(100, 100000)) for k in range(30)}
+    total = np.array([tot[k] for k in g])
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(g), "w": pa.array(w),
+        "total": pa.array(total), "ln": pa.array(np.arange(n))}))
+    out = prorate_by_group(ds, "g", "w", "total", ["ln"],
+                           num_buckets=4).to_pandas()
+    sums = out.groupby("g")["alloc"].sum()
+    for k in range(30):
+        assert sums[k] == tot[k]                    # EXACT totals
+        sub = out[out["g"] == k]
+        ideal = tot[k] * sub["w"].values / sub["w"].sum()
+        assert (np.abs(sub["alloc"].values - ideal) < 1.0).all()
+    # hand case incl. largest-remainder tie -> first line wins
+    ds2 = rd.from_arrow(pa.table({
+        "g": pa.array([1, 1, 1]), "w": pa.array([1, 1, 1]),
+        "total": pa.array([100, 100, 100]),
+        "ln": pa.array([0, 1, 2])}))
+    out2 = prorate_by_group(ds2, "g", "w", "total", ["ln"],
+                            num_buckets=2).to_pandas() \
+        .sort_values("ln")
+    assert out2["alloc"].tolist() == [34, 33, 33]
