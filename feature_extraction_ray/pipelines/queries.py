@@ -3959,6 +3959,79 @@ FROM r
 """
 
 
+def psi_value_by_type(sf_dir: str) -> Dataset:
+    """Population Stability Index per event type between A/B arms
+    (``groupstats.psi_by_group``): exact reference-arm deciles from a
+    zero-shuffle value histogram, Laplace-smoothed bin shares, ONE tiny
+    count groupby; round-6 on irrational logs (bin-sum order
+    differs)."""
+    from ..stages.groupstats import psi_by_group
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0), 0.5)),
+                    pa.int64())
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"], "cents": c,
+                         "arm": pa.array((ids % 2).astype("int64"))})
+
+    out = psi_by_group(ds.map_batches(prep, batch_format="pyarrow"),
+                       "event_type", "cents", "arm")
+    return _round(out, {"psi": 6})
+
+
+PSI_VALUE_BY_TYPE_SQL = """
+WITH x AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         event_id % 2 AS arm
+  FROM events
+), b AS (
+  SELECT DISTINCT bval FROM (
+    SELECT unnest([quantile_disc(v, 0.1), quantile_disc(v, 0.2),
+                   quantile_disc(v, 0.3), quantile_disc(v, 0.4),
+                   quantile_disc(v, 0.5), quantile_disc(v, 0.6),
+                   quantile_disc(v, 0.7), quantile_disc(v, 0.8),
+                   quantile_disc(v, 0.9)]) AS bval
+    FROM x WHERE arm = 0)
+), nbs AS (
+  SELECT CAST(count(*) + 1 AS BIGINT) AS nb FROM b
+), binned AS (
+  SELECT g, arm, (SELECT count(*) FROM b WHERE bval < x.v) AS bin
+  FROM x
+), cnts AS (
+  SELECT g, arm, bin, CAST(count(*) AS BIGINT) AS c
+  FROM binned GROUP BY 1, 2, 3
+), grid AS (
+  SELECT DISTINCT g FROM x
+), bins AS (
+  SELECT unnest(generate_series(0, (SELECT nb FROM nbs) - 1)) AS bin
+), fullg AS (
+  SELECT grid.g, a.arm, bins.bin, coalesce(cnts.c, 0) AS c
+  FROM grid CROSS JOIN (VALUES (0), (1)) a(arm) CROSS JOIN bins
+  LEFT JOIN cnts ON cnts.g = grid.g AND cnts.arm = a.arm
+                AND cnts.bin = bins.bin
+), n AS (
+  SELECT g, arm, CAST(sum(c) AS BIGINT) AS n FROM fullg GROUP BY 1, 2
+), pq AS (
+  SELECT f0.g, f0.bin,
+         (CAST(f0.c AS DOUBLE) + 0.5)
+           / (n0.n + (SELECT nb FROM nbs) * 0.5) AS p,
+         (CAST(f1.c AS DOUBLE) + 0.5)
+           / (n1.n + (SELECT nb FROM nbs) * 0.5) AS q,
+         n0.n AS n_ref, n1.n AS n_cmp
+  FROM fullg f0
+  JOIN fullg f1 ON f1.g = f0.g AND f1.bin = f0.bin AND f1.arm = 1
+  JOIN n n0 ON n0.g = f0.g AND n0.arm = 0
+  JOIN n n1 ON n1.g = f0.g AND n1.arm = 1
+  WHERE f0.arm = 0
+)
+SELECT g AS event_type, n_ref, n_cmp,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM pq GROUP BY 1, 2, 3
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5313,6 +5386,7 @@ QUERIES = {
     "user_survival_km": user_survival_km,
     "order_window_coverage": order_window_coverage,
     "prorated_order_totals": prorated_order_totals,
+    "psi_value_by_type": psi_value_by_type,
 }
 
 ORACLE_SQL = {
@@ -5445,6 +5519,7 @@ ORACLE_SQL = {
     "user_survival_km": USER_SURVIVAL_KM_SQL,
     "order_window_coverage": ORDER_WINDOW_COVERAGE_SQL,
     "prorated_order_totals": PRORATED_ORDER_TOTALS_SQL,
+    "psi_value_by_type": PSI_VALUE_BY_TYPE_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1262,3 +1262,92 @@ def prorate_by_group(ds: Dataset, group_col: str, weight_col: str,
         return tbl.append_column(out_col, pa.array(base + gets_one))
 
     return bucketed_apply(ds, group_col, fn, num_buckets)
+
+
+def psi_by_group(ds: Dataset, group_col: str, value_col: str,
+                 split_col: str, n_bins: int = 10) -> Dataset:
+    """Population Stability Index per group — the standard drift
+    monitor between a reference arm (``split_col == 0``) and a
+    comparison arm (1): global decile boundaries come from the
+    reference arm's EXACT quantile_disc quantiles (computed from a
+    zero-shuffle value-histogram reduction — exact at any scale for
+    bounded-cardinality integer values, no sort), rows bin by
+    #boundaries-strictly-below, per-(group, arm, bin) counts ride one
+    tiny groupby, and ``PSI = Σ_bins (p − q)·ln(p/q)`` with Laplace
+    smoothing ``p = (c + 0.5)/(n + n_bins/2)`` — an identical IEEE
+    expression in the SQL twin (bin-sum order differs → round
+    downstream). Returns (group, n_ref, n_cmp, psi)."""
+    from ray.data.aggregate import Sum
+
+    # exact reference-arm quantiles via a value histogram (ints only)
+    def hist_partial(t: pa.Table) -> pa.Table:
+        arm = t[split_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = v[arm == 0]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    vv = hist["v"].to_numpy()
+    cc = hist["c"].to_numpy()
+    n_ref_total = int(cc.sum())
+    cum = np.cumsum(cc)
+    # quantile_disc: sorted value at 1-based index max(1, ceil(q*n))
+    bounds = []
+    for j in range(1, n_bins):
+        idx = max(1, int(np.ceil(j / n_bins * n_ref_total)))
+        bounds.append(int(vv[np.searchsorted(cum, idx)]))
+    bounds_arr = np.array(sorted(set(bounds)), dtype=np.int64)
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        de = g.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        arm = t[split_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # bin = #boundaries strictly below x
+        b = np.searchsorted(bounds_arr, v, side="left")
+        k = len(de.dictionary)
+        packed = (codes * 2 + arm) * (len(bounds_arr) + 1) + b
+        u, c = np.unique(packed, return_counts=True)
+        nb = len(bounds_arr) + 1
+        return pa.table({
+            group_col: de.dictionary.take(pa.array(u // (2 * nb))),
+            "arm": pa.array(((u // nb) % 2).astype(np.int64)),
+            "bin": pa.array((u % nb).astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(bin_counts, batch_format="pyarrow") \
+        .groupby([group_col, "arm", "bin"]) \
+        .aggregate(Sum("c", alias_name="c"))
+
+    nb = len(bounds_arr) + 1
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas()
+        out = []
+        for grp, sub in df.groupby(group_col, sort=True):
+            cr = np.zeros(nb)
+            cm = np.zeros(nb)
+            for _, r in sub.iterrows():
+                (cr if r["arm"] == 0 else cm)[int(r["bin"])] = r["c"]
+            n_r, n_c = cr.sum(), cm.sum()
+            p = (cr + 0.5) / (n_r + nb * 0.5)
+            q = (cm + 0.5) / (n_c + nb * 0.5)
+            psi = float(((p - q) * np.log(p / q)).sum())
+            out.append((grp, int(n_r), int(n_c), psi))
+        return pa.table({
+            group_col: pa.array([o[0] for o in out]),
+            "n_ref": pa.array([o[1] for o in out], type=pa.int64()),
+            "n_cmp": pa.array([o[2] for o in out], type=pa.int64()),
+            "psi": pa.array([o[3] for o in out], type=pa.float64())})
+
+    # the count table is #groups × 2 × n_bins rows — one task finishes it
+    return counts.repartition(1).map_batches(finish,
+                                             batch_format="pyarrow")

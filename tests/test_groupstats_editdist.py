@@ -1048,3 +1048,22 @@ def test_prorate_by_group_exact_and_proportional(ray_session):
                             num_buckets=2).to_pandas() \
         .sort_values("ln")
     assert out2["alloc"].tolist() == [34, 33, 33]
+
+
+def test_psi_by_group_detects_planted_drift(ray_session):
+    from feature_extraction_ray.stages.groupstats import psi_by_group
+    rng = np.random.default_rng(7)
+    n = 4000
+    g = np.where(np.arange(n) % 2 == 0, "stable", "drifted")
+    arm = rng.integers(0, 2, n)
+    v = rng.integers(0, 1000, n)
+    # plant a big shift in the drifted group's comparison arm
+    v = np.where((g == "drifted") & (arm == 1), v + 700, v)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v),
+                                 "arm": pa.array(arm)}))
+    out = {r["g"]: r for r in
+           psi_by_group(ds, "g", "v", "arm").take_all()}
+    assert out["stable"]["psi"] < 0.1          # industry "no drift" bar
+    assert out["drifted"]["psi"] > 0.5         # strong drift flagged
+    assert out["stable"]["n_ref"] + out["stable"]["n_cmp"] == \
+        int((g == "stable").sum())
