@@ -4032,6 +4032,52 @@ FROM pq GROUP BY 1, 2, 3
 """
 
 
+def gini_order_value_by_segment(sf_dir: str) -> Dataset:
+    """Gini concentration of order-value cents per market segment
+    (``groupstats.gini_by_group``): exact int64 numerator/denominator
+    → the single division compares strictly equal against the
+    row_number-window SQL twin. Joins the customer segment on via
+    attach_values."""
+    from ..stages.cc import attach_values
+    from ..stages.groupstats import gini_by_group
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    joined = attach_values(
+        orders.map_batches(prep, batch_format="pyarrow"), "o_custkey",
+        cust, "c_custkey", ["c_mktsegment"])
+    return gini_by_group(joined, "c_mktsegment", "cents")
+
+
+GINI_ORDER_VALUE_BY_SEGMENT_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), r AS (
+  SELECT c_mktsegment, cents,
+         CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY cents) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n,
+         CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT)
+             AS sx
+  FROM x
+)
+SELECT c_mktsegment, n,
+       CASE WHEN n > 1 AND n * sx > 0
+            THEN CAST(sum((2 * i - n - 1) * cents) AS DOUBLE)
+                 / CAST(n * sx AS DOUBLE)
+       END AS gini
+FROM r GROUP BY c_mktsegment, n, sx
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5387,6 +5433,7 @@ QUERIES = {
     "order_window_coverage": order_window_coverage,
     "prorated_order_totals": prorated_order_totals,
     "psi_value_by_type": psi_value_by_type,
+    "gini_order_value_by_segment": gini_order_value_by_segment,
 }
 
 ORACLE_SQL = {
@@ -5520,6 +5567,7 @@ ORACLE_SQL = {
     "order_window_coverage": ORDER_WINDOW_COVERAGE_SQL,
     "prorated_order_totals": PRORATED_ORDER_TOTALS_SQL,
     "psi_value_by_type": PSI_VALUE_BY_TYPE_SQL,
+    "gini_order_value_by_segment": GINI_ORDER_VALUE_BY_SEGMENT_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

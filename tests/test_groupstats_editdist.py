@@ -1067,3 +1067,20 @@ def test_psi_by_group_detects_planted_drift(ray_session):
     assert out["drifted"]["psi"] > 0.5         # strong drift flagged
     assert out["stable"]["n_ref"] + out["stable"]["n_cmp"] == \
         int((g == "stable").sum())
+
+
+def test_gini_by_group_known_values(ray_session):
+    from feature_extraction_ray.stages.groupstats import gini_by_group
+    # perfect equality -> 0 ; extreme concentration -> (n-1)/n
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["eq"] * 4 + ["conc"] * 4 + ["mix"] * 4
+                      + ["solo"]),
+        "v": pa.array([5, 5, 5, 5, 0, 0, 0, 100, 1, 2, 3, 4, 9])}))
+    out = {r["g"]: r for r in gini_by_group(ds, "g", "v",
+                                            num_buckets=2).take_all()}
+    assert out["eq"]["gini"] == 0.0
+    assert out["conc"]["gini"] == pytest.approx(3 / 4, abs=1e-15)
+    # hand: sorted 1,2,3,4 -> num = (2-5)*1+(4-5)*2+(6-5)*3+(8-5)*4=10
+    # den = 4*10=40 -> 0.25
+    assert out["mix"]["gini"] == 0.25
+    assert out["solo"]["gini"] is None          # n < 2 -> null
