@@ -4078,6 +4078,59 @@ FROM r GROUP BY c_mktsegment, n, sx
 """
 
 
+def benford_price_by_flag(sf_dir: str) -> Dataset:
+    """Benford first-digit χ² per return flag over extended-price cents
+    (``groupstats.benford_test``): identical string-slice digit
+    extraction and IEEE χ² expression in the SQL twin; round-6 on the
+    irrational statistic (digit-sum order differs)."""
+    from ..stages.groupstats import benford_test
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "cents": cents})
+
+    out = benford_test(ds.map_batches(prep, batch_format="pyarrow"),
+                       "l_returnflag", "cents")
+    return _round(out, {"chi2": 6})
+
+
+BENFORD_PRICE_BY_FLAG_SQL = """
+WITH x AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+), d AS (
+  SELECT l_returnflag,
+         CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS c
+  FROM x WHERE cents > 0 GROUP BY 1, 2
+), digits AS (
+  SELECT unnest(generate_series(1, 9)) AS digit
+), grid AS (
+  SELECT g.l_returnflag, digits.digit, coalesce(d.c, 0) AS c
+  FROM (SELECT DISTINCT l_returnflag FROM x) g
+  CROSS JOIN digits
+  LEFT JOIN d ON d.l_returnflag = g.l_returnflag
+             AND d.digit = digits.digit
+), n AS (
+  SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n
+  FROM grid GROUP BY 1
+)
+SELECT grid.l_returnflag, n.n,
+       round(sum((CAST(grid.c AS DOUBLE)
+                  - n.n * (ln(1.0 + 1.0 / grid.digit) / ln(10.0)))
+                 * (CAST(grid.c AS DOUBLE)
+                    - n.n * (ln(1.0 + 1.0 / grid.digit) / ln(10.0)))
+                 / (n.n * (ln(1.0 + 1.0 / grid.digit) / ln(10.0)))),
+             6) AS chi2
+FROM grid JOIN n USING (l_returnflag)
+GROUP BY 1, 2
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5434,6 +5487,7 @@ QUERIES = {
     "prorated_order_totals": prorated_order_totals,
     "psi_value_by_type": psi_value_by_type,
     "gini_order_value_by_segment": gini_order_value_by_segment,
+    "benford_price_by_flag": benford_price_by_flag,
 }
 
 ORACLE_SQL = {
@@ -5568,6 +5622,7 @@ ORACLE_SQL = {
     "prorated_order_totals": PRORATED_ORDER_TOTALS_SQL,
     "psi_value_by_type": PSI_VALUE_BY_TYPE_SQL,
     "gini_order_value_by_segment": GINI_ORDER_VALUE_BY_SEGMENT_SQL,
+    "benford_price_by_flag": BENFORD_PRICE_BY_FLAG_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

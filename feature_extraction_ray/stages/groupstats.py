@@ -1395,3 +1395,57 @@ def gini_by_group(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(ds, group_col, fn, num_buckets,
                           drop_bucket=False)
+
+
+def benford_test(ds: Dataset, group_col: str, value_col: str) -> Dataset:
+    """Benford's-law conformance per group — the classic fraud /
+    data-quality screen: first-significant-digit counts of POSITIVE
+    integer values (digit = first character of the decimal string,
+    identical extraction in the SQL twin) vs the Benford expectation
+    ``p_d = ln(1 + 1/d)/ln(10)``, scored as the χ² statistic
+    ``Σ_d (obs_d − n·p_d)² / (n·p_d)``. Per-batch packed (group,
+    digit) counts → ONE tiny groupby; χ² finished vectorized. Returns
+    (group, n, chi2)."""
+    from ray.data.aggregate import Sum
+
+    def digit_counts(t: pa.Table) -> pa.Table:
+        g = t[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        de = g.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = v > 0
+        codes, v = codes[keep], v[keep]
+        s = pc.cast(pa.array(v), pa.string())
+        d = pc.cast(pc.utf8_slice_codeunits(s, 0, 1),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique(codes * 10 + d, return_counts=True)
+        return pa.table({
+            group_col: de.dictionary.take(pa.array(u // 10)),
+            "digit": pa.array((u % 10).astype(np.int64)),
+            "c": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(digit_counts, batch_format="pyarrow") \
+        .groupby([group_col, "digit"]).aggregate(Sum("c", alias_name="c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = t.to_pandas()
+        out = []
+        p = np.log(1.0 + 1.0 / np.arange(1, 10)) / np.log(10.0)
+        for grp, sub in df.groupby(group_col, sort=True):
+            obs = np.zeros(9)
+            for _, r in sub.iterrows():
+                obs[int(r["digit"]) - 1] = r["c"]
+            n = obs.sum()
+            exp_ = n * p
+            chi2 = float((((obs - exp_) * (obs - exp_)) / exp_).sum())
+            out.append((grp, int(n), chi2))
+        return pa.table({
+            group_col: pa.array([o[0] for o in out]),
+            "n": pa.array([o[1] for o in out], type=pa.int64()),
+            "chi2": pa.array([o[2] for o in out], type=pa.float64())})
+
+    return counts.repartition(1).map_batches(finish,
+                                             batch_format="pyarrow")

@@ -1084,3 +1084,20 @@ def test_gini_by_group_known_values(ray_session):
     # den = 4*10=40 -> 0.25
     assert out["mix"]["gini"] == 0.25
     assert out["solo"]["gini"] is None          # n < 2 -> null
+
+
+def test_benford_test_detects_conformance(ray_session):
+    from feature_extraction_ray.stages.groupstats import benford_test
+    rng = np.random.default_rng(5)
+    # log-uniform values follow Benford; uniform values violate it
+    benford_v = np.exp(rng.uniform(np.log(10), np.log(10**6),
+                                   4000)).astype(np.int64)
+    uniform_v = rng.integers(10**5, 2 * 10**5, 4000)
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["benford"] * 4000 + ["uniform"] * 4000),
+        "v": pa.array(np.r_[benford_v, uniform_v])}))
+    out = {r["g"]: r for r in benford_test(ds, "g", "v").take_all()}
+    # chi2 critical value at 8 df / p=0.001 is 26.1
+    assert out["benford"]["chi2"] < 26.1
+    assert out["uniform"]["chi2"] > 1000
+    assert out["benford"]["n"] == 4000
