@@ -4131,6 +4131,45 @@ GROUP BY 1, 2
 """
 
 
+def user_golden_record(sf_dir: str) -> Dataset:
+    """Golden-record consolidation (``relational.golden_record``): one
+    row per user where event_type and a planted-null value column each
+    independently take their LAST NON-NULL value by (ts, event_id) —
+    survivorship across source rows. arg_max SQL oracle (DuckDB
+    arg_max skips null values; (user, ts) is unique in the data).
+    Pass-through values bit-safe."""
+    from ..stages.relational import golden_record
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts",
+                                  "event_type", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        null_mask = pa.array(ids % 23 == 0)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"], "event_type": t["event_type"],
+            "value": pc.if_else(null_mask,
+                                pa.scalar(None, type=pa.float64()),
+                                t["value"])})
+
+    return golden_record(ds.map_batches(plant, batch_format="pyarrow"),
+                         "user_id", ["ts", "event_id"],
+                         ["event_type", "value"])
+
+
+USER_GOLDEN_RECORD_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_id % 23 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT user_id,
+       arg_max(event_type, ts) AS event_type,
+       arg_max(value, ts) AS value
+FROM e GROUP BY 1
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5488,6 +5527,7 @@ QUERIES = {
     "psi_value_by_type": psi_value_by_type,
     "gini_order_value_by_segment": gini_order_value_by_segment,
     "benford_price_by_flag": benford_price_by_flag,
+    "user_golden_record": user_golden_record,
 }
 
 ORACLE_SQL = {
@@ -5623,6 +5663,7 @@ ORACLE_SQL = {
     "psi_value_by_type": PSI_VALUE_BY_TYPE_SQL,
     "gini_order_value_by_segment": GINI_ORDER_VALUE_BY_SEGMENT_SQL,
     "benford_price_by_flag": BENFORD_PRICE_BY_FLAG_SQL,
+    "user_golden_record": USER_GOLDEN_RECORD_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

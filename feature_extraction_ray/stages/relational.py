@@ -829,3 +829,50 @@ def snapshot_at(changes: Dataset, key_col: str, ts_col: str,
 
     from .window import bucketed_apply
     return bucketed_apply(changes, key_col, fn, num_buckets)
+
+
+def golden_record(ds: Dataset, key_col: str,
+                  order_cols: Sequence[str],
+                  value_cols: Sequence[str],
+                  num_buckets: int = 32) -> Dataset:
+    """Master-data golden record: collapse each key to ONE row where
+    every value column independently takes its LAST NON-NULL value in
+    ``order_cols`` order (different columns may come from different
+    source rows — the survivorship rule record consolidation uses);
+    a column with no non-null value stays null. ONE bucketed
+    exchange; per column the kernel is one reversed validity argmax
+    over sorted runs — no per-row Python."""
+    from .window import bucketed_apply, _sorted_with_starts
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, key_col, list(order_cols))
+        n = len(tbl)
+        key = tbl[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        starts = np.flatnonzero(ng) if n else np.zeros(0, np.int64)
+        run_id = np.cumsum(ng) - 1 if n else np.zeros(0, np.int64)
+        out = {key_col: key.take(pa.array(starts.astype(np.int64)))}
+        if n:
+            run_start = starts[run_id]
+        for c in value_cols:
+            col = tbl[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if n == 0:
+                out[c] = col.slice(0, 0)
+                continue
+            valid = ~np.asarray(pc.is_null(col).to_numpy(
+                zero_copy_only=False))
+            idx = np.arange(n)
+            # last valid index at-or-before each row, reset per run
+            lastg = np.maximum.accumulate(np.where(valid, idx, -1))
+            last = np.where(lastg >= run_start, lastg, -1)
+            pick = last[np.r_[starts[1:] - 1, n - 1]]   # at run ends
+            take = pa.array([int(p) if p >= 0 else None for p in pick],
+                            type=pa.int64())
+            out[c] = col.take(take)
+        return pa.table(out)
+
+    return bucketed_apply(ds, key_col, fn, num_buckets,
+                          drop_bucket=False)

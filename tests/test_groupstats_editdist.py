@@ -1101,3 +1101,19 @@ def test_benford_test_detects_conformance(ray_session):
     assert out["benford"]["chi2"] < 26.1
     assert out["uniform"]["chi2"] > 1000
     assert out["benford"]["n"] == 4000
+
+
+def test_golden_record_survivorship(ray_session):
+    from feature_extraction_ray.stages.relational import golden_record
+    # key 1: a's last non-null at t=3, b's last non-null at t=2
+    # (columns survive from DIFFERENT rows); key 2 all-null b
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1, 1, 2]),
+        "t": pa.array([1, 2, 3, 1]),
+        "a": pa.array(["x", "y", "z", "q"]),
+        "b": pa.array([10.0, 20.0, None, None])}))
+    out = {r["k"]: r for r in
+           golden_record(ds, "k", ["t"], ["a", "b"],
+                         num_buckets=2).take_all()}
+    assert out[1]["a"] == "z" and out[1]["b"] == 20.0
+    assert out[2]["a"] == "q" and out[2]["b"] is None
