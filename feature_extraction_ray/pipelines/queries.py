@@ -4170,6 +4170,48 @@ FROM e GROUP BY 1
 """
 
 
+def weighted_median_price_by_flag(sf_dir: str) -> Dataset:
+    """Quantity-weighted median of extended-price cents per return
+    flag (``groupstats.weighted_median_by_group``): first value whose
+    doubled running weight reaches the group total — exact integer
+    comparisons, value passes through bit-safe; crossing-block is
+    invariant under equal-value permutations so the ROWS-frame SQL
+    twin matches strictly."""
+    from ..stages.groupstats import weighted_median_by_group
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "cents": cents,
+                         "w": pc.cast(t["l_quantity"], pa.int64())})
+
+    return weighted_median_by_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "cents", "w")
+
+
+WEIGHTED_MEDIAN_PRICE_BY_FLAG_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS w
+  FROM lineitem
+), r AS (
+  SELECT g, v,
+         CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+         CAST(sum(w) OVER (PARTITION BY g) AS BIGINT) AS wt
+  FROM x
+)
+SELECT g AS l_returnflag, max(wt) AS w_total,
+       min(v) FILTER (WHERE 2 * cumw >= wt) AS w_median
+FROM r GROUP BY 1
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5528,6 +5570,7 @@ QUERIES = {
     "gini_order_value_by_segment": gini_order_value_by_segment,
     "benford_price_by_flag": benford_price_by_flag,
     "user_golden_record": user_golden_record,
+    "weighted_median_price_by_flag": weighted_median_price_by_flag,
 }
 
 ORACLE_SQL = {
@@ -5664,6 +5707,7 @@ ORACLE_SQL = {
     "gini_order_value_by_segment": GINI_ORDER_VALUE_BY_SEGMENT_SQL,
     "benford_price_by_flag": BENFORD_PRICE_BY_FLAG_SQL,
     "user_golden_record": USER_GOLDEN_RECORD_SQL,
+    "weighted_median_price_by_flag": WEIGHTED_MEDIAN_PRICE_BY_FLAG_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1449,3 +1449,57 @@ def benford_test(ds: Dataset, group_col: str, value_col: str) -> Dataset:
 
     return counts.repartition(1).map_batches(finish,
                                              batch_format="pyarrow")
+
+
+def weighted_median_by_group(ds: Dataset, group_col: str,
+                             value_col: str, weight_col: str,
+                             num_buckets: int = DEFAULT_NUM_BUCKETS
+                             ) -> Dataset:
+    """Lower weighted median per group over integer values/weights:
+    the first value (ascending) whose running weight reaches half the
+    total — ``min v : 2·cumw(v) ≥ W`` — an ACTUAL data value
+    (bit-safe pass-through, quantile_disc-style convention, exact
+    integer comparisons so the SQL twin matches strictly). Zero-total
+    groups emit null. ONE bucketed exchange, sorted-run cumsum."""
+    from .window import bucketed_apply
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, value_col])
+        ng = entity_group_starts(tbl, group_col)
+        n_rows = len(tbl)
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        if n_rows == 0:
+            return pa.table({group_col: grp.slice(0, 0),
+                             "w_total": pa.array([], type=pa.int64()),
+                             "w_median": pa.array([], type=pa.int64())})
+        v = tbl[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        w = tbl[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        cs = np.cumsum(w)
+        base = np.where(starts > 0, cs[starts - 1], 0)
+        cumw = cs - base[run_id]
+        W = np.add.reduceat(w, starts)
+        hit = 2 * cumw >= W[run_id]
+        # first hit per run: positions where hit & (first in run to hit)
+        idx = np.arange(n_rows)
+        first_hit_g = np.minimum.accumulate(
+            np.where(hit, idx, n_rows)[::-1])[::-1]
+        # per-run first hit = value at min hit index within run
+        run_end = np.r_[starts[1:], n_rows] - 1
+        pick = first_hit_g[starts]
+        ok = (W > 0) & (pick <= run_end)
+        take = pa.array([int(p) if o else None
+                         for p, o in zip(pick, ok)], type=pa.int64())
+        return pa.table({
+            group_col: grp.take(pa.array(starts.astype(np.int64))),
+            "w_total": pa.array(W.astype(np.int64)),
+            "w_median": v.take(take)})
+
+    return bucketed_apply(ds, group_col, fn, num_buckets,
+                          drop_bucket=False)

@@ -1117,3 +1117,38 @@ def test_golden_record_survivorship(ray_session):
                          num_buckets=2).take_all()}
     assert out[1]["a"] == "z" and out[1]["b"] == 20.0
     assert out[2]["a"] == "q" and out[2]["b"] is None
+
+
+def test_weighted_median_by_group_convention(ray_session):
+    from feature_extraction_ray.stages.groupstats import (
+        weighted_median_by_group)
+    # g1: values 1(w5) 2(w1) 3(w1): W=7, 2*5 >= 7 at v=1 -> median 1
+    # g2: values 1(w1) 2(w1): W=2, 2*1 >= 2 at v=1 -> lower median 1
+    # g3: all-zero weights -> null
+    ds = rd.from_arrow(pa.table({
+        "g": pa.array(["g1", "g1", "g1", "g2", "g2", "g3"]),
+        "v": pa.array([1, 2, 3, 1, 2, 9]),
+        "w": pa.array([5, 1, 1, 1, 1, 0])}))
+    out = {r["g"]: r for r in
+           weighted_median_by_group(ds, "g", "v", "w",
+                                    num_buckets=2).take_all()}
+    assert out["g1"]["w_median"] == 1 and out["g1"]["w_total"] == 7
+    assert out["g2"]["w_median"] == 1
+    assert out["g3"]["w_median"] is None
+    # fuzz vs brute force
+    rng = np.random.default_rng(37)
+    n = 800
+    g = rng.integers(0, 8, n)
+    v = rng.integers(0, 100, n)
+    w = rng.integers(1, 20, n)
+    ds2 = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v),
+                                  "w": pa.array(w)}))
+    out2 = {r["g"]: r["w_median"] for r in
+            weighted_median_by_group(ds2, "g", "v", "w",
+                                     num_buckets=4).take_all()}
+    for k in range(8):
+        vs, ws = v[g == k], w[g == k]
+        order = np.argsort(vs, kind="stable")
+        cw = np.cumsum(ws[order])
+        ref = vs[order][np.flatnonzero(2 * cw >= cw[-1])[0]]
+        assert out2[k] == ref, k
