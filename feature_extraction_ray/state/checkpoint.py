@@ -168,3 +168,79 @@ def input_fingerprint_of(paths: Sequence[str]) -> str:
         st = os.stat(p)
         h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:16]
+
+
+def plan_compaction(sizes: dict, target_bytes: int) -> list:
+    """First-fit-decreasing bin packing of partition files into
+    compaction groups of ≈ ``target_bytes``: the small-files planner a
+    100-TB checkpointed output needs after skewed partitions produce
+    KB-scale parquet next to GB-scale ones. Files already ≥ target
+    stay alone; the plan is deterministic (size desc, name asc).
+    Returns a list of lists of file names — groups of length 1 need no
+    rewrite."""
+    items = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    bins: list = []          # (remaining, [names])
+    for name, sz in items:
+        if sz >= target_bytes:
+            bins.append([target_bytes * 0, [name]])
+            continue
+        placed = False
+        for b in bins:
+            if b[0] >= sz:
+                b[0] -= sz
+                b[1].append(name)
+                placed = True
+                break
+        if not placed:
+            bins.append([target_bytes - sz, [name]])
+    return [sorted(b[1]) for b in bins]
+
+
+def compact_checkpoints(out_dir: str, target_bytes: int = 128 << 20):
+    """Compact a checkpointed output directory in place: pack its
+    ``part-*.parquet`` files into ≈ ``target_bytes`` groups
+    (:func:`plan_compaction`), stream-rewrite each multi-file group to
+    one ``compact-{i}.parquet`` (per-group Arrow concat — groups are
+    ≤ target by construction, never the whole dataset), verify row
+    counts, then swap: originals and their manifests are removed and
+    one ``compact-{i}.manifest.json`` written per group. Single-file
+    groups are left untouched. Returns
+    ``{"groups": g, "rewritten": r, "rows": n}``."""
+    import glob
+    import json
+    import os
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    sizes = {os.path.basename(f): os.path.getsize(f) for f in files}
+    plan = plan_compaction(sizes, target_bytes)
+    rewritten = rows_total = 0
+    for i, group in enumerate(plan):
+        if len(group) < 2:
+            continue
+        paths = [os.path.join(out_dir, g) for g in group]
+        tabs = [pq.read_table(p) for p in paths]
+        merged = pa.concat_tables(tabs, promote_options="default")
+        n_in = sum(len(t) for t in tabs)
+        assert len(merged) == n_in
+        dst = os.path.join(out_dir, f"compact-{i}.parquet")
+        tmp = dst + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, dst)
+        man = {"partition": f"compact-{i}", "rows": n_in,
+               "source_parts": group,
+               "bytes": os.path.getsize(dst)}
+        with open(os.path.join(out_dir,
+                               f"compact-{i}{MANIFEST_SUFFIX}"),
+                  "w") as fh:
+            json.dump(man, fh)
+        for p, g in zip(paths, group):
+            os.remove(p)
+            mp = os.path.join(
+                out_dir, g.replace(".parquet", MANIFEST_SUFFIX))
+            if os.path.exists(mp):
+                os.remove(mp)
+        rewritten += len(group)
+        rows_total += n_in
+    return {"groups": len(plan), "rewritten": rewritten,
+            "rows": rows_total}

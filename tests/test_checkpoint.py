@@ -119,3 +119,40 @@ def test_fingerprint_change_invalidates(out_dir):
                        num_buckets=4, input_fingerprint="fp1",
                        process_fn=_process)
     assert len(CP.missing_partitions(out_dir, "fp2", 4)) == 4
+
+
+def test_compaction_plan_and_rewrite(tmp_path):
+    import glob
+    import json
+    import os
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from feature_extraction_ray.state.checkpoint import (
+        MANIFEST_SUFFIX, compact_checkpoints, plan_compaction)
+    sizes = {f"part-{i:03d}.parquet": s for i, s in
+             enumerate([500, 300, 300, 200, 100, 1500])}
+    plan = plan_compaction(sizes, 1000)
+    flat = [f for g in plan for f in g]
+    assert sorted(flat) == sorted(sizes)            # exact partition
+    assert ["part-005.parquet"] in plan             # oversize stays alone
+    for g in plan:
+        if len(g) > 1:
+            assert sum(sizes[f] for f in g) <= 1000
+    assert plan == plan_compaction(sizes, 1000)     # deterministic
+    d = str(tmp_path)
+    tot = 0
+    for i in range(6):
+        t = pa.table({"a": pa.array(np.arange(i * 10, i * 10 + 5 + i))})
+        tot += len(t)
+        pq.write_table(t, os.path.join(d, f"part-{i:03d}.parquet"))
+        with open(os.path.join(d, f"part-{i:03d}{MANIFEST_SUFFIX}"),
+                  "w") as fh:
+            json.dump({"partition": i}, fh)
+    res = compact_checkpoints(d, target_bytes=10 << 20)
+    pqs = glob.glob(os.path.join(d, "*.parquet"))
+    assert sum(len(pq.read_table(p)) for p in pqs) == tot
+    assert res["rewritten"] == 6 and len(pqs) == 1
+    # old manifests swapped for the compact one
+    assert not glob.glob(os.path.join(d, "part-*" + MANIFEST_SUFFIX))
+    assert glob.glob(os.path.join(d, "compact-*" + MANIFEST_SUFFIX))
