@@ -4212,6 +4212,66 @@ FROM r GROUP BY 1
 """
 
 
+def keywords_by_source(sf_dir: str) -> Dataset:
+    """Discriminative keywords per source
+    (``text.discriminative_terms``, top-3 by 2×2 token χ²): one
+    two-key exchange of exact counts; χ² doubles and the
+    (χ² desc, word asc) ranking derive identically in both engines —
+    round-6 only cosmetic."""
+    from ..stages.text import discriminative_terms
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return _round(discriminative_terms(ds, "source", top_k=3),
+                  {"chi2": 6})
+
+
+KEYWORDS_BY_SOURCE_SQL = """
+WITH s AS (
+  SELECT source AS g, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), toks AS (
+  SELECT g, unnest(ws) AS word FROM s
+), toks2 AS (
+  SELECT g, word FROM toks WHERE word <> ''
+), cw AS (
+  SELECT g, word, CAST(count(*) AS BIGINT) AS a FROM toks2 GROUP BY 1, 2
+), tl AS (
+  SELECT g, CAST(sum(a) AS BIGINT) AS tot_l FROM cw GROUP BY 1
+), tw AS (
+  SELECT word, CAST(sum(a) AS BIGINT) AS tot_w FROM cw GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(a) AS DOUBLE) AS n FROM cw
+), grid AS (
+  SELECT tl.g, tw.word, coalesce(cw.a, 0) AS a, tl.tot_l, tw.tot_w
+  FROM tl CROSS JOIN tw
+  LEFT JOIN cw ON cw.g = tl.g AND cw.word = tw.word
+), x AS (
+  SELECT g, word, a,
+         CAST(a AS DOUBLE) AS af,
+         CAST(tot_w - a AS DOUBLE) AS bf,
+         CAST(tot_l AS DOUBLE) - CAST(a AS DOUBLE) AS cf,
+         ((SELECT n FROM nn) - CAST(tot_l AS DOUBLE))
+             - CAST(tot_w - a AS DOUBLE) AS df
+  FROM grid
+), chi AS (
+  SELECT g, word, a,
+         CASE WHEN (af + bf) * (cf + df) * (af + cf) * (bf + df) > 0
+              THEN (SELECT n FROM nn) * (af * df - bf * cf)
+                   * (af * df - bf * cf)
+                   / ((af + bf) * (cf + df) * (af + cf) * (bf + df))
+              ELSE 0.0 END AS chi2
+  FROM x
+), r AS (
+  SELECT g, word, a, chi2,
+         CAST(row_number() OVER (PARTITION BY g
+                                 ORDER BY chi2 DESC, word)
+              AS BIGINT) AS rnk
+  FROM chi
+)
+SELECT g AS source, word, a AS n_lw, round(chi2, 6) AS chi2, rnk
+FROM r WHERE rnk <= 3
+"""
+
+
 def rfm_customer_segments(sf_dir: str) -> Dataset:
     """RFM segmentation: per customer recency (last order epoch-day),
     frequency (orders) and monetary (cents) fold through one tiny
@@ -5571,6 +5631,7 @@ QUERIES = {
     "benford_price_by_flag": benford_price_by_flag,
     "user_golden_record": user_golden_record,
     "weighted_median_price_by_flag": weighted_median_price_by_flag,
+    "keywords_by_source": keywords_by_source,
 }
 
 ORACLE_SQL = {
@@ -5708,6 +5769,7 @@ ORACLE_SQL = {
     "benford_price_by_flag": BENFORD_PRICE_BY_FLAG_SQL,
     "user_golden_record": USER_GOLDEN_RECORD_SQL,
     "weighted_median_price_by_flag": WEIGHTED_MEDIAN_PRICE_BY_FLAG_SQL,
+    "keywords_by_source": KEYWORDS_BY_SOURCE_SQL,
     "sliding_median_events": SLIDING_MEDIAN_EVENTS_SQL,
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,

@@ -1031,3 +1031,88 @@ def ppmi_cooccurrence(ds: Dataset, window: int = 2,
         "w2": pa.array(agg["w2"], type=pa.string()),
         "cooc": pa.array(agg["cooc"].to_numpy(dtype=np.int64)),
         "ppmi": pa.array(ppmi)}))
+
+# ---------------------------------------------------------------------------
+# Discriminative keywords per label (2×2 chi-square keyword extraction)
+# ---------------------------------------------------------------------------
+
+def discriminative_terms(ds: Dataset, label_col: str,
+                         text_col: str = "text",
+                         top_k: int = 5) -> Dataset:
+    """Keyword extraction: the ``top_k`` most label-discriminative
+    words per label by the 2×2 χ² statistic
+    ``N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` over token counts
+    (a = tokens of w in l, b = w elsewhere, c/d = the complements) —
+    every input is an exact int64 from ONE two-key groupby exchange
+    (the Naive-Bayes partial machinery), so both engines derive
+    identical χ² doubles and identical (χ² desc, word asc) rankings.
+    The finishing pass runs over the aggregated labels×vocab table
+    (cap the vocabulary upstream at corpus scale). Returns
+    (label, word, n_lw, chi2, rnk)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        if len(flat) == 0:
+            return pa.table({label_col: pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        lab = t[label_col]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab_rep = lab.cast(pa.string()).take(pa.array(np.repeat(
+            np.arange(len(n_real)), np.diff(offs))))
+        wde = flat.dictionary_encode()
+        lde = lab_rep.dictionary_encode()
+        nw = len(wde.dictionary)
+        packed = lde.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64) * nw + wde.indices.to_numpy(zero_copy_only=False)
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({
+            label_col: lde.dictionary.take(pa.array(u // nw)).cast(
+                pa.string()),
+            "word": wde.dictionary.take(pa.array(u % nw)).cast(
+                pa.string()),
+            "cnt": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([label_col, "word"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    labels = sorted(agg[label_col].unique())
+    words = sorted(agg["word"].unique())
+    lidx = {l: i for i, l in enumerate(labels)}
+    widx = {w: i for i, w in enumerate(words)}
+    m = np.zeros((len(words), len(labels)), dtype=np.int64)
+    m[[widx[w] for w in agg["word"]],
+      [lidx[l] for l in agg[label_col]]] = agg["cnt"].to_numpy()
+    tot_l = m.sum(axis=0)
+    tot_w = m.sum(axis=1)
+    N = float(m.sum())
+    out_rows = []
+    for j, l in enumerate(labels):
+        a = m[:, j].astype(np.float64)
+        b = (tot_w - m[:, j]).astype(np.float64)
+        c = float(tot_l[j]) - a
+        d = (N - tot_l[j]) - b
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi2 = (N * (a * d - b * c) * (a * d - b * c)
+                    / ((a + b) * (c + d) * (a + c) * (b + d)))
+        chi2 = np.where(np.isfinite(chi2), chi2, 0.0)
+        order = np.lexsort((np.array(words, dtype=object), -chi2))
+        for r, wi in enumerate(order[:top_k]):
+            out_rows.append((l, words[wi], int(m[wi, j]),
+                             float(chi2[wi]), r + 1))
+    return rd.from_arrow(pa.table({
+        label_col: pa.array([o[0] for o in out_rows]),
+        "word": pa.array([o[1] for o in out_rows]),
+        "n_lw": pa.array([o[2] for o in out_rows], type=pa.int64()),
+        "chi2": pa.array([o[3] for o in out_rows]),
+        "rnk": pa.array([o[4] for o in out_rows], type=pa.int64())}))

@@ -352,3 +352,23 @@ def test_ppmi_hand_computed(ray_session):
     out2 = {(r["w1"], r["w2"]) for r in
             ppmi_cooccurrence(ds2, window=2).take_all()}
     assert out2 == {("a", "b"), ("c", "d")}   # no cross-doc (b,c)
+
+
+def test_discriminative_terms_finds_planted_keyword(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import discriminative_terms
+    # "zebra" appears only in source A; common words everywhere
+    docs = (["the quick fox zebra zebra"] * 5
+            + ["the quick fox jumps"] * 5)
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array(["A"] * 5 + ["B"] * 5),
+        "text": pa.array(docs)}))
+    out = discriminative_terms(ds, "source", top_k=2).to_pandas()
+    top_a = out[(out["source"] == "A") & (out["rnk"] == 1)]
+    assert top_a["word"].iloc[0] == "zebra"
+    assert top_a["n_lw"].iloc[0] == 10
+    # B's top keyword is the word A lacks
+    top_b = out[(out["source"] == "B") & (out["rnk"] == 1)]
+    assert top_b["word"].iloc[0] == "jumps"
+    assert (out.groupby("source").size() == 2).all()
