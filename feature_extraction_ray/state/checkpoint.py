@@ -73,31 +73,50 @@ def write_partition(tbl: pa.Table, out_dir: str, pid: int,
     return manifest
 
 
-def verified_partitions(out_dir: str, input_fingerprint: str) -> set[int]:
-    """Partition ids whose checkpoint verifies (manifest + data intact and
-    produced from the same input)."""
-    done = set()
+def _load_manifests(out_dir: str) -> list[dict]:
+    out = []
     if not os.path.isdir(out_dir):
-        return done
-    for name in os.listdir(out_dir):
+        return out
+    for name in sorted(os.listdir(out_dir)):
         if not name.endswith(MANIFEST_SUFFIX):
             continue
-        man_path = os.path.join(out_dir, name)
         try:
-            with open(man_path) as f:
-                m = json.load(f)
+            with open(os.path.join(out_dir, name)) as f:
+                out.append(json.load(f))
         except (json.JSONDecodeError, OSError):
             continue
-        if m.get("input_fingerprint") != input_fingerprint:
-            continue
-        data_path, _ = _part_paths(out_dir, m["partition_id"])
-        if not os.path.exists(data_path):
-            continue
-        if os.path.getsize(data_path) != m["file_bytes"]:
-            continue
-        if _sha256_file(data_path) != m["file_sha256"]:
-            continue
-        done.add(int(m["partition_id"]))
+    return out
+
+
+def _file_verifies(path: str, file_bytes: int, file_sha256: str) -> bool:
+    return (os.path.exists(path)
+            and os.path.getsize(path) == file_bytes
+            and _sha256_file(path) == file_sha256)
+
+
+def verified_partitions(out_dir: str, input_fingerprint: str) -> set[int]:
+    """Partition ids whose checkpoint verifies (manifest + data intact and
+    produced from the same input).
+
+    Credits BOTH per-partition ``part-*.parquet`` checkpoints and
+    compacted ``compact-*.parquet`` files (whose manifests carry the
+    covered partition ids + the input fingerprint they were produced
+    from) — so a resume after :func:`compact_checkpoints` does not
+    recompute, and re-reading never duplicates rows."""
+    done: set[int] = set()
+    for m in _load_manifests(out_dir):
+        if "partition_id" in m:                       # per-partition
+            if m.get("input_fingerprint") != input_fingerprint:
+                continue
+            data_path, _ = _part_paths(out_dir, m["partition_id"])
+            if _file_verifies(data_path, m["file_bytes"], m["file_sha256"]):
+                done.add(int(m["partition_id"]))
+        elif "compact_id" in m:                       # compacted group
+            if m.get("input_fingerprint") != input_fingerprint:
+                continue
+            data_path = os.path.join(out_dir, m["compact_id"] + ".parquet")
+            if _file_verifies(data_path, m["file_bytes"], m["file_sha256"]):
+                done.update(int(p) for p in m["partition_ids"])
     return done
 
 
@@ -155,8 +174,18 @@ def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
 
 
 def read_result(out_dir: str) -> pa.Table:
-    """Read all checkpointed partitions back as one Arrow table (tests)."""
-    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    """Read all checkpointed partitions back as one Arrow table (tests).
+
+    Honors compaction lineage: any ``part-*.parquet`` named in a compact
+    manifest's ``source_parts`` is a leftover from a crash between the
+    compact write and the source-removal phase — it is skipped, so rows
+    are never double-counted."""
+    covered: set[str] = set()
+    for m in _load_manifests(out_dir):
+        if "compact_id" in m:
+            covered.update(m.get("source_parts", []))
+    parts = sorted(p for p in os.listdir(out_dir)
+                   if p.endswith(".parquet") and p not in covered)
     return pa.concat_tables([pq.read_table(os.path.join(out_dir, p))
                              for p in parts], promote_options="default")
 
@@ -196,26 +225,84 @@ def plan_compaction(sizes: dict, target_bytes: int) -> list:
     return [sorted(b[1]) for b in bins]
 
 
+def repair_compaction(out_dir: str) -> int:
+    """Remove leftover ``part-*`` files already covered by a verified
+    compact file (a crash between the compact-write phase and the
+    source-removal phase leaves both on disk). Returns the number of
+    leftover data files removed. Safe to call any time — it only deletes
+    a source part when its compact file verifies byte-for-byte."""
+    removed = 0
+    for m in _load_manifests(out_dir):
+        if "compact_id" not in m:
+            continue
+        data_path = os.path.join(out_dir, m["compact_id"] + ".parquet")
+        if not _file_verifies(data_path, m["file_bytes"], m["file_sha256"]):
+            continue
+        for g in m.get("source_parts", []):
+            p = os.path.join(out_dir, g)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+            mp = os.path.join(out_dir, g.replace(".parquet", MANIFEST_SUFFIX))
+            if os.path.exists(mp):
+                os.remove(mp)
+    return removed
+
+
+def _next_compact_index(out_dir: str) -> int:
+    """First compact index never used in this directory — compact file
+    names must not collide across compaction runs (an ``os.replace``
+    onto an existing compact-{i}.parquet would silently discard the
+    previously compacted rows)."""
+    mx = -1
+    for name in os.listdir(out_dir):
+        if name.startswith("compact-"):
+            stem = name.split(".")[0]        # compact-00003
+            try:
+                mx = max(mx, int(stem.split("-")[1]))
+            except (IndexError, ValueError):
+                continue
+    return mx + 1
+
+
 def compact_checkpoints(out_dir: str, target_bytes: int = 128 << 20):
     """Compact a checkpointed output directory in place: pack its
     ``part-*.parquet`` files into ≈ ``target_bytes`` groups
     (:func:`plan_compaction`), stream-rewrite each multi-file group to
     one ``compact-{i}.parquet`` (per-group Arrow concat — groups are
     ≤ target by construction, never the whole dataset), verify row
-    counts, then swap: originals and their manifests are removed and
-    one ``compact-{i}.manifest.json`` written per group. Single-file
-    groups are left untouched. Returns
-    ``{"groups": g, "rewritten": r, "rows": n}``."""
-    import glob
-    import json
-    import os
-    import pyarrow.parquet as pq
+    counts, then swap. Crash-safe two-phase commit:
 
+    1. ALL compact files + their manifests are written (atomic per file);
+       each compact manifest carries the covered ``partition_ids``,
+       ``input_fingerprint``, ``source_parts`` and the compact file's
+       sha/bytes — so :func:`verified_partitions` keeps crediting the
+       compacted buckets (resume does not recompute) and
+       :func:`read_result` never double-counts leftovers.
+    2. Only after the whole plan succeeds are the source parts and their
+       manifests removed (a crash mid-phase-2 is healed by
+       :func:`repair_compaction`, which this function runs first).
+
+    Compact indices continue from the directory's max existing index, so
+    repeated compaction passes never collide. Single-file groups are
+    left untouched. Returns ``{"groups": g, "rewritten": r, "rows": n}``."""
+    import glob
+
+    repair_compaction(out_dir)
     files = sorted(glob.glob(os.path.join(out_dir, "part-*.parquet")))
     sizes = {os.path.basename(f): os.path.getsize(f) for f in files}
+    # lineage of each source part (partition id + fingerprint) rides into
+    # the compact manifest so resumability survives compaction
+    part_meta: dict[str, dict] = {}
+    for m in _load_manifests(out_dir):
+        if "partition_id" in m:
+            part_meta[f"part-{int(m['partition_id']):05d}.parquet"] = m
     plan = plan_compaction(sizes, target_bytes)
+    base = _next_compact_index(out_dir)
     rewritten = rows_total = 0
-    for i, group in enumerate(plan):
+    staged: list[list[str]] = []    # phase-2 deletions, only on full success
+    idx = base
+    for group in plan:
         if len(group) < 2:
             continue
         paths = [os.path.join(out_dir, g) for g in group]
@@ -223,24 +310,42 @@ def compact_checkpoints(out_dir: str, target_bytes: int = 128 << 20):
         merged = pa.concat_tables(tabs, promote_options="default")
         n_in = sum(len(t) for t in tabs)
         assert len(merged) == n_in
-        dst = os.path.join(out_dir, f"compact-{i}.parquet")
+        cid = f"compact-{idx:05d}"
+        idx += 1
+        dst = os.path.join(out_dir, cid + ".parquet")
         tmp = dst + ".tmp"
         pq.write_table(merged, tmp)
         os.replace(tmp, dst)
-        man = {"partition": f"compact-{i}", "rows": n_in,
-               "source_parts": group,
-               "bytes": os.path.getsize(dst)}
-        with open(os.path.join(out_dir,
-                               f"compact-{i}{MANIFEST_SUFFIX}"),
-                  "w") as fh:
+        metas = [part_meta.get(g) for g in group]
+        fps = {mm["input_fingerprint"] for mm in metas if mm}
+        man = {
+            "compact_id": cid,
+            "row_count": n_in,
+            "partition_ids": sorted(int(mm["partition_id"])
+                                    for mm in metas if mm),
+            # a group only ever packs parts from one run; if manifests
+            # are missing/mixed, record no fingerprint — the buckets then
+            # recompute (safe direction)
+            "input_fingerprint": fps.pop() if len(fps) == 1 else None,
+            "source_parts": group,
+            "file_bytes": os.path.getsize(dst),
+            "file_sha256": _sha256_file(dst),
+            "schema_names": merged.schema.names,
+        }
+        tmp_m = os.path.join(out_dir, cid + MANIFEST_SUFFIX + ".tmp")
+        with open(tmp_m, "w") as fh:
             json.dump(man, fh)
-        for p, g in zip(paths, group):
-            os.remove(p)
-            mp = os.path.join(
-                out_dir, g.replace(".parquet", MANIFEST_SUFFIX))
-            if os.path.exists(mp):
-                os.remove(mp)
+        os.replace(tmp_m, os.path.join(out_dir, cid + MANIFEST_SUFFIX))
+        staged.append(group)
         rewritten += len(group)
         rows_total += n_in
+    for group in staged:            # phase 2: all compact files landed
+        for g in group:
+            p = os.path.join(out_dir, g)
+            if os.path.exists(p):
+                os.remove(p)
+            mp = os.path.join(out_dir, g.replace(".parquet", MANIFEST_SUFFIX))
+            if os.path.exists(mp):
+                os.remove(mp)
     return {"groups": len(plan), "rewritten": rewritten,
             "rows": rows_total}

@@ -156,3 +156,94 @@ def test_compaction_plan_and_rewrite(tmp_path):
     # old manifests swapped for the compact one
     assert not glob.glob(os.path.join(d, "part-*" + MANIFEST_SUFFIX))
     assert glob.glob(os.path.join(d, "compact-*" + MANIFEST_SUFFIX))
+
+
+def test_compact_then_resume_is_noop(out_dir):
+    """The round-3 resumability hole: compaction must NOT make a resume
+    recompute (and re-duplicate) the compacted buckets — compact
+    manifests carry partition_ids + input_fingerprint, and
+    verified_partitions credits them against the compact file."""
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=6, input_fingerprint="fp1",
+                       process_fn=_process)
+    ref = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    done_before = CP.verified_partitions(out_dir, "fp1")
+    res = CP.compact_checkpoints(out_dir, target_bytes=1 << 30)
+    assert res["rewritten"] > 0
+    # compacted buckets still credited — resume recomputes NOTHING
+    assert CP.verified_partitions(out_dir, "fp1") == done_before
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=6, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert stats["written"] == [] and stats["rows"] == 0
+    got = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    assert got.equals(ref)          # no duplicated rows, identical bytes
+
+
+def test_compact_crash_leftovers_never_double_count(out_dir):
+    """Crash between phase 1 (compact files written) and phase 2 (source
+    removal) leaves both on disk: read_result must skip covered sources,
+    and repair_compaction must clean them up."""
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=6, input_fingerprint="fp1",
+                       process_fn=_process)
+    ref = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    CP.compact_checkpoints(out_dir, target_bytes=1 << 30)
+    # resurrect the covered source parts to simulate the mid-swap crash
+    man = next(m for m in CP._load_manifests(out_dir) if "compact_id" in m)
+    compact_tbl = pq.read_table(
+        os.path.join(out_dir, man["compact_id"] + ".parquet"))
+    off = 0
+    for g in man["source_parts"]:
+        # any content works — covered leftovers must be ignored entirely
+        pq.write_table(compact_tbl.slice(off, 2), os.path.join(out_dir, g))
+        off += 2
+    got = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    assert got.equals(ref)
+    removed = CP.repair_compaction(out_dir)
+    assert removed == len(man["source_parts"])
+    assert CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")]).equals(ref)
+
+
+def test_repeated_compaction_never_collides(out_dir):
+    """A second compaction pass must pick fresh compact indices — an
+    os.replace onto an existing compact file would discard rows."""
+    CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                       num_buckets=8, input_fingerprint="fp1",
+                       process_fn=_process)
+    ref = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    parts = sorted(p for p in os.listdir(out_dir) if p.endswith(".parquet"))
+    assert len(parts) >= 4
+    # compact only the first two parts (tiny target groups nothing; use a
+    # direct plan by moving the others aside)
+    import glob
+    held = []
+    for p in parts[2:]:
+        for suf in (p, p.replace(".parquet", CP.MANIFEST_SUFFIX)):
+            src = os.path.join(out_dir, suf)
+            if os.path.exists(src):
+                held.append((src + ".held", src))
+                os.rename(src, src + ".held")
+    CP.compact_checkpoints(out_dir, target_bytes=1 << 30)
+    for tmp, orig in held:
+        os.rename(tmp, orig)
+    first = {m["compact_id"] for m in CP._load_manifests(out_dir)
+             if "compact_id" in m}
+    CP.compact_checkpoints(out_dir, target_bytes=1 << 30)
+    second = {m["compact_id"] for m in CP._load_manifests(out_dir)
+              if "compact_id" in m}
+    assert first < second           # old ids intact, new ids fresh
+    got = CP.read_result(out_dir).sort_by(
+        [("entity", "ascending"), ("doc_id", "ascending")])
+    assert got.equals(ref)
+    # and resume still credits everything
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=8, input_fingerprint="fp1",
+                               process_fn=_process)
+    assert stats["written"] == [] and stats["rows"] == 0
