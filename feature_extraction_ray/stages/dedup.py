@@ -184,13 +184,48 @@ def _shingles_of_batch(batch: pa.Table, text_col: str, k: int,
     return sh, offsets
 
 
+def _scheme_id(*parts) -> int:
+    """Stable int64 fingerprint of a signature scheme (hash family tag +
+    every parameter that changes signature values). Persisted signature
+    tables carry it as a ``sig_scheme`` column so an incremental run can
+    FAIL LOUDLY instead of silently missing cross-batch near-dups after
+    a family/param change (the round-3 Mersenne-mod → odd-multiplier
+    switch would have invalidated every prior store without error)."""
+    import hashlib as _hl
+    h = _hl.sha256(repr(parts).encode()).digest()
+    return int.from_bytes(h[:8], "big") >> 1    # non-negative int64
+
+
+def _check_sig_scheme(prior_sig: Dataset, expected: int, what: str) -> None:
+    """Validate a persisted signature store against the current scheme."""
+    schema = prior_sig.schema()
+    if schema is None:            # empty materialized store: nothing to mix
+        return
+    if "sig_scheme" not in schema.names:
+        raise ValueError(
+            f"{what}: prior signature store carries no sig_scheme column "
+            f"(unversioned / pre-round-4 store). Recompute signatures with "
+            f"the current scheme (expected sig_scheme={expected}).")
+    rows = prior_sig.select_columns(["sig_scheme"]).limit(1).take(1)
+    if rows and int(rows[0]["sig_scheme"]) != expected:
+        raise ValueError(
+            f"{what}: prior signature store was built with scheme "
+            f"{int(rows[0]['sig_scheme'])} but the current parameters/hash "
+            f"family give {expected}; mixing schemes silently misses "
+            f"cross-batch near-duplicates. Recompute the store.")
+
+
 class MinHasher:
     """Actor: seeded permutation params built once; per batch emits doc_id,
     the MinHash signature (list<uint64->int64>) and per-band hashes."""
 
+    SCHEME_FAMILY = "minhash-muladd2^64-fnv-band"
+
     def __init__(self, text_col: str, id_col: str, num_perm: int,
                  bands: int, shingle_k: int, seed: int = 7):
         assert num_perm % bands == 0
+        self.scheme = _scheme_id(self.SCHEME_FAMILY, num_perm, bands,
+                                 shingle_k, seed)
         rng = np.random.default_rng(seed)
         # odd multiplier -> x ↦ (a·x + b) mod 2^64 is a BIJECTION of
         # uint64 (multiply-add hashing, Dietzfelbinger et al.): a true
@@ -252,6 +287,8 @@ class MinHasher:
             "doc_id": pa.array(ids),
             "minhash_sig": sig_list,
             "band_hashes": bh_list,
+            "sig_scheme": pa.array(
+                np.full(len(texts), self.scheme, dtype=np.int64)),
         })
 
 
@@ -683,6 +720,10 @@ def minhash_lsh_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
     Returns ``(assignment, sig_all)`` — persist ``sig_all`` for the next
     ingest.
     """
+    _check_sig_scheme(prior_sig,
+                      _scheme_id(MinHasher.SCHEME_FAMILY, num_perm,
+                                 bands, shingle_k, 7),
+                      "minhash_lsh_dedup_incremental")
     sig_new = minhash_signatures(new_ds, text_col, id_col, num_perm,
                                  bands, shingle_k)
     sig_all = prior_sig.union(sig_new).materialize()
@@ -710,6 +751,9 @@ def minhash_lsh_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
+
+SIMHASH_SCHEME = _scheme_id("simhash-stablehash64-4x16bands")
+
 
 class SimHasher:
     """64-bit SimHash per document (word-level), plus 4×16-bit band keys."""
@@ -751,6 +795,8 @@ class SimHasher:
             band = ((out >> np.uint64(16 * b)) &
                     np.uint64(0xFFFF)).astype(np.int64)
             tb[f"sim_band{b}"] = pa.array(band)
+        tb["sig_scheme"] = pa.array(
+            np.full(n_docs, SIMHASH_SCHEME, dtype=np.int64))
         return pa.table(tb)
 
 
@@ -900,6 +946,8 @@ def simhash_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
     batch against a persisted SimHash signature store; prior assignment
     rows re-enter clustering as (member → cluster) edges. Returns
     ``(assignment, sig_all)``."""
+    _check_sig_scheme(prior_sig, SIMHASH_SCHEME,
+                      "simhash_dedup_incremental")
     sig_new = simhash_signatures(new_ds, text_col, id_col)
     sig_all = prior_sig.union(sig_new).materialize()
     if num_buckets is None:

@@ -976,10 +976,13 @@ def update_grouped_sums(state: Dataset, changes: Dataset, group_col: str,
         ops = t[op_col].to_numpy(zero_copy_only=False)
         sign = np.where(ops == "D", -1, 1).astype(np.int64)
         k = len(de.dictionary)
-        dsum = np.bincount(codes, weights=(sign * v).astype(np.float64),
-                           minlength=k).astype(np.int64)
-        dcnt = np.bincount(codes, weights=sign.astype(np.float64),
-                           minlength=k).astype(np.int64)
+        # int64 np.add.at, NOT float64 bincount weights: exactness must
+        # hold past 2^53 (the docstring's "exact over integer value
+        # columns" contract)
+        dsum = np.zeros(k, dtype=np.int64)
+        np.add.at(dsum, codes, sign * v)
+        dcnt = np.zeros(k, dtype=np.int64)
+        np.add.at(dcnt, codes, sign)
         return pa.table({group_col: de.dictionary,
                          sum_col: pa.array(dsum),
                          cnt_col: pa.array(dcnt)})
@@ -1023,14 +1026,17 @@ def welch_ttest(ds: Dataset, group_col: str, value_col: str,
         cols = {group_col: de.dictionary}
         for a in (0, 1):
             m = arm == a
+            # int64 np.add.at for s/q (exact past 2^53 — float64
+            # bincount weights would silently round); counts can't
+            # overflow, plain bincount is fine
             cols[f"n{a}"] = pa.array(np.bincount(
                 codes[m], minlength=k).astype(np.int64))
-            cols[f"s{a}"] = pa.array(np.bincount(
-                codes[m], weights=v[m].astype(np.float64),
-                minlength=k).astype(np.int64))
-            cols[f"q{a}"] = pa.array(np.bincount(
-                codes[m], weights=(v[m] * v[m]).astype(np.float64),
-                minlength=k).astype(np.int64))
+            s = np.zeros(k, dtype=np.int64)
+            np.add.at(s, codes[m], v[m])
+            cols[f"s{a}"] = pa.array(s)
+            q = np.zeros(k, dtype=np.int64)
+            np.add.at(q, codes[m], v[m] * v[m])
+            cols[f"q{a}"] = pa.array(q)
         return pa.table(cols)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \

@@ -697,6 +697,7 @@ def kmeans_fit(ds: Dataset, k: int, vec_col: str = "embedding",
     k = len(cent)
     d = cent.shape[1]
 
+    sim = 0.0       # inertia of the LAST iteration; 0.0 when iters=0
     for it in range(iters):
         ref = ray.put(cent)
 

@@ -574,3 +574,49 @@ def test_knn_mmr_diversifies_and_degenerates(ray_session):
     b = knn_mmr(emb, qv, k=5, fetch_k=20, lam=0.7)
     assert a.equals(b)
     assert (a.groupby("query_id").size() == 5).all()
+
+
+def test_incremental_rejects_mismatched_signature_scheme(ray_session):
+    """ADVICE round-3: a hash-family/param change must fail LOUDLY on a
+    persisted signature store, not silently miss cross-batch dups."""
+    import pytest
+    from feature_extraction_ray.stages.dedup import (
+        minhash_lsh_dedup_incremental, minhash_signatures,
+        simhash_dedup_incremental, simhash_signatures)
+    df = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                       "text": [f"alpha beta gamma delta w{i} x{i} y{i}"
+                                for i in range(6)]})
+    ds = rd.from_pandas(df)
+    sig = minhash_signatures(ds, shingle_k=3).materialize()
+    assert "sig_scheme" in sig.schema().names
+    # different params => different scheme id => loud failure
+    with pytest.raises(ValueError, match="scheme"):
+        minhash_lsh_dedup_incremental(ds, sig, new_from=6,
+                                      shingle_k=4, threshold=0.5)
+    # unversioned (pre-round-4) store => loud failure
+    legacy = sig.drop_columns(["sig_scheme"]).materialize()
+    with pytest.raises(ValueError, match="sig_scheme"):
+        minhash_lsh_dedup_incremental(ds, legacy, new_from=6,
+                                      shingle_k=3, threshold=0.5)
+    # matching scheme still works end-to-end
+    df_new = pd.DataFrame({"doc_id": np.arange(6, 9, dtype=np.int64),
+                           "text": [f"new doc number {i} quite unique"
+                                    for i in range(3)]})
+    out, _ = minhash_lsh_dedup_incremental(
+        rd.from_pandas(df_new), sig, new_from=6, shingle_k=3,
+        threshold=0.5, output="pandas")
+    assert len(out) == 9
+    ssig = simhash_signatures(ds).materialize()
+    with pytest.raises(ValueError, match="sig_scheme"):
+        simhash_dedup_incremental(
+            ds, ssig.drop_columns(["sig_scheme"]).materialize())
+
+
+def test_kmeans_fit_zero_iters_returns_init(ray_session):
+    """ADVICE round-3: kmeans_fit(iters=0) raised NameError on 'sim'."""
+    import ray.data as rd
+    from feature_extraction_ray.stages.similarity import kmeans_fit
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m = kmeans_fit(ds, k=4, iters=0)
+    assert m["iters"] == 0 and m["inertia"] == 0.0
+    assert m["centroids"].shape[0] == 4

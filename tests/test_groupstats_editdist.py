@@ -1152,3 +1152,20 @@ def test_weighted_median_by_group_convention(ray_session):
         cw = np.cumsum(ws[order])
         ref = vs[order][np.flatnonzero(2 * cw >= cw[-1])[0]]
         assert out2[k] == ref, k
+
+
+def test_update_grouped_sums_exact_past_2_53(ray_session):
+    """ADVICE round-3: float64 bincount weights silently rounded sums
+    beyond 2^53; int64 np.add.at accumulation must stay exact."""
+    from feature_extraction_ray.stages.groupstats import update_grouped_sums
+    big = (1 << 53) + 1           # not representable in float64
+    state = rd.from_arrow(pa.table({
+        "g": pa.array(["a"]),
+        "sum_v": pa.array([0], type=pa.int64()),
+        "n": pa.array([0], type=pa.int64())}))
+    ch = rd.from_arrow(pa.table({
+        "g": pa.array(["a", "a"]),
+        "v": pa.array([big, 2], type=pa.int64()),
+        "op": pa.array(["I", "I"])}))
+    out = update_grouped_sums(state, ch, "g", "v").to_pandas()
+    assert out["sum_v"].tolist() == [big + 2]     # float64 would give big+2±1
