@@ -140,6 +140,24 @@ def run_bench() -> dict:
                                 columns=["doc_id", "text"]),
                 output="dataset").count())
 
+        # exact dedup over a MOSTLY-UNIQUE amplified corpus (the
+        # round-3 scale-killer case: one pandas call per distinct
+        # content; round-4 run-head rewrite measured 20.7x here)
+        from feature_extraction_ray.stages.dedup import exact_dedup
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        def _uniquify(t):
+            i = t.schema.get_field_index("text")
+            return t.set_column(i, "text", _pc.binary_join_element_wise(
+                t["text"], _pc.cast(t["doc_id"], _pa.string()), " "))
+
+        per_query[f"exact_dedup_unique_x{amp}"] = _best_of(
+            lambda: exact_dedup(
+                amplified_documents(SF_DIR, amp)
+                .select_columns(["doc_id", "text"])
+                .map_batches(_uniquify, batch_format="pyarrow")).count())
+
         # corpus-curation ops: streaming PII scrub (pure vectorized RE2),
         # sequence packing (sort + two-phase prefix scan), repeated-
         # substring detection (two bucketed gram exchanges, raw corpus —
