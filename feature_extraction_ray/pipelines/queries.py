@@ -5515,7 +5515,84 @@ FROM deg d LEFT JOIN cnt c ON c.node = d.node
 # has an oracle row in-window sit in the tail.
 # ---------------------------------------------------------------------------
 QUERIES = {
-    # -- oracle-backed (DuckDB SQL twin; driver hash-checks values) --
+    # ------------------------------------------------------------------
+    # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
+    # Policy: every oracle-backed query must earn a driver-green
+    # CORRECTNESS row in some round; pytest (test_queries_oracle) re-
+    # verifies ALL ORACLE_SQL entries against DuckDB every session
+    # regardless of window position, so rotating a green entry out
+    # loses no coverage. Rounds 1-3 rotation history: git log of this
+    # file (r3 note removed in r4 for the sweep below).
+    #
+    # Window r4 = the 48 oracle-backed queries that had NEVER received
+    # a driver row through round 3 (sessions 3-5 families: drift/stats,
+    # BM25/NB/PPMI/keywords, survival/retention/funnel-adjacent, CDC,
+    # graph/mining, window tails) + media_features / topic_model_docs,
+    # which EXIT rows-only this round via new integer-witness oracles.
+    # Deferred to round 5 (the remaining 11 never-checked, families
+    # already driver-green elsewhere): q5_local_supplier_volume,
+    # orders_interval_pairs_broadcast, cumsum_events_streaming,
+    # doc_words_exploded, events_pivot_by_user,
+    # heavy_hitters_event_types, events_cube, running_distinct_types,
+    # value_quantiles_cont_by_type, user_event_entropy,
+    # orders_snapshot_diff.
+    # Rotated OUT this round (driver-green r3 or earlier; family keeps
+    # its pytest oracle): the whole r3 window - q1_pricing_summary ...
+    # curated_docs (48 greens).
+    # ------------------------------------------------------------------
+    "doc_tfidf_scores": doc_tfidf_scores,
+    "doc_top_terms": doc_top_terms,
+    "event_type_transitions": event_type_transitions,
+    "name_typo2_pairs": name_typo2_pairs,
+    "lineitem_quality_checks": lineitem_quality_checks,
+    "source_overlap_docs": source_overlap_docs,
+    "customers_without_events": customers_without_events,
+    "qty_price_corr_by_flag": qty_price_corr_by_flag,
+    "value_autocorr_by_user": value_autocorr_by_user,
+    "winsorized_events": winsorized_events,
+    "part_pair_rules": part_pair_rules,
+    "pareto_orders": pareto_orders,
+    "part_triangles": part_triangles,
+    "overlapping_order_windows": overlapping_order_windows,
+    "order_price_loo_by_customer": order_price_loo_by_customer,
+    "orders_priority_status_chi2": orders_priority_status_chi2,
+    "imputed_events_median": imputed_events_median,
+    "doc_bigram_surprisal": doc_bigram_surprisal,
+    "cusum_drift_events": cusum_drift_events,
+    "bm25_docs": bm25_docs,
+    "interpolated_events": interpolated_events,
+    "event_type_runs": event_type_runs,
+    "user_cohort_retention": user_cohort_retention,
+    "orders_apply_changes": orders_apply_changes,
+    "incremental_type_sums": incremental_type_sums,
+    "drawdown_events": drawdown_events,
+    "orders_zorder_keys": orders_zorder_keys,
+    "events_grouping_sets": events_grouping_sets,
+    "nb_source_scores": nb_source_scores,
+    "doc_ppmi_pairs": doc_ppmi_pairs,
+    "ab_ttest_by_type": ab_ttest_by_type,
+    "doc_chunks_sliding": doc_chunks_sliding,
+    "hourly_active_users": hourly_active_users,
+    "also_bought_parts": also_bought_parts,
+    "sliding_slope_events": sliding_slope_events,
+    "rfm_customer_segments": rfm_customer_segments,
+    "orders_snapshot_at": orders_snapshot_at,
+    "sliding_corr_events": sliding_corr_events,
+    "churn_labels_events": churn_labels_events,
+    "user_survival_km": user_survival_km,
+    "order_window_coverage": order_window_coverage,
+    "prorated_order_totals": prorated_order_totals,
+    "psi_value_by_type": psi_value_by_type,
+    "gini_order_value_by_segment": gini_order_value_by_segment,
+    "benford_price_by_flag": benford_price_by_flag,
+    "user_golden_record": user_golden_record,
+    "weighted_median_price_by_flag": weighted_median_price_by_flag,
+    "keywords_by_source": keywords_by_source,
+    "media_features": media_features,
+    "topic_model_docs": topic_model_docs,
+    # ---- tail (outside the driver window): every entry above the
+    #      ORACLE_SQL boundary is still pytest-oracle-verified each
+    #      session; rows-only entries are golden-tested ----
     "q1_pricing_summary": q1_pricing_summary,
     "lineitem_bloom_parts": lineitem_bloom_parts,
     "lineitem_measures_long": lineitem_measures_long,
@@ -5523,8 +5600,6 @@ QUERIES = {
     "label_centroid_similarity": label_centroid_similarity,
     "stratified_split_events": stratified_split_events,
     "normalized_events": normalized_events,
-    # -- session-3 additions (grouped order stats / argmax / set ops /
-    #    resample / funnel / edit-distance join), all SQL oracles --
     "q3_shipping_priority": q3_shipping_priority,
     "user_value_trend": user_value_trend,
     "events_props_extract": events_props_extract,
@@ -5559,8 +5634,6 @@ QUERIES = {
     "doc_surprisal_scores": doc_surprisal_scores,
     "text_quality_docs": text_quality_docs,
     "truecase_model": truecase_model,
-    # -- round-3 curation operators (stages/curation.py), all
-    #    integer-exact oracles --
     "decontaminate_docs": decontaminate_docs,
     "token_budget_docs": token_budget_docs,
     "repetition_stats_docs": repetition_stats_docs,
@@ -5568,81 +5641,6 @@ QUERIES = {
     "pii_scrub_docs": pii_scrub_docs,
     "duplicate_spans_docs": duplicate_spans_docs,
     "curated_docs": curated_docs,
-    # -- rows-only, in-window (never driver-checked in any round /
-    #    highest-value operator families) --
-    "topic_model_docs": topic_model_docs,
-    "media_features": media_features,
-    # ---- tail (outside the driver's ~50-entry window): RO twins whose
-    #      operator family already has in-window rows (minhash: fused
-    #      pipeline is golden-tested + bench-amplified + its exact twin
-    #      ngram_jaccard_dedup_docs is oracle-green; r02 gave it an RO
-    #      row already). topk_orders / distinct_event_types /
-    #      lead_events / sessionize_events_streaming rotated out after
-    #      TWO green driver rounds — their families keep in-window
-    #      oracles (top2_orders_per_customer, events_by_type,
-    #      lag_events, sessionize_events + session_stats) and pytest
-    #      re-verifies every ORACLE_SQL entry each session.
-    #      orders_by_mktsegment likewise rotated out (green r01+r02;
-    #      plain-groupby family keeps events_by_type /
-    #      customers_per_nation / q1 / user_value_stats in-window) to
-    #      make room for pii_scrub_docs.
-    #      Round-3 late rotations (each green r01+r02, family keeps an
-    #      in-window oracle row): bfill_events (fill family: ffill),
-    #      sliding_minmax_events (sliding family: sliding_mean +
-    #      time_window), asof_events_orders (asof family:
-    #      asof_prev_order_tolerance) — making room for the new
-    #      rank_stats_events / events_rollup / orders_interval_pairs.
-    #      events_by_type likewise rotated (green r01+r02; plain-groupby
-    #      family keeps q1 / customers_per_nation / user_value_stats /
-    #      hapax_by_source in-window) for curated_docs.
-    #      Session-2 rotations (each green r01+r02, family keeps an
-    #      in-window oracle row): tumbling_hourly_events +
-    #      time_window_events (windowed-agg family keeps
-    #      sliding_mean_events + cumsum_events), verbosity_by_source
-    #      (token-stats family keeps doc_token_counts + hapax +
-    #      vocab_filter), knn_embeddings (knn family keeps the exact
-    #      ivf_full + lsh_full twins), mean_embedding_by_label
-    #      (embedding-agg family keeps label_centroid_similarity) —
-    #      making room for lineitem_bloom_parts / user_event_seq /
-    #      lineitem_measures_long / events_value_histogram /
-    #      events_jsonl_roundtrip; sessionize_events (green r01+r02,
-    #      session family keeps session_stats_events +
-    #      sessionize_events_streaming's pytest oracle) rotated for
-    #      stratified_split_events (the split family's first driver
-    #      row); cumsum_events (green r01+r02, cumulative family keeps
-    #      its pytest oracle + the streaming twin) rotated for
-    #      ewma_events.
-    #      Session-3 rotations (each green r01+r02, family keeps an
-    #      in-window oracle row): customers_per_nation (join family
-    #      keeps customers_orders_full_outer + asof_prev_order_tolerance),
-    #      lineitem_big_parts (semi-join family keeps
-    #      lineitem_bloom_parts), global_shuffle_docs (trivial-shuffle
-    #      family; exchange machinery exercised under every window
-    #      oracle), lag_events (lag family keeps rank_events +
-    #      sliding_mean + user_event_seq in-window), hapax_by_source +
-    #      vocab_filter (token-stats family keeps doc_token_counts +
-    #      docs_min_word_gate) — making room for value_quantiles_by_type /
-    #      top_event_type_per_user / customer_year_set_ops /
-    #      resample_hourly_events / funnel_view_click_purchase /
-    #      name_typo_pairs; second batch: filter_high_value_orders
-    #      (filter family keeps docs_min_word_gate + lineitem_bloom),
-    #      ffill_events (fill family: both fills double-green, pytest
-    #      oracle runs each session), sliding_mean_events (sliding
-    #      family: sliding_median_events enters the window),
-    #      user_value_stats (grouped-stats family keeps
-    #      value_quantiles_by_type + median_value_by_type) — for
-    #      sliding_median_events / robust_scaled_events /
-    #      profile_orders / pagerank_customer_part; third batch:
-    #      customers_without_orders (double-green; anti-join/EXCEPT
-    #      semantics keep customer_year_set_ops in-window) — for
-    #      user_value_trend; session_stats_events (double-green; the
-    #      session family keeps sessionize/streaming pytest oracles) —
-    #      for events_props_extract; docs_min_word_gate (double-green;
-    #      gate family keeps vocab_filter's pytest oracle + the curation
-    #      gates in-window) — for q3_shipping_priority.
-    #      q5_local_supplier_volume sits in the oracle-checked tail
-    #      (pytest runs it each session; Q3 is the in-window multi-join
-    #      representative) ----
     "q5_local_supplier_volume": q5_local_supplier_volume,
     "docs_min_word_gate": docs_min_word_gate,
     "customers_without_orders": customers_without_orders,
@@ -5675,10 +5673,6 @@ QUERIES = {
     "lead_events": lead_events,
     "sessionize_events_streaming": sessionize_events_streaming,
     "minhash_dedup_docs": minhash_dedup_docs,
-    # lag_events_streaming + asof broadcast-plan rotated out (both
-    # oracle-green in r01+r02; their families keep an oracle row
-    # in-window — sessionize_events_streaming / asof_events_orders —
-    # and pytest runs every oracle each session regardless)
     "lag_events_streaming": lag_events_streaming,
     "asof_events_orders_broadcast": asof_events_orders_broadcast,
     "orders_interval_pairs_broadcast": orders_interval_pairs_broadcast,
@@ -5702,70 +5696,19 @@ QUERIES = {
     "asr_text_features": asr_text_features,
     "asr_confidence_features": asr_confidence_features,
     "asr_timing_features": asr_timing_features,
-    # tail entries BELOW carry oracle SQL too — pytest
-    # (test_queries_oracle) verifies every ORACLE_SQL entry each
-    # session even though the driver window stops at 50
     "events_pivot_by_user": events_pivot_by_user,
     "doc_words_exploded": doc_words_exploded,
     "cumsum_events_streaming": cumsum_events_streaming,
-    "doc_tfidf_scores": doc_tfidf_scores,
-    "doc_top_terms": doc_top_terms,
     "weighted_sample_docs": weighted_sample_docs,
     "bpe_tokens_docs": bpe_tokens_docs,
     "user_event_entropy": user_event_entropy,
     "orders_snapshot_diff": orders_snapshot_diff,
     "running_distinct_types": running_distinct_types,
     "value_quantiles_cont_by_type": value_quantiles_cont_by_type,
-    "event_type_transitions": event_type_transitions,
-    "name_typo2_pairs": name_typo2_pairs,
-    "lineitem_quality_checks": lineitem_quality_checks,
-    "source_overlap_docs": source_overlap_docs,
-    "customers_without_events": customers_without_events,
-    "qty_price_corr_by_flag": qty_price_corr_by_flag,
-    "value_autocorr_by_user": value_autocorr_by_user,
-    "winsorized_events": winsorized_events,
-    "part_pair_rules": part_pair_rules,
-    "pareto_orders": pareto_orders,
-    "part_triangles": part_triangles,
-    "overlapping_order_windows": overlapping_order_windows,
-    "order_price_loo_by_customer": order_price_loo_by_customer,
-    "orders_priority_status_chi2": orders_priority_status_chi2,
-    "imputed_events_median": imputed_events_median,
-    "doc_bigram_surprisal": doc_bigram_surprisal,
-    "cusum_drift_events": cusum_drift_events,
-    "bm25_docs": bm25_docs,
-    "interpolated_events": interpolated_events,
-    "event_type_runs": event_type_runs,
-    "user_cohort_retention": user_cohort_retention,
-    "orders_apply_changes": orders_apply_changes,
-    "incremental_type_sums": incremental_type_sums,
-    "drawdown_events": drawdown_events,
-    "orders_zorder_keys": orders_zorder_keys,
     "kmeans_embeddings": kmeans_embeddings,
-    "events_grouping_sets": events_grouping_sets,
-    "nb_source_scores": nb_source_scores,
     "knn_embeddings_mmr": knn_embeddings_mmr,
-    "doc_ppmi_pairs": doc_ppmi_pairs,
-    "ab_ttest_by_type": ab_ttest_by_type,
-    "doc_chunks_sliding": doc_chunks_sliding,
-    "hourly_active_users": hourly_active_users,
-    "also_bought_parts": also_bought_parts,
     "part_communities": part_communities,
-    "sliding_slope_events": sliding_slope_events,
-    "rfm_customer_segments": rfm_customer_segments,
-    "orders_snapshot_at": orders_snapshot_at,
     "image_phash_dedup": image_phash_dedup,
-    "sliding_corr_events": sliding_corr_events,
-    "churn_labels_events": churn_labels_events,
-    "user_survival_km": user_survival_km,
-    "order_window_coverage": order_window_coverage,
-    "prorated_order_totals": prorated_order_totals,
-    "psi_value_by_type": psi_value_by_type,
-    "gini_order_value_by_segment": gini_order_value_by_segment,
-    "benford_price_by_flag": benford_price_by_flag,
-    "user_golden_record": user_golden_record,
-    "weighted_median_price_by_flag": weighted_median_price_by_flag,
-    "keywords_by_source": keywords_by_source,
 }
 
 ORACLE_SQL = {
