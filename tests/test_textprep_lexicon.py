@@ -195,3 +195,41 @@ def test_fit_phrases_gensim_original_scorer_parity(ray_session):
     # any positive threshold (gensim-equivalent)
     t0 = fit_phrases(ds, min_count=3, threshold=0.0)
     assert ("is", "big") not in t0 and ("big", "city") not in t0
+
+
+def test_apply_phrases_vectorized_matches_greedy_loop(ray_session):
+    """The flattened-word-stream rewrite must reproduce gensim's
+    sequential greedy pairing exactly (including chained-run parity:
+    'a b b b' with (a,b) and (b,b) scored merges a_b then b_b)."""
+    import numpy as np
+    import ray.data as rd
+    from feature_extraction_ray.stages.textprep import apply_phrases
+
+    def greedy(txt, table):
+        ws = txt.split()
+        out, i = [], 0
+        while i < len(ws):
+            if i + 1 < len(ws) and (ws[i], ws[i + 1]) in table:
+                out.append(f"{ws[i]}_{ws[i + 1]}")
+                i += 2
+            else:
+                out.append(ws[i])
+                i += 1
+        return " ".join(out)
+
+    table = {("a", "b"): 2.0, ("b", "b"): 1.5, ("b", "a"): 1.1,
+             ("new", "york"): 9.0, ("é", "ü"): 3.0}
+    rng = np.random.default_rng(42)
+    vocab = ["a", "b", "c", "new", "york", "é", "ü"]
+    docs = ["", "   ", "a b", "a b b b", "b a b a b",
+            "  a   b\tb  b ", "new york new york", "c", "a", "b b b b b"]
+    for _ in range(200):
+        L = rng.integers(0, 12)
+        docs.append(" ".join(rng.choice(vocab, L)))
+    ds = rd.from_pandas(pd.DataFrame({"text": docs}))
+    got = apply_phrases(ds, table).to_pandas()["text"].tolist()
+    # from_pandas may reorder blocks? compare as aligned lists via take order
+    assert got == [greedy(t, table) for t in docs]
+    # out_col variant + empty table no-op
+    got2 = apply_phrases(ds, {}, out_col="t2").to_pandas()
+    assert got2["t2"].tolist() == [" ".join(t.split()) for t in docs]
