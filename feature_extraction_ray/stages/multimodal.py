@@ -8,12 +8,15 @@ kernels are REAL for the formats a stdlib-only container can parse:
 
 * **BMP** images (24-bit uncompressed): struct header parse → (h, w, 3)
   RGB pixel array → channel stats + luminance histogram features;
+* **PNG** images (8-bit grey/RGB/grey-alpha/RGBA, non-interlaced):
+  stdlib ``zlib`` inflate + full None/Sub/Up/Average/Paeth scanline
+  reconstruction (``decode_png``), same feature tail as BMP;
 * **WAV** audio (PCM16, via the stdlib ``wave`` module): frames → RMS /
   peak / zero-cross / spectral-band features (numpy rFFT);
 * **video** as a trivial concat-of-BMP-frames container: demuxed by each
   frame's declared BMP file size, frames sampled evenly.
 
-Anything else (JPEG/PNG/MP3/MP4...) raises a clearly-marked
+Anything else (JPEG/MP3/MP4...) raises a clearly-marked
 ``NotImplementedError`` at decode time naming the library to plug in via
 ``decode_fn`` — the honest boundary of a no-image-libs container. The
 seeded content-derived fake decode (``mode="fake"``) remains for
@@ -94,6 +97,132 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()            # BGR → RGB
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → 8-bit truecolor PNG bytes (stdlib ``zlib``
+    deflate + crc32; filter-0 scanlines, a single IDAT chunk)."""
+    import zlib
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), px.reshape(h, w * 3)],
+        axis=1).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8 RGB: stdlib ``zlib`` inflate + the
+    full per-scanline filter reconstruction (None/Sub/Up/Average/Paeth
+    per the spec). 8-bit greyscale (0), RGB (2), grey+alpha (4) and
+    RGBA (6) color types decode (alpha dropped, grey broadcast to 3
+    channels); palette / interlaced / 16-bit images raise the documented
+    ``NotImplementedError`` naming the ``decode_fn`` hook.
+
+    Sub is vectorized as a mod-256 prefix sum over the scanline (mod
+    distributes over addition, so one int32 cumsum + ``& 0xFF`` is
+    exact); Up is a vectorized add against the prior reconstructed row;
+    Average/Paeth carry a left-pixel dependency so they walk the row
+    with per-CHANNEL numpy ops (rows are narrow relative to payloads)."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise NotImplementedError(
+            "not a PNG payload — decoding other image formats requires "
+            "an image library (e.g. Pillow) not present in this "
+            "container; pass decode_fn=...")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if ihdr is None:
+        raise NotImplementedError("PNG stream has no IHDR chunk")
+    w, h, depth, ctype, _comp, _filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 4, 6):
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced grey/RGB/grey-alpha/RGBA PNG is "
+            f"supported (got depth={depth}, color_type={ctype}, "
+            f"interlace={interlace}); pass decode_fn=...")
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+    stride = w * ch + 1
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) < stride * h:
+        raise NotImplementedError(
+            "truncated PNG image data; pass decode_fn=...")
+    raw = raw[:stride * h].reshape(h, stride)
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    prior = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        ft = int(raw[r, 0])
+        line = raw[r, 1:].astype(np.int32)
+        if ft == 0:                            # None
+            rec = line
+        elif ft == 1:                          # Sub: prefix sum mod 256
+            rec = (line.reshape(w, ch).cumsum(axis=0) & 0xFF).reshape(-1)
+        elif ft == 2:                          # Up
+            rec = (line + prior) & 0xFF
+        elif ft in (3, 4):                     # Average / Paeth
+            rec = np.empty(w * ch, dtype=np.int32)
+            lr, ll = rec.reshape(w, ch), line.reshape(w, ch)
+            pp = prior.reshape(w, ch)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = pp[x]
+                if ft == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - upleft
+                    pa_, pb = np.abs(p - left), np.abs(p - up)
+                    pc_ = np.abs(p - upleft)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc_), left,
+                        np.where(pb <= pc_, up, upleft))
+                left = (ll[x] + pred) & 0xFF
+                lr[x] = left
+                upleft = up
+        else:
+            raise NotImplementedError(
+                f"unknown PNG filter type {ft}; pass decode_fn=...")
+        out[r] = rec
+        prior = rec.astype(np.int32)
+    img = out.reshape(h, w, ch)
+    if ctype == 2:
+        return img.copy()
+    if ctype in (0, 4):
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3].copy()                # RGBA → RGB
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-dispatching image decode: BMP (``BM`` magic) or PNG
+    (8-byte signature) → (h, w, 3) uint8 RGB; anything else raises the
+    documented ``NotImplementedError`` naming the ``decode_fn`` hook."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "unrecognized image payload (not BMP or PNG) — other formats "
+        "require an image library (e.g. Pillow) not present in this "
+        "container; pass decode_fn=...")
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -290,7 +419,7 @@ class MediaFeatureExtractor:
 
     def _stdlib_decode(self, payload: bytes, kind: str) -> np.ndarray:
         if kind == "image":
-            return _image_features(decode_bmp(payload))
+            return _image_features(decode_image(payload))
         if kind == "audio":
             return _audio_features(*decode_wav(payload))
         if kind == "video":
@@ -337,7 +466,7 @@ class MediaWitness:
     @staticmethod
     def _one(payload: bytes, kind: str):
         if kind == "image":
-            px = decode_bmp(payload)
+            px = decode_image(payload)
             return (int(px.sum(dtype=np.int64)), int(px.size), 0, 0, 1)
         if kind == "audio":
             x, _rate = decode_wav(payload)
@@ -485,7 +614,7 @@ class ImageHasher:
         valid = np.zeros(len(batch), dtype=bool)
         for i in np.flatnonzero(kinds == "image"):
             out[i] = np.int64(np.uint64(ahash64(
-                decode_bmp(payloads[i]))).astype(np.int64))
+                decode_image(payloads[i]))).astype(np.int64))
             valid[i] = True
         return batch.append_column(
             "ahash", pa.array(out, mask=~valid))
