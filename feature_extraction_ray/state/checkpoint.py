@@ -126,6 +126,32 @@ def missing_partitions(out_dir: str, input_fingerprint: str,
     return [b for b in range(num_buckets) if b not in done]
 
 
+def verified_files(out_dir: str, input_fingerprint: str) -> list[str]:
+    """Data-file paths backing the VERIFIED partitions of a checkpoint
+    directory — the Dataset-scale counterpart of :func:`read_result`:
+    feed the list to ``ray.data.read_parquet`` so a downstream stage
+    consumes a checkpointed stage's output without driver
+    materialization. Honors compaction lineage (a ``part-*.parquet``
+    named in a verified compact manifest's ``source_parts`` is a crash
+    leftover and is excluded, so rows are never double-read)."""
+    covered: set[str] = set()
+    cands: list[str] = []
+    for m in _load_manifests(out_dir):
+        if m.get("input_fingerprint") != input_fingerprint:
+            continue
+        if "partition_id" in m:
+            path, _ = _part_paths(out_dir, int(m["partition_id"]))
+        elif "compact_id" in m:
+            path = os.path.join(out_dir, m["compact_id"] + ".parquet")
+        else:
+            continue
+        if _file_verifies(path, m["file_bytes"], m["file_sha256"]):
+            cands.append(path)
+            if "compact_id" in m:
+                covered.update(m.get("source_parts", []))
+    return sorted(p for p in cands if os.path.basename(p) not in covered)
+
+
 def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
                     num_buckets: int, input_fingerprint: str,
                     process_fn: Callable[[pa.Table], pa.Table] | None = None,
