@@ -61,8 +61,11 @@ def run_bench() -> dict:
     from feature_extraction_ray.pipelines.queries import QUERIES
 
     # FIXED bucket count: the scaling comparison must run the IDENTICAL
-    # plan at both parallelism levels (only cpu count differs)
-    n_buckets = 128
+    # plan at both parallelism levels (only cpu count differs).
+    # GRAFT_BENCH_BUCKETS selects the plan geometry — the round-3 verdict
+    # asked for a second geometry (64) to show efficiency isn't an
+    # artifact of the standing 128-bucket plan.
+    n_buckets = int(os.environ.get("GRAFT_BENCH_BUCKETS", "128"))
     # warm the page cache + worker pool so we measure compute + shuffle
     # (a small-repeat run is enough to spin up workers and cache the file)
     flagship(SF_DIR, num_buckets=n_buckets,
@@ -345,6 +348,7 @@ def run_scaling() -> dict:
         "sec_8": lo["value"], "sec_32": hi["value"],
         "rows_per_sec_8": tput_lo, "rows_per_sec_32": tput_hi,
         "scaling_efficiency": round(eff, 3),
+        "num_buckets": int(os.environ.get("GRAFT_BENCH_BUCKETS", "128")),
         "sf": lo["sf"],
     }
 

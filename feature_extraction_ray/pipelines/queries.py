@@ -1422,6 +1422,91 @@ QUALIFY rank < 10
 """
 
 
+# Planted PQ geometry: m=2 subspaces × 3 integer centroids over a 4-dim
+# integer vector derived from vec_id — encode (nearest subcentroid,
+# ties → lowest code) and ADC distances are then EXACT int64 arithmetic
+# in both engines, so the full compressed-domain pipeline compares
+# strictly (the media_features planted-oracle pattern applied to ANN).
+_PQ_CODEBOOKS = [[[0, 0], [6, 6], [12, 3]],
+                 [[0, 6], [6, 0], [9, 9]]]
+_PQ_QUERIES = [[1, 2, 3, 4], [12, 0, 6, 6], [5, 5, 5, 5]]
+
+
+def pq_knn_planted(sf_dir: str):
+    """Product-quantization ANN (fit→encode→ADC search,
+    ``stages/similarity.py``) under an exact integer oracle: integer
+    vectors ((vec_id+1)·p mod 13 per dim) over the embeddings table,
+    planted integer codebooks, 3 integer queries, top-5 by (squared-L2
+    ADC distance, vec_id). The tie-inclusive partial top-k makes the
+    result deterministic despite quantized-distance ties (a whole PQ
+    cell shares one distance)."""
+    from ..stages.similarity import fit_pq, pq_encode, pq_search
+    eds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.stack([((vid + 1) * p) % 13 for p in (3, 5, 7, 11)],
+                     axis=1).astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.reshape(-1)), 4)})
+
+    vecs = eds.map_batches(derive, batch_format="pyarrow")
+    model = fit_pq(vecs, codebooks=_PQ_CODEBOOKS)
+    codes = pq_encode(vecs, model)
+    out = pq_search(codes, model,
+                    np.array(_PQ_QUERIES, dtype=np.float64),
+                    k=5, merge="distributed")
+    out["dist"] = (-out["score"]).round().astype("int64")
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "dist", "rank"]]
+
+
+PQ_KNN_PLANTED_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         ((vec_id + 1) * 3) % 13 AS x0, ((vec_id + 1) * 5) % 13 AS x1,
+         ((vec_id + 1) * 7) % 13 AS x2, ((vec_id + 1) * 11) % 13 AS x3
+  FROM embeddings),
+cb0(code, c0, c1) AS (VALUES (0, 0, 0), (1, 6, 6), (2, 12, 3)),
+cb1(code, c0, c1) AS (VALUES (0, 0, 6), (1, 6, 0), (2, 9, 9)),
+e0 AS (SELECT vec_id, code AS code0 FROM (
+         SELECT v.vec_id, cb0.code,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY (x0-c0)*(x0-c0) + (x1-c1)*(x1-c1), cb0.code)
+                  AS rn
+         FROM v CROSS JOIN cb0) WHERE rn = 1),
+e1 AS (SELECT vec_id, code AS code1 FROM (
+         SELECT v.vec_id, cb1.code,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY (x2-c0)*(x2-c0) + (x3-c1)*(x3-c1), cb1.code)
+                  AS rn
+         FROM v CROSS JOIN cb1) WHERE rn = 1),
+q(query_id, q0, q1, q2, q3) AS
+  (VALUES (0, 1, 2, 3, 4), (1, 12, 0, 6, 6), (2, 5, 5, 5, 5)),
+lut0 AS (SELECT query_id, code,
+                (q0-c0)*(q0-c0) + (q1-c1)*(q1-c1) AS d
+         FROM q CROSS JOIN cb0),
+lut1 AS (SELECT query_id, code,
+                (q2-c0)*(q2-c0) + (q3-c1)*(q3-c1) AS d
+         FROM q CROSS JOIN cb1),
+scored AS (
+  SELECT l0.query_id, enc.vec_id, l0.d + l1.d AS dist
+  FROM (SELECT e0.vec_id, code0, code1
+        FROM e0 JOIN e1 ON e0.vec_id = e1.vec_id) enc
+  JOIN lut0 l0 ON l0.code = enc.code0
+  JOIN lut1 l1 ON l1.code = enc.code1 AND l1.query_id = l0.query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(dist AS BIGINT) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist, vec_id) - 1 AS BIGINT) AS rank
+FROM scored
+QUALIFY rank < 5
+"""
+
+
 def events_daily_rollup(sf_dir: str) -> Dataset:
     """M11 date/key derivation: truncate ts to day, per (user, day)
     rollup — the reference's ``day_id = subject + '_' + date`` analog."""
@@ -5535,7 +5620,9 @@ QUERIES = {
     # doc_words_exploded, events_pivot_by_user,
     # heavy_hitters_event_types, events_cube, running_distinct_types,
     # value_quantiles_cont_by_type, user_event_entropy,
-    # orders_snapshot_diff.
+    # orders_snapshot_diff — plus the round-4 mid-round additions
+    # (oracle-backed, pytest-verified this round, window round 5):
+    # pq_knn_planted (product quantization, exact integer ADC oracle).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -5628,6 +5715,7 @@ QUERIES = {
     "exact_dedup_docs": exact_dedup_docs,
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
+    "pq_knn_planted": pq_knn_planted,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -5776,6 +5864,7 @@ ORACLE_SQL = {
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
     "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
     "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
+    "pq_knn_planted": PQ_KNN_PLANTED_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

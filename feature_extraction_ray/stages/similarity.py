@@ -77,14 +77,17 @@ class _TopKPartial:
             return pa.table({"query_id": pa.array([], type=pa.int64()),
                              "vec_id": pa.array([], type=pa.int64()),
                              "score": pa.array([], type=pa.float64())})
+        # tie-INCLUSIVE local top-k: argpartition alone drops candidates
+        # tied with the k-th best arbitrarily (exact-duplicate vectors
+        # make score ties real); keeping every row ≥ the k-th score lets
+        # the global merge break ties deterministically by vec_id
         part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
-        nq = scores.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
-        vid = ids[part.reshape(-1)]
-        sc = np.take_along_axis(scores, part, axis=1).reshape(-1)
-        return pa.table({"query_id": pa.array(qid),
-                         "vec_id": pa.array(vid.astype(np.int64)),
-                         "score": pa.array(sc.astype(np.float64))})
+        kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
+        qid, idx = np.nonzero(scores >= kth[:, None])
+        return pa.table({"query_id": pa.array(qid.astype(np.int64)),
+                         "vec_id": pa.array(ids[idx].astype(np.int64)),
+                         "score": pa.array(
+                             scores[qid, idx].astype(np.float64))})
 
 
 def knn_bruteforce(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
@@ -811,3 +814,189 @@ def knn_mmr(ds: Dataset, query_vecs: np.ndarray, k: int = 10,
                         float(mmr_m[best]), r + 1))
     return pd.DataFrame(out, columns=["query_id", "vec_id", "score",
                                       "mmr", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN, the 100-TB memory path
+# ---------------------------------------------------------------------------
+
+def _kmeans_l2(sample: np.ndarray, k: int, iters: int = 10,
+               seed: int = 29) -> np.ndarray:
+    """Seeded Euclidean mini k-means on a driver-side sample (numpy
+    only; farthest-point init, fixed iteration count, empty clusters
+    keep their centroid — fully deterministic)."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(k, n)
+    sample = np.asarray(sample, dtype=np.float64)
+    centers = [sample[rng.integers(0, n)]]
+    for _ in range(k - 1):
+        d = np.min([((sample - c) ** 2).sum(axis=1) for c in centers],
+                   axis=0)
+        centers.append(sample[int(np.argmax(d))])
+    cent = np.stack(centers)
+    s2 = (sample * sample).sum(axis=1)
+    for _ in range(iters):
+        d2 = s2[:, None] + (cent * cent).sum(axis=1)[None] \
+            - 2.0 * (sample @ cent.T)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            mask = assign == j
+            if mask.any():
+                cent[j] = sample[mask].mean(axis=0)
+    return cent
+
+
+def fit_pq(ds: Dataset, m: int = 4, ksub: int = 16,
+           vec_col: str = "embedding", id_col: str = "vec_id",
+           sample_size: int = 4096, iters: int = 10, seed: int = 29,
+           codebooks=None) -> dict:
+    """Fit product-quantization codebooks (Jégou et al. 2011): split the
+    ``d``-dim space into ``m`` contiguous subspaces of ``d/m`` dims and
+    run Euclidean k-means (``ksub`` centroids) in each, over a BOUNDED
+    deterministic sample (stable id-hash stride, sorted by id — same
+    trick as :func:`kmeans_fit`; block layouts are not run-stable).
+    The codebook is m·ksub·(d/m) floats — driver/broadcast-sized at any
+    corpus scale; a vector then compresses to ``m`` uint8 codes (e.g.
+    128-dim float32 → 8 bytes at m=8, 64×).
+
+    ``codebooks`` (shape ``(m, ksub, d/m)``) skips fitting and plants
+    given centroids — the exact-oracle hook (integer codebooks make the
+    whole encode+ADC pipeline exact-integer arithmetic).
+
+    Returns ``{"codebooks": (m, ksub, dsub) float64, "m": m,
+    "ksub": ksub, "dim": d}``."""
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)
+        assert cb.ndim == 3, "codebooks must be (m, ksub, dsub)"
+        return {"codebooks": cb, "m": cb.shape[0], "ksub": cb.shape[1],
+                "dim": cb.shape[0] * cb.shape[2]}
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    n_total = proj.count()
+    stride = max(1, n_total // sample_size)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return t.filter(pa.array((h % np.uint64(stride)) == 0))
+
+    rows = proj.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values(id_col, kind="stable").head(sample_size)
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in rows[vec_col]])
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    cb = np.stack([
+        _kmeans_l2(sample[:, j * dsub:(j + 1) * dsub], ksub,
+                   iters=iters, seed=seed + j)
+        for j in range(m)])
+    return {"codebooks": cb, "m": m, "ksub": cb.shape[1], "dim": d}
+
+
+def pq_encode(ds: Dataset, model: dict, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> Dataset:
+    """Encode every vector to its ``m`` nearest-subcentroid codes: one
+    zero-shuffle streaming pass against the broadcast codebook
+    (``ray.put`` once, ``broadcast_get`` per worker). Ties break to the
+    LOWEST code index (np.argmin), deterministically. Emits
+    ``(id_col, pq_code fixed_size_list<uint8>[m])``."""
+    from .partition import broadcast_get
+    cb = np.asarray(model["codebooks"], dtype=np.float64)
+    m, ksub, dsub = cb.shape
+    ref = ray.put(cb)
+
+    def enc(tbl: pa.Table) -> pa.Table:
+        c = broadcast_get(ref)
+        x = _batch_matrix(tbl, vec_col).astype(np.float64)
+        n = len(x)
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            cj = c[j]
+            d2 = (xs * xs).sum(axis=1)[:, None] \
+                + (cj * cj).sum(axis=1)[None] - 2.0 * (xs @ cj.T)
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: tbl[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m),
+        })
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+class _PQAdcTopK:
+    """Task-pool kernel: holds the per-query ADC lookup table
+    (nq, m, ksub) of squared subdistances, built ONCE per worker from
+    the broadcast (queries, codebook); per batch sums m table lookups
+    per (query, vector) and emits local top-k partials. The corpus side
+    touches only the m-byte codes — the compressed-domain scan."""
+
+    def __init__(self, q_ref, cb_ref, k: int, id_col: str):
+        q = np.asarray(ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef)
+                       else q_ref, dtype=np.float64)
+        cb = np.asarray(ray.get(cb_ref) if isinstance(cb_ref, ray.ObjectRef)
+                        else cb_ref, dtype=np.float64)
+        m, ksub, dsub = cb.shape
+        nq = len(q)
+        lut = np.empty((nq, m, ksub), dtype=np.float64)
+        for j in range(m):
+            qs = q[:, j * dsub:(j + 1) * dsub]
+            cj = cb[j]
+            lut[:, j, :] = (qs * qs).sum(axis=1)[:, None] \
+                + (cj * cj).sum(axis=1)[None] - 2.0 * (qs @ cj.T)
+        self.lut = lut
+        self.m = m
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        n = len(batch)
+        if n == 0:
+            return empty
+        codes_col = batch["pq_code"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = codes_col.flatten().to_numpy(
+            zero_copy_only=False).reshape(n, self.m)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        dist = np.zeros((self.lut.shape[0], n), dtype=np.float64)
+        for j in range(self.m):
+            dist += self.lut[:, j, :][:, codes[:, j]]
+        k = min(self.k, n)
+        # tie-INCLUSIVE local top-k (quantized distances tie OFTEN — a
+        # whole PQ cell shares one distance): keep every row ≤ the k-th
+        # distance so the global merge's (score, vec_id) tie-break is
+        # deterministic and oracle-exact
+        part = np.argpartition(dist, k - 1, axis=1)[:, :k]
+        kth = np.take_along_axis(dist, part, axis=1).max(axis=1)
+        qid, idx = np.nonzero(dist <= kth[:, None])
+        return pa.table({"query_id": pa.array(qid.astype(np.int64)),
+                         "vec_id": pa.array(ids[idx].astype(np.int64)),
+                         "score": pa.array(-dist[qid, idx])})
+
+
+def pq_search(codes_ds: Dataset, model: dict, query_vecs: np.ndarray,
+              k: int = 10, id_col: str = "vec_id",
+              merge: str = "driver"):
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: queries
+    stay exact, corpus vectors are their m-byte codes; per-batch
+    distance is m LUT lookups, partials merge through the shared knn
+    tail (:func:`_merge_topk` — one bucketed exchange at batch-query
+    scale). ``score`` is NEGATED squared L2 so larger = closer and the
+    rank/tie conventions match the cosine pipelines (ties → lower
+    vec_id)."""
+    from .partition import cached_kernel
+    q_ref = ray.put(np.asarray(query_vecs, dtype=np.float64))
+    cb_ref = ray.put(np.asarray(model["codebooks"], dtype=np.float64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_PQAdcTopK, q_ref, cb_ref, k, id_col)(batch)
+
+    partials = codes_ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(partials, k, merge)

@@ -620,3 +620,116 @@ def test_kmeans_fit_zero_iters_returns_init(ray_session):
     m = kmeans_fit(ds, k=4, iters=0)
     assert m["iters"] == 0 and m["inertia"] == 0.0
     assert m["centroids"].shape[0] == 4
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4)
+# ---------------------------------------------------------------------------
+
+def _pq_corpus(n=300, dim=8, seed=41):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((12, dim)) * 4.0
+    pts = np.repeat(centers, n // 12, axis=0) + \
+        rng.standard_normal((n, dim)) * 0.4
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(pts.reshape(-1).astype(np.float64)), dim)})
+    return pts, tbl
+
+
+def test_pq_encode_matches_numpy_oracle():
+    """Planted integer codebooks: encode must pick the nearest
+    subcentroid per subspace, ties -> lowest code index."""
+    cb = [[[0, 0], [6, 6], [12, 3]], [[0, 6], [6, 0], [9, 9]]]
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 13, size=(120, 4)).astype(np.float64)
+    ids = np.arange(120, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(x.reshape(-1)), 4)})
+    model = SIM.fit_pq(rd.from_arrow(tbl), codebooks=cb)
+    codes = SIM.pq_encode(rd.from_arrow(tbl), model).to_pandas() \
+        .sort_values("vec_id")
+    got = np.stack([np.asarray(c) for c in codes["pq_code"]])
+    cba = np.asarray(cb, dtype=np.float64)
+    for j in range(2):
+        d2 = ((x[:, None, 2 * j:2 * j + 2] - cba[j][None]) ** 2).sum(axis=2)
+        np.testing.assert_array_equal(got[:, j], np.argmin(d2, axis=1))
+
+
+def test_pq_search_matches_numpy_adc_both_merges():
+    """pq_search == the numpy ADC oracle exactly (same codes, same LUT,
+    ties -> lower vec_id), under driver AND distributed merges — ties are
+    REAL here (every vector in a PQ cell shares one distance)."""
+    pts, tbl = _pq_corpus()
+    ds = rd.from_arrow(tbl)
+    model = SIM.fit_pq(ds, m=4, ksub=8, sample_size=256)
+    codes_ds = SIM.pq_encode(ds, model).materialize()
+    q = pts[::60][:5]
+    k = 7
+    # numpy oracle: encode + LUT + stable (dist, vec_id) top-k
+    cb = model["codebooks"]
+    m, ksub, dsub = cb.shape
+    codes = np.empty((len(pts), m), dtype=np.int64)
+    for j in range(m):
+        d2 = ((pts[:, None, j * dsub:(j + 1) * dsub]
+               - cb[j][None]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    lut = np.stack([((q[:, None, j * dsub:(j + 1) * dsub]
+                      - cb[j][None]) ** 2).sum(axis=2)
+                    for j in range(m)], axis=1)      # (nq, m, ksub)
+    adc = np.zeros((len(q), len(pts)))
+    for j in range(m):
+        adc += lut[:, j, :][:, codes[:, j]]
+    for merge in ("driver", "distributed"):
+        got = SIM.pq_search(codes_ds, model, q, k=k, merge=merge)
+        for qi in range(len(q)):
+            order = np.lexsort((np.arange(len(pts)), adc[qi]))[:k]
+            sub = got[got["query_id"] == qi].sort_values("rank")
+            assert sub["vec_id"].tolist() == order.tolist(), \
+                f"{merge} q{qi}"
+            np.testing.assert_allclose(-sub["score"].to_numpy(),
+                                       adc[qi][order], rtol=1e-12)
+
+
+def test_pq_fit_deterministic_and_cluster_recall():
+    """fit_pq is layout-independent (id-hash-stride sample): two fits on
+    differently-blocked copies give identical codebooks. Recall is
+    checked at CLUSTER level: PQ collapses a tight cluster into one cell
+    (within-cell order is lost to quantized-distance ties by design), so
+    the honest lossy-quantizer property is that retrieved neighbors come
+    from the query's true cluster — not that exact top-10 ranks survive."""
+    pts, tbl = _pq_corpus()                   # 12 clusters × 25 points
+    ds1 = rd.from_arrow(tbl)
+    ds2 = rd.from_arrow(tbl).repartition(7)
+    m1 = SIM.fit_pq(ds1, m=2, ksub=16, sample_size=128)
+    m2 = SIM.fit_pq(ds2, m=2, ksub=16, sample_size=128)
+    np.testing.assert_array_equal(m1["codebooks"], m2["codebooks"])
+    codes = SIM.pq_encode(ds1, m1).materialize()
+    q_idx = np.arange(0, 300, 60)[:5]
+    approx = SIM.pq_search(codes, m1, pts[q_idx], k=10)
+    hits = []
+    for qi, src in enumerate(q_idx):
+        got = approx[approx["query_id"] == qi]["vec_id"].to_numpy()
+        hits.append(np.mean(got // 25 == src // 25))
+    assert np.mean(hits) >= 0.9, hits
+
+
+def test_topk_partial_tie_inclusive():
+    """Round-4 fix: duplicate vectors split across blocks must not lose
+    the lower-vec_id copy to argpartition's arbitrary tie choice."""
+    base = np.eye(4, dtype=np.float32)
+    # vec 0..3 in block A; vec 4 duplicates vec 1, alone in block B
+    tbl_a = pa.table({"vec_id": pa.array(np.arange(4, dtype=np.int64)),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(base.reshape(-1)), 4)})
+    dup = np.stack([base[1], base[1], base[1]])
+    tbl_b = pa.table({"vec_id": pa.array(np.array([4, 5, 6], dtype=np.int64)),
+                      "embedding": pa.FixedSizeListArray.from_arrays(
+                          pa.array(dup.reshape(-1)), 4)})
+    ds = rd.from_arrow(tbl_a).union(rd.from_arrow(tbl_b))
+    got = SIM.knn_bruteforce(ds, base[1][None], k=3)
+    # four vectors tie at score 1.0 -> keep the three LOWEST vec_ids
+    assert got.sort_values("rank")["vec_id"].tolist() == [1, 4, 5]
