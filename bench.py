@@ -131,6 +131,34 @@ def run_bench() -> dict:
             lambda: knn_lsh(eds, q, k=10, bits=8, probes=8,
                             merge="dataset").count())
 
+        # round-4 compressed-domain ANN: PQ fit+encode+ADC over a 100×
+        # amplified corpus (200k distinct vectors), and the persistent
+        # IVF-PQ index (build on disk, 2000-query probe reading only
+        # probed cells' code files)
+        import shutil, tempfile
+        from feature_extraction_ray.fixtures import amplified_embeddings
+        from feature_extraction_ray.stages.similarity import (
+            build_ivfpq_index, fit_pq, pq_encode, pq_search,
+            query_ivfpq_index)
+
+        def _pq_run():
+            aeds = amplified_embeddings(SF_DIR, 100)
+            model = fit_pq(aeds, m=8, ksub=16)
+            pq_search(pq_encode(aeds, model), model, q[:2000], k=10,
+                      merge="dataset").count()
+        per_query["pq_adc_200k_2000q"] = _best_of(_pq_run)
+
+        def _ivfpq_run():
+            out = tempfile.mkdtemp(prefix="fx_ivfpq_b_")
+            try:
+                build_ivfpq_index(amplified_embeddings(SF_DIR, 100), out,
+                                  n_centroids=64, m=8, ksub=16)
+                query_ivfpq_index(out, q[:2000], k=10, n_probe=4,
+                                  merge="dataset").count()
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+        per_query["ivfpq_build_query_200k"] = _best_of(_ivfpq_run)
+
         # round-3 text ops: TF-IDF fit+score over the amplified corpus,
         # exact n-gram-Jaccard dedup over the raw sf corpus
         from feature_extraction_ray.stages.text import tfidf_scores

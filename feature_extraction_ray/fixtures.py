@@ -319,6 +319,45 @@ def amplified_documents(sf_dir: str, repeat: int = 1):
     return ds
 
 
+def amplified_embeddings(sf_dir: str, repeat: int = 1):
+    """The embeddings table, deterministically amplified ``repeat``×:
+    copy ``r`` shifts vec_id by ``r·stride`` and adds a small hash-derived
+    per-(copy, vector, dim) offset so copies are DISTINCT vectors — exact
+    duplicates would make every quantized top-k a massive tie set, which
+    benchmarks the tie handling instead of the scan."""
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    if repeat <= 1:
+        return ds
+    n = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    stride = 1 << (int(np.ceil(np.log2(max(n, 2)))))
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        dim = len(flat) // len(batch) if len(batch) else 0
+        x = flat.reshape(len(batch), dim).astype(np.float32)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        key = (ids[:, None] * np.int64(dim)
+               + np.arange(dim, dtype=np.int64)[None])
+        parts = []
+        for r in range(repeat):
+            off = ((key + r * np.int64(2654435761)) % 997) \
+                .astype(np.float32) / 997.0 * 0.05
+            parts.append(pa.table({
+                "vec_id": pa.array(ids + r * stride),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array((x + off).reshape(-1)), dim),
+            }))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(amplify, batch_format="pyarrow")
+
+
 def updates_from_documents(sf_dir: str, every: int = 5, repeat: int = 1):
     """Sparse right side for the flagship as-of join, derived from the same
     documents: ~1/``every`` of docs (picked by a multiplicative hash so the

@@ -1507,6 +1507,118 @@ QUALIFY rank < 5
 """
 
 
+# Planted IVF-PQ geometry: 3 integer coarse cells over the same 4-dim
+# integer vectors, residual codebooks (2 subspaces × 4 integer
+# centroids). Assignment (nearest cell, ties → lowest), residuals,
+# residual encoding and per-(query, cell) ADC are ALL exact int64 in
+# both engines; n_probe="all" so every vector is scored against its own
+# cell's LUT (the IVFADC distance) with no probe-selection float edge.
+_IVFPQ_CENTROIDS = [[0, 0, 0, 0], [6, 6, 6, 6], [12, 0, 6, 3]]
+_IVFPQ_CODEBOOKS = [[[0, 0], [3, 3], [-3, -3], [6, 0]],
+                    [[0, 0], [0, 3], [3, -3], [-6, 6]]]
+
+
+def ivfpq_knn_planted(sf_dir: str):
+    """Persistent IVF-PQ index (build→query, ``stages/similarity.py``):
+    coarse cells partition the codes on disk, vectors stored as m-byte
+    residual PQ codes, queries scan probed cells with per-(query, cell)
+    ADC lookup tables. Exact integer oracle via planted integer coarse
+    centroids + residual codebooks (tie-inclusive local top-k; global
+    ties → lower vec_id)."""
+    import shutil
+    import tempfile
+    from ..stages.similarity import build_ivfpq_index, query_ivfpq_index
+    eds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = np.stack([((vid + 1) * p) % 13 for p in (3, 5, 7, 11)],
+                     axis=1).astype(np.float64)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(x.reshape(-1)), 4)})
+
+    vecs = eds.map_batches(derive, batch_format="pyarrow")
+    path = tempfile.mkdtemp(prefix="fx_ivfpq_q_")
+    try:
+        build_ivfpq_index(vecs, path, normalize=False,
+                          coarse_centroids=_IVFPQ_CENTROIDS,
+                          codebooks=_IVFPQ_CODEBOOKS)
+        out = query_ivfpq_index(path,
+                                np.array(_PQ_QUERIES, dtype=np.float64),
+                                k=5, n_probe="all", merge="distributed")
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    out["dist"] = (-out["score"]).round().astype("int64")
+    out["query_id"] = out["query_id"].astype("int64")
+    return out[["query_id", "vec_id", "dist", "rank"]]
+
+
+IVFPQ_KNN_PLANTED_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         ((vec_id + 1) * 3) % 13 AS x0, ((vec_id + 1) * 5) % 13 AS x1,
+         ((vec_id + 1) * 7) % 13 AS x2, ((vec_id + 1) * 11) % 13 AS x3
+  FROM embeddings),
+cc(cell, c0, c1, c2, c3) AS
+  (VALUES (0, 0, 0, 0, 0), (1, 6, 6, 6, 6), (2, 12, 0, 6, 3)),
+asg AS (SELECT vec_id, cell FROM (
+          SELECT v.vec_id, cc.cell,
+                 row_number() OVER (PARTITION BY v.vec_id
+                   ORDER BY (x0-c0)*(x0-c0) + (x1-c1)*(x1-c1)
+                          + (x2-c2)*(x2-c2) + (x3-c3)*(x3-c3), cc.cell)
+                   AS rn
+          FROM v CROSS JOIN cc) WHERE rn = 1),
+r AS (SELECT v.vec_id, a.cell,
+             x0 - c0 AS r0, x1 - c1 AS r1, x2 - c2 AS r2, x3 - c3 AS r3
+      FROM v JOIN asg a ON v.vec_id = a.vec_id
+             JOIN cc ON cc.cell = a.cell),
+cb0(code, b0, b1) AS
+  (VALUES (0, 0, 0), (1, 3, 3), (2, -3, -3), (3, 6, 0)),
+cb1(code, b0, b1) AS
+  (VALUES (0, 0, 0), (1, 0, 3), (2, 3, -3), (3, -6, 6)),
+e0 AS (SELECT vec_id, code AS code0 FROM (
+         SELECT r.vec_id, cb0.code,
+                row_number() OVER (PARTITION BY r.vec_id
+                  ORDER BY (r0-b0)*(r0-b0) + (r1-b1)*(r1-b1), cb0.code)
+                  AS rn
+         FROM r CROSS JOIN cb0) WHERE rn = 1),
+e1 AS (SELECT vec_id, code AS code1 FROM (
+         SELECT r.vec_id, cb1.code,
+                row_number() OVER (PARTITION BY r.vec_id
+                  ORDER BY (r2-b0)*(r2-b0) + (r3-b1)*(r3-b1), cb1.code)
+                  AS rn
+         FROM r CROSS JOIN cb1) WHERE rn = 1),
+q(query_id, q0, q1, q2, q3) AS
+  (VALUES (0, 1, 2, 3, 4), (1, 12, 0, 6, 6), (2, 5, 5, 5, 5)),
+qr AS (SELECT query_id, cell,
+              q0 - c0 AS s0, q1 - c1 AS s1, q2 - c2 AS s2, q3 - c3 AS s3
+       FROM q CROSS JOIN cc),
+lut0 AS (SELECT query_id, cell, code,
+                (s0-b0)*(s0-b0) + (s1-b1)*(s1-b1) AS d
+         FROM qr CROSS JOIN cb0),
+lut1 AS (SELECT query_id, cell, code,
+                (s2-b0)*(s2-b0) + (s3-b1)*(s3-b1) AS d
+         FROM qr CROSS JOIN cb1),
+scored AS (
+  SELECT l0.query_id, enc.vec_id, l0.d + l1.d AS dist
+  FROM (SELECT r.vec_id, r.cell, e0.code0, e1.code1
+        FROM r JOIN e0 ON r.vec_id = e0.vec_id
+               JOIN e1 ON r.vec_id = e1.vec_id) enc
+  JOIN lut0 l0 ON l0.cell = enc.cell AND l0.code = enc.code0
+  JOIN lut1 l1 ON l1.cell = enc.cell AND l1.code = enc.code1
+                  AND l1.query_id = l0.query_id)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       CAST(dist AS BIGINT) AS dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY dist, vec_id) - 1 AS BIGINT) AS rank
+FROM scored
+QUALIFY rank < 5
+"""
+
+
 def events_daily_rollup(sf_dir: str) -> Dataset:
     """M11 date/key derivation: truncate ts to day, per (user, day)
     rollup — the reference's ``day_id = subject + '_' + date`` analog."""
@@ -5622,7 +5734,8 @@ QUERIES = {
     # value_quantiles_cont_by_type, user_event_entropy,
     # orders_snapshot_diff — plus the round-4 mid-round additions
     # (oracle-backed, pytest-verified this round, window round 5):
-    # pq_knn_planted (product quantization, exact integer ADC oracle).
+    # pq_knn_planted / ivfpq_knn_planted (product quantization + the
+    # persistent IVF-PQ index, exact integer ADC oracles).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -5716,6 +5829,7 @@ QUERIES = {
     "knn_embeddings_ivf_full": knn_embeddings_ivf_full,
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
     "pq_knn_planted": pq_knn_planted,
+    "ivfpq_knn_planted": ivfpq_knn_planted,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -5865,6 +5979,7 @@ ORACLE_SQL = {
     "knn_embeddings_ivf_full": KNN_EMBEDDINGS_SQL,
     "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
     "pq_knn_planted": PQ_KNN_PLANTED_SQL,
+    "ivfpq_knn_planted": IVFPQ_KNN_PLANTED_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

@@ -1000,3 +1000,276 @@ def pq_search(codes_ds: Dataset, model: dict, query_vecs: np.ndarray,
 
     partials = codes_ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, merge)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ persistent index (Jégou et al. 2011 "IVFADC"): coarse cells on
+# disk, residual PQ codes inside — the composed 100-TB ANN path
+# ---------------------------------------------------------------------------
+
+def build_ivfpq_index(ds: Dataset, path: str, n_centroids: int = 64,
+                      m: int = 4, ksub: int = 16,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      sample_size: int = 4096, iters: int = 10,
+                      seed: int = 23, normalize: bool = True,
+                      coarse_centroids=None, codebooks=None) -> dict:
+    """Build and persist an IVF-PQ index: coarse k-means cells partition
+    the corpus on disk (``{path}/__ivf_cell=<c>/``) and each vector is
+    stored as the ``m``-byte PQ code of its RESIDUAL (x − cell centroid)
+    — the IVFADC layout. A query then reads ONLY its probed cells' files
+    AND only ``m`` bytes per vector: at 100 TB of raw float32 the probed
+    bytes shrink by ``(n_probe/n_centroids) × (4·dim/m)`` (~1000× at
+    n_probe=4/64 cells, dim=128, m=8).
+
+    Both trainings run over one bounded deterministic sample (id-hash
+    stride — block layouts are not run-stable); residual codebooks are
+    fit per subspace with seeded Euclidean k-means. ``coarse_centroids``
+    / ``codebooks`` skip fitting and plant given arrays — the
+    exact-oracle hook (integer plants make assignment, residuals and ADC
+    exact-integer; pair with ``normalize=False``).
+
+    Persists ``_centroids.parquet`` (cell, centroid),
+    ``_codebooks.parquet`` (flattened (m, ksub, dsub) + geometry +
+    normalize flag). Returns the model dict."""
+    import pyarrow.parquet as _pq
+
+    if coarse_centroids is not None and codebooks is not None:
+        cent = np.asarray(coarse_centroids, dtype=np.float64)
+        cb = np.asarray(codebooks, dtype=np.float64)
+    else:
+        proj = ds.select_columns([id_col, vec_col]).materialize()
+        n_total = proj.count()
+        stride = max(1, n_total // sample_size)
+
+        def pick(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+            return t.filter(pa.array((h % np.uint64(stride)) == 0))
+
+        rows = proj.map_batches(pick, batch_format="pyarrow").to_pandas() \
+            .sort_values(id_col, kind="stable").head(sample_size)
+        sample = np.stack([np.asarray(v, dtype=np.float64)
+                           for v in rows[vec_col]])
+        if normalize:
+            sample = _norm_rows(sample)
+        if coarse_centroids is not None:
+            cent = np.asarray(coarse_centroids, dtype=np.float64)
+        else:
+            cent = _kmeans_l2(sample, n_centroids, iters=iters, seed=seed)
+        d = sample.shape[1]
+        assert d % m == 0, f"dim {d} not divisible by m={m}"
+        dsub = d // m
+        # residual training set: sample minus its nearest coarse centroid
+        d2 = ((sample[:, None, :] - cent[None]) ** 2).sum(axis=2)
+        resid = sample - cent[np.argmin(d2, axis=1)]
+        if codebooks is not None:
+            cb = np.asarray(codebooks, dtype=np.float64)
+        else:
+            cb = np.stack([
+                _kmeans_l2(resid[:, j * dsub:(j + 1) * dsub], ksub,
+                           iters=iters, seed=seed + 1 + j)
+                for j in range(m)])
+    m_, ksub_, dsub_ = cb.shape
+    dim = m_ * dsub_
+    assert cent.shape[1] == dim, "centroid dim != codebook dim"
+
+    cent_ref = ray.put(cent)
+    cb_ref = ray.put(cb)
+
+    def encode(tbl: pa.Table) -> pa.Table:
+        from .partition import broadcast_get
+        c = broadcast_get(cent_ref)
+        book = broadcast_get(cb_ref)
+        x = _batch_matrix(tbl, vec_col).astype(np.float64)
+        if normalize:
+            x = _norm_rows(x)
+        d2 = (x * x).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None] \
+            - 2.0 * (x @ c.T)
+        cell = np.argmin(d2, axis=1)
+        r = x - c[cell]
+        codes = np.empty((len(x), m_), dtype=np.uint8)
+        for j in range(m_):
+            rs = r[:, j * dsub_:(j + 1) * dsub_]
+            bj = book[j]
+            dd = (rs * rs).sum(axis=1)[:, None] \
+                + (bj * bj).sum(axis=1)[None] - 2.0 * (rs @ bj.T)
+            codes[:, j] = np.argmin(dd, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: tbl[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m_),
+            "__ivf_cell": pa.array(cell.astype(np.int64)),
+        })
+
+    encoded = ds.map_batches(encode, batch_format="pyarrow")
+    # consolidate cells before the partitioned write: a raw write emits
+    # one file per (block × cell) — measured 1867 tiny files for a
+    # 200k-vector/64-cell build, and the query then pays one read task
+    # per file (31 s → the exchange makes it ~1 file per cell)
+    from .window import bucketed_apply
+    encoded = bucketed_apply(encoded, "__ivf_cell", lambda t: t,
+                             num_buckets=min(64, max(8, len(cent))))
+    encoded.write_parquet(path, partition_cols=["__ivf_cell"])
+    _pq.write_table(pa.table({
+        "cell": pa.array(np.arange(len(cent), dtype=np.int64)),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(cent.reshape(-1)), dim),
+    }), f"{path}/_centroids.parquet")
+    _pq.write_table(pa.table({
+        "m": pa.array([m_], type=pa.int64()),
+        "ksub": pa.array([ksub_], type=pa.int64()),
+        "dim": pa.array([dim], type=pa.int64()),
+        "normalize": pa.array([normalize]),
+        "codebooks": pa.array([cb.reshape(-1).tolist()],
+                              type=pa.list_(pa.float64())),
+    }), f"{path}/_codebooks.parquet")
+    return {"n_centroids": int(len(cent)), "dim": int(dim), "m": int(m_),
+            "ksub": int(ksub_), "normalize": normalize, "path": path,
+            "centroids": cent, "codebooks": cb}
+
+
+class _IvfPqTopK:
+    """Task-pool kernel for IVF-PQ scans: holds per-(query, probed-cell)
+    ADC lookup tables — LUT[q, c, j, code] = ||(q − cent_c)_j − cb_j[code]||²
+    so summing m gathers gives the exact ADC distance to the residual-
+    decoded vector. Per batch: rows grouped by cell (one lexsort), one
+    vectorized gather-sum per (cell, probing-queries) pair, tie-INCLUSIVE
+    local top-k (quantized distances tie often)."""
+
+    def __init__(self, lut_ref, k: int, id_col: str):
+        # lut: dict cell -> (qidx int64[nq_c], lut float64[nq_c, m, ksub])
+        self.luts = ray.get(lut_ref) if isinstance(lut_ref, ray.ObjectRef) \
+            else lut_ref
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        n = len(batch)
+        if n == 0:
+            return empty
+        cells = batch["__ivf_cell"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        codes_col = batch["pq_code"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        m = codes_col.type.list_size
+        codes = codes_col.flatten().to_numpy(
+            zero_copy_only=False).reshape(n, m)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(cells, kind="stable")
+        cells_s, codes_s, ids_s = cells[order], codes[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, cells_s[1:] != cells_s[:-1]])
+        bounds = np.r_[starts, n]
+        out_q, out_v, out_s = [], [], []
+        for si, ei in zip(bounds[:-1], bounds[1:]):
+            cell = int(cells_s[si])
+            hit = self.luts.get(cell)
+            if hit is None:
+                continue
+            qidx, lut = hit
+            sub_codes = codes_s[si:ei]
+            dist = np.zeros((len(qidx), ei - si), dtype=np.float64)
+            for j in range(m):
+                dist += lut[:, j, :][:, sub_codes[:, j]]
+            k = min(self.k, ei - si)
+            part = np.argpartition(dist, k - 1, axis=1)[:, :k]
+            kth = np.take_along_axis(dist, part, axis=1).max(axis=1)
+            qi, vi = np.nonzero(dist <= kth[:, None])
+            out_q.append(qidx[qi])
+            out_v.append(ids_s[si:ei][vi])
+            out_s.append(-dist[qi, vi])
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q).astype(np.int64)),
+            "vec_id": pa.array(np.concatenate(out_v).astype(np.int64)),
+            "score": pa.array(np.concatenate(out_s))})
+
+
+def query_ivfpq_index(path: str, query_vecs: np.ndarray, k: int = 10,
+                      n_probe: int = 4, id_col: str = "vec_id",
+                      merge: str = "driver"):
+    """ANN query against a persisted IVF-PQ index: load the tiny
+    centroid/codebook tables, pick each query's ``n_probe`` nearest
+    cells (``n_probe="all"`` = exhaustive, the equivalence-golden hook),
+    ``read_parquet`` ONLY those cells' code files, and scan them with
+    per-(query, cell) ADC lookup tables built once on the driver
+    (nq·n_probe·m·ksub floats — broadcast-sized). ``score`` is the
+    negated squared ADC distance; ties break by vec_id through the
+    shared top-k merge."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    ctbl = _pq.read_table(f"{path}/_centroids.parquet")
+    dim = ctbl["centroid"].type.list_size
+    cent = ctbl["centroid"].combine_chunks().flatten() \
+        .to_numpy(zero_copy_only=False).reshape(len(ctbl), dim)
+    meta = _pq.read_table(f"{path}/_codebooks.parquet")
+    m = int(meta["m"][0].as_py())
+    ksub = int(meta["ksub"][0].as_py())
+    normalize = bool(meta["normalize"][0].as_py())
+    cb = np.asarray(meta["codebooks"][0].as_py(),
+                    dtype=np.float64).reshape(m, ksub, dim // m)
+    dsub = dim // m
+
+    q = np.asarray(query_vecs, dtype=np.float64)
+    if normalize:
+        q = _norm_rows(q)
+    nq = len(q)
+    qd2 = (q * q).sum(axis=1)[:, None] + (cent * cent).sum(axis=1)[None] \
+        - 2.0 * (q @ cent.T)
+    if n_probe == "all":
+        qcells = np.tile(np.arange(len(cent)), (nq, 1))
+    else:
+        # deterministic probe order: (distance, cell) lexsort
+        qcells = np.lexsort((np.broadcast_to(np.arange(len(cent)),
+                                             qd2.shape), qd2),
+                            axis=1)[:, :n_probe]
+    # per-cell LUTs for the queries that probe it
+    cell2q: dict[int, list[int]] = {}
+    for qi in range(nq):
+        for c in qcells[qi]:
+            cell2q.setdefault(int(c), []).append(qi)
+    luts = {}
+    for c, qlist in cell2q.items():
+        qidx = np.asarray(qlist, dtype=np.int64)
+        r = q[qidx] - cent[c]           # query residual vs this cell
+        lut = np.empty((len(qidx), m, ksub), dtype=np.float64)
+        for j in range(m):
+            rs = r[:, j * dsub:(j + 1) * dsub]
+            bj = cb[j]
+            lut[:, j, :] = (rs * rs).sum(axis=1)[:, None] \
+                + (bj * bj).sum(axis=1)[None] - 2.0 * (rs @ bj.T)
+        luts[c] = (qidx, lut)
+    files = []
+    for c in sorted(cell2q):
+        d = _os.path.join(path, f"__ivf_cell={c}")
+        if _os.path.isdir(d):
+            files.extend(_os.path.join(d, f)
+                         for f in sorted(_os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not files:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    sub = rd.read_parquet(files)
+    lut_ref = ray.put(luts)
+
+    from .partition import cached_kernel
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch
+        if "__ivf_cell" in t.column_names:
+            t = t.set_column(t.schema.get_field_index("__ivf_cell"),
+                             "__ivf_cell", t["__ivf_cell"].cast(pa.int64()))
+        return cached_kernel(_IvfPqTopK, lut_ref, k, id_col)(t)
+
+    partials = sub.map_batches(score, batch_format="pyarrow")
+    return _merge_topk(partials, k, merge)

