@@ -2449,6 +2449,66 @@ FROM c, ev
 """
 
 
+def fuzzy_decontaminate_docs(sf_dir: str) -> Dataset:
+    """Fuzzy benchmark decontamination: docs with ``doc_id % 13 == 0``
+    play the eval set; every other doc is scored by its MAX exact
+    distinct-5-gram Jaccard against any single eval doc (broadcast eval
+    gram table, streamed corpus, zero shuffles) and kept below 0.5.
+    ``n_inter``/``n_union`` are the best pair's exact integer witnesses;
+    ``max_jaccard`` is the single division of those ints — identical
+    IEEE expression in the SQL twin, so it compares strictly."""
+    from ..stages.curation import fuzzy_decontaminate
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text"])
+
+    def split(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = t["doc_id"].to_numpy(zero_copy_only=False) % 13 == 0
+            return t.filter(pa.array(m if eq else ~m))
+        return fn
+
+    evd = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    out = fuzzy_decontaminate(corpus, evd, k=5, threshold=0.5)
+    return out.select_columns(["doc_id", "max_jaccard", "best_eval_id",
+                               "n_inter", "n_union", "keep"])
+
+
+FUZZY_DECONTAMINATE_DOCS_SQL = """
+WITH w AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+           FROM documents WHERE trim(text) <> ''),
+g AS (SELECT doc_id,
+             list_distinct(CASE WHEN len(ws) < 5
+                  THEN [array_to_string(ws, ' ')]
+                  ELSE [array_to_string(ws[i:i+4], ' ')
+                        FOR i IN range(1, len(ws) - 3)]
+             END) AS gs
+      FROM w),
+ev AS (SELECT doc_id AS eval_id, gs AS egs FROM g WHERE doc_id % 13 = 0),
+c AS (SELECT doc_id, gs FROM g WHERE doc_id % 13 <> 0),
+pairs AS (
+  SELECT c.doc_id, ev.eval_id,
+         len(list_intersect(c.gs, ev.egs)) AS inter,
+         len(c.gs) + len(ev.egs) - len(list_intersect(c.gs, ev.egs))
+           AS uni
+  FROM c CROSS JOIN ev
+  WHERE len(list_intersect(c.gs, ev.egs)) > 0),
+best AS (
+  SELECT doc_id, eval_id, inter, uni,
+         CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) AS jac,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) DESC,
+                    eval_id) AS rn
+  FROM pairs)
+SELECT c.doc_id,
+       COALESCE(b.jac, 0.0) AS max_jaccard,
+       CAST(b.eval_id AS BIGINT) AS best_eval_id,
+       CAST(COALESCE(b.inter, 0) AS BIGINT) AS n_inter,
+       CAST(COALESCE(b.uni, 0) AS BIGINT) AS n_union,
+       COALESCE(b.jac, 0.0) < 0.5 AS keep
+FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
 def heavy_hitters_event_types(sf_dir: str):
     """Mergeable Misra-Gries heavy hitters over event_type — run in its
     EXACT regime (k=64 ≥ global distinct, so no decrement fires and
@@ -5735,7 +5795,8 @@ QUERIES = {
     # orders_snapshot_diff — plus the round-4 mid-round additions
     # (oracle-backed, pytest-verified this round, window round 5):
     # pq_knn_planted / ivfpq_knn_planted (product quantization + the
-    # persistent IVF-PQ index, exact integer ADC oracles).
+    # persistent IVF-PQ index, exact integer ADC oracles) and
+    # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -5830,6 +5891,7 @@ QUERIES = {
     "knn_embeddings_lsh_full": knn_embeddings_lsh_full,
     "pq_knn_planted": pq_knn_planted,
     "ivfpq_knn_planted": ivfpq_knn_planted,
+    "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -5980,6 +6042,7 @@ ORACLE_SQL = {
     "knn_embeddings_lsh_full": KNN_EMBEDDINGS_SQL,
     "pq_knn_planted": PQ_KNN_PLANTED_SQL,
     "ivfpq_knn_planted": IVFPQ_KNN_PLANTED_SQL,
+    "fuzzy_decontaminate_docs": FUZZY_DECONTAMINATE_DOCS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

@@ -125,6 +125,141 @@ def decontaminate(ds: Dataset, eval_ds: Dataset, text_col: str = "text",
     return out
 
 
+def eval_gram_table(eval_ds: Dataset, text_col: str = "text", k: int = 5,
+                    id_col: str = "doc_id") -> dict:
+    """Per-eval-doc distinct gram-hash table for fuzzy decontamination:
+    ``g_sorted`` (uint64, sorted), ``eid_of`` (aligned index into
+    ``eval_ids``), ``esize`` (distinct-gram count per eval doc),
+    ``eval_ids``. Driver-side by design (benchmark suites are small) —
+    one broadcast, never the corpus."""
+    def grams(batch: pa.Table) -> pa.Table:
+        sh, offsets = _shingles_of_batch(batch, text_col, k)
+        seg = offsets[1:] - offsets[:-1]
+        doc_of = np.repeat(np.arange(len(batch)), seg)
+        order = np.lexsort((sh, doc_of))
+        shs, ds_ = sh[order], doc_of[order]
+        head = np.r_[True, (ds_[1:] != ds_[:-1]) | (shs[1:] != shs[:-1])] \
+            if len(shs) else np.zeros(0, dtype=bool)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": pa.array(shs[head], type=pa.uint64()),
+            "eid": pa.array(ids[ds_[head]].astype(np.int64))})
+
+    rows = eval_ds.map_batches(grams, batch_format="pyarrow").to_pandas()
+    eval_ids, eidx = np.unique(rows["eid"].to_numpy(), return_inverse=True)
+    g = rows["g"].to_numpy().astype(np.uint64)
+    order = np.argsort(g, kind="stable")
+    return {"g_sorted": g[order],
+            "eid_of": eidx[order].astype(np.int64),
+            "esize": np.bincount(eidx, minlength=len(eval_ids))
+            .astype(np.int64),
+            "eval_ids": eval_ids.astype(np.int64)}
+
+
+class _FuzzyDecontamScorer:
+    """Per-worker kernel: exact per-(corpus doc, eval doc) Jaccard over
+    distinct word-k-gram hashes against the broadcast eval table. One
+    searchsorted range-lookup per batch finds every (doc shingle, eval
+    doc) hit; a packed-key unique turns hits into intersection counts;
+    Jaccard = inter / (|doc| + |eval| − inter) as ONE float64 division
+    (exact-comparable against the SQL twin). Zero shuffles."""
+
+    def __init__(self, ref, text_col: str, k: int, threshold: float):
+        self.ref = ref
+        self.text_col = text_col
+        self.k = k
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tab = broadcast_get(self.ref)
+        g_sorted, eid_of = tab["g_sorted"], tab["eid_of"]
+        esize, eval_ids = tab["esize"], tab["eval_ids"]
+        n = len(batch)
+        sh, offsets = _shingles_of_batch(batch, self.text_col, self.k)
+        seg = offsets[1:] - offsets[:-1]
+        doc_of = np.repeat(np.arange(n), seg)
+        order = np.lexsort((sh, doc_of))
+        shs, ds_ = sh[order], doc_of[order]
+        head = np.r_[True, (ds_[1:] != ds_[:-1]) | (shs[1:] != shs[:-1])] \
+            if len(shs) else np.zeros(0, dtype=bool)
+        shd, dd = shs[head], ds_[head]
+        doc_sizes = np.bincount(dd, minlength=n).astype(np.int64)
+        max_jac = np.zeros(n, dtype=np.float64)
+        best_eid = np.zeros(n, dtype=np.int64)
+        best_inter = np.zeros(n, dtype=np.int64)
+        best_uni = np.zeros(n, dtype=np.int64)
+        has = np.zeros(n, dtype=bool)
+        if len(shd) and len(g_sorted):
+            lo = np.searchsorted(g_sorted, shd, side="left")
+            hi = np.searchsorted(g_sorted, shd, side="right")
+            cnt = hi - lo
+            tot = int(cnt.sum())
+            if tot:
+                rep_doc = np.repeat(dd, cnt)
+                base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                idx = np.repeat(lo, cnt) + (np.arange(tot) - base)
+                rep_e = eid_of[idx]
+                ne = len(eval_ids)
+                packed = rep_doc * ne + rep_e
+                u, inter = np.unique(packed, return_counts=True)
+                pd_doc = (u // ne).astype(np.int64)
+                pd_e = (u % ne).astype(np.int64)
+                inter = inter.astype(np.int64)
+                uni = doc_sizes[pd_doc] + esize[pd_e] - inter
+                jac = inter.astype(np.float64) / uni.astype(np.float64)
+                # per doc: max jaccard, ties -> lowest eval doc id
+                o2 = np.lexsort((eval_ids[pd_e], -jac, pd_doc))
+                h2 = np.r_[True, pd_doc[o2][1:] != pd_doc[o2][:-1]]
+                top = o2[h2]
+                max_jac[pd_doc[top]] = jac[top]
+                best_eid[pd_doc[top]] = eval_ids[pd_e[top]]
+                best_inter[pd_doc[top]] = inter[top]
+                best_uni[pd_doc[top]] = uni[top]
+                has[pd_doc[top]] = True
+        batch = batch.append_column(
+            "max_jaccard", pa.array(max_jac))
+        batch = batch.append_column(
+            "best_eval_id", pa.array(best_eid, mask=~has))
+        batch = batch.append_column(
+            "n_inter", pa.array(best_inter, type=pa.int64()))
+        batch = batch.append_column(
+            "n_union", pa.array(best_uni, type=pa.int64()))
+        return batch.append_column(
+            "keep", pa.array(max_jac < self.threshold, type=pa.bool_()))
+
+
+def fuzzy_decontaminate(ds: Dataset, eval_ds: Dataset,
+                        text_col: str = "text", k: int = 5,
+                        threshold: float = 0.8, drop: bool = False,
+                        id_col: str = "doc_id") -> Dataset:
+    """Near-duplicate benchmark decontamination: flag (or drop) corpus
+    documents whose distinct word-``k``-gram Jaccard similarity with ANY
+    eval document reaches ``threshold`` — the fuzzy complement of
+    :func:`decontaminate` (exact contamination survives paraphrase-level
+    edits that break every shared gram only rarely; FineWeb/GPT-3-style
+    pipelines run both). Appends ``max_jaccard``, ``best_eval_id``
+    (null when no gram is shared), exact integer witnesses ``n_inter`` /
+    ``n_union`` for the best pair, and ``keep``.
+
+    Scale shape: identical to :func:`decontaminate` — eval gram table
+    broadcast once (``ray.put`` + ``broadcast_get``), corpus streamed
+    through one vectorized ``map_batches`` pass, ZERO shuffles. The
+    per-(doc, eval) Jaccard is exact (not MinHash-estimated): the eval
+    side is small, so exactness costs one searchsorted per batch."""
+    tab = eval_gram_table(eval_ds, text_col, k, id_col)
+    ref = ray.put(tab)
+
+    def score(batch: pa.Table) -> pa.Table:
+        kern = cached_kernel(_FuzzyDecontamScorer, ref, text_col, k,
+                             threshold)
+        return kern(batch)
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    if drop:
+        out = out.filter(expr="keep")
+    return out
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -239,3 +239,47 @@ def test_pack_chunks_drops_empty_docs():
     assert sorted(out["doc_id"]) == [1, 3]
     out = out.sort_values("doc_id")
     assert out["tok_start"].tolist() == [0, 3]
+
+
+def test_fuzzy_decontaminate_max_jaccard_and_ties():
+    """Near-dup eval contamination: per-doc max exact 5-gram Jaccard
+    against a broadcast eval table, integer witnesses, lowest-eval-id
+    tie-break, null best_eval_id when nothing is shared."""
+    import pandas as pd
+    from feature_extraction_ray.stages.curation import fuzzy_decontaminate
+    base = [f"w{i}" for i in range(30)]
+    near = list(base)
+    near[7] = "EDIT"                       # breaks grams covering pos 7
+    corpus = _docs([
+        (1, " ".join(base)),               # exact copy of eval 100
+        (2, " ".join(near)),               # near-dup of eval 100
+        (3, "totally different words that never overlap anything here"),
+        (4, "alpha beta gamma delta epsilon"),   # one gram, in BOTH evals
+    ])
+    ev = _docs([(100, " ".join(base)),
+                (200, "alpha beta gamma delta epsilon zeta"),
+                (104, "alpha beta gamma delta epsilon eta")])
+    out = fuzzy_decontaminate(corpus, ev, k=5, threshold=0.5) \
+        .to_pandas().set_index("doc_id")
+    # doc 1: identical gram set -> jaccard exactly 1.0
+    assert out.loc[1, "max_jaccard"] == 1.0
+    assert out.loc[1, "best_eval_id"] == 100
+    assert not out.loc[1, "keep"]
+    # doc 2: 26 grams, 5 broken by the edit -> inter 21, union 31
+    assert out.loc[2, "n_inter"] == 21 and out.loc[2, "n_union"] == 31
+    assert out.loc[2, "max_jaccard"] == 21.0 / 31.0
+    assert not out.loc[2, "keep"]
+    # doc 3: no shared gram -> null best, zero witnesses, kept
+    assert out.loc[3, "max_jaccard"] == 0.0
+    assert pd.isna(out.loc[3, "best_eval_id"])
+    assert out.loc[3, "n_inter"] == 0 and out.loc[3, "keep"]
+    # doc 4's single gram hits BOTH eval docs at equal jaccard (each has
+    # 2 grams): tie must break to the LOWEST eval doc id (104, not 200);
+    # jaccard 0.5 sits exactly ON the threshold -> flagged (>= semantics)
+    assert out.loc[4, "n_inter"] == 1 and out.loc[4, "n_union"] == 2
+    assert out.loc[4, "best_eval_id"] == 104
+    assert out.loc[4, "max_jaccard"] == 0.5 and not out.loc[4, "keep"]
+    # drop=True keeps only clean docs
+    kept = fuzzy_decontaminate(corpus, ev, k=5, threshold=0.5,
+                               drop=True).to_pandas()
+    assert sorted(kept["doc_id"]) == [3]
