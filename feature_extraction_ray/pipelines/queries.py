@@ -2509,6 +2509,39 @@ FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+def mixture_weights_docs(sf_dir: str):
+    """Temperature-based domain mixing (α=0.3, the GPT-3 convention):
+    per-source exact token totals through one tiny groupby, weights
+    ∝ n_tokensᵅ normalized over a source-sorted power sum, expected
+    sampled tokens / epochs under a 1M-token budget. Irrational pow/
+    division chains → round-6 both sides (boundary-safe)."""
+    from ..stages.curation import mixture_weights
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    out = mixture_weights(ds, "source", "text", alpha=0.3,
+                          token_budget=1_000_000)
+    for c in ("weight", "sampled_tokens", "epochs"):
+        out[c] = _round_arr(pa.array(out[c].to_numpy()), 6).to_numpy(
+            zero_copy_only=False)
+    return out
+
+
+MIXTURE_WEIGHTS_DOCS_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+s AS (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.3) ORDER BY source)
+        AS total FROM c)
+SELECT source, n_docs, n_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / s.total, 6) AS weight,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / s.total
+             * 1000000.0, 6) AS sampled_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.3) / s.total * 1000000.0
+             / CAST(n_tokens AS DOUBLE), 6) AS epochs
+FROM c CROSS JOIN s
+"""
+
+
 def heavy_hitters_event_types(sf_dir: str):
     """Mergeable Misra-Gries heavy hitters over event_type — run in its
     EXACT regime (k=64 ≥ global distinct, so no decrement fires and
@@ -5796,7 +5829,8 @@ QUERIES = {
     # (oracle-backed, pytest-verified this round, window round 5):
     # pq_knn_planted / ivfpq_knn_planted (product quantization + the
     # persistent IVF-PQ index, exact integer ADC oracles) and
-    # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set).
+    # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set),
+    # mixture_weights_docs (temperature-based domain mixing weights).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -5892,6 +5926,7 @@ QUERIES = {
     "pq_knn_planted": pq_knn_planted,
     "ivfpq_knn_planted": ivfpq_knn_planted,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
+    "mixture_weights_docs": mixture_weights_docs,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -6043,6 +6078,7 @@ ORACLE_SQL = {
     "pq_knn_planted": PQ_KNN_PLANTED_SQL,
     "ivfpq_knn_planted": IVFPQ_KNN_PLANTED_SQL,
     "fuzzy_decontaminate_docs": FUZZY_DECONTAMINATE_DOCS_SQL,
+    "mixture_weights_docs": MIXTURE_WEIGHTS_DOCS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

@@ -315,6 +315,54 @@ def scrub_pii(ds: Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# temperature-based domain mixture weights
+# ---------------------------------------------------------------------------
+
+def mixture_weights(ds: Dataset, group_col: str = "source",
+                    text_col: str = "text", alpha: float = 0.3,
+                    token_budget: int = 1_000_000,
+                    token_col: str | None = None):
+    """Temperature-based domain mixing (the GPT-3/PaLM multinomial
+    data-mixture step): weight each domain ``∝ n_tokensᵅ`` — ``α = 1``
+    is proportional sampling, ``α = 0`` uniform, intermediate values
+    upsample small domains. Returns one row per domain (pandas —
+    domain count is bounded by construction) with ``n_docs``,
+    ``n_tokens`` (exact int64), ``weight`` (normalized), and
+    ``sampled_tokens`` / ``epochs`` for the given ``token_budget``
+    (epochs > 1 flags domains the mixture would repeat).
+
+    Scale shape: per-batch token counts (vectorized
+    :func:`~feature_extraction_ray.stages.text.ws_token_count`, or a
+    precomputed ``token_col``) ride ONE tiny groupby on the domain key;
+    the driver sees #domains rows. The power sum is accumulated in
+    ``group_col``-sorted order, deterministically."""
+    from ray.data.aggregate import Count, Sum
+
+    if token_col is None:
+        def count(t: pa.Table) -> pa.Table:
+            return pa.table({group_col: t[group_col],
+                             "__n_tok": ws_token_count(t[text_col])})
+        counted = ds.map_batches(count, batch_format="pyarrow")
+        token_col = "__n_tok"
+    else:
+        counted = ds
+    pdf = counted.groupby(group_col).aggregate(
+        Count(alias_name="n_docs"),
+        Sum(token_col, alias_name="n_tokens")).to_pandas() \
+        .sort_values(group_col, kind="stable").reset_index(drop=True)
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    n = pdf["n_tokens"].to_numpy().astype(np.float64)
+    p = np.power(n, float(alpha))
+    s = float(p.sum())
+    w = p / s
+    pdf["weight"] = w
+    pdf["sampled_tokens"] = w * float(token_budget)
+    pdf["epochs"] = w * float(token_budget) / n
+    return pdf
+
+
+# ---------------------------------------------------------------------------
 # token-budget quota sampling
 # ---------------------------------------------------------------------------
 

@@ -283,3 +283,35 @@ def test_fuzzy_decontaminate_max_jaccard_and_ties():
     kept = fuzzy_decontaminate(corpus, ev, k=5, threshold=0.5,
                                drop=True).to_pandas()
     assert sorted(kept["doc_id"]) == [3]
+
+
+def test_mixture_weights_alpha_extremes():
+    """α=1 -> proportional weights; α=0 -> uniform; epochs flag
+    domains the budget would repeat (weight·budget > n_tokens)."""
+    from feature_extraction_ray.stages.curation import mixture_weights
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["a"] * 4 + ["b"] * 1),
+        "text": pa.array(["w x y z"] * 4 + ["only two"]),
+    }))
+    prop = mixture_weights(docs, alpha=1.0, token_budget=18)
+    prop = prop.set_index("source")
+    assert prop.loc["a", "n_tokens"] == 16 and prop.loc["b", "n_tokens"] == 2
+    np.testing.assert_allclose(prop.loc["a", "weight"], 16 / 18)
+    np.testing.assert_allclose(prop.loc["a", "epochs"], 1.0)
+    np.testing.assert_allclose(prop.loc["b", "epochs"], 1.0)
+    unif = mixture_weights(docs, alpha=0.0, token_budget=18)
+    np.testing.assert_allclose(unif["weight"].to_numpy(), [0.5, 0.5])
+    # uniform split of 18 tokens gives b 9 tokens = 4.5 epochs
+    np.testing.assert_allclose(
+        unif.set_index("source").loc["b", "epochs"], 4.5)
+    # precomputed token column path matches the text path
+    import pyarrow.compute as pc
+    with_tok = docs.map_batches(
+        lambda t: t.append_column(
+            "n_tok", pc.cast(pc.list_value_length(
+                pc.utf8_split_whitespace(t["text"])), pa.int64())),
+        batch_format="pyarrow")
+    via_col = mixture_weights(with_tok, alpha=1.0, token_budget=18,
+                              token_col="n_tok")
+    np.testing.assert_allclose(via_col["weight"].to_numpy(),
+                               prop["weight"].to_numpy())
