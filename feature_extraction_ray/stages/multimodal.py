@@ -212,17 +212,21 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Format-dispatching image decode: BMP (``BM`` magic) or PNG
-    (8-byte signature) → (h, w, 3) uint8 RGB; anything else raises the
-    documented ``NotImplementedError`` naming the ``decode_fn`` hook."""
+    """Format-dispatching image decode: BMP (``BM`` magic), PNG (8-byte
+    signature) or baseline JPEG (SOI ``FFD8``; see ``stages/jpeg.py``)
+    → (h, w, 3) uint8 RGB; anything else raises the documented
+    ``NotImplementedError`` naming the ``decode_fn`` hook."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload[:2] == b"\xFF\xD8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "unrecognized image payload (not BMP or PNG) — other formats "
-        "require an image library (e.g. Pillow) not present in this "
-        "container; pass decode_fn=...")
+        "unrecognized image payload (not BMP, PNG or JPEG) — other "
+        "formats require an image library (e.g. Pillow) not present in "
+        "this container; pass decode_fn=...")
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

@@ -174,8 +174,8 @@ def test_decode_image_dispatch_and_cross_format_parity():
     np.testing.assert_array_equal(
         MM._image_features(MM.decode_image(MM.encode_bmp(px))),
         MM._image_features(MM.decode_image(MM.encode_png(px))))
-    with pytest.raises(NotImplementedError, match="not BMP or PNG"):
-        MM.decode_image(b"\xff\xd8\xff jpeg")
+    with pytest.raises(NotImplementedError, match="not BMP, PNG or JPEG"):
+        MM.decode_image(b"GIF89a not a supported format")
 
 
 def test_png_rows_flow_through_media_pipeline(ray_session):
