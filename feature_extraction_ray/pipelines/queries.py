@@ -2542,6 +2542,126 @@ FROM c CROSS JOIN s
 """
 
 
+def _dsir_scored(sf_dir: str) -> Dataset:
+    """Shared DSIR fit+score: target = ``source = 'src0'`` docs, raw =
+    the rest; unigram+bigram features, top-500 vocabulary + OOV bucket
+    (the cap is small on purpose so the OOV path is oracle-exercised),
+    add-1 smoothing."""
+    from ..stages.dsir import dsir_scores, fit_dsir
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text", "source"])
+
+    def split(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["source"], "src0")
+            return t.filter(m if eq else pc.invert(m))
+        return fn
+
+    target = docs.map_batches(split(True), batch_format="pyarrow")
+    raw = docs.map_batches(split(False), batch_format="pyarrow")
+    model = fit_dsir(target, raw, top_v=500)
+    return dsir_scores(raw, model)
+
+
+def dsir_scores_docs(sf_dir: str) -> Dataset:
+    """DSIR importance weights (``stages/dsir.py``, Xie et al. 2023):
+    per raw doc ``logw = Σ_f c_f·(ln p_target(f) − ln p_raw(f))`` under
+    two add-1-smoothed unigram+bigram multinomials over a shared top-500
+    vocabulary + OOV bucket. Fit = one union groupby exchange with a
+    dataset-side top-V cap; scoring = broadcast model, zero shuffles.
+    ``n_feats``/``n_oov`` are exact int witnesses; per-feature λ uses
+    the identical IEEE expression both sides and per-doc sums of the
+    irrational λs round-6 boundary-safe."""
+    return _round(_dsir_scored(sf_dir), {"logw": 6})
+
+
+def dsir_sampled_docs(sf_dir: str):
+    """DSIR resampling step: Gumbel-top-k over the scored pool
+    (k=100, T=1, seed=7) — sampling without replacement ∝ exp(logw),
+    deterministic via the seeded per-doc Gumbel
+    ``−ln(−ln((hash(doc_id) + 0.5)/2³²))`` the SQL twin reproduces in
+    HUGEINT arithmetic. Ranking key rounded 6 BEFORE the top-k so both
+    engines order identically; local head-k partials (total order — ids
+    unique) + one bounded merge, the pool never globally sorts."""
+    from ..stages.dsir import dsir_select
+    scored = _round(_dsir_scored(sf_dir), {"logw": 6})
+    sel = dsir_select(scored, k=100, seed=7, temperature=1.0,
+                      key_round=6)
+    return sel.select(["doc_id", "logw", "gkey"])
+
+
+_DSIR_MODEL_CTE = """
+WITH s AS (
+  SELECT doc_id, source, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, source, unnest(ws) AS word,
+         generate_subscripts(ws, 1) AS ord
+  FROM s
+), w2 AS (
+  SELECT doc_id, source, word, ord FROM w WHERE word <> ''
+), uni AS (
+  SELECT doc_id, source, 'U' || chr(31) || word AS feat FROM w2
+), big AS (
+  SELECT doc_id, source,
+         'B' || chr(31) || word || chr(31)
+             || lead(word) OVER (PARTITION BY doc_id ORDER BY ord) AS feat
+  FROM w2
+  QUALIFY lead(word) OVER (PARTITION BY doc_id ORDER BY ord) IS NOT NULL
+), feats AS (
+  SELECT doc_id, source, feat FROM uni
+  UNION ALL SELECT doc_id, source, feat FROM big
+), cnt AS (
+  SELECT feat,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ct,
+         CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM feats GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+  FROM cnt
+), vocab AS (
+  SELECT feat, ct, cr FROM cnt
+  QUALIFY row_number() OVER (ORDER BY ct + cr DESC, feat ASC) <= 500
+), vc AS (
+  SELECT count(*) AS v, CAST(sum(ct) AS BIGINT) AS vt,
+         CAST(sum(cr) AS BIGINT) AS vr
+  FROM vocab
+), lam AS (
+  SELECT feat, ln((ct + 1.0) / (nt + v + 1.0))
+             - ln((cr + 1.0) / (nr + v + 1.0)) AS lam
+  FROM vocab CROSS JOIN tot CROSS JOIN vc
+), oov AS (
+  SELECT ln((nt - vt + 1.0) / (nt + v + 1.0))
+       - ln((nr - vr + 1.0) / (nr + v + 1.0)) AS lam
+  FROM tot CROSS JOIN vc
+), scored AS (
+  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         CAST(sum(CASE WHEN l.lam IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+         sum(coalesce(l.lam, (SELECT lam FROM oov))) AS logw
+  FROM feats f LEFT JOIN lam l USING (feat)
+  WHERE f.source <> 'src0'
+  GROUP BY 1
+)
+"""
+
+DSIR_SCORES_DOCS_SQL = _DSIR_MODEL_CTE + """
+SELECT doc_id, n_feats, n_oov, round(logw, 6) AS logw FROM scored
+"""
+
+DSIR_SAMPLED_DOCS_SQL = _DSIR_MODEL_CTE + """
+SELECT doc_id, round(logw, 6) AS logw,
+       round(round(logw, 6)
+             + (-ln(-ln(((((CAST(doc_id AS HUGEINT) + 7) * 2654435761)
+                           % 4294967296) + 0.5) / 4294967296.0))),
+             6) AS gkey
+FROM scored
+ORDER BY gkey DESC, doc_id
+LIMIT 100
+"""
+
+
 def heavy_hitters_event_types(sf_dir: str):
     """Mergeable Misra-Gries heavy hitters over event_type — run in its
     EXACT regime (k=64 ≥ global distinct, so no decrement fires and
@@ -5927,6 +6047,8 @@ QUERIES = {
     "ivfpq_knn_planted": ivfpq_knn_planted,
     "fuzzy_decontaminate_docs": fuzzy_decontaminate_docs,
     "mixture_weights_docs": mixture_weights_docs,
+    "dsir_scores_docs": dsir_scores_docs,
+    "dsir_sampled_docs": dsir_sampled_docs,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -6079,6 +6201,8 @@ ORACLE_SQL = {
     "ivfpq_knn_planted": IVFPQ_KNN_PLANTED_SQL,
     "fuzzy_decontaminate_docs": FUZZY_DECONTAMINATE_DOCS_SQL,
     "mixture_weights_docs": MIXTURE_WEIGHTS_DOCS_SQL,
+    "dsir_scores_docs": DSIR_SCORES_DOCS_SQL,
+    "dsir_sampled_docs": DSIR_SAMPLED_DOCS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,
