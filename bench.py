@@ -26,6 +26,7 @@ REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "20"))
 
 BENCH_QUERIES = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
     "sessionize_events",
     "asof_events_orders",
     "asof_events_orders_broadcast",
@@ -130,6 +131,24 @@ def run_bench() -> dict:
         per_query["knn_lsh_2000q_distributed"] = _best_of(
             lambda: knn_lsh(eds, q, k=10, bits=8, probes=8,
                             merge="dataset").count())
+
+        # round-4 general M:N partitioned hash join: full lineitem ⋈
+        # orders fan-out (no filters — every row moves through the
+        # tagged-union exchange and the run-pair cross-product kernel)
+        from feature_extraction_ray.stages.relational import hash_join
+
+        def _join_run():
+            o = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                columns=["o_orderkey", "o_custkey",
+                                         "o_totalprice"])
+            l = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                columns=["l_orderkey",
+                                         "l_extendedprice"])
+            return hash_join(l, o, left_key="l_orderkey",
+                             right_key="o_orderkey", how="inner",
+                             right_cols=["o_custkey", "o_totalprice"],
+                             num_buckets=n_buckets).count()
+        per_query["hash_join_line_orders"] = _best_of(_join_run)
 
         # round-4 compressed-domain ANN: PQ fit+encode+ADC over a 100×
         # amplified corpus (200k distinct vectors), and the persistent

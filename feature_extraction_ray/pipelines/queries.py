@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
@@ -2659,6 +2660,218 @@ SELECT doc_id, round(logw, 6) AS logw,
 FROM scored
 ORDER BY gkey DESC, doc_id
 LIMIT 100
+"""
+
+
+def _rev_i(t: pa.Table) -> np.ndarray:
+    """Exact-int revenue witness per lineitem row: cents × discount
+    basis points, ``floor(price·100 + 0.5) · floor((1−disc)·100 + 0.5)``
+    — the identical IEEE expression the SQL twins spell out, so grouped
+    SUMs are exact int64 and the derived double (ONE division by 1e4)
+    compares strictly."""
+    ep = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                  * 100.0 + 0.5).astype(np.int64)
+    dm = np.floor((1.0 - t["l_discount"].to_numpy(zero_copy_only=False))
+                  * 100.0 + 0.5).astype(np.int64)
+    return ep * dm
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape over the general M:N partitioned hash join
+    (``relational.hash_join`` — tagged-union single exchange, per-bucket
+    dictionary-encode + run-pair cross product): BUILDING customers ⋈
+    pre-cutoff orders ⋈ post-cutoff lineitems, top-10 open orders by
+    revenue. Lineitem pre-aggregates per (l_orderkey) inside each batch
+    (combiner) before the join; revenue is the exact-int witness summed
+    through one final groupby; dates travel as int64 epoch days (Ray's
+    sort-aggregate downcasts timestamp keys)."""
+    import datetime as _dt
+    from ray.data.aggregate import Sum
+    from ..stages.relational import hash_join
+    cut = _dt.datetime(1997, 6, 1)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["c_mktsegment"], "BUILDING"))
+            .select(["c_custkey"]), batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(cut, type=pa.timestamp("us"))))
+        days = (t["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // _US_PER_DAY)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_date_day": pa.array(days),
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    open_orders = hash_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow"), cust,
+        left_key="o_custkey", right_key="c_custkey", how="inner",
+        right_cols=[], num_buckets=32)
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(cut, type=pa.timestamp("us"))))
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_i": pa.array(_rev_i(t))})
+        return part.group_by(["l_orderkey"]).aggregate(
+            [("rev_i", "sum")]).rename_columns(["l_orderkey", "rev_i"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"]) \
+        .map_batches(prep_line, batch_format="pyarrow")
+    j = hash_join(line, open_orders, left_key="l_orderkey",
+                  right_key="o_orderkey", how="inner",
+                  right_cols=["o_date_day", "o_orderpriority"],
+                  num_buckets=32)
+    agg = j.groupby(["l_orderkey", "o_date_day", "o_orderpriority"]) \
+        .aggregate(Sum("rev_i", alias_name="revenue_i"))
+
+    # top-10 with no global sort: local top-10 per block under the
+    # TOTAL order (orderkeys unique), one bounded driver merge
+    keys = [("revenue_i", "descending"), ("o_date_day", "ascending"),
+            ("l_orderkey", "ascending")]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        return t.take(pc.sort_indices(t, sort_keys=keys)[:10])
+
+    parts = agg.map_batches(local_top, batch_format="pyarrow") \
+        .to_arrow_refs()
+    tbl = pa.concat_tables([ray.get(r) for r in parts])
+    t = tbl.take(pc.sort_indices(tbl, sort_keys=keys)[:10])
+    return t.append_column(
+        "revenue", pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                             pa.scalar(10000.0)))
+
+
+Q3_SHIPPING_PRIORITY_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         * CAST(FLOOR((1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)
+           AS rev_i
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '1997-06-01'
+)
+SELECT l.l_orderkey,
+       CAST(sum(l.rev_i) AS BIGINT) AS revenue_i,
+       epoch_us(o.o_orderdate) // 86400000000 AS o_date_day,
+       o.o_orderpriority,
+       CAST(CAST(sum(l.rev_i) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1997-06-01'
+GROUP BY 1, 3, 4
+ORDER BY revenue_i DESC, o_date_day, l_orderkey
+LIMIT 10
+"""
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape — two chained ``hash_join`` exchanges
+    (lineitem⋈orders fan-in, rollup⋈customer) plus the nation lookup as
+    a broadcast join (25 rows — broadcast-regime at ANY scale) and a
+    local-top-k + bounded-merge finish (no global sort): returned-item
+    revenue per customer for one order quarter, top 20. Same exact-int
+    revenue witness as Q3."""
+    import datetime as _dt
+    from ray.data.aggregate import Sum
+    from ..stages.relational import hash_join
+    lo = pa.scalar(_dt.datetime(1996, 10, 1), type=pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), type=pa.timestamp("us"))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], lo),
+            pc.less(t["o_orderdate"], hi)))
+            .select(["o_orderkey", "o_custkey"]),
+            batch_format="pyarrow")
+
+    def prep_line(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        part = pa.table({"l_orderkey": t["l_orderkey"],
+                         "rev_i": pa.array(_rev_i(t))})
+        return part.group_by(["l_orderkey"]).aggregate(
+            [("rev_i", "sum")]).rename_columns(["l_orderkey", "rev_i"])
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_returnflag"]) \
+        .map_batches(prep_line, batch_format="pyarrow")
+    j1 = hash_join(line, orders, left_key="l_orderkey",
+                   right_key="o_orderkey", how="inner",
+                   right_cols=["o_custkey"], num_buckets=32)
+    per_cust = j1.groupby("o_custkey").aggregate(
+        Sum("rev_i", alias_name="revenue_i"))
+    j2 = hash_join(per_cust,
+                   _read(sf_dir, "customer",
+                         ["c_custkey", "c_name", "c_acctbal",
+                          "c_nationkey"]),
+                   left_key="o_custkey", right_key="c_custkey",
+                   how="inner",
+                   right_cols=["c_name", "c_acctbal", "c_nationkey"],
+                   num_buckets=32)
+    j3 = broadcast_join(j2, _read(sf_dir, "nation",
+                                  ["n_nationkey", "n_name"]),
+                        left_key="c_nationkey", right_key="n_nationkey",
+                        right_value_cols=["n_name"], how="inner")
+
+    # top-20 with no global sort: each block emits its local top-20
+    # under the TOTAL order (revenue_i desc, custkey asc — custkeys
+    # unique after the rollup), one bounded driver merge finishes
+    def local_top(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("revenue_i", "descending"),
+                                            ("o_custkey", "ascending")])
+        return t.take(idx[:20])
+
+    parts = j3.map_batches(local_top, batch_format="pyarrow") \
+        .to_arrow_refs()
+    tabs = [ray.get(r) for r in parts]
+    # empty blocks carry null-typed broadcast columns — drop before concat
+    tbl = pa.concat_tables([t for t in tabs if len(t)] or tabs[:1])
+    idx = pc.sort_indices(tbl, sort_keys=[("revenue_i", "descending"),
+                                          ("o_custkey", "ascending")])
+    t = tbl.take(idx[:20])
+    out = pa.table({"c_custkey": t["o_custkey"],
+                    "c_name": t["c_name"],
+                    "c_acctbal": t["c_acctbal"],
+                    "n_name": t["n_name"],
+                    "revenue_i": t["revenue_i"]})
+    return out.append_column(
+        "revenue", pc.divide(pc.cast(t["revenue_i"], pa.float64()),
+                             pa.scalar(10000.0)))
+
+
+Q10_RETURNED_ITEMS_SQL = """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         * CAST(FLOOR((1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)
+           AS rev_i
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       CAST(sum(l.rev_i) AS BIGINT) AS revenue_i,
+       CAST(CAST(sum(l.rev_i) AS BIGINT) AS DOUBLE) / 10000.0 AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue_i DESC, c_custkey
+LIMIT 20
 """
 
 
@@ -5950,7 +6163,9 @@ QUERIES = {
     # pq_knn_planted / ivfpq_knn_planted (product quantization + the
     # persistent IVF-PQ index, exact integer ADC oracles) and
     # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set),
-    # mixture_weights_docs (temperature-based domain mixing weights).
+    # mixture_weights_docs (temperature-based domain mixing weights),
+    # dsir_scores_docs / dsir_sampled_docs (DSIR importance resampling),
+    # q3_shipping_priority / q10_returned_items (general M:N hash join).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6049,6 +6264,8 @@ QUERIES = {
     "mixture_weights_docs": mixture_weights_docs,
     "dsir_scores_docs": dsir_scores_docs,
     "dsir_sampled_docs": dsir_sampled_docs,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q10_returned_items": q10_returned_items,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -6203,6 +6420,8 @@ ORACLE_SQL = {
     "mixture_weights_docs": MIXTURE_WEIGHTS_DOCS_SQL,
     "dsir_scores_docs": DSIR_SCORES_DOCS_SQL,
     "dsir_sampled_docs": DSIR_SAMPLED_DOCS_SQL,
+    "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
+    "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

@@ -88,6 +88,11 @@ def _stable_hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_integer(arr.type):
+        if arr.null_count:
+            # null keys need A deterministic bucket, not a float-NaN
+            # cast (platform-defined); they hash as 0 (join kernels
+            # exclude nulls from matching anyway)
+            arr = pc.fill_null(arr, 0)
         v = arr.to_numpy(zero_copy_only=False).astype(np.uint64)
         # splitmix64 finalizer — good avalanche for integer keys
         v = (v + np.uint64(0x9E3779B97F4A7C15))

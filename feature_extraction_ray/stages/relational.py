@@ -876,3 +876,186 @@ def golden_record(ds: Dataset, key_col: str,
 
     return bucketed_apply(ds, key_col, fn, num_buckets,
                           drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# general partitioned equi-join (many-to-many fan-out)
+# ---------------------------------------------------------------------------
+
+def hash_join(left: Dataset, right: Dataset, *, left_key: str,
+              right_key: str, how: str = "inner",
+              right_cols: Sequence[str] | None = None,
+              rename=None, num_buckets: int = 32,
+              hot_keys=None, salt_factor: int = 8) -> Dataset:
+    """Distributed general equi-join with full M:N fan-out — the
+    big-×-big sibling of :func:`broadcast_join` (small side on the
+    driver) and :func:`~..stages.cc.attach_values` (right side
+    deduplicated to one row per key).
+
+    Both sides are tagged into one unified schema, hash-bucketed by the
+    key and unioned — ONE all-to-all exchange total. Per bucket the key
+    column is dictionary-encoded once and every key's left-run × right-
+    run cross product is emitted by the vectorized run-pair kernel
+    (``editdist._cross_join_runs`` — pure index arithmetic, no Python
+    rows). ``how`` ∈ {"inner", "left", "right", "full"}; unmatched rows
+    pass through as pure ``take`` slices of the unified table (their
+    other side's columns are already null there), with the join key
+    coalesced into ``left_key`` (SQL ``COALESCE(l.k, r.k)``). Null keys
+    never match (SQL semantics) and surface only under outer variants.
+
+    Output columns: every ``left`` column, then ``right_cols`` (default:
+    all right columns except ``right_key``), renamed via ``rename`` or
+    auto-suffixed ``_r`` on collision with a left name.
+
+    Skew: pass ``hot_keys`` (a set of key values) to salt — hot LEFT
+    rows scatter over ``salt_factor`` dedicated buckets per hot key
+    (batch-position round-robin) while hot RIGHT rows replicate into
+    each, so no single task holds a hot key's full fan-in. Replication
+    makes unmatched-RIGHT accounting ambiguous, so salting is limited
+    to ``how`` ∈ {"inner", "left"}. The emitted row multiset is
+    identical with or without salting.
+
+    Partitioning assumption: one hash bucket of BOTH sides' rows (and
+    its matched cross product) fits a task heap; raise ``num_buckets``
+    (and salt known hot keys) for bigger inputs. The 100-TB shape:
+    output is written straight back out per bucket — nothing
+    driver-side.
+    """
+    from .editdist import _cross_join_runs
+    from .partition import BUCKET_COL, stable_bucket
+    _SIDE = "__join_side"
+
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"unknown how {how!r}")
+    if hot_keys and how not in ("inner", "left"):
+        raise ValueError("hot-key salting supports how='inner'/'left' only")
+
+    ls = left.schema()
+    if ls is None:
+        left = left.materialize()
+        ls = left.schema()
+    rs = right.schema()
+    if rs is None:
+        right = right.materialize()
+        rs = right.schema()
+    left_names = list(ls.names)
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    if right_cols is None:
+        right_cols = [c for c in rs.names if c != right_key]
+    rename = dict(rename or {})
+    out_right = []
+    for c in right_cols:
+        out = rename.get(c, c)
+        if c not in rename and out in left_names:
+            out = out + "_r"      # auto-suffix default names only
+        if out in left_names or out in out_right:
+            raise ValueError(f"output column collision on {out!r}")
+        out_right.append(out)
+    right_fields = [pa.field(o, rtypes[c])
+                    for c, o in zip(right_cols, out_right)]
+    key_type = ltypes[left_key]
+    out_names = left_names + out_right
+
+    hot_list = sorted(hot_keys) if hot_keys else None
+    n_extra = len(hot_list) * salt_factor if hot_list else 0
+
+    def _buckets(key_arr: pa.Array, replicate: bool):
+        """(bucket ids, row indices) — hot keys map into the dedicated
+        salted range; ``replicate`` (build side) emits every salt."""
+        base = stable_bucket(key_arr, num_buckets)
+        if not hot_list:
+            return base, None
+        hidx = pc.index_in(key_arr, value_set=pa.array(
+            hot_list, type=key_arr.type))
+        hnp = hidx.to_numpy(zero_copy_only=False)
+        hot = ~np.isnan(hnp.astype(np.float64)) if hnp.dtype != object \
+            else np.array([v is not None for v in hnp])
+        hi = np.where(hot, np.nan_to_num(
+            hnp.astype(np.float64)).astype(np.int64), 0)
+        if not replicate:
+            salt = np.arange(len(base), dtype=np.int64) % salt_factor
+            b = np.where(hot, num_buckets + hi * salt_factor + salt,
+                         base).astype(np.int32)
+            return b, None
+        # build side: non-hot rows once, hot rows once per salt
+        cold_rows = np.flatnonzero(~hot)
+        hot_rows = np.flatnonzero(hot)
+        idx = np.r_[cold_rows, np.repeat(hot_rows, salt_factor)]
+        salts = np.tile(np.arange(salt_factor, dtype=np.int64),
+                        len(hot_rows))
+        b = np.r_[base[cold_rows],
+                  (num_buckets + hi[hot_rows].repeat(salt_factor)
+                   * salt_factor + salts)].astype(np.int32)
+        return b, idx
+
+    def tag_left(tbl: pa.Table) -> pa.Table:
+        key = tbl[left_key]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        b, _ = _buckets(key, replicate=False)
+        tbl = tbl.append_column(_SIDE, pa.array(
+            np.zeros(len(tbl), dtype=np.int8)))
+        for f in right_fields:
+            tbl = tbl.append_column(f.name, pa.nulls(len(tbl), f.type))
+        return tbl.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    def tag_right(tbl: pa.Table) -> pa.Table:
+        key = tbl[right_key].cast(key_type)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        b, idx = _buckets(key, replicate=True)
+        if idx is not None:
+            tbl = tbl.take(pa.array(idx.astype(np.int64)))
+            key = key.take(pa.array(idx.astype(np.int64)))
+        n = len(tbl)
+        cols = {}
+        for name in left_names:
+            cols[name] = key if name == left_key else pa.nulls(
+                n, ltypes[name])
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        for c, o in zip(right_cols, out_right):
+            cols[o] = tbl[c]
+        cols[BUCKET_COL] = pa.array(b, pa.int32())
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns(
+        list(dict.fromkeys([right_key, *right_cols]))).map_batches(
+        tag_right, batch_format="pyarrow")
+    unioned = lt.union(rt)
+
+    def join_bucket(tbl: pa.Table) -> pa.Table:
+        side = tbl[_SIDE].to_numpy(zero_copy_only=False)
+        key = tbl[left_key]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        de = key.dictionary_encode()
+        codes = pc.fill_null(de.indices, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        cl, cr = codes[li], codes[ri]
+        vl, vr = cl >= 0, cr >= 0
+        ai, bi = _cross_join_runs(cl[vl], li[vl], cr[vr], ri[vr])
+        cols = {c: (tbl[c].combine_chunks() if isinstance(
+            tbl[c], pa.ChunkedArray) else tbl[c]) for c in out_names}
+        a_idx = pa.array(ai.astype(np.int64))
+        b_idx = pa.array(bi.astype(np.int64))
+        out = {c: cols[c].take(a_idx) for c in left_names}
+        out.update({c: cols[c].take(b_idx) for c in out_right})
+        pieces = [pa.table(out)]
+        if how in ("left", "full") or how == "right":
+            common = np.intersect1d(np.unique(cl[vl]), np.unique(cr[vr]))
+        if how in ("left", "full"):
+            un = li[~(vl & np.isin(cl, common))]
+            pieces.append(tbl.select(out_names).take(
+                pa.array(un.astype(np.int64))))
+        if how in ("right", "full"):
+            un = ri[~(vr & np.isin(cr, common))]
+            pieces.append(tbl.select(out_names).take(
+                pa.array(un.astype(np.int64))))
+        return pa.concat_tables(pieces).combine_chunks()
+
+    return unioned.groupby(BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow")

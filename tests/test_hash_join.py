@@ -1,0 +1,150 @@
+"""General M:N partitioned hash join (stages/relational.hash_join):
+DuckDB-semantics fuzz over all four join modes (null keys never match),
+column renaming/collision rules, hot-key salting equivalence, and the
+empty/disjoint edge cases. The TPC-H-style driver oracles live in
+test_queries_oracle (q3_shipping_priority / q10_returned_items)."""
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray.stages.relational import hash_join
+
+SQLHOW = {"inner": "JOIN", "left": "LEFT JOIN",
+          "right": "RIGHT JOIN", "full": "FULL OUTER JOIN"}
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype.kind in "fi":
+            df[c] = df[c].astype("Float64")
+        else:
+            df[c] = df[c].astype(object).where(df[c].notna(), None)
+    return df.sort_values(list(df.columns),
+                          na_position="last").reset_index(drop=True)
+
+
+def _tables(seed: int, nl: int = 400, nr: int = 300, lo_l=0, hi_l=60,
+            lo_r=20, hi_r=80, null_frac: float = 0.05):
+    rng = np.random.default_rng(seed)
+    lk = rng.integers(lo_l, hi_l, nl).astype(float)
+    rk = rng.integers(lo_r, hi_r, nr).astype(float)
+    lk[rng.random(nl) < null_frac] = np.nan
+    rk[rng.random(nr) < null_frac] = np.nan
+    L = pa.table({
+        "k": pa.array([None if np.isnan(x) else int(x) for x in lk],
+                      pa.int64()),
+        "lv": pa.array(rng.integers(0, 1000, nl), pa.int64()),
+        "tag": pa.array([f"s{i % 7}" for i in range(nl)])})
+    R = pa.table({
+        "rk": pa.array([None if np.isnan(x) else int(x) for x in rk],
+                       pa.int64()),
+        "rv": pa.array(rng.integers(0, 1000, nr), pa.int64()),
+        "tag": pa.array([f"t{i % 5}" for i in range(nr)])})
+    return L, R
+
+
+def _expected(L: pa.Table, R: pa.Table, how: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("L", L.to_pandas())
+    con.register("R", R.to_pandas())
+    return con.execute(
+        f"SELECT COALESCE(L.k, R.rk) AS k, L.lv, L.tag, R.rv,"
+        f" R.tag AS tag_r FROM L {SQLHOW[how]} R ON L.k = R.rk").df()
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "right", "full"])
+def test_modes_match_duckdb(ray_session, how):
+    L, R = _tables(1)
+    out = hash_join(rd.from_arrow(L).repartition(6),
+                    rd.from_arrow(R).repartition(4),
+                    left_key="k", right_key="rk", how=how,
+                    num_buckets=8).to_pandas()
+    exp = _expected(L, R, how)
+    assert len(out) == len(exp)
+    assert _norm(out).equals(_norm(exp))
+
+
+def test_fanout_mxn_fuzz(ray_session):
+    # heavy duplication both sides: every common key emits |L|x|R| rows
+    for seed in (2, 3):
+        L, R = _tables(seed, nl=300, nr=300, lo_l=0, hi_l=12,
+                       lo_r=4, hi_r=16, null_frac=0.1)
+        for how in ("inner", "full"):
+            out = hash_join(rd.from_arrow(L), rd.from_arrow(R),
+                            left_key="k", right_key="rk", how=how,
+                            num_buckets=4).to_pandas()
+            exp = _expected(L, R, how)
+            assert _norm(out).equals(_norm(exp)), (seed, how)
+
+
+def test_salting_preserves_row_multiset(ray_session):
+    L, R = _tables(4, nl=500, nr=400, lo_l=0, hi_l=30, lo_r=0, hi_r=30)
+    for how in ("inner", "left"):
+        plain = hash_join(rd.from_arrow(L), rd.from_arrow(R),
+                          left_key="k", right_key="rk", how=how,
+                          num_buckets=8).to_pandas()
+        salted = hash_join(rd.from_arrow(L).repartition(5),
+                           rd.from_arrow(R).repartition(3),
+                           left_key="k", right_key="rk", how=how,
+                           num_buckets=8, hot_keys={3, 17, 29},
+                           salt_factor=4).to_pandas()
+        assert _norm(plain).equals(_norm(salted)), how
+    with pytest.raises(ValueError):
+        hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                  right_key="rk", how="full", hot_keys={3})
+
+
+def test_right_cols_and_rename(ray_session):
+    L, R = _tables(5)
+    out = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                    right_key="rk", how="inner", right_cols=["rv"],
+                    rename={"rv": "other_value"},
+                    num_buckets=4).to_pandas()
+    assert sorted(out.columns) == ["k", "lv", "other_value", "tag"]
+    # auto-suffix on collision
+    out2 = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                     right_key="rk", how="inner", right_cols=["tag"],
+                     num_buckets=4).to_pandas()
+    assert "tag_r" in out2.columns
+    with pytest.raises(ValueError):
+        hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                  right_key="rk", rename={"rv": "lv"})
+
+
+def test_disjoint_and_empty_sides(ray_session):
+    L, R = _tables(6, lo_l=0, hi_l=10, lo_r=100, hi_r=110,
+                   null_frac=0.0)
+    assert hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                     right_key="rk", how="inner",
+                     num_buckets=4).count() == 0
+    full = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                     right_key="rk", how="full",
+                     num_buckets=4).to_pandas()
+    assert len(full) == len(L) + len(R)
+    assert full["rv"].isna().sum() == len(L)
+    assert full["lv"].isna().sum() == len(R)
+    empty = rd.from_arrow(R.slice(0, 0))
+    lonly = hash_join(rd.from_arrow(L), empty, left_key="k",
+                      right_key="rk", how="left",
+                      num_buckets=4).to_pandas()
+    assert len(lonly) == len(L) and lonly["rv"].isna().all()
+
+
+def test_string_keys(ray_session):
+    rng = np.random.default_rng(7)
+    L = pa.table({"k": pa.array([f"key{i}" for i in
+                                 rng.integers(0, 20, 200)]),
+                  "lv": pa.array(np.arange(200), pa.int64())})
+    R = pa.table({"rk": pa.array([f"key{i}" for i in
+                                  rng.integers(10, 30, 150)]),
+                  "rv": pa.array(np.arange(150), pa.int64())})
+    out = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                    right_key="rk", how="full", num_buckets=8).to_pandas()
+    exp = duckdb.connect().execute(
+        "SELECT COALESCE(L.k, R.rk) AS k, lv, rv FROM L FULL OUTER JOIN"
+        " R ON L.k = R.rk").df()
+    assert _norm(out).equals(_norm(exp))
