@@ -150,6 +150,25 @@ def run_bench() -> dict:
                              num_buckets=n_buckets).count()
         per_query["hash_join_line_orders"] = _best_of(_join_run)
 
+        # round-4 end-to-end training-shard build: gates -> mixture ->
+        # quota sample -> pack -> resumable range-sharded write over the
+        # 20x-amplified corpus (fresh dir per run so nothing is skipped)
+        import shutil, tempfile
+        from feature_extraction_ray.pipelines.training_shards import (
+            make_training_shards)
+
+        def _shards_run():
+            d = tempfile.mkdtemp(prefix="shards_")
+            try:
+                return make_training_shards(
+                    amplified_documents(SF_DIR, amp), d,
+                    input_fingerprint="bench", seq_len=512,
+                    token_budget=2_000_000, alpha=0.5,
+                    chunks_per_shard=256)["n_chunks"]
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        per_query[f"training_shards_x{amp}"] = _best_of(_shards_run)
+
         # round-4 compressed-domain ANN: PQ fit+encode+ADC over a 100×
         # amplified corpus (200k distinct vectors), and the persistent
         # IVF-PQ index (build on disk, 2000-query probe reading only

@@ -348,8 +348,14 @@ def mixture_weights(ds: Dataset, group_col: str = "source",
         counted = ds
     pdf = counted.groupby(group_col).aggregate(
         Count(alias_name="n_docs"),
-        Sum(token_col, alias_name="n_tokens")).to_pandas() \
-        .sort_values(group_col, kind="stable").reset_index(drop=True)
+        Sum(token_col, alias_name="n_tokens")).to_pandas()
+    if group_col not in pdf.columns:     # empty input: no groups at all
+        import pandas as _pd
+        return _pd.DataFrame({group_col: [], "n_docs": [], "n_tokens": [],
+                              "weight": [], "sampled_tokens": [],
+                              "epochs": []})
+    pdf = pdf.sort_values(group_col,
+                          kind="stable").reset_index(drop=True)
     pdf["n_docs"] = pdf["n_docs"].astype("int64")
     pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
     n = pdf["n_tokens"].to_numpy().astype(np.float64)
@@ -366,7 +372,7 @@ def mixture_weights(ds: Dataset, group_col: str = "source",
 # token-budget quota sampling
 # ---------------------------------------------------------------------------
 
-def token_budget_sample(ds: Dataset, group_col: str, budget: int,
+def token_budget_sample(ds: Dataset, group_col: str, budget,
                         order_cols: Sequence[str],
                         token_col: str | None = None,
                         text_col: str = "text",
@@ -376,6 +382,12 @@ def token_budget_sample(ds: Dataset, group_col: str, budget: int,
     ``budget``. Appends ``n_tok`` (if derived from ``text_col``) and
     ``cum_tok``. Deterministic — the cut is a pure function of the
     ordered group, so re-runs/repartitions keep identical documents.
+
+    ``budget`` is one int for every group, or a ``{group_value:
+    budget}`` mapping (groups not in the mapping are dropped) — the
+    mixture-sampling shape: feed it ``mixture_weights(...)``'s
+    ``sampled_tokens`` column to realize a temperature-based mix. The
+    mapping is bounded by domain count (broadcast in the task closure).
 
     One bucketed exchange (`window.cumulative`); groups must each fit a
     task (same invariant as every windowed operator here)."""
@@ -389,12 +401,30 @@ def token_budget_sample(ds: Dataset, group_col: str, budget: int,
 
         ds = ds.map_batches(add_tok, batch_format="pyarrow")
 
+    budget_map = None
+    if isinstance(budget, dict):
+        keys = sorted(budget)
+        budget_map = (pa.array(keys),
+                      np.array([int(budget[k]) for k in keys],
+                               dtype=np.int64))
+
     out = cumulative(ds, group_col, list(order_cols), [token_col],
                      agg="sum", suffix="__cum", num_buckets=num_buckets)
 
     def cut(t: pa.Table) -> pa.Table:
         cum = t[f"{token_col}__cum"]
-        t = t.filter(pc.less_equal(cum, budget))
+        if budget_map is None:
+            keep = pc.less_equal(cum, budget)
+        else:
+            idx = pc.index_in(t[group_col], value_set=budget_map[0])
+            pos = idx.to_numpy(zero_copy_only=False)
+            miss = np.array(pc.is_null(idx).to_numpy(
+                zero_copy_only=False))
+            lim = np.where(miss, np.int64(-1),
+                           budget_map[1][np.where(miss, 0, pos)
+                                         .astype(np.int64)])
+            keep = pc.less_equal(cum, pa.array(lim))
+        t = t.filter(keep)
         cum = pc.cast(t[f"{token_col}__cum"], pa.int64())
         return t.drop_columns([f"{token_col}__cum"]).append_column(
             "cum_tok", cum)

@@ -882,6 +882,35 @@ def golden_record(ds: Dataset, key_col: str,
 # general partitioned equi-join (many-to-many fan-out)
 # ---------------------------------------------------------------------------
 
+def detect_hot_keys(ds: Dataset, key_col: str, num_buckets: int,
+                    factor: float = 4.0, k: int = 64) -> set:
+    """Skew pre-pass for :func:`hash_join`'s auto-salt mode: one
+    Misra-Gries heavy-hitters scan over the key column (≤ ``k``
+    counters per block to the driver, never the key multiset) plus a
+    row count; a key is HOT when even its MG UNDERestimate exceeds
+    ``factor ×`` a bucket's fair share ``n / num_buckets`` — i.e. the
+    key alone would make its bucket ≥ ``factor``× the average. Returns
+    the (possibly empty) hot-key set typed like the column (int or
+    str); float keys are rejected (hash-partitioning float keys is a
+    design smell)."""
+    from .sketches import heavy_hitters
+
+    kt = dict(zip(ds.schema().names, ds.schema().types))[key_col]
+    if not (pa.types.is_integer(kt) or pa.types.is_string(kt)
+            or pa.types.is_large_string(kt)):
+        raise ValueError(f"auto-salt needs int/string keys, got {kt}")
+    proj = ds.select_columns([key_col]).materialize()
+    n = proj.count()
+    if n == 0:
+        return set()
+    hh, _err = heavy_hitters(proj, key_col, k=k)
+    hh = hh[hh["value"].notna()]
+    cut = factor * n / num_buckets
+    hot = hh.loc[hh["count"] > cut, "value"]
+    return {int(v) for v in hot} if pa.types.is_integer(kt) \
+        else set(hot)
+
+
 def hash_join(left: Dataset, right: Dataset, *, left_key: str,
               right_key: str, how: str = "inner",
               right_cols: Sequence[str] | None = None,
@@ -913,7 +942,12 @@ def hash_join(left: Dataset, right: Dataset, *, left_key: str,
     each, so no single task holds a hot key's full fan-in. Replication
     makes unmatched-RIGHT accounting ambiguous, so salting is limited
     to ``how`` ∈ {"inner", "left"}. The emitted row multiset is
-    identical with or without salting.
+    identical with or without salting. ``hot_keys="auto"`` runs
+    :func:`detect_hot_keys` over the LEFT key first (one extra pass —
+    a Misra-Gries scan, never the key multiset to the driver); the
+    scheme fixes probe-side skew, so put the skewed side on the LEFT
+    (a key hot on the RIGHT would replicate, making it worse — swap
+    the roles instead).
 
     Partitioning assumption: one hash bucket of BOTH sides' rows (and
     its matched cross product) fits a task heap; raise ``num_buckets``
@@ -938,6 +972,10 @@ def hash_join(left: Dataset, right: Dataset, *, left_key: str,
     if rs is None:
         right = right.materialize()
         rs = right.schema()
+    if isinstance(hot_keys, str):
+        if hot_keys != "auto":
+            raise ValueError(f"unknown hot_keys mode {hot_keys!r}")
+        hot_keys = detect_hot_keys(left, left_key, num_buckets)
     left_names = list(ls.names)
     ltypes = dict(zip(ls.names, ls.types))
     rtypes = dict(zip(rs.names, rs.types))

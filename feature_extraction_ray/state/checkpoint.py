@@ -155,11 +155,17 @@ def verified_files(out_dir: str, input_fingerprint: str) -> list[str]:
 def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
                     num_buckets: int, input_fingerprint: str,
                     process_fn: Callable[[pa.Table], pa.Table] | None = None,
+                    precomputed_bucket: bool = False,
                     ) -> dict:
     """Resumable partitioned run: bucket ``ds`` by entity, process each
     bucket with ``process_fn``, write per-bucket checkpoint files; buckets
     already verified on disk are PRUNED BEFORE COMPUTE (filtered right
     after bucket assignment, so their rows never shuffle).
+
+    ``precomputed_bucket=True``: ``entity_col`` already HOLDS the
+    partition id (ints in ``[0, num_buckets)``) — no hashing, so the
+    on-disk partition layout follows the caller's semantics (e.g.
+    contiguous training-shard ranges) instead of a hash scatter.
 
     Returns ``{"written": [...], "skipped": [...], "rows": int}``.
     """
@@ -169,7 +175,13 @@ def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
     if not todo:
         return {"written": [], "skipped": sorted(done), "rows": 0}
 
-    bucketed = with_bucket(ds, entity_col, num_buckets)
+    if precomputed_bucket:
+        def assign(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                BUCKET_COL, t[entity_col].cast(pa.int32()))
+        bucketed = ds.map_batches(assign, batch_format="pyarrow")
+    else:
+        bucketed = with_bucket(ds, entity_col, num_buckets)
     todo_arr = pa.array(todo, type=pa.int32())
     import pyarrow.compute as pc
     pruned = bucketed.map_batches(

@@ -112,6 +112,20 @@ def test_token_budget_cut_is_per_group_and_inclusive():
     assert out["cum_tok"].tolist() == [4, 8, 9, 10]
 
 
+def test_token_budget_per_group_mapping():
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "source": ["a", "a", "b", "b", "c", "c"],
+        "toks": pa.array([4, 4, 9, 1, 5, 5], type=pa.int64()),
+    })
+    # a: budget 4 -> doc 1 only; b: budget 10 -> both; c: absent -> drop
+    out = token_budget_sample(rd.from_arrow(tbl), "source",
+                              {"a": 4, "b": 10}, ["doc_id"],
+                              token_col="toks",
+                              num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 3, 4]
+
+
 def test_token_budget_precomputed_token_col():
     tbl = pa.table({
         "doc_id": pa.array([1, 2, 3], type=pa.int64()),

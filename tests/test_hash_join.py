@@ -148,3 +148,29 @@ def test_string_keys(ray_session):
         "SELECT COALESCE(L.k, R.rk) AS k, lv, rv FROM L FULL OUTER JOIN"
         " R ON L.k = R.rk").df()
     assert _norm(out).equals(_norm(exp))
+
+
+def test_auto_salt_detects_and_preserves(ray_session):
+    # one key carries ~50% of probe rows -> detected hot; result
+    # multiset identical to the unsalted plan
+    from feature_extraction_ray.stages.relational import detect_hot_keys
+    rng = np.random.default_rng(8)
+    n = 2000
+    k = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 100, n))
+    L = pa.table({"k": pa.array(k, pa.int64()),
+                  "lv": pa.array(np.arange(n), pa.int64())})
+    R = pa.table({"rk": pa.array(np.arange(100), pa.int64()),
+                  "rv": pa.array(np.arange(100) * 10, pa.int64())})
+    hot = detect_hot_keys(rd.from_arrow(L), "k", num_buckets=16)
+    assert 7 in hot and len(hot) <= 3
+    assert detect_hot_keys(rd.from_arrow(R), "rk", num_buckets=4) == set()
+    auto = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                     right_key="rk", how="inner", num_buckets=16,
+                     hot_keys="auto", salt_factor=4).to_pandas()
+    plain = hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                      right_key="rk", how="inner",
+                      num_buckets=16).to_pandas()
+    assert _norm(auto).equals(_norm(plain))
+    with pytest.raises(ValueError):
+        hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
+                  right_key="rk", hot_keys="bogus")

@@ -1,0 +1,105 @@
+"""End-to-end training-shard pipeline (pipelines/training_shards.py):
+real sf0.001 documents through quality gates → mixture weights →
+per-domain token quotas → packing → resumable range-sharded write.
+Checks determinism (two fresh builds byte-agree), resume (second run
+with the same fingerprint skips every shard), per-domain budget
+enforcement, shard-range layout, and the stream-contiguity invariant
+of the packed output."""
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray.pipelines.training_shards import (
+    make_training_shards, read_shards)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+
+
+@pytest.fixture()
+def outdirs(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    yield a, b
+    shutil.rmtree(a, ignore_errors=True)
+    shutil.rmtree(b, ignore_errors=True)
+
+
+def test_build_resume_and_determinism(ray_session, outdirs):
+    out_a, out_b = outdirs
+    kw = dict(input_fingerprint="t1", seq_len=64, token_budget=5000,
+              alpha=0.5, seed=7, chunks_per_shard=8)
+    r1 = make_training_shards(_docs(), out_a, **kw)
+    assert r1["n_sampled_docs"] > 0 and r1["n_chunks"] > 0
+    assert r1["n_shards"] == -(-r1["n_chunks"] // 8)
+    assert sorted(r1["written"]) == list(range(r1["n_shards"]))
+    assert r1["skipped"] == []
+
+    # resume: same fingerprint -> every shard skipped, nothing rewritten
+    r2 = make_training_shards(_docs(), out_a, **kw)
+    assert r2["written"] == []
+    assert sorted(r2["skipped"]) == list(range(r1["n_shards"]))
+
+    # determinism: independent build in a fresh dir agrees row-for-row
+    make_training_shards(_docs(), out_b, **kw)
+    ta = read_shards(out_a).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    tb = read_shards(out_b).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert ta.equals(tb)
+
+    # packed stream is contiguous: sorted by tok_start, each doc starts
+    # where the previous ended, and chunk ids follow from offsets
+    s = ta.sort_values("tok_start").reset_index(drop=True)
+    ends = s["tok_start"] + s["n_tok"]
+    assert (s["tok_start"].iloc[1:].to_numpy()
+            == ends.iloc[:-1].to_numpy()).all()
+    assert (s["chunk_first"] == s["tok_start"] // 64).all()
+    assert (s["chunk_last"] == (ends - 1) // 64).all()
+    # shard = contiguous chunk range
+    assert (s["shard_id"] == s["chunk_first"] // 8).all()
+    assert int(ends.iloc[-1]) == r1["n_tokens"]
+
+
+def test_budgets_enforced_per_domain(ray_session, outdirs):
+    out_a, _ = outdirs
+    r = make_training_shards(_docs(), out_a, input_fingerprint="t2",
+                             seq_len=32, token_budget=2000, alpha=0.3,
+                             seed=1, chunks_per_shard=16)
+    t = read_shards(out_a).to_pandas()
+    w = r["weights"].set_index("source")
+    got = t.groupby("source")["n_tok"].sum()
+    for src, tot in got.items():
+        assert tot <= int(np.floor(w.loc[src, "sampled_tokens"])), src
+    # alpha < 1 upsamples small domains: weights sum to 1
+    assert abs(w["weight"].sum() - 1.0) < 1e-12
+
+
+def test_fingerprint_change_recomputes(ray_session, outdirs):
+    out_a, _ = outdirs
+    kw = dict(seq_len=64, token_budget=3000, alpha=0.5, seed=7,
+              chunks_per_shard=8)
+    r1 = make_training_shards(_docs(), out_a, input_fingerprint="v1",
+                              **kw)
+    r2 = make_training_shards(_docs(), out_a, input_fingerprint="v2",
+                              **kw)
+    # new fingerprint: all shards rewritten, none credited
+    assert sorted(r2["written"]) == list(range(r1["n_shards"]))
+    assert r2["skipped"] == []
+
+
+def test_empty_pool(ray_session, outdirs):
+    out_a, _ = outdirs
+    empty = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string())}))
+    r = make_training_shards(empty, out_a, input_fingerprint="e",
+                             token_budget=100)
+    assert r["n_shards"] == 0 and r["written"] == []
