@@ -2663,6 +2663,90 @@ LIMIT 100
 """
 
 
+def quality_sampled_docs(sf_dir: str) -> Dataset:
+    """GPT-3/WebText classifier quality sampling
+    (``curation.quality_classifier_sample``): NB target-vs-pool
+    classifier (target = src0 docs), quality = σ(nb_T − nb_R), keep iff
+    the seeded Pareto draw ``u^(−1/9) − 1`` (Knuth-hash u, HUGEINT twin
+    in SQL) exceeds ``1 − quality``. Fit = one count exchange; score +
+    sample = broadcast zero-shuffle."""
+    from ..stages.curation import quality_classifier_sample
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text", "source"])
+
+    def split(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["source"], "src0")
+            return t.filter(m if eq else pc.invert(m))
+        return fn
+
+    target = docs.map_batches(split(True), batch_format="pyarrow")
+    raw = docs.map_batches(split(False), batch_format="pyarrow")
+    # pareto_alpha=2 (paper default 9): the synthetic word-soup corpus
+    # has low target separability (max q ~= 0.36), so the heavier tail
+    # keeps ~26% of the pool and the acceptance branch is exercised on
+    # real volume rather than a single lucky row
+    out = quality_classifier_sample(raw, target, seed=11,
+                                    pareto_alpha=2.0)
+    out = out.map_batches(
+        lambda t: t.select(["doc_id", "quality", "pareto"]),
+        batch_format="pyarrow")
+    return _round(out, {"quality": 6, "pareto": 6})
+
+
+QUALITY_SAMPLED_DOCS_SQL = """
+WITH s AS (
+  SELECT doc_id, CASE WHEN source = 'src0' THEN 'T' ELSE 'R' END AS label,
+         str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT doc_id, label, unnest(ws) AS word FROM s
+), w2 AS (
+  SELECT doc_id, label, word FROM w WHERE word <> ''
+), vn AS (
+  SELECT CAST(count(DISTINCT word) AS DOUBLE) AS V FROM w2
+), labels AS (
+  SELECT label, CAST(count(*) AS DOUBLE) AS docs_l FROM s GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(docs_l) AS DOUBLE) AS N FROM labels
+), cwl AS (
+  SELECT label, word, CAST(count(*) AS DOUBLE) AS cnt
+  FROM w2 GROUP BY 1, 2
+), tot AS (
+  SELECT label, CAST(sum(cnt) AS DOUBLE) AS total_l FROM cwl GROUP BY 1
+), tf AS (
+  SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+  FROM w2 WHERE label = 'R' GROUP BY 1, 2
+), pairs AS (
+  SELECT t.doc_id, l.label, t.tf,
+         ln((coalesce(c.cnt, 0.0) + 1.0)
+            / (tot.total_l + 1.0 * (SELECT V FROM vn))) AS lp
+  FROM tf t
+  CROSS JOIN labels l
+  JOIN tot ON tot.label = l.label
+  LEFT JOIN cwl c ON c.label = l.label AND c.word = t.word
+), scores AS (
+  SELECT p.doc_id, p.label,
+         ln(l.docs_l / (SELECT N FROM nn)) + sum(p.tf * p.lp) AS sc
+  FROM pairs p JOIN labels l ON l.label = p.label
+  GROUP BY p.doc_id, p.label, l.docs_l
+), wide AS (
+  SELECT doc_id,
+         max(CASE WHEN label = 'T' THEN sc END) AS st,
+         max(CASE WHEN label = 'R' THEN sc END) AS sr
+  FROM scores GROUP BY 1
+), judged AS (
+  SELECT doc_id,
+         1.0 / (1.0 + exp(-(st - sr))) AS quality,
+         power(((((CAST(doc_id AS HUGEINT) + 11) * 2654435761)
+                  % 4294967296) + 0.5) / 4294967296.0,
+               -1.0 / 2.0) - 1.0 AS pareto
+  FROM wide
+)
+SELECT doc_id, round(quality, 6) AS quality, round(pareto, 6) AS pareto
+FROM judged WHERE pareto > 1.0 - quality
+"""
+
+
 def _rev_i(t: pa.Table) -> np.ndarray:
     """Exact-int revenue witness per lineitem row: cents × discount
     basis points, ``floor(price·100 + 0.5) · floor((1−disc)·100 + 0.5)``
@@ -6165,7 +6249,8 @@ QUERIES = {
     # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set),
     # mixture_weights_docs (temperature-based domain mixing weights),
     # dsir_scores_docs / dsir_sampled_docs (DSIR importance resampling),
-    # q3_shipping_priority / q10_returned_items (general M:N hash join).
+    # q3_shipping_priority / q10_returned_items (general M:N hash join),
+    # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6266,6 +6351,7 @@ QUERIES = {
     "dsir_sampled_docs": dsir_sampled_docs,
     "q3_shipping_priority": q3_shipping_priority,
     "q10_returned_items": q10_returned_items,
+    "quality_sampled_docs": quality_sampled_docs,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -6422,6 +6508,7 @@ ORACLE_SQL = {
     "dsir_sampled_docs": DSIR_SAMPLED_DOCS_SQL,
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
+    "quality_sampled_docs": QUALITY_SAMPLED_DOCS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

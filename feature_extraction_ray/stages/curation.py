@@ -433,6 +433,65 @@ def token_budget_sample(ds: Dataset, group_col: str, budget,
 
 
 # ---------------------------------------------------------------------------
+# classifier-based quality sampling (the GPT-3/WebText filter)
+# ---------------------------------------------------------------------------
+
+def quality_classifier_sample(raw: Dataset, target: Dataset, *,
+                              seed: int = 0, pareto_alpha: float = 9.0,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              nb_alpha: float = 1.0) -> Dataset:
+    """GPT-3/WebText-style quality filtering (Brown et al. 2020,
+    App. A): fit a target-vs-pool document classifier, score every pool
+    doc, and keep a doc iff its Pareto draw exceeds ``1 − quality`` —
+    the paper's ``np.random.pareto(9) > 1 − score`` acceptance, made
+    fully deterministic: the draw is the inverse-CDF ``u^(−1/α) − 1``
+    with ``u = (knuth_hash(doc_id + seed) + 0.5) / 2³²`` (same seeded
+    hash family the DSIR Gumbel uses, so the SQL twin reproduces it in
+    HUGEINT arithmetic). The classifier is the engine's multinomial NB
+    (`text.fit_naive_bayes` — the public replacement for the paper's
+    logistic regression over hashed features); ``quality =
+    P(target|doc) = σ(nb_T − nb_R)`` from the two log-posteriors.
+
+    Ray plan: fit = ONE (label, word) count exchange over the tagged
+    union; score + sample = one broadcast zero-shuffle pass that
+    appends ``quality`` / ``pareto`` and filters — the pool streams
+    through once, nothing corpus-sized lands anywhere. Returns the
+    sampled pool rows (original columns + ``nb_T``/``nb_R``/
+    ``quality``/``pareto``)."""
+    from .text import fit_naive_bayes, naive_bayes_scores
+
+    def lab(v: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({text_col: t[text_col],
+                             "__qlab": pa.array([v] * len(t))})
+        return fn
+
+    train = target.map_batches(lab("T"), batch_format="pyarrow") \
+        .union(raw.map_batches(lab("R"), batch_format="pyarrow"))
+    model = fit_naive_bayes(train, "__qlab", text_col, alpha=nb_alpha)
+    wide = naive_bayes_scores(raw, model, text_col, id_col,
+                              output="wide")
+
+    def sample(t: pa.Table) -> pa.Table:
+        st = t["nb_T"].to_numpy(zero_copy_only=False)
+        sr = t["nb_R"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            q = 1.0 / (1.0 + np.exp(-(st - sr)))
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) + np.uint64(seed))
+             * np.uint64(2654435761)) % np.uint64(4294967296)
+        u = (h.astype(np.float64) + 0.5) / 4294967296.0
+        par = np.power(u, -1.0 / pareto_alpha) - 1.0
+        keep = par > 1.0 - q
+        t = t.append_column("quality", pa.array(q))
+        t = t.append_column("pareto", pa.array(par))
+        return t.filter(pa.array(keep))
+
+    return wide.map_batches(sample, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # repetition statistics (Gopher-style duplicated-n-gram signals)
 # ---------------------------------------------------------------------------
 

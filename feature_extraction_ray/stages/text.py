@@ -901,14 +901,22 @@ def fit_naive_bayes(ds: Dataset, label_col: str, text_col: str = "text",
 
 def naive_bayes_scores(ds: Dataset, model: dict,
                        text_col: str = "text",
-                       id_col: str = "doc_id") -> Dataset:
+                       id_col: str = "doc_id",
+                       output: str = "long") -> Dataset:
     """Score every document against every label under a fitted NB
     model: one long-form row per (doc, label) with the Laplace
     log-posterior ``prior_l + Σ_w tf_w · ln P(w|l)`` (OOV words hit the
     smoothed floor). Broadcast model, vectorized per batch: tf per
     (doc, unique-word) via the sorted-runs trick, per-label scores are
     one ``bincount(doc, weights=tf·logp)`` each. Empty docs emit no
-    rows."""
+    rows.
+
+    ``output="wide"`` keeps the INPUT batch (empty docs dropped) and
+    appends one ``nb_{label}`` column per label — the shape downstream
+    filters compose with (no join back; used by the quality-classifier
+    sampler)."""
+    if output not in ("long", "wide"):
+        raise ValueError(f"unknown output {output!r}")
     ref = ray.put(model)
     from .partition import broadcast_get
 
@@ -928,10 +936,16 @@ def naive_bayes_scores(ds: Dataset, model: dict,
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         L = len(labels)
-        empty = pa.table({
-            id_col: ids.slice(0, 0),
-            "label": pa.array([], type=pa.string()),
-            "nb_score": pa.array([], type=pa.float64())})
+        if output == "wide":
+            empty = tbl.slice(0, 0)
+            for lbl in labels:
+                empty = empty.append_column(
+                    f"nb_{lbl}", pa.array([], type=pa.float64()))
+        else:
+            empty = pa.table({
+                id_col: ids.slice(0, 0),
+                "label": pa.array([], type=pa.string()),
+                "nb_score": pa.array([], type=pa.float64())})
         if not keep.any() or len(flat) == 0:
             return empty
         nb = len(n_real)
@@ -954,6 +968,12 @@ def naive_bayes_scores(ds: Dataset, model: dict,
             scores[:, j] = prior[j] + np.bincount(
                 pair_d, weights=tf * lp, minlength=nb)
         kidx = np.flatnonzero(keep)
+        if output == "wide":
+            out = tbl.take(pa.array(kidx.astype(np.int64)))
+            for j, lbl in enumerate(labels):
+                out = out.append_column(
+                    f"nb_{lbl}", pa.array(scores[kidx, j]))
+            return out
         out_ids = ids.take(pa.array(np.repeat(kidx, L)))
         return pa.table({
             id_col: out_ids,

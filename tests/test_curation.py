@@ -329,3 +329,69 @@ def test_mixture_weights_alpha_extremes():
                               token_col="n_tok")
     np.testing.assert_allclose(via_col["weight"].to_numpy(),
                                prop["weight"].to_numpy())
+
+
+# ------------------------------------------------------- quality sampling
+
+def test_quality_classifier_sample_prefers_target_like_docs(ray_session):
+    from feature_extraction_ray.stages.curation import (
+        quality_classifier_sample)
+    # target vocabulary {alpha beta gamma}; pool has 30 target-like and
+    # 30 junk docs — with a heavy tail every target-like doc's q ~ 1
+    target = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(1000, 1020), pa.int64()),
+        "text": ["alpha beta gamma alpha beta"] * 20}))
+    pool = pa.table({
+        "doc_id": pa.array(range(60), pa.int64()),
+        "text": (["alpha beta gamma beta alpha gamma"] * 30
+                 + ["zeta eta theta iota kappa mu"] * 30)})
+    out = quality_classifier_sample(
+        rd.from_arrow(pool), target, seed=3).to_pandas()
+    got = set(out["doc_id"])
+    # exact independent recomputation of the acceptance rule: fetch the
+    # full quality table (a vanishing pareto_alpha keeps everything),
+    # then apply pareto(9) draws from the same seeded hash
+    full = quality_classifier_sample(
+        rd.from_arrow(pool), target, seed=3,
+        pareto_alpha=1e-4).to_pandas().set_index("doc_id")
+    assert len(full) == 60
+    ids = full.index.to_numpy()
+    h = ((ids.astype(np.uint64) + np.uint64(3))
+         * np.uint64(2654435761)) % np.uint64(4294967296)
+    u = (h.astype(np.float64) + 0.5) / 4294967296.0
+    par9 = np.power(u, -1.0 / 9.0) - 1.0
+    expected = set(ids[par9 > 1.0 - full["quality"].to_numpy()])
+    assert got == expected
+    n_good = sum(1 for d in got if d < 30)
+    n_junk = len(got) - n_good
+    assert n_good > 10 and n_junk <= 2      # separation under the tail
+    assert (out[out["doc_id"] < 30]["quality"] > 0.9).all()
+    assert (out[out["doc_id"] >= 30]["quality"] < 0.1).all()
+    # deterministic: identical rerun
+    out2 = quality_classifier_sample(
+        rd.from_arrow(pool), target, seed=3).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+    # different seed -> different per-doc draws -> a different sample
+    out4 = quality_classifier_sample(
+        rd.from_arrow(pool), target, seed=4).to_pandas()
+    assert set(out4["doc_id"]) != got
+
+
+def test_nb_wide_output_matches_long(ray_session):
+    from feature_extraction_ray.stages.text import (
+        fit_naive_bayes, naive_bayes_scores)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lab": ["a", "a", "b", "b"],
+        "text": ["x y x", "y z", "z z w", "w x"]})
+    ds = rd.from_arrow(tbl)
+    model = fit_naive_bayes(ds, "lab")
+    long = naive_bayes_scores(ds, model).to_pandas()
+    wide = naive_bayes_scores(ds, model, output="wide").to_pandas()
+    assert {"nb_a", "nb_b"} <= set(wide.columns)
+    assert "text" in wide.columns           # input columns retained
+    for _, r in wide.iterrows():
+        for lbl in ("a", "b"):
+            exp = long[(long.doc_id == r.doc_id)
+                       & (long.label == lbl)]["nb_score"].iloc[0]
+            assert r[f"nb_{lbl}"] == exp
