@@ -213,7 +213,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Format-dispatching image decode: BMP (``BM`` magic), PNG (8-byte
-    signature) or baseline JPEG (SOI ``FFD8``; see ``stages/jpeg.py``)
+    signature), baseline JPEG (SOI ``FFD8``; see ``stages/jpeg.py``) or
+    GIF87a/89a (``GIF8`` magic; see ``stages/gif.py`` — first frame)
     → (h, w, 3) uint8 RGB; anything else raises the documented
     ``NotImplementedError`` naming the ``decode_fn`` hook."""
     if payload[:2] == b"BM":
@@ -223,8 +224,11 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:2] == b"\xFF\xD8":
         from .jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+        return decode_gif(payload)
     raise NotImplementedError(
-        "unrecognized image payload (not BMP, PNG or JPEG) — other "
+        "unrecognized image payload (not BMP, PNG, JPEG or GIF) — other "
         "formats require an image library (e.g. Pillow) not present in "
         "this container; pass decode_fn=...")
 
