@@ -2663,6 +2663,58 @@ LIMIT 100
 """
 
 
+_PRICE_BRACKETS = [(0.0, 900.0, 0, "budget"),
+                   (900.0, 2500.0, 1, "mid"),
+                   (2500.0, 7000.0, 2, "upper"),
+                   (7000.0, 20000.0, 3, "premium"),
+                   (20000.0, 1e12, 4, "enterprise")]
+
+
+def orders_price_brackets(sf_dir: str) -> Dataset:
+    """Broadcast range-lookup join (``relational.range_lookup_join``):
+    attach the non-uniform price bracket ``[lo, hi)`` containing each
+    order's total — the GeoIP/tax-bracket non-equi enrichment shape.
+    Sorted-lo broadcast + one searchsorted probe per batch, zero
+    shuffles; pass-through values bit-safe, bracket ids exact ints."""
+    from ..stages.relational import range_lookup_join
+    br = rd.from_arrow(pa.table({
+        "lo": pa.array([b[0] for b in _PRICE_BRACKETS], pa.float64()),
+        "hi": pa.array([b[1] for b in _PRICE_BRACKETS], pa.float64()),
+        "tier_id": pa.array([b[2] for b in _PRICE_BRACKETS], pa.int64()),
+        "tier": pa.array([b[3] for b in _PRICE_BRACKETS])}))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return range_lookup_join(orders, br, value_col="o_totalprice",
+                             lo_col="lo", hi_col="hi",
+                             range_value_cols=["tier_id", "tier"],
+                             how="left")
+
+
+ORDERS_PRICE_BRACKETS_SQL = """
+WITH br(lo, hi, tier_id, tier) AS (VALUES
+  (0.0, 900.0, CAST(0 AS BIGINT), 'budget'),
+  (900.0, 2500.0, CAST(1 AS BIGINT), 'mid'),
+  (2500.0, 7000.0, CAST(2 AS BIGINT), 'upper'),
+  (7000.0, 20000.0, CAST(3 AS BIGINT), 'premium'),
+  (20000.0, 1000000000000.0, CAST(4 AS BIGINT), 'enterprise'))
+SELECT o.o_orderkey, o.o_totalprice, b.tier_id, b.tier
+FROM orders o
+LEFT JOIN br b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+"""
+
+
+def embeddings_pca(sf_dir: str) -> Dataset:
+    """Distributed PCA fit (one streaming moment pass, d×d to the
+    driver, eigh) + broadcast projection. Eigendecomposition — non-SQL;
+    rows-only driver check, numpy-reference parity is pytest-verified
+    (test_pca_rangelookup)."""
+    from ..stages.similarity import pca_fit, pca_transform
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    model = pca_fit(ds, k=4)
+    out = pca_transform(ds, model, out_col="pca")
+    return out.map_batches(
+        lambda t: t.select(["vec_id", "pca"]), batch_format="pyarrow")
+
+
 def quality_sampled_docs(sf_dir: str) -> Dataset:
     """GPT-3/WebText classifier quality sampling
     (``curation.quality_classifier_sample``): NB target-vs-pool
@@ -6250,7 +6302,8 @@ QUERIES = {
     # mixture_weights_docs (temperature-based domain mixing weights),
     # dsir_scores_docs / dsir_sampled_docs (DSIR importance resampling),
     # q3_shipping_priority / q10_returned_items (general M:N hash join),
-    # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling).
+    # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
+    # orders_price_brackets (broadcast range-lookup non-equi join).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6352,6 +6405,8 @@ QUERIES = {
     "q3_shipping_priority": q3_shipping_priority,
     "q10_returned_items": q10_returned_items,
     "quality_sampled_docs": quality_sampled_docs,
+    "orders_price_brackets": orders_price_brackets,
+    "embeddings_pca": embeddings_pca,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
     "ngram_jaccard_dedup_docs": ngram_jaccard_dedup_docs,
@@ -6509,6 +6564,7 @@ ORACLE_SQL = {
     "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "quality_sampled_docs": QUALITY_SAMPLED_DOCS_SQL,
+    "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

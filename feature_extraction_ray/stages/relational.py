@@ -1097,3 +1097,61 @@ def hash_join(left: Dataset, right: Dataset, *, left_key: str,
 
     return unioned.groupby(BUCKET_COL).map_groups(
         join_bucket, batch_format="pyarrow")
+
+
+def range_lookup_join(facts: Dataset, ranges: Dataset, *, value_col: str,
+                      lo_col: str, hi_col: str,
+                      range_value_cols: Sequence[str],
+                      how: str = "left", suffix: str = "_r") -> Dataset:
+    """Broadcast non-equi lookup join: attach the single range row whose
+    half-open interval ``[lo, hi)`` contains ``facts[value_col]`` — the
+    GeoIP / tax-bracket / SLA-tier enrichment shape. The range table
+    must be non-overlapping (validated at build; overlap raises) and is
+    broadcast once (sorted ``lo`` array + ``ray.put``); every batch does
+    ONE ``np.searchsorted`` probe — zero shuffles, corpus never moves.
+    ``how`` ∈ {"inner", "left"} (left: out-of-range facts keep nulls).
+
+    For a RANGE side too big to broadcast, partition facts by range
+    bucket instead (``interval_join`` in ``stages/interval.py`` is the
+    general two-big-sides machinery); this operator is the
+    broadcast-regime fast path.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown how {how!r}")
+    rtbl = _small_side_table(ranges).select(
+        list(dict.fromkeys([lo_col, hi_col, *range_value_cols])))
+    lo = np.asarray(rtbl[lo_col].to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+    hi = np.asarray(rtbl[hi_col].to_numpy(zero_copy_only=False),
+                    dtype=np.float64)
+    order = np.argsort(lo, kind="stable")
+    lo, hi = lo[order], hi[order]
+    if np.any(hi < lo):
+        raise ValueError("range table has hi < lo rows")
+    if len(lo) > 1 and np.any(lo[1:] < hi[:-1]):
+        raise ValueError("range table intervals overlap")
+    vals = {c: rtbl[c].take(pa.array(order.astype(np.int64)))
+            .combine_chunks() for c in range_value_cols}
+    ref = ray.put({"lo": lo, "hi": hi, "vals": vals})
+
+    from .partition import broadcast_get
+
+    def probe(t: pa.Table) -> pa.Table:
+        m = broadcast_get(ref)
+        v = np.asarray(t[value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        i = np.searchsorted(m["lo"], v, side="right") - 1
+        ic = np.clip(i, 0, None)
+        hit = (i >= 0) & (v < m["hi"][ic]) & ~np.isnan(v)
+        if how == "inner":
+            t = t.filter(pa.array(hit))
+            ic = ic[hit]
+            take = pa.array(ic.astype(np.int64))
+        else:
+            take = pa.array(ic.astype(np.int64), mask=~hit)
+        for c, col in m["vals"].items():
+            name = f"{c}{suffix}" if c in t.column_names else c
+            t = t.append_column(name, col.take(take))
+        return t
+
+    return facts.map_batches(probe, batch_format="pyarrow")

@@ -1273,3 +1273,79 @@ def query_ivfpq_index(path: str, query_vecs: np.ndarray, k: int = 10,
 
     partials = sub.map_batches(score, batch_format="pyarrow")
     return _merge_topk(partials, k, merge)
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA (streaming moment accumulation)
+# ---------------------------------------------------------------------------
+
+def pca_fit(ds: Dataset, vec_col: str = "embedding", k: int = 8,
+            center: bool = True) -> dict:
+    """Distributed PCA over an embedding column — ONE streaming pass,
+    zero shuffles: every block emits its float64 moment partials
+    ``(n, Σx ∈ ℝᵈ, XᵀX ∈ ℝᵈˣᵈ)`` as a single flattened row (d is an
+    embedding dimension, so d² is driver-trivial even at 100 TB of
+    rows); the driver reduces #blocks rows, forms the covariance
+    ``G/n − μμᵀ`` and eigendecomposes (``np.linalg.eigh`` on the d×d
+    symmetric matrix). Components are returned by DESCENDING explained
+    variance with a deterministic sign convention (largest-|.|
+    coordinate positive) so refits agree up to float reduction order.
+
+    Returns ``{"mean": (d,), "components": (k, d), "explained_var":
+    (k,), "total_var": float, "n": int}``.
+    """
+    def partial(t: pa.Table) -> pa.Table:
+        m = _batch_matrix(t, vec_col).astype(np.float64)
+        n, d = m.shape
+        return pa.table({
+            "n": pa.array([n], type=pa.int64()),
+            "s": pa.array([m.sum(axis=0)]),
+            "g": pa.array([(m.T @ m).reshape(-1)]),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts) or int(parts["n"].sum()) == 0:
+        raise ValueError("pca_fit needs a non-empty vector column")
+    n = float(parts["n"].sum())
+    s = np.sum([np.asarray(v, dtype=np.float64)
+                for v in parts["s"]], axis=0)
+    g = np.sum([np.asarray(v, dtype=np.float64)
+                for v in parts["g"]], axis=0)
+    d = len(s)
+    mu = s / n if center else np.zeros(d)
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                   # (k, d)
+    # deterministic sign: the largest-|coordinate| entry is positive
+    amax = np.argmax(np.abs(comps), axis=1)
+    sign = np.sign(comps[np.arange(len(comps)), amax])
+    sign[sign == 0] = 1.0
+    comps = comps * sign[:, None]
+    ev = np.maximum(evals[order], 0.0)
+    return {"mean": mu, "components": comps, "explained_var": ev,
+            "total_var": float(np.maximum(evals, 0.0).sum()),
+            "n": int(n)}
+
+
+def pca_transform(ds: Dataset, model: dict, vec_col: str = "embedding",
+                  out_col: str = "pca", whiten: bool = False) -> Dataset:
+    """Project vectors onto fitted components (broadcast model, one
+    vectorized matmul per batch, zero shuffles). ``whiten=True`` scales
+    each coordinate by ``1/√λ`` (unit variance per component — the
+    preprocessing SemDeDup-style embedding dedup benefits from)."""
+    ref = ray.put({"mean": model["mean"], "components": model["components"],
+                   "scale": (1.0 / np.sqrt(np.maximum(
+                       model["explained_var"], 1e-12))
+                       if whiten else None)})
+    from .partition import broadcast_get
+
+    def project(t: pa.Table) -> pa.Table:
+        m = broadcast_get(ref)
+        x = _batch_matrix(t, vec_col).astype(np.float64)
+        y = (x - m["mean"]) @ m["components"].T
+        if m["scale"] is not None:
+            y = y * m["scale"]
+        return t.append_column(out_col, pa.array(list(y)))
+
+    return ds.map_batches(project, batch_format="pyarrow")

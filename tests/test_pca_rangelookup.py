@@ -1,0 +1,110 @@
+"""Distributed PCA (similarity.pca_fit/pca_transform) vs a single-
+process numpy reference, and the broadcast range-lookup join."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from feature_extraction_ray.stages.relational import range_lookup_join
+from feature_extraction_ray.stages.similarity import pca_fit, pca_transform
+
+
+def _vec_ds(m: np.ndarray, nparts: int = 5):
+    t = pa.table({"vec_id": pa.array(np.arange(len(m)), pa.int64()),
+                  "embedding": pa.array(list(m.astype(np.float32)))})
+    return rd.from_arrow(t).repartition(nparts)
+
+
+def test_pca_matches_numpy_reference(ray_session):
+    rng = np.random.default_rng(0)
+    # anisotropic cloud: variance concentrated on two known axes
+    base = rng.normal(size=(400, 6)) * np.array([10, 5, 1, .5, .1, .05])
+    rot, _ = np.linalg.qr(rng.normal(size=(6, 6)))
+    x = (base @ rot + rng.normal(size=6) * 3).astype(np.float32)
+    model = pca_fit(_vec_ds(x), k=3)
+    xf = x.astype(np.float64)
+    mu = xf.mean(axis=0)
+    cov = (xf - mu).T @ (xf - mu) / len(xf)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    assert np.allclose(model["mean"], mu, atol=1e-6)
+    assert np.allclose(model["explained_var"], evals[order], rtol=1e-6)
+    for i in range(3):       # components match up to sign
+        got, exp = model["components"][i], evecs[:, order[i]]
+        assert (np.allclose(got, exp, atol=1e-6)
+                or np.allclose(got, -exp, atol=1e-6)), i
+    # variance ordering + the planted spectrum dominates
+    ev = model["explained_var"]
+    assert ev[0] > ev[1] > ev[2] > 0
+    assert ev[0] / model["total_var"] > 0.7
+
+
+def test_pca_transform_and_whiten(ray_session):
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(300, 5)).astype(np.float32) * \
+        np.array([8, 4, 2, 1, .5], dtype=np.float32)
+    ds = _vec_ds(x)
+    model = pca_fit(ds, k=5)
+    out = pca_transform(ds, model, out_col="pca").to_pandas() \
+        .sort_values("vec_id")
+    y = np.stack(out["pca"].to_numpy())
+    exp = (x.astype(np.float64) - model["mean"]) @ model["components"].T
+    assert np.allclose(y, exp, atol=1e-9)
+    # projected covariance is diagonal with the eigenvalues
+    pcov = y.T @ y / len(y) - np.outer(y.mean(0), y.mean(0))
+    assert np.allclose(np.diag(pcov), model["explained_var"], rtol=1e-6)
+    assert np.allclose(pcov - np.diag(np.diag(pcov)), 0, atol=1e-6)
+    # whitening gives unit variance per component
+    w = pca_transform(ds, model, out_col="pca", whiten=True) \
+        .to_pandas().sort_values("vec_id")
+    yw = np.stack(w["pca"].to_numpy())
+    assert np.allclose(yw.var(axis=0, ddof=0), 1.0, rtol=1e-5)
+
+
+def test_pca_real_embeddings_sign_deterministic(ray_session):
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    m1 = pca_fit(ds, k=4)
+    m2 = pca_fit(ds, k=4)
+    # refit agrees to reduction-order tolerance incl. signs
+    assert np.allclose(m1["components"], m2["components"], atol=1e-9)
+    assert np.allclose(m1["explained_var"], m2["explained_var"],
+                       rtol=1e-9)
+
+
+def _ranges():
+    return rd.from_arrow(pa.table({
+        "lo": pa.array([0.0, 10.0, 25.0, 70.0], pa.float64()),
+        "hi": pa.array([10.0, 25.0, 70.0, 200.0], pa.float64()),
+        "tier_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "tier": pa.array(["a", "b", "c", "d"])}))
+
+
+def test_range_lookup_left_and_inner(ray_session):
+    vals = [5.0, 10.0, 24.999, 25.0, 199.999, 200.0, -1.0, 300.0]
+    facts = rd.from_arrow(pa.table({
+        "fid": pa.array(range(len(vals)), pa.int64()),
+        "v": pa.array(vals, pa.float64())}))
+    out = range_lookup_join(facts, _ranges(), value_col="v",
+                            lo_col="lo", hi_col="hi",
+                            range_value_cols=["tier_id", "tier"],
+                            how="left").to_pandas().sort_values("fid")
+    # half-open [lo, hi): 10 -> tier b, 25 -> tier c, 200/-1/300 -> null
+    assert out["tier"].tolist()[:6] == ["a", "b", "b", "c", "d", None]
+    assert out["tier"].isna().tolist() == [False] * 5 + [True] * 3
+    inner = range_lookup_join(facts, _ranges(), value_col="v",
+                              lo_col="lo", hi_col="hi",
+                              range_value_cols=["tier"],
+                              how="inner").to_pandas()
+    assert len(inner) == 5 and inner["tier"].notna().all()
+
+
+def test_range_lookup_rejects_overlap(ray_session):
+    bad = rd.from_arrow(pa.table({
+        "lo": pa.array([0.0, 5.0], pa.float64()),
+        "hi": pa.array([10.0, 15.0], pa.float64()),
+        "t": pa.array(["x", "y"])}))
+    facts = rd.from_arrow(pa.table({"v": pa.array([1.0], pa.float64())}))
+    with pytest.raises(ValueError):
+        range_lookup_join(facts, bad, value_col="v", lo_col="lo",
+                          hi_col="hi", range_value_cols=["t"])
