@@ -2663,6 +2663,41 @@ LIMIT 100
 """
 
 
+def user_value_scd2(sf_dir: str) -> Dataset:
+    """SCD2 history build (``relational.scd2_history``): the events log
+    as a change stream per user — ``error`` events are deletes that
+    close the open interval without opening a version; every other
+    event opens a new version of ``value``. Half-open
+    ``[valid_from, valid_to)`` validity, 1-based version among
+    surviving rows, ``is_current`` on open tails. One bucketed
+    exchange, vectorized lead/cumcount per bucket."""
+    from ..stages.relational import scd2_history
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_type", "value"])
+    out = scd2_history(ev, "user_id", "ts", ["value"],
+                       op_col="event_type", delete_op="error")
+    return out.map_batches(
+        lambda t: t.select(["user_id", "value", "valid_from",
+                            "valid_to", "version", "is_current"]),
+        batch_format="pyarrow")
+
+
+USER_VALUE_SCD2_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_type, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM events
+), k AS (
+  SELECT user_id, value, ts AS valid_from, valid_to,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+              AS BIGINT) AS version,
+         valid_to IS NULL AS is_current
+  FROM c WHERE event_type <> 'error'
+)
+SELECT * FROM k
+"""
+
+
 _PRICE_BRACKETS = [(0.0, 900.0, 0, "budget"),
                    (900.0, 2500.0, 1, "mid"),
                    (2500.0, 7000.0, 2, "upper"),
@@ -6303,7 +6338,8 @@ QUERIES = {
     # dsir_scores_docs / dsir_sampled_docs (DSIR importance resampling),
     # q3_shipping_priority / q10_returned_items (general M:N hash join),
     # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
-    # orders_price_brackets (broadcast range-lookup non-equi join).
+    # orders_price_brackets (broadcast range-lookup non-equi join),
+    # user_value_scd2 (SCD2 history build).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6406,6 +6442,7 @@ QUERIES = {
     "q10_returned_items": q10_returned_items,
     "quality_sampled_docs": quality_sampled_docs,
     "orders_price_brackets": orders_price_brackets,
+    "user_value_scd2": user_value_scd2,
     "embeddings_pca": embeddings_pca,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
@@ -6565,6 +6602,7 @@ ORACLE_SQL = {
     "q10_returned_items": Q10_RETURNED_ITEMS_SQL,
     "quality_sampled_docs": QUALITY_SAMPLED_DOCS_SQL,
     "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
+    "user_value_scd2": USER_VALUE_SCD2_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

@@ -47,3 +47,79 @@ def read_manifest(path: str) -> list[str]:
     222-227``); feed the list straight to ``ray.data.read_parquet``."""
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]
+
+
+def write_zonemapped(ds: Dataset, out_dir: str, sort_col: str) -> dict:
+    """Sorted, zone-mapped parquet layout: range-partition sort on
+    ``sort_col``, ONE file per sorted block, and a ``zonemap.json``
+    manifest carrying each file's ``(min, max, rows)`` for the sort
+    column. :func:`read_zonemapped` then prunes whole FILES whose zone
+    misses the predicate before any byte leaves storage — the layout
+    step that turns a full scan into a range seek at 100-TB scale
+    (pair with ``partition.zorder_key`` as the sort column for
+    multi-column range pruning).
+
+    Writes happen IN the sorted tasks (driver sees one manifest row per
+    file); returns the manifest dict."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def write_block(tbl: pa.Table, path: str, col: str):
+        import pyarrow.parquet as pq
+        if len(tbl) == 0:
+            return None
+        v = tbl[col].to_numpy(zero_copy_only=False)
+        pq.write_table(tbl, path)
+        mn, mx = np.min(v), np.max(v)
+        item = lambda x: x.item() if hasattr(x, "item") else x
+        return {"file": os.path.basename(path), "min": item(mn),
+                "max": item(mx), "rows": len(tbl)}
+
+    refs = ds.sort(sort_col).to_arrow_refs()
+    rows = ray.get([write_block.remote(
+        r, os.path.join(out_dir, f"zone-{i:05d}.parquet"), sort_col)
+        for i, r in enumerate(refs)])
+    files = [r for r in rows if r is not None]
+    manifest = {"sort_col": sort_col, "files": files}
+    tmp = os.path.join(out_dir, "zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "zonemap.json"))
+    return manifest
+
+
+def read_zonemapped(out_dir: str, lo=None, hi=None,
+                    columns: Sequence[str] | None = None):
+    """Read a :func:`write_zonemapped` layout, PRUNING files whose
+    ``[min, max]`` zone cannot intersect ``[lo, hi]`` (either bound
+    optional, both inclusive — zones are value ranges, so the residual
+    in-file filter still applies downstream for half-open semantics).
+    Returns ``(Dataset, n_files_read, n_files_total)`` so callers (and
+    tests) can see the pruning actually happened."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "zonemap.json")) as f:
+        manifest = json.load(f)
+    files = manifest["files"]
+    keep = [f for f in files
+            if (hi is None or f["min"] <= hi)
+            and (lo is None or f["max"] >= lo)]
+    if not keep:
+        keep = files[:1]     # schema-bearing empty-ish read
+        ds = rd.read_parquet(
+            [os.path.join(out_dir, k["file"]) for k in keep],
+            columns=columns).limit(0)
+        return ds, 0, len(files)
+    ds = rd.read_parquet([os.path.join(out_dir, k["file"]) for k in keep],
+                         columns=columns)
+    return ds, len(keep), len(files)

@@ -174,3 +174,37 @@ def test_auto_salt_detects_and_preserves(ray_session):
     with pytest.raises(ValueError):
         hash_join(rd.from_arrow(L), rd.from_arrow(R), left_key="k",
                   right_key="rk", hot_keys="bogus")
+
+
+def test_scd2_history_semantics(ray_session):
+    from feature_extraction_ray.stages.relational import scd2_history
+    # key 1: U@1 U@3 D@5 U@9  -> v1 [1,3), v2 [3,5) closed by delete,
+    #                            v3 [9,null) current
+    # key 2: D@1 U@4          -> delete first closes nothing; v1 current
+    # key 3: U@2              -> single current version
+    tbl = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([1, 3, 5, 9, 1, 4, 2], pa.int64()),
+        "op": ["U", "U", "D", "U", "D", "U", "U"],
+        "val": pa.array([10, 11, 0, 12, 0, 20, 30], pa.int64())})
+    out = scd2_history(rd.from_arrow(tbl).repartition(3), "k", "ts",
+                       ["val"], op_col="op", num_buckets=4) \
+        .to_pandas().sort_values(["k", "version"]).reset_index(drop=True)
+    assert out[["k", "val", "valid_from", "version"]].values.tolist() == [
+        [1, 10, 1, 1], [1, 11, 3, 2], [1, 12, 9, 3],
+        [2, 20, 4, 1], [3, 30, 2, 1]]
+    vt = out["valid_to"].tolist()
+    assert vt[0] == 3 and vt[1] == 5           # delete closes v2 at 5
+    assert all(pd.isna(v) for v in (vt[2], vt[3], vt[4]))
+    assert out["is_current"].tolist() == [False, False, True, True, True]
+    # no op column: every change survives
+    out2 = scd2_history(rd.from_arrow(tbl), "k", "ts", ["val"],
+                        num_buckets=2).to_pandas()
+    assert len(out2) == 7
+    # duplicate (key, ts) raises
+    dup = pa.table({"k": pa.array([1, 1], pa.int64()),
+                    "ts": pa.array([5, 5], pa.int64()),
+                    "val": pa.array([1, 2], pa.int64())})
+    with pytest.raises(Exception):
+        scd2_history(rd.from_arrow(dup), "k", "ts", ["val"],
+                     num_buckets=2).to_pandas()

@@ -108,3 +108,36 @@ def test_range_lookup_rejects_overlap(ray_session):
     with pytest.raises(ValueError):
         range_lookup_join(facts, bad, value_col="v", lo_col="lo",
                           hi_col="hi", range_value_cols=["t"])
+
+
+def test_zonemapped_write_prune_roundtrip(ray_session, tmp_path):
+    import duckdb
+    from feature_extraction_ray.sources.writers import (read_zonemapped,
+                                                        write_zonemapped)
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    out = str(tmp_path / "zm")
+    man = write_zonemapped(ev, out, "value")
+    assert man["sort_col"] == "value" and len(man["files"]) > 3
+    # zones are disjoint-ish (sorted layout): mins are nondecreasing
+    mins = [f["min"] for f in man["files"]]
+    assert mins == sorted(mins)
+    assert sum(f["rows"] for f in man["files"]) == ev.count()
+    # pruned read: narrow range touches a strict subset of files and
+    # returns exactly the filtered rows
+    lo, hi = 10.0, 20.0
+    ds, n_read, n_total = read_zonemapped(out, lo=lo, hi=hi)
+    assert 0 < n_read < n_total
+    got = ds.to_pandas()
+    got = got[(got["value"] >= lo) & (got["value"] <= hi)]
+    exp = duckdb.sql(
+        f"SELECT event_id FROM '{sf}/events.parquet' "
+        f"WHERE value BETWEEN {lo} AND {hi}").df()
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
+    # no-bound read returns everything from all files
+    full, n_read2, _ = read_zonemapped(out)
+    assert n_read2 == n_total and full.count() == ev.count()
+    # empty-range read prunes everything
+    nothing, n0, _ = read_zonemapped(out, lo=1e17, hi=2e17)
+    assert n0 == 0 and nothing.count() == 0
