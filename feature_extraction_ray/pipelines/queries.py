@@ -2663,6 +2663,79 @@ LIMIT 100
 """
 
 
+def events_profile(sf_dir: str):
+    """One-pass column profiler (``stages/profile.py``) over events,
+    projected to its EXACTLY-checkable fields: row/null counts per
+    column (exact int64; float NaN counts as missing), the top value +
+    exact count for the 5-distinct event_type (per-block top candidates
+    are exact below the 32-candidate cap), and round-6 means for the
+    two safely-comparable numerics (event_id mean derives from an
+    exact-in-double integer sum; value mean is a reassociated float sum
+    — round-6 boundary-safe). HLL estimates / std / timestamp means are
+    pytest-verified instead (approximate or reassociation-unsafe)."""
+    from ..stages.profile import profile_columns
+    prof = profile_columns(_read(sf_dir, "events"), top_k=1)
+    cols = prof["column"].to_pylist()
+    mean = prof["mean"].to_numpy(zero_copy_only=False)
+    mean6 = [None if c not in ("event_id", "value") else m
+             for c, m in zip(cols, mean)]
+    tv = prof["top_values"].to_pylist()
+    tc = prof["top_counts"].to_pylist()
+    out = pa.table({
+        "column": prof["column"],
+        "n": prof["n"],
+        "nulls": prof["nulls"],
+        "mean": _round_arr(pa.array(mean6, pa.float64()), 6),
+        "top_value": pa.array(
+            [v[0] if v and c == "event_type" else None
+             for c, v in zip(cols, tv)], pa.string()),
+        "top_count": pa.array(
+            [v[0] if v and c == "event_type" else None
+             for c, v in zip(cols, tc)], pa.int64()),
+    })
+    return out
+
+
+EVENTS_PROFILE_SQL = """
+WITH top_et AS (
+  SELECT event_type AS v, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1 ORDER BY c DESC, v ASC LIMIT 1
+)
+SELECT * FROM (
+  SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) - count(event_id) AS BIGINT) AS nulls,
+         round(CAST(sum(event_id) AS DOUBLE) / count(event_id), 6)
+             AS mean,
+         CAST(NULL AS VARCHAR) AS top_value,
+         CAST(NULL AS BIGINT) AS top_count
+  FROM events
+  UNION ALL
+  SELECT 'ts', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(ts) AS BIGINT), NULL, NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'user_id', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(user_id) AS BIGINT), NULL, NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'event_type', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(event_type) AS BIGINT), NULL,
+         (SELECT v FROM top_et), (SELECT c FROM top_et)
+  FROM events
+  UNION ALL
+  SELECT 'value', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(CASE WHEN isnan(value) THEN NULL
+                                    ELSE value END) AS BIGINT),
+         round(sum(value) / count(value), 6), NULL, NULL
+  FROM events
+  UNION ALL
+  SELECT 'props', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(props) AS BIGINT), NULL, NULL, NULL
+  FROM events
+)
+"""
+
+
 def user_value_scd2(sf_dir: str) -> Dataset:
     """SCD2 history build (``relational.scd2_history``): the events log
     as a change stream per user — ``error`` events are deletes that
@@ -6339,7 +6412,8 @@ QUERIES = {
     # q3_shipping_priority / q10_returned_items (general M:N hash join),
     # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
     # orders_price_brackets (broadcast range-lookup non-equi join),
-    # user_value_scd2 (SCD2 history build).
+    # user_value_scd2 (SCD2 history build), events_profile (one-pass
+    # column profiler, exactly-checkable projection).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6443,6 +6517,7 @@ QUERIES = {
     "quality_sampled_docs": quality_sampled_docs,
     "orders_price_brackets": orders_price_brackets,
     "user_value_scd2": user_value_scd2,
+    "events_profile": events_profile,
     "embeddings_pca": embeddings_pca,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
@@ -6603,6 +6678,7 @@ ORACLE_SQL = {
     "quality_sampled_docs": QUALITY_SAMPLED_DOCS_SQL,
     "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
     "user_value_scd2": USER_VALUE_SCD2_SQL,
+    "events_profile": EVENTS_PROFILE_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

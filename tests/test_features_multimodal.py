@@ -174,8 +174,14 @@ def test_decode_image_dispatch_and_cross_format_parity():
     np.testing.assert_array_equal(
         MM._image_features(MM.decode_image(MM.encode_bmp(px))),
         MM._image_features(MM.decode_image(MM.encode_png(px))))
-    with pytest.raises(NotImplementedError, match="not BMP, PNG or JPEG"):
+    # GIF now dispatches (stages/gif.py) — garbage after the magic is a
+    # corrupt stream, not an unknown format; truly unknown magic still
+    # names the decode_fn hook
+    with pytest.raises(NotImplementedError, match="unknown GIF block"):
         MM.decode_image(b"GIF89a not a supported format")
+    with pytest.raises(NotImplementedError,
+                       match="not BMP, PNG, JPEG or GIF"):
+        MM.decode_image(b"WEBPxxxx not a supported format")
 
 
 def test_png_rows_flow_through_media_pipeline(ray_session):

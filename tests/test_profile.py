@@ -1,0 +1,73 @@
+"""One-pass column profiler (stages/profile.py) vs pandas ground truth
+on a mixed-type table with nulls, plus HLL accuracy and low-cardinality
+top-k exactness on real testdata."""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from feature_extraction_ray.stages.profile import profile_columns
+
+
+def test_profile_mixed_types_matches_pandas(ray_session):
+    rng = np.random.default_rng(0)
+    n = 1000
+    ints = rng.integers(0, 50, n).astype(object)
+    ints[rng.random(n) < 0.1] = None
+    floats = rng.normal(10, 3, n)
+    floats[rng.random(n) < 0.05] = np.nan
+    cats = np.array([f"cat{i % 7}" for i in range(n)], dtype=object)
+    ts = pd.Timestamp("2020-01-01") + pd.to_timedelta(
+        rng.integers(0, 86400, n), unit="s")
+    tbl = pa.table({
+        "i": pa.array([None if v is None else int(v) for v in ints],
+                      pa.int64()),
+        "f": pa.array(floats, pa.float64()),
+        "s": pa.array(cats),
+        "t": pa.array(ts.astype("datetime64[us]")),
+        "lst": pa.array([[1, 2]] * n, pa.list_(pa.int64())),
+    })
+    prof = profile_columns(rd.from_arrow(tbl).repartition(6)) \
+        .to_pandas().set_index("column")
+    pdf = tbl.to_pandas()
+
+    assert (prof["n"] == n).all()
+    assert prof.loc["i", "nulls"] == pdf["i"].isna().sum()
+    assert prof.loc["f", "nulls"] == int(np.isnan(floats).sum())
+    assert prof.loc["s", "nulls"] == 0
+    # numeric stats
+    assert prof.loc["i", "min"] == str(int(pdf["i"].min()))
+    assert prof.loc["i", "max"] == str(int(pdf["i"].max()))
+    assert abs(prof.loc["f", "mean"] - np.nanmean(floats)) < 1e-9
+    assert abs(prof.loc["f", "std"] - np.nanstd(floats)) < 1e-9
+    # lexicographic string bounds
+    assert prof.loc["s", "min"] == "cat0" and prof.loc["s", "max"] == "cat6"
+    # timestamp bounds format back to microsecond datetimes
+    assert prof.loc["t", "min"] == str(np.datetime64(
+        pdf["t"].min().to_datetime64(), "us"))
+    # HLL distinct estimates within 5% on known cardinalities
+    assert abs(prof.loc["s", "n_distinct_est"] - 7) < 0.4
+    true_i = pdf["i"].nunique()
+    assert abs(prof.loc["i", "n_distinct_est"] - true_i) / true_i < 0.05
+    # low-cardinality top-k counts are exact
+    vc = pdf["s"].value_counts()
+    assert prof.loc["s", "top_values"][0] == vc.index[0]
+    assert list(prof.loc["s", "top_counts"]) == vc.head(5).tolist()
+    # nested column: counts only
+    assert prof.loc["lst", "min"] is None
+    assert np.isnan(prof.loc["lst", "mean"])
+
+
+def test_profile_real_events(ray_session):
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    prof = profile_columns(ds).to_pandas().set_index("column")
+    assert prof.loc["event_type", "n_distinct_est"] == \
+        pytest_approx_distinct(5)
+    assert prof.loc["event_id", "nulls"] == 0
+    assert set(prof.loc["event_type", "top_values"]) <= {
+        "click", "error", "purchase", "signup", "view"}
+
+
+def pytest_approx_distinct(k):
+    import pytest
+    return pytest.approx(k, rel=0.05)
