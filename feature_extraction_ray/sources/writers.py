@@ -123,3 +123,94 @@ def read_zonemapped(out_dir: str, lo=None, hi=None,
     ds = rd.read_parquet([os.path.join(out_dir, k["file"]) for k in keep],
                          columns=columns)
     return ds, len(keep), len(files)
+
+
+def zonemapped_merge_join(left_dir: str, right_dir: str, *,
+                          left_key: str | None = None,
+                          right_key: str | None = None,
+                          right_cols: Sequence[str] | None = None,
+                          suffix: str = "_r"):
+    """Shuffle-FREE equi-join of two :func:`write_zonemapped` layouts
+    sorted on the join key — the sort-merge-bucket join: because both
+    sides are range-partitioned on the key, each left file's zone
+    ``[min, max]`` selects the handful of right files it can possibly
+    match; one task per left file reads exactly those right files and
+    joins locally with the sorted run-pair kernel. No all-to-all, no
+    re-partitioning — the LAYOUT is the shuffle, paid once at write
+    time and amortized over every subsequent join/scan (the Spark SMB /
+    Hive bucket-join pattern).
+
+    Inner join, M:N fan-out, null keys never match. Returns a Dataset.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(left_dir, "zonemap.json")) as f:
+        lman = json.load(f)
+    with open(os.path.join(right_dir, "zonemap.json")) as f:
+        rman = json.load(f)
+    lk = left_key or lman["sort_col"]
+    rk = right_key or rman["sort_col"]
+    if lk != lman["sort_col"] or rk != rman["sort_col"]:
+        raise ValueError(
+            "zonemapped_merge_join requires both layouts sorted on "
+            f"their join keys (left sorted on {lman['sort_col']!r}, "
+            f"right on {rman['sort_col']!r})")
+
+    rfiles = rman["files"]
+
+    @ray.remote
+    def join_one(lfile: dict) -> pa.Table:
+        import pyarrow.parquet as pq
+        from ..stages.editdist import _cross_join_runs
+        lt = pq.read_table(os.path.join(left_dir, lfile["file"]))
+        matches = [r for r in rfiles
+                   if r["min"] <= lfile["max"] and r["max"] >= lfile["min"]]
+        rts = [pq.read_table(os.path.join(right_dir, r["file"]),
+                             columns=(list(dict.fromkeys([rk, *right_cols]))
+                                      if right_cols is not None else None))
+               for r in matches]
+        if rts:
+            rschema = rts[0].schema
+        elif rfiles:                 # zone overlap empty: schema only
+            rschema = pq.read_schema(
+                os.path.join(right_dir, rfiles[0]["file"]))
+            if right_cols is not None:
+                keep = list(dict.fromkeys([rk, *right_cols]))
+                rschema = pa.schema([rschema.field(c) for c in keep])
+        else:
+            rschema = pa.schema([pa.field(rk, lt.schema.field(lk).type)])
+        rnames = [c for c in rschema.names if c != rk]
+        out_names = {c: (f"{c}{suffix}" if c in lt.column_names else c)
+                     for c in rnames}
+        if not rts:
+            cols = {c: lt[c].slice(0, 0) for c in lt.column_names}
+            for c in rnames:
+                cols[out_names[c]] = pa.nulls(0, rschema.field(c).type)
+            return pa.table(cols)
+        rt = pa.concat_tables(rts)
+        lkeys = lt[lk].combine_chunks()
+        rkeys = rt[rk].combine_chunks()
+        both = pa.concat_arrays([lkeys.cast(lkeys.type),
+                                 rkeys.cast(lkeys.type)])
+        codes = both.dictionary_encode().indices
+        import pyarrow.compute as pc
+        codes = pc.fill_null(codes, -1).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cl, cr = codes[:len(lkeys)], codes[len(lkeys):]
+        vl, vr = cl >= 0, cr >= 0
+        li = np.flatnonzero(vl)
+        ri = np.flatnonzero(vr)
+        ai, bi = _cross_join_runs(cl[vl], li, cr[vr], ri)
+        cols = {c: lt[c].take(pa.array(ai)) for c in lt.column_names}
+        for c in rnames:
+            cols[out_names[c]] = rt[c].take(pa.array(bi))
+        return pa.table(cols)
+
+    refs = [join_one.remote(f) for f in lman["files"]]
+    return rd.from_arrow_refs(refs)

@@ -141,3 +141,36 @@ def test_zonemapped_write_prune_roundtrip(ray_session, tmp_path):
     # empty-range read prunes everything
     nothing, n0, _ = read_zonemapped(out, lo=1e17, hi=2e17)
     assert n0 == 0 and nothing.count() == 0
+
+
+def test_zonemapped_merge_join_equals_hash_join(ray_session, tmp_path):
+    from feature_extraction_ray.sources.writers import (
+        write_zonemapped, zonemapped_merge_join)
+    from feature_extraction_ray.stages.relational import hash_join
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    line = rd.read_parquet(f"{sf}/lineitem.parquet",
+                           columns=["l_orderkey", "l_linenumber",
+                                    "l_quantity"])
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    write_zonemapped(line, ldir, "l_orderkey")
+    write_zonemapped(orders, rdir, "o_orderkey")
+    smb = zonemapped_merge_join(ldir, rdir).to_pandas()
+    exp = hash_join(line, orders, left_key="l_orderkey",
+                    right_key="o_orderkey", how="inner",
+                    num_buckets=16).to_pandas()
+    cols = sorted(smb.columns)
+    assert cols == sorted(exp.columns)
+    a = smb[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    # projected right side
+    smb2 = zonemapped_merge_join(ldir, rdir,
+                                 right_cols=["o_totalprice"]).to_pandas()
+    assert sorted(smb2.columns) == ["l_linenumber", "l_orderkey",
+                                    "l_quantity", "o_totalprice"]
+    # mismatched sort key rejected
+    with pytest.raises(ValueError):
+        zonemapped_merge_join(ldir, rdir, right_key="o_custkey")
