@@ -954,6 +954,13 @@ def hash_join(left: Dataset, right: Dataset, *, left_key: str,
     (and salt known hot keys) for bigger inputs. The 100-TB shape:
     output is written straight back out per bucket — nothing
     driver-side.
+
+    Why not ``Dataset.join``? Ray 2.49's native hash-shuffle join runs
+    through aggregator actors whose spin-up dominates locally (measured
+    9.3–21.4 s vs 2.4–3.8 s here for the same sf0.1 lineitem⋈orders;
+    CLAUDE.md's HASH_SHUFFLE note), and it offers no hot-key salting.
+    For repeatedly-joined sorted layouts, skip the exchange entirely —
+    ``sources.writers.zonemapped_merge_join`` (0.08–0.12 s same join).
     """
     from .editdist import _cross_join_runs
     from .partition import BUCKET_COL, stable_bucket
