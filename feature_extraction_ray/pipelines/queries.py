@@ -2663,6 +2663,68 @@ LIMIT 100
 """
 
 
+def bm25_topk_indexed(sf_dir: str):
+    """Persistent inverted-index retrieval (``stages/textindex.py``):
+    build the term-bucketed posting layout (one exchange, postings
+    written inside the bucket tasks), then answer two fixed queries
+    reading ONLY the buckets their terms hash into — per-bucket df is
+    exact because a term's postings live in one bucket. Same RSJ-idf
+    BM25 IEEE sequence as ``bm25_docs``; round-6 on the summed scores
+    (per-term contributions are irrational logs; cross-engine
+    reassociation is boundary-safe), ties broken by doc_id."""
+    import shutil
+    import tempfile
+    from ..stages.textindex import build_text_index, query_text_index
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    d = tempfile.mkdtemp(prefix="txtidx_")
+    try:
+        build_text_index(docs, d, num_buckets=16)
+        out = query_text_index(
+            d, ["query join stream hash", "table scan sort"], k=10)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return pa.table({"query_id": out["query_id"],
+                     "doc_id": out["doc_id"],
+                     "score": _round_arr(out["score"], 6)})
+
+
+BM25_TOPK_INDEXED_SQL = """
+WITH q(query_id, term) AS (
+  SELECT 0, unnest(['hash', 'join', 'query', 'stream'])
+  UNION ALL SELECT 1, unnest(['scan', 'sort', 'table'])
+),
+s AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+      FROM documents WHERE trim(text) <> ''),
+w AS (SELECT doc_id, unnest(ws) AS word FROM s),
+w2 AS (SELECT doc_id, word FROM w WHERE word <> ''),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w2 GROUP BY 1),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+              CAST(sum(dl) AS DOUBLE) AS total FROM dl),
+terms AS (SELECT DISTINCT term FROM q),
+df AS (SELECT t.term, CAST(count(DISTINCT w2.doc_id) AS DOUBLE) AS df
+       FROM w2 JOIN terms t ON w2.word = t.term GROUP BY 1),
+tf AS (SELECT w2.doc_id, w2.word AS term, CAST(count(*) AS DOUBLE) AS tf
+       FROM w2 JOIN terms t ON w2.word = t.term GROUP BY 1, 2),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1.0 + ((SELECT n_docs FROM nd) - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * (1.2 + 1.0))
+           / (tf.tf + 1.2 * ((1.0 - 0.75)
+              + 0.75 * (d.dl / ((SELECT total FROM nd)
+                                / (SELECT n_docs FROM nd))))) AS c
+  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id)
+  JOIN q ON q.term = tf.term),
+scored AS (
+  SELECT query_id, doc_id, sum(c) AS score
+  FROM contrib GROUP BY 1, 2)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       round(score, 6) AS score
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) <= 10
+"""
+
+
 def events_profile(sf_dir: str):
     """One-pass column profiler (``stages/profile.py``) over events,
     projected to its EXACTLY-checkable fields: row/null counts per
@@ -6413,7 +6475,8 @@ QUERIES = {
     # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
     # orders_price_brackets (broadcast range-lookup non-equi join),
     # user_value_scd2 (SCD2 history build), events_profile (one-pass
-    # column profiler, exactly-checkable projection).
+    # column profiler, exactly-checkable projection), bm25_topk_indexed
+    # (persistent inverted-index retrieval).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6518,6 +6581,7 @@ QUERIES = {
     "orders_price_brackets": orders_price_brackets,
     "user_value_scd2": user_value_scd2,
     "events_profile": events_profile,
+    "bm25_topk_indexed": bm25_topk_indexed,
     "embeddings_pca": embeddings_pca,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
@@ -6679,6 +6743,7 @@ ORACLE_SQL = {
     "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
     "user_value_scd2": USER_VALUE_SCD2_SQL,
     "events_profile": EVENTS_PROFILE_SQL,
+    "bm25_topk_indexed": BM25_TOPK_INDEXED_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

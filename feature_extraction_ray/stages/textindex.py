@@ -1,0 +1,247 @@
+"""Persistent inverted text index — the BM25 retrieval twin of the
+persistent IVF-PQ index (`similarity.build_ivfpq_index`): pay one
+bucketed exchange at BUILD time, then every query reads only the
+posting buckets its terms hash into.
+
+Layout (``build_text_index``): posting rows ``(term, doc_id, tf, dl)``
+— dl denormalized onto every posting so scoring never joins a doc
+table — hash-bucketed BY TERM into one parquet file per bucket (sorted
+``(term, doc_id)``), plus ``stats.json`` with ``n_docs`` /
+``total_tokens`` / ``num_buckets``. Because a term's postings live in
+exactly one bucket, its document frequency is computable INSIDE that
+bucket's task — queries need no global exchange for df.
+
+Query (``query_text_index``): tokenize the query strings, open only
+the touched bucket files (columns pruned to the posting schema), one
+task per bucket emits final per-(query, doc) partial BM25
+contributions for its terms (Robertson–Spärck Jones idf, identical
+IEEE sequence to ``text.bm25_scores``); one small (query, doc) groupby
+sums cross-bucket partials and a local-top-k + bounded merge finishes.
+Docs containing no query term never appear (score-0 candidates are
+not retrieval results).
+
+No reference counterpart (the reference has no retrieval); part of
+the beyond-reference engine surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+from ray.data import Dataset
+
+from .partition import BUCKET_COL, _stable_hash_strings, with_bucket
+from .text import _split_flat
+
+
+def _postings_of_batch(t: pa.Table, text_col: str, id_col: str):
+    """(term, doc_id, tf, dl) posting rows for one batch — dictionary
+    encode + packed-pair unique, no Python word loops."""
+    flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+    if real is not None:
+        flat = flat.filter(pa.array(real))
+        offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+        np.cumsum(n_real, out=offs[1:])
+    else:
+        offs = offsets
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    empty = pa.table({"term": pa.array([], type=pa.string()),
+                      "doc_id": ids.slice(0, 0),
+                      "tf": pa.array([], type=pa.int64()),
+                      "dl": pa.array([], type=pa.int64())})
+    if not len(flat):
+        return empty, int((n_real > 0).sum()), int(n_real.sum())
+    de = flat.dictionary_encode()
+    codes = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(n_real)), np.diff(offs))
+    packed = doc_of * len(de.dictionary) + codes
+    order = np.argsort(packed, kind="stable")
+    sp = packed[order]
+    starts = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+    tf = np.diff(np.r_[starts, len(sp)])
+    pdoc = (sp[starts] // len(de.dictionary)).astype(np.int64)
+    pterm = (sp[starts] % len(de.dictionary)).astype(np.int64)
+    tbl = pa.table({
+        "term": de.dictionary.take(pa.array(pterm)).cast(pa.string()),
+        "doc_id": ids.take(pa.array(pdoc)),
+        "tf": pa.array(tf.astype(np.int64)),
+        "dl": pa.array(n_real[pdoc].astype(np.int64)),
+    })
+    return tbl, int((n_real > 0).sum()), int(n_real.sum())
+
+
+def build_text_index(ds: Dataset, out_dir: str, *,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     num_buckets: int = 16) -> dict:
+    """Build the on-disk index (see module docstring). One bucketed
+    exchange; posting files are written INSIDE the bucket tasks."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        tbl, nd, tt = _postings_of_batch(t, text_col, id_col)
+        # corpus counters ride as one reserved null-term meta row
+        meta = pa.table({"term": pa.array([None], type=pa.string()),
+                         "doc_id": pa.array([nd], type=tbl["doc_id"].type)
+                         if len(tbl) else pa.array([nd], type=pa.int64()),
+                         "tf": pa.array([tt], type=pa.int64()),
+                         "dl": pa.array([0], type=pa.int64())})
+        return pa.concat_tables([tbl, meta.cast(tbl.schema)])
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = (_stable_hash_strings(pc.fill_null(t["term"], ""))
+             % np.uint64(num_buckets)).astype(np.int32)
+        # meta rows go to bucket 0
+        isnull = pc.is_null(t["term"]).to_numpy(zero_copy_only=False)
+        b[np.asarray(isnull, dtype=bool)] = 0
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    bucketed = posts.map_batches(assign, batch_format="pyarrow")
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        bid = int(tbl[BUCKET_COL][0].as_py())
+        meta_mask = pc.is_null(tbl["term"])
+        meta = tbl.filter(meta_mask)
+        body = tbl.filter(pc.invert(meta_mask)).drop_columns([BUCKET_COL])
+        idx = pc.sort_indices(body, sort_keys=[("term", "ascending"),
+                                               ("doc_id", "ascending")])
+        pq.write_table(body.take(idx),
+                       os.path.join(out_dir, f"postings-{bid:04d}.parquet"))
+        nd = int(pc.sum(meta["doc_id"]).as_py() or 0)
+        tt = int(pc.sum(meta["tf"]).as_py() or 0)
+        return pa.table({"bucket": pa.array([bid], pa.int64()),
+                         "n_docs": pa.array([nd], pa.int64()),
+                         "total_tokens": pa.array([tt], pa.int64()),
+                         "n_postings": pa.array([len(body)], pa.int64())})
+
+    stats = bucketed.groupby(BUCKET_COL).map_groups(
+        write_bucket, batch_format="pyarrow").to_pandas()
+    manifest = {
+        "num_buckets": num_buckets,
+        "n_docs": int(stats["n_docs"].sum()),
+        "total_tokens": int(stats["total_tokens"].sum()),
+        "n_postings": int(stats["n_postings"].sum()),
+        "buckets": sorted(int(b) for b in stats["bucket"]),
+    }
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return manifest
+
+
+def query_text_index(out_dir: str, queries, *, k: int = 10,
+                     k1: float = 1.2, b: float = 0.75) -> pa.Table:
+    """BM25 top-``k`` per query string against a built index, reading
+    ONLY the posting buckets the query terms hash into. Returns
+    ``(query_id, doc_id, score)`` ordered (query_id, score desc,
+    doc_id)."""
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    n = float(stats["n_docs"])
+    avgdl = stats["total_tokens"] / max(n, 1.0)
+    nb = stats["num_buckets"]
+    qterms = [sorted(set(q.split())) for q in queries]
+    all_terms = sorted({t for ts in qterms for t in ts})
+    if not all_terms:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    tarr = pa.array(all_terms)
+    tb = (_stable_hash_strings(tarr) % np.uint64(nb)).astype(np.int64)
+    by_bucket: dict[int, list[str]] = {}
+    for t, bb in zip(all_terms, tb):
+        by_bucket.setdefault(int(bb), []).append(t)
+    term_queries = {t: [qi for qi, ts in enumerate(qterms) if t in ts]
+                    for t in all_terms}
+    k1p1, omb = k1 + 1.0, 1.0 - b
+
+    @ray.remote
+    def scan_bucket(bid: int, terms: list) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        path = os.path.join(out_dir, f"postings-{bid:04d}.parquet")
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "part": pa.array([], pa.float64())})
+        if not os.path.exists(path):
+            return empty
+        tbl = pq.read_table(path)
+        tbl = tbl.filter(pc.is_in(tbl["term"], value_set=pa.array(terms)))
+        if len(tbl) == 0:
+            return empty
+        term = tbl["term"].to_numpy(zero_copy_only=False)
+        tf = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = tbl["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        # df per term: postings are unique (term, doc) rows
+        uniq, inv, cnt = np.unique(term, return_inverse=True,
+                                   return_counts=True)
+        df = cnt[inv].astype(np.float64)
+        idf = np.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        contrib = idf * (tf * k1p1) / (tf + k1 * (omb + b * (dl / avgdl)))
+        out_q, out_d, out_c = [], [], []
+        for t_i, t_name in enumerate(uniq):
+            rows = np.flatnonzero(inv == t_i)
+            for qi in term_queries[str(t_name)]:
+                out_q.append(np.full(len(rows), qi, dtype=np.int64))
+                out_d.append(doc[rows])
+                out_c.append(contrib[rows])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "doc_id": pa.array(np.concatenate(out_d)),
+                         "part": pa.array(np.concatenate(out_c))})
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    refs = [scan_bucket.remote(bid, terms)
+            for bid, terms in by_bucket.items()]
+    parts = rd.from_arrow_refs(refs)
+    summed = parts.groupby(["query_id", "doc_id"]).aggregate(
+        Sum("part", alias_name="score"))
+
+    import pyarrow.compute as pc
+    keys = [("query_id", "ascending"), ("score", "descending"),
+            ("doc_id", "ascending")]
+
+    def local_top(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        t = t.take(pc.sort_indices(t, sort_keys=keys))
+        qid = t["query_id"].to_numpy(zero_copy_only=False)
+        newq = np.r_[True, qid[1:] != qid[:-1]]
+        starts = np.flatnonzero(newq)
+        gid = np.cumsum(newq) - 1
+        pos = np.arange(len(qid)) - starts[gid]   # rank within query
+        return t.filter(pa.array(pos < k))
+
+    tops = summed.map_batches(local_top, batch_format="pyarrow") \
+        .to_arrow_refs()
+    # drop empty blocks: Ray's multi-key aggregate can emit zero-row
+    # blocks whose schema lacks the key columns
+    tabs = [t for t in (ray.get(r) for r in tops)
+            if len(t) and "query_id" in t.column_names]
+    if not tabs:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(tabs)
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=keys))
+    qid = tbl["query_id"].to_numpy(zero_copy_only=False)
+    if len(qid):
+        newq = np.r_[True, qid[1:] != qid[:-1]]
+        starts = np.flatnonzero(newq)
+        gid = np.cumsum(newq) - 1
+        pos = np.arange(len(qid)) - starts[gid]
+        tbl = tbl.filter(pa.array(pos < k))
+    return tbl

@@ -1,0 +1,83 @@
+"""Persistent inverted text index (stages/textindex.py): build layout,
+bucket-pruned BM25 queries vs the brute scorer, multi-query top-k,
+and the empty/missing-term edges."""
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from feature_extraction_ray.stages.text import bm25_scores
+from feature_extraction_ray.stages.textindex import (build_text_index,
+                                                     query_text_index)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def test_build_layout_and_stats(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    man = build_text_index(_docs(), d, num_buckets=8)
+    files = [f for f in os.listdir(d) if f.startswith("postings-")]
+    assert len(files) == len(man["buckets"]) <= 8
+    assert man["n_docs"] == 500
+    with open(os.path.join(d, "stats.json")) as f:
+        assert json.load(f)["n_postings"] == man["n_postings"]
+    # a term's postings live in exactly one bucket, sorted by term
+    import pyarrow.parquet as pq
+    seen = {}
+    for fn in files:
+        t = pq.read_table(os.path.join(d, fn))
+        terms = set(t["term"].to_pylist())
+        for term in terms:
+            assert term not in seen, (term, fn, seen[term])
+            seen[term] = fn
+        tl = t["term"].to_pylist()
+        assert tl == sorted(tl)
+
+
+def test_query_matches_brute_bm25(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    build_text_index(_docs(), d, num_buckets=8)
+    qs = ["query join stream hash", "table scan sort", "zzz-absent"]
+    res = query_text_index(d, qs, k=7).to_pandas()
+    for qi, q in enumerate(qs[:2]):
+        brute = bm25_scores(_docs(), sorted(set(q.split()))).to_pandas()
+        brute = brute[brute["bm25"] > 0].sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]).head(7)
+        got = res[res["query_id"] == qi]
+        assert got["doc_id"].tolist() == brute["doc_id"].tolist(), q
+        assert np.allclose(got["score"].to_numpy(),
+                           brute["bm25"].to_numpy(), atol=1e-9)
+    # absent-term query returns no rows (no zero-score padding)
+    assert (res["query_id"] == 2).sum() == 0
+    # duplicate terms in a query count once
+    r1 = query_text_index(d, ["join join join"], k=5).to_pandas()
+    r2 = query_text_index(d, ["join"], k=5).to_pandas()
+    assert r1["doc_id"].tolist() == r2["doc_id"].tolist()
+    assert np.allclose(r1["score"], r2["score"])
+
+
+def test_query_reads_only_touched_buckets(ray_session, tmp_path):
+    d = str(tmp_path / "idx")
+    build_text_index(_docs(), d, num_buckets=16)
+    # delete every bucket the query terms do NOT hash into; the query
+    # must still succeed — proof it never opens untouched buckets
+    from feature_extraction_ray.stages.partition import \
+        _stable_hash_strings
+    terms = ["join", "stream"]
+    # array-form modulo: a np.uint64 SCALAR % python-int promotes to
+    # float64 in numpy 1.x and garbles the bucket id
+    keep = set((_stable_hash_strings(pa.array(terms))
+                % np.uint64(16)).astype(np.int64).tolist())
+    for fn in list(os.listdir(d)):
+        if fn.startswith("postings-") and \
+                int(fn.split("-")[1].split(".")[0]) not in keep:
+            os.remove(os.path.join(d, fn))
+    res = query_text_index(d, ["join stream"], k=5).to_pandas()
+    assert len(res) == 5 and (res["score"] > 0).all()
