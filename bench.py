@@ -169,6 +169,24 @@ def run_bench() -> dict:
                 shutil.rmtree(d, ignore_errors=True)
         per_query[f"training_shards_x{amp}"] = _best_of(_shards_run)
 
+        # round-4 persistent inverted text index: build the term-
+        # bucketed posting layout over the amplified corpus, then a
+        # 50-query BM25 batch reading only touched buckets
+        from feature_extraction_ray.stages.textindex import (
+            build_text_index, query_text_index)
+
+        def _tidx_run():
+            d = tempfile.mkdtemp(prefix="txtidx_")
+            try:
+                build_text_index(amplified_documents(SF_DIR, amp), d,
+                                 num_buckets=32)
+                qs = [f"query join stream hash part {i}"
+                      for i in range(50)]
+                return len(query_text_index(d, qs, k=10))
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        per_query[f"textindex_build_query_x{amp}"] = _best_of(_tidx_run)
+
         # round-4 compressed-domain ANN: PQ fit+encode+ADC over a 100×
         # amplified corpus (200k distinct vectors), and the persistent
         # IVF-PQ index (build on disk, 2000-query probe reading only

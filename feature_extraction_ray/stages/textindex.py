@@ -202,33 +202,41 @@ def query_text_index(out_dir: str, queries, *, k: int = 10,
                          "doc_id": pa.array(np.concatenate(out_d)),
                          "part": pa.array(np.concatenate(out_c))})
 
+    import pyarrow.compute as pc
     import ray.data as rd
-    from ray.data.aggregate import Sum
+    from .window import bucketed_apply
     refs = [scan_bucket.remote(bid, terms)
             for bid, terms in by_bucket.items()]
     parts = rd.from_arrow_refs(refs)
-    summed = parts.groupby(["query_id", "doc_id"]).aggregate(
-        Sum("part", alias_name="score"))
-
-    import pyarrow.compute as pc
     keys = [("query_id", "ascending"), ("score", "descending"),
             ("doc_id", "ascending")]
 
-    def local_top(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return t
-        t = t.take(pc.sort_indices(t, sort_keys=keys))
+    # cross-bucket (query, doc) sums: ONE doc-hash bucketed exchange
+    # (few groups → cheap) with vectorized in-task lexsort/reduceat —
+    # NOT a Dataset 2-key aggregate, whose million-group sort path
+    # measured 80+ s on 6M partial rows
+    def sum_and_top(t: pa.Table) -> pa.Table:
         qid = t["query_id"].to_numpy(zero_copy_only=False)
-        newq = np.r_[True, qid[1:] != qid[:-1]]
-        starts = np.flatnonzero(newq)
-        gid = np.cumsum(newq) - 1
-        pos = np.arange(len(qid)) - starts[gid]   # rank within query
-        return t.filter(pa.array(pos < k))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        part = t["part"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, qid))
+        q, dd, p = qid[order], doc[order], part[order]
+        new = np.r_[True, (q[1:] != q[:-1]) | (dd[1:] != dd[:-1])]
+        starts = np.flatnonzero(new)
+        score = np.add.reduceat(p, starts)
+        out = pa.table({"query_id": pa.array(q[starts]),
+                        "doc_id": pa.array(dd[starts]),
+                        "score": pa.array(score)})
+        out = out.take(pc.sort_indices(out, sort_keys=keys))
+        oq = out["query_id"].to_numpy(zero_copy_only=False)
+        newq = np.r_[True, oq[1:] != oq[:-1]]
+        sq = np.flatnonzero(newq)
+        pos = np.arange(len(oq)) - sq[np.cumsum(newq) - 1]
+        return out.filter(pa.array(pos < k))
 
-    tops = summed.map_batches(local_top, batch_format="pyarrow") \
+    tops = bucketed_apply(parts, "doc_id", sum_and_top,
+                          num_buckets=64, drop_bucket=False) \
         .to_arrow_refs()
-    # drop empty blocks: Ray's multi-key aggregate can emit zero-row
-    # blocks whose schema lacks the key columns
     tabs = [t for t in (ray.get(r) for r in tops)
             if len(t) and "query_id" in t.column_names]
     if not tabs:
