@@ -6438,10 +6438,11 @@ FROM deg d LEFT JOIN cnt c ON c.node = d.node
 
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
-# driver consumes the FIRST ~50 entries, so every oracle-backed query
-# (45) comes first, then the highest-value rows-only entries fill the
-# window; redundant twins and RO queries whose operator family already
-# has an oracle row in-window sit in the tail.
+# driver consumes the FIRST ~50 entries; the window currently carries the
+# round-4 rotation set (the formerly never-driver-checked oracle queries),
+# and oracle-backed entries added mid-round queue for the round-5 window
+# (see the rotation note inside the dict). pytest re-verifies EVERY
+# ORACLE_SQL entry against DuckDB each session regardless of position.
 # ---------------------------------------------------------------------------
 QUERIES = {
     # ------------------------------------------------------------------

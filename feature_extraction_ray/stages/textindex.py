@@ -253,3 +253,88 @@ def query_text_index(out_dir: str, queries, *, k: int = 10,
         pos = np.arange(len(qid)) - starts[gid]
         tbl = tbl.filter(pa.array(pos < k))
     return tbl
+
+
+def update_text_index(ds: Dataset, out_dir: str, *,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> dict:
+    """Incrementally add documents to an existing index: new posting
+    partials shuffle through the SAME term-bucket assignment, and each
+    touched bucket task merges its new postings into the existing file
+    (read + concat + re-sort + atomic replace); corpus counters in
+    ``stats.json`` advance. Duplicate doc_ids are the caller's contract
+    (same as the minhash incremental store — re-adding a doc double
+    counts it; dedup first).
+
+    Cost: one exchange over the NEW postings only, plus a rewrite of
+    the touched bucket files — the classic LSM-free amend path for
+    append-mostly corpora (for high-churn use, collect several updates
+    and rebuild)."""
+    with open(os.path.join(out_dir, "stats.json")) as f:
+        stats = json.load(f)
+    nb = stats["num_buckets"]
+
+    def postings(t: pa.Table) -> pa.Table:
+        tbl, nd, tt = _postings_of_batch(t, text_col, id_col)
+        meta = pa.table({"term": pa.array([None], type=pa.string()),
+                         "doc_id": pa.array([nd], type=tbl["doc_id"].type)
+                         if len(tbl) else pa.array([nd], type=pa.int64()),
+                         "tf": pa.array([tt], type=pa.int64()),
+                         "dl": pa.array([0], type=pa.int64())})
+        return pa.concat_tables([tbl, meta.cast(tbl.schema)])
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = (_stable_hash_strings(pc.fill_null(t["term"], ""))
+             % np.uint64(nb)).astype(np.int32)
+        isnull = pc.is_null(t["term"]).to_numpy(zero_copy_only=False)
+        b[np.asarray(isnull, dtype=bool)] = 0
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    bucketed = posts.map_batches(assign, batch_format="pyarrow")
+
+    def merge_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        bid = int(tbl[BUCKET_COL][0].as_py())
+        meta_mask = pc.is_null(tbl["term"])
+        meta = tbl.filter(meta_mask)
+        body = tbl.filter(pc.invert(meta_mask)).drop_columns([BUCKET_COL])
+        path = os.path.join(out_dir, f"postings-{bid:04d}.parquet")
+        if os.path.exists(path):
+            body = pa.concat_tables([pq.read_table(path),
+                                     body.cast(pq.read_schema(path))])
+        idx = pc.sort_indices(body, sort_keys=[("term", "ascending"),
+                                               ("doc_id", "ascending")])
+        tmp = path + ".tmp"
+        pq.write_table(body.take(idx), tmp)
+        os.replace(tmp, path)
+        nd = int(pc.sum(meta["doc_id"]).as_py() or 0)
+        tt = int(pc.sum(meta["tf"]).as_py() or 0)
+        return pa.table({"n_docs": pa.array([nd], pa.int64()),
+                         "total_tokens": pa.array([tt], pa.int64()),
+                         "n_postings": pa.array([len(body)], pa.int64()),
+                         "bucket": pa.array([bid], pa.int64())})
+
+    upd = bucketed.groupby(BUCKET_COL).map_groups(
+        merge_bucket, batch_format="pyarrow").to_pandas()
+    stats["n_docs"] += int(upd["n_docs"].sum())
+    stats["total_tokens"] += int(upd["total_tokens"].sum())
+    touched = set(int(b) for b in upd["bucket"])
+    # recount postings exactly via per-file parquet metadata (row
+    # counts only — touched buckets report post-merge totals, so a sum
+    # of deltas would double-count their old rows)
+    import pyarrow.parquet as pq
+    total = 0
+    for fn in os.listdir(out_dir):
+        if fn.startswith("postings-") and fn.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(out_dir, fn)).num_rows
+    stats["n_postings"] = total
+    stats["buckets"] = sorted(set(stats["buckets"]) | touched)
+    tmp = os.path.join(out_dir, "stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return stats

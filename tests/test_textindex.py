@@ -81,3 +81,31 @@ def test_query_reads_only_touched_buckets(ray_session, tmp_path):
             os.remove(os.path.join(d, fn))
     res = query_text_index(d, ["join stream"], k=5).to_pandas()
     assert len(res) == 5 and (res["score"] > 0).all()
+
+
+def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from feature_extraction_ray.stages.textindex import update_text_index
+    full = _docs()
+    half_a = full.filter(expr="doc_id < 250")
+    half_b = full.filter(expr="doc_id >= 250")
+    d_inc = str(tmp_path / "inc")
+    d_all = str(tmp_path / "all")
+    build_text_index(half_a, d_inc, num_buckets=8)
+    stats = update_text_index(half_b, d_inc)
+    man = build_text_index(full, d_all, num_buckets=8)
+    assert stats["n_docs"] == man["n_docs"]
+    assert stats["total_tokens"] == man["total_tokens"]
+    assert stats["n_postings"] == man["n_postings"]
+    # bucket files byte-agree after sort (same postings, same order)
+    for fn in sorted(os.listdir(d_all)):
+        if not fn.startswith("postings-"):
+            continue
+        a = pq.read_table(os.path.join(d_all, fn))
+        b = pq.read_table(os.path.join(d_inc, fn))
+        assert a.equals(b), fn
+    # queries agree exactly
+    r1 = query_text_index(d_inc, ["join stream"], k=5).to_pandas()
+    r2 = query_text_index(d_all, ["join stream"], k=5).to_pandas()
+    assert r1["doc_id"].tolist() == r2["doc_id"].tolist()
+    assert np.allclose(r1["score"], r2["score"])
