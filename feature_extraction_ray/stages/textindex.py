@@ -15,8 +15,10 @@ Query (``query_text_index``): tokenize the query strings, open only
 the touched bucket files (columns pruned to the posting schema), one
 task per bucket emits final per-(query, doc) partial BM25
 contributions for its terms (Robertson–Spärck Jones idf, identical
-IEEE sequence to ``text.bm25_scores``); one small (query, doc) groupby
-sums cross-bucket partials and a local-top-k + bounded merge finishes.
+IEEE sequence to ``text.bm25_scores``); cross-bucket partials sum
+through ONE doc-hash bucketed exchange (in-task lexsort/reduceat —
+never a many-group Dataset aggregate) and a local-top-k + bounded
+merge finishes.
 Docs containing no query term never appear (score-0 candidates are
 not retrieval results).
 
@@ -35,7 +37,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .partition import BUCKET_COL, _stable_hash_strings, with_bucket
+from .partition import BUCKET_COL, _stable_hash_strings
 from .text import _split_flat
 
 
