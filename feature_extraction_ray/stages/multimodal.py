@@ -266,20 +266,63 @@ def decode_wav(payload: bytes):
 
 
 def split_video_frames(payload: bytes) -> list:
-    """Demux the concat-of-BMP video container: each frame declares its
-    own byte length in the BMP header (offset 2), so splitting is an
-    exact O(#frames) scan."""
+    """Demux a video payload into per-frame image bytes. Two real
+    containers decode: concat-of-BMP (each frame declares its byte
+    length in the BMP header at offset 2 — an exact O(#frames) scan)
+    and animated GIF (``GIF8`` magic; frames re-encoded as BMP so every
+    downstream consumer sees one frame format)."""
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif_frames
+        return [encode_bmp(f) for f in decode_gif_frames(payload)]
     frames, pos = [], 0
     while pos + 54 <= len(payload):
         if payload[pos:pos + 2] != b"BM":
             raise NotImplementedError(
-                "video payload is not a concat-of-BMP stream; real "
-                "containers (MP4/WebM) need a demuxer library — pass "
-                "decode_fn=...")
+                "video payload is not a concat-of-BMP stream or an "
+                "animated GIF; real containers (MP4/WebM) need a "
+                "demuxer library — pass decode_fn=...")
         size = struct.unpack_from("<I", payload, pos + 2)[0]
         frames.append(payload[pos:pos + size])
         pos += size
     return frames
+
+
+def resize_image(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact block-mean resample of an (h, w, 3) uint8 image to
+    ``(out_h, out_w, 3)`` — the same any-size bucketed ``reduceat``
+    kernel the perceptual hash uses, exposed as a first-class
+    transform (uint8 out, per-cell float64 means rounded half-up)."""
+    h, w, _ = px.shape
+    f = px.astype(np.float64)
+    rs = (np.arange(out_h) * h) // out_h
+    cs = (np.arange(out_w) * w) // out_w
+    re_ = np.add.reduceat(f, rs, axis=0)
+    ce = np.add.reduceat(re_, cs, axis=1)
+    # upscale: repeated reduceat indices return the SINGLE source row
+    # (not an empty sum), so the divisor there is 1, not diff()==0
+    rows = np.maximum(np.diff(np.r_[rs, h]), 1).astype(np.float64)
+    cols = np.maximum(np.diff(np.r_[cs, w]), 1).astype(np.float64)
+    mean = ce / rows[:, None, None] / cols[None, :, None]
+    return np.floor(mean + 0.5).clip(0, 255).astype(np.uint8)
+
+
+def resize_images(ds: Dataset, out_h: int, out_w: int,
+                  payload_col: str = "payload",
+                  decode_fn=None) -> Dataset:
+    """Batch image resize: decode (format-dispatching stdlib codecs or
+    ``decode_fn``) → exact block-mean resample → re-encode BMP into
+    ``{payload_col}_resized``. Stateless vectorized-per-image map, zero
+    shuffles — the multimodal 'resize' stage from the brief as a
+    first-class pipeline op."""
+    dec = decode_fn or decode_image
+
+    def fn(t: pa.Table) -> pa.Table:
+        out = [encode_bmp(resize_image(dec(p.as_py()), out_h, out_w))
+               for p in t[payload_col]]
+        return t.append_column(f"{payload_col}_resized",
+                               pa.array(out, type=pa.large_binary()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -598,8 +641,10 @@ def ahash64(px: np.ndarray) -> int:
     # any h, w ≥ 1: cell (i, j) averages rows ⌊ih/8⌋..⌊(i+1)h/8⌋)
     re_ = np.add.reduceat(lum, (np.arange(8) * h) // 8, axis=0)
     ce = np.add.reduceat(re_, (np.arange(8) * w) // 8, axis=1)
-    rows = np.diff(np.r_[(np.arange(8) * h) // 8, h])
-    cols = np.diff(np.r_[(np.arange(8) * w) // 8, w])
+    # images under 8px repeat reduceat indices, which return the SINGLE
+    # source row/col (divisor 1), not an empty sum (divisor 0)
+    rows = np.maximum(np.diff(np.r_[(np.arange(8) * h) // 8, h]), 1)
+    cols = np.maximum(np.diff(np.r_[(np.arange(8) * w) // 8, w]), 1)
     cells = ce / np.outer(rows, cols)
     bits = (cells > cells.mean()).ravel()
     return int(np.packbits(bits).view(">u8")[0])

