@@ -2725,6 +2725,34 @@ QUALIFY row_number() OVER (PARTITION BY query_id
 """
 
 
+def value_deciles_events(sf_dir: str) -> Dataset:
+    """Equal-frequency decile coding (``groupstats.quantile_bucket`` —
+    pandas qcut): 0-based bucket = #(thresholds ≤ value) against the 9
+    EXACT global quantile_disc thresholds extracted from sorted blocks
+    (driver sees #blocks ints, one tiny pick task per touched block).
+    Value-based buckets, so ties agree deterministically with the SQL
+    twin; pass-through values bit-safe, buckets exact int64."""
+    from ..stages.groupstats import quantile_bucket
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    return quantile_bucket(ds, "value", n_buckets=10, out_col="decile")
+
+
+VALUE_DECILES_EVENTS_SQL = """
+WITH t AS (
+  SELECT unnest([quantile_disc(value, 0.1), quantile_disc(value, 0.2),
+                 quantile_disc(value, 0.3), quantile_disc(value, 0.4),
+                 quantile_disc(value, 0.5), quantile_disc(value, 0.6),
+                 quantile_disc(value, 0.7), quantile_disc(value, 0.8),
+                 quantile_disc(value, 0.9)]) AS thr
+  FROM events
+)
+SELECT e.event_id, e.value,
+       CAST((SELECT count(*) FROM t WHERE t.thr <= e.value) AS BIGINT)
+           AS decile
+FROM events e
+"""
+
+
 def events_profile(sf_dir: str):
     """One-pass column profiler (``stages/profile.py``) over events,
     projected to its EXACTLY-checkable fields: row/null counts per
@@ -6477,7 +6505,8 @@ QUERIES = {
     # orders_price_brackets (broadcast range-lookup non-equi join),
     # user_value_scd2 (SCD2 history build), events_profile (one-pass
     # column profiler, exactly-checkable projection), bm25_topk_indexed
-    # (persistent inverted-index retrieval).
+    # (persistent inverted-index retrieval), value_deciles_events
+    # (exact global qcut).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6583,6 +6612,7 @@ QUERIES = {
     "user_value_scd2": user_value_scd2,
     "events_profile": events_profile,
     "bm25_topk_indexed": bm25_topk_indexed,
+    "value_deciles_events": value_deciles_events,
     "embeddings_pca": embeddings_pca,
     "embedding_dedup_brute": embedding_dedup_brute,
     "ngram_jaccard_pairs_docs": ngram_jaccard_pairs_docs,
@@ -6745,6 +6775,7 @@ ORACLE_SQL = {
     "user_value_scd2": USER_VALUE_SCD2_SQL,
     "events_profile": EVENTS_PROFILE_SQL,
     "bm25_topk_indexed": BM25_TOPK_INDEXED_SQL,
+    "value_deciles_events": VALUE_DECILES_EVENTS_SQL,
     "ngram_jaccard_pairs_docs": NGRAM_JACCARD_PAIRS_SQL,
     "ngram_jaccard_dedup_docs": NGRAM_JACCARD_DEDUP_SQL,
     "doc_surprisal_scores": DOC_SURPRISAL_SQL,

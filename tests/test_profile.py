@@ -71,3 +71,34 @@ def test_profile_real_events(ray_session):
 def pytest_approx_distinct(k):
     import pytest
     return pytest.approx(k, rel=0.05)
+
+
+def test_global_quantiles_and_qcut(ray_session):
+    import duckdb
+    from feature_extraction_ray.stages.groupstats import (
+        global_quantiles_disc, quantile_bucket)
+    rng = np.random.default_rng(2)
+    vals = rng.normal(50, 20, 3000)
+    miss = np.zeros(3000, dtype=bool)
+    miss[rng.integers(0, 3000, 40)] = True
+    # Arrow NULLS, not NaN values: DuckDB quantile_disc IGNORES null but
+    # sorts NaN as the largest value — the engine's clean() drops both,
+    # so parity tests must plant real nulls
+    tbl = pa.table({"rid": pa.array(range(3000), pa.int64()),
+                    "v": pa.array(vals, pa.float64(), mask=miss)})
+    ds = rd.from_arrow(tbl).repartition(7)
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9]
+    thr = global_quantiles_disc(ds, "v", qs)
+    exp = duckdb.connect().execute(
+        "SELECT " + ", ".join(f"quantile_disc(v, {q})" for q in qs)
+        + " FROM tbl").fetchone()
+    assert thr.tolist() == list(exp)         # bit-exact data values
+    out = quantile_bucket(ds, "v", n_buckets=4).to_pandas() \
+        .sort_values("rid")
+    ok = out[out["v"].notna()]
+    # equal-frequency quartiles within one of exact split + null pass
+    counts = ok["v_qbucket"].value_counts()
+    n = len(ok)
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert all(abs(c - n / 4) <= 1 for c in counts)
+    assert out[out["v"].isna()]["v_qbucket"].isna().all()
