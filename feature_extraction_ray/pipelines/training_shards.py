@@ -69,6 +69,7 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
                          chunks_per_shard: int = 64,
                          min_tokens: int = 5,
                          gopher_gate: bool = True,
+                         dedup: str | None = None,
                          id_col: str = "doc_id",
                          text_col: str = "text",
                          domain_col: str = "source") -> dict:
@@ -77,6 +78,12 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
     ``input_fingerprint`` identifies the INPUT + parameters; reruns with
     the same fingerprint resume (verified shards are pruned before the
     shuffle), reruns with a new fingerprint recompute everything.
+
+    ``dedup``: ``None`` (default), ``"exact"`` (min-id per exact text —
+    one hash-bucketed exchange) or ``"minhash"`` (near-dup clustering,
+    keep each cluster's representative) — the dedup stage slots between
+    the quality gates and the mixture fit, so duplicate mass neither
+    skews the domain weights nor wastes the token budget.
 
     Returns ``{"weights": DataFrame, "n_sampled_docs", "n_tokens",
     "n_chunks", "n_shards", "written": [...], "skipped": [...]}``.
@@ -99,6 +106,23 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
     pool = docs.map_batches(prep, batch_format="pyarrow")
     if gopher_gate:
         pool = repetition_filter(pool, text_col=text_col)
+    if dedup == "exact":
+        from ..stages.dedup import exact_dedup
+        pool = exact_dedup(pool, content_col=text_col, id_col=id_col,
+                           keep_cols=[domain_col, "n_tok", "sample_ord"])
+    elif dedup == "minhash":
+        # keep each near-dup cluster's representative: the duplicate id
+        # set is cluster-bounded (≪ corpus); anti-join it off the pool
+        from ..stages.dedup import minhash_lsh_dedup
+        from ..stages.relational import anti_join
+        assign = minhash_lsh_dedup(pool.map_batches(
+            lambda t: t.select([id_col, text_col]),
+            batch_format="pyarrow"), text_col=text_col,
+            output="dataset")
+        dups = assign.filter(expr="is_duplicate == True")
+        pool = anti_join(pool, dups, left_key=id_col, right_key=id_col)
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode {dedup!r}")
 
     weights = mixture_weights(pool, group_col=domain_col,
                               token_col="n_tok", alpha=alpha,

@@ -1093,7 +1093,8 @@ def simhash_dedup_incremental(new_ds: Dataset, prior_sig: Dataset,
 
 def exact_dedup(ds: Dataset, content_col: str = "text",
                 id_col: str = "doc_id",
-                num_buckets: int | None = None) -> Dataset:
+                num_buckets: int | None = None,
+                keep_cols=None) -> Dataset:
     """Keep the min-id row per exact content value: vectorized content
     hash in ``map_batches``, ONE hash-bucketed exchange, then a single
     vectorized run-head pass per bucket (sort by (hash, content, id),
@@ -1104,7 +1105,11 @@ def exact_dedup(ds: Dataset, content_col: str = "text",
     Round-4 rewrite of the round-3 ``groupby("__chash").map_groups``
     version, which made one Python+pandas call per DISTINCT content —
     a per-row loop in disguise on a mostly-unique corpus (the judge's
-    one genuine scale-killer finding)."""
+    one genuine scale-killer finding).
+
+    ``keep_cols``: additional columns carried through from the
+    surviving (min-id) row — lets pipelines dedup in place without a
+    join back (output stays one row per distinct content)."""
     from .partition import _stable_hash_strings, derive_num_buckets
     from .window import bucketed_apply
 
@@ -1145,12 +1150,15 @@ def exact_dedup(ds: Dataset, content_col: str = "text",
         ids = tbl[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        return pa.table({
+        cols = {
             content_col: content.take(idx),
             id_col: ids.take(idx),          # min id: sorted asc in-run
             "n_dups": pa.array(run_len.astype(np.int64)),
-            BUCKET_COL: tbl[BUCKET_COL].take(idx),
-        })
+        }
+        for c in (keep_cols or []):
+            cols[c] = tbl[c].take(idx)
+        cols[BUCKET_COL] = tbl[BUCKET_COL].take(idx)
+        return pa.table(cols)
 
     if num_buckets is None:
         # size the exchange off the INPUT's metadata (lazy reads carry a

@@ -103,3 +103,33 @@ def test_empty_pool(ray_session, outdirs):
     r = make_training_shards(empty, out_a, input_fingerprint="e",
                              token_budget=100)
     assert r["n_shards"] == 0 and r["written"] == []
+
+
+def test_dedup_stage_drops_duplicate_mass(ray_session, outdirs):
+    out_a, out_b = outdirs
+    # plant exact duplicates: the corpus twice under one source
+    base = rd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    import pyarrow.compute as pc
+
+    def dup(t):
+        d2 = pa.table({"doc_id": pc.add(t["doc_id"], 1_000_000),
+                       "text": t["text"], "source": t["source"]})
+        return pa.concat_tables([t, d2])
+
+    doubled = base.map_batches(dup, batch_format="pyarrow")
+    kw = dict(seq_len=64, token_budget=1_000_000_000, alpha=1.0,
+              seed=7, chunks_per_shard=64, gopher_gate=False)
+    r_plain = make_training_shards(doubled, out_a,
+                                   input_fingerprint="dp", **kw)
+    r_dedup = make_training_shards(doubled, out_b,
+                                   input_fingerprint="dd",
+                                   dedup="exact", **kw)
+    # exact dedup halves the pool (every doc has exactly one copy)
+    assert r_dedup["n_sampled_docs"] * 2 == r_plain["n_sampled_docs"]
+    # min-id representative survives: original ids, not the +1M copies
+    t = read_shards(out_b).to_pandas()
+    assert (t["doc_id"] < 1_000_000).all()
+    with pytest.raises(ValueError):
+        make_training_shards(doubled, out_a, input_fingerprint="x",
+                             dedup="bogus")
