@@ -2861,6 +2861,57 @@ SELECT * FROM k
 """
 
 
+def scd2_lookup_events(sf_dir: str) -> Dataset:
+    """Point-in-time SCD2 dimension lookup (``relational.scd2_lookup``
+    — the consumer of :func:`scd2_history`): what value was in force
+    for each user 30 minutes after each event? As-of join on
+    ``valid_from`` with the ``valid_to`` gate fused after the per-bucket
+    merge — facts landing in a deleted gap get nulls. Values pass
+    through bit-safe; ≤1 version matches (validity intervals are
+    disjoint per key), so the LEFT-JOIN SQL twin is row-exact."""
+    from ..stages.relational import scd2_history, scd2_lookup
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "ts", "event_type", "value"])
+    hist = scd2_history(ev, "user_id", "ts", ["value"],
+                        op_col="event_type", delete_op="error")
+    hist = hist.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"],
+                            "hval": t["value"],
+                            "valid_from": t["valid_from"],
+                            "valid_to": t["valid_to"]}),
+        batch_format="pyarrow")
+
+    def facts(t: pa.Table) -> pa.Table:
+        ts2 = pc.add(pc.cast(t["ts"], pa.int64()),
+                     pa.scalar(1_800_000_000))
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ts2": ts2.cast(pa.timestamp("us"))})
+
+    f = _read(sf_dir, "events", ["event_id", "user_id", "ts"]) \
+        .map_batches(facts, batch_format="pyarrow")
+    return scd2_lookup(f, hist, fact_key="user_id", fact_ts="ts2",
+                       hist_key="user_id", value_cols=["hval"])
+
+
+SCD2_LOOKUP_EVENTS_SQL = """
+WITH c AS (
+  SELECT user_id, ts, event_type, value,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+  FROM events
+), h AS (
+  SELECT user_id, value AS hval, ts AS valid_from, valid_to
+  FROM c WHERE event_type <> 'error'
+), f AS (
+  SELECT event_id, user_id, ts + INTERVAL 30 MINUTE AS ts2 FROM events
+)
+SELECT f.event_id, f.user_id, f.ts2, h.hval
+FROM f LEFT JOIN h ON h.user_id = f.user_id
+  AND f.ts2 >= h.valid_from
+  AND (h.valid_to IS NULL OR f.ts2 < h.valid_to)
+"""
+
+
 _PRICE_BRACKETS = [(0.0, 900.0, 0, "budget"),
                    (900.0, 2500.0, 1, "mid"),
                    (2500.0, 7000.0, 2, "upper"),
@@ -6503,7 +6554,8 @@ QUERIES = {
     # q3_shipping_priority / q10_returned_items (general M:N hash join),
     # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
     # orders_price_brackets (broadcast range-lookup non-equi join),
-    # user_value_scd2 (SCD2 history build), events_profile (one-pass
+    # user_value_scd2 (SCD2 history build) + scd2_lookup_events
+    # (point-in-time dimension lookup), events_profile (one-pass
     # column profiler, exactly-checkable projection), bm25_topk_indexed
     # (persistent inverted-index retrieval), value_deciles_events
     # (exact global qcut).
@@ -6610,6 +6662,7 @@ QUERIES = {
     "quality_sampled_docs": quality_sampled_docs,
     "orders_price_brackets": orders_price_brackets,
     "user_value_scd2": user_value_scd2,
+    "scd2_lookup_events": scd2_lookup_events,
     "events_profile": events_profile,
     "bm25_topk_indexed": bm25_topk_indexed,
     "value_deciles_events": value_deciles_events,
@@ -6773,6 +6826,7 @@ ORACLE_SQL = {
     "quality_sampled_docs": QUALITY_SAMPLED_DOCS_SQL,
     "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
     "user_value_scd2": USER_VALUE_SCD2_SQL,
+    "scd2_lookup_events": SCD2_LOOKUP_EVENTS_SQL,
     "events_profile": EVENTS_PROFILE_SQL,
     "bm25_topk_indexed": BM25_TOPK_INDEXED_SQL,
     "value_deciles_events": VALUE_DECILES_EVENTS_SQL,

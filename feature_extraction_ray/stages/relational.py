@@ -1250,3 +1250,48 @@ def scd2_history(changes: Dataset, key_col: str, ts_col: str,
 
     return bucketed_apply(changes, key_col, fn, num_buckets,
                           drop_bucket=False)
+
+
+def scd2_lookup(facts: Dataset, history: Dataset, *, fact_key: str,
+                fact_ts: str, hist_key: str,
+                value_cols: Sequence[str],
+                valid_from: str = "valid_from",
+                valid_to: str = "valid_to",
+                num_buckets: int = 64) -> Dataset:
+    """Point-in-time dimension lookup against an SCD2 history (the
+    consumer side of :func:`scd2_history`): attach the version whose
+    half-open validity ``[valid_from, valid_to)`` CONTAINS each fact's
+    timestamp. Built on the as-of join (last ``valid_from ≤ ts`` per
+    key) plus the ``valid_to`` gate — a fact landing in a gap (the key
+    was deleted at that instant) gets nulls, exactly like a
+    time-travel query against the dimension.
+
+    One bucketed exchange (the as-of machinery); the gate fuses into
+    the per-bucket merge task, so gapped matches never leave it."""
+    from .asof import asof_join
+
+    vcols = list(value_cols)
+    out = asof_join(facts, history, left_by=fact_key,
+                    right_by=hist_key, left_on=fact_ts,
+                    right_on=valid_from,
+                    right_value_cols=[*vcols, valid_to],
+                    num_buckets=num_buckets)
+
+    def gate(t: pa.Table) -> pa.Table:
+        ts = t[fact_ts]
+        vt = t[valid_to]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(ts, pa.int64())
+            vt = pc.cast(vt, pa.int64())
+        # keep the match only while ts < valid_to (null valid_to = open
+        # version; unmatched facts have null vt too and stay null)
+        ok = pc.or_kleene(pc.is_null(vt), pc.less(ts, vt))
+        for c in vcols:
+            col = t[c]
+            t = t.set_column(t.column_names.index(c),
+                             pa.field(c, col.type),
+                             pc.if_else(ok, col,
+                                        pa.nulls(len(t), type=col.type)))
+        return t.drop_columns([valid_to])
+
+    return out.map_batches(gate, batch_format="pyarrow")

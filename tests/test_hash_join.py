@@ -208,3 +208,29 @@ def test_scd2_history_semantics(ray_session):
     with pytest.raises(Exception):
         scd2_history(rd.from_arrow(dup), "k", "ts", ["val"],
                      num_buckets=2).to_pandas()
+
+
+def test_scd2_lookup_gap_semantics(ray_session):
+    from feature_extraction_ray.stages.relational import (scd2_history,
+                                                          scd2_lookup)
+    # key 1: v=10 [1,5) closed by delete@5, v=12 [9,open)
+    chg = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([1, 5, 9], pa.int64()),
+        "op": ["U", "D", "U"],
+        "val": pa.array([10, 0, 12], pa.int64())})
+    hist = scd2_history(rd.from_arrow(chg), "k", "ts", ["val"],
+                        op_col="op", num_buckets=2)
+    facts = pa.table({
+        "fid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "t": pa.array([0, 3, 6, 20, 3], pa.int64())})
+    out = scd2_lookup(rd.from_arrow(facts), hist, fact_key="k",
+                      fact_ts="t", hist_key="k", value_cols=["val"],
+                      num_buckets=2).to_pandas().sort_values("fid")
+    # before first version -> null; in v1 -> 10; in the DELETED gap
+    # [5,9) -> null; after re-insert -> 12; unknown key -> null
+    vals = out["val"].tolist()
+    assert pd.isna(vals[0]) and vals[1] == 10
+    assert pd.isna(vals[2]) and vals[3] == 12 and pd.isna(vals[4])
+    assert "valid_to" not in out.columns
