@@ -2861,6 +2861,24 @@ SELECT * FROM k
 """
 
 
+def events_row_numbers(sf_dir: str) -> Dataset:
+    """Global stable row numbering (``partition.row_number`` — SQL
+    ``row_number() OVER (ORDER BY ts, event_id)`` / zipWithIndex): one
+    range-partition sort, per-block counts to the driver, parallel
+    per-block base+arange finalize. The tie-breaker makes the order
+    total, so ids are exact int64 both sides."""
+    from ..stages.partition import row_number
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    return row_number(ds, ["ts", "event_id"], out_col="rn")
+
+
+EVENTS_ROW_NUMBERS_SQL = """
+SELECT event_id, ts,
+       CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT) AS rn
+FROM events
+"""
+
+
 def scd2_lookup_events(sf_dir: str) -> Dataset:
     """Point-in-time SCD2 dimension lookup (``relational.scd2_lookup``
     — the consumer of :func:`scd2_history`): what value was in force
@@ -6555,7 +6573,8 @@ QUERIES = {
     # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
     # orders_price_brackets (broadcast range-lookup non-equi join),
     # user_value_scd2 (SCD2 history build) + scd2_lookup_events
-    # (point-in-time dimension lookup), events_profile (one-pass
+    # (point-in-time dimension lookup) + events_row_numbers (global
+    # zipWithIndex), events_profile (one-pass
     # column profiler, exactly-checkable projection), bm25_topk_indexed
     # (persistent inverted-index retrieval), value_deciles_events
     # (exact global qcut).
@@ -6663,6 +6682,7 @@ QUERIES = {
     "orders_price_brackets": orders_price_brackets,
     "user_value_scd2": user_value_scd2,
     "scd2_lookup_events": scd2_lookup_events,
+    "events_row_numbers": events_row_numbers,
     "events_profile": events_profile,
     "bm25_topk_indexed": bm25_topk_indexed,
     "value_deciles_events": value_deciles_events,
@@ -6827,6 +6847,7 @@ ORACLE_SQL = {
     "orders_price_brackets": ORDERS_PRICE_BRACKETS_SQL,
     "user_value_scd2": USER_VALUE_SCD2_SQL,
     "scd2_lookup_events": SCD2_LOOKUP_EVENTS_SQL,
+    "events_row_numbers": EVENTS_ROW_NUMBERS_SQL,
     "events_profile": EVENTS_PROFILE_SQL,
     "bm25_topk_indexed": BM25_TOPK_INDEXED_SQL,
     "value_deciles_events": VALUE_DECILES_EVENTS_SQL,

@@ -382,3 +382,36 @@ def zorder_sql_expr(cols: Sequence[str], bits: int = 16) -> str:
         for i in range(bits):
             terms.append(f"((({c} >> {i}) & 1) << {len(cols) * i + d})")
     return " | ".join(terms)
+
+
+def row_number(ds: Dataset, order_cols: Sequence[str],
+               out_col: str = "row_id", start: int = 1) -> Dataset:
+    """Global stable row numbering in ``order_cols`` order (SQL
+    ``row_number() OVER (ORDER BY ...)`` / Spark ``zipWithIndex`` with
+    a defined order): one range-partition sort, per-block row counts to
+    the driver (#blocks ints), an exclusive scan hands each block its
+    base offset, and a parallel per-block finalize adds
+    ``base + arange`` — the same two-phase prefix scan the sequence
+    packer uses. Ties in ``order_cols`` get block-order numbers; pass a
+    unique tie-breaker column for full determinism."""
+    import ray
+    import ray.data as rd
+
+    refs = ds.sort(list(order_cols)).to_arrow_refs()
+
+    @ray.remote
+    def block_len(t: pa.Table) -> int:
+        return len(t)
+
+    @ray.remote
+    def finalize(t: pa.Table, base: int) -> pa.Table:
+        return t.append_column(out_col, pa.array(
+            base + np.arange(len(t), dtype=np.int64)))
+
+    lens = np.array(ray.get([block_len.remote(r) for r in refs]),
+                    dtype=np.int64)
+    bases = np.full(len(lens), start, dtype=np.int64)
+    if len(lens) > 1:
+        bases[1:] += np.cumsum(lens[:-1])
+    out = [finalize.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return rd.from_arrow_refs(out)
