@@ -195,3 +195,21 @@ def test_resize_image_block_mean():
     # sub-8px images hash without the zero-divisor artifact
     tiny = rng.integers(0, 255, (4, 5, 3)).astype(np.uint8)
     assert ahash64(resize_image(tiny, 8, 10)) == ahash64(tiny)
+
+
+def test_edge_shapes_and_full_palette():
+    rng = np.random.default_rng(12)
+    # exactly 256 distinct colors: 8-bit palette, clear code 256,
+    # starting width 9
+    pal = np.array([[i, (i * 7) % 256, (i * 13) % 256]
+                    for i in range(256)], np.uint8)
+    img = pal[rng.integers(0, 256, (40, 50))]
+    assert len(np.unique(img.reshape(-1, 3), axis=0)) == 256
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+    one = np.array([[[5, 6, 7]]], np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(one)), one)
+    for shape in ((1, 17), (17, 1)):
+        im = (rng.integers(0, 3, (*shape, 1)).repeat(3, axis=2)
+              .astype(np.uint8) * 80)
+        assert np.array_equal(
+            decode_gif(encode_gif(im, interlace=True)), im)

@@ -102,3 +102,18 @@ def test_global_quantiles_and_qcut(ray_session):
     assert set(counts.index) == {0, 1, 2, 3}
     assert all(abs(c - n / 4) <= 1 for c in counts)
     assert out[out["v"].isna()]["v_qbucket"].isna().all()
+
+
+def test_quantile_boundaries_and_constant_column(ray_session):
+    from feature_extraction_ray.stages.groupstats import (
+        global_quantiles_disc, quantile_bucket)
+    vals = np.arange(1, 101, dtype=np.float64)
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals)})).repartition(5)
+    # quantile_disc index max(1, ceil(q*n)): q→first / median / last
+    thr = global_quantiles_disc(ds, "v", [0.001, 0.5, 1.0])
+    assert thr.tolist() == [1.0, 50.0, 100.0]
+    # constant column: every row lands in ONE bucket (ties are
+    # value-based; both engines yield #thresholds <= v = n_buckets-1)
+    cds = rd.from_arrow(pa.table({"v": pa.array(np.full(50, 7.0))}))
+    out = quantile_bucket(cds, "v", n_buckets=4).to_pandas()
+    assert out["v_qbucket"].unique().tolist() == [3]
