@@ -268,3 +268,105 @@ def equi_width_histogram(ds: Dataset, value_col: str, lo: float,
         return t.append_column("bin_lo", w)
 
     return out.map_batches(fix, batch_format="pyarrow")
+
+
+def grouped_approx_distinct(ds: Dataset, group_col: str, value_col: str,
+                            p: int = 10,
+                            num_buckets: int = 64) -> Dataset:
+    """Approximate DISTINCT count PER GROUP — the at-scale "unique
+    users per key" shape: each batch collapses to one register vector
+    per group present (vectorized: value hashes → (group, register)
+    lexsort + ``maximum.reduceat``; no Python per group), so the
+    exchange moves ``groups-per-block × 2^p`` bytes instead of raw
+    rows; one bucketed exchange then max-merges registers per group and
+    estimates. Mergeable by construction (same registers the global
+    :class:`HyperLogLog` uses, including its linear-counting regime).
+    The EXACT twin for modest cardinalities is
+    ``groupstats.grouped_distinct``; this is the sketch for when values
+    per group dwarf task heaps. Returns ``(group_col,
+    n_distinct_est: float64)``."""
+    from .partition import _stable_hash_strings
+    from .window import bucketed_apply
+
+    m = 1 << p
+
+    def _ranks(h: np.ndarray) -> tuple:
+        """(register index, rank) per hash — same mix/rank math as
+        HyperLogLog.add_hashes, shared convention."""
+        h = h.astype(np.uint64).copy()
+        with np.errstate(over="ignore"):
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)
+        lz = np.zeros(len(h), dtype=np.uint8)
+        x = rest.copy()
+        mask = np.uint64(1) << np.uint64(63)
+        alive = np.ones(len(h), dtype=bool)
+        for r in range(64 - p + 1):
+            top = (x & mask) != 0
+            lz[alive & top] = r + 1
+            alive &= ~top
+            if not alive.any():
+                break
+            x = x << np.uint64(1)
+        return idx, lz
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.select([group_col, value_col]).drop_null()
+        if len(t) == 0:
+            return pa.table({group_col: t[group_col],
+                             "__regs": pa.array([], pa.list_(pa.uint8(),
+                                                             m))})
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        gde = grp.dictionary_encode()
+        gcodes = gde.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        h = _stable_hash_strings(t[value_col])
+        ridx, rank = _ranks(h)
+        ng = len(gde.dictionary)
+        regs = np.zeros((ng, m), dtype=np.uint8)
+        flat = gcodes * m + ridx
+        order = np.argsort(flat, kind="stable")
+        sf, sr = flat[order], rank[order]
+        starts = np.flatnonzero(np.r_[True, sf[1:] != sf[:-1]])
+        regs.reshape(-1)[sf[starts]] = np.maximum.reduceat(sr, starts)
+        return pa.table({
+            group_col: gde.dictionary,
+            "__regs": pa.FixedSizeListArray.from_arrays(
+                pa.array(regs.reshape(-1)), m)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        grp = tbl[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        gde = grp.dictionary_encode()
+        gcodes = gde.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        regs = tbl["__regs"]
+        if isinstance(regs, pa.ChunkedArray):
+            regs = regs.combine_chunks()
+        flat = regs.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(len(tbl), m)
+        ng = len(gde.dictionary)
+        merged = np.zeros((ng, m), dtype=np.uint8)
+        np.maximum.at(merged, gcodes, flat)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -merged.astype(np.float64))
+        e = alpha * m * m / inv.sum(axis=1)
+        zeros = (merged == 0).sum(axis=1)
+        lin = np.where(zeros > 0, m * np.log(
+            np.where(zeros > 0, m / np.maximum(zeros, 1), 1.0)), e)
+        est = np.where((e <= 2.5 * m) & (zeros > 0), lin, e)
+        return pa.table({group_col: gde.dictionary,
+                         "n_distinct_est": pa.array(est)})
+
+    return bucketed_apply(parts, group_col, merge,
+                          num_buckets=num_buckets, drop_bucket=False)

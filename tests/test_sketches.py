@@ -102,3 +102,33 @@ def test_heavy_hitters_guarantee_small_k():
             assert v in got, v
     for v, c in got.items():                # underestimate, bounded err
         assert c <= true[v] <= c + err
+
+
+def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.sketches import (
+        grouped_approx_distinct)
+    rng = np.random.default_rng(0)
+    # three groups with known distinct cardinalities 50 / 700 / 5000
+    groups, vals = [], []
+    for g, k, n in (("a", 50, 2000), ("b", 700, 3000), ("c", 5000, 8000)):
+        groups += [g] * n
+        vals += [f"{g}-v{i}" for i in rng.integers(0, k, n)]
+    t = pa.table({"g": pa.array(groups), "v": pa.array(vals)})
+    truth = {g: len({v for gg, v in zip(groups, vals) if gg == g})
+             for g in "abc"}
+    out = grouped_approx_distinct(
+        rd.from_arrow(t).repartition(9), "g", "v",
+        p=10, num_buckets=4).to_pandas().set_index("g")
+    for g in "abc":
+        est = out.loc[g, "n_distinct_est"]
+        assert abs(est - truth[g]) / truth[g] < 0.12, (g, est, truth[g])
+    # block-layout invariance: registers max-merge, so a different
+    # partitioning gives the IDENTICAL estimate
+    out2 = grouped_approx_distinct(
+        rd.from_arrow(t).repartition(2), "g", "v",
+        p=10, num_buckets=4).to_pandas().set_index("g")
+    assert np.allclose(out.loc[list("abc"), "n_distinct_est"],
+                       out2.loc[list("abc"), "n_distinct_est"])
