@@ -97,9 +97,11 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
         t = t.append_column("n_tok", n_tok)
         t = t.filter(pc.greater_equal(t["n_tok"], min_tokens))
         ordk = _splitmix(t[id_col].to_numpy(zero_copy_only=False), seed)
-        # int64 view keeps Arrow/parquet happy; ordering is unchanged
-        # within a domain sample because we only ever compare equals-
-        # signed values of the same transform
+        # int64 view (Arrow/parquet have no uint64-friendly sort here):
+        # the signed reinterpretation permutes the order differently
+        # than unsigned would, but any FIXED deterministic pseudo-random
+        # order is equally valid for sampling — what matters is that
+        # every rerun/resume/engine sees the SAME order
         return t.append_column(
             "sample_ord", pa.array(ordk.view(np.int64)))
 
