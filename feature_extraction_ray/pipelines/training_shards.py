@@ -48,8 +48,8 @@ from ..stages.text import ws_token_count
 
 
 def _splitmix(v: np.ndarray, seed: int) -> np.ndarray:
-    """Deterministic 64-bit mix of ``doc_id + seed`` (same finalizer the
-    partitioner uses) — the sample order key."""
+    """Deterministic 64-bit mix of ``hash(doc_id) + seed`` (same
+    finalizer the partitioner uses) — the sample order key."""
     x = (v.astype(np.uint64) + np.uint64(seed)
          + np.uint64(0x9E3779B97F4A7C15))
     x ^= x >> np.uint64(30)
@@ -72,6 +72,7 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
                          dedup: str | None = None,
                          id_col: str = "doc_id",
                          text_col: str = "text",
+                         tokens_col: str | None = None,
                          domain_col: str = "source") -> dict:
     """Build packed training shards from a raw document pool.
 
@@ -85,18 +86,40 @@ def make_training_shards(docs: Dataset, out_dir: str, *,
     the quality gates and the mixture fit, so duplicate mass neither
     skews the domain weights nor wastes the token budget.
 
+    ``tokens_col``: token-native mode — the pool already carries
+    pre-tokenized ``list<int32>`` sequences (the north-rule input
+    shape); ``n_tok`` is the list length and the token arrays RIDE into
+    the shard files bit-exactly, so :func:`read_training_sequences`
+    can emit actual ``(n, seq_len)`` int32 training matrices. The
+    text-only stages (Gopher gate, dedup) don't apply and raise if
+    requested.
+
     Returns ``{"weights": DataFrame, "n_sampled_docs", "n_tokens",
     "n_chunks", "n_shards", "written": [...], "skipped": [...]}``.
     """
     from ray.data.aggregate import Count, Max, Sum
     from ..state.checkpoint import run_partitioned
 
+    if tokens_col is not None and (gopher_gate or dedup is not None):
+        raise ValueError("token-native mode has no text for the Gopher "
+                         "gate / dedup stages — gate and dedup the text "
+                         "table upstream, or pass gopher_gate=False, "
+                         "dedup=None")
+
     def prep(t: pa.Table) -> pa.Table:
-        t = t.select([id_col, text_col, domain_col])
-        n_tok = ws_token_count(t[text_col])
+        if tokens_col is not None:
+            t = t.select([id_col, tokens_col, domain_col])
+            n_tok = pc.cast(pc.list_value_length(t[tokens_col]),
+                            pa.int64())
+        else:
+            t = t.select([id_col, text_col, domain_col])
+            n_tok = ws_token_count(t[text_col])
         t = t.append_column("n_tok", n_tok)
         t = t.filter(pc.greater_equal(t["n_tok"], min_tokens))
-        ordk = _splitmix(t[id_col].to_numpy(zero_copy_only=False), seed)
+        # type-agnostic id hash (the north-rule tokens table has
+        # STRING doc_ids; documents use int64)
+        from ..stages.partition import _stable_hash_strings
+        ordk = _splitmix(_stable_hash_strings(t[id_col]), seed)
         # int64 view (Arrow/parquet have no uint64-friendly sort here):
         # the signed reinterpretation permutes the order differently
         # than unsigned would, but any FIXED deterministic pseudo-random
@@ -178,3 +201,60 @@ def read_shards(out_dir: str) -> pa.Table:
     are plain parquet; shard id rides in the ``shard_id`` column)."""
     from ..state.checkpoint import read_result
     return read_result(out_dir)
+
+
+def read_training_sequences(out_dir: str, shard_id: int, *,
+                            seq_len: int, chunks_per_shard: int,
+                            tokens_col: str = "tokens"):
+    """Materialize ONE shard's training sequences from a token-native
+    build: returns ``(mat, tail)`` where ``mat`` is an
+    ``(n_chunks, seq_len)`` int32 matrix of the shard's COMPLETE
+    training sequences and ``tail`` is the trailing partial chunk (the
+    corpus end; empty for every shard but the last).
+
+    Reads the shard's own checkpoint file plus (carry-in convention)
+    the PREVIOUS shard's straddler — docs are stored in the shard where
+    their token span STARTS, so at most the tail docs of shard
+    ``s − 1`` spill into ``s``'s token range. Bit-exact: the emitted
+    stream is the concatenation of the sampled docs' token arrays in
+    pack order, sliced at chunk boundaries."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ..state.checkpoint import _part_paths
+
+    start_tok = shard_id * chunks_per_shard * seq_len
+    end_tok = (shard_id + 1) * chunks_per_shard * seq_len
+
+    def load(pid: int):
+        path, _ = _part_paths(out_dir, pid)
+        if not os.path.exists(path):
+            return None
+        return pq.read_table(path, columns=[tokens_col, "tok_start",
+                                            "n_tok"])
+
+    parts = [t for t in (load(p) for p in
+                         ([shard_id - 1] if shard_id > 0 else [])
+                         + [shard_id]) if t is not None]
+    if not parts:
+        return (np.zeros((0, seq_len), dtype=np.int32),
+                np.zeros(0, dtype=np.int32))
+    tbl = pa.concat_tables(parts)
+    ts = tbl["tok_start"].to_numpy(zero_copy_only=False)
+    nt = tbl["n_tok"].to_numpy(zero_copy_only=False)
+    keep = (ts + nt > start_tok) & (ts < end_tok)
+    tbl = tbl.filter(pa.array(keep))
+    order = np.argsort(tbl["tok_start"].to_numpy(zero_copy_only=False),
+                       kind="stable")
+    tbl = tbl.take(pa.array(order.astype(np.int64)))
+    toks = tbl[tokens_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.int32)
+    first_start = int(tbl["tok_start"][0].as_py()) if len(tbl) else 0
+    lo = start_tok - first_start
+    stream = flat[lo:lo + (end_tok - start_tok)]
+    n_full = len(stream) // seq_len
+    mat = stream[:n_full * seq_len].reshape(n_full, seq_len).copy()
+    return mat, stream[n_full * seq_len:].copy()

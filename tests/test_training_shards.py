@@ -133,3 +133,39 @@ def test_dedup_stage_drops_duplicate_mass(ray_session, outdirs):
     with pytest.raises(ValueError):
         make_training_shards(doubled, out_a, input_fingerprint="x",
                              dedup="bogus")
+
+
+def test_token_native_shards_and_sequence_reader(ray_session, outdirs):
+    from feature_extraction_ray import fixtures as FX
+    from feature_extraction_ray.pipelines.training_shards import (
+        read_training_sequences)
+    out_a, _ = outdirs
+    toks = FX.tokens_from_documents(SF)
+    seq_len, cps = 64, 8
+    r = make_training_shards(toks, out_a, input_fingerprint="tok1",
+                             seq_len=seq_len, token_budget=20_000,
+                             alpha=1.0, seed=3, chunks_per_shard=cps,
+                             gopher_gate=False, tokens_col="tokens")
+    assert r["n_chunks"] > cps            # several shards
+    # read every shard; sequences concatenate to the exact token stream
+    mats, tail = [], None
+    for s in range(r["n_shards"]):
+        m, t = read_training_sequences(out_a, s, seq_len=seq_len,
+                                       chunks_per_shard=cps)
+        mats.append(m)
+        tail = t
+    stream = np.concatenate([m.reshape(-1) for m in mats] + [tail])
+    assert len(stream) == r["n_tokens"]
+    # ground truth: the sampled docs' token arrays in pack (doc_id)
+    # order — bit-exact int32 equality, the north-rule invariant
+    shard_tbl = read_shards(out_a).to_pandas().sort_values("doc_id")
+    exp = np.concatenate(
+        [np.asarray(v, dtype=np.int32) for v in shard_tbl["tokens"]])
+    assert np.array_equal(stream, exp)
+    # shard matrices have full rows everywhere, tail < seq_len
+    assert all(m.shape[1] == seq_len for m in mats if len(m))
+    assert len(tail) < seq_len
+    # text-only stages refuse token mode
+    with pytest.raises(ValueError):
+        make_training_shards(toks, out_a, input_fingerprint="x",
+                             tokens_col="tokens")
