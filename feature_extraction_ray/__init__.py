@@ -9,14 +9,27 @@ tables of pre-tokenized sequences:
   sessionization, sliding-window aggregates,
 * per-group **ordered feature aggregates** (verbosity, lexical diversity /
   MATTR, speech-graph metrics, confidence/timing stat packs),
+* general **relational core**: M:N partitioned hash join (hot-key
+  salting), broadcast / semi / anti / range-lookup / interval / full-outer
+  joins, SCD2 history + point-in-time lookup, rollup/cube/grouping sets,
+  window-function families, exact global qcut, stable row numbering,
 * training-data-scale ops: exact & near **dedup** (MinHash-LSH, SimHash,
-  n-gram Jaccard), embedding **similarity search**, text analysis
-  (language-id, quality scoring, fingerprinting), stdlib multimodal
-  decode (BMP/WAV/concat-video),
-* corpus **curation**: benchmark decontamination, PII redaction,
-  token-budget quota sampling, repetition statistics, repeated-substring
-  detection, sequence packing,
-* per-partition **checkpoint/lineage** manifests for resumable runs.
+  n-gram Jaccard, perceptual image/audio/video), embedding **similarity
+  search** (brute / LSH / IVF / PQ / persistent IVF-PQ / MMR, distributed
+  PCA), BM25 **retrieval** with a persistent bucket-pruned inverted
+  index, text analysis (language-id, quality scoring, fingerprinting,
+  TF-IDF/NB/PPMI/BPE), stdlib multimodal codecs (BMP/PNG/JPEG/GIF/WAV/
+  concat-video) with resize / frame-sample stages,
+* corpus **curation & data selection**: benchmark decontamination (exact
+  + fuzzy), PII redaction, Gopher repetition gates, token-budget quota
+  sampling, temperature mixture weights, DSIR importance resampling,
+  GPT-3-style classifier quality sampling, sequence packing, and the
+  end-to-end **training-shard builder** (token-native mode emits exact
+  (n, seq_len) int32 training matrices),
+* storage-aware layouts: zone-mapped sorted parquet with file-pruned
+  reads and a shuffle-free SMB merge join; one-pass column profiler,
+* per-partition **checkpoint/lineage** manifests for resumable runs
+  (flagship, minhash dedup, shard builds all kill-and-resume tested).
 
 Everything is expressed Ray-Data-first: ``ray.data.Dataset`` pipelines with
 ``map_batches`` over zero-copy Arrow batches, actor pools for stateful
