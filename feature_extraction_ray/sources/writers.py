@@ -72,15 +72,41 @@ def write_zonemapped(ds: Dataset, out_dir: str, sort_col: str) -> dict:
 
     @ray.remote
     def write_block(tbl: pa.Table, path: str, col: str):
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
         if len(tbl) == 0:
             return None
-        v = tbl[col].to_numpy(zero_copy_only=False)
         pq.write_table(tbl, path)
-        mn, mx = np.min(v), np.max(v)
-        item = lambda x: x.item() if hasattr(x, "item") else x
-        return {"file": os.path.basename(path), "min": item(mn),
-                "max": item(mx), "rows": len(tbl)}
+
+        def item(x):
+            return x.item() if hasattr(x, "item") else x
+
+        # full zone map: (min, max) for EVERY orderable column, so
+        # reads can prune on any of them (the sort column's zones are
+        # disjoint ranges; secondary columns prune opportunistically)
+        zones = {}
+        for name in tbl.column_names:
+            t = tbl.schema.field(name).type
+            if pa.types.is_nested(t):
+                continue
+            c = tbl[name]
+            if pa.types.is_timestamp(t):
+                c = pc.cast(c, pa.int64())
+            elif not (pa.types.is_integer(t) or pa.types.is_floating(t)
+                      or pa.types.is_string(t)
+                      or pa.types.is_large_string(t)):
+                continue
+            mm = pc.min_max(c)
+            if mm["min"].as_py() is None:
+                continue
+            zones[name] = [item(mm["min"].as_py()),
+                           item(mm["max"].as_py())]
+        # sort-column bounds come from its zone entry (timestamps are
+        # already normalized to int64 µs there — JSON-safe)
+        mn, mx = zones[col]
+        return {"file": os.path.basename(path),
+                "min": mn, "max": mx,
+                "rows": len(tbl), "zones": zones}
 
     refs = ds.sort(sort_col).to_arrow_refs()
     rows = ray.get([write_block.remote(
@@ -96,13 +122,18 @@ def write_zonemapped(ds: Dataset, out_dir: str, sort_col: str) -> dict:
 
 
 def read_zonemapped(out_dir: str, lo=None, hi=None,
-                    columns: Sequence[str] | None = None):
+                    columns: Sequence[str] | None = None,
+                    pred_col: str | None = None):
     """Read a :func:`write_zonemapped` layout, PRUNING files whose
     ``[min, max]`` zone cannot intersect ``[lo, hi]`` (either bound
     optional, both inclusive — zones are value ranges, so the residual
     in-file filter still applies downstream for half-open semantics).
-    Returns ``(Dataset, n_files_read, n_files_total)`` so callers (and
-    tests) can see the pruning actually happened."""
+    ``pred_col`` selects which column's zones gate the read (default:
+    the sort column, whose zones are disjoint ranges — predicates on it
+    prune sharply; secondary columns prune opportunistically — only as
+    well as their values correlate with the layout; timestamps compare
+    as int64 µs). Returns ``(Dataset, n_files_read, n_files_total)`` so
+    callers (and tests) can see the pruning actually happened."""
     import json
     import os
 
@@ -111,9 +142,20 @@ def read_zonemapped(out_dir: str, lo=None, hi=None,
     with open(os.path.join(out_dir, "zonemap.json")) as f:
         manifest = json.load(f)
     files = manifest["files"]
+    if pred_col is not None and pred_col != manifest["sort_col"]:
+        def bounds(f):
+            z = f.get("zones", {}).get(pred_col)
+            if z is None:
+                raise KeyError(
+                    f"no zone recorded for column {pred_col!r} "
+                    "(non-orderable, all-null, or pre-round-4 layout)")
+            return z[0], z[1]
+    else:
+        def bounds(f):
+            return f["min"], f["max"]
     keep = [f for f in files
-            if (hi is None or f["min"] <= hi)
-            and (lo is None or f["max"] >= lo)]
+            if (hi is None or bounds(f)[0] <= hi)
+            and (lo is None or bounds(f)[1] >= lo)]
     if not keep:
         keep = files[:1]     # schema-bearing empty-ish read
         ds = rd.read_parquet(

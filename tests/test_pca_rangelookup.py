@@ -174,3 +174,37 @@ def test_zonemapped_merge_join_equals_hash_join(ray_session, tmp_path):
     # mismatched sort key rejected
     with pytest.raises(ValueError):
         zonemapped_merge_join(ldir, rdir, right_key="o_custkey")
+
+
+def test_zonemap_secondary_column_pruning(ray_session, tmp_path):
+    import duckdb
+    from feature_extraction_ray.sources.writers import (read_zonemapped,
+                                                        write_zonemapped)
+    sf = "/root/testdata/sf0.001"
+    # sort by ts: event_id correlates with ts in the fixture, so
+    # event_id zones also prune; value does not correlate -> no pruning
+    # but still-correct results
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "value"])
+    out = str(tmp_path / "zm2")
+    man = write_zonemapped(ev, out, "ts")
+    assert all("zones" in f and "value" in f["zones"]
+               for f in man["files"])
+    ds, n_read, n_total = read_zonemapped(out, lo=0, hi=100,
+                                          pred_col="event_id")
+    got = ds.to_pandas()
+    got = got[(got["event_id"] >= 0) & (got["event_id"] <= 100)]
+    exp = duckdb.sql(f"SELECT event_id FROM '{sf}/events.parquet' "
+                     "WHERE event_id BETWEEN 0 AND 100").df()
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
+    # uncorrelated column: no pruning, still exact after residual filter
+    ds2, n2, _ = read_zonemapped(out, lo=10.0, hi=11.0,
+                                 pred_col="value")
+    g2 = ds2.to_pandas()
+    g2 = g2[(g2["value"] >= 10.0) & (g2["value"] <= 11.0)]
+    e2 = duckdb.sql(f"SELECT event_id FROM '{sf}/events.parquet' "
+                    "WHERE value BETWEEN 10.0 AND 11.0").df()
+    assert sorted(g2["event_id"]) == sorted(e2["event_id"])
+    import pytest as _pt
+    with _pt.raises(KeyError):
+        read_zonemapped(out, lo=0, hi=1, pred_col="no_such_col")
