@@ -256,3 +256,30 @@ def zonemapped_merge_join(left_dir: str, right_dir: str, *,
 
     refs = [join_one.remote(f) for f in lman["files"]]
     return rd.from_arrow_refs(refs)
+
+
+def scan_zonemapped(out_dir: str, col: str, lo, hi,
+                    columns: Sequence[str] | None = None):
+    """Pruned EXACT range scan: :func:`read_zonemapped` file pruning on
+    ``col`` plus the residual in-file filter ``lo ≤ col ≤ hi`` fused
+    into the read — callers get exactly the matching rows. Returns
+    ``(Dataset, n_files_read, n_files_total)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    want = columns
+    if columns is not None and col not in columns:
+        want = [*columns, col]
+    ds, n_read, n_total = read_zonemapped(out_dir, lo=lo, hi=hi,
+                                          columns=want, pred_col=col)
+
+    def residual(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if pa.types.is_timestamp(c.type):
+            c = pc.cast(c, pa.int64())
+        t = t.filter(pc.and_(pc.greater_equal(c, lo),
+                             pc.less_equal(c, hi)))
+        return t.select(list(columns)) if columns is not None else t
+
+    return ds.map_batches(residual, batch_format="pyarrow"), \
+        n_read, n_total

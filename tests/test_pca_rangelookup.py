@@ -208,3 +208,22 @@ def test_zonemap_secondary_column_pruning(ray_session, tmp_path):
     import pytest as _pt
     with _pt.raises(KeyError):
         read_zonemapped(out, lo=0, hi=1, pred_col="no_such_col")
+
+
+def test_scan_zonemapped_exact(ray_session, tmp_path):
+    import duckdb
+    from feature_extraction_ray.sources.writers import (scan_zonemapped,
+                                                        write_zonemapped)
+    sf = "/root/testdata/sf0.001"
+    ev = rd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "value"])
+    out = str(tmp_path / "zm3")
+    write_zonemapped(ev, out, "value")
+    ds, n_read, n_total = scan_zonemapped(out, "value", 10.0, 20.0,
+                                          columns=["event_id"])
+    got = ds.to_pandas()
+    assert list(got.columns) == ["event_id"]
+    assert 0 < n_read < n_total
+    exp = duckdb.sql(f"SELECT event_id FROM '{sf}/events.parquet' "
+                     "WHERE value BETWEEN 10.0 AND 20.0").df()
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
