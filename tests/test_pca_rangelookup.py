@@ -227,3 +227,44 @@ def test_scan_zonemapped_exact(ray_session, tmp_path):
     exp = duckdb.sql(f"SELECT event_id FROM '{sf}/events.parquet' "
                      "WHERE value BETWEEN 10.0 AND 20.0").df()
     assert sorted(got["event_id"]) == sorted(exp["event_id"])
+
+
+def test_zorder_zonemap_two_dimensional_pruning(ray_session, tmp_path):
+    # the lakehouse OPTIMIZE ZORDER pattern: zonemapped layout sorted by
+    # the Morton key makes BOTH raw dimensions' secondary zones tight,
+    # so range predicates on EITHER column prune files
+    import pyarrow.compute as pc2
+    from feature_extraction_ray.sources.writers import (read_zonemapped,
+                                                        write_zonemapped)
+    from feature_extraction_ray.stages.partition import zorder_key
+    ev = rd.read_parquet("/root/testdata/sf0.01/events.parquet",
+                         columns=["event_id", "user_id", "value"])
+
+    def dims(t):
+        # integerize both dims into the FULL [0, 1024) Morton domain:
+        # sf0.01 has only 150 users, so unscaled user_id leaves its top
+        # bits constant and the curve degenerates to one dimension
+        vb = np.clip((t["value"].to_numpy(zero_copy_only=False)
+                      * 10.0), 0, 1023).astype(np.int64)
+        ub = t["user_id"].to_numpy(zero_copy_only=False) * 6
+        return t.append_column("vbucket", pa.array(vb))                 .append_column("ubucket", pa.array(ub.astype(np.int64)))
+
+    ds = zorder_key(ev.map_batches(dims, batch_format="pyarrow"),
+                    ["ubucket", "vbucket"], bits=10)
+    out = str(tmp_path / "zz")
+    man = write_zonemapped(ds, out, "zkey")
+    n_total = len(man["files"])
+    assert n_total >= 8
+    # prune on EACH raw dimension alone: both must skip files
+    for col, lo, hi in (("ubucket", 0, 240), ("vbucket", 0, 240)):
+        _, n_read, _ = read_zonemapped(out, lo=lo, hi=hi, pred_col=col)
+        assert n_read < n_total, (col, n_read, n_total)
+    # and results stay exact after the residual filter
+    dsr, _, _ = read_zonemapped(out, lo=0, hi=240, pred_col="ubucket")
+    got = dsr.to_pandas()
+    got = got[(got["user_id"] >= 0) & (got["user_id"] <= 40)]
+    import duckdb
+    exp = duckdb.sql(
+        "SELECT event_id FROM '/root/testdata/sf0.01/events.parquet' "
+        "WHERE user_id BETWEEN 0 AND 40").df()
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
