@@ -283,3 +283,39 @@ def scan_zonemapped(out_dir: str, col: str, lo, hi,
 
     return ds.map_batches(residual, batch_format="pyarrow"), \
         n_read, n_total
+
+
+def read_documents_jsonl(paths, *, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         source_col: str = "source") -> Dataset:
+    """JSONL document ingest (the raw-crawl interchange format): Ray's
+    native ``read_json`` (arrow JSON reader, streams line-delimited
+    records) normalized to the canonical documents schema — id cast to
+    int64 when numeric (string ids pass through), missing ``source``
+    defaults to ``"jsonl"``, extra keys dropped, null/absent text rows
+    removed. One stateless pass; blocks parallelize like any read."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_json(paths)
+
+    def normalize(t: pa.Table) -> pa.Table:
+        if text_col not in t.column_names:
+            raise ValueError(f"JSONL records lack {text_col!r}")
+        ids = t[id_col] if id_col in t.column_names else None
+        if ids is None:
+            raise ValueError(f"JSONL records lack {id_col!r}")
+        if pa.types.is_floating(ids.type):   # JSON numbers parse float
+            ids = pc.cast(ids, pa.int64())
+        # the Arrow JSON reader unions keys across records: a partially
+        # present field arrives as a column WITH nulls, not missing
+        src = (pc.fill_null(pc.cast(t[source_col], pa.string()), "jsonl")
+               if source_col in t.column_names
+               else pa.array(["jsonl"] * len(t), pa.string()))
+        out = pa.table({id_col: ids,
+                        text_col: pc.cast(t[text_col], pa.string()),
+                        source_col: pc.cast(src, pa.string())})
+        return out.filter(pc.is_valid(out[text_col]))
+
+    return ds.map_batches(normalize, batch_format="pyarrow")

@@ -43,3 +43,30 @@ def test_csv_roundtrip_matches_arrow_path(tmp_path):
     for c in got_arrow.columns:
         np.testing.assert_allclose(got_csv[c], got_arrow[c],
                                    equal_nan=True, err_msg=c)
+
+
+def test_jsonl_documents_ingest(ray_session, tmp_path):
+    import json as _json
+    from feature_extraction_ray.sources.writers import (
+        read_documents_jsonl)
+    p = str(tmp_path / "docs.jsonl")
+    rows = [{"doc_id": 1, "text": "alpha beta", "source": "a",
+             "extra": 1},
+            {"doc_id": 2, "text": "gamma delta"},          # no source
+            {"doc_id": 3, "text": None, "source": "a"},    # dropped
+            {"doc_id": 4, "text": "epsilon", "source": "b"}]
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    got = read_documents_jsonl(p).to_pandas().sort_values("doc_id")
+    assert got["doc_id"].tolist() == [1, 2, 4]
+    assert got["doc_id"].dtype.kind == "i"
+    assert got["source"].tolist() == ["a", "jsonl", "b"]
+    assert sorted(got.columns) == ["doc_id", "source", "text"]
+    # flows straight into a text stage
+    from feature_extraction_ray.stages.text import ws_token_count
+    import pyarrow as _pa
+    n = read_documents_jsonl(p).map_batches(
+        lambda t: t.append_column("n", ws_token_count(t["text"])),
+        batch_format="pyarrow").to_pandas()
+    assert sorted(n["n"]) == [1, 2, 2]
