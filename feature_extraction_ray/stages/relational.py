@@ -165,18 +165,34 @@ def pivot_counts(ds: Dataset, group_col: str, pivot_col: str,
     Distributed as indicator columns + partial-aggregate sums inside
     ``map_batches``, then ONE small ``groupby(group)`` exchange — never a
     per-value shuffle. ``pivot_values`` pins the output columns (and
-    their order); when None they are discovered with a tiny distinct
-    pass, capped at ``max_pivot`` (wide-pivot explosions are a schema
+    their order); when None they are discovered with a zero-shuffle
+    distinct pass, capped at ``max_pivot`` (wide-pivot explosions are a schema
     smell, not a data path)."""
     if pivot_values is None:
-        vals = ds.select_columns([pivot_col]).unique(pivot_col)
+        # ZERO-SHUFFLE discovery: per-block pc.unique partials unioned
+        # on the driver — Dataset.unique's aggregate exchange costs
+        # ~3.5 s fixed all-to-all coordination for a result this op
+        # caps at max_pivot values anyway
+        def distinct_part(t: pa.Table) -> pa.Table:
+            c = t[pivot_col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            u = pc.unique(c)
+            if len(u) > max_pivot:
+                raise ValueError(
+                    f"{pivot_col} has > {max_pivot} distinct values in "
+                    "one block (max_pivot); pass pivot_values=...")
+            return pa.table({pivot_col: u})
+
+        parts = ds.select_columns([pivot_col]).map_batches(
+            distinct_part, batch_format="pyarrow").to_pandas()
+        vals = set(parts[pivot_col]) if len(parts) else set()
         if len(vals) > max_pivot:
             raise ValueError(
                 f"{pivot_col} has {len(vals)} distinct values "
                 f"(max_pivot={max_pivot}); pass pivot_values=... to pin "
                 "the columns you want")
-        pivot_values = sorted(v if not isinstance(v, dict) else
-                              v[pivot_col] for v in vals)
+        pivot_values = sorted(vals)
     names = [f"{pivot_col}_{v}" for v in pivot_values]
 
     def indicators(t: pa.Table) -> pa.Table:
