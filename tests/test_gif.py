@@ -197,6 +197,14 @@ def test_resize_image_block_mean():
     assert ahash64(resize_image(tiny, 8, 10)) == ahash64(tiny)
 
 
+def test_gif87a_magic_accepted():
+    # GIF87a streams share the layout; only the version bytes differ
+    img = np.full((4, 4, 3), 33, np.uint8)
+    g = bytearray(encode_gif(img))
+    g[3:6] = b"87a"
+    assert np.array_equal(decode_gif(bytes(g)), img)
+
+
 def test_edge_shapes_and_full_palette():
     rng = np.random.default_rng(12)
     # exactly 256 distinct colors: 8-bit palette, clear code 256,
