@@ -187,6 +187,30 @@ def run_bench() -> dict:
                 shutil.rmtree(d, ignore_errors=True)
         per_query[f"textindex_build_query_x{amp}"] = _best_of(_tidx_run)
 
+        # round-4 storage-aware join: build two zone-mapped layouts and
+        # run the shuffle-free SMB merge join (the layout IS the
+        # shuffle; contrast with hash_join_line_orders above)
+        from feature_extraction_ray.sources.writers import (
+            write_zonemapped, zonemapped_merge_join)
+
+        def _smb_run():
+            d = tempfile.mkdtemp(prefix="smb_")
+            try:
+                write_zonemapped(
+                    rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                                    columns=["l_orderkey",
+                                             "l_extendedprice"]),
+                    f"{d}/l", "l_orderkey")
+                write_zonemapped(
+                    rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                                    columns=["o_orderkey", "o_custkey",
+                                             "o_totalprice"]),
+                    f"{d}/o", "o_orderkey")
+                return zonemapped_merge_join(f"{d}/l", f"{d}/o").count()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        per_query["smb_join_line_orders"] = _best_of(_smb_run)
+
         # round-4 compressed-domain ANN: PQ fit+encode+ADC over a 100×
         # amplified corpus (200k distinct vectors), and the persistent
         # IVF-PQ index (build on disk, 2000-query probe reading only

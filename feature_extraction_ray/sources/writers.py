@@ -118,6 +118,14 @@ def write_zonemapped(ds: Dataset, out_dir: str, sort_col: str) -> dict:
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp, os.path.join(out_dir, "zonemap.json"))
+    # drop stale zone files a previous (crashed or wider) run left —
+    # readers only open manifest-listed files, but the garbage bytes
+    # would linger forever on 100-TB layouts
+    live = {f["file"] for f in files}
+    for fn in os.listdir(out_dir):
+        if fn.startswith("zone-") and fn.endswith(".parquet") \
+                and fn not in live:
+            os.remove(os.path.join(out_dir, fn))
     return manifest
 
 
