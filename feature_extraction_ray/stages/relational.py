@@ -178,11 +178,11 @@ def pivot_counts(ds: Dataset, group_col: str, pivot_col: str,
             if isinstance(c, pa.ChunkedArray):
                 c = c.combine_chunks()
             u = pc.unique(c)
-            if len(u) > max_pivot:
-                raise ValueError(
-                    f"{pivot_col} has > {max_pivot} distinct values in "
-                    "one block (max_pivot); pass pivot_values=...")
-            return pa.table({pivot_col: u})
+            # cap the partial (a block over the limit proves overflow
+            # with max_pivot+1 values); the AUTHORITATIVE ValueError is
+            # raised on the driver so callers catch a plain exception,
+            # not a RayTaskError wrapper
+            return pa.table({pivot_col: u.slice(0, max_pivot + 1)})
 
         parts = ds.select_columns([pivot_col]).map_batches(
             distinct_part, batch_format="pyarrow").to_pandas()
