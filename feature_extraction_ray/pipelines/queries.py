@@ -6534,6 +6534,349 @@ FROM deg d LEFT JOIN cnt c ON c.node = d.node
 
 
 # ---------------------------------------------------------------------------
+# Token-native driver oracles (north-rule token-array equality).
+#
+# The north rule's headline invariant — "every emitted feature row must
+# satisfy bit-exact token-array equality at each entity×timestamp with
+# zero temporal leakage" — is pytest-verified end to end
+# (tests/test_flagship.py, test_training_shards.py); these queries give
+# it the DRIVER's external hash check too. The F1/F2 fixture pair
+# (fixtures.gen_tokens / gen_feature_updates — sf-independent,
+# deterministic) is embedded as DuckDB VALUES with the token lists as
+# SQL list literals, so the oracle side runs REAL SQL window/ASOF logic
+# over the identical input, and token arrays are compared bit-exactly
+# via array_to_string / vectorized Arrow join on both sides. The F2
+# leakage probes (updates strictly after every left row) are inside the
+# fixture, so an exact hash match certifies zero temporal leakage.
+# ---------------------------------------------------------------------------
+
+def _join_int_list(col, sep: str = ","):
+    """list<int32> → 'a,b,c' string (vectorized cast + binary_join);
+    null lists stay null, empty lists become '' — DuckDB
+    array_to_string semantics."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.binary_join(pc.cast(col, pa.list_(pa.string())),
+                          pa.scalar(sep, type=pa.string()))
+
+
+_TOKEN_FIXTURE_CACHE: list = []
+
+
+def _token_fixture():
+    """Memoized (tokens F1, feature_updates F2) fixture pair for the
+    token oracles. Updates are deduped to ONE row per (entity, ts) —
+    keep-last in generation order — and NaN attr values are nulled,
+    BEFORE either engine sees them, so both sides consume bit-identical
+    inputs and the as-of match is unambiguous."""
+    if _TOKEN_FIXTURE_CACHE:
+        return _TOKEN_FIXTURE_CACHE[0]
+    from ..fixtures import gen_feature_updates, gen_tokens
+    tok = gen_tokens(200, 4, seed=42)
+    upd = gen_feature_updates(tok, seed=43)
+    ent = np.asarray(upd["entity"].to_pylist())
+    tsv = upd["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.arange(len(ent))
+    idx = np.lexsort((order, tsv, ent))
+    e_s, t_s = ent[idx], tsv[idx]
+    last = np.r_[(e_s[1:] != e_s[:-1]) | (t_s[1:] != t_s[:-1]), True] \
+        if len(idx) else np.zeros(0, dtype=bool)
+    upd = upd.take(pa.array(np.sort(idx[last])))
+    av = upd["attr_val"].to_numpy(zero_copy_only=False)
+    upd = upd.set_column(upd.column_names.index("attr_val"),
+                         pa.field("attr_val", pa.float64()),
+                         pa.array(av, mask=np.isnan(av)))
+    _TOKEN_FIXTURE_CACHE.append((tok, upd))
+    return tok, upd
+
+
+def _sql_int_list(vals) -> str:
+    return "[" + ",".join(str(int(v)) for v in vals) + "]"
+
+
+def _sql_float(v) -> str:
+    """Embed a float64 BIT-EXACTLY: DuckDB parses long decimal literals
+    as DECIMAL first and the DECIMAL→DOUBLE cast can land 1 ulp off the
+    original double (measured), so emit mantissa × 2^exp instead — both
+    factors and the product are exactly representable."""
+    if v is None:
+        return "NULL"
+    import math
+    f = float(v)
+    if f != f:
+        return "NULL"
+    if f == 0.0:
+        return "0.0::DOUBLE"
+    m, e = math.frexp(f)
+    return (f"({int(m * (1 << 53))}::DOUBLE * "
+            f"power(2::DOUBLE, {e - 53}::DOUBLE))")
+
+
+def _token_values_cte() -> str:
+    """The F1 fixture as a DuckDB VALUES CTE body (doc_id, entity,
+    ts_us, tokens)."""
+    tok, _ = _token_fixture()
+    ts = tok["ts"].cast(pa.int64()).to_pylist()
+    rows = []
+    for d, e, t, toks in zip(tok["doc_id"].to_pylist(),
+                             tok["entity"].to_pylist(), ts,
+                             tok["tokens"].to_pylist()):
+        rows.append(f"('{d}','{e}',{t},{_sql_int_list(toks)})")
+    return ",\n ".join(rows)
+
+
+def _upd_values_cte() -> str:
+    """The deduped F2 fixture as a VALUES CTE body (entity, ts_us,
+    attr_tokens, attr_val)."""
+    _, upd = _token_fixture()
+    ts = upd["ts"].cast(pa.int64()).to_pylist()
+    rows = []
+    for e, t, toks, v in zip(upd["entity"].to_pylist(), ts,
+                             upd["attr_tokens"].to_pylist(),
+                             upd["attr_val"].to_pylist()):
+        rows.append(f"('{e}',{t},{_sql_int_list(toks)},{_sql_float(v)})")
+    return ",\n ".join(rows)
+
+
+def token_lag_arrays(sf_dir: str) -> Dataset:
+    """Lag-1 of the token ARRAY per entity (ts, doc_id order) — the
+    window family carrying the list<int32> payload itself, compared
+    bit-exactly as joined strings (north-rule token-array equality
+    under the driver hash)."""
+    tok, _ = _token_fixture()
+    out = SW.shift(rd.from_arrow(tok), "entity", ["ts", "doc_id"],
+                   ["tokens"], periods=1, num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "entity": t["entity"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "tok_str": _join_int_list(t["tokens"]),
+            "prev_tok_str": _join_int_list(t["tokens_lag1"]),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def token_asof_attr(sf_dir: str) -> Dataset:
+    """Point-in-time as-of join carrying a token-array payload
+    (attr_tokens) from the sparse F2 updates onto every F1 row —
+    backward direction, exact matches allowed; the fixture's
+    strictly-future updates are the leakage probes. DuckDB ASOF JOIN
+    twin; token arrays compared bit-exactly."""
+    tok, upd = _token_fixture()
+    out = asof_join(rd.from_arrow(tok), rd.from_arrow(upd),
+                    left_by="entity", right_by="entity",
+                    left_on="ts", right_on="ts",
+                    right_value_cols=["attr_tokens", "attr_val"],
+                    direction="backward", num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "entity": t["entity"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "tok_str": _join_int_list(t["tokens"]),
+            "attr_tok_str": _join_int_list(t["attr_tokens"]),
+            "attr_val": t["attr_val"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def token_session_concat(sf_dir: str) -> Dataset:
+    """Gap-sessionize (1 h) then concatenate every session's token
+    arrays in (ts, doc_id) order into one string — session-granularity
+    token-array equality, fused into ONE bucketed exchange (session ids
+    + ordered concat in the same entity-complete bucket task)."""
+    from ..functions import windows as W
+    from ..stages.partition import entity_group_starts, sort_table
+    tok, _ = _token_fixture()
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, ["entity", "ts", "doc_id"])
+        ng = entity_group_starts(tbl, "entity")
+        tsv = tbl["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sid = W.sessionize(tsv, ng, 3_600_000_000)
+        new_run = np.asarray(ng, dtype=bool).copy()
+        if len(sid) > 1:
+            new_run[1:] |= sid[1:] != sid[:-1]
+        starts = np.flatnonzero(new_run)
+        run_len = np.diff(np.r_[starts, len(sid)])
+        docstr = _join_int_list(tbl["tokens"])
+        la = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(sid)].astype(np.int32)), docstr)
+        ent = tbl["entity"].combine_chunks() if isinstance(
+            tbl["entity"], pa.ChunkedArray) else tbl["entity"]
+        ntok = tbl["n_tok"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "entity": ent.take(pa.array(starts)),
+            "session_id": pa.array(sid[starts], type=pa.int64()),
+            "n_docs": pa.array(run_len, type=pa.int64()),
+            "n_tok_sum": pa.array(np.add.reduceat(ntok, starts),
+                                  type=pa.int64()),
+            "tok_str": pc.binary_join(la, pa.scalar(
+                ",", type=pa.string())),
+        })
+
+    return SW.bucketed_apply(rd.from_arrow(tok), "entity", fn, 8,
+                             drop_bucket=False)
+
+
+def _planted_token_rep_corpus() -> pa.Table:
+    """Small corpus for the token-repetition oracle: 30 F1 rows (random
+    token streams — mostly distinct grams) + planted pathological docs
+    (heavy 2-gram repeats, a constant run, 1- and 2-token short docs,
+    an empty doc that must yield no row)."""
+    tok, _ = _token_fixture()
+    ids = tok["doc_id"].to_pylist()[:30]
+    toks = tok["tokens"].to_pylist()[:30]
+    ids += ["p_rep", "p_const", "p_short", "p_pair", "p_empty"]
+    toks += [[5, 7] * 40, [3] * 25, [9], [11, 12], []]
+    return pa.table({
+        "doc_id": pa.array(ids, type=pa.string()),
+        "tokens": pa.array(toks, type=pa.list_(pa.int32())),
+    })
+
+
+def token_repetition_docs(sf_dir: str) -> Dataset:
+    """Gopher repetition signals computed natively on token ids
+    (stages/tokengrams.token_repetition_stats, k=2): exact integer
+    n_grams / n_distinct / max_count per doc."""
+    from ..stages.tokengrams import token_repetition_stats
+    corpus = _planted_token_rep_corpus()
+    return token_repetition_stats(rd.from_arrow(corpus), "tokens",
+                                  ("doc_id",), k=2)
+
+
+def _token_eval_table() -> pa.Table:
+    """Eval suite for token decontamination: three slices of real F1
+    docs (guaranteed 3-gram overlap), two out-of-vocab sequences (ids
+    ≥ 32000 — zero overlap), one 2-token short doc (short-gram
+    convention probe)."""
+    tok, _ = _token_fixture()
+    toks = tok["tokens"].to_pylist()
+    lens = [len(t) for t in toks]
+    long_idx = [i for i, n in enumerate(lens) if n >= 16][:3]
+    ev = [toks[long_idx[0]][0:12], toks[long_idx[1]][2:14],
+          toks[long_idx[2]][4:20],
+          [40001, 40002, 40003, 40004], [40010] * 5, [50000, 50001]]
+    return pa.table({
+        "eval_id": pa.array(range(len(ev)), type=pa.int64()),
+        "tokens": pa.array(ev, type=pa.list_(pa.int32())),
+    })
+
+
+def token_decontaminate_docs(sf_dir: str) -> Dataset:
+    """Benchmark decontamination natively on token ids
+    (stages/tokengrams.token_decontaminate, k=3): per-doc count of
+    distinct token 3-grams shared with the eval suite + keep flag —
+    broadcast eval grams, zero-shuffle corpus scan."""
+    from ..stages.tokengrams import token_decontaminate
+    tok, _ = _token_fixture()
+    corpus = tok.select(["doc_id", "tokens"])
+    out = token_decontaminate(rd.from_arrow(corpus),
+                              rd.from_arrow(_token_eval_table()),
+                              "tokens", k=3)
+    return out.drop_columns(["tokens"])
+
+
+def _token_gram_sql(src: str, k: int, id_col: str) -> str:
+    """Per-row token k-grams with the engine's short-doc convention:
+    i in 1..max(len-k+1, 1); empty docs contribute none."""
+    return f"""
+SELECT {id_col}, array_to_string(
+         list_slice(tokens, i, i + {k - 1}), ',') AS gram
+FROM (SELECT {id_col}, tokens,
+             unnest(range(1, greatest(len(tokens) - {k - 1}, 1) + 1)) AS i
+      FROM {src} WHERE len(tokens) > 0)
+"""
+
+
+def _build_token_oracle_sqls() -> dict:
+    tok_cte = _token_values_cte()
+    upd_cte = _upd_values_cte()
+    rep = _planted_token_rep_corpus()
+    rep_cte = ",\n ".join(
+        f"('{d}',{_sql_int_list(t)})"
+        for d, t in zip(rep["doc_id"].to_pylist(),
+                        rep["tokens"].to_pylist()))
+    ev = _token_eval_table()
+    ev_cte = ",\n ".join(
+        f"({i},{_sql_int_list(t)})"
+        for i, t in zip(ev["eval_id"].to_pylist(),
+                        ev["tokens"].to_pylist()))
+    lag_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte})
+SELECT doc_id, entity, ts_us::BIGINT AS ts_us,
+       array_to_string(tokens, ',') AS tok_str,
+       lag(array_to_string(tokens, ',')) OVER (
+           PARTITION BY entity ORDER BY ts_us, doc_id) AS prev_tok_str
+FROM tok
+"""
+    asof_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+upd(entity, ts_us, attr_tokens, attr_val) AS (VALUES
+ {upd_cte})
+SELECT t.doc_id, t.entity, t.ts_us::BIGINT AS ts_us,
+       array_to_string(t.tokens, ',') AS tok_str,
+       array_to_string(u.attr_tokens, ',') AS attr_tok_str,
+       u.attr_val
+FROM tok t ASOF LEFT JOIN upd u
+  ON t.entity = u.entity AND t.ts_us >= u.ts_us
+"""
+    session_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+s AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+          PARTITION BY entity ORDER BY ts_us, doc_id) > 3600000000
+      THEN 1 ELSE 0 END AS brk FROM tok),
+s2 AS (SELECT *, sum(brk) OVER (PARTITION BY entity
+           ORDER BY ts_us, doc_id ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS session_id FROM s)
+SELECT entity, session_id, count(*)::BIGINT AS n_docs,
+       sum(len(tokens))::BIGINT AS n_tok_sum,
+       string_agg(array_to_string(tokens, ','), ','
+                  ORDER BY ts_us, doc_id) AS tok_str
+FROM s2 GROUP BY entity, session_id
+"""
+    rep_sql = f"""
+WITH tok(doc_id, tokens) AS (VALUES
+ {rep_cte}),
+g AS ({_token_gram_sql('tok', 2, 'doc_id')}),
+c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+SELECT doc_id, sum(cnt)::BIGINT AS n_grams,
+       count(*)::BIGINT AS n_distinct, max(cnt)::BIGINT AS max_count
+FROM c GROUP BY doc_id
+"""
+    decon_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+ev(eval_id, tokens) AS (VALUES
+ {ev_cte}),
+cg AS (SELECT DISTINCT doc_id, gram
+       FROM ({_token_gram_sql('tok', 3, 'doc_id')})),
+eg AS (SELECT DISTINCT gram
+       FROM ({_token_gram_sql('ev', 3, 'eval_id')})),
+hit AS (SELECT doc_id, count(*) AS n FROM cg JOIN eg USING (gram)
+        GROUP BY doc_id)
+SELECT t.doc_id, coalesce(h.n, 0)::BIGINT AS n_overlap,
+       coalesce(h.n, 0) = 0 AS keep
+FROM tok t LEFT JOIN hit h ON h.doc_id = t.doc_id
+"""
+    return {"token_lag_arrays": lag_sql,
+            "token_asof_attr": asof_sql,
+            "token_session_concat": session_sql,
+            "token_repetition_docs": rep_sql,
+            "token_decontaminate_docs": decon_sql}
+
+
+_TOKEN_ORACLE_SQLS = _build_token_oracle_sqls()
+
+
+# ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
 # round-4 rotation set (the formerly never-driver-checked oracle queries),
@@ -6577,7 +6920,11 @@ QUERIES = {
     # zipWithIndex), events_profile (one-pass
     # column profiler, exactly-checkable projection), bm25_topk_indexed
     # (persistent inverted-index retrieval), value_deciles_events
-    # (exact global qcut).
+    # (exact global qcut), and the token-native north-rule family
+    # (token_lag_arrays / token_asof_attr / token_session_concat —
+    # token-array equality via array_to_string both sides over the
+    # embedded F1/F2 VALUES fixture; token_repetition_docs /
+    # token_decontaminate_docs — tokengrams.py curation twins).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -6768,6 +7115,11 @@ QUERIES = {
     "knn_embeddings_mmr": knn_embeddings_mmr,
     "part_communities": part_communities,
     "image_phash_dedup": image_phash_dedup,
+    "token_lag_arrays": token_lag_arrays,
+    "token_asof_attr": token_asof_attr,
+    "token_session_concat": token_session_concat,
+    "token_repetition_docs": token_repetition_docs,
+    "token_decontaminate_docs": token_decontaminate_docs,
 }
 
 ORACLE_SQL = {
@@ -6928,6 +7280,12 @@ ORACLE_SQL = {
     "robust_scaled_events": ROBUST_SCALED_EVENTS_SQL,
     "profile_orders": PROFILE_ORDERS_SQL,
     "pagerank_customer_part": PAGERANK_CUSTOMER_PART_SQL,
+    "token_lag_arrays": _TOKEN_ORACLE_SQLS["token_lag_arrays"],
+    "token_asof_attr": _TOKEN_ORACLE_SQLS["token_asof_attr"],
+    "token_session_concat": _TOKEN_ORACLE_SQLS["token_session_concat"],
+    "token_repetition_docs": _TOKEN_ORACLE_SQLS["token_repetition_docs"],
+    "token_decontaminate_docs":
+        _TOKEN_ORACLE_SQLS["token_decontaminate_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

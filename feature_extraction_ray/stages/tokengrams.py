@@ -1,0 +1,236 @@
+"""Token-native n-gram operators over pre-tokenized sequences.
+
+The engine's canonical input is the north-rule tokens table
+(``doc_id:string, tokens:list<int32>, …`` — ``BASELINE.json:input_hint``,
+``fixtures.py`` F1). The curation family in ``stages/curation.py``
+shingles TEXT (word k-grams); these are their token-id twins, operating
+directly on the ``list<int32>`` payload with no string materialization —
+at 100 TB the tokenized form is the one on disk, and decoding back to
+text just to re-shingle would double the read volume. Reference analog:
+the per-call token streams the text-feature scripts consume
+(``/root/reference/text_features/extract_verbosity_stats.py:10-36``
+iterates word tokens per segment); gram semantics follow the public
+Gopher-repetition / benchmark-decontamination recipes, same as the word
+twins.
+
+Gram identity: a ``k``-gram of int32 token ids. ``k == 1`` grams are the
+biased ids themselves and ``k == 2`` grams are packed COLLISION-FREE into
+uint64 (``(u0 << 32) | u1`` after biasing ids into ``[0, 2^32)``);
+``k >= 3`` uses the same FNV-multiplier Horner convention as the word
+shingler (``dedup._shingles_of_batch``) — collision odds are ~2⁻⁶⁴ per
+pair and the unit tests verify every emitted count against exact
+tuple-based naives.
+
+Short-document convention (shared with the word shingler AND the SQL
+oracles): a document with ``1 <= len < k`` tokens contributes ONE gram
+spanning all its tokens; empty (or null) documents contribute none. In
+DuckDB terms every document's gram list is
+``[list_slice(tokens, i, i + k - 1) for i in 1 .. max(len - k + 1, 1)]``.
+
+Scale shape: every op here is a zero-shuffle ``map_batches`` scan; the
+only driver-side state is the (small by contract) eval-suite gram set,
+broadcast once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data import Dataset
+
+from .curation import _gram_run_stats
+from .partition import broadcast_get, cached_kernel
+
+_FNV = np.uint64(1099511628211)
+_BIAS = np.int64(1) << np.int64(31)
+
+
+def _biased_flat(col: pa.Array):
+    """Flatten a ``list<int32>`` column → (uint64 ids in [0, 2^32),
+    per-row lengths int64). Null lists count as empty."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.list_value_length(col)
+    lengths = pc.fill_null(lengths, 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    u = (flat + _BIAS).astype(np.uint64)
+    return u, lengths
+
+
+def token_shingles_of_batch(batch: pa.Table, tokens_col: str, k: int,
+                            unique: bool = True):
+    """Vectorized token-id shingling for a whole batch: one flat pass
+    over the concatenated token buffer (cross-doc windows masked), the
+    word shingler's shape — returns ``(grams uint64, doc_offsets)``
+    sorted ``(doc, gram)``; ``unique=False`` keeps duplicates for the
+    repetition-statistics path."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u, row_len = _biased_flat(batch[tokens_col])
+    n_docs = len(row_len)
+    doc_of = np.repeat(np.arange(n_docs), row_len)
+    N = len(u)
+    valid_n = max(N - k + 1, 0)
+    with np.errstate(over="ignore"):
+        if valid_n:
+            if k == 1:
+                sh = u.copy()
+            elif k == 2:
+                sh = (u[:valid_n] << np.uint64(32)) | u[1:valid_n + 1]
+            else:
+                sh = u[:valid_n].copy()
+                for j in range(1, k):
+                    sh = sh * _FNV + u[j:valid_n + j]
+            in_doc = doc_of[:valid_n] == doc_of[k - 1:] if k > 1 else \
+                np.ones(valid_n, dtype=bool)
+        else:
+            sh = np.zeros(0, dtype=np.uint64)
+            in_doc = np.zeros(0, dtype=bool)
+        sh_doc = doc_of[:valid_n][in_doc]
+        sh = sh[in_doc]
+        # short docs (0 < len < k): one gram over all their tokens,
+        # packed with the same k-dependent scheme restricted to len
+        short = np.flatnonzero((row_len < k) & (row_len > 0))
+        if len(short):
+            starts = np.zeros(n_docs + 1, dtype=np.int64)
+            np.cumsum(row_len, out=starts[1:])
+            extra = np.empty(len(short), dtype=np.uint64)
+            for i, d in enumerate(short):
+                seg = u[starts[d]:starts[d + 1]]
+                h = seg[0]
+                for x in seg[1:]:
+                    h = h * _FNV + x
+                extra[i] = h
+            sh = np.concatenate([sh, extra])
+            sh_doc = np.concatenate([sh_doc, short.astype(np.int64)])
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    if unique and len(sh):
+        keep = np.r_[True, (sh[1:] != sh[:-1]) |
+                     (sh_doc[1:] != sh_doc[:-1])]
+        sh, sh_doc = sh[keep], sh_doc[keep]
+    counts = np.bincount(sh_doc, minlength=n_docs)
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return sh, offsets
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition over token ids
+# ---------------------------------------------------------------------------
+
+def token_repetition_stats(ds: Dataset, tokens_col: str = "tokens",
+                           id_cols: Sequence[str] = ("doc_id",),
+                           k: int = 2) -> Dataset:
+    """Per-document token ``k``-gram occurrence counts — ``n_grams``
+    (with repeats), ``n_distinct``, ``max_count`` — the integer
+    numerators/denominators of the Gopher repetition filters computed
+    on the pre-tokenized payload. Integers only (oracle-exact); zero
+    shuffles; empty documents yield no row."""
+    def stats(batch: pa.Table) -> pa.Table:
+        sh, offsets = token_shingles_of_batch(batch, tokens_col, k,
+                                              unique=False)
+        n_grams = offsets[1:] - offsets[:-1]
+        n_distinct, max_count = _gram_run_stats(sh, n_grams)
+        keep = n_grams > 0
+        cols = {c: batch[c].filter(pa.array(keep)) for c in id_cols}
+        cols["n_grams"] = pa.array(n_grams[keep], type=pa.int64())
+        cols["n_distinct"] = pa.array(n_distinct[keep], type=pa.int64())
+        cols["max_count"] = pa.array(max_count[keep], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+def token_repetition_filter(ds: Dataset, tokens_col: str = "tokens",
+                            k: int = 2, max_dup_pct: int = 30,
+                            max_top_pct: int = 20) -> Dataset:
+    """Gate documents on the :func:`token_repetition_stats` signals in
+    exact integer arithmetic inline with the stream (no join): keep docs
+    where duplicated-gram fraction ≤ ``max_dup_pct``% AND the top gram's
+    share ≤ ``max_top_pct``%."""
+    def gate(batch: pa.Table) -> pa.Table:
+        sh, offsets = token_shingles_of_batch(batch, tokens_col, k,
+                                              unique=False)
+        n_grams = offsets[1:] - offsets[:-1]
+        n_distinct, max_count = _gram_run_stats(sh, n_grams)
+        ok = ((n_grams - n_distinct) * 100 <= max_dup_pct * n_grams) & \
+             (max_count * 100 <= max_top_pct * n_grams) & (n_grams > 0)
+        return batch.filter(pa.array(ok))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination over token ids
+# ---------------------------------------------------------------------------
+
+def token_eval_gram_hashes(eval_ds: Dataset, tokens_col: str = "tokens",
+                           k: int = 3) -> np.ndarray:
+    """Sorted uint64 grams of every distinct token ``k``-gram in the
+    eval set. Driver-side BY DESIGN (benchmark suites are small; the
+    corpus never lands on the driver)."""
+    def grams(batch: pa.Table) -> pa.Table:
+        sh, _ = token_shingles_of_batch(batch, tokens_col, k)
+        return pa.table({"g": pa.array(np.unique(sh), type=pa.uint64())})
+
+    rows = eval_ds.map_batches(grams, batch_format="pyarrow").take_all()
+    if not rows:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(np.array([r["g"] for r in rows], dtype=np.uint64))
+
+
+class _TokenDecontamScorer:
+    """Per-worker kernel: broadcast eval-gram membership via one
+    ``searchsorted`` per batch (zero-copy per-process fetch through
+    ``broadcast_get``)."""
+
+    def __init__(self, grams_ref, tokens_col: str, k: int):
+        self.grams_ref = grams_ref
+        self.tokens_col = tokens_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams = broadcast_get(self.grams_ref)
+        sh, offsets = token_shingles_of_batch(batch, self.tokens_col,
+                                              self.k)
+        n_overlap = np.zeros(len(batch), dtype=np.int64)
+        if len(sh) and len(grams):
+            idx = np.searchsorted(grams, sh)
+            idx[idx == len(grams)] = 0
+            hit = grams[idx] == sh
+            seg_len = offsets[1:] - offsets[:-1]
+            doc_of = np.repeat(np.arange(len(batch)), seg_len)
+            n_overlap += np.bincount(doc_of[hit], minlength=len(batch)
+                                     ).astype(np.int64)
+        batch = batch.append_column(
+            "n_overlap", pa.array(n_overlap, type=pa.int64()))
+        return batch.append_column(
+            "keep", pa.array(n_overlap == 0, type=pa.bool_()))
+
+
+def token_decontaminate(ds: Dataset, eval_ds: Dataset,
+                        tokens_col: str = "tokens", k: int = 3,
+                        drop: bool = False) -> Dataset:
+    """Flag (or drop) corpus documents sharing any token ``k``-gram with
+    ``eval_ds`` — benchmark decontamination run natively on the
+    pre-tokenized payload. Appends ``n_overlap`` (count of the document's
+    DISTINCT grams found in the eval set) and ``keep``. Eval grams =
+    one ``ray.put`` broadcast; corpus = streamed zero-shuffle scan."""
+    grams = token_eval_gram_hashes(eval_ds, tokens_col, k)
+    ref = ray.put(grams)
+
+    def score(batch: pa.Table) -> pa.Table:
+        kern = cached_kernel(_TokenDecontamScorer, ref, tokens_col, k)
+        return kern(batch)
+
+    out = ds.map_batches(score, batch_format="pyarrow")
+    if drop:
+        out = out.filter(expr="n_overlap == 0")
+    return out

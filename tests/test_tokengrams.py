@@ -1,0 +1,127 @@
+"""Token-native n-gram ops (stages/tokengrams.py) vs exact tuple-based
+naives — repetition stats, repetition filter, decontamination; short-doc
+and empty-doc conventions; k=2 collision-free packing."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from feature_extraction_ray.stages.tokengrams import (
+    token_decontaminate, token_repetition_filter, token_repetition_stats,
+    token_shingles_of_batch)
+
+
+def _naive_grams(toks, k):
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [tuple(toks)]
+    return [tuple(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+
+
+def _corpus():
+    docs = {
+        "a": [5, 7] * 40,            # heavy 2-gram repetition
+        "b": [3] * 25,               # constant run
+        "c": [9],                    # short (len 1)
+        "d": [11, 12],               # len 2
+        "e": [],                     # empty -> no row
+        "f": [1, 2, 3, 4, 5, 1, 2, 3, 9, 1, 2],
+        "g": list(range(100, 160)),  # all-distinct grams
+    }
+    return docs, pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    })
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5])
+def test_repetition_stats_matches_naive(ray_session, k):
+    docs, tbl = _corpus()
+    out = token_repetition_stats(rd.from_arrow(tbl), "tokens",
+                                 ("doc_id",), k=k).to_pandas()
+    got = {r.doc_id: (r.n_grams, r.n_distinct, r.max_count)
+           for r in out.itertuples()}
+    exp = {}
+    for d, toks in docs.items():
+        grams = _naive_grams(toks, k)
+        if not grams:
+            continue
+        counts = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        exp[d] = (len(grams), len(counts), max(counts.values()))
+    assert got == exp
+
+
+def test_repetition_filter_gates_planted_docs(ray_session):
+    _, tbl = _corpus()
+    kept = token_repetition_filter(
+        rd.from_arrow(tbl), "tokens", k=2, max_dup_pct=30,
+        max_top_pct=30).to_pandas()["doc_id"].tolist()
+    # a: dup frac 77/79, top 40/79 -> out. b: dup 23/24 -> out.
+    # c, d: single gram => dup 0 but top 100% -> out. e: no grams -> out.
+    # f: 10 grams, 7 distinct (dup 30%), top (1,2)x3 = 30% -> kept
+    #    (both gates exactly at the boundary — <= semantics pinned).
+    # g: all distinct, top 1/59 -> kept.
+    assert sorted(kept) == ["f", "g"]
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_decontaminate_matches_naive(ray_session, k):
+    docs, tbl = _corpus()
+    ev = {
+        "e0": [5, 7, 5],              # overlaps a (k=3) / a (k=2)
+        "e1": [1, 2, 3],              # overlaps f
+        "e2": [40001, 40002, 40003],  # out of corpus
+        "e3": [9],                    # short eval: matches short doc c
+    }
+    ev_tbl = pa.table({
+        "eval_id": pa.array(list(ev), type=pa.string()),
+        "tokens": pa.array(list(ev.values()), type=pa.list_(pa.int32())),
+    })
+    out = token_decontaminate(rd.from_arrow(tbl), rd.from_arrow(ev_tbl),
+                              "tokens", k=k).to_pandas()
+    eval_grams = set()
+    for toks in ev.values():
+        eval_grams |= set(_naive_grams(toks, k))
+    got = {r.doc_id: (r.n_overlap, r.keep) for r in out.itertuples()}
+    exp = {d: (len(set(_naive_grams(t, k)) & eval_grams),
+               len(set(_naive_grams(t, k)) & eval_grams) == 0)
+           for d, t in docs.items()}
+    assert got == exp
+    # the planted hits actually hit
+    assert got["a"][0] >= 1 and got["f"][0] >= 1 and got["c"][0] == 1
+    assert got["g"] == (0, True)
+
+
+def test_k2_packing_is_order_sensitive_and_collision_free():
+    tbl = pa.table({
+        "doc_id": pa.array(["x", "y", "z"], type=pa.string()),
+        "tokens": pa.array([[1, 2], [2, 1], [1, 2]],
+                           type=pa.list_(pa.int32())),
+    })
+    sh, offsets = token_shingles_of_batch(tbl, "tokens", 2)
+    assert list(offsets) == [0, 1, 2, 3]
+    assert sh[0] != sh[1]      # (1,2) != (2,1)
+    assert sh[0] == sh[2]      # identical grams pack identically
+    # negative ids bias correctly (full int32 domain)
+    tbl2 = pa.table({
+        "doc_id": pa.array(["n"], type=pa.string()),
+        "tokens": pa.array([[-5, -5, 3]], type=pa.list_(pa.int32())),
+    })
+    sh2, off2 = token_shingles_of_batch(tbl2, "tokens", 2, unique=False)
+    assert len(sh2) == 2 and sh2[0] != sh2[1]
+
+
+def test_null_token_list_counts_as_empty(ray_session):
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b"], type=pa.string()),
+        "tokens": pa.array([[1, 2, 3], None], type=pa.list_(pa.int32())),
+    })
+    out = token_repetition_stats(rd.from_arrow(tbl), "tokens",
+                                 ("doc_id",), k=2).to_pandas()
+    assert out["doc_id"].tolist() == ["a"]
+    assert out["n_grams"].tolist() == [2]
