@@ -6781,6 +6781,51 @@ def token_decontaminate_docs(sf_dir: str) -> Dataset:
     return out.drop_columns(["tokens"])
 
 
+def _span_corpus() -> pa.Table:
+    """Planted corpus for the span-removal oracle: shared spans A/B
+    across docs, a within-doc-only repeater (must be untouched), a doc
+    that IS a shared span (must come back empty), a sub-k short doc."""
+    A = [500, 501, 502, 503]
+    B = [501, 502, 503, 504]
+    docs = {
+        "d1": list(range(1, 21)) + A + list(range(30, 41)),
+        "d2": list(range(60, 71)) + A + list(range(80, 86)),
+        "d3": [7, 8, 9, 7, 8, 9, 7, 8, 9],
+        "d4": A,
+        "d5": [900, 901],
+        "d6": list(range(200, 210)) + B + list(range(220, 228)),
+        "d7": B + list(range(300, 310)),
+    }
+    return pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    })
+
+
+def token_dedup_spans_docs(sf_dir: str) -> Dataset:
+    """Cross-document duplicated-span REMOVAL on token ids
+    (stages/tokengrams.remove_duplicate_token_spans, k=3, min_docs=2) —
+    the action step of substring-level dedup: covered positions cut,
+    survivors re-packed, fully-duplicated docs emptied, within-doc-only
+    repetition untouched. Token arrays compared bit-exactly as joined
+    strings."""
+    from ..stages.tokengrams import remove_duplicate_token_spans
+    out = remove_duplicate_token_spans(
+        rd.from_arrow(_span_corpus()), "tokens", "doc_id",
+        k=3, min_docs=2, num_buckets=4)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok_str": _join_int_list(t["tokens"]),
+            "n_tok_clean": t["n_tok_clean"],
+            "n_removed": t["n_removed"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -6866,7 +6911,40 @@ SELECT t.doc_id, coalesce(h.n, 0)::BIGINT AS n_overlap,
        coalesce(h.n, 0) = 0 AS keep
 FROM tok t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """
+    span = _span_corpus()
+    span_cte = ",\n ".join(
+        f"('{d}',{_sql_int_list(t)})"
+        for d, t in zip(span["doc_id"].to_pylist(),
+                        span["tokens"].to_pylist()))
+    span_sql = f"""
+WITH tok(doc_id, tokens) AS (VALUES
+ {span_cte}),
+pos AS (SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS i
+        FROM tok WHERE len(tokens) >= 3),
+g AS (SELECT doc_id, i,
+             array_to_string(list_slice(tokens, i, i + 2), ',') AS gram
+      FROM pos),
+dup AS (SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+cover AS (SELECT DISTINCT g.doc_id, g.i + o.off AS p
+          FROM g JOIN dup USING (gram)
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS off) o),
+tp AS (SELECT doc_id, unnest(tokens) AS tv,
+              unnest(range(1, len(tokens) + 1)) AS p FROM tok),
+clean AS (SELECT t.doc_id,
+       string_agg(t.tv::VARCHAR, ',' ORDER BY t.p)
+           FILTER (WHERE c.p IS NULL) AS tok_str,
+       count(*) FILTER (WHERE c.p IS NOT NULL)::BIGINT AS n_removed,
+       count(*) FILTER (WHERE c.p IS NULL)::BIGINT AS n_tok_clean
+   FROM tp t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.p
+   GROUP BY t.doc_id)
+SELECT k.doc_id, coalesce(c.tok_str, '') AS tok_str,
+       coalesce(c.n_tok_clean, 0)::BIGINT AS n_tok_clean,
+       coalesce(c.n_removed, 0)::BIGINT AS n_removed
+FROM tok k LEFT JOIN clean c USING (doc_id)
+"""
     return {"token_lag_arrays": lag_sql,
+            "token_dedup_spans_docs": span_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7120,6 +7198,7 @@ QUERIES = {
     "token_session_concat": token_session_concat,
     "token_repetition_docs": token_repetition_docs,
     "token_decontaminate_docs": token_decontaminate_docs,
+    "token_dedup_spans_docs": token_dedup_spans_docs,
 }
 
 ORACLE_SQL = {
@@ -7286,6 +7365,7 @@ ORACLE_SQL = {
     "token_repetition_docs": _TOKEN_ORACLE_SQLS["token_repetition_docs"],
     "token_decontaminate_docs":
         _TOKEN_ORACLE_SQLS["token_decontaminate_docs"],
+    "token_dedup_spans_docs": _TOKEN_ORACLE_SQLS["token_dedup_spans_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -215,6 +215,170 @@ class _TokenDecontamScorer:
             "keep", pa.array(n_overlap == 0, type=pa.bool_()))
 
 
+def _token_gram_positions(batch: pa.Table, tokens_col: str, k: int):
+    """Every FULL-WINDOW token ``k``-gram with its 0-based position:
+    ``(gram uint64, doc_index int64, pos int64)``. No short-doc
+    fallback — a doc with < k tokens has no removable span (the
+    span-removal convention; mirrors ``curation._gram_positions``)."""
+    u, row_len = _biased_flat(batch[tokens_col])
+    n_docs = len(row_len)
+    doc_of = np.repeat(np.arange(n_docs), row_len)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(row_len, out=starts[1:])
+    valid_n = max(len(u) - k + 1, 0)
+    if not valid_n:
+        z = np.zeros(0, dtype=np.int64)
+        return np.zeros(0, dtype=np.uint64), z, z
+    with np.errstate(over="ignore"):
+        if k == 1:
+            sh = u.copy()
+        elif k == 2:
+            sh = (u[:valid_n] << np.uint64(32)) | u[1:valid_n + 1]
+        else:
+            sh = u[:valid_n].copy()
+            for j in range(1, k):
+                sh = sh * _FNV + u[j:valid_n + j]
+    in_doc = doc_of[:valid_n] == doc_of[k - 1:] if k > 1 else \
+        np.ones(valid_n, dtype=bool)
+    doc = doc_of[:valid_n][in_doc]
+    pos = np.arange(valid_n, dtype=np.int64)[in_doc] - starts[doc]
+    return sh[in_doc], doc, pos
+
+
+def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
+                                 id_col: str = "doc_id", k: int = 8,
+                                 min_docs: int = 2,
+                                 keep_canonical: bool = False,
+                                 num_buckets: int = 32) -> Dataset:
+    """Cut cross-document duplicated spans OUT of the token streams —
+    the removal action of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), at token-``k``-gram granularity:
+    a gram occurring in ≥ ``min_docs`` DISTINCT documents marks every
+    token position any of its occurrences covers; covered positions are
+    deleted and the survivors re-packed in order. Emits one row per
+    input document: ``id_col``, cleaned ``tokens_col``, ``n_tok_clean``,
+    ``n_removed`` (a fully-duplicated document comes back with an empty
+    token list, not dropped — the caller decides). Within-doc-only
+    repetition is untouched (``min_docs`` counts DISTINCT docs).
+
+    ``keep_canonical=True`` spares each dup gram's lexicographically
+    first ``(doc_id, pos)`` occurrence (Lee et al. keep one copy); note
+    a spared occurrence's positions may still fall to OTHER overlapping
+    dup grams — inherent to gram granularity.
+
+    Scale shape: TWO bucketed exchanges and zero driver state — grams
+    bucket by hash (each gram decided wholly inside one task), surviving
+    ``(doc, pos)`` rows + the corpus itself union-bucket by document for
+    a vectorized interval-paint rebuild (delta array + cumsum over the
+    flat token buffer; no Python loop over rows or spans)."""
+    from .window import bucketed_apply
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sh, doc, pos = _token_gram_positions(batch, tokens_col, k)
+        ids = batch[id_col].take(pa.array(doc))
+        return pa.table({"gram": pa.array(sh, type=pa.uint64()),
+                         id_col: ids,
+                         "pos": pa.array(pos, type=pa.int64())})
+
+    grams = ds.select_columns([id_col, tokens_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def dup_occurrences(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.drop_columns(["gram"])
+        g = tbl["gram"].to_numpy(zero_copy_only=False)
+        d_raw = tbl[id_col].to_numpy(zero_copy_only=False)
+        p = tbl["pos"].to_numpy(zero_copy_only=False)
+        # codes sorted by doc id so lexicographic (doc, pos) order is
+        # meaningful for the canonical-copy rule
+        uniq, d = np.unique(d_raw, return_inverse=True)
+        order = np.lexsort((p, d, g))
+        gs, ds_, = g[order], d[order]
+        pair_start = np.r_[True, (gs[1:] != gs[:-1]) |
+                           (ds_[1:] != ds_[:-1])]
+        gram_start = np.r_[True, gs[1:] != gs[:-1]]
+        gram_id = np.cumsum(gram_start) - 1
+        ndocs = np.bincount(gram_id[pair_start])
+        keep = ndocs[gram_id] >= min_docs
+        if keep_canonical:
+            keep &= ~gram_start  # first (doc,pos) of each dup gram spared
+        out = np.zeros(len(tbl), dtype=bool)
+        out[order] = keep
+        return tbl.filter(pa.array(out)).drop_columns(["gram"])
+
+    occ = bucketed_apply(grams, "gram", dup_occurrences,
+                         num_buckets=num_buckets)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            tokens_col: batch[tokens_col],
+            "pos": pa.nulls(len(batch), pa.int64()),
+        })
+
+    def tag_occ(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch[id_col],
+            tokens_col: pa.nulls(len(batch), pa.list_(pa.int32())),
+            "pos": batch["pos"],
+        })
+
+    tagged = ds.select_columns([id_col, tokens_col]).map_batches(
+        tag_docs, batch_format="pyarrow").union(
+        occ.map_batches(tag_occ, batch_format="pyarrow"))
+
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        is_doc = pc.is_null(tbl["pos"])
+        docs = tbl.filter(is_doc)
+        occr = tbl.filter(pc.invert(is_doc))
+        n = len(docs)
+        if n == 0:
+            return pa.table({
+                id_col: docs[id_col],
+                tokens_col: pa.array([], type=pa.list_(pa.int32())),
+                "n_tok_clean": pa.array([], type=pa.int64()),
+                "n_removed": pa.array([], type=pa.int64())})
+        ids = docs[id_col].to_numpy(zero_copy_only=False)
+        sort = np.argsort(ids, kind="stable")
+        docs = docs.take(pa.array(sort))
+        ids = ids[sort]
+        u, row_len = _biased_flat(docs[tokens_col])
+        tok_col = docs[tokens_col]
+        if isinstance(tok_col, pa.ChunkedArray):
+            tok_col = tok_col.combine_chunks()
+        flat = tok_col.flatten().combine_chunks() if isinstance(
+            tok_col.flatten(), pa.ChunkedArray) else tok_col.flatten()
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(row_len, out=starts[1:])
+        total = int(starts[-1])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        if len(occr):
+            o_ids = occr[id_col].to_numpy(zero_copy_only=False)
+            o_pos = occr["pos"].to_numpy(zero_copy_only=False)
+            didx = np.searchsorted(ids, o_ids)
+            s_idx = starts[didx] + o_pos
+            e_idx = starts[didx] + np.minimum(o_pos + k, row_len[didx])
+            np.add.at(delta, s_idx, 1)
+            np.add.at(delta, e_idx, -1)
+        covered = np.cumsum(delta[:-1]) > 0
+        keep = ~covered
+        doc_of = np.repeat(np.arange(n), row_len)
+        new_len = np.bincount(doc_of[keep], minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(new_len, out=offsets[1:])
+        clean = pa.ListArray.from_arrays(
+            pa.array(offsets.astype(np.int32), type=pa.int32()),
+            flat.filter(pa.array(keep)))
+        return pa.table({
+            id_col: docs[id_col],
+            tokens_col: clean,
+            "n_tok_clean": pa.array(new_len),
+            "n_removed": pa.array(row_len - new_len, type=pa.int64())})
+
+    return bucketed_apply(tagged, id_col, rebuild,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
 def token_decontaminate(ds: Dataset, eval_ds: Dataset,
                         tokens_col: str = "tokens", k: int = 3,
                         drop: bool = False) -> Dataset:

@@ -116,6 +116,70 @@ def test_k2_packing_is_order_sensitive_and_collision_free():
     assert len(sh2) == 2 and sh2[0] != sh2[1]
 
 
+def _naive_remove_spans(docs, k, min_docs, keep_canonical=False):
+    """Exact tuple-based reference for remove_duplicate_token_spans."""
+    occ = {}  # gram -> list[(doc_id, pos)]
+    for d, toks in docs.items():
+        for i in range(max(len(toks) - k + 1, 0)):
+            occ.setdefault(tuple(toks[i:i + k]), []).append((d, i))
+    cover = {d: set() for d in docs}
+    for g, lst in occ.items():
+        if len({d for d, _ in lst}) < min_docs:
+            continue
+        lst = sorted(lst)
+        spare = lst[0] if keep_canonical else None
+        for d, i in lst:
+            if (d, i) == spare:
+                continue
+            cover[d].update(range(i, i + k))
+    out = {}
+    for d, toks in docs.items():
+        kept = [t for i, t in enumerate(toks) if i not in cover[d]]
+        out[d] = (kept, len(kept), len(toks) - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("min_docs,keep_canonical",
+                         [(2, False), (2, True), (3, False)])
+def test_remove_duplicate_token_spans_matches_naive(
+        ray_session, min_docs, keep_canonical):
+    from feature_extraction_ray.stages.tokengrams import (
+        remove_duplicate_token_spans)
+    A = [500, 501, 502, 503]
+    docs = {
+        "d1": list(range(101, 115)) + A + list(range(30, 38)),
+        "d2": list(range(60, 66)) + A,
+        "d3": [7, 8, 9, 7, 8, 9, 7, 8, 9],   # within-doc only
+        "d4": A,                              # fully duplicated
+        "d5": [900, 901],                     # sub-k
+        "d6": A + [777] + A,                  # two occurrences, one doc
+        "d7": [],
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    })
+    out = remove_duplicate_token_spans(
+        rd.from_arrow(tbl), "tokens", "doc_id", k=3,
+        min_docs=min_docs, keep_canonical=keep_canonical,
+        num_buckets=4).to_pandas()
+    got = {r.doc_id: (list(r.tokens), r.n_tok_clean, r.n_removed)
+           for r in out.itertuples()}
+    exp = _naive_remove_spans(docs, 3, min_docs, keep_canonical)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == exp[d], (d, got[d], exp[d])
+    if min_docs == 2 and not keep_canonical:
+        assert got["d4"][0] == []          # emptied, not dropped
+        assert got["d3"] == (docs["d3"], 9, 0)  # within-doc untouched
+    if keep_canonical and min_docs == 2:
+        # every dup gram's lexicographically-first occurrence is in d1
+        # ("d1" sorts first and holds A), so d1 loses nothing
+        assert got["d1"][2] == 0
+        assert got["d4"][1] == 0  # later copies still emptied
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
