@@ -187,6 +187,21 @@ def run_bench() -> dict:
                 shutil.rmtree(d, ignore_errors=True)
         per_query[f"textindex_build_query_x{amp}"] = _best_of(_tidx_run)
 
+        # round-4 token-native span removal, worst-case stress: the
+        # amplified corpus duplicates EVERY document, so every 8-gram is
+        # cross-doc-duplicated and every (doc, pos) row rides both
+        # exchanges (~5.4M gram rows + 5.4M occurrence rows at x20) and
+        # all 100k docs come back emptied — measures pure exchange +
+        # interval-paint throughput under total duplication
+        from feature_extraction_ray.fixtures import tokens_from_documents
+        from feature_extraction_ray.stages.tokengrams import (
+            remove_duplicate_token_spans)
+        per_query[f"token_span_dedup_x{amp}"] = _best_of(
+            lambda: remove_duplicate_token_spans(
+                tokens_from_documents(SF_DIR, repeat=amp),
+                "tokens", "doc_id", k=8, min_docs=2,
+                num_buckets=64).count())
+
         # round-4 storage-aware join: build two zone-mapped layouts and
         # run the shuffle-free SMB merge join (the layout IS the
         # shuffle; contrast with hash_join_line_orders above)
