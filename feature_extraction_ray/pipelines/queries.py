@@ -6826,6 +6826,19 @@ def token_dedup_spans_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_surprisal_docs(sf_dir: str) -> Dataset:
+    """Perplexity-style quality scoring natively on token ids
+    (stages/tokengrams.token_surprisal_scores): distributed token-count
+    fit → broadcast sorted-id lookup → vectorized per-doc log-prob sums
+    over the F1 fixture, rounded 4dp (irrational ln values →
+    boundary-safe)."""
+    from ..stages.tokengrams import token_surprisal_scores
+    tok, _ = _token_fixture()
+    out = token_surprisal_scores(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])))
+    return _round(out, {"sum_logprob": 4})
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -6943,8 +6956,21 @@ SELECT k.doc_id, coalesce(c.tok_str, '') AS tok_str,
        coalesce(c.n_removed, 0)::BIGINT AS n_removed
 FROM tok k LEFT JOIN clean c USING (doc_id)
 """
+    surprisal_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+w AS (SELECT doc_id, unnest(tokens) AS token FROM tok
+      WHERE len(tokens) > 0),
+c AS (SELECT token, count(*) AS cnt FROM w GROUP BY token),
+t AS (SELECT count(*) AS total FROM w)
+SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(sum(ln(CAST(c.cnt AS DOUBLE) / t.total)), 4) AS sum_logprob
+FROM w JOIN c USING (token) CROSS JOIN t
+GROUP BY w.doc_id
+"""
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
+            "token_surprisal_docs": surprisal_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7199,6 +7225,7 @@ QUERIES = {
     "token_repetition_docs": token_repetition_docs,
     "token_decontaminate_docs": token_decontaminate_docs,
     "token_dedup_spans_docs": token_dedup_spans_docs,
+    "token_surprisal_docs": token_surprisal_docs,
 }
 
 ORACLE_SQL = {
@@ -7366,6 +7393,7 @@ ORACLE_SQL = {
     "token_decontaminate_docs":
         _TOKEN_ORACLE_SQLS["token_decontaminate_docs"],
     "token_dedup_spans_docs": _TOKEN_ORACLE_SQLS["token_dedup_spans_docs"],
+    "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

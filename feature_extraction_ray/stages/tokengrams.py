@@ -168,6 +168,109 @@ def token_repetition_filter(ds: Dataset, tokens_col: str = "tokens",
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM surprisal over token ids (perplexity-style quality scoring)
+# ---------------------------------------------------------------------------
+
+def fit_token_unigram_lm(ds: Dataset, tokens_col: str = "tokens",
+                         top_k: int | None = None) -> dict:
+    """Distributed unigram LM over token ids: per-batch partial counts
+    (unique + bincount over the flat id buffer) → one small
+    ``groupby(token).sum()`` exchange → driver-side sorted lookup
+    (int32 tokens + float64 logprobs — a real tokenizer vocab is ≤ a
+    few hundred k ids, trivially driver-sized; ``top_k`` caps it anyway,
+    most-frequent first with smaller-id tie-break, capped-out ids score
+    as OOV at floor 1/total)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], type=pa.int32()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(flat, return_counts=True)
+        return pa.table({"token": pa.array(u, type=pa.int32()),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    total = int(counts["cnt"].sum())
+    tok = counts["token"].to_numpy(dtype=np.int64)
+    cnt = counts["cnt"].to_numpy(dtype=np.int64)
+    if top_k is not None and len(tok) > top_k:
+        sel = np.lexsort((tok, -cnt))[:top_k]
+        tok, cnt = tok[sel], cnt[sel]
+    order = np.argsort(tok)
+    tok, cnt = tok[order], cnt[order]
+    lp = np.log(cnt.astype(np.float64) / max(total, 1))
+    return {"tokens": tok.astype(np.int32), "logprob": lp, "total": total}
+
+
+class _TokenSurprisalScorer:
+    """Per-worker kernel: broadcast (sorted token ids, logprobs); per
+    batch one searchsorted lookup over the flat buffer + per-doc
+    segmented sums. OOV ids (top_k-capped fits) score at ln(1/total)."""
+
+    def __init__(self, lm_ref, tokens_col: str):
+        lm = broadcast_get(lm_ref)
+        self.tok = lm["tokens"].astype(np.int64)
+        self.lp = lm["logprob"]
+        self.floor = -np.log(max(lm["total"], 1))
+        self.tokens_col = tokens_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(flat):
+            if len(self.tok):
+                idx = np.searchsorted(self.tok, flat)
+                idx[idx == len(self.tok)] = 0
+                vals = np.where(self.tok[idx] == flat, self.lp[idx],
+                                self.floor)
+            else:
+                vals = np.full(len(flat), self.floor)
+            from .text import _segment_sum
+            offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+            np.cumsum(lengths, out=offs[1:])
+            sums = _segment_sum(vals, offs)
+        else:
+            sums = np.zeros(len(batch), dtype=np.float64)
+        keep = lengths > 0
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tok": pa.array(lengths, type=pa.int64()),
+            "sum_logprob": pa.array(sums),
+        }).filter(pa.array(keep))
+
+
+def token_surprisal_scores(ds: Dataset, lm: dict | None = None,
+                           tokens_col: str = "tokens") -> Dataset:
+    """Fit (if no ``lm``) + score: per-doc ``(doc_id, n_tok,
+    sum_logprob)`` under the corpus token-unigram LM — the CCNet/Gopher
+    perplexity-filter shape run natively on the pre-tokenized payload.
+    Zero-token docs are dropped (no distribution). Per-doc sums are
+    segmented left-to-right reduceat adds; oracle comparisons round
+    (ln values are irrational → boundary-safe, the established
+    convention)."""
+    if lm is None:
+        lm = fit_token_unigram_lm(ds, tokens_col)
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_TokenSurprisalScorer, ref, tokens_col)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination over token ids
 # ---------------------------------------------------------------------------
 

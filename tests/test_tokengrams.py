@@ -180,6 +180,37 @@ def test_remove_duplicate_token_spans_matches_naive(
         assert got["d4"][1] == 0  # later copies still emptied
 
 
+def test_token_surprisal_matches_naive(ray_session):
+    import math
+    from feature_extraction_ray.stages.tokengrams import (
+        fit_token_unigram_lm, token_surprisal_scores)
+    docs = {"a": [1, 1, 2], "b": [2, 3], "c": [1], "d": []}
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    })
+    out = token_surprisal_scores(rd.from_arrow(tbl)).to_pandas()
+    # counts: 1->3, 2->2, 3->1 over total 6
+    cnt, total = {1: 3, 2: 2, 3: 1}, 6
+    exp = {d: (len(t), sum(math.log(cnt[x] / total) for x in t))
+           for d, t in docs.items() if t}
+    got = {r.doc_id: (r.n_tok, r.sum_logprob) for r in out.itertuples()}
+    assert set(got) == set(exp)          # zero-token doc dropped
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert abs(got[d][1] - exp[d][1]) < 1e-12
+
+    # top_k cap: only token 1 in-vocab; others score at floor ln(1/6)
+    lm = fit_token_unigram_lm(rd.from_arrow(tbl), top_k=1)
+    assert list(lm["tokens"]) == [1]
+    out2 = token_surprisal_scores(rd.from_arrow(tbl), lm=lm).to_pandas()
+    got2 = {r.doc_id: r.sum_logprob for r in out2.itertuples()}
+    floor = math.log(1 / 6)
+    assert abs(got2["b"] - 2 * floor) < 1e-12
+    assert abs(got2["a"] - (2 * math.log(3 / 6) + floor)) < 1e-12
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
