@@ -6826,6 +6826,40 @@ def token_dedup_spans_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def exact_dedup_incremental_docs(sf_dir: str) -> Dataset:
+    """Incremental exact dedup (dedup.exact_dedup_incremental): build
+    the distinct-content store over the even-doc_id half of the corpus,
+    then resolve the odd half against it without re-reading the prior
+    corpus — per new content: keeper id (prior keeper when known, else
+    the batch min), in-batch occurrence count, had_prior flag. ONE
+    bucketed exchange over store ∪ batch."""
+    from ..stages.dedup import exact_dedup_incremental, exact_dedup_store
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _half(parity: int):
+        return docs.map_batches(
+            lambda t, p=parity: t.filter(pc.equal(
+                pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())),
+                pa.scalar(p, pa.int64()))),
+            batch_format="pyarrow")
+
+    store = exact_dedup_store(_half(0), num_buckets=16).materialize()
+    assign, _ = exact_dedup_incremental(_half(1), store, num_buckets=16)
+    return assign.drop_columns(["__chash"])
+
+
+EXACT_DEDUP_INCREMENTAL_SQL = """
+WITH old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+new AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+prior AS (SELECT text, min(doc_id) AS keeper FROM old GROUP BY text),
+newc AS (SELECT text, min(doc_id) AS min_new,
+                count(*)::BIGINT AS n_new FROM new GROUP BY text)
+SELECT n.text, coalesce(p.keeper, n.min_new) AS doc_id, n.n_new,
+       p.keeper IS NOT NULL AS had_prior
+FROM newc n LEFT JOIN prior p USING (text)
+"""
+
+
 def token_surprisal_docs(sf_dir: str) -> Dataset:
     """Perplexity-style quality scoring natively on token ids
     (stages/tokengrams.token_surprisal_scores): distributed token-count
@@ -7028,7 +7062,10 @@ QUERIES = {
     # (token_lag_arrays / token_asof_attr / token_session_concat —
     # token-array equality via array_to_string both sides over the
     # embedded F1/F2 VALUES fixture; token_repetition_docs /
-    # token_decontaminate_docs — tokengrams.py curation twins).
+    # token_decontaminate_docs / token_dedup_spans_docs /
+    # token_surprisal_docs — tokengrams.py curation twins; and
+    # exact_dedup_incremental_docs — the persisted-store exact-dedup
+    # sibling of the minhash incremental path).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -7226,6 +7263,7 @@ QUERIES = {
     "token_decontaminate_docs": token_decontaminate_docs,
     "token_dedup_spans_docs": token_dedup_spans_docs,
     "token_surprisal_docs": token_surprisal_docs,
+    "exact_dedup_incremental_docs": exact_dedup_incremental_docs,
 }
 
 ORACLE_SQL = {
@@ -7394,6 +7432,7 @@ ORACLE_SQL = {
         _TOKEN_ORACLE_SQLS["token_decontaminate_docs"],
     "token_dedup_spans_docs": _TOKEN_ORACLE_SQLS["token_dedup_spans_docs"],
     "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
+    "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -1169,6 +1169,143 @@ def exact_dedup(ds: Dataset, content_col: str = "text",
                           num_buckets=num_buckets)
 
 
+EXACT_SCHEME = _scheme_id("exact-content-fnv1a", 1)
+
+
+def exact_dedup_store(ds: Dataset, content_col: str = "text",
+                      id_col: str = "doc_id",
+                      num_buckets: int | None = None) -> Dataset:
+    """Distinct-content store for :func:`exact_dedup_incremental`: one
+    row per distinct content with the keeper (min) id, the content hash,
+    and the ``sig_scheme`` stamp (same loud-mismatch contract as the
+    MinHash/SimHash stores). Persist to parquet after each ingest."""
+    from .partition import _stable_hash_strings
+    out = exact_dedup(ds, content_col, id_col, num_buckets)
+
+    def stamp(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _stable_hash_strings(col).astype(np.int64) if len(t) else \
+            np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "__chash": pa.array(hs),
+            content_col: t[content_col],
+            id_col: t[id_col],
+            "sig_scheme": pa.array(
+                np.full(len(t), EXACT_SCHEME, dtype=np.int64)),
+        })
+
+    return out.map_batches(stamp, batch_format="pyarrow")
+
+
+def exact_dedup_incremental(new_ds: Dataset, prior_store: Dataset,
+                            content_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int | None = None):
+    """Incremental exact dedup: resolve a NEW batch against the
+    persisted distinct-content store without re-reading prior corpora —
+    the exact-dedup sibling of :func:`minhash_lsh_dedup_incremental`.
+
+    Returns ``(assignment, store_all)``. ``assignment`` holds one row
+    per DISTINCT content appearing in the new batch: the keeper id
+    (the prior keeper when the content was already known, else the
+    batch's min id), ``n_new`` (occurrences inside the new batch) and
+    ``had_prior``; ``store_all`` is the updated store to persist for
+    the next ingest. Ingestion ids must be monotone (every new id >
+    every prior id — the same convention the MinHash incremental path
+    documents), so the result equals a full recompute over old ∪ new
+    (tested). Content equality is re-checked lexically inside the
+    bucket; collisions can't merge distinct contents. ONE bucketed
+    exchange over store ∪ batch."""
+    from .partition import _stable_hash_strings, derive_num_buckets
+    from .window import bucketed_apply
+    _check_sig_scheme(prior_store, EXACT_SCHEME, "exact_dedup_incremental")
+
+    def tag_new(batch: pa.Table) -> pa.Table:
+        col = batch[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hs = _stable_hash_strings(col).astype(np.int64) if len(batch) \
+            else np.zeros(0, dtype=np.int64)
+        return pa.table({
+            "__chash": pa.array(hs),
+            content_col: batch[content_col],
+            id_col: batch[id_col],
+            "__rk": pa.array(np.ones(len(batch), dtype=np.int8)),
+        })
+
+    def tag_prior(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "__chash": batch["__chash"],
+            content_col: batch[content_col],
+            id_col: batch[id_col],
+            "__rk": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    tagged = prior_store.map_batches(tag_prior, batch_format="pyarrow") \
+        .union(new_ds.map_batches(tag_new, batch_format="pyarrow"))
+    if num_buckets is None:
+        num_buckets = derive_num_buckets(tagged)
+
+    def resolve(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tbl = tbl.sort_by([("__chash", "ascending"),
+                           (content_col, "ascending"),
+                           ("__rk", "ascending"),
+                           (id_col, "ascending")])
+        n = len(tbl)
+        content = tbl[content_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        ch = tbl["__chash"].to_numpy(zero_copy_only=False)
+        rk = tbl["__rk"].to_numpy(zero_copy_only=False)
+        if n:
+            hash_neq = ch[1:] != ch[:-1]
+            a, b = content.slice(1), content.slice(0, n - 1)
+            content_neq = pc.coalesce(
+                pc.not_equal(a, b),
+                pc.xor(pc.is_null(a), pc.is_null(b))
+            ).to_numpy(zero_copy_only=False)
+            new = np.r_[True, hash_neq | content_neq]
+        else:
+            new = np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(new)
+        n_new = np.add.reduceat(rk.astype(np.int64), starts) \
+            if len(starts) else np.zeros(0, dtype=np.int64)
+        had_prior = rk[starts] == 0
+        touched = n_new > 0
+        idx = pa.array(starts[touched].astype(np.int64))
+        ids = tbl[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            "__chash": pa.array(ch[starts[touched]]),
+            content_col: content.take(idx),
+            id_col: ids.take(idx),
+            "n_new": pa.array(n_new[touched]),
+            "had_prior": pa.array(had_prior[touched]),
+        })
+
+    assignment = bucketed_apply(tagged, "__chash", resolve,
+                                num_buckets=num_buckets,
+                                drop_bucket=False).materialize()
+
+    def to_store(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__chash": t["__chash"],
+            content_col: t[content_col],
+            id_col: t[id_col],
+            "sig_scheme": pa.array(
+                np.full(len(t), EXACT_SCHEME, dtype=np.int64)),
+        })
+
+    fresh = assignment.filter(expr="had_prior == False") \
+        .map_batches(to_store, batch_format="pyarrow")
+    store_all = prior_store.union(fresh)
+    return assignment, store_all
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact word-k-gram Jaccard similarity between two documents."""
     sa = set(_shingle_hashes(text_a.split(), k).tolist())

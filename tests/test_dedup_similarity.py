@@ -784,3 +784,53 @@ def test_ivfpq_fitted_cluster_recall_and_probe_pruning(tmp_path):
         assert len(g) == 10
         hits.append(np.mean(g // 25 == src // 25))
     assert np.mean(hits) >= 0.9, hits
+
+
+def test_incremental_exact_dedup_equals_full_recompute(ray_session):
+    from feature_extraction_ray.stages.dedup import (
+        exact_dedup, exact_dedup_incremental, exact_dedup_store)
+    old = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["alpha", "beta", "alpha", "gamma", "delta", "beta"],
+    })
+    # new batch: known content (alpha), new content duplicated inside
+    # the batch (epsilon x2), fresh unique (zeta), another known (gamma)
+    new = pd.DataFrame({
+        "doc_id": np.arange(10, 15, dtype=np.int64),
+        "text": ["alpha", "epsilon", "zeta", "epsilon", "gamma"],
+    })
+    store = exact_dedup_store(rd.from_pandas(old), num_buckets=4) \
+        .materialize()
+    assign, store_all = exact_dedup_incremental(
+        rd.from_pandas(new), store, num_buckets=4)
+    a = assign.to_pandas().set_index("text")
+    assert a.loc["alpha", "doc_id"] == 0 and bool(a.loc["alpha", "had_prior"])
+    assert a.loc["gamma", "doc_id"] == 3 and bool(a.loc["gamma", "had_prior"])
+    assert a.loc["epsilon", "doc_id"] == 11 and a.loc["epsilon", "n_new"] == 2
+    assert a.loc["zeta", "doc_id"] == 12 and not bool(a.loc["zeta", "had_prior"])
+    assert sorted(a.index) == ["alpha", "epsilon", "gamma", "zeta"]
+    # updated store == full recompute over old ∪ new (same keepers)
+    both = pd.concat([old, new]).reset_index(drop=True)
+    full = exact_dedup(rd.from_pandas(both), num_buckets=4) \
+        .to_pandas().set_index("text")["doc_id"].sort_index()
+    got = store_all.to_pandas().set_index("text")["doc_id"].sort_index()
+    assert got.index.tolist() == full.index.tolist()
+    assert got.tolist() == full.tolist()
+
+
+def test_incremental_exact_dedup_rejects_bad_store(ray_session):
+    from feature_extraction_ray.stages.dedup import exact_dedup_incremental
+    new = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.array([1], dtype=np.int64), "text": ["x"]}))
+    unversioned = rd.from_pandas(pd.DataFrame({
+        "__chash": np.array([5], dtype=np.int64),
+        "text": ["y"], "doc_id": np.array([0], dtype=np.int64)})) \
+        .materialize()
+    with pytest.raises(ValueError, match="sig_scheme"):
+        exact_dedup_incremental(new, unversioned)
+    wrong = rd.from_pandas(pd.DataFrame({
+        "__chash": np.array([5], dtype=np.int64),
+        "text": ["y"], "doc_id": np.array([0], dtype=np.int64),
+        "sig_scheme": np.array([123], dtype=np.int64)})).materialize()
+    with pytest.raises(ValueError, match="scheme"):
+        exact_dedup_incremental(new, wrong)
