@@ -6826,6 +6826,48 @@ def token_dedup_spans_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_minhash_dedup_docs(sf_dir: str) -> Dataset:
+    """Near-dup clustering run natively on token ids
+    (tokengrams.token_minhash_lsh_dedup): documents tokenized to
+    int32 ids (keeping the int64 doc_id the clustering stage needs),
+    token-3-gram MinHash signatures, then the SAME banded-candidate /
+    verify / connected-components stack as the text path. Rows-only
+    driver check (approximate recall by design); planted-dup golden in
+    tests/test_tokengrams.py."""
+    from ..fixtures import _token_ids_arrow
+    from ..stages.tokengrams import token_minhash_lsh_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok(t: pa.Table) -> pa.Table:
+        # same empty-doc handling as fixtures.tokenize_documents_batch:
+        # after trimming, the only empty split token is the empty-text
+        # case — drop it from the flat stream and zero its length
+        trimmed = pc.utf8_trim_whitespace(t["text"])
+        words = pc.utf8_split_whitespace(trimmed)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat_all = words.flatten()
+        keep = pc.not_equal(flat_all, pa.scalar(""))
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        empty_doc = pc.equal(pc.utf8_length(trimmed),
+                             pa.scalar(0)).to_numpy(zero_copy_only=False)
+        lens = np.where(empty_doc, 0, lens)
+        ids = _token_ids_arrow(flat_all.filter(keep))
+        offs = np.zeros(len(lens) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offs[1:])
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(offs, type=pa.int32()),
+                pa.array(ids, type=pa.int32())),
+        })
+
+    toks = docs.map_batches(tok, batch_format="pyarrow")
+    return token_minhash_lsh_dedup(toks, threshold=0.7, shingle_k=3,
+                                   output="dataset")
+
+
 def exact_dedup_incremental_docs(sf_dir: str) -> Dataset:
     """Incremental exact dedup (dedup.exact_dedup_incremental): build
     the distinct-content store over the even-doc_id half of the corpus,
@@ -7264,6 +7306,7 @@ QUERIES = {
     "token_dedup_spans_docs": token_dedup_spans_docs,
     "token_surprisal_docs": token_surprisal_docs,
     "exact_dedup_incremental_docs": exact_dedup_incremental_docs,
+    "token_minhash_dedup_docs": token_minhash_dedup_docs,
 }
 
 ORACLE_SQL = {

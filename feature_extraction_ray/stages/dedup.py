@@ -268,16 +268,16 @@ class MinHasher:
         return _shingles_of_batch(batch, self.text_col, self.shingle_k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        n = len(batch)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         flat, offsets = self._batch_shingles(batch)
         sigs = self._signatures_batch(flat, offsets)
         r = self.rows_per_band
-        band_hash = np.empty((len(texts), self.bands), dtype=np.uint64)
+        band_hash = np.empty((n, self.bands), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for bi in range(self.bands):
                 chunk = sigs[:, bi * r:(bi + 1) * r]
-                h = np.full(len(texts), 14695981039346656037, dtype=np.uint64)
+                h = np.full(n, 14695981039346656037, dtype=np.uint64)
                 for j in range(r):
                     h = (h ^ chunk[:, j]) * np.uint64(1099511628211)
                 band_hash[:, bi] = h
@@ -290,7 +290,7 @@ class MinHasher:
             "minhash_sig": sig_list,
             "band_hashes": bh_list,
             "sig_scheme": pa.array(
-                np.full(len(texts), self.scheme, dtype=np.int64)),
+                np.full(n, self.scheme, dtype=np.int64)),
         })
 
 

@@ -44,6 +44,7 @@ import ray
 from ray.data import Dataset
 
 from .curation import _gram_run_stats
+from .dedup import MinHasher as _MinHasher
 from .partition import broadcast_get, cached_kernel
 
 _FNV = np.uint64(1099511628211)
@@ -165,6 +166,59 @@ def token_repetition_filter(ds: Dataset, tokens_col: str = "tokens",
         return batch.filter(pa.array(ok))
 
     return ds.map_batches(gate, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-native MinHash near-dup dedup
+# ---------------------------------------------------------------------------
+
+class TokenMinHasher(_MinHasher):
+    """MinHasher with the shingler swapped for token-id grams and its
+    own scheme family, so a token store can never silently mix with a
+    word-gram store (the ``sig_scheme`` loud-mismatch contract)."""
+
+    SCHEME_FAMILY = "minhash-muladd2^64-tokgram-band"
+
+    def _batch_shingles(self, batch: pa.Table):
+        return token_shingles_of_batch(batch, self.text_col,
+                                       self.shingle_k)
+
+
+def token_minhash_signatures(ds: Dataset, tokens_col: str = "tokens",
+                             id_col: str = "doc_id", num_perm: int = 128,
+                             bands: int = 16,
+                             shingle_k: int = 8) -> Dataset:
+    """MinHash signatures computed from token-id ``shingle_k``-grams —
+    the signature feed for the near-dup stack run natively on the
+    pre-tokenized payload (no text decode). Same schema as
+    ``dedup.minhash_signatures``."""
+    def sign(batch: pa.Table) -> pa.Table:
+        return cached_kernel(TokenMinHasher, tokens_col, id_col,
+                             num_perm, bands, shingle_k)(batch)
+
+    return ds.map_batches(sign, batch_format="pyarrow")
+
+
+def token_minhash_lsh_dedup(ds: Dataset, tokens_col: str = "tokens",
+                            id_col: str = "doc_id", num_perm: int = 128,
+                            bands: int = 16, shingle_k: int = 8,
+                            threshold: float = 0.8,
+                            num_buckets: int | None = None,
+                            output: str = "pandas",
+                            pairing: str = "all"):
+    """Full near-dup pipeline over token ids: token-gram signatures →
+    the SAME banded-candidate / signature-verification / connected-
+    components stack as the text path (``dedup.minhash_lsh_dedup`` with
+    ``sig_ds=`` — only the shingler differs). ``id_col`` must be
+    int64-castable (the clustering stage's contract, same as the text
+    path)."""
+    from .dedup import minhash_lsh_dedup
+    sig = token_minhash_signatures(ds, tokens_col, id_col, num_perm,
+                                   bands, shingle_k).materialize()
+    return minhash_lsh_dedup(ds, id_col=id_col, num_perm=num_perm,
+                             bands=bands, shingle_k=shingle_k,
+                             threshold=threshold, num_buckets=num_buckets,
+                             output=output, sig_ds=sig, pairing=pairing)
 
 
 # ---------------------------------------------------------------------------

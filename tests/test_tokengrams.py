@@ -211,6 +211,40 @@ def test_token_surprisal_matches_naive(ray_session):
     assert abs(got2["a"] - (2 * math.log(3 / 6) + floor)) < 1e-12
 
 
+def test_token_minhash_dedup_finds_planted_near_dups(ray_session):
+    from feature_extraction_ray.stages.tokengrams import (
+        token_minhash_lsh_dedup, token_minhash_signatures)
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 32000, size=(20, 60)).astype(np.int32)
+    docs = [list(r) for r in base]
+    # near-dups of docs 2 and 7: perturb 3 of 60 positions
+    for src in (2, 7):
+        t = list(base[src])
+        for p in (5, 25, 45):
+            t[p] = int(t[p]) ^ 1
+        docs.append(t)
+    # exact copy of doc 4
+    docs.append(list(base[4]))
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    out = token_minhash_lsh_dedup(rd.from_arrow(tbl), threshold=0.5,
+                                  shingle_k=3, output="pandas")
+    c = out.set_index("doc_id")["cluster_id"]
+    assert c[20] == 2 and c[21] == 7 and c[22] == 4
+    dup = out.set_index("doc_id")["is_duplicate"]
+    assert bool(dup[20]) and bool(dup[21]) and bool(dup[22])
+    assert not dup[[i for i in range(20) if i not in (2, 4, 7)]].any()
+    # token store never mixes with a word-gram store: scheme differs
+    from feature_extraction_ray.stages.dedup import (
+        MinHasher, _scheme_id)
+    sig = token_minhash_signatures(rd.from_arrow(tbl), shingle_k=3)
+    row = sig.take(1)[0]
+    assert row["sig_scheme"] != _scheme_id(
+        MinHasher.SCHEME_FAMILY, 128, 16, 3, 7)
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
