@@ -6683,6 +6683,34 @@ def token_asof_attr(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_fill_arrays(sf_dir: str) -> Dataset:
+    """Forward/backward-fill of the token-ARRAY payload: as-of join
+    attaches sparse attr_tokens, then ffill+bfill propagate whole token
+    arrays within each entity (ts, doc_id order) — the north rule's
+    backfill-forward-fill carrying list<int32>, checked bit-exactly
+    against DuckDB IGNORE-NULLS window twins."""
+    tok, upd = _token_fixture()
+    joined = asof_join(rd.from_arrow(tok), rd.from_arrow(upd),
+                       left_by="entity", right_by="entity",
+                       left_on="ts", right_on="ts",
+                       right_value_cols=["attr_tokens"],
+                       direction="backward", num_buckets=8)
+    filled = SW.fill(joined, "entity", ["ts", "doc_id"],
+                     ["attr_tokens"], method="ffill", num_buckets=8)
+    filled = SW.fill(filled, "entity", ["ts", "doc_id"],
+                     ["attr_tokens"], method="bfill", num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "entity": t["entity"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "ff_str": _join_int_list(t["attr_tokens_ffill"]),
+            "bf_str": _join_int_list(t["attr_tokens_bfill"]),
+        })
+
+    return filled.map_batches(proj, batch_format="pyarrow")
+
+
 def token_session_concat(sf_dir: str) -> Dataset:
     """Gap-sessionize (1 h) then concatenate every session's token
     arrays in (ts, doc_id) order into one string — session-granularity
@@ -7044,9 +7072,28 @@ SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
 FROM w JOIN c USING (token) CROSS JOIN t
 GROUP BY w.doc_id
 """
+    fill_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+upd(entity, ts_us, attr_tokens, attr_val) AS (VALUES
+ {upd_cte}),
+a AS (SELECT t.doc_id, t.entity, t.ts_us,
+             array_to_string(u.attr_tokens, ',') AS av
+      FROM tok t ASOF LEFT JOIN upd u
+        ON t.entity = u.entity AND t.ts_us >= u.ts_us)
+SELECT doc_id, entity, ts_us::BIGINT AS ts_us,
+       last_value(av IGNORE NULLS) OVER (
+           PARTITION BY entity ORDER BY ts_us, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_str,
+       first_value(av IGNORE NULLS) OVER (
+           PARTITION BY entity ORDER BY ts_us, doc_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf_str
+FROM a
+"""
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
+            "token_fill_arrays": fill_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7105,9 +7152,11 @@ QUERIES = {
     # token-array equality via array_to_string both sides over the
     # embedded F1/F2 VALUES fixture; token_repetition_docs /
     # token_decontaminate_docs / token_dedup_spans_docs /
-    # token_surprisal_docs — tokengrams.py curation twins; and
+    # token_surprisal_docs / token_fill_arrays — tokengrams.py curation
+    # twins + the list-payload ffill/bfill window oracle; and
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
-    # sibling of the minhash incremental path).
+    # sibling of the minhash incremental path. token_minhash_dedup_docs
+    # is rows-only by design, planted-dup golden in pytest).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -7307,6 +7356,7 @@ QUERIES = {
     "token_surprisal_docs": token_surprisal_docs,
     "exact_dedup_incremental_docs": exact_dedup_incremental_docs,
     "token_minhash_dedup_docs": token_minhash_dedup_docs,
+    "token_fill_arrays": token_fill_arrays,
 }
 
 ORACLE_SQL = {
@@ -7476,6 +7526,7 @@ ORACLE_SQL = {
     "token_dedup_spans_docs": _TOKEN_ORACLE_SQLS["token_dedup_spans_docs"],
     "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
+    "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),
