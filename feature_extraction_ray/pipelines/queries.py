@@ -6854,16 +6854,11 @@ def token_dedup_spans_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
-def token_minhash_dedup_docs(sf_dir: str) -> Dataset:
-    """Near-dup clustering run natively on token ids
-    (tokengrams.token_minhash_lsh_dedup): documents tokenized to
-    int32 ids (keeping the int64 doc_id the clustering stage needs),
-    token-3-gram MinHash signatures, then the SAME banded-candidate /
-    verify / connected-components stack as the text path. Rows-only
-    driver check (approximate recall by design); planted-dup golden in
-    tests/test_tokengrams.py."""
+def _documents_tokens_int(sf_dir: str) -> Dataset:
+    """documents → (doc_id int64, tokens list<int32>) — the tokenization
+    of fixtures.tokenize_documents_batch but KEEPING the int64 doc_id
+    the clustering stages need."""
     from ..fixtures import _token_ids_arrow
-    from ..stages.tokengrams import token_minhash_lsh_dedup
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tok(t: pa.Table) -> pa.Table:
@@ -6891,8 +6886,28 @@ def token_minhash_dedup_docs(sf_dir: str) -> Dataset:
                 pa.array(ids, type=pa.int32())),
         })
 
-    toks = docs.map_batches(tok, batch_format="pyarrow")
-    return token_minhash_lsh_dedup(toks, threshold=0.7, shingle_k=3,
+    return docs.map_batches(tok, batch_format="pyarrow")
+
+
+def token_simhash_dedup_docs(sf_dir: str) -> Dataset:
+    """Banded-Hamming SimHash near-dup clustering on token ids
+    (tokengrams.token_simhash_dedup) over the tokenized documents table.
+    Rows-only driver check; planted-dup golden in pytest."""
+    from ..stages.tokengrams import token_simhash_dedup
+    return token_simhash_dedup(_documents_tokens_int(sf_dir),
+                               max_hamming=3, output="dataset")
+
+
+def token_minhash_dedup_docs(sf_dir: str) -> Dataset:
+    """Near-dup clustering run natively on token ids
+    (tokengrams.token_minhash_lsh_dedup): documents tokenized to int32
+    ids, token-3-gram MinHash signatures, then the SAME banded-candidate
+    / verify / connected-components stack as the text path. Rows-only
+    driver check (approximate recall by design); planted-dup golden in
+    tests/test_tokengrams.py."""
+    from ..stages.tokengrams import token_minhash_lsh_dedup
+    return token_minhash_lsh_dedup(_documents_tokens_int(sf_dir),
+                                   threshold=0.7, shingle_k=3,
                                    output="dataset")
 
 
@@ -7357,6 +7372,7 @@ QUERIES = {
     "exact_dedup_incremental_docs": exact_dedup_incremental_docs,
     "token_minhash_dedup_docs": token_minhash_dedup_docs,
     "token_fill_arrays": token_fill_arrays,
+    "token_simhash_dedup_docs": token_simhash_dedup_docs,
 }
 
 ORACLE_SQL = {

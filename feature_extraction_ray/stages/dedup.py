@@ -874,29 +874,41 @@ SIMHASH_SCHEME = _scheme_id("simhash-stablehash64-4x16bands")
 
 
 class SimHasher:
-    """64-bit SimHash per document (word-level), plus 4×16-bit band keys."""
+    """64-bit SimHash per document (word-level), plus 4×16-bit band keys.
+
+    Subclasses swap :meth:`_batch_features` (the flat 64-bit feature
+    hashes + per-doc lengths) and ``scheme`` — the vote/band body and
+    the whole banded-Hamming dedup tail stay shared (see
+    ``tokengrams.TokenSimHasher``)."""
 
     def __init__(self, text_col: str, id_col: str):
         self.text_col = text_col
         self.id_col = id_col
+        self.scheme = SIMHASH_SCHEME
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def _batch_features(self, batch: pa.Table):
+        """→ (flat uint64 feature hashes, per-doc lengths int64)."""
         import pyarrow.compute as pc
         from .partition import _stable_hash_strings
-        texts_col = batch[self.text_col]
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n_docs = len(batch)
-        # vectorized: flat word hashes → per-bit votes via add.reduceat
-        words = pc.utf8_split_whitespace(pc.utf8_trim_whitespace(texts_col))
+        words = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch[self.text_col]))
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         flat_words = words.flatten()
         row_len = pc.list_value_length(words).to_numpy(
             zero_copy_only=False).astype(np.int64)
+        hs = _stable_hash_strings(flat_words) if len(flat_words) else \
+            np.zeros(0, dtype=np.uint64)
+        return hs, row_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        n_docs = len(batch)
+        # vectorized: flat feature hashes → per-bit votes via add.reduceat
+        hs, row_len = self._batch_features(batch)
         # trimmed-empty docs produce [''] — count them as zero words
         out = np.zeros(n_docs, dtype=np.uint64)
-        if len(flat_words):
-            hs = _stable_hash_strings(flat_words)
+        if len(hs):
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
                     np.uint64(1)).astype(np.int8)
             signed = (2 * bits - 1).astype(np.int32)
@@ -914,7 +926,7 @@ class SimHasher:
                     np.uint64(0xFFFF)).astype(np.int64)
             tb[f"sim_band{b}"] = pa.array(band)
         tb["sig_scheme"] = pa.array(
-            np.full(n_docs, SIMHASH_SCHEME, dtype=np.int64))
+            np.full(n_docs, self.scheme, dtype=np.int64))
         return pa.table(tb)
 
 
@@ -1037,14 +1049,19 @@ def _simhash_verified_pairs(sig: Dataset, max_hamming: int,
 def simhash_dedup(ds: Dataset, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3,
                   num_buckets: int | None = None,
-                  output: str = "pandas"):
+                  output: str = "pandas",
+                  sig_ds: Dataset | None = None):
     """Near-dup clusters by SimHash: candidates share any 16-bit band
     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands identical),
     verified by exact Hamming distance via a hash-join of the pair list
     against the (doc_id, simhash) table — same fully-distributed tail as
     :func:`minhash_lsh_dedup`. ``num_buckets=None`` derives the fan-out
-    from the signature table size."""
-    sig = simhash_signatures(ds, text_col, id_col).materialize()
+    from the signature table size. ``sig_ds`` supplies pre-built
+    signatures (e.g. the token-gram family,
+    ``tokengrams.token_simhash_signatures``) — the whole banded-Hamming
+    tail is signature-source-agnostic."""
+    sig = sig_ds if sig_ds is not None else \
+        simhash_signatures(ds, text_col, id_col).materialize()
     if num_buckets is None:
         from .partition import derive_num_buckets
         num_buckets = derive_num_buckets(sig)

@@ -45,6 +45,8 @@ from ray.data import Dataset
 
 from .curation import _gram_run_stats
 from .dedup import MinHasher as _MinHasher
+from .dedup import SimHasher as _SimHasher
+from .dedup import _scheme_id as _dedup_scheme_id
 from .partition import broadcast_get, cached_kernel
 
 _FNV = np.uint64(1099511628211)
@@ -219,6 +221,60 @@ def token_minhash_lsh_dedup(ds: Dataset, tokens_col: str = "tokens",
                              bands=bands, shingle_k=shingle_k,
                              threshold=threshold, num_buckets=num_buckets,
                              output=output, sig_ds=sig, pairing=pairing)
+
+
+# ---------------------------------------------------------------------------
+# token-native SimHash near-dup dedup
+# ---------------------------------------------------------------------------
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 avalanche — spreads small token ids over
+    all 64 bits (word SimHash gets this for free from string FNV; raw
+    ids would concentrate votes in the low bits)."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+class TokenSimHasher(_SimHasher):
+    """SimHash with token-id features: each token contributes one
+    splitmix64-avalanched 64-bit feature; votes/bands shared with the
+    word hasher, distinct scheme so word stores fail loudly if mixed."""
+
+    def __init__(self, tokens_col: str, id_col: str):
+        super().__init__(tokens_col, id_col)
+        self.scheme = _dedup_scheme_id("simhash-splitmix64-tok-4x16bands")
+
+    def _batch_features(self, batch: pa.Table):
+        u, row_len = _biased_flat(batch[self.text_col])
+        return _splitmix64(u), row_len
+
+
+def token_simhash_signatures(ds: Dataset, tokens_col: str = "tokens",
+                             id_col: str = "doc_id") -> Dataset:
+    """SimHash signatures from token ids (no text decode) — same schema
+    and banded layout as ``dedup.simhash_signatures``."""
+    def sign(batch: pa.Table) -> pa.Table:
+        return cached_kernel(TokenSimHasher, tokens_col, id_col)(batch)
+
+    return ds.map_batches(sign, batch_format="pyarrow")
+
+
+def token_simhash_dedup(ds: Dataset, tokens_col: str = "tokens",
+                        id_col: str = "doc_id", max_hamming: int = 3,
+                        num_buckets: int | None = None,
+                        output: str = "pandas"):
+    """Banded-Hamming near-dup clustering over token-id SimHashes —
+    ``dedup.simhash_dedup`` with the signature source swapped via
+    ``sig_ds``; ``id_col`` must be int64-castable (clustering-stage
+    contract)."""
+    from .dedup import simhash_dedup
+    sig = token_simhash_signatures(ds, tokens_col, id_col).materialize()
+    return simhash_dedup(ds, id_col=id_col, max_hamming=max_hamming,
+                         num_buckets=num_buckets, output=output,
+                         sig_ds=sig)
 
 
 # ---------------------------------------------------------------------------

@@ -245,6 +245,32 @@ def test_token_minhash_dedup_finds_planted_near_dups(ray_session):
         MinHasher.SCHEME_FAMILY, 128, 16, 3, 7)
 
 
+def test_token_simhash_dedup_finds_planted_near_dups(ray_session):
+    from feature_extraction_ray.stages.tokengrams import (
+        token_simhash_dedup, token_simhash_signatures)
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 32000, size=(12, 200)).astype(np.int32)
+    docs = [list(r) for r in base]
+    docs.append(list(base[3]))                 # exact copy -> hamming 0
+    t8 = list(base[8])
+    t8[100] = int(t8[100]) ^ 3                 # 1-token edit (ham 2, pinned)
+    docs.append(t8)
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "tokens": pa.array(docs, type=pa.list_(pa.int32())),
+    })
+    out = token_simhash_dedup(rd.from_arrow(tbl), max_hamming=3,
+                              output="pandas")
+    c = out.set_index("doc_id")
+    assert c.loc[12, "cluster_id"] == 3 and bool(c.loc[12, "is_duplicate"])
+    assert c.loc[13, "cluster_id"] == 8 and bool(c.loc[13, "is_duplicate"])
+    assert not c.loc[:11, "is_duplicate"].drop([3, 8]).any()
+    # scheme differs from the word family (loud-mismatch contract)
+    from feature_extraction_ray.stages.dedup import SIMHASH_SCHEME
+    row = token_simhash_signatures(rd.from_arrow(tbl)).take(1)[0]
+    assert row["sig_scheme"] != SIMHASH_SCHEME
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
