@@ -6958,6 +6958,17 @@ def token_surprisal_docs(sf_dir: str) -> Dataset:
     return _round(out, {"sum_logprob": 4})
 
 
+def token_profile_docs(sf_dir: str):
+    """One-row ingest-QA profile of the token table
+    (stages/tokengrams.token_profile): exact doc/empty/token counts,
+    non-empty length min/max/median (quantile_disc convention), vocab
+    size, top token (smallest-id tie-break) — partials packed into one
+    key through ONE groupby exchange."""
+    from ..stages.tokengrams import token_profile
+    tok, _ = _token_fixture()
+    return token_profile(rd.from_arrow(tok.select(["doc_id", "tokens"])))
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -7105,10 +7116,31 @@ SELECT doc_id, entity, ts_us::BIGINT AS ts_us,
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bf_str
 FROM a
 """
+    profile_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+l AS (SELECT len(tokens) AS l FROM tok),
+w AS (SELECT unnest(tokens) AS token FROM tok),
+tc AS (SELECT token, count(*) AS cnt FROM w GROUP BY token)
+SELECT (SELECT count(*) FROM l)::BIGINT AS n_docs,
+       (SELECT count(*) FILTER (WHERE l = 0) FROM l)::BIGINT
+           AS n_empty_docs,
+       (SELECT coalesce(sum(l), 0) FROM l)::BIGINT AS n_tokens,
+       (SELECT min(l) FROM l WHERE l > 0)::BIGINT AS min_len,
+       (SELECT max(l) FROM l WHERE l > 0)::BIGINT AS max_len,
+       (SELECT quantile_disc(l, 0.5) FROM l WHERE l > 0)::BIGINT
+           AS median_len,
+       (SELECT count(*) FROM tc)::BIGINT AS vocab_size,
+       (SELECT token FROM tc ORDER BY cnt DESC, token LIMIT 1)::BIGINT
+           AS top_token,
+       (SELECT cnt FROM tc ORDER BY cnt DESC, token LIMIT 1)::BIGINT
+           AS top_count
+"""
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
             "token_fill_arrays": fill_sql,
+            "token_profile_docs": profile_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7373,6 +7405,7 @@ QUERIES = {
     "token_minhash_dedup_docs": token_minhash_dedup_docs,
     "token_fill_arrays": token_fill_arrays,
     "token_simhash_dedup_docs": token_simhash_dedup_docs,
+    "token_profile_docs": token_profile_docs,
 }
 
 ORACLE_SQL = {
@@ -7543,6 +7576,7 @@ ORACLE_SQL = {
     "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
+    "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

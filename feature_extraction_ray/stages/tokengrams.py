@@ -171,6 +171,86 @@ def token_repetition_filter(ds: Dataset, tokens_col: str = "tokens",
 
 
 # ---------------------------------------------------------------------------
+# token-table profiler (ingest QA)
+# ---------------------------------------------------------------------------
+
+def token_profile(ds: Dataset, tokens_col: str = "tokens") -> "object":
+    """One-row QA profile of a token table — the ingest sanity check a
+    100-TB tokenized corpus gets before any pipeline runs. Exact
+    integers only: ``n_docs``, ``n_empty_docs`` (empty or null lists),
+    ``n_tokens``, ``min_len``/``max_len``/``median_len`` (non-empty
+    docs; median = DuckDB ``quantile_disc`` convention, the sorted
+    value at 1-based index ``max(1, ceil(n/2))``), ``vocab_size``
+    (distinct ids), ``top_token``/``top_count`` (most frequent id,
+    smallest-id tie-break).
+
+    Scale shape: one streamed pass emits per-block (length, count) and
+    (token, count) partials — both bounded by the block's distinct
+    values — packed into one key and summed through ONE
+    ``groupby().sum`` exchange, so the driver receives at most
+    vocab + distinct-length rows regardless of corpus or block count.
+    Returns a one-row pandas DataFrame."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, lengths = _biased_flat(t[tokens_col])
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        lu, lc = np.unique(lengths, return_counts=True)
+        tu, tc = (np.unique(flat, return_counts=True) if len(flat)
+                  else (np.zeros(0, dtype=np.int64),
+                        np.zeros(0, dtype=np.int64)))
+        # one packed key: value*2 + kind (kind 0 = length, 1 = token id
+        # biased non-negative) — single-key groupby stays on Ray's fast
+        # path where the 2-key aggregate is the slow one
+        key = np.r_[lu * 2, (tu.astype(np.int64) + (1 << 31)) * 2 + 1]
+        return pa.table({
+            "key": pa.array(key.astype(np.int64)),
+            "cnt": pa.array(np.r_[lc, tc].astype(np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    key = agg["key"].to_numpy()
+    cnt = agg["cnt"].to_numpy()
+    is_tok = (key % 2) == 1
+    lv = pd.Series(cnt[~is_tok], index=key[~is_tok] // 2).sort_index()
+    tv = pd.Series(cnt[is_tok],
+                   index=key[is_tok] // 2 - (1 << 31)).sort_index()
+    n_docs = int(lv.sum())
+    n_empty = int(lv.get(0, 0))
+    n_tokens = int((lv.index.to_numpy() * lv.to_numpy()).sum())
+    ne = lv[lv.index > 0]
+    if len(ne):
+        vals = ne.index.to_numpy()
+        cnts = ne.to_numpy()
+        cum = np.cumsum(cnts)
+        target = max(1, -(-int(cum[-1]) // 2))   # ceil(n/2), 1-based
+        med = int(vals[np.searchsorted(cum, target)])
+        mn, mx = int(vals[0]), int(vals[-1])
+    else:
+        med = mn = mx = None
+    if len(tv):
+        c = tv.to_numpy()
+        i = np.lexsort((tv.index.to_numpy(), -c))[0]
+        top_token, top_count = int(tv.index[i]), int(c[i])
+        vocab = int(len(tv))
+    else:
+        top_token = top_count = None
+        vocab = 0
+    return pd.DataFrame({
+        "n_docs": [n_docs], "n_empty_docs": [n_empty],
+        "n_tokens": [n_tokens], "min_len": [mn], "max_len": [mx],
+        "median_len": [med], "vocab_size": [vocab],
+        "top_token": [top_token], "top_count": [top_count],
+    })
+
+
+# ---------------------------------------------------------------------------
 # token-native MinHash near-dup dedup
 # ---------------------------------------------------------------------------
 

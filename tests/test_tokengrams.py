@@ -271,6 +271,32 @@ def test_token_simhash_dedup_finds_planted_near_dups(ray_session):
     assert row["sig_scheme"] != SIMHASH_SCHEME
 
 
+def test_token_profile_edge_cases(ray_session):
+    from feature_extraction_ray.stages.tokengrams import token_profile
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"], type=pa.string()),
+        "tokens": pa.array([[5, 5, 7], [], None, [7, 5], [9]],
+                           type=pa.list_(pa.int32())),
+    })
+    p = token_profile(rd.from_arrow(tbl)).iloc[0]
+    assert p["n_docs"] == 5 and p["n_empty_docs"] == 2
+    assert p["n_tokens"] == 6
+    assert p["min_len"] == 1 and p["max_len"] == 3
+    # non-empty lens sorted = [1,2,3], quantile_disc(0.5) -> index
+    # ceil(3/2)=2 (1-based) -> 2
+    assert p["median_len"] == 2
+    assert p["vocab_size"] == 3
+    # counts: 5->3, 7->2, 9->1 -> top 5
+    assert p["top_token"] == 5 and p["top_count"] == 3
+    # tie-break: equal counts -> smallest token id
+    tbl2 = pa.table({
+        "doc_id": pa.array(["a"], type=pa.string()),
+        "tokens": pa.array([[9, 3, 9, 3]], type=pa.list_(pa.int32())),
+    })
+    p2 = token_profile(rd.from_arrow(tbl2)).iloc[0]
+    assert p2["top_token"] == 3 and p2["top_count"] == 2
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
