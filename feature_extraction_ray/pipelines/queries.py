@@ -6969,6 +6969,47 @@ def token_profile_docs(sf_dir: str):
     return token_profile(rd.from_arrow(tok.select(["doc_id", "tokens"])))
 
 
+def token_chunks_docs(sf_dir: str) -> Dataset:
+    """Overlapping context-window chunking of token arrays
+    (stages/tokengrams.token_chunks, window 16 / stride 8): one row per
+    chunk with the window slice compared bit-exactly as a joined
+    string — the long-doc → model-context preprocessing step."""
+    from ..stages.tokengrams import token_chunks
+    tok, _ = _token_fixture()
+    out = token_chunks(rd.from_arrow(tok.select(["doc_id", "tokens"])),
+                       window=16, stride=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "chunk_idx": t["chunk_idx"],
+            "tok_str": _join_int_list(t["tokens"]),
+            "n_tok": t["n_tok"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def token_remap_docs(sf_dir: str) -> Dataset:
+    """Vocabulary migration (stages/tokengrams.remap_token_ids): every
+    even id maps to (2·id) mod 32000, odd ids fall to unk 0 — the
+    broadcast searchsorted remap compared position-exactly against a
+    CASE-expression SQL twin."""
+    from ..stages.tokengrams import remap_token_ids
+    tok, _ = _token_fixture()
+    mapping = {i: (i * 2) % 32000 for i in range(0, 32000, 2)}
+    out = remap_token_ids(rd.from_arrow(tok.select(["doc_id", "tokens"])),
+                          mapping, unk_id=0)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok_str": _join_int_list(t["tokens"]),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -7136,11 +7177,39 @@ SELECT (SELECT count(*) FROM l)::BIGINT AS n_docs,
        (SELECT cnt FROM tc ORDER BY cnt DESC, token LIMIT 1)::BIGINT
            AS top_count
 """
+    chunks_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+g AS (SELECT doc_id, tokens,
+             unnest(range(0, ((len(tokens) - 1) // 8) + 1)) AS ci
+      FROM tok WHERE len(tokens) > 0)
+SELECT doc_id, ci::BIGINT AS chunk_idx,
+       array_to_string(list_slice(tokens, ci * 8 + 1,
+                       least(ci * 8 + 16, len(tokens))), ',') AS tok_str,
+       (least(ci * 8 + 16, len(tokens)) - ci * 8)::BIGINT AS n_tok
+FROM g
+"""
+    remap_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+u AS (SELECT doc_id, ord,
+             CASE WHEN token % 2 = 0 THEN (token * 2) % 32000
+                  ELSE 0 END AS nt
+      FROM (SELECT doc_id, unnest(tokens) AS token,
+                   unnest(range(1, len(tokens) + 1)) AS ord FROM tok))
+SELECT t.doc_id,
+       coalesce(s.tok_str, '') AS tok_str
+FROM tok t LEFT JOIN (
+    SELECT doc_id, string_agg(nt::VARCHAR, ',' ORDER BY ord) AS tok_str
+    FROM u GROUP BY doc_id) s USING (doc_id)
+"""
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
+            "token_chunks_docs": chunks_sql,
+            "token_remap_docs": remap_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7406,6 +7475,8 @@ QUERIES = {
     "token_fill_arrays": token_fill_arrays,
     "token_simhash_dedup_docs": token_simhash_dedup_docs,
     "token_profile_docs": token_profile_docs,
+    "token_chunks_docs": token_chunks_docs,
+    "token_remap_docs": token_remap_docs,
 }
 
 ORACLE_SQL = {
@@ -7577,6 +7648,8 @@ ORACLE_SQL = {
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
+    "token_chunks_docs": _TOKEN_ORACLE_SQLS["token_chunks_docs"],
+    "token_remap_docs": _TOKEN_ORACLE_SQLS["token_remap_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -171,6 +171,142 @@ def token_repetition_filter(ds: Dataset, tokens_col: str = "tokens",
 
 
 # ---------------------------------------------------------------------------
+# context-window chunking + vocabulary remap
+# ---------------------------------------------------------------------------
+
+def token_chunks(ds: Dataset, tokens_col: str = "tokens",
+                 id_col: str = "doc_id", window: int = 512,
+                 stride: int = 256, drop_last: bool = False) -> Dataset:
+    """Split every document's token array into overlapping context
+    windows — the long-document → model-context preprocessing step
+    (embedding inference, chunked retrieval, sliding-window training).
+    Emits one row per chunk: ``id_col``, ``chunk_idx`` (0-based),
+    ``tokens_col`` (the window slice), ``n_tok`` (its length).
+
+    Chunk starts are ``0, stride, 2·stride, …`` while ``start <
+    len`` (so a doc shorter than ``window`` yields exactly one chunk —
+    empty docs yield none); the final window is the possibly-short tail
+    unless ``drop_last=True`` drops trailing chunks shorter than
+    ``window`` EXCEPT a doc's first (a short doc keeps its only chunk).
+    Zero shuffles — one vectorized gather per batch (flat index
+    arithmetic, no Python loop over docs or chunks)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        n = len(lengths)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        n_chunks = np.where(lengths > 0,
+                            (np.maximum(lengths - 1, 0) // stride) + 1, 0)
+        doc_of = np.repeat(np.arange(n), n_chunks)
+        total = int(n_chunks.sum())
+        first = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=first[1:])
+        cidx = np.arange(total, dtype=np.int64) - first[doc_of]
+        c_start = cidx * stride
+        c_len = np.minimum(c_start + window, lengths[doc_of]) - c_start
+        if drop_last:
+            keep = (c_len >= window) | (cidx == 0)
+            doc_of, cidx = doc_of[keep], cidx[keep]
+            c_start, c_len = c_start[keep], c_len[keep]
+            total = len(cidx)
+        # flat gather indices: one arange per chunk, clipped per length
+        offs = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(c_len, out=offs[1:])
+        pos = np.arange(int(offs[-1]), dtype=np.int64) - \
+            np.repeat(offs[:-1], c_len)
+        gidx = np.repeat(starts[doc_of] + c_start, c_len) + pos
+        vals = flat.take(pa.array(gidx))
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(doc_of)),
+            "chunk_idx": pa.array(cidx),
+            tokens_col: pa.ListArray.from_arrays(
+                pa.array(offs.astype(np.int32), type=pa.int32()), vals),
+            "n_tok": pa.array(c_len),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def remap_token_ids(ds: Dataset, mapping: dict | "np.ndarray",
+                    tokens_col: str = "tokens",
+                    unk_id: int | None = None,
+                    drop_unmapped: bool = False) -> Dataset:
+    """Vocabulary migration: rewrite every token id through a broadcast
+    old→new mapping (tokenizer version bumps, vocab merges/reorders).
+    ``mapping`` is a dict or a dense array indexed by old id. Ids
+    outside the mapping become ``unk_id`` (or are dropped when
+    ``drop_unmapped=True``; one of the two must be chosen if any id is
+    unmapped — unmapped ids with neither policy raise). Zero shuffles;
+    one ``ray.put`` of the (sorted-key, value) arrays, one searchsorted
+    gather per batch."""
+    if isinstance(mapping, dict):
+        keys = np.fromiter(mapping.keys(), dtype=np.int64,
+                           count=len(mapping))
+        vals = np.fromiter(mapping.values(), dtype=np.int64,
+                           count=len(mapping))
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        arr = np.asarray(mapping, dtype=np.int64)
+        keys = np.arange(len(arr), dtype=np.int64)
+        vals = arr
+    ref = ray.put({"keys": keys, "vals": vals})
+
+    def remap(batch: pa.Table) -> pa.Table:
+        tab = broadcast_get(ref)
+        k, v = tab["keys"], tab["vals"]
+        col = batch[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        if len(flat):
+            idx = np.searchsorted(k, flat)
+            idx[idx == len(k)] = 0
+            hit = (k[idx] == flat) if len(k) else \
+                np.zeros(len(flat), dtype=bool)
+            out = np.where(hit, v[idx] if len(k) else 0, -1)
+            if not hit.all():
+                if drop_unmapped:
+                    doc_of = np.repeat(np.arange(len(lengths)), lengths)
+                    lengths = np.bincount(doc_of[hit],
+                                          minlength=len(lengths))
+                    out = out[hit]
+                elif unk_id is not None:
+                    out = np.where(hit, out, unk_id)
+                else:
+                    bad = int(flat[~hit][0])
+                    raise ValueError(
+                        f"remap_token_ids: id {bad} has no mapping; "
+                        f"pass unk_id= or drop_unmapped=True")
+        else:
+            out = np.zeros(0, dtype=np.int64)
+        offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offs[1:])
+        new = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), type=pa.int32()),
+            pa.array(out.astype(np.int32), type=pa.int32()))
+        return batch.set_column(batch.column_names.index(tokens_col),
+                                pa.field(tokens_col,
+                                         pa.list_(pa.int32())), new)
+
+    return ds.map_batches(remap, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # token-table profiler (ingest QA)
 # ---------------------------------------------------------------------------
 

@@ -297,6 +297,59 @@ def test_token_profile_edge_cases(ray_session):
     assert p2["top_token"] == 3 and p2["top_count"] == 2
 
 
+def test_token_chunks_matches_naive(ray_session):
+    from feature_extraction_ray.stages.tokengrams import token_chunks
+    docs = {"a": list(range(20)), "b": [1, 2, 3], "c": [], "d": [7] * 8,
+            "e": list(range(100, 117))}  # 17 = 2 full + 1 short at w=8,s=8
+    tbl = pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    })
+    for window, stride, drop_last in [(8, 4, False), (8, 8, False),
+                                      (8, 8, True), (5, 3, True)]:
+        out = token_chunks(rd.from_arrow(tbl), window=window,
+                           stride=stride, drop_last=drop_last).to_pandas()
+        got = {(r.doc_id, r.chunk_idx): (list(r.tokens), r.n_tok)
+               for r in out.itertuples()}
+        exp = {}
+        for d, toks in docs.items():
+            ci = 0
+            for s in range(0, max(len(toks), 0), stride):
+                w = toks[s:s + window]
+                if drop_last and len(w) < window and ci > 0:
+                    ci += 1
+                    continue
+                exp[(d, ci)] = (w, len(w))
+                ci += 1
+        assert got == exp, (window, stride, drop_last)
+
+
+def test_remap_token_ids_policies(ray_session):
+    from feature_extraction_ray.stages.tokengrams import remap_token_ids
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b"], type=pa.string()),
+        "tokens": pa.array([[1, 2, 3], [2, 9]], type=pa.list_(pa.int32())),
+    })
+    m = {1: 10, 2: 20, 3: 30}
+    # 9 is unmapped: with neither policy the pipeline must fail loudly
+    with pytest.raises(Exception, match="no mapping"):
+        remap_token_ids(rd.from_arrow(tbl), m).to_pandas()
+    out2 = remap_token_ids(rd.from_arrow(tbl), m, unk_id=-1).to_pandas()
+    got2 = {r.doc_id: list(r.tokens) for r in out2.itertuples()}
+    assert got2 == {"a": [10, 20, 30], "b": [20, -1]}
+    out3 = remap_token_ids(rd.from_arrow(tbl), m,
+                           drop_unmapped=True).to_pandas()
+    got3 = {r.doc_id: list(r.tokens) for r in out3.itertuples()}
+    assert got3 == {"a": [10, 20, 30], "b": [20]}
+    # dense-array mapping form
+    arr = np.full(16, -5, dtype=np.int64)
+    arr[1], arr[2], arr[3], arr[9] = 11, 22, 33, 99
+    out4 = remap_token_ids(rd.from_arrow(tbl), arr).to_pandas()
+    got4 = {r.doc_id: list(r.tokens) for r in out4.itertuples()}
+    assert got4 == {"a": [11, 22, 33], "b": [22, 99]}
+
+
 def test_null_token_list_counts_as_empty(ray_session):
     tbl = pa.table({
         "doc_id": pa.array(["a", "b"], type=pa.string()),
