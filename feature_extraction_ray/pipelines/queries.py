@@ -7268,11 +7268,13 @@ QUERIES = {
     # token-array equality via array_to_string both sides over the
     # embedded F1/F2 VALUES fixture; token_repetition_docs /
     # token_decontaminate_docs / token_dedup_spans_docs /
-    # token_surprisal_docs / token_fill_arrays — tokengrams.py curation
-    # twins + the list-payload ffill/bfill window oracle; and
+    # token_surprisal_docs / token_fill_arrays / token_profile_docs /
+    # token_chunks_docs / token_remap_docs — tokengrams.py curation
+    # twins + list-payload window oracles; and
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
     # sibling of the minhash incremental path. token_minhash_dedup_docs
-    # is rows-only by design, planted-dup golden in pytest).
+    # / token_simhash_dedup_docs are rows-only by design, planted-dup
+    # goldens in pytest).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
