@@ -674,44 +674,21 @@ def _token_gram_positions(batch: pa.Table, tokens_col: str, k: int):
     return sh[in_doc], doc, pos
 
 
-def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
-                                 id_col: str = "doc_id", k: int = 8,
-                                 min_docs: int = 2,
-                                 keep_canonical: bool = False,
-                                 num_buckets: int = 32) -> Dataset:
-    """Cut cross-document duplicated spans OUT of the token streams —
-    the removal action of "Deduplicating Training Data Makes Language
-    Models Better" (Lee et al. 2022), at token-``k``-gram granularity:
-    a gram occurring in ≥ ``min_docs`` DISTINCT documents marks every
-    token position any of its occurrences covers; covered positions are
-    deleted and the survivors re-packed in order. Emits one row per
-    input document: ``id_col``, cleaned ``tokens_col``, ``n_tok_clean``,
-    ``n_removed`` (a fully-duplicated document comes back with an empty
-    token list, not dropped — the caller decides). Within-doc-only
-    repetition is untouched (``min_docs`` counts DISTINCT docs).
-
-    ``keep_canonical=True`` spares each dup gram's lexicographically
-    first ``(doc_id, pos)`` occurrence (Lee et al. keep one copy); note
-    a spared occurrence's positions may still fall to OTHER overlapping
-    dup grams — inherent to gram granularity.
-
-    Scale shape: TWO bucketed exchanges and zero driver state — grams
-    bucket by hash (each gram decided wholly inside one task), surviving
-    ``(doc, pos)`` rows + the corpus itself union-bucket by document for
-    a vectorized interval-paint rebuild (delta array + cumsum over the
-    flat token buffer; no Python loop over rows or spans)."""
-    from .window import bucketed_apply
-
+def _span_explode_factory(tokens_col: str, id_col: str, k: int):
     def explode(batch: pa.Table) -> pa.Table:
         sh, doc, pos = _token_gram_positions(batch, tokens_col, k)
         ids = batch[id_col].take(pa.array(doc))
         return pa.table({"gram": pa.array(sh, type=pa.uint64()),
                          id_col: ids,
                          "pos": pa.array(pos, type=pa.int64())})
+    return explode
 
-    grams = ds.select_columns([id_col, tokens_col]).map_batches(
-        explode, batch_format="pyarrow")
 
+def _dup_occurrences_factory(id_col: str, min_docs: int,
+                             keep_canonical: bool):
+    """Per-gram-bucket kernel: keep only occurrences of grams seen in
+    >= min_docs DISTINCT docs; optionally spare each dup gram's
+    lexicographically-first (doc, pos) occurrence."""
     def dup_occurrences(tbl: pa.Table) -> pa.Table:
         if len(tbl) == 0:
             return tbl.drop_columns(["gram"])
@@ -720,7 +697,7 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
         p = tbl["pos"].to_numpy(zero_copy_only=False)
         # codes sorted by doc id so lexicographic (doc, pos) order is
         # meaningful for the canonical-copy rule
-        uniq, d = np.unique(d_raw, return_inverse=True)
+        _, d = np.unique(d_raw, return_inverse=True)
         order = np.lexsort((p, d, g))
         gs, ds_, = g[order], d[order]
         pair_start = np.r_[True, (gs[1:] != gs[:-1]) |
@@ -734,10 +711,10 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
         out = np.zeros(len(tbl), dtype=bool)
         out[order] = keep
         return tbl.filter(pa.array(out)).drop_columns(["gram"])
+    return dup_occurrences
 
-    occ = bucketed_apply(grams, "gram", dup_occurrences,
-                         num_buckets=num_buckets)
 
+def _span_tag_fns(tokens_col: str, id_col: str):
     def tag_docs(batch: pa.Table) -> pa.Table:
         return pa.table({
             id_col: batch[id_col],
@@ -751,11 +728,12 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
             tokens_col: pa.nulls(len(batch), pa.list_(pa.int32())),
             "pos": batch["pos"],
         })
+    return tag_docs, tag_occ
 
-    tagged = ds.select_columns([id_col, tokens_col]).map_batches(
-        tag_docs, batch_format="pyarrow").union(
-        occ.map_batches(tag_occ, batch_format="pyarrow"))
 
+def _span_rebuild_factory(tokens_col: str, id_col: str, k: int):
+    """Per-doc-bucket kernel: interval-paint covered positions over the
+    flat token buffer (delta + cumsum), re-pack survivors."""
     def rebuild(tbl: pa.Table) -> pa.Table:
         is_doc = pc.is_null(tbl["pos"])
         docs = tbl.filter(is_doc)
@@ -803,9 +781,131 @@ def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
             tokens_col: clean,
             "n_tok_clean": pa.array(new_len),
             "n_removed": pa.array(row_len - new_len, type=pa.int64())})
+    return rebuild
 
-    return bucketed_apply(tagged, id_col, rebuild,
+
+def remove_duplicate_token_spans(ds: Dataset, tokens_col: str = "tokens",
+                                 id_col: str = "doc_id", k: int = 8,
+                                 min_docs: int = 2,
+                                 keep_canonical: bool = False,
+                                 num_buckets: int = 32) -> Dataset:
+    """Cut cross-document duplicated spans OUT of the token streams —
+    the removal action of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), at token-``k``-gram granularity:
+    a gram occurring in ≥ ``min_docs`` DISTINCT documents marks every
+    token position any of its occurrences covers; covered positions are
+    deleted and the survivors re-packed in order. Emits one row per
+    input document: ``id_col``, cleaned ``tokens_col``, ``n_tok_clean``,
+    ``n_removed`` (a fully-duplicated document comes back with an empty
+    token list, not dropped — the caller decides). Within-doc-only
+    repetition is untouched (``min_docs`` counts DISTINCT docs).
+
+    ``keep_canonical=True`` spares each dup gram's lexicographically
+    first ``(doc_id, pos)`` occurrence (Lee et al. keep one copy); note
+    a spared occurrence's positions may still fall to OTHER overlapping
+    dup grams — inherent to gram granularity.
+
+    Scale shape: TWO bucketed exchanges and zero driver state — grams
+    bucket by hash (each gram decided wholly inside one task), surviving
+    ``(doc, pos)`` rows + the corpus itself union-bucket by document for
+    a vectorized interval-paint rebuild (delta array + cumsum over the
+    flat token buffer; no Python loop over rows or spans). For the
+    resumable variant see
+    :func:`remove_duplicate_token_spans_checkpointed`."""
+    from .window import bucketed_apply
+
+    grams = ds.select_columns([id_col, tokens_col]).map_batches(
+        _span_explode_factory(tokens_col, id_col, k),
+        batch_format="pyarrow")
+    occ = bucketed_apply(
+        grams, "gram",
+        _dup_occurrences_factory(id_col, min_docs, keep_canonical),
+        num_buckets=num_buckets)
+    tag_docs, tag_occ = _span_tag_fns(tokens_col, id_col)
+    tagged = ds.select_columns([id_col, tokens_col]).map_batches(
+        tag_docs, batch_format="pyarrow").union(
+        occ.map_batches(tag_occ, batch_format="pyarrow"))
+    return bucketed_apply(tagged, id_col,
+                          _span_rebuild_factory(tokens_col, id_col, k),
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def remove_duplicate_token_spans_checkpointed(
+        input_paths, ckpt_dir: str, *, tokens_col: str = "tokens",
+        id_col: str = "doc_id", k: int = 8, min_docs: int = 2,
+        keep_canonical: bool = False, occ_buckets: int = 32,
+        rebuild_buckets: int = 16) -> dict:
+    """Resumable span removal: both exchanges land in per-partition
+    checkpoint directories with lineage manifests (the
+    ``minhash_lsh_dedup_checkpointed`` pattern), so a killed 100-TB
+    span-dedup resumes at one-bucket granularity and a parameter change
+    invalidates exactly the stages it affects.
+
+    Layout under ``ckpt_dir``::
+
+        occ/      part-{hash(gram) % occ_buckets}.parquet  + manifests
+        rebuild/  part-{hash(doc_id) % rebuild_buckets}.parquet
+
+    The cleaned corpus is ``checkpoint.read_result(ckpt_dir +
+    "/rebuild")`` (or stream the verified files). A resumed run
+    byte-compares equal to an uninterrupted one after a doc_id sort
+    (tested). Returns per-stage stats + fingerprints."""
+    import glob as _glob
+    import os
+
+    import ray.data as rd
+
+    from ..state import checkpoint as CP
+    from .dedup import _fp16
+
+    if isinstance(input_paths, str):
+        files = sorted(_glob.glob(os.path.join(input_paths,
+                                               "*.parquet"))) \
+            if os.path.isdir(input_paths) else [input_paths]
+    else:
+        files = sorted(input_paths)
+    if not files:
+        raise ValueError(
+            "remove_duplicate_token_spans_checkpointed: no input files")
+    fp_in = CP.input_fingerprint_of(files)
+    fp_occ = _fp16(fp_in, "token-span-occ", k, min_docs,
+                   keep_canonical, occ_buckets)
+    fp_rebuild = _fp16(fp_occ, "token-span-rebuild", rebuild_buckets)
+    occ_dir = os.path.join(ckpt_dir, "occ")
+    rebuild_dir = os.path.join(ckpt_dir, "rebuild")
+
+    docs = rd.read_parquet(files, columns=[id_col, tokens_col])
+    if CP.missing_partitions(occ_dir, fp_occ, occ_buckets):
+        grams = docs.map_batches(
+            _span_explode_factory(tokens_col, id_col, k),
+            batch_format="pyarrow")
+        s_occ = CP.run_partitioned(
+            grams, occ_dir, entity_col="gram", num_buckets=occ_buckets,
+            input_fingerprint=fp_occ,
+            process_fn=_dup_occurrences_factory(id_col, min_docs,
+                                                keep_canonical))
+    else:
+        s_occ = {"written": [], "skipped": list(range(occ_buckets)),
+                 "rows": 0}
+    occ_files = CP.verified_files(occ_dir, fp_occ)
+
+    if CP.missing_partitions(rebuild_dir, fp_rebuild, rebuild_buckets):
+        tag_docs, tag_occ = _span_tag_fns(tokens_col, id_col)
+        occ_rows = rd.read_parquet(occ_files) if occ_files else None
+        tagged = docs.map_batches(tag_docs, batch_format="pyarrow")
+        if occ_rows is not None:
+            tagged = tagged.union(occ_rows.map_batches(
+                tag_occ, batch_format="pyarrow"))
+        s_rebuild = CP.run_partitioned(
+            tagged, rebuild_dir, entity_col=id_col,
+            num_buckets=rebuild_buckets, input_fingerprint=fp_rebuild,
+            process_fn=_span_rebuild_factory(tokens_col, id_col, k))
+    else:
+        s_rebuild = {"written": [],
+                     "skipped": list(range(rebuild_buckets)), "rows": 0}
+    return {"occ": s_occ, "rebuild": s_rebuild,
+            "fingerprints": {"input": fp_in, "occ": fp_occ,
+                             "rebuild": fp_rebuild}}
 
 
 def token_decontaminate(ds: Dataset, eval_ds: Dataset,

@@ -359,3 +359,75 @@ def test_null_token_list_counts_as_empty(ray_session):
                                  ("doc_id",), k=2).to_pandas()
     assert out["doc_id"].tolist() == ["a"]
     assert out["n_grams"].tolist() == [2]
+
+
+def test_span_removal_checkpointed_resume_identical(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from feature_extraction_ray.stages.tokengrams import (
+        remove_duplicate_token_spans,
+        remove_duplicate_token_spans_checkpointed)
+    from feature_extraction_ray.state import checkpoint as CP
+
+    A = [500, 501, 502, 503, 504, 505, 506, 507]
+    rng = np.random.default_rng(9)
+    docs = {f"d{i:03d}": [int(x) for x in
+                          rng.integers(1000, 32000, size=40)]
+            for i in range(30)}
+    docs["d003"] = docs["d003"][:10] + A + docs["d003"][10:]
+    docs["d007"] = A + docs["d007"][:20]
+    docs["d011"] = docs["d011"][:5] + A + docs["d011"][5:15] + A
+    src = tmp_path / "toks.parquet"
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(docs), type=pa.string()),
+        "tokens": pa.array(list(docs.values()),
+                           type=pa.list_(pa.int32())),
+    }), src)
+    kw = dict(k=8, min_docs=2, occ_buckets=6, rebuild_buckets=4)
+
+    ref_dir = str(tmp_path / "ref")
+    s1 = remove_duplicate_token_spans_checkpointed(str(src), ref_dir, **kw)
+    assert s1["rebuild"]["rows"] == 30
+    ref = CP.read_result(os.path.join(ref_dir, "rebuild")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # parity with the non-checkpointed pipeline
+    import ray.data as rd
+    direct = remove_duplicate_token_spans(
+        rd.read_parquet(str(src)), k=8, min_docs=2,
+        num_buckets=4).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert ref["doc_id"].tolist() == direct["doc_id"].tolist()
+    assert ref["n_removed"].tolist() == direct["n_removed"].tolist()
+    assert [list(t) for t in ref["tokens"]] == \
+        [list(t) for t in direct["tokens"]]
+    assert ref.set_index("doc_id").loc["d003", "n_removed"] == 8
+    assert ref.set_index("doc_id").loc["d011", "n_removed"] == 16
+
+    # crash simulation: kill buckets in both stages
+    out_dir = str(tmp_path / "out")
+    remove_duplicate_token_spans_checkpointed(str(src), out_dir, **kw)
+    for f in sorted(glob.glob(os.path.join(out_dir, "occ",
+                                           "part-0000[0-1]*"))):
+        os.remove(f)
+    for f in glob.glob(os.path.join(out_dir, "rebuild", "*")):
+        os.remove(f)
+    s2 = remove_duplicate_token_spans_checkpointed(str(src), out_dir, **kw)
+    assert s2["occ"]["written"] == [0, 1]
+    assert len(s2["rebuild"]["written"]) == 4
+    got = CP.read_result(os.path.join(out_dir, "rebuild")).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(ref)
+
+    # a third run is a complete no-op in both stages
+    s3 = remove_duplicate_token_spans_checkpointed(str(src), out_dir, **kw)
+    for stage in ("occ", "rebuild"):
+        assert s3[stage]["written"] == [] and s3[stage]["rows"] == 0
+    # a parameter change invalidates (fingerprints differ)
+    s4 = remove_duplicate_token_spans_checkpointed(
+        str(src), out_dir, k=8, min_docs=3, occ_buckets=6,
+        rebuild_buckets=4)
+    assert len(s4["occ"]["written"]) == 6
