@@ -7010,6 +7010,57 @@ def token_remap_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def _span_planted_rows() -> pa.Table:
+    """Four extra docs sharing one 8-token span (ids ≥ 33000 — outside
+    the fixture vocab AND the eval suite, so they pass decontamination
+    and the repetition gate and exist purely to give the span-removal
+    stage real work inside the composed chain)."""
+    span = list(range(33000, 33008))
+    rows = {
+        f"p{i}": [34000 + 97 * i + j for j in range(12)] + span +
+                 [35000 + 53 * i + j for j in range(10)]
+        for i in range(4)
+    }
+    return pa.table({
+        "doc_id": pa.array(list(rows), type=pa.string()),
+        "tokens": pa.array(list(rows.values()),
+                           type=pa.list_(pa.int32())),
+    })
+
+
+def token_curated_docs(sf_dir: str) -> Dataset:
+    """The composed token-native curation chain under ONE oracle:
+    decontaminate (token 3-grams vs the eval suite) → Gopher repetition
+    gate (2-grams, ≤30% dup / ≤30% top) → cross-doc duplicated-span
+    removal (3-grams, min_docs 2) — the full pre-training data path run
+    start-to-finish on the list<int32> payload, final token arrays
+    compared bit-exactly."""
+    from ..stages.tokengrams import (remove_duplicate_token_spans,
+                                     token_decontaminate,
+                                     token_repetition_filter)
+    tok, _ = _token_fixture()
+    corpus = pa.concat_tables([tok.select(["doc_id", "tokens"]),
+                               _span_planted_rows()])
+    d1 = token_decontaminate(rd.from_arrow(corpus),
+                             rd.from_arrow(_token_eval_table()),
+                             "tokens", k=3, drop=True) \
+        .drop_columns(["n_overlap", "keep"])
+    d2 = token_repetition_filter(d1, "tokens", k=2, max_dup_pct=30,
+                                 max_top_pct=30)
+    d3 = remove_duplicate_token_spans(d2, "tokens", "doc_id",
+                                      k=3, min_docs=2, num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok_str": _join_int_list(t["tokens"]),
+            "n_tok_clean": t["n_tok_clean"],
+            "n_removed": t["n_removed"],
+        })
+
+    return d3.map_batches(proj, batch_format="pyarrow")
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -7203,6 +7254,58 @@ FROM tok t LEFT JOIN (
     SELECT doc_id, string_agg(nt::VARCHAR, ',' ORDER BY ord) AS tok_str
     FROM u GROUP BY doc_id) s USING (doc_id)
 """
+    tokf, _ = _token_fixture()
+    cur = pa.concat_tables([tokf.select(["doc_id", "tokens"]),
+                            _span_planted_rows()])
+    cur_cte = ",\n ".join(
+        f"('{d}',{_sql_int_list(t)})"
+        for d, t in zip(cur["doc_id"].to_pylist(),
+                        cur["tokens"].to_pylist()))
+    curated_sql = f"""
+WITH tok0(doc_id, tokens) AS (VALUES
+ {cur_cte}),
+ev(eval_id, tokens) AS (VALUES
+ {ev_cte}),
+cg AS (SELECT DISTINCT doc_id, gram
+       FROM ({_token_gram_sql('tok0', 3, 'doc_id')})),
+eg AS (SELECT DISTINCT gram
+       FROM ({_token_gram_sql('ev', 3, 'eval_id')})),
+bad AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (gram)),
+t1 AS (SELECT * FROM tok0
+       WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+g2 AS ({_token_gram_sql('t1', 2, 'doc_id')}),
+c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2
+       GROUP BY doc_id, gram),
+r2 AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS n_distinct,
+              max(cnt) AS max_count FROM c2 GROUP BY doc_id),
+t2 AS (SELECT t1.* FROM t1 JOIN r2 USING (doc_id)
+       WHERE (r2.n_grams - r2.n_distinct) * 100 <= 30 * r2.n_grams
+         AND r2.max_count * 100 <= 30 * r2.n_grams
+         AND r2.n_grams > 0),
+pos AS (SELECT doc_id, tokens, unnest(range(1, len(tokens) - 1)) AS i
+        FROM t2 WHERE len(tokens) >= 3),
+g3 AS (SELECT doc_id, i,
+              array_to_string(list_slice(tokens, i, i + 2), ',') AS gram
+       FROM pos),
+dup AS (SELECT gram FROM g3 GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2),
+cover AS (SELECT DISTINCT g3.doc_id, g3.i + o.off AS p
+          FROM g3 JOIN dup USING (gram)
+          CROSS JOIN (SELECT unnest(range(0, 3)) AS off) o),
+tp AS (SELECT doc_id, unnest(tokens) AS tv,
+              unnest(range(1, len(tokens) + 1)) AS p FROM t2),
+clean AS (SELECT t.doc_id,
+       string_agg(t.tv::VARCHAR, ',' ORDER BY t.p)
+           FILTER (WHERE c.p IS NULL) AS tok_str,
+       count(*) FILTER (WHERE c.p IS NOT NULL)::BIGINT AS n_removed,
+       count(*) FILTER (WHERE c.p IS NULL)::BIGINT AS n_tok_clean
+   FROM tp t LEFT JOIN cover c ON c.doc_id = t.doc_id AND c.p = t.p
+   GROUP BY t.doc_id)
+SELECT k.doc_id, coalesce(c.tok_str, '') AS tok_str,
+       coalesce(c.n_tok_clean, 0)::BIGINT AS n_tok_clean,
+       coalesce(c.n_removed, 0)::BIGINT AS n_removed
+FROM t2 k LEFT JOIN clean c USING (doc_id)
+"""
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
@@ -7210,6 +7313,7 @@ FROM tok t LEFT JOIN (
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
             "token_remap_docs": remap_sql,
+            "token_curated_docs": curated_sql,
             "token_asof_attr": asof_sql,
             "token_session_concat": session_sql,
             "token_repetition_docs": rep_sql,
@@ -7479,6 +7583,7 @@ QUERIES = {
     "token_profile_docs": token_profile_docs,
     "token_chunks_docs": token_chunks_docs,
     "token_remap_docs": token_remap_docs,
+    "token_curated_docs": token_curated_docs,
 }
 
 ORACLE_SQL = {
@@ -7652,6 +7757,7 @@ ORACLE_SQL = {
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
     "token_chunks_docs": _TOKEN_ORACLE_SQLS["token_chunks_docs"],
     "token_remap_docs": _TOKEN_ORACLE_SQLS["token_remap_docs"],
+    "token_curated_docs": _TOKEN_ORACLE_SQLS["token_curated_docs"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),
