@@ -6683,6 +6683,30 @@ def token_asof_attr(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_asof_attr_broadcast(sf_dir: str) -> Dataset:
+    """Broadcast-plan twin of token_asof_attr (zero-shuffle: the sparse
+    updates table ships once via ray.put) — same DuckDB ASOF oracle, so
+    the driver certifies BOTH physical as-of plans produce identical
+    token payloads."""
+    tok, upd = _token_fixture()
+    out = asof_join(rd.from_arrow(tok), rd.from_arrow(upd),
+                    left_by="entity", right_by="entity",
+                    left_on="ts", right_on="ts",
+                    right_value_cols=["attr_tokens", "attr_val"],
+                    direction="backward", broadcast=True)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "entity": t["entity"],
+            "ts_us": t["ts"].cast(pa.int64()),
+            "tok_str": _join_int_list(t["tokens"]),
+            "attr_tok_str": _join_int_list(t["attr_tokens"]),
+            "attr_val": t["attr_val"],
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_fill_arrays(sf_dir: str) -> Dataset:
     """Forward/backward-fill of the token-ARRAY payload: as-of join
     attaches sparse attr_tokens, then ffill+bfill propagate whole token
@@ -7584,6 +7608,7 @@ QUERIES = {
     "token_chunks_docs": token_chunks_docs,
     "token_remap_docs": token_remap_docs,
     "token_curated_docs": token_curated_docs,
+    "token_asof_attr_broadcast": token_asof_attr_broadcast,
 }
 
 ORACLE_SQL = {
@@ -7758,6 +7783,7 @@ ORACLE_SQL = {
     "token_chunks_docs": _TOKEN_ORACLE_SQLS["token_chunks_docs"],
     "token_remap_docs": _TOKEN_ORACLE_SQLS["token_remap_docs"],
     "token_curated_docs": _TOKEN_ORACLE_SQLS["token_curated_docs"],
+    "token_asof_attr_broadcast": _TOKEN_ORACLE_SQLS["token_asof_attr"],
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -295,18 +295,22 @@ def scan_zonemapped(out_dir: str, col: str, lo, hi,
 
 def read_documents_jsonl(paths, *, id_col: str = "doc_id",
                          text_col: str = "text",
-                         source_col: str = "source") -> Dataset:
+                         source_col: str = "source",
+                         **read_kwargs) -> Dataset:
     """JSONL document ingest (the raw-crawl interchange format): Ray's
     native ``read_json`` (arrow JSON reader, streams line-delimited
     records) normalized to the canonical documents schema — id cast to
     int64 when numeric (string ids pass through), missing ``source``
     defaults to ``"jsonl"``, extra keys dropped, null/absent text rows
-    removed. One stateless pass; blocks parallelize like any read."""
+    removed. One stateless pass; blocks parallelize like any read.
+    ``read_kwargs`` forward to ``ray.data.read_json`` — e.g.
+    ``arrow_open_stream_args={"compression": "gzip"}`` for ``.jsonl.gz``
+    crawl dumps (web corpora ship compressed)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    ds = rd.read_json(paths)
+    ds = rd.read_json(paths, **read_kwargs)
 
     def normalize(t: pa.Table) -> pa.Table:
         if text_col not in t.column_names:
