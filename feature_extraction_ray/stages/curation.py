@@ -564,6 +564,81 @@ def repetition_filter(ds: Dataset, text_col: str = "text", k: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# cross-split leakage audit
+# ---------------------------------------------------------------------------
+
+def split_leakage_report(ds: Dataset, split_col: str,
+                         id_col: str = "doc_id", *,
+                         text_col: str = "text",
+                         sig_ds: Dataset | None = None,
+                         threshold: float = 0.8, num_perm: int = 128,
+                         bands: int = 16, shingle_k: int = 5,
+                         num_buckets: int = 32):
+    """Split-hygiene audit: count verified near-duplicate pairs that
+    STRADDLE dataset splits (train/val/test) — the leakage a random
+    split of a duplicated corpus silently creates, and the reason dedup
+    must run before splitting. Returns a small pandas frame
+    ``(split_a, split_b, n_pairs, cross)`` with the split pair
+    normalized ``split_a <= split_b``; any ``cross=True`` row with
+    ``n_pairs > 0`` is test-set contamination.
+
+    Plan: MinHash signatures (or pass ``sig_ds`` — e.g. the token-gram
+    family from ``tokengrams.token_minhash_signatures``) → the fused
+    banded candidate+verify exchange → TWO distributed hash-joins
+    attach each endpoint's split label → per-block partial counts; the
+    driver sees at most #splits² rows. ``id_col`` must be
+    int64-castable (pair-kernel contract)."""
+    import pandas as _pd
+
+    from .dedup import candidate_verified_pairs_ds, minhash_signatures
+    from .relational import hash_join
+
+    if sig_ds is None:
+        sig_ds = minhash_signatures(ds, text_col, id_col, num_perm,
+                                    bands, shingle_k).materialize()
+    pairs = candidate_verified_pairs_ds(sig_ds, threshold,
+                                        num_buckets=num_buckets)
+
+    def labels(name):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: pc.cast(t[id_col], pa.int64()),
+                name: pc.cast(t[split_col], pa.string())})
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    j1 = hash_join(pairs, labels("split_a"), left_key="a",
+                   right_key=id_col, how="inner",
+                   num_buckets=num_buckets)
+    j2 = hash_join(j1, labels("split_b"), left_key="b",
+                   right_key=id_col, how="inner",
+                   num_buckets=num_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["split_a"].to_numpy(zero_copy_only=False)
+        b = t["split_b"].to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        key = np.char.add(np.char.add(lo.astype(str), "\x1f"),
+                          hi.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "n": pa.array(c.astype(np.int64))})
+
+    rows = j2.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(rows) == 0:
+        return _pd.DataFrame({"split_a": [], "split_b": [],
+                              "n_pairs": [], "cross": []})
+    agg = rows.groupby("key")["n"].sum().reset_index()
+    parts = agg["key"].str.split("\x1f", expand=True)
+    out = _pd.DataFrame({
+        "split_a": parts[0], "split_b": parts[1],
+        "n_pairs": agg["n"].astype("int64"),
+    })
+    out["cross"] = out["split_a"] != out["split_b"]
+    return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # repeated-substring detection (substring-level dedup signals)
 # ---------------------------------------------------------------------------
 

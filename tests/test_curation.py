@@ -395,3 +395,42 @@ def test_nb_wide_output_matches_long(ray_session):
             exp = long[(long.doc_id == r.doc_id)
                        & (long.label == lbl)]["nb_score"].iloc[0]
             assert r[f"nb_{lbl}"] == exp
+
+
+def test_split_leakage_report_finds_planted_cross_split_dup(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import split_leakage_report
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(400)]
+    texts = [" ".join(rng.choice(vocab, size=40)) for _ in range(24)]
+    # near-dup of doc 2 lands in test; near-dup of doc 5 stays in train;
+    # everything else is unique
+    def tweak(t, tag):
+        ws = t.split(); ws[7] = tag; return " ".join(ws)
+    texts.append(tweak(texts[2], "LEAK"))    # doc 24 (test)
+    texts.append(tweak(texts[5], "SAFE"))    # doc 25 (train)
+    split = ["train"] * 26
+    split[20] = split[21] = split[22] = split[23] = "test"
+    split[24] = "test"                        # cross-split with doc 2
+    # doc 25 stays train -> within-split pair only
+    df = pd.DataFrame({"doc_id": np.arange(26, dtype=np.int64),
+                       "text": texts, "split": split})
+    rep = split_leakage_report(rd.from_pandas(df), "split",
+                               threshold=0.5, shingle_k=3)
+    rep = rep.set_index(["split_a", "split_b"])
+    assert rep.loc[("test", "train"), "n_pairs"] == 1
+    assert bool(rep.loc[("test", "train"), "cross"])
+    assert rep.loc[("train", "train"), "n_pairs"] == 1
+    assert not bool(rep.loc[("train", "train"), "cross"])
+    assert ("test", "test") not in rep.index
+    # clean corpus -> empty report
+    clean = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [" ".join(rng.choice(vocab, size=40)) for _ in range(10)],
+        "split": ["train"] * 8 + ["test"] * 2})
+    rep2 = split_leakage_report(rd.from_pandas(clean), "split",
+                                threshold=0.5, shingle_k=3)
+    assert len(rep2) == 0 or rep2["n_pairs"].sum() == 0
