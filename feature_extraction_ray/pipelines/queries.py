@@ -7052,6 +7052,28 @@ def _span_planted_rows() -> pa.Table:
     })
 
 
+def split_leakage_docs(sf_dir: str):
+    """Cross-split contamination audit (curation.split_leakage_report):
+    deterministic 80/20 doc_id split, then count verified near-dup
+    pairs straddling train/test — the split-hygiene check that makes
+    dedup-before-split measurable. Rows-only driver check (near-dup
+    verification is recall-approximate); planted-leak golden in
+    tests/test_curation.py."""
+    from ..stages.curation import split_leakage_report
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        tst = pc.equal(pc.bit_wise_and(t["doc_id"],
+                                       pa.scalar(7, pa.int64())),
+                       pa.scalar(0, pa.int64()))
+        return t.append_column("split", pc.if_else(
+            tst, pa.scalar("test", pa.string()),
+            pa.scalar("train", pa.string())))
+
+    return split_leakage_report(docs.map_batches(
+        assign, batch_format="pyarrow"), "split", threshold=0.7)
+
+
 def token_curated_docs(sf_dir: str) -> Dataset:
     """The composed token-native curation chain under ONE oracle:
     decontaminate (token 3-grams vs the eval suite) → Gopher repetition
@@ -7609,6 +7631,7 @@ QUERIES = {
     "token_remap_docs": token_remap_docs,
     "token_curated_docs": token_curated_docs,
     "token_asof_attr_broadcast": token_asof_attr_broadcast,
+    "split_leakage_docs": split_leakage_docs,
 }
 
 ORACLE_SQL = {

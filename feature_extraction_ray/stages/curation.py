@@ -599,6 +599,25 @@ def split_leakage_report(ds: Dataset, split_col: str,
     pairs = candidate_verified_pairs_ds(sig_ds, threshold,
                                         num_buckets=num_buckets)
 
+    # a pair verifies once per colliding band — dedupe before counting
+    # (bucketed by the left endpoint, so duplicates colocate)
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        head = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] \
+            if len(a) else np.zeros(0, dtype=bool)
+        return pa.table({"a": pa.array(a[head]), "b": pa.array(b[head])})
+
+    from .window import bucketed_apply
+    pairs = bucketed_apply(pairs, "a", distinct_pairs,
+                           num_buckets=num_buckets,
+                           drop_bucket=False).materialize()
+    if pairs.count() == 0:      # empty materialized ds: schema() is None
+        return _pd.DataFrame({"split_a": [], "split_b": [],
+                              "n_pairs": [], "cross": []})
+
     def labels(name):
         def fn(t: pa.Table) -> pa.Table:
             return pa.table({
