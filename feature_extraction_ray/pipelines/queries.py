@@ -7107,6 +7107,30 @@ def token_curated_docs(sf_dir: str) -> Dataset:
     return d3.map_batches(proj, batch_format="pyarrow")
 
 
+def pack_bfd_docs(sf_dir: str) -> Dataset:
+    """Whole-document sequence packing (Best-Fit-Decreasing): docs
+    keep their boundaries, each lands in a ≤256-token bin, oversize
+    docs get flagged solo bins. Rows-only driver check — BFD bin
+    assignment is an inherently sequential heuristic with no SQL
+    twin; per-bucket parity vs a reference BFD, capacity validity,
+    the ≤1-half-empty-bin guarantee and rerun determinism are
+    pytest-pinned (tests/test_curation.py)."""
+    from ..stages.curation import pack_sequences_bfd
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text"])
+
+    def ntok(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t["text"]), r"\s+"))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tok": pc.cast(n, pa.int64())})
+
+    out = pack_sequences_bfd(docs.map_batches(ntok,
+                                              batch_format="pyarrow"),
+                             seq_len=256, num_buckets=8)
+    return out.select_columns(["doc_id", "n_tok", "bin_id",
+                               "bin_fill", "oversize"])
+
+
 def _token_gram_sql(src: str, k: int, id_col: str) -> str:
     """Per-row token k-grams with the engine's short-doc convention:
     i in 1..max(len-k+1, 1); empty docs contribute none."""
@@ -7424,7 +7448,8 @@ QUERIES = {
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
     # sibling of the minhash incremental path. token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
-    # goldens in pytest).
+    # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
+    # by design, reference-parity + planted-leak goldens in pytest).
     # Rotated OUT this round (driver-green r3 or earlier; family keeps
     # its pytest oracle): the whole r3 window - q1_pricing_summary ...
     # curated_docs (48 greens).
@@ -7632,6 +7657,7 @@ QUERIES = {
     "token_curated_docs": token_curated_docs,
     "token_asof_attr_broadcast": token_asof_attr_broadcast,
     "split_leakage_docs": split_leakage_docs,
+    "pack_bfd_docs": pack_bfd_docs,
 }
 
 ORACLE_SQL = {

@@ -564,6 +564,97 @@ def repetition_filter(ds: Dataset, text_col: str = "text", k: int = 2,
 
 
 # ---------------------------------------------------------------------------
+# whole-document sequence packing (best-fit decreasing)
+# ---------------------------------------------------------------------------
+
+def pack_sequences_bfd(ds: Dataset, token_col: str = "n_tok",
+                       id_col: str = "doc_id", seq_len: int = 2048,
+                       num_buckets: int = 32) -> Dataset:
+    """Pack WHOLE documents into ≤ ``seq_len``-token bins — the
+    SFT-style sample packing that never splits a document (contrast
+    :func:`pack_chunks`, the GPT concat-and-chunk path that does).
+    Best-Fit-Decreasing per bucket: docs sorted by descending length
+    (id tie-break), each placed into the open bin with the smallest
+    remaining capacity that fits, else a new bin — the classic 11/9·OPT
+    heuristic, and within a bucket at most ONE bin ends ≤ half full.
+    Oversized docs (``n_tok > seq_len``) get their own bin, flagged.
+
+    Emits one row per doc: ``id_col``, ``token_col``, ``bin_id``
+    (globally unique int64: ``bucket · 2³² + local bin``), ``bin_fill``
+    (the bin's FINAL token total, repeated on each member) and
+    ``oversize``. Deterministic — a pure function of the bucket's doc
+    multiset, stable across reruns/repartitions (hash bucketing).
+
+    Scale shape: ONE bucketed exchange; packing is per-bucket with
+    cross-bucket waste bounded by one under-half bin per bucket. The
+    in-task loop is a bisect over the sorted open-bin capacities
+    (O(docs · bins) memmove worst case — size buckets so one bucket's
+    bins stay ≈ thousands; every other op here is loop-free, this one
+    is inherently sequential)."""
+    import bisect
+
+    from .window import bucketed_apply
+
+    def pack(tbl: pa.Table) -> pa.Table:
+        from .partition import BUCKET_COL
+        n = len(tbl)
+        if n == 0:
+            return pa.table({
+                id_col: tbl[id_col],
+                token_col: pa.array([], type=pa.int64()),
+                "bin_id": pa.array([], type=pa.int64()),
+                "bin_fill": pa.array([], type=pa.int64()),
+                "oversize": pa.array([], type=pa.bool_())})
+        bucket = int(tbl[BUCKET_COL][0].as_py())
+        lens = tbl[token_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -lens))
+        bin_of = np.empty(n, dtype=np.int64)
+        oversize = lens > seq_len
+        # open bins: remaining capacities kept sorted (parallel bin ids)
+        caps: list = []
+        cap_bin: list = []
+        fills: list = []
+        next_bin = 0
+        for i in order:
+            L = int(lens[i])
+            if L > seq_len:
+                bin_of[i] = next_bin
+                fills.append(L)
+                next_bin += 1
+                continue
+            j = bisect.bisect_left(caps, L)
+            if j < len(caps):
+                b = cap_bin.pop(j)
+                r = caps.pop(j) - L
+            else:
+                b = next_bin
+                fills.append(0)
+                next_bin += 1
+                r = seq_len - L
+            fills[b] += L
+            bin_of[i] = b
+            if r > 0:
+                j2 = bisect.bisect_left(caps, r)
+                caps.insert(j2, r)
+                cap_bin.insert(j2, b)
+        fills_arr = np.asarray(fills, dtype=np.int64)
+        base = np.int64(bucket) << np.int64(32)
+        return pa.table({
+            id_col: tbl[id_col],
+            token_col: pa.array(lens),
+            "bin_id": pa.array(base + bin_of),
+            "bin_fill": pa.array(fills_arr[bin_of]),
+            "oversize": pa.array(oversize),
+        })
+
+    return bucketed_apply(ds.select_columns([id_col, token_col]),
+                          id_col, pack, num_buckets=num_buckets,
+                          drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
 # cross-split leakage audit
 # ---------------------------------------------------------------------------
 

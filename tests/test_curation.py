@@ -434,3 +434,78 @@ def test_split_leakage_report_finds_planted_cross_split_dup(ray_session):
     rep2 = split_leakage_report(rd.from_pandas(clean), "split",
                                 threshold=0.5, shingle_k=3)
     assert len(rep2) == 0 or rep2["n_pairs"].sum() == 0
+
+
+def _naive_bfd(items, seq_len):
+    """Reference Best-Fit-Decreasing: items = [(doc_id, n_tok)]."""
+    import bisect
+    order = sorted(items, key=lambda x: (-x[1], x[0]))
+    caps, cap_bin, fills, bin_of = [], [], [], {}
+    nxt = 0
+    for d, L in order:
+        if L > seq_len:
+            bin_of[d] = nxt
+            fills.append(L)
+            nxt += 1
+            continue
+        j = bisect.bisect_left(caps, L)
+        if j < len(caps):
+            b = cap_bin.pop(j)
+            r = caps.pop(j) - L
+        else:
+            b, r = nxt, seq_len - L
+            fills.append(0)
+            nxt += 1
+        fills[b] += L
+        bin_of[d] = b
+        if r > 0:
+            j2 = bisect.bisect_left(caps, r)
+            caps.insert(j2, r)
+            cap_bin.insert(j2, b)
+    return bin_of, fills
+
+
+def test_pack_sequences_bfd_validity_and_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import pack_sequences_bfd
+    rng = np.random.default_rng(41)
+    n = 400
+    lens = rng.integers(1, 300, size=n).astype(np.int64)
+    lens[17] = 700            # oversize (seq_len 512)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "n_tok": lens})
+    out = pack_sequences_bfd(rd.from_pandas(df), seq_len=512,
+                             num_buckets=4).to_pandas()
+    assert len(out) == n
+    # validity: no non-oversize bin exceeds capacity; fill sums check out
+    g = out.groupby("bin_id").agg(tok=("n_tok", "sum"),
+                                  fill=("bin_fill", "first"),
+                                  over=("oversize", "any"))
+    assert (g["tok"] == g["fill"]).all()
+    assert (g.loc[~g["over"], "fill"] <= 512).all()
+    assert bool(out.set_index("doc_id").loc[17, "oversize"])
+    # BFD guarantee: at most ONE bin <= half-full per bucket
+    g2 = g[~g["over"]].reset_index()
+    g2["bucket"] = g2["bin_id"] // (1 << 32)
+    lax = g2[g2["fill"] * 2 <= 512].groupby("bucket").size()
+    assert (lax <= 1).all()
+    # per-bucket parity with the reference BFD
+    out["bucket"] = out["bin_id"] // (1 << 32)
+    for bkt, grp in out.groupby("bucket"):
+        exp_bin, exp_fills = _naive_bfd(
+            list(zip(grp["doc_id"], grp["n_tok"])), 512)
+        got_local = dict(zip(grp["doc_id"],
+                             grp["bin_id"] % (1 << 32)))
+        assert got_local == exp_bin
+        got_fill = dict(zip(grp["doc_id"], grp["bin_fill"]))
+        assert got_fill == {d: exp_fills[b] for d, b in exp_bin.items()}
+    # determinism across reruns
+    out2 = pack_sequences_bfd(rd.from_pandas(df), seq_len=512,
+                              num_buckets=4).to_pandas()
+    a = out.drop(columns=["bucket"]).sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
