@@ -6969,6 +6969,65 @@ FROM newc n LEFT JOIN prior p USING (text)
 """
 
 
+def boilerplate_lines_docs(sf_dir: str) -> Dataset:
+    """CCNet / C4-style line-level boilerplate removal
+    (stages/curation.remove_boilerplate_lines): a trimmed line occurring
+    in ≥ 2 DISTINCT documents is cut from every document; survivors are
+    rejoined in order, blank lines kept. Multi-line pages are built
+    deterministically from the documents table — each doc gains a
+    cookie-notice line (every doc_id % 3 == 0; boilerplate), a
+    doc-unique line (kept), a blank line (kept), and one of five footer
+    lines (boilerplate) — so the oracle exercises removal, retention
+    and blank-line structure at every sf."""
+    from ..stages.curation import remove_boilerplate_lines
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = pc.cast(t["doc_id"], pa.string())
+        uniq = pc.binary_join_element_wise("UNIQ-", ids, "")
+        boiler = pc.if_else(pa.array(did % 3 == 0),
+                            pa.scalar("COOKIE NOTICE: we use cookies"),
+                            uniq)
+        footer = pc.binary_join_element_wise(
+            "Footer section ", pc.cast(pa.array(did % 5), pa.string()), "")
+        mtext = pc.binary_join_element_wise(
+            t["text"], boiler, "", footer, "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": mtext})
+
+    pages = docs.map_batches(build, batch_format="pyarrow")
+    return remove_boilerplate_lines(pages, min_docs=2, num_buckets=16)
+
+
+BOILERPLATE_LINES_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         text || chr(10) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: we use cookies'
+               ELSE 'UNIQ-' || doc_id END) ||
+         chr(10) || chr(10) ||
+         ('Footer section ' || (doc_id % 5)) AS mtext
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls)+1)) AS ord, len(ls) AS n_lines
+  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m)
+),
+l2 AS (SELECT *, trim(line, ' ' || chr(9) || chr(13)) AS norm FROM l),
+dup AS (SELECT norm FROM l2 WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2)
+SELECT l2.doc_id,
+       coalesce(string_agg(CASE WHEN d.norm IS NULL THEN l2.line END,
+                           chr(10) ORDER BY l2.ord), '') AS text,
+       any_value(l2.n_lines) AS n_lines,
+       (sum(CASE WHEN d.norm IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+         AS n_removed
+FROM l2 LEFT JOIN dup d ON l2.norm = d.norm
+GROUP BY l2.doc_id
+"""
+
+
 def token_surprisal_docs(sf_dir: str) -> Dataset:
     """Perplexity-style quality scoring natively on token ids
     (stages/tokengrams.token_surprisal_scores): distributed token-count
@@ -7446,7 +7505,10 @@ QUERIES = {
     # token_chunks_docs / token_remap_docs — tokengrams.py curation
     # twins + list-payload window oracles; and
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
-    # sibling of the minhash incremental path. token_minhash_dedup_docs
+    # sibling of the minhash incremental path;
+    # boilerplate_lines_docs — CCNet/C4 cross-doc line-level
+    # boilerplate removal over constructed multi-line pages.
+    # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
     # by design, reference-parity + planted-leak goldens in pytest).
@@ -7658,6 +7720,7 @@ QUERIES = {
     "token_asof_attr_broadcast": token_asof_attr_broadcast,
     "split_leakage_docs": split_leakage_docs,
     "pack_bfd_docs": pack_bfd_docs,
+    "boilerplate_lines_docs": boilerplate_lines_docs,
 }
 
 ORACLE_SQL = {
@@ -7833,6 +7896,7 @@ ORACLE_SQL = {
     "token_remap_docs": _TOKEN_ORACLE_SQLS["token_remap_docs"],
     "token_curated_docs": _TOKEN_ORACLE_SQLS["token_curated_docs"],
     "token_asof_attr_broadcast": _TOKEN_ORACLE_SQLS["token_asof_attr"],
+    "boilerplate_lines_docs": BOILERPLATE_LINES_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

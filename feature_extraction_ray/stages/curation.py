@@ -868,6 +868,147 @@ def duplicate_spans(ds: Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet / C4-style)
+# ---------------------------------------------------------------------------
+
+_LINE_TRIM = " \t\r"
+
+
+def _split_lines(col) -> pa.ListArray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.split_pattern(col, pattern="\n")
+
+
+def _dict_codes(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.dictionary_encode().indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
+
+def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
+                             id_col: str = "doc_id", min_docs: int = 2,
+                             num_buckets: int = 32) -> Dataset:
+    """Cross-document line-level boilerplate removal — the CCNet / C4
+    paragraph-hash dedup step: a LINE (``\\n``-delimited, compared
+    after trimming ``" \\t\\r"``) that occurs in ≥ ``min_docs``
+    DISTINCT documents is a nav-bar / cookie-notice / footer
+    candidate; every occurrence is cut and each document's survivors
+    are rejoined in order. Emits one row per input document:
+    ``id_col``, cleaned ``text_col``, ``n_lines`` (original line
+    count), ``n_removed``. Blank lines keep document structure: they
+    never count toward duplication and are never removed. Within-doc
+    repetition alone never triggers removal (distinct-doc counting),
+    and a fully-boilerplate document comes back with empty text, not
+    dropped — the caller decides.
+
+    Scale shape (mirrors :func:`duplicate_spans` / token-span removal):
+    a stateless vectorized explode, then TWO bucketed exchanges — line
+    buckets (keyed on the trimmed line STRING itself, so no
+    hash-collision false merges) decide each line's document frequency
+    wholly inside one task; drop markers + the corpus union-bucket by
+    document for a vectorized filter-and-rejoin rebuild. Only
+    ``(id, line_idx)`` markers ride the second exchange alongside the
+    corpus — never exploded line text twice."""
+    from .window import bucketed_apply
+
+    def explode(t: pa.Table) -> pa.Table:
+        la = _split_lines(t[text_col])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        flat = la.flatten()
+        norm = pc.utf8_trim(flat, characters=_LINE_TRIM)
+        line_idx = np.arange(len(flat), dtype=np.int64) \
+            - np.repeat(offs[:-1], counts)
+        keep = pc.not_equal(norm, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        ids = t[id_col].take(pa.array(parent[keep]))
+        return pa.table({id_col: ids,
+                         "line_idx": pa.array(line_idx[keep]),
+                         "norm": norm.filter(pa.array(keep))})
+
+    lines = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow")
+
+    def dup_markers(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.drop_columns(["norm"])
+        codes = _dict_codes(tbl["norm"])
+        idc = _dict_codes(tbl[id_col])
+        order = np.lexsort((idc, codes))
+        c_s, d_s = codes[order], idc[order]
+        pair_start = np.r_[True, (c_s[1:] != c_s[:-1]) |
+                           (d_s[1:] != d_s[:-1])]
+        line_start = np.r_[True, c_s[1:] != c_s[:-1]]
+        gid = np.cumsum(line_start) - 1
+        ndocs = np.bincount(gid[pair_start])
+        dup_sorted = ndocs[gid] >= min_docs
+        out = np.zeros(len(tbl), dtype=bool)
+        out[order] = dup_sorted
+        return tbl.filter(pa.array(out)).drop_columns(["norm"])
+
+    drops = bucketed_apply(lines, "norm", dup_markers,
+                           num_buckets=num_buckets)
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pc.cast(t[text_col], pa.string()),
+            "line_idx": pa.array(np.full(len(t), -1, dtype=np.int64))})
+
+    def tag_drop(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            text_col: pa.nulls(len(t), type=pa.string()),
+            "line_idx": t["line_idx"]})
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(tag_drop, batch_format="pyarrow"))
+
+    def rebuild(tbl: pa.Table) -> pa.Table:
+        li = tbl["line_idx"].to_numpy(zero_copy_only=False)
+        is_doc = li < 0
+        docs_t = tbl.filter(pa.array(is_doc))
+        n_docs = len(docs_t)
+        if n_docs == 0:
+            return pa.table({
+                id_col: docs_t[id_col],
+                text_col: pa.array([], type=pa.string()),
+                "n_lines": pa.array([], type=pa.int64()),
+                "n_removed": pa.array([], type=pa.int64())})
+        docs_t = docs_t.take(pc.sort_indices(docs_t[id_col]))
+        la = _split_lines(docs_t[text_col])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = la.flatten()
+        keep = np.ones(len(flat), dtype=bool)
+        removed = np.zeros(n_docs, dtype=np.int64)
+        drop_t = tbl.filter(pa.array(~is_doc))
+        if len(drop_t):
+            base = docs_t[id_col].to_numpy(zero_copy_only=False)
+            row = np.searchsorted(
+                base, drop_t[id_col].to_numpy(zero_copy_only=False))
+            pos = offs[row] + drop_t["line_idx"].to_numpy(
+                zero_copy_only=False)
+            keep[pos] = False
+            removed = np.bincount(row, minlength=n_docs).astype(np.int64)
+        new_offs = np.r_[0, np.cumsum(counts - removed)]
+        kept = flat.filter(pa.array(keep))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept)
+        clean = pc.binary_join(lst, pa.scalar("\n", type=kept.type))
+        return pa.table({id_col: docs_t[id_col], text_col: clean,
+                         "n_lines": pa.array(counts),
+                         "n_removed": pa.array(removed)})
+
+    return bucketed_apply(tagged, id_col, rebuild,
+                          num_buckets=num_buckets, drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
 # concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
 

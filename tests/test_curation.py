@@ -509,3 +509,59 @@ def test_pack_sequences_bfd_validity_and_parity(ray_session):
         .reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+# ------------------------------------------------- boilerplate line removal
+
+def test_remove_boilerplate_lines_golden():
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    cookie = "COOKIE NOTICE"
+    docs = _docs([
+        # trailing-space variant of the cookie line trims to the same
+        # norm; the ORIGINAL untrimmed line would be removed with it
+        (1, "real content one\n" + cookie + "  \nmore text"),
+        (2, cookie + "\n\nreal content two"),
+        # within-doc repetition alone never triggers removal
+        (3, "echo line\necho line\nunique tail"),
+        # fully-boilerplate doc -> empty text, not dropped
+        (4, cookie),
+        # untouched doc
+        (5, "plain single line"),
+    ])
+    out = remove_boilerplate_lines(docs, min_docs=2, num_buckets=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "real content one\nmore text"
+    assert out.loc[1, "n_lines"] == 3 and out.loc[1, "n_removed"] == 1
+    # blank line survives and keeps structure
+    assert out.loc[2, "text"] == "\nreal content two"
+    assert out.loc[2, "n_removed"] == 1
+    # within-doc-only repetition untouched (1 distinct doc)
+    assert out.loc[3, "text"] == "echo line\necho line\nunique tail"
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_removed"] == 1
+    assert out.loc[5, "text"] == "plain single line"
+    assert out.loc[5, "n_lines"] == 1
+
+
+def test_remove_boilerplate_lines_min_docs_and_blanks():
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    docs = _docs([
+        (1, "shared\nA"),
+        (2, "shared\nB"),
+        (3, "shared\nC"),
+        (4, "pairline\nD"),
+        (5, "pairline\nE"),
+        # blank lines never count toward duplication even across docs
+        (6, "\n\nF"),
+        (7, "\n\nG"),
+    ])
+    out = remove_boilerplate_lines(docs, min_docs=3, num_buckets=4) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # 'shared' (3 docs) removed; 'pairline' (2 docs) kept at min_docs=3
+    assert out.loc[1, "text"] == "A" and out.loc[1, "n_removed"] == 1
+    assert out.loc[4, "text"] == "pairline\nD"
+    assert out.loc[4, "n_removed"] == 0
+    assert out.loc[6, "text"] == "\n\nF" and out.loc[6, "n_removed"] == 0
+    assert out.loc[6, "n_lines"] == 3
