@@ -6999,6 +6999,29 @@ def boilerplate_lines_docs(sf_dir: str) -> Dataset:
     return remove_boilerplate_lines(pages, min_docs=2, num_buckets=16)
 
 
+def cap_per_source_docs(sf_dir: str) -> Dataset:
+    """C4/RefinedWeb-style per-domain document cap
+    (stages/curation.cap_per_source, cap=10): keep at most 10 docs per
+    source, selected deterministically by an id-derived ordering hash
+    (id tie-break) with 1-based src_rank — per-block top-k pre-prune,
+    then ONE bucketed exchange."""
+    from ..stages.curation import cap_per_source
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = cap_per_source(docs, cap=10, num_buckets=8)
+    return out.select_columns(["doc_id", "source", "src_rank"])
+
+
+CAP_PER_SOURCE_SQL = """
+SELECT doc_id, source,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+                  doc_id) AS src_rank
+FROM documents
+QUALIFY src_rank <= 10
+"""
+
+
 BOILERPLATE_LINES_SQL = """
 WITH m AS (
   SELECT doc_id,
@@ -7507,7 +7530,9 @@ QUERIES = {
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
     # sibling of the minhash incremental path;
     # boilerplate_lines_docs — CCNet/C4 cross-doc line-level
-    # boilerplate removal over constructed multi-line pages.
+    # boilerplate removal over constructed multi-line pages;
+    # cap_per_source_docs — per-domain doc cap with map-side top-k
+    # pre-prune (row_number QUALIFY twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -7721,6 +7746,7 @@ QUERIES = {
     "split_leakage_docs": split_leakage_docs,
     "pack_bfd_docs": pack_bfd_docs,
     "boilerplate_lines_docs": boilerplate_lines_docs,
+    "cap_per_source_docs": cap_per_source_docs,
 }
 
 ORACLE_SQL = {
@@ -7897,6 +7923,7 @@ ORACLE_SQL = {
     "token_curated_docs": _TOKEN_ORACLE_SQLS["token_curated_docs"],
     "token_asof_attr_broadcast": _TOKEN_ORACLE_SQLS["token_asof_attr"],
     "boilerplate_lines_docs": BOILERPLATE_LINES_SQL,
+    "cap_per_source_docs": CAP_PER_SOURCE_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

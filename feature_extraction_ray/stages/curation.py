@@ -1009,6 +1009,73 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
 
 
 # ---------------------------------------------------------------------------
+# per-domain document cap
+# ---------------------------------------------------------------------------
+
+_CAP_H = "__cap_h"
+
+
+def _cap_hash(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-doc ordering hash, overflow-safe in BOTH
+    engines: ``((id % 2^20) * 2654435761) % 2^32``. The 2^20 reduction
+    keeps the SQL twin's BIGINT product under 2^52 for ANY id (DuckDB
+    raises on int64 overflow); hash collisions beyond 1M ids only tie
+    the ordering — the id tie-break keeps selection deterministic.
+    ARRAY-form uint64 modulo throughout (scalar uint64 % python-int
+    promotes to float64 and garbles the hash)."""
+    u = ids.astype(np.uint64)
+    h = ((u % np.uint64(1 << 20)) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+    return h.astype(np.int64)
+
+
+def cap_per_source(ds: Dataset, cap: int, by_col: str = "source",
+                   id_col: str = "doc_id",
+                   num_buckets: int = 32) -> Dataset:
+    """Per-domain document cap — the C4 / RefinedWeb domain-balancing
+    step: keep at most ``cap`` documents per ``by_col`` value, chosen
+    deterministically (smallest ordering hash of ``id_col``, id
+    tie-break) so re-runs and different block layouts select the SAME
+    documents, without favoring crawl order. Appends ``src_rank``
+    (1-based rank within the domain, == SQL ``row_number() OVER
+    (PARTITION BY source ORDER BY hash, id)``).
+
+    Scale shape: top-k per group is a monotone partial — the global
+    top-``cap`` of a domain is a subset of the union of per-block
+    top-``cap``s — so each block pre-prunes to ``cap`` rows per domain
+    present BEFORE the exchange; a 10M-page domain ships
+    ``cap × blocks`` candidate rows, not 10M, through the single
+    bucketed exchange that ranks survivors."""
+    from .partition import entity_group_starts
+    from .window import bucketed_apply
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(_CAP_H, pa.array(_cap_hash(ids)))
+
+    def topk(tbl: pa.Table, final: bool) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (by_col, "ascending"), (_CAP_H, "ascending"),
+            (id_col, "ascending")])
+        tbl = tbl.take(idx)
+        ng = entity_group_starts(tbl, by_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id]
+        tbl = tbl.filter(pa.array(rank < cap))
+        if final:
+            tbl = tbl.append_column(
+                "src_rank", pa.array(rank[rank < cap] + 1))
+            tbl = tbl.drop_columns([_CAP_H])
+        return tbl
+
+    pruned = ds.map_batches(add_h, batch_format="pyarrow").map_batches(
+        lambda t: topk(t, False), batch_format="pyarrow")
+    return bucketed_apply(pruned, by_col, lambda t: topk(t, True),
+                          num_buckets=num_buckets)
+
+
+# ---------------------------------------------------------------------------
 # concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------
 

@@ -565,3 +565,46 @@ def test_remove_boilerplate_lines_min_docs_and_blanks():
     assert out.loc[4, "n_removed"] == 0
     assert out.loc[6, "text"] == "\n\nF" and out.loc[6, "n_removed"] == 0
     assert out.loc[6, "n_lines"] == 3
+
+
+# --------------------------------------------------------- per-domain cap
+
+def test_cap_per_source_golden_and_determinism():
+    from feature_extraction_ray.stages.curation import (
+        cap_per_source, _cap_hash)
+    rows = [(i, f"src{i % 3}") for i in range(30)]
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "source": pa.array([r[1] for r in rows], type=pa.string())})
+    out = cap_per_source(rd.from_arrow(tbl), cap=4, num_buckets=4) \
+        .to_pandas().sort_values(["source", "src_rank"]) \
+        .reset_index(drop=True)
+    # every source capped at 4, ranks are 1..4
+    g = out.groupby("source")["src_rank"].agg(["count", "min", "max"])
+    assert (g["count"] == 4).all()
+    assert (g["min"] == 1).all() and (g["max"] == 4).all()
+    # selection matches the naive hash order per source
+    ids = np.arange(30, dtype=np.int64)
+    h = _cap_hash(ids)
+    for s in ("src0", "src1", "src2"):
+        members = [i for i in range(30) if f"src{i % 3}" == s]
+        expect = sorted(members, key=lambda i: (h[i], i))[:4]
+        got = out[out["source"] == s]["doc_id"].tolist()
+        assert got == expect
+    # identical output under a different block layout (pre-prune is a
+    # safe superset; final exchange decides)
+    out2 = cap_per_source(
+        rd.from_arrow(tbl).repartition(7), cap=4, num_buckets=2) \
+        .to_pandas().sort_values(["source", "src_rank"]) \
+        .reset_index(drop=True)
+    assert out.equals(out2)
+
+
+def test_cap_per_source_small_groups_pass_through():
+    from feature_extraction_ray.stages.curation import cap_per_source
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "source": pa.array(["a", "a", "b"], type=pa.string())})
+    out = cap_per_source(rd.from_arrow(tbl), cap=10, num_buckets=2) \
+        .to_pandas()
+    assert len(out) == 3 and set(out["src_rank"]) <= {1, 2}
