@@ -6969,33 +6969,69 @@ FROM newc n LEFT JOIN prior p USING (text)
 """
 
 
+def _build_pages(t: pa.Table) -> pa.Table:
+    """Deterministic multi-line page construction over the documents
+    table (shared by boilerplate_lines_docs / web_curated_docs and
+    their SQL twins): each doc gains a cookie-notice line (every
+    doc_id % 3 == 0; boilerplate), a doc-unique line (kept), a blank
+    line (kept), and one of five footer lines (boilerplate). Extra
+    input columns pass through."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    ids = pc.cast(t["doc_id"], pa.string())
+    uniq = pc.binary_join_element_wise("UNIQ-", ids, "")
+    boiler = pc.if_else(pa.array(did % 3 == 0),
+                        pa.scalar("COOKIE NOTICE: we use cookies"),
+                        uniq)
+    footer = pc.binary_join_element_wise(
+        "Footer section ", pc.cast(pa.array(did % 5), pa.string()), "")
+    mtext = pc.binary_join_element_wise(
+        t["text"], boiler, "", footer, "\n")
+    return t.set_column(t.schema.get_field_index("text"), "text", mtext)
+
+
+_PAGES_SQL = """
+  SELECT doc_id, source,
+         text || chr(10) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: we use cookies'
+               ELSE 'UNIQ-' || doc_id END) ||
+         chr(10) || chr(10) ||
+         ('Footer section ' || (doc_id % 5)) AS mtext
+  FROM documents
+"""
+
+_BOILER_CORE_SQL = """
+l AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls)+1)) AS ord, len(ls) AS n_lines
+  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m)
+),
+l2 AS (SELECT *, trim(line, ' ' || chr(9) || chr(13)) AS norm FROM l),
+dup AS (SELECT norm FROM l2 WHERE norm <> ''
+        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2),
+clean AS (
+  SELECT l2.doc_id,
+         coalesce(string_agg(CASE WHEN d.norm IS NULL THEN l2.line END,
+                             chr(10) ORDER BY l2.ord), '') AS text,
+         any_value(l2.n_lines) AS n_lines,
+         (sum(CASE WHEN d.norm IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+           AS n_removed
+  FROM l2 LEFT JOIN dup d ON l2.norm = d.norm
+  GROUP BY l2.doc_id
+)
+"""
+
+
 def boilerplate_lines_docs(sf_dir: str) -> Dataset:
     """CCNet / C4-style line-level boilerplate removal
     (stages/curation.remove_boilerplate_lines): a trimmed line occurring
     in ≥ 2 DISTINCT documents is cut from every document; survivors are
-    rejoined in order, blank lines kept. Multi-line pages are built
-    deterministically from the documents table — each doc gains a
-    cookie-notice line (every doc_id % 3 == 0; boilerplate), a
-    doc-unique line (kept), a blank line (kept), and one of five footer
-    lines (boilerplate) — so the oracle exercises removal, retention
-    and blank-line structure at every sf."""
+    rejoined in order, blank lines kept. Multi-line pages built by
+    _build_pages so the oracle exercises removal, retention and
+    blank-line structure at every sf."""
     from ..stages.curation import remove_boilerplate_lines
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def build(t: pa.Table) -> pa.Table:
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        ids = pc.cast(t["doc_id"], pa.string())
-        uniq = pc.binary_join_element_wise("UNIQ-", ids, "")
-        boiler = pc.if_else(pa.array(did % 3 == 0),
-                            pa.scalar("COOKIE NOTICE: we use cookies"),
-                            uniq)
-        footer = pc.binary_join_element_wise(
-            "Footer section ", pc.cast(pa.array(did % 5), pa.string()), "")
-        mtext = pc.binary_join_element_wise(
-            t["text"], boiler, "", footer, "\n")
-        return pa.table({"doc_id": t["doc_id"], "text": mtext})
-
-    pages = docs.map_batches(build, batch_format="pyarrow")
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pages = docs.map_batches(_build_pages, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
     return remove_boilerplate_lines(pages, min_docs=2, num_buckets=16)
 
 
@@ -7022,33 +7058,65 @@ QUALIFY src_rank <= 10
 """
 
 
-BOILERPLATE_LINES_SQL = """
-WITH m AS (
-  SELECT doc_id,
-         text || chr(10) ||
-         (CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: we use cookies'
-               ELSE 'UNIQ-' || doc_id END) ||
-         chr(10) || chr(10) ||
-         ('Footer section ' || (doc_id % 5)) AS mtext
-  FROM documents
+BOILERPLATE_LINES_SQL = ("WITH m AS (" + _PAGES_SQL + ")," +
+                         _BOILER_CORE_SQL +
+                         "SELECT doc_id, text, n_lines, n_removed FROM clean")
+
+
+def web_curated_docs(sf_dir: str) -> Dataset:
+    """Composed web-curation chain under ONE oracle: line-level
+    boilerplate removal (source carried via keep_cols — no join back)
+    → char-length quality gate (≥ 60) → exact dedup on the CLEANED
+    text (min-id keeper, n_dups) → per-domain cap (cap=5,
+    deterministic hash order). Three bucketed exchanges end-to-end;
+    certifies the four operators composing, not just each alone."""
+    from ..stages.curation import cap_per_source, remove_boilerplate_lines
+    from ..stages.dedup import exact_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pages = docs.map_batches(_build_pages, batch_format="pyarrow")
+    clean = remove_boilerplate_lines(pages, min_docs=2, num_buckets=16,
+                                     keep_cols=["source"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(pc.utf8_length(t["text"]),
+                                         pa.scalar(60)))
+
+    gated = clean.map_batches(gate, batch_format="pyarrow")
+    dd = exact_dedup(gated, "text", "doc_id", num_buckets=16,
+                     keep_cols=["source", "n_removed"])
+    capped = cap_per_source(dd, cap=5, num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "source": t["source"],
+            "src_rank": t["src_rank"], "n_dups": t["n_dups"],
+            "n_removed": t["n_removed"],
+            "len_clean": pc.cast(pc.utf8_length(t["text"]), pa.int64())})
+
+    return capped.map_batches(proj, batch_format="pyarrow")
+
+
+WEB_CURATED_SQL = ("WITH m AS (" + _PAGES_SQL + ")," + _BOILER_CORE_SQL + """,
+gated AS (
+  SELECT c.doc_id, m.source, c.text, c.n_removed
+  FROM clean c JOIN m USING (doc_id)
+  WHERE length(c.text) >= 60
 ),
-l AS (
-  SELECT doc_id, unnest(ls) AS line,
-         unnest(range(1, len(ls)+1)) AS ord, len(ls) AS n_lines
-  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m)
-),
-l2 AS (SELECT *, trim(line, ' ' || chr(9) || chr(13)) AS norm FROM l),
-dup AS (SELECT norm FROM l2 WHERE norm <> ''
-        GROUP BY norm HAVING count(DISTINCT doc_id) >= 2)
-SELECT l2.doc_id,
-       coalesce(string_agg(CASE WHEN d.norm IS NULL THEN l2.line END,
-                           chr(10) ORDER BY l2.ord), '') AS text,
-       any_value(l2.n_lines) AS n_lines,
-       (sum(CASE WHEN d.norm IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
-         AS n_removed
-FROM l2 LEFT JOIN dup d ON l2.norm = d.norm
-GROUP BY l2.doc_id
-"""
+dd AS (
+  SELECT doc_id, source, text, n_removed,
+         (count(*) OVER (PARTITION BY text))::BIGINT AS n_dups,
+         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM gated
+)
+SELECT doc_id, source,
+       row_number() OVER (
+         PARTITION BY source
+         ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+                  doc_id) AS src_rank,
+       n_dups, n_removed, length(text)::BIGINT AS len_clean
+FROM dd WHERE rn = 1
+QUALIFY src_rank <= 5
+""")
 
 
 def token_surprisal_docs(sf_dir: str) -> Dataset:
@@ -7532,7 +7600,9 @@ QUERIES = {
     # boilerplate_lines_docs — CCNet/C4 cross-doc line-level
     # boilerplate removal over constructed multi-line pages;
     # cap_per_source_docs — per-domain doc cap with map-side top-k
-    # pre-prune (row_number QUALIFY twin).
+    # pre-prune (row_number QUALIFY twin); web_curated_docs — the
+    # composed boilerplate→gate→exact-dedup→cap chain under ONE
+    # CTE-chained oracle.
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -7747,6 +7817,7 @@ QUERIES = {
     "pack_bfd_docs": pack_bfd_docs,
     "boilerplate_lines_docs": boilerplate_lines_docs,
     "cap_per_source_docs": cap_per_source_docs,
+    "web_curated_docs": web_curated_docs,
 }
 
 ORACLE_SQL = {
@@ -7924,6 +7995,7 @@ ORACLE_SQL = {
     "token_asof_attr_broadcast": _TOKEN_ORACLE_SQLS["token_asof_attr"],
     "boilerplate_lines_docs": BOILERPLATE_LINES_SQL,
     "cap_per_source_docs": CAP_PER_SOURCE_SQL,
+    "web_curated_docs": WEB_CURATED_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

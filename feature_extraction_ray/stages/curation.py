@@ -889,7 +889,8 @@ def _dict_codes(col) -> np.ndarray:
 
 def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
                              id_col: str = "doc_id", min_docs: int = 2,
-                             num_buckets: int = 32) -> Dataset:
+                             num_buckets: int = 32,
+                             keep_cols: Sequence[str] = ()) -> Dataset:
     """Cross-document line-level boilerplate removal — the CCNet / C4
     paragraph-hash dedup step: a LINE (``\\n``-delimited, compared
     after trimming ``" \\t\\r"``) that occurs in ≥ ``min_docs``
@@ -910,8 +911,16 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
     wholly inside one task; drop markers + the corpus union-bucket by
     document for a vectorized filter-and-rejoin rebuild. Only
     ``(id, line_idx)`` markers ride the second exchange alongside the
-    corpus — never exploded line text twice."""
+    corpus — never exploded line text twice.
+
+    ``keep_cols``: additional columns carried through from each doc row
+    (lets pipelines clean in place without a join back)."""
     from .window import bucketed_apply
+
+    keep_cols = list(keep_cols)
+    if keep_cols:
+        ks = dict(zip(ds.schema().names, ds.schema().types))
+        keep_types = {c: ks[c] for c in keep_cols}
 
     def explode(t: pa.Table) -> pa.Table:
         la = _split_lines(t[text_col])
@@ -953,18 +962,24 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
                            num_buckets=num_buckets)
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        return pa.table({
+        cols = {
             id_col: t[id_col],
             text_col: pc.cast(t[text_col], pa.string()),
-            "line_idx": pa.array(np.full(len(t), -1, dtype=np.int64))})
+            "line_idx": pa.array(np.full(len(t), -1, dtype=np.int64))}
+        for c in keep_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     def tag_drop(t: pa.Table) -> pa.Table:
-        return pa.table({
+        cols = {
             id_col: t[id_col],
             text_col: pa.nulls(len(t), type=pa.string()),
-            "line_idx": t["line_idx"]})
+            "line_idx": t["line_idx"]}
+        for c in keep_cols:
+            cols[c] = pa.nulls(len(t), type=keep_types[c])
+        return pa.table(cols)
 
-    tagged = ds.select_columns([id_col, text_col]).map_batches(
+    tagged = ds.select_columns([id_col, text_col, *keep_cols]).map_batches(
         tag_docs, batch_format="pyarrow").union(
         drops.map_batches(tag_drop, batch_format="pyarrow"))
 
@@ -974,11 +989,14 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
         docs_t = tbl.filter(pa.array(is_doc))
         n_docs = len(docs_t)
         if n_docs == 0:
-            return pa.table({
+            cols = {
                 id_col: docs_t[id_col],
                 text_col: pa.array([], type=pa.string()),
                 "n_lines": pa.array([], type=pa.int64()),
-                "n_removed": pa.array([], type=pa.int64())})
+                "n_removed": pa.array([], type=pa.int64())}
+            for c in keep_cols:
+                cols[c] = docs_t[c]
+            return pa.table(cols)
         docs_t = docs_t.take(pc.sort_indices(docs_t[id_col]))
         la = _split_lines(docs_t[text_col])
         offs = la.offsets.to_numpy().astype(np.int64)
@@ -1000,9 +1018,12 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
         lst = pa.ListArray.from_arrays(
             pa.array(new_offs, type=pa.int32()), kept)
         clean = pc.binary_join(lst, pa.scalar("\n", type=kept.type))
-        return pa.table({id_col: docs_t[id_col], text_col: clean,
-                         "n_lines": pa.array(counts),
-                         "n_removed": pa.array(removed)})
+        cols = {id_col: docs_t[id_col], text_col: clean,
+                "n_lines": pa.array(counts),
+                "n_removed": pa.array(removed)}
+        for c in keep_cols:
+            cols[c] = docs_t[c]
+        return pa.table(cols)
 
     return bucketed_apply(tagged, id_col, rebuild,
                           num_buckets=num_buckets, drop_bucket=False)

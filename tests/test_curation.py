@@ -608,3 +608,20 @@ def test_cap_per_source_small_groups_pass_through():
     out = cap_per_source(rd.from_arrow(tbl), cap=10, num_buckets=2) \
         .to_pandas()
     assert len(out) == 3 and set(out["src_rank"]) <= {1, 2}
+
+
+def test_remove_boilerplate_lines_keep_cols():
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["shared\nA", "shared\nB"], type=pa.string()),
+        "source": pa.array(["s1", "s2"], type=pa.string()),
+        "weight": pa.array([0.5, 2.0], type=pa.float64())})
+    out = remove_boilerplate_lines(
+        rd.from_arrow(tbl), min_docs=2, num_buckets=2,
+        keep_cols=["source", "weight"]) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "A" and out.loc[1, "source"] == "s1"
+    assert out.loc[2, "source"] == "s2" and out.loc[2, "weight"] == 2.0
+    assert list(out["n_removed"]) == [1, 1]
