@@ -301,6 +301,27 @@ def run_bench() -> dict:
                                 columns=["doc_id", "text"]),
                 k=8, num_buckets=32).count())
 
+        # composed web-curation chain over the amplified corpus:
+        # boilerplate line removal (amplification makes every ORIGINAL
+        # text line a cross-doc duplicate — every doc is fully
+        # rewritten, the rebuild exchange's worst case) → exact dedup
+        # on cleaned text → per-domain cap; three bucketed exchanges
+        from feature_extraction_ray.pipelines.queries import _build_pages
+        from feature_extraction_ray.stages.curation import (
+            cap_per_source, remove_boilerplate_lines)
+        from feature_extraction_ray.stages.dedup import exact_dedup
+
+        def _web_run():
+            pages = amplified_documents(SF_DIR, amp).map_batches(
+                _build_pages, batch_format="pyarrow")
+            clean = remove_boilerplate_lines(pages, num_buckets=64,
+                                             keep_cols=["source"])
+            dd = exact_dedup(clean, "text", "doc_id", num_buckets=64,
+                             keep_cols=["source"])
+            return cap_per_source(dd, cap=100, num_buckets=32).count()
+
+        per_query[f"web_curate_x{amp}"] = _best_of(_web_run)
+
         # session-2 ops: Bloom-pruned exact semi-join (lineitem × part),
         # per-entity EWMA over events, trained-BPE fit + amplified encode
         from feature_extraction_ray.stages.bloom import bloom_semi_join
