@@ -1944,7 +1944,7 @@ def ngram_jaccard_dedup_docs(sf_dir: str):
                                output="dataset")
 
 
-NGRAM_JACCARD_DEDUP_SQL = """
+_JACCARD_CC_CTE = """
 WITH RECURSIVE w AS (
     SELECT doc_id, str_split(trim(text), ' ') AS ws
     FROM documents WHERE trim(text) <> ''
@@ -1968,9 +1968,43 @@ WITH RECURSIVE w AS (
     UNION
     SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
 )
+"""
+
+NGRAM_JACCARD_DEDUP_SQL = _JACCARD_CC_CTE + """
 SELECT node AS doc_id, min(r) AS cluster_id,
        min(r) <> node AS is_duplicate
 FROM reach GROUP BY node
+"""
+
+
+def canonical_docs(sf_dir: str) -> Dataset:
+    """Quality-aware canonical selection over REAL near-dup clusters
+    (dedup.select_canonical over ngram_jaccard_dedup's exact transitive
+    closure): per cluster keep the max-n_chars member (ties → min id)
+    instead of the first-seen — every row returned with its
+    is_canonical verdict, checked against the recursive-CTE +
+    row_number DuckDB twin."""
+    from ..stages.dedup import ngram_jaccard_dedup, select_canonical
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    assign = ngram_jaccard_dedup(docs.select_columns(["doc_id", "text"]),
+                                 k=5, threshold=(1, 2), output="dataset")
+    quality = docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "quality": t["n_chars"]}),
+        batch_format="pyarrow")
+    out = select_canonical(assign, quality, num_buckets=8)
+    return out.select_columns(
+        ["doc_id", "cluster_id", "quality", "is_canonical"])
+
+
+CANONICAL_DOCS_SQL = _JACCARD_CC_CTE + """,
+assign AS (SELECT node AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY node)
+SELECT a.doc_id, a.cluster_id, d.n_chars AS quality,
+       (row_number() OVER (PARTITION BY a.cluster_id
+                           ORDER BY d.n_chars DESC, a.doc_id)) = 1
+         AS is_canonical
+FROM assign a JOIN documents d USING (doc_id)
 """
 
 
@@ -7602,7 +7636,8 @@ QUERIES = {
     # cap_per_source_docs — per-domain doc cap with map-side top-k
     # pre-prune (row_number QUALIFY twin); web_curated_docs — the
     # composed boilerplate→gate→exact-dedup→cap chain under ONE
-    # CTE-chained oracle.
+    # CTE-chained oracle; canonical_docs — quality-aware canonical
+    # selection per near-dup cluster (recursive-CTE + row_number twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -7818,6 +7853,7 @@ QUERIES = {
     "boilerplate_lines_docs": boilerplate_lines_docs,
     "cap_per_source_docs": cap_per_source_docs,
     "web_curated_docs": web_curated_docs,
+    "canonical_docs": canonical_docs,
 }
 
 ORACLE_SQL = {
@@ -7996,6 +8032,7 @@ ORACLE_SQL = {
     "boilerplate_lines_docs": BOILERPLATE_LINES_SQL,
     "cap_per_source_docs": CAP_PER_SOURCE_SQL,
     "web_curated_docs": WEB_CURATED_SQL,
+    "canonical_docs": CANONICAL_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -1566,3 +1566,49 @@ def source_overlap(ds: Dataset, fp_col: str, source_col: str,
                          "n_shared": pc.cast(t["n_shared"], pa.int64())})
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def select_canonical(assign: Dataset, quality: Dataset,
+                     id_col: str = "doc_id",
+                     cluster_col: str = "cluster_id",
+                     quality_col: str = "quality",
+                     prefer: str = "max",
+                     num_buckets: int = 32) -> Dataset:
+    """Quality-aware canonical selection per dedup cluster — the "keep
+    the BEST member, not the first-seen" post-pass over ANY cluster
+    assignment this module emits (minhash / simhash / exact / n-gram /
+    embedding: ``(id, cluster_id, ...)`` rows all qualify): each
+    member's quality attaches via one distributed hash join on the id,
+    then ONE bucketed exchange on the cluster picks the winner
+    (``prefer`` ∈ {"max", "min"} quality; ties → min id, so selection
+    is deterministic under any partitioning). Output: the assignment
+    rows + ``quality_col`` + ``is_canonical``; no row is dropped — the
+    caller filters ``is_canonical`` for the keep-set or its negation
+    for the removal list.
+
+    Scale shape: two exchanges total (join buckets by id, winner
+    buckets by cluster); quality never lands on the driver, and the
+    per-bucket winner pass is one sort + run-head scan, no per-cluster
+    Python."""
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
+    from .partition import entity_group_starts
+    from .relational import hash_join
+    from .window import bucketed_apply
+
+    joined = hash_join(assign, quality.select_columns(
+        [id_col, quality_col]), left_key=id_col, right_key=id_col,
+        how="inner", num_buckets=num_buckets)
+    order = "descending" if prefer == "max" else "ascending"
+
+    def winners(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (cluster_col, "ascending"), (quality_col, order),
+            (id_col, "ascending")])
+        tbl = tbl.take(idx)
+        ng = entity_group_starts(tbl, cluster_col)
+        return tbl.append_column("is_canonical", pa.array(ng))
+
+    return bucketed_apply(joined, cluster_col, winners,
+                          num_buckets=num_buckets)

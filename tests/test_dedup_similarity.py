@@ -834,3 +834,46 @@ def test_incremental_exact_dedup_rejects_bad_store(ray_session):
         "sig_scheme": np.array([123], dtype=np.int64)})).materialize()
     with pytest.raises(ValueError, match="scheme"):
         exact_dedup_incremental(new, wrong)
+
+
+# ------------------------------------------------------- select_canonical
+
+def test_select_canonical_prefer_and_ties():
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.dedup import select_canonical
+    assign = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "cluster_id": pa.array([1, 1, 1, 4, 4], type=pa.int64())}))
+    quality = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "quality": pa.array([10, 30, 30, 7, 7], type=pa.int64())}))
+    out = select_canonical(assign, quality, num_buckets=2) \
+        .to_pandas().set_index("doc_id").sort_index()
+    # max quality wins; quality tie -> min id (doc 2 over doc 3; 4 over 5)
+    assert list(out["is_canonical"]) == [False, True, False, True, False]
+    assert len(out) == 5  # no row dropped
+    # prefer="min": lowest quality wins (doc 1), tie rule unchanged
+    out2 = select_canonical(assign, quality, prefer="min",
+                            num_buckets=2).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert list(out2["is_canonical"]) == [True, False, False, True, False]
+    import pytest
+    with pytest.raises(ValueError):
+        select_canonical(assign, quality, prefer="best")
+
+
+def test_select_canonical_over_exact_clusters():
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.dedup import (
+        exact_dedup, select_canonical)
+    # singleton clusters: every row canonical
+    assign = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "cluster_id": pa.array([7, 8], type=pa.int64())}))
+    quality = rd.from_arrow(pa.table({
+        "doc_id": pa.array([7, 8], type=pa.int64()),
+        "quality": pa.array([1.5, -2.0], type=pa.float64())}))
+    out = select_canonical(assign, quality, num_buckets=2).to_pandas()
+    assert out["is_canonical"].all()
