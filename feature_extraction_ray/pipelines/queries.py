@@ -2484,6 +2484,91 @@ FROM c, ev
 """
 
 
+def decontaminate_spans_docs(sf_dir: str) -> Dataset:
+    """Surgical span-level decontamination
+    (stages/curation.decontaminate_spans): docs with ``doc_id % 13 ==
+    0`` play the eval set; in every other doc each word 5-gram found
+    in the eval set marks its 5 covered words, covered words are cut
+    and survivors re-joined — untouched docs keep their original text
+    byte-identically. Broadcast eval grams, zero shuffles; cleaned
+    text compared bit-exactly against the position-painting DuckDB
+    twin. Natural 5-gram overlap is rare in the synthetic corpus, so
+    BOTH sides plant a shared sentinel phrase (appended to every
+    doc_id % 7 == 0 corpus doc AND to every eval doc) — the planted
+    span is cut from ~1/7 of the corpus at every sf, the same
+    planted-oracle trick as pii_scrub_docs."""
+    from ..stages.curation import decontaminate_spans
+    docs = _docs_nonempty(sf_dir, ["doc_id", "text"])
+
+    def split(eq: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = did % 13 == 0
+            t = t.filter(pa.array(m if eq else ~m))
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            plant = m[m] if eq else (did % 7 == 0)
+            txt = pc.if_else(
+                pa.array(plant),
+                pc.binary_join_element_wise(
+                    t["text"], "qq ww ee rr tt", " "),
+                t["text"])
+            return t.set_column(t.schema.get_field_index("text"),
+                                "text", txt)
+        return fn
+
+    evd = docs.map_batches(split(True), batch_format="pyarrow")
+    corpus = docs.map_batches(split(False), batch_format="pyarrow")
+    return decontaminate_spans(corpus, evd, k=5)
+
+
+DECONTAMINATE_SPANS_SQL = """
+WITH d2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0 OR doc_id % 7 = 0
+              THEN text || ' qq ww ee rr tt' ELSE text END AS text
+  FROM documents WHERE trim(text) <> ''),
+w AS (SELECT doc_id, text, str_split(trim(text), ' ') AS ws FROM d2),
+evg AS (SELECT DISTINCT unnest(CASE WHEN len(ws) < 5
+             THEN [array_to_string(ws, ' ')]
+             ELSE [array_to_string(ws[i:i+4], ' ')
+                   FOR i IN range(1, len(ws) - 3)] END) AS gm
+        FROM w WHERE doc_id % 13 = 0),
+c AS (SELECT doc_id, text, ws, len(ws) AS nw FROM w
+      WHERE doc_id % 13 <> 0),
+gpos AS (
+  SELECT doc_id,
+         unnest(CASE WHEN nw < 5 THEN [array_to_string(ws, ' ')]
+                ELSE [array_to_string(ws[i:i+4], ' ')
+                      FOR i IN range(1, nw - 3)] END) AS gm,
+         unnest(CASE WHEN nw < 5 THEN [1]
+                ELSE range(1, nw - 3) END) AS i,
+         (CASE WHEN nw < 5 THEN nw ELSE 5 END) AS glen
+  FROM c),
+covered AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT g.doc_id, unnest(range(g.i, g.i + g.glen)) AS p
+    FROM gpos g JOIN evg e USING (gm))),
+wordpos AS (SELECT doc_id, unnest(ws) AS word,
+                   unnest(range(1, nw + 1)) AS wp, nw
+            FROM c),
+reb AS (
+  SELECT x.doc_id,
+         coalesce(string_agg(CASE WHEN cv.p IS NULL THEN x.word END,
+                             ' ' ORDER BY x.wp), '') AS newtext,
+         any_value(x.nw) AS n_words,
+         (sum(CASE WHEN cv.p IS NOT NULL THEN 1 ELSE 0 END))::BIGINT
+           AS n_removed_words
+  FROM wordpos x LEFT JOIN covered cv
+       ON cv.doc_id = x.doc_id AND cv.p = x.wp
+  GROUP BY x.doc_id)
+SELECT c.doc_id,
+       CASE WHEN r.n_removed_words = 0 THEN c.text
+            ELSE r.newtext END AS text,
+       r.n_words, r.n_removed_words
+FROM c JOIN reb r USING (doc_id)
+"""
+
+
 def fuzzy_decontaminate_docs(sf_dir: str) -> Dataset:
     """Fuzzy benchmark decontamination: docs with ``doc_id % 13 == 0``
     play the eval set; every other doc is scored by its MAX exact
@@ -7637,7 +7722,9 @@ QUERIES = {
     # pre-prune (row_number QUALIFY twin); web_curated_docs — the
     # composed boilerplate→gate→exact-dedup→cap chain under ONE
     # CTE-chained oracle; canonical_docs — quality-aware canonical
-    # selection per near-dup cluster (recursive-CTE + row_number twin).
+    # selection per near-dup cluster (recursive-CTE + row_number twin);
+    # decontaminate_spans_docs — surgical span-level decontamination
+    # (position-painting twin, planted sentinel spans).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -7854,6 +7941,7 @@ QUERIES = {
     "cap_per_source_docs": cap_per_source_docs,
     "web_curated_docs": web_curated_docs,
     "canonical_docs": canonical_docs,
+    "decontaminate_spans_docs": decontaminate_spans_docs,
 }
 
 ORACLE_SQL = {
@@ -8033,6 +8121,7 @@ ORACLE_SQL = {
     "cap_per_source_docs": CAP_PER_SOURCE_SQL,
     "web_curated_docs": WEB_CURATED_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
+    "decontaminate_spans_docs": DECONTAMINATE_SPANS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -867,6 +867,130 @@ def duplicate_spans(ds: Dataset, text_col: str = "text",
                           drop_bucket=False)
 
 
+class _SpanScrubber:
+    """Per-worker kernel for :func:`decontaminate_spans`: broadcast
+    eval-gram membership (one ``searchsorted`` per batch, grams fetched
+    zero-copy once per worker), covered word positions painted with a
+    delta+cumsum interval pass, survivors re-joined per doc. Zero
+    shuffles."""
+
+    def __init__(self, grams_ref, text_col: str, k: int):
+        self.grams_ref = grams_ref
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .partition import _stable_hash_strings
+        grams = broadcast_get(self.grams_ref)
+        k = self.k
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        trimmed = pc.utf8_trim_whitespace(col)
+        words = pc.utf8_split_whitespace(trimmed)
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_docs = len(batch)
+        raw_len = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False)
+        raw_len = np.nan_to_num(raw_len.astype(np.float64)
+                                ).astype(np.int64)
+        # empty-text docs split to [""] — zero their length and drop
+        # the empty token from the flat stream (shared convention)
+        empty_doc = pc.coalesce(
+            pc.equal(pc.utf8_length(trimmed), pa.scalar(0)),
+            pa.scalar(True)).to_numpy(zero_copy_only=False)
+        row_len = np.where(empty_doc, 0, raw_len)
+        flat_all = words.flatten()
+        flat = flat_all.filter(pc.not_equal(flat_all, pa.scalar(""))) \
+            if len(flat_all) else flat_all
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), row_len)
+        starts = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(row_len, out=starts[1:])
+        N = int(starts[-1])
+        wh = _stable_hash_strings(flat) if N else \
+            np.zeros(0, dtype=np.uint64)
+        delta = np.zeros(N + 1, dtype=np.int64)
+        if N and len(grams):
+            valid_n = max(N - k + 1, 0)
+            with np.errstate(over="ignore"):
+                if valid_n:
+                    sh = wh[:valid_n].copy()
+                    for j in range(1, k):
+                        sh = sh * np.uint64(1099511628211) \
+                            + wh[j:valid_n + j]
+                    in_doc = doc_of[:valid_n] == doc_of[k - 1:]
+                    pos = np.flatnonzero(in_doc)
+                    sh = sh[in_doc]
+                    idx = np.searchsorted(grams, sh)
+                    idx[idx == len(grams)] = 0
+                    hit_pos = pos[grams[idx] == sh]
+                    np.add.at(delta, hit_pos, 1)
+                    np.add.at(delta, hit_pos + k, -1)
+                # short docs (< k words): whole text is ONE gram — a
+                # hit empties the doc (same convention as the shingler
+                # / decontaminate); vectorized per distinct length
+                for L in np.unique(row_len[(row_len > 0)
+                                           & (row_len < k)]):
+                    ds_ = np.flatnonzero(row_len == L)
+                    s0 = starts[ds_]
+                    with np.errstate(over="ignore"):
+                        g = wh[s0].copy()
+                        for j in range(1, int(L)):
+                            g = g * np.uint64(1099511628211) + wh[s0 + j]
+                    idx = np.searchsorted(grams, g)
+                    idx[idx == len(grams)] = 0
+                    hd = ds_[grams[idx] == g]
+                    np.add.at(delta, starts[hd], 1)
+                    np.add.at(delta, starts[hd] + int(L), -1)
+        cov = np.cumsum(delta[:N]) > 0
+        removed = np.bincount(doc_of[cov], minlength=n_docs) \
+            .astype(np.int64) if N else np.zeros(n_docs, dtype=np.int64)
+        new_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(row_len - removed, out=new_offs[1:])
+        kept = flat.filter(pa.array(~cov)) if N else flat
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept)
+        rebuilt = pc.binary_join(lst, pa.scalar(" ", type=kept.type))
+        # untouched docs keep their ORIGINAL text byte-identically
+        # (rebuild normalizes whitespace, only scrubbed docs pay that)
+        text_out = pc.if_else(pa.array(removed == 0), col,
+                              pc.cast(rebuilt, col.type))
+        i = batch.schema.get_field_index(self.text_col)
+        batch = batch.set_column(i, self.text_col, text_out)
+        batch = batch.append_column(
+            "n_words", pa.array(row_len, type=pa.int64()))
+        return batch.append_column(
+            "n_removed_words", pa.array(removed, type=pa.int64()))
+
+
+def decontaminate_spans(ds: Dataset, eval_ds: Dataset,
+                        text_col: str = "text", k: int = 5) -> Dataset:
+    """Surgical benchmark decontamination — remove only the
+    CONTAMINATED SPANS instead of dropping whole documents (the
+    OLMo-style complement to :func:`decontaminate`): every word
+    ``k``-gram of the corpus that appears in ``eval_ds`` marks its k
+    covered word positions; covered words are cut and survivors
+    re-joined with single spaces (docs shorter than ``k`` words match
+    as one whole-text gram and come back empty). Documents with NO
+    contamination keep their original text byte-identically. Appends
+    ``n_words`` / ``n_removed_words``.
+
+    Scale shape: identical to :func:`decontaminate` — eval grams are
+    one ``ray.put`` broadcast (benchmark suites are small by
+    construction), the corpus streams through ``map_batches`` with
+    ZERO shuffles; the paint is one delta+cumsum interval pass over
+    the batch's flat word buffer, no per-row Python."""
+    grams = eval_gram_hashes(eval_ds, text_col, k)
+    ref = ray.put(grams)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        kern = cached_kernel(_SpanScrubber, ref, text_col, k)
+        return kern(batch)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # line-level boilerplate removal (CCNet / C4-style)
 # ---------------------------------------------------------------------------

@@ -625,3 +625,59 @@ def test_remove_boilerplate_lines_keep_cols():
     assert out.loc[1, "text"] == "A" and out.loc[1, "source"] == "s1"
     assert out.loc[2, "source"] == "s2" and out.loc[2, "weight"] == 2.0
     assert list(out["n_removed"]) == [1, 1]
+
+
+# ------------------------------------------------ contaminated-span removal
+
+def test_decontaminate_spans_surgical():
+    from feature_extraction_ray.stages.curation import decontaminate_spans
+    ev = _docs([(100, "quick brown fox jumps over")])
+    corpus = _docs([
+        # contaminated span in the middle: exactly the 5 covered words go
+        (1, "intro words then quick brown fox jumps over and a tail"),
+        # clean doc: text byte-identical (even odd   spacing preserved)
+        (2, "nothing shared here at all with anything else"),
+        # two overlapping hits (6-word run shares two 5-grams) -> 6 cut
+        (3, "quick brown fox jumps over quick brown fox jumps over"),
+    ])
+    out = decontaminate_spans(corpus, ev, k=5).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "intro words then and a tail"
+    assert out.loc[1, "n_removed_words"] == 5
+    assert out.loc[1, "n_words"] == 11
+    assert out.loc[2, "text"] == \
+        "nothing shared here at all with anything else"
+    assert out.loc[2, "n_removed_words"] == 0
+    # doc 3: positions 0-4 and 5-9 both hit -> everything removed
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_removed_words"] == 10
+
+
+def test_decontaminate_spans_short_docs_and_whitespace():
+    from feature_extraction_ray.stages.curation import decontaminate_spans
+    ev = _docs([(100, "tiny doc")])
+    corpus = _docs([
+        (1, "tiny doc"),           # short-doc whole-text gram -> emptied
+        (2, "tiny document"),      # different short doc -> untouched
+        (3, ""),                   # empty text: 0 words, unchanged
+        (4, "padded   spacing doc here keeps original bytes"),
+    ])
+    out = decontaminate_spans(corpus, ev, k=5).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "" and out.loc[1, "n_removed_words"] == 2
+    assert out.loc[2, "text"] == "tiny document"
+    assert out.loc[3, "text"] == "" and out.loc[3, "n_words"] == 0
+    # untouched doc keeps ORIGINAL spacing (no normalization)
+    assert out.loc[4, "text"] == \
+        "padded   spacing doc here keeps original bytes"
+
+
+def test_decontaminate_spans_empty_eval_noop():
+    from feature_extraction_ray.stages.curation import decontaminate_spans
+    import pyarrow as _pa
+    ev = rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([], type=_pa.int64()),
+        "text": _pa.array([], type=_pa.string())}))
+    corpus = _docs([(1, "alpha beta gamma delta epsilon zeta")])
+    out = decontaminate_spans(corpus, ev, k=5).to_pandas()
+    assert out.loc[0, "text"] == "alpha beta gamma delta epsilon zeta"
+    assert out.loc[0, "n_removed_words"] == 0
