@@ -2569,6 +2569,118 @@ FROM c JOIN reb r USING (doc_id)
 """
 
 
+def dedup_lines_within_docs(sf_dir: str) -> Dataset:
+    """WITHIN-document repeated-line removal
+    (stages/curation.dedup_lines_within_doc): multi-line pages built
+    by _build_pages get their doc-own text line duplicated (so every
+    doc has a true within-doc repeat) plus the standing blank line;
+    only the FIRST occurrence of each trimmed non-blank line survives.
+    Zero shuffles — certified against the min-ord window twin."""
+    from ..stages.curation import dedup_lines_within_doc
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def repeat_own(t: pa.Table) -> pa.Table:
+        txt = pc.binary_join_element_wise(t["text"], t["text"], "\n")
+        return t.set_column(t.schema.get_field_index("text"),
+                            "text", txt)
+
+    pages = docs.map_batches(repeat_own, batch_format="pyarrow") \
+        .map_batches(_build_pages, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+    return dedup_lines_within_doc(pages)
+
+
+DEDUP_LINES_WITHIN_SQL = """
+WITH m AS (
+  SELECT doc_id,
+         (text || chr(10) || text) || chr(10) ||
+         (CASE WHEN doc_id % 3 = 0 THEN 'COOKIE NOTICE: we use cookies'
+               ELSE 'UNIQ-' || doc_id END) ||
+         chr(10) || chr(10) ||
+         ('Footer section ' || (doc_id % 5)) AS mtext
+  FROM documents
+),
+l AS (
+  SELECT doc_id, unnest(ls) AS line,
+         unnest(range(1, len(ls)+1)) AS ord, len(ls) AS n_lines
+  FROM (SELECT doc_id, string_split(mtext, chr(10)) AS ls FROM m)
+),
+l2 AS (SELECT *, trim(line, ' ' || chr(9) || chr(13)) AS norm,
+              min(ord) OVER (PARTITION BY doc_id,
+                             trim(line, ' ' || chr(9) || chr(13)))
+                AS first_ord
+       FROM l)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN norm = '' OR ord = first_ord
+                                THEN line END, chr(10) ORDER BY ord),
+                '') AS text,
+       any_value(n_lines) AS n_lines,
+       (sum(CASE WHEN norm <> '' AND ord <> first_ord
+                 THEN 1 ELSE 0 END))::BIGINT AS n_removed
+FROM l2 GROUP BY doc_id
+"""
+
+
+def canonicalized_text_docs(sf_dir: str) -> Dataset:
+    """Whitespace + case canonicalization
+    (stages/textprep.canonicalize_text): both sides first derange the
+    corpus deterministically (doubled spaces on even ids, a tab
+    prefix, an appended 'MiXeD Case TAIL') so trim / collapse / lower
+    are exercised on every row; compares the canonical text plus
+    before/after char counts bit-exactly. The oracle stays ASCII-only
+    because DuckDB exposes only NFC while the engine canonicalizes to
+    DECOMPOSED forms (pyarrow's normalize kernel cannot compose -
+    measured); the Unicode leg is pinned against stdlib
+    unicodedata.normalize in pytest instead."""
+    from ..stages.textprep import canonicalize_text
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derange(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pc.if_else(pa.array(did % 2 == 0),
+                          pc.replace_substring(t["text"], " ", "  "),
+                          t["text"])
+        messy = pc.binary_join_element_wise(
+            "\t", base, " MiXeD Case TAIL", "")
+        return pa.table({"doc_id": t["doc_id"], "text": messy,
+                         "n_chars_messy": pc.cast(
+                             pc.utf8_length(messy), pa.int64())})
+
+    messy = docs.map_batches(derange, batch_format="pyarrow")
+    out = canonicalize_text(messy, lower=True)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "text": t["text"],
+            "n_chars_messy": t["n_chars_messy"],
+            "n_chars_canon": pc.cast(pc.utf8_length(t["text"]),
+                                     pa.int64())})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+CANONICALIZED_TEXT_SQL = """
+WITH messy AS (
+  SELECT doc_id,
+         chr(9) ||
+         (CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', '  ')
+               ELSE text END) ||
+         ' MiXeD Case TAIL' AS text
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars_messy,
+         lower(regexp_replace(
+             trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+             '\\s+', ' ', 'g')) AS text
+  FROM messy
+)
+SELECT doc_id, text, n_chars_messy,
+       length(text)::BIGINT AS n_chars_canon
+FROM canon
+"""
+
+
 def fuzzy_decontaminate_docs(sf_dir: str) -> Dataset:
     """Fuzzy benchmark decontamination: docs with ``doc_id % 13 == 0``
     play the eval set; every other doc is scored by its MAX exact
@@ -7724,7 +7836,10 @@ QUERIES = {
     # CTE-chained oracle; canonical_docs — quality-aware canonical
     # selection per near-dup cluster (recursive-CTE + row_number twin);
     # decontaminate_spans_docs — surgical span-level decontamination
-    # (position-painting twin, planted sentinel spans).
+    # (position-painting twin, planted sentinel spans);
+    # dedup_lines_within_docs — C4 intra-doc repeated-line removal
+    # (min-ord window twin); canonicalized_text_docs — whitespace+case
+    # canonicalization (ASCII twin; NFD leg pinned vs unicodedata).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -7942,6 +8057,8 @@ QUERIES = {
     "web_curated_docs": web_curated_docs,
     "canonical_docs": canonical_docs,
     "decontaminate_spans_docs": decontaminate_spans_docs,
+    "dedup_lines_within_docs": dedup_lines_within_docs,
+    "canonicalized_text_docs": canonicalized_text_docs,
 }
 
 ORACLE_SQL = {
@@ -8122,6 +8239,8 @@ ORACLE_SQL = {
     "web_curated_docs": WEB_CURATED_SQL,
     "canonical_docs": CANONICAL_DOCS_SQL,
     "decontaminate_spans_docs": DECONTAMINATE_SPANS_SQL,
+    "dedup_lines_within_docs": DEDUP_LINES_WITHIN_SQL,
+    "canonicalized_text_docs": CANONICALIZED_TEXT_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

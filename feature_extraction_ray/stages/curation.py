@@ -1153,6 +1153,56 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
                           num_buckets=num_buckets, drop_bucket=False)
 
 
+def dedup_lines_within_doc(ds: Dataset, text_col: str = "text",
+                           id_col: str = "doc_id") -> Dataset:
+    """WITHIN-document repeated-line removal — the C4 "deduplicate
+    lines within a page" hygiene step, the intra-doc sibling of
+    :func:`remove_boilerplate_lines`: within each document, only the
+    FIRST occurrence of every trimmed non-blank line survives; later
+    repeats are cut, survivors rejoined in order, blank lines always
+    kept (structure, never counted as repeats). Appends ``n_lines`` /
+    ``n_removed``. Purely per-document → ZERO shuffles, one vectorized
+    explode/lexsort/rebuild pass per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n_docs = len(t)
+        la = _split_lines(t[text_col])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = la.flatten()
+        N = len(flat)
+        if N == 0:
+            t = t.append_column("n_lines", pa.array(counts))
+            return t.append_column(
+                "n_removed", pa.array(np.zeros(n_docs, dtype=np.int64)))
+        parent = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        norm = pc.utf8_trim(flat, characters=_LINE_TRIM)
+        codes = _dict_codes(norm)
+        blank = pc.equal(norm, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        idx = np.arange(N, dtype=np.int64)
+        order = np.lexsort((idx, codes, parent))
+        p_s, c_s = parent[order], codes[order]
+        first = np.r_[True, (p_s[1:] != p_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        keep = np.zeros(N, dtype=bool)
+        keep[order] = first
+        keep |= blank
+        removed = np.bincount(parent[~keep], minlength=n_docs) \
+            .astype(np.int64)
+        new_offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts - removed, out=new_offs[1:])
+        kept = flat.filter(pa.array(keep))
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept)
+        clean = pc.binary_join(lst, pa.scalar("\n", type=kept.type))
+        i = t.schema.get_field_index(text_col)
+        t = t.set_column(i, text_col, pc.cast(clean, t[text_col].type))
+        t = t.append_column("n_lines", pa.array(counts))
+        return t.append_column("n_removed", pa.array(removed))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # per-domain document cap
 # ---------------------------------------------------------------------------

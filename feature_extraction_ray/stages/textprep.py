@@ -481,3 +481,47 @@ def _ranges(lens: "np.ndarray"):
     total = int(lens.sum())
     starts = np.r_[0, np.cumsum(lens)[:-1]]
     return np.arange(total) - np.repeat(starts, lens)
+
+
+def canonicalize_text(ds: Dataset, text_col: str = "text",
+                      form: str | None = "NFD", lower: bool = False,
+                      collapse_ws: bool = True,
+                      out_col: str | None = None) -> Dataset:
+    """Unicode + whitespace canonicalization ahead of exact/near dedup —
+    catches trivially-variant duplicates an exact hash misses
+    (combining-character encodings of the same glyph, runs of
+    whitespace, case): trim → Unicode-normalize (``form`` ∈ NFD/NFKD,
+    None to skip) → collapse ``\\s+`` runs to one space → optional
+    lowercase. Zero shuffles, pure Arrow kernels (utf8_normalize +
+    RE2); ``out_col=None`` rewrites ``text_col`` in place.
+
+    The canonical target is a DECOMPOSED form by design: equal NFD
+    strings ⇔ canonically-equivalent text, which is all dedup needs —
+    and pyarrow's ``utf8_normalize`` (≤16.x, measured) decomposes but
+    never RE-composes, so requesting NFC/NFKC there silently yields
+    NFD/NFKD; this function rejects the composed forms rather than
+    mislabel its output."""
+    if form is not None and form not in ("NFD", "NFKD"):
+        raise ValueError(
+            f"form must be 'NFD', 'NFKD' or None, got {form!r} — "
+            "pyarrow's utf8_normalize cannot COMPOSE (NFC/NFKC output "
+            "would silently stay decomposed)")
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        x = pc.utf8_trim_whitespace(col)
+        if form is not None:
+            x = pc.utf8_normalize(x, form=form)
+        if collapse_ws:
+            x = pc.replace_substring_regex(x, pattern=r"\s+",
+                                           replacement=" ")
+        if lower:
+            x = pc.utf8_lower(x)
+        if out_col is None:
+            return t.set_column(t.schema.get_field_index(text_col),
+                                text_col, pc.cast(x, col.type))
+        return t.append_column(out_col, x)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

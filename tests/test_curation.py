@@ -681,3 +681,38 @@ def test_decontaminate_spans_empty_eval_noop():
     out = decontaminate_spans(corpus, ev, k=5).to_pandas()
     assert out.loc[0, "text"] == "alpha beta gamma delta epsilon zeta"
     assert out.loc[0, "n_removed_words"] == 0
+
+
+# -------------------------------------------------- within-doc line dedup
+
+def test_dedup_lines_within_doc_golden():
+    from feature_extraction_ray.stages.curation import (
+        dedup_lines_within_doc)
+    docs = _docs([
+        # repeated line cut on SECOND occurrence; trailing-space variant
+        # trims to the same line; blank lines always kept
+        (1, "alpha\nbeta\nalpha  \n\nbeta\ngamma"),
+        (2, "one\ntwo\nthree"),
+        (3, "same\nsame\nsame"),
+        (4, ""),
+    ])
+    out = dedup_lines_within_doc(docs).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "alpha\nbeta\n\ngamma"
+    assert out.loc[1, "n_lines"] == 6 and out.loc[1, "n_removed"] == 2
+    assert out.loc[2, "text"] == "one\ntwo\nthree"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[3, "text"] == "same" and out.loc[3, "n_removed"] == 2
+    assert out.loc[4, "text"] == "" and out.loc[4, "n_lines"] == 1
+
+
+def test_dedup_lines_cross_doc_untouched():
+    from feature_extraction_ray.stages.curation import (
+        dedup_lines_within_doc)
+    # the same line in DIFFERENT docs is never touched (intra-doc only)
+    docs = _docs([(1, "shared\nA"), (2, "shared\nB")])
+    out = dedup_lines_within_doc(docs).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "text"] == "shared\nA"
+    assert out.loc[2, "text"] == "shared\nB"
+    assert (out["n_removed"] == 0).all()

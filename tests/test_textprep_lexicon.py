@@ -233,3 +233,45 @@ def test_apply_phrases_vectorized_matches_greedy_loop(ray_session):
     # out_col variant + empty table no-op
     got2 = apply_phrases(ds, {}, out_col="t2").to_pandas()
     assert got2["t2"].tolist() == [" ".join(t.split()) for t in docs]
+
+
+# --------------------------------------------------- text canonicalization
+
+def test_canonicalize_text_unicode_and_ws():
+    import unicodedata
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.textprep import canonicalize_text
+    decomposed = "Café  du \t Monde"
+    precomposed = "Caf\u00e9 du Monde"  # U+00E9, truly composed
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([decomposed, "  " + precomposed + " \t"])}))
+    out = canonicalize_text(ds).to_pandas().set_index("doc_id")
+    # both variants land on the SAME canonical (NFD, collapsed) string,
+    # matching stdlib unicodedata.normalize exactly
+    want = unicodedata.normalize("NFD", "Caf\u00e9 du Monde")
+    assert out.loc[1, "text"] == want
+    assert out.loc[2, "text"] == want
+    # lower + out_col append; original column untouched
+    out2 = canonicalize_text(ds, lower=True, out_col="canon") \
+        .to_pandas().set_index("doc_id")
+    assert out2.loc[1, "canon"] == unicodedata.normalize(
+        "NFD", "caf\u00e9 du monde")
+    assert out2.loc[1, "text"] == decomposed
+
+
+def test_canonicalize_text_rejects_composed_forms():
+    import pytest
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.textprep import canonicalize_text
+    ds = rd.from_arrow(pa.table({"text": pa.array(["x"])}))
+    # pyarrow's utf8_normalize cannot COMPOSE (measured: NFC of a
+    # decomposed string stays decomposed) — the engine fails loudly
+    # instead of mislabeling its output
+    with pytest.raises(ValueError):
+        canonicalize_text(ds, form="NFC")
+    # form=None skips normalization entirely
+    out = canonicalize_text(ds, form=None).to_pandas()
+    assert out.loc[0, "text"] == "x"
