@@ -7363,6 +7363,22 @@ def token_surprisal_docs(sf_dir: str) -> Dataset:
     return _round(out, {"sum_logprob": 4})
 
 
+def token_bigram_surprisal_docs(sf_dir: str) -> Dataset:
+    """Word-order-aware perplexity scoring natively on token ids
+    (stages/tokengrams.token_bigram_surprisal): consecutive-pair +
+    context counts packed into int64 keys through ONE groupby
+    exchange, conditional-MLE logprobs broadcast, per-doc segmented
+    sums over the F1 fixture, rounded 4dp (irrational ln values →
+    boundary-safe). Docs with < 2 tokens dropped."""
+    from ..stages.tokengrams import token_bigram_surprisal
+    tok, _ = _token_fixture()
+    out = token_bigram_surprisal(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])))
+    return _round(out.select_columns(["doc_id", "n_pairs",
+                                      "sum_logprob"]),
+                  {"sum_logprob": 4})
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -7641,6 +7657,20 @@ SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
 FROM w JOIN c USING (token) CROSS JOIN t
 GROUP BY w.doc_id
 """
+    bigram_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+p AS (SELECT doc_id, tokens[i] AS w1, tokens[i + 1] AS w2
+      FROM (SELECT doc_id, tokens, unnest(range(1, len(tokens))) AS i
+            FROM tok WHERE len(tokens) >= 2)),
+pcnt AS (SELECT w1, w2, count(*) AS n12 FROM p GROUP BY w1, w2),
+ccnt AS (SELECT w1, count(*) AS nctx FROM p GROUP BY w1)
+SELECT p.doc_id, count(*)::BIGINT AS n_pairs,
+       round(sum(ln(CAST(pcnt.n12 AS DOUBLE) / ccnt.nctx)), 4)
+         AS sum_logprob
+FROM p JOIN pcnt USING (w1, w2) JOIN ccnt USING (w1)
+GROUP BY p.doc_id
+"""
     fill_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -7760,6 +7790,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
     return {"token_lag_arrays": lag_sql,
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
+            "token_bigram_surprisal_docs": bigram_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -7823,7 +7854,8 @@ QUERIES = {
     # token-array equality via array_to_string both sides over the
     # embedded F1/F2 VALUES fixture; token_repetition_docs /
     # token_decontaminate_docs / token_dedup_spans_docs /
-    # token_surprisal_docs / token_fill_arrays / token_profile_docs /
+    # token_surprisal_docs / token_bigram_surprisal_docs /
+    # token_fill_arrays / token_profile_docs /
     # token_chunks_docs / token_remap_docs — tokengrams.py curation
     # twins + list-payload window oracles; and
     # exact_dedup_incremental_docs — the persisted-store exact-dedup
@@ -8041,6 +8073,7 @@ QUERIES = {
     "token_decontaminate_docs": token_decontaminate_docs,
     "token_dedup_spans_docs": token_dedup_spans_docs,
     "token_surprisal_docs": token_surprisal_docs,
+    "token_bigram_surprisal_docs": token_bigram_surprisal_docs,
     "exact_dedup_incremental_docs": exact_dedup_incremental_docs,
     "token_minhash_dedup_docs": token_minhash_dedup_docs,
     "token_fill_arrays": token_fill_arrays,
@@ -8227,6 +8260,8 @@ ORACLE_SQL = {
         _TOKEN_ORACLE_SQLS["token_decontaminate_docs"],
     "token_dedup_spans_docs": _TOKEN_ORACLE_SQLS["token_dedup_spans_docs"],
     "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
+    "token_bigram_surprisal_docs":
+        _TOKEN_ORACLE_SQLS["token_bigram_surprisal_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -927,3 +927,135 @@ def token_decontaminate(ds: Dataset, eval_ds: Dataset,
     if drop:
         out = out.filter(expr="n_overlap == 0")
     return out
+
+
+# ---------------------------------------------------------------------------
+# bigram LM surprisal on token ids
+# ---------------------------------------------------------------------------
+
+_CTX_SENTINEL = np.int64((1 << 32) - 1)
+
+
+def _packed_pairs_of_batch(col, tokens_col=None):
+    """Flat consecutive in-doc token pairs packed into ONE int64 key
+    ``(w1 << 32) | w2`` (ids are non-negative int32, so keys stay
+    positive and a real pair can never collide with the context
+    sentinel ``(w1 << 32) | 0xFFFFFFFF``), plus per-doc pair counts."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    m = np.maximum(lengths - 1, 0)
+    tot = int(m.sum())
+    if tot == 0:
+        return np.zeros(0, dtype=np.int64), m
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    i1 = (np.arange(tot, dtype=np.int64)
+          - np.repeat(np.cumsum(m) - m, m)
+          + np.repeat(offs[:-1], m))
+    keys = (flat[i1] << np.int64(32)) | flat[i1 + 1]
+    return keys, m
+
+
+def fit_token_bigram_lm(ds: Dataset, tokens_col: str = "tokens",
+                        top_k: int | None = None) -> dict:
+    """Distributed bigram LM over token ids — the word-order-aware rung
+    above :func:`fit_token_unigram_lm`, run natively on the
+    pre-tokenized payload: per-batch partial counts of packed
+    consecutive-pair keys AND of context occurrences (w1, packed with
+    the sentinel low word) ride ONE ``groupby(key).sum()`` exchange;
+    the driver derives conditional-MLE logprobs ``ln(n12 / nctx(w1))``
+    over a sorted int64 key array (vocab²-bounded in principle, corpus-
+    pair-bounded in practice; ``top_k`` caps the PAIR table most-
+    frequent-first with smaller-key tie-break — context counts stay
+    exact — and capped-out pairs score the OOV floor
+    ``-ln(total_pairs)``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, _ = _packed_pairs_of_batch(t[tokens_col])
+        if len(keys) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        ctx = (keys >> np.int64(32)) << np.int64(32) | _CTX_SENTINEL
+        u, c = np.unique(np.concatenate([keys, ctx]), return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    key = counts["key"].to_numpy(dtype=np.int64)
+    cnt = counts["cnt"].to_numpy(dtype=np.int64)
+    is_ctx = (key & _CTX_SENTINEL) == _CTX_SENTINEL
+    ctx_key, ctx_cnt = key[is_ctx], cnt[is_ctx]
+    pk, pn = key[~is_ctx], cnt[~is_ctx]
+    total = int(pn.sum())
+    if top_k is not None and len(pk) > top_k:
+        sel = np.lexsort((pk, -pn))[:top_k]
+        pk, pn = pk[sel], pn[sel]
+    order = np.argsort(pk)
+    pk, pn = pk[order], pn[order]
+    co = np.argsort(ctx_key)
+    ctx_key, ctx_cnt = ctx_key[co], ctx_cnt[co]
+    want = (pk >> np.int64(32)) << np.int64(32) | _CTX_SENTINEL
+    nc = ctx_cnt[np.searchsorted(ctx_key, want)]
+    lp = np.log(pn.astype(np.float64) / nc.astype(np.float64))
+    return {"keys": pk, "logprob": lp, "total": total}
+
+
+class _TokenBigramScorer:
+    """Per-worker kernel: broadcast (sorted packed pair keys, logprobs);
+    per batch one searchsorted over the packed flat pair buffer +
+    per-doc segmented sums. Unseen pairs (top_k-capped fits) score the
+    ``-ln(total_pairs)`` floor."""
+
+    def __init__(self, lm_ref, tokens_col: str):
+        from .partition import broadcast_get
+        lm = broadcast_get(lm_ref)
+        self.keys = lm["keys"]
+        self.lp = lm["logprob"]
+        self.floor = -np.log(max(lm["total"], 1))
+        self.tokens_col = tokens_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys, m = _packed_pairs_of_batch(batch[self.tokens_col])
+        vals = np.zeros(len(keys), dtype=np.float64)
+        if len(keys):
+            if len(self.keys):
+                idx = np.searchsorted(self.keys, keys)
+                idx[idx == len(self.keys)] = 0
+                hit = self.keys[idx] == keys
+                vals = np.where(hit, self.lp[idx], self.floor)
+            else:
+                vals = np.full(len(keys), self.floor)
+        starts = np.zeros(len(m) + 1, dtype=np.int64)
+        np.cumsum(m, out=starts[1:])
+        nz = m > 0
+        sums = np.zeros(len(m), dtype=np.float64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(vals, starts[:-1][nz])
+        out = batch.filter(pa.array(nz))
+        out = out.append_column("n_pairs",
+                                pa.array(m[nz], type=pa.int64()))
+        return out.append_column("sum_logprob", pa.array(sums[nz]))
+
+
+def token_bigram_surprisal(ds: Dataset, lm: dict | None = None,
+                           tokens_col: str = "tokens") -> Dataset:
+    """Fit (if no ``lm``) + score: per-doc ``(…, n_pairs,
+    sum_logprob)`` under the corpus token-BIGRAM conditional LM — the
+    word-order-aware perplexity filter run natively on token ids.
+    Docs with fewer than two tokens are dropped (no bigram). Oracle
+    comparisons round (ln values are irrational → boundary-safe)."""
+    from .partition import cached_kernel
+    if lm is None:
+        lm = fit_token_bigram_lm(ds, tokens_col)
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_TokenBigramScorer, ref, tokens_col)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")

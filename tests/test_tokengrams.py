@@ -431,3 +431,50 @@ def test_span_removal_checkpointed_resume_identical(ray_session, tmp_path):
         str(src), out_dir, k=8, min_docs=3, occ_buckets=6,
         rebuild_buckets=4)
     assert len(s4["occ"]["written"]) == 6
+
+
+# ------------------------------------------------------- bigram surprisal
+
+def _tok_ds(rows):
+    import pyarrow as _pa
+    import ray.data as _rd
+    return _rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+
+
+def test_token_bigram_surprisal_naive_parity():
+    import math
+    from collections import Counter
+    from feature_extraction_ray.stages.tokengrams import (
+        token_bigram_surprisal)
+    rows = [(1, [5, 7, 5, 7, 9]), (2, [7, 5, 7]), (3, [9]), (4, [])]
+    out = token_bigram_surprisal(_tok_ds(rows)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # docs with < 2 tokens dropped
+    assert sorted(out.index) == [1, 2]
+    pairs = [(a, b) for _, t in rows for a, b in zip(t, t[1:])]
+    pc_ = Counter(pairs)
+    cc = Counter(a for a, _ in pairs)
+    for did, toks in rows[:2]:
+        want = sum(math.log(pc_[(a, b)] / cc[a])
+                   for a, b in zip(toks, toks[1:]))
+        got = out.loc[did]
+        assert got["n_pairs"] == len(toks) - 1
+        assert abs(got["sum_logprob"] - want) < 1e-12
+
+
+def test_token_bigram_topk_floor():
+    import math
+    from feature_extraction_ray.stages.tokengrams import (
+        fit_token_bigram_lm, token_bigram_surprisal)
+    # (5,7) x3 dominates; top_k=1 keeps only it, (7,5) pairs hit the
+    # -ln(total_pairs) floor
+    rows = [(1, [5, 7, 5, 7, 5, 7])]
+    lm = fit_token_bigram_lm(_tok_ds(rows), top_k=1)
+    assert len(lm["keys"]) == 1 and lm["total"] == 5
+    out = token_bigram_surprisal(_tok_ds(rows), lm=lm).to_pandas()
+    # 3 kept pairs at ln(3/3)=0, 2 floored at -ln(5)
+    want = 3 * math.log(3 / 3) + 2 * (-math.log(5))
+    assert abs(out.loc[0, "sum_logprob"] - want) < 1e-12
