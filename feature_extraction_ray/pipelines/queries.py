@@ -7350,6 +7350,36 @@ QUALIFY src_rank <= 5
 """)
 
 
+def bloom_lookup_docs(sf_dir: str) -> Dataset:
+    """Point lookup through the file-level Bloom-index layout
+    (sources/writers.write_bloom_indexed / read_bloom_indexed): the
+    documents table lands as an 8-file layout with per-file bloom
+    sidecars keyed on doc_id; a 5-key lookup probes the sidecars and
+    reads only admitting files, with the exact IN-residual fused —
+    equivalent to ``WHERE doc_id IN (...)`` over the raw table."""
+    import shutil
+    import tempfile
+
+    from ..sources.writers import read_bloom_indexed, write_bloom_indexed
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    keys = [1, 97, 211, 404, 499]
+    d = tempfile.mkdtemp(prefix="bloomidx_")
+    try:
+        write_bloom_indexed(docs.repartition(8), d, "doc_id")
+        ds, _, _ = read_bloom_indexed(d, keys)
+        out = pa.Table.from_pandas(ds.to_pandas(),
+                                   preserve_index=False)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return rd.from_arrow(out.select(["doc_id", "source", "n_chars"]))
+
+
+BLOOM_LOOKUP_DOCS_SQL = """
+SELECT doc_id, source, n_chars FROM documents
+WHERE doc_id IN (1, 97, 211, 404, 499)
+"""
+
+
 def token_surprisal_docs(sf_dir: str) -> Dataset:
     """Perplexity-style quality scoring natively on token ids
     (stages/tokengrams.token_surprisal_scores): distributed token-count
@@ -7871,7 +7901,8 @@ QUERIES = {
     # (position-painting twin, planted sentinel spans);
     # dedup_lines_within_docs — C4 intra-doc repeated-line removal
     # (min-ord window twin); canonicalized_text_docs — whitespace+case
-    # canonicalization (ASCII twin; NFD leg pinned vs unicodedata).
+    # canonicalization (ASCII twin; NFD leg pinned vs unicodedata);
+    # bloom_lookup_docs — Bloom-indexed point lookup (IN twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8092,6 +8123,7 @@ QUERIES = {
     "decontaminate_spans_docs": decontaminate_spans_docs,
     "dedup_lines_within_docs": dedup_lines_within_docs,
     "canonicalized_text_docs": canonicalized_text_docs,
+    "bloom_lookup_docs": bloom_lookup_docs,
 }
 
 ORACLE_SQL = {
@@ -8276,6 +8308,7 @@ ORACLE_SQL = {
     "decontaminate_spans_docs": DECONTAMINATE_SPANS_SQL,
     "dedup_lines_within_docs": DEDUP_LINES_WITHIN_SQL,
     "canonicalized_text_docs": CANONICALIZED_TEXT_SQL,
+    "bloom_lookup_docs": BLOOM_LOOKUP_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -293,6 +293,129 @@ def scan_zonemapped(out_dir: str, col: str, lo, hi,
         n_read, n_total
 
 
+def write_bloom_indexed(ds: Dataset, out_dir: str, key_col: str,
+                        fpp: float = 0.01) -> dict:
+    """File-level Bloom index for EQUALITY predicates — the
+    point-lookup complement to :func:`write_zonemapped`'s range zones
+    (the Delta/Iceberg bloom-file-skipping pattern): one parquet file
+    per input block plus a tiny ``.bloom.npy`` sidecar (uint8 bitmap,
+    the double-hash probe family shared with ``stages/bloom.py``)
+    sized to that file's row count at ``fpp``. Readers probe the
+    KB-scale sidecars first and open only files that MAY contain the
+    key — a point lookup on an UNSORTED 100-TB layout touches a
+    handful of files instead of all of them, with no sort and no
+    shuffle (the layout keeps the input partitioning, so it composes
+    with any upstream ordering)."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def write_block(tbl: pa.Table, path: str, col: str, fpp: float):
+        import pyarrow.parquet as pq
+
+        from ..stages.bloom import _hash_pair, dimension_bloom
+        if len(tbl) == 0:
+            return None
+        pq.write_table(tbl, path)
+        c = tbl[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            c = c.drop_null()
+        num_bits, k = dimension_bloom(len(c), fpp)
+        bits = np.zeros(num_bits // 8, dtype=np.uint8)
+        if len(c):
+            h1, h2 = _hash_pair(c)
+            mod = np.uint64(num_bits - 1)
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    idx = (h1 + np.uint64(i) * h2) & mod
+                    np.bitwise_or.at(
+                        bits, (idx >> np.uint64(3)).astype(np.int64),
+                        np.uint8(1) << (idx & np.uint64(7)).astype(
+                            np.uint8))
+        bp = path[:-len(".parquet")] + ".bloom.npy"
+        with open(bp, "wb") as f:
+            np.save(f, bits)
+        return {"file": os.path.basename(path),
+                "bloom": os.path.basename(bp), "rows": len(tbl),
+                "num_bits": num_bits, "num_hashes": k}
+
+    refs = ds.to_arrow_refs()
+    rows = ray.get([write_block.remote(
+        r, os.path.join(out_dir, f"bloom-{i:05d}.parquet"), key_col, fpp)
+        for i, r in enumerate(refs)])
+    files = [r for r in rows if r is not None]
+    manifest = {"key_col": key_col, "fpp": fpp, "files": files}
+    tmp = os.path.join(out_dir, "bloomindex.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "bloomindex.json"))
+    live = {f["file"] for f in files} | {f["bloom"] for f in files}
+    for fn in os.listdir(out_dir):
+        if fn.startswith("bloom-") and fn not in live \
+                and (fn.endswith(".parquet") or fn.endswith(".npy")):
+            os.remove(os.path.join(out_dir, fn))
+    return manifest
+
+
+def read_bloom_indexed(out_dir: str, values,
+                       columns: Sequence[str] | None = None,
+                       exact: bool = True):
+    """Point lookup over a :func:`write_bloom_indexed` layout: probe
+    every file's sidecar bitmap with the wanted key values (driver-side
+    — sidecars are KBs) and read ONLY files whose bloom admits at least
+    one value; ``exact=True`` fuses the residual ``key IN values``
+    filter so false positives never reach the caller. Returns
+    ``(Dataset, n_files_read, n_files_total)``."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.bloom import BloomFilter
+
+    with open(os.path.join(out_dir, "bloomindex.json")) as f:
+        manifest = json.load(f)
+    key_col = manifest["key_col"]
+    vals = pa.array(values) if not isinstance(
+        values, (pa.Array, pa.ChunkedArray)) else values
+    keep = []
+    for frow in manifest["files"]:
+        bits = np.load(os.path.join(out_dir, frow["bloom"]))
+        bf = BloomFilter(bits, frow["num_bits"], frow["num_hashes"])
+        if bf.contains(vals).any():
+            keep.append(frow["file"])
+    want = columns
+    if exact and columns is not None and key_col not in columns:
+        want = [*columns, key_col]
+    if not keep:
+        ds = rd.read_parquet(
+            [os.path.join(out_dir, manifest["files"][0]["file"])],
+            columns=want).limit(0) if manifest["files"] else None
+        return ds, 0, len(manifest["files"])
+    ds = rd.read_parquet([os.path.join(out_dir, k) for k in keep],
+                         columns=want)
+    if exact:
+        vset = vals
+
+        def residual(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t[key_col], value_set=vset))
+            return t.select(list(columns)) if columns is not None else t
+
+        ds = ds.map_batches(residual, batch_format="pyarrow")
+    return ds, len(keep), len(manifest["files"])
+
+
 def read_documents_jsonl(paths, *, id_col: str = "doc_id",
                          text_col: str = "text",
                          source_col: str = "source",

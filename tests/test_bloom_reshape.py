@@ -257,3 +257,53 @@ def test_snapshot_diff_null_values_equal():
     # k=1: null == null (unchanged); k=2: 5→null; k=3: null→7
     assert dict(zip(got["k"], got["change"])) == {2: "changed",
                                                   3: "changed"}
+
+
+# ----------------------------------------------------- bloom-indexed layout
+
+def test_bloom_indexed_point_lookup(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.sources.writers import (
+        read_bloom_indexed, write_bloom_indexed)
+    n = 4000
+    tbl = pa.table({
+        "k": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array((np.arange(n) * 7 % 101).astype(np.int64))})
+    out = str(tmp_path / "bl")
+    man = write_bloom_indexed(rd.from_arrow(tbl).repartition(8), out, "k")
+    assert len(man["files"]) == 8
+    ds, n_read, n_total = read_bloom_indexed(out, [3, 1999, 3555])
+    got = ds.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [3, 1999, 3555]
+    assert got["v"].tolist() == [(3*7) % 101, (1999*7) % 101,
+                                 (3555*7) % 101]
+    # the point of the index: strictly fewer files than a full scan
+    assert n_read < n_total == 8
+    # absent key: bloom may admit a file or two (fpp), result is empty
+    ds2, n2, _ = read_bloom_indexed(out, [10**9])
+    assert ds2.count() == 0 and n2 <= 2
+    # exact=False returns the superset the blooms admit (no residual)
+    ds3, _, _ = read_bloom_indexed(out, [3], exact=False)
+    assert 3 in ds3.to_pandas()["k"].tolist()
+
+
+def test_bloom_indexed_rewrite_cleans_stale(tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.sources.writers import (
+        read_bloom_indexed, write_bloom_indexed)
+    out = str(tmp_path / "bl")
+    big = rd.from_arrow(pa.table({"k": pa.array(
+        np.arange(100, dtype=np.int64))})).repartition(4)
+    write_bloom_indexed(big, out, "k")
+    small = rd.from_arrow(pa.table({"k": pa.array(
+        np.arange(10, dtype=np.int64))})).repartition(2)
+    write_bloom_indexed(small, out, "k")
+    import os
+    live = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(live) == 2          # the 4-file layout's leftovers gone
+    ds, _, tot = read_bloom_indexed(out, [5])
+    assert tot == 2 and ds.count() == 1
