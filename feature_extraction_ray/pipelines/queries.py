@@ -7350,6 +7350,53 @@ QUALIFY src_rank <= 5
 """)
 
 
+def model_scores_embeddings(sf_dir: str) -> Dataset:
+    """Batched model inference through the autoscaling actor pool
+    (stages/inference.score_embeddings): the deterministic integer
+    linear probe loads once per actor, every batch is one quantize +
+    int64 matmul — scores and argmax compared INTEGER-EXACTLY against
+    the unnest/dot-product SQL twin (inputs quantized with the
+    DuckDB-exact floor(|x|+0.5)·sign sequence both sides)."""
+    import functools
+
+    from ..stages.inference import linear_probe_model, score_embeddings
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = score_embeddings(
+        emb, functools.partial(linear_probe_model, 64, 3),
+        batch_size=256, max_actors=4)
+    return out.select_columns(
+        ["vec_id", "score_0", "score_1", "score_2", "pred"])
+
+
+MODEL_SCORES_EMBEDDINGS_SQL = """
+WITH e AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(range(1, len(embedding) + 1)) AS j
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, j,
+         (floor(abs(CAST(v AS DOUBLE) * 1000.0) + 0.5) *
+          (CASE WHEN v < 0 THEN -1 ELSE 1 END))::BIGINT AS qv
+  FROM e
+),
+s AS (
+  SELECT vec_id,
+         (sum(qv * (((0::BIGINT + j * 2654435761) % 2001)
+                    - 1000)))::BIGINT AS score_0,
+         (sum(qv * (((1315423911::BIGINT + j * 2654435761) % 2001)
+                    - 1000)))::BIGINT AS score_1,
+         (sum(qv * (((2630847822::BIGINT + j * 2654435761) % 2001)
+                    - 1000)))::BIGINT AS score_2
+  FROM q GROUP BY vec_id
+)
+SELECT vec_id, score_0, score_1, score_2,
+       (CASE WHEN score_0 >= score_1 AND score_0 >= score_2 THEN 0
+             WHEN score_1 >= score_2 THEN 1 ELSE 2 END)::BIGINT AS pred
+FROM s
+"""
+
+
 def bloom_lookup_docs(sf_dir: str) -> Dataset:
     """Point lookup through the file-level Bloom-index layout
     (sources/writers.write_bloom_indexed / read_bloom_indexed): the
@@ -7902,7 +7949,9 @@ QUERIES = {
     # dedup_lines_within_docs — C4 intra-doc repeated-line removal
     # (min-ord window twin); canonicalized_text_docs — whitespace+case
     # canonicalization (ASCII twin; NFD leg pinned vs unicodedata);
-    # bloom_lookup_docs — Bloom-indexed point lookup (IN twin).
+    # bloom_lookup_docs — Bloom-indexed point lookup (IN twin);
+    # model_scores_embeddings — actor-pool batched inference
+    # (integer-exact linear-probe dot-product twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8124,6 +8173,7 @@ QUERIES = {
     "dedup_lines_within_docs": dedup_lines_within_docs,
     "canonicalized_text_docs": canonicalized_text_docs,
     "bloom_lookup_docs": bloom_lookup_docs,
+    "model_scores_embeddings": model_scores_embeddings,
 }
 
 ORACLE_SQL = {
@@ -8309,6 +8359,7 @@ ORACLE_SQL = {
     "dedup_lines_within_docs": DEDUP_LINES_WITHIN_SQL,
     "canonicalized_text_docs": CANONICALIZED_TEXT_SQL,
     "bloom_lookup_docs": BLOOM_LOOKUP_DOCS_SQL,
+    "model_scores_embeddings": MODEL_SCORES_EMBEDDINGS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),
