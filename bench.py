@@ -254,6 +254,19 @@ def run_bench() -> dict:
                 shutil.rmtree(out, ignore_errors=True)
         per_query["ivfpq_build_query_200k"] = _best_of(_ivfpq_run)
 
+        # actor-pool batched model inference over the 200k amplified
+        # embeddings (model loads once per actor; one int64 matmul per
+        # batch) — the stage's spin-up + throughput, end to end
+        import functools
+
+        from feature_extraction_ray.stages.inference import (
+            linear_probe_model, score_embeddings)
+        per_query["model_score_200k"] = _best_of(
+            lambda: score_embeddings(
+                amplified_embeddings(SF_DIR, 100),
+                functools.partial(linear_probe_model, 64, 3),
+                batch_size=4096, max_actors=16).count())
+
         # round-3 text ops: TF-IDF fit+score over the amplified corpus,
         # exact n-gram-Jaccard dedup over the raw sf corpus
         from feature_extraction_ray.stages.text import tfidf_scores
