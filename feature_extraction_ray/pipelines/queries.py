@@ -7350,6 +7350,41 @@ QUALIFY src_rank <= 5
 """)
 
 
+def length_batches_docs(sf_dir: str) -> Dataset:
+    """Padding-efficient inference batching
+    (stages/curation.length_bucketed_batches, batch_size=32 over
+    n_chars): global descending-length order with id tie-break, fixed-
+    count batch cut, per-batch max/pad-waste — all integer-exact
+    against the row_number/window SQL twin."""
+    from ..stages.curation import length_bucketed_batches
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = length_bucketed_batches(docs, length_col="n_chars",
+                                  batch_size=32, num_buckets=8)
+    return out.select_columns(["doc_id", "n_chars", "batch_id",
+                               "pos_in_batch", "batch_max_len",
+                               "pad_waste"])
+
+
+LENGTH_BATCHES_DOCS_SQL = """
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+  FROM documents
+),
+b AS (SELECT doc_id, n_chars,
+             (rn // 32)::BIGINT AS batch_id,
+             (rn % 32)::BIGINT AS pos_in_batch
+      FROM r)
+SELECT doc_id, n_chars, batch_id, pos_in_batch,
+       (max(n_chars) OVER (PARTITION BY batch_id))::BIGINT
+         AS batch_max_len,
+       (count(*) OVER (PARTITION BY batch_id) *
+        max(n_chars) OVER (PARTITION BY batch_id) -
+        sum(n_chars) OVER (PARTITION BY batch_id))::BIGINT AS pad_waste
+FROM b
+"""
+
+
 def model_scores_embeddings(sf_dir: str) -> Dataset:
     """Batched model inference through the autoscaling actor pool
     (stages/inference.score_embeddings): the deterministic integer
@@ -7951,7 +7986,9 @@ QUERIES = {
     # canonicalization (ASCII twin; NFD leg pinned vs unicodedata);
     # bloom_lookup_docs — Bloom-indexed point lookup (IN twin);
     # model_scores_embeddings — actor-pool batched inference
-    # (integer-exact linear-probe dot-product twin).
+    # (integer-exact linear-probe dot-product twin);
+    # length_batches_docs — padding-efficient inference batching
+    # (row_number/window twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8174,6 +8211,7 @@ QUERIES = {
     "canonicalized_text_docs": canonicalized_text_docs,
     "bloom_lookup_docs": bloom_lookup_docs,
     "model_scores_embeddings": model_scores_embeddings,
+    "length_batches_docs": length_batches_docs,
 }
 
 ORACLE_SQL = {
@@ -8360,6 +8398,7 @@ ORACLE_SQL = {
     "canonicalized_text_docs": CANONICALIZED_TEXT_SQL,
     "bloom_lookup_docs": BLOOM_LOOKUP_DOCS_SQL,
     "model_scores_embeddings": MODEL_SCORES_EMBEDDINGS_SQL,
+    "length_batches_docs": LENGTH_BATCHES_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

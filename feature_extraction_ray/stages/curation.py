@@ -1270,6 +1270,74 @@ def cap_per_source(ds: Dataset, cap: int, by_col: str = "source",
                           num_buckets=num_buckets)
 
 
+def length_bucketed_batches(ds: Dataset, length_col: str = "n_tok",
+                            id_col: str = "doc_id",
+                            batch_size: int = 32,
+                            num_buckets: int = 32) -> Dataset:
+    """Padding-efficient inference batching: order documents by
+    DESCENDING ``length_col`` (``id_col`` tie-break — the order is
+    total, so assignment is deterministic under any partitioning) and
+    cut the sequence into fixed-count batches of ``batch_size`` — near-
+    equal-length docs land in the same batch, so per-batch padding
+    ``rows × max_len − Σ len`` (what a rectangular inference tensor
+    wastes) is near-minimal. Appends ``batch_id`` / ``pos_in_batch``
+    (both 0-based) plus per-batch ``batch_max_len`` and ``pad_waste``
+    repeated on every member row.
+
+    Scale shape: one range-partition sort + the two-phase prefix scan
+    (``partition.row_number``) assigns global positions, then ONE
+    bucketed exchange on ``batch_id`` computes the per-batch stats —
+    batches are ``batch_size``-row groups, so no task ever holds more
+    than a bucket of tiny groups."""
+    from .partition import row_number
+    from .window import bucketed_apply
+
+    def neg(t: pa.Table) -> pa.Table:
+        v = t[length_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("__neg_len", pa.array(-v))
+
+    rn = row_number(ds.map_batches(neg, batch_format="pyarrow"),
+                    ["__neg_len", id_col], out_col="__rn", start=0)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = t["__rn"].to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["__neg_len", "__rn"])
+        t = t.append_column("batch_id", pa.array(r // batch_size))
+        return t.append_column("pos_in_batch", pa.array(r % batch_size))
+
+    assigned = rn.map_batches(assign, batch_format="pyarrow")
+
+    def stats(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("batch_id", "ascending"), ("pos_in_batch", "ascending")])
+        tbl = tbl.take(idx)
+        bid = tbl["batch_id"].to_numpy(zero_copy_only=False)
+        ln = tbl[length_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ng = np.r_[True, bid[1:] != bid[:-1]] if len(tbl) else \
+            np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        if len(tbl):
+            mx = np.maximum.reduceat(ln, starts)
+            sm = np.add.reduceat(ln, starts)
+            cnt = np.diff(np.r_[starts, len(tbl)])
+            waste = cnt * mx - sm
+            tbl = tbl.append_column("batch_max_len",
+                                    pa.array(mx[run_id]))
+            tbl = tbl.append_column("pad_waste",
+                                    pa.array(waste[run_id]))
+        else:
+            tbl = tbl.append_column("batch_max_len",
+                                    pa.array([], type=pa.int64()))
+            tbl = tbl.append_column("pad_waste",
+                                    pa.array([], type=pa.int64()))
+        return tbl
+
+    return bucketed_apply(assigned, "batch_id", stats,
+                          num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # concat-and-chunk sequence packing
 # ---------------------------------------------------------------------------

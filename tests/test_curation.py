@@ -716,3 +716,34 @@ def test_dedup_lines_cross_doc_untouched():
     assert out.loc[1, "text"] == "shared\nA"
     assert out.loc[2, "text"] == "shared\nB"
     assert (out["n_removed"] == 0).all()
+
+
+# -------------------------------------------------- length-bucketed batches
+
+def test_length_bucketed_batches_golden():
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.curation import (
+        length_bucketed_batches)
+    lens = [10, 10, 9, 7, 7, 7, 3, 1]
+    tbl = _pa.table({
+        "doc_id": _pa.array(range(len(lens)), type=_pa.int64()),
+        "n_tok": _pa.array(lens, type=_pa.int64())})
+    out = length_bucketed_batches(rd.from_arrow(tbl), batch_size=3,
+                                  num_buckets=2).to_pandas() \
+        .sort_values(["batch_id", "pos_in_batch"]).reset_index(drop=True)
+    # descending length, id tie-break: [10,10,9],[7,7,7],[3,1]
+    assert out["doc_id"].tolist() == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert out["batch_id"].tolist() == [0, 0, 0, 1, 1, 1, 2, 2]
+    assert out["pos_in_batch"].tolist() == [0, 1, 2, 0, 1, 2, 0, 1]
+    g = out.groupby("batch_id").first()
+    assert g["batch_max_len"].tolist() == [10, 7, 3]
+    # waste: [3*10-29, 3*7-21, 2*3-4] = [1, 0, 2]
+    assert g["pad_waste"].tolist() == [1, 0, 2]
+    # per-batch stats repeat on every member row
+    assert out.groupby("batch_id")["pad_waste"].nunique().max() == 1
+    # determinism under a different layout
+    out2 = length_bucketed_batches(rd.from_arrow(tbl).repartition(5),
+                                   batch_size=3, num_buckets=4) \
+        .to_pandas().sort_values(["batch_id", "pos_in_batch"]) \
+        .reset_index(drop=True)
+    assert out.equals(out2)
