@@ -7350,6 +7350,34 @@ QUALIFY src_rank <= 5
 """)
 
 
+def interleave_docs(sf_dir: str) -> Dataset:
+    """Domain-balanced training order
+    (stages/curation.interleave_by_domain): per-domain deterministic
+    rank + global round-robin position — integer-exact against the
+    double-row_number SQL twin."""
+    from ..stages.curation import interleave_by_domain
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = interleave_by_domain(docs, num_buckets=8)
+    return out.select_columns(["doc_id", "source", "domain_rank",
+                               "train_pos"])
+
+
+INTERLEAVE_DOCS_SQL = """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+                    doc_id) - 1 AS domain_rank
+  FROM documents
+)
+SELECT doc_id, source, domain_rank,
+       row_number() OVER (ORDER BY domain_rank, source, doc_id) - 1
+         AS train_pos
+FROM r
+"""
+
+
 def length_batches_docs(sf_dir: str) -> Dataset:
     """Padding-efficient inference batching
     (stages/curation.length_bucketed_batches, batch_size=32 over
@@ -7988,7 +8016,9 @@ QUERIES = {
     # model_scores_embeddings — actor-pool batched inference
     # (integer-exact linear-probe dot-product twin);
     # length_batches_docs — padding-efficient inference batching
-    # (row_number/window twin, integer-exact).
+    # (row_number/window twin, integer-exact); interleave_docs —
+    # domain-balanced round-robin training order (double-row_number
+    # twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8212,6 +8242,7 @@ QUERIES = {
     "bloom_lookup_docs": bloom_lookup_docs,
     "model_scores_embeddings": model_scores_embeddings,
     "length_batches_docs": length_batches_docs,
+    "interleave_docs": interleave_docs,
 }
 
 ORACLE_SQL = {
@@ -8399,6 +8430,7 @@ ORACLE_SQL = {
     "bloom_lookup_docs": BLOOM_LOOKUP_DOCS_SQL,
     "model_scores_embeddings": MODEL_SCORES_EMBEDDINGS_SQL,
     "length_batches_docs": LENGTH_BATCHES_DOCS_SQL,
+    "interleave_docs": INTERLEAVE_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

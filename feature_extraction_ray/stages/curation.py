@@ -1270,6 +1270,51 @@ def cap_per_source(ds: Dataset, cap: int, by_col: str = "source",
                           num_buckets=num_buckets)
 
 
+def interleave_by_domain(ds: Dataset, by_col: str = "source",
+                         id_col: str = "doc_id",
+                         num_buckets: int = 32) -> Dataset:
+    """Domain-balanced training ORDER — round-robin interleave across
+    domains so consecutive training examples cycle through sources
+    instead of streaming one domain at a time (the batch-diversity
+    complement to the mixture-weight ops, which decide HOW MUCH of
+    each domain, not WHERE it lands): each doc gets a deterministic
+    ``domain_rank`` within its domain (ordering hash of the id, id
+    tie-break — the same stable order :func:`cap_per_source` uses),
+    and the global ``train_pos`` orders by ``(domain_rank, domain,
+    id)`` — rank-0 docs of every domain first, then rank-1, … so
+    every window of ~#domains consecutive positions touches each
+    still-live domain once.
+
+    Scale shape: ONE bucketed exchange on the domain assigns ranks,
+    then the two-phase prefix scan (``partition.row_number``) assigns
+    global positions — no all-pairs, nothing driver-side but block
+    counts."""
+    from .partition import entity_group_starts, row_number
+    from .window import bucketed_apply
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(_CAP_H, pa.array(_cap_hash(ids)))
+
+    def ranks(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (by_col, "ascending"), (_CAP_H, "ascending"),
+            (id_col, "ascending")])
+        tbl = tbl.take(idx)
+        ng = entity_group_starts(tbl, by_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id]
+        tbl = tbl.append_column("domain_rank", pa.array(rank))
+        return tbl.drop_columns([_CAP_H])
+
+    ranked = bucketed_apply(
+        ds.map_batches(add_h, batch_format="pyarrow"), by_col, ranks,
+        num_buckets=num_buckets)
+    return row_number(ranked, ["domain_rank", by_col, id_col],
+                      out_col="train_pos", start=0)
+
+
 def length_bucketed_batches(ds: Dataset, length_col: str = "n_tok",
                             id_col: str = "doc_id",
                             batch_size: int = 32,

@@ -747,3 +747,34 @@ def test_length_bucketed_batches_golden():
         .to_pandas().sort_values(["batch_id", "pos_in_batch"]) \
         .reset_index(drop=True)
     assert out.equals(out2)
+
+
+# ------------------------------------------------------ domain interleave
+
+def test_interleave_by_domain_round_robin():
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.curation import interleave_by_domain
+    # 3 domains x 4 docs: rank-k docs of every live domain precede any
+    # rank-(k+1) doc
+    rows = [(i, f"d{i % 3}") for i in range(12)]
+    tbl = _pa.table({
+        "doc_id": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "source": _pa.array([r[1] for r in rows], type=_pa.string())})
+    out = interleave_by_domain(rd.from_arrow(tbl), num_buckets=2) \
+        .to_pandas().sort_values("train_pos").reset_index(drop=True)
+    assert out["train_pos"].tolist() == list(range(12))
+    # positions 0-2 are rank-0 of the three domains, 3-5 rank-1, ...
+    assert (out["domain_rank"].to_numpy() == np.repeat(
+        np.arange(4), 3)).all()
+    for k in range(4):
+        assert set(out.loc[3*k:3*k+2, "source"]) == {"d0", "d1", "d2"}
+    # uneven domains: exhausted domains drop out of later rounds
+    rows2 = [(0, "a"), (1, "a"), (2, "a"), (3, "b")]
+    t2 = _pa.table({
+        "doc_id": _pa.array([r[0] for r in rows2], type=_pa.int64()),
+        "source": _pa.array([r[1] for r in rows2], type=_pa.string())})
+    out2 = interleave_by_domain(rd.from_arrow(t2), num_buckets=2) \
+        .to_pandas().sort_values("train_pos").reset_index(drop=True)
+    # round 0 holds one a and the only b; rounds 1-2 are a alone
+    assert set(out2.loc[:1, "source"]) == {"a", "b"}
+    assert out2.loc[2:, "source"].tolist() == ["a", "a"]
