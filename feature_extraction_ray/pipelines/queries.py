@@ -7294,6 +7294,21 @@ BOILERPLATE_LINES_SQL = ("WITH m AS (" + _PAGES_SQL + ")," +
                          "SELECT doc_id, text, n_lines, n_removed FROM clean")
 
 
+def boilerplate_lines_broadcast(sf_dir: str) -> Dataset:
+    """Broadcast-plan twin of boilerplate_lines_docs: the SAME multi-
+    line pages through remove_boilerplate_lines(mode='broadcast') —
+    salted skew-immune distinct-doc counts, broadcast hash set,
+    fully map-side scrub — certified against the IDENTICAL SQL oracle
+    so the driver proves both physical plans produce the same cleaned
+    corpus."""
+    from ..stages.curation import remove_boilerplate_lines
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    pages = docs.map_batches(_build_pages, batch_format="pyarrow") \
+        .select_columns(["doc_id", "text"])
+    return remove_boilerplate_lines(pages, min_docs=2, num_buckets=16,
+                                    mode="broadcast", salt=4)
+
+
 def web_curated_docs(sf_dir: str) -> Dataset:
     """Composed web-curation chain under ONE oracle: line-level
     boilerplate removal (source carried via keep_cols — no join back)
@@ -8018,7 +8033,8 @@ QUERIES = {
     # length_batches_docs — padding-efficient inference batching
     # (row_number/window twin, integer-exact); interleave_docs —
     # domain-balanced round-robin training order (double-row_number
-    # twin, integer-exact).
+    # twin, integer-exact); boilerplate_lines_broadcast — the
+    # skew-immune broadcast plan under the identical SQL oracle.
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8243,6 +8259,7 @@ QUERIES = {
     "model_scores_embeddings": model_scores_embeddings,
     "length_batches_docs": length_batches_docs,
     "interleave_docs": interleave_docs,
+    "boilerplate_lines_broadcast": boilerplate_lines_broadcast,
 }
 
 ORACLE_SQL = {
@@ -8431,6 +8448,7 @@ ORACLE_SQL = {
     "model_scores_embeddings": MODEL_SCORES_EMBEDDINGS_SQL,
     "length_batches_docs": LENGTH_BATCHES_DOCS_SQL,
     "interleave_docs": INTERLEAVE_DOCS_SQL,
+    "boilerplate_lines_broadcast": BOILERPLATE_LINES_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

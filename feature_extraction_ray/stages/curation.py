@@ -1011,10 +1011,145 @@ def _dict_codes(col) -> np.ndarray:
         zero_copy_only=False).astype(np.int64)
 
 
+def boilerplate_line_hashes(ds: Dataset, text_col: str = "text",
+                            id_col: str = "doc_id", min_docs: int = 2,
+                            num_buckets: int = 32, salt: int = 8,
+                            max_lines: int = 2_000_000) -> np.ndarray:
+    """Sorted uint64 hashes of every trimmed non-blank line occurring
+    in ≥ ``min_docs`` DISTINCT documents — the EXACT distinct-doc
+    count computed skew-immune: per-block distinct ``(line_hash,
+    id_hash)`` pairs bucket by a SALTED key (line bucket × id-hash
+    slice), each task deduplicates its doc-disjoint slice and counts
+    per line, and the disjoint-by-construction partials SUM exactly
+    through one small ``groupby(line).sum`` — a nav-bar line repeated
+    in 100M documents spreads over ``salt`` tasks instead of
+    concentrating in one. Raises if more than ``max_lines`` qualify
+    (broadcast would not be the right plan; use the partitioned
+    mode)."""
+    from ray.data.aggregate import Sum
+
+    from .partition import _stable_hash_strings
+    from .window import bucketed_apply
+
+    nb = np.uint64(max(num_buckets, 1))
+    sl = np.uint64(max(salt, 1))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        la = _split_lines(t[text_col])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = la.flatten()
+        norm = pc.utf8_trim(flat, characters=_LINE_TRIM)
+        keepm = pc.not_equal(norm, pa.scalar("")).to_numpy(
+            zero_copy_only=False)
+        lh = _stable_hash_strings(norm.filter(pa.array(keepm))) \
+            if keepm.any() else np.zeros(0, dtype=np.uint64)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64),
+                           counts)[keepm]
+        idc = t[id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        ih_doc = _stable_hash_strings(idc)
+        ih = ih_doc[parent]
+        order = np.lexsort((ih, lh))
+        lh_s, ih_s = lh[order], ih[order]
+        head = np.r_[True, (lh_s[1:] != lh_s[:-1]) |
+                     (ih_s[1:] != ih_s[:-1])] if len(lh_s) else \
+            np.zeros(0, dtype=bool)
+        lh_u, ih_u = lh_s[head], ih_s[head]
+        skey = ((lh_u % nb) * sl + ih_u % sl).astype(np.int64)
+        return pa.table({
+            "lh": pa.array(lh_u.view(np.int64)),
+            "ih": pa.array(ih_u.view(np.int64)),
+            "skey": pa.array(skey)})
+
+    def slice_counts(tbl: pa.Table) -> pa.Table:
+        lh = tbl["lh"].to_numpy(zero_copy_only=False)
+        ih = tbl["ih"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ih, lh))
+        lh_s, ih_s = lh[order], ih[order]
+        head = np.r_[True, (lh_s[1:] != lh_s[:-1]) |
+                     (ih_s[1:] != ih_s[:-1])] if len(lh_s) else \
+            np.zeros(0, dtype=bool)
+        lh_u = lh_s[head]
+        line_head = np.r_[True, lh_u[1:] != lh_u[:-1]] \
+            if len(lh_u) else np.zeros(0, dtype=bool)
+        starts = np.flatnonzero(line_head)
+        cnt = np.diff(np.r_[starts, len(lh_u)])
+        return pa.table({"lh": pa.array(lh_u[line_head]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_apply(
+        ds.select_columns([id_col, text_col]).map_batches(
+            pairs, batch_format="pyarrow"),
+        "skey", slice_counts, num_buckets=num_buckets,
+        drop_bucket=False) \
+        .groupby("lh").aggregate(Sum("cnt", alias_name="n_docs"))
+    hot = counts.filter(expr=f"n_docs >= {int(min_docs)}")
+    n_hot = hot.count()
+    if n_hot > max_lines:
+        raise ValueError(
+            f"{n_hot} boilerplate lines exceed max_lines={max_lines}; "
+            "the broadcast set would not fit — use mode='partitioned'")
+    if n_hot == 0:
+        return np.zeros(0, dtype=np.uint64)
+    vals = hot.select_columns(["lh"]).to_pandas()["lh"] \
+        .to_numpy(dtype=np.int64).view(np.uint64)
+    return np.sort(vals)
+
+
+class _BoilerplateScrubber:
+    """Per-worker broadcast-mode kernel: one searchsorted membership
+    test per batch against the sorted boilerplate-line hash set, then
+    the same cut-and-rejoin rebuild — fully map-side, zero further
+    shuffles."""
+
+    def __init__(self, set_ref, text_col: str, id_col: str):
+        self.set_ref = set_ref
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .partition import _stable_hash_strings
+        hot = broadcast_get(self.set_ref)
+        la = _split_lines(t[self.text_col])
+        offs = la.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        flat = la.flatten()
+        N = len(flat)
+        keep = np.ones(N, dtype=bool)
+        if N and len(hot):
+            norm = pc.utf8_trim(flat, characters=_LINE_TRIM)
+            blank = pc.equal(norm, pa.scalar("")).to_numpy(
+                zero_copy_only=False)
+            lh = _stable_hash_strings(norm)
+            idx = np.searchsorted(hot, lh)
+            idx[idx == len(hot)] = 0
+            keep = ~((hot[idx] == lh) & ~blank)
+        parent = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        removed = np.bincount(parent[~keep], minlength=len(t)) \
+            .astype(np.int64)
+        new_offs = np.zeros(len(t) + 1, dtype=np.int64)
+        np.cumsum(counts - removed, out=new_offs[1:])
+        kept = flat.filter(pa.array(keep)) if N else flat
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept)
+        clean = pc.binary_join(lst, pa.scalar("\n", type=kept.type))
+        i = t.schema.get_field_index(self.text_col)
+        t = t.set_column(i, self.text_col,
+                         pc.cast(clean, t[self.text_col].type))
+        t = t.append_column("n_lines", pa.array(counts))
+        return t.append_column("n_removed", pa.array(removed))
+
+
 def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
                              id_col: str = "doc_id", min_docs: int = 2,
                              num_buckets: int = 32,
-                             keep_cols: Sequence[str] = ()) -> Dataset:
+                             keep_cols: Sequence[str] = (),
+                             mode: str = "partitioned",
+                             salt: int = 8,
+                             max_broadcast_lines: int = 2_000_000
+                             ) -> Dataset:
     """Cross-document line-level boilerplate removal — the CCNet / C4
     paragraph-hash dedup step: a LINE (``\\n``-delimited, compared
     after trimming ``" \\t\\r"``) that occurs in ≥ ``min_docs``
@@ -1038,8 +1173,39 @@ def remove_boilerplate_lines(ds: Dataset, text_col: str = "text",
     corpus — never exploded line text twice.
 
     ``keep_cols``: additional columns carried through from each doc row
-    (lets pipelines clean in place without a join back)."""
+    (lets pipelines clean in place without a join back).
+
+    ``mode="broadcast"`` is the HOT-LINE scale path: the partitioned
+    plan keys its line exchange on the trimmed line STRING, so a
+    nav-bar line occurring in 100M documents lands every occurrence in
+    ONE task. Broadcast mode instead computes the exact distinct-doc
+    counts skew-immune (:func:`boilerplate_line_hashes` — salted
+    doc-hash slices whose disjoint partials sum exactly), broadcasts
+    the qualifying lines' sorted uint64 hash set (capped at
+    ``max_broadcast_lines``, loud error beyond), and scrubs fully
+    map-side — zero further shuffles, no union, no rebuild exchange.
+    Membership there is by 64-bit line hash (a collision could remove
+    an innocent line at ~2⁻⁶⁴ per distinct-line pair); the partitioned
+    mode stays lexically exact."""
     from .window import bucketed_apply
+
+    if mode == "broadcast":
+        hot = boilerplate_line_hashes(ds, text_col, id_col, min_docs,
+                                      num_buckets, salt,
+                                      max_broadcast_lines)
+        ref = ray.put(hot)
+        cols = [id_col, text_col, *keep_cols]
+
+        def scrub(batch: pa.Table) -> pa.Table:
+            kern = cached_kernel(_BoilerplateScrubber, ref, text_col,
+                                 id_col)
+            return kern(batch)
+
+        return ds.select_columns(cols).map_batches(
+            scrub, batch_format="pyarrow")
+    if mode != "partitioned":
+        raise ValueError(
+            f"mode must be 'partitioned' or 'broadcast', got {mode!r}")
 
     keep_cols = list(keep_cols)
     if keep_cols:

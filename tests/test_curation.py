@@ -778,3 +778,49 @@ def test_interleave_by_domain_round_robin():
     # round 0 holds one a and the only b; rounds 1-2 are a alone
     assert set(out2.loc[:1, "source"]) == {"a", "b"}
     assert out2.loc[2:, "source"].tolist() == ["a", "a"]
+
+
+def test_remove_boilerplate_broadcast_equivalence():
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    cookie = "COOKIE NOTICE"
+    # includes a HOT line (cookie in most docs), blanks, within-doc
+    # repeats, a fully-boilerplate doc and a trailing-space variant
+    docs = _docs([
+        (1, "own line one\n" + cookie + "  \nmore"),
+        (2, cookie + "\n\nunique two"),
+        (3, "echo\necho\ntail"),
+        (4, cookie),
+        (5, "plain"),
+        (6, cookie + "\nshared pair\nx6"),
+        (7, "shared pair\nx7"),
+    ])
+    a = remove_boilerplate_lines(docs, min_docs=2, num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = remove_boilerplate_lines(docs, min_docs=2, num_buckets=4,
+                                 mode="broadcast", salt=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    cols = ["doc_id", "text", "n_lines", "n_removed"]
+    assert a[cols].equals(b[cols])
+    # keep_cols pass-through in broadcast mode too
+    import pyarrow as _pa
+    t = _pa.table({
+        "doc_id": _pa.array([1, 2], type=_pa.int64()),
+        "text": _pa.array(["dup\nA", "dup\nB"]),
+        "source": _pa.array(["s1", "s2"])})
+    out = remove_boilerplate_lines(
+        rd.from_arrow(t), min_docs=2, num_buckets=2, mode="broadcast",
+        keep_cols=["source"]).to_pandas().set_index("doc_id")
+    assert out.loc[1, "text"] == "A" and out.loc[1, "source"] == "s1"
+
+
+def test_boilerplate_broadcast_cap_and_bad_mode():
+    import pytest
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    docs = _docs([(1, "dup\nA"), (2, "dup\nB")])
+    with pytest.raises(ValueError, match="max_lines"):
+        remove_boilerplate_lines(docs, min_docs=2, mode="broadcast",
+                                 max_broadcast_lines=0)
+    with pytest.raises(ValueError, match="mode"):
+        remove_boilerplate_lines(docs, mode="salted")
