@@ -7365,6 +7365,33 @@ QUALIFY src_rank <= 5
 """)
 
 
+def negatives_docs(sf_dir: str) -> Dataset:
+    """Deterministic contrastive negative sampling
+    (stages/curation.sample_negatives, k=4): modular strides over the
+    global id rank — self-free, reproducible — integer-exact against
+    the rank/stride/join SQL twin."""
+    from ..stages.curation import sample_negatives
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return sample_negatives(docs, k=4, num_buckets=8)
+
+
+NEGATIVES_DOCS_SQL = """
+WITH r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS rk
+  FROM documents
+),
+n AS (SELECT count(*) AS n FROM documents),
+x AS (
+  SELECT r.doc_id AS anchor_id, j.slot::BIGINT AS neg_slot,
+         (r.rk + 1 + ((j.slot + 1) * 2654435761) % (n.n - 1)) % n.n
+           AS ck
+  FROM r, n, (SELECT unnest(range(0, 4)) AS slot) j
+)
+SELECT x.anchor_id, x.neg_slot, r2.doc_id AS neg_id
+FROM x JOIN r r2 ON r2.rk = x.ck
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8034,7 +8061,9 @@ QUERIES = {
     # (row_number/window twin, integer-exact); interleave_docs —
     # domain-balanced round-robin training order (double-row_number
     # twin, integer-exact); boilerplate_lines_broadcast — the
-    # skew-immune broadcast plan under the identical SQL oracle.
+    # skew-immune broadcast plan under the identical SQL oracle;
+    # negatives_docs — contrastive negative sampling (rank/stride/join
+    # twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8260,6 +8289,7 @@ QUERIES = {
     "length_batches_docs": length_batches_docs,
     "interleave_docs": interleave_docs,
     "boilerplate_lines_broadcast": boilerplate_lines_broadcast,
+    "negatives_docs": negatives_docs,
 }
 
 ORACLE_SQL = {
@@ -8449,6 +8479,7 @@ ORACLE_SQL = {
     "length_batches_docs": LENGTH_BATCHES_DOCS_SQL,
     "interleave_docs": INTERLEAVE_DOCS_SQL,
     "boilerplate_lines_broadcast": BOILERPLATE_LINES_SQL,
+    "negatives_docs": NEGATIVES_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

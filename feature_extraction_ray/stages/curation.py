@@ -1436,6 +1436,53 @@ def cap_per_source(ds: Dataset, cap: int, by_col: str = "source",
                           num_buckets=num_buckets)
 
 
+def sample_negatives(ds: Dataset, id_col: str = "doc_id", k: int = 4,
+                     num_buckets: int = 32) -> Dataset:
+    """Deterministic contrastive negative sampling: every anchor row
+    gets ``k`` pseudo-random OTHER rows, chosen by modular strides
+    over the global id rank — ``stride_j = 1 + ((j+1)·2654435761) mod
+    (n−1)`` lies in ``[1, n−1]``, so a candidate NEVER equals its
+    anchor, coverage is uniform-ish, and the pairing is reproducible
+    under any partitioning (the requirement for resumable contrastive/
+    NCE training data). Emits ``(anchor_id, neg_slot, neg_id)``.
+
+    Scale shape: the two-phase prefix scan assigns dense ranks, a
+    stateless map expands each row into ``k`` candidate-rank rows, and
+    ONE distributed hash join maps candidate ranks back to ids — no
+    all-pairs, no driver-side id table."""
+    from .partition import row_number
+    from .relational import hash_join
+
+    ranked = row_number(ds.select_columns([id_col]), [id_col],
+                        out_col="__rk", start=0).materialize()
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("need at least 2 rows to sample negatives")
+    strides = np.array(
+        [1 + ((j + 1) * 2654435761) % (n - 1) for j in range(k)],
+        dtype=np.int64)
+
+    def expand(t: pa.Table) -> pa.Table:
+        r = t["__rk"].to_numpy(zero_copy_only=False)
+        ids = t[id_col]
+        m = len(t)
+        anchor = ids.take(pa.array(np.repeat(np.arange(m), k)))
+        slot = np.tile(np.arange(k, dtype=np.int64), m)
+        ck = (np.repeat(r, k) + strides[slot]) % n
+        return pa.table({"anchor_id": anchor,
+                         "neg_slot": pa.array(slot),
+                         "__ck": pa.array(ck)})
+
+    cand = ranked.map_batches(expand, batch_format="pyarrow")
+    neg = hash_join(cand,
+                    ranked.map_batches(
+                        lambda t: t.rename_columns(["neg_id", "__rk"]),
+                        batch_format="pyarrow"),
+                    left_key="__ck", right_key="__rk", how="inner",
+                    num_buckets=num_buckets)
+    return neg.drop_columns(["__ck"])
+
+
 def interleave_by_domain(ds: Dataset, by_col: str = "source",
                          id_col: str = "doc_id",
                          num_buckets: int = 32) -> Dataset:

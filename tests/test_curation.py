@@ -824,3 +824,39 @@ def test_boilerplate_broadcast_cap_and_bad_mode():
                                  max_broadcast_lines=0)
     with pytest.raises(ValueError, match="mode"):
         remove_boilerplate_lines(docs, mode="salted")
+
+
+# ------------------------------------------------------ negative sampling
+
+def test_sample_negatives_properties():
+    import pyarrow as _pa
+    import pytest
+    from feature_extraction_ray.stages.curation import sample_negatives
+    ids = [3, 8, 11, 20, 21, 40, 55]
+    ds = rd.from_arrow(_pa.table({
+        "doc_id": _pa.array(ids, type=_pa.int64())}))
+    out = sample_negatives(ds, k=3, num_buckets=2).to_pandas()
+    # k rows per anchor, never self, all negatives are real ids
+    assert len(out) == len(ids) * 3
+    assert (out["anchor_id"] != out["neg_id"]).all()
+    assert set(out["neg_id"]) <= set(ids)
+    g = out.groupby("anchor_id").size()
+    assert (g == 3).all()
+    # stride arithmetic parity with the naive formula
+    n = len(ids)
+    rank = {d: i for i, d in enumerate(sorted(ids))}
+    for _, row in out.iterrows():
+        j = int(row["neg_slot"])
+        ck = (rank[row["anchor_id"]] + 1
+              + ((j + 1) * 2654435761) % (n - 1)) % n
+        assert sorted(ids)[ck] == row["neg_id"]
+    # deterministic under a different layout
+    out2 = sample_negatives(rd.from_arrow(_pa.table({
+        "doc_id": _pa.array(ids, type=_pa.int64())})).repartition(4),
+        k=3, num_buckets=4).to_pandas()
+    a = out.sort_values(["anchor_id", "neg_slot"]).reset_index(drop=True)
+    b = out2.sort_values(["anchor_id", "neg_slot"]).reset_index(drop=True)
+    assert a.equals(b)
+    with pytest.raises(ValueError):
+        sample_negatives(rd.from_arrow(_pa.table({
+            "doc_id": _pa.array([1], type=_pa.int64())})))
