@@ -1423,6 +1423,42 @@ QUALIFY rank < 10
 """
 
 
+def hard_negatives_embeddings(sf_dir: str):
+    """Hard-negative mining (stages/similarity.hard_negatives): for the
+    first 20 vectors as anchors, the 5 most-cosine-similar corpus
+    vectors with a DIFFERENT label (self and same-label masked) —
+    brute-force float64, round-6 scores, vec_id tie-break, same
+    conventions as knn_embeddings."""
+    from ..stages.similarity import hard_negatives
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["vec_id"], pa.scalar(20)))
+
+    anchors = ds.map_batches(head, batch_format="pyarrow")
+    out = hard_negatives(ds, k=5, anchors_ds=anchors)
+    out["score"] = out["score"].round(6)
+    out["anchor_id"] = out["anchor_id"].astype("int64")
+    return out[["anchor_id", "neg_id", "score", "rank"]]
+
+
+HARD_NEGATIVES_SQL = """
+WITH a AS (SELECT vec_id AS anchor_id, label AS alabel,
+                  CAST(embedding AS DOUBLE[]) AS ae
+           FROM embeddings WHERE vec_id < 20)
+SELECT anchor_id, vec_id AS neg_id,
+       round(list_cosine_similarity(ae, CAST(embedding AS DOUBLE[])), 6)
+           AS score,
+       CAST(row_number() OVER (
+            PARTITION BY anchor_id
+            ORDER BY list_cosine_similarity(ae,
+                     CAST(embedding AS DOUBLE[])) DESC, vec_id) - 1
+            AS BIGINT) AS rank
+FROM a JOIN embeddings b ON a.alabel <> b.label
+QUALIFY rank < 5
+"""
+
+
 # Planted PQ geometry: m=2 subspaces × 3 integer centroids over a 4-dim
 # integer vector derived from vec_id — encode (nearest subcentroid,
 # ties → lowest code) and ADC distances are then EXACT int64 arithmetic
@@ -8063,7 +8099,8 @@ QUERIES = {
     # twin, integer-exact); boilerplate_lines_broadcast — the
     # skew-immune broadcast plan under the identical SQL oracle;
     # negatives_docs — contrastive negative sampling (rank/stride/join
-    # twin, integer-exact).
+    # twin, integer-exact); hard_negatives_embeddings — label-excluded
+    # cosine top-k mining (knn-convention SQL twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8290,6 +8327,7 @@ QUERIES = {
     "interleave_docs": interleave_docs,
     "boilerplate_lines_broadcast": boilerplate_lines_broadcast,
     "negatives_docs": negatives_docs,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
 }
 
 ORACLE_SQL = {
@@ -8480,6 +8518,7 @@ ORACLE_SQL = {
     "interleave_docs": INTERLEAVE_DOCS_SQL,
     "boilerplate_lines_broadcast": BOILERPLATE_LINES_SQL,
     "negatives_docs": NEGATIVES_DOCS_SQL,
+    "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

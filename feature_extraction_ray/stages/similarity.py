@@ -1349,3 +1349,98 @@ def pca_transform(ds: Dataset, model: dict, vec_col: str = "embedding",
         return t.append_column(out_col, pa.array(list(y)))
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+class _HardNegPartial:
+    """Per-worker kernel for :func:`hard_negatives`: holds the
+    normalized anchor matrix + ids + labels; per corpus batch masks
+    SAME-label pairs and self-matches to -inf and emits tie-inclusive
+    local top-k candidate rows (same merge contract as _TopKPartial)."""
+
+    def __init__(self, ref, k: int, vec_col: str, id_col: str,
+                 label_col: str, dtype=np.float64):
+        a = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.q = _norm_rows(np.asarray(a["vecs"], dtype=dtype))
+        self.ids = np.asarray(a["ids"], dtype=np.int64)
+        self.labels = np.asarray(a["labels"])
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.label_col = label_col
+        self.dtype = dtype
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                          "vec_id": pa.array([], type=pa.int64()),
+                          "score": pa.array([], type=pa.float64())})
+        if len(batch) == 0 or len(self.ids) == 0:
+            return empty
+        m = _norm_rows(_batch_matrix(batch, self.vec_col)
+                       .astype(self.dtype))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labels = batch[self.label_col].to_numpy(zero_copy_only=False)
+        scores = self.q @ m.T                     # (n_anchors, n_batch)
+        mask = (self.labels[:, None] == labels[None, :]) | \
+               (self.ids[:, None] == ids[None, :])
+        scores = np.where(mask, -np.inf, scores)
+        k = min(self.k, scores.shape[1])
+        if k == 0:
+            return empty
+        part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+        kth = np.take_along_axis(scores, part, axis=1).min(axis=1)
+        qid, idx = np.nonzero((scores >= kth[:, None])
+                              & np.isfinite(scores))
+        return pa.table({
+            "query_id": pa.array(self.ids[qid]),
+            "vec_id": pa.array(ids[idx]),
+            "score": pa.array(scores[qid, idx].astype(np.float64))})
+
+
+def hard_negatives(ds: Dataset, k: int = 5,
+                   anchors_ds: Dataset | None = None,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label", dtype=np.float64,
+                   merge: str = "driver",
+                   max_anchors: int = 100_000) -> pd.DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``k`` MOST-similar corpus vectors with a DIFFERENT label
+    (same-label neighbors are positives, not negatives; self never
+    matches) — cosine scores, deterministic vec_id tie-break, exact
+    brute-force over the streamed corpus.
+
+    ``anchors_ds`` defaults to the corpus itself. The anchor matrix is
+    broadcast once (``ray.put``) and read zero-copy per worker —
+    capped at ``max_anchors`` with a loud error; beyond that, batch the
+    anchors and route each batch through the persistent IVF-PQ index
+    (`build_ivfpq_index`), the established at-scale ANN path. Output
+    columns: (anchor_id, neg_id, score, rank)."""
+    from .partition import cached_kernel
+    src = anchors_ds if anchors_ds is not None else ds
+    atbl = pa.Table.from_pandas(
+        src.select_columns([id_col, vec_col, label_col]).to_pandas(),
+        preserve_index=False)
+    if len(atbl) > max_anchors:
+        raise ValueError(
+            f"{len(atbl)} anchors exceed max_anchors={max_anchors}; "
+            "batch the anchors through the IVF-PQ index instead")
+    anchors = {"vecs": _batch_matrix(atbl, vec_col),
+               "ids": atbl[id_col].to_numpy(zero_copy_only=False),
+               "labels": atbl[label_col].to_numpy(zero_copy_only=False)}
+    ref = ray.put(anchors)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_HardNegPartial, ref, k, vec_col, id_col,
+                             label_col, dtype)(batch)
+
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    out = _merge_topk(partials, k, merge)
+    if isinstance(out, pd.DataFrame):
+        return out.rename(columns={"query_id": "anchor_id",
+                                   "vec_id": "neg_id"})
+    return out.map_batches(
+        lambda t: t.rename_columns(
+            ["anchor_id" if c == "query_id" else
+             ("neg_id" if c == "vec_id" else c)
+             for c in t.column_names]),
+        batch_format="pyarrow")

@@ -877,3 +877,47 @@ def test_select_canonical_over_exact_clusters():
         "quality": pa.array([1.5, -2.0], type=pa.float64())}))
     out = select_canonical(assign, quality, num_buckets=2).to_pandas()
     assert out["is_canonical"].all()
+
+
+# -------------------------------------------------------- hard negatives
+
+def test_hard_negatives_label_exclusion():
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+    from feature_extraction_ray.stages.similarity import hard_negatives
+    # two tight same-label clusters + one far other-label point: the
+    # nearest DIFFERENT-label vector must win even though same-label
+    # twins are closer
+    vecs = np.array([
+        [1.0, 0.0], [0.999, 0.01],      # label 0 cluster
+        [0.0, 1.0], [0.01, 0.999],      # label 1 cluster
+        [0.7, 0.7],                     # label 2 bridge
+    ], dtype=np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), type=pa.int64()),
+        "embedding": pa.array(vecs.tolist(),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 1, 1, 2], type=pa.int32())}))
+    out = hard_negatives(ds, k=2).sort_values(
+        ["anchor_id", "rank"]).reset_index(drop=True)
+    # every anchor gets negatives only from OTHER labels, never itself
+    assert (out["anchor_id"] != out["neg_id"]).all()
+    lbl = {i: l for i, l in enumerate([0, 0, 1, 1, 2])}
+    assert all(lbl[a] != lbl[n]
+               for a, n in zip(out["anchor_id"], out["neg_id"]))
+    # anchor 0's hardest negative is the bridge (cos .7,.7) not its twin
+    assert out[out["anchor_id"] == 0].iloc[0]["neg_id"] == 4
+    # naive float64 parity
+    vn = vecs.astype(np.float64)
+    vn = vn / np.linalg.norm(vn, axis=1, keepdims=True)
+    S = vn @ vn.T
+    for a in range(5):
+        cand = [(S[a, b], -b) for b in range(5)
+                if lbl[b] != lbl[a]]
+        want = [-b for _, b in sorted(cand, reverse=True)][:2]
+        got = out[out["anchor_id"] == a]["neg_id"].tolist()
+        assert got == want
+    with pytest.raises(ValueError, match="max_anchors"):
+        hard_negatives(ds, k=2, max_anchors=2)
