@@ -2520,6 +2520,33 @@ FROM c, ev
 """
 
 
+def cluster_split_docs(sf_dir: str) -> Dataset:
+    """Leakage-free split assignment
+    (stages/curation.cluster_safe_split over ngram_jaccard_dedup's
+    exact transitive closure, 80/20): the split hashes the CLUSTER id,
+    so near-dup members can never straddle splits — assignment
+    compared bit-for-bit against the recursive-CTE + integer-threshold
+    SQL twin."""
+    from ..stages.curation import cluster_safe_split
+    from ..stages.dedup import ngram_jaccard_dedup
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    assign = ngram_jaccard_dedup(docs, k=5, threshold=(1, 2),
+                                 output="dataset")
+    out = cluster_safe_split(assign, [0.8, 0.2], ["train", "test"])
+    return out.select_columns(["doc_id", "cluster_id", "split"])
+
+
+CLUSTER_SPLIT_DOCS_SQL = _JACCARD_CC_CTE + """,
+assign AS (SELECT node AS doc_id, min(r) AS cluster_id
+           FROM reach GROUP BY node)
+SELECT doc_id, cluster_id,
+       CASE WHEN ((cluster_id % 1048576) * 2654435761) % 4294967296
+                 < 3435973836
+            THEN 'train' ELSE 'test' END AS split
+FROM assign
+"""
+
+
 def decontaminate_spans_docs(sf_dir: str) -> Dataset:
     """Surgical span-level decontamination
     (stages/curation.decontaminate_spans): docs with ``doc_id % 13 ==
@@ -8100,7 +8127,9 @@ QUERIES = {
     # skew-immune broadcast plan under the identical SQL oracle;
     # negatives_docs — contrastive negative sampling (rank/stride/join
     # twin, integer-exact); hard_negatives_embeddings — label-excluded
-    # cosine top-k mining (knn-convention SQL twin).
+    # cosine top-k mining (knn-convention SQL twin);
+    # cluster_split_docs — leakage-free cluster-hash splitting
+    # (Jaccard-closure + integer-threshold twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8328,6 +8357,7 @@ QUERIES = {
     "boilerplate_lines_broadcast": boilerplate_lines_broadcast,
     "negatives_docs": negatives_docs,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "cluster_split_docs": cluster_split_docs,
 }
 
 ORACLE_SQL = {
@@ -8519,6 +8549,7 @@ ORACLE_SQL = {
     "boilerplate_lines_broadcast": BOILERPLATE_LINES_SQL,
     "negatives_docs": NEGATIVES_DOCS_SQL,
     "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
+    "cluster_split_docs": CLUSTER_SPLIT_DOCS_SQL,
     # minhash/simhash/bucketed-embedding dedup (recall-approximate by
     # design; their exact tails are oracle-checked via
     # embedding_dedup_brute), LSH/IVF knn (ditto, vs knn_embeddings),

@@ -658,6 +658,42 @@ def pack_sequences_bfd(ds: Dataset, token_col: str = "n_tok",
 # cross-split leakage audit
 # ---------------------------------------------------------------------------
 
+def cluster_safe_split(assign: Dataset, ratios: Sequence[float],
+                       names: Sequence[str],
+                       cluster_col: str = "cluster_id",
+                       out_col: str = "split") -> Dataset:
+    """Leakage-free train/val/test assignment — the FIX for what
+    :func:`split_leakage_report` detects: the split is decided by a
+    deterministic hash of the CLUSTER id (any dedup assignment from
+    `stages/dedup.py`), so every member of a near-dup cluster lands in
+    the SAME split by construction and no verified near-dup pair can
+    straddle splits. ``ratios`` weight clusters (large clusters skew
+    realized row fractions — that is the price of zero leakage).
+
+    Zero additional shuffles: one map-side pass over the assignment
+    appending ``out_col``; thresholds are exact integers
+    (``floor(cum_ratio · 2³²)`` against the 32-bit ordering hash), so
+    a SQL twin reproduces the assignment bit-for-bit."""
+    ratios = np.asarray(list(ratios), dtype=np.float64)
+    if len(ratios) != len(names) or len(ratios) == 0:
+        raise ValueError("ratios and names must align and be non-empty")
+    if not np.isclose(ratios.sum(), 1.0):
+        raise ValueError(f"ratios must sum to 1, got {ratios.sum()}")
+    thr = np.floor(np.cumsum(ratios) * float(1 << 32)).astype(np.int64)
+    thr[-1] = 1 << 32
+    names = list(names)
+
+    def tag(t: pa.Table) -> pa.Table:
+        cid = t[cluster_col].to_numpy(zero_copy_only=False)
+        h = _cap_hash(cid)
+        sel = np.searchsorted(thr, h, side="right")
+        lab = pa.array(np.asarray(names, dtype=object)[sel],
+                       type=pa.string())
+        return t.append_column(out_col, lab)
+
+    return assign.map_batches(tag, batch_format="pyarrow")
+
+
 def split_leakage_report(ds: Dataset, split_col: str,
                          id_col: str = "doc_id", *,
                          text_col: str = "text",

@@ -860,3 +860,44 @@ def test_sample_negatives_properties():
     with pytest.raises(ValueError):
         sample_negatives(rd.from_arrow(_pa.table({
             "doc_id": _pa.array([1], type=_pa.int64())})))
+
+
+# ---------------------------------------------------- cluster-safe split
+
+def test_cluster_safe_split_no_leakage():
+    import pyarrow as _pa
+    import pytest
+    from feature_extraction_ray.stages.curation import (
+        cluster_safe_split, split_leakage_report)
+    from feature_extraction_ray.stages.dedup import minhash_signatures
+    # near-identical pair + distinct docs; clusters from exact dedup ids
+    docs = [(i, f"totally unique document number {i} with words "
+                f"abc{i} def{i}") for i in range(10)]
+    docs[1] = (1, docs[0][1])   # 1 duplicates 0's text
+    assign = rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([d[0] for d in docs], type=_pa.int64()),
+        # cluster = min doc id per text: doc 1 joins cluster 0
+        "cluster_id": _pa.array([0, 0] + list(range(2, 10)),
+                                type=_pa.int64())}))
+    out = cluster_safe_split(assign, [0.5, 0.5], ["train", "test"]) \
+        .to_pandas()
+    # every cluster is wholly in one split
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+    # the duplicate pair shares a split by construction
+    s = out.set_index("doc_id")["split"]
+    assert s[0] == s[1]
+    # and the leakage auditor confirms ZERO cross-split near-dup pairs
+    corpus = rd.from_arrow(_pa.table({
+        "doc_id": _pa.array([d[0] for d in docs], type=_pa.int64()),
+        "text": _pa.array([d[1] for d in docs], type=_pa.string())}))
+    labeled = corpus.to_pandas().merge(out[["doc_id", "split"]],
+                                       on="doc_id")
+    rep = split_leakage_report(
+        rd.from_pandas(labeled), "split", threshold=0.8,
+        num_buckets=4)
+    cross = rep[rep["cross"]] if len(rep) else rep
+    assert len(cross) == 0 or (cross["n_pairs"] == 0).all()
+    with pytest.raises(ValueError):
+        cluster_safe_split(assign, [0.5, 0.4], ["a", "b"])
+    with pytest.raises(ValueError):
+        cluster_safe_split(assign, [1.0], ["a", "b"])
