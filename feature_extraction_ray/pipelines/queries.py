@@ -7624,6 +7624,34 @@ def token_bigram_surprisal_docs(sf_dir: str) -> Dataset:
                   {"sum_logprob": 4})
 
 
+def token_dropout_docs(sf_dir: str) -> Dataset:
+    """Deterministic token-dropout augmentation
+    (stages/tokengrams.augment_token_dropout, rate 10% / seed 1): the
+    SimCSE-style positive-view generator on the list<int32> payload —
+    survival decided by an overflow-safe integer hash of (numeric doc
+    id, position, seed), so the BIGINT SQL twin reproduces every view
+    bit-for-bit (token arrays compared as joined strings)."""
+    from ..stages.tokengrams import augment_token_dropout
+    tok, _ = _token_fixture()
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["doc_id"], pattern="_")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return t.append_column("did", did)
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = augment_token_dropout(ds, id_col="did", rate_pct=10, seed=1)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "tok_str": _join_int_list(t["tokens_aug"]),
+            "n_kept": t["n_kept"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -7902,6 +7930,24 @@ SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
 FROM w JOIN c USING (token) CROSS JOIN t
 GROUP BY w.doc_id
 """
+    dropout_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+t AS (SELECT doc_id, CAST(str_split(doc_id, '_')[2] AS BIGINT) AS did,
+             tokens FROM tok),
+u AS (SELECT doc_id, did, unnest(tokens) AS tv,
+             unnest(range(1, len(tokens) + 1)) AS p FROM t),
+kept AS (
+  SELECT doc_id, p, tv FROM u
+  WHERE ((did % 1048576) * 2654435761 + p * 40503
+         + 1 * 1315423911) % 4294967296 % 100 >= 10)
+SELECT t.doc_id, coalesce(s.tok_str, '') AS tok_str,
+       coalesce(s.n_kept, 0)::BIGINT AS n_kept
+FROM t LEFT JOIN (
+    SELECT doc_id, string_agg(tv::VARCHAR, ',' ORDER BY p) AS tok_str,
+           count(*)::BIGINT AS n_kept
+    FROM kept GROUP BY doc_id) s USING (doc_id)
+"""
     bigram_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -8036,6 +8082,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
             "token_dedup_spans_docs": span_sql,
             "token_surprisal_docs": surprisal_sql,
             "token_bigram_surprisal_docs": bigram_sql,
+            "token_dropout_docs": dropout_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -8358,6 +8405,7 @@ QUERIES = {
     "negatives_docs": negatives_docs,
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "cluster_split_docs": cluster_split_docs,
+    "token_dropout_docs": token_dropout_docs,
 }
 
 ORACLE_SQL = {
@@ -8528,6 +8576,7 @@ ORACLE_SQL = {
     "token_surprisal_docs": _TOKEN_ORACLE_SQLS["token_surprisal_docs"],
     "token_bigram_surprisal_docs":
         _TOKEN_ORACLE_SQLS["token_bigram_surprisal_docs"],
+    "token_dropout_docs": _TOKEN_ORACLE_SQLS["token_dropout_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1059,3 +1059,60 @@ def token_bigram_surprisal(ds: Dataset, lm: dict | None = None,
         return cached_kernel(_TokenBigramScorer, ref, tokens_col)(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# token-dropout augmentation
+# ---------------------------------------------------------------------------
+
+def augment_token_dropout(ds: Dataset, tokens_col: str = "tokens",
+                          id_col: str = "did", rate_pct: int = 10,
+                          seed: int = 1,
+                          out_col: str = "tokens_aug") -> Dataset:
+    """Deterministic token-dropout augmentation — the SimCSE-style
+    positive-view generator run natively on the ``list<int32>``
+    payload: the token at position ``p`` of doc ``d`` survives iff
+    ``((d mod 2²⁰)·2654435761 + (p+1)·40503 + seed·1315423911) mod 2³²
+    mod 100 ≥ rate_pct``. The decision depends only on (id, position,
+    seed), so views are reproducible under any partitioning and
+    different ``seed`` values give independent views of the same doc
+    (the contrastive-pair recipe); every term stays below 2⁶³, so a
+    BIGINT SQL twin reproduces the mask bit-for-bit. ``id_col`` must
+    be an integer column (derive one upstream for string ids). Zero
+    shuffles; appends ``out_col`` (list<int32>) and ``n_kept``.
+
+    A short doc can lose every token (empty view) — callers decide;
+    dropout never reorders survivors."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        n = len(t)
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos = np.arange(int(starts[-1]), dtype=np.int64) \
+            - starts[doc_of]
+        h = ((did[doc_of] % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + (pos + 1).astype(np.uint64) * np.uint64(40503)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32) % np.uint64(100)
+        keep = h >= np.uint64(rate_pct)
+        kept = flat.filter(pa.array(keep)) if len(flat) else flat
+        n_kept = np.bincount(doc_of[keep], minlength=n) \
+            .astype(np.int64) if len(flat) else \
+            np.zeros(n, dtype=np.int64)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_kept, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pc.cast(kept, pa.int32()))
+        t = t.append_column(out_col, lst)
+        return t.append_column("n_kept", pa.array(n_kept))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

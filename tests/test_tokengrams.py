@@ -478,3 +478,35 @@ def test_token_bigram_topk_floor():
     # 3 kept pairs at ln(3/3)=0, 2 floored at -ln(5)
     want = 3 * math.log(3 / 3) + 2 * (-math.log(5))
     assert abs(out.loc[0, "sum_logprob"] - want) < 1e-12
+
+
+# ------------------------------------------------------- token dropout
+
+def test_augment_token_dropout_properties():
+    from feature_extraction_ray.stages.tokengrams import (
+        augment_token_dropout)
+    rows = [(7, list(range(100, 160))), (8, [5]), (9, [])]
+    import pyarrow as _pa
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+    out = augment_token_dropout(ds, rate_pct=20, seed=1).to_pandas() \
+        .set_index("did").sort_index()
+    # naive mask parity
+    for did, toks in rows:
+        want = [tv for p, tv in enumerate(toks)
+                if ((did % (1 << 20)) * 2654435761 + (p + 1) * 40503
+                    + 1 * 1315423911) % (1 << 32) % 100 >= 20]
+        assert list(out.loc[did, "tokens_aug"]) == want
+        assert out.loc[did, "n_kept"] == len(want)
+    # survivors keep order; empty doc stays empty
+    assert out.loc[9, "n_kept"] == 0
+    # different seeds give DIFFERENT views (the contrastive-pair use)
+    out2 = augment_token_dropout(ds, rate_pct=20, seed=2).to_pandas() \
+        .set_index("did").sort_index()
+    assert list(out.loc[7, "tokens_aug"]) != list(out2.loc[7, "tokens_aug"])
+    # rate 0 keeps everything
+    out0 = augment_token_dropout(ds, rate_pct=0).to_pandas() \
+        .set_index("did").sort_index()
+    assert list(out0.loc[7, "tokens_aug"]) == rows[0][1]
