@@ -7652,6 +7652,36 @@ def token_dropout_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_t5_corrupt_docs(sf_dir: str) -> Dataset:
+    """Deterministic T5-style span corruption
+    (stages/tokengrams.corrupt_token_spans, span 3 / 120‰ / seed 1):
+    interval-union candidate spans, gap-and-island sentinel numbering,
+    encoder input + decoder target emitted per doc — both sequences
+    compared bit-for-bit (joined strings) against the islands SQL
+    twin."""
+    from ..stages.tokengrams import corrupt_token_spans
+    tok, _ = _token_fixture()
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["doc_id"], pattern="_")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return t.append_column("did", did)
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = corrupt_token_spans(ds, id_col="did", span_len=3,
+                              rate_pm=120, seed=1)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "input_str": _join_int_list(t["input_tokens"]),
+            "target_str": _join_int_list(t["target_tokens"]),
+            "n_spans": t["n_spans"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -7948,6 +7978,54 @@ FROM t LEFT JOIN (
            count(*)::BIGINT AS n_kept
     FROM kept GROUP BY doc_id) s USING (doc_id)
 """
+    t5_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+t AS (SELECT doc_id, CAST(str_split(doc_id, '_')[2] AS BIGINT) AS did,
+             tokens, len(tokens) AS n FROM tok),
+u AS (SELECT doc_id, did, n, unnest(tokens) AS tv,
+             unnest(range(0, len(tokens))) AS p FROM t),
+cand AS (
+  SELECT doc_id, p, n FROM u
+  WHERE ((did % 1048576) * 2654435761 + (p + 1) * 40503
+         + 1 * 1315423911) % 4294967296 % 1000 < 120),
+cov AS (SELECT DISTINCT doc_id,
+               unnest(range(p, least(p + 3, n))) AS p FROM cand),
+isl AS (SELECT doc_id, p,
+               p - row_number() OVER (PARTITION BY doc_id ORDER BY p)
+                 AS grp
+        FROM cov),
+isl2 AS (SELECT doc_id, p,
+                dense_rank() OVER (PARTITION BY doc_id ORDER BY grp)
+                  - 1 AS k
+         FROM isl),
+rstart AS (SELECT doc_id, k, min(p) AS p0 FROM isl2
+           GROUP BY doc_id, k),
+inp AS (
+  SELECT u.doc_id, u.p AS sp,
+         CASE WHEN i.p IS NULL THEN u.tv ELSE 32000 + i.k END AS v,
+         CASE WHEN i.p IS NULL THEN TRUE ELSE u.p = r.p0 END AS keep
+  FROM u LEFT JOIN isl2 i ON i.doc_id = u.doc_id AND i.p = u.p
+         LEFT JOIN rstart r ON r.doc_id = i.doc_id AND r.k = i.k),
+tgt AS (
+  SELECT doc_id, k, -1 AS o, 32000 + k AS v FROM rstart
+  UNION ALL
+  SELECT i.doc_id, i.k, i.p AS o, u.tv AS v
+  FROM isl2 i JOIN u ON u.doc_id = i.doc_id AND u.p = i.p),
+agg_i AS (SELECT doc_id,
+                 string_agg(v::VARCHAR, ',' ORDER BY sp)
+                   FILTER (WHERE keep) AS input_str
+          FROM inp GROUP BY doc_id),
+agg_t AS (SELECT doc_id,
+                 string_agg(v::VARCHAR, ',' ORDER BY k, o)
+                   AS target_str,
+                 count(*) FILTER (WHERE o = -1)::BIGINT AS n_spans
+          FROM tgt GROUP BY doc_id)
+SELECT t.doc_id, coalesce(agg_i.input_str, '') AS input_str,
+       coalesce(agg_t.target_str, '') AS target_str,
+       coalesce(agg_t.n_spans, 0)::BIGINT AS n_spans
+FROM t LEFT JOIN agg_i USING (doc_id) LEFT JOIN agg_t USING (doc_id)
+"""
     bigram_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -8083,6 +8161,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
             "token_surprisal_docs": surprisal_sql,
             "token_bigram_surprisal_docs": bigram_sql,
             "token_dropout_docs": dropout_sql,
+            "token_t5_corrupt_docs": t5_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -8406,6 +8485,7 @@ QUERIES = {
     "hard_negatives_embeddings": hard_negatives_embeddings,
     "cluster_split_docs": cluster_split_docs,
     "token_dropout_docs": token_dropout_docs,
+    "token_t5_corrupt_docs": token_t5_corrupt_docs,
 }
 
 ORACLE_SQL = {
@@ -8577,6 +8657,7 @@ ORACLE_SQL = {
     "token_bigram_surprisal_docs":
         _TOKEN_ORACLE_SQLS["token_bigram_surprisal_docs"],
     "token_dropout_docs": _TOKEN_ORACLE_SQLS["token_dropout_docs"],
+    "token_t5_corrupt_docs": _TOKEN_ORACLE_SQLS["token_t5_corrupt_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1116,3 +1116,98 @@ def augment_token_dropout(ds: Dataset, tokens_col: str = "tokens",
         return t.append_column("n_kept", pa.array(n_kept))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def corrupt_token_spans(ds: Dataset, tokens_col: str = "tokens",
+                        id_col: str = "did", span_len: int = 3,
+                        rate_pm: int = 50, seed: int = 1,
+                        sentinel_base: int = 32000) -> Dataset:
+    """Deterministic T5-style span corruption on the ``list<int32>``
+    payload: a span CANDIDATE starts at position ``p`` of doc ``d``
+    when ``hash(d, p, seed) mod 1000 < rate_pm`` (the same overflow-
+    safe integer family as :func:`augment_token_dropout`), covers
+    ``span_len`` tokens capped at the doc end, and overlapping
+    candidates MERGE (union of intervals — no sequential sampling, so
+    the mask is order-free and reproducible under any partitioning).
+    Each maximal covered run ``i`` (0-based, left to right) becomes
+    sentinel ``sentinel_base + i``:
+
+    - ``input_tokens``  — uncovered tokens, each run replaced by its
+      sentinel at the run start (T5 encoder input);
+    - ``target_tokens`` — per run: sentinel, then the run's original
+      tokens (T5 decoder target);
+    - ``n_spans``.
+
+    Zero shuffles; every quantity is integer-exact, so a SQL twin
+    (gap-and-islands over the covered positions) reproduces both
+    sequences bit-for-bit."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(t)
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        N = int(starts[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos = np.arange(N, dtype=np.int64) - starts[doc_of]
+        h = ((did[doc_of] % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + (pos + 1).astype(np.uint64) * np.uint64(40503)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32) % np.uint64(1000)
+        cand = np.flatnonzero(h < np.uint64(rate_pm))
+        delta = np.zeros(N + 1, dtype=np.int64)
+        if len(cand):
+            np.add.at(delta, cand, 1)
+            ends = np.minimum(cand + span_len,
+                              starts[doc_of[cand] + 1])
+            np.add.at(delta, ends, -1)
+        covered = np.cumsum(delta[:N]) > 0
+        # maximal runs: a run starts at a covered position whose
+        # predecessor (same doc) is uncovered or absent
+        prev_cov = np.r_[False, covered[:-1]]
+        run_start = covered & (~prev_cov | (pos == 0))
+        # island index per doc: global cumsum rebased at doc starts
+        g = np.cumsum(run_start)
+        island = g - 1 - np.r_[0, g][starts[doc_of]]  # runs before doc
+        n_spans = np.bincount(doc_of[run_start], minlength=n) \
+            .astype(np.int64)
+        sent = sentinel_base + island
+        # encoder input: uncovered tokens + sentinel at each run start
+        in_keep = ~covered | run_start
+        in_vals = np.where(covered, sent, flat)[in_keep]
+        in_lens = np.bincount(doc_of[in_keep], minlength=n) \
+            .astype(np.int64)
+        in_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(in_lens, out=in_offs[1:])
+        # decoder target: per run, sentinel then the covered tokens —
+        # sentinel rows sort just before their run's first token
+        cov_idx = np.flatnonzero(covered)
+        rs_idx = np.flatnonzero(run_start)
+        tg_doc = np.concatenate([doc_of[cov_idx], doc_of[rs_idx]])
+        tg_isl = np.concatenate([island[cov_idx], island[rs_idx]])
+        tg_pos = np.concatenate([pos[cov_idx],
+                                 np.full(len(rs_idx), -1,
+                                         dtype=np.int64)])
+        tg_val = np.concatenate([flat[cov_idx], sent[rs_idx]])
+        order = np.lexsort((tg_pos, tg_isl, tg_doc))
+        tg_val = tg_val[order]
+        tg_lens = (np.bincount(doc_of[cov_idx], minlength=n)
+                   + n_spans).astype(np.int64)
+        tg_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(tg_lens, out=tg_offs[1:])
+        t = t.append_column("input_tokens", pa.ListArray.from_arrays(
+            pa.array(in_offs, type=pa.int32()),
+            pa.array(in_vals.astype(np.int32))))
+        t = t.append_column("target_tokens", pa.ListArray.from_arrays(
+            pa.array(tg_offs, type=pa.int32()),
+            pa.array(tg_val.astype(np.int32))))
+        return t.append_column("n_spans", pa.array(n_spans))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -510,3 +510,64 @@ def test_augment_token_dropout_properties():
     out0 = augment_token_dropout(ds, rate_pct=0).to_pandas() \
         .set_index("did").sort_index()
     assert list(out0.loc[7, "tokens_aug"]) == rows[0][1]
+
+
+def _naive_t5(did, toks, span_len=3, rate_pm=50, seed=1, base=32000):
+    n = len(toks)
+    cov = [False] * n
+    for p in range(n):
+        h = ((did % (1 << 20)) * 2654435761 + (p + 1) * 40503
+             + seed * 1315423911) % (1 << 32) % 1000
+        if h < rate_pm:
+            for q in range(p, min(p + span_len, n)):
+                cov[q] = True
+    inp, tgt, isl = [], [], -1
+    for p in range(n):
+        if cov[p] and (p == 0 or not cov[p - 1]):
+            isl += 1
+            inp.append(base + isl)
+            tgt.append(base + isl)
+        if cov[p]:
+            tgt.append(toks[p])
+        else:
+            inp.append(toks[p])
+    return inp, tgt, isl + 1
+
+
+def test_corrupt_token_spans_naive_parity():
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.tokengrams import (
+        corrupt_token_spans)
+    rows = [(3, list(range(100, 180))), (4, list(range(7))),
+            (5, [9]), (6, [])]
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+    out = corrupt_token_spans(ds, rate_pm=120, span_len=3, seed=1) \
+        .to_pandas().set_index("did").sort_index()
+    total_spans = 0
+    for did, toks in rows:
+        inp, tgt, k = _naive_t5(did, toks, rate_pm=120)
+        assert list(out.loc[did, "input_tokens"]) == inp, did
+        assert list(out.loc[did, "target_tokens"]) == tgt, did
+        assert out.loc[did, "n_spans"] == k
+        total_spans += k
+    assert total_spans > 0          # the rate actually fired
+    # reconstruction invariant: merging input's sentinels with target's
+    # spans reproduces the original token stream exactly
+    for did, toks in rows:
+        inp = list(out.loc[did, "input_tokens"])
+        tgt = list(out.loc[did, "target_tokens"])
+        spans = {}
+        cur = None
+        for v in tgt:
+            if v >= 32000:
+                cur = v
+                spans[cur] = []
+            else:
+                spans[cur].append(v)
+        rebuilt = []
+        for v in inp:
+            rebuilt.extend(spans[v] if v >= 32000 else [v])
+        assert rebuilt == toks
