@@ -7682,6 +7682,33 @@ def token_t5_corrupt_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_mlm_docs(sf_dir: str) -> Dataset:
+    """Deterministic BERT-style MLM masking
+    (stages/tokengrams.mask_tokens_mlm, 15% / 80-10-10 / seed 1):
+    inputs AND labels both bit-exact (joined strings) against the
+    single-hash BIGINT SQL twin."""
+    from ..stages.tokengrams import mask_tokens_mlm
+    tok, _ = _token_fixture()
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["doc_id"], pattern="_")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return t.append_column("did", did)
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = mask_tokens_mlm(ds, id_col="did", rate_pm=150, seed=1)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "input_str": _join_int_list(t["masked_tokens"]),
+            "label_str": _join_int_list(t["labels"]),
+            "n_masked": t["n_masked"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -8026,6 +8053,40 @@ SELECT t.doc_id, coalesce(agg_i.input_str, '') AS input_str,
        coalesce(agg_t.n_spans, 0)::BIGINT AS n_spans
 FROM t LEFT JOIN agg_i USING (doc_id) LEFT JOIN agg_t USING (doc_id)
 """
+    mlm_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+t AS (SELECT doc_id, CAST(str_split(doc_id, '_')[2] AS BIGINT) AS did,
+             tokens FROM tok),
+u AS (SELECT doc_id, did, unnest(tokens) AS tv,
+             unnest(range(1, len(tokens) + 1)) AS p FROM t),
+m AS (
+  SELECT doc_id, p, tv,
+         ((did % 1048576) * 2654435761 + p * 40503
+          + 1 * 1315423911) % 4294967296 AS h
+  FROM u),
+x AS (
+  SELECT doc_id, p,
+         CASE WHEN h % 1000 < 150 THEN
+              CASE WHEN (h // 1000) % 10 <= 7 THEN 32099
+                   WHEN (h // 1000) % 10 = 8
+                        THEN (h // 10000) % 32000
+                   ELSE tv END
+              ELSE tv END AS iv,
+         CASE WHEN h % 1000 < 150 THEN tv ELSE -100 END AS lv,
+         (h % 1000 < 150)::INT AS sel
+  FROM m)
+SELECT t.doc_id,
+       coalesce(s.input_str, '') AS input_str,
+       coalesce(s.label_str, '') AS label_str,
+       coalesce(s.n_masked, 0)::BIGINT AS n_masked
+FROM t LEFT JOIN (
+    SELECT doc_id,
+           string_agg(iv::VARCHAR, ',' ORDER BY p) AS input_str,
+           string_agg(lv::VARCHAR, ',' ORDER BY p) AS label_str,
+           sum(sel)::BIGINT AS n_masked
+    FROM x GROUP BY doc_id) s USING (doc_id)
+"""
     bigram_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -8162,6 +8223,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
             "token_bigram_surprisal_docs": bigram_sql,
             "token_dropout_docs": dropout_sql,
             "token_t5_corrupt_docs": t5_sql,
+            "token_mlm_docs": mlm_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -8486,6 +8548,7 @@ QUERIES = {
     "cluster_split_docs": cluster_split_docs,
     "token_dropout_docs": token_dropout_docs,
     "token_t5_corrupt_docs": token_t5_corrupt_docs,
+    "token_mlm_docs": token_mlm_docs,
 }
 
 ORACLE_SQL = {
@@ -8658,6 +8721,7 @@ ORACLE_SQL = {
         _TOKEN_ORACLE_SQLS["token_bigram_surprisal_docs"],
     "token_dropout_docs": _TOKEN_ORACLE_SQLS["token_dropout_docs"],
     "token_t5_corrupt_docs": _TOKEN_ORACLE_SQLS["token_t5_corrupt_docs"],
+    "token_mlm_docs": _TOKEN_ORACLE_SQLS["token_mlm_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

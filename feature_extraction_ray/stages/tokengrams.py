@@ -1211,3 +1211,63 @@ def corrupt_token_spans(ds: Dataset, tokens_col: str = "tokens",
         return t.append_column("n_spans", pa.array(n_spans))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mask_tokens_mlm(ds: Dataset, tokens_col: str = "tokens",
+                    id_col: str = "did", rate_pm: int = 150,
+                    seed: int = 1, mask_id: int = 32099,
+                    vocab_size: int = 32000,
+                    label_pad: int = -100) -> Dataset:
+    """Deterministic BERT-style MLM masking — the 80/10/10 recipe with
+    every choice derived from ONE overflow-safe integer hash of
+    ``(id, position, seed)`` (the :func:`augment_token_dropout`
+    family), so the corruption is reproducible under any partitioning
+    and a BIGINT SQL twin reproduces inputs AND labels bit-for-bit:
+
+    - position selected iff ``h mod 1000 < rate_pm``;
+    - among selected, action ``(h ÷ 1000) mod 10``: 0–7 → ``mask_id``,
+      8 → random id ``(h ÷ 10000) mod vocab_size``, 9 → keep;
+    - ``masked_tokens``: the corrupted input;
+    - ``labels``: the original token at selected positions,
+      ``label_pad`` elsewhere (the standard ignore-index convention).
+
+    Zero shuffles, one vectorized pass per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(t)
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        N = int(starts[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos = np.arange(N, dtype=np.int64) - starts[doc_of]
+        h = ((did[doc_of] % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + (pos + 1).astype(np.uint64) * np.uint64(40503)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        sel = (h % np.uint64(1000)) < np.uint64(rate_pm)
+        action = (h // np.uint64(1000)) % np.uint64(10)
+        rand_id = ((h // np.uint64(10000))
+                   % np.uint64(vocab_size)).astype(np.int64)
+        masked = np.where(sel & (action <= np.uint64(7)),
+                          np.int64(mask_id), flat)
+        masked = np.where(sel & (action == np.uint64(8)),
+                          rand_id, masked)
+        labels = np.where(sel, flat, np.int64(label_pad))
+        n_masked = np.bincount(doc_of[sel], minlength=n) \
+            .astype(np.int64) if N else np.zeros(n, dtype=np.int64)
+        offs32 = pa.array(starts, type=pa.int32())
+        t = t.append_column("masked_tokens", pa.ListArray.from_arrays(
+            offs32, pa.array(masked.astype(np.int32))))
+        t = t.append_column("labels", pa.ListArray.from_arrays(
+            offs32, pa.array(labels.astype(np.int32))))
+        return t.append_column("n_masked", pa.array(n_masked))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -571,3 +571,41 @@ def test_corrupt_token_spans_naive_parity():
         for v in inp:
             rebuilt.extend(spans[v] if v >= 32000 else [v])
         assert rebuilt == toks
+
+
+def test_mask_tokens_mlm_naive_parity():
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.tokengrams import mask_tokens_mlm
+    rows = [(11, list(range(500, 700))), (12, [3]), (13, [])]
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+    out = mask_tokens_mlm(ds, rate_pm=300, seed=2).to_pandas() \
+        .set_index("did").sort_index()
+    saw = {"mask": 0, "rand": 0, "keep": 0}
+    for did, toks in rows:
+        inp, lab = [], []
+        for p, tv in enumerate(toks):
+            h = ((did % (1 << 20)) * 2654435761 + (p + 1) * 40503
+                 + 2 * 1315423911) % (1 << 32)
+            if h % 1000 < 300:
+                a = (h // 1000) % 10
+                if a <= 7:
+                    inp.append(32099); saw["mask"] += 1
+                elif a == 8:
+                    inp.append((h // 10000) % 32000); saw["rand"] += 1
+                else:
+                    inp.append(tv); saw["keep"] += 1
+                lab.append(tv)
+            else:
+                inp.append(tv)
+                lab.append(-100)
+        assert list(out.loc[did, "masked_tokens"]) == inp
+        assert list(out.loc[did, "labels"]) == lab
+        assert out.loc[did, "n_masked"] == sum(v != -100 for v in lab)
+    # all three actions exercised at this rate/corpus size
+    assert min(saw.values()) > 0
+    # input length always equals original length (MLM never drops)
+    for did, toks in rows:
+        assert len(out.loc[did, "masked_tokens"]) == len(toks)
