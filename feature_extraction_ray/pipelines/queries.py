@@ -7709,6 +7709,33 @@ def token_mlm_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_nsp_docs(sf_dir: str) -> Dataset:
+    """Deterministic BERT-style next-segment pairs
+    (stages/tokengrams.build_nsp_pairs, 50% negatives / seed 1): docs
+    split at n//2, negatives swap in the modular-stride partner's
+    second half — labels and BOTH segments bit-exact (joined strings)
+    against the rank/stride/join SQL twin."""
+    from ..stages.tokengrams import build_nsp_pairs
+    tok, _ = _token_fixture()
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["doc_id"], pattern="_")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table({"did": did, "tokens": t["tokens"]})
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = build_nsp_pairs(ds, neg_rate_pm=500, seed=1)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "did": t["did"], "label": t["label"],
+            "a_str": _join_int_list(t["tok_a"]),
+            "b_str": _join_int_list(t["tok_b"])})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -8053,6 +8080,28 @@ SELECT t.doc_id, coalesce(agg_i.input_str, '') AS input_str,
        coalesce(agg_t.n_spans, 0)::BIGINT AS n_spans
 FROM t LEFT JOIN agg_i USING (doc_id) LEFT JOIN agg_t USING (doc_id)
 """
+    nsp_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+t0 AS (SELECT CAST(str_split(doc_id, '_')[2] AS BIGINT) AS did,
+              tokens, len(tokens) AS n
+       FROM tok WHERE len(tokens) >= 2),
+r AS (SELECT *, row_number() OVER (ORDER BY did) - 1 AS rk FROM t0),
+c AS (SELECT count(*) AS c FROM t0),
+y AS (SELECT r.did, r.tokens, r.n,
+             (((r.did % 1048576) * 2654435761 + 40503
+               + 1 * 1315423911) % 4294967296 % 1000 < 500) AS neg,
+             CASE WHEN ((r.did % 1048576) * 2654435761 + 40503
+                        + 1 * 1315423911) % 4294967296 % 1000 < 500
+                  THEN (r.rk + 1 + (1 * 2654435761) % (c.c - 1)) % c.c
+                  ELSE r.rk END AS prk
+      FROM r, c)
+SELECT y.did, (CASE WHEN y.neg THEN 0 ELSE 1 END)::BIGINT AS label,
+       array_to_string(list_slice(y.tokens, 1, y.n // 2), ',') AS a_str,
+       array_to_string(list_slice(p.tokens, (p.n // 2) + 1, p.n), ',')
+         AS b_str
+FROM y JOIN r p ON p.rk = y.prk
+"""
     mlm_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -8224,6 +8273,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
             "token_dropout_docs": dropout_sql,
             "token_t5_corrupt_docs": t5_sql,
             "token_mlm_docs": mlm_sql,
+            "token_nsp_docs": nsp_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -8549,6 +8599,7 @@ QUERIES = {
     "token_dropout_docs": token_dropout_docs,
     "token_t5_corrupt_docs": token_t5_corrupt_docs,
     "token_mlm_docs": token_mlm_docs,
+    "token_nsp_docs": token_nsp_docs,
 }
 
 ORACLE_SQL = {
@@ -8722,6 +8773,7 @@ ORACLE_SQL = {
     "token_dropout_docs": _TOKEN_ORACLE_SQLS["token_dropout_docs"],
     "token_t5_corrupt_docs": _TOKEN_ORACLE_SQLS["token_t5_corrupt_docs"],
     "token_mlm_docs": _TOKEN_ORACLE_SQLS["token_mlm_docs"],
+    "token_nsp_docs": _TOKEN_ORACLE_SQLS["token_nsp_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1271,3 +1271,96 @@ def mask_tokens_mlm(ds: Dataset, tokens_col: str = "tokens",
         return t.append_column("n_masked", pa.array(n_masked))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def build_nsp_pairs(ds: Dataset, tokens_col: str = "tokens",
+                    id_col: str = "did", neg_rate_pm: int = 500,
+                    seed: int = 1) -> Dataset:
+    """Deterministic BERT-style next-segment pair construction on the
+    ``list<int32>`` payload: each doc with ≥ 2 tokens splits at
+    ``n // 2`` into (segment A, segment B); the doc-level hash (the
+    dropout family at position 0) decides ``label`` — with probability
+    ``neg_rate_pm``‰ segment B is REPLACED by the second half of a
+    pseudo-random OTHER doc, chosen by the :func:`~.curation
+    .sample_negatives` modular stride over the global rank (self-free
+    for every stride when n ≥ 2, reproducible under any partitioning).
+    Emits ``(…, label 1=is-next / 0=random, tok_a, tok_b)``.
+
+    Scale shape: two-phase rank assign + ONE hash join keyed on the
+    partner rank (positives join back to their own rank, so the single
+    join serves both labels); segment slicing is pure offset
+    arithmetic, zero extra shuffles."""
+    from .partition import row_number
+    from .relational import hash_join
+
+    def ge2(t: pa.Table) -> pa.Table:
+        ln = pc.fill_null(pc.list_value_length(t[tokens_col]), 0)
+        return t.filter(pc.greater_equal(ln, pa.scalar(2)))
+
+    ranked = row_number(
+        ds.select_columns([id_col, tokens_col]).map_batches(
+            ge2, batch_format="pyarrow"),
+        [id_col], out_col="__rk", start=0).materialize()
+    n = ranked.count()
+    if n < 2:
+        raise ValueError("need at least 2 eligible docs for NSP pairs")
+    stride = 1 + (seed * 2654435761) % (n - 1)
+
+    def halves(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten()
+        m = len(t)
+        starts = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        mid = lengths // 2
+        # segment A: positions [start, start+mid)
+        a_idx = (np.arange(int(mid.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(mid) - mid, mid)
+                 + np.repeat(starts[:-1], mid))
+        a_offs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(mid, out=a_offs[1:])
+        tok_a = pa.ListArray.from_arrays(
+            pa.array(a_offs, type=pa.int32()),
+            flat.take(pa.array(a_idx)))
+        # segment B: positions [start+mid, end)
+        bl = lengths - mid
+        b_idx = (np.arange(int(bl.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(bl) - bl, bl)
+                 + np.repeat(starts[:-1] + mid, bl))
+        b_offs = np.zeros(m + 1, dtype=np.int64)
+        np.cumsum(bl, out=b_offs[1:])
+        tok_b = pa.ListArray.from_arrays(
+            pa.array(b_offs, type=pa.int32()),
+            flat.take(pa.array(b_idx)))
+        did = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((did % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + np.uint64(40503)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32) % np.uint64(1000)
+        neg = h < np.uint64(neg_rate_pm)
+        rk = t["__rk"].to_numpy(zero_copy_only=False)
+        prk = np.where(neg, (rk + stride) % n, rk)
+        return pa.table({
+            id_col: t[id_col],
+            "label": pa.array((~neg).astype(np.int64)),
+            "tok_a": tok_a,
+            "__rk": t["__rk"],
+            "__prk": pa.array(prk.astype(np.int64)),
+            "__own_b": tok_b})
+
+    segs = ranked.map_batches(halves, batch_format="pyarrow") \
+        .materialize()
+    left = segs.drop_columns(["__own_b", "__rk"])
+    right = segs.map_batches(
+        lambda t: pa.table({"__rk": t["__rk"], "tok_b": t["__own_b"]}),
+        batch_format="pyarrow")
+    out = hash_join(left, right, left_key="__prk", right_key="__rk",
+                    how="inner")
+    return out.drop_columns(["__prk"])
+
+

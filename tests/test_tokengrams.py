@@ -609,3 +609,47 @@ def test_mask_tokens_mlm_naive_parity():
     # input length always equals original length (MLM never drops)
     for did, toks in rows:
         assert len(out.loc[did, "masked_tokens"]) == len(toks)
+
+
+def test_build_nsp_pairs_naive_parity():
+    import pyarrow as _pa
+    import pytest
+    from feature_extraction_ray.stages.tokengrams import build_nsp_pairs
+    rows = [(i, list(range(i * 10, i * 10 + 4 + i % 3)))
+            for i in range(1, 9)]
+    rows.append((99, [7]))          # 1-token doc: excluded
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+    out = build_nsp_pairs(ds, neg_rate_pm=500, seed=1).to_pandas() \
+        .set_index("did").sort_index()
+    elig = [r for r in rows if len(r[1]) >= 2]
+    assert sorted(out.index) == sorted(d for d, _ in elig)
+    n = len(elig)
+    stride = 1 + (1 * 2654435761) % (n - 1)
+    by_rank = {i: r for i, r in enumerate(sorted(elig))}
+    rank_of = {d: i for i, (d, _) in enumerate(sorted(elig))}
+    negs = poss = 0
+    for did, toks in elig:
+        h = ((did % (1 << 20)) * 2654435761 + 40503
+             + 1 * 1315423911) % (1 << 32) % 1000
+        neg = h < 500
+        mid = len(toks) // 2
+        row = out.loc[did]
+        assert list(row["tok_a"]) == toks[:mid]
+        if neg:
+            p_did, p_toks = by_rank[(rank_of[did] + stride) % n]
+            assert row["label"] == 0 and p_did != did
+            assert list(row["tok_b"]) == p_toks[len(p_toks) // 2:]
+            negs += 1
+        else:
+            assert row["label"] == 1
+            assert list(row["tok_b"]) == toks[mid:]
+            poss += 1
+    assert negs > 0 and poss > 0
+    with pytest.raises(ValueError):
+        build_nsp_pairs(rd.from_arrow(_pa.table({
+            "did": _pa.array([1], type=_pa.int64()),
+            "tokens": _pa.array([[1, 2]],
+                                type=_pa.list_(_pa.int32()))})))
