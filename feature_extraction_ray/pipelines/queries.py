@@ -7736,6 +7736,32 @@ def token_nsp_docs(sf_dir: str) -> Dataset:
     return out.map_batches(proj, batch_format="pyarrow")
 
 
+def token_fim_docs(sf_dir: str) -> Dataset:
+    """Deterministic fill-in-the-middle transform
+    (stages/tokengrams.fim_transform, seed 1): two hash-derived cuts,
+    PSM reorder with sentinels — the whole n+3-token output compared
+    bit-exactly (joined string) against the list_slice SQL twin."""
+    from ..stages.tokengrams import fim_transform
+    tok, _ = _token_fixture()
+
+    def derive(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["doc_id"], pattern="_")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return t.append_column("did", did)
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(derive, batch_format="pyarrow")
+    out = fim_transform(ds, id_col="did", seed=1)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fim_str": _join_int_list(t["fim_tokens"]),
+            "n_middle": t["n_middle"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
 def token_profile_docs(sf_dir: str):
     """One-row ingest-QA profile of the token table
     (stages/tokengrams.token_profile): exact doc/empty/token counts,
@@ -8102,6 +8128,32 @@ SELECT y.did, (CASE WHEN y.neg THEN 0 ELSE 1 END)::BIGINT AS label,
          AS b_str
 FROM y JOIN r p ON p.rk = y.prk
 """
+    fim_sql = f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {tok_cte}),
+t AS (SELECT doc_id, CAST(str_split(doc_id, '_')[2] AS BIGINT) AS did,
+             tokens, len(tokens) AS n FROM tok),
+c AS (SELECT *,
+        (((did % 1048576) * 2654435761 + 1 * 40503 + 1 * 1315423911)
+         % 4294967296) % (n + 1) AS c1,
+        (((did % 1048576) * 2654435761 + 2 * 40503 + 1 * 1315423911)
+         % 4294967296) % (n + 1) AS c2
+      FROM t),
+s AS (SELECT doc_id, tokens, n, least(c1, c2) AS lo,
+             greatest(c1, c2) AS hi FROM c)
+SELECT doc_id,
+       concat_ws(',',
+         '32001',
+         nullif(array_to_string(list_slice(tokens, 1, lo), ','), ''),
+         '32002',
+         nullif(array_to_string(list_slice(tokens, hi + 1, n), ','),
+                ''),
+         '32003',
+         nullif(array_to_string(list_slice(tokens, lo + 1, hi), ','),
+                '')) AS fim_str,
+       (hi - lo)::BIGINT AS n_middle
+FROM s
+"""
     mlm_sql = f"""
 WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
  {tok_cte}),
@@ -8274,6 +8326,7 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
             "token_t5_corrupt_docs": t5_sql,
             "token_mlm_docs": mlm_sql,
             "token_nsp_docs": nsp_sql,
+            "token_fim_docs": fim_sql,
             "token_fill_arrays": fill_sql,
             "token_profile_docs": profile_sql,
             "token_chunks_docs": chunks_sql,
@@ -8600,6 +8653,7 @@ QUERIES = {
     "token_t5_corrupt_docs": token_t5_corrupt_docs,
     "token_mlm_docs": token_mlm_docs,
     "token_nsp_docs": token_nsp_docs,
+    "token_fim_docs": token_fim_docs,
 }
 
 ORACLE_SQL = {
@@ -8774,6 +8828,7 @@ ORACLE_SQL = {
     "token_t5_corrupt_docs": _TOKEN_ORACLE_SQLS["token_t5_corrupt_docs"],
     "token_mlm_docs": _TOKEN_ORACLE_SQLS["token_mlm_docs"],
     "token_nsp_docs": _TOKEN_ORACLE_SQLS["token_nsp_docs"],
+    "token_fim_docs": _TOKEN_ORACLE_SQLS["token_fim_docs"],
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

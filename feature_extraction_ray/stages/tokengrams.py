@@ -1364,3 +1364,70 @@ def build_nsp_pairs(ds: Dataset, tokens_col: str = "tokens",
     return out.drop_columns(["__prk"])
 
 
+
+
+def fim_transform(ds: Dataset, tokens_col: str = "tokens",
+                  id_col: str = "did", seed: int = 1,
+                  pre_id: int = 32001, suf_id: int = 32002,
+                  mid_id: int = 32003) -> Dataset:
+    """Deterministic fill-in-the-middle (FIM) transform in PSM order —
+    the code-model pretraining objective: two hash-derived cut points
+    (the dropout hash family at positions 1 and 2) split each doc into
+    prefix ``[0, lo)``, middle ``[lo, hi)``, suffix ``[hi, n)``, and
+    the output sequence is ``⟨PRE⟩ prefix ⟨SUF⟩ suffix ⟨MID⟩ middle``
+    (training then continues the middle after seeing both sides). Cuts
+    are uniform over ``[0, n]`` per hash, reproducible under any
+    partitioning; empty segments are legal (a cut pair may make any
+    segment empty). Appends ``fim_tokens`` (length n + 3) and
+    ``n_middle``. Zero shuffles, one vectorized lexsort-gather pass."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(t)
+        did = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        N = int(starts[-1])
+
+        def dochash(p):
+            return (((did % np.uint64(1 << 20)) * np.uint64(2654435761)
+                     + np.uint64(p) * np.uint64(40503)
+                     + np.uint64(seed) * np.uint64(1315423911))
+                    % np.uint64(1 << 32)).astype(np.int64)
+
+        c1 = dochash(1) % (lengths + 1)
+        c2 = dochash(2) % (lengths + 1)
+        lo = np.minimum(c1, c2)
+        hi = np.maximum(c1, c2)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos = np.arange(N, dtype=np.int64) - starts[doc_of]
+        # segment order: 0 ⟨PRE⟩, 1 prefix, 2 ⟨SUF⟩, 3 suffix,
+        # 4 ⟨MID⟩, 5 middle
+        seg = np.where(pos < lo[doc_of], 1,
+                       np.where(pos < hi[doc_of], 5, 3))
+        sent_doc = np.repeat(np.arange(n, dtype=np.int64), 3)
+        sent_seg = np.tile(np.array([0, 2, 4], dtype=np.int64), n)
+        sent_val = np.tile(np.array([pre_id, suf_id, mid_id],
+                                    dtype=np.int64), n)
+        all_doc = np.concatenate([doc_of, sent_doc])
+        all_seg = np.concatenate([seg, sent_seg])
+        all_pos = np.concatenate([pos, np.full(3 * n, -1,
+                                               dtype=np.int64)])
+        all_val = np.concatenate([flat, sent_val])
+        order = np.lexsort((all_pos, all_seg, all_doc))
+        vals = all_val[order]
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lengths + 3, out=offs[1:])
+        t = t.append_column("fim_tokens", pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(vals.astype(np.int32))))
+        return t.append_column(
+            "n_middle", pa.array((hi - lo).astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -653,3 +653,34 @@ def test_build_nsp_pairs_naive_parity():
             "did": _pa.array([1], type=_pa.int64()),
             "tokens": _pa.array([[1, 2]],
                                 type=_pa.list_(_pa.int32()))})))
+
+
+def test_fim_transform_naive_parity():
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.tokengrams import fim_transform
+    rows = [(21, list(range(900, 930))), (22, [1, 2]), (23, [])]
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "tokens": _pa.array([r[1] for r in rows],
+                            type=_pa.list_(_pa.int32()))}))
+    out = fim_transform(ds, seed=1).to_pandas() \
+        .set_index("did").sort_index()
+    for did, toks in rows:
+        n = len(toks)
+        def h(p):
+            return ((did % (1 << 20)) * 2654435761 + p * 40503
+                    + 1 * 1315423911) % (1 << 32)
+        c1, c2 = h(1) % (n + 1), h(2) % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        want = [32001] + toks[:lo] + [32002] + toks[hi:] \
+            + [32003] + toks[lo:hi]
+        got = list(out.loc[did, "fim_tokens"])
+        assert got == want, did
+        assert out.loc[did, "n_middle"] == hi - lo
+        assert len(got) == n + 3
+    # reconstruction: prefix + middle + suffix == original
+    for did, toks in rows:
+        seq = list(out.loc[did, "fim_tokens"])
+        i2, i3 = seq.index(32002), seq.index(32003)
+        pre, suf, mid = seq[1:i2], seq[i2 + 1:i3], seq[i3 + 1:]
+        assert pre + mid + suf == toks
