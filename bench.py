@@ -335,6 +335,30 @@ def run_bench() -> dict:
 
         per_query[f"web_curate_x{amp}"] = _best_of(_web_run)
 
+        # token-objective augmentation sweep over the amplified token
+        # corpus (zero-shuffle map passes: MLM mask + T5 span corrupt +
+        # FIM reorder chained on the same stream)
+        from feature_extraction_ray.fixtures import tokens_from_documents
+        from feature_extraction_ray.stages.tokengrams import (
+            corrupt_token_spans, fim_transform, mask_tokens_mlm)
+
+        def _aug_run():
+            toks = tokens_from_documents(SF_DIR, repeat=amp)
+
+            def add_did(t):
+                import numpy as _np
+                import pyarrow as _pa
+                return t.append_column("did", _pa.array(
+                    _np.arange(len(t), dtype=_np.int64)))
+
+            ds = toks.map_batches(add_did, batch_format="pyarrow")
+            ds = mask_tokens_mlm(ds, id_col="did")
+            ds = corrupt_token_spans(ds, id_col="did")
+            ds = fim_transform(ds, id_col="did")
+            return ds.count()
+
+        per_query[f"token_augment_x{amp}"] = _best_of(_aug_run)
+
         # session-2 ops: Bloom-pruned exact semi-join (lineitem × part),
         # per-entity EWMA over events, trained-BPE fit + amplified encode
         from feature_extraction_ray.stages.bloom import bloom_semi_join
