@@ -1423,6 +1423,55 @@ QUALIFY rank < 10
 """
 
 
+def quantized_embeddings(sf_dir: str) -> Dataset:
+    """Per-vector int8 storage quantization
+    (stages/similarity.quantize_embeddings_int8): codes compared
+    INTEGER-EXACTLY (joined string) against the unnest SQL twin with
+    the identical IEEE divide/scale/round sequence; scale is the
+    exact float64 of the float32 max-abs, compared strictly."""
+    from ..stages.similarity import quantize_embeddings_int8
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = quantize_embeddings_int8(ds)
+
+    def proj(t: pa.Table) -> pa.Table:
+        codes = t["codes"]
+        if isinstance(codes, pa.ChunkedArray):
+            codes = codes.combine_chunks()
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "code_str": _join_int_list(pc.cast(codes, pa.list_(
+                pa.int32()))),
+            "scale": t["scale"]})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+QUANTIZED_EMBEDDINGS_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS de FROM embeddings
+),
+s AS (
+  SELECT vec_id, de,
+         list_aggregate(list_transform(de, x -> abs(x)), 'max') AS sc
+  FROM e
+),
+q AS (
+  SELECT vec_id, sc,
+         unnest(range(1, len(de) + 1)) AS j,
+         CASE WHEN sc = 0 THEN 0 ELSE
+           greatest(-127, least(127,
+             (floor(abs(de[j] / sc * 127.0) + 0.5) *
+              (CASE WHEN de[j] < 0 THEN -1 ELSE 1 END))))::BIGINT
+         END AS code
+  FROM s
+)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY j) AS code_str,
+       any_value(sc) AS scale
+FROM q GROUP BY vec_id
+"""
+
+
 def hard_negatives_embeddings(sf_dir: str):
     """Hard-negative mining (stages/similarity.hard_negatives): for the
     first 20 vectors as anchors, the 5 most-cosine-similar corpus
@@ -8654,6 +8703,7 @@ QUERIES = {
     "token_mlm_docs": token_mlm_docs,
     "token_nsp_docs": token_nsp_docs,
     "token_fim_docs": token_fim_docs,
+    "quantized_embeddings": quantized_embeddings,
 }
 
 ORACLE_SQL = {
@@ -8829,6 +8879,7 @@ ORACLE_SQL = {
     "token_mlm_docs": _TOKEN_ORACLE_SQLS["token_mlm_docs"],
     "token_nsp_docs": _TOKEN_ORACLE_SQLS["token_nsp_docs"],
     "token_fim_docs": _TOKEN_ORACLE_SQLS["token_fim_docs"],
+    "quantized_embeddings": QUANTIZED_EMBEDDINGS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1444,3 +1444,39 @@ def hard_negatives(ds: Dataset, k: int = 5,
              ("neg_id" if c == "vec_id" else c)
              for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def quantize_embeddings_int8(ds: Dataset, vec_col: str = "embedding",
+                             out_col: str = "codes",
+                             scale_col: str = "scale") -> Dataset:
+    """Per-vector symmetric int8 quantization for embedding STORAGE
+    (4× smaller than float32 at <1% cosine error for typical
+    embeddings — the storage-side sibling of PQ, which compresses for
+    SEARCH): ``code = clamp(round(v / s · 127), ±127)`` with
+    ``s = max|v|`` per vector; all-zero vectors quantize to all-zero
+    codes with scale 0. Rounding uses the DuckDB-exact
+    ``floor(|x|+0.5)·sign`` sequence, so codes are INTEGER-EXACT
+    against a SQL twin. Dequantization is ``code · s / 127``. Zero
+    shuffles."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(t)
+        mat = _batch_matrix(t, vec_col).astype(np.float64)
+        s = np.abs(mat).max(axis=1) if n else np.zeros(0)
+        safe = np.where(s == 0, 1.0, s)
+        x = mat / safe[:, None] * 127.0
+        q = (np.floor(np.abs(x) + 0.5) * np.sign(x))
+        q = np.clip(q, -127, 127).astype(np.int64)
+        q[s == 0] = 0
+        dim = mat.shape[1] if n else 0
+        offs = np.arange(n + 1, dtype=np.int64) * dim
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()),
+            pa.array(q.reshape(-1).astype(np.int8)))
+        t = t.append_column(out_col, lst)
+        return t.append_column(scale_col, pa.array(s))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

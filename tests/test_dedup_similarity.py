@@ -921,3 +921,32 @@ def test_hard_negatives_label_exclusion():
         assert got == want
     with pytest.raises(ValueError, match="max_anchors"):
         hard_negatives(ds, k=2, max_anchors=2)
+
+
+# ------------------------------------------------------ int8 quantization
+
+def test_quantize_embeddings_int8_golden():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.similarity import (
+        quantize_embeddings_int8)
+    vecs = [[1.0, -0.5, 0.25, 0.0],
+            [0.0, 0.0, 0.0, 0.0],
+            [-2.0, 2.0, 1.0, -1.0]]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(3), type=pa.int64()),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32()))}))
+    out = quantize_embeddings_int8(ds).to_pandas() \
+        .set_index("vec_id").sort_index()
+    assert list(out.loc[0, "codes"]) == [127, -64, 32, 0]
+    assert out.loc[0, "scale"] == 1.0
+    # zero vector -> zero codes, scale 0
+    assert list(out.loc[1, "codes"]) == [0, 0, 0, 0]
+    assert out.loc[1, "scale"] == 0.0
+    assert list(out.loc[2, "codes"]) == [-127, 127, 64, -64]
+    # dequantization error bound: |v - code*s/127| <= s/254 per dim
+    for i, v in enumerate(vecs):
+        s = out.loc[i, "scale"]
+        deq = np.array(out.loc[i, "codes"], dtype=np.float64) * s / 127
+        assert np.abs(np.array(v) - deq).max() <= s / 254 + 1e-12
