@@ -3852,6 +3852,70 @@ WITH s0 AS (
 PII_SCRUB_DOCS_SQL = _pii_scrub_sql()
 
 
+def pii_by_source(sf_dir: str) -> Dataset:
+    """Per-source PII exposure report — the governance rollup over the
+    planted-PII scrub: identical plant + ordered scrub as
+    pii_scrub_docs, then ONE small groupby(source) summing each rule's
+    redaction count plus the doc count; integer-exact against the
+    wrapped pii oracle twin."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.curation import PII_PATTERNS, scrub_pii
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        sid = pa.array(did.astype(str))
+        j = pc.binary_join_element_wise
+        email = pc.if_else(
+            pa.array(did % 3 != 0),
+            j(" user", sid, "@mail.example.com", ""),
+            pa.scalar(" no-mail"))
+        url = pc.if_else(
+            pa.array(did % 4 != 0),
+            j(" https://ex.org/d", sid, "?x=1", ""), pa.scalar(""))
+        ip = j(" ip 10.", pa.array((did % 200).astype(str)), ".3.",
+               pa.array((did % 250).astype(str)), "")
+        phone = pc.if_else(
+            pa.array(did % 2 == 0),
+            j(" call 555-", pa.array((did % 900 + 100).astype(str)),
+              "-0142", ""), pa.scalar(""))
+        txt = j(pc.cast(t["text"], pa.string()), email, url, ip, phone,
+                "")
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "text": txt})
+
+    out = scrub_pii(ds.map_batches(plant, batch_format="pyarrow"))
+    names = [n for n, _, _ in PII_PATTERNS]
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs", pa.array(np.ones(len(t), dtype=np.int64)))
+
+    aggs = [Sum("n_docs", alias_name="n_docs")] + \
+        [Sum(f"n_{n}", alias_name=f"n_{n}") for n in names]
+    return out.map_batches(ones, batch_format="pyarrow") \
+        .groupby("source").aggregate(*aggs)
+
+
+PII_BY_SOURCE_SQL = None  # built below once PII_SCRUB_DOCS_SQL exists
+
+
+def _pii_by_source_sql() -> str:
+    from ..stages.curation import PII_PATTERNS
+    names = [n for n, _, _ in PII_PATTERNS]
+    sums = ",\n       ".join(
+        f"sum(b.n_{n})::BIGINT AS n_{n}" for n in names)
+    return (f"SELECT d.source, count(*)::BIGINT AS n_docs,\n"
+            f"       {sums}\n"
+            f"FROM ({PII_SCRUB_DOCS_SQL}) b\n"
+            f"JOIN documents d USING (doc_id)\n"
+            f"GROUP BY d.source")
+
+
+PII_BY_SOURCE_SQL = _pii_by_source_sql()
+
+
 def duplicate_spans_docs(sf_dir: str) -> Dataset:
     """Substring-level duplication signals: word 5-grams appearing in ≥2
     distinct documents; per affected doc, occurrence count and distinct
@@ -8704,6 +8768,7 @@ QUERIES = {
     "token_nsp_docs": token_nsp_docs,
     "token_fim_docs": token_fim_docs,
     "quantized_embeddings": quantized_embeddings,
+    "pii_by_source": pii_by_source,
 }
 
 ORACLE_SQL = {
@@ -8880,6 +8945,7 @@ ORACLE_SQL = {
     "token_nsp_docs": _TOKEN_ORACLE_SQLS["token_nsp_docs"],
     "token_fim_docs": _TOKEN_ORACLE_SQLS["token_fim_docs"],
     "quantized_embeddings": QUANTIZED_EMBEDDINGS_SQL,
+    "pii_by_source": PII_BY_SOURCE_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
