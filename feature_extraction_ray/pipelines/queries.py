@@ -8533,7 +8533,14 @@ QUERIES = {
     # twin, integer-exact); hard_negatives_embeddings — label-excluded
     # cosine top-k mining (knn-convention SQL twin);
     # cluster_split_docs — leakage-free cluster-hash splitting
-    # (Jaccard-closure + integer-threshold twin).
+    # (Jaccard-closure + integer-threshold twin);
+    # the token-objective family — token_dropout_docs (SimCSE views),
+    # token_mlm_docs (BERT 80/10/10, inputs+labels), token_t5_corrupt_
+    # docs (span corruption, both sequences), token_nsp_docs (next-
+    # segment pairs), token_fim_docs (PSM fill-in-the-middle) — all
+    # bit-exact joined-string twins over the F1 fixture;
+    # quantized_embeddings — int8 storage codes (integer-exact);
+    # pii_by_source — per-source governance rollup (wrapped pii twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
