@@ -901,3 +901,88 @@ def test_cluster_safe_split_no_leakage():
         cluster_safe_split(assign, [0.5, 0.4], ["a", "b"])
     with pytest.raises(ValueError):
         cluster_safe_split(assign, [1.0], ["a", "b"])
+
+
+def test_boilerplate_fuzz_both_modes_vs_naive():
+    """Random line corpora (blank lines, trim variants, hot lines,
+    within-doc repeats) through BOTH physical plans in one Ray call
+    each — exact parity with a naive Python reference."""
+    from feature_extraction_ray.stages.curation import (
+        remove_boilerplate_lines)
+    rng = np.random.RandomState(7)
+    pool = [f"line{i}" for i in range(12)] + ["HOT BOILER"] * 3 + [""]
+    docs = []
+    for i in range(120):
+        k = rng.randint(0, 7)
+        lines = [pool[rng.randint(0, len(pool))]
+                 + ("  " if rng.rand() < 0.3 else "")
+                 for _ in range(k)]
+        docs.append((i, "\n".join(lines)))
+
+    def naive(min_docs):
+        from collections import defaultdict
+        seen = defaultdict(set)
+        for did, text in docs:
+            for ln in text.split("\n"):
+                t = ln.strip(" \t\r")
+                if t:
+                    seen[t].add(did)
+        hot = {t for t, s in seen.items() if len(s) >= min_docs}
+        out = {}
+        for did, text in docs:
+            lines = text.split("\n")
+            kept = [ln for ln in lines
+                    if ln.strip(" \t\r") == "" or
+                    ln.strip(" \t\r") not in hot]
+            out[did] = ("\n".join(kept), len(lines),
+                        len(lines) - len(kept))
+        return out
+
+    ds = _docs(docs)
+    want = naive(3)
+    for mode in ("partitioned", "broadcast"):
+        got = remove_boilerplate_lines(ds, min_docs=3, num_buckets=4,
+                                       mode=mode).to_pandas() \
+            .set_index("doc_id").sort_index()
+        for did, (txt, nl, nr) in want.items():
+            assert got.loc[did, "text"] == txt, (mode, did)
+            assert got.loc[did, "n_lines"] == nl
+            assert got.loc[did, "n_removed"] == nr
+
+
+def test_cap_and_within_dedup_fuzz_vs_naive():
+    from feature_extraction_ray.stages.curation import (
+        cap_per_source, _cap_hash, dedup_lines_within_doc)
+    rng = np.random.RandomState(11)
+    ids = np.unique(rng.randint(0, 1 << 30, size=300))[:150] \
+        .astype(np.int64)
+    srcs = [f"s{rng.randint(0, 9)}" for _ in ids]
+    tbl = pa.table({"doc_id": pa.array(ids),
+                    "source": pa.array(srcs)})
+    out = cap_per_source(rd.from_arrow(tbl), cap=6, num_buckets=4) \
+        .to_pandas()
+    h = {int(i): int(v) for i, v in zip(ids, _cap_hash(ids))}
+    for s in set(srcs):
+        members = [int(i) for i, ss in zip(ids, srcs) if ss == s]
+        want = sorted(members, key=lambda i: (h[i], i))[:6]
+        got = out[out["source"] == s].sort_values("src_rank")
+        assert got["doc_id"].tolist() == want
+        assert got["src_rank"].tolist() == list(
+            range(1, len(want) + 1))
+    # within-doc line dedup on random repetitive docs
+    pool = ["a", "b  ", "c", "", "a "]
+    docs = [(i, "\n".join(pool[rng.randint(0, 5)]
+                          for _ in range(rng.randint(0, 8))))
+            for i in range(80)]
+    got2 = dedup_lines_within_doc(_docs(docs)).to_pandas() \
+        .set_index("doc_id")
+    for did, text in docs:
+        lines = text.split("\n")
+        seen, kept = set(), []
+        for ln in lines:
+            t = ln.strip(" \t\r")
+            if t == "" or t not in seen:
+                kept.append(ln)
+                seen.add(t)
+        assert got2.loc[did, "text"] == "\n".join(kept), did
+        assert got2.loc[did, "n_removed"] == len(lines) - len(kept)

@@ -684,3 +684,60 @@ def test_fim_transform_naive_parity():
         i2, i3 = seq.index(32002), seq.index(32003)
         pre, suf, mid = seq[1:i2], seq[i2 + 1:i3], seq[i3 + 1:]
         assert pre + mid + suf == toks
+
+
+def test_token_objectives_fuzz_naive_parity():
+    """300 random docs (empty / 1-token / long, ids up to 2^40) through
+    dropout, MLM and FIM in one Ray call each — bit parity with the
+    naive per-doc Python references across every shape."""
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.tokengrams import (
+        augment_token_dropout, fim_transform, mask_tokens_mlm)
+    rng = np.random.RandomState(42)
+    docs = []
+    for i in range(300):
+        if i % 17 == 0:
+            toks = []
+        elif i % 11 == 0:
+            toks = [int(rng.randint(0, 32000))]
+        else:
+            toks = rng.randint(0, 32000,
+                               size=rng.randint(2, 120)).tolist()
+        did = int(rng.randint(0, 1 << 40))
+        docs.append((did * 300 + i, toks))   # unique ids, huge range
+    ds = rd.from_arrow(_pa.table({
+        "did": _pa.array([d for d, _ in docs], type=_pa.int64()),
+        "tokens": _pa.array([t for _, t in docs],
+                            type=_pa.list_(_pa.int32()))}))
+
+    def h(did, p, seed):
+        return ((did % (1 << 20)) * 2654435761 + p * 40503
+                + seed * 1315423911) % (1 << 32)
+
+    drop = augment_token_dropout(ds, rate_pct=25, seed=3).to_pandas() \
+        .set_index("did")
+    mlm = mask_tokens_mlm(ds, rate_pm=200, seed=4).to_pandas() \
+        .set_index("did")
+    fim = fim_transform(ds, seed=5).to_pandas().set_index("did")
+    for did, toks in docs:
+        keep = [tv for p, tv in enumerate(toks)
+                if h(did, p + 1, 3) % 100 >= 25]
+        assert list(drop.loc[did, "tokens_aug"]) == keep
+        inp, lab = [], []
+        for p, tv in enumerate(toks):
+            hv = h(did, p + 1, 4)
+            if hv % 1000 < 200:
+                a = (hv // 1000) % 10
+                inp.append(32099 if a <= 7 else
+                           ((hv // 10000) % 32000 if a == 8 else tv))
+                lab.append(tv)
+            else:
+                inp.append(tv); lab.append(-100)
+        assert list(mlm.loc[did, "masked_tokens"]) == inp
+        assert list(mlm.loc[did, "labels"]) == lab
+        n = len(toks)
+        c1, c2 = h(did, 1, 5) % (n + 1), h(did, 2, 5) % (n + 1)
+        lo, hi = min(c1, c2), max(c1, c2)
+        want = [32001] + toks[:lo] + [32002] + toks[hi:] \
+            + [32003] + toks[lo:hi]
+        assert list(fim.loc[did, "fim_tokens"]) == want
