@@ -7568,6 +7568,29 @@ FROM x JOIN r r2 ON r2.rk = x.ck
 """
 
 
+def quality_gate_docs(sf_dir: str) -> Dataset:
+    """Per-source percentile quality gate
+    (stages/curation.quality_quantile_gate, q=0.7 over n_chars): keep
+    each source's top ~30% by length with the verified quantile_disc
+    convention — survivors and thresholds integer-exact against the
+    grouped-quantile SQL twin."""
+    from ..stages.curation import quality_quantile_gate
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    out = quality_quantile_gate(docs, "n_chars", q=0.7, num_buckets=8)
+    return out.select_columns(["doc_id", "source", "n_chars", "thr"])
+
+
+QUALITY_GATE_DOCS_SQL = """
+WITH t AS (
+  SELECT source, quantile_disc(n_chars, 0.7) AS thr
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, t.thr
+FROM documents d JOIN t USING (source)
+WHERE d.n_chars >= t.thr
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8776,6 +8799,7 @@ QUERIES = {
     "token_fim_docs": token_fim_docs,
     "quantized_embeddings": quantized_embeddings,
     "pii_by_source": pii_by_source,
+    "quality_gate_docs": quality_gate_docs,
 }
 
 ORACLE_SQL = {
@@ -8953,6 +8977,7 @@ ORACLE_SQL = {
     "token_fim_docs": _TOKEN_ORACLE_SQLS["token_fim_docs"],
     "quantized_embeddings": QUANTIZED_EMBEDDINGS_SQL,
     "pii_by_source": PII_BY_SOURCE_SQL,
+    "quality_gate_docs": QUALITY_GATE_DOCS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1519,6 +1519,43 @@ def sample_negatives(ds: Dataset, id_col: str = "doc_id", k: int = 4,
     return neg.drop_columns(["__ck"])
 
 
+def quality_quantile_gate(ds: Dataset, score_col: str,
+                          by_col: str = "source", q: float = 0.7,
+                          num_buckets: int = 32) -> Dataset:
+    """Per-domain PERCENTILE quality gate — real quality filters keep
+    "the top X% per source", not a fixed threshold (a fixed cut
+    over-prunes clean domains and under-prunes noisy ones): within
+    each ``by_col`` group compute the ``q``-th discrete quantile of
+    ``score_col`` (DuckDB ``quantile_disc`` convention — the sorted
+    value at 1-based index ``max(1, ceil(q·n))``, verified in the
+    grouped-quantile family) and keep rows with ``score ≥ threshold``
+    (ties kept). Appends the group's ``thr`` so survivors are
+    auditable. ONE bucketed exchange; threshold and filter happen
+    inside the same group pass — no join back."""
+    import math
+
+    from .partition import entity_group_starts
+    from .window import bucketed_apply
+
+    def gate(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (by_col, "ascending"), (score_col, "ascending")])
+        tbl = tbl.take(idx)
+        ng = entity_group_starts(tbl, by_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        cnt = np.diff(np.r_[starts, len(tbl)])
+        sc = tbl[score_col].to_numpy(zero_copy_only=False)
+        k = np.maximum(1, np.ceil(q * cnt).astype(np.int64))
+        thr = sc[starts + k - 1]
+        thr_rows = thr[run_id]
+        keep = sc >= thr_rows
+        tbl = tbl.append_column("thr", pa.array(thr_rows))
+        return tbl.filter(pa.array(keep))
+
+    return bucketed_apply(ds, by_col, gate, num_buckets=num_buckets)
+
+
 def interleave_by_domain(ds: Dataset, by_col: str = "source",
                          id_col: str = "doc_id",
                          num_buckets: int = 32) -> Dataset:

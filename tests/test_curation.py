@@ -986,3 +986,35 @@ def test_cap_and_within_dedup_fuzz_vs_naive():
                 seen.add(t)
         assert got2.loc[did, "text"] == "\n".join(kept), did
         assert got2.loc[did, "n_removed"] == len(lines) - len(kept)
+
+
+# ------------------------------------------------- quantile quality gate
+
+def test_quality_quantile_gate_convention():
+    import math
+    import pyarrow as _pa
+    from feature_extraction_ray.stages.curation import (
+        quality_quantile_gate)
+    scores = {"a": [1, 2, 3, 4, 5, 6, 7, 8, 9, 10], "b": [5, 5, 5],
+              "c": [42]}
+    rows, i = [], 0
+    for s, vals in scores.items():
+        for v in vals:
+            rows.append((i, s, v)); i += 1
+    tbl = _pa.table({
+        "doc_id": _pa.array([r[0] for r in rows], type=_pa.int64()),
+        "source": _pa.array([r[1] for r in rows], type=_pa.string()),
+        "score": _pa.array([r[2] for r in rows], type=_pa.int64())})
+    out = quality_quantile_gate(rd.from_arrow(tbl), "score", q=0.7,
+                                num_buckets=2).to_pandas()
+    for s, vals in scores.items():
+        sv = sorted(vals)
+        thr = sv[max(1, math.ceil(0.7 * len(sv))) - 1]
+        got = out[out["source"] == s]
+        assert (got["thr"] == thr).all()
+        assert sorted(got["score"]) == sorted(
+            v for v in vals if v >= thr)
+    # tie group 'b': threshold 5, ALL ties kept
+    assert len(out[out["source"] == "b"]) == 3
+    # singleton group: its only row survives
+    assert len(out[out["source"] == "c"]) == 1
