@@ -7591,6 +7591,97 @@ WHERE d.n_chars >= t.thr
 """
 
 
+def _build_urls(t: pa.Table) -> pa.Table:
+    """Deterministic URL construction over the documents table (twin
+    of _URLS_SQL): page = doc_id % 97, five variants by doc_id % 5 —
+    clean, upper-cased scheme+host, trailing slash, ``:443`` + tracking
+    params wrapped around a REAL ``ref`` param, and a fragment — so
+    canonicalization must fold case/port/fragment/slash, strip the
+    utm_*/gclid family and KEEP ``ref``."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    page = pc.cast(pa.array(did % 97), pa.string())
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    base = pc.binary_join_element_wise(
+        "https://", src, ".example.com/page/", page, "")
+    v1 = pc.binary_join_element_wise(
+        "HTTPS://", pc.utf8_upper(src), ".EXAMPLE.COM/page/", page, "")
+    v2 = pc.binary_join_element_wise(base, "/", "")
+    v3 = pc.binary_join_element_wise(
+        "https://", src, ".example.com:443/page/", page,
+        "?utm_source=feed&ref=", pc.cast(pa.array(did % 7), pa.string()),
+        "&utm_campaign=x", "")
+    v4 = pc.binary_join_element_wise(
+        base, "#section-", pc.cast(pa.array(did % 4), pa.string()), "")
+    v = did % 5
+    url = pc.case_when(
+        pc.make_struct(pa.array(v == 0), pa.array(v == 1),
+                       pa.array(v == 2), pa.array(v == 3)),
+        base, v1, v2, v3, v4)
+    return t.append_column("url", url)
+
+
+def url_dedup_docs(sf_dir: str) -> Dataset:
+    """URL-keyed exact dedup (stages/curation.dedup_by_url): CommonCrawl-
+    style URL canonicalization — lowercase scheme+host, drop fragment /
+    default ``:443`` port / tracking params (real params kept), trim
+    trailing path slash — then min-id keeper per canonical URL with
+    n_dups multiplicity; ONE hash-bucketed exchange. URLs built
+    deterministically by _build_urls so every canonicalization rule is
+    exercised at every sf."""
+    from ..stages.curation import dedup_by_url
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    pages = docs.map_batches(_build_urls, batch_format="pyarrow")
+    out = dedup_by_url(pages, num_buckets=8)
+    return out.select_columns(["doc_id", "url", "url_canon", "n_dups"])
+
+
+_URLS_SQL = """
+  SELECT doc_id, source,
+    CASE doc_id % 5
+      WHEN 0 THEN 'https://' || source || '.example.com/page/'
+                  || (doc_id % 97)
+      WHEN 1 THEN 'HTTPS://' || upper(source) || '.EXAMPLE.COM/page/'
+                  || (doc_id % 97)
+      WHEN 2 THEN 'https://' || source || '.example.com/page/'
+                  || (doc_id % 97) || '/'
+      WHEN 3 THEN 'https://' || source || '.example.com:443/page/'
+                  || (doc_id % 97) || '?utm_source=feed&ref='
+                  || (doc_id % 7) || '&utm_campaign=x'
+      ELSE 'https://' || source || '.example.com/page/' || (doc_id % 97)
+           || '#section-' || (doc_id % 4)
+    END AS url
+  FROM documents
+"""
+
+# the IDENTICAL RE2 rewrite sequence curation._canon_url_array runs —
+# both engines are RE2, so the bytes agree exactly
+_URL_CANON_SQL = r"""regexp_replace(
+  regexp_replace(
+   regexp_replace(
+    regexp_replace(
+     regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(url, '^([^:]+://[^/?#]*)', 1)) ||
+          regexp_extract(url, '^[^:]+://[^/?#]*(.*)$', 1),
+        '#.*$', '', 'g'),
+      '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
+     '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+    '\?&', '?', 'g'),
+   '[?&]+$', '', 'g'),
+  '([^/])/$', '\1', 'g')"""
+
+URL_DEDUP_SQL = ("WITH u AS (" + _URLS_SQL + """),
+c AS (SELECT doc_id, url, """ + _URL_CANON_SQL + """ AS url_canon FROM u),
+k AS (SELECT url_canon, min(doc_id) AS keep_id,
+             count(*)::BIGINT AS n_dups
+      FROM c GROUP BY url_canon)
+SELECT c.doc_id, c.url, c.url_canon, k.n_dups
+FROM c JOIN k ON c.url_canon = k.url_canon AND c.doc_id = k.keep_id
+""")
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8563,7 +8654,11 @@ QUERIES = {
     # segment pairs), token_fim_docs (PSM fill-in-the-middle) — all
     # bit-exact joined-string twins over the F1 fixture;
     # quantized_embeddings — int8 storage codes (integer-exact);
-    # pii_by_source — per-source governance rollup (wrapped pii twin).
+    # pii_by_source — per-source governance rollup (wrapped pii twin);
+    # quality_gate_docs — per-domain percentile quality gate
+    # (grouped quantile_disc twin); url_dedup_docs — URL
+    # canonicalization + URL-keyed dedup (identical RE2 rewrite
+    # sequence both engines, string-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8800,6 +8895,7 @@ QUERIES = {
     "quantized_embeddings": quantized_embeddings,
     "pii_by_source": pii_by_source,
     "quality_gate_docs": quality_gate_docs,
+    "url_dedup_docs": url_dedup_docs,
 }
 
 ORACLE_SQL = {
@@ -8978,6 +9074,7 @@ ORACLE_SQL = {
     "quantized_embeddings": QUANTIZED_EMBEDDINGS_SQL,
     "pii_by_source": PII_BY_SOURCE_SQL,
     "quality_gate_docs": QUALITY_GATE_DOCS_SQL,
+    "url_dedup_docs": URL_DEDUP_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

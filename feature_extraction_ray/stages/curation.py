@@ -1746,3 +1746,76 @@ def pack_chunks(ds: Dataset, order_col: str, chunk_tokens: int,
     if not out_refs:
         return ds  # empty input: nothing to pack
     return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-keyed dedup
+# ---------------------------------------------------------------------------
+
+#: query parameters stripped by :func:`canonicalize_url` — the common
+#: click-tracking families; extend per deployment.
+URL_TRACKING_PARAMS = r"utm_[a-z]+|fbclid|gclid"
+
+
+def _canon_url_array(u: pa.Array) -> pa.Array:
+    """The canonicalization sequence, vectorized RE2 end-to-end. Every
+    step is a GLOBAL regex replace with an exact DuckDB twin
+    (``regexp_replace(..., 'g')`` — both engines run RE2, so the
+    rewrites agree byte-for-byte; RE2 has no lookahead, hence the
+    capture-group forms). Strings without a ``scheme://host`` head
+    pass through the case fold unchanged (extract misses → coalesce)
+    but still get the suffix cleanups."""
+    ex = pc.extract_regex(u, r"^(?P<head>[^:]+://[^/?#]*)(?P<rest>.*)$")
+    head = pc.utf8_lower(pc.struct_field(ex, "head"))
+    rest = pc.struct_field(ex, "rest")
+    out = pc.coalesce(pc.binary_join_element_wise(head, rest, ""), u)
+    # 1. fragment never reaches the server — drop it
+    out = pc.replace_substring_regex(out, r"#.*$", "")
+    # 2. default https port is noise
+    out = pc.replace_substring_regex(
+        out, r"^(https://[^/?#:]*):443([/?#].*)?$", r"\1\2")
+    # 3. tracking params (keep the separator so real params survive)
+    out = pc.replace_substring_regex(
+        out, r"([?&])(" + URL_TRACKING_PARAMS + r")=[^&#]*", r"\1")
+    # 4/5. repair the seams steps 3 left behind
+    out = pc.replace_substring_regex(out, r"\?&", "?")
+    out = pc.replace_substring_regex(out, r"[?&]+$", "")
+    # 6. trailing slash after a path segment
+    out = pc.replace_substring_regex(out, r"([^/])/$", r"\1")
+    return out
+
+
+def canonicalize_url(ds: Dataset, url_col: str = "url",
+                     out_col: str = "url_canon") -> Dataset:
+    """Append ``out_col`` = canonical form of ``url_col``: lowercase
+    scheme+host, drop the fragment, drop the default ``:443`` port,
+    strip tracking query params (:data:`URL_TRACKING_PARAMS`) while
+    KEEPING real ones, and trim a trailing path slash — the
+    CommonCrawl-style URL normalization run before URL-keyed dedup.
+    Zero shuffles; one vectorized RE2 pass per batch."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[url_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return t.append_column(out_col, _canon_url_array(col))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_by_url(ds: Dataset, url_col: str = "url",
+                 id_col: str = "doc_id",
+                 num_buckets: int | None = None,
+                 keep_cols=None) -> Dataset:
+    """URL-keyed exact dedup: canonicalize ``url_col`` then keep the
+    min-``id_col`` row per canonical URL (re-crawls, tracking-param
+    copies and fragment variants of one page collapse). Rides
+    :func:`~feature_extraction_ray.stages.dedup.exact_dedup` — ONE
+    hash-bucketed exchange, run-head keeper selection, ``n_dups``
+    multiplicity on survivors; the original ``url_col`` is carried
+    through via ``keep_cols``."""
+    from .dedup import exact_dedup
+    kc = [url_col] + [c for c in (keep_cols or []) if c != url_col]
+    return exact_dedup(canonicalize_url(ds, url_col),
+                       content_col="url_canon", id_col=id_col,
+                       num_buckets=num_buckets, keep_cols=kc)

@@ -1018,3 +1018,57 @@ def test_quality_quantile_gate_convention():
     assert len(out[out["source"] == "b"]) == 3
     # singleton group: its only row survives
     assert len(out[out["source"] == "c"]) == 1
+
+
+def test_canonicalize_url_golden():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import canonicalize_url
+    urls = [
+        "HTTPS://WWW.Example.COM/Path/A",          # case folds host only
+        "https://a.com/p/1/",                      # trailing slash
+        "https://a.com:443/p/1",                   # default port
+        "https://a.com/p?utm_source=x&ref=2&utm_campaign=y",
+        "https://a.com/p?fbclid=abc",               # only tracking left
+        "https://a.com/p#frag",                    # fragment
+        "http://a.com:443/p",                      # NOT https — port kept
+        "no-scheme-string",                        # passthrough
+    ]
+    out = canonicalize_url(
+        rd.from_arrow(pa.table({"url": pa.array(urls)})))
+    got = dict(zip(urls, out.to_pandas()["url_canon"]))
+    assert got["HTTPS://WWW.Example.COM/Path/A"] == \
+        "https://www.example.com/Path/A"
+    assert got["https://a.com/p/1/"] == "https://a.com/p/1"
+    assert got["https://a.com:443/p/1"] == "https://a.com/p/1"
+    assert got["https://a.com/p?utm_source=x&ref=2&utm_campaign=y"] == \
+        "https://a.com/p?ref=2"
+    assert got["https://a.com/p?fbclid=abc"] == "https://a.com/p"
+    assert got["https://a.com/p#frag"] == "https://a.com/p"
+    assert got["http://a.com:443/p"] == "http://a.com:443/p"
+    assert got["no-scheme-string"] == "no-scheme-string"
+
+
+def test_dedup_by_url_collapses_variants():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import dedup_by_url
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 10, 11], type=pa.int64()),
+        "url": pa.array([
+            "https://a.com/p/7",
+            "HTTPS://A.COM/p/7",
+            "https://a.com/p/7/",
+            "https://a.com:443/p/7#x",
+            "https://a.com/p/7?ref=1&utm_source=s",
+            "https://a.com/p/7?ref=1",
+        ])})
+    out = dedup_by_url(rd.from_arrow(tbl), num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # 1-4 collapse to the bare page (keeper 1); 10/11 share ?ref=1
+    assert out["doc_id"].tolist() == [1, 10]
+    assert out["n_dups"].tolist() == [4, 2]
+    assert out.loc[0, "url_canon"] == "https://a.com/p/7"
+    assert out.loc[1, "url_canon"] == "https://a.com/p/7?ref=1"
+    # the keeper's ORIGINAL url rides through keep_cols
+    assert out.loc[0, "url"] == "https://a.com/p/7"
