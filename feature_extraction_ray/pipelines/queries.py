@@ -7682,6 +7682,33 @@ FROM c JOIN k ON c.url_canon = k.url_canon AND c.doc_id = k.keep_id
 """)
 
 
+def epoch_order_docs(sf_dir: str) -> Dataset:
+    """Deterministic multi-epoch training order
+    (stages/curation.epoch_order, epochs=2): each epoch's permutation
+    from the shared (id, epoch) hash family with id tie-break — one
+    expand + ONE prefix-scan sort for all epochs, positions reproducible
+    under any block layout. Integer-exact against the per-epoch
+    row_number SQL twin."""
+    from ..stages.curation import epoch_order
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return epoch_order(docs, epochs=2)
+
+
+EPOCH_ORDER_SQL = """
+WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+x AS (
+  SELECT e.epoch, d.doc_id,
+         ((d.doc_id % 1048576) * (2654435761 + 2630847822 * e.epoch))
+           % 4294967296 AS h
+  FROM documents d, e
+)
+SELECT epoch, doc_id,
+       row_number() OVER (PARTITION BY epoch
+                          ORDER BY h, doc_id) AS train_pos
+FROM x
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8658,7 +8685,9 @@ QUERIES = {
     # quality_gate_docs — per-domain percentile quality gate
     # (grouped quantile_disc twin); url_dedup_docs — URL
     # canonicalization + URL-keyed dedup (identical RE2 rewrite
-    # sequence both engines, string-exact).
+    # sequence both engines, string-exact); epoch_order_docs —
+    # deterministic multi-epoch training permutations (per-epoch
+    # row_number twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8896,6 +8925,7 @@ QUERIES = {
     "pii_by_source": pii_by_source,
     "quality_gate_docs": quality_gate_docs,
     "url_dedup_docs": url_dedup_docs,
+    "epoch_order_docs": epoch_order_docs,
 }
 
 ORACLE_SQL = {
@@ -9075,6 +9105,7 @@ ORACLE_SQL = {
     "pii_by_source": PII_BY_SOURCE_SQL,
     "quality_gate_docs": QUALITY_GATE_DOCS_SQL,
     "url_dedup_docs": URL_DEDUP_SQL,
+    "epoch_order_docs": EPOCH_ORDER_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

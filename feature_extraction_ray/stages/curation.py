@@ -1819,3 +1819,57 @@ def dedup_by_url(ds: Dataset, url_col: str = "url",
     return exact_dedup(canonicalize_url(ds, url_col),
                        content_col="url_canon", id_col=id_col,
                        num_buckets=num_buckets, keep_cols=kc)
+
+
+def epoch_order(ds: Dataset, epochs: int, id_col: str = "doc_id") -> Dataset:
+    """Deterministic per-epoch training order: every (epoch, row) pair
+    gets ``train_pos`` — the row's 1-based position in that epoch's
+    pseudo-random permutation, defined by the overflow-safe hash
+    ``((id % 2^20)·(2654435761 + 2630847822·epoch)) mod 2^32`` with id
+    tie-break. The epoch term MULTIPLIES with the id and the per-epoch
+    multiplier delta is LARGE mod 2^32 (an additive epoch constant is
+    order-preserving, and a small multiplier delta barely perturbs
+    sparse id sets — both measured as identical permutations); the
+    multiplier stays odd for every epoch so low bits keep mixing.
+    Different epochs give independent-looking orders of the SAME
+    corpus, and the
+    permutation depends only on (id, epoch) — reproducible under any
+    partitioning or block layout, so a resumed training run sees the
+    identical sample order.
+
+    Scale shape: one stateless ``epochs``-way expand, then ONE
+    range-partition sort feeding the two-phase prefix scan
+    (``partition.row_number``); per-epoch positions derive from the
+    global row number arithmetically (each epoch holds exactly ``n``
+    rows), so all epochs ride a single exchange. At petabyte scale run
+    one epoch per call — the shape is unchanged."""
+    from .partition import row_number
+    if epochs < 1:
+        raise ValueError("epochs must be >= 1")
+    n = ds.count()
+
+    def expand(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = len(t)
+        rep = np.repeat(ids, epochs)
+        ep = np.tile(np.arange(epochs, dtype=np.int64), m)
+        u = rep.astype(np.uint64)
+        mult = np.uint64(2654435761) + ep.astype(np.uint64) \
+            * np.uint64(2630847822)
+        h = ((u % np.uint64(1 << 20)) * mult) % np.uint64(1 << 32)
+        return pa.table({"epoch": pa.array(ep),
+                         id_col: pa.array(rep),
+                         "__h": pa.array(h.astype(np.int64))})
+
+    ranked = row_number(ds.select_columns([id_col])
+                        .map_batches(expand, batch_format="pyarrow"),
+                        ["epoch", "__h", id_col], out_col="__rid",
+                        start=1)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        rid = t["__rid"].to_numpy(zero_copy_only=False)
+        pos = (rid - 1) % n + 1
+        return pa.table({"epoch": t["epoch"], id_col: t[id_col],
+                         "train_pos": pa.array(pos)})
+
+    return ranked.map_batches(finalize, batch_format="pyarrow")

@@ -1072,3 +1072,37 @@ def test_dedup_by_url_collapses_variants():
     assert out.loc[1, "url_canon"] == "https://a.com/p/7?ref=1"
     # the keeper's ORIGINAL url rides through keep_cols
     assert out.loc[0, "url"] == "https://a.com/p/7"
+
+
+def test_epoch_order_permutations_and_layout_invariance():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import epoch_order
+    ids = pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64))})
+    out = epoch_order(rd.from_arrow(ids), epochs=3) \
+        .to_pandas().sort_values(["epoch", "doc_id"]) \
+        .reset_index(drop=True)
+    assert len(out) == 120
+    orders = {}
+    for e in range(3):
+        sub = out[out["epoch"] == e]
+        # each epoch is a full 1..n permutation
+        assert sorted(sub["train_pos"].tolist()) == list(range(1, 41))
+        orders[e] = sub.sort_values("doc_id")["train_pos"].tolist()
+    # distinct epochs give distinct permutations
+    assert orders[0] != orders[1] and orders[1] != orders[2]
+    # block layout does not change positions
+    out2 = epoch_order(rd.from_arrow(ids).repartition(7), epochs=3) \
+        .to_pandas().sort_values(["epoch", "doc_id"]) \
+        .reset_index(drop=True)
+    assert out2.equals(out)
+
+
+def test_epoch_order_rejects_bad_epochs():
+    import pytest
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import epoch_order
+    ids = pa.table({"doc_id": pa.array([1, 2], type=pa.int64())})
+    with pytest.raises(ValueError):
+        epoch_order(rd.from_arrow(ids), epochs=0)
