@@ -7709,6 +7709,40 @@ FROM x
 """
 
 
+def token_vocab_coverage(sf_dir: str) -> pa.Table:
+    """Tokenizer-vocab coverage curve (stages/tokengrams.vocab_coverage)
+    over the F1 token fixture: for k in (1,10,100,1000,10000) the
+    token-stream share the k most frequent ids cover — exact int64
+    covered_types / covered_tokens / oov_tokens, count-desc token-asc
+    ranking; one groupby exchange, vocab-bounded driver tail."""
+    from ..stages.tokengrams import vocab_coverage
+    tok, _ = _token_fixture()
+    return vocab_coverage(rd.from_arrow(tok.select(["doc_id", "tokens"])),
+                          ks=(1, 10, 100, 1000, 10000))
+
+
+def _token_vocab_coverage_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT unnest(tokens) AS tk FROM tok),
+c AS (SELECT tk, count(*)::BIGINT AS cnt FROM t GROUP BY tk),
+r AS (SELECT tk, cnt,
+             row_number() OVER (ORDER BY cnt DESC, tk) AS rk
+      FROM c),
+ks(k) AS (VALUES (1::BIGINT), (10), (100), (1000), (10000))
+SELECT ks.k,
+       (count(*) FILTER (WHERE r.rk <= ks.k))::BIGINT AS covered_types,
+       coalesce(sum(r.cnt) FILTER (WHERE r.rk <= ks.k), 0)::BIGINT
+         AS covered_tokens,
+       (sum(r.cnt)
+        - coalesce(sum(r.cnt) FILTER (WHERE r.rk <= ks.k), 0))::BIGINT
+         AS oov_tokens
+FROM r CROSS JOIN ks
+GROUP BY ks.k
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8687,7 +8721,9 @@ QUERIES = {
     # canonicalization + URL-keyed dedup (identical RE2 rewrite
     # sequence both engines, string-exact); epoch_order_docs —
     # deterministic multi-epoch training permutations (per-epoch
-    # row_number twin, integer-exact).
+    # row_number twin, integer-exact); token_vocab_coverage —
+    # tokenizer-vocab coverage/OOV curve over the F1 fixture
+    # (unnest + FILTER-aggregate twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8926,6 +8962,7 @@ QUERIES = {
     "quality_gate_docs": quality_gate_docs,
     "url_dedup_docs": url_dedup_docs,
     "epoch_order_docs": epoch_order_docs,
+    "token_vocab_coverage": token_vocab_coverage,
 }
 
 ORACLE_SQL = {
@@ -9106,6 +9143,7 @@ ORACLE_SQL = {
     "quality_gate_docs": QUALITY_GATE_DOCS_SQL,
     "url_dedup_docs": URL_DEDUP_SQL,
     "epoch_order_docs": EPOCH_ORDER_SQL,
+    "token_vocab_coverage": _token_vocab_coverage_sql(),
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1431,3 +1431,61 @@ def fim_transform(ds: Dataset, tokens_col: str = "tokens",
             "n_middle", pa.array((hi - lo).astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_coverage(ds: Dataset, ks, tokens_col: str = "tokens") -> pa.Table:
+    """Tokenizer-vocabulary coverage curve: for each candidate vocab
+    size ``k`` in ``ks``, how much of the corpus token stream the
+    ``k`` most frequent token ids cover — the standard analysis behind
+    "what vocab size / frequency cutoff do we ship" and the OOV-rate
+    estimate for a truncated vocab. Ranking is by (count desc, token
+    asc), so results are deterministic under ties.
+
+    Emits one row per ``k``: ``covered_types`` (= min(k, V)),
+    ``covered_tokens``, ``oov_tokens`` — all exact int64.
+
+    Scale shape: per-block ``np.unique`` partial counts ride ONE
+    ``groupby(token).sum()`` exchange; the ranked cumulative sum runs
+    driver-side over the VOCAB-BOUNDED count table (the same documented
+    contract as the unigram/bigram LM fits — token vocabularies are
+    ≤ millions of rows while the corpus is TBs)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(flat.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    if len(counts) == 0 or "tok" not in counts.columns:
+        # empty-corpus groupby emits blocks missing the key column
+        tok = np.array([], dtype=np.int64)
+        cnt = np.array([], dtype=np.int64)
+    else:
+        tok = counts["tok"].to_numpy(dtype=np.int64)
+        cnt = counts["cnt"].to_numpy(dtype=np.int64)
+    order = np.lexsort((tok, -cnt))
+    csum = np.cumsum(cnt[order])
+    total = int(csum[-1]) if len(csum) else 0
+    ks_arr = np.asarray(list(ks), dtype=np.int64)
+    if len(ks_arr) == 0 or (ks_arr < 0).any():
+        raise ValueError("ks must be non-empty, all >= 0")
+    ctypes = np.minimum(ks_arr, len(tok))
+    if len(csum) == 0:
+        ctok = np.zeros(len(ks_arr), dtype=np.int64)
+    else:
+        ctok = np.where(ctypes > 0, csum[np.maximum(ctypes, 1) - 1], 0)
+    return pa.table({
+        "k": pa.array(ks_arr),
+        "covered_types": pa.array(ctypes.astype(np.int64)),
+        "covered_tokens": pa.array(ctok.astype(np.int64)),
+        "oov_tokens": pa.array((total - ctok).astype(np.int64))})

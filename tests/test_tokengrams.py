@@ -741,3 +741,44 @@ def test_token_objectives_fuzz_naive_parity():
         want = [32001] + toks[:lo] + [32002] + toks[hi:] \
             + [32003] + toks[lo:hi]
         assert list(fim.loc[did, "fim_tokens"]) == want
+
+
+def test_vocab_coverage_hand_computed():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import vocab_coverage
+    # counts: 5→4, 1→3, 9→2, 2→1  (total 10; tie 9 vs none)
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "tokens": pa.array([[5, 5, 1, 9], [5, 1, 2, 9], [5, 1]],
+                           type=pa.list_(pa.int32()))})
+    out = vocab_coverage(rd.from_arrow(docs), ks=(0, 1, 2, 3, 99)) \
+        .to_pandas().set_index("k")
+    assert out.loc[0].tolist() == [0, 0, 10]
+    assert out.loc[1].tolist() == [1, 4, 6]       # top-1 = token 5
+    assert out.loc[2].tolist() == [2, 7, 3]       # + token 1
+    assert out.loc[3].tolist() == [3, 9, 1]       # + token 9
+    assert out.loc[99].tolist() == [4, 10, 0]     # clamped to V=4
+    assert list(out.columns) == ["covered_types", "covered_tokens",
+                                 "oov_tokens"]
+
+
+def test_vocab_coverage_tie_break_and_empty():
+    import pytest
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import vocab_coverage
+    # equal counts: rank by token id ascending → top-1 is id 3
+    docs = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "tokens": pa.array([[7, 3]], type=pa.list_(pa.int32()))})
+    out = vocab_coverage(rd.from_arrow(docs), ks=(1,)).to_pandas()
+    assert out["covered_tokens"].tolist() == [1]
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "tokens": pa.array([], type=pa.list_(pa.int32()))})
+    out2 = vocab_coverage(rd.from_arrow(empty), ks=(1, 5)).to_pandas()
+    assert out2["covered_tokens"].tolist() == [0, 0]
+    assert out2["oov_tokens"].tolist() == [0, 0]
+    with pytest.raises(ValueError):
+        vocab_coverage(rd.from_arrow(docs), ks=())
