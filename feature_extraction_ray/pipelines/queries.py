@@ -6168,8 +6168,7 @@ def bm25_docs(sf_dir: str) -> Dataset:
     return _round(out, {"bm25": 4})
 
 
-BM25_DOCS_SQL = """
-WITH q(term) AS (SELECT unnest(['query', 'join', 'stream', 'hash'])),
+_BM25_CORE_SQL = """q(term) AS (SELECT unnest(['query', 'join', 'stream', 'hash'])),
 s AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
       FROM documents WHERE trim(text) <> ''),
 w AS (SELECT doc_id, unnest(ws) AS word FROM s),
@@ -6190,7 +6189,9 @@ contrib AS (
            / (tf.tf + 1.2 * ((1.0 - 0.75)
               + 0.75 * (d.dl / ((SELECT total FROM nd)
                                 / (SELECT n_docs FROM nd))))) AS c
-  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id))
+  FROM tf JOIN df USING (term) JOIN dl d USING (doc_id))"""
+
+BM25_DOCS_SQL = "WITH " + _BM25_CORE_SQL + """
 SELECT dl.doc_id, dl.dl, round(coalesce(sum(c.c), 0.0), 4) AS bm25
 FROM dl LEFT JOIN contrib c USING (doc_id)
 GROUP BY 1, 2
@@ -7743,6 +7744,75 @@ GROUP BY ks.k
 """
 
 
+def hybrid_rrf_docs(sf_dir: str) -> Dataset:
+    """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
+    (stages/similarity.rrf_fuse, k=60): ranking A = BM25 of every doc
+    against the fixed 4-term query (round-4, doc_id tie-break);
+    ranking B = cosine of every embedding against the vec_id-0 query
+    vector (round-6, vec_id tie-break). Fused through a FULL outer
+    join on doc_id=vec_id (lists fully overlap at sf≤0.01; at sf0.1
+    the embedding list covers 500 of 5000 docs and the single-list
+    term path runs for real — the golden covers it at any sf). Ranks
+    integer-exact; rrf is two fixed-order IEEE terms — the SQL twin
+    compares STRICTLY with no tolerance."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.similarity import rrf_fuse
+    from ..stages.text import bm25_scores
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = _round(bm25_scores(docs, ["query", "join", "stream", "hash"]),
+                {"bm25": 4})
+    qv = np.array(_pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["embedding"]).slice(0, 1)["embedding"].to_pylist(),
+        dtype=np.float64)[0]
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def cos(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        return pa.table({"vec_id": t["vec_id"],
+                         "cos": pa.array(_round_arr(c, 6))})
+
+    fused = rrf_fuse(bm, emb.map_batches(cos, batch_format="pyarrow"),
+                     id_a="doc_id", id_b="vec_id",
+                     score_a="bm25", score_b="cos", k=60, num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "r_bm25": t["r_a"], "r_cos": t["r_b"],
+                         "rrf": t["rrf"]})
+
+    return fused.map_batches(proj, batch_format="pyarrow")
+
+
+HYBRID_RRF_SQL = "WITH " + _BM25_CORE_SQL + """,
+bm AS (SELECT dl.doc_id, round(coalesce(sum(c.c), 0.0), 4) AS b4
+       FROM dl LEFT JOIN contrib c USING (doc_id) GROUP BY 1),
+ra AS (SELECT doc_id,
+              row_number() OVER (ORDER BY b4 DESC, doc_id) AS r_bm25
+       FROM bm),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+       WHERE vec_id = 0),
+cs AS (SELECT vec_id,
+              round(list_cosine_similarity(
+                        qe, CAST(embedding AS DOUBLE[])), 6) AS c6
+       FROM qv CROSS JOIN embeddings),
+rb AS (SELECT vec_id,
+              row_number() OVER (ORDER BY c6 DESC, vec_id) AS r_cos
+       FROM cs)
+SELECT coalesce(ra.doc_id, rb.vec_id) AS doc_id, ra.r_bm25, rb.r_cos,
+       coalesce(1.0 / (60 + ra.r_bm25), 0.0)
+         + coalesce(1.0 / (60 + rb.r_cos), 0.0) AS rrf
+FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.vec_id
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8723,7 +8793,9 @@ QUERIES = {
     # deterministic multi-epoch training permutations (per-epoch
     # row_number twin, integer-exact); token_vocab_coverage —
     # tokenizer-vocab coverage/OOV curve over the F1 fixture
-    # (unnest + FILTER-aggregate twin, integer-exact).
+    # (unnest + FILTER-aggregate twin, integer-exact);
+    # hybrid_rrf_docs — BM25 + embedding-cosine reciprocal-rank
+    # fusion (full-outer rank twin, rrf strict two-term IEEE).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -8963,6 +9035,7 @@ QUERIES = {
     "url_dedup_docs": url_dedup_docs,
     "epoch_order_docs": epoch_order_docs,
     "token_vocab_coverage": token_vocab_coverage,
+    "hybrid_rrf_docs": hybrid_rrf_docs,
 }
 
 ORACLE_SQL = {
@@ -9144,6 +9217,7 @@ ORACLE_SQL = {
     "url_dedup_docs": URL_DEDUP_SQL,
     "epoch_order_docs": EPOCH_ORDER_SQL,
     "token_vocab_coverage": _token_vocab_coverage_sql(),
+    "hybrid_rrf_docs": HYBRID_RRF_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

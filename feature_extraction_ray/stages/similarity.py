@@ -32,6 +32,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data import Dataset
@@ -1480,3 +1481,55 @@ def quantize_embeddings_int8(ds: Dataset, vec_col: str = "embedding",
         return t.append_column(scale_col, pa.array(s))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rrf_fuse(a: Dataset, b: Dataset, *, id_a: str, id_b: str,
+             score_a: str, score_b: str, k: int = 60,
+             num_buckets: int = 32) -> Dataset:
+    """Reciprocal-rank fusion of two retrieval rankings (Cormack/
+    Clarke/Büttcher's RRF — the standard hybrid-search combiner for a
+    lexical BM25 list and a semantic embedding list): each input ranks
+    by (score desc, id asc), and the fused score of an id is
+    ``Σ 1/(k + rank)`` over the lists it appears in (an id present in
+    only one list keeps its single term — FULL outer combination, the
+    published formulation). Emits ``r_a`` / ``r_b`` (1-based ranks,
+    null when absent) and ``rrf``.
+
+    Determinism / oracle parity: callers pass scores ALREADY rounded
+    deterministically (ties broken by id), ranks are exact integers,
+    and the fused score is exactly two IEEE terms added in fixed order
+    — so a SQL twin compares strictly with no tolerance.
+
+    Scale shape: two prefix-scan sorts (``partition.row_number``) and
+    ONE full-outer hash-join exchange; no list is driver-materialized."""
+    from .partition import row_number
+    from .relational import hash_join
+
+    def _ranked(ds: Dataset, idc: str, sc: str, out: str) -> Dataset:
+        def neg(t: pa.Table) -> pa.Table:
+            s = t[sc].to_numpy(zero_copy_only=False).astype(np.float64)
+            return t.append_column("__neg", pa.array(-s))
+
+        r = row_number(ds.select_columns([idc, sc])
+                       .map_batches(neg, batch_format="pyarrow"),
+                       ["__neg", idc], out_col=out, start=1)
+        return r.map_batches(lambda t: t.select([idc, out]),
+                             batch_format="pyarrow")
+
+    ra = _ranked(a, id_a, score_a, "r_a")
+    rb = _ranked(b, id_b, score_b, "r_b")
+    joined = hash_join(ra, rb, left_key=id_a, right_key=id_b,
+                       how="full", num_buckets=num_buckets)
+
+    def fuse(t: pa.Table) -> pa.Table:
+        def term(col):
+            d = pc.divide(
+                pa.scalar(1.0),
+                pc.cast(pc.add(col, pa.scalar(k, type=pa.int64())),
+                        pa.float64()))
+            return pc.if_else(pc.is_null(col), pa.scalar(0.0), d)
+
+        rrf = pc.add(term(t["r_a"]), term(t["r_b"]))
+        return t.append_column("rrf", rrf)
+
+    return joined.map_batches(fuse, batch_format="pyarrow")
