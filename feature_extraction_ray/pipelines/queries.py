@@ -7813,6 +7813,28 @@ FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.vec_id
 """
 
 
+def kfold_docs(sf_dir: str) -> Dataset:
+    """Stratified deterministic 5-fold assignment
+    (stages/partition.kfold_assign): within every source, rows rank by
+    the shared ordering hash (id tie-break) and fold = rank mod 5 —
+    exact per-stratum balance (fold sizes differ ≤ 1), reproducible
+    under any block layout. Integer-exact against the
+    row_number-mod twin."""
+    from ..stages.partition import kfold_assign
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return kfold_assign(docs, k=5, group_col="source", num_buckets=8)
+
+
+KFOLD_DOCS_SQL = """
+SELECT doc_id, source,
+       (row_number() OVER (
+          PARTITION BY source
+          ORDER BY ((doc_id % 1048576) * 2654435761) % 4294967296,
+                   doc_id) - 1) % 5 AS fold
+FROM documents
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8795,7 +8817,9 @@ QUERIES = {
     # tokenizer-vocab coverage/OOV curve over the F1 fixture
     # (unnest + FILTER-aggregate twin, integer-exact);
     # hybrid_rrf_docs — BM25 + embedding-cosine reciprocal-rank
-    # fusion (full-outer rank twin, rrf strict two-term IEEE).
+    # fusion (full-outer rank twin, rrf strict two-term IEEE);
+    # kfold_docs — stratified deterministic K-fold assignment
+    # (row_number-mod twin, exact per-stratum balance).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9036,6 +9060,7 @@ QUERIES = {
     "epoch_order_docs": epoch_order_docs,
     "token_vocab_coverage": token_vocab_coverage,
     "hybrid_rrf_docs": hybrid_rrf_docs,
+    "kfold_docs": kfold_docs,
 }
 
 ORACLE_SQL = {
@@ -9218,6 +9243,7 @@ ORACLE_SQL = {
     "epoch_order_docs": EPOCH_ORDER_SQL,
     "token_vocab_coverage": _token_vocab_coverage_sql(),
     "hybrid_rrf_docs": HYBRID_RRF_SQL,
+    "kfold_docs": KFOLD_DOCS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1587,3 +1587,4 @@ def quantile_bucket(ds: Dataset, value_col: str, n_buckets: int = 10,
         return t.append_column(out_col, pa.array(b, mask=mask))
 
     return ds.map_batches(score, batch_format="pyarrow")
+

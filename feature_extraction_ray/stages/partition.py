@@ -343,6 +343,53 @@ def stratified_split(ds, group_col: str, order_cols, frac: float,
     return bucketed_apply(ds, group_col, fn, num_buckets=num_buckets)
 
 
+def kfold_assign(ds, k: int, id_col: str = "doc_id",
+                 group_col: str | None = None, out_col: str = "fold",
+                 num_buckets: int = 32):
+    """Deterministic K-fold assignment: rows rank by the shared
+    overflow-safe ordering hash ``((id % 2^20)·2654435761) mod 2^32``
+    with id tie-break (so the split is pseudo-random but reproducible
+    under any block layout), and ``fold = (rank − 1) mod k`` — a
+    round-robin over the hash order, so fold sizes differ by AT MOST
+    one row (globally, or within every ``group_col`` stratum when
+    given), unlike i.i.d. ``hash % k`` which only balances in
+    expectation. One bucketed exchange (stratified) or one prefix-scan
+    sort (global)."""
+    from .window import bucketed_apply
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u = ids.astype(np.uint64)
+        h = ((u % np.uint64(1 << 20)) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32)
+        return t.append_column("__kh", pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_h, batch_format="pyarrow")
+    if group_col is None:
+        ranked = row_number(hashed, ["__kh", id_col], out_col="__rk",
+                            start=0)
+
+        def fin(t: pa.Table) -> pa.Table:
+            f = t["__rk"].to_numpy(zero_copy_only=False) % k
+            return t.drop_columns(["__kh", "__rk"]).append_column(
+                out_col, pa.array(f.astype(np.int64)))
+
+        return ranked.map_batches(fin, batch_format="pyarrow")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl = sort_table(tbl, [group_col, "__kh", id_col])
+        ng = entity_group_starts(tbl, group_col)
+        starts = np.flatnonzero(ng)
+        run_id = np.cumsum(ng) - 1
+        rank = np.arange(len(tbl), dtype=np.int64) - starts[run_id]
+        return tbl.drop_columns(["__kh"]).append_column(
+            out_col, pa.array(rank % k))
+
+    return bucketed_apply(hashed, group_col, fn, num_buckets=num_buckets)
+
+
 def zorder_key(ds: Dataset, cols: Sequence[str], bits: int = 16,
                out_col: str = "zkey") -> Dataset:
     """Append a Morton / Z-order key interleaving the low ``bits`` bits

@@ -1106,3 +1106,30 @@ def test_epoch_order_rejects_bad_epochs():
     ids = pa.table({"doc_id": pa.array([1, 2], type=pa.int64())})
     with pytest.raises(ValueError):
         epoch_order(rd.from_arrow(ids), epochs=0)
+
+
+def test_kfold_assign_balance_and_layout():
+    import pytest
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.partition import kfold_assign
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(53, dtype=np.int64)),
+        "source": pa.array(["a"] * 31 + ["b"] * 22)})
+    out = kfold_assign(rd.from_arrow(tbl), k=4, group_col="source",
+                       num_buckets=4).to_pandas()
+    for src, n in (("a", 31), ("b", 22)):
+        sizes = out[out["source"] == src]["fold"].value_counts()
+        assert sorted(sizes.index.tolist()) == [0, 1, 2, 3]
+        assert sizes.max() - sizes.min() <= 1     # exact balance
+        assert sizes.sum() == n
+    # global (unstratified) path + layout invariance
+    g1 = kfold_assign(rd.from_arrow(tbl), k=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    g2 = kfold_assign(rd.from_arrow(tbl).repartition(7), k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert g1["fold"].tolist() == g2["fold"].tolist()
+    sizes = g1["fold"].value_counts()
+    assert sizes.max() - sizes.min() <= 1
+    with pytest.raises(ValueError):
+        kfold_assign(rd.from_arrow(tbl), k=1)

@@ -132,3 +132,4 @@ def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
         p=10, num_buckets=4).to_pandas().set_index("g")
     assert np.allclose(out.loc[list("abc"), "n_distinct_est"],
                        out2.loc[list("abc"), "n_distinct_est"])
+
