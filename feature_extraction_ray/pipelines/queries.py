@@ -7835,6 +7835,76 @@ FROM documents
 """
 
 
+def token_exact_dedup_docs(sf_dir: str) -> Dataset:
+    """Exact duplicate-SEQUENCE dedup on the token payload
+    (stages/tokengrams.token_exact_dedup): F1 fixture ∪ planted exact
+    copies (every doc whose global index ≡ 0 mod 7, re-identified
+    'dup-…') — originals survive (min-id keeper), copies fold into
+    n_dups, token arrays compared bit-exactly as joined strings."""
+    from ..stages.tokengrams import token_exact_dedup
+    tok, _ = _token_fixture()
+    base = tok.select(["doc_id", "tokens"])
+    gidx = pc.cast(pc.utf8_slice_codeunits(base["doc_id"], 6),
+                   pa.int64()).to_numpy(zero_copy_only=False)
+    takes = pa.array(np.flatnonzero(gidx % 7 == 0).astype(np.int64))
+    dup_ids = pa.array(["dup-" + d for d in
+                        base["doc_id"].take(takes).to_pylist()])
+    copies = pa.table({"doc_id": dup_ids,
+                       "tokens": base["tokens"].take(takes)})
+    corpus = pa.concat_tables([base, copies])
+    out = token_exact_dedup(rd.from_arrow(corpus), num_buckets=8)
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "n_dups": t["n_dups"],
+                         "tok_str": _join_int_list(t["tokens"])})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def _token_exact_dedup_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+corpus AS (
+  SELECT doc_id, tokens FROM tok
+  UNION ALL
+  SELECT 'dup-' || doc_id, tokens FROM tok
+  WHERE CAST(substr(doc_id, 7) AS BIGINT) % 7 = 0
+),
+c AS (SELECT doc_id, array_to_string(tokens, ',') AS tok_str
+      FROM corpus),
+k AS (SELECT tok_str, min(doc_id) AS keep_id,
+             count(*)::BIGINT AS n_dups
+      FROM c GROUP BY tok_str)
+SELECT c.doc_id, k.n_dups, c.tok_str
+FROM c JOIN k ON c.tok_str = k.tok_str AND c.doc_id = k.keep_id
+"""
+
+
+def token_freq_spectrum_docs(sf_dir: str) -> Dataset:
+    """Frequency-of-frequencies spectrum of the F1 token stream
+    (stages/tokengrams.token_freq_spectrum): for each occurrence count
+    c, the number of distinct token ids occurring exactly c times and
+    their token mass — the Good–Turing count-of-counts table, exact
+    int64."""
+    from ..stages.tokengrams import token_freq_spectrum
+    tok, _ = _token_fixture()
+    return token_freq_spectrum(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])))
+
+
+def _token_freq_spectrum_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT unnest(tokens) AS tk FROM tok),
+c AS (SELECT tk, count(*)::BIGINT AS cnt FROM t GROUP BY tk)
+SELECT cnt, count(*)::BIGINT AS n_types,
+       (cnt * count(*))::BIGINT AS n_tokens
+FROM c GROUP BY cnt
+"""
+
+
 def interleave_docs(sf_dir: str) -> Dataset:
     """Domain-balanced training order
     (stages/curation.interleave_by_domain): per-domain deterministic
@@ -8819,7 +8889,11 @@ QUERIES = {
     # hybrid_rrf_docs — BM25 + embedding-cosine reciprocal-rank
     # fusion (full-outer rank twin, rrf strict two-term IEEE);
     # kfold_docs — stratified deterministic K-fold assignment
-    # (row_number-mod twin, exact per-stratum balance).
+    # (row_number-mod twin, exact per-stratum balance);
+    # token_exact_dedup_docs — exact duplicate-sequence dedup on the
+    # token payload (min-id keeper over planted copies, token arrays
+    # bit-exact as joined strings); token_freq_spectrum_docs —
+    # Good–Turing count-of-counts over the F1 stream (integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9061,6 +9135,8 @@ QUERIES = {
     "token_vocab_coverage": token_vocab_coverage,
     "hybrid_rrf_docs": hybrid_rrf_docs,
     "kfold_docs": kfold_docs,
+    "token_exact_dedup_docs": token_exact_dedup_docs,
+    "token_freq_spectrum_docs": token_freq_spectrum_docs,
 }
 
 ORACLE_SQL = {
@@ -9244,6 +9320,8 @@ ORACLE_SQL = {
     "token_vocab_coverage": _token_vocab_coverage_sql(),
     "hybrid_rrf_docs": HYBRID_RRF_SQL,
     "kfold_docs": KFOLD_DOCS_SQL,
+    "token_exact_dedup_docs": _token_exact_dedup_sql(),
+    "token_freq_spectrum_docs": _token_freq_spectrum_sql(),
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1489,3 +1489,78 @@ def vocab_coverage(ds: Dataset, ks, tokens_col: str = "tokens") -> pa.Table:
         "covered_types": pa.array(ctypes.astype(np.int64)),
         "covered_tokens": pa.array(ctok.astype(np.int64)),
         "oov_tokens": pa.array((total - ctok).astype(np.int64))})
+
+
+def token_exact_dedup(ds: Dataset, tokens_col: str = "tokens",
+                      id_col: str = "doc_id",
+                      num_buckets: int | None = None,
+                      keep_cols=None) -> Dataset:
+    """Exact duplicate-SEQUENCE dedup run natively on the token
+    payload — completes the token-native dedup trio (exact / MinHash /
+    SimHash): each ``list<int32>`` serializes to its canonical
+    ``'a,b,c'`` string (integers → the serialization is injective;
+    empty list → ``''``, null → null, grouped like SQL ``GROUP BY``)
+    and the min-``id_col`` row per distinct sequence survives through
+    :func:`~feature_extraction_ray.stages.dedup.exact_dedup`'s ONE
+    hash-bucketed exchange with ``n_dups`` multiplicity. The token
+    column rides ``keep_cols`` so survivors keep their payload."""
+    from .dedup import exact_dedup
+
+    def ser(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pc.binary_join(pc.cast(col, pa.list_(pa.string())),
+                           pa.scalar(",", type=pa.string()))
+        return t.append_column("__tok_key", s)
+
+    kc = [tokens_col] + [c for c in (keep_cols or [])
+                         if c != tokens_col]
+    out = exact_dedup(ds.map_batches(ser, batch_format="pyarrow"),
+                      content_col="__tok_key", id_col=id_col,
+                      num_buckets=num_buckets, keep_cols=kc)
+    return out.drop_columns(["__tok_key"])
+
+
+def token_freq_spectrum(ds: Dataset,
+                        tokens_col: str = "tokens") -> Dataset:
+    """Frequency-of-frequencies spectrum of the token stream: for each
+    occurrence count ``c``, how many distinct token ids occur EXACTLY
+    ``c`` times (``n_types``) and the token mass they carry
+    (``n_tokens = c·n_types``) — the count-of-counts table behind
+    Good–Turing smoothing, hapax analysis and vocab-pruning decisions.
+    Exact int64. Scale shape: per-block ``np.unique`` partials ride
+    ONE ``groupby(token)`` exchange, then the vocab-bounded count
+    table rides a second (tiny) ``groupby(cnt)`` — the corpus itself
+    never shuffles."""
+    from ray.data.aggregate import Count
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(flat.astype(np.int64), return_counts=True)
+        return pa.table({"tok": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("cnt", alias_name="cnt"))
+    spec = counts.groupby("cnt").aggregate(
+        Count(alias_name="n_types"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "cnt" not in t.column_names or len(t) == 0:
+            return pa.table({"cnt": pa.array([], type=pa.int64()),
+                             "n_types": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64())})
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_types"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cnt": pa.array(c), "n_types": pa.array(n),
+                         "n_tokens": pa.array(c * n)})
+
+    return spec.map_batches(fin, batch_format="pyarrow")

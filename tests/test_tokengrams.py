@@ -782,3 +782,36 @@ def test_vocab_coverage_tie_break_and_empty():
     assert out2["oov_tokens"].tolist() == [0, 0]
     with pytest.raises(ValueError):
         vocab_coverage(rd.from_arrow(docs), ks=())
+
+
+def test_token_exact_dedup_planted_copies():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import token_exact_dedup
+    tbl = pa.table({
+        "doc_id": pa.array(["a", "b", "c", "d", "e"]),
+        "tokens": pa.array([[1, 2, 3], [1, 2, 3], [1, 2], [], []],
+                           type=pa.list_(pa.int32()))})
+    out = token_exact_dedup(rd.from_arrow(tbl), num_buckets=4) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ["a", "c", "d"]
+    assert out["n_dups"].tolist() == [2, 1, 2]     # [] == [] dedups
+    assert out.loc[0, "tokens"].tolist() == [1, 2, 3]
+    assert "__tok_key" not in out.columns
+
+
+def test_token_freq_spectrum_hand_computed():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import token_freq_spectrum
+    # token 5×3, token 1×2, tokens 7,9 ×1 → spectrum {3:1, 2:1, 1:2}
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "tokens": pa.array([[5, 5, 1, 7], [5, 1, 9]],
+                           type=pa.list_(pa.int32()))})
+    out = token_freq_spectrum(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("cnt").reset_index(drop=True)
+    assert out["cnt"].tolist() == [1, 2, 3]
+    assert out["n_types"].tolist() == [2, 1, 1]
+    assert out["n_tokens"].tolist() == [2, 2, 3]
+    assert int(out["n_tokens"].sum()) == 7         # total stream mass
