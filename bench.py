@@ -297,6 +297,17 @@ def run_bench() -> dict:
                 .select_columns(["doc_id", "text"])
                 .map_batches(_uniquify, batch_format="pyarrow")).count())
 
+        # URL canonicalization (5-variant RE2 rewrite chain) + URL-keyed
+        # dedup over the amplified corpus — the web-curation ingest path
+        from feature_extraction_ray.pipelines.queries import _build_urls
+        from feature_extraction_ray.stages.curation import dedup_by_url
+        per_query[f"url_dedup_x{amp}"] = _best_of(
+            lambda: dedup_by_url(
+                amplified_documents(SF_DIR, amp)
+                .select_columns(["doc_id", "source"])
+                .map_batches(_build_urls, batch_format="pyarrow"),
+                num_buckets=64).count())
+
         # corpus-curation ops: streaming PII scrub (pure vectorized RE2),
         # sequence packing (sort + two-phase prefix scan), repeated-
         # substring detection (two bucketed gram exchanges, raw corpus —
