@@ -7881,6 +7881,38 @@ FROM c JOIN k ON c.tok_str = k.tok_str AND c.doc_id = k.keep_id
 """
 
 
+def target_encoded_lineitems(sf_dir: str) -> Dataset:
+    """Leave-one-out m-estimate target encoding
+    (stages/groupstats.target_encode_loo, m=10): each lineitem's
+    l_partkey encoded by the other rows' mean l_quantity shrunk toward
+    the global prior — exact-int sufficient statistics through ONE
+    groupby exchange + ONE attach-back exchange, te derived with one
+    fixed IEEE expression → the SQL twin compares STRICTLY."""
+    from ..stages.groupstats import target_encode_loo
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    out = target_encode_loo(li, "l_partkey", "l_quantity", m=10.0,
+                            num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "l_partkey",
+                            "l_quantity", "te"]),
+        batch_format="pyarrow")
+
+
+TARGET_ENCODED_LINEITEMS_SQL = """
+WITH s AS (
+  SELECT l_partkey, sum(l_quantity)::BIGINT AS s,
+         count(*)::BIGINT AS c
+  FROM lineitem GROUP BY 1
+),
+p AS (SELECT sum(l_quantity)::DOUBLE / count(*) AS prior FROM lineitem)
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity,
+       ((s.s - l.l_quantity) + 10.0 * p.prior)
+         / ((s.c - 1) + 10.0) AS te
+FROM lineitem l JOIN s USING (l_partkey), p
+"""
+
+
 def token_freq_spectrum_docs(sf_dir: str) -> Dataset:
     """Frequency-of-frequencies spectrum of the F1 token stream
     (stages/tokengrams.token_freq_spectrum): for each occurrence count
@@ -9137,6 +9169,7 @@ QUERIES = {
     "kfold_docs": kfold_docs,
     "token_exact_dedup_docs": token_exact_dedup_docs,
     "token_freq_spectrum_docs": token_freq_spectrum_docs,
+    "target_encoded_lineitems": target_encoded_lineitems,
 }
 
 ORACLE_SQL = {
@@ -9322,6 +9355,7 @@ ORACLE_SQL = {
     "kfold_docs": KFOLD_DOCS_SQL,
     "token_exact_dedup_docs": _token_exact_dedup_sql(),
     "token_freq_spectrum_docs": _token_freq_spectrum_sql(),
+    "target_encoded_lineitems": TARGET_ENCODED_LINEITEMS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
