@@ -8925,7 +8925,9 @@ QUERIES = {
     # token_exact_dedup_docs — exact duplicate-sequence dedup on the
     # token payload (min-id keeper over planted copies, token arrays
     # bit-exact as joined strings); token_freq_spectrum_docs —
-    # Good–Turing count-of-counts over the F1 stream (integer-exact).
+    # Good–Turing count-of-counts over the F1 stream (integer-exact);
+    # target_encoded_lineitems — leave-one-out m-estimate target
+    # encoding (exact-int statistics, strict one-expression twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
