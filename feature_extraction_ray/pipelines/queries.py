@@ -7664,11 +7664,13 @@ _URL_CANON_SQL = r"""regexp_replace(
     regexp_replace(
      regexp_replace(
       regexp_replace(
-        lower(regexp_extract(url, '^([^:]+://[^/?#]*)', 1)) ||
-          regexp_extract(url, '^[^:]+://[^/?#]*(.*)$', 1),
-        '#.*$', '', 'g'),
-      '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
-     '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+       regexp_replace(
+         lower(regexp_extract(url, '^([^:]+://[^/?#]*)', 1)) ||
+           regexp_extract(url, '^[^:]+://[^/?#]*(.*)$', 1),
+         '#.*$', '', 'g'),
+       '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2', 'g'),
+      '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\1', 'g'),
+     '&&+', '&', 'g'),
     '\?&', '?', 'g'),
    '[?&]+$', '', 'g'),
   '([^/])/$', '\1', 'g')"""

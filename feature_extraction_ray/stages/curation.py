@@ -1777,10 +1777,12 @@ def _canon_url_array(u: pa.Array) -> pa.Array:
     # 3. tracking params (keep the separator so real params survive)
     out = pc.replace_substring_regex(
         out, r"([?&])(" + URL_TRACKING_PARAMS + r")=[^&#]*", r"\1")
-    # 4/5. repair the seams steps 3 left behind
+    # 4-6. repair the seams step 3 left behind: adjacent stripped
+    # params leave '&&' runs, a stripped first param leaves '?&'
+    out = pc.replace_substring_regex(out, r"&&+", "&")
     out = pc.replace_substring_regex(out, r"\?&", "?")
     out = pc.replace_substring_regex(out, r"[?&]+$", "")
-    # 6. trailing slash after a path segment
+    # 7. trailing slash after a path segment
     out = pc.replace_substring_regex(out, r"([^/])/$", r"\1")
     return out
 

@@ -1133,3 +1133,90 @@ def test_kfold_assign_balance_and_layout():
     assert sizes.max() - sizes.min() <= 1
     with pytest.raises(ValueError):
         kfold_assign(rd.from_arrow(tbl), k=1)
+
+
+def test_fuzz_url_canonicalization_vs_naive():
+    """300 randomized URLs (case/port/path/param/fragment combinations
+    + junk strings) through canonicalize_url, bit-compared against an
+    independent pure-Python re.sub implementation of the same spec."""
+    import re as _re
+
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import canonicalize_url
+    rng = np.random.default_rng(909)
+    schemes = ["https", "HTTPS", "http", "HtTpS"]
+    hosts = ["A.Example.COM", "b.org", "WWW.x-Y.net"]
+    ports = ["", ":443", ":80", ":8080"]
+    paths = ["", "/", "/p/1", "/P/Q/", "/x"]
+    pool = ["utm_source=x", "utm_campaign=Y2", "fbclid=ZZ", "gclid=1",
+            "ref=7", "id=abc", "q=hello"]
+    frags = ["", "#f", "#sec-2"]
+    urls = []
+    for _ in range(300):
+        ps = [pool[i] for i in rng.choice(len(pool),
+                                          size=rng.integers(0, 5),
+                                          replace=False)]
+        q = "?" + "&".join(ps) if ps else ""
+        urls.append(schemes[rng.integers(0, 4)] + "://"
+                    + hosts[rng.integers(0, 3)]
+                    + ports[rng.integers(0, 4)]
+                    + paths[rng.integers(0, 5)] + q
+                    + frags[rng.integers(0, 3)])
+    urls += ["", "no-scheme", "weird:///x", "https://", "a//b/"]
+
+    def naive(s: str) -> str:
+        m = _re.match(r"^([^:]+://[^/?#]*)(.*)$", s)
+        s = m.group(1).lower() + m.group(2) if m else s
+        s = _re.sub(r"#.*$", "", s)
+        s = _re.sub(r"^(https://[^/?#:]*):443([/?#].*)?$",
+                    lambda mm: mm.group(1) + (mm.group(2) or ""), s)
+        s = _re.sub(r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*",
+                    r"\1", s)
+        s = _re.sub(r"&&+", "&", s)
+        s = _re.sub(r"\?&", "?", s)
+        s = _re.sub(r"[?&]+$", "", s)
+        s = _re.sub(r"([^/])/$", r"\1", s)
+        return s
+
+    got = canonicalize_url(
+        rd.from_arrow(pa.table({"url": pa.array(urls)}))) \
+        .to_pandas()["url_canon"].tolist()
+    exp = [naive(u) for u in urls]
+    assert got == exp
+
+
+def test_fuzz_epoch_order_and_kfold_vs_naive():
+    """Sparse random int64 ids (up to 2^40) through epoch_order and
+    kfold_assign, compared against naive pure-Python references."""
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.curation import epoch_order
+    from feature_extraction_ray.stages.partition import kfold_assign
+    rng = np.random.default_rng(910)
+    ids = np.unique(rng.integers(0, 1 << 40, size=400))
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+
+    out = epoch_order(ds, epochs=3).to_pandas()
+    for e in range(3):
+        mult = 2654435761 + 2630847822 * e
+        order = sorted(ids.tolist(),
+                       key=lambda i: ((i % (1 << 20)) * mult
+                                      % (1 << 32), i))
+        exp = {i: p + 1 for p, i in enumerate(order)}
+        sub = out[out["epoch"] == e]
+        got = dict(zip(sub["doc_id"], sub["train_pos"]))
+        assert got == exp
+
+    grp = np.array(["g%d" % (i % 7) for i in range(len(ids))])
+    ds2 = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                  "source": pa.array(grp)}))
+    outk = kfold_assign(ds2, k=4, group_col="source", num_buckets=4) \
+        .to_pandas()
+    gotk = dict(zip(outk["doc_id"], outk["fold"]))
+    for g in np.unique(grp):
+        members = ids[grp == g].tolist()
+        members.sort(key=lambda i: ((i % (1 << 20)) * 2654435761
+                                    % (1 << 32), i))
+        for r, i in enumerate(members):
+            assert gotk[i] == r % 4

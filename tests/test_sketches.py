@@ -167,3 +167,37 @@ def test_target_encode_loo_rejects_fractional_target():
     with pytest.raises(Exception):
         target_encode_loo(rd.from_arrow(tbl), "k", "v") \
             .materialize()
+
+
+def test_fuzz_target_encode_vs_naive():
+    """Random integer targets over random keys through
+    target_encode_loo at m=0 and m=3.5, compared strictly against the
+    identical-expression numpy reference."""
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.groupstats import target_encode_loo
+    rng = np.random.default_rng(913)
+    n = 600
+    keys = np.array(["k%d" % i for i in rng.integers(0, 50, n)])
+    vals = rng.integers(-5, 100, n).astype(np.float64)
+    tbl = pa.table({"rid": pa.array(np.arange(n, dtype=np.int64)),
+                    "k": pa.array(keys), "v": pa.array(vals)})
+    sums = {}
+    for k, v in zip(keys, vals):
+        s, c = sums.get(k, (0, 0))
+        sums[k] = (s + int(v), c + 1)
+    prior = float(sum(s for s, _ in sums.values())) \
+        / float(sum(c for _, c in sums.values()))
+    for m in (0.0, 3.5):
+        out = target_encode_loo(rd.from_arrow(tbl), "k", "v", m=m,
+                                num_buckets=4).to_pandas() \
+            .sort_values("rid").reset_index(drop=True)
+        v64 = out["v"].to_numpy().astype(np.int64)
+        s = np.array([sums[k][0] for k in out["k"]], dtype=np.int64)
+        c = np.array([sums[k][1] for k in out["k"]], dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            exp = ((s - v64).astype(np.float64) + m * prior) \
+                / ((c - 1).astype(np.float64) + m)
+        got = out["te"].to_numpy()
+        same = (got == exp) | (np.isnan(got) & np.isnan(exp))
+        assert same.all()

@@ -815,3 +815,62 @@ def test_token_freq_spectrum_hand_computed():
     assert out["n_types"].tolist() == [2, 1, 1]
     assert out["n_tokens"].tolist() == [2, 2, 3]
     assert int(out["n_tokens"].sum()) == 7         # total stream mass
+
+
+def test_fuzz_vocab_ops_vs_counter():
+    """Random corpora (empty / 1-token / long docs, ids to int32 max)
+    through vocab_coverage, token_freq_spectrum and token_exact_dedup,
+    compared against Counter/dict references."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import (
+        token_exact_dedup, token_freq_spectrum, vocab_coverage)
+    rng = np.random.default_rng(911)
+    pool = np.concatenate([rng.integers(0, 50, 150),
+                           rng.integers(0, 2**31 - 1, 20)])
+    docs, toks = [], []
+    for i in range(250):
+        n = int(rng.choice([0, 1, 2, 5, 30, 60]))
+        docs.append(i)
+        toks.append(rng.choice(pool, size=n).astype(np.int32).tolist())
+    tbl = pa.table({"doc_id": pa.array(docs, type=pa.int64()),
+                    "tokens": pa.array(toks, type=pa.list_(pa.int32()))})
+    ds = rd.from_arrow(tbl)
+    cnt = Counter(t for ts in toks for t in ts)
+
+    ks = (1, 3, 10, 100, 10**6)
+    cov = vocab_coverage(ds, ks=ks).to_pandas().set_index("k")
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    for k in ks:
+        covered = sum(c for _, c in ranked[:k])
+        assert cov.loc[k, "covered_types"] == min(k, len(ranked))
+        assert cov.loc[k, "covered_tokens"] == covered
+        assert cov.loc[k, "oov_tokens"] == total - covered
+
+    spec = token_freq_spectrum(ds).to_pandas().set_index("cnt")
+    spec_ref = Counter(cnt.values())
+    assert len(spec) == len(spec_ref)
+    for c, nt in spec_ref.items():
+        assert spec.loc[c, "n_types"] == nt
+        assert spec.loc[c, "n_tokens"] == c * nt
+
+    # exact dedup: re-sample docs WITH replacement from a small pool
+    pool_docs = toks[:40]
+    dup_toks = [pool_docs[j] for j in rng.integers(0, 40, 160)]
+    dtbl = pa.table({
+        "doc_id": pa.array(range(160), type=pa.int64()),
+        "tokens": pa.array(dup_toks, type=pa.list_(pa.int32()))})
+    out = token_exact_dedup(rd.from_arrow(dtbl), num_buckets=4) \
+        .to_pandas()
+    ref = {}
+    for i, ts in enumerate(dup_toks):
+        key = tuple(ts)
+        kid, n = ref.get(key, (i, 0))
+        ref[key] = (min(kid, i), n + 1)
+    assert len(out) == len(ref)
+    got = {tuple(r["tokens"]): (r["doc_id"], r["n_dups"])
+           for _, r in out.iterrows()}
+    assert got == {k: v for k, v in ref.items()}
