@@ -7883,6 +7883,63 @@ FROM c JOIN k ON c.tok_str = k.tok_str AND c.doc_id = k.keep_id
 """
 
 
+def calibration_embeddings(sf_dir: str) -> Dataset:
+    """Similarity-calibration table (stages/sketches.calibration_bins,
+    20 bins): does cosine similarity to the vec_id-0 query predict
+    sharing its label? Scores quantized to round-0 micro-units
+    (DuckDB-exact _round_arr) so binning is pure integer arithmetic;
+    per-bin n / sum_label / sum_score exact int64, means are single
+    divisions of exact ints — the SQL twin compares STRICTLY."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.sketches import calibration_bins
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"]) \
+        .slice(0, 1)
+    qv = np.array(head["embedding"].to_pylist(), dtype=np.float64)[0]
+    qlab = head["label"][0].as_py()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        micro = _round_arr(c * 1000000.0, 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(micro),
+                         "lab": pa.array((lab == qlab)
+                                         .astype(np.int64))})
+
+    return calibration_bins(emb.map_batches(score,
+                                            batch_format="pyarrow"),
+                            "s", "lab", n_bins=20,
+                            lo=-1000000, hi=1000001)
+
+
+CALIBRATION_EMBEDDINGS_SQL = """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+            FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT round(list_cosine_similarity(
+                  qv.qe, CAST(e.embedding AS DOUBLE[])) * 1000000,
+              0)::BIGINT AS s,
+              CASE WHEN e.label = qv.qlab THEN 1 ELSE 0 END AS lab
+       FROM qv CROSS JOIN embeddings e),
+b AS (SELECT least(greatest((s + 1000000) * 20 // 2000001, 0), 19)
+         AS bin, s, lab
+      FROM cs)
+SELECT bin, count(*)::BIGINT AS n, sum(lab)::BIGINT AS sum_label,
+       sum(s)::BIGINT AS sum_score,
+       sum(lab)::DOUBLE / count(*) AS mean_label,
+       sum(s)::DOUBLE / count(*) AS mean_score
+FROM b GROUP BY bin
+"""
+
+
 def target_encoded_lineitems(sf_dir: str) -> Dataset:
     """Leave-one-out m-estimate target encoding
     (stages/groupstats.target_encode_loo, m=10): each lineitem's
@@ -8929,7 +8986,9 @@ QUERIES = {
     # bit-exact as joined strings); token_freq_spectrum_docs —
     # Good–Turing count-of-counts over the F1 stream (integer-exact);
     # target_encoded_lineitems — leave-one-out m-estimate target
-    # encoding (exact-int statistics, strict one-expression twin).
+    # encoding (exact-int statistics, strict one-expression twin);
+    # calibration_embeddings — reliability-diagram bins over
+    # micro-unit cosine vs label-match (integer binning, strict).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9174,6 +9233,7 @@ QUERIES = {
     "token_exact_dedup_docs": token_exact_dedup_docs,
     "token_freq_spectrum_docs": token_freq_spectrum_docs,
     "target_encoded_lineitems": target_encoded_lineitems,
+    "calibration_embeddings": calibration_embeddings,
 }
 
 ORACLE_SQL = {
@@ -9360,6 +9420,7 @@ ORACLE_SQL = {
     "token_exact_dedup_docs": _token_exact_dedup_sql(),
     "token_freq_spectrum_docs": _token_freq_spectrum_sql(),
     "target_encoded_lineitems": TARGET_ENCODED_LINEITEMS_SQL,
+    "calibration_embeddings": CALIBRATION_EMBEDDINGS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

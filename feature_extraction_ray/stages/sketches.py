@@ -370,3 +370,68 @@ def grouped_approx_distinct(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(parts, group_col, merge,
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def calibration_bins(ds: Dataset, score_col: str, label_col: str,
+                     n_bins: int, lo: int, hi: int) -> Dataset:
+    """Reliability-diagram / calibration table for a scored, labeled
+    dataset: scores are INTEGER units (e.g. micro-units of a rounded
+    probability or similarity — the caller quantizes, keeping the op
+    integer-exact) binned by pure integer arithmetic over the
+    half-open range ``[lo, hi)``:
+
+        ``bin = clip((s − lo)·n_bins // (hi − lo), 0, n_bins−1)``
+
+    Per non-empty bin: ``n``, ``sum_label``, ``sum_score`` (exact
+    int64) and ``mean_label`` / ``mean_score`` (ONE division of exact
+    ints each — a SQL twin compares strictly). The gap between
+    mean_label and normalized mean_score per bin IS the calibration
+    error (ECE numerator). Scale shape: per-block bincount/``add.at``
+    partials (≤ ``n_bins`` rows per block) ride a tiny groupby-sum —
+    the data never shuffles."""
+    from ray.data.aggregate import Sum
+    if hi <= lo or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    span = hi - lo
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        si = s.astype(np.int64)
+        li = lab.astype(np.int64)
+        if not (np.array_equal(si.astype(s.dtype), s)
+                and np.array_equal(li.astype(lab.dtype), lab)):
+            raise ValueError("score and label must be integer-valued")
+        b = np.clip((si - lo) * n_bins // span, 0, n_bins - 1)
+        cnt = np.bincount(b, minlength=n_bins)
+        sl = np.zeros(n_bins, dtype=np.int64)
+        np.add.at(sl, b, li)
+        ss = np.zeros(n_bins, dtype=np.int64)
+        np.add.at(ss, b, si)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64)),
+                         "sum_label": pa.array(sl[nz]),
+                         "sum_score": pa.array(ss[nz])})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("n", alias_name="n"),
+                                  Sum("sum_label", alias_name="sum_label"),
+                                  Sum("sum_score", alias_name="sum_score"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sl = t["sum_label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ss = t["sum_score"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "bin": t["bin"].combine_chunks().cast(pa.int64())
+            if isinstance(t["bin"], pa.ChunkedArray)
+            else t["bin"].cast(pa.int64()),
+            "n": pa.array(n), "sum_label": pa.array(sl),
+            "sum_score": pa.array(ss),
+            "mean_label": pa.array(sl.astype(np.float64) / n),
+            "mean_score": pa.array(ss.astype(np.float64) / n)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -201,3 +201,33 @@ def test_fuzz_target_encode_vs_naive():
         got = out["te"].to_numpy()
         same = (got == exp) | (np.isnan(got) & np.isnan(exp))
         assert same.all()
+
+
+def test_calibration_bins_hand_computed():
+    import pytest
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.sketches import calibration_bins
+    # range [0, 10), 5 bins of width 2
+    tbl = pa.table({
+        "s": pa.array([0, 1, 2, 9, 9, 5], type=pa.int64()),
+        "lab": pa.array([1, 0, 1, 1, 1, 0], type=pa.int64())})
+    out = calibration_bins(rd.from_arrow(tbl), "s", "lab",
+                           n_bins=5, lo=0, hi=10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert out["bin"].tolist() == [0, 1, 2, 4]    # empty bin 3 absent
+    assert out["n"].tolist() == [2, 1, 1, 2]
+    assert out["sum_label"].tolist() == [1, 1, 0, 2]
+    assert out["sum_score"].tolist() == [1, 2, 5, 18]
+    assert out["mean_label"].tolist() == [0.5, 1.0, 0.0, 1.0]
+    assert out["mean_score"].tolist() == [0.5, 2.0, 5.0, 9.0]
+    # out-of-range clips into the edge bins
+    t2 = pa.table({"s": pa.array([-7, 99], type=pa.int64()),
+                   "lab": pa.array([1, 0], type=pa.int64())})
+    o2 = calibration_bins(rd.from_arrow(t2), "s", "lab",
+                          n_bins=5, lo=0, hi=10).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    assert o2["bin"].tolist() == [0, 4]
+    with pytest.raises(ValueError):
+        calibration_bins(rd.from_arrow(tbl), "s", "lab",
+                         n_bins=0, lo=0, hi=10)
