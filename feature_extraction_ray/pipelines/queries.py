@@ -7883,6 +7883,31 @@ FROM c JOIN k ON c.tok_str = k.tok_str AND c.doc_id = k.keep_id
 """
 
 
+def trigram_lookup_docs(sf_dir: str) -> pa.Table:
+    """Trigram substring-index lookup
+    (stages/textindex.build_trigram_index / query_trigram_index): the
+    pg_trgm shape — byte-trigram postings + id-bucketed doc store, a
+    '%stream%' lookup opens only the pattern trigrams' posting buckets
+    and the candidates' doc files, residual match_substring keeps it
+    EXACT. Twin = DuckDB contains() over the full table."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from ..stages.textindex import build_trigram_index, query_trigram_index
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    d = _tf.mkdtemp(prefix="fx_trgm_")
+    try:
+        build_trigram_index(docs, d, num_buckets=8, num_doc_buckets=8)
+        return query_trigram_index(d, "stream")
+    finally:
+        _sh.rmtree(d, ignore_errors=True)
+
+
+TRIGRAM_LOOKUP_SQL = """
+SELECT doc_id FROM documents WHERE contains(text, 'stream')
+"""
+
+
 def calibration_embeddings(sf_dir: str) -> Dataset:
     """Similarity-calibration table (stages/sketches.calibration_bins,
     20 bins): does cosine similarity to the vec_id-0 query predict
@@ -8988,7 +9013,9 @@ QUERIES = {
     # target_encoded_lineitems — leave-one-out m-estimate target
     # encoding (exact-int statistics, strict one-expression twin);
     # calibration_embeddings — reliability-diagram bins over
-    # micro-unit cosine vs label-match (integer binning, strict).
+    # micro-unit cosine vs label-match (integer binning, strict);
+    # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
+    # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9234,6 +9261,7 @@ QUERIES = {
     "token_freq_spectrum_docs": token_freq_spectrum_docs,
     "target_encoded_lineitems": target_encoded_lineitems,
     "calibration_embeddings": calibration_embeddings,
+    "trigram_lookup_docs": trigram_lookup_docs,
 }
 
 ORACLE_SQL = {
@@ -9421,6 +9449,7 @@ ORACLE_SQL = {
     "token_freq_spectrum_docs": _token_freq_spectrum_sql(),
     "target_encoded_lineitems": TARGET_ENCODED_LINEITEMS_SQL,
     "calibration_embeddings": CALIBRATION_EMBEDDINGS_SQL,
+    "trigram_lookup_docs": TRIGRAM_LOOKUP_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -340,3 +340,176 @@ def update_text_index(ds: Dataset, out_dir: str, *,
         json.dump(stats, f)
     os.replace(tmp, os.path.join(out_dir, "stats.json"))
     return stats
+
+
+# ---------------------------------------------------------------------------
+# trigram substring index (pg_trgm-shaped infix search)
+# ---------------------------------------------------------------------------
+
+def _byte_trigram_keys(col):
+    """All byte-level 3-gram keys of every string, fully vectorized:
+    key = b0·2^16 + b1·2^8 + b2 over the raw UTF-8 buffer (byte
+    trigrams, not codepoints — the index is a PREFILTER, the residual
+    substring verify keeps results exact, so multibyte boundaries
+    cannot cause wrong answers, only harmless extra candidates).
+    Returns (doc_of, keys)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "").cast(pa.string())
+    buf = np.frombuffer(col.buffers()[2], dtype=np.uint8) \
+        if col.buffers()[2] is not None else np.zeros(0, np.uint8)
+    offs_all = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    offs = offs_all[col.offset:col.offset + len(col) + 1].astype(np.int64)
+    lens = np.diff(offs)
+    ntri = np.maximum(lens - 2, 0)
+    total = int(ntri.sum())
+    doc_of = np.repeat(np.arange(len(col), dtype=np.int64), ntri)
+    if total == 0:
+        return doc_of, np.zeros(0, dtype=np.int64)
+    first = np.zeros(len(col) + 1, dtype=np.int64)
+    np.cumsum(ntri, out=first[1:])
+    w = np.arange(total, dtype=np.int64) - np.repeat(first[:-1], ntri)
+    p = np.repeat(offs[:-1], ntri) + w
+    keys = (buf[p].astype(np.int64) << 16) \
+        | (buf[p + 1].astype(np.int64) << 8) | buf[p + 2].astype(np.int64)
+    return doc_of, keys
+
+
+def build_trigram_index(ds: Dataset, out_dir: str, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_buckets: int = 16,
+                        num_doc_buckets: int = 16) -> dict:
+    """Persistent trigram SUBSTRING index (the pg_trgm shape — the
+    infix-search complement of the word-level BM25 index): distinct
+    (byte-trigram, doc) postings bucket by ``trigram mod num_buckets``
+    into sorted parquet posting files, and the corpus itself lands in a
+    doc store bucketed by ``id mod num_doc_buckets`` — so a
+    ``%substring%`` lookup on an unsorted 100-TB corpus opens ONLY the
+    query trigrams' posting buckets plus the candidate ids' doc-store
+    files, never scanning the text. One bucketed exchange per layout;
+    files written inside the bucket tasks."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    os.makedirs(out_dir, exist_ok=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        doc_of, keys = _byte_trigram_keys(t[text_col])
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if len(keys) == 0:
+            return pa.table({"tri": pa.array([], type=pa.int64()),
+                             id_col: ids.slice(0, 0)})
+        packed = doc_of * np.int64(1 << 24) + keys
+        u = np.unique(packed)
+        return pa.table({
+            "tri": pa.array(u % np.int64(1 << 24)),
+            id_col: ids.take(pa.array(u // np.int64(1 << 24)))})
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = (t["tri"].to_numpy(zero_copy_only=False)
+             % num_buckets).astype(np.int32)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        bid = int(tbl[BUCKET_COL][0].as_py())
+        body = tbl.drop_columns([BUCKET_COL])
+        idx = pc.sort_indices(body, sort_keys=[
+            ("tri", "ascending"), (id_col, "ascending")])
+        pq.write_table(body.take(idx), os.path.join(
+            out_dir, f"trigrams-{bid:04d}.parquet"))
+        return pa.table({"bucket": pa.array([bid], pa.int64()),
+                         "n_postings": pa.array([len(body)], pa.int64())})
+
+    stats = posts.map_batches(assign, batch_format="pyarrow") \
+        .groupby(BUCKET_COL).map_groups(write_bucket,
+                                        batch_format="pyarrow") \
+        .to_pandas()
+
+    def assign_doc(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ids % num_doc_buckets).astype(np.int32)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    def write_doc_bucket(tbl: pa.Table) -> pa.Table:
+        bid = int(tbl[BUCKET_COL][0].as_py())
+        body = tbl.drop_columns([BUCKET_COL]).sort_by([(id_col,
+                                                        "ascending")])
+        pq.write_table(body, os.path.join(
+            out_dir, f"docs-{bid:04d}.parquet"))
+        return pa.table({"bucket": pa.array([bid], pa.int64()),
+                         "n_docs": pa.array([len(body)], pa.int64())})
+
+    dstats = ds.select_columns([id_col, text_col]) \
+        .map_batches(assign_doc, batch_format="pyarrow") \
+        .groupby(BUCKET_COL).map_groups(write_doc_bucket,
+                                        batch_format="pyarrow") \
+        .to_pandas()
+    manifest = {"num_buckets": num_buckets,
+                "num_doc_buckets": num_doc_buckets,
+                "n_postings": int(stats["n_postings"].sum()),
+                "n_docs": int(dstats["n_docs"].sum())}
+    tmp = os.path.join(out_dir, "trigram-stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "trigram-stats.json"))
+    return manifest
+
+
+def query_trigram_index(out_dir: str, pattern: str, *,
+                        id_col: str = "doc_id",
+                        _opened=None) -> pa.Table:
+    """Exact ``%pattern%`` substring lookup against a
+    :func:`build_trigram_index` layout: the pattern's byte trigrams
+    select posting buckets (read-pruned), candidate ids = the
+    INTERSECTION of the trigrams' posting lists (a doc lacking any
+    pattern trigram cannot contain the pattern), then ONLY the
+    candidates' doc-store buckets are opened and
+    ``pc.match_substring`` verifies exactly. Patterns shorter than 3
+    bytes raise (no trigram prefilter exists — scan the corpus
+    directly for those). ``_opened``: test hook, collects opened file
+    names."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    pb = pattern.encode("utf-8")
+    if len(pb) < 3:
+        raise ValueError("pattern must be >= 3 bytes for the trigram "
+                         "prefilter")
+    with open(os.path.join(out_dir, "trigram-stats.json")) as f:
+        man = json.load(f)
+    keys = sorted({(pb[i] << 16) | (pb[i + 1] << 8) | pb[i + 2]
+                   for i in range(len(pb) - 2)})
+    by_bucket: dict = {}
+    for k in keys:
+        by_bucket.setdefault(k % man["num_buckets"], []).append(k)
+    cand = None
+    for b, ks in sorted(by_bucket.items()):
+        fn = os.path.join(out_dir, f"trigrams-{b:04d}.parquet")
+        if _opened is not None:
+            _opened.append(os.path.basename(fn))
+        if not os.path.exists(fn):
+            return pa.table({id_col: pa.array([], type=pa.int64())})
+        tbl = pq.read_table(fn, filters=[("tri", "in", ks)])
+        tri = tbl["tri"].to_numpy(zero_copy_only=False)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        for k in ks:
+            s = ids[tri == k]
+            cand = s if cand is None else \
+                np.intersect1d(cand, s, assume_unique=True)
+            if cand is not None and len(cand) == 0:
+                return pa.table({id_col: pa.array([], type=pa.int64())})
+    matched = []
+    for b in sorted({int(i) % man["num_doc_buckets"] for i in cand}):
+        fn = os.path.join(out_dir, f"docs-{b:04d}.parquet")
+        if _opened is not None:
+            _opened.append(os.path.basename(fn))
+        sub = pq.read_table(fn, filters=[(id_col, "in",
+                                          cand.tolist())])
+        hit = pc.match_substring(sub["text"], pattern)
+        matched.append(sub.filter(hit).select([id_col]))
+    out = pa.concat_tables(matched) if matched else \
+        pa.table({id_col: pa.array([], type=pa.int64())})
+    return out.sort_by([(id_col, "ascending")])

@@ -109,3 +109,39 @@ def test_incremental_update_equals_full_rebuild(ray_session, tmp_path):
     r2 = query_text_index(d_all, ["join stream"], k=5).to_pandas()
     assert r1["doc_id"].tolist() == r2["doc_id"].tolist()
     assert np.allclose(r1["score"], r2["score"])
+
+
+def test_trigram_index_exact_and_subset_read(tmp_path):
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.textindex import (
+        build_trigram_index, query_trigram_index)
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["the streaming engine", "no match here",
+                          "stream at the end: stream",
+                          "st re am split up", ""])})
+    man = build_trigram_index(rd.from_arrow(tbl), str(tmp_path),
+                              num_buckets=4, num_doc_buckets=4)
+    assert man["n_docs"] == 5
+    opened = []
+    out = query_trigram_index(str(tmp_path), "stream", _opened=opened)
+    assert out["doc_id"].to_pylist() == [1, 3]
+    # subset read: posting buckets of the 4 distinct trigrams + only
+    # candidate doc buckets — never all files
+    tri_files = [f for f in opened if f.startswith("trigrams-")]
+    doc_files = [f for f in opened if f.startswith("docs-")]
+    assert len(set(tri_files)) <= 4 and len(set(doc_files)) <= 2
+    # absent pattern → empty, and the doc store is never opened
+    opened2 = []
+    out2 = query_trigram_index(str(tmp_path), "zzqx9",
+                               _opened=opened2)
+    assert len(out2) == 0
+    assert not [f for f in opened2 if f.startswith("docs-")]
+    # multibyte + prefilter-false-positive safety: byte trigrams may
+    # admit candidates, residual verify must reject them
+    out3 = query_trigram_index(str(tmp_path), "streaming x")
+    assert len(out3) == 0
+    import pytest
+    with pytest.raises(ValueError):
+        query_trigram_index(str(tmp_path), "ab")
