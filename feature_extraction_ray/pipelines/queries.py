@@ -7967,15 +7967,17 @@ FROM b GROUP BY bin
 
 def target_encoded_lineitems(sf_dir: str) -> Dataset:
     """Leave-one-out m-estimate target encoding
-    (stages/groupstats.target_encode_loo, m=10): each lineitem's
+    (stages/groupstats.target_encode_m_estimate, m=10 — the
+    partitioned attach plan; target_encode_loo is the broadcast
+    sibling under order_price_loo_by_customer): each lineitem's
     l_partkey encoded by the other rows' mean l_quantity shrunk toward
     the global prior — exact-int sufficient statistics through ONE
     groupby exchange + ONE attach-back exchange, te derived with one
     fixed IEEE expression → the SQL twin compares STRICTLY."""
-    from ..stages.groupstats import target_encode_loo
+    from ..stages.groupstats import target_encode_m_estimate
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
-    out = target_encode_loo(li, "l_partkey", "l_quantity", m=10.0,
+    out = target_encode_m_estimate(li, "l_partkey", "l_quantity", m=10.0,
                             num_buckets=16)
     return out.map_batches(
         lambda t: t.select(["l_orderkey", "l_linenumber", "l_partkey",

@@ -1590,12 +1590,14 @@ def quantile_bucket(ds: Dataset, value_col: str, n_buckets: int = 10,
 
 
 
-def target_encode_loo(ds: Dataset, key_col: str, target_col: str,
+def target_encode_m_estimate(ds: Dataset, key_col: str, target_col: str,
                       m: float = 0.0,
                       num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
     """Leave-one-out target encoding with m-estimate smoothing — the
-    supervised categorical encoder that excludes each row's OWN target
-    (the standard defense against target leakage in fold features):
+    PARTITIONED, shrinkage-adding sibling of :func:`target_encode_loo`
+    (which is the plain-LOO broadcast plan for driver-fitting group
+    tables; this one never broadcasts, so key cardinality is
+    unbounded):
 
         ``te = ((Σ_key − v) + m·prior) / ((n_key − 1) + m)``,
         ``prior = Σ_total / n_total``

@@ -420,6 +420,13 @@ def calibration_bins(ds: Dataset, score_col: str, label_col: str,
                                   Sum("sum_score", alias_name="sum_score"))
 
     def fin(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "bin" not in t.column_names:
+            # empty-corpus groupby emits blocks missing the key column
+            z = pa.array([], type=pa.int64())
+            zf = pa.array([], type=pa.float64())
+            return pa.table({"bin": z, "n": z, "sum_label": z,
+                             "sum_score": z, "mean_label": zf,
+                             "mean_score": zf})
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
         sl = t["sum_label"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)

@@ -135,47 +135,47 @@ def test_grouped_approx_distinct_accuracy_and_merge(ray_session):
 
 
 
-def test_target_encode_loo_hand_computed():
+def test_target_encode_m_hand_computed():
     import ray.data as rd
 
-    from feature_extraction_ray.stages.groupstats import target_encode_loo
+    from feature_extraction_ray.stages.groupstats import target_encode_m_estimate
     # key a: values 2, 4, 6 (sum 12); key b: value 10 (singleton)
     tbl = pa.table({
         "rid": pa.array([0, 1, 2, 3], type=pa.int64()),
         "k": pa.array(["a", "a", "a", "b"]),
         "v": pa.array([2.0, 4.0, 6.0, 10.0])})
     # m=0: LOO mean; singleton → 0/0 → null
-    out = target_encode_loo(rd.from_arrow(tbl), "k", "v", m=0.0,
+    out = target_encode_m_estimate(rd.from_arrow(tbl), "k", "v", m=0.0,
                             num_buckets=4).to_pandas() \
         .sort_values("rid").reset_index(drop=True)
     assert out["te"].tolist()[:3] == [5.0, 4.0, 3.0]
     assert np.isnan(out.loc[3, "te"])
     # m=2: prior = 22/4 = 5.5 → a-row0: (10 + 11)/(2+2) = 5.25;
     # singleton b: (0 + 11)/(0+2) = 5.5
-    out2 = target_encode_loo(rd.from_arrow(tbl), "k", "v", m=2.0,
+    out2 = target_encode_m_estimate(rd.from_arrow(tbl), "k", "v", m=2.0,
                              num_buckets=4).to_pandas() \
         .sort_values("rid").reset_index(drop=True)
     assert out2["te"].tolist() == [5.25, (8 + 11) / 4, (6 + 11) / 4, 5.5]
 
 
-def test_target_encode_loo_rejects_fractional_target():
+def test_target_encode_m_estimate_rejects_fractional_target():
     import pytest
     import ray.data as rd
 
-    from feature_extraction_ray.stages.groupstats import target_encode_loo
+    from feature_extraction_ray.stages.groupstats import target_encode_m_estimate
     tbl = pa.table({"k": ["a", "a"], "v": [1.5, 2.0]})
     with pytest.raises(Exception):
-        target_encode_loo(rd.from_arrow(tbl), "k", "v") \
+        target_encode_m_estimate(rd.from_arrow(tbl), "k", "v") \
             .materialize()
 
 
-def test_fuzz_target_encode_vs_naive():
+def test_fuzz_target_encode_m_vs_naive():
     """Random integer targets over random keys through
-    target_encode_loo at m=0 and m=3.5, compared strictly against the
+    target_encode_m_estimate at m=0 and m=3.5, compared strictly against the
     identical-expression numpy reference."""
     import ray.data as rd
 
-    from feature_extraction_ray.stages.groupstats import target_encode_loo
+    from feature_extraction_ray.stages.groupstats import target_encode_m_estimate
     rng = np.random.default_rng(913)
     n = 600
     keys = np.array(["k%d" % i for i in rng.integers(0, 50, n)])
@@ -189,7 +189,7 @@ def test_fuzz_target_encode_vs_naive():
     prior = float(sum(s for s, _ in sums.values())) \
         / float(sum(c for _, c in sums.values()))
     for m in (0.0, 3.5):
-        out = target_encode_loo(rd.from_arrow(tbl), "k", "v", m=m,
+        out = target_encode_m_estimate(rd.from_arrow(tbl), "k", "v", m=m,
                                 num_buckets=4).to_pandas() \
             .sort_values("rid").reset_index(drop=True)
         v64 = out["v"].to_numpy().astype(np.int64)
