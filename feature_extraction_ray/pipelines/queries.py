@@ -7685,6 +7685,123 @@ FROM c JOIN k ON c.url_canon = k.url_canon AND c.doc_id = k.keep_id
 """)
 
 
+def _build_html(t: pa.Table) -> pa.Table:
+    """Deterministic HTML page construction over the documents table
+    (twin of _HTML_PAGES_SQL): four variants by doc_id % 4 — a full
+    page (title with an entity, style + script blocks whose bodies
+    must vanish whole, an h1, a comment hiding markup), a title-less
+    page with a nav list and the text split across ``<p>`` tags by
+    newlines, an entity-stress page (all six decoded forms plus a
+    pre-escaped ``&amp;lt;`` that must decode exactly ONE level), and
+    a bare fragment with trailing tab/space noise."""
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    ids = pc.cast(pa.array(did), pa.string())
+    src = t["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    txt = t["text"]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    v0 = pc.binary_join_element_wise(
+        "<html><head><title>", src, " &amp; co</title>"
+        '<style type="text/css">body { color: red; }</style></head>'
+        '<body><script>if (1 < 2 && 2 > 1) { alert("x"); }</script>'
+        "<h1>Doc ", ids, "</h1><p>", txt,
+        "</p><!-- nav <b>hidden</b> --></body></html>", "")
+    v1 = pc.binary_join_element_wise(
+        '<body><div class="nav"><ul><li>Home</li><li>About</li></ul>'
+        "</div><p>",
+        pc.replace_substring(txt, " ", "</p>\n<p>"),
+        "</p></body>", "")
+    v2 = pc.binary_join_element_wise(
+        "<html><head><title>Doc ", ids, "</title></head><body>"
+        "<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3 it&#39;s&nbsp;"
+        "fine &amp;lt; raw</p><p>", txt, "</p></body></html>", "")
+    v3 = pc.binary_join_element_wise("\t<p>", txt, "  </p>  ", "")
+    v = did % 4
+    html = pc.case_when(
+        pc.make_struct(pa.array(v == 0), pa.array(v == 1),
+                       pa.array(v == 2)),
+        v0, v1, v2, v3)
+    return pa.table({"doc_id": t["doc_id"], "html": html})
+
+
+def html_extract_docs(sf_dir: str) -> Dataset:
+    """HTML → text extraction (stages/curation.extract_html_text): the
+    CommonCrawl-WET step — script/style/comment blocks drop whole,
+    tags flatten to whitespace, the six standard entities decode
+    exactly one level (``&amp;`` last, so ``&amp;lt;`` yields the
+    literal ``&lt;``), whitespace collapses, and the ``<title>``
+    extracts separately. Pages built deterministically by _build_html
+    so every rule is exercised at every sf; zero shuffles, one
+    vectorized RE2 pass; the SQL twin runs the IDENTICAL rewrite
+    sequence (both engines are RE2 + byte substring replace), so the
+    compare is string-exact."""
+    from ..stages.curation import extract_html_text
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    pages = docs.map_batches(_build_html, batch_format="pyarrow")
+    out = extract_html_text(pages, html_col="html",
+                            text_col="text_clean", title_col="title")
+    return out.select_columns(["doc_id", "title", "text_clean"])
+
+
+_HTML_PAGES_SQL = """
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN '<html><head><title>' || source || ' &amp; co</title>'
+        || '<style type="text/css">body { color: red; }</style></head>'
+        || '<body><script>if (1 < 2 && 2 > 1) { alert("x"); }</script>'
+        || '<h1>Doc ' || doc_id || '</h1><p>' || text
+        || '</p><!-- nav <b>hidden</b> --></body></html>'
+      WHEN 1 THEN '<body><div class="nav"><ul><li>Home</li><li>About'
+        || '</li></ul></div><p>'
+        || replace(text, ' ', '</p>' || chr(10) || '<p>')
+        || '</p></body>'
+      WHEN 2 THEN '<html><head><title>Doc ' || doc_id
+        || '</title></head><body>'
+        || '<p>Tom &amp; Jerry say &quot;hi&quot; &lt;3 it&#39;s&nbsp;'
+        || 'fine &amp;lt; raw</p><p>' || text || '</p></body></html>'
+      ELSE chr(9) || '<p>' || text || '  </p>  '
+    END AS html
+  FROM documents
+"""
+
+# the IDENTICAL rewrite sequence curation._extract_html_text_array
+# runs — regex legs are RE2 in both engines, entity legs are plain
+# byte substring replaces, so the output compares string-exact
+_HTML_ENTITY_SQL = ("replace(replace(replace(replace(replace(replace("
+                    "{x}, '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+                    "'&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&')")
+
+HTML_EXTRACT_SQL = ("WITH h AS (" + _HTML_PAGES_SQL + """),
+s0 AS (SELECT doc_id, html,
+         regexp_replace(html, '(?s)<title[^>]*>.*?</title>', ' ', 'g')
+           AS x FROM h),
+s1 AS (SELECT doc_id, html,
+         regexp_replace(x, '(?s)<script[^>]*>.*?</script>', ' ', 'g')
+           AS x FROM s0),
+s2 AS (SELECT doc_id, html,
+         regexp_replace(x, '(?s)<style[^>]*>.*?</style>', ' ', 'g')
+           AS x FROM s1),
+s3 AS (SELECT doc_id, html,
+         regexp_replace(x, '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+s4 AS (SELECT doc_id, html,
+         regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM s3),
+s5 AS (SELECT doc_id, html, """
+                    + _HTML_ENTITY_SQL.format(x="x") + """ AS x FROM s4),
+s6 AS (SELECT doc_id, html,
+         trim(regexp_replace(x, '[ ' || chr(9) || chr(13) || chr(10)
+                                 || ']+', ' ', 'g'), ' ') AS x FROM s5)
+SELECT doc_id, """
+                    + _HTML_ENTITY_SQL.format(
+                        x="regexp_extract(html, "
+                          "'(?s)<title[^>]*>([^<]*)</title>', 1)")
+                    + """ AS title,
+       x AS text_clean
+FROM s6
+""")
+
+
 def epoch_order_docs(sf_dir: str) -> Dataset:
     """Deterministic multi-epoch training order
     (stages/curation.epoch_order, epochs=2): each epoch's permutation
@@ -9016,6 +9133,8 @@ QUERIES = {
     # encoding (exact-int statistics, strict one-expression twin);
     # calibration_embeddings — reliability-diagram bins over
     # micro-unit cosine vs label-match (integer binning, strict);
+    # html_extract_docs — HTML→text WET extraction (identical
+    # RE2+replace chain both engines, string-exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9120,7 +9239,6 @@ QUERIES = {
     "mixture_weights_docs": mixture_weights_docs,
     "dsir_scores_docs": dsir_scores_docs,
     "dsir_sampled_docs": dsir_sampled_docs,
-    "q3_shipping_priority": q3_shipping_priority,
     "q10_returned_items": q10_returned_items,
     "quality_sampled_docs": quality_sampled_docs,
     "orders_price_brackets": orders_price_brackets,
@@ -9264,6 +9382,7 @@ QUERIES = {
     "target_encoded_lineitems": target_encoded_lineitems,
     "calibration_embeddings": calibration_embeddings,
     "trigram_lookup_docs": trigram_lookup_docs,
+    "html_extract_docs": html_extract_docs,
 }
 
 ORACLE_SQL = {
@@ -9452,6 +9571,7 @@ ORACLE_SQL = {
     "target_encoded_lineitems": TARGET_ENCODED_LINEITEMS_SQL,
     "calibration_embeddings": CALIBRATION_EMBEDDINGS_SQL,
     "trigram_lookup_docs": TRIGRAM_LOOKUP_SQL,
+    "html_extract_docs": HTML_EXTRACT_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

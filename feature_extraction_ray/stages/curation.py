@@ -1875,3 +1875,64 @@ def epoch_order(ds: Dataset, epochs: int, id_col: str = "doc_id") -> Dataset:
                          "train_pos": pa.array(pos)})
 
     return ranked.map_batches(finalize, batch_format="pyarrow")
+
+
+def _extract_html_text_array(h: pa.Array):
+    """The tag-strip / entity-decode sequence, vectorized RE2
+    end-to-end. Every step is a GLOBAL regex (or plain-substring)
+    replace with an exact DuckDB twin — both engines run RE2 for the
+    regex legs and byte substring replace for the entity legs, so the
+    rewrites agree byte-for-byte. Returns ``(title, text)`` arrays.
+
+    Order matters twice: comments/script/style blocks drop BEFORE the
+    generic tag strip (their bodies must not survive as text), and
+    ``&amp;`` decodes LAST so pre-escaped entities (``&amp;lt;``)
+    decode exactly one level, the single-pass HTML semantic."""
+    def decode_entities(a):
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "'"), ("&nbsp;", " ")):
+            a = pc.replace_substring(a, ent, ch)
+        return pc.replace_substring(a, "&amp;", "&")
+
+    ti = pc.extract_regex(h, r"(?s)<title[^>]*>(?P<t>[^<]*)</title>")
+    title = decode_entities(pc.coalesce(pc.struct_field(ti, "t"), ""))
+    out = pc.replace_substring_regex(
+        h, r"(?s)<title[^>]*>.*?</title>", " ")
+    out = pc.replace_substring_regex(
+        out, r"(?s)<script[^>]*>.*?</script>", " ")
+    out = pc.replace_substring_regex(
+        out, r"(?s)<style[^>]*>.*?</style>", " ")
+    out = pc.replace_substring_regex(out, r"(?s)<!--.*?-->", " ")
+    out = pc.replace_substring_regex(out, r"<[^>]*>", " ")
+    out = decode_entities(out)
+    out = pc.replace_substring_regex(out, r"[ \t\r\n]+", " ")
+    out = pc.utf8_trim(out, " ")
+    return title, out
+
+
+def extract_html_text(ds: Dataset, html_col: str = "html",
+                      text_col: str = "text",
+                      title_col: str = "title") -> Dataset:
+    """Extract readable text (and the ``<title>``) from raw HTML pages —
+    the CommonCrawl-style WET step run before any text curation:
+    title/script/style/comment blocks drop whole (the title lands in
+    its own column instead), remaining tags become
+    whitespace, the five standard entities plus ``&amp;`` decode
+    exactly one level, and whitespace collapses to single spaces.
+    Zero shuffles; one vectorized RE2 pass per batch (no per-row
+    Python parser). Documented limits: entity decode covers the six
+    named forms (numeric ``&#x``/decimal beyond ``&#39;`` pass
+    through untouched), and block-level structure is flattened to
+    spaces, not newlines — the downstream line-level ops
+    (:func:`remove_boilerplate_lines`) should run on pages whose
+    builder preserves ``\\n``."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[html_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        title, text = _extract_html_text_array(col)
+        t = t.append_column(title_col, title)
+        return t.append_column(text_col, text)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
