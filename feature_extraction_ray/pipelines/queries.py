@@ -7802,6 +7802,43 @@ FROM s6
 """)
 
 
+def warc_roundtrip_docs(sf_dir: str) -> Dataset:
+    """WARC sink → source roundtrip (sources/warc.py): the documents
+    table serializes to spec-shaped ``WARC/1.0`` resource records
+    (per-record gzip members, one ``.warc.gz`` per block, written
+    inside Ray tasks) and parses back by Content-Length walking — the
+    CommonCrawl interchange format as a first-class source/sink. The
+    oracle reads the SAME parquet directly, so the string-exact match
+    certifies the full serialize→compress→decompress→parse chain
+    byte-preserves ids, URLs and text."""
+    import tempfile
+    from ..sources.warc import read_warc, write_warc
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def add_url(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            "https://", t["source"].combine_chunks()
+            if isinstance(t["source"], pa.ChunkedArray) else t["source"],
+            ".example.com/doc/",
+            pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "url": url,
+                         "text": t["text"]})
+
+    d = tempfile.mkdtemp(prefix="fx_warc_")
+    write_warc(docs.map_batches(add_url, batch_format="pyarrow"), d,
+               compress=True)
+    return read_warc(d)
+
+
+WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'https://' || source || '.example.com/doc/' || doc_id AS url,
+       text,
+       strlen(text)::BIGINT AS n_bytes
+FROM documents
+"""
+
+
 def epoch_order_docs(sf_dir: str) -> Dataset:
     """Deterministic multi-epoch training order
     (stages/curation.epoch_order, epochs=2): each epoch's permutation
@@ -9135,6 +9172,9 @@ QUERIES = {
     # micro-unit cosine vs label-match (integer binning, strict);
     # html_extract_docs — HTML→text WET extraction (identical
     # RE2+replace chain both engines, string-exact);
+    # warc_roundtrip_docs — WARC/1.0 resource-record sink/source
+    # roundtrip (oracle reads the same parquet; string-exact certifies
+    # the serialize→gzip→parse chain byte-preserves content);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9383,6 +9423,7 @@ QUERIES = {
     "calibration_embeddings": calibration_embeddings,
     "trigram_lookup_docs": trigram_lookup_docs,
     "html_extract_docs": html_extract_docs,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
 }
 
 ORACLE_SQL = {
@@ -9572,6 +9613,7 @@ ORACLE_SQL = {
     "calibration_embeddings": CALIBRATION_EMBEDDINGS_SQL,
     "trigram_lookup_docs": TRIGRAM_LOOKUP_SQL,
     "html_extract_docs": HTML_EXTRACT_SQL,
+    "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
