@@ -7900,6 +7900,55 @@ GROUP BY ks.k
 """
 
 
+def token_winnow_docs(sf_dir: str) -> Dataset:
+    """Winnowing fingerprints (stages/tokengrams.winnow_fingerprints,
+    k=3 w=4) over the F1 token fixture: the MOSS local-fingerprinting
+    selection — per-window minimum gram hash, rightmost on ties via
+    the packed ``h·2^20 + (2^20-1-pos)`` key — integer-exact against
+    a window-min SQL twin running the identical packed-key arithmetic.
+    Zero shuffles; w-1 shifted np.minimum ops per batch."""
+    from ..stages.tokengrams import winnow_fingerprints
+    tok, _ = _token_fixture()
+    return winnow_fingerprints(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])), k=3, w=4)
+
+
+def _token_winnow_sql() -> str:
+    # 40503^2 = 1640493009; every literal ::BIGINT (int32 products
+    # raise in DuckDB); key = h*2^20 + (2^20-1-i) so plain min() is
+    # smallest-hash-then-rightmost; short docs (< w grams) emit one
+    # whole-doc window via i >= least(w, ng)
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+g AS (
+  SELECT doc_id, i,
+         ((list_extract(tokens, i)::BIGINT % 1048576) * 1640493009::BIGINT
+          + (list_extract(tokens, i + 1)::BIGINT % 1048576) * 40503::BIGINT
+          + (list_extract(tokens, i + 2)::BIGINT % 1048576))
+           % 33554432 AS h
+  FROM (SELECT doc_id, tokens,
+               unnest(range(1, len(tokens) - 1)) AS i
+        FROM tok WHERE len(tokens) >= 3)
+),
+k2 AS (
+  SELECT doc_id, i, h * 1048576::BIGINT + (1048575 - i) AS key,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g
+),
+w AS (
+  SELECT doc_id, i, ng,
+         min(key) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+  FROM k2
+),
+sel AS (SELECT DISTINCT doc_id, mk FROM w WHERE i >= least(4, ng))
+SELECT doc_id, (1048575 - (mk % 1048576))::BIGINT AS pos,
+       (mk // 1048576)::BIGINT AS fp
+FROM sel
+"""
+
+
 def hybrid_rrf_docs(sf_dir: str) -> Dataset:
     """Hybrid lexical+semantic retrieval via reciprocal-rank fusion
     (stages/similarity.rrf_fuse, k=60): ranking A = BM25 of every doc
@@ -9175,6 +9224,8 @@ QUERIES = {
     # warc_roundtrip_docs — WARC/1.0 resource-record sink/source
     # roundtrip (oracle reads the same parquet; string-exact certifies
     # the serialize→gzip→parse chain byte-preserves content);
+    # token_winnow_docs — MOSS winnowing fingerprints (packed-key
+    # window-min twin, integer-exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9424,6 +9475,7 @@ QUERIES = {
     "trigram_lookup_docs": trigram_lookup_docs,
     "html_extract_docs": html_extract_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "token_winnow_docs": token_winnow_docs,
 }
 
 ORACLE_SQL = {
@@ -9614,6 +9666,7 @@ ORACLE_SQL = {
     "trigram_lookup_docs": TRIGRAM_LOOKUP_SQL,
     "html_extract_docs": HTML_EXTRACT_SQL,
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
+    "token_winnow_docs": _token_winnow_sql(),
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
