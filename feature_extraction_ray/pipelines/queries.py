@@ -7900,6 +7900,48 @@ GROUP BY ks.k
 """
 
 
+def kl_by_source(sf_dir: str) -> Dataset:
+    """Per-source KL divergence of the unigram word distribution vs
+    the corpus distribution (stages/text.group_kl_divergence): the
+    domain-distinctiveness score read next to mixture_weights when
+    designing a training mix. Exact int64 counts ride the exchanges;
+    every double derives from ONE fixed IEEE expression over
+    (cnt, tg, tw, N) in BOTH engines; round-6 on the irrational-log
+    sum (reassociation-safe)."""
+    from ..stages.text import group_kl_divergence
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return _round(group_kl_divergence(docs), {"kl": 6})
+
+
+KL_BY_SOURCE_SQL = """
+WITH s AS (
+  SELECT source, str_split(trim(text), ' ') AS ws
+  FROM documents WHERE trim(text) <> ''
+), w AS (
+  SELECT source, unnest(ws) AS word FROM s
+), w2 AS (
+  SELECT source, word FROM w WHERE word <> ''
+), cw AS (
+  SELECT source, word, count(*)::BIGINT AS cnt FROM w2 GROUP BY 1, 2
+), tw AS (
+  SELECT word, sum(cnt)::BIGINT AS tw FROM cw GROUP BY 1
+), tg AS (
+  SELECT source, sum(cnt)::BIGINT AS tg FROM cw GROUP BY 1
+), nn AS (
+  SELECT sum(cnt)::BIGINT AS N FROM cw
+)
+SELECT cw.source, tg.tg AS n_tokens, count(*)::BIGINT AS n_types,
+       round(sum((cw.cnt::DOUBLE / tg.tg::DOUBLE)
+                 * ln((cw.cnt::DOUBLE * nn.N::DOUBLE)
+                      / (tg.tg::DOUBLE * tw.tw::DOUBLE))), 6) AS kl
+FROM cw
+JOIN tw USING (word)
+JOIN tg ON tg.source = cw.source
+CROSS JOIN nn
+GROUP BY 1, 2
+"""
+
+
 def token_winnow_docs(sf_dir: str) -> Dataset:
     """Winnowing fingerprints (stages/tokengrams.winnow_fingerprints,
     k=3 w=4) over the F1 token fixture: the MOSS local-fingerprinting
@@ -9226,6 +9268,8 @@ QUERIES = {
     # the serialize→gzip→parse chain byte-preserves content);
     # token_winnow_docs — MOSS winnowing fingerprints (packed-key
     # window-min twin, integer-exact);
+    # kl_by_source — domain-distinctiveness KL divergence (exact-int
+    # sufficient stats, one-expression doubles, round-6);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9476,6 +9520,7 @@ QUERIES = {
     "html_extract_docs": html_extract_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "token_winnow_docs": token_winnow_docs,
+    "kl_by_source": kl_by_source,
 }
 
 ORACLE_SQL = {
@@ -9667,6 +9712,7 @@ ORACLE_SQL = {
     "html_extract_docs": HTML_EXTRACT_SQL,
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
     "token_winnow_docs": _token_winnow_sql(),
+    "kl_by_source": KL_BY_SOURCE_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -1136,3 +1136,103 @@ def discriminative_terms(ds: Dataset, label_col: str,
         "n_lw": pa.array([o[2] for o in out_rows], type=pa.int64()),
         "chi2": pa.array([o[3] for o in out_rows]),
         "rnk": pa.array([o[4] for o in out_rows], type=pa.int64())}))
+
+
+def group_kl_divergence(ds: Dataset, group_col: str = "source",
+                        text_col: str = "text") -> Dataset:
+    """Per-group KL divergence between the group's unigram word
+    distribution and the whole-corpus distribution — the domain-
+    distinctiveness score a mixture-design pass reads next to
+    :func:`~feature_extraction_ray.stages.curation.mixture_weights`
+    (a near-zero KL domain is redundant with the corpus; a high-KL
+    domain carries unique vocabulary).
+
+    ``KL(p_g ‖ q) = Σ_w (cnt/tg) · ln((cnt·N)/(tg·tw))`` over the
+    group's observed words (p_g > 0 everywhere it is evaluated, and
+    q ≥ p_g·tg/N > 0 since every group word is a corpus word — no
+    smoothing needed, unlike PSI's two-sample form).
+
+    Exactness contract: the exchange moves only exact int64 counts;
+    every double derives from ONE fixed IEEE expression over
+    (cnt, tg, tw, N) — products in float64, so no 2^63 overflow at
+    any corpus size — and the per-group sum is rounded to 6 (irrational
+    log terms are rounding-boundary-safe). Output: group, ``n_tokens``
+    (tg), ``n_types`` (distinct words), ``kl`` (round-6).
+
+    Scale shape: per-block dictionary-encode+bincount partials → ONE
+    (group, word) groupby exchange → word totals via a second
+    vocab-bounded groupby re-attached with ``attach_values`` → per-group
+    sums through a final tiny groupby. Group totals (#groups rows)
+    reduce on the driver and broadcast. Nothing driver-side scales
+    with corpus size; vocabulary-bounded tables cap the exchanges."""
+    from ray.data.aggregate import Count, Sum
+
+    from .cc import attach_values
+
+    def partial(t: pa.Table) -> pa.Table:
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+            offs = np.zeros(len(n_real) + 1, dtype=np.int64)
+            np.cumsum(n_real, out=offs[1:])
+        else:
+            offs = offsets
+        if len(flat) == 0:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        grp = t[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        grp = grp.cast(pa.string())
+        word_of = flat.dictionary_encode()
+        wcodes = word_of.indices.to_numpy(zero_copy_only=False)
+        grp_rep = grp.take(pa.array(np.repeat(
+            np.arange(len(n_real)), np.diff(offs))))
+        gde = grp_rep.dictionary_encode()
+        gcodes = gde.indices.to_numpy(zero_copy_only=False)
+        nw = len(word_of.dictionary)
+        packed = gcodes.astype(np.int64) * nw + wcodes
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            group_col: gde.dictionary.take(
+                pa.array(uniq // nw)).cast(pa.string()),
+            "word": word_of.dictionary.take(
+                pa.array(uniq % nw)).cast(pa.string()),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, "word"]) \
+        .aggregate(Sum("cnt", alias_name="cnt")).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            group_col: pa.array([], type=pa.string()),
+            "n_tokens": pa.array([], type=pa.int64()),
+            "n_types": pa.array([], type=pa.int64()),
+            "kl": pa.array([], type=pa.float64())}))
+    tw = pairs.groupby("word").aggregate(Sum("cnt", alias_name="tw"))
+    withw = attach_values(pairs, "word", tw, "word", ["tw"])
+    # group totals: #groups rows — driver-reduced, broadcast into tasks
+    tg_rows = pairs.groupby(group_col) \
+        .aggregate(Sum("cnt", alias_name="tg")).take_all()
+    tg_map = {r[group_col]: int(r["tg"]) for r in tg_rows}
+    n_total = float(sum(tg_map.values()))
+    tg_ref = ray.put(tg_map)
+
+    def term(t: pa.Table) -> pa.Table:
+        m = ray.get(tg_ref)
+        g = t[group_col].to_pylist()
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        twv = t["tw"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tg = np.asarray([m[x] for x in g], dtype=np.float64)
+        val = (cnt / tg) * np.log((cnt * n_total) / (tg * twv))
+        return pa.table({group_col: t[group_col],
+                         "cnt": t["cnt"],
+                         "term": pa.array(val)})
+
+    out = withw.map_batches(term, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(
+            Sum("cnt", alias_name="n_tokens"),
+            Count(alias_name="n_types"),
+            Sum("term", alias_name="kl"))
+    return out
