@@ -7900,6 +7900,66 @@ GROUP BY ks.k
 """
 
 
+def html_links_docs(sf_dir: str) -> Dataset:
+    """Link extraction from HTML (stages/curation.extract_links): one
+    row per ``href="…"`` occurrence with its 1-based in-document rank —
+    the crawl link-graph edge list that feeds PageRank and URL-frontier
+    dedup. Three page variants (no links / anchor+absolute /
+    stylesheet+query-param link) built deterministically per doc; the
+    regexp_extract_all SQL twin certifies the scan string-exact."""
+    from ..stages.curation import extract_links
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def build(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        ids = pc.cast(pa.array(did), pa.string())
+        src = t["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        v1 = pc.binary_join_element_wise(
+            '<p>intro</p><a href="https://', src, ".example.com/page/",
+            pc.cast(pa.array(did % 97), pa.string()),
+            '">next</a> <a href="#top">top</a>', "")
+        v2 = pc.binary_join_element_wise(
+            '<link rel="stylesheet" href="/static/app.css"/>'
+            '<a class="b" data-x="1" href="https://out.example.org/',
+            pc.cast(pa.array(did % 7), pa.string()), "?ref=",
+            pc.cast(pa.array(did % 5), pa.string()), '">out</a>', "")
+        v = did % 3
+        html = pc.case_when(
+            pc.make_struct(pa.array(v == 0), pa.array(v == 1)),
+            pc.binary_join_element_wise(
+                "<p>plain page ", ids, " no links</p>", ""),
+            v1, v2)
+        return pa.table({"doc_id": t["doc_id"], "html": html})
+
+    return extract_links(docs.map_batches(build, batch_format="pyarrow"))
+
+
+HTML_LINKS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN '<p>plain page ' || doc_id || ' no links</p>'
+      WHEN 1 THEN '<p>intro</p><a href="https://' || source
+        || '.example.com/page/' || (doc_id % 97)
+        || '">next</a> <a href="#top">top</a>'
+      ELSE '<link rel="stylesheet" href="/static/app.css"/>'
+        || '<a class="b" data-x="1" href="https://out.example.org/'
+        || (doc_id % 7) || '?ref=' || (doc_id % 5) || '">out</a>'
+    END AS html
+  FROM documents
+), l AS (
+  SELECT doc_id,
+         regexp_extract_all(html, 'href="([^"]*)"', 1) AS ls
+  FROM h
+)
+SELECT doc_id, generate_subscripts(ls, 1)::BIGINT AS link_no,
+       unnest(ls) AS href
+FROM l
+"""
+
+
 def kl_by_source(sf_dir: str) -> Dataset:
     """Per-source KL divergence of the unigram word distribution vs
     the corpus distribution (stages/text.group_kl_divergence): the
@@ -9270,6 +9330,8 @@ QUERIES = {
     # window-min twin, integer-exact);
     # kl_by_source — domain-distinctiveness KL divergence (exact-int
     # sufficient stats, one-expression doubles, round-6);
+    # html_links_docs — crawl link-graph extraction
+    # (regexp_extract_all twin, string-exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9521,6 +9583,7 @@ QUERIES = {
     "warc_roundtrip_docs": warc_roundtrip_docs,
     "token_winnow_docs": token_winnow_docs,
     "kl_by_source": kl_by_source,
+    "html_links_docs": html_links_docs,
 }
 
 ORACLE_SQL = {
@@ -9713,6 +9776,7 @@ ORACLE_SQL = {
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
     "token_winnow_docs": _token_winnow_sql(),
     "kl_by_source": KL_BY_SOURCE_SQL,
+    "html_links_docs": HTML_LINKS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

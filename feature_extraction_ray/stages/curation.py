@@ -1936,3 +1936,67 @@ def extract_html_text(ds: Dataset, html_col: str = "html",
         return t.append_column(text_col, text)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def extract_links(ds: Dataset, html_col: str = "html",
+                  id_col: str = "doc_id") -> Dataset:
+    """Extract outbound links from raw HTML — the crawl link-graph
+    builder whose edge list feeds PageRank / hub scoring
+    (``stages/graphrank.py``) and URL frontier dedup
+    (:func:`canonicalize_url` + :func:`dedup_by_url`). Emits one row
+    per ``href="…"`` occurrence: ``(id, link_no, href)`` with
+    ``link_no`` the 1-based position among the document's extracted
+    links.
+
+    Semantics contract (shared with the SQL twin's
+    ``regexp_extract_all(html, 'href="([^"]*)"', 1)``): the value is
+    everything between the quote after ``href=`` and the NEXT double
+    quote; an occurrence with no closing quote (truncated page) is
+    dropped. Well-formed attribute quoting — which the twin certifies
+    on the oracle corpus — makes the two scans identical; a page whose
+    href VALUE itself contains ``href="`` diverges (documented, absurd
+    input).
+
+    Scale shape: zero shuffles, fully vectorized — one
+    ``split_pattern`` per batch, numpy masks for the per-doc first
+    segment, one anchored ``extract_regex`` over the flattened
+    segments; no per-row Python."""
+
+    def links(t: pa.Table) -> pa.Table:
+        col = t[html_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        segs = pc.split_pattern(col, 'href="')
+        L = pc.fill_null(pc.list_value_length(segs), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = segs.flatten()
+        n = len(t)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), L)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(L, out=starts[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[doc_of]
+        keep = pos >= 1
+        ids_t = t[id_col]
+        if isinstance(ids_t, pa.ChunkedArray):
+            ids_t = ids_t.combine_chunks()
+        if not keep.any():
+            return pa.table({id_col: pa.array([], ids_t.type),
+                             "link_no": pa.array([], pa.int64()),
+                             "href": pa.array([], pa.string())})
+        seg_kept = flat.filter(pa.array(keep))
+        dk = doc_of[keep]
+        ex = pc.extract_regex(seg_kept, '^(?P<h>[^"]*)"')
+        href = pc.struct_field(ex, "h")
+        valid = pc.is_valid(href).to_numpy(zero_copy_only=False)
+        dv = dk[valid]
+        href = href.filter(pa.array(valid))
+        # 1-based rank within each doc's valid links (docs contiguous)
+        first = np.r_[True, dv[1:] != dv[:-1]]
+        idx = np.arange(len(dv), dtype=np.int64)
+        link_no = idx - np.maximum.accumulate(
+            np.where(first, idx, 0)) + 1 if len(dv) else idx
+        return pa.table({id_col: ids_t.take(pa.array(dv)),
+                         "link_no": pa.array(link_no),
+                         "href": href})
+
+    return ds.map_batches(links, batch_format="pyarrow")

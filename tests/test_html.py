@@ -64,3 +64,19 @@ def test_dataset_stage_appends_columns():
     assert out["title"].tolist() == ["T1", ""]
     assert out["text_clean"].tolist() == ["one", "two"]
     assert "html" in out.columns
+
+
+def test_extract_links_golden():
+    from feature_extraction_ray.stages.curation import extract_links
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "html": ['<a href="u1">x</a> <link rel="s" href="u2"/>',
+                 "no links here",
+                 '<a class="c" href="">empty</a><a href="#top">t</a>',
+                 '<a href="truncated']}))
+    out = extract_links(ds).to_pandas()
+    rows = list(zip(out.doc_id, out.link_no, out.href))
+    # doc 2 has none; doc 4's unterminated href drops (no closing
+    # quote — the regexp_extract_all contract); empty hrefs kept
+    assert rows == [(1, 1, "u1"), (1, 2, "u2"),
+                    (3, 1, ""), (3, 2, "#top")]
