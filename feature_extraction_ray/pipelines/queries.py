@@ -7960,6 +7960,42 @@ FROM l
 """
 
 
+def weighted_sample_orders(sf_dir: str) -> Dataset:
+    """Deterministic weighted sampling without replacement
+    (stages/curation.weighted_sample, Efraimidis–Spirakis exponential
+    keys): 100 orders drawn ∝ o_totalprice under the shared (id, seed)
+    hash family — map-side per-block top-k prune, ONE final ranking
+    task. Both engines compute the identical IEEE key ln((h+1)/(2^32+1))
+    / w, so selection AND rank compare exactly (ints + bit-safe
+    pass-through weight in the output)."""
+    from ..stages.curation import weighted_sample
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return weighted_sample(orders, k=100, weight_col="o_totalprice",
+                           id_col="o_orderkey", seed=7)
+
+
+WEIGHTED_SAMPLE_ORDERS_SQL = """
+WITH h AS (
+  SELECT o_orderkey, o_totalprice,
+         ((o_orderkey % 1048576) * 2654435761::BIGINT
+          + 7 * 1315423911::BIGINT) % 4294967296 AS hv
+  FROM orders
+), kk AS (
+  SELECT o_orderkey, o_totalprice,
+         ln((hv + 1)::DOUBLE / 4294967297::DOUBLE) / o_totalprice
+           AS key
+  FROM h
+), r AS (
+  SELECT o_orderkey, o_totalprice,
+         row_number() OVER (ORDER BY key DESC, o_orderkey)
+           AS sample_rank
+  FROM kk
+)
+SELECT o_orderkey, o_totalprice, sample_rank
+FROM r WHERE sample_rank <= 100
+"""
+
+
 def kl_by_source(sf_dir: str) -> Dataset:
     """Per-source KL divergence of the unigram word distribution vs
     the corpus distribution (stages/text.group_kl_divergence): the
@@ -9332,6 +9368,8 @@ QUERIES = {
     # sufficient stats, one-expression doubles, round-6);
     # html_links_docs — crawl link-graph extraction
     # (regexp_extract_all twin, string-exact);
+    # weighted_sample_orders — Efraimidis–Spirakis weighted sampling
+    # without replacement (identical IEEE exponential keys, exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9584,6 +9622,7 @@ QUERIES = {
     "token_winnow_docs": token_winnow_docs,
     "kl_by_source": kl_by_source,
     "html_links_docs": html_links_docs,
+    "weighted_sample_orders": weighted_sample_orders,
 }
 
 ORACLE_SQL = {
@@ -9777,6 +9816,7 @@ ORACLE_SQL = {
     "token_winnow_docs": _token_winnow_sql(),
     "kl_by_source": KL_BY_SOURCE_SQL,
     "html_links_docs": HTML_LINKS_SQL,
+    "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

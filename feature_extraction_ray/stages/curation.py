@@ -2000,3 +2000,64 @@ def extract_links(ds: Dataset, html_col: str = "html",
                          "href": href})
 
     return ds.map_batches(links, batch_format="pyarrow")
+
+
+def weighted_sample(ds: Dataset, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 7) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential-key top-k): row ``i`` gets key
+    ``ln(u_i) / w_i`` with ``u_i ∈ (0,1)`` derived from the shared
+    overflow-safe (id, seed) hash family, and the ``k`` largest keys
+    are the sample — exactly equivalent to sequential
+    probability-proportional-to-weight draws without replacement, but
+    embarrassingly parallel and reproducible under any partitioning
+    (the resumable-training-data requirement; a new ``seed`` gives an
+    independent sample of the same corpus). Emits the selected rows
+    with ``sample_rank`` (1 = first draw).
+
+    SQL-parity contract: ``u = (h+1)/(2^32+1)`` and ``key = ln(u)/w``
+    are each ONE fixed IEEE expression over exact integers and the
+    raw weight, so both engines order identically bit-for-bit (id
+    tie-break for the measure-zero equal-key case). Weights must be
+    strictly positive — zero/negative/null raise loudly.
+
+    Scale shape: keys map-side; every block pre-prunes to its own
+    top-``k`` (vectorized argpartition, no sort of the full block),
+    so at most ``blocks × k`` rows reach the ONE final ranking task.
+    ``k`` is bounded by contract (a sample that doesn't fit one task
+    isn't a sample)."""
+    from .window import bucketed_apply
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kk = int(k)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(w) and (not np.all(np.isfinite(w)) or (w <= 0).any()):
+            raise ValueError("weighted_sample: weights must be "
+                             "strictly positive and finite")
+        u = ids.astype(np.uint64)
+        h = ((u % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        uni = (h + np.uint64(1)).astype(np.float64) / 4294967297.0
+        key = np.log(uni) / w
+        t = t.append_column("__wsk", pa.array(key))
+        if len(t) > kk:
+            part = np.argpartition(key, len(key) - kk)[len(key) - kk:]
+            t = t.take(pa.array(np.sort(part)))
+        return t.append_column("__one", pa.array(
+            np.zeros(len(t), dtype=np.int64)))
+
+    def final(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            ("__wsk", "descending"), (id_col, "ascending")])
+        tbl = tbl.take(idx[:kk])
+        tbl = tbl.append_column(
+            "sample_rank", pa.array(np.arange(1, len(tbl) + 1)))
+        return tbl.drop_columns(["__wsk", "__one"])
+
+    pruned = ds.map_batches(add_key, batch_format="pyarrow")
+    return bucketed_apply(pruned, "__one", final, num_buckets=1)
