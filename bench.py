@@ -346,6 +346,23 @@ def run_bench() -> dict:
 
         per_query[f"web_curate_x{amp}"] = _best_of(_web_run)
 
+        # HTML ingest over the amplified corpus: page build → WET text
+        # extraction (RE2 chain) + link-graph extraction, both
+        # zero-shuffle map passes — the raw-crawl front door
+        from feature_extraction_ray.pipelines.queries import _build_html
+        from feature_extraction_ray.stages.curation import (
+            extract_html_text, extract_links)
+
+        def _html_run():
+            pages = amplified_documents(SF_DIR, amp) \
+                .select_columns(["doc_id", "source", "text"]) \
+                .map_batches(_build_html, batch_format="pyarrow")
+            n = extract_html_text(pages).count()
+            extract_links(pages).count()
+            return n
+
+        per_query[f"html_ingest_x{amp}"] = _best_of(_html_run)
+
         # token-objective augmentation sweep over the amplified token
         # corpus (zero-shuffle map passes: MLM mask + T5 span corrupt +
         # FIM reorder chained on the same stream)
