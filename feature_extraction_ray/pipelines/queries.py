@@ -7996,6 +7996,27 @@ FROM r WHERE sample_rank <= 100
 """
 
 
+def ipc_roundtrip_docs(sf_dir: str) -> Dataset:
+    """Arrow IPC (Feather V2) sink → source roundtrip
+    (sources/writers.write_arrow_ipc / read_arrow_ipc): the documents
+    table writes one zstd-compressed ``.arrow`` file per block inside
+    Ray tasks and parses back file-per-task. The oracle reads the
+    SAME parquet directly — the string-exact match certifies the IPC
+    cycle byte-preserves every column."""
+    import tempfile
+    from ..sources.writers import read_arrow_ipc, write_arrow_ipc
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="fx_ipc_")
+    write_arrow_ipc(docs, d, compression="zstd")
+    return read_arrow_ipc(d)
+
+
+IPC_ROUNDTRIP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def kl_by_source(sf_dir: str) -> Dataset:
     """Per-source KL divergence of the unigram word distribution vs
     the corpus distribution (stages/text.group_kl_divergence): the
@@ -9370,6 +9391,8 @@ QUERIES = {
     # (regexp_extract_all twin, string-exact);
     # weighted_sample_orders — Efraimidis–Spirakis weighted sampling
     # without replacement (identical IEEE exponential keys, exact);
+    # ipc_roundtrip_docs — Arrow IPC (Feather V2) sink/source
+    # roundtrip (zstd; oracle reads the same parquet, string-exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9623,6 +9646,7 @@ QUERIES = {
     "kl_by_source": kl_by_source,
     "html_links_docs": html_links_docs,
     "weighted_sample_orders": weighted_sample_orders,
+    "ipc_roundtrip_docs": ipc_roundtrip_docs,
 }
 
 ORACLE_SQL = {
@@ -9817,6 +9841,7 @@ ORACLE_SQL = {
     "kl_by_source": KL_BY_SOURCE_SQL,
     "html_links_docs": HTML_LINKS_SQL,
     "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
+    "ipc_roundtrip_docs": IPC_ROUNDTRIP_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],

@@ -78,3 +78,26 @@ def test_empty_blocks_skipped():
     names = write_warc(ds, d)
     assert names == []
     assert os.listdir(d) == []
+
+
+def test_arrow_ipc_roundtrip_preserves_list_columns():
+    # IPC must byte-preserve nested columns (the rd.from_pandas
+    # tensor-extension hazard never applies: everything stays Arrow)
+    import numpy as np
+
+    from feature_extraction_ray.sources.writers import (
+        read_arrow_ipc, write_arrow_ipc)
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "vector": pa.array([[1.5, -2.0], [0.0, 3.25], [7.0, 8.0]],
+                           pa.list_(pa.float32())),
+        "tokens": pa.array([[1, 2], [], [5]], pa.list_(pa.int32())),
+        "label": ["a", "b", "c"]})
+    d = tempfile.mkdtemp(prefix="ipc_t_")
+    names = write_arrow_ipc(rd.from_arrow(t), d, compression="lz4")
+    assert names and all(n.endswith(".arrow") for n in names)
+    got = read_arrow_ipc(d).to_pandas().sort_values("vec_id")
+    assert got["label"].tolist() == ["a", "b", "c"]
+    assert [list(v) for v in got["vector"]] == \
+        [[1.5, -2.0], [0.0, 3.25], [7.0, 8.0]]
+    assert [list(v) for v in got["tokens"]] == [[1, 2], [], [5]]
