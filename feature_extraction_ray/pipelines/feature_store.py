@@ -63,7 +63,8 @@ def point_in_time_enrich(facts: Dataset, entity_col: str, ts_col: str,
     history has no admissible row). Chained joins preserve earlier
     specs' outputs, so value-column names must be distinct across
     specs (validated loudly)."""
-    seen: set[str] = set(facts.schema().names)
+    sch = facts.schema()
+    seen: set[str] = set(sch.names) if sch is not None else set()
     out = facts
     for i, sp in enumerate(specs):
         dup = [c for c in sp.value_cols if c in seen]

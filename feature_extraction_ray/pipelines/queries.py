@@ -8017,6 +8017,55 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def feature_store_events(sf_dir: str) -> Dataset:
+    """Multi-table feature-store lookup
+    (pipelines/feature_store.point_in_time_enrich): every event
+    enriched AS OF its timestamp from TWO feature histories — the
+    customer's latest order price (broadcast plan, exact matches
+    allowed) and the user's PREVIOUS event value (partitioned plan,
+    strictly earlier — the zero-leakage cutoff). One chained pipeline,
+    mixed join plans, k histories ≤ k exchanges; DuckDB chained
+    ASOF-join twin, pass-through values bit-safe."""
+    from ray.data.aggregate import Max
+    from ..pipelines.feature_store import (FeatureSpec,
+                                           point_in_time_enrich)
+    events = _read(sf_dir, "events",
+                   ["event_id", "user_id", "ts", "value"])
+    orders_h = _read(sf_dir, "orders",
+                     ["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .groupby(["o_custkey", "o_orderdate"]) \
+        .aggregate(Max("o_totalprice", alias_name="order_price"))
+    events_h = _read(sf_dir, "events", ["user_id", "ts", "value"]) \
+        .groupby(["user_id", "ts"]) \
+        .aggregate(Max("value", alias_name="prev_value"))
+    out = point_in_time_enrich(
+        events, "user_id", "ts",
+        [FeatureSpec(orders_h, "o_custkey", "o_orderdate",
+                     ["order_price"], broadcast=True),
+         FeatureSpec(events_h, "user_id", "ts", ["prev_value"],
+                     allow_exact_matches=False, num_buckets=32)])
+    return out.select_columns(
+        ["event_id", "user_id", "ts", "value", "order_price",
+         "prev_value"])
+
+
+FEATURE_STORE_EVENTS_SQL = """
+WITH r1 AS (
+  SELECT o_custkey, o_orderdate, max(o_totalprice) AS order_price
+  FROM orders GROUP BY 1, 2
+), r2 AS (
+  SELECT user_id, ts, max(value) AS prev_value
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts, e.value,
+       r1.order_price, r2.prev_value
+FROM events e
+ASOF LEFT JOIN r1 ON e.user_id = r1.o_custkey
+                 AND e.ts >= r1.o_orderdate
+ASOF LEFT JOIN r2 ON e.user_id = r2.user_id AND e.ts > r2.ts
+"""
+
+
 def kl_by_source(sf_dir: str) -> Dataset:
     """Per-source KL divergence of the unigram word distribution vs
     the corpus distribution (stages/text.group_kl_divergence): the
@@ -9393,6 +9442,8 @@ QUERIES = {
     # without replacement (identical IEEE exponential keys, exact);
     # ipc_roundtrip_docs — Arrow IPC (Feather V2) sink/source
     # roundtrip (zstd; oracle reads the same parquet, string-exact);
+    # feature_store_events — multi-history point-in-time enrichment
+    # (chained ASOF twin, mixed broadcast/partitioned plans, exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
     # (byte-trigram postings + doc store, contains() twin, exact).
     # token_minhash_dedup_docs
@@ -9647,6 +9698,7 @@ QUERIES = {
     "html_links_docs": html_links_docs,
     "weighted_sample_orders": weighted_sample_orders,
     "ipc_roundtrip_docs": ipc_roundtrip_docs,
+    "feature_store_events": feature_store_events,
 }
 
 ORACLE_SQL = {
@@ -9842,6 +9894,7 @@ ORACLE_SQL = {
     "html_links_docs": HTML_LINKS_SQL,
     "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
     "ipc_roundtrip_docs": IPC_ROUNDTRIP_SQL,
+    "feature_store_events": FEATURE_STORE_EVENTS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,
     "token_fill_arrays": _TOKEN_ORACLE_SQLS["token_fill_arrays"],
     "token_profile_docs": _TOKEN_ORACLE_SQLS["token_profile_docs"],
