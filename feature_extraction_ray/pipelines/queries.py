@@ -9320,6 +9320,42 @@ FROM t2 k LEFT JOIN clean c USING (doc_id)
 _TOKEN_ORACLE_SQLS = _build_token_oracle_sqls()
 
 
+def token_kn_pairs_docs(sf_dir: str) -> Dataset:
+    """Interpolated Kneser–Ney bigram LM over the F1 token fixture
+    (stages/tokengrams.fit_token_kn_bigram / token_kn_pairs): one row
+    per consecutive token pair with the exact integer sufficient
+    statistics (pair count c, context total cv, distinct-successor
+    N1+(v·), distinct-predecessor N1+(·w)) and p_kn as ONE fixed IEEE
+    expression over them — the SQL twin derives the identical counts
+    from the raw corpus (self-join positional unnest) and compares
+    p_kn STRICTLY with no rounding."""
+    from ..stages.tokengrams import token_kn_pairs
+    tok, _ = _token_fixture()
+    return token_kn_pairs(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])))
+
+
+def _token_kn_pairs_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT AS tk,
+             generate_subscripts(tokens, 1)::BIGINT AS pos FROM tok),
+pr AS (SELECT a.doc_id, a.pos, a.tk AS w1, b.tk AS w2
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c AS (SELECT w1, w2, count(*)::BIGINT AS c FROM pr GROUP BY 1, 2),
+cv AS (SELECT w1, sum(c)::BIGINT AS cv, count(*)::BIGINT AS n1v
+       FROM c GROUP BY 1),
+cw AS (SELECT w2, count(*)::BIGINT AS n1w FROM c GROUP BY 1),
+nn AS (SELECT count(*)::BIGINT AS n1pp FROM c)
+SELECT pr.doc_id, pr.pos, pr.w1, pr.w2, c.c, cv.cv, cv.n1v, cw.n1w,
+       ((c.c - 0.75) / cv.cv)
+         + ((0.75 * cv.n1v) / cv.cv) * (cw.n1w / nn.n1pp) AS p_kn
+FROM pr
+JOIN c USING (w1, w2) JOIN cv USING (w1) JOIN cw USING (w2), nn
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9445,7 +9481,10 @@ QUERIES = {
     # feature_store_events — multi-history point-in-time enrichment
     # (chained ASOF twin, mixed broadcast/partitioned plans, exact);
     # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
-    # (byte-trigram postings + doc store, contains() twin, exact).
+    # (byte-trigram postings + doc store, contains() twin, exact);
+    # token_kn_pairs_docs — interpolated Kneser–Ney bigram LM
+    # (exact-int sufficient stats from a self-join positional-unnest
+    # twin, strict one-expression p_kn).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9699,9 +9738,11 @@ QUERIES = {
     "weighted_sample_orders": weighted_sample_orders,
     "ipc_roundtrip_docs": ipc_roundtrip_docs,
     "feature_store_events": feature_store_events,
+    "token_kn_pairs_docs": token_kn_pairs_docs,
 }
 
 ORACLE_SQL = {
+    "token_kn_pairs_docs": _token_kn_pairs_sql(),
     "q1_pricing_summary": Q1_SQL,
     "filter_high_value_orders": FILTER_HIGH_SQL,
     "topk_orders": TOPK_SQL,

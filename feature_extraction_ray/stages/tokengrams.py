@@ -1667,3 +1667,172 @@ def winnow_fingerprints(ds: Dataset, tokens_col: str = "tokens",
             "pos": pa.array(pos), "fp": pa.array(mk // _POS_CAP)})
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# interpolated Kneser–Ney bigram LM
+# ---------------------------------------------------------------------------
+
+def fit_token_kn_bigram(ds: Dataset, tokens_col: str = "tokens",
+                        discount: float = 0.75) -> dict:
+    """Interpolated Kneser–Ney bigram LM (Kneser & Ney 1995; the
+    Chen & Goodman 1999 interpolated formulation — public recipe) fit
+    natively on the ``list<int32>`` payload: the SAME one-exchange
+    packed-pair count plan as :func:`fit_token_bigram_lm` supplies
+    ``c(v,w)`` and ``c(v·)``; the continuation statistics ``N1+(v·)``
+    (distinct successors of ``v``), ``N1+(·w)`` (distinct predecessors
+    of ``w``) and ``N1+(··)`` (distinct bigram types) derive on the
+    driver from the pair table — every count an exact int64.
+
+        p_kn(w|v) = (c(v,w) − d)/c(v·)                  [seen pair]
+                  + ((d·N1+(v·))/c(v·)) · (N1+(·w)/N1+(··))
+
+    and Σ_w p_kn(w|v) == 1 exactly over the full vocabulary (the
+    discounted mass d·N1+(v·) is redistributed by the continuation
+    distribution — pinned by a property test). The pair table must fit
+    the driver (vocab²-bounded in principle, corpus-pair-bounded in
+    practice — the same contract as :func:`fit_token_bigram_lm`)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, _ = _packed_pairs_of_batch(t[tokens_col])
+        if len(keys) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()
+    pk = counts["key"].to_numpy(dtype=np.int64)
+    pn = counts["cnt"].to_numpy(dtype=np.int64)
+    order = np.argsort(pk)
+    pk, pn = pk[order], pn[order]
+    v = pk >> np.int64(32)
+    w = pk & np.int64((1 << 32) - 1)
+    # contexts: pk is sorted, so v is sorted — run-length reduce
+    ctx_ids, ctx_start = np.unique(v, return_index=True)
+    ctx_cnt = np.add.reduceat(pn, ctx_start) if len(pn) else \
+        np.zeros(0, dtype=np.int64)
+    ctx_n1 = np.diff(np.r_[ctx_start, len(pk)]) if len(pk) else \
+        np.zeros(0, dtype=np.int64)
+    cont_ids, cont_n1 = np.unique(w, return_counts=True)
+    return {"pair_keys": pk, "pair_cnt": pn,
+            "ctx_ids": ctx_ids, "ctx_cnt": ctx_cnt.astype(np.int64),
+            "ctx_n1": ctx_n1.astype(np.int64),
+            "cont_ids": cont_ids, "cont_n1": cont_n1.astype(np.int64),
+            "n1pp": int(len(pk)), "discount": float(discount)}
+
+
+class _TokenKNScorer:
+    """Per-worker kernel: broadcast KN model; one searchsorted per
+    lookup table over the batch's packed flat pair buffer. Emits either
+    per-pair rows (exact integer counts + the single-expression
+    ``p_kn``) or per-doc surprisal aggregates."""
+
+    def __init__(self, lm_ref, tokens_col: str, id_col: str,
+                 per_pair: bool):
+        lm = broadcast_get(lm_ref)
+        self.lm = lm
+        self.tokens_col = tokens_col
+        self.id_col = id_col
+        self.per_pair = per_pair
+
+    def _lookup(self, ids, table_ids, table_vals):
+        out = np.zeros(len(ids), dtype=np.int64)
+        if len(table_ids) and len(ids):
+            idx = np.searchsorted(table_ids, ids)
+            idx[idx == len(table_ids)] = 0
+            hit = table_ids[idx] == ids
+            out = np.where(hit, table_vals[idx], 0)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lm = self.lm
+        d = lm["discount"]
+        keys, m = _packed_pairs_of_batch(batch[self.tokens_col])
+        v = keys >> np.int64(32)
+        w = keys & np.int64((1 << 32) - 1)
+        c = self._lookup(keys, lm["pair_keys"], lm["pair_cnt"])
+        cv = self._lookup(v, lm["ctx_ids"], lm["ctx_cnt"])
+        n1v = self._lookup(v, lm["ctx_ids"], lm["ctx_n1"])
+        n1w = self._lookup(w, lm["cont_ids"], lm["cont_n1"])
+        n1pp = lm["n1pp"]
+        cvf = cv.astype(np.float64)
+        pcont = n1w.astype(np.float64) / np.float64(max(n1pp, 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t1 = np.maximum(c.astype(np.float64) - d, 0.0) / cvf
+            p = t1 + ((d * n1v.astype(np.float64)) / cvf) * pcont
+        # unseen context → the continuation distribution alone; a token
+        # never seen as a continuation floors at 1/(N1+(··)+1)
+        p = np.where(cv > 0, p, pcont)
+        p = np.where(p > 0.0, p, 1.0 / np.float64(n1pp + 1))
+        nz = m > 0
+        if self.per_pair:
+            doc_of = np.repeat(np.arange(len(m), dtype=np.int64), m)
+            pos = np.arange(int(m.sum()), dtype=np.int64) \
+                - np.repeat(np.cumsum(m) - m, m) + 1
+            ids = batch[self.id_col]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            return pa.table({
+                self.id_col: ids.take(pa.array(doc_of)),
+                "pos": pa.array(pos),
+                "w1": pa.array(v), "w2": pa.array(w),
+                "c": pa.array(c), "cv": pa.array(cv),
+                "n1v": pa.array(n1v), "n1w": pa.array(n1w),
+                "p_kn": pa.array(p)})
+        starts = np.zeros(len(m) + 1, dtype=np.int64)
+        np.cumsum(m, out=starts[1:])
+        sums = np.zeros(len(m), dtype=np.float64)
+        if nz.any():
+            sums[nz] = np.add.reduceat(-np.log(p), starts[:-1][nz])
+        out = batch.filter(pa.array(nz))
+        out = out.append_column("n_pairs",
+                                pa.array(m[nz], type=pa.int64()))
+        return out.append_column("sum_neglogp", pa.array(sums[nz]))
+
+
+def token_kn_pairs(ds: Dataset, lm: dict | None = None,
+                   tokens_col: str = "tokens",
+                   id_col: str = "doc_id",
+                   discount: float = 0.75) -> Dataset:
+    """Per-bigram-position Kneser–Ney table: one row per consecutive
+    token pair with the exact integer sufficient statistics
+    ``(c, cv, n1v, n1w)`` and ``p_kn`` as ONE fixed IEEE expression over
+    them — the oracle-facing projection of :func:`fit_token_kn_bigram`
+    (a SQL twin derives the identical counts from the raw corpus and
+    compares ``p_kn`` STRICTLY). ``pos`` is the 1-based index of the
+    pair's first token. Zero shuffles after the fit."""
+    if lm is None:
+        lm = fit_token_kn_bigram(ds, tokens_col, discount)
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_TokenKNScorer, ref, tokens_col, id_col,
+                             True)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def token_kn_surprisal(ds: Dataset, lm: dict | None = None,
+                       tokens_col: str = "tokens",
+                       discount: float = 0.75) -> Dataset:
+    """Fit (if no ``lm``) + score: per-doc ``(…, n_pairs,
+    sum_neglogp)`` under the interpolated Kneser–Ney bigram LM — the
+    smoothing-aware perplexity filter (CCNet-style quality bucketing
+    without a pretrained model). Docs with fewer than two tokens are
+    dropped (no bigram). Float sums reduce in-doc order; oracle
+    comparisons go through :func:`token_kn_pairs` (strict) rather than
+    the per-doc ln sums."""
+    if lm is None:
+        lm = fit_token_kn_bigram(ds, tokens_col, discount)
+    ref = ray.put(lm)
+
+    def score(batch: pa.Table) -> pa.Table:
+        return cached_kernel(_TokenKNScorer, ref, tokens_col, "",
+                             False)(batch)
+
+    return ds.map_batches(score, batch_format="pyarrow")
