@@ -9356,6 +9356,95 @@ JOIN c USING (w1, w2) JOIN cv USING (w1) JOIN cw USING (w2), nn
 """
 
 
+def _cosine_microunit_scored(sf_dir: str) -> Dataset:
+    """Shared scored-dataset builder for the eval-metric oracles: every
+    embedding scored by micro-unit cosine to the vec_id-0 query
+    (DuckDB-exact rounding) with label-match as the binary target —
+    the identical construction as calibration_embeddings."""
+    import pyarrow.parquet as _pq
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"]) \
+        .slice(0, 1)
+    qv = np.array(head["embedding"].to_pylist(), dtype=np.float64)[0]
+    qlab = head["label"][0].as_py()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        micro = _round_arr(c * 1000000.0, 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(micro),
+                         "lab": pa.array((lab == qlab)
+                                         .astype(np.int64))})
+
+    return emb.map_batches(score, batch_format="pyarrow")
+
+
+_CS_MICROUNIT_CTE = """
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+       FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT round(list_cosine_similarity(
+                 qv.qe, CAST(e.embedding AS DOUBLE[])) * 1000000,
+             0)::BIGINT AS s,
+             CASE WHEN e.label = qv.qlab THEN 1 ELSE 0 END AS lab
+      FROM qv CROSS JOIN embeddings e),
+g AS (SELECT s, count(*)::BIGINT AS n, sum(lab)::BIGINT AS p
+      FROM cs GROUP BY s)"""
+
+
+def auc_embeddings(sf_dir: str) -> Dataset:
+    """Exact ROC-AUC (stages/evalmetrics.binary_auc — tie-corrected
+    Mann–Whitney rank-sum): does cosine similarity to the vec_id-0
+    query rank same-label embeddings above the rest? Scores are the
+    micro-unit cosines (integer-exact), so r2_pos (twice the positives'
+    average-rank sum) is an exact int64 and auc is ONE fixed IEEE
+    expression — the SQL window twin compares STRICTLY."""
+    from ..stages.evalmetrics import binary_auc
+    return binary_auc(_cosine_microunit_scored(sf_dir), "s", "lab")
+
+
+AUC_EMBEDDINGS_SQL = f"""
+WITH {_CS_MICROUNIT_CTE},
+w AS (SELECT s, n, p, (sum(n) OVER (ORDER BY s))::BIGINT - n AS cb
+      FROM g),
+a AS (SELECT sum(p)::BIGINT AS n_pos, sum(n - p)::BIGINT AS n_neg,
+             sum(p * (2 * cb + n + 1))::BIGINT AS r2_pos FROM w)
+SELECT n_pos, n_neg, r2_pos,
+       (r2_pos - n_pos * (n_pos + 1))
+         / (2.0 * n_pos * n_neg) AS auc
+FROM a
+"""
+
+
+def roc_points_embeddings(sf_dir: str) -> Dataset:
+    """Exact ROC curve (stages/evalmetrics.roc_points): one row per
+    distinct micro-unit cosine threshold with cumulative tp/fp exact
+    int64 and tpr/fpr as single divisions — strict against a window
+    twin."""
+    from ..stages.evalmetrics import roc_points
+    return roc_points(_cosine_microunit_scored(sf_dir), "s", "lab")
+
+
+ROC_POINTS_SQL = f"""
+WITH {_CS_MICROUNIT_CTE},
+t AS (SELECT sum(p)::BIGINT AS np_, sum(n - p)::BIGINT AS nn_ FROM g),
+w AS (SELECT s, n, p,
+             (sum(p) OVER (ORDER BY s DESC))::BIGINT AS tp,
+             (sum(n - p) OVER (ORDER BY s DESC))::BIGINT AS fp
+      FROM g)
+SELECT w.s AS score, w.n, w.p AS pos, w.tp, w.fp,
+       w.tp / (1.0 * t.np_) AS tpr, w.fp / (1.0 * t.nn_) AS fpr
+FROM w, t
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9484,7 +9573,10 @@ QUERIES = {
     # (byte-trigram postings + doc store, contains() twin, exact);
     # token_kn_pairs_docs — interpolated Kneser–Ney bigram LM
     # (exact-int sufficient stats from a self-join positional-unnest
-    # twin, strict one-expression p_kn).
+    # twin, strict one-expression p_kn);
+    # auc_embeddings / roc_points_embeddings — exact tie-corrected
+    # rank-sum AUC + ROC curve over micro-unit cosine scores (window
+    # twins, strict).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9739,10 +9831,14 @@ QUERIES = {
     "ipc_roundtrip_docs": ipc_roundtrip_docs,
     "feature_store_events": feature_store_events,
     "token_kn_pairs_docs": token_kn_pairs_docs,
+    "auc_embeddings": auc_embeddings,
+    "roc_points_embeddings": roc_points_embeddings,
 }
 
 ORACLE_SQL = {
     "token_kn_pairs_docs": _token_kn_pairs_sql(),
+    "auc_embeddings": AUC_EMBEDDINGS_SQL,
+    "roc_points_embeddings": ROC_POINTS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "filter_high_value_orders": FILTER_HIGH_SQL,
     "topk_orders": TOPK_SQL,

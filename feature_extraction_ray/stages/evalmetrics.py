@@ -1,0 +1,118 @@
+"""Exact binary-classification evaluation metrics.
+
+The model-eval rung of the feature/training pipeline: once a scoring
+stage (`inference.py` linear probe, a quality classifier, a retrieval
+ranker) has attached scores, these ops grade them against labels —
+EXACTLY. Scores must be INTEGER units (the caller quantizes — e.g. the
+micro-unit cosine convention of ``sketches.calibration_bins``), so
+every sufficient statistic is an exact int64 and each reported float is
+ONE fixed IEEE expression over exact ints; SQL twins compare STRICTLY
+with no tolerance.
+
+AUC is the tie-corrected Mann–Whitney rank-sum: with ``R`` the sum of
+average ranks of the positives (ties share the average rank of their
+run — exact in HALVES, so we carry ``r2 = 2·R`` as an int64),
+
+    AUC = (r2 − n_pos·(n_pos+1)) / (2·n_pos·n_neg).
+
+Scale shape: per-block distinct-score partials (``np.unique`` — block
+rows collapse to the block's distinct scores) ride ONE
+``groupby(score)`` exchange; the finish walks the DISTINCT-SCORE table
+only, which is span-bounded for quantized scores (micro-units: ≤ 2e6+1
+rows) — the labeled data itself never lands on the driver. Exactness
+bound: ``n · n_pos < 2^62`` (rank sums are int64) — beyond that,
+pre-aggregate per stratum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def _score_label_table(ds: Dataset, score_col: str,
+                       label_col: str) -> pa.Table:
+    """ONE exchange: distinct score → (n, pos) exact int64. Labels must
+    be 0/1-valued, scores integer-valued (loud rejects)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        lab = t[label_col].to_numpy(zero_copy_only=False)
+        si = s.astype(np.int64)
+        li = lab.astype(np.int64)
+        if not np.array_equal(si.astype(s.dtype), s):
+            raise ValueError(f"{score_col} must be integer-valued")
+        if not np.isin(li, (0, 1)).all():
+            raise ValueError(f"{label_col} must be 0/1")
+        u, inv, cnt = np.unique(si, return_inverse=True,
+                                return_counts=True)
+        p = np.zeros(len(u), dtype=np.int64)
+        np.add.at(p, inv, li)
+        return pa.table({"s": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "p": pa.array(p)})
+
+    g = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("s").aggregate(Sum("n", alias_name="n"),
+                                Sum("p", alias_name="p"))
+    t = pa.Table.from_pandas(g.to_pandas(), preserve_index=False)
+    if len(t) == 0 or "s" not in t.column_names:
+        z = pa.array([], type=pa.int64())
+        return pa.table({"s": z, "n": z, "p": z})
+    return t.sort_by("s")
+
+
+def binary_auc(ds: Dataset, score_col: str, label_col: str) -> Dataset:
+    """Exact ROC-AUC (tie-corrected rank-sum). One row:
+    ``n_pos, n_neg, r2_pos`` (exact int64 — ``r2_pos`` is twice the sum
+    of the positives' average ranks) and
+    ``auc = (r2_pos − n_pos·(n_pos+1)) / (2.0·n_pos·n_neg)`` as ONE
+    fixed expression (null when either class is empty)."""
+    t = _score_label_table(ds, score_col, label_col)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cb = np.cumsum(n) - n            # rows strictly below each score
+    r2 = int((p * (2 * cb + n + 1)).sum())
+    n_pos = int(p.sum())
+    n_neg = int((n - p).sum())
+    if n_pos and n_neg:
+        auc = np.float64(r2 - n_pos * (n_pos + 1)) \
+            / (2.0 * np.float64(n_pos) * np.float64(n_neg))
+        auc_arr = pa.array([auc], type=pa.float64())
+    else:
+        auc_arr = pa.array([None], type=pa.float64())
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], type=pa.int64()),
+        "n_neg": pa.array([n_neg], type=pa.int64()),
+        "r2_pos": pa.array([r2], type=pa.int64()),
+        "auc": auc_arr}))
+
+
+def roc_points(ds: Dataset, score_col: str, label_col: str) -> Dataset:
+    """Exact ROC curve: one row per DISTINCT score (the threshold
+    "predict positive when score ≥ s") with cumulative ``tp``/``fp``
+    (exact int64) and ``tpr = tp / (1.0·n_pos)``, ``fpr = fp /
+    (1.0·n_neg)`` as single divisions. Walking (fpr, tpr) score-
+    descending traces the curve; the trapezoid area equals
+    :func:`binary_auc` (pinned by a property test)."""
+    t = _score_label_table(ds, score_col, label_col)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # t is score-ascending; cumulate from the top (score descending)
+    tp = np.cumsum(p[::-1])[::-1]
+    fp = np.cumsum((n - p)[::-1])[::-1]
+    n_pos = int(p.sum())
+    n_neg = int((n - p).sum())
+    tpr = tp.astype(np.float64) / (1.0 * np.float64(n_pos)) \
+        if n_pos else np.full(len(n), np.nan)
+    fpr = fp.astype(np.float64) / (1.0 * np.float64(n_neg)) \
+        if n_neg else np.full(len(n), np.nan)
+    return rd.from_arrow(pa.table({
+        "score": t["s"], "n": pa.array(n), "pos": pa.array(p),
+        "tp": pa.array(tp), "fp": pa.array(fp),
+        "tpr": pa.array(tpr, from_pandas=True),
+        "fpr": pa.array(fpr, from_pandas=True)}))
