@@ -9445,6 +9445,55 @@ FROM w, t
 """
 
 
+def oof_target_encoded_lineitems(sf_dir: str) -> Dataset:
+    """Out-of-fold K-fold target encoding
+    (stages/groupstats.target_encode_oof, k=5, m=10): each lineitem's
+    l_partkey encoded by the other FOLDS' mean l_quantity shrunk toward
+    the global prior — the cross-validation-safe encoder; fold from the
+    shared overflow-safe hash over did = l_orderkey·8 + l_linenumber.
+    Exact-int statistics inside ONE bucketed exchange; te is one fixed
+    IEEE expression → the SQL twin compares STRICTLY."""
+    from ..stages.groupstats import target_encode_oof
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        did = (t["l_orderkey"].to_numpy(zero_copy_only=False)
+               .astype(np.int64) * 8
+               + t["l_linenumber"].to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        return t.append_column("did", pa.array(did))
+
+    out = target_encode_oof(li.map_batches(derive,
+                                           batch_format="pyarrow"),
+                            "l_partkey", "l_quantity", "did",
+                            k=5, m=10.0, seed=1, num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "l_partkey",
+                            "l_quantity", "fold", "te"]),
+        batch_format="pyarrow")
+
+
+OOF_TARGET_ENCODED_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+         ((((l_orderkey * 8 + l_linenumber) % 1048576) * 2654435761
+           + 1 * 1315423911) % 4294967296) % 5 AS fold
+  FROM lineitem
+),
+s AS (SELECT l_partkey, fold, sum(l_quantity)::BIGINT AS sf,
+             count(*)::BIGINT AS nf
+      FROM l GROUP BY 1, 2),
+kk AS (SELECT l_partkey, sum(sf)::BIGINT AS s, sum(nf)::BIGINT AS n
+       FROM s GROUP BY 1),
+p AS (SELECT sum(l_quantity)::DOUBLE / count(*) AS prior FROM lineitem)
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, l.l_quantity, l.fold,
+       ((kk.s - s.sf) + 10.0 * p.prior)
+         / ((kk.n - s.nf) + 10.0) AS te
+FROM l JOIN s USING (l_partkey, fold) JOIN kk USING (l_partkey), p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9576,7 +9625,9 @@ QUERIES = {
     # twin, strict one-expression p_kn);
     # auc_embeddings / roc_points_embeddings — exact tie-corrected
     # rank-sum AUC + ROC curve over micro-unit cosine scores (window
-    # twins, strict).
+    # twins, strict);
+    # oof_target_encoded_lineitems — out-of-fold K-fold target
+    # encoding (hash folds, exact-int stats, strict one-expression te).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9833,9 +9884,11 @@ QUERIES = {
     "token_kn_pairs_docs": token_kn_pairs_docs,
     "auc_embeddings": auc_embeddings,
     "roc_points_embeddings": roc_points_embeddings,
+    "oof_target_encoded_lineitems": oof_target_encoded_lineitems,
 }
 
 ORACLE_SQL = {
+    "oof_target_encoded_lineitems": OOF_TARGET_ENCODED_SQL,
     "token_kn_pairs_docs": _token_kn_pairs_sql(),
     "auc_embeddings": AUC_EMBEDDINGS_SQL,
     "roc_points_embeddings": ROC_POINTS_SQL,

@@ -1658,3 +1658,90 @@ def target_encode_m_estimate(ds: Dataset, key_col: str, target_col: str,
             "te", pa.array(te, mask=np.isnan(te)))
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def target_encode_oof(ds: Dataset, key_col: str, target_col: str,
+                      id_col: str, k: int = 5, m: float = 0.0,
+                      seed: int = 1,
+                      num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Out-of-fold K-fold target encoding — the cross-validation-safe
+    sibling of :func:`target_encode_m_estimate`: rows are assigned a
+    deterministic fold by the shared overflow-safe hash family
+    (``fold = ((id % 2²⁰)·2654435761 + seed·1315423911) mod 2³² mod k``
+    — every term < 2⁶³, so a BIGINT SQL twin reproduces folds
+    bit-for-bit) and each row is encoded by its key's statistics
+    EXCLUDING its own fold:
+
+        ``te = ((Σ_key − Σ_{key,fold}) + m·prior)
+               / ((n_key − n_{key,fold}) + m)``
+
+    (the standard leakage guard: a row's own fold never contributes to
+    its encoding — stronger than plain LOO when the same entity repeats
+    within a fold). Null when the key has no out-of-fold rows and
+    ``m == 0``. The target must be INTEGER-VALUED (loud reject), so all
+    sufficient statistics are exact int64 and ``te`` is ONE fixed IEEE
+    expression — SQL twins compare STRICTLY. ``id_col`` must be an
+    integer column (derive one upstream for string ids).
+
+    Scale shape: ONE ``bucketed_apply`` exchange on the key — the
+    (key, fold) stats live only inside their bucket task (k·nd ints),
+    never globally; the global prior is two driver ints from a tiny
+    pre-aggregate. Appends ``fold`` and ``te``."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from .window import bucketed_apply
+
+    def _vi(t: pa.Table) -> np.ndarray:
+        v = t[target_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi.astype(v.dtype), v):
+            raise ValueError(f"{target_col} must be integer-valued "
+                             "for exact OOF encoding")
+        return vi
+
+    def pri(t: pa.Table) -> pa.Table:
+        vi = _vi(t)
+        return pa.table({"__s": pa.array([int(vi.sum())]),
+                         "__n": pa.array([len(t)])})
+
+    tot = ds.map_batches(pri, batch_format="pyarrow").sum(["__s", "__n"])
+    prior = float(tot["sum(__s)"]) / float(tot["sum(__n)"])
+    mul = np.uint64(2654435761)
+    add = np.uint64((seed * 1315423911) % (1 << 64))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            z = pa.array([], type=pa.int64())
+            zf = pa.array([], type=pa.float64())
+            out = pa.table({n: pa.array([], type=tbl.schema.field(n).type)
+                            for n in tbl.column_names})
+            return out.append_column("fold", z).append_column("te", zf)
+        vi = _vi(tbl)
+        did = tbl[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        fold = ((did % np.uint64(1 << 20)) * mul + add) \
+            % np.uint64(1 << 32) % np.uint64(k)
+        fold = fold.astype(np.int64)
+        key = tbl[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        de = key.dictionary_encode()
+        codes = de.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nd = len(de.dictionary)
+        pack = codes * k + fold
+        sf = np.zeros(nd * k, dtype=np.int64)
+        np.add.at(sf, pack, vi)
+        nf = np.bincount(pack, minlength=nd * k).astype(np.int64)
+        s_key = sf.reshape(nd, k).sum(axis=1)
+        n_key = nf.reshape(nd, k).sum(axis=1)
+        num = (s_key[codes] - sf[pack]).astype(np.float64) + m * prior
+        den = (n_key[codes] - nf[pack]).astype(np.float64) + m
+        with np.errstate(invalid="ignore", divide="ignore"):
+            te = num / den
+        te = np.where(den == 0.0, np.nan, te)
+        out = tbl.append_column("fold", pa.array(fold))
+        return out.append_column(
+            "te", pa.array(te, mask=(den == 0.0)))
+
+    return bucketed_apply(ds, key_col, per_bucket, num_buckets)
