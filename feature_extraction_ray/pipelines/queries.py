@@ -9494,6 +9494,36 @@ FROM l JOIN s USING (l_partkey, fold) JOIN kk USING (l_partkey), p
 """
 
 
+def token_hashed_features(sf_dir: str) -> Dataset:
+    """Signed feature hashing over the F1 token fixture
+    (stages/tokengrams.hashed_token_features, n_features=64, seed=1):
+    one row per (doc, occupied bucket) with occurrence count and the
+    ±1-signed sum — buckets, signs and sums integer-exact against a
+    BIGINT twin running the identical hash arithmetic."""
+    from ..stages.tokengrams import hashed_token_features
+    tok, _ = _token_fixture()
+    return hashed_token_features(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])),
+        n_features=64, seed=1)
+
+
+def _token_hashed_features_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT AS tk FROM tok),
+h AS (SELECT doc_id,
+             (((tk % 1048576) * 2654435761 + 1 * 1315423911)
+               % 4294967296) % 64 AS bucket,
+             1 - 2 * ((((tk % 1048576) * 2246822519 + 1 * 2654435761)
+               % 4294967296) // 2147483648) AS sgn
+      FROM t)
+SELECT doc_id, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+       sum(sgn)::BIGINT AS value
+FROM h GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9627,7 +9657,9 @@ QUERIES = {
     # rank-sum AUC + ROC curve over micro-unit cosine scores (window
     # twins, strict);
     # oof_target_encoded_lineitems — out-of-fold K-fold target
-    # encoding (hash folds, exact-int stats, strict one-expression te).
+    # encoding (hash folds, exact-int stats, strict one-expression te);
+    # token_hashed_features — signed feature hashing / hashing trick
+    # (BIGINT bucket+top-bit-sign twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9885,9 +9917,11 @@ QUERIES = {
     "auc_embeddings": auc_embeddings,
     "roc_points_embeddings": roc_points_embeddings,
     "oof_target_encoded_lineitems": oof_target_encoded_lineitems,
+    "token_hashed_features": token_hashed_features,
 }
 
 ORACLE_SQL = {
+    "token_hashed_features": _token_hashed_features_sql(),
     "oof_target_encoded_lineitems": OOF_TARGET_ENCODED_SQL,
     "token_kn_pairs_docs": _token_kn_pairs_sql(),
     "auc_embeddings": AUC_EMBEDDINGS_SQL,

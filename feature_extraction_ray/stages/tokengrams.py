@@ -1836,3 +1836,72 @@ def token_kn_surprisal(ds: Dataset, lm: dict | None = None,
                              False)(batch)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# feature hashing (the hashing trick)
+# ---------------------------------------------------------------------------
+
+def hashed_token_features(ds: Dataset, tokens_col: str = "tokens",
+                          id_col: str = "doc_id",
+                          n_features: int = 1024,
+                          seed: int = 1) -> Dataset:
+    """Signed feature hashing (Weinberger et al. 2009, "Feature Hashing
+    for Large Scale Multitask Learning" — the hashing trick) run
+    natively on the ``list<int32>`` payload: every token occurrence
+    maps to ``bucket = h(tok, seed) mod n_features`` with a ±1 sign
+    from an independent second hash (the unbiased inner-product
+    variant), and the doc's sparse vector is the signed occurrence sum
+    per bucket. Both hashes use the shared overflow-safe integer family
+    (every term < 2⁶³), so a BIGINT SQL twin reproduces buckets, signs
+    and sums bit-for-bit. The sign is the TOP bit of the second hash
+    (``h2 >> 31``), not the bottom bit: with odd multipliers,
+    bucket-equality under a power-of-two ``n_features`` forces
+    ``base1 ≡ base2 (mod 2^k)``, which pins every LOW bit of any
+    odd-multiplier hash — a parity sign would make colliding tokens
+    always agree, silently degrading to unsigned (biased) hashing.
+
+    Output: one row per (doc, occupied bucket) — ``id_col, bucket,
+    n`` (occurrence count) ``, value`` (signed sum; may be 0 when signs
+    cancel — the bucket is still emitted, matching SQL GROUP BY
+    semantics). Zero shuffles: the per-doc reduction happens inside the
+    batch (``np.unique`` on packed (row, bucket) keys); no vocabulary
+    is fit, so the op streams at any scale."""
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    # sign multiplier must be LARGE mod 2^32 (a small one leaves the
+    # top bit nearly constant across nearby token ids — correlated
+    # signs) and odd; base < 2^20 keeps base*mul2 < 2^52 (BIGINT-safe)
+    mul1, mul2 = np.uint64(2654435761), np.uint64(2246822519)
+    add1 = np.uint64((seed * 1315423911) % (1 << 64))
+    add2 = np.uint64((seed * 2654435761) % (1 << 64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        base = flat % np.uint64(1 << 20)
+        b = ((base * mul1 + add1) % np.uint64(1 << 32)
+             % np.uint64(n_features)).astype(np.int64)
+        sgn = 1 - 2 * ((base * mul2 + add2) % np.uint64(1 << 32)
+                       // np.uint64(1 << 31)).astype(np.int64)
+        pack = doc_of * n_features + b
+        u, inv, cnt = np.unique(pack, return_inverse=True,
+                                return_counts=True)
+        val = np.zeros(len(u), dtype=np.int64)
+        np.add.at(val, inv, sgn)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(u // n_features)),
+            "bucket": pa.array(u % n_features),
+            "n": pa.array(cnt.astype(np.int64)),
+            "value": pa.array(val)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
