@@ -9524,6 +9524,46 @@ FROM h GROUP BY 1, 2
 """
 
 
+def token_chi2_docs(sf_dir: str) -> Dataset:
+    """Per-token chi-square association with the entity class over the
+    F1 fixture (stages/tokengrams.token_class_chi2) — exact-int
+    contingency counts, chi2 as a fixed-order left-associated sum of
+    identical IEEE terms; compares STRICTLY against the FILTER-
+    aggregate twin."""
+    from ..stages.tokengrams import token_class_chi2
+    tok, _ = _token_fixture()
+    return token_class_chi2(
+        rd.from_arrow(tok.select(["doc_id", "entity", "tokens"])),
+        class_col="entity")
+
+
+def _token_chi2_sql() -> str:
+    tok, _ = _token_fixture()
+    classes = sorted(set(tok["entity"].to_pylist()))
+    o_cols = ",\n            ".join(
+        f"count(*) FILTER (WHERE entity = '{c}')::BIGINT AS o{i}"
+        for i, c in enumerate(classes))
+    c_cols = ", ".join(f"sum(o{i})::BIGINT AS c{i}"
+                       for i in range(len(classes)))
+
+    def term(i: int) -> str:
+        e = f"((n::DOUBLE * c{i}::DOUBLE) / nn::DOUBLE)"
+        return (f"(((o{i}::DOUBLE - {e}) * (o{i}::DOUBLE - {e})) / {e})")
+
+    chi2 = " + ".join(term(i) for i in range(len(classes)))
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT entity, unnest(tokens)::BIGINT AS tk FROM tok),
+o AS (SELECT tk, {o_cols},
+            count(*)::BIGINT AS n
+      FROM t GROUP BY tk),
+tot AS (SELECT {c_cols}, sum(n)::BIGINT AS nn FROM o)
+SELECT tk AS token, n, {chi2} AS chi2
+FROM o, tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9659,7 +9699,10 @@ QUERIES = {
     # oof_target_encoded_lineitems — out-of-fold K-fold target
     # encoding (hash folds, exact-int stats, strict one-expression te);
     # token_hashed_features — signed feature hashing / hashing trick
-    # (BIGINT bucket+top-bit-sign twin, integer-exact).
+    # (BIGINT bucket+top-bit-sign twin, integer-exact);
+    # token_chi2_docs — chi-square token-class feature selection
+    # (exact-int contingency via one packed-key exchange, fixed-order
+    # IEEE term sum, strict FILTER-aggregate twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9918,9 +9961,11 @@ QUERIES = {
     "roc_points_embeddings": roc_points_embeddings,
     "oof_target_encoded_lineitems": oof_target_encoded_lineitems,
     "token_hashed_features": token_hashed_features,
+    "token_chi2_docs": token_chi2_docs,
 }
 
 ORACLE_SQL = {
+    "token_chi2_docs": _token_chi2_sql(),
     "token_hashed_features": _token_hashed_features_sql(),
     "oof_target_encoded_lineitems": OOF_TARGET_ENCODED_SQL,
     "token_kn_pairs_docs": _token_kn_pairs_sql(),

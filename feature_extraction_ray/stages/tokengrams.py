@@ -1905,3 +1905,133 @@ def hashed_token_features(ds: Dataset, tokens_col: str = "tokens",
             "value": pa.array(val)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# chi-square token-class association (feature selection)
+# ---------------------------------------------------------------------------
+
+def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
+                     class_col: str = "entity",
+                     classes: Sequence[str] | None = None,
+                     num_buckets: int = 32) -> Dataset:
+    """Per-token chi-square statistic of the token-occurrence ×
+    document-class contingency table — the SelectKBest(chi2) feature
+    selection shape run natively on the ``list<int32>`` payload.
+    For token t with per-class occurrence counts O_tc, row total
+    R_t = Σ_c O_tc, class totals C_c and grand total N:
+    ``chi2_t = Σ_c (O_tc − E_tc)² / E_tc`` with ``E_tc = R_t·C_c / N``
+    (zero cells included — they contribute E_tc).
+
+    Exactness contract: every count is exact int64 riding ONE
+    ``groupby(token·K + class)`` packed-key exchange over per-block
+    ``np.unique`` partials (the corpus never shuffles); class totals
+    reduce from the vocab-bounded count table (K driver ints); chi2
+    accumulates the K class terms in FIXED class order with each term
+    the ONE IEEE expression ``(O−(R·C)/N)² / ((R·C)/N)`` — a SQL twin
+    spelling the identical left-associated sum compares STRICTLY.
+
+    ``classes``: explicit class order (raises on unseen values in the
+    data); default = sorted distinct values (one extra pruned pass
+    over ``class_col``). Classes with zero token mass raise loudly.
+    Output: ``token, n`` (= R_t) ``, chi2``."""
+    from ray.data.aggregate import Sum
+
+    if classes is None:
+        vals = ds.select_columns([class_col]).unique(class_col)
+        classes = sorted(vals)
+    classes = list(classes)
+    if not classes:
+        raise ValueError("classes must be non-empty")
+    if len(set(classes)) != len(classes):
+        raise ValueError("classes contains duplicates")
+    K = len(classes)
+    cmap = {c: i for i, c in enumerate(classes)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cvals = t[class_col].to_pylist()
+        cidx_doc = np.empty(len(t), dtype=np.int64)
+        for i, v in enumerate(cvals):
+            j = cmap.get(v)
+            if j is None:
+                raise ValueError(
+                    f"unseen {class_col} value {v!r} not in classes")
+            cidx_doc[i] = j
+        cidx = np.repeat(cidx_doc, lengths)
+        if len(flat) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(flat * K + cidx, return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
+        .materialize()
+
+    def class_partial(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return pa.table({"cidx": pa.array([], type=pa.int64()),
+                             "csum": pa.array([], type=pa.int64())})
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = np.zeros(K, dtype=np.int64)
+        np.add.at(tot, k % K, c)
+        return pa.table({"cidx": pa.array(np.arange(K, dtype=np.int64)),
+                         "csum": pa.array(tot)})
+
+    ctab = counts.map_batches(class_partial, batch_format="pyarrow") \
+        .groupby("cidx").aggregate(Sum("csum", alias_name="csum")) \
+        .take_all()
+    C = np.zeros(K, dtype=np.int64)
+    for r in ctab:
+        if "cidx" in r:
+            C[int(r["cidx"])] = int(r["csum"])
+    N = int(C.sum())
+    if N == 0:
+        raise ValueError("empty corpus: no token occurrences")
+    zero = [classes[i] for i in range(K) if C[i] == 0]
+    if zero:
+        raise ValueError(f"classes with zero token mass: {zero}")
+
+    def add_tok(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "cidx": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"tok": pa.array(k // K),
+                         "cidx": pa.array(k % K),
+                         "cnt": t["cnt"]})
+
+    from .window import bucketed_apply
+
+    def fold(t: pa.Table) -> pa.Table:
+        tok = t["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = t["cidx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        utok, inv = np.unique(tok, return_inverse=True)
+        O = np.zeros((len(utok), K), dtype=np.int64)
+        O[inv, ci] = cnt
+        R = O.sum(axis=1)
+        Rf = R.astype(np.float64)
+        chi2 = np.zeros(len(utok), dtype=np.float64)
+        for c in range(K):
+            E = (Rf * float(C[c])) / float(N)
+            d = O[:, c].astype(np.float64) - E
+            chi2 = chi2 + (d * d) / E
+        return pa.table({"token": pa.array(utok),
+                         "n": pa.array(R),
+                         "chi2": pa.array(chi2)})
+
+    return bucketed_apply(counts.map_batches(add_tok,
+                                             batch_format="pyarrow"),
+                          "tok", fold, num_buckets=num_buckets,
+                          drop_bucket=False)
