@@ -9564,6 +9564,53 @@ FROM o, tot
 """
 
 
+def woe_lineitem_parts(sf_dir: str) -> Dataset:
+    """Weight-of-evidence encoding of l_partkey against the return
+    label (stages/groupstats.woe_encode, s=0.5): exact-int per-key
+    pos/neg counts inside ONE bucketed exchange, woe = ln of the
+    identical quotient-of-quotients both engines, rounded to 10
+    decimals BOTH sides (np.log vs DuckDB ln drift 1 ulp; irrational
+    log values are rounding-boundary-safe)."""
+    from ..stages.groupstats import woe_encode
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey",
+                "l_returnflag"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        lab = pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "l_partkey": t["l_partkey"],
+            "label": lab})
+
+    out = woe_encode(li.map_batches(derive, batch_format="pyarrow"),
+                     "l_partkey", "label", smoothing=0.5,
+                     num_buckets=16)
+    out = out.map_batches(
+        lambda t: t.select(["l_orderkey", "l_linenumber", "l_partkey",
+                            "label", "woe"]),
+        batch_format="pyarrow")
+    return _round(out, {"woe": 10})
+
+
+WOE_LINEITEM_SQL = """
+WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
+                  CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+                    ::BIGINT AS label
+           FROM lineitem),
+tot AS (SELECT sum(label)::BIGINT AS p,
+               (count(*) - sum(label))::BIGINT AS q FROM b),
+k AS (SELECT l_partkey, sum(label)::BIGINT AS pos,
+             (count(*) - sum(label))::BIGINT AS neg
+      FROM b GROUP BY 1)
+SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.label,
+       round(ln(((pos::DOUBLE + 0.5) / p::DOUBLE)
+                / ((neg::DOUBLE + 0.5) / q::DOUBLE)), 10) AS woe
+FROM b JOIN k USING (l_partkey), tot
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -9702,7 +9749,9 @@ QUERIES = {
     # (BIGINT bucket+top-bit-sign twin, integer-exact);
     # token_chi2_docs — chi-square token-class feature selection
     # (exact-int contingency via one packed-key exchange, fixed-order
-    # IEEE term sum, strict FILTER-aggregate twin).
+    # IEEE term sum, strict FILTER-aggregate twin);
+    # woe_lineitem_parts — weight-of-evidence categorical encoding
+    # (exact-int pos/neg stats, one-expression ln, strict twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -9962,9 +10011,11 @@ QUERIES = {
     "oof_target_encoded_lineitems": oof_target_encoded_lineitems,
     "token_hashed_features": token_hashed_features,
     "token_chi2_docs": token_chi2_docs,
+    "woe_lineitem_parts": woe_lineitem_parts,
 }
 
 ORACLE_SQL = {
+    "woe_lineitem_parts": WOE_LINEITEM_SQL,
     "token_chi2_docs": _token_chi2_sql(),
     "token_hashed_features": _token_hashed_features_sql(),
     "oof_target_encoded_lineitems": OOF_TARGET_ENCODED_SQL,

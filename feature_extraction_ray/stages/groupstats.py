@@ -1745,3 +1745,71 @@ def target_encode_oof(ds: Dataset, key_col: str, target_col: str,
             "te", pa.array(te, mask=(den == 0.0)))
 
     return bucketed_apply(ds, key_col, per_bucket, num_buckets)
+
+
+def woe_encode(ds: Dataset, key_col: str, label_col: str,
+               smoothing: float = 0.5,
+               num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Weight-of-evidence categorical encoding — the supervised
+    credit-scoring encoder: each row gets its key's
+
+        ``woe = ln( ((pos_k + s) / P) / ((neg_k + s) / Q) )``
+
+    where ``pos_k`` / ``neg_k`` are the key's exact int64 label-1 /
+    label-0 counts, ``P`` / ``Q`` the global counts (two driver ints
+    from a tiny pre-aggregate) and ``s`` the additive smoothing that
+    keeps rare keys finite (``s > 0`` enforced loudly — at ``s = 0`` a
+    one-sided key hits ``ln(0)``, which DuckDB raises on and numpy
+    silently turns into ``-inf``). The label must be integer 0/1 (loud
+    reject), so every sufficient statistic is exact and ``woe`` is ONE
+    fixed IEEE expression up to the final ``ln`` — numpy's vectorized
+    log differs from libm/DuckDB ``ln`` by 1 ulp on ~26% of inputs
+    (measured), so SQL twins must round BOTH sides (irrational log
+    values are rounding-boundary-safe; ratio-1 keys give exact 0.0).
+
+    Scale shape: ONE ``bucketed_apply`` exchange on the key; per-key
+    counts live only inside their bucket task and each row's encoding
+    gathers back by inverse index — no join, no second exchange.
+    Appends ``woe``."""
+    if not smoothing > 0:
+        raise ValueError("smoothing must be > 0")
+    s = float(smoothing)
+
+    def _lab(t: pa.Table) -> np.ndarray:
+        v = t[label_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi.astype(v.dtype), v) or \
+                not np.all((vi == 0) | (vi == 1)):
+            raise ValueError(f"{label_col} must be integer 0/1")
+        return vi
+
+    def pri(t: pa.Table) -> pa.Table:
+        vi = _lab(t)
+        return pa.table({"__p": pa.array([int(vi.sum())]),
+                         "__n": pa.array([len(t)])})
+
+    tot = ds.map_batches(pri, batch_format="pyarrow").sum(["__p", "__n"])
+    P = int(tot["sum(__p)"])
+    Q = int(tot["sum(__n)"]) - P
+    if P == 0 or Q == 0:
+        raise ValueError("labels are single-class: WOE undefined")
+    Pf, Qf = float(P), float(Q)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return tbl.append_column(
+                "woe", pa.array([], type=pa.float64()))
+        vi = _lab(tbl)
+        keys = tbl[key_col].to_numpy(zero_copy_only=False)
+        _, inv = np.unique(keys, return_inverse=True)
+        nk = int(inv.max()) + 1
+        pos = np.zeros(nk, dtype=np.int64)
+        np.add.at(pos, inv, vi)
+        n = np.bincount(inv, minlength=nk)
+        neg = n - pos
+        woe = np.log(((pos.astype(np.float64) + s) / Pf)
+                     / ((neg.astype(np.float64) + s) / Qf))
+        return tbl.append_column("woe", pa.array(woe[inv]))
+
+    return bucketed_apply(ds, key_col, per_bucket,
+                          num_buckets=num_buckets)
