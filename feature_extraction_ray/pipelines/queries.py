@@ -9594,6 +9594,86 @@ def woe_lineitem_parts(sf_dir: str) -> Dataset:
     return _round(out, {"woe": 10})
 
 
+def token_mean_embeddings(sf_dir: str) -> Dataset:
+    """Bag-of-embeddings doc featurization
+    (stages/tokengrams.pool_token_embeddings): every F1 token gathers
+    its micro-unit-quantized embedding row (token % 500 → vec_id,
+    broadcast (500, 64) int64 matrix, zero shuffles) and docs
+    mean-pool — per-dim sums exact int64, mean ONE division, long-form
+    (doc_id, dim, n, mean) compares STRICTLY against the join-group
+    twin."""
+    import pyarrow.parquet as _pq
+    from ..stages.tokengrams import pool_token_embeddings
+    emb_t = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]) \
+        .sort_by("vec_id")
+    flat = emb_t["embedding"].combine_chunks().flatten() \
+        .cast(pa.float64())
+    q = _round_arr(pc.multiply(flat, pa.scalar(1000000.0)), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    V = len(emb_t)
+    Q = q.reshape(V, -1)
+    tok, _ = _token_fixture()
+
+    def remap(t: pa.Table) -> pa.Table:
+        col = t["tokens"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat_tk = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64) % V
+        lv = pa.ListArray.from_arrays(col.offsets,
+                                      pa.array(flat_tk.astype(np.int32),
+                                               type=pa.int32()))
+        return pa.table({"doc_id": t["doc_id"], "tokens": lv})
+
+    ds = rd.from_arrow(tok.select(["doc_id", "tokens"])) \
+        .map_batches(remap, batch_format="pyarrow")
+    pooled = pool_token_embeddings(ds, Q, agg="mean")
+
+    def explode(t: pa.Table) -> pa.Table:
+        vec = t["vec"]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        valid = pc.is_valid(vec).to_numpy(zero_copy_only=False)
+        if not valid.any():
+            return pa.table({"doc_id": pa.array([], type=pa.string()),
+                             "dim": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "mean": pa.array([], type=pa.float64())})
+        idx = pa.array(np.where(valid)[0])
+        vv = vec.take(idx)
+        ids = t["doc_id"].take(idx)
+        nn = t["n"].take(idx).to_numpy(zero_copy_only=False)
+        D = len(vv[0])
+        k = len(ids)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(np.asarray(ids), D)),
+            "dim": pa.array(np.tile(np.arange(1, D + 1,
+                                              dtype=np.int64), k)),
+            "n": pa.array(np.repeat(nn, D)),
+            "mean": vv.combine_chunks().flatten()
+            if isinstance(vv, pa.ChunkedArray) else vv.flatten()})
+
+    return pooled.map_batches(explode, batch_format="pyarrow")
+
+
+def _token_mean_embeddings_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT % 500 AS vid FROM tok),
+e AS (SELECT vec_id,
+             generate_subscripts(CAST(embedding AS DOUBLE[]), 1)::BIGINT
+               AS dim,
+             round(unnest(CAST(embedding AS DOUBLE[])) * 1000000,
+                   0)::BIGINT AS q
+      FROM embeddings),
+j AS (SELECT doc_id, dim, sum(q)::BIGINT AS s, count(*)::BIGINT AS n
+      FROM t JOIN e ON e.vec_id = t.vid GROUP BY 1, 2)
+SELECT doc_id, dim, n, s::DOUBLE / n::DOUBLE AS mean FROM j
+"""
+
+
 WOE_LINEITEM_SQL = """
 WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
@@ -9751,7 +9831,10 @@ QUERIES = {
     # (exact-int contingency via one packed-key exchange, fixed-order
     # IEEE term sum, strict FILTER-aggregate twin);
     # woe_lineitem_parts — weight-of-evidence categorical encoding
-    # (exact-int pos/neg stats, one-expression ln, strict twin).
+    # (exact-int pos/neg stats, one-expression ln, strict twin);
+    # token_mean_embeddings — bag-of-embeddings mean pooling from a
+    # broadcast micro-unit matrix (exact-int sums, one-division mean,
+    # join-group twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10012,9 +10095,11 @@ QUERIES = {
     "token_hashed_features": token_hashed_features,
     "token_chi2_docs": token_chi2_docs,
     "woe_lineitem_parts": woe_lineitem_parts,
+    "token_mean_embeddings": token_mean_embeddings,
 }
 
 ORACLE_SQL = {
+    "token_mean_embeddings": _token_mean_embeddings_sql(),
     "woe_lineitem_parts": WOE_LINEITEM_SQL,
     "token_chi2_docs": _token_chi2_sql(),
     "token_hashed_features": _token_hashed_features_sql(),

@@ -2035,3 +2035,109 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
                                              batch_format="pyarrow"),
                           "tok", fold, num_buckets=num_buckets,
                           drop_bucket=False)
+
+
+# ---------------------------------------------------------------------------
+# token-embedding pooling (doc featurization from a broadcast matrix)
+# ---------------------------------------------------------------------------
+
+def pool_token_embeddings(ds: Dataset, emb: "np.ndarray",
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id",
+                          agg: str = "mean",
+                          oov: str = "raise") -> Dataset:
+    """Pool each document's token-embedding vectors into one doc
+    vector — the bag-of-embeddings featurizer (fastText
+    sentence-vector / mean-pool shape) run natively on the
+    ``list<int32>`` payload against a broadcast ``(V, D)`` embedding
+    matrix. Token ids index ``emb`` rows directly (remap upstream,
+    e.g. ``token_remap`` or a ``% V`` fold, for arbitrary id spaces).
+
+    Exactness contract: with an INTEGER ``emb`` (e.g. micro-unit
+    quantized embeddings) the per-dim sums are exact int64 and the
+    mean is ONE division per dim — SQL twins compare STRICTLY. Float
+    matrices pool in float64 (reduction order fixed: ``np.add.reduceat``
+    over the flattened stream in document order).
+
+    Scale shape: ``ray.put`` the matrix ONCE, every task reads it
+    zero-copy through the per-worker broadcast cache — zero shuffles,
+    no join against a vocabulary table, streams at any corpus size.
+    ``oov``: ``'raise'`` (default) on ids outside ``[0, V)``, or
+    ``'skip'`` to drop them from the pool (a doc of only OOV tokens
+    pools like an empty doc). Output: ``id_col, n`` (pooled token
+    count) ``, vec`` (list<double>; null for empty pools under
+    ``agg='mean'``, zeros under ``'sum'``)."""
+    import ray as _ray
+    from .partition import broadcast_get
+
+    if agg not in ("mean", "sum"):
+        raise ValueError("agg must be 'mean' or 'sum'")
+    if oov not in ("raise", "skip"):
+        raise ValueError("oov must be 'raise' or 'skip'")
+    emb = np.ascontiguousarray(emb)
+    if emb.ndim != 2 or len(emb) == 0:
+        raise ValueError("emb must be a non-empty (V, D) matrix")
+    V, D = emb.shape
+    exact = np.issubdtype(emb.dtype, np.integer)
+    ref = _ray.put(emb.astype(np.int64 if exact else np.float64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        m = broadcast_get(ref)
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bad = (flat < 0) | (flat >= V)
+        if bad.any():
+            if oov == "raise":
+                raise ValueError(
+                    f"token id {int(flat[bad][0])} outside [0, {V})")
+            doc_of = np.repeat(np.arange(len(t), dtype=np.int64),
+                               lengths)
+            keep = ~bad
+            flat, doc_of = flat[keep], doc_of[keep]
+            lengths = np.bincount(doc_of, minlength=len(t))
+        offsets = np.concatenate(
+            [np.zeros(1, dtype=np.int64),
+             np.cumsum(lengths, dtype=np.int64)[:-1]]) \
+            if len(t) else np.zeros(0, dtype=np.int64)
+        sums = np.zeros((len(t), D),
+                        dtype=np.int64 if exact else np.float64)
+        nz = lengths > 0
+        if flat.size:
+            # reduceat needs strictly valid segment starts: compute on
+            # the non-empty docs' offsets only
+            seg = offsets[nz]
+            red = np.add.reduceat(m[flat], seg, axis=0)
+            # reduceat merges adjacent segments only when starts repeat
+            # — they can't here (each start is distinct for non-empty
+            # docs)
+            sums[nz] = red
+        n = lengths
+        if agg == "sum":
+            vec = sums.astype(np.float64)
+            valid = np.ones(len(t), dtype=bool)
+        else:
+            denom = np.where(nz, n, 1).astype(np.float64)
+            vec = sums.astype(np.float64) / denom[:, None]
+            valid = nz
+        flat_vec = pa.array(vec.reshape(-1))
+        lv = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(t) + 1) * D, D, dtype=np.int32)),
+            flat_vec)
+        if not valid.all():
+            lv = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (len(t) + 1) * D, D,
+                                   dtype=np.int32)),
+                flat_vec, mask=pa.array(~valid))
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({id_col: ids,
+                         "n": pa.array(n),
+                         "vec": lv})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
