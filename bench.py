@@ -497,6 +497,51 @@ def run_bench() -> dict:
 
         per_query["flagship_checkpointed_write"] = _best_of(_ckpt_run)
 
+        # session-10 feature-engineering ops over the amplified token
+        # corpus: signed feature hashing (zero-shuffle), chi2 selection
+        # (one packed-key exchange), broadcast embedding mean-pooling
+        # (zero-shuffle gather)
+        from feature_extraction_ray.stages.tokengrams import (
+            hashed_token_features, pool_token_embeddings,
+            token_class_chi2)
+
+        def _feat_run():
+            toks = tokens_from_documents(SF_DIR, repeat=amp)
+            hashed_token_features(
+                toks.select_columns(["doc_id", "tokens"]),
+                n_features=4096).count()
+        per_query[f"hashed_features_x{amp}"] = _best_of(_feat_run)
+
+        def _chi2_run():
+            toks = tokens_from_documents(SF_DIR, repeat=amp)
+            token_class_chi2(toks, class_col="source").count()
+        per_query[f"token_chi2_x{amp}"] = _best_of(_chi2_run)
+
+        def _pool_run():
+            import numpy as _np
+            toks = tokens_from_documents(SF_DIR, repeat=amp)
+            rng = _np.random.default_rng(7)
+            emb = (rng.standard_normal((65536, 64)) * 1e6) \
+                .astype(_np.int64)
+
+            def _mod(t):
+                import pyarrow as _pa
+                col = t["tokens"]
+                if isinstance(col, _pa.ChunkedArray):
+                    col = col.combine_chunks()
+                flat = col.flatten().to_numpy(zero_copy_only=False) \
+                    .astype(_np.int64) % 65536
+                lv = _pa.ListArray.from_arrays(
+                    col.offsets, _pa.array(flat.astype(_np.int32),
+                                           type=_pa.int32()))
+                return _pa.table({"doc_id": t["doc_id"], "tokens": lv})
+
+            pool_token_embeddings(
+                toks.select_columns(["doc_id", "tokens"])
+                .map_batches(_mod, batch_format="pyarrow"),
+                emb).count()
+        per_query[f"embed_pool_x{amp}"] = _best_of(_pool_run)
+
     ray.shutdown()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {
