@@ -1813,3 +1813,82 @@ def woe_encode(ds: Dataset, key_col: str, label_col: str,
 
     return bucketed_apply(ds, key_col, per_bucket,
                           num_buckets=num_buckets)
+
+
+def corr_matrix(ds: Dataset, cols: Sequence[str]):
+    """Exact Pearson correlation matrix across ``d`` integer-valued
+    columns in ONE streaming pass with NO exchange — the
+    feature-redundancy screen run before model training. Per-block
+    partials are the classic sufficient statistics (n, per-column
+    sums, upper-triangle cross-product sums), all exact int64, reduced
+    with a single ``Dataset.sum``; the driver derives
+
+        ``corr_ij = (n·S_ij − s_i·s_j)
+                    / (sqrt(n·S_ii − s_i²) · sqrt(n·S_jj − s_j²))``
+
+    — IEEE sqrt is correctly rounded, so a SQL twin spelling the
+    identical expression over the identical integers compares
+    STRICTLY. Zero-variance columns yield null correlations (DuckDB
+    CASE twin). Columns must be integer-valued (quantize fixed-decimal
+    floats upstream with the DuckDB-exact rounder); the int64
+    exactness bound ``n²·max|v_i|·max|v_j| < 2⁶²`` is CHECKED from the
+    streamed per-column max and violated input raises loudly.
+
+    Returns a driver-side ``pyarrow.Table`` (``col_a, col_b, n,
+    corr``; upper triangle incl. diagonal) — d² values, never the
+    data."""
+    cols = list(cols)
+    d = len(cols)
+    if d < 2:
+        raise ValueError("need at least two columns")
+    pairs = [(i, j) for i in range(d) for j in range(i, d)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        mats = []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False)
+            vi = v.astype(np.int64)
+            if not np.array_equal(vi.astype(v.dtype), v):
+                raise ValueError(f"{c} must be integer-valued")
+            mats.append(vi)
+        out = {"n": pa.array([len(t)], type=pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([int(mats[i].sum())])
+            out[f"m{i}"] = pa.array(
+                [int(np.abs(mats[i]).max()) if len(t) else 0])
+        for i, j in pairs:
+            out[f"p{i}_{j}"] = pa.array(
+                [int((mats[i] * mats[j]).sum())])
+        return pa.table(out)
+
+    names = (["n"] + [f"s{i}" for i in range(d)]
+             + [f"p{i}_{j}" for i, j in pairs])
+    red = ds.map_batches(partial, batch_format="pyarrow")
+    agg = red.sum(names)
+    mx = red.max([f"m{i}" for i in range(d)])
+    n = int(agg["sum(n)"])
+    if n == 0:
+        raise ValueError("empty input")
+    s = [int(agg[f"sum(s{i})"]) for i in range(d)]
+    m = [int(mx[f"max(m{i})"]) for i in range(d)]
+    for i, j in pairs:
+        if n * n * max(m[i], 1) * max(m[j], 1) >= (1 << 62):
+            raise ValueError(
+                f"int64 exactness bound exceeded for ({cols[i]}, "
+                f"{cols[j]}): n²·max|v_i|·max|v_j| >= 2^62")
+    P = {(i, j): int(agg[f"sum(p{i}_{j})"]) for i, j in pairs}
+    var = {i: n * P[(i, i)] - s[i] * s[i] for i in range(d)}
+    ca, cb, cn, cc = [], [], [], []
+    for i, j in pairs:
+        ca.append(cols[i])
+        cb.append(cols[j])
+        cn.append(n)
+        if var[i] == 0 or var[j] == 0:
+            cc.append(None)
+        else:
+            num = float(n * P[(i, j)] - s[i] * s[j])
+            cc.append(num / (np.sqrt(float(var[i]))
+                             * np.sqrt(float(var[j]))))
+    return pa.table({"col_a": pa.array(ca), "col_b": pa.array(cb),
+                     "n": pa.array(cn, type=pa.int64()),
+                     "corr": pa.array(cc, type=pa.float64())})

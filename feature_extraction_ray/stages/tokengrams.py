@@ -1923,20 +1923,20 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
     ``chi2_t = Σ_c (O_tc − E_tc)² / E_tc`` with ``E_tc = R_t·C_c / N``
     (zero cells included — they contribute E_tc).
 
-    Exactness contract: every count is exact int64 riding ONE
-    ``groupby(token·K + class)`` packed-key exchange over per-block
-    ``np.unique`` partials (the corpus never shuffles); class totals
-    reduce from the vocab-bounded count table (K driver ints); chi2
-    accumulates the K class terms in FIXED class order with each term
-    the ONE IEEE expression ``(O−(R·C)/N)² / ((R·C)/N)`` — a SQL twin
-    spelling the identical left-associated sum compares STRICTLY.
+    Exactness contract: every count is exact int64. Per-block
+    ``np.unique`` partials (the corpus never shuffles) ride ONE
+    bucketed exchange on the token, whose task both merges the
+    partial counts (lexsort + reduceat) and pivots the dense K-column
+    contingency rows; class totals reduce zero-exchange from the
+    materialized partials to K driver ints; chi2 accumulates the K
+    class terms in FIXED class order with each term the ONE IEEE
+    expression ``(O−(R·C)/N)² / ((R·C)/N)`` — a SQL twin spelling the
+    identical left-associated sum compares STRICTLY.
 
     ``classes``: explicit class order (raises on unseen values in the
     data); default = sorted distinct values (one extra pruned pass
     over ``class_col``). Classes with zero token mass raise loudly.
     Output: ``token, n`` (= R_t) ``, chi2``."""
-    from ray.data.aggregate import Sum
-
     if classes is None:
         vals = ds.select_columns([class_col]).unique(class_col)
         classes = sorted(vals)
@@ -1946,7 +1946,7 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
     if len(set(classes)) != len(classes):
         raise ValueError("classes contains duplicates")
     K = len(classes)
-    cmap = {c: i for i, c in enumerate(classes)}
+    _class_arr = pa.array(classes)
 
     def partial(t: pa.Table) -> pa.Table:
         col = t[tokens_col]
@@ -1956,60 +1956,54 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
             zero_copy_only=False).astype(np.int64)
         flat = col.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        cvals = t[class_col].to_pylist()
-        cidx_doc = np.empty(len(t), dtype=np.int64)
-        for i, v in enumerate(cvals):
-            j = cmap.get(v)
-            if j is None:
-                raise ValueError(
-                    f"unseen {class_col} value {v!r} not in classes")
-            cidx_doc[i] = j
+        ccol = t[class_col]
+        if isinstance(ccol, pa.ChunkedArray):
+            ccol = ccol.combine_chunks()
+        idx = pc.index_in(ccol, value_set=_class_arr)
+        if idx.null_count:
+            bad_i = pc.index(pc.is_null(idx), True).as_py()
+            raise ValueError(
+                f"unseen {class_col} value "
+                f"{ccol[bad_i].as_py()!r} not in classes")
+        cidx_doc = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         cidx = np.repeat(cidx_doc, lengths)
         if len(flat) == 0:
-            return pa.table({"key": pa.array([], type=pa.int64()),
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "cidx": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
         u, c = np.unique(flat * K + cidx, return_counts=True)
-        return pa.table({"key": pa.array(u),
+        return pa.table({"tok": pa.array(u // K),
+                         "cidx": pa.array(u % K),
                          "cnt": pa.array(c.astype(np.int64))})
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
-        .materialize()
+    # vocab·K-bounded per-block partials, consumed by two passes
+    counts = ds.map_batches(partial,
+                            batch_format="pyarrow").materialize()
 
     def class_partial(t: pa.Table) -> pa.Table:
-        if "key" not in t.column_names or len(t) == 0:
-            return pa.table({"cidx": pa.array([], type=pa.int64()),
-                             "csum": pa.array([], type=pa.int64())})
-        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         tot = np.zeros(K, dtype=np.int64)
-        np.add.at(tot, k % K, c)
+        if "cidx" in t.column_names and len(t):
+            ci = t["cidx"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            c = t["cnt"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            np.add.at(tot, ci, c)
         return pa.table({"cidx": pa.array(np.arange(K, dtype=np.int64)),
-                         "csum": pa.array(tot)})
+                         "cvec": pa.array(tot)})
 
-    ctab = counts.map_batches(class_partial, batch_format="pyarrow") \
-        .groupby("cidx").aggregate(Sum("csum", alias_name="csum")) \
-        .take_all()
+    # class totals zero-exchange: one K-row partial per block, summed
+    # on the driver (blocks·K rows — driver-safe since K is a
+    # driver-held list by contract)
     C = np.zeros(K, dtype=np.int64)
-    for r in ctab:
-        if "cidx" in r:
-            C[int(r["cidx"])] = int(r["csum"])
+    for r in counts.map_batches(class_partial,
+                                batch_format="pyarrow").take_all():
+        C[int(r["cidx"])] += int(r["cvec"])
     N = int(C.sum())
     if N == 0:
         raise ValueError("empty corpus: no token occurrences")
     zero = [classes[i] for i in range(K) if C[i] == 0]
     if zero:
         raise ValueError(f"classes with zero token mass: {zero}")
-
-    def add_tok(t: pa.Table) -> pa.Table:
-        if "key" not in t.column_names or len(t) == 0:
-            return pa.table({"tok": pa.array([], type=pa.int64()),
-                             "cidx": pa.array([], type=pa.int64()),
-                             "cnt": pa.array([], type=pa.int64())})
-        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"tok": pa.array(k // K),
-                         "cidx": pa.array(k % K),
-                         "cnt": t["cnt"]})
 
     from .window import bucketed_apply
 
@@ -2019,7 +2013,8 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
         cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
         utok, inv = np.unique(tok, return_inverse=True)
         O = np.zeros((len(utok), K), dtype=np.int64)
-        O[inv, ci] = cnt
+        # merge per-block partials and pivot in one scatter-add
+        np.add.at(O, (inv, ci), cnt)
         R = O.sum(axis=1)
         Rf = R.astype(np.float64)
         chi2 = np.zeros(len(utok), dtype=np.float64)
@@ -2031,10 +2026,8 @@ def token_class_chi2(ds: Dataset, tokens_col: str = "tokens",
                          "n": pa.array(R),
                          "chi2": pa.array(chi2)})
 
-    return bucketed_apply(counts.map_batches(add_tok,
-                                             batch_format="pyarrow"),
-                          "tok", fold, num_buckets=num_buckets,
-                          drop_bucket=False)
+    return bucketed_apply(counts, "tok", fold,
+                          num_buckets=num_buckets, drop_bucket=False)
 
 
 # ---------------------------------------------------------------------------
