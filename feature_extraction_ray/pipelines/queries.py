@@ -9674,6 +9674,62 @@ SELECT doc_id, dim, n, s::DOUBLE / n::DOUBLE AS mean FROM j
 """
 
 
+def corr_matrix_lineitem(sf_dir: str):
+    """Exact Pearson correlation matrix over quantized lineitem
+    numerics (stages/groupstats.corr_matrix): quantity, discount and
+    tax in centi-units — one streaming pass, NO exchange, exact int64
+    sufficient statistics, corr from the identical IEEE expression
+    both engines (sqrt is correctly rounded) — compares STRICTLY."""
+    from ..stages.groupstats import corr_matrix
+    li = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_discount", "l_tax"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        def q(c):
+            return pc.cast(_round_arr(pc.multiply(
+                pc.cast(t[c], pa.float64()),
+                pa.scalar(100.0)), 0), pa.int64())
+        return pa.table({"qty": q("l_quantity"),
+                         "disc": q("l_discount"),
+                         "tax": q("l_tax")})
+
+    return corr_matrix(li.map_batches(quant, batch_format="pyarrow"),
+                       ["qty", "disc", "tax"])
+
+
+CORR_MATRIX_SQL = """
+WITH q AS (SELECT round(l_quantity::DOUBLE * 100, 0)::BIGINT AS a,
+                  round(l_discount::DOUBLE * 100, 0)::BIGINT AS b,
+                  round(l_tax::DOUBLE * 100, 0)::BIGINT AS c
+           FROM lineitem),
+s AS (SELECT count(*)::BIGINT AS n,
+             sum(a)::BIGINT AS sa, sum(b)::BIGINT AS sb,
+             sum(c)::BIGINT AS sc,
+             sum(a*a)::BIGINT AS paa, sum(a*b)::BIGINT AS pab,
+             sum(a*c)::BIGINT AS pac, sum(b*b)::BIGINT AS pbb,
+             sum(b*c)::BIGINT AS pbc, sum(c*c)::BIGINT AS pcc
+      FROM q),
+p(col_a, col_b, num, va, vb) AS (
+  SELECT 'qty', 'qty', n*paa - sa*sa, n*paa - sa*sa, n*paa - sa*sa
+    FROM s
+  UNION ALL SELECT 'qty', 'disc', n*pab - sa*sb, n*paa - sa*sa,
+    n*pbb - sb*sb FROM s
+  UNION ALL SELECT 'qty', 'tax', n*pac - sa*sc, n*paa - sa*sa,
+    n*pcc - sc*sc FROM s
+  UNION ALL SELECT 'disc', 'disc', n*pbb - sb*sb, n*pbb - sb*sb,
+    n*pbb - sb*sb FROM s
+  UNION ALL SELECT 'disc', 'tax', n*pbc - sb*sc, n*pbb - sb*sb,
+    n*pcc - sc*sc FROM s
+  UNION ALL SELECT 'tax', 'tax', n*pcc - sc*sc, n*pcc - sc*sc,
+    n*pcc - sc*sc FROM s)
+SELECT col_a, col_b, (SELECT n FROM s) AS n,
+       CASE WHEN va = 0 OR vb = 0 THEN NULL
+            ELSE num::DOUBLE / (sqrt(va::DOUBLE) * sqrt(vb::DOUBLE))
+       END AS corr
+FROM p
+"""
+
+
 WOE_LINEITEM_SQL = """
 WITH b AS (SELECT l_orderkey, l_linenumber, l_partkey,
                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
@@ -9834,7 +9890,9 @@ QUERIES = {
     # (exact-int pos/neg stats, one-expression ln, strict twin);
     # token_mean_embeddings — bag-of-embeddings mean pooling from a
     # broadcast micro-unit matrix (exact-int sums, one-division mean,
-    # join-group twin).
+    # join-group twin);
+    # corr_matrix_lineitem — exact Pearson correlation matrix in one
+    # zero-exchange pass (int64 sufficient stats, strict sqrt twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10096,9 +10154,11 @@ QUERIES = {
     "token_chi2_docs": token_chi2_docs,
     "woe_lineitem_parts": woe_lineitem_parts,
     "token_mean_embeddings": token_mean_embeddings,
+    "corr_matrix_lineitem": corr_matrix_lineitem,
 }
 
 ORACLE_SQL = {
+    "corr_matrix_lineitem": CORR_MATRIX_SQL,
     "token_mean_embeddings": _token_mean_embeddings_sql(),
     "woe_lineitem_parts": WOE_LINEITEM_SQL,
     "token_chi2_docs": _token_chi2_sql(),

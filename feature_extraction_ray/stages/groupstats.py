@@ -1865,10 +1865,11 @@ def corr_matrix(ds: Dataset, cols: Sequence[str]):
              + [f"p{i}_{j}" for i, j in pairs])
     red = ds.map_batches(partial, batch_format="pyarrow")
     agg = red.sum(names)
-    mx = red.max([f"m{i}" for i in range(d)])
-    n = int(agg["sum(n)"])
+    n = int(agg["sum(n)"]) if agg and agg.get("sum(n)") is not None \
+        else 0
     if n == 0:
         raise ValueError("empty input")
+    mx = red.max([f"m{i}" for i in range(d)])
     s = [int(agg[f"sum(s{i})"]) for i in range(d)]
     m = [int(mx[f"max(m{i})"]) for i in range(d)]
     for i, j in pairs:
