@@ -9697,6 +9697,34 @@ def corr_matrix_lineitem(sf_dir: str):
                        ["qty", "disc", "tax"])
 
 
+def token_cms_docs(sf_dir: str):
+    """Count-Min sketch of the F1 token stream
+    (stages/sketches.count_min_sketch, width=128, depth=4, seed=1):
+    every cell integer-exact against the BIGINT twin running the
+    identical hash family with the row index in the position slot."""
+    from ..stages.sketches import count_min_sketch
+    tok, _ = _token_fixture()
+    return count_min_sketch(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])),
+        width=128, depth=4, seed=1)
+
+
+def _token_cms_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT unnest(tokens)::BIGINT AS tk FROM tok),
+r(row_) AS (VALUES (0), (1), (2), (3)),
+h AS (SELECT row_::BIGINT AS row_,
+             (((tk % 1048576) * 2654435761
+               + (row_ + 1) * 40503 + 1 * 1315423911)
+              % 4294967296) % 128 AS col_
+      FROM t CROSS JOIN r)
+SELECT row_ AS row, col_::BIGINT AS col, count(*)::BIGINT AS cnt
+FROM h GROUP BY 1, 2
+"""
+
+
 CORR_MATRIX_SQL = """
 WITH q AS (SELECT round(l_quantity::DOUBLE * 100, 0)::BIGINT AS a,
                   round(l_discount::DOUBLE * 100, 0)::BIGINT AS b,
@@ -9892,7 +9920,9 @@ QUERIES = {
     # broadcast micro-unit matrix (exact-int sums, one-division mean,
     # join-group twin);
     # corr_matrix_lineitem — exact Pearson correlation matrix in one
-    # zero-exchange pass (int64 sufficient stats, strict sqrt twin).
+    # zero-exchange pass (int64 sufficient stats, strict sqrt twin);
+    # token_cms_docs — Count-Min sketch of the token stream (shared
+    # hash family, sketch-bounded exchange, integer-exact cell twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10155,9 +10185,11 @@ QUERIES = {
     "woe_lineitem_parts": woe_lineitem_parts,
     "token_mean_embeddings": token_mean_embeddings,
     "corr_matrix_lineitem": corr_matrix_lineitem,
+    "token_cms_docs": token_cms_docs,
 }
 
 ORACLE_SQL = {
+    "token_cms_docs": _token_cms_sql(),
     "corr_matrix_lineitem": CORR_MATRIX_SQL,
     "token_mean_embeddings": _token_mean_embeddings_sql(),
     "woe_lineitem_parts": WOE_LINEITEM_SQL,

@@ -442,3 +442,98 @@ def calibration_bins(ds: Dataset, score_col: str, label_col: str,
             "mean_score": pa.array(ss.astype(np.float64) / n)})
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def count_min_sketch(ds: Dataset, tokens_col: str = "tokens",
+                     width: int = 1024, depth: int = 4,
+                     seed: int = 1) -> pa.Table:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the token
+    stream: a ``depth × width`` exact-int64 counter grid where row
+    ``r`` buckets each occurrence at
+
+        ``col = ((tok % 2²⁰)·2654435761 + (r+1)·40503
+                 + seed·1315423911) mod 2³² mod width``
+
+    — the shared overflow-safe hash family with the row index in the
+    position slot, so a BIGINT SQL twin reproduces every cell
+    bit-for-bit. Per-block partials are ``np.bincount`` grids riding
+    ONE sketch-bounded ``groupby`` exchange (``depth·width`` rows out
+    — the corpus never shuffles, and the merged sketch is exactly the
+    sum of per-block sketches: the mergeability that makes CMS the
+    streaming frequency structure). Returns a driver-side
+    ``pyarrow.Table`` (``row, col, cnt``; zero cells omitted) meant to
+    be broadcast; point-query with :func:`cms_estimate`."""
+    from ray.data.aggregate import Sum
+
+    if width < 1 or depth < 1:
+        raise ValueError("width and depth must be >= 1")
+    mul = np.uint64(2654435761)
+    w64 = np.uint64(width)
+    adds = [np.uint64(((r + 1) * 40503 + seed * 1315423911)
+                      % (1 << 64)) for r in range(depth)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        if len(flat) == 0:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        base = flat % np.uint64(1 << 20)
+        keys, cnts = [], []
+        for r in range(depth):
+            c = ((base * mul + adds[r]) % np.uint64(1 << 32)
+                 % w64).astype(np.int64)
+            g = np.bincount(c, minlength=width)
+            nz = np.nonzero(g)[0]
+            keys.append(r * width + nz)
+            cnts.append(g[nz])
+        return pa.table({"key": pa.array(np.concatenate(keys)),
+                         "cnt": pa.array(np.concatenate(cnts)
+                                         .astype(np.int64))})
+
+    merged = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt")) \
+        .take_all()
+    rows, cols_, cnts = [], [], []
+    for rec in merged:
+        if "key" not in rec or rec["key"] is None:
+            continue
+        k = int(rec["key"])
+        rows.append(k // width)
+        cols_.append(k % width)
+        cnts.append(int(rec["cnt"]))
+    rows_a = np.array(rows, dtype=np.int64)
+    cols_a = np.array(cols_, dtype=np.int64)
+    cnts_a = np.array(cnts, dtype=np.int64)
+    order = np.lexsort((cols_a, rows_a))
+    return pa.table({"row": pa.array(rows_a[order]),
+                     "col": pa.array(cols_a[order]),
+                     "cnt": pa.array(cnts_a[order])})
+
+
+def cms_estimate(sketch: pa.Table, tokens, width: int = 1024,
+                 depth: int = 4, seed: int = 1) -> np.ndarray:
+    """Point-query a :func:`count_min_sketch` table: the estimate for
+    each token is the MIN over the ``depth`` rows' cells — an upper
+    bound on the true count (exact when no collision landed in any of
+    the token's cells). Vectorized over the query tokens; cells absent
+    from the sparse sketch read as 0."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[sketch["row"].to_numpy(zero_copy_only=False),
+         sketch["col"].to_numpy(zero_copy_only=False)] = \
+        sketch["cnt"].to_numpy(zero_copy_only=False)
+    toks = np.asarray(tokens, dtype=np.uint64)
+    base = toks % np.uint64(1 << 20)
+    mul = np.uint64(2654435761)
+    est = None
+    for r in range(depth):
+        add = np.uint64(((r + 1) * 40503 + seed * 1315423911)
+                        % (1 << 64))
+        c = ((base * mul + add) % np.uint64(1 << 32)
+             % np.uint64(width)).astype(np.int64)
+        v = grid[r, c]
+        est = v if est is None else np.minimum(est, v)
+    return est
