@@ -9725,6 +9725,29 @@ FROM h GROUP BY 1, 2
 """
 
 
+def hashed_cross_lineitems(sf_dir: str) -> Dataset:
+    """Wide-and-deep crossed_column over lineitem
+    (stages/features.hashed_cross_features, partkey × suppkey,
+    n_features=256): buckets integer-exact against the BIGINT twin
+    running the identical two-multiplier hash."""
+    from ..stages.features import hashed_cross_features
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey",
+                "l_suppkey"])
+    return hashed_cross_features(li, "l_partkey", "l_suppkey",
+                                 n_features=256, seed=1,
+                                 out_col="cross_bucket")
+
+
+HASHED_CROSS_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       (((l_partkey % 1048576) * 2654435761
+         + (l_suppkey % 1048576) * 2246822519
+         + 1 * 1315423911) % 4294967296) % 256 AS cross_bucket
+FROM lineitem
+"""
+
+
 CORR_MATRIX_SQL = """
 WITH q AS (SELECT round(l_quantity::DOUBLE * 100, 0)::BIGINT AS a,
                   round(l_discount::DOUBLE * 100, 0)::BIGINT AS b,
@@ -9922,7 +9945,9 @@ QUERIES = {
     # corr_matrix_lineitem — exact Pearson correlation matrix in one
     # zero-exchange pass (int64 sufficient stats, strict sqrt twin);
     # token_cms_docs — Count-Min sketch of the token stream (shared
-    # hash family, sketch-bounded exchange, integer-exact cell twin).
+    # hash family, sketch-bounded exchange, integer-exact cell twin);
+    # hashed_cross_lineitems — wide-and-deep crossed_column bucket
+    # (two-multiplier hash, zero shuffles, integer-exact twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10186,9 +10211,11 @@ QUERIES = {
     "token_mean_embeddings": token_mean_embeddings,
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "token_cms_docs": token_cms_docs,
+    "hashed_cross_lineitems": hashed_cross_lineitems,
 }
 
 ORACLE_SQL = {
+    "hashed_cross_lineitems": HASHED_CROSS_SQL,
     "token_cms_docs": _token_cms_sql(),
     "corr_matrix_lineitem": CORR_MATRIX_SQL,
     "token_mean_embeddings": _token_mean_embeddings_sql(),

@@ -229,3 +229,51 @@ def extract_group_features(ds: Dataset, *, entity_col: str, ts_col: str,
 
     return bucketed_apply(ds, entity_col, per_bucket,
                           num_buckets=num_buckets, drop_bucket=False)
+
+
+def hashed_cross_features(ds: Dataset, col_a: str, col_b: str,
+                          n_features: int = 4096, seed: int = 1,
+                          out_col: str | None = None) -> Dataset:
+    """Hashed feature cross of two integer key columns — the
+    wide-and-deep ``crossed_column`` shape: each row gets
+
+        ``bucket = ((a % 2²⁰)·2654435761 + (b % 2²⁰)·2246822519
+                    + seed·1315423911) mod 2³² mod n_features``
+
+    from the shared overflow-safe integer family (every term < 2⁶³,
+    so a BIGINT SQL twin reproduces buckets bit-for-bit; the two
+    multipliers are the bucket/sign pair from the feature-hashing op,
+    both large and odd so neither key's contribution collapses under
+    power-of-two widths). Pure zero-shuffle map; nulls in either key
+    yield a null bucket. Appends ``out_col`` (default
+    ``{a}_x_{b}``)."""
+    import pyarrow.compute as pc
+
+    if n_features < 1:
+        raise ValueError("n_features must be >= 1")
+    name = out_col or f"{col_a}_x_{col_b}"
+    mul_a, mul_b = np.uint64(2654435761), np.uint64(2246822519)
+    add = np.uint64((seed * 1315423911) % (1 << 64))
+    nf = np.uint64(n_features)
+
+    def fn(t: pa.Table) -> pa.Table:
+        a_col = t[col_a]
+        b_col = t[col_b]
+        if isinstance(a_col, pa.ChunkedArray):
+            a_col = a_col.combine_chunks()
+        if isinstance(b_col, pa.ChunkedArray):
+            b_col = b_col.combine_chunks()
+        valid = pc.and_(pc.is_valid(a_col),
+                        pc.is_valid(b_col)).to_numpy(
+            zero_copy_only=False)
+        a = pc.fill_null(a_col, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        b = pc.fill_null(b_col, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bucket = ((a % np.uint64(1 << 20)) * mul_a
+                  + (b % np.uint64(1 << 20)) * mul_b + add) \
+            % np.uint64(1 << 32) % nf
+        out = pa.array(bucket.astype(np.int64), mask=~valid)
+        return t.append_column(name, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
