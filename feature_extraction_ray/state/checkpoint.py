@@ -52,8 +52,12 @@ def _part_paths(out_dir: str, pid: int):
 
 
 def write_partition(tbl: pa.Table, out_dir: str, pid: int,
-                    input_fingerprint: str) -> dict:
-    """Atomically write one partition + its manifest; returns the manifest."""
+                    input_fingerprint: str,
+                    wall_sec: float | None = None) -> dict:
+    """Atomically write one partition + its manifest; returns the
+    manifest. ``wall_sec`` (optional) records the caller's compute+write
+    wall for this partition — the per-partition metric a resumed or
+    monitored run reads via :func:`checkpoint_metrics`."""
     data_path, man_path = _part_paths(out_dir, pid)
     tmp = data_path + ".tmp"
     pq.write_table(tbl, tmp)
@@ -66,6 +70,8 @@ def write_partition(tbl: pa.Table, out_dir: str, pid: int,
         "input_fingerprint": input_fingerprint,
         "schema_names": tbl.schema.names,
     }
+    if wall_sec is not None:
+        manifest["wall_sec"] = round(float(wall_sec), 6)
     tmp_m = man_path + ".tmp"
     with open(tmp_m, "w") as f:
         json.dump(manifest, f)
@@ -189,11 +195,14 @@ def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
         batch_format="pyarrow")
 
     def process_and_write(tbl: pa.Table) -> pa.Table:
+        import time as _time
+        t0 = _time.perf_counter()
         pid = int(tbl[BUCKET_COL][0].as_py())
         body = tbl.drop_columns([BUCKET_COL])
         if process_fn is not None:
             body = process_fn(body)
-        m = write_partition(body, out_dir, pid, input_fingerprint)
+        m = write_partition(body, out_dir, pid, input_fingerprint,
+                            wall_sec=_time.perf_counter() - t0)
         return pa.table({
             "partition_id": pa.array([pid], type=pa.int64()),
             "row_count": pa.array([m["row_count"]], type=pa.int64()),
@@ -208,6 +217,47 @@ def run_partitioned(ds: Dataset, out_dir: str, *, entity_col: str,
         "written": sorted(stats["partition_id"].tolist()) if len(stats) else [],
         "skipped": sorted(done),
         "rows": int(stats["row_count"].sum()) if len(stats) else 0,
+    }
+
+
+def checkpoint_metrics(out_dir: str) -> dict:
+    """Roll up the per-partition manifests into run metrics: partitions
+    done, total rows/bytes, and the wall-time distribution (sum, max,
+    mean over manifests that recorded ``wall_sec``) — the
+    'per-partition lineage + metrics' surface a monitoring or resume
+    pass reads without touching the data files. Compact manifests
+    contribute rows/bytes once (their sources are superseded)."""
+    mans = [m for m in _load_manifests(out_dir)
+            if "partition_id" in m or "compact_id" in m]
+    superseded: set[str] = set()
+    for m in mans:
+        if "compact_id" in m:
+            superseded.update(m.get("source_parts", []))
+    rows = bytes_ = 0
+    walls = []
+    pids: set[int] = set()
+    for m in mans:
+        if "compact_id" in m:
+            rows += m.get("row_count", 0)
+            bytes_ += m.get("file_bytes", 0)
+            pids.update(m.get("partition_ids", []))
+            continue
+        name = f"part-{m['partition_id']:05d}.parquet"
+        if name in superseded:
+            continue
+        rows += m.get("row_count", 0)
+        bytes_ += m.get("file_bytes", 0)
+        pids.add(m["partition_id"])
+        if "wall_sec" in m:
+            walls.append(m["wall_sec"])
+    return {
+        "partitions": len(pids),
+        "rows": rows,
+        "bytes": bytes_,
+        "wall_sum_sec": round(sum(walls), 6) if walls else None,
+        "wall_max_sec": round(max(walls), 6) if walls else None,
+        "wall_mean_sec": round(sum(walls) / len(walls), 6)
+        if walls else None,
     }
 
 

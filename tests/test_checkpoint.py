@@ -247,3 +247,22 @@ def test_repeated_compaction_never_collides(out_dir):
                                num_buckets=8, input_fingerprint="fp1",
                                process_fn=_process)
     assert stats["written"] == [] and stats["rows"] == 0
+
+
+def test_checkpoint_metrics_rollup(out_dir):
+    stats = CP.run_partitioned(_input_ds(), out_dir, entity_col="entity",
+                               num_buckets=6, input_fingerprint="fp1",
+                               process_fn=_process)
+    m = CP.checkpoint_metrics(out_dir)
+    assert m["partitions"] == len(stats["written"])
+    assert m["rows"] == 300
+    assert m["bytes"] > 0
+    # every fresh partition manifest records its compute+write wall
+    assert m["wall_sum_sec"] is not None and m["wall_sum_sec"] > 0
+    assert m["wall_max_sec"] <= m["wall_sum_sec"]
+    rows_before = m["rows"]
+    # compaction supersedes sources: rows/bytes count exactly once
+    CP.compact_checkpoints(out_dir, target_bytes=1 << 30)
+    m2 = CP.checkpoint_metrics(out_dir)
+    assert m2["rows"] == rows_before
+    assert m2["partitions"] == m["partitions"]
