@@ -9739,6 +9739,71 @@ def hashed_cross_lineitems(sf_dir: str) -> Dataset:
                                  out_col="cross_bucket")
 
 
+def isotonic_embeddings(sf_dir: str) -> Dataset:
+    """Isotonic (PAV) probability calibration over centi-unit cosine
+    scores vs label-match (stages/evalmetrics.isotonic_fit): pool
+    merges decided by exact int cross-multiplication, each level's
+    probability ONE division of exact ints; the SQL twin needs no PAV
+    — the minimax identity min_{k≥i} max_{j≤i} avg(j..k) holds in
+    doubles (IEEE rounding is monotone, equal rationals divide to the
+    identical double), so it compares STRICTLY. Centi-units keep the
+    twin's O(L³) join tiny (L ≤ 201 levels)."""
+    import pyarrow.parquet as _pq
+    from ..stages.evalmetrics import isotonic_fit
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"]) \
+        .slice(0, 1)
+    qv = np.array(head["embedding"].to_pylist(), dtype=np.float64)[0]
+    qlab = head["label"][0].as_py()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        centi = _round_arr(c * 100.0, 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"s": pa.array(centi),
+                         "lab": pa.array((lab == qlab)
+                                         .astype(np.int64))})
+
+    return isotonic_fit(emb.map_batches(score, batch_format="pyarrow"),
+                        "s", "lab")
+
+
+ISOTONIC_SQL = """
+WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+            FROM embeddings WHERE vec_id = 0),
+cs AS (SELECT round(list_cosine_similarity(
+                qv.qe, CAST(e.embedding AS DOUBLE[])) * 100,
+              0)::BIGINT AS s,
+              CASE WHEN e.label = qv.qlab THEN 1 ELSE 0 END AS lab
+       FROM qv CROSS JOIN embeddings e),
+g AS (SELECT s, count(*)::BIGINT AS n, sum(lab)::BIGINT AS p
+      FROM cs GROUP BY s),
+o AS (SELECT s, n, p,
+             row_number() OVER (ORDER BY s) AS i,
+             (sum(n) OVER (ORDER BY s))::BIGINT AS cn,
+             (sum(p) OVER (ORDER BY s))::BIGINT AS cp
+      FROM g),
+grid AS (SELECT j.i AS ji, k.i AS ki,
+                (k.cp - (j.cp - j.p))::DOUBLE
+                  / (k.cn - (j.cn - j.n))::DOUBLE AS avg_jk
+         FROM o j JOIN o k ON j.i <= k.i),
+mx AS (SELECT i.i AS ii, g2.ki AS ki, max(g2.avg_jk) AS m
+       FROM o i JOIN grid g2 ON g2.ji <= i.i AND g2.ki >= i.i
+       GROUP BY 1, 2),
+iso AS (SELECT ii, min(m) AS iso FROM mx GROUP BY ii)
+SELECT o.s AS score, o.n, o.p AS pos, iso.iso AS iso
+FROM o JOIN iso ON iso.ii = o.i
+"""
+
+
 HASHED_CROSS_SQL = """
 SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
        (((l_partkey % 1048576) * 2654435761
@@ -9947,7 +10012,9 @@ QUERIES = {
     # token_cms_docs — Count-Min sketch of the token stream (shared
     # hash family, sketch-bounded exchange, integer-exact cell twin);
     # hashed_cross_lineitems — wide-and-deep crossed_column bucket
-    # (two-multiplier hash, zero shuffles, integer-exact twin).
+    # (two-multiplier hash, zero shuffles, integer-exact twin);
+    # isotonic_embeddings — PAV probability calibration (exact-int
+    # pool merges; strict minimax-identity twin, no SQL PAV needed).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10212,9 +10279,11 @@ QUERIES = {
     "corr_matrix_lineitem": corr_matrix_lineitem,
     "token_cms_docs": token_cms_docs,
     "hashed_cross_lineitems": hashed_cross_lineitems,
+    "isotonic_embeddings": isotonic_embeddings,
 }
 
 ORACLE_SQL = {
+    "isotonic_embeddings": ISOTONIC_SQL,
     "hashed_cross_lineitems": HASHED_CROSS_SQL,
     "token_cms_docs": _token_cms_sql(),
     "corr_matrix_lineitem": CORR_MATRIX_SQL,

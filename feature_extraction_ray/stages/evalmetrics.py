@@ -116,3 +116,52 @@ def roc_points(ds: Dataset, score_col: str, label_col: str) -> Dataset:
         "tp": pa.array(tp), "fp": pa.array(fp),
         "tpr": pa.array(tpr, from_pandas=True),
         "fpr": pa.array(fpr, from_pandas=True)}))
+
+
+def isotonic_fit(ds: Dataset, score_col: str, label_col: str) -> Dataset:
+    """Isotonic-regression probability calibration (pool-adjacent-
+    violators): the non-decreasing step function over DISTINCT scores
+    minimizing squared error against the 0/1 labels — the
+    non-parametric sibling of :func:`calibration_bins` (it learns the
+    bin edges instead of fixing them).
+
+    Exactness contract: the labeled data rides the SAME one-exchange
+    distinct-score reduction as :func:`roc_points`; PAV runs on the
+    driver over the span-bounded distinct-score table with pool
+    comparisons by exact int64 cross-multiplication (``p₁·n₂ ≥ p₂·n₁``
+    — no float ever decides a merge; bound ``n·n_pos < 2⁶²``
+    documented), and each level's calibrated probability is ONE
+    division ``pool_pos / pool_n`` of exact ints. A SQL twin needs no
+    PAV: the minimax identity ``iso_i = min_{k≥i} max_{j≤i}
+    avg(j..k)`` holds in DOUBLES too — IEEE rounding is monotone, so
+    min/max commute with fl(), and equal rationals divide to the
+    identical double — hence the twin compares STRICTLY (keep the
+    distinct-level count L small enough for its O(L³) join).
+
+    Output per distinct score: ``score, n, pos, iso``."""
+    t = _score_label_table(ds, score_col, label_col)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(n.sum())
+    if total and total * max(int(p.sum()), 1) >= (1 << 62):
+        raise ValueError("int64 exactness bound exceeded: n·n_pos")
+    # PAV over score-ascending levels: pools as (pos, n, count) stacks
+    ps, ns, width = [], [], []
+    for i in range(len(n)):
+        cp, cn, cw = int(p[i]), int(n[i]), 1
+        # merge while the previous pool mean >= this pool mean
+        while ps and ps[-1] * cn >= cp * ns[-1]:
+            cp += ps.pop()
+            cn += ns.pop()
+            cw += width.pop()
+        ps.append(cp)
+        ns.append(cn)
+        width.append(cw)
+    iso = np.empty(len(n), dtype=np.float64)
+    pos = 0
+    for cp, cn, cw in zip(ps, ns, width):
+        iso[pos:pos + cw] = float(cp) / float(cn)
+        pos += cw
+    return rd.from_arrow(pa.table({
+        "score": t["s"], "n": pa.array(n), "pos": pa.array(p),
+        "iso": pa.array(iso)}))
