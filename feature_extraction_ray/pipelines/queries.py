@@ -9524,6 +9524,39 @@ FROM h GROUP BY 1, 2
 """
 
 
+def token_hashed_bigrams(sf_dir: str) -> Dataset:
+    """Signed feature hashing of ADJACENT TOKEN PAIRS over the F1
+    fixture (stages/tokengrams.hashed_token_features ngram=2,
+    n_features=64): bucket/sign from the two-multiplier pair combos —
+    integer-exact against the positional self-join twin."""
+    from ..stages.tokengrams import hashed_token_features
+    tok, _ = _token_fixture()
+    return hashed_token_features(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])),
+        n_features=64, seed=1, ngram=2)
+
+
+def _token_hashed_bigrams_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT AS tk,
+             generate_subscripts(tokens, 1)::BIGINT AS pos FROM tok),
+pr AS (SELECT a.doc_id, (a.tk % 1048576) AS x, (b.tk % 1048576) AS y
+       FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+h AS (SELECT doc_id,
+             ((x * 2654435761 + y * 2246822519 + 1 * 1315423911)
+               % 4294967296) % 64 AS bucket,
+             1 - 2 * (((x * 2246822519 + y * 2654435761
+                        + 1 * 2654435761) % 4294967296)
+                      // 2147483648) AS sgn
+      FROM pr)
+SELECT doc_id, bucket::BIGINT AS bucket, count(*)::BIGINT AS n,
+       sum(sgn)::BIGINT AS value
+FROM h GROUP BY 1, 2
+"""
+
+
 def token_chi2_docs(sf_dir: str) -> Dataset:
     """Per-token chi-square association with the entity class over the
     F1 fixture (stages/tokengrams.token_class_chi2) — exact-int
@@ -10014,7 +10047,9 @@ QUERIES = {
     # hashed_cross_lineitems — wide-and-deep crossed_column bucket
     # (two-multiplier hash, zero shuffles, integer-exact twin);
     # isotonic_embeddings — PAV probability calibration (exact-int
-    # pool merges; strict minimax-identity twin, no SQL PAV needed).
+    # pool merges; strict minimax-identity twin, no SQL PAV needed);
+    # token_hashed_bigrams — pair-gram hashing trick (two-multiplier
+    # combos, positional self-join twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10280,9 +10315,11 @@ QUERIES = {
     "token_cms_docs": token_cms_docs,
     "hashed_cross_lineitems": hashed_cross_lineitems,
     "isotonic_embeddings": isotonic_embeddings,
+    "token_hashed_bigrams": token_hashed_bigrams,
 }
 
 ORACLE_SQL = {
+    "token_hashed_bigrams": _token_hashed_bigrams_sql(),
     "isotonic_embeddings": ISOTONIC_SQL,
     "hashed_cross_lineitems": HASHED_CROSS_SQL,
     "token_cms_docs": _token_cms_sql(),

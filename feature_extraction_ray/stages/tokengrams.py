@@ -1845,7 +1845,8 @@ def token_kn_surprisal(ds: Dataset, lm: dict | None = None,
 def hashed_token_features(ds: Dataset, tokens_col: str = "tokens",
                           id_col: str = "doc_id",
                           n_features: int = 1024,
-                          seed: int = 1) -> Dataset:
+                          seed: int = 1,
+                          ngram: int = 1) -> Dataset:
     """Signed feature hashing (Weinberger et al. 2009, "Feature Hashing
     for Large Scale Multitask Learning" — the hashing trick) run
     natively on the ``list<int32>`` payload: every token occurrence
@@ -1866,9 +1867,19 @@ def hashed_token_features(ds: Dataset, tokens_col: str = "tokens",
     cancel — the bucket is still emitted, matching SQL GROUP BY
     semantics). Zero shuffles: the per-doc reduction happens inside the
     batch (``np.unique`` on packed (row, bucket) keys); no vocabulary
-    is fit, so the op streams at any scale."""
+    is fit, so the op streams at any scale.
+
+    ``ngram=2`` hashes ADJACENT TOKEN PAIRS instead (the fastText
+    word-ngram trick): bucket and sign come from the two-multiplier
+    pair combos ``a·2654435761 + b·2246822519`` / the swapped pair
+    (each term < 2⁵², still BIGINT-safe — a packed 40-bit base times a
+    large multiplier would overflow int64, which is why the pair
+    enters the hash as two products, not one packed value); docs
+    shorter than 2 tokens emit nothing."""
     if n_features < 1:
         raise ValueError("n_features must be >= 1")
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
     # sign multiplier must be LARGE mod 2^32 (a small one leaves the
     # top bit nearly constant across nearby token ids — correlated
     # signs) and odd; base < 2^20 keeps base*mul2 < 2^52 (BIGINT-safe)
@@ -1885,10 +1896,23 @@ def hashed_token_features(ds: Dataset, tokens_col: str = "tokens",
         flat = col.flatten().to_numpy(zero_copy_only=False) \
             .astype(np.uint64)
         doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
-        base = flat % np.uint64(1 << 20)
-        b = ((base * mul1 + add1) % np.uint64(1 << 32)
+        if ngram == 2:
+            same = doc_of[:-1] == doc_of[1:] if len(flat) else \
+                np.zeros(0, dtype=bool)
+            a = (flat[:-1] if len(flat) else flat)[same] \
+                % np.uint64(1 << 20)
+            bb = (flat[1:] if len(flat) else flat)[same] \
+                % np.uint64(1 << 20)
+            doc_of = (doc_of[:-1] if len(doc_of) else doc_of)[same]
+            h1 = a * mul1 + bb * mul2 + add1
+            h2 = a * mul2 + bb * mul1 + add2
+        else:
+            base = flat % np.uint64(1 << 20)
+            h1 = base * mul1 + add1
+            h2 = base * mul2 + add2
+        b = (h1 % np.uint64(1 << 32)
              % np.uint64(n_features)).astype(np.int64)
-        sgn = 1 - 2 * ((base * mul2 + add2) % np.uint64(1 << 32)
+        sgn = 1 - 2 * (h2 % np.uint64(1 << 32)
                        // np.uint64(1 << 31)).astype(np.int64)
         pack = doc_of * n_features + b
         u, inv, cnt = np.unique(pack, return_inverse=True,

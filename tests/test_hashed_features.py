@@ -70,3 +70,37 @@ def test_hashed_features_properties():
     assert (m["n_y"] == 2 * m["n_x"]).all()
     with pytest.raises(ValueError):
         hashed_token_features(_ds([[1]]), n_features=0)
+
+
+def test_hashed_bigrams_naive_parity():
+    def _bb(a, b, d, seed=1):
+        return ((a % (1 << 20)) * 2654435761
+                + (b % (1 << 20)) * 2246822519
+                + seed * 1315423911) % (1 << 32) % d
+
+    def _bs(a, b, seed=1):
+        return 1 - 2 * (((a % (1 << 20)) * 2246822519
+                         + (b % (1 << 20)) * 2654435761
+                         + seed * 2654435761) % (1 << 32) >> 31)
+
+    rng = np.random.default_rng(19)
+    docs = [rng.integers(0, 50000, size=int(rng.integers(0, 15)))
+            .tolist() for _ in range(60)] + [[], [7]]
+    out = hashed_token_features(_ds(docs), n_features=32,
+                                ngram=2).to_pandas()
+    exp = {}
+    for i, d in enumerate(docs):
+        for a, b in zip(d, d[1:]):
+            k = (f"d{i}", _bb(a, b, 32))
+            n, v = exp.get(k, (0, 0))
+            exp[k] = (n + 1, v + _bs(a, b))
+    assert len(out) == len(exp)
+    for r in out.itertuples():
+        assert exp[(r.doc_id, r.bucket)] == (r.n, r.value)
+    # short docs emit nothing; order matters: (a,b) != (b,a)
+    one = hashed_token_features(_ds([[5, 9], [9, 5]]), n_features=1 << 16,
+                                ngram=2).to_pandas()
+    assert len(one) == 2
+    assert one["bucket"].iloc[0] != one["bucket"].iloc[1]
+    with pytest.raises(ValueError, match="ngram"):
+        hashed_token_features(_ds([[1]]), ngram=3)
