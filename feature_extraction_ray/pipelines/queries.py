@@ -9809,6 +9809,29 @@ def isotonic_embeddings(sf_dir: str) -> Dataset:
                         "s", "lab")
 
 
+def lag_pack_events(sf_dir: str) -> Dataset:
+    """Multi-lag autoregressive feature pack over events
+    (stages/window.lag_pack, lags 1/2/3 of value per user in (ts,
+    event_id) order) — ONE bucketed exchange for all three lags;
+    pass-through values are bit-safe so the window twin compares
+    exactly."""
+    from ..stages.window import lag_pack
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"])
+    return lag_pack(ev, "user_id", ["ts", "event_id"], ["value"],
+                    lags=(1, 2, 3), num_buckets=16)
+
+
+LAG_PACK_SQL = """
+SELECT user_id, ts, event_id, value,
+       lag(value, 1) OVER w AS value_lag1,
+       lag(value, 2) OVER w AS value_lag2,
+       lag(value, 3) OVER w AS value_lag3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 ISOTONIC_SQL = """
 WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
             FROM embeddings WHERE vec_id = 0),
@@ -10049,7 +10072,9 @@ QUERIES = {
     # isotonic_embeddings — PAV probability calibration (exact-int
     # pool merges; strict minimax-identity twin, no SQL PAV needed);
     # token_hashed_bigrams — pair-gram hashing trick (two-multiplier
-    # combos, positional self-join twin, integer-exact).
+    # combos, positional self-join twin, integer-exact);
+    # lag_pack_events — multi-lag autoregressive pack in ONE exchange
+    # (bit-safe pass-through values, window lag twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10316,9 +10341,11 @@ QUERIES = {
     "hashed_cross_lineitems": hashed_cross_lineitems,
     "isotonic_embeddings": isotonic_embeddings,
     "token_hashed_bigrams": token_hashed_bigrams,
+    "lag_pack_events": lag_pack_events,
 }
 
 ORACLE_SQL = {
+    "lag_pack_events": LAG_PACK_SQL,
     "token_hashed_bigrams": _token_hashed_bigrams_sql(),
     "isotonic_embeddings": ISOTONIC_SQL,
     "hashed_cross_lineitems": HASHED_CROSS_SQL,

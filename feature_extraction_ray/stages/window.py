@@ -902,3 +902,31 @@ def sliding_corr(ds: Dataset, entity_col: str, order_cols: Sequence[str],
             out_col, pa.array(np.where(ok, corr, 0.0), mask=~ok))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def lag_pack(ds: Dataset, entity_col: str, order_cols: Sequence[str],
+             value_cols: Sequence[str], lags: Sequence[int] = (1, 2, 3),
+             num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Multi-lag feature pack: every ``(value_col, lag)`` combination
+    appended in ONE bucketed exchange — the autoregressive feature
+    builder (``v_lag1..v_lagK``) that would otherwise cost one
+    :func:`shift` exchange PER lag. Positive lags only; columns named
+    ``{col}_lag{p}``; rows with no source row in the entity get nulls;
+    works on any Arrow type, token arrays included."""
+    lags = list(lags)
+    if not lags or any(int(p) < 1 for p in lags):
+        raise ValueError("lags must be positive integers")
+    if len(set(lags)) != len(lags):
+        raise ValueError("lags contains duplicates")
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        for p in lags:
+            src, valid = W.lag_indices(ng, int(p))
+            for c in value_cols:
+                tbl = tbl.append_column(
+                    f"{c}_lag{int(p)}",
+                    _take_with_nulls(tbl[c], src, valid))
+        return tbl
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
