@@ -9822,6 +9822,49 @@ def lag_pack_events(sf_dir: str) -> Dataset:
                     lags=(1, 2, 3), num_buckets=16)
 
 
+def sliding_zscore_events(sf_dir: str) -> Dataset:
+    """Trailing-8-row z-score of centi-unit event values per user
+    (stages/window.sliding_zscore): exact-int windowed S/S² (integer
+    window sums reassociate exactly in DuckDB's segment tree), z ONE
+    fixed IEEE expression — compares STRICTLY."""
+    from ..stages.window import sliding_zscore
+    ev = _read(sf_dir, "events",
+               ["user_id", "ts", "event_id", "value"])
+
+    def quant(t: pa.Table) -> pa.Table:
+        cv = pc.cast(_round_arr(pc.multiply(
+            pc.cast(t["value"], pa.float64()),
+            pa.scalar(100.0)), 0), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "cv": cv})
+
+    return sliding_zscore(ev.map_batches(quant,
+                                         batch_format="pyarrow"),
+                          "user_id", ["ts", "event_id"], "cv",
+                          window=8, num_buckets=16)
+
+
+SLIDING_ZSCORE_SQL = """
+WITH q AS (SELECT user_id, ts, event_id,
+                  round(value::DOUBLE * 100, 0)::BIGINT AS cv
+           FROM events),
+w AS (SELECT user_id, ts, event_id, cv,
+             (sum(cv) OVER win)::BIGINT AS s,
+             (sum(cv * cv) OVER win)::BIGINT AS s2,
+             (count(*) OVER win)::BIGINT AS n
+      FROM q
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, cv,
+       CASE WHEN n >= 2 AND (n * s2 - s * s) > 0
+            THEN (cv::DOUBLE - s::DOUBLE / n::DOUBLE)
+                 / sqrt((n * s2 - s * s)::DOUBLE
+                        / (n * (n - 1))::DOUBLE)
+            ELSE NULL END AS cv_w8_z
+FROM w
+"""
+
+
 LAG_PACK_SQL = """
 SELECT user_id, ts, event_id, value,
        lag(value, 1) OVER w AS value_lag1,
@@ -10074,7 +10117,9 @@ QUERIES = {
     # token_hashed_bigrams — pair-gram hashing trick (two-multiplier
     # combos, positional self-join twin, integer-exact);
     # lag_pack_events — multi-lag autoregressive pack in ONE exchange
-    # (bit-safe pass-through values, window lag twin).
+    # (bit-safe pass-through values, window lag twin);
+    # sliding_zscore_events — trailing-window anomaly z-score
+    # (exact-int windowed S/S², strict one-expression twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10342,9 +10387,11 @@ QUERIES = {
     "isotonic_embeddings": isotonic_embeddings,
     "token_hashed_bigrams": token_hashed_bigrams,
     "lag_pack_events": lag_pack_events,
+    "sliding_zscore_events": sliding_zscore_events,
 }
 
 ORACLE_SQL = {
+    "sliding_zscore_events": SLIDING_ZSCORE_SQL,
     "lag_pack_events": LAG_PACK_SQL,
     "token_hashed_bigrams": _token_hashed_bigrams_sql(),
     "isotonic_embeddings": ISOTONIC_SQL,

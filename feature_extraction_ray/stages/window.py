@@ -930,3 +930,64 @@ def lag_pack(ds: Dataset, entity_col: str, order_cols: Sequence[str],
         return tbl
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def sliding_zscore(ds: Dataset, entity_col: str,
+                   order_cols: Sequence[str], value_col: str,
+                   window: int,
+                   num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Trailing-window z-score — the rolling anomaly feature:
+    ``z = (v − mean_w) / std_w`` over the last ``window`` rows per
+    entity INCLUDING the current row (sample std, ``n−1``
+    denominator); rows whose window has ``n < 2`` or zero variance get
+    null. The value column must be INTEGER-valued (quantize
+    fixed-decimal floats upstream), so the windowed sums S and S² are
+    exact int64 (integer window sums reassociate exactly — the segment
+    tree cannot drift them, unlike float chains) and
+
+        ``z = (v − S/n) / sqrt((n·S² − S·S) / (n·(n−1)))``
+
+    is ONE fixed IEEE expression — SQL twins compare STRICTLY. The
+    int64 bound ``window²·max(v²) < 2⁶²`` is checked per block. ONE
+    bucketed exchange; windowed sums via prefix-sum differences."""
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    name = f"{value_col}_w{window}_z"
+
+    def fn(tbl: pa.Table) -> pa.Table:
+        tbl, ng = _sorted_with_starts(tbl, entity_col, order_cols)
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        vi = v.astype(np.int64)
+        if not np.array_equal(vi.astype(v.dtype), v):
+            raise ValueError(f"{value_col} must be integer-valued")
+        if len(vi) and (window * window
+                        * int(np.abs(vi).max()) ** 2) >= (1 << 62):
+            raise ValueError("int64 exactness bound exceeded: "
+                             "window²·max(v²)")
+        n_rows = len(vi)
+        if n_rows == 0:
+            return tbl.append_column(
+                name, pa.array([], type=pa.float64()))
+        run_id = np.cumsum(ng) - 1
+        starts = np.flatnonzero(ng)
+        i = np.arange(n_rows, dtype=np.int64)
+        j = np.maximum(starts[run_id], i - window + 1)
+        cs = np.concatenate([[0], np.cumsum(vi, dtype=np.int64)])
+        cs2 = np.concatenate([[0], np.cumsum(vi * vi,
+                                             dtype=np.int64)])
+        n = i + 1 - j
+        S = cs[i + 1] - cs[j]
+        S2 = cs2[i + 1] - cs2[j]
+        varnum = n * S2 - S * S
+        ok = (n >= 2) & (varnum > 0)
+        z = np.zeros(n_rows, dtype=np.float64)
+        if ok.any():
+            no, So, Vo, vo = n[ok], S[ok], varnum[ok], vi[ok]
+            z[ok] = (vo.astype(np.float64)
+                     - So.astype(np.float64) / no.astype(np.float64)) \
+                / np.sqrt(Vo.astype(np.float64)
+                          / (no * (no - 1)).astype(np.float64))
+        return tbl.append_column(
+            name, pa.array(z, mask=~ok))
+
+    return bucketed_apply(ds, entity_col, fn, num_buckets)
