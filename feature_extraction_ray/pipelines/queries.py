@@ -9557,6 +9557,31 @@ FROM h GROUP BY 1, 2
 """
 
 
+def token_skipgram_docs(sf_dir: str) -> Dataset:
+    """Skip-gram pair counts within ±2 positions over the F1 fixture
+    (stages/tokengrams.token_skipgram_pairs) — exact int64 against the
+    positional self-join twin."""
+    from ..stages.tokengrams import token_skipgram_pairs
+    tok, _ = _token_fixture()
+    return token_skipgram_pairs(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])), window=2)
+
+
+def _token_skipgram_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT AS tk,
+             generate_subscripts(tokens, 1)::BIGINT AS pos FROM tok),
+p AS (SELECT a.tk AS center, b.tk AS context
+      FROM t a JOIN t b
+        ON a.doc_id = b.doc_id AND a.pos <> b.pos
+       AND abs(a.pos - b.pos) <= 2)
+SELECT center, context, count(*)::BIGINT AS cnt
+FROM p GROUP BY 1, 2
+"""
+
+
 def token_chi2_docs(sf_dir: str) -> Dataset:
     """Per-token chi-square association with the entity class over the
     F1 fixture (stages/tokengrams.token_class_chi2) — exact-int
@@ -10119,7 +10144,9 @@ QUERIES = {
     # lag_pack_events — multi-lag autoregressive pack in ONE exchange
     # (bit-safe pass-through values, window lag twin);
     # sliding_zscore_events — trailing-window anomaly z-score
-    # (exact-int windowed S/S², strict one-expression twin).
+    # (exact-int windowed S/S², strict one-expression twin);
+    # token_skipgram_docs — word2vec skip-gram pair counts (±window
+    # positional self-join twin, packed-key exchange, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10388,9 +10415,11 @@ QUERIES = {
     "token_hashed_bigrams": token_hashed_bigrams,
     "lag_pack_events": lag_pack_events,
     "sliding_zscore_events": sliding_zscore_events,
+    "token_skipgram_docs": token_skipgram_docs,
 }
 
 ORACLE_SQL = {
+    "token_skipgram_docs": _token_skipgram_sql(),
     "sliding_zscore_events": SLIDING_ZSCORE_SQL,
     "lag_pack_events": LAG_PACK_SQL,
     "token_hashed_bigrams": _token_hashed_bigrams_sql(),

@@ -2158,3 +2158,60 @@ def pool_token_embeddings(ds: Dataset, emb: "np.ndarray",
                          "vec": lv})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def token_skipgram_pairs(ds: Dataset, tokens_col: str = "tokens",
+                         window: int = 2) -> Dataset:
+    """Skip-gram (center, context) pair counts within a ±``window``
+    positional neighborhood — the word2vec / GloVe training-pair
+    extractor run natively on the ``list<int32>`` payload. Every
+    ordered pair with ``1 ≤ |i−j| ≤ window`` in the same document
+    counts once (both directions, per the word2vec convention), so
+    ``cnt(a,b) == cnt(b,a)`` globally. Exact int64: per-block
+    ``np.unique`` partials on collision-free packed keys
+    ``(center << 32) | context`` ride ONE ``groupby(key)`` exchange
+    (vocab²-bounded — the corpus never shuffles). Output: ``center,
+    context, cnt``."""
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        keys = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            same = doc_of[:-d] == doc_of[d:]
+            a, b = flat[:-d][same], flat[d:][same]
+            keys.append((a << np.int64(32)) | b)   # forward
+            keys.append((b << np.int64(32)) | a)   # backward
+        if not keys:
+            return pa.table({"key": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        u, c = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({"key": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    g = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("key").aggregate(Sum("cnt", alias_name="cnt"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if "key" not in t.column_names or len(t) == 0:
+            z = pa.array([], type=pa.int64())
+            return pa.table({"center": z, "context": z, "cnt": z})
+        k = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "center": pa.array(k >> np.int64(32)),
+            "context": pa.array(k & np.int64(0xFFFFFFFF)),
+            "cnt": t["cnt"]})
+
+    return g.map_batches(fin, batch_format="pyarrow")
