@@ -8017,6 +8017,24 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def orc_roundtrip_docs(sf_dir: str) -> Dataset:
+    """ORC sink → source roundtrip (sources/writers.write_orc /
+    read_orc): one zstd ORC file per block written inside Ray tasks,
+    parsed back file-per-task. The oracle reads the SAME parquet —
+    the string-exact match certifies the ORC cycle preserves every
+    column."""
+    import tempfile
+    from ..sources.writers import read_orc, write_orc
+    docs = _read(sf_dir, "documents",
+                 ["doc_id", "text", "lang", "source", "n_chars"])
+    d = tempfile.mkdtemp(prefix="fx_orc_")
+    write_orc(docs, d, compression="zstd")
+    return read_orc(d)
+
+
+ORC_ROUNDTRIP_SQL = IPC_ROUNDTRIP_SQL
+
+
 def feature_store_events(sf_dir: str) -> Dataset:
     """Multi-table feature-store lookup
     (pipelines/feature_store.point_in_time_enrich): every event
@@ -10146,7 +10164,9 @@ QUERIES = {
     # sliding_zscore_events — trailing-window anomaly z-score
     # (exact-int windowed S/S², strict one-expression twin);
     # token_skipgram_docs — word2vec skip-gram pair counts (±window
-    # positional self-join twin, packed-key exchange, integer-exact).
+    # positional self-join twin, packed-key exchange, integer-exact);
+    # orc_roundtrip_docs — ORC sink/source roundtrip (oracle reads
+    # the same parquet; string-exact certifies the cycle).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10416,9 +10436,11 @@ QUERIES = {
     "lag_pack_events": lag_pack_events,
     "sliding_zscore_events": sliding_zscore_events,
     "token_skipgram_docs": token_skipgram_docs,
+    "orc_roundtrip_docs": orc_roundtrip_docs,
 }
 
 ORACLE_SQL = {
+    "orc_roundtrip_docs": ORC_ROUNDTRIP_SQL,
     "token_skipgram_docs": _token_skipgram_sql(),
     "sliding_zscore_events": SLIDING_ZSCORE_SQL,
     "lag_pack_events": LAG_PACK_SQL,

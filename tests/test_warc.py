@@ -101,3 +101,22 @@ def test_arrow_ipc_roundtrip_preserves_list_columns():
     assert [list(v) for v in got["vector"]] == \
         [[1.5, -2.0], [0.0, 3.25], [7.0, 8.0]]
     assert [list(v) for v in got["tokens"]] == [[1, 2], [], [5]]
+
+
+def test_orc_roundtrip_preserves_list_columns():
+    from feature_extraction_ray.sources.writers import (read_orc,
+                                                        write_orc)
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3], pa.int64()),
+        "vector": pa.array([[1.5, -2.0], [0.0, 3.25], [7.0, 8.0]],
+                           pa.list_(pa.float32())),
+        "tokens": pa.array([[1, 2], [], [5]], pa.list_(pa.int32())),
+        "label": ["a", "b", "c"]})
+    d = tempfile.mkdtemp(prefix="orc_t_")
+    names = write_orc(rd.from_arrow(t), d, compression="zstd")
+    assert names and all(n.endswith(".orc") for n in names)
+    got = read_orc(d).to_pandas().sort_values("vec_id")
+    assert got["label"].tolist() == ["a", "b", "c"]
+    assert [list(v) for v in got["vector"]] == \
+        [[1.5, -2.0], [0.0, 3.25], [7.0, 8.0]]
+    assert [list(v) for v in got["tokens"]] == [[1, 2], [], [5]]
