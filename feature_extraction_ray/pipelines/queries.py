@@ -7996,6 +7996,43 @@ FROM r WHERE sample_rank <= 100
 """
 
 
+def weighted_sample_grouped_orders(sf_dir: str) -> Dataset:
+    """Stratified weighted sampling without replacement
+    (stages/curation.weighted_sample_grouped): 40 orders per
+    o_orderpriority drawn ∝ o_totalprice — the per-domain quota
+    sampler; identical ONE-expression ES keys both engines, selection
+    AND per-group rank compare exactly (row_number PARTITION twin)."""
+    from ..stages.curation import weighted_sample_grouped
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return weighted_sample_grouped(
+        orders, "o_orderpriority", k=40, weight_col="o_totalprice",
+        id_col="o_orderkey", seed=7, num_buckets=8)
+
+
+WEIGHTED_SAMPLE_GROUPED_SQL = """
+WITH h AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ((o_orderkey % 1048576) * 2654435761::BIGINT
+          + 7 * 1315423911::BIGINT) % 4294967296 AS hv
+  FROM orders
+), kk AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         ln((hv + 1)::DOUBLE / 4294967297::DOUBLE) / o_totalprice
+           AS key
+  FROM h
+), r AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY key DESC, o_orderkey)
+           AS sample_rank
+  FROM kk
+)
+SELECT o_orderkey, o_orderpriority, o_totalprice, sample_rank
+FROM r WHERE sample_rank <= 40
+"""
+
+
 def ipc_roundtrip_docs(sf_dir: str) -> Dataset:
     """Arrow IPC (Feather V2) sink → source roundtrip
     (sources/writers.write_arrow_ipc / read_arrow_ipc): the documents
@@ -10166,7 +10203,9 @@ QUERIES = {
     # token_skipgram_docs — word2vec skip-gram pair counts (±window
     # positional self-join twin, packed-key exchange, integer-exact);
     # orc_roundtrip_docs — ORC sink/source roundtrip (oracle reads
-    # the same parquet; string-exact certifies the cycle).
+    # the same parquet; string-exact certifies the cycle);
+    # weighted_sample_grouped_orders — stratified ES weighted sampling
+    # (per-group top-k, identical IEEE keys, PARTITION row_number twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10437,9 +10476,11 @@ QUERIES = {
     "sliding_zscore_events": sliding_zscore_events,
     "token_skipgram_docs": token_skipgram_docs,
     "orc_roundtrip_docs": orc_roundtrip_docs,
+    "weighted_sample_grouped_orders": weighted_sample_grouped_orders,
 }
 
 ORACLE_SQL = {
+    "weighted_sample_grouped_orders": WEIGHTED_SAMPLE_GROUPED_SQL,
     "orc_roundtrip_docs": ORC_ROUNDTRIP_SQL,
     "token_skipgram_docs": _token_skipgram_sql(),
     "sliding_zscore_events": SLIDING_ZSCORE_SQL,

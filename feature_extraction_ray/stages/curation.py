@@ -2061,3 +2061,91 @@ def weighted_sample(ds: Dataset, k: int, weight_col: str,
 
     pruned = ds.map_batches(add_key, batch_format="pyarrow")
     return bucketed_apply(pruned, "__one", final, num_buckets=1)
+
+
+def weighted_sample_grouped(ds: Dataset, group_col: str, k: int,
+                            weight_col: str, id_col: str = "doc_id",
+                            seed: int = 7,
+                            num_buckets: int = 32) -> Dataset:
+    """Per-group deterministic weighted sampling without replacement —
+    the stratified sibling of :func:`weighted_sample`: within EVERY
+    ``group_col`` value, the ``k`` largest Efraimidis–Spirakis
+    exponential keys (``ln(u)/w``, u from the shared (id, seed) hash
+    family — the identical ONE-expression key, so the SQL twin orders
+    bit-for-bit with id tie-break) are that group's
+    probability-proportional-to-weight draws; groups smaller than
+    ``k`` keep all rows. The per-domain quota sampler for mixture
+    curation — reproducible under any partitioning, a new seed is an
+    independent sample. Emits selected rows with ``sample_rank``
+    (1 = the group's first draw).
+
+    Scale shape: keys map-side, per-block per-group top-``k``
+    pre-prune (lexsort run-bounded, no Python loops) caps the
+    exchange at ``blocks × groups × k`` rows, then ONE bucketed
+    exchange on the group ranks each group's survivors."""
+    from .window import bucketed_apply
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    kk = int(k)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(w) and (not np.all(np.isfinite(w)) or (w <= 0).any()):
+            raise ValueError("weighted_sample_grouped: weights must "
+                             "be strictly positive and finite")
+        u = ids.astype(np.uint64)
+        h = ((u % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        uni = (h + np.uint64(1)).astype(np.float64) / 4294967297.0
+        key = np.log(uni) / w
+        t = t.append_column("__wsk", pa.array(key))
+        if len(t) > kk:
+            # per-group top-k pre-prune: group rows by dictionary
+            # code, keep each run's k largest keys
+            codes = pc.dictionary_encode(
+                t[group_col].combine_chunks()
+                if isinstance(t[group_col], pa.ChunkedArray)
+                else t[group_col]).indices.to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((-key, codes))
+            g_sorted = codes[order]
+            starts = np.concatenate(
+                [[0], np.flatnonzero(g_sorted[1:] != g_sorted[:-1])
+                 + 1])
+            run_of = np.repeat(np.arange(len(starts)),
+                               np.diff(np.concatenate(
+                                   [starts, [len(g_sorted)]])))
+            pos_in_run = np.arange(len(g_sorted)) - starts[run_of]
+            keep = order[pos_in_run < kk]
+            t = t.take(pa.array(np.sort(keep)))
+        return t
+
+    def final(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(tbl, sort_keys=[
+            (group_col, "ascending"), ("__wsk", "descending"),
+            (id_col, "ascending")])
+        tbl = tbl.take(idx)
+        g = tbl[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = pc.dictionary_encode(g).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        starts = np.concatenate(
+            [[0], np.flatnonzero(codes[1:] != codes[:-1]) + 1]) \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        run_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.concatenate(
+                               [starts, [len(codes)]]))) \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        rank = np.arange(len(codes)) - starts[run_of] + 1 \
+            if len(codes) else np.zeros(0, dtype=np.int64)
+        mask = rank <= kk
+        tbl = tbl.append_column("sample_rank", pa.array(rank))
+        return tbl.filter(pa.array(mask)).drop_columns(["__wsk"])
+
+    pruned = ds.map_batches(add_key, batch_format="pyarrow")
+    return bucketed_apply(pruned, group_col, final,
+                          num_buckets=num_buckets)
