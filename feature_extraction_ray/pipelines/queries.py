@@ -10069,6 +10069,43 @@ FROM b JOIN k USING (l_partkey), tot
 """
 
 
+def setsim_pairs_docs(sf_dir: str) -> Dataset:
+    """Exact set-similarity join (stages/setsim.setsim_join): every
+    unordered doc pair whose distinct word-3-gram sets have Jaccard
+    ≥ 0.5, via AllPairs/PPJoin prefix filtering — the EXACT complement
+    of the MinHash approximate path (no false positives/negatives).
+    Integer witnesses (n_a, n_b, n_inter, n_union) plus jaccard as ONE
+    float64 division of exact ints: the oracle's brute-force gram
+    self-join compares STRICTLY. Membership is decided by integer
+    cross-multiplication both sides — no float boundary."""
+    from ..stages.setsim import setsim_join
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(docs, id_col="doc_id", text_col="text",
+                       k=3, threshold=0.5, num_buckets=32)
+
+
+SETSIM_PAIRS_SQL = """
+WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
+           FROM documents WHERE trim(text) <> ''),
+e AS (SELECT doc_id, unnest(ws) AS word,
+             CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos FROM t),
+g AS (SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS gram
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+w AS (SELECT DISTINCT doc_id, gram FROM g),
+s AS (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM w a JOIN w b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, sa.n AS n_a, sb.n AS n_b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE)
+         AS jaccard
+FROM p JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Query registry. ORDER MATTERS for driver evidence: the correctness
 # driver consumes the FIRST ~50 entries; the window currently carries the
@@ -10234,7 +10271,9 @@ QUERIES = {
     # weighted_sample_grouped_orders — stratified ES weighted sampling
     # (per-group top-k, identical IEEE keys, PARTITION row_number twin);
     # token_tfidf_docs — token-native TF-IDF long form (exact tf/df,
-    # round-10 ln twin).
+    # round-10 ln twin);
+    # setsim_pairs_docs — EXACT AllPairs/PPJoin set-similarity join
+    # (prefix filtering, integer-witness Jaccard, brute self-join twin).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10507,9 +10546,11 @@ QUERIES = {
     "orc_roundtrip_docs": orc_roundtrip_docs,
     "weighted_sample_grouped_orders": weighted_sample_grouped_orders,
     "token_tfidf_docs": token_tfidf_docs,
+    "setsim_pairs_docs": setsim_pairs_docs,
 }
 
 ORACLE_SQL = {
+    "setsim_pairs_docs": SETSIM_PAIRS_SQL,
     "token_tfidf_docs": _token_tfidf_sql(),
     "weighted_sample_grouped_orders": WEIGHTED_SAMPLE_GROUPED_SQL,
     "orc_roundtrip_docs": ORC_ROUNDTRIP_SQL,
