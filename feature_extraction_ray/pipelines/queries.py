@@ -10084,6 +10084,30 @@ def setsim_pairs_docs(sf_dir: str) -> Dataset:
                        k=3, threshold=0.5, num_buckets=32)
 
 
+def blocklist_docs(sf_dir: str) -> Dataset:
+    """C4-style blocklist screen (stages/curation.blocklist_stats):
+    per-doc distinct-blocked-term count + flag, one vectorized RE2
+    word-boundary pass per term, zero shuffles. DuckDB regexp_matches
+    is RE2 running the IDENTICAL pattern strings — exact twin."""
+    from ..stages.curation import blocklist_stats
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = blocklist_stats(docs, ["slow", "hash join", "broken"])
+    return out.drop_columns(["text"])
+
+
+BLOCKLIST_DOCS_SQL = r"""
+SELECT doc_id,
+       (CASE WHEN regexp_matches(text, '\bslow\b') THEN 1 ELSE 0 END
+      + CASE WHEN regexp_matches(text, '\bhash\ join\b') THEN 1 ELSE 0 END
+      + CASE WHEN regexp_matches(text, '\bbroken\b') THEN 1 ELSE 0 END
+       )::BIGINT AS n_blocked_terms,
+       (regexp_matches(text, '\bslow\b')
+        OR regexp_matches(text, '\bhash\ join\b')
+        OR regexp_matches(text, '\bbroken\b')) AS blocked
+FROM documents
+"""
+
+
 SETSIM_PAIRS_SQL = """
 WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS ws
            FROM documents WHERE trim(text) <> ''),
@@ -10547,9 +10571,11 @@ QUERIES = {
     "weighted_sample_grouped_orders": weighted_sample_grouped_orders,
     "token_tfidf_docs": token_tfidf_docs,
     "setsim_pairs_docs": setsim_pairs_docs,
+    "blocklist_docs": blocklist_docs,
 }
 
 ORACLE_SQL = {
+    "blocklist_docs": BLOCKLIST_DOCS_SQL,
     "setsim_pairs_docs": SETSIM_PAIRS_SQL,
     "token_tfidf_docs": _token_tfidf_sql(),
     "weighted_sample_grouped_orders": WEIGHTED_SAMPLE_GROUPED_SQL,

@@ -39,6 +39,7 @@ per function.
 
 from __future__ import annotations
 
+import re
 from typing import Sequence
 
 import numpy as np
@@ -2149,3 +2150,51 @@ def weighted_sample_grouped(ds: Dataset, group_col: str, k: int,
     pruned = ds.map_batches(add_key, batch_format="pyarrow")
     return bucketed_apply(pruned, group_col, final,
                           num_buckets=num_buckets)
+
+
+def blocklist_stats(ds: Dataset, terms: Sequence[str],
+                    text_col: str = "text",
+                    whole_word: bool = True) -> Dataset:
+    """C4-style blocklist screen: for each doc, how many DISTINCT
+    blocked terms occur (``n_blocked_terms``) and whether any does
+    (``blocked``) — the "bad words" filter of C4 (Raffel et al. 2020,
+    public list) / RefinedWeb, as a zero-shuffle vectorized scan.
+
+    Each term matches as an RE2 word-boundary regex (``\\bterm\\b``,
+    multi-word phrases allowed), one ``pc.match_substring_regex`` pass
+    per term over the whole batch — never a per-row loop. DuckDB's
+    ``regexp_matches`` is RE2 too, so a SQL twin running the identical
+    pattern strings compares exactly. Case-sensitive by design (fold
+    upstream with ``pc.utf8_lower`` when needed). The term list is a
+    small constant (dozens to hundreds) — it ships inside the closure,
+    never a join."""
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    pats = [(r"\b" + re.escape(t) + r"\b") if whole_word
+            else re.escape(t) for t in terms]
+
+    def scan(t: pa.Table) -> pa.Table:
+        n = np.zeros(len(t), dtype=np.int64)
+        col = t[text_col]
+        for p in pats:
+            hit = pc.match_substring_regex(col, p)
+            n += pc.fill_null(hit, False).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "n_blocked_terms", pa.array(n)).append_column(
+            "blocked", pa.array(n > 0))
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def blocklist_filter(ds: Dataset, terms: Sequence[str],
+                     text_col: str = "text",
+                     whole_word: bool = True) -> Dataset:
+    """Drop docs hit by any blocklist term (see ``blocklist_stats``)."""
+    out = blocklist_stats(ds, terms, text_col, whole_word)
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["blocked"], False)) \
+            .drop_columns(["n_blocked_terms", "blocked"])
+
+    return out.map_batches(keep, batch_format="pyarrow")
