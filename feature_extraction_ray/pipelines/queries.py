@@ -10084,6 +10084,18 @@ def setsim_pairs_docs(sf_dir: str) -> Dataset:
                        k=3, threshold=0.5, num_buckets=32)
 
 
+def hll_registers_lineitem(sf_dir: str) -> Dataset:
+    """32-bit SQL-twinnable HyperLogLog register table over
+    l_partkey (stages/sketches.hll32_registers, p=6, seed=7): the
+    integer-exact correctness witness for the mergeable-sketch family
+    — per-block run-max partials, ONE register-bounded groupby.max,
+    the data never shuffles. Twin = the generated BIGINT bitlen CASE
+    ladder running the identical hash/register/rho arithmetic."""
+    from ..stages.sketches import hll32_registers
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    return hll32_registers(li, "l_partkey", p=6, seed=7)
+
+
 def blocklist_docs(sf_dir: str) -> Dataset:
     """C4-style blocklist screen (stages/curation.blocklist_stats):
     per-doc distinct-blocked-term count + flag, one vectorized RE2
@@ -10297,7 +10309,10 @@ QUERIES = {
     # token_tfidf_docs — token-native TF-IDF long form (exact tf/df,
     # round-10 ln twin);
     # setsim_pairs_docs — EXACT AllPairs/PPJoin set-similarity join
-    # (prefix filtering, integer-witness Jaccard, brute self-join twin).
+    # (prefix filtering, integer-witness Jaccard, brute self-join twin);
+    # blocklist_docs — C4 badwords screen (identical RE2 patterns both
+    # engines, exact); hll_registers_lineitem — 32-bit HLL register
+    # table (generated BIGINT bitlen-ladder twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10572,9 +10587,17 @@ QUERIES = {
     "token_tfidf_docs": token_tfidf_docs,
     "setsim_pairs_docs": setsim_pairs_docs,
     "blocklist_docs": blocklist_docs,
+    "hll_registers_lineitem": hll_registers_lineitem,
 }
 
+
+def _hll_registers_sql() -> str:
+    from ..stages.sketches import hll32_sql
+    return hll32_sql("lineitem", "l_partkey", p=6, seed=7)
+
+
 ORACLE_SQL = {
+    "hll_registers_lineitem": _hll_registers_sql(),
     "blocklist_docs": BLOCKLIST_DOCS_SQL,
     "setsim_pairs_docs": SETSIM_PAIRS_SQL,
     "token_tfidf_docs": _token_tfidf_sql(),

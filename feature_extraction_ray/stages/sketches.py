@@ -537,3 +537,114 @@ def cms_estimate(sketch: pa.Table, tokens, width: int = 1024,
         v = grid[r, c]
         est = v if est is None else np.minimum(est, v)
     return est
+
+
+# ---------------------------------------------------------------------------
+# 32-bit SQL-twinnable HLL: integer-exact register evidence
+# ---------------------------------------------------------------------------
+
+def _bitlen_f64(v: np.ndarray) -> np.ndarray:
+    """floor(log2(v)) + 1 for non-negative int64 v < 2^53, vectorized and
+    EXACT (frexp's exponent on an exactly-represented integer)."""
+    _, e = np.frexp(v.astype(np.float64))
+    return e.astype(np.int64)                 # 0 for v == 0
+
+
+def hll32_registers(ds: Dataset, col: str, p: int = 6,
+                    seed: int = 7) -> Dataset:
+    """HyperLogLog register table over an INTEGER key column, built so a
+    BIGINT SQL twin reproduces every register bit-for-bit — the
+    integer-exact correctness witness for the sketch family (the
+    production 64-bit string path is :func:`approx_distinct`; this is
+    the classic 32-bit Flajolet variant on the engine's shared
+    overflow-safe hash family).
+
+    ``h = (key·2654435761 + seed·1315423911) mod 2^32``; register =
+    the TOP ``p`` bits (``h // 2^(32-p)`` — multiplicative hashes
+    avalanche high bits, not low), ``v`` = the remaining ``W = 32-p``
+    bits, ``rho = W - bitlen(v) + 1`` (``W+1`` when v = 0). Every term
+    stays < 2^63 for keys < 2^31, so the SQL twin is overflow-safe
+    (loud reject above). Per-block partials collapse to ≤ 2^p rows
+    (lexsort run-max), then ONE register-bounded groupby.max — the data
+    never shuffles. Only TOUCHED registers appear (SQL GROUP BY twin);
+    :func:`hll32_estimate` treats missing ones as zeros."""
+    if not (3 <= p <= 16):
+        raise ValueError("p must be in [3, 16]")
+    m = 1 << p
+    w = 32 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        if c.null_count:
+            c = c.drop_null()
+        k = c.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(k) and (k.min() < 0 or k.max() >= (1 << 31)):
+            raise ValueError("hll32 keys must be in [0, 2^31) for "
+                             "SQL-twin overflow safety")
+        u = k.astype(np.uint64)
+        h = (u * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        reg = (h >> np.uint64(w)).astype(np.int64)
+        v = (h & np.uint64((1 << w) - 1)).astype(np.int64)
+        rho = w - _bitlen_f64(v) + 1          # v==0 -> w+1
+        order = np.argsort(reg, kind="stable")
+        sreg, srho = reg[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, sreg[1:] != sreg[:-1]]) \
+            if len(sreg) else np.zeros(0, np.int64)
+        return pa.table({
+            "register": pa.array(sreg[starts]),
+            "rho": pa.array(np.maximum.reduceat(srho, starts)
+                            if len(starts) else srho[:0])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.groupby("register").max("rho")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "register" not in t.schema.names:
+            return pa.table({"register": pa.array([], type=pa.int64()),
+                             "rho_max": pa.array([], type=pa.int64())})
+        return pa.table({"register": t["register"],
+                         "rho_max": t["max(rho)"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def hll32_estimate(registers, p: int) -> float:
+    """Distinct-count estimate from a :func:`hll32_registers` result
+    (pandas/Arrow with register+rho_max; absent registers count as 0).
+    Standard bias-corrected harmonic mean + linear-counting regime."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    tbl = registers.to_pandas() if hasattr(registers, "to_pandas") \
+        else registers
+    regs[np.asarray(tbl["register"], dtype=np.int64)] = \
+        np.asarray(tbl["rho_max"], dtype=np.int64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.power(2.0, -regs.astype(np.float64)).sum()
+    zeros = int((regs == 0).sum())
+    if e <= 2.5 * m and zeros:
+        return float(m * np.log(m / zeros))
+    return float(e)
+
+
+def hll32_sql(table: str, key_col: str, p: int = 6, seed: int = 7,
+              where: str = "") -> str:
+    """The DuckDB spelling of the identical register construction —
+    generated bitlen CASE ladder, every term BIGINT-safe."""
+    m = 1 << p
+    w = 32 - p
+    ladder = " ".join(
+        f"WHEN v >= {1 << (b - 1)} THEN {b}" for b in range(w, 0, -1))
+    return f"""
+WITH h AS (SELECT (({key_col}::BIGINT * 2654435761
+                    + {seed}::BIGINT * 1315423911) % 4294967296) AS hv
+           FROM {table}
+           WHERE {key_col} IS NOT NULL {where} ),
+r AS (SELECT hv // {1 << w} AS register, hv % {1 << w} AS v FROM h)
+SELECT register,
+       max({w} - (CASE {ladder} ELSE 0 END) + 1)::BIGINT AS rho_max
+FROM r GROUP BY register
+"""
