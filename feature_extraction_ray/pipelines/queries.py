@@ -10150,6 +10150,43 @@ WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
 # (see the rotation note inside the dict). pytest re-verifies EVERY
 # ORACLE_SQL entry against DuckDB each session regardless of position.
 # ---------------------------------------------------------------------------
+def unimax_weights_docs(sf_dir: str):
+    """UniMax epoch-capped uniform mixing (``curation.unimax_weights``,
+    Chung et al. 2023): exact integer water-filling over the per-source
+    token totals — sorted by (cap asc, source), each domain gets
+    ``min(cap, remaining // domains_left)``; ``epochs`` is ONE float64
+    division of exact ints, so the recursive-CTE twin compares
+    STRICTLY with no rounding."""
+    from ..stages.curation import unimax_weights
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return unimax_weights(ds, "source", "text",
+                          token_budget=25_000, max_epochs=1)
+
+
+UNIMAX_WEIGHTS_SQL = """
+WITH RECURSIVE
+c AS (SELECT source, count(*)::BIGINT AS n_docs,
+             CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+s AS (SELECT source, n_docs, n_tokens, n_tokens * 1 AS cap,
+             row_number() OVER (ORDER BY n_tokens * 1, source) AS rn,
+             count(*) OVER () AS m
+      FROM c),
+w AS (
+  SELECT 0 AS rn, CAST(25000 AS BIGINT) AS remaining,
+         CAST(NULL AS BIGINT) AS alloc
+  UNION ALL
+  SELECT s.rn,
+         w.remaining - least(s.cap, w.remaining // (s.m - w.rn)),
+         least(s.cap, w.remaining // (s.m - w.rn))
+  FROM w JOIN s ON s.rn = w.rn + 1
+)
+SELECT s.source, s.n_docs, s.n_tokens, s.cap, w.alloc,
+       CAST(w.alloc AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS epochs
+FROM w JOIN s USING (rn)
+"""
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10312,7 +10349,9 @@ QUERIES = {
     # (prefix filtering, integer-witness Jaccard, brute self-join twin);
     # blocklist_docs — C4 badwords screen (identical RE2 patterns both
     # engines, exact); hll_registers_lineitem — 32-bit HLL register
-    # table (generated BIGINT bitlen-ladder twin, integer-exact).
+    # table (generated BIGINT bitlen-ladder twin, integer-exact);
+    # unimax_weights_docs — UniMax epoch-capped uniform mixing
+    # (recursive-CTE water-filling twin, integer-exact alloc).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10588,6 +10627,7 @@ QUERIES = {
     "setsim_pairs_docs": setsim_pairs_docs,
     "blocklist_docs": blocklist_docs,
     "hll_registers_lineitem": hll_registers_lineitem,
+    "unimax_weights_docs": unimax_weights_docs,
 }
 
 
@@ -10597,6 +10637,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "unimax_weights_docs": UNIMAX_WEIGHTS_SQL,
     "hll_registers_lineitem": _hll_registers_sql(),
     "blocklist_docs": BLOCKLIST_DOCS_SQL,
     "setsim_pairs_docs": SETSIM_PAIRS_SQL,

@@ -2198,3 +2198,76 @@ def blocklist_filter(ds: Dataset, terms: Sequence[str],
             .drop_columns(["n_blocked_terms", "blocked"])
 
     return out.map_batches(keep, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# UniMax epoch-capped uniform mixing
+# ---------------------------------------------------------------------------
+
+def unimax_weights(ds: Dataset, group_col: str = "source",
+                   text_col: str = "text", token_budget: int = 1_000_000,
+                   max_epochs: int = 1, token_col: str | None = None):
+    """UniMax language/domain sampling (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling"): allocate the token
+    budget as UNIFORMLY as possible across domains, subject to a
+    per-domain repetition cap of ``n_tokens × max_epochs`` — the
+    epoch-capped alternative to temperature mixing
+    (:func:`mixture_weights`) that never over-samples a tiny domain
+    past ``max_epochs`` repeats.
+
+    Exact integer water-filling (the sequential definition BOTH engines
+    execute, so a SQL recursive-CTE twin reproduces it bit-for-bit):
+    domains sort by (cap asc, group asc); with ``R`` the remaining
+    budget and ``m`` the domains not yet allocated, each domain gets
+    ``min(cap, R // m)`` — floor-division remainders roll forward to
+    the larger domains, and budget left after every domain hits its cap
+    stays unallocated (reported via the ``alloc`` column summing short
+    of ``token_budget``). ``epochs = alloc / n_tokens`` is ONE float64
+    division of exact ints — correctly rounded identically in numpy and
+    DuckDB, so twins compare STRICTLY.
+
+    Scale shape: identical to :func:`mixture_weights` — per-batch
+    vectorized token counts ride ONE tiny groupby on the domain key;
+    the water-filling loop runs on the driver over #domains rows."""
+    from ray.data.aggregate import Count, Sum
+    import pandas as _pd
+
+    if int(max_epochs) != max_epochs or max_epochs < 1:
+        raise ValueError("max_epochs must be a positive integer")
+    if token_budget < 0:
+        raise ValueError("token_budget must be non-negative")
+    max_epochs = int(max_epochs)
+
+    if token_col is None:
+        def count(t: pa.Table) -> pa.Table:
+            return pa.table({group_col: t[group_col],
+                             "__n_tok": ws_token_count(t[text_col])})
+        counted = ds.map_batches(count, batch_format="pyarrow")
+        token_col = "__n_tok"
+    else:
+        counted = ds
+    pdf = counted.groupby(group_col).aggregate(
+        Count(alias_name="n_docs"),
+        Sum(token_col, alias_name="n_tokens")).to_pandas()
+    if group_col not in pdf.columns:     # empty input: no groups at all
+        return _pd.DataFrame({group_col: [], "n_docs": [], "n_tokens": [],
+                              "cap": [], "alloc": [], "epochs": []})
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["n_tokens"] = pdf["n_tokens"].astype("int64")
+    pdf["cap"] = pdf["n_tokens"] * max_epochs
+    pdf = pdf.sort_values(["cap", group_col],
+                          kind="stable").reset_index(drop=True)
+    caps = pdf["cap"].to_numpy()
+    alloc = np.zeros(len(pdf), dtype=np.int64)
+    remaining = int(token_budget)
+    for i in range(len(pdf)):
+        m = len(pdf) - i
+        a = min(int(caps[i]), remaining // m)
+        alloc[i] = a
+        remaining -= a
+    pdf["alloc"] = alloc
+    n = pdf["n_tokens"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ep = alloc.astype(np.float64) / n
+    pdf["epochs"] = np.where(n > 0, ep, np.nan)
+    return pdf

@@ -1220,3 +1220,78 @@ def test_fuzz_epoch_order_and_kfold_vs_naive():
                                     % (1 << 32), i))
         for r, i in enumerate(members):
             assert gotk[i] == r % 4
+
+
+def test_unimax_water_filling():
+    """Sequential min(cap, R // m) water-filling over (cap asc, group)
+    order: small domains cap out, floor remainders roll forward, and
+    epochs is one exact division."""
+    from feature_extraction_ray.stages.curation import unimax_weights
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array(["a"] * 1 + ["b"] * 2 + ["c"] * 10),
+        "text": pa.array(["t u"] * 1 + ["t u v w"] * 2 + ["x " * 9 + "x"] * 10),
+    }))
+    # tokens: a=2, b=8, c=100; caps (max_epochs=2): a=4, b=16, c=200
+    out = unimax_weights(docs, token_budget=100, max_epochs=2)
+    assert list(out["source"]) == ["a", "b", "c"]   # cap-asc order
+    assert list(out["cap"]) == [4, 16, 200]
+    # R=100 m=3: a gets min(4, 33)=4; R=96 m=2: b min(16, 48)=16;
+    # R=80 m=1: c min(200, 80)=80
+    assert list(out["alloc"]) == [4, 16, 80]
+    np.testing.assert_array_equal(
+        out["epochs"].to_numpy(),
+        np.array([4, 16, 80], dtype=np.float64)
+        / np.array([2, 8, 100], dtype=np.float64))
+    assert int(out["alloc"].sum()) == 100   # budget fully spent
+
+    # budget above total cap: everyone caps, leftover unallocated
+    capped = unimax_weights(docs, token_budget=10_000, max_epochs=1)
+    assert list(capped["alloc"]) == list(capped["cap"]) == [2, 8, 100]
+    assert int(capped["alloc"].sum()) == 110 < 10_000
+
+    # floor remainder rolls forward: budget=10, m=3 -> a min(4,3)=3,
+    # b min(16, 7//2=3)=3, c min(200, 4)=4
+    frac = unimax_weights(docs, token_budget=10, max_epochs=2)
+    assert list(frac["alloc"]) == [3, 3, 4]
+    assert int(frac["alloc"].sum()) == 10
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        unimax_weights(docs, max_epochs=0)
+    with _pt.raises(ValueError):
+        unimax_weights(docs, max_epochs=1.5)
+    with _pt.raises(ValueError):
+        unimax_weights(docs, token_budget=-1)
+
+
+def test_unimax_naive_parity_and_tiebreak():
+    """Fuzz vs a pure-Python water-fill; equal caps tie-break by group
+    name (deterministic under any layout)."""
+    from feature_extraction_ray.stages.curation import unimax_weights
+    rng = np.random.default_rng(7)
+    sources, texts = [], []
+    toks = {}
+    for g in range(12):
+        name = f"g{g:02d}"
+        n = int(rng.integers(1, 6))
+        for _ in range(n):
+            w = int(rng.integers(1, 30))
+            sources.append(name)
+            texts.append(" ".join(["w"] * w))
+            toks[name] = toks.get(name, 0) + w
+    # plant an exact tie on caps
+    sources += ["tie_b", "tie_a"]
+    texts += ["a b c", "d e f"]
+    toks["tie_b"] = toks["tie_a"] = 3
+    docs = rd.from_arrow(pa.table({"source": sources, "text": texts}))
+    for budget, me in [(0, 1), (17, 1), (100, 3), (10**6, 2)]:
+        out = unimax_weights(docs, token_budget=budget, max_epochs=me)
+        order = sorted(toks, key=lambda g: (toks[g] * me, g))
+        assert list(out["source"]) == order
+        R = budget
+        exp = []
+        for i, g in enumerate(order):
+            a = min(toks[g] * me, R // (len(order) - i))
+            exp.append(a)
+            R -= a
+        assert list(out["alloc"]) == exp
