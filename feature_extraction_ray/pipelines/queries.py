@@ -10150,6 +10150,41 @@ WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
 # (see the rotation note inside the dict). pytest re-verifies EVERY
 # ORACLE_SQL entry against DuckDB each session regardless of position.
 # ---------------------------------------------------------------------------
+def token_heaps_docs(sf_dir: str) -> pa.Table:
+    """Heaps'-law vocabulary-growth curve over the F1 token fixture
+    (``tokengrams.token_heaps_curve``): distinct token ids among the
+    first k stream tokens (docs ascending by doc_id), k in
+    (1, 10, 100, 1000, 10000) — exact int64 via per-block first-hit
+    partials + ONE groupby(token).min exchange."""
+    from ..stages.tokengrams import token_heaps_curve
+    tok, _ = _token_fixture()
+    return token_heaps_curve(
+        rd.from_arrow(tok.select(["doc_id", "tokens"])),
+        ks=(1, 10, 100, 1000, 10000))
+
+
+def _token_heaps_sql() -> str:
+    return f"""
+WITH tok(doc_id, entity, ts_us, tokens) AS (VALUES
+ {_token_values_cte()}),
+o AS (SELECT doc_id, tokens,
+             coalesce(sum(len(tokens)::BIGINT) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+      FROM tok),
+t AS (SELECT base + generate_subscripts(tokens, 1)::BIGINT - 1 AS gpos,
+             unnest(tokens)::BIGINT AS tk
+      FROM o),
+f AS (SELECT tk, min(gpos) AS fp FROM t GROUP BY tk),
+n AS (SELECT count(*)::BIGINT AS total FROM t),
+ks(k) AS (VALUES (1::BIGINT), (10), (100), (1000), (10000))
+SELECT ks.k, least(ks.k, n.total)::BIGINT AS n_seen_tokens,
+       (SELECT count(*) FROM f WHERE f.fp < ks.k)::BIGINT
+         AS n_distinct_tokens
+FROM ks CROSS JOIN n
+"""
+
+
 def unimax_weights_docs(sf_dir: str):
     """UniMax epoch-capped uniform mixing (``curation.unimax_weights``,
     Chung et al. 2023): exact integer water-filling over the per-source
@@ -10351,7 +10386,9 @@ QUERIES = {
     # engines, exact); hll_registers_lineitem — 32-bit HLL register
     # table (generated BIGINT bitlen-ladder twin, integer-exact);
     # unimax_weights_docs — UniMax epoch-capped uniform mixing
-    # (recursive-CTE water-filling twin, integer-exact alloc).
+    # (recursive-CTE water-filling twin, integer-exact alloc);
+    # token_heaps_docs — Heaps'-law vocabulary-growth curve
+    # (windowed-offset positional-unnest twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10628,6 +10665,7 @@ QUERIES = {
     "blocklist_docs": blocklist_docs,
     "hll_registers_lineitem": hll_registers_lineitem,
     "unimax_weights_docs": unimax_weights_docs,
+    "token_heaps_docs": token_heaps_docs,
 }
 
 
@@ -10637,6 +10675,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "token_heaps_docs": _token_heaps_sql(),
     "unimax_weights_docs": UNIMAX_WEIGHTS_SQL,
     "hll_registers_lineitem": _hll_registers_sql(),
     "blocklist_docs": BLOCKLIST_DOCS_SQL,

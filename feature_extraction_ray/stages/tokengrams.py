@@ -2291,3 +2291,88 @@ def token_tfidf(ds: Dataset, tokens_col: str = "tokens",
             "tfidf", pa.array(tfv * np.log(nf / dfv)))
 
     return joined.map_batches(fin, batch_format="pyarrow")
+
+
+def token_heaps_curve(ds: Dataset, ks, id_col: str = "doc_id",
+                      tokens_col: str = "tokens") -> pa.Table:
+    """Heaps'-law vocabulary-growth curve: for each prefix length ``k``
+    in ``ks``, the number of DISTINCT token ids among the first ``k``
+    tokens of the global stream (docs ascending by ``id_col``, tokens
+    in document order) — the standard V(n) ~ K·nᵝ diagnostic behind
+    "is the corpus still contributing new vocabulary" and dedup-audit
+    saturation checks. Emits one row per ``k``: ``n_seen_tokens``
+    (= min(k, stream length)) and ``n_distinct_tokens`` — exact int64.
+
+    Scale shape: a weighted two-phase prefix scan (the
+    ``partition.row_number`` pattern) hands each doc-sorted block its
+    global token offset — the driver holds one int per block — so a
+    block computes every occurrence's global position locally; the
+    block's per-token MIN position partials (``np.unique`` first-hit,
+    positions within a block are increasing) ride ONE
+    ``groupby(token).min()`` exchange, and the curve finishes
+    driver-side over the VOCAB-BOUNDED first-position table (the same
+    documented contract as :func:`vocab_coverage`). The corpus itself
+    never shuffles beyond the doc-id sort. Ties in ``id_col`` take
+    block order — pass unique ids for full determinism."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    ks_arr = np.asarray(list(ks), dtype=np.int64)
+    if len(ks_arr) == 0 or (ks_arr < 0).any():
+        raise ValueError("ks must be non-empty, all >= 0")
+
+    refs = ds.sort([id_col]).to_arrow_refs()
+
+    empty_part = pa.table({"tok": pa.array([], type=pa.int64()),
+                           "fp": pa.array([], type=pa.int64())})
+
+    @ray.remote
+    def block_ntok(t: pa.Table) -> int:
+        if len(t) == 0 or tokens_col not in t.column_names:
+            return 0           # empty sort/repartition blocks lose columns
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return len(col.flatten())
+
+    @ray.remote
+    def partial(t: pa.Table, base: int) -> pa.Table:
+        if len(t) == 0 or tokens_col not in t.column_names:
+            return empty_part
+        col = t[tokens_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], type=pa.int64()),
+                             "fp": pa.array([], type=pa.int64())})
+        # global positions inside a doc-sorted block are contiguous, so
+        # gpos = base + local index; np.unique's first-occurrence index
+        # lands on the block-local MIN position per token.
+        u, first = np.unique(flat, return_index=True)
+        return pa.table({"tok": pa.array(u),
+                         "fp": pa.array(base + first.astype(np.int64))})
+
+    lens = np.array(ray.get([block_ntok.remote(r) for r in refs]),
+                    dtype=np.int64)
+    bases = np.zeros(len(lens), dtype=np.int64)
+    if len(lens) > 1:
+        bases[1:] = np.cumsum(lens[:-1])
+    total = int(lens.sum()) if len(lens) else 0
+    if total == 0:
+        return pa.table({
+            "k": pa.array(ks_arr),
+            "n_seen_tokens": pa.array(np.zeros(len(ks_arr), np.int64)),
+            "n_distinct_tokens": pa.array(np.zeros(len(ks_arr), np.int64))})
+    parts = rd.from_arrow_refs(
+        [partial.remote(r, int(b)) for r, b in zip(refs, bases)])
+    fp = parts.groupby("tok").aggregate(Min("fp", alias_name="fp")) \
+        .to_pandas()
+    fps = np.sort(fp["fp"].to_numpy(dtype=np.int64))
+    n_seen = np.minimum(ks_arr, total)
+    n_distinct = np.searchsorted(fps, ks_arr, side="left")
+    return pa.table({
+        "k": pa.array(ks_arr),
+        "n_seen_tokens": pa.array(n_seen.astype(np.int64)),
+        "n_distinct_tokens": pa.array(n_distinct.astype(np.int64))})

@@ -874,3 +874,75 @@ def test_fuzz_vocab_ops_vs_counter():
     got = {tuple(r["tokens"]): (r["doc_id"], r["n_dups"])
            for _, r in out.iterrows()}
     assert got == {k: v for k, v in ref.items()}
+
+
+def test_heaps_curve_hand_computed_and_layout():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import token_heaps_curve
+    # stream in doc_id order: 7 7 3 | 3 5 | 7 9  -> first positions
+    # 7:0, 3:2, 5:4, 9:6
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "tokens": pa.array([[7, 7, 3], [3, 5], [7, 9]],
+                           type=pa.list_(pa.int32()))})
+    out = token_heaps_curve(rd.from_arrow(docs),
+                            ks=(0, 1, 2, 3, 5, 7, 100)) \
+        .to_pandas().set_index("k")
+    assert list(out.columns) == ["n_seen_tokens", "n_distinct_tokens"]
+    assert out["n_seen_tokens"].tolist() == [0, 1, 2, 3, 5, 7, 7]
+    assert out["n_distinct_tokens"].tolist() == [0, 1, 1, 2, 3, 4, 4]
+
+    # layout invariance: ingest order / block count must not matter
+    shuffled = pa.table({
+        "doc_id": pa.array([3, 1, 2], type=pa.int64()),
+        "tokens": pa.array([[7, 9], [7, 7, 3], [3, 5]],
+                           type=pa.list_(pa.int32()))})
+    alt = token_heaps_curve(
+        rd.from_arrow(shuffled).repartition(5),
+        ks=(0, 1, 2, 3, 5, 7, 100)).to_pandas().set_index("k")
+    assert alt.equals(out)
+
+
+def test_heaps_curve_naive_parity_fuzz():
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import token_heaps_curve
+    rng = np.random.default_rng(11)
+    ids, toks = [], []
+    for d in range(60):
+        n = int(rng.integers(0, 25))
+        ids.append(d)
+        toks.append(rng.integers(0, 40, size=n).astype(np.int32).tolist())
+    docs = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "tokens": pa.array(toks, type=pa.list_(pa.int32()))})
+    ks = (0, 1, 5, 17, 100, 250, 10_000)
+    out = token_heaps_curve(rd.from_arrow(docs).repartition(7), ks=ks) \
+        .to_pandas().set_index("k")
+    stream = [t for lst in toks for t in lst]
+    for k in ks:
+        seen = set(stream[:k])
+        assert out.loc[k, "n_seen_tokens"] == min(k, len(stream))
+        assert out.loc[k, "n_distinct_tokens"] == len(seen)
+    # curve is monotone non-decreasing in k
+    nd = out["n_distinct_tokens"].to_numpy()
+    assert (np.diff(nd) >= 0).all()
+
+
+def test_heaps_curve_empty_and_rejects():
+    import pytest
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.tokengrams import token_heaps_curve
+    empty = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "tokens": pa.array([[], []], type=pa.list_(pa.int32()))})
+    out = token_heaps_curve(rd.from_arrow(empty), ks=(1, 10)).to_pandas()
+    assert out["n_seen_tokens"].tolist() == [0, 0]
+    assert out["n_distinct_tokens"].tolist() == [0, 0]
+    docs = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                     "tokens": pa.array([[1]], type=pa.list_(pa.int32()))})
+    with pytest.raises(ValueError):
+        token_heaps_curve(rd.from_arrow(docs), ks=())
+    with pytest.raises(ValueError):
+        token_heaps_curve(rd.from_arrow(docs), ks=(1, -2))
