@@ -10150,6 +10150,72 @@ WHERE n_inter * 2 >= 1 * (sa.n + sb.n - n_inter)
 # (see the rotation note inside the dict). pytest re-verifies EVERY
 # ORACLE_SQL entry against DuckDB each session regardless of position.
 # ---------------------------------------------------------------------------
+def readability_docs(sf_dir: str) -> Dataset:
+    """Flesch reading-ease + FK grade (``text.readability_scores``)
+    over a punctuated variant of each doc (the raw corpus has no
+    sentence punctuation, so BOTH engines concatenate the identical
+    suffix): exact integer witnesses n_words/n_sents/n_syllables,
+    scores as fixed left-associated IEEE expressions with bit-exact
+    embedded constants — the twin compares STRICTLY, no rounding."""
+    from ..stages.text import readability_scores
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        s = pc.binary_join_element_wise(txt, txt, pa.scalar(". "))
+        s = pc.binary_join_element_wise(
+            s, pa.scalar("! Final words here?"), pa.scalar(""))
+        return pa.table({"doc_id": t["doc_id"], "text": s})
+
+    return readability_scores(ds.map_batches(aug, batch_format="pyarrow"))
+
+
+def _readability_sql() -> str:
+    c = {k: _sql_float(v) for k, v in dict(
+        c1=206.835, c2=1.015, c3=84.6,
+        c4=0.39, c5=11.8, c6=15.59).items()}
+    return f"""
+WITH d AS (SELECT doc_id,
+                  text || '. ' || text || '! Final words here?' AS t
+           FROM documents),
+w AS (SELECT doc_id,
+             unnest(str_split_regex(
+               trim(t, ' ' || chr(9) || chr(10) || chr(13)),
+               '[ \t\n\r]+')) AS tok
+      FROM d),
+sy AS (SELECT doc_id,
+              regexp_replace(lower(tok), '[^a-z]', '', 'g') AS wd
+       FROM w),
+s2 AS (SELECT doc_id,
+              CASE WHEN wd = '' THEN 0
+                   ELSE greatest(
+                     len(regexp_extract_all(wd, '[aeiouy]+'))
+                     - CASE WHEN wd LIKE '%e' THEN 1 ELSE 0 END
+                     + CASE WHEN regexp_matches(wd, '[^aeiouy]le$')
+                            THEN 1 ELSE 0 END, 1)
+              END AS syl
+       FROM sy),
+a AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+             sum(syl)::BIGINT AS n_syllables
+      FROM s2 GROUP BY doc_id),
+s AS (SELECT doc_id,
+             greatest(len(regexp_extract_all(t, '[.!?]+')), 1)::BIGINT
+               AS n_sents
+      FROM d)
+SELECT a.doc_id, a.n_words, s.n_sents, a.n_syllables,
+       ({c["c1"]} - {c["c2"]}
+          * (a.n_words::DOUBLE / s.n_sents::DOUBLE))
+        - {c["c3"]} * (a.n_syllables::DOUBLE / a.n_words::DOUBLE)
+         AS fre,
+       ({c["c4"]} * (a.n_words::DOUBLE / s.n_sents::DOUBLE)
+         + {c["c5"]} * (a.n_syllables::DOUBLE / a.n_words::DOUBLE))
+        - {c["c6"]} AS fk_grade
+FROM a JOIN s USING (doc_id)
+"""
+
+
 def token_heaps_docs(sf_dir: str) -> pa.Table:
     """Heaps'-law vocabulary-growth curve over the F1 token fixture
     (``tokengrams.token_heaps_curve``): distinct token ids among the
@@ -10388,7 +10454,9 @@ QUERIES = {
     # unimax_weights_docs — UniMax epoch-capped uniform mixing
     # (recursive-CTE water-filling twin, integer-exact alloc);
     # token_heaps_docs — Heaps'-law vocabulary-growth curve
-    # (windowed-offset positional-unnest twin, integer-exact).
+    # (windowed-offset positional-unnest twin, integer-exact);
+    # readability_docs — Flesch/FK readability (exact int witnesses,
+    # strict one-expression doubles, identical RE2 syllable rule).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10666,6 +10734,7 @@ QUERIES = {
     "hll_registers_lineitem": hll_registers_lineitem,
     "unimax_weights_docs": unimax_weights_docs,
     "token_heaps_docs": token_heaps_docs,
+    "readability_docs": readability_docs,
 }
 
 
@@ -10675,6 +10744,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "readability_docs": _readability_sql(),
     "token_heaps_docs": _token_heaps_sql(),
     "unimax_weights_docs": UNIMAX_WEIGHTS_SQL,
     "hll_registers_lineitem": _hll_registers_sql(),

@@ -375,3 +375,49 @@ def test_discriminative_terms_finds_planted_keyword(ray_session):
     assert top_b["n_lw"].iloc[0] == 0
     assert "jumps" in top_b["word"].tolist()
     assert (out.groupby("source").size() == 2).all()
+
+
+def test_readability_syllable_vectorized_matches_scalar():
+    """The vectorized per-word syllable kernel inside readability_scores
+    must agree with the scalar features.syllable_count rule on ASCII
+    words (the op's documented domain)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.features import syllable_count
+    from feature_extraction_ray.stages.text import readability_scores
+    words = ["table", "apple", "cake", "the", "rhythm", "b2b", "le",
+             "ale", "bottle", "queue", "idea", "strengths", "a", "eye",
+             "people", "simple", "whale", "!!!", "x9", "readability"]
+    docs = pa.table({"doc_id": pa.array(range(len(words)), pa.int64()),
+                     "text": pa.array(words)})
+    out = readability_scores(rd.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    for i, w in enumerate(words):
+        assert out.loc[i, "n_syllables"] == syllable_count(w), w
+
+
+def test_readability_hand_computed_and_nulls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from feature_extraction_ray.stages.text import readability_scores
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["The cat sat. The cat ran!", "   ", "wow"])})
+    out = readability_scores(rd.from_arrow(docs)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # doc 0: 6 words, 2 sentences, 6 one-syllable words ("the" has
+    # runs e = 1, minus final e, floor 1)
+    assert out.loc[0, ["n_words", "n_sents", "n_syllables"]].tolist() \
+        == [6, 2, 6]
+    wps, spw = 6.0 / 2.0, 6.0 / 6.0
+    assert out.loc[0, "fre"] == (206.835 - 1.015 * wps) - 84.6 * spw
+    assert out.loc[0, "fk_grade"] == (0.39 * wps + 11.8 * spw) - 15.59
+    # whitespace-only doc: 0 words -> null scores, sentence floor 1
+    assert out.loc[1, ["n_words", "n_sents", "n_syllables"]].tolist() \
+        == [0, 1, 0]
+    assert pd.isna(out.loc[1, "fre"]) and pd.isna(out.loc[1, "fk_grade"])
+    # no terminal punctuation: n_sents floors at 1
+    assert out.loc[2, ["n_words", "n_sents", "n_syllables"]].tolist() \
+        == [1, 1, 1]
