@@ -10288,6 +10288,78 @@ FROM w JOIN s USING (rn)
 """
 
 
+def kcenter_embeddings(sf_dir: str) -> Dataset:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection
+    (``similarity.kcenter_select``, exact plan): 6 centers over
+    micro-unit-quantized 8-dim embedding prefixes — seed = lowest
+    vec_id, then argmax-of-min squared euclidean distance to the
+    selected set (ties -> lowest id). Integer quantization keeps every
+    distance exact int64, so the unrolled chained-CTE SQL twin (one
+    argmax CTE + one least()-update CTE per rank) compares STRICTLY.
+    Scale shape: per-point min-distance state is a distributed
+    (id, vec, mind) Dataset updated against ONE broadcast center per
+    round — k streaming passes, driver sees #blocks rows/round."""
+    from ..stages.similarity import kcenter_select
+    DIM = 8
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), -1)[:, :DIM]
+        q = _round_arr(pa.array(m.ravel() * 1000000.0), 0) \
+            .to_numpy(zero_copy_only=False)
+        off = pa.array((np.arange(len(t) + 1) * DIM).astype(np.int32))
+        v = pa.ListArray.from_arrays(off, pa.array(q))
+        return pa.table({"vec_id": t["vec_id"], "v": v})
+
+    tbl = kcenter_select(emb.map_batches(prep, batch_format="pyarrow"),
+                         6, vec_col="v", id_col="vec_id")
+    return rd.from_arrow(tbl)
+
+
+def _kcenter_sql(k: int = 6, dim: int = 8) -> str:
+    """Unrolled greedy k-center twin: chained CTEs (no recursion) —
+    c_r = argmax-mind row of d_{r-1}, d_r = least()-updated minds with
+    c_r removed; every distance is BIGINT-exact."""
+    def qz(i: int) -> str:
+        return (f"round(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000,"
+                f" 0)::BIGINT AS v{i}")
+
+    def dist(a: str, b: str) -> str:
+        return " + ".join(
+            f"({a}.v{i} - {b}.v{i}) * ({a}.v{i} - {b}.v{i})"
+            for i in range(dim))
+
+    vs = ", ".join(qz(i) for i in range(dim))
+    parts = [f"WITH e AS (SELECT vec_id, {vs} FROM embeddings)",
+             "c1 AS (SELECT * FROM e ORDER BY vec_id LIMIT 1)"]
+    ecols = ", ".join(f"e.v{i}" for i in range(dim))
+    parts.append(
+        f"d1 AS (SELECT e.vec_id, {ecols}, ({dist('e', 'c1')}) AS mind"
+        f" FROM e, c1 WHERE e.vec_id <> c1.vec_id)")
+    dcols = ", ".join(f"d.v{i}" for i in range(dim))
+    for r in range(2, k + 1):
+        parts.append(f"c{r} AS (SELECT * FROM d{r - 1}"
+                     f" ORDER BY mind DESC, vec_id LIMIT 1)")
+        if r < k:
+            parts.append(
+                f"d{r} AS (SELECT d.vec_id, {dcols},"
+                f" least(d.mind, {dist('d', f'c{r}')}) AS mind"
+                f" FROM d{r - 1} d, c{r}"
+                f" WHERE d.vec_id <> c{r}.vec_id)")
+    sel = ["SELECT CAST(1 AS BIGINT) AS rank, vec_id,"
+           " CAST(NULL AS BIGINT) AS mind FROM c1"]
+    for r in range(2, k + 1):
+        sel.append(f"SELECT CAST({r} AS BIGINT), vec_id, mind"
+                   f" FROM c{r}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10456,7 +10528,9 @@ QUERIES = {
     # token_heaps_docs — Heaps'-law vocabulary-growth curve
     # (windowed-offset positional-unnest twin, integer-exact);
     # readability_docs — Flesch/FK readability (exact int witnesses,
-    # strict one-expression doubles, identical RE2 syllable rule).
+    # strict one-expression doubles, identical RE2 syllable rule);
+    # kcenter_embeddings — greedy k-center coreset selection
+    # (unrolled chained-CTE argmax/least twin, integer-exact mind).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10735,6 +10809,7 @@ QUERIES = {
     "unimax_weights_docs": unimax_weights_docs,
     "token_heaps_docs": token_heaps_docs,
     "readability_docs": readability_docs,
+    "kcenter_embeddings": kcenter_embeddings,
 }
 
 
@@ -10744,6 +10819,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "kcenter_embeddings": _kcenter_sql(),
     "readability_docs": _readability_sql(),
     "token_heaps_docs": _token_heaps_sql(),
     "unimax_weights_docs": UNIMAX_WEIGHTS_SQL,

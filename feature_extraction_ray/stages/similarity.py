@@ -1533,3 +1533,217 @@ def rrf_fuse(a: Dataset, b: Dataset, *, id_a: str, id_b: str,
         return t.append_column("rrf", rrf)
 
     return joined.map_batches(fuse, batch_format="pyarrow")
+
+
+def _mat64(tbl: pa.Table, vec_col: str) -> np.ndarray:
+    """Like _batch_matrix but float64-preserving (kcenter exactness)."""
+    col = tbl[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        dim = int(lens[0]) if len(lens) else 0
+    return flat.reshape(len(col), dim)
+
+
+def _mat_list(m: np.ndarray) -> pa.ListArray:
+    n, d = m.shape
+    off = pa.array((np.arange(n + 1) * d).astype(np.int32))
+    return pa.ListArray.from_arrays(off, pa.array(m.ravel()))
+
+
+def kcenter_select(ds: Dataset, k: int, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   plan: str = "exact") -> pa.Table:
+    """Greedy k-center (Gonzalez farthest-point) coreset selection —
+    the classic 2-approximation for data pruning / active-learning
+    coresets: seed at the lowest id, then repeatedly pick the point
+    with the LARGEST squared-euclidean distance to the selected set
+    (ties → lowest id).
+
+    ``plan="exact"``: the textbook sequential greedy, distributed —
+    per-point running min-distance state lives in a (id, vec, mind)
+    Dataset that is updated against the ONE new center each round and
+    re-materialized (block count constant under ``map_batches``), so
+    each of the k rounds is one streaming pass plus a per-block top-1
+    partial scan (driver traffic = #blocks rows/round; the corpus
+    never lands on the driver). INTEGER-valued embeddings keep every
+    distance exact int64 (the ``dim·(2·maxabs)² < 2^63`` bound is
+    checked from streamed per-block maxes and rejects loudly), so a
+    SQL twin compares strictly; float inputs run the same plan in
+    float64.
+
+    ``plan="merge"``: the one-pass composition for when k scans are
+    too many — every block runs the local greedy k in-task and emits k
+    candidate rows; the driver then runs greedy k over the
+    (blocks × k) candidates. Bounded approximation (each block's local
+    greedy 2-covers the block, the final greedy 2-covers the candidate
+    set); tested to recover planted well-separated clusters exactly.
+
+    Returns a k-row ``pa.Table`` (rank, <id_col>, mind) in selection
+    order; ``mind`` is the covering distance² at selection time (NULL
+    for the seed). Stops early when fewer than k points exist.
+    """
+    if k < 1:
+        raise ValueError("kcenter_select: k must be >= 1")
+    if plan not in ("exact", "merge"):
+        raise ValueError(f"kcenter_select: unknown plan {plan!r}")
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+
+    if plan == "merge":
+        def local_greedy(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "vec": pa.array([], pa.list_(
+                                     pa.float64()))})
+            m = _mat64(t, vec_col)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            m, ids = m[order], ids[order]
+            sel = [0]
+            mind = ((m - m[0]) ** 2).sum(axis=1)
+            mind[0] = -1.0
+            for _ in range(1, min(k, len(ids))):
+                j = int(np.argmax(mind))
+                if mind[j] < 0:
+                    break
+                sel.append(j)
+                mind = np.minimum(mind, ((m - m[j]) ** 2).sum(axis=1))
+                mind[j] = -1.0
+            sel = np.asarray(sel)
+            return pa.table({id_col: pa.array(ids[sel].astype(np.int64)),
+                             "vec": _mat_list(m[sel])})
+
+        cand = proj.map_batches(local_greedy,
+                                batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(id_col, kind="stable")
+        ids = cand[id_col].to_numpy()
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in cand["vec"]]) if len(cand) else \
+            np.zeros((0, 1))
+        if len(ids) == 0:
+            raise ValueError("kcenter_select: empty input")
+        picks = [(1, int(ids[0]), None)]
+        mind = ((m - m[0]) ** 2).sum(axis=1)
+        mind[0] = -1.0
+        for r in range(2, min(k, len(ids)) + 1):
+            j = int(np.argmax(mind))
+            picks.append((r, int(ids[j]), float(mind[j])))
+            mind = np.minimum(mind, ((m - m[j]) ** 2).sum(axis=1))
+            mind[j] = -1.0
+        return pa.table({
+            "rank": pa.array([p[0] for p in picks], pa.int64()),
+            id_col: pa.array([p[1] for p in picks], pa.int64()),
+            "mind": pa.array([p[2] for p in picks], pa.float64())})
+
+    # ---- exact plan ----
+    def seed_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id": pa.array([], pa.int64()),
+            "vec": pa.array([], pa.list_(pa.float64())),
+            "maxabs": pa.array([], pa.float64()),
+            "allint": pa.array([], pa.bool_())})
+        if len(t) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        m = _mat64(t, vec_col)
+        j = int(np.argmin(ids))
+        return pa.table({
+            "id": pa.array([int(ids[j])], pa.int64()),
+            "vec": _mat_list(m[j:j + 1]),
+            "maxabs": pa.array([float(np.abs(m).max())]),
+            "allint": pa.array([bool(np.all(m == np.floor(m)))])})
+
+    parts = proj.map_batches(seed_partial,
+                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("kcenter_select: empty input")
+    allint = bool(parts["allint"].all())
+    maxabs = float(parts["maxabs"].max())
+    srow = parts.sort_values("id").iloc[0]
+    seed_id = int(srow["id"])
+    seed_vec = np.asarray(srow["vec"], dtype=np.float64)
+    dim = len(seed_vec)
+    if allint and dim * (2.0 * maxabs) ** 2 >= float(2 ** 63):
+        raise ValueError(
+            "kcenter_select: integer embeddings exceed the exact-int64 "
+            f"distance bound (dim*(2*maxabs)^2 = "
+            f"{dim * (2.0 * maxabs) ** 2:.3g} >= 2^63); rescale first")
+
+    def d2(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+        if allint:
+            diff = m.astype(np.int64) - c.astype(np.int64)
+            return (diff * diff).sum(axis=1)
+        return ((m - c) ** 2).sum(axis=1)
+
+    sentinel = np.int64(-1) if allint else -1.0
+    mtype = pa.int64() if allint else pa.float64()
+
+    def init_factory(cvec, cid):
+        def fn(t: pa.Table) -> pa.Table:
+            m = _mat64(t, vec_col)
+            ids = t[id_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            mind = d2(m, cvec)
+            mind[ids == cid] = sentinel
+            return pa.table({"id": pa.array(ids),
+                             "vec": _mat_list(m),
+                             "mind": pa.array(mind, mtype)})
+        return fn
+
+    def update_factory(cvec, cid):
+        def fn(t: pa.Table) -> pa.Table:
+            m = _mat64(t, "vec")
+            ids = t["id"].to_numpy(zero_copy_only=False)
+            mind = t["mind"].to_numpy(zero_copy_only=False)
+            upd = np.minimum(mind, d2(m, cvec))
+            upd[mind == sentinel] = sentinel
+            upd[ids == cid] = sentinel
+            return pa.table({"id": t["id"], "vec": t["vec"],
+                             "mind": pa.array(upd, mtype)})
+        return fn
+
+    def top1(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "vec": pa.array([], pa.list_(pa.float64())),
+                          "mind": pa.array([], mtype)})
+        if len(t) == 0:
+            return empty
+        mind = t["mind"].to_numpy(zero_copy_only=False)
+        live = mind != sentinel
+        if not live.any():
+            return empty
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        # exact in the native dtype: max mind among live, tie -> min id
+        mx = mind[live].max()
+        at = live & (mind == mx)
+        j = int(np.flatnonzero(at)[np.argmin(ids[at])])
+        return t.take([j])
+
+    picks = [(1, seed_id, None)]
+    state = proj.map_batches(init_factory(seed_vec, seed_id),
+                             batch_format="pyarrow").materialize()
+    for r in range(2, k + 1):
+        tops = state.map_batches(top1,
+                                 batch_format="pyarrow").to_pandas()
+        if tops.empty:
+            break
+        tops = tops.sort_values(["mind", "id"],
+                                ascending=[False, True])
+        best = tops.iloc[0]
+        bid = int(best["id"])
+        bm = int(best["mind"]) if allint else float(best["mind"])
+        picks.append((r, bid, bm))
+        if r == k:
+            break
+        cvec = np.asarray(best["vec"], dtype=np.float64)
+        state = state.map_batches(update_factory(cvec, bid),
+                                  batch_format="pyarrow").materialize()
+    return pa.table({
+        "rank": pa.array([p[0] for p in picks], pa.int64()),
+        id_col: pa.array([p[1] for p in picks], pa.int64()),
+        "mind": pa.array([p[2] for p in picks], mtype)})
