@@ -10360,6 +10360,61 @@ def _kcenter_sql(k: int = 6, dim: int = 8) -> str:
 
 
 
+def random_projection_embeddings(sf_dir: str) -> Dataset:
+    """Signed Johnson–Lindenstrauss random projection
+    (``similarity.random_projection``, exact mode): micro-unit
+    quantized embeddings × a deterministic ±1 sign matrix from the
+    shared overflow-safe hash family (top-bit sign, id slot = input
+    dim, pos slot = output dim) — zero shuffles, fit-free, one
+    streaming pass; every output is an exact int64 sum so the BIGINT
+    parallel-unnest SQL twin compares STRICTLY. Long layout
+    (vec_id, j, y)."""
+    from ..stages.similarity import random_projection
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        q = _round_arr(pa.array(m * 1000000.0), 0) \
+            .to_numpy(zero_copy_only=False)
+        dim = len(m) // max(len(t), 1)
+        off = pa.array((np.arange(len(t) + 1) * dim).astype(np.int32))
+        return pa.table({"vec_id": t["vec_id"],
+                         "v": pa.ListArray.from_arrays(off,
+                                                       pa.array(q))})
+
+    return random_projection(
+        emb.map_batches(prep, batch_format="pyarrow"), 8,
+        vec_col="v", id_col="vec_id", seed=5, exact=True,
+        layout="long")
+
+
+RANDOM_PROJECTION_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         round(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0)::BIGINT
+             AS v,
+         unnest(generate_series(1, len(embedding)))::BIGINT AS i
+  FROM embeddings
+), js AS (
+  SELECT unnest(generate_series(1, 8))::BIGINT AS j
+), t AS (
+  SELECT e.vec_id, js.j - 1 AS j,
+         CASE WHEN bit_count(
+                ((e.i * 2654435761 + 6577119555) % 4294967296)
+                & ((js.j * 2246822519) % 4294967296)) % 2 = 0
+              THEN e.v ELSE -e.v END AS term
+  FROM e CROSS JOIN js
+)
+SELECT vec_id, j, CAST(sum(term) AS BIGINT) AS y
+FROM t GROUP BY 1, 2
+"""
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10530,7 +10585,10 @@ QUERIES = {
     # readability_docs — Flesch/FK readability (exact int witnesses,
     # strict one-expression doubles, identical RE2 syllable rule);
     # kcenter_embeddings — greedy k-center coreset selection
-    # (unrolled chained-CTE argmax/least twin, integer-exact mind).
+    # (unrolled chained-CTE argmax/least twin, integer-exact mind);
+    # random_projection_embeddings — signed JL random projection
+    # (bilinear popcount-parity signs, bit_count BIGINT twin,
+    # integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10810,6 +10868,7 @@ QUERIES = {
     "token_heaps_docs": token_heaps_docs,
     "readability_docs": readability_docs,
     "kcenter_embeddings": kcenter_embeddings,
+    "random_projection_embeddings": random_projection_embeddings,
 }
 
 
@@ -10819,6 +10878,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "random_projection_embeddings": RANDOM_PROJECTION_SQL,
     "kcenter_embeddings": _kcenter_sql(),
     "readability_docs": _readability_sql(),
     "token_heaps_docs": _token_heaps_sql(),
