@@ -10415,6 +10415,109 @@ FROM t GROUP BY 1, 2
 
 
 
+def retrieval_metrics_embeddings(sf_dir: str) -> Dataset:
+    """Per-query IR ranking metrics (``evalmetrics.retrieval_metrics``,
+    k=10): the first 20 vectors act as queries against the remaining
+    corpus with micro-unit cosine scores (the proven
+    ``calibration_embeddings`` gemv+round convention — bit-identical
+    to DuckDB ``list_cosine_similarity``) and rel = label match.
+    rr/p@k/r@k are ONE division of exact ints (strict); dcg/ndcg are
+    sums of ≤ k irrational 1/log2 terms — round-6 both sides is
+    boundary-safe. ONE bucketed exchange on the query key."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.evalmetrics import retrieval_metrics
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
+    head = head.filter(pc.less(head["vec_id"], 20))
+    qm = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    qids = head["vec_id"].to_numpy(zero_copy_only=False)
+    qlabs = head["label"].to_numpy(zero_copy_only=False)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), -1)
+        did = t["vec_id"].to_numpy(zero_copy_only=False)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        nm = np.sqrt((m * m).sum(axis=1))
+        outs = []
+        for qi in range(len(qids)):
+            qv = qm[qi]
+            c = (m @ qv) / (nm * np.sqrt((qv * qv).sum()))
+            micro = _round_arr(pa.array(c * 1000000.0), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = did != qids[qi]
+            outs.append(pa.table({
+                "qid": pa.array(np.full(int(keep.sum()),
+                                        qids[qi], np.int64)),
+                "did": pa.array(did[keep].astype(np.int64)),
+                "s": pa.array(micro[keep]),
+                "rel": pa.array((lab[keep] == qlabs[qi])
+                                .astype(np.int64))}))
+        return pa.concat_tables(outs)
+
+    out = retrieval_metrics(
+        emb.map_batches(cand, batch_format="pyarrow"),
+        "qid", "did", "s", "rel", k=10)
+    return _round(out, {"dcg_k": 6, "ndcg_k": 6})
+
+
+RETRIEVAL_METRICS_SQL = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe,
+         label AS qlab
+  FROM embeddings WHERE vec_id < 20
+), c AS (
+  SELECT q.qid, e.vec_id AS did,
+         round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), q.qe) * 1000000,
+             0)::BIGINT AS s,
+         CASE WHEN e.label = q.qlab THEN 1 ELSE 0 END AS rel
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), r AS (
+  SELECT qid, rel, s,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY s DESC, did) AS rk
+  FROM c
+), a AS (
+  SELECT qid, count(*)::BIGINT AS n_cand,
+         sum(rel)::BIGINT AS n_rel,
+         CAST(min(CASE WHEN rel = 1 THEN rk END) AS BIGINT)
+             AS first_rel,
+         sum(CASE WHEN rk <= 10 AND rel = 1 THEN 1 ELSE 0
+             END)::BIGINT AS hits_k,
+         sum(CASE WHEN rk <= 10 AND rel = 1
+                  THEN 1.0 / log2(CAST(rk + 1 AS DOUBLE))
+                  ELSE 0.0 END) AS dcg
+  FROM r GROUP BY 1
+), i AS (
+  SELECT n.m, sum(1.0 / log2(CAST(x.i + 1 AS DOUBLE))) AS idcg
+  FROM (SELECT DISTINCT least(n_rel, 10) AS m FROM a
+        WHERE n_rel > 0) n
+  JOIN (SELECT unnest(generate_series(1, 10)) AS i) x ON x.i <= n.m
+  GROUP BY 1
+)
+SELECT a.qid, a.n_cand, a.n_rel, a.first_rel,
+       CASE WHEN a.first_rel IS NOT NULL
+            THEN 1.0 / CAST(a.first_rel AS DOUBLE) END AS rr,
+       a.hits_k,
+       CAST(a.hits_k AS DOUBLE) / 10.0 AS p_at_k,
+       CASE WHEN a.n_rel > 0 THEN
+            CAST(a.hits_k AS DOUBLE) / CAST(a.n_rel AS DOUBLE)
+       END AS r_at_k,
+       round(a.dcg, 6) AS dcg_k,
+       CASE WHEN a.n_rel > 0 THEN round(a.dcg / i.idcg, 6)
+       END AS ndcg_k
+FROM a LEFT JOIN i ON i.m = least(a.n_rel, 10)
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10588,7 +10691,9 @@ QUERIES = {
     # (unrolled chained-CTE argmax/least twin, integer-exact mind);
     # random_projection_embeddings — signed JL random projection
     # (bilinear popcount-parity signs, bit_count BIGINT twin,
-    # integer-exact).
+    # integer-exact); retrieval_metrics_embeddings — per-query IR
+    # ranking metrics MRR/P@k/R@k/DCG/NDCG (window row_number twin,
+    # one-division strict + round-6 irrational logs).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10869,6 +10974,7 @@ QUERIES = {
     "readability_docs": readability_docs,
     "kcenter_embeddings": kcenter_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
+    "retrieval_metrics_embeddings": retrieval_metrics_embeddings,
 }
 
 
@@ -10878,6 +10984,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "retrieval_metrics_embeddings": RETRIEVAL_METRICS_SQL,
     "random_projection_embeddings": RANDOM_PROJECTION_SQL,
     "kcenter_embeddings": _kcenter_sql(),
     "readability_docs": _readability_sql(),

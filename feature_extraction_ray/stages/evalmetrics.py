@@ -165,3 +165,96 @@ def isotonic_fit(ds: Dataset, score_col: str, label_col: str) -> Dataset:
     return rd.from_arrow(pa.table({
         "score": t["s"], "n": pa.array(n), "pos": pa.array(p),
         "iso": pa.array(iso)}))
+
+
+def retrieval_metrics(ds: Dataset, query_col: str, id_col: str,
+                      score_col: str, rel_col: str, k: int = 10,
+                      num_buckets: int = 32) -> Dataset:
+    """Per-query retrieval ranking metrics — the IR-eval rung for a
+    retrieval/ranking stage (BM25, ANN, hybrid RRF): rank candidates
+    per query by (score desc, id asc) and report, per query,
+
+    * ``n_cand`` / ``n_rel`` — exact int64 counts,
+    * ``first_rel`` — rank of the first relevant hit (NULL if none),
+    * ``rr`` — reciprocal rank, ONE division of exact ints (strict),
+    * ``hits_k`` / ``p_at_k`` / ``r_at_k`` — precision/recall@k, each
+      ONE division (strict; ``r_at_k`` NULL when ``n_rel = 0``),
+    * ``dcg_k`` / ``ndcg_k`` — binary-gain DCG@k ``Σ 1/log2(rank+1)``
+      and its ideal-normalized form; log terms are irrational so
+      round-6 on BOTH sides is boundary-safe (the repo's entropy/log
+      lesson), with IDCG from the same ascending prefix sums.
+
+    Scores must be integer-valued (quantize first — micro-unit cosine
+    convention) so ranking ties break identically in SQL; relevance
+    must be 0/1. ONE bucketed exchange on the query key; each bucket
+    ranks via one lexsort + reduceat segment pass, no per-row Python.
+    """
+    from .window import bucketed_apply
+
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    # ascending prefix of the ideal gains: idcg[j] = sum_{i=1..j} g(i)
+    gains = 1.0 / np.log2(np.arange(1, k + 1, dtype=np.float64) + 1.0)
+    ideal = np.concatenate([[0.0], np.cumsum(gains)])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        cols = {
+            query_col: pa.array([], pa.int64()),
+            "n_cand": pa.array([], pa.int64()),
+            "n_rel": pa.array([], pa.int64()),
+            "first_rel": pa.array([], pa.int64()),
+            "rr": pa.array([], pa.float64()),
+            "hits_k": pa.array([], pa.int64()),
+            "p_at_k": pa.array([], pa.float64()),
+            "r_at_k": pa.array([], pa.float64()),
+            "dcg_k": pa.array([], pa.float64()),
+            "ndcg_k": pa.array([], pa.float64())}
+        if len(t) == 0:
+            return pa.table(cols)
+        q = t[query_col].to_numpy(zero_copy_only=False)
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        if not np.all(s == np.floor(s)):
+            raise ValueError("retrieval_metrics: scores must be "
+                             "integer-valued; quantize first")
+        s = s.astype(np.int64)
+        rel = t[rel_col].to_numpy(zero_copy_only=False)
+        if not np.isin(rel, (0, 1)).all():
+            raise ValueError("retrieval_metrics: relevance must be "
+                             "0/1-valued")
+        rel = rel.astype(np.int64)
+        did = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, -s, q))
+        q, s, rel = q[order], s[order], rel[order]
+        starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+        n = np.diff(np.r_[starts, len(q)])
+        rk = np.arange(len(q)) - np.repeat(starts, n) + 1
+        n_rel = np.add.reduceat(rel, starts)
+        # first relevant rank: min rank among rel==1 per group
+        big = np.int64(1 << 62)
+        rk_rel = np.where(rel == 1, rk, big)
+        first = np.minimum.reduceat(rk_rel, starts)
+        has = first < big
+        topk = (rk <= k) & (rel == 1)
+        hits = np.add.reduceat(topk.astype(np.int64), starts)
+        dcg = np.add.reduceat(
+            np.where(topk, 1.0 / np.log2(rk + 1.0), 0.0), starts)
+        idcg = ideal[np.minimum(n_rel, k)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rr = np.where(has, 1.0 / first, np.nan)
+            ndcg = np.where(n_rel > 0, dcg / idcg, np.nan)
+            r_at_k = np.where(n_rel > 0, hits / n_rel, np.nan)
+        return pa.table({
+            query_col: pa.array(q[starts].astype(np.int64)),
+            "n_cand": pa.array(n.astype(np.int64)),
+            "n_rel": pa.array(n_rel),
+            "first_rel": pa.array(
+                np.where(has, first, 0), mask=~has),
+            "rr": pa.array(rr, mask=~has),
+            "hits_k": pa.array(hits),
+            "p_at_k": pa.array(hits / float(k)),
+            "r_at_k": pa.array(r_at_k, mask=n_rel == 0),
+            "dcg_k": pa.array(dcg),
+            "ndcg_k": pa.array(ndcg, mask=n_rel == 0)})
+
+    return bucketed_apply(ds, query_col, per_bucket, num_buckets,
+                          drop_bucket=False)
