@@ -10518,6 +10518,67 @@ FROM a LEFT JOIN i ON i.m = least(a.n_rel, 10)
 
 
 
+def soundex_parts(sf_dir: str) -> Dataset:
+    """American Soundex phonetic blocking keys
+    (``editdist.soundex_encode``) over each part name's FIRST word —
+    the classic record-linkage blocking stage that pairs with the
+    edit-distance joins (block on code, verify with banded DP). Zero
+    shuffles; the engine's ~16-pass RE2 chain runs IDENTICALLY in
+    DuckDB regexp_replace, so the twin compares string-exact."""
+    from ..stages.editdist import soundex_encode
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = pc.list_element(pc.split_pattern(t["p_name"], " "), 0)
+        return pa.table({"p_partkey": t["p_partkey"], "w": w})
+
+    return soundex_encode(ds.map_batches(prep, batch_format="pyarrow"),
+                          "w", out_col="soundex")
+
+
+SOUNDEX_PARTS_SQL = """
+WITH w0 AS (
+  SELECT p_partkey, str_split(p_name, ' ')[1] AS w FROM part
+), x AS (
+  SELECT p_partkey, w,
+         regexp_replace(upper(w), '[^A-Z]', '', 'g') AS xs
+  FROM w0
+), d0 AS (
+  SELECT p_partkey, w, xs, substr(xs, 1, 1) AS first,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             xs,
+             '[BFPV]', '1', 'g'), '[CGJKQSXZ]', '2', 'g'),
+             '[DT]', '3', 'g'), '[L]', '4', 'g'), '[MN]', '5', 'g'),
+             '[R]', '6', 'g'), '[AEIOUY]', '0', 'g'), '[HW]', '', 'g')
+             AS d
+  FROM x
+), d1 AS (
+  SELECT p_partkey, w, xs, first,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         regexp_replace(regexp_replace(
+             d,
+             '1{2,}', '1', 'g'), '2{2,}', '2', 'g'),
+             '3{2,}', '3', 'g'), '4{2,}', '4', 'g'),
+             '5{2,}', '5', 'g'), '6{2,}', '6', 'g') AS d
+  FROM d0
+), d2 AS (
+  SELECT p_partkey, w, xs, first,
+         regexp_replace(
+             CASE WHEN regexp_matches(first, '^[^AEIOUYHW]$')
+                  THEN substr(d, 2) ELSE d END,
+             '0', '', 'g') AS d
+  FROM d1
+)
+SELECT p_partkey, w,
+       CASE WHEN length(xs) = 0 THEN NULL
+            ELSE first || substr(d || '000', 1, 3) END AS soundex
+FROM d2
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10693,7 +10754,9 @@ QUERIES = {
     # (bilinear popcount-parity signs, bit_count BIGINT twin,
     # integer-exact); retrieval_metrics_embeddings — per-query IR
     # ranking metrics MRR/P@k/R@k/DCG/NDCG (window row_number twin,
-    # one-division strict + round-6 irrational logs).
+    # one-division strict + round-6 irrational logs); soundex_parts —
+    # American Soundex phonetic blocking keys (identical RE2 chain
+    # both engines, string-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -10975,6 +11038,7 @@ QUERIES = {
     "kcenter_embeddings": kcenter_embeddings,
     "random_projection_embeddings": random_projection_embeddings,
     "retrieval_metrics_embeddings": retrieval_metrics_embeddings,
+    "soundex_parts": soundex_parts,
 }
 
 
@@ -10984,6 +11048,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "soundex_parts": SOUNDEX_PARTS_SQL,
     "retrieval_metrics_embeddings": RETRIEVAL_METRICS_SQL,
     "random_projection_embeddings": RANDOM_PROJECTION_SQL,
     "kcenter_embeddings": _kcenter_sql(),
