@@ -10579,6 +10579,59 @@ FROM d2
 
 
 
+def quantile_mapped_events(sf_dir: str) -> Dataset:
+    """Quantile mapping / CDF matching (``groupstats.quantile_map``):
+    every event type's value-cents distribution aligned onto the
+    alphabetically-first type's empirical CDF — rank within type by
+    (cents, event_id), map to the reference order statistic at
+    idx = ceil(rank·n_ref/n_g). All integer arithmetic; mapped values
+    are existing reference cents — the window SQL twin compares
+    STRICTLY. ONE tiny value-histogram groupby + ONE bucketed
+    exchange."""
+    from ..stages.groupstats import quantile_map
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"], "cents": c})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow")
+    ref = prepped.min("event_type")
+    return quantile_map(prepped, "event_type", "cents", ref,
+                        id_col="event_id")
+
+
+QUANTILE_MAPPED_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), rg AS (
+  SELECT min(event_type) AS g FROM x
+), r AS (
+  SELECT event_id, event_type, cents,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM x
+), ref AS (
+  SELECT cents AS rv,
+         row_number() OVER (ORDER BY cents, event_id) AS rr
+  FROM x, rg WHERE x.event_type = rg.g
+), nr AS (
+  SELECT count(*)::BIGINT AS c FROM ref
+)
+SELECT r.event_id, r.event_type, r.cents,
+       ref.rv AS cents_qm
+FROM r CROSS JOIN nr
+JOIN ref ON ref.rr = (r.rk * nr.c + r.n - 1) // r.n
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10756,7 +10809,9 @@ QUERIES = {
     # ranking metrics MRR/P@k/R@k/DCG/NDCG (window row_number twin,
     # one-division strict + round-6 irrational logs); soundex_parts —
     # American Soundex phonetic blocking keys (identical RE2 chain
-    # both engines, string-exact).
+    # both engines, string-exact); quantile_mapped_events — quantile
+    # mapping / CDF matching onto a reference group (window
+    # row_number twin, integer-exact mapped values).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11039,6 +11094,7 @@ QUERIES = {
     "random_projection_embeddings": random_projection_embeddings,
     "retrieval_metrics_embeddings": retrieval_metrics_embeddings,
     "soundex_parts": soundex_parts,
+    "quantile_mapped_events": quantile_mapped_events,
 }
 
 
@@ -11048,6 +11104,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "quantile_mapped_events": QUANTILE_MAPPED_EVENTS_SQL,
     "soundex_parts": SOUNDEX_PARTS_SQL,
     "retrieval_metrics_embeddings": RETRIEVAL_METRICS_SQL,
     "random_projection_embeddings": RANDOM_PROJECTION_SQL,

@@ -1893,3 +1893,91 @@ def corr_matrix(ds: Dataset, cols: Sequence[str]):
     return pa.table({"col_a": pa.array(ca), "col_b": pa.array(cb),
                      "n": pa.array(cn, type=pa.int64()),
                      "corr": pa.array(cc, type=pa.float64())})
+
+
+def quantile_map(ds: Dataset, group_col: str, value_col: str,
+                 ref_group, id_col: str,
+                 out_col: str | None = None,
+                 num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Quantile mapping / CDF matching — align every group's value
+    distribution onto the REFERENCE group's empirical distribution
+    (quantile normalization's unequal-group-size sibling; the classic
+    domain-adaptation / batch-effect-correction transform). Each row
+    maps to the reference order statistic at the same quantile
+    position:
+
+        idx    = ceil(rank_g · n_ref / n_g)      (1-based, exact ints)
+        mapped = ref's idx-th smallest value
+
+    with ``rank_g`` the row's 1-based ``row_number`` within its group
+    ordered by (value, ``id_col``) — the id tie-break pins WHICH of
+    two equal-valued rows receives which order statistic, so the SQL
+    window twin matches bit-for-bit. Values must be integer-valued; mapped
+    outputs are existing reference values (exact, no arithmetic).
+    Reference rows map onto themselves (identity).
+
+    Scale shape: the reference CDF is ONE ``groupby(value)`` count
+    exchange collapsed to (distinct value, cumulative count) — bounded
+    by the distinct-value cardinality, broadcast to every task — plus
+    ONE bucketed exchange on the group for in-task ranking
+    (lexsort + run offsets; no per-row Python). The corpus itself
+    never lands on the driver.
+    """
+    import ray as _ray
+
+    from .partition import broadcast_get
+
+    out_name = out_col or f"{value_col}_qm"
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t[value_col]
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_kleene(ok, pc.invert(pc.is_nan(v)))
+        t = t.filter(pc.fill_null(ok, False))
+        vv = _np(t[value_col])
+        if not np.all(vv == np.floor(vv)):
+            raise ValueError("quantile_map: values must be "
+                             "integer-valued; quantize first")
+        return t
+
+    clean = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    # reference CDF: distinct value -> count, via one tiny groupby
+    ref = clean.map_batches(
+        lambda t: t.filter(pc.equal(t[group_col], ref_group)),
+        batch_format="pyarrow") \
+        .groupby(value_col).count().to_pandas()
+    if ref.empty:
+        raise ValueError(
+            f"quantile_map: reference group {ref_group!r} has no rows")
+    ref = ref.sort_values(value_col).reset_index(drop=True)
+    ref_vals = ref[value_col].to_numpy().astype(np.int64)
+    ref_cum = ref["count()"].to_numpy().astype(np.int64).cumsum()
+    n_ref = int(ref_cum[-1])
+    ref_ref = _ray.put((ref_vals, ref_cum))
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            sch = tbl.schema
+            return pa.table(
+                {n: pa.array([], type=sch.field(n).type)
+                 for n in sch.names}
+                | {out_name: pa.array([], type=pa.int64())})
+        rvals, rcum = broadcast_get(ref_ref)
+        tbl = sort_table(tbl, [group_col, value_col, id_col])
+        starts = np.flatnonzero(
+            entity_group_starts(tbl, group_col))
+        counts = np.diff(np.r_[starts, len(tbl)])
+        if counts.max() * n_ref >= 2 ** 62:
+            raise ValueError("quantile_map: n_group*n_ref >= 2^62 — "
+                             "rank index would overflow int64")
+        n_g = np.repeat(counts, counts).astype(np.int64)
+        rk = (np.arange(len(tbl), dtype=np.int64)
+              - np.repeat(starts, counts) + 1)
+        idx = (rk * n_ref + n_g - 1) // n_g          # 1..n_ref exact
+        pos = np.searchsorted(rcum, idx, side="left")
+        return tbl.append_column(out_name, pa.array(rvals[pos]))
+
+    return bucketed_apply(clean, group_col, per_bucket, num_buckets,
+                          drop_bucket=True)
