@@ -10632,6 +10632,21 @@ JOIN ref ON ref.rr = (r.rk * nr.c + r.n - 1) // r.n
 
 
 
+def compression_ratio_docs(sf_dir: str) -> Dataset:
+    """zlib compression-ratio quality screen
+    (``text.compression_ratio``, level 6): the classic redundancy
+    heuristic — templated/repetitive docs compress far below natural
+    prose. raw_bytes is exact; comp_bytes is deterministic zlib output
+    (pinned by goldens; not SQL-expressible — rows-only correctness
+    class like langid/fingerprint). Zero shuffles."""
+    from ..stages.text import compression_ratio
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = compression_ratio(ds, "text", "doc_id")
+    return _round(out, {"ratio": 6})
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10812,6 +10827,8 @@ QUERIES = {
     # both engines, string-exact); quantile_mapped_events — quantile
     # mapping / CDF matching onto a reference group (window
     # row_number twin, integer-exact mapped values).
+    # compression_ratio_docs is rows-only by design (zlib output is
+    # not SQL-expressible; exact byte-length goldens in pytest).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11095,6 +11112,7 @@ QUERIES = {
     "retrieval_metrics_embeddings": retrieval_metrics_embeddings,
     "soundex_parts": soundex_parts,
     "quantile_mapped_events": quantile_mapped_events,
+    "compression_ratio_docs": compression_ratio_docs,
 }
 
 
