@@ -10647,6 +10647,64 @@ def compression_ratio_docs(sf_dir: str) -> Dataset:
 
 
 
+def bootstrap_means_events(sf_dir: str) -> Dataset:
+    """Poisson bootstrap of per-type mean value cents
+    (``groupstats.poisson_bootstrap``, 16 resamples, seed 11): the
+    streaming shuffle-free bootstrap — deterministic Poisson(1)
+    weights from the epoch_order-style multiplicative hash family and
+    a PURE INTEGER inverse-CDF ladder, so n_eff/s are exact int64 and
+    mean is ONE division: the SQL twin compares STRICTLY. Per-block
+    int64 scatters + ONE tiny groupby(type, b) exchange."""
+    from ..stages.groupstats import poisson_bootstrap
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                          "event_type": t["event_type"], "cents": c})
+
+    return poisson_bootstrap(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "cents", id_col="event_id", n_boot=16, seed=11)
+
+
+BOOTSTRAP_MEANS_SQL = """
+WITH x AS (
+  SELECT event_id AS id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), bs AS (
+  SELECT unnest(generate_series(0, 15))::BIGINT AS b
+), hh AS (
+  SELECT x.event_type, bs.b, x.v,
+         ((x.id % 1048576) * (2654435761 + 2630847822 * bs.b)
+          + 14469663021) % 4294967296 AS h
+  FROM x CROSS JOIN bs
+), ww AS (
+  SELECT event_type, b, v,
+         (CASE WHEN h >= 1580030168 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 3160060337 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 3950075421 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 4213413783 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 4279248373 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 4292415291 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 4294609777 THEN 1 ELSE 0 END) +
+         (CASE WHEN h >= 4294923276 THEN 1 ELSE 0 END) AS w
+  FROM hh
+)
+SELECT event_type, b,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       CAST(sum(w * v) AS BIGINT) AS s,
+       CASE WHEN sum(w) > 0
+            THEN CAST(sum(w * v) AS DOUBLE) / CAST(sum(w) AS DOUBLE)
+       END AS mean
+FROM ww GROUP BY 1, 2
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10828,7 +10886,10 @@ QUERIES = {
     # mapping / CDF matching onto a reference group (window
     # row_number twin, integer-exact mapped values).
     # compression_ratio_docs is rows-only by design (zlib output is
-    # not SQL-expressible; exact byte-length goldens in pytest).
+    # not SQL-expressible; exact byte-length goldens in pytest);
+    # bootstrap_means_events — Poisson bootstrap group-mean
+    # uncertainty (integer inverse-CDF ladder + multiplicative-in-b
+    # hash family, integer-exact n_eff/s, one-division mean).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11113,6 +11174,7 @@ QUERIES = {
     "soundex_parts": soundex_parts,
     "quantile_mapped_events": quantile_mapped_events,
     "compression_ratio_docs": compression_ratio_docs,
+    "bootstrap_means_events": bootstrap_means_events,
 }
 
 
@@ -11122,6 +11184,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "bootstrap_means_events": BOOTSTRAP_MEANS_SQL,
     "quantile_mapped_events": QUANTILE_MAPPED_EVENTS_SQL,
     "soundex_parts": SOUNDEX_PARTS_SQL,
     "retrieval_metrics_embeddings": RETRIEVAL_METRICS_SQL,

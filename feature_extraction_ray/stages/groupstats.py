@@ -1981,3 +1981,98 @@ def quantile_map(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(clean, group_col, per_bucket, num_buckets,
                           drop_bucket=True)
+
+
+# Poisson(1) CDF thresholds scaled to uint32 — floor(CDF(k)·2^32) for
+# k = 0..7. Weight = #{k : h >= T_k} ∈ 0..8, a PURE INTEGER ladder the
+# SQL twin reproduces with the same literals (no float anywhere).
+_POISSON1_T32 = np.array([1580030168, 3160060337, 3950075421,
+                          4213413783, 4279248373, 4292415291,
+                          4294609777, 4294923276], dtype=np.uint64)
+
+
+def poisson_bootstrap(ds: Dataset, group_col: str, value_col: str,
+                      id_col: str, n_boot: int = 16,
+                      seed: int = 11) -> Dataset:
+    """Poisson bootstrap — the streaming, shuffle-free bootstrap for
+    group-mean uncertainty at web scale (each row enters resample ``b``
+    with weight ~ Poisson(1), independently per row — no resampling
+    pass over the data is ever materialized). Weights are DETERMINISTIC:
+
+        h(id, b) = ((id mod 2^20) · (2654435761 + 2630847822·b)
+                    + seed · 1315423911)  mod 2^32
+        w(id, b) = #{k : h >= floor(CDF_Pois(1)(k) · 2^32)} ∈ 0..8
+
+    — the multiplier varies MULTIPLICATIVELY with ``b`` (the repo's
+    epoch_order lesson: an additive-in-b term would make resamples
+    near-identical), every term < 2^63 so a BIGINT SQL twin reproduces
+    each weight bit-for-bit, and the Poisson inverse-CDF is a pure
+    integer ladder (no float comparisons).
+
+    Emits one row per (group, b): ``n_eff`` (Σw), ``s`` (Σw·v, exact
+    int64 — values must be integer-valued) and ``mean`` = s/n_eff (ONE
+    division; null when n_eff = 0). Scale shape: per-block partial
+    sums via ``np.add.at`` int64 scatters ride ONE tiny
+    groupby(group, b) exchange — #groups·n_boot rows out, the data
+    never shuffles."""
+    if n_boot < 1 or n_boot > 64:
+        raise ValueError("poisson_bootstrap: n_boot must be in 1..64")
+    B = n_boot
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "b": pa.array([], pa.int64()),
+                          "n_part": pa.array([], pa.int64()),
+                          "s_part": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        v = _np(t[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("poisson_bootstrap: values must be "
+                             "integer-valued; quantize first")
+        v = v.astype(np.int64)
+        ids = _np(t[id_col]).astype(np.uint64) % np.uint64(1 << 20)
+        b = np.arange(B, dtype=np.uint64)
+        mult = np.uint64(2654435761) + np.uint64(2630847822) * b
+        h = (ids[:, None] * mult[None, :]
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        w = np.searchsorted(_POISSON1_T32, h.ravel(),
+                            side="right").reshape(len(t), B) \
+            .astype(np.int64)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ug, gi = np.unique(g, return_inverse=True)
+        key = gi[:, None] * B + np.arange(B)[None, :]
+        n_cells = len(ug) * B
+        n_part = np.zeros(n_cells, np.int64)
+        s_part = np.zeros(n_cells, np.int64)
+        np.add.at(n_part, key.ravel(), w.ravel())
+        np.add.at(s_part, key.ravel(), (w * v[:, None]).ravel())
+        return pa.table({
+            group_col: pa.array(np.repeat(ug, B)),
+            "b": pa.array(np.tile(np.arange(B, dtype=np.int64),
+                                  len(ug))),
+            "n_part": pa.array(n_part),
+            "s_part": pa.array(s_part)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    agg = parts.groupby([group_col, "b"]).aggregate(
+        Sum("n_part", alias_name="n_eff"),
+        Sum("s_part", alias_name="s"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "n_eff" not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64()),
+                             "n_eff": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64())})
+        n = t["n_eff"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean = np.where(n > 0, s / np.maximum(n, 1), np.nan)
+        return pa.table({group_col: t[group_col], "b": t["b"],
+                         "n_eff": pa.array(n), "s": pa.array(s),
+                         "mean": pa.array(mean, mask=n == 0)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
