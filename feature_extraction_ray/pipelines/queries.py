@@ -10705,6 +10705,68 @@ FROM ww GROUP BY 1, 2
 
 
 
+def touch_attribution_events(sf_dir: str) -> Dataset:
+    """Linear multi-touch attribution
+    (``groupstats.touch_attribution``): each purchase's value cents
+    split equally (largest-remainder, earliest-touch extra units)
+    across the user's view/click touches in the preceding 2 days —
+    allocations sum EXACTLY to the conversion value, unattributed
+    conversions emit a NULL-touch row carrying full credit. All-int
+    arithmetic; the self-join + row_number SQL twin compares
+    STRICTLY. ONE bucketed exchange on the user."""
+    from ..stages.groupstats import touch_attribution
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_id": t["event_id"], "us": us,
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"], "cents": c})
+
+    return touch_attribution(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "us", "event_type", "cents", "event_id",
+        conv_type="purchase", touch_types=["view", "click"],
+        window_us=172800000000, mode="linear")
+
+
+TOUCH_ATTRIBUTION_SQL = """
+WITH e AS (
+  SELECT event_id, epoch_us(ts) AS us, user_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), t AS (
+  SELECT * FROM e WHERE event_type IN ('view', 'click')
+), c AS (
+  SELECT * FROM e WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.event_id AS conv_id, c.cents AS total,
+         t.event_id AS touch_id, t.us AS tus
+  FROM c JOIN t ON t.user_id = c.user_id
+   AND t.us >= c.us - 172800000000
+   AND (t.us < c.us OR (t.us = c.us AND t.event_id < c.event_id))
+), r AS (
+  SELECT conv_id, total, touch_id,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY tus, touch_id) AS rk,
+         count(*) OVER (PARTITION BY conv_id) AS k
+  FROM j
+)
+SELECT conv_id, touch_id,
+       CAST(total // k + CASE WHEN rk <= total % k THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM r
+UNION ALL
+SELECT c.event_id, CAST(NULL AS BIGINT), c.cents
+FROM c WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.event_id)
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10889,7 +10951,10 @@ QUERIES = {
     # not SQL-expressible; exact byte-length goldens in pytest);
     # bootstrap_means_events — Poisson bootstrap group-mean
     # uncertainty (integer inverse-CDF ladder + multiplicative-in-b
-    # hash family, integer-exact n_eff/s, one-division mean).
+    # hash family, integer-exact n_eff/s, one-division mean);
+    # touch_attribution_events — linear multi-touch attribution
+    # (self-join + row_number proration twin, integer-exact,
+    # credit-conserving).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11175,6 +11240,7 @@ QUERIES = {
     "quantile_mapped_events": quantile_mapped_events,
     "compression_ratio_docs": compression_ratio_docs,
     "bootstrap_means_events": bootstrap_means_events,
+    "touch_attribution_events": touch_attribution_events,
 }
 
 
@@ -11184,6 +11250,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "touch_attribution_events": TOUCH_ATTRIBUTION_SQL,
     "bootstrap_means_events": BOOTSTRAP_MEANS_SQL,
     "quantile_mapped_events": QUANTILE_MAPPED_EVENTS_SQL,
     "soundex_parts": SOUNDEX_PARTS_SQL,

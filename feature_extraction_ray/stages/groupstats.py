@@ -2076,3 +2076,141 @@ def poisson_bootstrap(ds: Dataset, group_col: str, value_col: str,
                          "mean": pa.array(mean, mask=n == 0)})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def touch_attribution(ds: Dataset, user_col: str, ts_col: str,
+                      type_col: str, value_col: str, id_col: str,
+                      conv_type: str, touch_types: Sequence[str],
+                      window_us: int, mode: str = "linear",
+                      num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Marketing-style multi-touch attribution — split each
+    conversion's value across the user's preceding touch events within
+    a lookback window (the classic first-touch / last-touch / linear
+    credit models; the event-analytics sibling of
+    :func:`funnel_counts`).
+
+    A touch qualifies for a conversion when it belongs to
+    ``touch_types``, happened within ``window_us`` microseconds before
+    the conversion, and strictly precedes it in (ts, id) order (tie
+    ties deterministically). ``mode``:
+
+    * ``"first"`` / ``"last"`` — full value to the earliest / latest
+      qualifying touch,
+    * ``"linear"`` — largest-remainder equal split of the integer
+      value: ``base = total // k`` with the first ``total % k``
+      touches in (ts, id) order getting one extra unit — allocations
+      sum EXACTLY to the total (the ``prorate_by_group`` convention).
+
+    Values must be integer-valued and non-negative (floor-division /
+    modulo sign semantics differ between numpy and SQL on negatives —
+    loud reject). Conversions with no qualifying touch emit one row
+    with a NULL ``touch_id`` carrying the full value, so credit is
+    conserved corpus-wide. ONE bucketed exchange on the user; per
+    bucket everything is prefix-count + searchsorted vectorized."""
+    if mode not in ("first", "last", "linear"):
+        raise ValueError(f"touch_attribution: unknown mode {mode!r}")
+    if window_us <= 0:
+        raise ValueError("touch_attribution: window_us must be > 0")
+    touch_set = set(touch_types)
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({"conv_id": pa.array([], pa.int64()),
+                          "touch_id": pa.array([], pa.int64()),
+                          "alloc": pa.array([], pa.int64())})
+        if len(tbl) == 0:
+            return empty
+        tbl = sort_table(tbl, [user_col, ts_col, id_col])
+        ts = tbl[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        tsv = _np(ts).astype(np.int64)
+        ids = _np(tbl[id_col]).astype(np.int64)
+        typ = tbl[type_col].to_numpy(zero_copy_only=False)
+        val = _np(tbl[value_col])
+        if not np.all(val == np.floor(val)):
+            raise ValueError("touch_attribution: values must be "
+                             "integer-valued; quantize first")
+        val = val.astype(np.int64)
+        is_t = np.isin(typ, list(touch_set))
+        is_c = typ == conv_type
+        if is_c.any() and val[is_c].min() < 0:
+            raise ValueError("touch_attribution: conversion values "
+                             "must be non-negative")
+        useg = np.flatnonzero(entity_group_starts(tbl, user_col))
+        ucnt = np.diff(np.r_[useg, len(tbl)])
+        # prefix count of touches, restarting per user
+        cum = np.cumsum(is_t)
+        base_at = np.repeat(cum[useg] - is_t[useg], ucnt)
+        tpre = cum - base_at           # touches at-or-before each row
+        n_before = tpre - is_t         # strictly before (ts,id) order
+        # per-user touch arrays
+        t_pos = np.flatnonzero(is_t)
+        t_ts = tsv[t_pos]
+        convs = np.flatnonzero(is_c)
+        if len(convs) == 0:
+            return empty
+        out_conv, out_touch, out_alloc = [], [], []
+        # vectorized window bounds: for conv row r in user u, the
+        # touch indices live in the GLOBAL t_pos order; user u's
+        # touches occupy [t_user_start[u], t_user_start[u]+n_touch_u).
+        user_of_row = np.repeat(np.arange(len(useg)), ucnt)
+        u_t0 = (cum[useg] - is_t[useg])
+        hi = n_before[convs] + u_t0[user_of_row[convs]]
+        # lower bound via searchsorted per user segment on t_ts
+        lo = np.empty(len(convs), np.int64)
+        for ui in np.unique(user_of_row[convs]):
+            seg0 = u_t0[ui]
+            seg1 = u_t0[ui + 1] if ui + 1 < len(useg) else len(t_pos)
+            m = user_of_row[convs] == ui
+            lo[m] = seg0 + np.searchsorted(
+                t_ts[seg0:seg1], tsv[convs[m]] - window_us,
+                side="left")
+        k = np.maximum(hi - lo, 0)
+        total = val[convs]
+        # unattributed conversions
+        miss = k == 0
+        out_conv.append(ids[convs[miss]])
+        out_touch.append(np.full(int(miss.sum()), -1, np.int64))
+        out_alloc.append(total[miss])
+        miss_mask = miss.copy()
+        some = ~miss
+        if some.any():
+            ci = convs[some]
+            ks = k[some]
+            los = lo[some]
+            tot = total[some]
+            if mode == "first":
+                tix = t_pos[los]
+                out_conv.append(ids[ci])
+                out_touch.append(ids[tix])
+                out_alloc.append(tot)
+            elif mode == "last":
+                tix = t_pos[los + ks - 1]
+                out_conv.append(ids[ci])
+                out_touch.append(ids[tix])
+                out_alloc.append(tot)
+            else:
+                offs = (np.arange(int(ks.sum()))
+                        - np.repeat(np.cumsum(ks) - ks, ks))
+                tix = t_pos[np.repeat(los, ks) + offs]
+                base = np.repeat(tot // ks, ks)
+                rem = np.repeat(tot % ks, ks)
+                alloc = base + (offs < rem).astype(np.int64)
+                out_conv.append(np.repeat(ids[ci], ks))
+                out_touch.append(ids[tix])
+                out_alloc.append(alloc)
+        conv_a = np.concatenate(out_conv)
+        touch_a = np.concatenate(out_touch)
+        alloc_a = np.concatenate(out_alloc)
+        null_mask = touch_a == -1
+        # only the unattributed sentinel rows are null
+        n_miss = int(miss_mask.sum())
+        null_flags = np.zeros(len(touch_a), bool)
+        null_flags[:n_miss] = True
+        return pa.table({
+            "conv_id": pa.array(conv_a),
+            "touch_id": pa.array(touch_a, mask=null_flags),
+            "alloc": pa.array(alloc_a)})
+
+    return bucketed_apply(ds, user_col, per_bucket, num_buckets,
+                          drop_bucket=False)
