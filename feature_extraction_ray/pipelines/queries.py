@@ -10767,6 +10767,73 @@ FROM c WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.conv_id = c.event_id)
 
 
 
+def ks_value_by_type(sf_dir: str) -> Dataset:
+    """Two-sample Kolmogorov–Smirnov drift test per event type
+    (``groupstats.ks_test_by_group``): A/B arms from event_id parity,
+    D as an EXACT cross-multiplied integer witness d_num with d one
+    division (strict) and the asymptotic Smirnov p round-6 (exp of a
+    rational — boundary-safe). Per-block distinct-value partials +
+    ONE bucketed exchange."""
+    from ..stages.groupstats import ks_test_by_group
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"], "cents": c,
+                         "arm": pa.array((ids % 2).astype("int64"))})
+
+    out = ks_test_by_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "cents", "arm")
+    return _round(out, {"p": 6})
+
+
+KS_VALUE_BY_TYPE_SQL = """
+WITH x AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+         event_id % 2 AS arm
+  FROM events
+), n AS (
+  SELECT g, sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         sum(arm)::BIGINT AS n1
+  FROM x GROUP BY 1
+), cv AS (
+  SELECT g, v,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+         sum(arm)::BIGINT AS c1
+  FROM x GROUP BY 1, 2
+), cum AS (
+  SELECT g, v,
+         CAST(sum(c0) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+             AS f0,
+         CAST(sum(c1) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+             AS f1
+  FROM cv
+), dd AS (
+  SELECT cum.g, n.n0, n.n1,
+         max(abs(f0 * n.n1 - f1 * n.n0))::BIGINT AS d_num
+  FROM cum JOIN n ON n.g = cum.g
+  GROUP BY 1, 2, 3
+)
+SELECT g AS event_type, n0, n1,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN d_num END AS d_num,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         CAST(d_num AS DOUBLE)
+           / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END AS d,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         round(2.0 * exp(
+           (-2.0 * (CAST(d_num AS DOUBLE) * CAST(d_num AS DOUBLE)))
+           / (CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)
+              * CAST(n0 + n1 AS DOUBLE))), 6) END AS p
+FROM dd
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -10954,7 +11021,9 @@ QUERIES = {
     # hash family, integer-exact n_eff/s, one-division mean);
     # touch_attribution_events — linear multi-touch attribution
     # (self-join + row_number proration twin, integer-exact,
-    # credit-conserving).
+    # credit-conserving); ks_value_by_type — two-sample
+    # Kolmogorov-Smirnov drift test (cross-multiplied exact integer
+    # D witness, window-cumsum twin, round-6 Smirnov p).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11241,6 +11310,7 @@ QUERIES = {
     "compression_ratio_docs": compression_ratio_docs,
     "bootstrap_means_events": bootstrap_means_events,
     "touch_attribution_events": touch_attribution_events,
+    "ks_value_by_type": ks_value_by_type,
 }
 
 
@@ -11250,6 +11320,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "ks_value_by_type": KS_VALUE_BY_TYPE_SQL,
     "touch_attribution_events": TOUCH_ATTRIBUTION_SQL,
     "bootstrap_means_events": BOOTSTRAP_MEANS_SQL,
     "quantile_mapped_events": QUANTILE_MAPPED_EVENTS_SQL,

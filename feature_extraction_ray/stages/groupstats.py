@@ -2214,3 +2214,120 @@ def touch_attribution(ds: Dataset, user_col: str, ts_col: str,
 
     return bucketed_apply(ds, user_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def ks_test_by_group(ds: Dataset, group_col: str, value_col: str,
+                     arm_col: str,
+                     num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Two-sample Kolmogorov–Smirnov test per group — the classic
+    distribution-drift / A-B distribution check completing the drift
+    family (PSI, CUSUM, Welch t): for each group, the KS statistic
+    between arm 0 and arm 1 of the integer value column,
+
+        d_num = max over distinct v of |F0(v)·n1 − F1(v)·n0|   (exact)
+        d     = d_num / (n0·n1)                     (ONE division)
+        p     = 2·exp(−2·d_num² / (n0·n1·(n0+n1)))  (asymptotic
+                two-sided Smirnov approximation; round-6 — exp of a
+                nonzero rational is irrational, boundary-safe)
+
+    — the cross-multiplied integer numerator makes the max EXACT (no
+    float CDF), so the SQL window twin matches the witness columns
+    bit-for-bit. Groups with an empty arm yield NULL d/p.
+
+    Scale shape: per-block distinct-(group, value, arm) count partials
+    (packed-key ``np.unique``) collapse block rows to their distinct
+    values, then ONE bucketed exchange on the group merges partials
+    and walks each group's value-sorted cumulative counts — bounded by
+    per-group distinct-value cardinality, never raw rows."""
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "v": pa.array([], pa.int64()),
+                          "arm": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        v = _np(t[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("ks_test_by_group: values must be "
+                             "integer-valued; quantize first")
+        v = v.astype(np.int64)
+        arm = _np(t[arm_col]).astype(np.int64)
+        if not np.isin(arm, (0, 1)).all():
+            raise ValueError("ks_test_by_group: arm must be "
+                             "0/1-valued")
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        ug, gi = np.unique(g, return_inverse=True)
+        order = np.lexsort((arm, v, gi))
+        gi, v, arm = gi[order], v[order], arm[order]
+        new = np.r_[True, (gi[1:] != gi[:-1]) | (v[1:] != v[:-1])
+                    | (arm[1:] != arm[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(gi)])
+        return pa.table({
+            group_col: pa.array(ug[gi[starts]]),
+            "v": pa.array(v[starts]),
+            "arm": pa.array(arm[starts]),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_group_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n0": pa.array([], pa.int64()),
+                          "n1": pa.array([], pa.int64()),
+                          "d_num": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.float64()),
+                          "p": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        v = _np(t["v"]).astype(np.int64)
+        arm = _np(t["arm"]).astype(np.int64)
+        cnt = _np(t["cnt"]).astype(np.int64)
+        ug, gi = np.unique(g, return_inverse=True)
+        order = np.lexsort((arm, v, gi))
+        gi, v, arm, cnt = (gi[order], v[order], arm[order],
+                           cnt[order])
+        # merge duplicate (g, v, arm) partials
+        new = np.r_[True, (gi[1:] != gi[:-1]) | (v[1:] != v[:-1])
+                    | (arm[1:] != arm[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.add.reduceat(cnt, starts)
+        gi, v, arm = gi[starts], v[starts], arm[starts]
+        rows = []
+        for ui in range(len(ug)):
+            m = gi == ui
+            vv, aa, cc = v[m], arm[m], cnt[m]
+            n0 = int(cc[aa == 0].sum())
+            n1 = int(cc[aa == 1].sum())
+            if n0 * n1 * (n0 + n1) >= 2 ** 62:
+                raise ValueError("ks_test_by_group: n0*n1*(n0+n1) "
+                                 ">= 2^62 — p-value product would "
+                                 "overflow int64")
+            uv = np.unique(vv)
+            c0 = np.zeros(len(uv), np.int64)
+            c1 = np.zeros(len(uv), np.int64)
+            pos = np.searchsorted(uv, vv)
+            np.add.at(c0, pos[aa == 0], cc[aa == 0])
+            np.add.at(c1, pos[aa == 1], cc[aa == 1])
+            f0 = np.cumsum(c0)
+            f1 = np.cumsum(c1)
+            if n0 == 0 or n1 == 0:
+                rows.append((ug[ui], n0, n1, None, None, None))
+                continue
+            d_num = int(np.abs(f0 * n1 - f1 * n0).max())
+            d = float(d_num) / (float(n0) * float(n1))
+            expo = (-2.0 * (float(d_num) * float(d_num))
+                    / (float(n0) * float(n1) * float(n0 + n1)))
+            p = 2.0 * np.exp(expo)
+            rows.append((ug[ui], n0, n1, d_num, d, float(p)))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "n0": pa.array([r[1] for r in rows], pa.int64()),
+            "n1": pa.array([r[2] for r in rows], pa.int64()),
+            "d_num": pa.array([r[3] for r in rows], pa.int64()),
+            "d": pa.array([r[4] for r in rows], pa.float64()),
+            "p": pa.array([r[5] for r in rows], pa.float64())})
+
+    return bucketed_apply(parts, group_col, per_group_bucket,
+                          num_buckets, drop_bucket=False)
