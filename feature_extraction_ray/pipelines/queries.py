@@ -10834,6 +10834,73 @@ FROM dd
 
 
 
+def kmv_user_overlap_events(sf_dir: str) -> Dataset:
+    """KMV bottom-k sketches + pairwise user-base overlap between
+    event types (``sketches.kmv_sketch`` / ``kmv_jaccard``, k=32):
+    the set-overlap capability HLL lacks — per type the 32 smallest
+    invertible-multiplier hashes of user_id, then for each type pair
+    the union's kk smallest hashes scored for joint membership;
+    every sketch row and the inter/kk witness are exact ints (ONE
+    division for jaccard) so the row_number SQL twin compares
+    STRICTLY. Map-side bottom-k prune + ONE bucketed exchange; the
+    pair stage runs over the groups·k-bounded sketch only."""
+    from ..stages.sketches import kmv_jaccard, kmv_sketch
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sk = kmv_sketch(ds, "event_type", "user_id", k=32, seed=7)
+    tbl = pa.Table.from_pandas(
+        sk.to_pandas()[["event_type", "h"]])
+    return rd.from_arrow(kmv_jaccard(tbl, "event_type", 32))
+
+
+KMV_USER_OVERLAP_SQL = """
+WITH x AS (
+  SELECT DISTINCT event_type AS g,
+         (user_id * 2654435761 + 9207967377) % 4294967296 AS h
+  FROM events WHERE user_id IS NOT NULL
+), sk AS (
+  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+  FROM x
+), s AS (
+  SELECT g, h FROM sk WHERE rk <= 32
+), gs AS (
+  SELECT DISTINCT g FROM s
+), pr AS (
+  SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g
+), uni AS (
+  SELECT pr.ga, pr.gb, s.h
+  FROM pr JOIN s ON s.g = pr.ga OR s.g = pr.gb
+  GROUP BY 1, 2, 3
+), ur AS (
+  SELECT ga, gb, h,
+         row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urk
+  FROM uni
+), kkt AS (
+  SELECT ga, gb, least(32, count(*))::BIGINT AS kk
+  FROM uni GROUP BY 1, 2
+), d AS (
+  SELECT ur.ga, ur.gb, ur.h
+  FROM ur JOIN kkt ON kkt.ga = ur.ga AND kkt.gb = ur.gb
+  WHERE ur.urk <= kkt.kk
+), it AS (
+  SELECT d.ga, d.gb,
+         sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS inter
+  FROM d
+  LEFT JOIN s sa ON sa.g = d.ga AND sa.h = d.h
+  LEFT JOIN s sb ON sb.g = d.gb AND sb.h = d.h
+  GROUP BY 1, 2
+)
+SELECT kkt.ga AS g_a, kkt.gb AS g_b, kkt.kk,
+       coalesce(it.inter, 0) AS inter,
+       CASE WHEN kkt.kk > 0 THEN
+         CAST(coalesce(it.inter, 0) AS DOUBLE)
+           / CAST(kkt.kk AS DOUBLE) END AS jaccard
+FROM kkt LEFT JOIN it ON it.ga = kkt.ga AND it.gb = kkt.gb
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11023,7 +11090,10 @@ QUERIES = {
     # (self-join + row_number proration twin, integer-exact,
     # credit-conserving); ks_value_by_type — two-sample
     # Kolmogorov-Smirnov drift test (cross-multiplied exact integer
-    # D witness, window-cumsum twin, round-6 Smirnov p).
+    # D witness, window-cumsum twin, round-6 Smirnov p);
+    # kmv_user_overlap_events — KMV bottom-k sketches + pairwise
+    # set-overlap estimation (row_number twin, integer-exact
+    # inter/kk, one-division jaccard).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11311,6 +11381,7 @@ QUERIES = {
     "bootstrap_means_events": bootstrap_means_events,
     "touch_attribution_events": touch_attribution_events,
     "ks_value_by_type": ks_value_by_type,
+    "kmv_user_overlap_events": kmv_user_overlap_events,
 }
 
 
@@ -11320,6 +11391,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "kmv_user_overlap_events": KMV_USER_OVERLAP_SQL,
     "ks_value_by_type": KS_VALUE_BY_TYPE_SQL,
     "touch_attribution_events": TOUCH_ATTRIBUTION_SQL,
     "bootstrap_means_events": BOOTSTRAP_MEANS_SQL,

@@ -648,3 +648,113 @@ SELECT register,
        max({w} - (CASE {ladder} ELSE 0 END) + 1)::BIGINT AS rho_max
 FROM r GROUP BY register
 """
+
+
+def kmv_sketch(ds: Dataset, group_col: str, key_col: str, k: int = 64,
+               seed: int = 7,
+               num_buckets: int = 32) -> Dataset:
+    """KMV (k-minimum-values) distinct sketch per group — the
+    mergeable bottom-k companion to :func:`hll32_registers` that also
+    supports SET OVERLAP estimation (:func:`kmv_jaccard`), which HLL
+    cannot. Uses the same overflow-safe 32-bit family
+    ``h = (key·2654435761 + seed·1315423911) mod 2^32``; the odd
+    multiplier is invertible mod 2^32 so distinct keys < 2^31 map to
+    DISTINCT hashes (keys outside [0, 2^31) reject loudly) and a
+    BIGINT SQL ``row_number`` twin reproduces every sketch row
+    bit-for-bit.
+
+    Emits (group, rank 1..k, h) — the k smallest distinct hash values
+    per group (all of them when a group has fewer). Scale shape:
+    per-block distinct + per-group bottom-k prune (lexsort run
+    offsets) caps the exchange at blocks·groups·k rows; ONE bucketed
+    exchange merges partials. Estimator: ``(k−1)·2^32 / h_k`` when
+    saturated, exact distinct count when not."""
+    if k < 1:
+        raise ValueError("kmv_sketch: k must be >= 1")
+
+    def _bottom_k(g: np.ndarray, h: np.ndarray):
+        ug, gi = np.unique(g, return_inverse=True)
+        order = np.lexsort((h, gi))
+        gi, h = gi[order], h[order]
+        keep = np.r_[True, (gi[1:] != gi[:-1]) | (h[1:] != h[:-1])]
+        gi, h = gi[keep], h[keep]
+        starts = np.flatnonzero(np.r_[True, gi[1:] != gi[:-1]])
+        cnt = np.diff(np.r_[starts, len(gi)])
+        pos = np.arange(len(gi)) - np.repeat(starts, cnt)
+        m = pos < k
+        return ug[gi[m]], h[m], pos[m]
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "h": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        c = t[key_col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        valid = pc.is_valid(c).to_numpy(zero_copy_only=False)
+        keys = c.to_numpy(zero_copy_only=False)
+        keys = keys[valid].astype(np.int64)
+        if len(keys) and (keys.min() < 0 or keys.max() >= (1 << 31)):
+            raise ValueError("kmv_sketch: keys must be in "
+                             "[0, 2^31) for BIGINT twin safety")
+        g = t[group_col].to_numpy(zero_copy_only=False)[valid]
+        if len(keys) == 0:
+            return empty
+        h = (keys.astype(np.uint64) * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        gg, hh, _ = _bottom_k(g, h.astype(np.int64))
+        return pa.table({group_col: pa.array(gg),
+                         "h": pa.array(hh)})
+
+    from .window import bucketed_apply
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "rank": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gg, hh, pos = _bottom_k(g, h)
+        return pa.table({group_col: pa.array(gg),
+                         "rank": pa.array(pos + 1),
+                         "h": pa.array(hh)})
+
+    return bucketed_apply(parts, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
+
+
+def kmv_jaccard(sketch: pa.Table, group_col: str,
+                k: int) -> pa.Table:
+    """Pairwise group Jaccard estimates from KMV sketches: for each
+    group pair, take the union's kk = min(k, |union|) smallest hashes
+    and count how many live in BOTH sketches —
+    ``jaccard = inter / kk`` (ONE division of exact ints; the standard
+    bottom-k overlap estimator). Runs driver-side over the
+    groups·k-bounded sketch table (never the corpus)."""
+    if isinstance(sketch, Dataset):
+        sketch = pa.Table.from_pandas(sketch.to_pandas())
+    g = sketch[group_col].to_numpy(zero_copy_only=False)
+    h = sketch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    groups = np.unique(g)
+    sets = {gr: set(h[g == gr].tolist()) for gr in groups}
+    rows = []
+    for i in range(len(groups)):
+        for j in range(i + 1, len(groups)):
+            a, b = groups[i], groups[j]
+            union = sorted(sets[a] | sets[b])
+            kk = min(k, len(union))
+            dk = set(union[:kk])
+            inter = len(dk & sets[a] & sets[b])
+            rows.append((a, b, kk, inter,
+                         inter / float(kk) if kk else None))
+    return pa.table({
+        "g_a": pa.array([r[0] for r in rows]),
+        "g_b": pa.array([r[1] for r in rows]),
+        "kk": pa.array([r[2] for r in rows], pa.int64()),
+        "inter": pa.array([r[3] for r in rows], pa.int64()),
+        "jaccard": pa.array([r[4] for r in rows], pa.float64())})
