@@ -10901,6 +10901,54 @@ FROM kkt LEFT JOIN it ON it.ga = kkt.ga AND it.gb = kkt.gb
 
 
 
+def phrase_search_docs(sf_dir: str) -> Dataset:
+    """Exact positional phrase query ("order fast") against the
+    persistent positional inverted index
+    (``textindex.build_positional_index`` / ``phrase_search``): build
+    pays one term-bucketed exchange, the query reads ONLY the buckets
+    its terms hash into, shifts positions by phrase offset and
+    intersects (doc, start) cells via a slot bitmask inside ONE
+    doc-bucketed exchange of the FILTERED postings. Integer-exact
+    (n_matches, 1-based first_pos) — the positional-unnest self-join
+    twin compares STRICTLY."""
+    import shutil
+    import tempfile
+
+    from ..stages.textindex import build_positional_index, \
+        phrase_search
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    d = tempfile.mkdtemp(prefix="posidx_")
+    try:
+        build_positional_index(docs, d, num_buckets=16)
+        out = phrase_search(d, "order fast").materialize()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+PHRASE_SEARCH_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         str_split(trim(text, ' ' || chr(9) || chr(10) || chr(13)),
+                   ' ') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(ws) AS w,
+         unnest(generate_series(1, len(ws)))::BIGINT AS p
+  FROM w
+), m AS (
+  SELECT a.doc_id, a.p
+  FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+  WHERE a.w = 'order' AND b.w = 'fast'
+)
+SELECT doc_id, count(*)::BIGINT AS n_matches,
+       min(p)::BIGINT AS first_pos
+FROM m GROUP BY 1
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11093,7 +11141,10 @@ QUERIES = {
     # D witness, window-cumsum twin, round-6 Smirnov p);
     # kmv_user_overlap_events — KMV bottom-k sketches + pairwise
     # set-overlap estimation (row_number twin, integer-exact
-    # inter/kk, one-division jaccard).
+    # inter/kk, one-division jaccard); phrase_search_docs — exact
+    # positional phrase query against the persistent positional
+    # inverted index (positional-unnest self-join twin,
+    # integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11382,6 +11433,7 @@ QUERIES = {
     "touch_attribution_events": touch_attribution_events,
     "ks_value_by_type": ks_value_by_type,
     "kmv_user_overlap_events": kmv_user_overlap_events,
+    "phrase_search_docs": phrase_search_docs,
 }
 
 
@@ -11391,6 +11443,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "phrase_search_docs": PHRASE_SEARCH_SQL,
     "kmv_user_overlap_events": KMV_USER_OVERLAP_SQL,
     "ks_value_by_type": KS_VALUE_BY_TYPE_SQL,
     "touch_attribution_events": TOUCH_ATTRIBUTION_SQL,

@@ -513,3 +513,168 @@ def query_trigram_index(out_dir: str, pattern: str, *,
     out = pa.concat_tables(matched) if matched else \
         pa.table({id_col: pa.array([], type=pa.int64())})
     return out.sort_by([(id_col, "ascending")])
+
+
+def build_positional_index(ds: Dataset, out_dir: str, *,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_buckets: int = 16) -> dict:
+    """Positional inverted index — the phrase-query extension of
+    :func:`build_text_index`: posting rows ``(term, doc_id, pos)``
+    with ``pos`` the 1-based whitespace-token position (Python
+    ``str.split`` semantics, the engine-wide convention), hash-
+    bucketed BY TERM (one parquet per bucket, sorted
+    (term, doc_id, pos)) + ``stats.json``. One bucketed exchange;
+    files written inside the bucket tasks."""
+    from .text import _split_flat
+    os.makedirs(out_dir, exist_ok=True)
+
+    def postings(t: pa.Table) -> pa.Table:
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(n_real)), n_real)
+        pos = (np.arange(len(doc_of))
+               - np.repeat(np.cumsum(n_real) - n_real, n_real) + 1)
+        if not len(doc_of):
+            return empty
+        return pa.table({"term": flat.cast(pa.string()),
+                         "doc_id": pa.array(ids[doc_of]),
+                         "pos": pa.array(pos.astype(np.int64))})
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        b = (_stable_hash_strings(t["term"])
+             % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    bucketed = posts.map_batches(assign, batch_format="pyarrow")
+
+    def write_bucket(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        bid = int(tbl[BUCKET_COL][0].as_py())
+        body = tbl.drop_columns([BUCKET_COL])
+        idx = pc.sort_indices(body, sort_keys=[
+            ("term", "ascending"), ("doc_id", "ascending"),
+            ("pos", "ascending")])
+        pq.write_table(body.take(idx), os.path.join(
+            out_dir, f"positions-{bid:04d}.parquet"))
+        return pa.table({"bucket": pa.array([bid], pa.int64()),
+                         "n_postings": pa.array([len(body)],
+                                                pa.int64())})
+
+    stats = bucketed.groupby(BUCKET_COL).map_groups(
+        write_bucket, batch_format="pyarrow").to_pandas()
+    manifest = {"num_buckets": num_buckets,
+                "n_postings": int(stats["n_postings"].sum()),
+                "buckets": sorted(int(b) for b in stats["bucket"])}
+    tmp = os.path.join(out_dir, "pstats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, "pstats.json"))
+    return manifest
+
+
+def phrase_search(out_dir: str, phrase: str, *,
+                  num_buckets_out: int = 16) -> Dataset:
+    """Exact phrase query against a :func:`build_positional_index`
+    layout: docs where the phrase's tokens occur CONSECUTIVELY.
+    Reads ONLY the posting buckets the phrase terms hash into,
+    shifts each term's positions by its phrase offset, and
+    intersects per (doc, start) across term slots (repeated phrase
+    terms get one slot each — "b b" needs two adjacent b's) via a
+    bitmask over the union's cells inside ONE doc-bucketed exchange
+    of the FILTERED postings (bounded by the phrase terms' document
+    frequency, never the corpus). Returns (doc_id, n_matches,
+    first_pos) — 1-based, overlapping matches counted."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .window import bucketed_apply
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("phrase_search: empty phrase")
+    if len(terms) > 62:
+        raise ValueError("phrase_search: phrase longer than 62 terms")
+    with open(os.path.join(out_dir, "pstats.json")) as f:
+        manifest = json.load(f)
+    nb = int(manifest["num_buckets"])
+    tset = sorted(set(terms))
+    touched = sorted({int(_stable_hash_strings(pa.array([t]))[0]
+                          % np.uint64(nb)) for t in tset})
+    files = [os.path.join(out_dir, f"positions-{b:04d}.parquet")
+             for b in touched
+             if os.path.exists(os.path.join(
+                 out_dir, f"positions-{b:04d}.parquet"))]
+    if not files:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_matches": pa.array([], pa.int64()),
+            "first_pos": pa.array([], pa.int64())}))
+    posts = rd.read_parquet(files, columns=["term", "doc_id", "pos"])
+
+    def slots(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["term"], value_set=pa.array(tset))
+        t = t.filter(keep)
+        outs = []
+        for si, term in enumerate(terms):
+            m = t.filter(pc.equal(t["term"], term))
+            adj = pc.subtract(m["pos"], pa.scalar(si, pa.int64()))
+            outs.append(pa.table({
+                "doc_id": m["doc_id"],
+                "adj": pc.cast(adj, pa.int64()),
+                "slot": pa.array(np.full(len(m), si, np.int64))}))
+        return pa.concat_tables(outs) if outs else pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "adj": pa.array([], pa.int64()),
+            "slot": pa.array([], pa.int64())})
+
+    tagged = posts.map_batches(slots, batch_format="pyarrow")
+    full = (np.uint64(1) << np.uint64(len(terms))) - np.uint64(1)
+
+    def per_doc_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_matches": pa.array([], pa.int64()),
+                          "first_pos": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        adj = t["adj"].to_numpy(zero_copy_only=False)
+        slot = t["slot"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.lexsort((slot, adj, d))
+        d, adj, slot = d[order], adj[order], slot[order]
+        starts = np.flatnonzero(
+            np.r_[True, (d[1:] != d[:-1]) | (adj[1:] != adj[:-1])])
+        # OR the slot bits per (doc, adj) cell
+        bits = np.uint64(1) << slot
+        cell = np.zeros(len(starts), np.uint64)
+        cidx = np.cumsum(np.r_[True, (d[1:] != d[:-1])
+                               | (adj[1:] != adj[:-1])]) - 1
+        np.bitwise_or.at(cell, cidx, bits)
+        ok = (cell == full) & (adj[starts] >= 1)
+        if not ok.any():
+            return empty
+        md = d[starts[ok]]
+        mp = adj[starts[ok]]
+        ds_ = np.flatnonzero(np.r_[True, md[1:] != md[:-1]])
+        n = np.diff(np.r_[ds_, len(md)])
+        return pa.table({
+            "doc_id": pa.array(md[ds_].astype(np.int64)),
+            "n_matches": pa.array(n.astype(np.int64)),
+            "first_pos": pa.array(
+                np.minimum.reduceat(mp, ds_).astype(np.int64))})
+
+    return bucketed_apply(tagged, "doc_id", per_doc_bucket,
+                          num_buckets_out, drop_bucket=False)
