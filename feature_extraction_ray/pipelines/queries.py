@@ -10949,6 +10949,56 @@ FROM m GROUP BY 1
 
 
 
+def late_events(sf_dir: str) -> Dataset:
+    """Keyed watermark / late-data detection
+    (``window.watermark_late_events``, 30-minute allowed lateness):
+    replay each user's events in a deterministic hash-permuted
+    ARRIVAL order (the corpus is ts-ordered, so replaying by raw
+    event_id would never produce a late row — the injective
+    multiplicative permutation simulates out-of-order delivery
+    identically in both engines); a row is late when its event time
+    trails the user's running max event time by more than the
+    lateness budget. All-integer µs comparisons — the
+    max-OVER-preceding window twin compares STRICTLY. ONE bucketed
+    exchange, segmented running max in one accumulate."""
+    from ..stages.window import watermark_late_events
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        arr = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table({"event_id": t["event_id"], "us": us,
+                         "user_id": t["user_id"],
+                         "arrival": pa.array(arr.astype(np.int64))})
+
+    return watermark_late_events(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "us", "arrival", allowed_lateness=1800000000)
+
+
+LATE_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id, epoch_us(ts) AS us, user_id,
+         (event_id * 2654435761) % 4294967296 AS arrival
+  FROM events
+), wmt AS (
+  SELECT event_id, us, user_id, arrival,
+         max(us) OVER (PARTITION BY user_id ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM x
+)
+SELECT event_id, us, user_id, arrival, wm,
+       CASE WHEN wm IS NOT NULL AND us < wm - 1800000000
+            THEN 1 ELSE 0 END AS late
+FROM wmt
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11144,7 +11194,9 @@ QUERIES = {
     # inter/kk, one-division jaccard); phrase_search_docs — exact
     # positional phrase query against the persistent positional
     # inverted index (positional-unnest self-join twin,
-    # integer-exact).
+    # integer-exact); late_events — keyed watermark / late-data
+    # detection under a hash-permuted arrival order (max-OVER-
+    # preceding window twin, integer-exact).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11434,6 +11486,7 @@ QUERIES = {
     "ks_value_by_type": ks_value_by_type,
     "kmv_user_overlap_events": kmv_user_overlap_events,
     "phrase_search_docs": phrase_search_docs,
+    "late_events": late_events,
 }
 
 
@@ -11443,6 +11496,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "late_events": LATE_EVENTS_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "kmv_user_overlap_events": KMV_USER_OVERLAP_SQL,
     "ks_value_by_type": KS_VALUE_BY_TYPE_SQL,

@@ -991,3 +991,78 @@ def sliding_zscore(ds: Dataset, entity_col: str,
             name, pa.array(z, mask=~ok))
 
     return bucketed_apply(ds, entity_col, fn, num_buckets)
+
+
+def watermark_late_events(ds: Dataset, entity_col: str, ts_col: str,
+                          arrival_col: str, allowed_lateness: int,
+                          num_buckets: int = DEFAULT_NUM_BUCKETS
+                          ) -> Dataset:
+    """Keyed watermark / late-data detection — the streaming-semantics
+    op every event-time pipeline needs before windowed aggregation:
+    replaying each entity's stream in ARRIVAL order, the watermark at
+    a row is the max event time of strictly-earlier arrivals, and the
+    row is LATE when its event time trails the watermark by more than
+    ``allowed_lateness`` (same unit as ``ts_col``; timestamps are
+    normalized to µs int64 per the repo convention).
+
+    Appends ``wm`` (null for each entity's first arrival) and ``late``
+    (0/1 int). All-integer comparisons — the SQL window twin
+    (max OVER ... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) matches
+    bit-for-bit. ONE bucketed exchange; per bucket ONE
+    ``np.maximum.accumulate`` over segment-offset-encoded values (a
+    segmented running max with no per-row Python; falls back to a
+    per-segment loop only if the disjoint-range encoding would
+    overflow int64)."""
+    if allowed_lateness < 0:
+        raise ValueError("watermark_late_events: allowed_lateness "
+                         "must be >= 0")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            sch = tbl.schema
+            return pa.table(
+                {n: pa.array([], type=sch.field(n).type)
+                 for n in sch.names}
+                | {"wm": pa.array([], pa.int64()),
+                   "late": pa.array([], pa.int64())})
+        tbl = sort_table(tbl, [entity_col, arrival_col])
+        ts = tbl[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(entity_group_starts(tbl, entity_col))
+        reset = np.zeros(len(tsv), np.int64)
+        reset[starts] = 1
+        seg_id = np.cumsum(reset) - 1
+        # prefix-of-strictly-before within each segment
+        lo = np.int64(np.iinfo(np.int64).min)
+        shifted = np.empty(len(tsv), np.int64)
+        shifted[0] = lo
+        shifted[1:] = tsv[:-1]
+        shifted[starts] = lo
+        base = np.int64(tsv.min())
+        span = np.int64(tsv.max()) - base + np.int64(2)
+        n_seg = int(seg_id[-1]) + 1
+        if n_seg * int(span) < 2 ** 62:
+            # offset each segment into a disjoint range so ONE
+            # accumulate computes every segmented running max
+            enc = np.where(shifted == lo, np.int64(-1),
+                           shifted - base) + seg_id * span
+            acc = np.maximum.accumulate(enc)
+            dec = acc - seg_id * span
+        else:                              # rare overflow fallback
+            dec = np.empty(len(tsv), np.int64)
+            ends = np.r_[starts[1:], len(tsv)]
+            for s, e in zip(starts, ends):
+                seg = np.where(shifted[s:e] == lo, np.int64(-1),
+                               shifted[s:e] - base)
+                dec[s:e] = np.maximum.accumulate(seg)
+        has = dec >= 0
+        wm = np.where(has, dec + base, 0)
+        late = (has & (tsv < wm - np.int64(allowed_lateness))) \
+            .astype(np.int64)
+        return tbl.append_column(
+            "wm", pa.array(wm, mask=~has)).append_column(
+            "late", pa.array(late))
+
+    return bucketed_apply(ds, entity_col, per_bucket, num_buckets)
