@@ -10999,6 +10999,21 @@ FROM wmt
 
 
 
+def kcore_parts(sf_dir: str) -> Dataset:
+    """Full k-core decomposition of the part co-purchase graph
+    (``graphrank.core_numbers``): coreness per part via the h-index
+    fixpoint — iterative, not SQL-expressible (aggregation inside
+    recursion); rows-only driver check, exact-peeling parity pinned
+    in pytest. Broadcast regime like pagerank/label_propagation."""
+    from ..stages.graphrank import core_numbers
+    from ..stages.mining import cooccurrence_edges
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return core_numbers(edges, "item_a", "item_b")
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11196,7 +11211,9 @@ QUERIES = {
     # inverted index (positional-unnest self-join twin,
     # integer-exact); late_events — keyed watermark / late-data
     # detection under a hash-permuted arrival order (max-OVER-
-    # preceding window twin, integer-exact).
+    # preceding window twin, integer-exact). kcore_parts is
+    # rows-only by design (h-index fixpoint; exact-peeling parity
+    # goldens in pytest).
     # token_minhash_dedup_docs
     # / token_simhash_dedup_docs are rows-only by design, planted-dup
     # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
@@ -11487,6 +11504,7 @@ QUERIES = {
     "kmv_user_overlap_events": kmv_user_overlap_events,
     "phrase_search_docs": phrase_search_docs,
     "late_events": late_events,
+    "kcore_parts": kcore_parts,
 }
 
 

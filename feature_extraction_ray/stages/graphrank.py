@@ -557,3 +557,67 @@ def label_propagation(edges: Dataset, src_col: str, dst_col: str,
     comm = nodes[labels]
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes), "community": pa.array(comm)}))
+
+
+def core_numbers(edges: Dataset, src_col: str, dst_col: str,
+                 max_iters: int = 10_000) -> Dataset:
+    """Full k-core decomposition (coreness per node) via the iterative
+    h-index fixpoint (Lü et al. 2016): start every node at its degree,
+    then repeatedly set ``c(v) ← H-index of {c(u) : u ~ v}``; the
+    sequence decreases monotonically to the coreness. Each round is
+    ONE lexsort + reduceat over the edge array using the identity
+    ``H = max_r min(r, v_r)`` on desc-sorted neighbor values — fully
+    vectorized, no per-node Python.
+
+    Edges are treated as UNDIRECTED (symmetrized internally;
+    duplicates and self-loops dropped). Broadcast regime (the
+    ``pagerank``/``label_propagation`` judgment call the repo has
+    measured ~10× the partitioned plan locally): node + edge index
+    arrays live on the driver after one distributed projection pass —
+    int32 pairs, so ~16 MB per 2M edges; for graphs beyond driver
+    memory, peel by rounds through ``bucketed_apply`` like the
+    partitioned PageRank plan. Returns (node, core) with core the
+    exact coreness (validated against naive peeling in tests)."""
+    e = _project(edges, src_col, dst_col).materialize()
+
+    def dedup(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t[_SRC], t[_DST]))
+        return t.filter(keep)
+
+    refs = [r for r in ray.get(
+        e.map_batches(dedup, batch_format="pyarrow")
+        .to_arrow_refs()) if r.num_rows]
+    tbl = pa.concat_tables(refs) if refs else None
+    if tbl is None or tbl.num_rows == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.string()),
+            "core": pa.array([], pa.int64())}))
+    s_raw = tbl[_SRC].to_numpy(zero_copy_only=False)
+    d_raw = tbl[_DST].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.r_[s_raw, d_raw], return_inverse=True)
+    s, d = inv[:len(s_raw)], inv[len(s_raw):]
+    # symmetrize + dedup parallel edges
+    a = np.r_[s, d].astype(np.int64)
+    b = np.r_[d, s].astype(np.int64)
+    packed = a * len(nodes) + b
+    packed = np.unique(packed)
+    a = packed // len(nodes)
+    b = packed % len(nodes)
+    n = len(nodes)
+    c = np.bincount(b, minlength=n).astype(np.int64)  # degree init
+    for _ in range(max_iters):
+        v = c[a]
+        order = np.lexsort((-v, b))
+        bb, vv = b[order], v[order]
+        starts = np.flatnonzero(np.r_[True, bb[1:] != bb[:-1]])
+        r = (np.arange(len(bb)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(bb)])) + 1)
+        h = np.maximum.reduceat(np.minimum(r, vv), starts)
+        new = np.zeros(n, np.int64)
+        new[bb[starts]] = h
+        if (new == c).all():
+            break
+        c = new
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes),
+        "core": pa.array(c)}))
