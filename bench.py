@@ -542,6 +542,72 @@ def run_bench() -> dict:
                 emb).count()
         per_query[f"embed_pool_x{amp}"] = _best_of(_pool_run)
 
+        # session-12 entries: k-center coreset (k materializing
+        # passes), positional phrase index build+query, Poisson
+        # bootstrap (zero-shuffle scatter + tiny exchange)
+        def _kcenter_run():
+            import numpy as _np
+            import pyarrow as _pa
+            import ray.data as _rd
+            from feature_extraction_ray.stages.similarity import \
+                kcenter_select
+            base = _rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]) \
+                .to_pandas()
+            m = _np.stack([_np.asarray(v, _np.float64)
+                           for v in base["embedding"]])
+            reps = 100
+            big = _np.tile(m, (reps, 1))
+            big = _np.round(big * 1e6)
+            ids = _np.arange(len(big), dtype=_np.int64)
+            off = _pa.array((_np.arange(len(big) + 1)
+                             * m.shape[1]).astype(_np.int32))
+            tbl = _pa.table({"vec_id": _pa.array(ids),
+                             "v": _pa.ListArray.from_arrays(
+                                 off, _pa.array(big.ravel()))})
+            ds = _rd.from_arrow(tbl)
+            kcenter_select(ds, 8, vec_col="v", id_col="vec_id")
+        per_query["kcenter_50k_k8"] = _best_of(_kcenter_run)
+
+        def _phrase_run():
+            import shutil
+            import tempfile
+            from feature_extraction_ray.stages.textindex import \
+                build_positional_index, phrase_search
+            docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text"])
+            d = tempfile.mkdtemp(prefix="benchpos_")
+            try:
+                build_positional_index(docs, d, num_buckets=16)
+                for ph in ("order fast", "data slow", "agg part"):
+                    phrase_search(d, ph).count()
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        per_query["phrase_index_build_3q"] = _best_of(_phrase_run)
+
+        def _boot_run():
+            import pyarrow.compute as _pc
+            from feature_extraction_ray.stages.groupstats import \
+                poisson_bootstrap
+            ev = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                                 columns=["event_id", "event_type",
+                                          "value"])
+
+            def _prep(t):
+                import pyarrow as _pa
+                c = _pc.cast(_pc.floor(_pc.add(
+                    _pc.multiply(t["value"], 100.0), 0.5)),
+                    _pa.int64())
+                return _pa.table({"event_id": t["event_id"],
+                                  "event_type": t["event_type"],
+                                  "cents": c})
+
+            poisson_bootstrap(
+                ev.map_batches(_prep, batch_format="pyarrow"),
+                "event_type", "cents", id_col="event_id",
+                n_boot=32).count()
+        per_query["poisson_bootstrap_32"] = _best_of(_boot_run)
+
     ray.shutdown()
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     return {

@@ -11014,6 +11014,106 @@ def kcore_parts(sf_dir: str) -> Dataset:
 
 
 
+def dict_encoded_events(sf_dir: str) -> Dataset:
+    """Global dictionary encoding of event_type
+    (``relational.dict_encode_column``): codebook from ONE
+    value-bounded exchange with dense codes in sorted-value order
+    (code = dense_rank − 1), rows mapped via broadcast
+    ``pc.index_in`` — the shuffle-volume optimization for wide string
+    columns. Integer-exact; the dense_rank SQL twin compares
+    STRICTLY."""
+    from ..stages.relational import dict_encode_column
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    enc, _cb = dict_encode_column(ds, "event_type")
+    return enc
+
+
+DICT_ENCODED_EVENTS_SQL = """
+SELECT event_id, event_type,
+       CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS BIGINT)
+           AS event_type_code
+FROM events
+"""
+
+
+
+
+def conformal_embeddings(sf_dir: str) -> Dataset:
+    """Split-conformal prediction intervals
+    (``evalmetrics.conformal_intervals``, alpha=0.2): micro-unit
+    cosine to the vec_id-0 query as the score, label-match scaled to
+    micro-units as the target; a deterministic hash split carves the
+    calibration set and q-hat is the EXACT
+    ceil((1−alpha)·(n_cal+1))-th smallest absolute residual (order
+    statistic, no interpolation) — every output column is exact int64
+    so the row_number SQL twin compares STRICTLY."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.evalmetrics import conformal_intervals
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"]) \
+        .slice(0, 1)
+    qv = np.array(head["embedding"].to_pylist(), dtype=np.float64)[0]
+    qlab = head["label"][0].as_py()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        micro = _round_arr(pa.array(c * 1000000.0), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": t["vec_id"],
+                         "s": pa.array(micro),
+                         "y": pa.array(((lab == qlab) * 1000000)
+                                       .astype(np.int64))})
+
+    return conformal_intervals(
+        emb.map_batches(score, batch_format="pyarrow"),
+        "s", "y", "vec_id", alpha=0.2, calib_mod=5, seed=3)
+
+
+CONFORMAL_EMBEDDINGS_SQL = """
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+  FROM embeddings WHERE vec_id = 0
+), base AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), qv.qe) * 1000000,
+             0)::BIGINT AS s,
+         CASE WHEN e.label = qv.qlab THEN 1000000 ELSE 0 END AS y
+  FROM qv CROSS JOIN embeddings e
+), x AS (
+  SELECT vec_id, s, y, abs(s - y) AS resid,
+         CASE WHEN (((vec_id % 1048576) * 2654435761 + 3946271733)
+                    % 4294967296) % 5 = 0
+              THEN 1 ELSE 0 END AS cal
+  FROM base
+), calr AS (
+  SELECT resid, row_number() OVER (ORDER BY resid) AS rk
+  FROM x WHERE cal = 1
+), nq AS (
+  SELECT count(*)::BIGINT AS n FROM calr
+), qh AS (
+  SELECT r.resid AS qhat
+  FROM calr r, nq
+  WHERE r.rk = CAST(ceil((1.0 - 0.2) * (nq.n + 1)) AS BIGINT)
+)
+SELECT x.vec_id, x.s, x.y,
+       x.s - qh.qhat AS lo, x.s + qh.qhat AS hi,
+       CASE WHEN x.resid <= qh.qhat THEN 1 ELSE 0 END AS covered
+FROM x CROSS JOIN qh WHERE x.cal = 0
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11211,7 +11311,11 @@ QUERIES = {
     # inverted index (positional-unnest self-join twin,
     # integer-exact); late_events — keyed watermark / late-data
     # detection under a hash-permuted arrival order (max-OVER-
-    # preceding window twin, integer-exact). kcore_parts is
+    # preceding window twin, integer-exact); dict_encoded_events —
+    # global dictionary encoding with sorted-dense codes (dense_rank
+    # twin, integer-exact); conformal_embeddings — split-conformal
+    # prediction intervals (exact order-statistic q-hat, row_number
+    # twin, integer-exact bounds + coverage witness). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11505,6 +11609,8 @@ QUERIES = {
     "phrase_search_docs": phrase_search_docs,
     "late_events": late_events,
     "kcore_parts": kcore_parts,
+    "dict_encoded_events": dict_encoded_events,
+    "conformal_embeddings": conformal_embeddings,
 }
 
 
@@ -11514,6 +11620,8 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "conformal_embeddings": CONFORMAL_EMBEDDINGS_SQL,
+    "dict_encoded_events": DICT_ENCODED_EVENTS_SQL,
     "late_events": LATE_EVENTS_SQL,
     "phrase_search_docs": PHRASE_SEARCH_SQL,
     "kmv_user_overlap_events": KMV_USER_OVERLAP_SQL,

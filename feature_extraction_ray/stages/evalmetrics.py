@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data import Dataset
@@ -258,3 +259,92 @@ def retrieval_metrics(ds: Dataset, query_col: str, id_col: str,
 
     return bucketed_apply(ds, query_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def conformal_intervals(ds: Dataset, score_col: str, label_col: str,
+                        id_col: str, alpha: float = 0.1,
+                        calib_mod: int = 5, seed: int = 3) -> Dataset:
+    """Split-conformal prediction intervals — the
+    distribution-free uncertainty wrapper for any scoring stage
+    (Vovk; Angelopoulos & Bates 2022): a DETERMINISTIC hash split
+    carves out a calibration set (``h(id) mod calib_mod == 0`` on the
+    repo's shared overflow-safe family), the conformal quantile is
+    the EXACT ``ceil((1−alpha)·(n_cal+1))``-th smallest absolute
+    residual ``|score − label|`` (an order statistic — no
+    interpolation, so a SQL row_number twin reproduces it
+    bit-for-bit; when the index exceeds n_cal the interval is
+    unbounded and emitted NULL), and every NON-calibration row gets
+    ``[score − q̂, score + q̂]`` plus a 0/1 coverage witness. With the
+    exchangeability assumption the marginal coverage is ≥ 1−alpha
+    (pinned empirically in tests).
+
+    Scores and labels must be integer-valued (micro-unit convention)
+    so residuals, q̂ and both interval ends are exact int64. Scale
+    shape: calibration residuals ride ONE value-bounded
+    ``groupby(resid).count`` exchange (distinct-residual histogram →
+    order statistic via cumulative counts on the driver — never raw
+    rows), scoring rows stream through one vectorized pass."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("conformal_intervals: alpha must be in "
+                         "(0, 1)")
+    if calib_mod < 2:
+        raise ValueError("conformal_intervals: calib_mod must be "
+                         ">= 2")
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        y = t[label_col].to_numpy(zero_copy_only=False)
+        if not (np.all(s == np.floor(s))
+                and np.all(y == np.floor(y))):
+            raise ValueError("conformal_intervals: scores and labels "
+                             "must be integer-valued; quantize first")
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((ids % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        cal = (h % np.uint64(calib_mod)) == 0
+        resid = np.abs(s.astype(np.int64) - y.astype(np.int64))
+        return pa.table({id_col: t[id_col],
+                         "s": pa.array(s.astype(np.int64)),
+                         "y": pa.array(y.astype(np.int64)),
+                         "resid": pa.array(resid),
+                         "cal": pa.array(cal)})
+
+    prepped = ds.map_batches(prep,
+                             batch_format="pyarrow").materialize()
+    hist = prepped.map_batches(
+        lambda t: t.filter(t["cal"]),
+        batch_format="pyarrow").groupby("resid").count().to_pandas()
+    if hist.empty:
+        raise ValueError("conformal_intervals: calibration split is "
+                         "empty")
+    hist = hist.sort_values("resid").reset_index(drop=True)
+    rv = hist["resid"].to_numpy().astype(np.int64)
+    rc = hist["count()"].to_numpy().astype(np.int64).cumsum()
+    n_cal = int(rc[-1])
+    import math
+    idx = math.ceil((1.0 - alpha) * (n_cal + 1))
+    if idx > n_cal:
+        qhat = None
+    else:
+        qhat = int(rv[np.searchsorted(rc, idx, side="left")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t["cal"]))
+        n = len(t)
+        if qhat is None:
+            lo = pa.nulls(n, pa.int64())
+            hi = pa.nulls(n, pa.int64())
+            cov = pa.array(np.ones(n, np.int64))
+        else:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            r = t["resid"].to_numpy(zero_copy_only=False)
+            lo = pa.array(s - qhat)
+            hi = pa.array(s + qhat)
+            cov = pa.array((r <= qhat).astype(np.int64))
+        return pa.table({id_col: t[id_col], "s": t["s"],
+                         "y": t["y"], "lo": lo, "hi": hi,
+                         "covered": cov})
+
+    return prepped.map_batches(finish, batch_format="pyarrow")

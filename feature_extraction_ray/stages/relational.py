@@ -1311,3 +1311,41 @@ def scd2_lookup(facts: Dataset, history: Dataset, *, fact_key: str,
         return t.drop_columns([valid_to])
 
     return out.map_batches(gate, batch_format="pyarrow")
+
+
+def dict_encode_column(ds: Dataset, col: str,
+                       out_col: str | None = None):
+    """Global dictionary encoding of a string column — the storage /
+    shuffle-volume optimization every 100-TB string column wants
+    before a wide exchange: build the distinct-value codebook ONCE
+    (one value-bounded ``groupby`` exchange), assign dense codes by
+    SORTED value order (``code = dense_rank() − 1`` — deterministic,
+    so a SQL twin reproduces every code), then broadcast the codebook
+    and map each row via one vectorized ``pc.index_in`` pass (zero
+    further shuffles).
+
+    Returns ``(encoded_ds, codebook)`` where ``codebook`` is a
+    ``pa.Table`` (code int64, value) sorted by code, and
+    ``encoded_ds`` carries ``out_col`` (default ``{col}_code``; null
+    values stay null). Codebook must fit driver/worker memory — the
+    documented broadcast-regime contract (beyond that, hash-partition
+    the codebook and use ``attach_values``)."""
+    import ray as _ray
+
+    from .partition import broadcast_get
+    out_name = out_col or f"{col}_code"
+    distinct = ds.groupby(col).count().to_pandas()
+    vals = distinct[col].dropna().to_numpy()
+    vals = np.sort(vals)
+    codebook = pa.table({
+        "code": pa.array(np.arange(len(vals), dtype=np.int64)),
+        "value": pa.array(vals)})
+    ref = _ray.put(pa.array(vals))
+
+    def fn(t: pa.Table) -> pa.Table:
+        lookup = broadcast_get(ref)
+        codes = pc.index_in(t[col], value_set=lookup)
+        return t.append_column(out_name,
+                               pc.cast(codes, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow"), codebook
