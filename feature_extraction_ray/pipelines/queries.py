@@ -11114,6 +11114,103 @@ FROM x CROSS JOIN qh WHERE x.cal = 0
 
 
 
+def degree_assortativity_parts(sf_dir: str) -> Dataset:
+    """Degree assortativity (Newman) of the part co-purchase graph
+    (``graphrank.degree_assortativity``): Pearson correlation of
+    endpoint degrees over the symmetrized edge list — exact int64
+    sufficient statistics (M, Σx, Σx², Σxy) as witnesses with r as
+    ONE fixed expression (two-sqrt denominator, HUGEINT-exact
+    differences in the twin) — compares STRICTLY."""
+    from ..stages.graphrank import degree_assortativity
+    from ..stages.mining import cooccurrence_edges
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return degree_assortativity(edges, "item_a", "item_b")
+
+
+DEGREE_ASSORTATIVITY_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), e AS (
+  SELECT DISTINCT x.i AS a, y.i AS bb
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+), se AS (
+  SELECT a, bb FROM e UNION ALL SELECT bb, a FROM e
+), deg AS (
+  SELECT a AS node, count(*)::BIGINT AS d FROM se GROUP BY 1
+), j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM se JOIN deg da ON da.node = se.a
+  JOIN deg db ON db.node = se.bb
+), s AS (
+  SELECT count(*)::BIGINT AS m, sum(dx)::BIGINT AS sx,
+         sum(dx * dx)::BIGINT AS sxx, sum(dx * dy)::BIGINT AS sxy
+  FROM j
+)
+SELECT m, sx, sxx, sxy,
+       CASE WHEN CAST(m AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx <> 0 THEN
+         CAST(CAST(m AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           / (sqrt(CAST(CAST(m AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * sqrt(CAST(CAST(m AS HUGEINT) * sxx
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+       END AS r
+FROM s
+"""
+
+
+def modularity_parts_by_brand(sf_dir: str) -> Dataset:
+    """Newman modularity of the part co-purchase graph under the
+    GIVEN p_brand partition (``graphrank.attribute_modularity``):
+    per-brand exact int64 witnesses (e_c intra edges, d_c degree sum,
+    m) with q_c = e_c/m − (d_c/(2m))² as ONE fixed IEEE expression
+    per row — strict; the global Q is deliberately left to the caller
+    (a cross-engine float sum would reassociate)."""
+    from ..stages.graphrank import attribute_modularity
+    from ..stages.mining import cooccurrence_edges
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    edges = cooccurrence_edges(ds, "l_orderkey", "l_partkey")
+    return attribute_modularity(edges, "item_a", "item_b", part,
+                                "p_partkey", "p_brand")
+
+
+MODULARITY_PARTS_SQL = """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), e AS (
+  SELECT DISTINCT x.i AS a, y.i AS bb
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i < y.i
+), mt AS (
+  SELECT count(*)::BIGINT AS m FROM e
+), at AS (
+  SELECT CAST(p_partkey AS VARCHAR) AS node, p_brand AS attr
+  FROM part
+), j AS (
+  SELECT a1.attr AS ca, a2.attr AS cb
+  FROM e JOIN at a1 ON a1.node = CAST(e.a AS VARCHAR)
+  JOIN at a2 ON a2.node = CAST(e.bb AS VARCHAR)
+), d AS (
+  SELECT attr, count(*)::BIGINT AS d_c
+  FROM (SELECT ca AS attr FROM j UNION ALL SELECT cb FROM j)
+  GROUP BY 1
+), i AS (
+  SELECT ca AS attr, count(*)::BIGINT AS e_c FROM j
+  WHERE ca = cb GROUP BY 1
+)
+SELECT d.attr, coalesce(i.e_c, 0) AS e_c, d.d_c, mt.m,
+       CAST(coalesce(i.e_c, 0) AS DOUBLE) / CAST(mt.m AS DOUBLE)
+       - (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(mt.m AS DOUBLE)))
+         * (CAST(d.d_c AS DOUBLE) / (2.0 * CAST(mt.m AS DOUBLE)))
+           AS q_c
+FROM d CROSS JOIN mt LEFT JOIN i ON i.attr = d.attr
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11315,7 +11412,12 @@ QUERIES = {
     # global dictionary encoding with sorted-dense codes (dense_rank
     # twin, integer-exact); conformal_embeddings — split-conformal
     # prediction intervals (exact order-statistic q-hat, row_number
-    # twin, integer-exact bounds + coverage witness). kcore_parts is
+    # twin, integer-exact bounds + coverage witness);
+    # degree_assortativity_parts — Newman degree assortativity
+    # (exact-int sufficient stats, HUGEINT-exact differences,
+    # two-sqrt one-expression r, strict); modularity_parts_by_brand
+    # — attribute-partition modularity (exact e_c/d_c/m witnesses,
+    # per-row one-expression q_c, strict). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11611,6 +11713,8 @@ QUERIES = {
     "kcore_parts": kcore_parts,
     "dict_encoded_events": dict_encoded_events,
     "conformal_embeddings": conformal_embeddings,
+    "degree_assortativity_parts": degree_assortativity_parts,
+    "modularity_parts_by_brand": modularity_parts_by_brand,
 }
 
 
@@ -11620,6 +11724,8 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "degree_assortativity_parts": DEGREE_ASSORTATIVITY_SQL,
+    "modularity_parts_by_brand": MODULARITY_PARTS_SQL,
     "conformal_embeddings": CONFORMAL_EMBEDDINGS_SQL,
     "dict_encoded_events": DICT_ENCODED_EVENTS_SQL,
     "late_events": LATE_EVENTS_SQL,

@@ -39,6 +39,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 from ray.data import Dataset
+from ray.data.aggregate import Sum
 
 from .cc import attach_values
 from .partition import broadcast_get, sort_table
@@ -621,3 +622,217 @@ def core_numbers(edges: Dataset, src_col: str, dst_col: str,
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes),
         "core": pa.array(c)}))
+
+
+def _distinct_undirected(e: Dataset,
+                         num_buckets: int = 32) -> Dataset:
+    """Distinct undirected string pairs: orient (min, max), hash-bucket
+    by the first endpoint, per-bucket lexsort dedup."""
+    from .window import bucketed_apply
+
+    def orient(t: pa.Table) -> pa.Table:
+        lo = pc.min_element_wise(t[_SRC], t[_DST])
+        hi = pc.max_element_wise(t[_SRC], t[_DST])
+        return pa.table({_SRC: lo, _DST: hi})
+
+    def dedup(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({_SRC: pa.array([], pa.string()),
+                             _DST: pa.array([], pa.string())})
+        a = t[_SRC].to_numpy(zero_copy_only=False)
+        b = t[_DST].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({_SRC: pa.array(a[keep]),
+                         _DST: pa.array(b[keep])})
+
+    return bucketed_apply(e.map_batches(orient,
+                                        batch_format="pyarrow"),
+                          _SRC, dedup, num_buckets,
+                          drop_bucket=False)
+
+
+def degree_assortativity(edges: Dataset, src_col: str,
+                         dst_col: str) -> Dataset:
+    """Degree assortativity coefficient (Newman 2002) of an
+    UNDIRECTED graph — the Pearson correlation of endpoint degrees
+    over the symmetrized edge list, the classic one-number structural
+    diagnostic (social graphs assortative, web/dependency graphs
+    disassortative). Exactness contract mirrors
+    ``groupstats.corr_matrix``: per-block EXACT int64 sufficient
+    statistics (M directed edge-ends; Σx, Σx², Σxy over endpoint
+    degree pairs) reduce through one tiny driver sum, and
+
+        r = (M·Σxy − Σx·Σy) / (sqrt(M·Σxx − Σx²)·sqrt(M·Σyy − Σy²))
+
+    with Σy = Σx by symmetry is ONE fixed IEEE expression — the SQL
+    twin compares STRICTLY (sqrt is correctly rounded). Zero-degree
+    variance yields null. Scale shape: degrees via ONE
+    node-bounded groupby, attached to edges with ONE bucketed
+    ``attach_values`` exchange per endpoint; bound
+    ``M·max_deg² < 2^62`` checked."""
+    from .cc import attach_values
+    e = _distinct_undirected(
+        _project(edges, src_col, dst_col)).materialize()
+
+    def sym(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t[_SRC], t[_DST]))
+        t = t.filter(keep)
+        return pa.table({
+            "a": pa.concat_arrays([t[_SRC].combine_chunks()
+                                   if isinstance(t[_SRC],
+                                                 pa.ChunkedArray)
+                                   else t[_SRC],
+                                   t[_DST].combine_chunks()
+                                   if isinstance(t[_DST],
+                                                 pa.ChunkedArray)
+                                   else t[_DST]]),
+            "b": pa.concat_arrays([t[_DST].combine_chunks()
+                                   if isinstance(t[_DST],
+                                                 pa.ChunkedArray)
+                                   else t[_DST],
+                                   t[_SRC].combine_chunks()
+                                   if isinstance(t[_SRC],
+                                                 pa.ChunkedArray)
+                                   else t[_SRC]])})
+
+    se = e.map_batches(sym, batch_format="pyarrow").materialize()
+    deg = se.groupby("a").count()
+
+    def rn(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64())})
+        return pa.table({"node": t["a"],
+                         "deg": pc.cast(t["count()"], pa.int64())})
+
+    degt = deg.map_batches(rn, batch_format="pyarrow")
+    j = attach_values(se, "a", degt, "node", ["deg"],
+                      rename={"deg": "dx"})
+    j = attach_values(j, "b", degt, "node", ["deg"],
+                      rename={"deg": "dy"})
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["dx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["dy"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "m": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sxx": pa.array([int((x * x).sum())], pa.int64()),
+            "sxy": pa.array([int((x * y).sum())], pa.int64()),
+            "maxd": pa.array([int(x.max()) if len(x) else 0],
+                             pa.int64())})
+
+    parts = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].sum())
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "m": pa.array([0], pa.int64()),
+            "sx": pa.array([0], pa.int64()),
+            "sxx": pa.array([0], pa.int64()),
+            "sxy": pa.array([0], pa.int64()),
+            "r": pa.array([None], pa.float64())}))
+    sx = int(parts["sx"].sum())
+    sxx = int(parts["sxx"].sum())
+    sxy = int(parts["sxy"].sum())
+    maxd = int(parts["maxd"].max())
+    if m * maxd * maxd >= 2 ** 62:
+        raise ValueError("degree_assortativity: M*max_deg^2 >= 2^62 "
+                         "— exact int64 sufficient stats would "
+                         "overflow")
+    num = np.float64(m * sxy - sx * sx)
+    var = np.float64(m * sxx - sx * sx)
+    if var == 0.0:
+        r_arr = pa.array([None], pa.float64())
+    else:
+        r = num / (np.sqrt(var) * np.sqrt(var))
+        r_arr = pa.array([float(r)], pa.float64())
+    return rd.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "sx": pa.array([sx], pa.int64()),
+        "sxx": pa.array([sxx], pa.int64()),
+        "sxy": pa.array([sxy], pa.int64()),
+        "r": r_arr}))
+
+
+def attribute_modularity(edges: Dataset, src_col: str, dst_col: str,
+                         node_attr: Dataset, node_col: str,
+                         attr_col: str) -> Dataset:
+    """Newman modularity of a GIVEN node partition (an attribute
+    community, e.g. customers by nation): per community c,
+
+        q_c = e_c / m − (d_c / (2·m))²
+
+    with ``e_c`` intra-community undirected edges, ``d_c`` the
+    community degree sum and ``m`` total undirected edges — each row's
+    ``q_c`` is ONE fixed IEEE expression over exact int64 witnesses
+    (e_c, d_c, m), so the SQL twin compares STRICTLY row-by-row (the
+    global Q = Σ q_c is left to the caller: a cross-engine float sum
+    would reassociate). Self-loops and duplicate edges dropped;
+    nodes missing an attribute reject loudly. ONE attach exchange per
+    endpoint + one community-bounded groupby."""
+    from .cc import attach_values
+    e = _distinct_undirected(
+        _project(edges, src_col, dst_col)).materialize()
+
+    def dedup(t: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.equal(t[_SRC], t[_DST]))
+        return t.filter(keep)
+
+    ded = e.map_batches(dedup, batch_format="pyarrow")
+
+    def attr_prep(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(t[node_col], pa.string()),
+                         "attr": pc.cast(t[attr_col], pa.string())})
+
+    at = node_attr.map_batches(attr_prep, batch_format="pyarrow")
+    j = attach_values(ded, _SRC, at, "node", ["attr"],
+                      rename={"attr": "ca"})
+    j = attach_values(j, _DST, at, "node", ["attr"],
+                      rename={"attr": "cb"}).materialize()
+    n_edges = j.count()
+    n_input = ded.count()
+    if n_edges != n_input:
+        raise ValueError(
+            f"attribute_modularity: {n_input - n_edges} edge "
+            f"endpoints have no attribute row")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ca = t["ca"].to_numpy(zero_copy_only=False)
+        cb = t["cb"].to_numpy(zero_copy_only=False)
+        cs = np.r_[ca, cb]
+        ug, gi = np.unique(cs, return_inverse=True)
+        d = np.bincount(gi, minlength=len(ug)).astype(np.int64)
+        intra = ca == cb
+        ei = np.zeros(len(ug), np.int64)
+        if intra.any():
+            np.add.at(ei, gi[:len(ca)][intra], 1)
+        return pa.table({"attr": pa.array(ug),
+                         "d_c": pa.array(d),
+                         "e_c": pa.array(ei)})
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("attr").aggregate(Sum("d_c", alias_name="d_c"),
+                                   Sum("e_c", alias_name="e_c"))
+    m = n_edges
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or "attr" not in t.column_names:
+            return pa.table({"attr": pa.array([], pa.string()),
+                             "e_c": pa.array([], pa.int64()),
+                             "d_c": pa.array([], pa.int64()),
+                             "m": pa.array([], pa.int64()),
+                             "q_c": pa.array([], pa.float64())})
+        ec = t["e_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = t["d_c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        frac = ec / np.float64(m)
+        half = dc / (2.0 * np.float64(m))
+        q = frac - half * half
+        return pa.table({"attr": t["attr"], "e_c": pa.array(ec),
+                         "d_c": pa.array(dc),
+                         "m": pa.array(np.full(len(ec), m,
+                                               np.int64)),
+                         "q_c": pa.array(q)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
