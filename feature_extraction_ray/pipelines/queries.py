@@ -11211,6 +11211,63 @@ FROM d CROSS JOIN mt LEFT JOIN i ON i.attr = d.attr
 
 
 
+def theil_sen_events(sf_dir: str) -> Dataset:
+    """Per-type Theil–Sen robust trend slope
+    (``groupstats.theil_sen_by_group``): value cents vs event minute,
+    median of all pairwise slopes — each slope ONE float64 division
+    of exact ints (bit-identical in SQL; reverse pairs negate both
+    terms and divide to the identical double) and the median follows
+    the pinned quantile_disc convention, so the self-join +
+    row_number twin compares STRICTLY."""
+    from ..stages.groupstats import theil_sen_by_group
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        xm = pc.divide(us, pa.scalar(60000000, pa.int64()))
+        v = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"],
+                         "xm": xm, "cents": v})
+
+    return theil_sen_by_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "xm", "cents", id_col="event_id")
+
+
+THEIL_SEN_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_type AS g, event_id AS id,
+         epoch_us(ts) // 60000000 AS xm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), p AS (
+  SELECT a.g,
+         CAST(b.v - a.v AS DOUBLE) / CAST(b.xm - a.xm AS DOUBLE)
+             AS sl
+  FROM x a JOIN x b ON b.g = a.g AND a.id < b.id AND b.xm <> a.xm
+), np AS (
+  SELECT g, count(*)::BIGINT AS n_pairs FROM p GROUP BY 1
+), nr AS (
+  SELECT g, count(*)::BIGINT AS n FROM x GROUP BY 1
+), r AS (
+  SELECT g, sl, row_number() OVER (PARTITION BY g ORDER BY sl) AS rk
+  FROM p
+), med AS (
+  SELECT r.g, r.sl
+  FROM r JOIN np ON np.g = r.g
+  WHERE r.rk = greatest(1, CAST(ceil(0.5 * np.n_pairs) AS BIGINT))
+)
+SELECT nr.g AS event_type, nr.n, coalesce(np.n_pairs, 0) AS n_pairs,
+       med.sl AS slope
+FROM nr LEFT JOIN np ON np.g = nr.g LEFT JOIN med ON med.g = nr.g
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11417,7 +11474,10 @@ QUERIES = {
     # (exact-int sufficient stats, HUGEINT-exact differences,
     # two-sqrt one-expression r, strict); modularity_parts_by_brand
     # — attribute-partition modularity (exact e_c/d_c/m witnesses,
-    # per-row one-expression q_c, strict). kcore_parts is
+    # per-row one-expression q_c, strict); theil_sen_events —
+    # Theil-Sen robust trend slope (one-division pair slopes,
+    # quantile_disc median, self-join row_number twin, strict).
+    # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11715,6 +11775,7 @@ QUERIES = {
     "conformal_embeddings": conformal_embeddings,
     "degree_assortativity_parts": degree_assortativity_parts,
     "modularity_parts_by_brand": modularity_parts_by_brand,
+    "theil_sen_events": theil_sen_events,
 }
 
 
@@ -11724,6 +11785,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "theil_sen_events": THEIL_SEN_EVENTS_SQL,
     "degree_assortativity_parts": DEGREE_ASSORTATIVITY_SQL,
     "modularity_parts_by_brand": MODULARITY_PARTS_SQL,
     "conformal_embeddings": CONFORMAL_EMBEDDINGS_SQL,

@@ -2331,3 +2331,74 @@ def ks_test_by_group(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(parts, group_col, per_group_bucket,
                           num_buckets, drop_bucket=False)
+
+
+def theil_sen_by_group(ds: Dataset, group_col: str, x_col: str,
+                       y_col: str, id_col: str,
+                       max_group_rows: int = 20_000,
+                       num_buckets: int = DEFAULT_NUM_BUCKETS
+                       ) -> Dataset:
+    """Per-group Theil–Sen robust slope — the median of all pairwise
+    slopes ``(y_j − y_i)/(x_j − x_i)`` over pairs with distinct x
+    (up to 29% outlier breakdown vs OLS's 0): the robust sibling of
+    :func:`grouped_linreg`. Exactness: x/y must be integer-valued, so
+    every pairwise slope is ONE float64 division of exact ints
+    (bit-identical in SQL) and the median follows the repo's pinned
+    ``quantile_disc`` convention (sorted value at 1-based index
+    ``max(1, ceil(0.5·n_pairs))``) — equal doubles make the pick
+    value-deterministic, so the twin compares STRICTLY. Output per
+    group: ``n`` rows, ``n_pairs``, ``slope`` (null when no
+    distinct-x pair exists).
+
+    Scale: the pair set is O(n²) per group — the EXACT-path contract
+    caps a group at ``max_group_rows`` (loud reject; sample or use
+    ``grouped_linreg`` beyond). ONE bucketed exchange; the per-bucket
+    kernel builds pair slopes with one triu_indices vectorized pass.
+    """
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "slope": pa.array([], pa.float64())})
+        if len(tbl) == 0:
+            return empty
+        x = _np(tbl[x_col])
+        y = _np(tbl[y_col])
+        if not (np.all(x == np.floor(x))
+                and np.all(y == np.floor(y))):
+            raise ValueError("theil_sen_by_group: x and y must be "
+                             "integer-valued; quantize first")
+        tbl = sort_table(tbl, [group_col, x_col, id_col])
+        x = _np(tbl[x_col]).astype(np.int64)
+        y = _np(tbl[y_col]).astype(np.int64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(entity_group_starts(tbl, group_col))
+        cnt = np.diff(np.r_[starts, len(tbl)])
+        rows = []
+        for s, c in zip(starts, cnt):
+            if c > max_group_rows:
+                raise ValueError(
+                    f"theil_sen_by_group: group {g[s]!r} has {c} "
+                    f"rows > max_group_rows={max_group_rows} — "
+                    "exact pairwise path refuses; sample first")
+            xs, ys = x[s:s + c], y[s:s + c]
+            ii, jj = np.triu_indices(int(c), 1)
+            dx = xs[jj] - xs[ii]
+            keep = dx != 0
+            n_pairs = int(keep.sum())
+            if n_pairs == 0:
+                rows.append((g[s], int(c), 0, None))
+                continue
+            sl = (ys[jj] - ys[ii])[keep] / dx[keep]
+            sl.sort(kind="stable")
+            idx = max(1, -(-n_pairs // 2))        # ceil(0.5·n)
+            rows.append((g[s], int(c), n_pairs,
+                         float(sl[idx - 1])))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+            "slope": pa.array([r[3] for r in rows], pa.float64())})
+
+    return bucketed_apply(ds, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
