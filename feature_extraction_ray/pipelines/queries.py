@@ -11268,6 +11268,72 @@ FROM nr LEFT JOIN np ON np.g = nr.g LEFT JOIN med ON med.g = nr.g
 
 
 
+def did_events(sf_dir: str) -> Dataset:
+    """Difference-in-differences on event value cents
+    (``groupstats.diff_in_diff``): arm = event_id parity, period =
+    event-day parity — exact int64 cell witnesses (n/s per 2×2
+    cell) through ONE 4-group exchange, each mean ONE division and
+    did the fixed parenthesized expression: the SQL twin compares
+    STRICTLY."""
+    from ..stages.groupstats import diff_in_diff
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        day = pc.divide(us, pa.scalar(86400000000, pa.int64()))
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        v = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({
+            "arm": pa.array((ids % 2).astype("int64")),
+            "period": pc.cast(
+                pc.bit_wise_and(day, pa.scalar(1, pa.int64())),
+                pa.int64()),
+            "cents": v})
+
+    return diff_in_diff(ds.map_batches(prep, batch_format="pyarrow"),
+                        "arm", "period", "cents")
+
+
+DID_EVENTS_SQL = """
+WITH x AS (
+  SELECT event_id % 2 AS arm,
+         (epoch_us(ts) // 86400000000) % 2 AS period,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT arm, period, count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+  FROM x GROUP BY 1, 2
+), w AS (
+  SELECT
+    max(CASE WHEN arm = 0 AND period = 0 THEN n END) AS n00,
+    max(CASE WHEN arm = 0 AND period = 0 THEN s END) AS s00,
+    max(CASE WHEN arm = 0 AND period = 1 THEN n END) AS n01,
+    max(CASE WHEN arm = 0 AND period = 1 THEN s END) AS s01,
+    max(CASE WHEN arm = 1 AND period = 0 THEN n END) AS n10,
+    max(CASE WHEN arm = 1 AND period = 0 THEN s END) AS s10,
+    max(CASE WHEN arm = 1 AND period = 1 THEN n END) AS n11,
+    max(CASE WHEN arm = 1 AND period = 1 THEN s END) AS s11
+  FROM c
+)
+SELECT coalesce(n00, 0) AS n00, coalesce(s00, 0) AS s00,
+       CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS m00,
+       coalesce(n01, 0) AS n01, coalesce(s01, 0) AS s01,
+       CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS m01,
+       coalesce(n10, 0) AS n10, coalesce(s10, 0) AS s10,
+       CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS m10,
+       coalesce(n11, 0) AS n11, coalesce(s11, 0) AS s11,
+       CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS m11,
+       (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+        - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+       - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+          - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did
+FROM w
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11476,8 +11542,10 @@ QUERIES = {
     # — attribute-partition modularity (exact e_c/d_c/m witnesses,
     # per-row one-expression q_c, strict); theil_sen_events —
     # Theil-Sen robust trend slope (one-division pair slopes,
-    # quantile_disc median, self-join row_number twin, strict).
-    # kcore_parts is
+    # quantile_disc median, self-join row_number twin, strict);
+    # did_events — difference-in-differences 2x2 causal contrast
+    # (exact cell witnesses, one-division means, fixed-expression
+    # did, strict). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11776,6 +11844,7 @@ QUERIES = {
     "degree_assortativity_parts": degree_assortativity_parts,
     "modularity_parts_by_brand": modularity_parts_by_brand,
     "theil_sen_events": theil_sen_events,
+    "did_events": did_events,
 }
 
 
@@ -11785,6 +11854,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "did_events": DID_EVENTS_SQL,
     "theil_sen_events": THEIL_SEN_EVENTS_SQL,
     "degree_assortativity_parts": DEGREE_ASSORTATIVITY_SQL,
     "modularity_parts_by_brand": MODULARITY_PARTS_SQL,

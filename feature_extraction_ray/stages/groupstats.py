@@ -2402,3 +2402,57 @@ def theil_sen_by_group(ds: Dataset, group_col: str, x_col: str,
 
     return bucketed_apply(ds, group_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def diff_in_diff(ds: Dataset, arm_col: str, period_col: str,
+                 value_col: str) -> Dataset:
+    """Difference-in-differences estimator — the classic 2×2 causal
+    contrast completing the A/B family (Welch t, KS, PSI, bootstrap):
+    with cell means ``m[arm][period]`` over the integer value column,
+
+        did = (m₁₁ − m₁₀) − (m₀₁ − m₀₀)
+
+    Every cell's (n, s) is an exact int64 sufficient statistic riding
+    ONE tiny 4-group exchange; each mean is ONE division and ``did``
+    is the fixed parenthesized IEEE expression over them — the SQL
+    twin compares STRICTLY. Arms/periods must be 0/1-valued; empty
+    cells null the estimate. Output: one row of cell witnesses
+    (n/s per cell), means, and ``did``."""
+    def partial(t: pa.Table) -> pa.Table:
+        v = _np(t[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("diff_in_diff: values must be "
+                             "integer-valued; quantize first")
+        v = v.astype(np.int64)
+        a = _np(t[arm_col]).astype(np.int64)
+        p = _np(t[period_col]).astype(np.int64)
+        if not (np.isin(a, (0, 1)).all()
+                and np.isin(p, (0, 1)).all()):
+            raise ValueError("diff_in_diff: arm and period must be "
+                             "0/1-valued")
+        cell = a * 2 + p
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s = np.zeros(4, np.int64)
+        np.add.at(s, cell, v)
+        return pa.table({"cell": pa.array(np.arange(4, dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("n", alias_name="n"),
+                                   Sum("s", alias_name="s")) \
+        .to_pandas().set_index("cell")
+    n = [int(agg["n"].get(c, 0)) for c in range(4)]
+    s = [int(agg["s"].get(c, 0)) for c in range(4)]
+    m = [float(np.float64(s[c]) / np.float64(n[c])) if n[c] else None
+         for c in range(4)]
+    did = None
+    if all(n):
+        did = float((m[3] - m[2]) - (m[1] - m[0]))
+    cols = {}
+    for c, (an, pn) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        cols[f"n{an}{pn}"] = pa.array([n[c]], pa.int64())
+        cols[f"s{an}{pn}"] = pa.array([s[c]], pa.int64())
+        cols[f"m{an}{pn}"] = pa.array([m[c]], pa.float64())
+    cols["did"] = pa.array([did], pa.float64())
+    import ray.data as rd
+    return rd.from_arrow(pa.table(cols))
