@@ -11334,6 +11334,80 @@ FROM w
 
 
 
+def secret_scan_docs(sf_dir: str) -> Dataset:
+    """High-entropy secret/token screen (``curation.secret_scan``,
+    truffleHog-style): the raw corpus has no 16+-char base64-class
+    tokens, so BOTH engines append identical deterministic planted
+    suffixes (a high-entropy key-like token on doc_id%7, a
+    zero-entropy filler on doc_id%5 — the readability_docs planted
+    trick) and must agree on candidates, occurrence counts, byte
+    entropies (round-6; log2 terms irrational or binary-rational —
+    both boundary-safe) and the 0/1 secret flag (thresholded on the
+    UNROUNDED value; planted entropies sit far from 3.5)."""
+    from ..stages.curation import secret_scan
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        s1 = np.where(ids % 7 == 0,
+                      np.char.add(" QmFzZTY0U2VjcmV0S2V5",
+                                  ids.astype(str)), "")
+        s2 = np.where(ids % 5 == 0, " AAAAAAAAAAAAAAAA", "")
+        txt = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(t["text"], pa.array(s1), ""),
+            pa.array(s2), "")
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    out = secret_scan(ds.map_batches(plant, batch_format="pyarrow"),
+                      "text", "doc_id", min_len=16,
+                      entropy_threshold=3.5)
+    return _round(out, {"entropy": 6})
+
+
+SECRET_SCAN_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' QmFzZTY0U2VjcmV0S2V5'
+                      || CAST(doc_id AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' AAAAAAAAAAAAAAAA' ELSE '' END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(str_split(trim(text,
+             ' ' || chr(9) || chr(10) || chr(13)), ' ')) AS tok
+  FROM d
+), c AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS n_occ
+  FROM w
+  WHERE regexp_matches(tok, '^[A-Za-z0-9+/=_-]{16,}$')
+  GROUP BY 1, 2
+), ch AS (
+  SELECT doc_id, tok, unnest(str_split_regex(tok, '')) AS ch FROM c
+), hc AS (
+  SELECT doc_id, tok, ch, count(*)::BIGINT AS cc
+  FROM ch WHERE ch <> '' GROUP BY 1, 2, 3
+), ent AS (
+  SELECT doc_id, tok,
+         sum(CAST(cc AS DOUBLE) * log2(CAST(cc AS DOUBLE))) AS ssum
+  FROM hc GROUP BY 1, 2
+)
+SELECT c.doc_id, c.tok AS token,
+       CAST(length(c.tok) AS BIGINT) AS tok_len, c.n_occ,
+       round(log2(CAST(length(c.tok) AS DOUBLE))
+             - ent.ssum / CAST(length(c.tok) AS DOUBLE), 6)
+           AS entropy,
+       CASE WHEN log2(CAST(length(c.tok) AS DOUBLE))
+                 - ent.ssum / CAST(length(c.tok) AS DOUBLE) >= 3.5
+            THEN 1 ELSE 0 END AS is_secret
+FROM c JOIN ent ON ent.doc_id = c.doc_id AND ent.tok = c.tok
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11545,7 +11619,9 @@ QUERIES = {
     # quantile_disc median, self-join row_number twin, strict);
     # did_events — difference-in-differences 2x2 causal contrast
     # (exact cell witnesses, one-division means, fixed-expression
-    # did, strict). kcore_parts is
+    # did, strict); secret_scan_docs — high-entropy secret/token
+    # screen over planted suffixes (identical construction both
+    # engines, round-6 byte entropy, strict flags). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11845,6 +11921,7 @@ QUERIES = {
     "modularity_parts_by_brand": modularity_parts_by_brand,
     "theil_sen_events": theil_sen_events,
     "did_events": did_events,
+    "secret_scan_docs": secret_scan_docs,
 }
 
 
@@ -11854,6 +11931,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "secret_scan_docs": SECRET_SCAN_SQL,
     "did_events": DID_EVENTS_SQL,
     "theil_sen_events": THEIL_SEN_EVENTS_SQL,
     "degree_assortativity_parts": DEGREE_ASSORTATIVITY_SQL,

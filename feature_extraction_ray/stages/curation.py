@@ -2271,3 +2271,83 @@ def unimax_weights(ds: Dataset, group_col: str = "source",
         ep = alloc.astype(np.float64) / n
     pdf["epochs"] = np.where(n > 0, ep, np.nan)
     return pdf
+
+
+def secret_scan(ds: Dataset, text_col: str = "text",
+                id_col: str = "doc_id", min_len: int = 16,
+                entropy_threshold: float = 3.5) -> Dataset:
+    """High-entropy token screen — the secret/credential detector of
+    code- and web-curation pipelines (truffleHog-style): whitespace
+    tokens matching the base64-ish candidate class
+    ``^[A-Za-z0-9+/=_-]{min_len,}$`` are scored by Shannon byte
+    entropy
+
+        H = log2(L) − (Σ_c n_c·log2(n_c)) / L
+
+    and flagged when ``H ≥ entropy_threshold`` (random keys ≈ 5–6
+    bits/char, English ≈ 2–3, repeated filler ≈ 0). Candidates are
+    ASCII by the class regex, so the char histogram is one
+    ``np.frombuffer`` + packed-key ``np.unique`` over the flattened
+    candidate bytes — zero per-row Python, zero shuffles. Per
+    distinct (doc, token): ``tok_len``, ``n_occ``, ``entropy``
+    (round-6 — log2 terms are irrational or binary-rational, both
+    rounding-boundary-safe) and ``is_secret`` 0/1."""
+    pat = "^[A-Za-z0-9+/=_-]{%d,}$" % min_len
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "token": pa.array([], pa.string()),
+                          "tok_len": pa.array([], pa.int64()),
+                          "n_occ": pa.array([], pa.int64()),
+                          "entropy": pa.array([], pa.float64()),
+                          "is_secret": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        from .text import _split_flat
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        doc_of = np.repeat(np.arange(len(n_real)), n_real)
+        cand = pc.match_substring_regex(flat, pat) \
+            .to_numpy(zero_copy_only=False)
+        if not cand.any():
+            return empty
+        toks = flat.filter(pa.array(cand))
+        docs = ids[doc_of[cand]]
+        # distinct (doc, token) + occurrence counts
+        tnp = toks.to_numpy(zero_copy_only=False)
+        order = np.lexsort((tnp, docs))
+        docs, tnp = docs[order], tnp[order]
+        new = np.r_[True, (docs[1:] != docs[:-1])
+                    | (tnp[1:] != tnp[:-1])]
+        starts = np.flatnonzero(new)
+        n_occ = np.diff(np.r_[starts, len(docs)]).astype(np.int64)
+        docs_u, toks_u = docs[starts], tnp[starts]
+        # byte histogram over the distinct tokens, flattened
+        joined = "".join(toks_u)
+        b = np.frombuffer(joined.encode("ascii"), dtype=np.uint8)
+        lens = np.array([len(s) for s in toks_u], np.int64)
+        tok_of = np.repeat(np.arange(len(toks_u)), lens)
+        packed = tok_of.astype(np.int64) * 256 + b.astype(np.int64)
+        up, ucnt = np.unique(packed, return_counts=True)
+        seg = up // 256
+        cc = ucnt.astype(np.float64)
+        term = cc * np.log2(cc)
+        seg_starts = np.flatnonzero(np.r_[True, seg[1:] != seg[:-1]])
+        seg_sum = np.add.reduceat(term, seg_starts)
+        ssum = np.zeros(len(toks_u), np.float64)
+        ssum[seg[seg_starts]] = seg_sum
+        ent = np.log2(lens.astype(np.float64)) \
+            - ssum / lens.astype(np.float64)
+        is_sec = (ent >= entropy_threshold).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(docs_u),
+            "token": pa.array(toks_u.astype(object)),
+            "tok_len": pa.array(lens),
+            "n_occ": pa.array(n_occ),
+            "entropy": pa.array(ent),
+            "is_secret": pa.array(is_sec)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
