@@ -11408,6 +11408,50 @@ FROM c JOIN ent ON ent.doc_id = c.doc_id AND ent.tok = c.tok
 
 
 
+def rendezvous_shards_events(sf_dir: str) -> Dataset:
+    """Rendezvous (HRW) consistent sharding of events
+    (``partition.rendezvous_shard``, 16 shards): each row to
+    argmax_s h(key, s) with the shard slot MULTIPLYING in the shared
+    hash family — the placement that moves only ~1/(S+1) of keys on
+    a fleet resize (pinned in pytest). Integer-exact; the
+    argmax-via-row_number SQL twin compares STRICTLY."""
+    from ..stages.partition import rendezvous_shard
+    ds = _read(sf_dir, "events", ["event_id"])
+    out = rendezvous_shard(ds, "event_id", 16, seed=9)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "shard"]),
+        batch_format="pyarrow")
+
+
+RENDEZVOUS_SHARDS_SQL = """
+WITH s AS (
+  SELECT unnest(generate_series(0, 15))::BIGINT AS sh
+), x0 AS (
+  SELECT e.event_id, s.sh,
+         ((e.event_id % 1048576) * 64 + s.sh + 603979776)
+             % 4294967296 AS x
+  FROM events e CROSS JOIN s
+), x1 AS (
+  SELECT event_id, sh,
+         (xor(x >> 16, x) * 73244475) % 4294967296 AS x
+  FROM x0
+), x2 AS (
+  SELECT event_id, sh,
+         (xor(x >> 16, x) * 73244475) % 4294967296 AS x
+  FROM x1
+), h AS (
+  SELECT event_id, sh, xor(x >> 16, x) AS hv FROM x2
+), r AS (
+  SELECT event_id, sh,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY hv DESC, sh) AS rk
+  FROM h
+)
+SELECT event_id, sh AS shard FROM r WHERE rk = 1
+"""
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11621,7 +11665,10 @@ QUERIES = {
     # (exact cell witnesses, one-division means, fixed-expression
     # did, strict); secret_scan_docs — high-entropy secret/token
     # screen over planted suffixes (identical construction both
-    # engines, round-6 byte entropy, strict flags). kcore_parts is
+    # engines, round-6 byte entropy, strict flags);
+    # rendezvous_shards_events — HRW consistent sharding (32-bit
+    # double-mix avalanche, argmax row_number twin, integer-exact;
+    # minimal-movement property pinned). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11922,6 +11969,7 @@ QUERIES = {
     "theil_sen_events": theil_sen_events,
     "did_events": did_events,
     "secret_scan_docs": secret_scan_docs,
+    "rendezvous_shards_events": rendezvous_shards_events,
 }
 
 
@@ -11931,6 +11979,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "rendezvous_shards_events": RENDEZVOUS_SHARDS_SQL,
     "secret_scan_docs": SECRET_SCAN_SQL,
     "did_events": DID_EVENTS_SQL,
     "theil_sen_events": THEIL_SEN_EVENTS_SQL,
