@@ -11452,6 +11452,49 @@ SELECT event_id, sh AS shard FROM r WHERE rk = 1
 
 
 
+def skyline_parts(sf_dir: str) -> Dataset:
+    """Skyline / Pareto-front query (``relational.skyline``): parts
+    maximal under (retail-price cents DESC-is-better, size): no other
+    part is at-least-as-good on both and better on one. Mergeable
+    block-prune plan (local skylines concatenate skyline-sized on the
+    driver); integer-exact — the NOT-EXISTS dominance twin compares
+    STRICTLY."""
+    from ..stages.relational import skyline
+    ds = _read(sf_dir, "part", ["p_partkey", "p_size",
+                                "p_retailprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["p_retailprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"p_partkey": t["p_partkey"],
+                         "size": pc.cast(t["p_size"], pa.int64()),
+                         "cents": cents})
+
+    return skyline(ds.map_batches(prep, batch_format="pyarrow"),
+                   ["size", "cents"], keep_duplicates=True)
+
+
+SKYLINE_PARTS_SQL = """
+WITH x AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS size,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+), d AS (
+  SELECT DISTINCT size, cents FROM x
+), sky AS (
+  SELECT size, cents FROM d a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM d b
+    WHERE b.size >= a.size AND b.cents >= a.cents
+      AND (b.size > a.size OR b.cents > a.cents))
+)
+SELECT x.p_partkey, x.size, x.cents
+FROM x JOIN sky ON sky.size = x.size AND sky.cents = x.cents
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11668,7 +11711,9 @@ QUERIES = {
     # engines, round-6 byte entropy, strict flags);
     # rendezvous_shards_events — HRW consistent sharding (32-bit
     # double-mix avalanche, argmax row_number twin, integer-exact;
-    # minimal-movement property pinned). kcore_parts is
+    # minimal-movement property pinned); skyline_parts — Pareto-
+    # front query (mergeable block prune, NOT-EXISTS dominance twin,
+    # integer-exact). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -11970,6 +12015,7 @@ QUERIES = {
     "did_events": did_events,
     "secret_scan_docs": secret_scan_docs,
     "rendezvous_shards_events": rendezvous_shards_events,
+    "skyline_parts": skyline_parts,
 }
 
 
@@ -11979,6 +12025,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "skyline_parts": SKYLINE_PARTS_SQL,
     "rendezvous_shards_events": RENDEZVOUS_SHARDS_SQL,
     "secret_scan_docs": SECRET_SCAN_SQL,
     "did_events": DID_EVENTS_SQL,

@@ -1349,3 +1349,108 @@ def dict_encode_column(ds: Dataset, col: str,
                                pc.cast(codes, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow"), codebook
+
+
+def _local_skyline(m: np.ndarray) -> np.ndarray:
+    """Row indices of the maximal (non-dominated) DISTINCT vectors of
+    ``m`` under >=-all / >-some dominance. 2-D is fully vectorized
+    (sort by (x desc, y desc); keep iff y strictly exceeds the
+    running max — covers ties and duplicates); d ≥ 3 sorts by the
+    first dim desc and scans with vectorized dominance checks against
+    the kept set (O(n·k), k = skyline size)."""
+    n, d = m.shape
+    if n == 0:
+        return np.zeros(0, np.int64)
+    order = np.lexsort(tuple(m[:, j] for j in range(d - 1, -1, -1)))[
+        ::-1]
+    sm = m[order]
+    if d == 2:
+        y = sm[:, 1]
+        runmax = np.r_[np.int64(np.iinfo(np.int64).min),
+                       np.maximum.accumulate(y)[:-1]]
+        keep_mask = y > runmax
+        return order[np.flatnonzero(keep_mask)]
+    kept = []
+    for i in range(n):
+        row = sm[i]
+        if kept:
+            K = sm[np.array(kept)]
+            if ((K >= row).all(axis=1)
+                    & (K > row).any(axis=1)).any():
+                continue
+            if ((K == row).all(axis=1)).any():
+                continue
+        kept.append(i)
+    return order[np.array(kept, np.int64)]
+
+
+def skyline(ds: Dataset, cols: Sequence[str],
+            keep_duplicates: bool = False) -> Dataset:
+    """Skyline / Pareto-front query (Börzsönyi et al. 2001): the rows
+    not DOMINATED by any other row — b dominates a when b ≥ a on
+    every skyline column and > on at least one. All-integer columns
+    required (exact dominance; quantize first). "Bigger is better" on
+    every column — negate a column upstream for minimization.
+
+    Scale shape: the skyline operator is MERGEABLE
+    (``sky(A ∪ B) ⊆ sky(A) ∪ sky(B)``) — every block prunes to its
+    local skyline in one ``map_batches`` pass (sorted single scan,
+    O(n·k)), survivors concatenate on the driver (skyline-sized, not
+    data-sized) and one final local pass finishes. Distinct value
+    combinations only (``keep_duplicates=True`` re-attaches every
+    input row matching a skyline point via a broadcast membership
+    filter — a second streaming pass, no shuffle).
+
+    Default output: the DISTINCT skyline value combinations (the
+    ``cols`` only — a representative input row would be
+    block-order-nondeterministic); ``keep_duplicates=True`` returns
+    every full input row matching a skyline point (deterministic set
+    semantics)."""
+    if not cols:
+        raise ValueError("skyline: need at least one column")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        m = np.stack([t[c].to_numpy(zero_copy_only=False)
+                      for c in cols], axis=1)
+        if not np.all(m == np.floor(m)):
+            raise ValueError("skyline: columns must be "
+                             "integer-valued; quantize first")
+        keep = _local_skyline(m.astype(np.int64))
+        return t.take(pa.array(np.sort(keep)))
+
+    import ray as _ray
+    pruned = _ray.get(ds.map_batches(prune, batch_format="pyarrow")
+                      .to_arrow_refs())
+    pruned = [p for p in pruned if p.num_rows]
+    if not pruned:
+        sch = ds.schema()
+        import ray.data as rd
+        if sch is None:
+            return ds
+        return rd.from_arrow(pa.table(
+            {f.name: pa.array([], f.type) for f in sch}))
+    cand = pa.concat_tables(pruned)
+    m = np.stack([cand[c].to_numpy(zero_copy_only=False)
+                  for c in cols], axis=1).astype(np.int64)
+    keep = _local_skyline(m)
+    final = cand.take(pa.array(np.sort(keep)))
+    import ray.data as rd
+    if not keep_duplicates:
+        return rd.from_arrow(final.select(list(cols)))
+    sky = {tuple(r) for r in m[keep]}
+    sky_ref = _ray.put(np.array(sorted(sky), np.int64))
+
+    def member(t: pa.Table) -> pa.Table:
+        from .partition import broadcast_get as _bg
+        pts = _bg(sky_ref)
+        mm = np.ascontiguousarray(np.stack(
+            [t[c].to_numpy(zero_copy_only=False) for c in cols],
+            axis=1).astype(np.int64))
+        vd = np.dtype([("", np.int64)] * mm.shape[1])
+        ok = np.isin(mm.view(vd).ravel(),
+                     np.ascontiguousarray(pts).view(vd).ravel())
+        return t.filter(pa.array(ok))
+
+    return ds.map_batches(member, batch_format="pyarrow")
