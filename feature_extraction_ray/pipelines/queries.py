@@ -11495,6 +11495,97 @@ FROM x JOIN sky ON sky.size = x.size AND sky.cents = x.cents
 
 
 
+def burstiness_users(sf_dir: str) -> Dataset:
+    """Per-user inter-arrival burstiness (Goh–Barabási,
+    ``groupstats.burstiness_by_entity``): B = (σ−μ)/(σ+μ) over event
+    gap statistics — written n-free as
+    (sqrt(n·Σd²−(Σd)²) − Σd)/(sqrt(...) + Σd) over SECOND-
+    resolution gaps (µs gaps overflow the exact-σ² bound) so both
+    evaluate ONE fixed expression over exact int64 witnesses
+    (HUGEINT radicand in the twin) and compare STRICTLY."""
+    from ..stages.groupstats import burstiness_by_entity
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        sec = pc.divide(us, pa.scalar(1000000, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "sec": sec,
+                         "event_id": t["event_id"]})
+
+    return burstiness_by_entity(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "sec", "event_id")
+
+
+BURSTINESS_USERS_SQL = """
+WITH x AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS sec, event_id
+  FROM events
+), g AS (
+  SELECT user_id,
+         sec - lag(sec) OVER (PARTITION BY user_id
+                              ORDER BY sec, event_id) AS d
+  FROM x
+), s AS (
+  SELECT user_id, count(d)::BIGINT AS n_gaps,
+         coalesce(sum(d), 0)::BIGINT AS sum_d,
+         coalesce(sum(d * d), 0)::BIGINT AS sum_d2
+  FROM g GROUP BY 1
+), r AS (
+  SELECT user_id, n_gaps, sum_d, sum_d2,
+         CAST(n_gaps AS HUGEINT) * sum_d2
+         - CAST(sum_d AS HUGEINT) * sum_d AS rad
+  FROM s
+)
+SELECT user_id, n_gaps, sum_d, sum_d2,
+       CASE WHEN n_gaps = 0 THEN NULL
+            WHEN rad = 0 AND sum_d = 0 THEN NULL
+            ELSE (sqrt(CAST(rad AS DOUBLE)) - CAST(sum_d AS DOUBLE))
+                 / (sqrt(CAST(rad AS DOUBLE))
+                    + CAST(sum_d AS DOUBLE)) END AS b
+FROM r
+"""
+
+
+
+
+def zipf_alpha_by_source(sf_dir: str) -> Dataset:
+    """Zipf/power-law exponent per source
+    (``text.zipf_alpha_by_group``): the Clauset continuous MLE at
+    x_min=1 over word frequencies, α = 1 + W/Σln(count) — the
+    corpus-health diagnostic beside Heaps' law. Exact W witness; Σln
+    terms irrational (round-6 both sides boundary-safe); α from the
+    unrounded sum then round-6."""
+    from ..stages.text import zipf_alpha_by_group
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    out = zipf_alpha_by_group(ds, "source")
+    return _round(out, {"s_ln": 6, "alpha": 6})
+
+
+ZIPF_ALPHA_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(str_split(trim(text,
+             ' ' || chr(9) || chr(10) || chr(13)), ' ')) AS word
+  FROM documents
+), c AS (
+  SELECT source, word, count(*)::BIGINT AS cnt
+  FROM w WHERE word <> '' GROUP BY 1, 2
+), s AS (
+  SELECT source, count(*)::BIGINT AS n_types,
+         sum(ln(CAST(cnt AS DOUBLE))) AS s_ln
+  FROM c GROUP BY 1
+)
+SELECT source, n_types, round(s_ln, 6) AS s_ln,
+       CASE WHEN s_ln > 0
+            THEN round(1.0 + CAST(n_types AS DOUBLE) / s_ln, 6)
+       END AS alpha
+FROM s
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11713,7 +11804,11 @@ QUERIES = {
     # double-mix avalanche, argmax row_number twin, integer-exact;
     # minimal-movement property pinned); skyline_parts — Pareto-
     # front query (mergeable block prune, NOT-EXISTS dominance twin,
-    # integer-exact). kcore_parts is
+    # integer-exact); burstiness_users — Goh-Barabási inter-arrival
+    # burstiness (n-free sqrt form over exact witnesses, HUGEINT
+    # radicand twin, strict); zipf_alpha_by_source — power-law
+    # exponent MLE (exact type counts, round-6 ln sums). kcore_parts
+    # is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -12016,6 +12111,8 @@ QUERIES = {
     "secret_scan_docs": secret_scan_docs,
     "rendezvous_shards_events": rendezvous_shards_events,
     "skyline_parts": skyline_parts,
+    "burstiness_users": burstiness_users,
+    "zipf_alpha_by_source": zipf_alpha_by_source,
 }
 
 
@@ -12025,6 +12122,8 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "zipf_alpha_by_source": ZIPF_ALPHA_SQL,
+    "burstiness_users": BURSTINESS_USERS_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,
     "rendezvous_shards_events": RENDEZVOUS_SHARDS_SQL,
     "secret_scan_docs": SECRET_SCAN_SQL,

@@ -2456,3 +2456,67 @@ def diff_in_diff(ds: Dataset, arm_col: str, period_col: str,
     cols["did"] = pa.array([did], pa.float64())
     import ray.data as rd
     return rd.from_arrow(pa.table(cols))
+
+
+def burstiness_by_entity(ds: Dataset, entity_col: str, ts_col: str,
+                         id_col: str,
+                         num_buckets: int = DEFAULT_NUM_BUCKETS
+                         ) -> Dataset:
+    """Inter-arrival burstiness (Goh & Barabási 2008) per entity:
+    with μ, σ the mean/std of the consecutive inter-arrival gaps
+    (events ordered by (ts, id), timestamps µs int64),
+
+        B = (σ − μ) / (σ + μ)   ∈ (−1, 1)
+
+    — B≈−1 periodic, ≈0 Poisson, →1 extremely bursty. Exactness:
+    gaps are exact int64; the sufficient statistics (n_gaps, Σd, Σd²)
+    ride as witnesses; σ = sqrt((n·Σd² − (Σd)²)) / n is taken via the
+    population form with EXACT integer radicand so B is one fixed
+    expression — the SQL twin (HUGEINT-exact radicand) compares
+    STRICTLY. Entities with < 2 events yield nulls. ONE bucketed
+    exchange, diff/reduceat per bucket; ``n·max_gap² < 2^62``
+    checked."""
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({entity_col: pa.array([], pa.int64()),
+                          "n_gaps": pa.array([], pa.int64()),
+                          "sum_d": pa.array([], pa.int64()),
+                          "sum_d2": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.float64())})
+        if len(tbl) == 0:
+            return empty
+        tbl = sort_table(tbl, [entity_col, ts_col, id_col])
+        ts = tbl[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        ent = tbl[entity_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(entity_group_starts(tbl, entity_col))
+        cnt = np.diff(np.r_[starts, len(tbl)])
+        d = np.diff(tsv)
+        rows = []
+        for s, c in zip(starts, cnt):
+            if c < 2:
+                rows.append((ent[s], 0, 0, 0, None))
+                continue
+            g = d[s:s + c - 1]
+            n = int(c - 1)
+            mg = int(g.max())
+            if n * mg * mg >= 2 ** 62:
+                raise ValueError("burstiness_by_entity: n*max_gap^2 "
+                                 ">= 2^62 — rescale timestamps")
+            sd = int(g.sum())
+            sd2 = int((g * g).sum())
+            rad = n * sd2 - sd * sd          # exact int >= 0
+            sig = np.sqrt(np.float64(rad))
+            mu = np.float64(sd)
+            b = float((sig - mu) / (sig + mu)) if rad or sd else None
+            rows.append((ent[s], n, sd, sd2, b))
+        return pa.table({
+            entity_col: pa.array([r[0] for r in rows]),
+            "n_gaps": pa.array([r[1] for r in rows], pa.int64()),
+            "sum_d": pa.array([r[2] for r in rows], pa.int64()),
+            "sum_d2": pa.array([r[3] for r in rows], pa.int64()),
+            "b": pa.array([r[4] for r in rows], pa.float64())})
+
+    return bucketed_apply(ds, entity_col, per_bucket, num_buckets,
+                          drop_bucket=False)

@@ -1362,3 +1362,97 @@ def compression_ratio(ds: Dataset, text_col: str = "text",
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def zipf_alpha_by_group(ds: Dataset, group_col: str,
+                        text_col: str = "text",
+                        num_buckets: int = 32) -> Dataset:
+    """Power-law (Zipf) exponent MLE per group over the word-frequency
+    distribution — the Clauset-et-al continuous MLE at x_min = 1:
+
+        α = 1 + W / Σ_w ln(count_w)
+
+    (W = distinct word types; heavier tails → smaller Σln → larger α
+    deviation; Σln = 0, i.e. every word a hapax, yields null). The
+    classic corpus-health diagnostic next to Heaps' law.
+
+    Scale shape: per-block (group, word, cnt) partials (packed
+    ``np.unique``) ride ONE word-hash bucketed exchange; a word lives
+    in exactly one bucket, so each bucket emits exact per-group
+    partials (W_part int64, Σln_part float64) and a tiny
+    ``groupby(group)`` finishes. Σln terms are irrational (or exact
+    0) — round-6 both sides is boundary-safe."""
+    from ray.data.aggregate import Sum
+
+    from .window import bucketed_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "word": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(n_real)), n_real)
+        gw = g[doc_of]
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, gw))
+        gw, w = gw[order], w[order]
+        new = np.r_[True, (gw[1:] != gw[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(w)]).astype(np.int64)
+        return pa.table({group_col: pa.array(gw[starts]),
+                         "word": pa.array(w[starts]),
+                         "cnt": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_word_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_types": pa.array([], pa.int64()),
+                          "s_ln": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        w = t["word"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w, g))
+        g, w, c = g[order], w[order], c[order]
+        new = np.r_[True, (g[1:] != g[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new)
+        cc = np.add.reduceat(c, starts)
+        gg = g[starts]
+        gs = np.flatnonzero(np.r_[True, gg[1:] != gg[:-1]])
+        n_types = np.diff(np.r_[gs, len(gg)]).astype(np.int64)
+        s_ln = np.add.reduceat(np.log(cc.astype(np.float64)), gs)
+        return pa.table({group_col: pa.array(gg[gs]),
+                         "n_types": pa.array(n_types),
+                         "s_ln": pa.array(s_ln)})
+
+    agg = bucketed_apply(parts, "word", per_word_bucket, num_buckets,
+                         drop_bucket=False) \
+        .groupby(group_col).aggregate(
+            Sum("n_types", alias_name="n_types"),
+            Sum("s_ln", alias_name="s_ln"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or group_col not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_types": pa.array([], pa.int64()),
+                             "s_ln": pa.array([], pa.float64()),
+                             "alpha": pa.array([], pa.float64())})
+        nt = t["n_types"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = t["s_ln"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            alpha = np.where(s > 0.0,
+                             1.0 + nt.astype(np.float64) / s, np.nan)
+        return pa.table({group_col: t[group_col],
+                         "n_types": pa.array(nt),
+                         "s_ln": pa.array(s),
+                         "alpha": pa.array(alpha, mask=~(s > 0.0))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
