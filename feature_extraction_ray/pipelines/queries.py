@@ -11586,6 +11586,50 @@ FROM s
 
 
 
+def k_anonymity_events(sf_dir: str) -> Dataset:
+    """k-anonymity / l-diversity audit (``curation.k_anonymity``,
+    k=5): equivalence classes over (event_type, hour-of-day) with
+    user_id as the sensitive attribute — class sizes, distinct
+    sensitive values, and the at-risk flag all exact int64: the
+    GROUP BY twin compares STRICTLY."""
+    from ..stages.curation import k_anonymity
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.cast(
+            pc.bit_wise_and(
+                pc.divide(us, pa.scalar(3600000000, pa.int64())),
+                pa.scalar((1 << 62) - 1, pa.int64())), pa.int64())
+        hod = pc.subtract(hour, pc.multiply(
+            pc.divide(hour, pa.scalar(24, pa.int64())),
+            pa.scalar(24, pa.int64())))
+        return pa.table({"event_type": t["event_type"],
+                         "hod": pc.cast(hod, pa.string()),
+                         "user_id": t["user_id"]})
+
+    return k_anonymity(ds.map_batches(prep, batch_format="pyarrow"),
+                       ["event_type", "hod"], "user_id", k=5)
+
+
+K_ANONYMITY_SQL = """
+WITH x AS (
+  SELECT event_type || chr(31)
+         || CAST((epoch_us(ts) // 3600000000) % 24 AS VARCHAR)
+             AS qi,
+         CAST(user_id AS VARCHAR) AS sv
+  FROM events
+)
+SELECT qi, count(*)::BIGINT AS n,
+       count(DISTINCT sv)::BIGINT AS l_div,
+       CASE WHEN count(*) < 5 OR count(DISTINCT sv) < 2
+            THEN 1 ELSE 0 END AS at_risk
+FROM x GROUP BY 1
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11807,8 +11851,9 @@ QUERIES = {
     # integer-exact); burstiness_users — Goh-Barabási inter-arrival
     # burstiness (n-free sqrt form over exact witnesses, HUGEINT
     # radicand twin, strict); zipf_alpha_by_source — power-law
-    # exponent MLE (exact type counts, round-6 ln sums). kcore_parts
-    # is
+    # exponent MLE (exact type counts, round-6 ln sums);
+    # k_anonymity_events — k-anonymity / l-diversity privacy audit
+    # (GROUP BY twin, integer-exact). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -12113,6 +12158,7 @@ QUERIES = {
     "skyline_parts": skyline_parts,
     "burstiness_users": burstiness_users,
     "zipf_alpha_by_source": zipf_alpha_by_source,
+    "k_anonymity_events": k_anonymity_events,
 }
 
 
@@ -12122,6 +12168,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "k_anonymity_events": K_ANONYMITY_SQL,
     "zipf_alpha_by_source": ZIPF_ALPHA_SQL,
     "burstiness_users": BURSTINESS_USERS_SQL,
     "skyline_parts": SKYLINE_PARTS_SQL,

@@ -2351,3 +2351,83 @@ def secret_scan(ds: Dataset, text_col: str = "text",
             "is_secret": pa.array(is_sec)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def k_anonymity(ds: Dataset, qi_cols: Sequence[str],
+                sensitive_col: str, k: int = 5,
+                num_buckets: int = 32) -> Dataset:
+    """k-anonymity / l-diversity audit — the privacy-governance
+    companion to the PII scrub: group rows by the quasi-identifier
+    combination and report, per equivalence class,
+
+    * ``n`` — class size (re-identification risk when ``n < k``),
+    * ``l_div`` — DISTINCT sensitive values in the class (attribute-
+      disclosure risk when 1: everyone in the class shares the
+      sensitive value even if n ≥ k),
+    * ``at_risk`` — 0/1 flag: ``n < k OR l_div < 2``.
+
+    All exact int64 — the SQL GROUP BY twin compares STRICTLY. Scale
+    shape: per-block packed distinct partials (class × sensitive)
+    collapse block rows to their distinct combinations, ONE bucketed
+    exchange on the class key merges (a class lives in one bucket, so
+    n and l_div are exact there). Suppression = join the flagged
+    classes back (semi-join on the class key) — left to the caller so
+    the audit table stays inspectable."""
+    if k < 1:
+        raise ValueError("k_anonymity: k must be >= 1")
+    if not qi_cols:
+        raise ValueError("k_anonymity: need at least one QI column")
+    SEP = "\x1f"
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"qi": pa.array([], pa.string()),
+                          "sv": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        key = pc.binary_join_element_wise(
+            *[pc.cast(t[c], pa.string()) for c in qi_cols],
+            pa.scalar(SEP))
+        sv = pc.cast(t[sensitive_col], pa.string())
+        kk = key.to_numpy(zero_copy_only=False)
+        ss = sv.to_numpy(zero_copy_only=False)
+        order = np.lexsort((ss, kk))
+        kk, ss = kk[order], ss[order]
+        new = np.r_[True, (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(kk)]).astype(np.int64)
+        return pa.table({"qi": pa.array(kk[starts]),
+                         "sv": pa.array(ss[starts]),
+                         "cnt": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    from .window import bucketed_apply
+
+    def per_class_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({"qi": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "l_div": pa.array([], pa.int64()),
+                          "at_risk": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        kk = t["qi"].to_numpy(zero_copy_only=False)
+        ss = t["sv"].to_numpy(zero_copy_only=False)
+        cc = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ss, kk))
+        kk, ss, cc = kk[order], ss[order], cc[order]
+        newp = np.r_[True, (kk[1:] != kk[:-1]) | (ss[1:] != ss[:-1])]
+        pst = np.flatnonzero(newp)
+        cc = np.add.reduceat(cc, pst)
+        kk, ss = kk[pst], ss[pst]
+        cst = np.flatnonzero(np.r_[True, kk[1:] != kk[:-1]])
+        n = np.add.reduceat(cc, cst)
+        l_div = np.diff(np.r_[cst, len(kk)]).astype(np.int64)
+        at_risk = ((n < k) | (l_div < 2)).astype(np.int64)
+        return pa.table({"qi": pa.array(kk[cst]),
+                         "n": pa.array(n.astype(np.int64)),
+                         "l_div": pa.array(l_div),
+                         "at_risk": pa.array(at_risk)})
+
+    return bucketed_apply(parts, "qi", per_class_bucket, num_buckets,
+                          drop_bucket=False)
