@@ -11630,6 +11630,55 @@ FROM x GROUP BY 1
 
 
 
+def slice_gaps_orders(sf_dir: str) -> Dataset:
+    """Slice auditing over orders (``groupstats.slice_gaps``): per
+    (o_orderpriority / o_orderstatus) slice, the mean-total-price gap
+    vs the global mean and the sqrt(n)-weighted score — exact int64
+    witnesses with every float ONE fixed expression: the UNION-ALL
+    GROUP BY twin compares STRICTLY."""
+    from ..stages.groupstats import slice_gaps
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "o_orderstatus": t["o_orderstatus"],
+                         "cents": cents})
+
+    return slice_gaps(ds.map_batches(prep, batch_format="pyarrow"),
+                      ["o_orderpriority", "o_orderstatus"], "cents")
+
+
+SLICE_GAPS_SQL = """
+WITH x AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders
+), g AS (
+  SELECT count(*)::BIGINT AS N, sum(v)::BIGINT AS S FROM x
+), sl AS (
+  SELECT 'o_orderpriority' AS dim, p AS val,
+         count(*)::BIGINT AS n, sum(v)::BIGINT AS s
+  FROM x GROUP BY 2
+  UNION ALL
+  SELECT 'o_orderstatus', st, count(*)::BIGINT, sum(v)::BIGINT
+  FROM x GROUP BY 2
+)
+SELECT sl.dim, sl.val, sl.n, sl.s,
+       CAST(sl.s AS DOUBLE) / CAST(sl.n AS DOUBLE) AS mean,
+       CAST(sl.s AS DOUBLE) / CAST(sl.n AS DOUBLE)
+       - CAST(g.S AS DOUBLE) / CAST(g.N AS DOUBLE) AS gap,
+       (CAST(sl.s AS DOUBLE) / CAST(sl.n AS DOUBLE)
+        - CAST(g.S AS DOUBLE) / CAST(g.N AS DOUBLE))
+       * sqrt(CAST(sl.n AS DOUBLE)) AS score
+FROM sl CROSS JOIN g
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11853,7 +11902,9 @@ QUERIES = {
     # radicand twin, strict); zipf_alpha_by_source — power-law
     # exponent MLE (exact type counts, round-6 ln sums);
     # k_anonymity_events — k-anonymity / l-diversity privacy audit
-    # (GROUP BY twin, integer-exact). kcore_parts is
+    # (GROUP BY twin, integer-exact); slice_gaps_orders —
+    # SliceFinder-lite worst-slice auditing (UNION-ALL GROUP BY
+    # twin, fixed-expression gap/score, strict). kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -12159,6 +12210,7 @@ QUERIES = {
     "burstiness_users": burstiness_users,
     "zipf_alpha_by_source": zipf_alpha_by_source,
     "k_anonymity_events": k_anonymity_events,
+    "slice_gaps_orders": slice_gaps_orders,
 }
 
 
@@ -12168,6 +12220,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "slice_gaps_orders": SLICE_GAPS_SQL,
     "k_anonymity_events": K_ANONYMITY_SQL,
     "zipf_alpha_by_source": ZIPF_ALPHA_SQL,
     "burstiness_users": BURSTINESS_USERS_SQL,

@@ -2520,3 +2520,84 @@ def burstiness_by_entity(ds: Dataset, entity_col: str, ts_col: str,
 
     return bucketed_apply(ds, entity_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def slice_gaps(ds: Dataset, dim_cols: Sequence[str],
+               value_col: str) -> Dataset:
+    """One-dimension slice auditing (SliceFinder-lite) — for every
+    categorical dimension value, how far does the slice's mean value
+    sit from the global mean, and how significant is the gap: the
+    model-debugging / data-auditing pass that surfaces "orders from
+    segment X run 2σ hot". Per slice (dim, val):
+
+        n, s   — exact int64 witnesses
+        mean   = s/n                     (ONE division)
+        gap    = s/n − S/N               (fixed expression)
+        score  = gap · sqrt(n)           (the z-score shape up to the
+                                          pooled-σ factor — rank by
+                                          |score|)
+
+    Every float is one fixed IEEE expression over exact ints — the
+    UNION-ALL GROUP BY SQL twin compares STRICTLY (ranking is left to
+    the consumer; the driver compare is order-insensitive). ONE tiny
+    (dims × values)-bounded exchange of per-block partials."""
+    if not dim_cols:
+        raise ValueError("slice_gaps: need at least one dimension")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dim": pa.array([], pa.string()),
+                          "val": pa.array([], pa.string()),
+                          "n_part": pa.array([], pa.int64()),
+                          "s_part": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        v = _np(t[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("slice_gaps: values must be "
+                             "integer-valued; quantize first")
+        v = v.astype(np.int64)
+        outs = []
+        for dc in dim_cols:
+            g = pc.cast(t[dc], pa.string()) \
+                .to_numpy(zero_copy_only=False)
+            ug, gi = np.unique(g, return_inverse=True)
+            n = np.bincount(gi, minlength=len(ug)).astype(np.int64)
+            s = np.zeros(len(ug), np.int64)
+            np.add.at(s, gi, v)
+            outs.append(pa.table({
+                "dim": pa.array(np.full(len(ug), dc)),
+                "val": pa.array(ug),
+                "n_part": pa.array(n),
+                "s_part": pa.array(s)}))
+        return pa.concat_tables(outs)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["dim", "val"]).aggregate(
+            Sum("n_part", alias_name="n"),
+            Sum("s_part", alias_name="s")).to_pandas()
+    if agg.empty:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "dim": pa.array([], pa.string()),
+            "val": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "mean": pa.array([], pa.float64()),
+            "gap": pa.array([], pa.float64()),
+            "score": pa.array([], pa.float64())}))
+    d0 = agg[agg["dim"] == dim_cols[0]]
+    N = int(d0["n"].sum())
+    S = int(d0["s"].sum())
+    n = agg["n"].to_numpy().astype(np.int64)
+    s = agg["s"].to_numpy().astype(np.int64)
+    mean = s / np.maximum(n, 1).astype(np.float64)
+    gmean = np.float64(S) / np.float64(N)
+    gap = mean - gmean
+    score = gap * np.sqrt(n.astype(np.float64))
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "dim": pa.array(agg["dim"].to_numpy()),
+        "val": pa.array(agg["val"].to_numpy()),
+        "n": pa.array(n), "s": pa.array(s),
+        "mean": pa.array(mean), "gap": pa.array(gap),
+        "score": pa.array(score)}))
