@@ -11679,6 +11679,63 @@ FROM sl CROSS JOIN g
 
 
 
+def procrustes_crosscov_embeddings(sf_dir: str) -> Dataset:
+    """Procrustes cross-covariance M = Σ a_i b_iᵀ between the first-8
+    and last-8 embedding dims (milli-unit quantized,
+    ``similarity.procrustes_crosscov`` exact mode): the sufficient
+    statistic of orthogonal embedding alignment — per-block d×d
+    matmul partials, exact int64 cells, parallel-unnest join twin
+    compares STRICTLY. (The SVD rotation itself is float —
+    planted-rotation recovery is pinned in pytest.)"""
+    from ..stages.similarity import procrustes_crosscov
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), -1)
+        q = _round_arr(pa.array(m.ravel() * 1000.0), 0) \
+            .to_numpy(zero_copy_only=False).reshape(len(t), -1)
+        d = q.shape[1]
+        a = q[:, :8]
+        b = q[:, d - 8:]
+        offs = pa.array((np.arange(len(t) + 1) * 8).astype(np.int32))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "a": pa.ListArray.from_arrays(offs, pa.array(a.ravel())),
+            "b": pa.ListArray.from_arrays(offs, pa.array(b.ravel()))})
+
+    tbl = procrustes_crosscov(
+        emb.map_batches(prep, batch_format="pyarrow"), "a", "b",
+        exact=True)
+    return rd.from_arrow(pa.table({
+        "i": tbl["i"], "j": tbl["j"],
+        "m": pc.cast(tbl["m"], pa.int64())}))
+
+
+PROCRUSTES_CROSSCOV_SQL = """
+WITH e AS (
+  SELECT vec_id,
+         round(CAST(unnest(embedding) AS DOUBLE) * 1000, 0)::BIGINT
+             AS v,
+         unnest(generate_series(1, len(embedding)))::BIGINT AS i,
+         len(embedding) AS d
+  FROM embeddings
+), a AS (
+  SELECT vec_id, v, i - 1 AS i FROM e WHERE i <= 8
+), b AS (
+  SELECT vec_id, v, i - (d - 8) - 1 AS j FROM e WHERE i > d - 8
+)
+SELECT a.i, b.j, CAST(sum(a.v * b.v) AS BIGINT) AS m
+FROM a JOIN b ON b.vec_id = a.vec_id
+GROUP BY 1, 2
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11904,7 +11961,11 @@ QUERIES = {
     # k_anonymity_events — k-anonymity / l-diversity privacy audit
     # (GROUP BY twin, integer-exact); slice_gaps_orders —
     # SliceFinder-lite worst-slice auditing (UNION-ALL GROUP BY
-    # twin, fixed-expression gap/score, strict). kcore_parts is
+    # twin, fixed-expression gap/score, strict);
+    # procrustes_crosscov_embeddings — orthogonal-alignment
+    # sufficient statistic (exact int64 cross-covariance, parallel-
+    # unnest join twin; SVD rotation recovery pinned in pytest).
+    # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
     # token_minhash_dedup_docs
@@ -12211,6 +12272,7 @@ QUERIES = {
     "zipf_alpha_by_source": zipf_alpha_by_source,
     "k_anonymity_events": k_anonymity_events,
     "slice_gaps_orders": slice_gaps_orders,
+    "procrustes_crosscov_embeddings": procrustes_crosscov_embeddings,
 }
 
 
@@ -12220,6 +12282,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "procrustes_crosscov_embeddings": PROCRUSTES_CROSSCOV_SQL,
     "slice_gaps_orders": SLICE_GAPS_SQL,
     "k_anonymity_events": K_ANONYMITY_SQL,
     "zipf_alpha_by_source": ZIPF_ALPHA_SQL,

@@ -1850,3 +1850,81 @@ def random_projection(ds: Dataset, out_dim: int,
                 pa.array(y.ravel()))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def procrustes_crosscov(ds: Dataset, a_col: str, b_col: str,
+                        exact: bool = True) -> pa.Table:
+    """Cross-covariance matrix ``M = Σ_i a_i b_iᵀ`` between two
+    aligned embedding columns — the sufficient statistic of
+    orthogonal Procrustes alignment, computed the ``corr_matrix``
+    way: per-block d×d partials (one matmul) reduced through a tiny
+    driver sum; with ``exact=True`` (integer-valued vectors, bound
+    ``n·maxa·maxb < 2^62`` checked) every cell is exact int64 — a
+    SQL twin reproduces M bit-for-bit. Returns the long-form table
+    (i, j, m)."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = _mat64(t, a_col)
+        b = _mat64(t, b_col)
+        if exact:
+            if not (np.all(a == np.floor(a))
+                    and np.all(b == np.floor(b))):
+                raise ValueError("procrustes_crosscov(exact): "
+                                 "vectors must be integer-valued")
+            ma = float(np.abs(a).max()) if a.size else 0.0
+            mb = float(np.abs(b).max()) if b.size else 0.0
+            if len(t) * ma * mb >= float(2 ** 62):
+                raise ValueError("procrustes_crosscov: n*maxa*maxb "
+                                 ">= 2^62 — rescale first")
+            m = a.astype(np.int64).T @ b.astype(np.int64)
+        else:
+            m = a.T @ b
+        return pa.table({"m": pa.array([m.ravel()]),
+                         "d1": pa.array([m.shape[0]], pa.int64()),
+                         "d2": pa.array([m.shape[1]], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        raise ValueError("procrustes_crosscov: empty input")
+    d1 = int(parts["d1"].iloc[0])
+    d2 = int(parts["d2"].iloc[0])
+    dt = np.int64 if exact else np.float64
+    M = np.zeros((d1, d2), dt)
+    for _, r in parts.iterrows():
+        M += np.asarray(r["m"], dtype=dt).reshape(d1, d2)
+    ii = np.repeat(np.arange(d1, dtype=np.int64), d2)
+    jj = np.tile(np.arange(d2, dtype=np.int64), d1)
+    return pa.table({"i": pa.array(ii), "j": pa.array(jj),
+                     "m": pa.array(M.ravel())})
+
+
+def procrustes_align(ds: Dataset, a_col: str, b_col: str,
+                     out_col: str = "aligned"):
+    """Orthogonal Procrustes alignment (Schönemann 1966): the
+    rotation ``R = U Vᵀ`` from the SVD of the cross-covariance
+    ``M = Σ a_i b_iᵀ`` minimizing ``Σ ‖aᵢR − bᵢ‖²`` over orthogonal
+    R — the classic cross-lingual / cross-run embedding aligner.
+    M accumulates distributed (one matmul per block, driver sum of
+    d×d partials); the d×d SVD runs on the driver; the rotation
+    broadcasts into one streaming ``map_batches`` pass appending the
+    aligned vectors. Returns ``(aligned_ds, R)``; exact-recovery of a
+    planted rotation is pinned in tests."""
+    import ray as _ray
+
+    from .partition import broadcast_get
+    tbl = procrustes_crosscov(ds, a_col, b_col, exact=False)
+    d1 = int(tbl["i"].to_numpy().max()) + 1
+    d2 = int(tbl["j"].to_numpy().max()) + 1
+    M = np.asarray(tbl["m"].to_numpy()).reshape(d1, d2)
+    U, _s, Vt = np.linalg.svd(M)
+    R = U @ Vt
+    ref = _ray.put(R)
+
+    def fn(t: pa.Table) -> pa.Table:
+        rot = broadcast_get(ref)
+        a = _mat64(t, a_col)
+        return t.append_column(out_col, _mat_list(a @ rot))
+
+    return ds.map_batches(fn, batch_format="pyarrow"), R
