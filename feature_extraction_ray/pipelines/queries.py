@@ -11736,6 +11736,20 @@ GROUP BY 1, 2
 
 
 
+def media_probe_features(sf_dir: str) -> Dataset:
+    """Header-only media triage (``multimodal.probe_media_batch``)
+    over the synthetic mixed-format media table: format, width and
+    height parsed from fixed header bytes — no pixel ever decoded.
+    Rows-only correctness class (binary container headers are not
+    SQL-parseable); byte-level probe goldens in pytest."""
+    from ..stages.multimodal import probe_media_batch, \
+        synth_media_table
+    ds = rd.from_arrow(synth_media_table(64))
+    return probe_media_batch(ds)
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11965,6 +11979,8 @@ QUERIES = {
     # procrustes_crosscov_embeddings — orthogonal-alignment
     # sufficient statistic (exact int64 cross-covariance, parallel-
     # unnest join twin; SVD rotation recovery pinned in pytest).
+    # media_probe_features is rows-only by design (binary headers not
+    # SQL-parseable; byte-level probe goldens in pytest).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12273,6 +12289,7 @@ QUERIES = {
     "k_anonymity_events": k_anonymity_events,
     "slice_gaps_orders": slice_gaps_orders,
     "procrustes_crosscov_embeddings": procrustes_crosscov_embeddings,
+    "media_probe_features": media_probe_features,
 }
 
 

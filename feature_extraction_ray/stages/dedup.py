@@ -1612,3 +1612,37 @@ def select_canonical(assign: Dataset, quality: Dataset,
 
     return bucketed_apply(joined, cluster_col, winners,
                           num_buckets=num_buckets)
+
+
+def plan_minhash_bands(threshold: float, num_perm: int = 128,
+                       fp_weight: float = 0.5) -> dict:
+    """Choose the (bands, rows_per_band) LSH geometry for a target
+    Jaccard ``threshold`` — the standard S-curve planner (Leskovec
+    et al., MMDS ch.3): candidate probability at similarity s is
+    ``P(s) = 1 − (1 − s^r)^b``; among divisor splits ``b·r =
+    num_perm`` pick the one minimizing the weighted error
+    ``fp_weight·∫₀ᵗ P + (1−fp_weight)·∫ₜ¹ (1−P)`` (false-positive
+    area below the threshold vs false-negative area above, 200-point
+    trapezoid). Returns ``{bands, rows_per_band, threshold_50}``
+    where ``threshold_50 = (1/b)^(1/r)`` is the S-curve midpoint —
+    the number to sanity-check against the requested threshold."""
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("plan_minhash_bands: threshold in (0,1)")
+    if num_perm < 2:
+        raise ValueError("plan_minhash_bands: num_perm must be >= 2")
+    best = None
+    s = np.linspace(0.0, 1.0, 201)
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - s ** r) ** b
+        below = s <= threshold
+        fp = np.trapz(p[below], s[below])
+        fn = np.trapz(1.0 - p[~below], s[~below])
+        err = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    _, b, r = best
+    return {"bands": b, "rows_per_band": r,
+            "threshold_50": float((1.0 / b) ** (1.0 / r))}

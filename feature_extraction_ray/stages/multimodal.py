@@ -865,3 +865,84 @@ def video_dedup_perceptual(ds: Dataset, id_col: str = "media_id",
     ).to_pandas().drop_duplicates("doc_id").set_index("doc_id")[id_col]
     out["doc_id"] = out["doc_id"].map(mp)
     return out
+
+
+def probe_media(payload: bytes) -> dict:
+    """Header-only media probe — the cheap metadata pass a catalog or
+    triage stage runs BEFORE any full decode (100-TB reality: you
+    size/route/filter by header, decode only survivors). Parses only
+    the fixed header bytes of the container:
+
+    * BMP  → width, height, bpp
+    * PNG  → width, height, bit depth, color type
+    * JPEG → width, height, components (first SOF0/1/2 marker walk)
+    * GIF  → width, height (logical screen)
+    * WAV  → channels, sample rate, bits, n_frames
+
+    Returns ``{format, width, height, ...}``; unknown magics →
+    ``{"format": "unknown"}`` (never raises — a probe must survive
+    junk bytes)."""
+    import struct
+    try:
+        if payload[:2] == b"BM" and len(payload) >= 30:
+            w, h = struct.unpack_from("<ii", payload, 18)
+            bpp = struct.unpack_from("<H", payload, 28)[0]
+            return {"format": "bmp", "width": int(w),
+                    "height": int(abs(h)), "bpp": int(bpp)}
+        if payload[:8] == _PNG_SIG and len(payload) >= 26:
+            w, h = struct.unpack_from(">II", payload, 16)
+            depth, ctype = payload[24], payload[25]
+            return {"format": "png", "width": int(w),
+                    "height": int(h), "bit_depth": int(depth),
+                    "color_type": int(ctype)}
+        if payload[:2] == b"\xFF\xD8":
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack_from(">HH", payload, i + 5)
+                    nc = payload[i + 9]
+                    return {"format": "jpeg", "width": int(w),
+                            "height": int(h),
+                            "components": int(nc)}
+                seg = struct.unpack_from(">H", payload, i + 2)[0]
+                i += 2 + seg
+            return {"format": "jpeg", "width": None, "height": None}
+        if payload[:4] == b"GIF8" and len(payload) >= 10:
+            w, h = struct.unpack_from("<HH", payload, 6)
+            return {"format": "gif", "width": int(w),
+                    "height": int(h)}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(payload), "rb") as wf:
+                return {"format": "wav",
+                        "channels": wf.getnchannels(),
+                        "rate": wf.getframerate(),
+                        "bits": wf.getsampwidth() * 8,
+                        "n_frames": wf.getnframes()}
+    except Exception:
+        pass
+    return {"format": "unknown"}
+
+
+def probe_media_batch(ds, payload_col: str = "payload",
+                      id_col: str = "media_id"):
+    """Streaming header probe over a binary media column — emits
+    (id, format, width, height) without decoding a single pixel."""
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[payload_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        fmts, ws, hs = [], [], []
+        for v in col:
+            info = probe_media(v.as_py() if v.is_valid else b"")
+            fmts.append(info.get("format"))
+            ws.append(info.get("width"))
+            hs.append(info.get("height"))
+        return pa.table({id_col: t[id_col],
+                         "format": pa.array(fmts, pa.string()),
+                         "width": pa.array(ws, pa.int64()),
+                         "height": pa.array(hs, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
