@@ -11750,6 +11750,71 @@ def media_probe_features(sf_dir: str) -> Dataset:
 
 
 
+def entity_resolution_customers(sf_dir: str) -> Dataset:
+    """End-to-end entity resolution over customer names
+    (``editdist.distance1_join`` → ``cc.connected_components_auto`` →
+    ``cc.assign_clusters``): near-identical names (Levenshtein 1 via
+    the position-tagged deletion-neighborhood exchange — no all-pairs
+    scan) become edges, transitive closure assigns every customer a
+    min-custkey cluster id, singletons stay their own canonical
+    record. Integer-exact output; the recursive-CTE closure twin
+    (levenshtein edges) compares STRICTLY."""
+    from ..stages.cc import (assign_clusters, attach_values,
+                             connected_components_auto)
+    from ..stages.editdist import distance1_join
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    pairs = distance1_join(cust, "c_name")
+    look = cust.map_batches(
+        lambda t: pa.table({"c_name": t["c_name"],
+                            "key": pc.cast(t["c_custkey"],
+                                           pa.int64())}),
+        batch_format="pyarrow")
+    e1 = attach_values(pairs, "c_name_a", look, "c_name", ["key"],
+                       rename={"key": "a"})
+    e2 = attach_values(e1, "c_name_b", look, "c_name", ["key"],
+                       rename={"key": "b"})
+    edges = e2.map_batches(lambda t: t.select(["a", "b"]),
+                           batch_format="pyarrow").materialize()
+    n_pairs = edges.count()
+    ids = cust.map_batches(
+        lambda t: pa.table({"c_custkey": pc.cast(t["c_custkey"],
+                                                 pa.int64())}),
+        batch_format="pyarrow")
+    if n_pairs == 0:
+        return ids.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t["c_custkey"],
+                "cluster_id": t["c_custkey"],
+                "is_duplicate": pa.array(
+                    np.zeros(len(t), dtype=bool))}),
+            batch_format="pyarrow")
+    labels = connected_components_auto(edges, n_edges=n_pairs)
+    return assign_clusters(ids, labels, id_col="c_custkey")
+
+
+ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+  FROM customer a JOIN customer b
+    ON a.c_name < b.c_name
+   AND abs(length(a.c_name) - length(b.c_name)) <= 1
+   AND levenshtein(a.c_name, b.c_name) = 1
+), edges AS (
+  SELECT ka AS a, kb AS b FROM p
+  UNION SELECT kb, ka FROM p
+), reach(node, r) AS (
+  SELECT c_custkey, c_custkey FROM customer
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS c_custkey, CAST(min(r) AS BIGINT) AS cluster_id,
+       min(r) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -11980,7 +12045,9 @@ QUERIES = {
     # sufficient statistic (exact int64 cross-covariance, parallel-
     # unnest join twin; SVD rotation recovery pinned in pytest).
     # media_probe_features is rows-only by design (binary headers not
-    # SQL-parseable; byte-level probe goldens in pytest).
+    # SQL-parseable; byte-level probe goldens in pytest);
+    # entity_resolution_customers — composed ER chain block→CC→
+    # canonical (recursive-closure levenshtein twin, integer-exact).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12290,6 +12357,7 @@ QUERIES = {
     "slice_gaps_orders": slice_gaps_orders,
     "procrustes_crosscov_embeddings": procrustes_crosscov_embeddings,
     "media_probe_features": media_probe_features,
+    "entity_resolution_customers": entity_resolution_customers,
 }
 
 
@@ -12299,6 +12367,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "procrustes_crosscov_embeddings": PROCRUSTES_CROSSCOV_SQL,
     "slice_gaps_orders": SLICE_GAPS_SQL,
     "k_anonymity_events": K_ANONYMITY_SQL,
