@@ -11815,6 +11815,60 @@ FROM reach GROUP BY node
 
 
 
+def lorenz_orders_by_segment(sf_dir: str) -> Dataset:
+    """Lorenz concentration curve per market segment
+    (``groupstats.lorenz_deciles``): cumulative order-value share at
+    each decile of customers' orders — exact int64 cum/total
+    witnesses with share ONE division: the window-cumsum SQL twin
+    compares STRICTLY. Joins the segment on via attach_values."""
+    from ..stages.cc import attach_values
+    from ..stages.groupstats import lorenz_deciles
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["o_totalprice"], 100.0), 0.5)), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "cents": cents})
+
+    joined = attach_values(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "o_custkey", cust, "c_custkey", ["c_mktsegment"])
+    return lorenz_deciles(joined, "c_mktsegment", "cents",
+                          id_col="o_orderkey")
+
+
+LORENZ_ORDERS_SQL = """
+WITH x AS (
+  SELECT c.c_mktsegment AS g, o.o_orderkey AS id,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS v
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, id) AS rk,
+         count(*) OVER (PARTITION BY g) AS n,
+         CAST(sum(v) OVER (PARTITION BY g ORDER BY v, id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum,
+         CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) AS total
+  FROM x
+), ks AS (
+  SELECT unnest(generate_series(1, 10))::BIGINT AS k
+)
+SELECT r.g AS c_mktsegment, ks.k,
+       r.rk AS pos, r.cum, r.total,
+       CASE WHEN r.total > 0
+            THEN CAST(r.cum AS DOUBLE) / CAST(r.total AS DOUBLE)
+       END AS share
+FROM r JOIN ks ON r.rk = (ks.k * r.n + 9) // 10
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12047,7 +12101,10 @@ QUERIES = {
     # media_probe_features is rows-only by design (binary headers not
     # SQL-parseable; byte-level probe goldens in pytest);
     # entity_resolution_customers — composed ER chain block→CC→
-    # canonical (recursive-closure levenshtein twin, integer-exact).
+    # canonical (recursive-closure levenshtein twin, integer-exact);
+    # lorenz_orders_by_segment — Lorenz concentration curve deciles
+    # (window-cumsum twin, exact cum/total witnesses, one-division
+    # share).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12358,6 +12415,7 @@ QUERIES = {
     "procrustes_crosscov_embeddings": procrustes_crosscov_embeddings,
     "media_probe_features": media_probe_features,
     "entity_resolution_customers": entity_resolution_customers,
+    "lorenz_orders_by_segment": lorenz_orders_by_segment,
 }
 
 
@@ -12367,6 +12425,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "lorenz_orders_by_segment": LORENZ_ORDERS_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "procrustes_crosscov_embeddings": PROCRUSTES_CROSSCOV_SQL,
     "slice_gaps_orders": SLICE_GAPS_SQL,

@@ -2601,3 +2601,66 @@ def slice_gaps(ds: Dataset, dim_cols: Sequence[str],
         "n": pa.array(n), "s": pa.array(s),
         "mean": pa.array(mean), "gap": pa.array(gap),
         "score": pa.array(score)}))
+
+
+def lorenz_deciles(ds: Dataset, group_col: str, value_col: str,
+                   id_col: str, n_points: int = 10,
+                   num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """Lorenz-curve points per group — the concentration curve behind
+    :func:`gini_by_group` (what share of total value do the bottom
+    k/n_points of rows hold?): values sorted ascending (ties by id),
+    at each decile boundary ``pos_k = ceil(k·n/n_points)`` report the
+    EXACT integer cumulative sum and its share
+
+        share_k = cum_k / total        (ONE division; null when
+                                        total = 0)
+
+    Values must be integer-valued and non-negative (a Lorenz curve
+    over mixed-sign values is not monotone — loud reject). Exact
+    int64 witnesses (n, pos, cum, total) make the window-cumsum SQL
+    twin STRICT. ONE bucketed exchange; per-group sort + cumsum +
+    one searchsorted per boundary ladder."""
+    if n_points < 2:
+        raise ValueError("lorenz_deciles: n_points must be >= 2")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "k": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "cum": pa.array([], pa.int64()),
+                          "total": pa.array([], pa.int64()),
+                          "share": pa.array([], pa.float64())})
+        if len(tbl) == 0:
+            return empty
+        v = _np(tbl[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("lorenz_deciles: values must be "
+                             "integer-valued; quantize first")
+        if len(v) and v.min() < 0:
+            raise ValueError("lorenz_deciles: values must be "
+                             "non-negative")
+        tbl = sort_table(tbl, [group_col, value_col, id_col])
+        v = _np(tbl[value_col]).astype(np.int64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(entity_group_starts(tbl, group_col))
+        cnt = np.diff(np.r_[starts, len(tbl)])
+        rows = []
+        for s, c in zip(starts, cnt):
+            vv = v[s:s + c]
+            cum = np.cumsum(vv)
+            total = int(cum[-1])
+            for k in range(1, n_points + 1):
+                pos = -(-k * int(c) // n_points)   # ceil
+                ck = int(cum[pos - 1])
+                share = ck / np.float64(total) if total else None
+                rows.append((g[s], k, pos, ck, total, share))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "k": pa.array([r[1] for r in rows], pa.int64()),
+            "pos": pa.array([r[2] for r in rows], pa.int64()),
+            "cum": pa.array([r[3] for r in rows], pa.int64()),
+            "total": pa.array([r[4] for r in rows], pa.int64()),
+            "share": pa.array([r[5] for r in rows], pa.float64())})
+
+    return bucketed_apply(ds, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
