@@ -11869,6 +11869,43 @@ FROM r JOIN ks ON r.rk = (ks.k * r.n + 9) // 10
 
 
 
+def balanced_events(sf_dir: str) -> Dataset:
+    """Deterministic class balancing (``curation.balance_classes``,
+    seed 13): every event type downsampled to the smallest type's
+    size by keeping the k_min smallest (hash, id) rows — exact,
+    reproducible under any partitioning; the row_number SQL twin
+    reproduces the surviving set bit-for-bit."""
+    from ..stages.curation import balance_classes
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = balance_classes(ds, "event_type", "event_id", seed=13)
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "event_type": t["event_type"]}),
+        batch_format="pyarrow")
+
+
+BALANCED_EVENTS_SQL = """
+WITH h AS (
+  SELECT event_id, event_type,
+         ((event_id % 1048576) * 2654435761 + 17100510843)
+             % 4294967296 AS hv
+  FROM events
+), k AS (
+  SELECT min(c)::BIGINT AS k_min
+  FROM (SELECT count(*) AS c FROM events GROUP BY event_type)
+), r AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hv, event_id) AS rk
+  FROM h
+)
+SELECT r.event_id, r.event_type
+FROM r CROSS JOIN k WHERE r.rk <= k.k_min
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12104,7 +12141,9 @@ QUERIES = {
     # canonical (recursive-closure levenshtein twin, integer-exact);
     # lorenz_orders_by_segment — Lorenz concentration curve deciles
     # (window-cumsum twin, exact cum/total witnesses, one-division
-    # share).
+    # share); balanced_events — deterministic class balancing to the
+    # min class size (hash-rank row_number twin, integer-exact
+    # surviving set).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12416,6 +12455,7 @@ QUERIES = {
     "media_probe_features": media_probe_features,
     "entity_resolution_customers": entity_resolution_customers,
     "lorenz_orders_by_segment": lorenz_orders_by_segment,
+    "balanced_events": balanced_events,
 }
 
 
@@ -12425,6 +12465,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "balanced_events": BALANCED_EVENTS_SQL,
     "lorenz_orders_by_segment": LORENZ_ORDERS_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,
     "procrustes_crosscov_embeddings": PROCRUSTES_CROSSCOV_SQL,

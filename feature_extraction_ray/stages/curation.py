@@ -2431,3 +2431,55 @@ def k_anonymity(ds: Dataset, qi_cols: Sequence[str],
 
     return bucketed_apply(parts, "qi", per_class_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def balance_classes(ds: Dataset, class_col: str, id_col: str,
+                    seed: int = 13,
+                    num_buckets: int = 32) -> Dataset:
+    """Deterministic class balancing — downsample every class to the
+    SMALLEST class's size (the classic imbalanced-training fix,
+    reproducible under any partitioning): each row gets
+    ``h = ((id mod 2^20)·2654435761 + seed·1315423911) mod 2^32`` and
+    a class keeps its ``k_min`` smallest (h, id) rows. Integer-exact
+    and deterministic — the SQL ``row_number`` twin reproduces the
+    exact surviving set.
+
+    Scale shape: class sizes via ONE tiny groupby; map-side per-block
+    per-class bottom-k prune (lexsort run offsets — nothing beyond
+    blocks·classes·k_min rows moves) + ONE class-bucketed exchange
+    for the global bottom-k. The (h, id) tie-break makes survivors
+    unique even under hash collisions."""
+    from .window import bucketed_apply
+    sizes = ds.groupby(class_col).count().to_pandas()
+    if sizes.empty:
+        raise ValueError("balance_classes: empty input")
+    k_min = int(sizes["count()"].min())
+
+    def with_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((ids % np.uint64(1 << 20)) * np.uint64(2654435761)
+             + np.uint64(seed) * np.uint64(1315423911)) \
+            % np.uint64(1 << 32)
+        return t.append_column("__h", pa.array(h.astype(np.int64)))
+
+    def prune(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        g = t[class_col].to_numpy(zero_copy_only=False)
+        h = t["__h"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        starts = np.flatnonzero(np.r_[True, gs[1:] != gs[:-1]])
+        cnt = np.diff(np.r_[starts, len(gs)])
+        pos = np.arange(len(gs)) - np.repeat(starts, cnt)
+        keep = order[pos < k_min]
+        return t.take(pa.array(np.sort(keep)))
+
+    tagged = ds.map_batches(with_h, batch_format="pyarrow") \
+        .map_batches(prune, batch_format="pyarrow")
+    out = bucketed_apply(tagged, class_col, prune, num_buckets,
+                         drop_bucket=True)
+    return out.map_batches(lambda t: t.drop_columns(["__h"]),
+                           batch_format="pyarrow")
