@@ -11906,6 +11906,56 @@ FROM r CROSS JOIN k WHERE r.rk <= k.k_min
 
 
 
+def trimmed_mean_value_by_type(sf_dir: str) -> Dataset:
+    """10% trimmed mean of value cents per event type
+    (``groupstats.trimmed_mean_by_group``): drop floor(0.1·n) rows
+    from each end of the (cents, event_id) order and average the
+    rest — exact int64 witnesses (n, t, s_kept) with mean_t ONE
+    division: the row_number window twin compares STRICTLY."""
+    from ..stages.groupstats import trimmed_mean_by_group
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"], "cents": c})
+
+    return trimmed_mean_by_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "event_type", "cents", id_col="event_id", trim=0.1)
+
+
+TRIMMED_MEAN_SQL = """
+WITH x AS (
+  SELECT event_type AS g, event_id AS id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, id) AS rk,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM x
+), tt AS (
+  SELECT g, n, CAST(floor(0.1 * n) AS BIGINT) AS t
+  FROM r GROUP BY 1, 2
+), s AS (
+  SELECT r.g, tt.n, tt.t,
+         sum(CASE WHEN r.rk > tt.t AND r.rk <= tt.n - tt.t
+                  THEN r.v ELSE 0 END)::BIGINT AS s_kept
+  FROM r JOIN tt ON tt.g = r.g
+  GROUP BY 1, 2, 3
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n, t, s_kept,
+       CASE WHEN n - 2 * t > 0
+            THEN CAST(s_kept AS DOUBLE)
+                 / CAST(n - 2 * t AS DOUBLE) END AS mean_t
+FROM s
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12143,7 +12193,9 @@ QUERIES = {
     # (window-cumsum twin, exact cum/total witnesses, one-division
     # share); balanced_events — deterministic class balancing to the
     # min class size (hash-rank row_number twin, integer-exact
-    # surviving set).
+    # surviving set); trimmed_mean_value_by_type — robust trimmed
+    # mean (exact order-statistic witnesses, one-division mean,
+    # strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12456,6 +12508,7 @@ QUERIES = {
     "entity_resolution_customers": entity_resolution_customers,
     "lorenz_orders_by_segment": lorenz_orders_by_segment,
     "balanced_events": balanced_events,
+    "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
 }
 
 
@@ -12465,6 +12518,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
     "balanced_events": BALANCED_EVENTS_SQL,
     "lorenz_orders_by_segment": LORENZ_ORDERS_SQL,
     "entity_resolution_customers": ENTITY_RESOLUTION_SQL,

@@ -2664,3 +2664,68 @@ def lorenz_deciles(ds: Dataset, group_col: str, value_col: str,
 
     return bucketed_apply(ds, group_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def trimmed_mean_by_group(ds: Dataset, group_col: str,
+                          value_col: str, id_col: str,
+                          trim: float = 0.1,
+                          num_buckets: int = DEFAULT_NUM_BUCKETS
+                          ) -> Dataset:
+    """Per-group trimmed mean — the robust location estimate between
+    the mean and the median (complements :func:`winsorize`, which
+    CLIPS; trimming DROPS): sort by (value, id), drop exactly
+    ``t = floor(trim·n)`` rows from EACH end, and report
+
+        n, t, s_kept (exact int64)    mean_t = s_kept / (n − 2t)
+
+    — one division of exact ints, so the row_number window twin
+    compares STRICTLY. Values must be integer-valued; groups with
+    ``n − 2t ≤ 0`` yield null. ONE bucketed exchange; per-group
+    cumsum-difference, no per-row Python."""
+    if not (0.0 <= trim < 0.5):
+        raise ValueError("trimmed_mean_by_group: trim must be in "
+                         "[0, 0.5)")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "t": pa.array([], pa.int64()),
+                          "s_kept": pa.array([], pa.int64()),
+                          "mean_t": pa.array([], pa.float64())})
+        if len(tbl) == 0:
+            return empty
+        v = _np(tbl[value_col])
+        if not np.all(v == np.floor(v)):
+            raise ValueError("trimmed_mean_by_group: values must be "
+                             "integer-valued; quantize first")
+        tbl = sort_table(tbl, [group_col, value_col, id_col])
+        v = _np(tbl[value_col]).astype(np.int64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(entity_group_starts(tbl, group_col))
+        cnt = np.diff(np.r_[starts, len(tbl)])
+        cum = np.cumsum(v)
+        rows = []
+        for s, c in zip(starts, cnt):
+            n = int(c)
+            t = int(trim * n)
+            kept = n - 2 * t
+            if kept <= 0:
+                rows.append((g[s], n, t, 0, None))
+                continue
+            hi = int(cum[s + n - t - 1])
+            lo = int(cum[s + t - 1]) if t else \
+                (int(cum[s - 1]) if s else 0)
+            if t == 0:
+                lo = int(cum[s - 1]) if s else 0
+            sk = hi - lo
+            rows.append((g[s], n, t, sk,
+                         float(np.float64(sk) / np.float64(kept))))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "t": pa.array([r[2] for r in rows], pa.int64()),
+            "s_kept": pa.array([r[3] for r in rows], pa.int64()),
+            "mean_t": pa.array([r[4] for r in rows], pa.float64())})
+
+    return bucketed_apply(ds, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
