@@ -11956,6 +11956,47 @@ FROM s
 
 
 
+def simpson_diversity_by_source(sf_dir: str) -> Dataset:
+    """Simpson / Gini-Simpson lexical diversity per source
+    (``text.simpson_diversity_by_group``): the EXACT-RATIONAL
+    diversity index — integer witnesses (types, tokens,
+    Σn_w(n_w−1)) with d and 1−d single fixed expressions over exact
+    ints: the GROUP BY twin compares STRICTLY, no rounding
+    anywhere."""
+    from ..stages.text import simpson_diversity_by_group
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    return simpson_diversity_by_group(ds, "source")
+
+
+SIMPSON_DIVERSITY_SQL = """
+WITH w AS (
+  SELECT source,
+         unnest(str_split(trim(text,
+             ' ' || chr(9) || chr(10) || chr(13)), ' ')) AS word
+  FROM documents
+), c AS (
+  SELECT source, word, count(*)::BIGINT AS cnt
+  FROM w WHERE word <> '' GROUP BY 1, 2
+), s AS (
+  SELECT source, count(*)::BIGINT AS n_types,
+         sum(cnt)::BIGINT AS n_tokens,
+         sum(cnt * (cnt - 1))::BIGINT AS num
+  FROM c GROUP BY 1
+)
+SELECT source, n_types, n_tokens, num,
+       CASE WHEN n_tokens > 1 THEN
+         CAST(num AS DOUBLE)
+           / CAST(n_tokens * (n_tokens - 1) AS DOUBLE) END AS d,
+       CASE WHEN n_tokens > 1 THEN
+         1.0 - CAST(num AS DOUBLE)
+               / CAST(n_tokens * (n_tokens - 1) AS DOUBLE)
+       END AS gini_simpson
+FROM s
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12195,7 +12236,9 @@ QUERIES = {
     # min class size (hash-rank row_number twin, integer-exact
     # surviving set); trimmed_mean_value_by_type — robust trimmed
     # mean (exact order-statistic witnesses, one-division mean,
-    # strict).
+    # strict); simpson_diversity_by_source — exact-rational
+    # Simpson/Gini-Simpson lexical diversity (GROUP BY twin, strict,
+    # no rounding).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12509,6 +12552,7 @@ QUERIES = {
     "lorenz_orders_by_segment": lorenz_orders_by_segment,
     "balanced_events": balanced_events,
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
+    "simpson_diversity_by_source": simpson_diversity_by_source,
 }
 
 
@@ -12518,6 +12562,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "simpson_diversity_by_source": SIMPSON_DIVERSITY_SQL,
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
     "balanced_events": BALANCED_EVENTS_SQL,
     "lorenz_orders_by_segment": LORENZ_ORDERS_SQL,

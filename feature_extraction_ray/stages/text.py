@@ -1456,3 +1456,115 @@ def zipf_alpha_by_group(ds: Dataset, group_col: str,
                          "alpha": pa.array(alpha, mask=~(s > 0.0))})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def simpson_diversity_by_group(ds: Dataset, group_col: str,
+                               text_col: str = "text",
+                               num_buckets: int = 32) -> Dataset:
+    """Simpson diversity per group over word frequencies — the
+    EXACT-RATIONAL member of the lexical-diversity family (Shannon
+    entropy needs logs and rounding; Simpson doesn't):
+
+        D = Σ_w n_w(n_w − 1) / (N(N − 1))     (repeat probability)
+        gini_simpson = 1 − D                   (diversity)
+
+    Integer witnesses ``n_types, n_tokens, num = Σ n_w(n_w−1)`` ride
+    the same word-bucketed exchange as :func:`zipf_alpha_by_group`;
+    ``d``/``gini_simpson`` are single fixed expressions over exact
+    ints — the SQL twin compares STRICTLY (groups with N < 2 null).
+    Bound ``Σ n_w² < 2^62`` implied by N < 2^31 (checked)."""
+    from ray.data.aggregate import Sum
+
+    from .window import bucketed_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "word": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
+        if real is not None:
+            flat = flat.filter(pa.array(real))
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(n_real)), n_real)
+        gw = g[doc_of]
+        w = flat.to_numpy(zero_copy_only=False)
+        order = np.lexsort((w, gw))
+        gw, w = gw[order], w[order]
+        new = np.r_[True, (gw[1:] != gw[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(w)]).astype(np.int64)
+        return pa.table({group_col: pa.array(gw[starts]),
+                         "word": pa.array(w[starts]),
+                         "cnt": pa.array(cnt)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_word_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n_types": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "num": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        w = t["word"].to_numpy(zero_copy_only=False)
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((w, g))
+        g, w, c = g[order], w[order], c[order]
+        new = np.r_[True, (g[1:] != g[:-1]) | (w[1:] != w[:-1])]
+        starts = np.flatnonzero(new)
+        cc = np.add.reduceat(c, starts)
+        if len(cc) and cc.max() >= (1 << 31):
+            raise ValueError("simpson_diversity_by_group: a word "
+                             "count exceeds 2^31 — n_w^2 would "
+                             "overflow int64")
+        gg = g[starts]
+        gs = np.flatnonzero(np.r_[True, gg[1:] != gg[:-1]])
+        n_types = np.diff(np.r_[gs, len(gg)]).astype(np.int64)
+        n_tok = np.add.reduceat(cc, gs)
+        num = np.add.reduceat(cc * (cc - 1), gs)
+        return pa.table({group_col: pa.array(gg[gs]),
+                         "n_types": pa.array(n_types),
+                         "n_tokens": pa.array(n_tok),
+                         "num": pa.array(num)})
+
+    agg = bucketed_apply(parts, "word", per_word_bucket, num_buckets,
+                         drop_bucket=False) \
+        .groupby(group_col).aggregate(
+            Sum("n_types", alias_name="n_types"),
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("num", alias_name="num"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if len(t) == 0 or group_col not in t.column_names:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "n_types": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "num": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.float64()),
+                             "gini_simpson": pa.array([],
+                                                      pa.float64())})
+        nt = t["n_types"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        num = t["num"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(n) and n.max() >= (1 << 31):
+            raise ValueError("simpson_diversity_by_group: n_tokens "
+                             ">= 2^31 — N(N-1) would overflow int64")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d = np.where(n > 1, num / np.maximum(
+                n * (n - 1), 1).astype(np.float64), np.nan)
+        return pa.table({group_col: t[group_col],
+                         "n_types": pa.array(nt),
+                         "n_tokens": pa.array(n),
+                         "num": pa.array(num),
+                         "d": pa.array(d, mask=~(n > 1)),
+                         "gini_simpson": pa.array(
+                             np.where(n > 1, 1.0 - d, np.nan),
+                             mask=~(n > 1))})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
