@@ -11997,6 +11997,40 @@ FROM s
 
 
 
+def snb_pairs_customers(sf_dir: str) -> Dataset:
+    """Sorted-neighborhood blocking over customer names
+    (``editdist.sorted_neighborhood_pairs``, window 3): every record
+    pair within 3 positions of the (c_name, c_custkey) sort — the
+    Hernández-Stolfo ER blocking pass; one global two-phase
+    row_number + one block-bucketed pair fan-out. Integer-exact;
+    the row_number self-join twin compares STRICTLY."""
+    from ..stages.editdist import sorted_neighborhood_pairs
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"c_name": t["c_name"],
+                         "c_custkey": pc.cast(t["c_custkey"],
+                                              pa.int64())})
+
+    return sorted_neighborhood_pairs(
+        cust.map_batches(prep, batch_format="pyarrow"),
+        "c_name", "c_custkey", window=3)
+
+
+SNB_PAIRS_SQL = """
+WITH r AS (
+  SELECT c_custkey,
+         row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rn
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(b.rn - a.rn AS BIGINT) AS gap
+FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12238,7 +12272,9 @@ QUERIES = {
     # mean (exact order-statistic witnesses, one-division mean,
     # strict); simpson_diversity_by_source — exact-rational
     # Simpson/Gini-Simpson lexical diversity (GROUP BY twin, strict,
-    # no rounding).
+    # no rounding); snb_pairs_customers — sorted-neighborhood ER
+    # blocking (two-phase row_number + block fan-out, self-join
+    # twin, integer-exact).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12553,6 +12589,7 @@ QUERIES = {
     "balanced_events": balanced_events,
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
     "simpson_diversity_by_source": simpson_diversity_by_source,
+    "snb_pairs_customers": snb_pairs_customers,
 }
 
 
@@ -12562,6 +12599,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "snb_pairs_customers": SNB_PAIRS_SQL,
     "simpson_diversity_by_source": SIMPSON_DIVERSITY_SQL,
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,
     "balanced_events": BALANCED_EVENTS_SQL,
