@@ -12031,6 +12031,54 @@ FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
 
 
 
+def ohlc_hourly_events(sf_dir: str) -> Dataset:
+    """Hourly OHLC value-cents bars per event type
+    (``window.ohlc_bars``): open/high/low/close are PASS-THROUGH
+    values at deterministic (ts, event_id) positions — bit-safe, no
+    arithmetic: the arg_min/arg_max window twin compares STRICTLY."""
+    from ..stages.window import ohlc_bars
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        c = pc.cast(pc.floor(pc.add(pc.multiply(t["value"], 100.0),
+                                    0.5)), pa.int64())
+        return pa.table({"event_type": t["event_type"], "us": us,
+                         "event_id": t["event_id"], "cents": c})
+
+    return ohlc_bars(ds.map_batches(prep, batch_format="pyarrow"),
+                     "event_type", "us", "cents", "event_id",
+                     bar_us=3600000000)
+
+
+OHLC_HOURLY_SQL = """
+WITH x AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), b AS (
+  SELECT event_type, us // 3600000000 AS bar, us, event_id, v
+  FROM x
+), r AS (
+  SELECT event_type, bar, v,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY us, event_id) AS rk_a,
+         row_number() OVER (PARTITION BY event_type, bar
+                            ORDER BY us DESC, event_id DESC) AS rk_d
+  FROM b
+)
+SELECT event_type, bar,
+       max(CASE WHEN rk_a = 1 THEN v END) AS open,
+       max(v) AS high, min(v) AS low,
+       max(CASE WHEN rk_d = 1 THEN v END) AS close,
+       count(*)::BIGINT AS n
+FROM r GROUP BY 1, 2
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12274,7 +12322,8 @@ QUERIES = {
     # Simpson/Gini-Simpson lexical diversity (GROUP BY twin, strict,
     # no rounding); snb_pairs_customers — sorted-neighborhood ER
     # blocking (two-phase row_number + block fan-out, self-join
-    # twin, integer-exact).
+    # twin, integer-exact); ohlc_hourly_events — OHLC bars
+    # (pass-through arg-first/last/max/min witnesses, strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12590,6 +12639,7 @@ QUERIES = {
     "trimmed_mean_value_by_type": trimmed_mean_value_by_type,
     "simpson_diversity_by_source": simpson_diversity_by_source,
     "snb_pairs_customers": snb_pairs_customers,
+    "ohlc_hourly_events": ohlc_hourly_events,
 }
 
 
@@ -12599,6 +12649,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "ohlc_hourly_events": OHLC_HOURLY_SQL,
     "snb_pairs_customers": SNB_PAIRS_SQL,
     "simpson_diversity_by_source": SIMPSON_DIVERSITY_SQL,
     "trimmed_mean_value_by_type": TRIMMED_MEAN_SQL,

@@ -1066,3 +1066,55 @@ def watermark_late_events(ds: Dataset, entity_col: str, ts_col: str,
             "late", pa.array(late))
 
     return bucketed_apply(ds, entity_col, per_bucket, num_buckets)
+
+
+def ohlc_bars(ds: Dataset, entity_col: str, ts_col: str,
+              value_col: str, id_col: str, bar_us: int,
+              num_buckets: int = DEFAULT_NUM_BUCKETS) -> Dataset:
+    """OHLC bars — the financial-style resample: per (entity, bar)
+    report ``open``/``close`` (value at the first/last (ts, id) in
+    the bar), ``high``/``low`` (max/min) and ``n``. All values are
+    PASS-THROUGH (bit-safe, no arithmetic) and the (ts, id) ordering
+    is fully deterministic, so the arg_min/arg_max SQL twin compares
+    STRICTLY. ``bar = ts_us // bar_us`` (µs-normalized timestamps).
+    ONE bucketed exchange; per-bucket lexsort + reduceat — no per-row
+    Python."""
+    if bar_us <= 0:
+        raise ValueError("ohlc_bars: bar_us must be > 0")
+
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({entity_col: pa.array([], pa.string()),
+                          "bar": pa.array([], pa.int64()),
+                          "open": pa.array([], pa.int64()),
+                          "high": pa.array([], pa.int64()),
+                          "low": pa.array([], pa.int64()),
+                          "close": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if len(tbl) == 0:
+            return empty
+        ts = tbl[ts_col]
+        if pa.types.is_timestamp(ts.type):
+            ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        tsv = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        bar = tsv // np.int64(bar_us)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        v = tbl[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ent = tbl[entity_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, tsv, bar, ent))
+        ent, bar, v = ent[order], bar[order], v[order]
+        starts = np.flatnonzero(
+            np.r_[True, (ent[1:] != ent[:-1]) | (bar[1:] != bar[:-1])])
+        cnt = np.diff(np.r_[starts, len(ent)])
+        ends = starts + cnt - 1
+        return pa.table({
+            entity_col: pa.array(ent[starts]),
+            "bar": pa.array(bar[starts]),
+            "open": pa.array(v[starts]),
+            "high": pa.array(np.maximum.reduceat(v, starts)),
+            "low": pa.array(np.minimum.reduceat(v, starts)),
+            "close": pa.array(v[ends]),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    return bucketed_apply(ds, entity_col, per_bucket, num_buckets,
+                          drop_bucket=False)
