@@ -12079,6 +12079,69 @@ FROM r GROUP BY 1, 2
 
 
 
+def weak_labels_lineitem(sf_dir: str) -> Dataset:
+    """Weak-supervision majority vote
+    (``curation.majority_vote_labels``) over three deterministic
+    noisy heuristics for "discounted line item": lf1 = discount ≥
+    0.05, lf2 = quantity ≥ 30, lf3 abstains on mid-range tax and
+    votes tax > 0.04 otherwise. Integer-exact vote/n_votes/n_agree —
+    the CASE-arithmetic twin compares STRICTLY."""
+    from ..stages.curation import majority_vote_labels
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_discount",
+                "l_quantity", "l_tax"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rid = pc.add(pc.multiply(pc.cast(t["l_orderkey"], pa.int64()),
+                                 pa.scalar(8, pa.int64())),
+                     pc.cast(t["l_linenumber"], pa.int64()))
+        lf1 = pc.cast(pc.greater_equal(t["l_discount"], 0.05),
+                      pa.int64())
+        lf2 = pc.cast(pc.greater_equal(t["l_quantity"], 30.0),
+                      pa.int64())
+        tax = t["l_tax"]
+        lf3 = pc.if_else(
+            pc.and_(pc.greater(tax, 0.02), pc.less(tax, 0.04)),
+            pa.scalar(-1, pa.int64()),
+            pc.cast(pc.greater(tax, 0.04), pa.int64()))
+        return pa.table({"rid": rid, "lf1": lf1, "lf2": lf2,
+                         "lf3": lf3})
+
+    return majority_vote_labels(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["lf1", "lf2", "lf3"], id_col="rid")
+
+
+WEAK_LABELS_SQL = """
+WITH x AS (
+  SELECT l_orderkey * 8 + l_linenumber AS rid,
+         CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS lf1,
+         CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END AS lf2,
+         CASE WHEN l_tax > 0.02 AND l_tax < 0.04 THEN -1
+              WHEN l_tax > 0.04 THEN 1 ELSE 0 END AS lf3
+  FROM lineitem
+), c AS (
+  SELECT rid,
+         (CASE WHEN lf1 = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf2 = 1 THEN 1 ELSE 0 END
+          + CASE WHEN lf3 = 1 THEN 1 ELSE 0 END) AS n1,
+         (CASE WHEN lf1 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf2 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN lf3 = 0 THEN 1 ELSE 0 END) AS n0
+  FROM x
+)
+SELECT rid,
+       CAST(CASE WHEN n1 > n0 THEN 1 WHEN n0 > n1 THEN 0
+                 ELSE -1 END AS BIGINT) AS vote,
+       CAST(n1 + n0 AS BIGINT) AS n_votes,
+       CAST(CASE WHEN n1 > n0 THEN n1 WHEN n0 > n1 THEN n0
+                 ELSE 0 END AS BIGINT) AS n_agree
+FROM c
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12323,7 +12386,11 @@ QUERIES = {
     # no rounding); snb_pairs_customers — sorted-neighborhood ER
     # blocking (two-phase row_number + block fan-out, self-join
     # twin, integer-exact); ohlc_hourly_events — OHLC bars
-    # (pass-through arg-first/last/max/min witnesses, strict).
+    # (pass-through arg-first/last/max/min witnesses, strict);
+    # weak_labels_lineitem — Snorkel-lite majority-vote label
+    # aggregation (CASE-arithmetic twin, integer-exact; note
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    # — compare as multisets).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12640,6 +12707,7 @@ QUERIES = {
     "simpson_diversity_by_source": simpson_diversity_by_source,
     "snb_pairs_customers": snb_pairs_customers,
     "ohlc_hourly_events": ohlc_hourly_events,
+    "weak_labels_lineitem": weak_labels_lineitem,
 }
 
 
@@ -12649,6 +12717,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "weak_labels_lineitem": WEAK_LABELS_SQL,
     "ohlc_hourly_events": OHLC_HOURLY_SQL,
     "snb_pairs_customers": SNB_PAIRS_SQL,
     "simpson_diversity_by_source": SIMPSON_DIVERSITY_SQL,
