@@ -12142,6 +12142,56 @@ FROM c
 
 
 
+def kappa_lineitem_heuristics(sf_dir: str) -> Dataset:
+    """Cohen's κ between two deterministic lineitem heuristics
+    (``groupstats.cohens_kappa``): discount ≥ 0.05 vs quantity ≥ 30
+    as binary raters — exact int64 witnesses (n, agree, Σ marginal
+    products) with po/pe/κ fixed expressions: the twin compares
+    STRICTLY."""
+    from ..stages.groupstats import cohens_kappa
+    ds = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "ra": pc.cast(pc.greater_equal(t["l_discount"], 0.05),
+                          pa.int64()),
+            "rb": pc.cast(pc.greater_equal(t["l_quantity"], 30.0),
+                          pa.int64())})
+
+    return cohens_kappa(ds.map_batches(prep, batch_format="pyarrow"),
+                        "ra", "rb")
+
+
+KAPPA_LINEITEM_SQL = """
+WITH x AS (
+  SELECT CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END AS ra,
+         CASE WHEN l_quantity >= 30.0 THEN 1 ELSE 0 END AS rb
+  FROM lineitem
+), s AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CASE WHEN ra = rb THEN 1 ELSE 0 END)::BIGINT AS agree,
+         (sum(ra) * sum(rb)
+          + sum(1 - ra) * sum(1 - rb))::BIGINT AS s_marg
+  FROM x
+)
+SELECT n, agree, s_marg,
+       CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+       CAST(s_marg AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS pe,
+       CASE WHEN CAST(s_marg AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) <> 1.0
+            THEN (CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+                  - CAST(s_marg AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                 / (1.0 - CAST(s_marg AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+       END AS kappa
+FROM s
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12390,7 +12440,9 @@ QUERIES = {
     # weak_labels_lineitem — Snorkel-lite majority-vote label
     # aggregation (CASE-arithmetic twin, integer-exact; note
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
-    # — compare as multisets).
+    # — compare as multisets); kappa_lineitem_heuristics — Cohen's
+    # kappa inter-annotator agreement (exact count witnesses, fixed
+    # po/pe/kappa expressions, strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12708,6 +12760,7 @@ QUERIES = {
     "snb_pairs_customers": snb_pairs_customers,
     "ohlc_hourly_events": ohlc_hourly_events,
     "weak_labels_lineitem": weak_labels_lineitem,
+    "kappa_lineitem_heuristics": kappa_lineitem_heuristics,
 }
 
 
@@ -12717,6 +12770,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "kappa_lineitem_heuristics": KAPPA_LINEITEM_SQL,
     "weak_labels_lineitem": WEAK_LABELS_SQL,
     "ohlc_hourly_events": OHLC_HOURLY_SQL,
     "snb_pairs_customers": SNB_PAIRS_SQL,

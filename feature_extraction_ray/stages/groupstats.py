@@ -2729,3 +2729,67 @@ def trimmed_mean_by_group(ds: Dataset, group_col: str,
 
     return bucketed_apply(ds, group_col, per_bucket, num_buckets,
                           drop_bucket=False)
+
+
+def cohens_kappa(ds: Dataset, a_col: str, b_col: str) -> Dataset:
+    """Cohen's κ inter-annotator agreement between two label columns
+    — the annotation-quality companion to the majority-vote
+    aggregator: with exact counts ``n``, ``agree`` and per-label
+    marginals,
+
+        po = agree / n
+        pe = Σ_l n_a(l)·n_b(l) / n²
+        κ  = (po − pe) / (1 − pe)
+
+    — every input an exact int64 (per-block label-pair bincount
+    partials through ONE label-bounded exchange) and po/pe/κ fixed
+    IEEE expressions, so the SQL twin compares STRICTLY (κ null when
+    pe = 1, the degenerate single-label case). Labels must be small
+    non-negative ints."""
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"la": pa.array([], pa.int64()),
+                          "lb": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        a = _np(t[a_col]).astype(np.int64)
+        b = _np(t[b_col]).astype(np.int64)
+        if len(a) and (a.min() < 0 or b.min() < 0):
+            raise ValueError("cohens_kappa: labels must be "
+                             "non-negative ints")
+        if len(a) and max(int(a.max()), int(b.max())) > 10 ** 6:
+            raise ValueError("cohens_kappa: label space too large")
+        k = max(int(a.max()), int(b.max())) + 1 if len(a) else 1
+        key = a * k + b
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"la": pa.array((u // k).astype(np.int64)),
+                         "lb": pa.array((u % k).astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["la", "lb"]).aggregate(
+            Sum("cnt", alias_name="cnt")).to_pandas()
+    import ray.data as rd
+    if agg.empty:
+        raise ValueError("cohens_kappa: empty input")
+    la = agg["la"].to_numpy().astype(np.int64)
+    lb = agg["lb"].to_numpy().astype(np.int64)
+    c = agg["cnt"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    agree = int(c[la == lb].sum())
+    k = int(max(la.max(), lb.max())) + 1
+    na = np.zeros(k, np.int64)
+    nb = np.zeros(k, np.int64)
+    np.add.at(na, la, c)
+    np.add.at(nb, lb, c)
+    s = int((na * nb).sum())
+    po = np.float64(agree) / np.float64(n)
+    pe = np.float64(s) / (np.float64(n) * np.float64(n))
+    kappa = float((po - pe) / (1.0 - pe)) if pe != 1.0 else None
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "s_marg": pa.array([s], pa.int64()),
+        "po": pa.array([float(po)], pa.float64()),
+        "pe": pa.array([float(pe)], pa.float64()),
+        "kappa": pa.array([kappa], pa.float64())}))
