@@ -12192,6 +12192,66 @@ FROM s
 
 
 
+def spearman_qty_price_by_flag(sf_dir: str) -> Dataset:
+    """Spearman rank correlation of quantity vs extended-price cents
+    per return flag (``groupstats.spearman_by_group``): tie-averaged
+    ranks exact in halves (d = 2·rank int64), five exact sufficient
+    statistics, ρ the corr_matrix two-sqrt fixed expression — the
+    rank()+count window twin with HUGEINT-exact differences compares
+    STRICTLY."""
+    from ..stages.groupstats import spearman_by_group
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = pc.cast(t["l_quantity"], pa.int64())
+        c = pc.cast(pc.floor(pc.add(
+            pc.multiply(t["l_extendedprice"], 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "qty": q, "cents": c})
+
+    return spearman_by_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "l_returnflag", "qty", "cents")
+
+
+SPEARMAN_QTY_PRICE_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS xv,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yv
+  FROM lineitem
+), r AS (
+  SELECT g,
+         2 * rank() OVER (PARTITION BY g ORDER BY xv)
+           + count(*) OVER (PARTITION BY g, xv) - 1 AS dx,
+         2 * rank() OVER (PARTITION BY g ORDER BY yv)
+           + count(*) OVER (PARTITION BY g, yv) - 1 AS dy
+  FROM x
+), s AS (
+  SELECT g, count(*)::BIGINT AS n, sum(dx)::BIGINT AS sx,
+         sum(dx * dx)::BIGINT AS sxx, sum(dy * dy)::BIGINT AS syy,
+         sum(dx * dy)::BIGINT AS sxy
+  FROM r GROUP BY 1
+)
+SELECT g AS l_returnflag, n, sx, sxx, syy, sxy,
+       CASE WHEN CAST(n AS HUGEINT) * sxx
+                 - CAST(sx AS HUGEINT) * sx <> 0
+             AND CAST(n AS HUGEINT) * syy
+                 - CAST(sx AS HUGEINT) * sx <> 0 THEN
+         CAST(CAST(n AS HUGEINT) * sxy
+              - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+           / (sqrt(CAST(CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * sqrt(CAST(CAST(n AS HUGEINT) * syy
+                          - CAST(sx AS HUGEINT) * sx AS DOUBLE)))
+       END AS rho
+FROM s
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12442,7 +12502,10 @@ QUERIES = {
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
     # — compare as multisets); kappa_lineitem_heuristics — Cohen's
     # kappa inter-annotator agreement (exact count witnesses, fixed
-    # po/pe/kappa expressions, strict).
+    # po/pe/kappa expressions, strict); spearman_qty_price_by_flag —
+    # Spearman rank correlation (tie-averaged doubled ranks exact in
+    # halves, rank()+count window twin, HUGEINT differences,
+    # strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
     # goldens in pytest).
@@ -12761,6 +12824,7 @@ QUERIES = {
     "ohlc_hourly_events": ohlc_hourly_events,
     "weak_labels_lineitem": weak_labels_lineitem,
     "kappa_lineitem_heuristics": kappa_lineitem_heuristics,
+    "spearman_qty_price_by_flag": spearman_qty_price_by_flag,
 }
 
 
@@ -12770,6 +12834,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "spearman_qty_price_by_flag": SPEARMAN_QTY_PRICE_SQL,
     "kappa_lineitem_heuristics": KAPPA_LINEITEM_SQL,
     "weak_labels_lineitem": WEAK_LABELS_SQL,
     "ohlc_hourly_events": OHLC_HOURLY_SQL,

@@ -2793,3 +2793,94 @@ def cohens_kappa(ds: Dataset, a_col: str, b_col: str) -> Dataset:
         "po": pa.array([float(po)], pa.float64()),
         "pe": pa.array([float(pe)], pa.float64()),
         "kappa": pa.array([kappa], pa.float64())}))
+
+
+def spearman_by_group(ds: Dataset, group_col: str, x_col: str,
+                      y_col: str,
+                      num_buckets: int = DEFAULT_NUM_BUCKETS
+                      ) -> Dataset:
+    """Per-group Spearman rank correlation — Pearson over
+    tie-averaged ranks, completing the correlation family
+    (:func:`grouped_corr` is Pearson on values; Spearman is the
+    monotone-robust sibling). Exactness: tie-averaged ranks are exact
+    in HALVES (the AUC r2 trick), so the op carries ``d = 2·rank``
+    int64 and the five sufficient statistics (n, Σdx, Σdx², Σdy²,
+    Σdxdy — Σdy = Σdx by construction) are exact ints;
+
+        ρ = (n·Σdxdy − Σdx·Σdy) /
+            (sqrt(n·Σdx² − Σdx²̂)·sqrt(n·Σdy² − Σdy²̂))
+
+    is the corr_matrix two-sqrt fixed expression (HUGEINT-exact
+    differences in the twin) — STRICT. Values must be
+    integer-valued; zero-variance sides yield null; the
+    ``n³ < 2^62``-ish bound follows from d ≤ 2n (checked)."""
+    def per_bucket(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "sx": pa.array([], pa.int64()),
+                          "sxx": pa.array([], pa.int64()),
+                          "syy": pa.array([], pa.int64()),
+                          "sxy": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.float64())})
+        if len(tbl) == 0:
+            return empty
+        xv = _np(tbl[x_col])
+        yv = _np(tbl[y_col])
+        if not (np.all(xv == np.floor(xv))
+                and np.all(yv == np.floor(yv))):
+            raise ValueError("spearman_by_group: values must be "
+                             "integer-valued; quantize first")
+        tbl = sort_table(tbl, [group_col])
+        x = _np(tbl[x_col]).astype(np.int64)
+        y = _np(tbl[y_col]).astype(np.int64)
+        g = tbl[group_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(entity_group_starts(tbl, group_col))
+        cnt = np.diff(np.r_[starts, len(tbl)])
+
+        def double_ranks(v):
+            # 2*average-rank per element (ties share), 1-based
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            newv = np.r_[True, sv[1:] != sv[:-1]]
+            rst = np.flatnonzero(newv)
+            rc = np.diff(np.r_[rst, len(sv)])
+            # run of c elements starting at 0-based pos p:
+            # 2*avg rank = 2p + c + 1
+            d_run = 2 * rst + rc + 1
+            d = np.empty(len(sv), np.int64)
+            d[order] = np.repeat(d_run, rc)
+            return d
+
+        rows = []
+        for s, c in zip(starts, cnt):
+            n = int(c)
+            if 8 * n ** 3 >= 2 ** 62:
+                raise ValueError("spearman_by_group: group too "
+                                 "large for exact int64 rank stats")
+            dx = double_ranks(x[s:s + c])
+            dy = double_ranks(y[s:s + c])
+            sx = int(dx.sum())
+            sxx = int((dx * dx).sum())
+            syy = int((dy * dy).sum())
+            sxy = int((dx * dy).sum())
+            num = n * sxy - sx * sx        # Σdy == Σdx
+            vx = n * sxx - sx * sx
+            vy = n * syy - sx * sx
+            if vx == 0 or vy == 0:
+                rho = None
+            else:
+                rho = float(np.float64(num)
+                            / (np.sqrt(np.float64(vx))
+                               * np.sqrt(np.float64(vy))))
+            rows.append((g[s], n, sx, sxx, syy, sxy, rho))
+        return pa.table({
+            group_col: pa.array([r[0] for r in rows]),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "sx": pa.array([r[2] for r in rows], pa.int64()),
+            "sxx": pa.array([r[3] for r in rows], pa.int64()),
+            "syy": pa.array([r[4] for r in rows], pa.int64()),
+            "sxy": pa.array([r[5] for r in rows], pa.int64()),
+            "rho": pa.array([r[6] for r in rows], pa.float64())})
+
+    return bucketed_apply(ds, group_col, per_bucket, num_buckets,
+                          drop_bucket=False)
