@@ -12252,6 +12252,40 @@ FROM s
 
 
 
+def youden_threshold_embeddings(sf_dir: str) -> Dataset:
+    """Optimal micro-cosine decision threshold by Youden's J
+    (``evalmetrics.youden_threshold``): argmax of the EXACT
+    cross-multiplied integer j_num = tp·n_neg − fp·n_pos over
+    distinct thresholds (ties → smallest), j two one-divisions —
+    the window twin compares STRICTLY."""
+    from ..stages.evalmetrics import youden_threshold
+    return youden_threshold(_cosine_microunit_scored(sf_dir), "s",
+                            "lab")
+
+
+YOUDEN_THRESHOLD_SQL = f"""
+WITH {_CS_MICROUNIT_CTE},
+t AS (SELECT sum(p)::BIGINT AS np_, sum(n - p)::BIGINT AS nn_
+      FROM g),
+w AS (SELECT s,
+             (sum(p) OVER (ORDER BY s DESC))::BIGINT AS tp,
+             (sum(n - p) OVER (ORDER BY s DESC))::BIGINT AS fp
+      FROM g),
+j AS (SELECT w.s, w.tp, w.fp,
+             w.tp * t.nn_ - w.fp * t.np_ AS j_num, t.np_, t.nn_
+      FROM w, t),
+r AS (SELECT *, row_number() OVER (ORDER BY j_num DESC, s) AS rk
+      FROM j)
+SELECT s AS threshold, tp, fp, np_ AS n_pos, nn_ AS n_neg,
+       CAST(j_num AS BIGINT) AS j_num,
+       CAST(tp AS DOUBLE) / CAST(np_ AS DOUBLE)
+       - CAST(fp AS DOUBLE) / CAST(nn_ AS DOUBLE) AS j
+FROM r WHERE rk = 1
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12505,6 +12539,8 @@ QUERIES = {
     # po/pe/kappa expressions, strict); spearman_qty_price_by_flag —
     # Spearman rank correlation (tie-averaged doubled ranks exact in
     # halves, rank()+count window twin, HUGEINT differences,
+    # strict); youden_threshold_embeddings — Youden-J optimal
+    # operating point (exact cross-multiplied argmax, window twin,
     # strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
@@ -12825,6 +12861,7 @@ QUERIES = {
     "weak_labels_lineitem": weak_labels_lineitem,
     "kappa_lineitem_heuristics": kappa_lineitem_heuristics,
     "spearman_qty_price_by_flag": spearman_qty_price_by_flag,
+    "youden_threshold_embeddings": youden_threshold_embeddings,
 }
 
 
@@ -12834,6 +12871,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "youden_threshold_embeddings": YOUDEN_THRESHOLD_SQL,
     "spearman_qty_price_by_flag": SPEARMAN_QTY_PRICE_SQL,
     "kappa_lineitem_heuristics": KAPPA_LINEITEM_SQL,
     "weak_labels_lineitem": WEAK_LABELS_SQL,

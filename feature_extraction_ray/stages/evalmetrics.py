@@ -348,3 +348,51 @@ def conformal_intervals(ds: Dataset, score_col: str, label_col: str,
                          "covered": cov})
 
     return prepped.map_batches(finish, batch_format="pyarrow")
+
+
+def youden_threshold(ds: Dataset, score_col: str,
+                     label_col: str) -> Dataset:
+    """Optimal operating point by Youden's J — the standard
+    threshold-selection rule (maximize ``tpr − fpr``) closing the
+    eval family's loop from curve to DECISION: over the distinct-
+    score table (same one-exchange reduction as :func:`roc_points`),
+    the chosen threshold "predict positive when score ≥ s" maximizes
+    the EXACT cross-multiplied integer ``j_num = tp·n_neg − fp·n_pos``
+    (no float ever picks the argmax; ties → smallest threshold), and
+
+        j = tp/n_pos − fp/n_neg      (two one-divisions, fixed)
+
+    One row: threshold, tp, fp, n_pos, n_neg, j_num, j — the window
+    twin compares STRICTLY. Empty classes yield nulls. Bound
+    ``n·max(n_pos, n_neg) < 2^62`` (inherited from the table)."""
+    t = _score_label_table(ds, score_col, label_col)
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_pos = int(p.sum())
+    n_neg = int((n - p).sum())
+    if len(n) == 0 or n_pos == 0 or n_neg == 0:
+        return rd.from_arrow(pa.table({
+            "threshold": pa.array([None], pa.int64()),
+            "tp": pa.array([None], pa.int64()),
+            "fp": pa.array([None], pa.int64()),
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "j_num": pa.array([None], pa.int64()),
+            "j": pa.array([None], pa.float64())}))
+    tp = np.cumsum(p[::-1])[::-1]
+    fp = np.cumsum((n - p)[::-1])[::-1]
+    j_num = tp * n_neg - fp * n_pos
+    best = int(j_num.max())
+    # ties -> smallest threshold; scores ascending so first hit wins
+    i = int(np.flatnonzero(j_num == best)[0])
+    s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    j = (np.float64(tp[i]) / np.float64(n_pos)
+         - np.float64(fp[i]) / np.float64(n_neg))
+    return rd.from_arrow(pa.table({
+        "threshold": pa.array([int(s[i])], pa.int64()),
+        "tp": pa.array([int(tp[i])], pa.int64()),
+        "fp": pa.array([int(fp[i])], pa.int64()),
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "j_num": pa.array([best], pa.int64()),
+        "j": pa.array([float(j)], pa.float64())}))
