@@ -12286,6 +12286,88 @@ FROM r WHERE rk = 1
 
 
 
+def gains_table_embeddings(sf_dir: str) -> Dataset:
+    """Gains / lift deciles over micro-cosine scores
+    (``evalmetrics.gains_table``): how many same-label embeddings
+    does the top score decile capture — global (score desc, vec_id)
+    ranking, exact per-bin witnesses, gain/lift fixed one-division
+    chains: the row_number twin compares STRICTLY."""
+    import pyarrow.parquet as _pq
+
+    from ..stages.evalmetrics import gains_table
+    head = _pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"]) \
+        .slice(0, 1)
+    qv = np.array(head["embedding"].to_pylist(), dtype=np.float64)[0]
+    qlab = head["label"][0].as_py()
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def score(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = col.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(len(t), len(qv))
+        c = (m @ qv) / (np.sqrt((m * m).sum(axis=1))
+                        * np.sqrt((qv * qv).sum()))
+        micro = _round_arr(pa.array(c * 1000000.0), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        lab = t["label"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": t["vec_id"],
+                         "s": pa.array(micro),
+                         "lab": pa.array((lab == qlab)
+                                         .astype(np.int64))})
+
+    return gains_table(emb.map_batches(score,
+                                       batch_format="pyarrow"),
+                       "s", "lab", id_col="vec_id", n_bins=10)
+
+
+GAINS_TABLE_SQL = """
+WITH qv AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS qlab
+  FROM embeddings WHERE vec_id = 0
+), cs AS (
+  SELECT e.vec_id,
+         round(list_cosine_similarity(
+             CAST(e.embedding AS DOUBLE[]), qv.qe) * 1000000,
+             0)::BIGINT AS s,
+         CASE WHEN e.label = qv.qlab THEN 1 ELSE 0 END AS lab
+  FROM qv CROSS JOIN embeddings e
+), r AS (
+  SELECT lab,
+         row_number() OVER (ORDER BY s DESC, vec_id) AS rn,
+         count(*) OVER () AS nn
+  FROM cs
+), b AS (
+  SELECT ((rn - 1) * 10) // nn AS bin, lab, nn FROM r
+), a AS (
+  SELECT bin, count(*)::BIGINT AS n_k, sum(lab)::BIGINT AS pos_k
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT sum(lab)::BIGINT AS np_, count(*)::BIGINT AS nn FROM b
+), c AS (
+  SELECT a.bin, a.n_k, a.pos_k,
+         CAST(sum(a.n_k) OVER (ORDER BY a.bin) AS BIGINT) AS cum_n,
+         CAST(sum(a.pos_k) OVER (ORDER BY a.bin) AS BIGINT)
+             AS cum_pos,
+         tot.np_, tot.nn
+  FROM a CROSS JOIN tot
+)
+SELECT bin, n_k, pos_k, cum_n, cum_pos,
+       CASE WHEN np_ > 0
+            THEN CAST(cum_pos AS DOUBLE) / CAST(np_ AS DOUBLE)
+       END AS gain,
+       CASE WHEN np_ > 0 AND cum_n > 0 THEN
+         (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+           / (CAST(np_ AS DOUBLE) / CAST(nn AS DOUBLE))
+       END AS lift
+FROM c
+"""
+
+
+
+
 QUERIES = {
     # ------------------------------------------------------------------
     # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
@@ -12541,6 +12623,8 @@ QUERIES = {
     # halves, rank()+count window twin, HUGEINT differences,
     # strict); youden_threshold_embeddings — Youden-J optimal
     # operating point (exact cross-multiplied argmax, window twin,
+    # strict); gains_table_embeddings — gains/lift deciles (global
+    # row_number binning, exact witnesses, fixed division chains,
     # strict).
     # kcore_parts is
     # rows-only by design (h-index fixpoint; exact-peeling parity
@@ -12862,6 +12946,7 @@ QUERIES = {
     "kappa_lineitem_heuristics": kappa_lineitem_heuristics,
     "spearman_qty_price_by_flag": spearman_qty_price_by_flag,
     "youden_threshold_embeddings": youden_threshold_embeddings,
+    "gains_table_embeddings": gains_table_embeddings,
 }
 
 
@@ -12871,6 +12956,7 @@ def _hll_registers_sql() -> str:
 
 
 ORACLE_SQL = {
+    "gains_table_embeddings": GAINS_TABLE_SQL,
     "youden_threshold_embeddings": YOUDEN_THRESHOLD_SQL,
     "spearman_qty_price_by_flag": SPEARMAN_QTY_PRICE_SQL,
     "kappa_lineitem_heuristics": KAPPA_LINEITEM_SQL,

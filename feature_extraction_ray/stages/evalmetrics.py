@@ -396,3 +396,83 @@ def youden_threshold(ds: Dataset, score_col: str,
         "n_neg": pa.array([n_neg], pa.int64()),
         "j_num": pa.array([best], pa.int64()),
         "j": pa.array([float(j)], pa.float64())}))
+
+
+def gains_table(ds: Dataset, score_col: str, label_col: str,
+                id_col: str, n_bins: int = 10) -> Dataset:
+    """Gains / lift table — the marketing-model eval classic (how
+    many positives does the top decile of scores capture?): rows
+    ranked globally by (score desc, id), split into ``n_bins`` equal
+    rank bins ``bin = ((rn−1)·n_bins) // N``; per bin, exact int64
+    ``n_k`` / ``pos_k`` / cumulative ``cum_n`` / ``cum_pos``, and
+
+        gain = cum_pos / n_pos
+        lift = (cum_pos / cum_n) / (n_pos / N)
+
+    each a fixed chain of one-divisions over exact ints — the
+    row_number SQL twin compares STRICTLY. Scale shape: one
+    distributed two-phase ``partition.row_number`` sort + per-block
+    bin partials through ONE n_bins-bounded exchange; the finish is
+    n_bins driver rows."""
+    from .partition import row_number
+    if n_bins < 2:
+        raise ValueError("gains_table: n_bins must be >= 2")
+
+    def neg(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False)
+        si = s.astype(np.int64)
+        if not np.array_equal(si.astype(s.dtype), s):
+            raise ValueError("gains_table: scores must be "
+                             "integer-valued")
+        lab = t[label_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if not np.isin(lab, (0, 1)).all():
+            raise ValueError("gains_table: labels must be 0/1")
+        return pa.table({"__negs": pa.array(-si),
+                         id_col: t[id_col],
+                         "lab": pa.array(lab)})
+
+    r = row_number(ds.map_batches(neg, batch_format="pyarrow"),
+                   ["__negs", id_col], out_col="__rn", start=1)
+    r = r.materialize()
+    N = r.count()
+    if N == 0:
+        raise ValueError("gains_table: empty input")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rn = t["__rn"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        b = ((rn - 1) * n_bins) // N
+        nb = np.bincount(b, minlength=n_bins).astype(np.int64)
+        pb = np.zeros(n_bins, np.int64)
+        np.add.at(pb, b, lab)
+        return pa.table({"bin": pa.array(np.arange(n_bins,
+                                                   dtype=np.int64)),
+                         "n_part": pa.array(nb),
+                         "p_part": pa.array(pb)})
+
+    agg = r.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bin").aggregate(
+            Sum("n_part", alias_name="n_k"),
+            Sum("p_part", alias_name="pos_k")).to_pandas() \
+        .sort_values("bin").reset_index(drop=True)
+    n_k = agg["n_k"].to_numpy().astype(np.int64)
+    pos_k = agg["pos_k"].to_numpy().astype(np.int64)
+    cum_n = np.cumsum(n_k)
+    cum_pos = np.cumsum(pos_k)
+    n_pos = int(pos_k.sum())
+    base = np.float64(n_pos) / np.float64(N)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        gain = np.where(n_pos > 0,
+                        cum_pos / np.float64(max(n_pos, 1)), np.nan)
+        lift = np.where((n_pos > 0) & (cum_n > 0),
+                        (cum_pos / cum_n.astype(np.float64)) / base,
+                        np.nan)
+    return rd.from_arrow(pa.table({
+        "bin": pa.array(agg["bin"].to_numpy().astype(np.int64)),
+        "n_k": pa.array(n_k), "pos_k": pa.array(pos_k),
+        "cum_n": pa.array(cum_n.astype(np.int64)),
+        "cum_pos": pa.array(cum_pos.astype(np.int64)),
+        "gain": pa.array(gain, mask=~np.repeat(n_pos > 0,
+                                               len(n_k))),
+        "lift": pa.array(lift, mask=~((n_pos > 0) & (cum_n > 0)))}))
