@@ -1058,9 +1058,12 @@ FROM w
 
 def weighted_sample_docs(sf_dir: str) -> Dataset:
     """Deterministic weighted reservoir sample (Efraimidis–Spirakis
-    A-Res): 5 docs per source, inclusion ∝ n_chars, reproducible across
-    reruns/repartitionings (hash-derived randomness — not
-    SQL-expressible, goldens in test_skew_misc.py)."""
+    A-Res, ``partition.weighted_sample_per_group``): 5 docs per source,
+    inclusion ∝ n_chars, reproducible across reruns/repartitionings.
+    The splitmix64+fmix id hash is reproduced bit-for-bit in the SQL
+    twin via HUGEINT wrap-arithmetic (``_weighted_sample_docs_sql``),
+    so selection compares on exact integer pass-throughs; goldens in
+    test_skew_misc.py."""
     from ..stages.partition import weighted_sample_per_group
     ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
     return weighted_sample_per_group(ds, "source", k=5, id_col="doc_id",
@@ -2170,11 +2173,51 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 
 def truecase_docs(sf_dir: str) -> Dataset:
     """M4/A3: corpus-trained truecasing (distributed casing fit →
-    broadcast → vectorized rewrite). Rows-only — the fitted model is not
-    SQL-expressible; fit/apply semantics golden-tested."""
+    broadcast → vectorized rewrite). Oracle-backed end-to-end (round-4
+    verdict item 5): the SQL twin refits the model with the SAME
+    non-sentence-initial argmax recipe (the green ``truecase_model``
+    CTEs restricted to non-identity mappings = ``keep_identity=False``)
+    and replays the rewrite as token-map + ordered ``string_agg`` —
+    string-exact; fit/apply semantics additionally golden-tested."""
     from ..stages.textprep import truecase_rewrite
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return truecase_rewrite(ds, out_col="text_truecased")
+
+
+TRUECASE_DOCS_SQL = r"""
+WITH sents AS (
+  SELECT unnest(regexp_split_to_array(text, '[.!?]+')) AS sent
+  FROM documents
+), mwords AS (
+  SELECT regexp_split_to_array(trim(sent), '\s+') AS ws
+  FROM sents WHERE len(trim(sent)) > 0
+), nonfirst AS (
+  SELECT unnest(ws[2:]) AS w FROM mwords
+), counts AS (
+  SELECT lower(w) AS lo, w AS surface, count(*) AS c
+  FROM nonfirst WHERE len(w) > 0 GROUP BY 1, 2
+), best AS (
+  SELECT lo, surface FROM counts
+  QUALIFY row_number() OVER (PARTITION BY lo
+                             ORDER BY c DESC, surface) = 1
+), model AS (
+  SELECT lo, surface FROM best WHERE surface <> lo
+), tok AS (
+  SELECT doc_id, unnest(ws) AS word,
+         CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+  FROM (SELECT doc_id, str_split(trim(text), ' ') AS ws
+        FROM documents WHERE trim(text) <> '')
+), mapped AS (
+  SELECT t.doc_id, t.pos, coalesce(m.surface, t.word) AS mw
+  FROM tok t LEFT JOIN model m ON lower(t.word) = m.lo
+), agg AS (
+  SELECT doc_id, string_agg(mw, ' ' ORDER BY pos) AS text_truecased
+  FROM mapped GROUP BY 1
+)
+SELECT d.doc_id, d.text, coalesce(a.text_truecased, '')
+         AS text_truecased
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
 
 
 def truecase_model(sf_dir: str):
@@ -2225,8 +2268,11 @@ def tag_lemma_docs(sf_dir: str) -> Dataset:
 
 def split_counts_docs(sf_dir: str) -> Dataset:
     """Deterministic hash-based train/val/test split + per-(source,
-    split) counts (rows-only — the split hash is not SQL-expressible;
-    determinism/disjointness/ratio goldens in ``test_skew_misc.py``)."""
+    split) counts (``partition.hash_split``): the splitmix64+fmix id
+    hash and the threshold binning are reproduced bit-for-bit in the
+    SQL twin (``_split_counts_docs_sql`` — HUGEINT wrap-arithmetic +
+    exact float edges), so the integer counts compare exactly;
+    determinism/disjointness/ratio goldens in ``test_skew_misc.py``."""
     from ..stages.partition import hash_split
     from ray.data.aggregate import Count
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -7996,6 +8042,103 @@ FROM r WHERE sample_rank <= 100
 """
 
 
+def _wrapmul64_sql(v: str, c: int) -> str:
+    """HUGEINT expression for ``(v * c) mod 2^64`` (v < 2^64): split the
+    constant into 32-bit halves so every partial product fits INT128
+    (a direct 64×64 HUGEINT multiply overflows DuckDB's INT128)."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    return (f"(((({v}) % 4294967296) * {cl} + "
+            f"(((({v}) // 4294967296) * {cl} + (({v}) % 4294967296) "
+            f"* {ch}) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616)")
+
+
+def _splitmix_fmix_ctes(id_col: str, cols: str, table: str,
+                        seed: int) -> str:
+    """CTE chain reproducing ``partition._stable_hash_strings``'s
+    splitmix64 finalizer over an INTEGER id column, then the
+    (seed, murmur-fmix64) mix the split/sample stages apply on top —
+    BIT-FOR-BIT (HUGEINT xor/shift/wrap-mul steps; integer parity
+    pinned in ``tests/test_skew_misc.py``). Ends with CTE ``hm``
+    carrying ``cols`` plus the mixed 64-bit hash ``hh``."""
+    seed_mix = (seed * 0x9E3779B97F4A7C15) % (1 << 64)
+    m = "18446744073709551616"
+    return f"""h0 AS (
+  SELECT {cols},
+         ({id_col}::HUGEINT + 11400714819323198485) % {m} AS v1
+  FROM {table}
+), h1 AS (SELECT *, xor(v1, v1 >> 30) AS v2 FROM h0),
+h2 AS (SELECT *, {_wrapmul64_sql('v2', 0xBF58476D1CE4E5B9)} AS v3
+       FROM h1),
+h3 AS (SELECT *, xor(v3, v3 >> 27) AS v4 FROM h2),
+h4 AS (SELECT *, {_wrapmul64_sql('v4', 0x94D049BB133111EB)} AS v5
+       FROM h3),
+h5 AS (SELECT *, xor(v5, v5 >> 31) AS v6 FROM h4),
+m0 AS (SELECT *, xor(v6, {seed_mix}::HUGEINT) AS w1 FROM h5),
+m1 AS (SELECT *, {_wrapmul64_sql('w1', 0xFF51AFD7ED558CCD)} AS w2
+       FROM m0),
+hm AS (SELECT *, xor(w2, w2 >> 33) AS hh FROM m1)"""
+
+
+def _weighted_sample_docs_sql(seed: int = 1337, k: int = 5) -> str:
+    """SQL twin of ``partition.weighted_sample_per_group`` over integer
+    ids: the shared splitmix+fmix hash chain, then rank by the
+    identical ES key ``ln((h+1)/2^64)/w`` (ln may differ from numpy's
+    SIMD log by 1 ulp — within the driver/pytest float tolerance;
+    selection/rank are stable because hash-derived keys never land
+    within 1 ulp of each other)."""
+    m = "18446744073709551616"
+    chain = _splitmix_fmix_ctes("doc_id", "doc_id, source, n_chars",
+                                "documents", seed)
+    return f"""
+WITH {chain},
+k AS (
+  SELECT doc_id, source, n_chars,
+         ln((hh::DOUBLE + 1.0) / {m}.0) / n_chars::DOUBLE AS key
+  FROM hm WHERE n_chars > 0
+), r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY key DESC, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, source, n_chars FROM r WHERE rn <= {k}
+"""
+
+
+WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_docs_sql()
+
+
+def _split_counts_docs_sql(seed: int = 1337) -> str:
+    """SQL twin of ``partition.hash_split`` + per-(source, split)
+    counts: the shared splitmix+fmix chain, ``u = h/2^64`` (exact:
+    power-of-two scaling of the identically-rounded double), and the
+    searchsorted(side="right") threshold binning as strict ``<``
+    comparisons against the BIT-EXACT numpy cumsum edges
+    (``_sql_float`` mantissa·2^exp literals). Counts are exact ints."""
+    m = "18446744073709551616"
+    edges = list(np.cumsum([0.9, 0.05, 0.05]))
+    chain = _splitmix_fmix_ctes("doc_id", "doc_id, source",
+                                "documents", seed)
+    return f"""
+WITH {chain},
+s AS (
+  SELECT source,
+         CASE WHEN hh::DOUBLE / {m}.0 < {_sql_float(edges[0])}
+                THEN 'train'
+              WHEN hh::DOUBLE / {m}.0 < {_sql_float(edges[1])}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM hm
+)
+SELECT source, split, count(*)::BIGINT AS n_docs
+FROM s GROUP BY 1, 2
+"""
+
+
+SPLIT_COUNTS_DOCS_SQL = _split_counts_docs_sql()
+
+
 def weighted_sample_grouped_orders(sf_dir: str) -> Dataset:
     """Stratified weighted sampling without replacement
     (stages/curation.weighted_sample_grouped): 40 orders per
@@ -10975,7 +11118,8 @@ def late_events(sf_dir: str) -> Dataset:
 
     return watermark_late_events(
         ds.map_batches(prep, batch_format="pyarrow"),
-        "user_id", "us", "arrival", allowed_lateness=1800000000)
+        "user_id", "us", "arrival", allowed_lateness=1800000000,
+        id_col="event_id")
 
 
 LATE_EVENTS_SQL = """
@@ -10985,7 +11129,8 @@ WITH x AS (
   FROM events
 ), wmt AS (
   SELECT event_id, us, user_id, arrival,
-         max(us) OVER (PARTITION BY user_id ORDER BY arrival
+         max(us) OVER (PARTITION BY user_id
+                       ORDER BY arrival, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING) AS wm
   FROM x
@@ -12370,272 +12515,57 @@ FROM c
 
 QUERIES = {
     # ------------------------------------------------------------------
-    # ROUND-4 ROTATION (the driver hash-checks the FIRST ~50 entries).
+    # ROUND-5 ROTATION (the driver hash-checks the FIRST ~50 entries;
+    # the _R5_WINDOW reorder below the dict literal sets that order).
     # Policy: every oracle-backed query must earn a driver-green
     # CORRECTNESS row in some round; pytest (test_queries_oracle) re-
     # verifies ALL ORACLE_SQL entries against DuckDB every session
     # regardless of window position, so rotating a green entry out
-    # loses no coverage. Rounds 1-3 rotation history: git log of this
-    # file (r3 note removed in r4 for the sweep below).
+    # loses no coverage. Rotation history: git log of this file.
     #
-    # Window r4 = the 48 oracle-backed queries that had NEVER received
-    # a driver row through round 3 (sessions 3-5 families: drift/stats,
-    # BM25/NB/PPMI/keywords, survival/retention/funnel-adjacent, CDC,
-    # graph/mining, window tails) + media_features / topic_model_docs,
-    # which EXIT rows-only this round via new integer-witness oracles.
-    # Deferred to round 5 (the remaining 11 never-checked, families
-    # already driver-green elsewhere): q5_local_supplier_volume,
-    # orders_interval_pairs_broadcast, cumsum_events_streaming,
-    # doc_words_exploded, events_pivot_by_user,
-    # heavy_hitters_event_types, events_cube, running_distinct_types,
-    # value_quantiles_cont_by_type, user_event_entropy,
-    # orders_snapshot_diff — plus the round-4 mid-round additions
-    # (oracle-backed, pytest-verified this round, window round 5):
-    # pq_knn_planted / ivfpq_knn_planted (product quantization + the
-    # persistent IVF-PQ index, exact integer ADC oracles) and
-    # fuzzy_decontaminate_docs (exact max-Jaccard vs broadcast eval set),
-    # mixture_weights_docs (temperature-based domain mixing weights),
-    # dsir_scores_docs / dsir_sampled_docs (DSIR importance resampling),
-    # q3_shipping_priority / q10_returned_items (general M:N hash join),
-    # quality_sampled_docs (GPT-3 classifier + Pareto quality sampling),
-    # orders_price_brackets (broadcast range-lookup non-equi join),
-    # user_value_scd2 (SCD2 history build) + scd2_lookup_events
-    # (point-in-time dimension lookup) + events_row_numbers (global
-    # zipWithIndex), events_profile (one-pass
-    # column profiler, exactly-checkable projection), bm25_topk_indexed
-    # (persistent inverted-index retrieval), value_deciles_events
-    # (exact global qcut), and the token-native north-rule family
-    # (token_lag_arrays / token_asof_attr / token_session_concat —
-    # token-array equality via array_to_string both sides over the
-    # embedded F1/F2 VALUES fixture; token_repetition_docs /
-    # token_decontaminate_docs / token_dedup_spans_docs /
-    # token_surprisal_docs / token_bigram_surprisal_docs /
-    # token_fill_arrays / token_profile_docs /
-    # token_chunks_docs / token_remap_docs — tokengrams.py curation
-    # twins + list-payload window oracles; and
-    # exact_dedup_incremental_docs — the persisted-store exact-dedup
-    # sibling of the minhash incremental path;
-    # boilerplate_lines_docs — CCNet/C4 cross-doc line-level
-    # boilerplate removal over constructed multi-line pages;
-    # cap_per_source_docs — per-domain doc cap with map-side top-k
-    # pre-prune (row_number QUALIFY twin); web_curated_docs — the
-    # composed boilerplate→gate→exact-dedup→cap chain under ONE
-    # CTE-chained oracle; canonical_docs — quality-aware canonical
-    # selection per near-dup cluster (recursive-CTE + row_number twin);
-    # decontaminate_spans_docs — surgical span-level decontamination
-    # (position-painting twin, planted sentinel spans);
-    # dedup_lines_within_docs — C4 intra-doc repeated-line removal
-    # (min-ord window twin); canonicalized_text_docs — whitespace+case
-    # canonicalization (ASCII twin; NFD leg pinned vs unicodedata);
-    # bloom_lookup_docs — Bloom-indexed point lookup (IN twin);
-    # model_scores_embeddings — actor-pool batched inference
-    # (integer-exact linear-probe dot-product twin);
-    # length_batches_docs — padding-efficient inference batching
-    # (row_number/window twin, integer-exact); interleave_docs —
-    # domain-balanced round-robin training order (double-row_number
-    # twin, integer-exact); boilerplate_lines_broadcast — the
-    # skew-immune broadcast plan under the identical SQL oracle;
-    # negatives_docs — contrastive negative sampling (rank/stride/join
-    # twin, integer-exact); hard_negatives_embeddings — label-excluded
-    # cosine top-k mining (knn-convention SQL twin);
-    # cluster_split_docs — leakage-free cluster-hash splitting
-    # (Jaccard-closure + integer-threshold twin);
-    # the token-objective family — token_dropout_docs (SimCSE views),
-    # token_mlm_docs (BERT 80/10/10, inputs+labels), token_t5_corrupt_
-    # docs (span corruption, both sequences), token_nsp_docs (next-
-    # segment pairs), token_fim_docs (PSM fill-in-the-middle) — all
-    # bit-exact joined-string twins over the F1 fixture;
-    # quantized_embeddings — int8 storage codes (integer-exact);
-    # pii_by_source — per-source governance rollup (wrapped pii twin);
-    # quality_gate_docs — per-domain percentile quality gate
-    # (grouped quantile_disc twin); url_dedup_docs — URL
-    # canonicalization + URL-keyed dedup (identical RE2 rewrite
-    # sequence both engines, string-exact); epoch_order_docs —
-    # deterministic multi-epoch training permutations (per-epoch
-    # row_number twin, integer-exact); token_vocab_coverage —
-    # tokenizer-vocab coverage/OOV curve over the F1 fixture
-    # (unnest + FILTER-aggregate twin, integer-exact);
-    # hybrid_rrf_docs — BM25 + embedding-cosine reciprocal-rank
-    # fusion (full-outer rank twin, rrf strict two-term IEEE);
-    # kfold_docs — stratified deterministic K-fold assignment
-    # (row_number-mod twin, exact per-stratum balance);
-    # token_exact_dedup_docs — exact duplicate-sequence dedup on the
-    # token payload (min-id keeper over planted copies, token arrays
-    # bit-exact as joined strings); token_freq_spectrum_docs —
-    # Good–Turing count-of-counts over the F1 stream (integer-exact);
-    # target_encoded_lineitems — leave-one-out m-estimate target
-    # encoding (exact-int statistics, strict one-expression twin);
-    # calibration_embeddings — reliability-diagram bins over
-    # micro-unit cosine vs label-match (integer binning, strict);
-    # html_extract_docs — HTML→text WET extraction (identical
-    # RE2+replace chain both engines, string-exact);
-    # warc_roundtrip_docs — WARC/1.0 resource-record sink/source
-    # roundtrip (oracle reads the same parquet; string-exact certifies
-    # the serialize→gzip→parse chain byte-preserves content);
-    # token_winnow_docs — MOSS winnowing fingerprints (packed-key
-    # window-min twin, integer-exact);
-    # kl_by_source — domain-distinctiveness KL divergence (exact-int
-    # sufficient stats, one-expression doubles, round-6);
-    # html_links_docs — crawl link-graph extraction
-    # (regexp_extract_all twin, string-exact);
-    # weighted_sample_orders — Efraimidis–Spirakis weighted sampling
-    # without replacement (identical IEEE exponential keys, exact);
-    # ipc_roundtrip_docs — Arrow IPC (Feather V2) sink/source
-    # roundtrip (zstd; oracle reads the same parquet, string-exact);
-    # feature_store_events — multi-history point-in-time enrichment
-    # (chained ASOF twin, mixed broadcast/partitioned plans, exact);
-    # trigram_lookup_docs — pg_trgm-shaped substring-index lookup
-    # (byte-trigram postings + doc store, contains() twin, exact);
-    # token_kn_pairs_docs — interpolated Kneser–Ney bigram LM
-    # (exact-int sufficient stats from a self-join positional-unnest
-    # twin, strict one-expression p_kn);
-    # auc_embeddings / roc_points_embeddings — exact tie-corrected
-    # rank-sum AUC + ROC curve over micro-unit cosine scores (window
-    # twins, strict);
-    # oof_target_encoded_lineitems — out-of-fold K-fold target
-    # encoding (hash folds, exact-int stats, strict one-expression te);
-    # token_hashed_features — signed feature hashing / hashing trick
-    # (BIGINT bucket+top-bit-sign twin, integer-exact);
-    # token_chi2_docs — chi-square token-class feature selection
-    # (exact-int contingency via one packed-key exchange, fixed-order
-    # IEEE term sum, strict FILTER-aggregate twin);
-    # woe_lineitem_parts — weight-of-evidence categorical encoding
-    # (exact-int pos/neg stats, one-expression ln, strict twin);
-    # token_mean_embeddings — bag-of-embeddings mean pooling from a
-    # broadcast micro-unit matrix (exact-int sums, one-division mean,
-    # join-group twin);
-    # corr_matrix_lineitem — exact Pearson correlation matrix in one
-    # zero-exchange pass (int64 sufficient stats, strict sqrt twin);
-    # token_cms_docs — Count-Min sketch of the token stream (shared
-    # hash family, sketch-bounded exchange, integer-exact cell twin);
-    # hashed_cross_lineitems — wide-and-deep crossed_column bucket
-    # (two-multiplier hash, zero shuffles, integer-exact twin);
-    # isotonic_embeddings — PAV probability calibration (exact-int
-    # pool merges; strict minimax-identity twin, no SQL PAV needed);
-    # token_hashed_bigrams — pair-gram hashing trick (two-multiplier
-    # combos, positional self-join twin, integer-exact);
-    # lag_pack_events — multi-lag autoregressive pack in ONE exchange
-    # (bit-safe pass-through values, window lag twin);
-    # sliding_zscore_events — trailing-window anomaly z-score
-    # (exact-int windowed S/S², strict one-expression twin);
-    # token_skipgram_docs — word2vec skip-gram pair counts (±window
-    # positional self-join twin, packed-key exchange, integer-exact);
-    # orc_roundtrip_docs — ORC sink/source roundtrip (oracle reads
-    # the same parquet; string-exact certifies the cycle);
-    # weighted_sample_grouped_orders — stratified ES weighted sampling
-    # (per-group top-k, identical IEEE keys, PARTITION row_number twin);
-    # token_tfidf_docs — token-native TF-IDF long form (exact tf/df,
-    # round-10 ln twin);
-    # setsim_pairs_docs — EXACT AllPairs/PPJoin set-similarity join
-    # (prefix filtering, integer-witness Jaccard, brute self-join twin);
-    # blocklist_docs — C4 badwords screen (identical RE2 patterns both
-    # engines, exact); hll_registers_lineitem — 32-bit HLL register
-    # table (generated BIGINT bitlen-ladder twin, integer-exact);
-    # unimax_weights_docs — UniMax epoch-capped uniform mixing
-    # (recursive-CTE water-filling twin, integer-exact alloc);
-    # token_heaps_docs — Heaps'-law vocabulary-growth curve
-    # (windowed-offset positional-unnest twin, integer-exact);
-    # readability_docs — Flesch/FK readability (exact int witnesses,
-    # strict one-expression doubles, identical RE2 syllable rule);
-    # kcenter_embeddings — greedy k-center coreset selection
-    # (unrolled chained-CTE argmax/least twin, integer-exact mind);
-    # random_projection_embeddings — signed JL random projection
-    # (bilinear popcount-parity signs, bit_count BIGINT twin,
-    # integer-exact); retrieval_metrics_embeddings — per-query IR
-    # ranking metrics MRR/P@k/R@k/DCG/NDCG (window row_number twin,
-    # one-division strict + round-6 irrational logs); soundex_parts —
-    # American Soundex phonetic blocking keys (identical RE2 chain
-    # both engines, string-exact); quantile_mapped_events — quantile
-    # mapping / CDF matching onto a reference group (window
-    # row_number twin, integer-exact mapped values).
-    # compression_ratio_docs is rows-only by design (zlib output is
-    # not SQL-expressible; exact byte-length goldens in pytest);
-    # bootstrap_means_events — Poisson bootstrap group-mean
-    # uncertainty (integer inverse-CDF ladder + multiplicative-in-b
-    # hash family, integer-exact n_eff/s, one-division mean);
-    # touch_attribution_events — linear multi-touch attribution
-    # (self-join + row_number proration twin, integer-exact,
-    # credit-conserving); ks_value_by_type — two-sample
-    # Kolmogorov-Smirnov drift test (cross-multiplied exact integer
-    # D witness, window-cumsum twin, round-6 Smirnov p);
-    # kmv_user_overlap_events — KMV bottom-k sketches + pairwise
-    # set-overlap estimation (row_number twin, integer-exact
-    # inter/kk, one-division jaccard); phrase_search_docs — exact
-    # positional phrase query against the persistent positional
-    # inverted index (positional-unnest self-join twin,
-    # integer-exact); late_events — keyed watermark / late-data
-    # detection under a hash-permuted arrival order (max-OVER-
-    # preceding window twin, integer-exact); dict_encoded_events —
-    # global dictionary encoding with sorted-dense codes (dense_rank
-    # twin, integer-exact); conformal_embeddings — split-conformal
-    # prediction intervals (exact order-statistic q-hat, row_number
-    # twin, integer-exact bounds + coverage witness);
-    # degree_assortativity_parts — Newman degree assortativity
-    # (exact-int sufficient stats, HUGEINT-exact differences,
-    # two-sqrt one-expression r, strict); modularity_parts_by_brand
-    # — attribute-partition modularity (exact e_c/d_c/m witnesses,
-    # per-row one-expression q_c, strict); theil_sen_events —
-    # Theil-Sen robust trend slope (one-division pair slopes,
-    # quantile_disc median, self-join row_number twin, strict);
-    # did_events — difference-in-differences 2x2 causal contrast
-    # (exact cell witnesses, one-division means, fixed-expression
-    # did, strict); secret_scan_docs — high-entropy secret/token
-    # screen over planted suffixes (identical construction both
-    # engines, round-6 byte entropy, strict flags);
-    # rendezvous_shards_events — HRW consistent sharding (32-bit
-    # double-mix avalanche, argmax row_number twin, integer-exact;
-    # minimal-movement property pinned); skyline_parts — Pareto-
-    # front query (mergeable block prune, NOT-EXISTS dominance twin,
-    # integer-exact); burstiness_users — Goh-Barabási inter-arrival
-    # burstiness (n-free sqrt form over exact witnesses, HUGEINT
-    # radicand twin, strict); zipf_alpha_by_source — power-law
-    # exponent MLE (exact type counts, round-6 ln sums);
-    # k_anonymity_events — k-anonymity / l-diversity privacy audit
-    # (GROUP BY twin, integer-exact); slice_gaps_orders —
-    # SliceFinder-lite worst-slice auditing (UNION-ALL GROUP BY
-    # twin, fixed-expression gap/score, strict);
-    # procrustes_crosscov_embeddings — orthogonal-alignment
-    # sufficient statistic (exact int64 cross-covariance, parallel-
-    # unnest join twin; SVD rotation recovery pinned in pytest).
-    # media_probe_features is rows-only by design (binary headers not
-    # SQL-parseable; byte-level probe goldens in pytest);
-    # entity_resolution_customers — composed ER chain block→CC→
-    # canonical (recursive-closure levenshtein twin, integer-exact);
-    # lorenz_orders_by_segment — Lorenz concentration curve deciles
-    # (window-cumsum twin, exact cum/total witnesses, one-division
-    # share); balanced_events — deterministic class balancing to the
-    # min class size (hash-rank row_number twin, integer-exact
-    # surviving set); trimmed_mean_value_by_type — robust trimmed
-    # mean (exact order-statistic witnesses, one-division mean,
-    # strict); simpson_diversity_by_source — exact-rational
-    # Simpson/Gini-Simpson lexical diversity (GROUP BY twin, strict,
-    # no rounding); snb_pairs_customers — sorted-neighborhood ER
-    # blocking (two-phase row_number + block fan-out, self-join
-    # twin, integer-exact); ohlc_hourly_events — OHLC bars
-    # (pass-through arg-first/last/max/min witnesses, strict);
-    # weak_labels_lineitem — Snorkel-lite majority-vote label
-    # aggregation (CASE-arithmetic twin, integer-exact; note
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data
-    # — compare as multisets); kappa_lineitem_heuristics — Cohen's
-    # kappa inter-annotator agreement (exact count witnesses, fixed
-    # po/pe/kappa expressions, strict); spearman_qty_price_by_flag —
-    # Spearman rank correlation (tie-averaged doubled ranks exact in
-    # halves, rank()+count window twin, HUGEINT differences,
-    # strict); youden_threshold_embeddings — Youden-J optimal
-    # operating point (exact cross-multiplied argmax, window twin,
-    # strict); gains_table_embeddings — gains/lift deciles (global
-    # row_number binning, exact witnesses, fixed division chains,
-    # strict).
-    # kcore_parts is
-    # rows-only by design (h-index fixpoint; exact-peeling parity
-    # goldens in pytest).
-    # token_minhash_dedup_docs
-    # / token_simhash_dedup_docs are rows-only by design, planted-dup
-    # goldens in pytest; pack_bfd_docs / split_leakage_docs rows-only
-    # by design, reference-parity + planted-leak goldens in pytest).
-    # Rotated OUT this round (driver-green r3 or earlier; family keeps
-    # its pytest oracle): the whole r3 window - q1_pricing_summary ...
-    # curated_docs (48 greens).
+    # Window r5 = the first 50 of the 144 oracle-backed queries that
+    # had NEVER received a driver row through round 4 (round-4
+    # verdict item 1): the r4 mid-round additions (PQ/IVF-PQ ANN,
+    # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
+    # north-rule family) plus the 11 long-deferred relational tails.
+    # Deferred to round 6/7 (the remaining 94 never-checked; each is
+    # pytest-oracle-verified every session):
+    # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
+    # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
+    # token_dropout_docs, token_t5_corrupt_docs, token_mlm_docs,
+    # token_nsp_docs, token_fim_docs, quantized_embeddings, pii_by_source,
+    # quality_gate_docs, url_dedup_docs, epoch_order_docs,
+    # token_vocab_coverage, hybrid_rrf_docs, kfold_docs,
+    # token_exact_dedup_docs, token_freq_spectrum_docs,
+    # target_encoded_lineitems, calibration_embeddings, trigram_lookup_docs,
+    # html_extract_docs, warc_roundtrip_docs, token_winnow_docs,
+    # kl_by_source, html_links_docs, weighted_sample_orders,
+    # ipc_roundtrip_docs, feature_store_events, token_kn_pairs_docs,
+    # auc_embeddings, roc_points_embeddings, oof_target_encoded_lineitems,
+    # token_hashed_features, token_chi2_docs, woe_lineitem_parts,
+    # token_mean_embeddings, corr_matrix_lineitem, token_cms_docs,
+    # hashed_cross_lineitems, isotonic_embeddings, token_hashed_bigrams,
+    # lag_pack_events, sliding_zscore_events, token_skipgram_docs,
+    # orc_roundtrip_docs, weighted_sample_grouped_orders, token_tfidf_docs,
+    # setsim_pairs_docs, blocklist_docs, hll_registers_lineitem,
+    # unimax_weights_docs, token_heaps_docs, readability_docs,
+    # kcenter_embeddings, random_projection_embeddings,
+    # retrieval_metrics_embeddings, soundex_parts, quantile_mapped_events,
+    # bootstrap_means_events, touch_attribution_events, ks_value_by_type,
+    # kmv_user_overlap_events, phrase_search_docs, late_events,
+    # dict_encoded_events, conformal_embeddings, degree_assortativity_parts,
+    # modularity_parts_by_brand, theil_sen_events, did_events,
+    # secret_scan_docs, rendezvous_shards_events, skyline_parts,
+    # burstiness_users, zipf_alpha_by_source, k_anonymity_events,
+    # slice_gaps_orders, procrustes_crosscov_embeddings,
+    # entity_resolution_customers, lorenz_orders_by_segment, balanced_events,
+    # trimmed_mean_value_by_type, simpson_diversity_by_source,
+    # snb_pairs_customers, ohlc_hourly_events, weak_labels_lineitem,
+    # kappa_lineitem_heuristics, spearman_qty_price_by_flag,
+    # youden_threshold_embeddings, gains_table_embeddings
+    # Rotated OUT this round (driver-green r4; family keeps its
+    # pytest oracle): the whole r4 window - doc_tfidf_scores ...
+    # topic_model_docs (50 greens).
     # ------------------------------------------------------------------
     "doc_tfidf_scores": doc_tfidf_scores,
     "doc_top_terms": doc_top_terms,
@@ -12950,6 +12880,66 @@ QUERIES = {
 }
 
 
+# ROUND-5 WINDOW: the driver samples the first ~50 QUERIES entries, so
+# reorder the dict to lead with the never-driver-checked backlog (see the
+# rotation note inside the literal). Values are unchanged; pytest still
+# sweeps every ORACLE_SQL entry regardless of position.
+_R5_WINDOW = [
+    "pq_knn_planted",
+    "ivfpq_knn_planted",
+    "fuzzy_decontaminate_docs",
+    "mixture_weights_docs",
+    "dsir_scores_docs",
+    "dsir_sampled_docs",
+    "q10_returned_items",
+    "quality_sampled_docs",
+    "orders_price_brackets",
+    "user_value_scd2",
+    "scd2_lookup_events",
+    "events_row_numbers",
+    "events_profile",
+    "bm25_topk_indexed",
+    "value_deciles_events",
+    "q5_local_supplier_volume",
+    "orders_interval_pairs_broadcast",
+    "heavy_hitters_event_types",
+    "events_cube",
+    "events_pivot_by_user",
+    "doc_words_exploded",
+    "cumsum_events_streaming",
+    "user_event_entropy",
+    "orders_snapshot_diff",
+    "running_distinct_types",
+    "value_quantiles_cont_by_type",
+    "token_lag_arrays",
+    "token_asof_attr",
+    "token_session_concat",
+    "token_repetition_docs",
+    "token_decontaminate_docs",
+    "token_dedup_spans_docs",
+    "token_surprisal_docs",
+    "token_bigram_surprisal_docs",
+    "exact_dedup_incremental_docs",
+    "token_fill_arrays",
+    "token_profile_docs",
+    "token_chunks_docs",
+    "token_remap_docs",
+    "token_curated_docs",
+    "token_asof_attr_broadcast",
+    "boilerplate_lines_docs",
+    "cap_per_source_docs",
+    "web_curated_docs",
+    "canonical_docs",
+    "decontaminate_spans_docs",
+    "dedup_lines_within_docs",
+    "canonicalized_text_docs",
+    "bloom_lookup_docs",
+    "model_scores_embeddings",
+]
+QUERIES = {**{k: QUERIES[k] for k in _R5_WINDOW},
+           **{k: v for k, v in QUERIES.items() if k not in set(_R5_WINDOW)}}
+
+
 def _hll_registers_sql() -> str:
     from ..stages.sketches import hll32_sql
     return hll32_sql("lineitem", "l_partkey", p=6, seed=7)
@@ -13104,6 +13094,7 @@ ORACLE_SQL = {
     "embedding_dedup_brute": EMBEDDING_DEDUP_BRUTE_SQL,
     "text_quality_docs": TEXT_QUALITY_DOCS_SQL,
     "truecase_model": TRUECASE_MODEL_SQL,
+    "truecase_docs": TRUECASE_DOCS_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
@@ -13208,6 +13199,8 @@ ORACLE_SQL = {
     "kl_by_source": KL_BY_SOURCE_SQL,
     "html_links_docs": HTML_LINKS_SQL,
     "weighted_sample_orders": WEIGHTED_SAMPLE_ORDERS_SQL,
+    "weighted_sample_docs": WEIGHTED_SAMPLE_DOCS_SQL,
+    "split_counts_docs": SPLIT_COUNTS_DOCS_SQL,
     "ipc_roundtrip_docs": IPC_ROUNDTRIP_SQL,
     "feature_store_events": FEATURE_STORE_EVENTS_SQL,
     "exact_dedup_incremental_docs": EXACT_DEDUP_INCREMENTAL_SQL,

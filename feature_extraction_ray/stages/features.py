@@ -23,7 +23,7 @@ from ray.data import Dataset
 from ..functions import tokenstats as TS
 from ..functions import windows as W
 from ..functions.graph import graph_metrics
-from .partition import entity_group_starts, sort_table
+from .partition import entity_group_starts, group_field_type, sort_table
 from .window import bucketed_apply, DEFAULT_NUM_BUCKETS
 
 
@@ -201,7 +201,7 @@ def extract_group_features(ds: Dataset, *, entity_col: str, ts_col: str,
         ng = entity_group_starts(tbl, entity_col)
         n = len(tbl)
         if n == 0:
-            return pa.table({entity_col: pa.array([], type=pa.string())})
+            return pa.table({entity_col: pa.array([], group_field_type(tbl, entity_col))})
         if gap_us is not None:
             tsv = tbl[ts_col].cast(pa.timestamp("us")).cast(
                 pa.int64()).to_numpy(zero_copy_only=False)

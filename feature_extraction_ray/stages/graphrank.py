@@ -561,24 +561,51 @@ def label_propagation(edges: Dataset, src_col: str, dst_col: str,
 
 
 def core_numbers(edges: Dataset, src_col: str, dst_col: str,
-                 max_iters: int = 10_000) -> Dataset:
+                 max_iters: int = 10_000, plan: str = "broadcast",
+                 num_buckets: int = 32) -> Dataset:
     """Full k-core decomposition (coreness per node) via the iterative
     h-index fixpoint (Lü et al. 2016): start every node at its degree,
     then repeatedly set ``c(v) ← H-index of {c(u) : u ~ v}``; the
-    sequence decreases monotonically to the coreness. Each round is
-    ONE lexsort + reduceat over the edge array using the identity
-    ``H = max_r min(r, v_r)`` on desc-sorted neighbor values — fully
-    vectorized, no per-node Python.
+    sequence decreases monotonically to the coreness.
 
     Edges are treated as UNDIRECTED (symmetrized internally;
-    duplicates and self-loops dropped). Broadcast regime (the
-    ``pagerank``/``label_propagation`` judgment call the repo has
-    measured ~10× the partitioned plan locally): node + edge index
-    arrays live on the driver after one distributed projection pass —
-    int32 pairs, so ~16 MB per 2M edges; for graphs beyond driver
-    memory, peel by rounds through ``bucketed_apply`` like the
-    partitioned PageRank plan. Returns (node, core) with core the
-    exact coreness (validated against naive peeling in tests)."""
+    duplicates and self-loops dropped). Two plans, equivalent by
+    construction (equality golden in tests):
+
+    * ``plan="broadcast"`` — the measured-local default (the
+      ``pagerank``/``label_propagation`` judgment call, ~10× the
+      partitioned plan locally): node + edge index arrays live on the
+      driver after one distributed projection pass — int32 pairs, so
+      ~16 MB per 2M edges; each round is ONE lexsort + reduceat over
+      the edge array using the identity ``H = max_r min(r, v_r)`` on
+      desc-sorted neighbor values, no per-node Python.
+    * ``plan="partitioned"`` — the beyond-driver scale path: the edge
+      list NEVER lands on the driver. Symmetrized-distinct edges are
+      built with one bucketed exchange; each round attaches the
+      current c(src) with the bucketed hash join (``cc.attach_values``)
+      and gathers the per-node h-index with a ``bucketed_apply`` whose
+      output block count is BOUNDED by ``num_buckets`` — two bounded
+      exchanges per round, exactly the ``_pagerank_partitioned``
+      shape. Convergence is detected by the scalar ``sum(core)``
+      (the per-node sequence is monotone non-increasing, so an
+      unchanged sum IS the fixpoint).
+
+    Raises ``RuntimeError`` if the fixpoint does not converge within
+    ``max_iters`` (returning intermediate non-coreness values silently
+    would violate the repo's loud-reject convention). Returns
+    (node, core) with core the exact coreness (validated against naive
+    peeling in tests)."""
+    if plan == "broadcast":
+        return _core_numbers_broadcast(edges, src_col, dst_col,
+                                       max_iters)
+    if plan == "partitioned":
+        return _core_numbers_partitioned(edges, src_col, dst_col,
+                                         max_iters, num_buckets)
+    raise ValueError(f"unknown plan {plan!r}")
+
+
+def _core_numbers_broadcast(edges: Dataset, src_col: str,
+                            dst_col: str, max_iters: int) -> Dataset:
     e = _project(edges, src_col, dst_col).materialize()
 
     def dedup(t: pa.Table) -> pa.Table:
@@ -619,9 +646,95 @@ def core_numbers(edges: Dataset, src_col: str, dst_col: str,
         if (new == c).all():
             break
         c = new
+    else:
+        raise RuntimeError(
+            f"core_numbers: h-index fixpoint did not converge within "
+            f"max_iters={max_iters} rounds — raise max_iters (the "
+            "intermediate values are NOT corenesses)")
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes),
         "core": pa.array(c)}))
+
+
+def _core_numbers_partitioned(edges: Dataset, src_col: str,
+                              dst_col: str, max_iters: int,
+                              num_buckets: int) -> Dataset:
+    from .window import bucketed_apply
+
+    _empty = pa.table({"node": pa.array([], pa.string()),
+                       "core": pa.array([], pa.int64())})
+    e = _project(edges, src_col, dst_col).materialize()
+
+    # symmetrize + drop self-loops; per-block distinct partial keeps the
+    # exchange no bigger than the distinct edge set
+    def sym(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t[_SRC], t[_DST])))
+        a = pa.concat_arrays([t[_SRC].combine_chunks(),
+                              t[_DST].combine_chunks()])
+        b = pa.concat_arrays([t[_DST].combine_chunks(),
+                              t[_SRC].combine_chunks()])
+        return pa.table({"_a": a, "_b": b}) \
+            .group_by(["_a", "_b"]).aggregate([])
+
+    def distinct_bucket(t: pa.Table) -> pa.Table:
+        return t.group_by(["_a", "_b"]).aggregate([])
+
+    # identical (_a,_b) copies always share a bucket, so the per-bucket
+    # distinct is an exact global distinct (one exchange)
+    sym_edges = bucketed_apply(
+        e.map_batches(sym, batch_format="pyarrow"),
+        "_b", distinct_bucket, num_buckets,
+        drop_bucket=False).materialize()
+    if sym_edges.count() == 0:
+        return rd.from_arrow(_empty)
+
+    # initial state c(v) = deg(v): one bucketed count over the gather key
+    def deg_bucket(t: pa.Table) -> pa.Table:
+        agg = t.group_by(["_b"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["node", "core"])
+
+    state = bucketed_apply(sym_edges, "_b", deg_bucket,
+                           num_buckets, drop_bucket=False).materialize()
+    total = int(state.sum(on="core"))
+
+    def project_ba(t: pa.Table) -> pa.Table:
+        return pa.table({"_b": t["_b"], "_ca": t["_ca"]})
+
+    def gather(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty
+        bs = t["_b"].to_numpy(zero_copy_only=False)
+        v = t["_ca"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, code = np.unique(bs, return_inverse=True)
+        order = np.lexsort((-v, code))
+        cc_, vv = code[order], v[order]
+        starts = np.flatnonzero(np.r_[True, cc_[1:] != cc_[:-1]])
+        r = (np.arange(len(cc_)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(cc_)])) + 1)
+        h = np.maximum.reduceat(np.minimum(r, vv), starts)
+        return pa.table({"node": pa.array(uniq[cc_[starts]]),
+                         "core": pa.array(h)})
+
+    for _ in range(max_iters):
+        # attach c(src): one bucketed hash-join exchange; gather: one
+        # bucketed h-index whose output block count stays == num_buckets
+        state = bucketed_apply(
+            attach_values(sym_edges, "_a", state, "node", ["core"],
+                          rename={"core": "_ca"},
+                          num_buckets=num_buckets)
+            .map_batches(project_ba, batch_format="pyarrow"),
+            "_b", gather, num_buckets,
+            drop_bucket=False).materialize()
+        s = int(state.sum(on="core"))
+        if s == total:        # monotone non-increasing ⇒ fixpoint
+            break
+        total = s
+    else:
+        raise RuntimeError(
+            f"core_numbers: h-index fixpoint did not converge within "
+            f"max_iters={max_iters} rounds — raise max_iters (the "
+            "intermediate values are NOT corenesses)")
+    return state
 
 
 def _distinct_undirected(e: Dataset,

@@ -39,7 +39,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from .partition import entity_group_starts, sort_table
+from .partition import entity_group_starts, group_field_type, sort_table
 from .window import DEFAULT_NUM_BUCKETS, bucketed_apply
 
 
@@ -2020,7 +2020,7 @@ def poisson_bootstrap(ds: Dataset, group_col: str, value_col: str,
     B = n_boot
 
     def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "b": pa.array([], pa.int64()),
                           "n_part": pa.array([], pa.int64()),
                           "s_part": pa.array([], pa.int64())})
@@ -2062,7 +2062,7 @@ def poisson_bootstrap(ds: Dataset, group_col: str, value_col: str,
 
     def finish(t: pa.Table) -> pa.Table:
         if len(t) == 0 or "n_eff" not in t.column_names:
-            return pa.table({group_col: pa.array([], pa.string()),
+            return pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                              "b": pa.array([], pa.int64()),
                              "n_eff": pa.array([], pa.int64()),
                              "s": pa.array([], pa.int64()),
@@ -2240,7 +2240,7 @@ def ks_test_by_group(ds: Dataset, group_col: str, value_col: str,
     and walks each group's value-sorted cumulative counts — bounded by
     per-group distinct-value cardinality, never raw rows."""
     def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "v": pa.array([], pa.int64()),
                           "arm": pa.array([], pa.int64()),
                           "cnt": pa.array([], pa.int64())})
@@ -2272,7 +2272,7 @@ def ks_test_by_group(ds: Dataset, group_col: str, value_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def per_group_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "n0": pa.array([], pa.int64()),
                           "n1": pa.array([], pa.int64()),
                           "d_num": pa.array([], pa.int64()),
@@ -2356,7 +2356,7 @@ def theil_sen_by_group(ds: Dataset, group_col: str, x_col: str,
     kernel builds pair slopes with one triu_indices vectorized pass.
     """
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(tbl, group_col)),
                           "n": pa.array([], pa.int64()),
                           "n_pairs": pa.array([], pa.int64()),
                           "slope": pa.array([], pa.float64())})
@@ -2624,7 +2624,7 @@ def lorenz_deciles(ds: Dataset, group_col: str, value_col: str,
         raise ValueError("lorenz_deciles: n_points must be >= 2")
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(tbl, group_col)),
                           "k": pa.array([], pa.int64()),
                           "pos": pa.array([], pa.int64()),
                           "cum": pa.array([], pa.int64()),
@@ -2687,7 +2687,7 @@ def trimmed_mean_by_group(ds: Dataset, group_col: str,
                          "[0, 0.5)")
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(tbl, group_col)),
                           "n": pa.array([], pa.int64()),
                           "t": pa.array([], pa.int64()),
                           "s_kept": pa.array([], pa.int64()),
@@ -2815,7 +2815,7 @@ def spearman_by_group(ds: Dataset, group_col: str, x_col: str,
     integer-valued; zero-variance sides yield null; the
     ``n³ < 2^62``-ish bound follows from d ≤ 2n (checked)."""
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(tbl, group_col)),
                           "n": pa.array([], pa.int64()),
                           "sx": pa.array([], pa.int64()),
                           "sxx": pa.array([], pa.int64()),

@@ -146,6 +146,19 @@ def sort_table(tbl: pa.Table, keys: Sequence[str]) -> pa.Table:
     return tbl.take(idx)
 
 
+def group_field_type(tbl: pa.Table, col: str) -> pa.DataType:
+    """Type for the group/entity column of an empty partial table:
+    derive it from the input block's schema (an EMPTY block still
+    carries field types) so non-string group keys don't fork block
+    schemas between empty and non-empty partials — divergent schemas
+    break the downstream groupby/concat. Falls back to string only
+    when the column is absent entirely (zero-row groupby artifact
+    blocks missing their key columns)."""
+    if col in tbl.schema.names:
+        return tbl.schema.field(col).type
+    return pa.string()
+
+
 def entity_group_starts(tbl: pa.Table, entity_col: str) -> np.ndarray:
     """New-entity mask for a table already sorted entity-major."""
     from ..functions.windows import group_starts

@@ -1858,10 +1858,13 @@ def procrustes_crosscov(ds: Dataset, a_col: str, b_col: str,
     aligned embedding columns — the sufficient statistic of
     orthogonal Procrustes alignment, computed the ``corr_matrix``
     way: per-block d×d partials (one matmul) reduced through a tiny
-    driver sum; with ``exact=True`` (integer-valued vectors, bound
-    ``n·maxa·maxb < 2^62`` checked) every cell is exact int64 — a
-    SQL twin reproduces M bit-for-bit. Returns the long-form table
-    (i, j, m)."""
+    driver sum; with ``exact=True`` (integer-valued vectors) every
+    cell is exact int64 — a SQL twin reproduces M bit-for-bit. Each
+    block ships its ``(rows, maxa, maxb)`` alongside the partial and
+    the bound ``n·maxa·maxb < 2^62`` is enforced on the GLOBAL row
+    count before the driver sum (a per-block check alone would let
+    many individually-safe partials wrap int64 when summed). Returns
+    the long-form table (i, j, m)."""
     import ray as _ray
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1879,10 +1882,14 @@ def procrustes_crosscov(ds: Dataset, a_col: str, b_col: str,
                                  ">= 2^62 — rescale first")
             m = a.astype(np.int64).T @ b.astype(np.int64)
         else:
+            ma = mb = 0.0
             m = a.T @ b
         return pa.table({"m": pa.array([m.ravel()]),
                          "d1": pa.array([m.shape[0]], pa.int64()),
-                         "d2": pa.array([m.shape[1]], pa.int64())})
+                         "d2": pa.array([m.shape[1]], pa.int64()),
+                         "n": pa.array([len(t)], pa.int64()),
+                         "maxa": pa.array([ma], pa.float64()),
+                         "maxb": pa.array([mb], pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow") \
         .to_pandas()
@@ -1890,6 +1897,16 @@ def procrustes_crosscov(ds: Dataset, a_col: str, b_col: str,
         raise ValueError("procrustes_crosscov: empty input")
     d1 = int(parts["d1"].iloc[0])
     d2 = int(parts["d2"].iloc[0])
+    if exact:
+        n_all = int(parts["n"].sum())
+        ma_all = float(parts["maxa"].max())
+        mb_all = float(parts["maxb"].max())
+        if n_all * ma_all * mb_all >= float(2 ** 62):
+            raise ValueError(
+                "procrustes_crosscov: GLOBAL n*maxa*maxb "
+                f"= {n_all * ma_all * mb_all:.3g} >= 2^62 — the "
+                "summed cross-covariance could wrap int64; rescale "
+                "or shift the vectors first")
     dt = np.int64 if exact else np.float64
     M = np.zeros((d1, d2), dt)
     for _, r in parts.iterrows():

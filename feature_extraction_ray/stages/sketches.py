@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-from .partition import _stable_hash_strings
+from .partition import _stable_hash_strings, group_field_type
 
 
 class HyperLogLog:
@@ -685,7 +685,7 @@ def kmv_sketch(ds: Dataset, group_col: str, key_col: str, k: int = 64,
         return ug[gi[m]], h[m], pos[m]
 
     def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "h": pa.array([], pa.int64())})
         if len(t) == 0:
             return empty
@@ -712,7 +712,7 @@ def kmv_sketch(ds: Dataset, group_col: str, key_col: str, k: int = 64,
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def per_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "rank": pa.array([], pa.int64()),
                           "h": pa.array([], pa.int64())})
         if len(t) == 0:

@@ -26,6 +26,8 @@ import ray
 from ray.data import Dataset
 from typing import Sequence
 
+from .partition import group_field_type
+
 # minimal per-language stopword profiles (public common-word lists)
 _STOPWORDS = {
     "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for",
@@ -807,20 +809,29 @@ def bm25_scores(ds: Dataset, query_terms, k1: float = 1.2,
 # ---------------------------------------------------------------------------
 
 def fit_naive_bayes(ds: Dataset, label_col: str, text_col: str = "text",
-                    alpha: float = 1.0) -> dict:
+                    alpha: float = 1.0,
+                    top_k: int | None = None) -> dict:
     """Fit a Laplace-smoothed multinomial Naive Bayes model: per-(label,
     word) token counts + per-label doc counts ride ONE two-key groupby
     exchange (per-batch partials are dictionary-encode + bincount, the
     doc-count marker smuggled as the reserved empty-word row, exactly
     the ``fit_document_frequencies`` trick). The driver materializes
-    the (labels × vocab) log-probability table — at corpus scale cap
-    the vocabulary first (``fit_document_frequencies(top_k=...)`` +
-    a filter) the way the TF-IDF and bigram fits do.
+    the (labels × vocab) log-probability table — pass ``top_k`` at
+    corpus scale to cap the vocabulary to the ``top_k``
+    highest-total-count words (ties broken lexicographically; selected
+    DISTRIBUTED via a word-total groupby + sort/limit, so the driver
+    only ever sees ``top_k × labels`` rows — the same self-bounding
+    contract as the surprisal/TF-IDF/PPMI fits). Words outside the cap
+    fall into the model's OOV mass; ``V`` in the smoothing denominator
+    is the CAPPED vocabulary size.
 
     Returns ``{"labels", "word_index", "logp" (V × L), "oov" (L),
     "prior" (L), "alpha"}`` with ``logp[w, l] = ln((cnt + α) /
     (total_l + α·V))`` and ``prior[l] = ln(docs_l / N)``."""
     from ray.data.aggregate import Sum
+
+    if top_k is not None and top_k < 1:
+        raise ValueError("fit_naive_bayes: top_k must be >= 1")
 
     def partial(t: pa.Table) -> pa.Table:
         flat, _fl, offsets, real, n_real = _split_flat(t[text_col])
@@ -875,9 +886,39 @@ def fit_naive_bayes(ds: Dataset, label_col: str, text_col: str = "text",
                                      if isinstance(a, pa.ChunkedArray)
                                      else a for a in out_cnt])})
 
-    counts = ds.map_batches(partial, batch_format="pyarrow") \
+    counts_ds = ds.map_batches(partial, batch_format="pyarrow") \
         .groupby([label_col, "word"]) \
-        .aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    if top_k is not None:
+        from .partition import broadcast_get
+        counts_ds = counts_ds.materialize()   # consumed twice below
+
+        def word_partial(t: pa.Table) -> pa.Table:
+            # groupby emits zero-row blocks MISSING key columns — guard
+            if len(t) == 0 or "word" not in t.column_names:
+                return pa.table({"word": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            t = t.filter(pc.not_equal(t["word"], ""))
+            return t.select(["word", "cnt"])
+
+        top = counts_ds \
+            .map_batches(word_partial, batch_format="pyarrow") \
+            .groupby("word").aggregate(Sum("cnt", alias_name="cnt")) \
+            .sort(["cnt", "word"], descending=[True, False]) \
+            .limit(top_k).to_pandas()
+        keep_ref = ray.put(pa.array(
+            sorted(set(top["word"]) | {""})))   # "" = doc-count marker
+
+        def filt(t: pa.Table) -> pa.Table:
+            if len(t) == 0 or "word" not in t.column_names:
+                return pa.table({label_col: pa.array([], pa.string()),
+                                 "word": pa.array([], pa.string()),
+                                 "cnt": pa.array([], pa.int64())})
+            return t.filter(pc.is_in(t["word"],
+                                     value_set=broadcast_get(keep_ref)))
+
+        counts_ds = counts_ds.map_batches(filt, batch_format="pyarrow")
+    counts = counts_ds.to_pandas()
     markers = counts[counts["word"] == ""]
     counts = counts[counts["word"] != ""]
     labels = sorted(markers[label_col])
@@ -1387,7 +1428,7 @@ def zipf_alpha_by_group(ds: Dataset, group_col: str,
     from .window import bucketed_apply
 
     def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "word": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64())})
         if len(t) == 0:
@@ -1411,7 +1452,7 @@ def zipf_alpha_by_group(ds: Dataset, group_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def per_word_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "n_types": pa.array([], pa.int64()),
                           "s_ln": pa.array([], pa.float64())})
         if len(t) == 0:
@@ -1440,7 +1481,7 @@ def zipf_alpha_by_group(ds: Dataset, group_col: str,
 
     def finish(t: pa.Table) -> pa.Table:
         if len(t) == 0 or group_col not in t.column_names:
-            return pa.table({group_col: pa.array([], pa.string()),
+            return pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                              "n_types": pa.array([], pa.int64()),
                              "s_ln": pa.array([], pa.float64()),
                              "alpha": pa.array([], pa.float64())})
@@ -1478,7 +1519,7 @@ def simpson_diversity_by_group(ds: Dataset, group_col: str,
     from .window import bucketed_apply
 
     def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "word": pa.array([], pa.string()),
                           "cnt": pa.array([], pa.int64())})
         if len(t) == 0:
@@ -1502,7 +1543,7 @@ def simpson_diversity_by_group(ds: Dataset, group_col: str,
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def per_word_bucket(t: pa.Table) -> pa.Table:
-        empty = pa.table({group_col: pa.array([], pa.string()),
+        empty = pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                           "n_types": pa.array([], pa.int64()),
                           "n_tokens": pa.array([], pa.int64()),
                           "num": pa.array([], pa.int64())})
@@ -1539,7 +1580,7 @@ def simpson_diversity_by_group(ds: Dataset, group_col: str,
 
     def finish(t: pa.Table) -> pa.Table:
         if len(t) == 0 or group_col not in t.column_names:
-            return pa.table({group_col: pa.array([], pa.string()),
+            return pa.table({group_col: pa.array([], group_field_type(t, group_col)),
                              "n_types": pa.array([], pa.int64()),
                              "n_tokens": pa.array([], pa.int64()),
                              "num": pa.array([], pa.int64()),

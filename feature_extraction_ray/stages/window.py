@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..functions import windows as W
-from .partition import BUCKET_COL, entity_group_starts, sort_table, with_bucket
+from .partition import BUCKET_COL, entity_group_starts, group_field_type, sort_table, with_bucket
 
 DEFAULT_NUM_BUCKETS = 64
 
@@ -995,8 +995,8 @@ def sliding_zscore(ds: Dataset, entity_col: str,
 
 def watermark_late_events(ds: Dataset, entity_col: str, ts_col: str,
                           arrival_col: str, allowed_lateness: int,
-                          num_buckets: int = DEFAULT_NUM_BUCKETS
-                          ) -> Dataset:
+                          num_buckets: int = DEFAULT_NUM_BUCKETS,
+                          id_col: str | None = None) -> Dataset:
     """Keyed watermark / late-data detection — the streaming-semantics
     op every event-time pipeline needs before windowed aggregation:
     replaying each entity's stream in ARRIVAL order, the watermark at
@@ -1012,7 +1012,14 @@ def watermark_late_events(ds: Dataset, entity_col: str, ts_col: str,
     ``np.maximum.accumulate`` over segment-offset-encoded values (a
     segmented running max with no per-row Python; falls back to a
     per-segment loop only if the disjoint-range encoding would
-    overflow int64)."""
+    overflow int64).
+
+    ``id_col`` breaks ties among equal arrival values (sort by
+    (entity, arrival, id); twin ORDER BY arrival, id) — without it,
+    rows sharing an arrival value get an arbitrary replay order and
+    wm/late are nondeterministic; pass it whenever ``arrival_col``
+    is not injective per entity (the repo's deterministic-ordering
+    convention)."""
     if allowed_lateness < 0:
         raise ValueError("watermark_late_events: allowed_lateness "
                          "must be >= 0")
@@ -1025,7 +1032,10 @@ def watermark_late_events(ds: Dataset, entity_col: str, ts_col: str,
                  for n in sch.names}
                 | {"wm": pa.array([], pa.int64()),
                    "late": pa.array([], pa.int64())})
-        tbl = sort_table(tbl, [entity_col, arrival_col])
+        sort_keys = [entity_col, arrival_col]
+        if id_col is not None:
+            sort_keys.append(id_col)
+        tbl = sort_table(tbl, sort_keys)
         ts = tbl[ts_col]
         if pa.types.is_timestamp(ts.type):
             ts = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
@@ -1083,7 +1093,7 @@ def ohlc_bars(ds: Dataset, entity_col: str, ts_col: str,
         raise ValueError("ohlc_bars: bar_us must be > 0")
 
     def per_bucket(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({entity_col: pa.array([], pa.string()),
+        empty = pa.table({entity_col: pa.array([], group_field_type(tbl, entity_col)),
                           "bar": pa.array([], pa.int64()),
                           "open": pa.array([], pa.int64()),
                           "high": pa.array([], pa.int64()),

@@ -50,7 +50,12 @@ def test_query_matches_oracle(name):
     res = QUERIES[name](SF_DIR)
     got = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
     if name not in ORACLE_SQL:
-        assert len(got) >= 0
+        # rows-only entries: every one has separate goldens for VALUES;
+        # here pin non-emptiness so a query that regresses to an empty
+        # frame fails pytest, not just the sweep tool (round-4 verdict
+        # item 4 — all current rows-only results are invariantly
+        # non-empty on the test tables)
+        assert len(got) > 0, f"{name}: rows-only query returned 0 rows"
         return
     exp = _duck(ORACLE_SQL[name])
     _compare(got, exp, name)

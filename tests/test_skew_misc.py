@@ -209,3 +209,34 @@ def test_weighted_sample_per_group():
     out3 = weighted_sample_per_group(ds, "g", k=50, id_col="id",
                                      weight_col="w", seed=7).to_pandas()
     assert sorted(out3["id"]) != out["id"].tolist()
+
+
+def test_splitmix_fmix_sql_parity():
+    """The HUGEINT wrap-arithmetic CTE chain embedded in the
+    weighted_sample_docs / split_counts_docs oracles reproduces
+    partition._stable_hash_strings (splitmix64) + the (seed, fmix64)
+    mix BIT-FOR-BIT over integer ids."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    from feature_extraction_ray.pipelines.queries import (
+        _splitmix_fmix_ctes)
+    from feature_extraction_ray.stages.partition import (
+        _stable_hash_strings)
+    rng = np.random.default_rng(17)
+    ids = np.unique(rng.integers(0, 2 ** 62, size=2000)
+                    .astype(np.uint64))
+    seed = 1337
+    h = _stable_hash_strings(pa.array(ids.astype(np.int64)))
+    seed_mix = np.uint64((seed * 0x9E3779B97F4A7C15)
+                         & 0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        h = (h ^ seed_mix) * np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT unnest(["
+                + ",".join(map(str, ids)) + "]) AS id")
+    chain = _splitmix_fmix_ctes("id", "id", "t", seed)
+    got = dict(con.execute(
+        f"WITH {chain} SELECT id, hh FROM hm").fetchall())
+    assert all(int(got[int(i)]) == int(x) for i, x in zip(ids, h))

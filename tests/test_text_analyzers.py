@@ -421,3 +421,37 @@ def test_readability_hand_computed_and_nulls():
     # no terminal punctuation: n_sents floors at 1
     assert out.loc[2, ["n_words", "n_sents", "n_syllables"]].tolist() \
         == [1, 1, 1]
+
+
+def test_naive_bayes_top_k_cap(ray_session):
+    import math
+    import pyarrow as pa
+    import ray.data as rd
+    from feature_extraction_ray.stages.text import fit_naive_bayes
+    # word totals: b=4, a=2, c=1 -> top_k=2 keeps {b, a}; c -> OOV
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1]),
+        "lab": pa.array(["A", "B"]),
+        "text": pa.array(["a a b c", "b b b"])}))
+    m = fit_naive_bayes(ds, "lab", top_k=2)
+    assert sorted(m["word_index"]) == ["a", "b"]
+    # V is the CAPPED vocab size; label A totals drop c: 3 kept tokens
+    V = 2.0
+    wi = m["word_index"]
+    la = m["labels"].index("A")
+    assert m["logp"][wi["a"], la] == pytest.approx(
+        math.log((2 + 1.0) / (3 + V)), abs=1e-12)
+    assert m["oov"][la] == pytest.approx(
+        math.log(1.0 / (3 + V)), abs=1e-12)
+    # uncapped fit keeps all three words
+    assert sorted(fit_naive_bayes(ds, "lab")["word_index"]) == \
+        ["a", "b", "c"]
+    # tie-break: equal totals keep the lexicographically smallest
+    ds2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0]), "lab": pa.array(["A"]),
+        "text": pa.array(["x y"])}))
+    assert sorted(fit_naive_bayes(ds2, "lab",
+                                  top_k=1)["word_index"]) == ["x"]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        fit_naive_bayes(ds, "lab", top_k=0)
