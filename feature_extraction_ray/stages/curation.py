@@ -2534,3 +2534,122 @@ def majority_vote_labels(ds: Dataset, lf_cols: Sequence[str],
                                              .astype(np.int64))})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Resumable web-curation chain (round-4 verdict item 6)
+# ---------------------------------------------------------------------------
+
+def web_curate_checkpointed(
+        input_paths, ckpt_dir: str, *, text_col: str = "text",
+        id_col: str = "doc_id", source_col: str = "source",
+        min_docs: int = 2, min_chars: int = 60, cap: int = 5,
+        boiler_buckets: int = 16, clean_buckets: int = 8,
+        dedup_buckets: int = 16, cap_buckets: int = 8) -> dict:
+    """Resumable web-curation chain — the checkpointed sibling of the
+    ``web_curated_docs`` composition (boilerplate-line removal →
+    char-length gate → exact dedup on the cleaned text → per-domain
+    cap), mirroring ``dedup.minhash_lsh_dedup_checkpointed``: each of
+    the chain's three exchange boundaries lands in its own
+    per-partition checkpoint directory with lineage manifests
+    (``state/checkpoint.py``), so a killed 100-TB curation run resumes
+    at the granularity of one stage — and, within the stage being
+    redone, already-verified output buckets are pruned before the
+    write exchange.
+
+    Layout under ``ckpt_dir``::
+
+        clean/  part-{hash(doc_id) % clean_buckets}.parquet
+        dedup/  part-{hash(doc_id) % dedup_buckets}.parquet
+        capped/ part-{hash(source) % cap_buckets}.parquet
+
+    Unlike per-doc stages, the boilerplate line-frequency statistic is
+    CROSS-document, so the input is never pruned on resume (pruned
+    input would change the distinct-doc counts); a stage whose output
+    partitions all verify is skipped entirely, which bounds wasted
+    work on a crash to one stage's exchanges. Fingerprints chain the
+    upstream stage's fingerprint with every parameter that changes its
+    output, so a parameter change invalidates exactly the stages it
+    affects.
+
+    The final table (doc_id, source, text, n_removed, n_dups,
+    src_rank) is ``checkpoint.read_result(ckpt_dir + "/capped")``;
+    every stage kernel is deterministic, so a resumed run
+    byte-compares equal to an uninterrupted one after a doc_id sort
+    (tested in ``tests/test_web_curate_checkpoint.py``)."""
+    import glob as _glob
+    import os as _os
+
+    import ray.data as rd
+
+    from ..state import checkpoint as CP
+    from .dedup import _fp16, exact_dedup
+
+    if isinstance(input_paths, str):
+        files = sorted(_glob.glob(_os.path.join(input_paths,
+                                                "*.parquet"))) \
+            if _os.path.isdir(input_paths) else [input_paths]
+    else:
+        files = sorted(input_paths)
+    if not files:
+        raise ValueError("web_curate_checkpointed: no input files")
+    fp_in = CP.input_fingerprint_of(files)
+    fp_clean = _fp16(fp_in, "clean", min_docs, min_chars,
+                     boiler_buckets, clean_buckets)
+    fp_dedup = _fp16(fp_clean, "dedup", dedup_buckets)
+    fp_cap = _fp16(fp_dedup, "cap", cap, cap_buckets)
+    clean_dir = _os.path.join(ckpt_dir, "clean")
+    dedup_dir = _os.path.join(ckpt_dir, "dedup")
+    cap_dir = _os.path.join(ckpt_dir, "capped")
+
+    # Stage 1: boilerplate removal + length gate, partitioned by doc
+    if CP.missing_partitions(clean_dir, fp_clean, clean_buckets):
+        docs = rd.read_parquet(files,
+                               columns=[id_col, text_col, source_col])
+        clean = remove_boilerplate_lines(
+            docs, text_col=text_col, id_col=id_col, min_docs=min_docs,
+            num_buckets=boiler_buckets, keep_cols=[source_col])
+
+        def gate(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(
+                pc.utf8_length(t[text_col]), pa.scalar(min_chars)))
+
+        s_clean = CP.run_partitioned(
+            clean.map_batches(gate, batch_format="pyarrow"),
+            clean_dir, entity_col=id_col, num_buckets=clean_buckets,
+            input_fingerprint=fp_clean)
+    else:
+        s_clean = {"written": [], "skipped": list(range(clean_buckets)),
+                   "rows": 0}
+    clean_files = CP.verified_files(clean_dir, fp_clean)
+
+    # Stage 2: exact dedup on the CLEANED text, partitioned by doc
+    if CP.missing_partitions(dedup_dir, fp_dedup, dedup_buckets):
+        cleaned = rd.read_parquet(
+            clean_files,
+            columns=[id_col, text_col, source_col, "n_removed"])
+        dd = exact_dedup(cleaned, text_col, id_col,
+                         num_buckets=dedup_buckets,
+                         keep_cols=[source_col, "n_removed"])
+        s_dedup = CP.run_partitioned(
+            dd, dedup_dir, entity_col=id_col,
+            num_buckets=dedup_buckets, input_fingerprint=fp_dedup)
+    else:
+        s_dedup = {"written": [], "skipped": list(range(dedup_buckets)),
+                   "rows": 0}
+    dedup_files = CP.verified_files(dedup_dir, fp_dedup)
+
+    # Stage 3: per-domain cap, partitioned by source
+    if CP.missing_partitions(cap_dir, fp_cap, cap_buckets):
+        surv = rd.read_parquet(dedup_files)
+        capped = cap_per_source(surv, cap=cap, by_col=source_col,
+                                id_col=id_col, num_buckets=cap_buckets)
+        s_cap = CP.run_partitioned(
+            capped, cap_dir, entity_col=source_col,
+            num_buckets=cap_buckets, input_fingerprint=fp_cap)
+    else:
+        s_cap = {"written": [], "skipped": list(range(cap_buckets)),
+                 "rows": 0}
+    return {"clean": s_clean, "dedup": s_dedup, "capped": s_cap,
+            "fingerprints": {"input": fp_in, "clean": fp_clean,
+                             "dedup": fp_dedup, "cap": fp_cap}}

@@ -1008,6 +1008,88 @@ def pq_search(codes_ds: Dataset, model: dict, query_vecs: np.ndarray,
 # disk, residual PQ codes inside — the composed 100-TB ANN path
 # ---------------------------------------------------------------------------
 
+def _ivfpq_train(ds: Dataset, n_centroids: int, m: int, ksub: int,
+                 vec_col: str, id_col: str, sample_size: int,
+                 iters: int, seed: int, normalize: bool,
+                 coarse_centroids, codebooks):
+    """Deterministic IVF-PQ training (shared by the direct and the
+    checkpointed builders): one bounded id-hash-stride sample (block
+    layouts are not run-stable, the stride is), seeded coarse k-means,
+    then per-subspace residual codebooks — bit-identical across reruns
+    on the same input, which is what lets the checkpointed builder
+    RETRAIN on resume instead of persisting mid-build model state."""
+    if coarse_centroids is not None and codebooks is not None:
+        return (np.asarray(coarse_centroids, dtype=np.float64),
+                np.asarray(codebooks, dtype=np.float64))
+    proj = ds.select_columns([id_col, vec_col]).materialize()
+    n_total = proj.count()
+    stride = max(1, n_total // sample_size)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return t.filter(pa.array((h % np.uint64(stride)) == 0))
+
+    rows = proj.map_batches(pick, batch_format="pyarrow").to_pandas() \
+        .sort_values(id_col, kind="stable").head(sample_size)
+    sample = np.stack([np.asarray(v, dtype=np.float64)
+                       for v in rows[vec_col]])
+    if normalize:
+        sample = _norm_rows(sample)
+    if coarse_centroids is not None:
+        cent = np.asarray(coarse_centroids, dtype=np.float64)
+    else:
+        cent = _kmeans_l2(sample, n_centroids, iters=iters, seed=seed)
+    d = sample.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    dsub = d // m
+    # residual training set: sample minus its nearest coarse centroid
+    d2 = ((sample[:, None, :] - cent[None]) ** 2).sum(axis=2)
+    resid = sample - cent[np.argmin(d2, axis=1)]
+    if codebooks is not None:
+        cb = np.asarray(codebooks, dtype=np.float64)
+    else:
+        cb = np.stack([
+            _kmeans_l2(resid[:, j * dsub:(j + 1) * dsub], ksub,
+                       iters=iters, seed=seed + 1 + j)
+            for j in range(m)])
+    return cent, cb
+
+
+def _ivfpq_encoder(cent_ref, cb_ref, m_: int, dsub_: int,
+                   normalize: bool, vec_col: str, id_col: str):
+    """Per-batch IVFADC encoder (shared by both builders): nearest
+    coarse cell, residual, per-subspace nearest codeword."""
+    def encode(tbl: pa.Table) -> pa.Table:
+        from .partition import broadcast_get
+        c = broadcast_get(cent_ref)
+        book = broadcast_get(cb_ref)
+        x = _batch_matrix(tbl, vec_col).astype(np.float64)
+        if normalize:
+            x = _norm_rows(x)
+        d2 = (x * x).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None] \
+            - 2.0 * (x @ c.T)
+        cell = np.argmin(d2, axis=1)
+        r = x - c[cell]
+        codes = np.empty((len(x), m_), dtype=np.uint8)
+        for j in range(m_):
+            rs = r[:, j * dsub_:(j + 1) * dsub_]
+            bj = book[j]
+            dd = (rs * rs).sum(axis=1)[:, None] \
+                + (bj * bj).sum(axis=1)[None] - 2.0 * (rs @ bj.T)
+            codes[:, j] = np.argmin(dd, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: tbl[id_col],
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), m_),
+            "__ivf_cell": pa.array(cell.astype(np.int64)),
+        })
+
+    return encode
+
+
 def build_ivfpq_index(ds: Dataset, path: str, n_centroids: int = 64,
                       m: int = 4, ksub: int = 16,
                       vec_col: str = "embedding", id_col: str = "vec_id",
@@ -1034,76 +1116,17 @@ def build_ivfpq_index(ds: Dataset, path: str, n_centroids: int = 64,
     normalize flag). Returns the model dict."""
     import pyarrow.parquet as _pq
 
-    if coarse_centroids is not None and codebooks is not None:
-        cent = np.asarray(coarse_centroids, dtype=np.float64)
-        cb = np.asarray(codebooks, dtype=np.float64)
-    else:
-        proj = ds.select_columns([id_col, vec_col]).materialize()
-        n_total = proj.count()
-        stride = max(1, n_total // sample_size)
-
-        def pick(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy(zero_copy_only=False) \
-                .astype(np.uint64)
-            with np.errstate(over="ignore"):
-                h = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
-            return t.filter(pa.array((h % np.uint64(stride)) == 0))
-
-        rows = proj.map_batches(pick, batch_format="pyarrow").to_pandas() \
-            .sort_values(id_col, kind="stable").head(sample_size)
-        sample = np.stack([np.asarray(v, dtype=np.float64)
-                           for v in rows[vec_col]])
-        if normalize:
-            sample = _norm_rows(sample)
-        if coarse_centroids is not None:
-            cent = np.asarray(coarse_centroids, dtype=np.float64)
-        else:
-            cent = _kmeans_l2(sample, n_centroids, iters=iters, seed=seed)
-        d = sample.shape[1]
-        assert d % m == 0, f"dim {d} not divisible by m={m}"
-        dsub = d // m
-        # residual training set: sample minus its nearest coarse centroid
-        d2 = ((sample[:, None, :] - cent[None]) ** 2).sum(axis=2)
-        resid = sample - cent[np.argmin(d2, axis=1)]
-        if codebooks is not None:
-            cb = np.asarray(codebooks, dtype=np.float64)
-        else:
-            cb = np.stack([
-                _kmeans_l2(resid[:, j * dsub:(j + 1) * dsub], ksub,
-                           iters=iters, seed=seed + 1 + j)
-                for j in range(m)])
+    cent, cb = _ivfpq_train(ds, n_centroids, m, ksub, vec_col, id_col,
+                            sample_size, iters, seed, normalize,
+                            coarse_centroids, codebooks)
     m_, ksub_, dsub_ = cb.shape
     dim = m_ * dsub_
     assert cent.shape[1] == dim, "centroid dim != codebook dim"
 
     cent_ref = ray.put(cent)
     cb_ref = ray.put(cb)
-
-    def encode(tbl: pa.Table) -> pa.Table:
-        from .partition import broadcast_get
-        c = broadcast_get(cent_ref)
-        book = broadcast_get(cb_ref)
-        x = _batch_matrix(tbl, vec_col).astype(np.float64)
-        if normalize:
-            x = _norm_rows(x)
-        d2 = (x * x).sum(axis=1)[:, None] + (c * c).sum(axis=1)[None] \
-            - 2.0 * (x @ c.T)
-        cell = np.argmin(d2, axis=1)
-        r = x - c[cell]
-        codes = np.empty((len(x), m_), dtype=np.uint8)
-        for j in range(m_):
-            rs = r[:, j * dsub_:(j + 1) * dsub_]
-            bj = book[j]
-            dd = (rs * rs).sum(axis=1)[:, None] \
-                + (bj * bj).sum(axis=1)[None] - 2.0 * (rs @ bj.T)
-            codes[:, j] = np.argmin(dd, axis=1).astype(np.uint8)
-        return pa.table({
-            id_col: tbl[id_col],
-            "pq_code": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.reshape(-1)), m_),
-            "__ivf_cell": pa.array(cell.astype(np.int64)),
-        })
-
+    encode = _ivfpq_encoder(cent_ref, cb_ref, m_, dsub_, normalize,
+                            vec_col, id_col)
     encoded = ds.map_batches(encode, batch_format="pyarrow")
     # consolidate cells before the partitioned write: a raw write emits
     # one file per (block × cell) — measured 1867 tiny files for a
@@ -1113,6 +1136,16 @@ def build_ivfpq_index(ds: Dataset, path: str, n_centroids: int = 64,
     encoded = bucketed_apply(encoded, "__ivf_cell", lambda t: t,
                              num_buckets=min(64, max(8, len(cent))))
     encoded.write_parquet(path, partition_cols=["__ivf_cell"])
+    return _ivfpq_persist_model(path, cent, cb, normalize)
+
+
+def _ivfpq_persist_model(path: str, cent, cb, normalize: bool) -> dict:
+    """Write the index sidecars (``_centroids.parquet``,
+    ``_codebooks.parquet``) and return the model dict — written LAST,
+    so their presence doubles as the build-completion marker."""
+    import pyarrow.parquet as _pq
+    m_, ksub_, dsub_ = cb.shape
+    dim = m_ * dsub_
     _pq.write_table(pa.table({
         "cell": pa.array(np.arange(len(cent), dtype=np.int64)),
         "centroid": pa.FixedSizeListArray.from_arrays(
@@ -1129,6 +1162,95 @@ def build_ivfpq_index(ds: Dataset, path: str, n_centroids: int = 64,
     return {"n_centroids": int(len(cent)), "dim": int(dim), "m": int(m_),
             "ksub": int(ksub_), "normalize": normalize, "path": path,
             "centroids": cent, "codebooks": cb}
+
+
+def build_ivfpq_index_checkpointed(
+        input_paths, path: str, ckpt_dir: str, *,
+        n_centroids: int = 64, m: int = 4, ksub: int = 16,
+        vec_col: str = "embedding", id_col: str = "vec_id",
+        sample_size: int = 4096, iters: int = 10, seed: int = 23,
+        normalize: bool = True, coarse_centroids=None, codebooks=None,
+        enc_buckets: int | None = None) -> dict:
+    """Resumable IVF-PQ index build (round-4 verdict item 6): the
+    expensive full-corpus ENCODE pass lands in per-partition checkpoint
+    files with lineage manifests at exactly the cell-consolidation
+    boundary — ``checkpoint.run_partitioned`` hash-buckets by
+    ``__ivf_cell``, so each checkpoint partition holds whole cells (the
+    same exchange geometry the direct builder uses to avoid
+    one-file-per-(block × cell) output). A killed build resumes by
+    re-encoding ONLY the missing cell buckets; the final hive-layout
+    write then re-reads the checkpointed PQ CODES (m bytes per vector —
+    ~1000× smaller than the raw vectors), never the corpus.
+
+    Training is NOT checkpointed: ``_ivfpq_train`` is deterministic
+    (id-hash-stride sample + seeded k-means), so a resumed run retrains
+    bit-identically from the same input — one cheap bounded pass
+    instead of mid-build model state to version. Parameter changes
+    roll the encode fingerprint and invalidate the checkpoint.
+
+    The index at ``path`` is rebuilt from the checkpoint on every call
+    that finds it incomplete (sidecars ``_centroids.parquet`` /
+    ``_codebooks.parquet`` are written LAST as the completion marker;
+    stale cell dirs are cleared first so a killed final write can't
+    double vectors). Returns the model dict plus ``{"enc": run
+    stats}``. Kill-and-resume byte-identity is pinned in
+    ``tests/test_ivfpq_checkpoint.py``."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    import ray.data as rd
+
+    from ..state import checkpoint as CP
+    from .dedup import _fp16
+
+    if isinstance(input_paths, str):
+        files = sorted(_glob.glob(_os.path.join(input_paths,
+                                                "*.parquet"))) \
+            if _os.path.isdir(input_paths) else [input_paths]
+    else:
+        files = sorted(input_paths)
+    if not files:
+        raise ValueError("build_ivfpq_index_checkpointed: no input")
+    fp_in = CP.input_fingerprint_of(files)
+    fp_enc = _fp16(fp_in, "ivfpq-enc", n_centroids, m, ksub,
+                   sample_size, iters, seed, normalize,
+                   "" if coarse_centroids is None
+                   else str(np.asarray(coarse_centroids).tolist()),
+                   "" if codebooks is None
+                   else str(np.asarray(codebooks).tolist()),
+                   enc_buckets or 0)
+    enc_dir = _os.path.join(ckpt_dir, "enc")
+
+    ds = rd.read_parquet(files, columns=[id_col, vec_col])
+    cent, cb = _ivfpq_train(ds, n_centroids, m, ksub, vec_col, id_col,
+                            sample_size, iters, seed, normalize,
+                            coarse_centroids, codebooks)
+    m_, ksub_, dsub_ = cb.shape
+    nb = enc_buckets or min(64, max(8, len(cent)))
+
+    if CP.missing_partitions(enc_dir, fp_enc, nb):
+        encode = _ivfpq_encoder(ray.put(cent), ray.put(cb), m_, dsub_,
+                                normalize, vec_col, id_col)
+        s_enc = CP.run_partitioned(
+            ds.map_batches(encode, batch_format="pyarrow"),
+            enc_dir, entity_col="__ivf_cell", num_buckets=nb,
+            input_fingerprint=fp_enc)
+    else:
+        s_enc = {"written": [], "skipped": list(range(nb)), "rows": 0}
+
+    done_marker = _os.path.join(path, "_codebooks.parquet")
+    if s_enc["written"] or not _os.path.exists(done_marker):
+        # rebuild the probed-cell hive layout from the checkpointed
+        # codes; clear stale cell dirs first (idempotent final write)
+        for d in _glob.glob(_os.path.join(path, "__ivf_cell=*")):
+            _shutil.rmtree(d)
+        enc_files = CP.verified_files(enc_dir, fp_enc)
+        rd.read_parquet(enc_files).write_parquet(
+            path, partition_cols=["__ivf_cell"])
+    model = _ivfpq_persist_model(path, cent, cb, normalize)
+    model["enc"] = s_enc
+    return model
 
 
 class _IvfPqTopK:
