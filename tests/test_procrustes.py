@@ -56,3 +56,36 @@ def test_rejects(ray_session):
     big = np.array([[2.0 ** 62]])
     with pytest.raises(Exception, match="2\\^62"):
         procrustes_crosscov(rd.from_arrow(_mk(big, big)), "a", "b")
+
+
+def test_crosscov_global_overflow_rejected(ray_session):
+    # each block passes the per-block bound, but the GLOBAL n*maxa*maxb
+    # exceeds 2^62 — the driver sum would silently wrap int64 (round-4
+    # advice): must reject loudly
+    maxv = 2.0 ** 21
+    n_per = 1 << 11
+    blocks = 512
+    # don't materialize the real thing — construct a tiny ds but spoof
+    # the bound via many small blocks of max-magnitude values
+    n = 4096
+    a = np.full((n, 2), maxv)
+    b = np.full((n, 2), maxv)
+    # per block (n=512 rows): 512 * 2^21 * 2^21 = 2^51 < 2^62 -> passes
+    # global: 4096 * 2^21 * 2^21 = 2^54 < 2^62 -> fine; scale up maxv
+    a *= 2 ** 4          # 2^25: global 2^12 * 2^50 = 2^62 -> reject
+    b *= 2 ** 4
+    ds = rd.from_arrow(_mk(a, b)).repartition(8)
+    with pytest.raises(Exception, match="GLOBAL|2\\^62"):
+        procrustes_crosscov(ds, "a", "b")
+
+
+def test_crosscov_per_block_ok_global_checked(ray_session):
+    # sanity: just below the global bound still computes exactly
+    rng = np.random.default_rng(9)
+    a = rng.integers(-3, 4, size=(100, 3)).astype(np.float64)
+    b = rng.integers(-3, 4, size=(100, 3)).astype(np.float64)
+    out = procrustes_crosscov(rd.from_arrow(_mk(a, b)).repartition(5),
+                              "a", "b").to_pandas()
+    M = a.astype(np.int64).T @ b.astype(np.int64)
+    for r in out.itertuples():
+        assert M[int(r.i), int(r.j)] == int(r.m)

@@ -70,3 +70,21 @@ def test_reject(ray_session):
     with pytest.raises(ValueError, match="allowed_lateness"):
         watermark_late_events(rd.from_arrow(t), "ent", "ts", "arr",
                               -1)
+
+
+def test_arrival_tie_break_by_id(ray_session):
+    # two rows share an arrival value: without id_col the replay order
+    # is arbitrary; with id_col the order (and wm/late) is pinned
+    t = pa.table({
+        "ent": pa.array(["x"] * 3),
+        "ts": pa.array([100, 50, 10], pa.int64()),
+        "arr": pa.array([1, 2, 2], pa.int64()),
+        "id": pa.array([30, 20, 10], pa.int64())})
+    out = watermark_late_events(rd.from_arrow(t), "ent", "ts", "arr",
+                                allowed_lateness=0, id_col="id") \
+        .to_pandas().set_index("id")
+    # replay order by (arr, id): id30(arr1,ts100) -> id10(arr2,ts10)
+    # -> id20(arr2,ts50)
+    assert pd.isna(out.loc[30, "wm"])
+    assert out.loc[10, "wm"] == 100 and out.loc[10, "late"] == 1
+    assert out.loc[20, "wm"] == 100 and out.loc[20, "late"] == 1
