@@ -234,14 +234,22 @@ def _pagerank_partitioned(edges: Dataset, src_col: str, dst_col: str,
 
     for _ in range(iters):
         # scatter: one bucketed hash-join exchange; gather: one bucketed
-        # groupby whose output block count stays == num_buckets (constant
-        # across iterations — Dataset.groupby would grow it every round)
+        # groupby
         rank = bucketed_apply(
             attach_values(edges2, _SRC, rank, "node", ["rank"],
                           num_buckets=num_buckets)
             .map_batches(contrib, batch_format="pyarrow"),
             "node", gather_bucket, num_buckets,
             drop_bucket=False).materialize()
+        # bound the rank table's block count: the groupby emits ~input-
+        # block-count blocks and the attach union feeds rank back in,
+        # so without this coalesce each round adds ~edge-block-count
+        # blocks and per-round wall grows linearly (measured on the
+        # k-core sibling loop, graphrank._core_numbers_partitioned —
+        # latent here because default iters=3). Shuffle-free
+        # split/merge, not an exchange.
+        if rank.num_blocks() > 2 * num_buckets:
+            rank = rank.repartition(num_buckets).materialize()
 
     if not scaled:
         return rank
@@ -717,7 +725,7 @@ def _core_numbers_partitioned(edges: Dataset, src_col: str,
 
     for _ in range(max_iters):
         # attach c(src): one bucketed hash-join exchange; gather: one
-        # bucketed h-index whose output block count stays == num_buckets
+        # bucketed h-index pass
         state = bucketed_apply(
             attach_values(sym_edges, "_a", state, "node", ["core"],
                           rename={"core": "_ca"},
@@ -725,6 +733,16 @@ def _core_numbers_partitioned(edges: Dataset, src_col: str,
             .map_batches(project_ba, batch_format="pyarrow"),
             "_b", gather, num_buckets,
             drop_bucket=False).materialize()
+        # BOUND the state's block count: groupby emits ~input-block-
+        # count output blocks, and the attach union feeds the state
+        # back in — without this coalesce every round adds ~edge-block-
+        # count blocks and the per-round wall grows LINEARLY (measured
+        # 135 s → 415 s over 30 rounds on the 1.2M-edge sf0.1
+        # co-purchase graph; FLAT ~4.5 s/round with it — 38 rounds in
+        # 173.6 s total). Shuffle-free split/merge repartition, not an
+        # exchange.
+        if state.num_blocks() > 2 * num_buckets:
+            state = state.repartition(num_buckets).materialize()
         s = int(state.sum(on="core"))
         if s == total:        # monotone non-increasing ⇒ fixpoint
             break
