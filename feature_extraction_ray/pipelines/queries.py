@@ -2117,9 +2117,147 @@ WHERE len(list_intersect(a.gs, b.gs)) * 2 >=
 
 
 def text_analysis_docs(sf_dir: str) -> Dataset:
+    """The FUSED single-pass text analyzer (langid + quality + token
+    counts + rolling fingerprint) — oracle-backed end-to-end since
+    round 5: the SQL twin (``_text_analysis_docs_sql``) reproduces the
+    language argmax on exact integer stopword-hit counts (shared denom
+    cancels, CASE order = np.argmax first-max, the ``und`` gate as the
+    identical IEEE division vs the bit-exact 0.02 literal), the
+    quality/token columns via the proven ``text_quality_docs``
+    expressions, and the 64-bit FNV-1a word hashes + rolling-polynomial
+    document fingerprint BIT-FOR-BIT through recursive-CTE HUGEINT
+    wrap-arithmetic (per-character FNV fold; power table of the FNV
+    prime; signed int64 reinterpretation at the end). ASCII-corpus
+    contract (bytes == codepoints), same as the quality twin."""
     from ..stages.text import analyze_text
     ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
     return analyze_text(ds)
+
+
+def _wrapmul64_var_sql(a: str, b: str) -> str:
+    """HUGEINT expression for ``(a * b) mod 2^64`` with BOTH operands
+    variable 64-bit values: 32-bit split keeps every partial product
+    under INT128."""
+    return (f"(((({a}) % 4294967296) * (({b}) % 4294967296) + "
+            f"((((({a}) // 4294967296) * (({b}) % 4294967296) + "
+            f"(({a}) % 4294967296) * (({b}) // 4294967296)) "
+            f"% 4294967296) * 4294967296)) % 18446744073709551616)")
+
+
+def _text_analysis_docs_sql() -> str:
+    from ..stages.text import _STOPWORDS
+    P = 1099511628211                  # FNV-1a 64 prime == FP_BASE
+    OFF = 14695981039346656037         # FNV-1a 64 offset == FP_OFFSET
+    m = "18446744073709551616"
+    langs = list(_STOPWORDS)           # argmax order: en, de, fr, es
+    def inlist(lang):
+        return ", ".join("'" + w.replace("'", "''") + "'"
+                         for w in sorted(_STOPWORDS[lang]))
+    hit_cols = ",\n         ".join(
+        f"count(*) FILTER (tk IN ({inlist(lg)}))::BIGINT AS h_{lg}"
+        for lg in langs)
+    best = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN h_{lg} = {best} THEN '{lg}'" for lg in langs[:-1]) \
+        + f" ELSE '{langs[-1]}' END"
+    clean = r"[^a-zA-ZäöüßéèêàâçñáíóúÀ-ÿ'']+"   # '' = SQL-escaped '"
+    fnv_step = _wrapmul64_sql(
+        "xor(h, ascii(substr(w, i, 1))::HUGEINT)", P)
+    pow_step = _wrapmul64_sql("p", P)
+    term = _wrapmul64_var_sql("wh.h", "pw.p")
+    off_pl = _wrapmul64_sql("pw.p", OFF)
+    return f"""
+WITH RECURSIVE wsplit AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
+), dw AS (
+  SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM wsplit)
+  WHERE len(w) > 0
+), fnv AS (
+  SELECT w, 1 AS i, {OFF}::HUGEINT AS h FROM dw
+  UNION ALL
+  SELECT w, i + 1, {fnv_step} FROM fnv WHERE i <= len(w)
+), wh AS (
+  SELECT w, h FROM fnv WHERE i = len(w) + 1
+), pows AS (
+  SELECT 0 AS k, 1::HUGEINT AS p
+  UNION ALL
+  SELECT k + 1, {pow_step} FROM pows WHERE k < 600
+), tokpos AS (
+  SELECT doc_id, w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rp,
+         count(*) OVER (PARTITION BY doc_id) AS l
+  FROM (SELECT doc_id, unnest(ws) AS w,
+               CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+        FROM wsplit)
+  WHERE len(w) > 0
+), fpagg AS (
+  SELECT t.doc_id, (sum({term}) % {m}) AS s, max(t.l) AS l
+  FROM tokpos t JOIN wh ON wh.w = t.w
+                JOIN pows pw ON pw.k = t.l - t.rp
+  GROUP BY 1
+), fpdoc AS (
+  SELECT d.doc_id,
+         ((COALESCE(f.s, 0) + {off_pl}) % {m}) AS h64
+  FROM documents d
+  LEFT JOIN fpagg f USING (doc_id)
+  JOIN pows pw ON pw.k = COALESCE(f.l, 0)
+), ltok AS (
+  SELECT doc_id, tk FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+             regexp_replace(lower(text), '{clean}', ' ', 'g'),
+             '\\s+')) AS tk
+    FROM documents)
+  WHERE len(tk) > 0
+), lagg AS (
+  SELECT doc_id, count(*)::BIGINT AS tn,
+         {hit_cols}
+  FROM ltok GROUP BY 1
+), langp AS (
+  SELECT d.doc_id,
+         CASE WHEN a.tn IS NULL OR a.tn = 0 THEN 'und'
+              WHEN (CAST({best} AS DOUBLE)
+                    / CAST(greatest(a.tn, 1) AS DOUBLE))
+                   <= {_sql_float(0.02)} THEN 'und'
+              ELSE {pick} END AS lang_pred
+  FROM documents d LEFT JOIN lagg a USING (doc_id)
+), w AS (
+    SELECT doc_id, word
+    FROM (SELECT doc_id, unnest(ws) AS word FROM wsplit)
+    WHERE len(word) > 0
+), agg AS (
+    SELECT doc_id, count(*) AS n_words,
+           sum(len(word)) AS sum_len,
+           sum(CASE WHEN word IN ({inlist('en')})
+               THEN 1 ELSE 0 END) AS stop_hits,
+           sum(CASE WHEN len(word) > 6 THEN 1 ELSE 0 END) AS long_words
+    FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, d.text, d.source,
+       lp.lang_pred,
+       len(d.text) AS q_n_chars,
+       COALESCE(a.n_words, 0) AS q_n_words,
+       CAST(a.sum_len AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_mean_word_len,
+       CAST(a.stop_hits AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_stopword_ratio,
+       CAST(len(regexp_extract_all(d.text, '[^\\w\\s]')) AS DOUBLE)
+           / CAST(greatest(len(d.text), 1) AS DOUBLE) AS q_punct_ratio,
+       CAST(len(regexp_extract_all(d.text, '\\d')) AS DOUBLE)
+           / CAST(greatest(len(d.text), 1) AS DOUBLE) AS q_digit_ratio,
+       CAST(a.long_words AS DOUBLE) / CAST(a.n_words AS DOUBLE)
+           AS q_long_word_frac,
+       COALESCE(a.n_words, 0) AS n_tok_ws,
+       CAST(len(regexp_extract_all(d.text, '\\d|[^\\w\\s]|\\w{{1,4}}'))
+            AS BIGINT) AS n_tok_bpe,
+       CAST(CASE WHEN fp.h64 >= 9223372036854775808
+                 THEN fp.h64 - {m} ELSE fp.h64 END AS BIGINT)
+           AS fingerprint
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+JOIN langp lp USING (doc_id)
+JOIN fpdoc fp USING (doc_id)
+"""
 
 
 def text_quality_docs(sf_dir: str) -> Dataset:
@@ -8186,6 +8324,7 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= {k}
 
 
 WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_docs_sql()
+TEXT_ANALYSIS_DOCS_SQL = _text_analysis_docs_sql()
 
 
 def _split_counts_docs_sql(seed: int = 1337) -> str:
@@ -12608,9 +12747,10 @@ QUERIES = {
     # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
     # north-rule family) plus the 11 long-deferred relational tails.
     # Deferred to round 6/7 (the remaining 94 never-checked, PLUS the
-    # three round-5 rows-only→oracle conversions weighted_sample_docs /
-    # split_counts_docs / truecase_docs, which join the backlog with
-    # zero driver rows; each is pytest-oracle-verified every session):
+    # five round-5 rows-only→oracle conversions weighted_sample_docs /
+    # split_counts_docs / truecase_docs / phrase_rewrite_docs /
+    # text_analysis_docs, which join the backlog with zero driver rows;
+    # each is pytest-oracle-verified every session):
     # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
     # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
     # token_dropout_docs, token_t5_corrupt_docs, token_mlm_docs,
@@ -13177,6 +13317,7 @@ ORACLE_SQL = {
     "truecase_model": TRUECASE_MODEL_SQL,
     "truecase_docs": TRUECASE_DOCS_SQL,
     "phrase_rewrite_docs": PHRASE_REWRITE_DOCS_SQL,
+    "text_analysis_docs": TEXT_ANALYSIS_DOCS_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
