@@ -1762,6 +1762,12 @@ FROM documents WHERE len(str_split(text, ' ')) >= 40
 # rows-only entries (non-SQL-expressible; golden-tested in pytest instead)
 
 def minhash_dedup_docs(sf_dir: str):
+    """The flagship MinHash-LSH near-dup pipeline — oracle-backed
+    END-TO-END since round 5 (``_minhash_dedup_docs_sql``): shingles,
+    seeded permutation minima (constants embedded as VALUES), band
+    hashes, banded candidates, 16-bit agreement verification and the
+    CC cluster assignment all replayed in SQL and compared exactly
+    (24 dup rows at both scales)."""
     from ..stages.dedup import minhash_lsh_dedup
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return minhash_lsh_dedup(ds, threshold=0.7)
@@ -1795,6 +1801,12 @@ def minhash_dedup_incremental_docs(sf_dir: str):
 
 
 def simhash_docs(sf_dir: str):
+    """SimHash near-dup clustering — oracle-backed end-to-end since
+    round 5 (``_simhash_docs_sql``): FNV word hashes + bit votes +
+    signature rebuilt bit-for-bit in SQL, pairs via brute Hamming ≤ 3
+    (exactly the banded scan's result — the 4×16 pigeonhole makes the
+    candidate pass lossless), clusters via the recursive min-label
+    closure. Certifies signatures, verification AND the CC tail."""
     from ..stages.dedup import simhash_dedup
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return simhash_dedup(ds, max_hamming=3)
@@ -2142,6 +2154,253 @@ def _wrapmul64_var_sql(a: str, b: str) -> str:
             f"((((({a}) // 4294967296) * (({b}) % 4294967296) + "
             f"(({a}) % 4294967296) * (({b}) // 4294967296)) "
             f"% 4294967296) * 4294967296)) % 18446744073709551616)")
+
+
+def _approx_distinct_words_sql(p: int = 12) -> str:
+    m = 1 << p
+    c1, c2 = 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53
+    mm = "18446744073709551616"
+    P = 1099511628211
+    OFF = 14695981039346656037
+    fnv_step = _wrapmul64_sql(
+        "xor(h, ascii(substr(w, i, 1))::HUGEINT)", P)
+    # leading-zero rank of rest (>= 2^(p-1) by the low-ones pad):
+    # rank r means the first set bit is bit (64 - r)
+    ladder = "CASE " + " ".join(
+        f"WHEN rest >= {1 << (64 - r)} THEN {r}"
+        for r in range(1, 64 - p + 2)) + " END"
+    return f"""
+WITH RECURSIVE dw AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(str_split(trim(text), ' ')) AS w
+    FROM documents WHERE trim(text) <> '')
+  WHERE len(w) > 0
+), fnv AS (
+  SELECT w, 1 AS i, {OFF}::HUGEINT AS h FROM dw
+  UNION ALL
+  SELECT w, i + 1, {fnv_step} FROM fnv WHERE i <= len(w)
+), wh AS (
+  SELECT w, h FROM fnv WHERE i = len(w) + 1
+), x1 AS (SELECT w, xor(h, h >> 33) AS a FROM wh),
+x2 AS (SELECT w, {_wrapmul64_sql('a', c1)} AS b FROM x1),
+x3 AS (SELECT w, xor(b, b >> 33) AS c FROM x2),
+x4 AS (SELECT w, {_wrapmul64_sql('c', c2)} AS d FROM x3),
+x5 AS (SELECT w, xor(d, d >> 33) AS hh FROM x4),
+rr AS (
+  SELECT (hh >> {64 - p}) AS idx,
+         ((hh * {m}) % {mm} + {m - 1}) AS rest
+  FROM x5
+), regs AS (
+  SELECT idx, max({ladder}) AS r FROM rr GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM dw)::BIGINT AS exact_n,
+         (SELECT sum(power(2.0::DOUBLE, -r::DOUBLE)) FROM regs)
+           + ({m} - (SELECT count(*) FROM regs))::DOUBLE AS ssum,
+         ({m} - (SELECT count(*) FROM regs))::BIGINT AS zeros
+), est AS (
+  SELECT exact_n, zeros,
+         (0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 / ssum AS e
+  FROM stats
+)
+SELECT round(CASE WHEN e <= 2.5 * {m}.0 AND zeros > 0
+                  THEN {m}.0 * ln({m}.0 / zeros::DOUBLE)
+                  ELSE e END, 1) AS estimate,
+       exact_n AS exact,
+       round(abs((CASE WHEN e <= 2.5 * {m}.0 AND zeros > 0
+                       THEN {m}.0 * ln({m}.0 / zeros::DOUBLE)
+                       ELSE e END) - exact_n::DOUBLE)
+             / exact_n::DOUBLE, 4) AS rel_err
+FROM est
+"""
+
+
+def _simhash_docs_sql() -> str:
+    """SQL twin of ``dedup.simhash_dedup`` over documents: FNV-1a word
+    hashes (recursive-CTE HUGEINT wrap-arithmetic), per-bit majority
+    votes over ALL word occurrences, 64-bit signature rebuild, then
+    brute-force Hamming pairs at the same threshold — EXACTLY the
+    banded path's result, because the 4×16 pigeonhole guarantees every
+    pair within hamming ≤ 3 shares a band (the banded candidate scan
+    is lossless, not approximate) — and the recursive min-label
+    closure for clusters."""
+    P = 1099511628211
+    OFF = 14695981039346656037
+    fnv_step = _wrapmul64_sql(
+        "xor(h, ascii(substr(w, i, 1))::HUGEINT)", P)
+    return f"""
+WITH RECURSIVE wsplit AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
+), dw AS (
+  SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM wsplit)
+  WHERE len(w) > 0
+), fnv AS (
+  SELECT w, 1 AS i, {OFF}::HUGEINT AS h FROM dw
+  UNION ALL
+  SELECT w, i + 1, {fnv_step} FROM fnv WHERE i <= len(w)
+), wh AS (
+  SELECT w, h FROM fnv WHERE i = len(w) + 1
+), tok AS (
+  SELECT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM wsplit)
+  WHERE len(w) > 0
+), bits AS (
+  SELECT CAST(range AS BIGINT) AS b FROM range(64)
+), votes AS (
+  SELECT t.doc_id, bits.b,
+         sum(CASE WHEN (wh.h >> bits.b) % 2 = 1
+             THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM tok t JOIN wh ON wh.w = t.w CROSS JOIN bits
+  GROUP BY 1, 2
+), simagg AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::HUGEINT << b)
+             ELSE 0::HUGEINT END) AS h
+  FROM votes GROUP BY 1
+), sim AS (
+  SELECT d.doc_id, COALESCE(s.h, 0::HUGEINT) AS h
+  FROM documents d LEFT JOIN simagg s USING (doc_id)
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.h, b.h)) <= 3
+), edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.node
+)
+SELECT node AS doc_id, min(r)::BIGINT AS cluster_id,
+       min(r) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
+
+
+
+def _minhash_dedup_docs_sql(num_perm: int = 128, bands: int = 16,
+                            k: int = 5, threshold: float = 0.7,
+                            seed: int = 7) -> str:
+    """SQL twin of ``dedup.minhash_lsh_dedup`` over documents — the
+    flagship near-dup pipeline certified end-to-end: FNV word hashes →
+    Horner k-gram shingles (short-doc fold included) → per-permutation
+    multiply-add-bijection minima with the SEEDED (a, b) constants
+    embedded as VALUES (the fitted-parameter-embedding pattern) →
+    16-band FNV band hashes → banded candidates → 16-bit-truncated
+    agreement ≥ threshold (the exact fraction is a /128 dyadic, so the
+    float compare is rational-exact) → recursive min-label closure.
+    All integer wrap-arithmetic in HUGEINT. A fired max_bucket cap
+    would break parity by construction, so the exact match at both
+    compare scales is itself the no-truncation evidence."""
+    rng = np.random.default_rng(seed)
+    av = rng.integers(1, np.iinfo(np.uint64).max, size=num_perm,
+                      dtype=np.uint64) | np.uint64(1)
+    bv = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm,
+                      dtype=np.uint64)
+    perms = ",".join(f"({p}, {int(av[p])}::HUGEINT, "
+                     f"{int(bv[p])}::HUGEINT)"
+                     for p in range(num_perm))
+    P = 1099511628211
+    OFF = 14695981039346656037
+    mm = "18446744073709551616"
+    r = num_perm // bands
+    fnv_step = _wrapmul64_sql(
+        "xor(h, ascii(substr(w, i, 1))::HUGEINT)", P)
+    horner = _wrapmul64_sql("g", P)
+    # long-branch gram chain: k-1 joins extending the Horner fold
+    gc = [f"""gc1 AS (
+  SELECT doc_id, rp, h AS g FROM tokh
+  WHERE l >= {k} AND rp <= l - {k - 1}
+)"""]
+    for j in range(1, k):
+        gc.append(f"""gc{j + 1} AS (
+  SELECT c.doc_id, c.rp, (({horner.replace('g', 'c.g')}) + t.h) % {mm} AS g
+  FROM gc{j} c JOIN tokh t
+    ON t.doc_id = c.doc_id AND t.rp = c.rp + {j}
+)""")
+    # band-hash chain: r joins folding the band's signature values
+    bh = [f"""bh0 AS (
+  SELECT doc_id, CAST(range AS BIGINT) AS band, {OFF}::HUGEINT AS h
+  FROM (SELECT DISTINCT doc_id FROM sig) CROSS JOIN range({bands})
+)"""]
+    for j in range(r):
+        step = _wrapmul64_sql("xor(c.h, s.v)", P)
+        bh.append(f"""bh{j + 1} AS (
+  SELECT c.doc_id, c.band, {step} AS h
+  FROM bh{j} c JOIN sig s
+    ON s.doc_id = c.doc_id AND s.p = c.band * {r} + {j}
+)""")
+    amulg = _wrapmul64_var_sql("pm.a", "g.g")
+    return f"""
+WITH RECURSIVE wsplit AS (
+  SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
+), dw AS (
+  SELECT DISTINCT w FROM (SELECT unnest(ws) AS w FROM wsplit)
+  WHERE len(w) > 0
+), fnv AS (
+  SELECT w, 1 AS i, {OFF}::HUGEINT AS h FROM dw
+  UNION ALL
+  SELECT w, i + 1, {fnv_step} FROM fnv WHERE i <= len(w)
+), wh AS (
+  SELECT w, h FROM fnv WHERE i = len(w) + 1
+), tokh AS (
+  SELECT t.doc_id,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos)
+           AS rp,
+         count(*) OVER (PARTITION BY t.doc_id) AS l,
+         wh.h
+  FROM (SELECT doc_id, unnest(ws) AS w,
+               CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
+        FROM wsplit) t
+  JOIN wh ON wh.w = t.w
+  WHERE len(t.w) > 0
+), {", ".join(gc)},
+gshort AS (
+  SELECT doc_id, 1 AS i, l, h AS g FROM tokh
+  WHERE l < {k} AND rp = 1
+  UNION ALL
+  SELECT s.doc_id, s.i + 1, s.l,
+         (({horner.replace('g', 's.g')}) + t.h) % {mm}
+  FROM gshort s JOIN tokh t
+    ON t.doc_id = s.doc_id AND t.rp = s.i + 1
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM gc{k}
+  UNION
+  SELECT DISTINCT doc_id, g FROM gshort WHERE i = l
+), perms(p, a, b) AS (
+  SELECT * FROM (VALUES {perms})
+), sig AS (
+  SELECT g.doc_id, pm.p,
+         min((({amulg}) + pm.b) % {mm}) AS v
+  FROM grams g CROSS JOIN perms pm
+  GROUP BY 1, 2
+), {", ".join(bh)},
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bh{r} x JOIN bh{r} y
+    ON x.band = y.band AND x.h = y.h AND x.doc_id < y.doc_id
+), ver AS (
+  SELECT c.a, c.b,
+         sum(CASE WHEN sa.v % 65536 = sb.v % 65536
+             THEN 1 ELSE 0 END)::BIGINT AS mt
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a, b FROM ver
+  WHERE (mt::DOUBLE / {num_perm}.0) >= {_sql_float(threshold)}
+), edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+), reach(node, rr) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, rch.rr FROM edges e JOIN reach rch ON e.b = rch.node
+)
+SELECT node AS doc_id, min(rr)::BIGINT AS cluster_id,
+       min(rr) <> node AS is_duplicate
+FROM reach GROUP BY node
+"""
+
 
 
 def _text_analysis_docs_sql() -> str:
@@ -2622,7 +2881,17 @@ def reference_feature_packs(sf_dir: str) -> Dataset:
 
 def approx_distinct_words(sf_dir: str):
     """HLL approximate distinct words in the corpus vs the exact count
-    (returned side by side; sketch comm = 4 KiB per block at any scale)."""
+    (returned side by side; sketch comm = 4 KiB per block at any
+    scale). Oracle-backed since round 5: the register table is a PURE
+    function of the distinct word set (FNV-1a word hash → murmur
+    fmix64 → top-p index / leading-zero rank, max-merged — order- and
+    partitioning-independent), so the SQL twin
+    (``_approx_distinct_words_sql``) rebuilds it with recursive-CTE
+    HUGEINT wrap-arithmetic, replays BOTH estimator branches with the
+    identical IEEE expressions (harmonic ``α·m²/Σ2^-reg`` for the
+    branch test, linear counting ``m·ln(m/zeros)`` — the branch this
+    corpus takes), and compares after the query's own rounding
+    (boundary-safe here: ln of a rational is irrational)."""
     import pandas as pd
     from ..stages.sketches import approx_distinct
     docs = _read(sf_dir, "documents", ["text"])
@@ -8325,6 +8594,9 @@ SELECT doc_id, source, n_chars FROM r WHERE rn <= {k}
 
 WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_docs_sql()
 TEXT_ANALYSIS_DOCS_SQL = _text_analysis_docs_sql()
+APPROX_DISTINCT_WORDS_SQL = _approx_distinct_words_sql()
+SIMHASH_DOCS_SQL = _simhash_docs_sql()
+MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql()
 
 
 def _split_counts_docs_sql(seed: int = 1337) -> str:
@@ -12747,9 +13019,10 @@ QUERIES = {
     # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
     # north-rule family) plus the 11 long-deferred relational tails.
     # Deferred to round 6/7 (the remaining 94 never-checked, PLUS the
-    # five round-5 rows-only→oracle conversions weighted_sample_docs /
+    # eight round-5 rows-only→oracle conversions weighted_sample_docs /
     # split_counts_docs / truecase_docs / phrase_rewrite_docs /
-    # text_analysis_docs, which join the backlog with zero driver rows;
+    # text_analysis_docs / approx_distinct_words / simhash_docs /
+    # minhash_dedup_docs, which join the backlog with zero driver rows;
     # each is pytest-oracle-verified every session):
     # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
     # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
@@ -13318,6 +13591,9 @@ ORACLE_SQL = {
     "truecase_docs": TRUECASE_DOCS_SQL,
     "phrase_rewrite_docs": PHRASE_REWRITE_DOCS_SQL,
     "text_analysis_docs": TEXT_ANALYSIS_DOCS_SQL,
+    "approx_distinct_words": APPROX_DISTINCT_WORDS_SQL,
+    "simhash_docs": SIMHASH_DOCS_SQL,
+    "minhash_dedup_docs": MINHASH_DEDUP_DOCS_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
