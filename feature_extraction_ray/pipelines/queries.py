@@ -1776,8 +1776,11 @@ def minhash_dedup_docs(sf_dir: str):
 def minhash_dedup_incremental_docs(sf_dir: str):
     """Incremental ingestion dedup demo over the documents table: first
     60% is the 'prior corpus' (signatures + assignment persisted-style),
-    the rest arrives as a new batch; result must equal the full-corpus
-    run (golden-tested in test_dedup_similarity)."""
+    the rest arrives as a new batch; the result must equal the
+    full-corpus run (golden-tested in test_dedup_similarity) — so since
+    round 5 it runs under the SAME end-to-end SQL twin as
+    ``minhash_dedup_docs``, making prior-state reuse + merge itself an
+    oracle-checked contract."""
     import pyarrow.parquet as _pq
     from ..stages.dedup import (minhash_lsh_dedup,
                                 minhash_lsh_dedup_incremental,
@@ -2214,7 +2217,7 @@ FROM est
 """
 
 
-def _simhash_docs_sql() -> str:
+def _simhash_docs_sql(token_mode: bool = False) -> str:
     """SQL twin of ``dedup.simhash_dedup`` over documents: FNV-1a word
     hashes (recursive-CTE HUGEINT wrap-arithmetic), per-bit majority
     votes over ALL word occurrences, 64-bit signature rebuild, then
@@ -2225,8 +2228,25 @@ def _simhash_docs_sql() -> str:
     closure for clusters."""
     P = 1099511628211
     OFF = 14695981039346656037
+    mm = "18446744073709551616"
     fnv_step = _wrapmul64_sql(
         "xor(h, ascii(substr(w, i, 1))::HUGEINT)", P)
+    if token_mode:
+        # feature = splitmix64(token_id + 2^31), token_id = fnv % VOCAB
+        u = "((h % 32000) + 2147483648)"
+        v1 = f"(({u} + 11400714819323198485) % {mm})"
+        v2 = f"xor({v1}, {v1} >> 30)"
+        feat_ctes = f""", sm2 AS (
+  SELECT w, {_wrapmul64_sql('v2', 0xBF58476D1CE4E5B9)} AS v3
+  FROM (SELECT w, {v2} AS v2 FROM wh)
+), sm3 AS (
+  SELECT w, {_wrapmul64_sql('xor(v3, v3 >> 27)', 0x94D049BB133111EB)}
+         AS v5 FROM sm2
+), whf AS (
+  SELECT w, xor(v5, v5 >> 31) AS h FROM sm3
+)"""
+    else:
+        feat_ctes = ", whf AS (SELECT w, h FROM wh)"
     return f"""
 WITH RECURSIVE wsplit AS (
   SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
@@ -2239,16 +2259,16 @@ WITH RECURSIVE wsplit AS (
   SELECT w, i + 1, {fnv_step} FROM fnv WHERE i <= len(w)
 ), wh AS (
   SELECT w, h FROM fnv WHERE i = len(w) + 1
-), tok AS (
+){feat_ctes}, tok AS (
   SELECT doc_id, w FROM (SELECT doc_id, unnest(ws) AS w FROM wsplit)
   WHERE len(w) > 0
 ), bits AS (
   SELECT CAST(range AS BIGINT) AS b FROM range(64)
 ), votes AS (
   SELECT t.doc_id, bits.b,
-         sum(CASE WHEN (wh.h >> bits.b) % 2 = 1
+         sum(CASE WHEN (whf.h >> bits.b) % 2 = 1
              THEN 1 ELSE -1 END)::BIGINT AS v
-  FROM tok t JOIN wh ON wh.w = t.w CROSS JOIN bits
+  FROM tok t JOIN whf ON whf.w = t.w CROSS JOIN bits
   GROUP BY 1, 2
 ), simagg AS (
   SELECT doc_id,
@@ -2279,7 +2299,8 @@ FROM reach GROUP BY node
 
 def _minhash_dedup_docs_sql(num_perm: int = 128, bands: int = 16,
                             k: int = 5, threshold: float = 0.7,
-                            seed: int = 7) -> str:
+                            seed: int = 7,
+                            token_mode: bool = False) -> str:
     """SQL twin of ``dedup.minhash_lsh_dedup`` over documents — the
     flagship near-dup pipeline certified end-to-end: FNV word hashes →
     Horner k-gram shingles (short-doc fold included) → per-permutation
@@ -2330,6 +2351,10 @@ def _minhash_dedup_docs_sql(num_perm: int = 128, bands: int = 16,
     ON s.doc_id = c.doc_id AND s.p = c.band * {r} + {j}
 )""")
     amulg = _wrapmul64_var_sql("pm.a", "g.g")
+    # token mode: the per-position feature is the fixture token id
+    # (FNV mod VOCAB) plus the 2^31 bias, not the raw word hash
+    feat = "((wh.h % 32000) + 2147483648)::HUGEINT" if token_mode \
+        else "wh.h"
     return f"""
 WITH RECURSIVE wsplit AS (
   SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
@@ -2347,7 +2372,7 @@ WITH RECURSIVE wsplit AS (
          row_number() OVER (PARTITION BY t.doc_id ORDER BY t.pos)
            AS rp,
          count(*) OVER (PARTITION BY t.doc_id) AS l,
-         wh.h
+         {feat} AS h
   FROM (SELECT doc_id, unnest(ws) AS w,
                CAST(generate_subscripts(ws, 1) AS BIGINT) AS pos
         FROM wsplit) t
@@ -7855,8 +7880,11 @@ def _documents_tokens_int(sf_dir: str) -> Dataset:
 
 def token_simhash_dedup_docs(sf_dir: str) -> Dataset:
     """Banded-Hamming SimHash near-dup clustering on token ids
-    (tokengrams.token_simhash_dedup) over the tokenized documents table.
-    Rows-only driver check; planted-dup golden in pytest."""
+    (tokengrams.token_simhash_dedup) over the tokenized documents
+    table. Oracle-backed since round 5: the twin derives the fixture
+    token ids (FNV mod VOCAB + bias), splitmix64 features, bit votes,
+    signatures, brute-Hamming pairs (= the lossless banded scan) and
+    the CC closure entirely in SQL; planted-dup golden in pytest."""
     from ..stages.tokengrams import token_simhash_dedup
     return token_simhash_dedup(_documents_tokens_int(sf_dir),
                                max_hamming=3, output="dataset")
@@ -7866,9 +7894,10 @@ def token_minhash_dedup_docs(sf_dir: str) -> Dataset:
     """Near-dup clustering run natively on token ids
     (tokengrams.token_minhash_lsh_dedup): documents tokenized to int32
     ids, token-3-gram MinHash signatures, then the SAME banded-candidate
-    / verify / connected-components stack as the text path. Rows-only
-    driver check (approximate recall by design); planted-dup golden in
-    tests/test_tokengrams.py."""
+    / verify / connected-components stack as the text path.
+    Oracle-backed since round 5 under the token-mode variant of the
+    end-to-end minhash twin (token ids + Horner 3-grams replayed in
+    SQL); planted-dup golden in tests/test_tokengrams.py."""
     from ..stages.tokengrams import token_minhash_lsh_dedup
     return token_minhash_lsh_dedup(_documents_tokens_int(sf_dir),
                                    threshold=0.7, shingle_k=3,
@@ -8596,7 +8625,10 @@ WEIGHTED_SAMPLE_DOCS_SQL = _weighted_sample_docs_sql()
 TEXT_ANALYSIS_DOCS_SQL = _text_analysis_docs_sql()
 APPROX_DISTINCT_WORDS_SQL = _approx_distinct_words_sql()
 SIMHASH_DOCS_SQL = _simhash_docs_sql()
+TOKEN_SIMHASH_DEDUP_DOCS_SQL = _simhash_docs_sql(token_mode=True)
 MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql()
+TOKEN_MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql(
+    k=3, threshold=0.7, token_mode=True)
 
 
 def _split_counts_docs_sql(seed: int = 1337) -> str:
@@ -13019,11 +13051,13 @@ QUERIES = {
     # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
     # north-rule family) plus the 11 long-deferred relational tails.
     # Deferred to round 6/7 (the remaining 94 never-checked, PLUS the
-    # eight round-5 rows-only→oracle conversions weighted_sample_docs /
-    # split_counts_docs / truecase_docs / phrase_rewrite_docs /
+    # eleven round-5 rows-only→oracle conversions weighted_sample_docs
+    # / split_counts_docs / truecase_docs / phrase_rewrite_docs /
     # text_analysis_docs / approx_distinct_words / simhash_docs /
-    # minhash_dedup_docs, which join the backlog with zero driver rows;
-    # each is pytest-oracle-verified every session):
+    # minhash_dedup_docs / minhash_dedup_incremental_docs /
+    # token_minhash_dedup_docs / token_simhash_dedup_docs, which join
+    # the backlog with zero driver rows; each is pytest-oracle-verified
+    # every session):
     # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
     # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
     # token_dropout_docs, token_t5_corrupt_docs, token_mlm_docs,
@@ -13594,6 +13628,9 @@ ORACLE_SQL = {
     "approx_distinct_words": APPROX_DISTINCT_WORDS_SQL,
     "simhash_docs": SIMHASH_DOCS_SQL,
     "minhash_dedup_docs": MINHASH_DEDUP_DOCS_SQL,
+    "minhash_dedup_incremental_docs": MINHASH_DEDUP_DOCS_SQL,
+    "token_minhash_dedup_docs": TOKEN_MINHASH_DEDUP_DOCS_SQL,
+    "token_simhash_dedup_docs": TOKEN_SIMHASH_DEDUP_DOCS_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
