@@ -2299,8 +2299,8 @@ FROM reach GROUP BY node
 
 def _minhash_dedup_docs_sql(num_perm: int = 128, bands: int = 16,
                             k: int = 5, threshold: float = 0.7,
-                            seed: int = 7,
-                            token_mode: bool = False) -> str:
+                            seed: int = 7, token_mode: bool = False,
+                            tail: str = "cluster") -> str:
     """SQL twin of ``dedup.minhash_lsh_dedup`` over documents — the
     flagship near-dup pipeline certified end-to-end: FNV word hashes →
     Horner k-gram shingles (short-doc fold included) → per-permutation
@@ -2355,6 +2355,28 @@ def _minhash_dedup_docs_sql(num_perm: int = 128, bands: int = 16,
     # (FNV mod VOCAB) plus the 2^31 bias, not the raw word hash
     feat = "((wh.h % 32000) + 2147483648)::HUGEINT" if token_mode \
         else "wh.h"
+    if tail == "cluster":
+        tail_sql = """SELECT node AS doc_id, min(rr)::BIGINT AS cluster_id,
+       min(rr) <> node AS is_duplicate
+FROM reach GROUP BY node"""
+    elif tail == "leakage":
+        # split-hygiene rollup: the deterministic (doc_id & 7) split of
+        # the split_leakage_docs query, pairs counted per split combo
+        tail_sql = """, lab AS (
+  SELECT doc_id,
+         CASE WHEN (doc_id & 7) = 0 THEN 'test' ELSE 'train' END AS sp
+  FROM documents
+)
+SELECT least(la.sp, lb.sp) AS split_a,
+       greatest(la.sp, lb.sp) AS split_b,
+       count(*)::BIGINT AS n_pairs,
+       least(la.sp, lb.sp) <> greatest(la.sp, lb.sp) AS "cross"
+FROM pairs p
+JOIN lab la ON la.doc_id = p.a
+JOIN lab lb ON lb.doc_id = p.b
+GROUP BY 1, 2, 4"""
+    else:
+        raise ValueError(f"unknown tail {tail!r}")
     return f"""
 WITH RECURSIVE wsplit AS (
   SELECT doc_id, str_split(trim(text), ' ') AS ws FROM documents
@@ -2421,11 +2443,53 @@ cand AS (
   UNION
   SELECT e.a, rch.rr FROM edges e JOIN reach rch ON e.b = rch.node
 )
-SELECT node AS doc_id, min(rr)::BIGINT AS cluster_id,
-       min(rr) <> node AS is_duplicate
-FROM reach GROUP BY node
+{tail_sql}
 """
 
+
+
+def _part_communities_sql(iters: int = 4) -> str:
+    """SQL twin of ``graphrank.label_propagation`` on the customer↔part
+    purchase graph: synchronous rounds UNROLLED as chained
+    count/argmax CTE pairs — per round each node adopts the most
+    frequent in-neighbor label with ties to the smallest label
+    (row_number ORDER BY count DESC, label; numpy's index-space label
+    order equals SQL's binary string order for these ASCII node
+    names). Edge multiplicity (one edge per lineitem row, both
+    directions) is preserved, matching the broadcast plan's counts."""
+    rounds = []
+    prev = "lab0"
+    for r in range(1, iters + 1):
+        rounds.append(f"""cnt{r} AS (
+  SELECT e.d AS node, l.lab, count(*) AS c
+  FROM edges e JOIN {prev} l ON l.node = e.s
+  GROUP BY 1, 2
+), lab{r} AS (
+  SELECT node, lab FROM (
+    SELECT node, lab,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, lab) AS rn
+    FROM cnt{r}) WHERE rn = 1
+)""")
+        prev = f"lab{r}"
+    return f"""
+WITH je AS (
+  SELECT 'C' || o_custkey AS cn, 'P' || l_partkey AS pn
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), edges AS (
+  SELECT cn AS s, pn AS d FROM je
+  UNION ALL
+  SELECT pn AS s, cn AS d FROM je
+), nodes AS (
+  SELECT DISTINCT s AS node FROM edges
+), lab0 AS (
+  SELECT node, node AS lab FROM nodes
+), {", ".join(rounds)}
+SELECT node, lab AS community FROM lab{iters}
+"""
+
+
+PART_COMMUNITIES_SQL = _part_communities_sql()
 
 
 def _text_analysis_docs_sql() -> str:
@@ -4642,9 +4706,14 @@ def bpe_tokens_docs(sf_dir: str) -> Dataset:
     distributed word-frequency fit (the merge loop runs on the driver
     over a vocab-bounded top-``max_words`` table — the standard
     tokenizer-training recipe), broadcast merge ranks, per-worker
-    memoized encode. Learned merges are not SQL-expressible —
-    rows-only (goldens: Sennrich example + naive-recount fuzz in
-    ``tests/test_bpe.py``)."""
+    memoized encode. Rows-only BY MEASUREMENT, not assumption
+    (round 5): embedding the fitted merge table as SQL VALUES was
+    evaluated and rejected — the fit depends on corpus word
+    frequencies and the sf0.001/sf0.01 corpora yield DIFFERENT merge
+    lists (105 vs 106 merges, divergence at rank 4), so no static
+    oracle string can serve both compare scales, and replaying the
+    fit itself would need ~300 unrolled aggregation stages. Goldens:
+    Sennrich example + naive-recount fuzz in ``tests/test_bpe.py``."""
     from ..stages.bpe import apply_bpe, fit_bpe
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
     merges = fit_bpe(docs, "text", num_merges=300, max_words=50_000)
@@ -5766,9 +5835,13 @@ SELECT anchor, partner, n_both, rnk FROM r WHERE rnk <= 3
 def part_communities(sf_dir: str) -> Dataset:
     """Label-propagation communities over the customer↔part purchase
     graph (``graphrank.label_propagation`` — deterministic synchronous
-    LP, broadcast plan: zero shuffles per iteration). Iterative
-    majority voting — non-SQL-expressible, rows-only check; the sync
-    update rule is pytest-verified against a naive reference."""
+    LP, broadcast plan: zero shuffles per iteration). Oracle-backed
+    since round 5: the 4 synchronous rounds are UNROLLED in SQL as
+    chained count/argmax CTE pairs (``_part_communities_sql`` —
+    row_number (count DESC, label) replays the (count desc, label asc)
+    election, numpy's index-order labels == SQL binary string order
+    for these ASCII node names); the sync update rule additionally
+    pytest-verified against a naive reference."""
     from ..stages.cc import attach_values
     from ..stages.graphrank import label_propagation
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
@@ -8629,6 +8702,7 @@ TOKEN_SIMHASH_DEDUP_DOCS_SQL = _simhash_docs_sql(token_mode=True)
 MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql()
 TOKEN_MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql(
     k=3, threshold=0.7, token_mode=True)
+SPLIT_LEAKAGE_DOCS_SQL = _minhash_dedup_docs_sql(tail="leakage")
 
 
 def _split_counts_docs_sql(seed: int = 1337) -> str:
@@ -9535,9 +9609,11 @@ def split_leakage_docs(sf_dir: str):
     """Cross-split contamination audit (curation.split_leakage_report):
     deterministic 80/20 doc_id split, then count verified near-dup
     pairs straddling train/test — the split-hygiene check that makes
-    dedup-before-split measurable. Rows-only driver check (near-dup
-    verification is recall-approximate); planted-leak golden in
-    tests/test_curation.py."""
+    dedup-before-split measurable. Oracle-backed since round 5: the
+    minhash twin's banding/verify is replayed exactly (recall
+    approximation and all), so the straddle counts compare as exact
+    integers under the leakage tail of ``_minhash_dedup_docs_sql``;
+    planted-leak golden in tests/test_curation.py."""
     from ..stages.curation import split_leakage_report
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -13051,13 +13127,14 @@ QUERIES = {
     # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
     # north-rule family) plus the 11 long-deferred relational tails.
     # Deferred to round 6/7 (the remaining 94 never-checked, PLUS the
-    # eleven round-5 rows-only→oracle conversions weighted_sample_docs
-    # / split_counts_docs / truecase_docs / phrase_rewrite_docs /
-    # text_analysis_docs / approx_distinct_words / simhash_docs /
-    # minhash_dedup_docs / minhash_dedup_incremental_docs /
-    # token_minhash_dedup_docs / token_simhash_dedup_docs, which join
-    # the backlog with zero driver rows; each is pytest-oracle-verified
-    # every session):
+    # thirteen round-5 rows-only→oracle conversions
+    # weighted_sample_docs / split_counts_docs / truecase_docs /
+    # phrase_rewrite_docs / text_analysis_docs / approx_distinct_words
+    # / simhash_docs / minhash_dedup_docs /
+    # minhash_dedup_incremental_docs / token_minhash_dedup_docs /
+    # token_simhash_dedup_docs / split_leakage_docs / part_communities,
+    # which join the backlog with zero driver rows; each is
+    # pytest-oracle-verified every session):
     # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
     # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
     # token_dropout_docs, token_t5_corrupt_docs, token_mlm_docs,
@@ -13631,6 +13708,8 @@ ORACLE_SQL = {
     "minhash_dedup_incremental_docs": MINHASH_DEDUP_DOCS_SQL,
     "token_minhash_dedup_docs": TOKEN_MINHASH_DEDUP_DOCS_SQL,
     "token_simhash_dedup_docs": TOKEN_SIMHASH_DEDUP_DOCS_SQL,
+    "split_leakage_docs": SPLIT_LEAKAGE_DOCS_SQL,
+    "part_communities": PART_COMMUNITIES_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
