@@ -2492,6 +2492,153 @@ SELECT node, lab AS community FROM lab{iters}
 PART_COMMUNITIES_SQL = _part_communities_sql()
 
 
+def _asr_confidence_sql() -> str:
+    """SQL twin of ``asr_features.confidence_features`` over the
+    deterministic recognizer fixture (F3 is seed-fixed and
+    sf-INDEPENDENT, so the embedded VALUES serve every compare scale —
+    unlike bpe's corpus-fitted merges): per-call max/mean/std
+    (population)/min/median over the bit-exactly embedded confidence
+    doubles (``_sql_float`` mantissa·2^exp literals); numpy pairwise
+    sums and DuckDB's aggregates agree within the compare tolerance."""
+    from ..fixtures import gen_recognizer
+    t = gen_recognizer(n_calls=8, segs_per_call=6, seed=44)
+    rows = ",".join(
+        f"('{c}', {_sql_float(v)})"
+        for c, v in zip(t["audio_file_id"].to_pylist(),
+                        t["confidence"].to_pylist()))
+    return f"""
+WITH f(id, conf) AS (VALUES {rows})
+SELECT id,
+       max(conf) AS conf_max,
+       avg(conf) AS conf_mean,
+       stddev_pop(conf) AS conf_std,
+       min(conf) AS conf_min,
+       median(conf) AS conf_med
+FROM f GROUP BY id
+"""
+
+
+def _asr_timing_sql() -> str:
+    """SQL twin of ``timing.extract_timing_features`` over the F3
+    recognizer fixture (seed-fixed, sf-independent — embeddable as
+    VALUES): segment/word/silence streams rebuilt from the embedded
+    integer hns offsets/durations, the silence rule replayed exactly
+    (before-word = offset − prev word end, segment-start for the first
+    word of a segment; after-last-word vs segment end; exact zeros
+    dropped), per-family max/min/mean/median/std_pop stats plus the
+    call-level ratio block with the duration-lookup totals. All
+    derived values are (int − int) · 1e-4/1e-7 products compared under
+    the float tolerance; counts and sums are exact."""
+    from ..fixtures import gen_recognizer
+    t = gen_recognizer(n_calls=8, segs_per_call=6, seed=44)
+    d = t.to_pydict()
+    seg_rows, word_rows = [], []
+    for i in range(len(d["audio_file_id"])):
+        c = d["audio_file_id"][i]
+        seg = d["segment_number"][i]
+        seg_rows.append(f"('{c}', {seg}, {d['offset'][i]}, "
+                        f"{d['duration'][i]})")
+        for wi, w in enumerate(d["word_timing"][i]):
+            word_rows.append(f"('{c}', {seg}, {wi + 1}, "
+                             f"{w['Offset']}, {w['Duration']})")
+    calls = sorted(set(d["audio_file_id"]))
+    dur_rows = ",".join(
+        f"('{c}', {_sql_float((300_000 + i * 60_000) * 1e-3)})"
+        for i, c in enumerate(calls))
+    to_s = _sql_float(1e-7)
+    to_ms = _sql_float(1e-4)
+    return f"""
+WITH segs(id, seg, s_off, s_dur) AS (VALUES {",".join(seg_rows)}),
+words(id, seg, wi, w_off, w_dur) AS (VALUES {",".join(word_rows)}),
+dur(id, td) AS (VALUES {dur_rows}),
+ws AS (
+  SELECT id, seg, wi, w_off, w_dur,
+         lag(w_off + w_dur) OVER (PARTITION BY id
+                                  ORDER BY seg, wi) AS prev_end,
+         row_number() OVER (PARTITION BY id, seg ORDER BY wi) AS wseq,
+         row_number() OVER (PARTITION BY id, seg
+                            ORDER BY wi DESC) AS wseq_r
+  FROM words
+), sil AS (
+  SELECT w.id,
+         (w.w_off - CASE WHEN w.wseq = 1 THEN s.s_off
+                         ELSE coalesce(w.prev_end, 0) END)::DOUBLE
+           * {to_ms} AS v
+  FROM ws w JOIN segs s ON s.id = w.id AND s.seg = w.seg
+  UNION ALL
+  SELECT w.id,
+         ((s.s_off + s.s_dur) - (w.w_off + w.w_dur))::DOUBLE
+           * {to_ms} AS v
+  FROM ws w JOIN segs s ON s.id = w.id AND s.seg = w.seg
+  WHERE w.wseq_r = 1
+), silnz AS (SELECT id, v FROM sil WHERE v <> 0.0),
+segs_s AS (
+  SELECT s.id, s.s_dur::DOUBLE * {to_s} AS v,
+         coalesce(wc.n, 0)::DOUBLE / (s.s_dur::DOUBLE * {to_s}) AS wps
+  FROM segs s LEFT JOIN (
+    SELECT id, seg, count(*)::BIGINT AS n FROM words GROUP BY 1, 2
+  ) wc ON wc.id = s.id AND wc.seg = s.seg
+), seg_stats AS (
+  SELECT id, max(v) AS segments_max, min(v) AS segments_min,
+         avg(v) AS segments_mean, median(v) AS segments_med,
+         stddev_pop(v) AS segments_std,
+         max(wps) AS wps_max, min(wps) AS wps_min,
+         avg(wps) AS wps_mean, median(wps) AS wps_med,
+         stddev_pop(wps) AS wps_std,
+         sum(v) AS spk_duration,
+         sum(CASE WHEN v <= 1.0 THEN 1 ELSE 0 END)::DOUBLE
+           AS short_utt_count,
+         count(*)::DOUBLE AS segment_count
+  FROM segs_s GROUP BY id
+), word_stats AS (
+  SELECT id, max(w_dur::DOUBLE * {to_ms}) AS words_max,
+         min(w_dur::DOUBLE * {to_ms}) AS words_min,
+         avg(w_dur::DOUBLE * {to_ms}) AS words_mean,
+         median(w_dur::DOUBLE * {to_ms}) AS words_med,
+         stddev_pop(w_dur::DOUBLE * {to_ms}) AS words_std,
+         count(*)::DOUBLE AS word_count
+  FROM words GROUP BY id
+), sil_stats AS (
+  SELECT id, max(v) AS silences_max, min(v) AS silences_min,
+         avg(v) AS silences_mean, median(v) AS silences_med,
+         stddev_pop(v) AS silences_std,
+         sum(v) * 0.001 AS sil_duration,
+         count(*)::DOUBLE AS sil_count
+  FROM silnz GROUP BY id
+)
+SELECT g.id AS group_id,
+       g.segments_max, g.segments_min, g.segments_mean,
+       g.segments_med, g.segments_std,
+       l.silences_max, l.silences_min, l.silences_mean,
+       l.silences_med, l.silences_std,
+       w.words_max, w.words_min, w.words_mean, w.words_med,
+       w.words_std,
+       g.wps_max, g.wps_min, g.wps_mean, g.wps_med, g.wps_std,
+       l.sil_duration, g.spk_duration,
+       CASE WHEN l.sil_duration <> 0.0
+            THEN g.spk_duration / l.sil_duration END AS spk_sil_ratio,
+       CASE WHEN g.spk_duration <> 0.0
+            THEN l.sil_count / g.spk_duration END AS sps,
+       CASE WHEN g.spk_duration <> 0.0
+            THEN w.word_count / g.spk_duration END AS wps,
+       l.sil_count, g.short_utt_count, g.segment_count, w.word_count,
+       d.td AS total_duration,
+       CASE WHEN d.td <> 0.0 THEN g.spk_duration / d.td END
+         AS spk_ratio,
+       CASE WHEN d.td <> 0.0 THEN l.sil_duration / d.td END
+         AS sil_ratio,
+       CASE WHEN d.td <> 0.0 THEN g.segment_count / (d.td / 60.0) END
+         AS segs_per_min,
+       CASE WHEN d.td <> 0.0
+            THEN g.short_utt_count / (d.td / 60.0) END
+         AS short_utts_per_min
+FROM seg_stats g
+JOIN word_stats w ON w.id = g.id
+JOIN sil_stats l ON l.id = g.id
+JOIN dur d ON d.id = g.id
+"""
+
+
 def _text_analysis_docs_sql() -> str:
     from ..stages.text import _STOPWORDS
     P = 1099511628211                  # FNV-1a 64 prime == FP_BASE
@@ -8703,6 +8850,8 @@ MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql()
 TOKEN_MINHASH_DEDUP_DOCS_SQL = _minhash_dedup_docs_sql(
     k=3, threshold=0.7, token_mode=True)
 SPLIT_LEAKAGE_DOCS_SQL = _minhash_dedup_docs_sql(tail="leakage")
+ASR_CONFIDENCE_SQL = _asr_confidence_sql()
+ASR_TIMING_SQL = _asr_timing_sql()
 
 
 def _split_counts_docs_sql(seed: int = 1337) -> str:
@@ -13127,14 +13276,15 @@ QUERIES = {
     # DSIR, fuzzy decontamination, SCD2, profilers, the token-native
     # north-rule family) plus the 11 long-deferred relational tails.
     # Deferred to round 6/7 (the remaining 94 never-checked, PLUS the
-    # thirteen round-5 rows-only→oracle conversions
+    # fifteen round-5 rows-only→oracle conversions
     # weighted_sample_docs / split_counts_docs / truecase_docs /
     # phrase_rewrite_docs / text_analysis_docs / approx_distinct_words
     # / simhash_docs / minhash_dedup_docs /
     # minhash_dedup_incremental_docs / token_minhash_dedup_docs /
-    # token_simhash_dedup_docs / split_leakage_docs / part_communities,
-    # which join the backlog with zero driver rows; each is
-    # pytest-oracle-verified every session):
+    # token_simhash_dedup_docs / split_leakage_docs / part_communities
+    # / asr_confidence_features / asr_timing_features, which join the
+    # backlog with zero driver rows; each is pytest-oracle-verified
+    # every session):
     # length_batches_docs, interleave_docs, boilerplate_lines_broadcast,
     # negatives_docs, hard_negatives_embeddings, cluster_split_docs,
     # token_dropout_docs, token_t5_corrupt_docs, token_mlm_docs,
@@ -13710,6 +13860,8 @@ ORACLE_SQL = {
     "token_simhash_dedup_docs": TOKEN_SIMHASH_DEDUP_DOCS_SQL,
     "split_leakage_docs": SPLIT_LEAKAGE_DOCS_SQL,
     "part_communities": PART_COMMUNITIES_SQL,
+    "asr_confidence_features": ASR_CONFIDENCE_SQL,
+    "asr_timing_features": ASR_TIMING_SQL,
     "decontaminate_docs": DECONTAMINATE_DOCS_SQL,
     "token_budget_docs": TOKEN_BUDGET_DOCS_SQL,
     "repetition_stats_docs": REPETITION_STATS_DOCS_SQL,
