@@ -2622,6 +2622,17 @@ def web_curate_checkpointed(
         s_clean = {"written": [], "skipped": list(range(clean_buckets)),
                    "rows": 0}
     clean_files = CP.verified_files(clean_dir, fp_clean)
+    if not clean_files:
+        # every page was scrubbed/gated away (e.g. a fully-duplicated
+        # corpus where ALL lines cross the min_docs boilerplate bar):
+        # the direct chain returns an EMPTY dataset here — match it by
+        # short-circuiting with a loud flag instead of handing
+        # read_parquet an empty path list
+        empty_stats = {"written": [], "skipped": [], "rows": 0}
+        return {"clean": s_clean, "dedup": empty_stats,
+                "capped": empty_stats, "empty": True,
+                "fingerprints": {"input": fp_in, "clean": fp_clean,
+                                 "dedup": fp_dedup, "cap": fp_cap}}
 
     # Stage 2: exact dedup on the CLEANED text, partitioned by doc
     if CP.missing_partitions(dedup_dir, fp_dedup, dedup_buckets):

@@ -89,3 +89,21 @@ def test_web_curate_checkpointed_param_change_invalidates(
     assert len(s["capped"]["written"]) == 2
     got = _result(d)
     assert got["src_rank"].max() <= 3
+
+
+def test_web_curate_checkpointed_all_boilerplate_graceful(
+        ray_session, tmp_path):
+    # fully-duplicated corpus: every line crosses min_docs => all pages
+    # scrubbed empty => the chain short-circuits with empty=True
+    # instead of crashing on an empty read list
+    t = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(["same line\nsame line two"] * 8),
+        "source": pa.array(["s"] * 8)})
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(t, p)
+    s = CU.web_curate_checkpointed(p, str(tmp_path / "ck"),
+                                   boiler_buckets=4, clean_buckets=2,
+                                   dedup_buckets=2, cap_buckets=2)
+    assert s.get("empty") is True
+    assert s["dedup"]["rows"] == 0 and s["capped"]["rows"] == 0
