@@ -1816,6 +1816,13 @@ def simhash_docs(sf_dir: str):
 
 
 def embedding_dedup_docs(sf_dir: str):
+    """Hyperplane-bucketed embedding near-dup dedup — rows-only by
+    design: bucket membership is the SIGN of float dot products
+    against seeded gaussian hyperplanes, and replaying those sums in
+    SQL risks sign flips at reassociation-level differences near zero
+    (unlike the integer-hash buckets of the minhash/simhash twins).
+    The exact all-pairs tail is oracle-checked via
+    ``embedding_dedup_brute``; recall goldens in pytest."""
     from ..stages.similarity import embedding_dedup
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_dedup(ds, threshold=0.99)
@@ -1865,6 +1872,10 @@ FROM reach GROUP BY node
 
 
 def knn_embeddings_ivf(sf_dir: str):
+    """Approximate IVF kNN (n_probe < n_centroids) — rows-only by
+    design: probed-cell selection depends on float k-means centroids;
+    the exhaustive twin ``knn_embeddings_ivf_full`` runs under the
+    brute-force SQL oracle and recall goldens bound this one."""
     import pyarrow.parquet as _pq
     from ..stages.similarity import knn_ivf
     tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -1895,6 +1906,10 @@ def knn_embeddings_ivf_full(sf_dir: str):
 
 
 def knn_embeddings_lsh(sf_dir: str):
+    """Approximate multi-probe LSH kNN — rows-only by design: probe
+    sets rank float hyperplane margins; the exhaustive twin
+    ``knn_embeddings_lsh_full`` (probes="all") runs under the
+    brute-force SQL oracle and recall goldens bound this one."""
     import pyarrow.parquet as _pq
     from ..stages.similarity import knn_lsh
     tbl = _pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -3105,7 +3120,10 @@ def asr_timing_features(sf_dir: str):
 
 def reference_feature_packs(sf_dir: str) -> Dataset:
     """Reference feature registry (verbosity + lexical diversity + speech
-    graph) per (source, session) over the derived tokens table."""
+    graph) per (source, session) over the derived tokens table.
+    Rows-only — the speech-graph metrics (BFS/SCC/union-find) are
+    iterative graph algorithms; golden + property tests in
+    ``tests/test_graph_metrics.py``."""
     from ..fixtures import tokens_from_documents
     from ..stages.features import extract_group_features
     toks = tokens_from_documents(sf_dir)
